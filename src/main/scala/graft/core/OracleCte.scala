@@ -1,0 +1,150 @@
+package graft.core
+
+/**
+ * DuckDB SQL mirrors of [[Tables]] — each value is a CTE body computing the
+ * same rows as the Spark synthesis, bit-for-bit. Oracle queries compose these
+ * via [[OracleCte.withCtes]]. Parity rules shared with Tables.scala:
+ *   - `epoch_ms(ts)` == Spark `unix_millis` (UTC session),
+ *   - `CAST(floor(x) AS BIGINT)` for all sizes (DuckDB CAST(double AS BIGINT)
+ *     ROUNDS, Spark truncates — floor first on both sides),
+ *   - `//` (DuckDB) == `DIV` (Spark) integer division,
+ *   - string `||` coerces numerics identically in both engines.
+ */
+object OracleCte {
+
+  val objects: String =
+    """objects AS (
+      |  SELECT
+      |    'vol' || (l_orderkey % 4) AS volume,
+      |    'bucket' || (l_suppkey % 10) AS bucket,
+      |    'warehouse/' || l_returnflag || '/' || l_orderkey || '/' || l_linenumber || '.dat' AS key,
+      |    l_orderkey * 10 + l_linenumber AS object_id,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS data_size,
+      |    CASE l_linenumber % 3
+      |      WHEN 0 THEN CAST(floor(l_extendedprice) AS BIGINT) * 3
+      |      WHEN 1 THEN CAST(floor(l_extendedprice) AS BIGINT) * 5 // 3
+      |      ELSE CAST(floor(l_extendedprice) AS BIGINT) END AS replicated_size,
+      |    CASE l_linenumber % 3
+      |      WHEN 0 THEN 'RATIS/THREE'
+      |      WHEN 1 THEN 'EC/rs-3-2-1024k'
+      |      ELSE 'RATIS/ONE' END AS replication_type,
+      |    epoch_ms(l_shipdate) AS creation_time,
+      |    epoch_ms(l_shipdate) + l_linenumber * 86400000 AS modification_time,
+      |    'clerk' || (l_orderkey % 7) AS owner,
+      |    l_returnflag AS tag_flag,
+      |    l_orderkey % 1000 AS container_id,
+      |    CAST(l_linenumber AS BIGINT) AS version,
+      |    md5('warehouse/' || l_returnflag || '/' || l_orderkey || '/' || l_linenumber || '.dat') AS etag
+      |  FROM lineitem
+      |)""".stripMargin
+
+  val buckets: String =
+    """buckets AS (
+      |  SELECT volume, bucket, used_bytes, used_namespace,
+      |    CASE WHEN bucket_idx = 9 THEN 1000000
+      |         WHEN bucket_idx = 5 THEN -1
+      |         ELSE (bucket_idx + 1) * 100000000 END AS quota_bytes,
+      |    CASE WHEN bucket_idx = 9 THEN 100 ELSE 1000000 END AS quota_namespace,
+      |    CASE WHEN bucket_idx % 2 = 0 THEN 'OBS' ELSE 'FSO' END AS layout
+      |  FROM (
+      |    SELECT volume, bucket,
+      |      SUM(data_size) AS used_bytes,
+      |      COUNT(*) AS used_namespace,
+      |      CAST(substr(bucket, 7, 10) AS BIGINT) AS bucket_idx
+      |    FROM objects GROUP BY volume, bucket
+      |  )
+      |)""".stripMargin
+
+  val volumes: String =
+    """volumes AS (
+      |  SELECT volume, SUM(used_bytes) AS used_bytes,
+      |    SUM(used_namespace) AS used_namespace,
+      |    COUNT(*) AS bucket_count,
+      |    1000000000000 AS quota_bytes,
+      |    'admin' || substr(volume, 4, 10) AS owner
+      |  FROM buckets GROUP BY volume
+      |)""".stripMargin
+
+  val containersScm: String =
+    """containers_scm AS (
+      |  SELECT r AS container_id,
+      |    CASE WHEN r % 97 = 0 THEN 'DELETED' ELSE 'CLOSED' END AS state,
+      |    3 AS replication_factor,
+      |    (r + 1) * 1000000 AS used_bytes
+      |  FROM range(1000) t(r)
+      |)""".stripMargin
+
+  val containersOm: String =
+    """containers_om AS (
+      |  SELECT container_id, COUNT(*) AS num_keys, SUM(data_size) AS used_bytes
+      |  FROM objects WHERE container_id % 89 <> 0
+      |  GROUP BY container_id
+      |)""".stripMargin
+
+  val replicas: String =
+    """replicas AS (
+      |  SELECT c.container_id,
+      |    'dn' || ((c.container_id + r.r) % 20) AS datanode,
+      |    CASE WHEN c.container_id % 29 = 0 AND r.r = 1 THEN 'UNHEALTHY'
+      |         ELSE 'CLOSED' END AS replica_state
+      |  FROM containers_scm c CROSS JOIN range(4) r(r)
+      |  WHERE (r.r <= 2 AND NOT (c.container_id % 13 = 0 AND r.r = 2))
+      |     OR (r.r = 3 AND c.container_id % 17 = 0)
+      |)""".stripMargin
+
+  val snapshotV1: String =
+    s"""snap_v1 AS (
+       |  SELECT * FROM objects
+       |  WHERE creation_time <= ${Tables.SnapCut1Ms}
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY object_id ORDER BY data_size DESC, key) = 1
+       |)""".stripMargin
+
+  val snapshotV2: String =
+    s"""snap_v2 AS (
+       |  SELECT * FROM (
+       |    SELECT volume, bucket,
+       |      CASE WHEN version = 2 THEN key || '.renamed' ELSE key END AS key,
+       |      object_id,
+       |      CASE WHEN version = 3 THEN data_size + 1 ELSE data_size END AS data_size,
+       |      replicated_size, replication_type, creation_time, modification_time,
+       |      owner, tag_flag, container_id, version, etag
+       |    FROM objects
+       |    WHERE creation_time > ${Tables.SnapCut0Ms})
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY object_id ORDER BY data_size DESC, key) = 1
+       |)""".stripMargin
+
+  val auditAccess: String =
+    """audit_access AS (
+      |  SELECT epoch_ms(o_orderdate) AS ts,
+      |    'vol' || (o_orderkey % 4) AS volume,
+      |    'bucket' || (o_custkey % 10) AS bucket,
+      |    'warehouse/' || o_orderstatus || '/' || o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'WRITE_KEY' ELSE 'READ_KEY' END AS op,
+      |    'u' || (o_custkey % 20) AS user
+      |  FROM orders
+      |)""".stripMargin
+
+  val openKeys: String =
+    """open_keys AS (
+      |  SELECT *, object_id * 7 % 100000 AS client_id
+      |  FROM objects WHERE version % 5 = 0
+      |)""".stripMargin
+
+  val multipartParts: String =
+    """multipart_parts AS (
+      |  SELECT
+      |    md5('upload' || l_orderkey) AS upload_id,
+      |    l_orderkey AS order_key,
+      |    l_linenumber AS part_number,
+      |    md5('part' || l_orderkey || '_' || l_linenumber) AS etag,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS size
+      |  FROM lineitem
+      |  WHERE l_orderkey % 50 = 0 AND l_linenumber % 6 <> 0
+      |)""".stripMargin
+
+  /** Compose a query over a chain of CTEs (dependencies first). */
+  def withCtes(sql: String, ctes: String*): String =
+    "WITH " + ctes.mkString(",\n") + "\n" + sql
+}

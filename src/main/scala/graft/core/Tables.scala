@@ -1,0 +1,220 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Catalog of the engine's model tables, deterministically synthesized from the
+ * driver testdata (TESTDATA.md) per FIXTURES.md §B — adapted to the actual
+ * parquet schemas (lineitem carries only l_shipdate; no commit/receipt dates).
+ *
+ * Mirrors the reference's table catalog (apache/ozone
+ * OMDBDefinition.java:145-360: keyTable, bucketTable, volumeTable, ...) as one
+ * Dataset per table. Every expression here is a pure column expression with an
+ * exact DuckDB SQL equivalent in [[graft.core.OracleCte]] so the driver's
+ * DuckDB oracle reproduces the same rows bit-for-bit:
+ *   - sizes floored to BIGINT (no double-rounding ambiguity),
+ *   - times as epoch millis (unix_millis <-> epoch_ms),
+ *   - only integer arithmetic downstream.
+ *
+ * Scale design: `objects` derives 1:1 from the lineitem scan — narrow
+ * projection, no shuffle, no UDFs; at 100 TB it stays an embarrassingly
+ * parallel map over parquet row-groups with full column pruning.
+ */
+object Tables {
+
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch millis from a timestamp column. Parquet written by pandas carries
+    * TIMESTAMP_NTZ; with the session TZ pinned to UTC the NTZ→LTZ cast treats
+    * the wall-clock as UTC — exactly DuckDB's epoch_ms on a naive timestamp. */
+  private def epochMs(c: org.apache.spark.sql.Column) =
+    unix_millis(c.cast("timestamp"))
+
+  /**
+   * objects ≈ keyTable/fileTable union (ref OmKeyInfo.java:72-113).
+   * Keys are 3-level paths `warehouse/<flag>/<orderkey>/<linenumber>.dat` to
+   * exercise delimiter grouping and fake-directory synthesis.
+   */
+  def objects(spark: SparkSession, dir: String): DataFrame = {
+    val li = raw(spark, dir, "lineitem")
+    val dataSize = floor(col("l_extendedprice")).cast("long")
+    val repl = col("l_linenumber") % 3
+    li.select(
+      concat(lit("vol"), (col("l_orderkey") % 4).cast("string")).as("volume"),
+      concat(lit("bucket"), (col("l_suppkey") % 10).cast("string")).as("bucket"),
+      concat(
+        lit("warehouse/"), col("l_returnflag"), lit("/"),
+        col("l_orderkey").cast("string"), lit("/"),
+        col("l_linenumber").cast("string"), lit(".dat")).as("key"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("object_id"),
+      dataSize.as("data_size"),
+      when(repl === 0, dataSize * 3)
+        .when(repl === 1, expr("CAST(floor(l_extendedprice) AS BIGINT) * 5 DIV 3"))
+        .otherwise(dataSize).as("replicated_size"),
+      when(repl === 0, lit("RATIS/THREE"))
+        .when(repl === 1, lit("EC/rs-3-2-1024k"))
+        .otherwise(lit("RATIS/ONE")).as("replication_type"),
+      epochMs(col("l_shipdate")).as("creation_time"),
+      (epochMs(col("l_shipdate")) + col("l_linenumber") * 86400000L)
+        .as("modification_time"),
+      concat(lit("clerk"), (col("l_orderkey") % 7).cast("string")).as("owner"),
+      col("l_returnflag").as("tag_flag"),
+      (col("l_orderkey") % 1000).as("container_id"),
+      col("l_linenumber").cast("long").as("version"))
+      .withColumn("etag", md5(col("key")))
+  }
+
+  /** buckets (ref OmBucketInfo.java:52-114): usage rollup + deterministic quotas. */
+  def buckets(spark: SparkSession, dir: String): DataFrame = {
+    objects(spark, dir)
+      .groupBy("volume", "bucket")
+      .agg(
+        sum("data_size").as("used_bytes"),
+        count(lit(1)).as("used_namespace"))
+      .withColumn("bucket_idx",
+        substring(col("bucket"), 7, 10).cast("long"))
+      .withColumn("quota_bytes",
+        when(col("bucket_idx") === 9, lit(1000000L))
+          .when(col("bucket_idx") === 5, lit(-1L))
+          .otherwise((col("bucket_idx") + 1) * 100000000L))
+      .withColumn("quota_namespace",
+        when(col("bucket_idx") === 9, lit(100L)).otherwise(lit(1000000L)))
+      .withColumn("layout",
+        when(col("bucket_idx") % 2 === 0, lit("OBS")).otherwise(lit("FSO")))
+      .drop("bucket_idx")
+  }
+
+  /** volumes (ref OmVolumeArgs.java:50-71). */
+  def volumes(spark: SparkSession, dir: String): DataFrame =
+    buckets(spark, dir)
+      .groupBy("volume")
+      .agg(
+        sum("used_bytes").as("used_bytes"),
+        sum("used_namespace").as("used_namespace"),
+        count(lit(1)).as("bucket_count"))
+      .withColumn("quota_bytes", lit(1000000000000L))
+      .withColumn("owner",
+        concat(lit("admin"), substring(col("volume"), 4, 10)))
+
+  /** containers_scm: ids 0..999 (ref ContainerEndpoint.java:792-796). */
+  def containersScm(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1000).toDF("container_id")
+      .withColumn("state",
+        when(col("container_id") % 97 === 0, lit("DELETED"))
+          .otherwise(lit("CLOSED")))
+      .withColumn("replication_factor", lit(3))
+      .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
+
+  /** containers_om: rollup of object locations; ids %89==0 dropped to create
+    * OM∖SCM mismatches (ref ContainerKeyMapperHelper). */
+  def containersOm(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("container_id") % 89 =!= 0)
+      .groupBy("container_id")
+      .agg(count(lit(1)).as("num_keys"), sum("data_size").as("used_bytes"))
+
+  /**
+   * replicas: 3 per container; %13==0 loses one (under-replicated), %17==0
+   * gains one (over-replicated), replica 1 of %29==0 is UNHEALTHY
+   * (ref ContainerHealthStatus.java:46-124).
+   */
+  def replicas(spark: SparkSession, dir: String): DataFrame = {
+    val base = containersScm(spark, dir).select("container_id")
+      .crossJoin(spark.range(4).toDF("r"))
+      .filter(
+        (col("r") <= 2 && !(col("container_id") % 13 === 0 && col("r") === 2)) ||
+        (col("r") === 3 && col("container_id") % 17 === 0))
+    base
+      .withColumn("datanode",
+        concat(lit("dn"), ((col("container_id") + col("r")) % 20).cast("string")))
+      .withColumn("replica_state",
+        when(col("container_id") % 29 === 0 && col("r") === 1, lit("UNHEALTHY"))
+          .otherwise(lit("CLOSED")))
+      .drop("r")
+  }
+
+  /**
+   * Snapshot pair for diff tests (ref SnapshotDiffManager.java:1397-1469).
+   * v1 = objects created on/before CUT1; v2 = objects created after CUT0,
+   * with renames (linenumber==2, same object_id, key suffix changes) and
+   * modifies (linenumber==3, data_size+1). Cuts are epoch-ms of 1999-06-01
+   * and 1996-06-01 applied to creation_time (= epoch of l_shipdate).
+   *   - rows ≤ CUT0           → only v1 → DELETE
+   *   - rows > CUT1           → only v2 → CREATE
+   *   - overlap, linenumber 2 → RENAME; 3 → MODIFY; else UNCHANGED
+   */
+  val SnapCut0Ms = 833587200000L // 1996-06-01T00:00:00Z
+  val SnapCut1Ms = 928195200000L // 1999-06-01T00:00:00Z
+
+  /** The synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    * object_id is not unique; snapshots dedup to one row per object_id
+    * (deterministic representative: max data_size, then key) so the diff
+    * join is 1:1 — mirrors the namespace invariant of the reference. */
+  private def dedupByObjectId(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("object_id")
+      .orderBy(col("data_size").desc, col("key"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  def snapshotV1(spark: SparkSession, dir: String): DataFrame =
+    dedupByObjectId(objects(spark, dir).filter(col("creation_time") <= SnapCut1Ms))
+
+  def snapshotV2(spark: SparkSession, dir: String): DataFrame = {
+    val o = objects(spark, dir).filter(col("creation_time") > SnapCut0Ms)
+    dedupByObjectId(
+      o.withColumn("key",
+          when(col("version") === 2, concat(col("key"), lit(".renamed")))
+            .otherwise(col("key")))
+        .withColumn("data_size",
+          when(col("version") === 3, col("data_size") + 1)
+            .otherwise(col("data_size"))))
+  }
+
+  /** audit_access ← orders (heatmap source, ref HeatMapUtil.java:60-130). */
+  def auditAccess(spark: SparkSession, dir: String): DataFrame = {
+    val o = raw(spark, dir, "orders")
+    o.select(
+      epochMs(col("o_orderdate")).as("ts"),
+      concat(lit("vol"), (col("o_orderkey") % 4).cast("string")).as("volume"),
+      concat(lit("bucket"), (col("o_custkey") % 10).cast("string")).as("bucket"),
+      concat(lit("warehouse/"), col("o_orderstatus"), lit("/"),
+        col("o_orderkey").cast("string")).as("key"),
+      when(col("o_orderkey") % 5 === 0, lit("WRITE_KEY"))
+        .otherwise(lit("READ_KEY")).as("op"),
+      concat(lit("u"), (col("o_custkey") % 20).cast("string")).as("user"))
+  }
+
+  /** open_keys: subset of objects "still open" + client id
+    * (expiry ref OmMetadataManagerImpl.java:1446-1500). */
+  def openKeys(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("version") % 5 === 0)
+      .withColumn("client_id", col("object_id") * 7 % 100000)
+
+  /** multipart parts ← lineitem grouped by order (every 50th order is an
+    * in-flight MPU; ref S3MultipartUploadCompleteRequest.java:291-334).
+    * Parts with linenumber%6==0 are dropped to create part-number gaps. */
+  def multipartParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = raw(spark, dir, "lineitem")
+    li.filter(col("l_orderkey") % 50 === 0 && col("l_linenumber") % 6 =!= 0)
+      .select(
+        md5(concat(lit("upload"), col("l_orderkey").cast("string"))).as("upload_id"),
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("part_number"),
+        md5(concat(lit("part"), col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))).as("etag"),
+        floor(col("l_extendedprice")).cast("long").as("size"))
+  }
+
+  /** documents / embeddings / events raw tables (LLM-pipeline inputs). */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    raw(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    raw(spark, dir, "embeddings")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    raw(spark, dir, "events")
+}

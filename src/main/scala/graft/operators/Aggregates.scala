@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Recon-style analytics aggregations (apache/ozone recon module):
+ * log₂-binned histograms (FileSizeCountTaskHelper.java:51-77,
+ * ReconConstants.java:82-99), du / NSSummary hierarchical rollups
+ * (NSSummaryTaskDbEventHandler.java:128-459, BucketEntityHandler.java:91-145),
+ * global table counts (OmTableInsightTask.java), quota usage
+ * (NSSummaryEndpoint.java:141-169), heatmap (HeatMapUtil.java:60-130).
+ *
+ * Scale design: all are single-shuffle groupBy aggregates with map-side
+ * partial aggregation; the NSSummary rollup replaces the reference's
+ * driver-side recursive `propagateSizeUpwards` with an explode over the
+ * (bounded-depth) prefix array — one shuffle, no driver loops, no iteration.
+ * Normalization uses integer scaling (x*10000 div range) — deterministic
+ * across engines, no float rounding.
+ */
+object Aggregates {
+
+  /** Log₂ size bin upper bound: 41 bins, 1 KB → 1 PB
+    * (ref ReconUtils.getFileSizeUpperBound, ReconConstants.java:82-89).
+    * Computed as an integer shift (1 << ceil(log2 x)) — never a double cast,
+    * whose truncate-vs-round semantics differ across engines. */
+  def pow2Bin(sizeCol: String, minBin: Long): Column =
+    expr(s"greatest(shiftleft(CAST(1 AS BIGINT), " +
+      s"CAST(ceil(log2(greatest($sizeCol, 1))) AS INT)), ${minBin}L)")
+
+  /** File-size histogram per (volume, bucket, bin) — ref
+    * FileSizeCountTaskHelper.java:51-77. */
+  def fileSizeHistogram(objects: DataFrame): DataFrame =
+    objects
+      .withColumn("size_bin", pow2Bin("data_size", 1024L))
+      .groupBy("volume", "bucket", "size_bin")
+      .agg(count(lit(1)).as("file_count"))
+      .orderBy("volume", "bucket", "size_bin")
+
+  /** Container-size histogram (14 bins from 512 MB — ref
+    * ReconConstants.java:91-99; synthetic containers are smaller so the
+    * min bin is 1 MB here). */
+  def containerSizeHistogram(containersScm: DataFrame): DataFrame =
+    containersScm
+      .withColumn("size_bin", pow2Bin("used_bytes", 1048576L))
+      .groupBy("size_bin")
+      .agg(count(lit(1)).as("container_count"))
+      .orderBy("size_bin")
+
+  /**
+   * NSSummary hierarchical rollup: per-directory (at every ancestor level)
+   * file count, total size, replicated size — batch equivalent of the
+   * reference's incremental upward propagation
+   * (NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459).
+   * Keys are `a/b/c/file` paths; each file contributes to ancestors
+   * `a`, `a/b`, `a/b/c` via an exploded bounded-depth prefix array —
+   * one wide shuffle instead of per-level self-joins.
+   */
+  def nsSummary(objects: DataFrame, maxDepth: Int = 3): DataFrame = {
+    val prefixes = (1 to maxDepth).map { d =>
+      when(size(split(col("key"), "/")) > d,
+        concat_ws("/", slice(split(col("key"), "/"), 1, d)))
+    }
+    objects
+      .withColumn("dir", explode(array(prefixes: _*)))
+      .filter(col("dir").isNotNull)
+      .groupBy("volume", "bucket", "dir")
+      .agg(
+        count(lit(1)).as("num_files"),
+        sum("data_size").as("size_of_files"),
+        sum("replicated_size").as("replicated_size"))
+      .orderBy("volume", "bucket", "dir")
+  }
+
+  /** du top-N: largest level-2 directories — ref BucketEntityHandler.java:91-145
+    * + ReconUtils.java:534-540 (top-k). */
+  def duTopN(objects: DataFrame, volume: String, n: Int): DataFrame =
+    objects
+      .filter(col("volume") === volume)
+      .withColumn("dir", concat_ws("/", slice(split(col("key"), "/"), 1, 2)))
+      .groupBy("bucket", "dir")
+      .agg(sum("data_size").as("dir_size"), count(lit(1)).as("num_files"))
+      .orderBy(col("dir_size").desc, col("bucket"), col("dir"))
+      .limit(n)
+
+  /** Global per-entity counts — ref OmTableInsightTask.java /
+    * ClusterStateEndpoint.java:96,170-186. */
+  def globalCounts(objects: DataFrame, buckets: DataFrame, volumes: DataFrame,
+                   openKeys: DataFrame, containersScm: DataFrame): DataFrame = {
+    def one(df: DataFrame, entity: String, sizeCol: Option[String]) =
+      df.agg(
+        count(lit(1)).as("cnt"),
+        coalesce(sum(sizeCol.map(col).getOrElse(lit(0L))), lit(0L)).as("total_bytes"))
+        .select(lit(entity).as("entity"), col("cnt"), col("total_bytes"))
+    one(objects, "keys", Some("data_size"))
+      .unionByName(one(buckets, "buckets", Some("used_bytes")))
+      .unionByName(one(volumes, "volumes", Some("used_bytes")))
+      .unionByName(one(openKeys, "open_keys", Some("data_size")))
+      .unionByName(one(containersScm, "containers", Some("used_bytes")))
+      .orderBy("entity")
+  }
+
+  /** Quota usage + violation flag — ref NSSummaryEndpoint.java:141-169,
+    * OMKeyRequest.java:876-906 (quota check). */
+  def quotaUsage(buckets: DataFrame): DataFrame =
+    buckets
+      .withColumn("over_quota",
+        col("quota_bytes") =!= -1L && col("used_bytes") > col("quota_bytes"))
+      .withColumn("usage_pct_x100",
+        when(col("quota_bytes") > 0,
+          expr("used_bytes * 10000 DIV quota_bytes"))
+          .otherwise(lit(-1L)))
+      .select("volume", "bucket", "used_bytes", "quota_bytes",
+        "used_namespace", "over_quota", "usage_pct_x100")
+      .orderBy("volume", "bucket")
+
+  /**
+   * Heatmap: access counts per (volume, bucket, top-level prefix) from audit
+   * events, min/max-normalized at the root — ref HeatMapUtil.java:60-130
+   * (tree build) and :102-111 (min/max normalization). Normalization is
+   * integer-scaled: (cnt-min)*10000 div (max-min).
+   */
+  def heatmap(audit: DataFrame): DataFrame = {
+    val counts = audit
+      .filter(col("op") === "READ_KEY")
+      .withColumn("prefix", concat_ws("/", slice(split(col("key"), "/"), 1, 2)))
+      .groupBy("volume", "bucket", "prefix")
+      .agg(count(lit(1)).as("access_count"))
+    val stats = counts.agg(
+      min("access_count").as("min_c"), max("access_count").as("max_c"))
+    counts.crossJoin(stats)
+      .withColumn("heat_x10000",
+        when(col("max_c") > col("min_c"),
+          expr("(access_count - min_c) * 10000 DIV (max_c - min_c)"))
+          .otherwise(lit(0L)))
+      .select("volume", "bucket", "prefix", "access_count", "heat_x10000")
+      .orderBy("volume", "bucket", "prefix")
+  }
+
+  /** Cluster-growth-style daily time series from the events table — ref
+    * UtilizationSchemaDefinition.java:75-88 (cluster_growth_daily). Value
+    * sums use integer cents (floor(value*100)) for cross-engine parity. */
+  def dailyGrowth(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", (unix_millis(col("ts")) / 86400000L).cast("long"))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("day", "event_type")
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum("cents").as("value_cents"),
+        countDistinct("user_id").as("active_users"))
+      .orderBy("day", "event_type")
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Join / diff / set-operation family (apache/ozone Recon + snapshot diff):
+ * container↔key equi-join (ContainerKeyMapperHelper probe
+ * ContainerEndpoint.java:236-330), OM∖SCM lockstep-merge anti-joins
+ * (ContainerEndpoint.java:800-878), replica-health classification
+ * (ContainerHealthStatus.java:46-124), and the snapshot full-outer diff
+ * (SnapshotDiffManager.java:1397-1469).
+ *
+ * Scale design: the container dimension (~containers, not keys) is small
+ * relative to the key table → broadcast it, never shuffle the key fact table
+ * for these joins. The snapshot diff shuffles both sides once on object_id —
+ * the natural partitioning key — and classification is a codegen'd
+ * when/otherwise projection; at 100 TB, AQE skew handling covers hot ids.
+ */
+object Joins {
+
+  /** Keys-per-container probe: broadcast the container dim into the key scan
+    * — replaces the reference's materialized inverted index for batch. */
+  def containerKeyJoin(objects: DataFrame, containersScm: DataFrame): DataFrame =
+    objects
+      .groupBy("container_id")
+      .agg(count(lit(1)).as("num_keys"), sum("data_size").as("total_size"))
+      .join(broadcast(containersScm.select("container_id", "state")),
+        Seq("container_id"), "inner")
+      .orderBy("container_id")
+
+  /** OM∖SCM and SCM∖OM container mismatches as anti-joins — the reference
+    * walks two sorted iterators in lockstep (ContainerEndpoint.java:800-851);
+    * here each direction is a single anti-join (broadcastable dim). */
+  def omScmMismatch(containersOm: DataFrame, containersScm: DataFrame): DataFrame = {
+    val live = containersScm.filter(col("state") =!= "DELETED")
+    val omOnly = containersOm.select("container_id")
+      .join(live.select("container_id"), Seq("container_id"), "left_anti")
+      .withColumn("side", lit("OM_ONLY"))
+    val scmOnly = live.select("container_id")
+      .join(containersOm.select("container_id"), Seq("container_id"), "left_anti")
+      .withColumn("side", lit("SCM_ONLY"))
+    omOnly.unionByName(scmOnly).orderBy("side", "container_id")
+  }
+
+  /** Replica health: expected replication factor vs healthy replica count →
+    * UNDER/OVER/MIS/HEALTHY (ref ContainerHealthStatus.java:46-124). */
+  def replicaHealth(containersScm: DataFrame, replicas: DataFrame): DataFrame = {
+    val counts = replicas
+      .groupBy("container_id")
+      .agg(
+        count(lit(1)).as("replica_count"),
+        sum(when(col("replica_state") === "CLOSED", 1L).otherwise(0L))
+          .as("healthy_count"))
+    containersScm
+      .filter(col("state") =!= "DELETED")
+      .join(counts, Seq("container_id"), "left")
+      .withColumn("replica_count", coalesce(col("replica_count"), lit(0L)))
+      .withColumn("healthy_count", coalesce(col("healthy_count"), lit(0L)))
+      .withColumn("health",
+        when(col("healthy_count") === 0, lit("MISSING"))
+          .when(col("healthy_count") < col("replication_factor"), lit("UNDER_REPLICATED"))
+          .when(col("replica_count") > col("replication_factor"), lit("OVER_REPLICATED"))
+          .otherwise(lit("HEALTHY")))
+      .select("container_id", "replication_factor", "replica_count",
+        "healthy_count", "health")
+      .orderBy("container_id")
+  }
+
+  /**
+   * Snapshot diff: full-outer join of two namespace versions on object_id,
+   * classified CREATE / DELETE / RENAME / MODIFY / UNCHANGED — exactly the
+   * reference's classification (SnapshotDiffManager.java:1397-1469: null left
+   * → CREATE, null right → DELETE, key differs → RENAME, payload differs →
+   * MODIFY). object_id survives renames by construction.
+   */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(
+      col("object_id"),
+      col("key").as("old_key"),
+      col("data_size").as("old_size"))
+    val b = v2.select(
+      col("object_id"),
+      col("key").as("new_key"),
+      col("data_size").as("new_size"))
+    a.join(b, Seq("object_id"), "full_outer")
+      .withColumn("diff_type",
+        when(col("old_key").isNull, lit("CREATE"))
+          .when(col("new_key").isNull, lit("DELETE"))
+          .when(col("old_key") =!= col("new_key"), lit("RENAME"))
+          .when(col("old_size") =!= col("new_size"), lit("MODIFY"))
+          .otherwise(lit("UNCHANGED")))
+      .filter(col("diff_type") =!= "UNCHANGED")
+      // null-free output (engines disagree on default null sort order)
+      .withColumn("old_key", coalesce(col("old_key"), lit("")))
+      .withColumn("new_key", coalesce(col("new_key"), lit("")))
+      .withColumn("old_size", coalesce(col("old_size"), lit(-1L)))
+      .withColumn("new_size", coalesce(col("new_size"), lit(-1L)))
+      .orderBy("object_id")
+  }
+
+  /** Snapshot diff rollup (counts per class) — the summary the reference
+    * reports per diff job. */
+  def snapshotDiffSummary(v1: DataFrame, v2: DataFrame): DataFrame =
+    snapshotDiff(v1, v2)
+      .groupBy("diff_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("diff_type")
+
+  /** FSO+OBS layout union (search both layouts, merge —
+    * OMDBInsightEndpoint.java:900-906): union two layout partitions of the
+    * namespace, dedup on key identity. */
+  def layoutUnion(objects: DataFrame, buckets: DataFrame): DataFrame = {
+    val withLayout = objects.join(
+      broadcast(buckets.select("volume", "bucket", "layout")),
+      Seq("volume", "bucket"), "inner")
+    val fso = withLayout.filter(col("layout") === "FSO")
+    val obs = withLayout.filter(col("layout") === "OBS")
+    fso.unionByName(obs)
+      .groupBy("layout")
+      .agg(count(lit(1)).as("num_keys"), sum("data_size").as("total_size"))
+      .orderBy("layout")
+  }
+}

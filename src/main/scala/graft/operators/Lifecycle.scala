@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Predicate-driven background jobs + scalar/window patterns of the reference:
+ * lifecycle expiration (apache/ozone OmLCFilter.java:41-117,
+ * OmLCExpiration.java:39-64, KeyLifecycleService.java:401-455), open-key
+ * expiry (OmMetadataManagerImpl.java:1446-1500), multipart completion
+ * validation (S3MultipartUploadCompleteRequest.java:291-334,616-652),
+ * latest-version-wins (OmMetadataManagerImpl.java:1160-1162), byte-range
+ * reads (ObjectEndpoint.java:416-471), checksums (Checksum.java:89-93).
+ *
+ * Scale design: rule evaluation is a pure codegen'd filter over the key scan
+ * (no join, no shuffle); expiry summaries aggregate map-side; the multipart
+ * validator is a window over (upload_id) — shuffles only MPU rows, a tiny
+ * fraction of the namespace.
+ */
+object Lifecycle {
+
+  /** A lifecycle rule: prefix match AND optional tag equality, with an
+    * expiration cutoff — the boolean expression tree of OmLCFilter. */
+  final case class LcRule(id: String, prefix: String,
+                          tagValue: Option[String], cutoffMs: Long)
+
+  private def ruleMatch(r: LcRule): Column = {
+    val base = col("key").startsWith(r.prefix) &&
+      col("modification_time") < r.cutoffMs
+    r.tagValue.map(v => base && col("tag_flag") === v).getOrElse(base)
+  }
+
+  /** Keys matched by any enabled rule, tagged with the first matching rule id
+    * (rules are ordered; first match wins as in KeyLifecycleService). */
+  def lifecycleExpiry(objects: DataFrame, rules: Seq[LcRule]): DataFrame = {
+    val ruleId = rules.foldRight(lit(null).cast("string")) { (r, acc) =>
+      when(ruleMatch(r), lit(r.id)).otherwise(acc)
+    }
+    objects
+      .withColumn("rule_id", ruleId)
+      .filter(col("rule_id").isNotNull)
+      .select("volume", "bucket", "key", "rule_id", "data_size",
+        "modification_time")
+      .orderBy("volume", "bucket", "key", "data_size", "modification_time")
+  }
+
+  /** Expired open keys summary per bucket: count + bytes of entries older
+    * than the cutoff (ref KeyManagerImpl.java:1026-1038). */
+  def openKeyExpiry(openKeys: DataFrame, cutoffMs: Long): DataFrame =
+    openKeys
+      .filter(col("creation_time") < cutoffMs)
+      .groupBy("volume", "bucket")
+      .agg(count(lit(1)).as("expired_count"),
+        sum("data_size").as("expired_bytes"))
+      .orderBy("volume", "bucket")
+
+  /**
+   * Multipart completion validation: per upload, parts must be unique and
+   * gap-free from 1; emits the S3 multipart ETag = md5(concat of part etags)
+   * || '-' || part count (ref S3MultipartUploadCompleteRequest.java:500-535
+   * ETag-of-ETags, :616-652 INVALID_PART_ORDER).
+   */
+  def multipartValidate(parts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("upload_id").orderBy("part_number")
+    parts
+      .withColumn("prev_part", lag("part_number", 1).over(w))
+      .groupBy("upload_id", "order_key")
+      .agg(
+        count(lit(1)).as("num_parts"),
+        min("part_number").as("min_part"),
+        max("part_number").as("max_part"),
+        max(when(col("prev_part").isNotNull &&
+          col("part_number") <= col("prev_part"), 1L).otherwise(0L))
+          .as("has_dup"),
+        sum("size").as("total_size"))
+      .withColumn("is_valid",
+        col("min_part") === 1 &&
+        col("max_part") === col("num_parts") &&
+        col("has_dup") === 0L)
+      .drop("has_dup")
+      .orderBy("upload_id")
+  }
+
+  /** S3 ETag-of-ETags per upload, parts concatenated in part order —
+    * deterministic via sort_array on (part_number, etag) structs. */
+  def multipartEtag(parts: DataFrame): DataFrame =
+    parts
+      .groupBy("upload_id")
+      .agg(collect_list(struct(col("part_number"), col("etag"))).as("ps"))
+      .withColumn("etag_of_etags",
+        concat(
+          md5(concat_ws("", sort_array(col("ps")).getField("etag"))),
+          lit("-"),
+          size(col("ps")).cast("string")))
+      .select("upload_id", "etag_of_etags")
+      .orderBy("upload_id")
+
+  /** Latest-version-wins dedup — the cache-over-DB merge semantics
+    * (OmMetadataManagerImpl.java:1114-1162) as a window:
+    * row_number() over (partition by logical key order by version desc) = 1. */
+  def latestVersionWins(objects: DataFrame): DataFrame = {
+    val lvKey = concat_ws("/", slice(split(col("key"), "/"), 1, 3))
+    val w = Window.partitionBy("volume", "bucket", "lv_key")
+      .orderBy(col("version").desc, col("key"), col("data_size").desc)
+    objects
+      .withColumn("lv_key", lvKey)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("volume", "bucket", "lv_key", "key", "version", "data_size")
+      .orderBy("volume", "bucket", "lv_key")
+  }
+
+  /**
+   * Byte-range read planning: for a `Range: bytes=a-b` request compute the
+   * effective range and the 4 MB chunk span to fetch (ref
+   * ObjectEndpoint.java:416-471; chunk size ScmConfigKeys.java:136). Pure
+   * arithmetic projection — at scale this is the planner for chunk-level
+   * parallel fetches.
+   */
+  def rangeReadPlan(objects: DataFrame, rangeStart: Long, rangeEnd: Long,
+                    chunkSize: Long = 4L * 1024 * 1024): DataFrame =
+    objects
+      .filter(col("data_size") > rangeStart)
+      .withColumn("eff_start", lit(rangeStart))
+      .withColumn("eff_end", least(lit(rangeEnd), col("data_size") - 1))
+      .withColumn("first_chunk", expr(s"eff_start DIV ${chunkSize}"))
+      .withColumn("last_chunk", expr(s"eff_end DIV ${chunkSize}"))
+      .withColumn("content_range",
+        concat(lit("bytes "), col("eff_start"), lit("-"), col("eff_end"),
+          lit("/"), col("data_size")))
+      .select("key", "data_size", "eff_start", "eff_end", "first_chunk",
+        "last_chunk", "content_range")
+      .orderBy("key", "data_size")
+
+  /** Integrity columns: sha256 + md5 over key identity (the container
+    * scanner's checksum verification shape —
+    * BackgroundContainerDataScanner.java:33-103). CRC32 exists in Spark but
+    * not DuckDB, so the oracle covers md5/sha256; crc32 is spec-tested. */
+  def checksumColumns(objects: DataFrame): DataFrame =
+    objects
+      .select(
+        col("key"),
+        col("etag"),
+        sha2(col("key").cast("binary"), 256).as("sha256_hex"),
+        (md5(col("key")) === col("etag")).as("etag_ok"))
+      .orderBy("key")
+}

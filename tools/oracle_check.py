@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run graft.Verify,
+then run each oracle SQL in DuckDB over the same parquet tables and
+compare (columns sorted by name, rows sorted, values hashed).
+
+Usage: python3 tools/oracle_check.py [sfdir] [outdir] [--skip-verify] [query...]
+"""
+import sys, os, json, subprocess, hashlib
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+flags = [a for a in sys.argv[3:]]
+skip_verify = "--skip-verify" in flags
+only = [a for a in flags if not a.startswith("--")]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if not skip_verify:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    tail = (r.stdout + r.stderr)[-3000:]
+    if r.returncode != 0:
+        print("VERIFY FAILED:\n", tail); sys.exit(1)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line:
+            print(line)
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(v):
+    if v is None: return "NULL"
+    if isinstance(v, bool): return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v): return str(int(v))
+        return f"{v:.9g}"
+    return str(v)
+
+def table_hash(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(row[i]) for i in idx) for row in rows)
+    h = hashlib.sha256()
+    for l in lines: h.update(l.encode()); h.update(b"\n")
+    return h.hexdigest()
+
+ok = fail = 0
+names = only if only else sorted(oracle.keys())
+for name in names:
+    sql = oracle.get(name)
+    pq = f"{OUT}/{name}"
+    if not os.path.isdir(pq):
+        print(f"MISSING  {name} (no spark output)"); fail += 1; continue
+    try:
+        scols, srows = (lambda r: ([d[0] for d in r.description], r.fetchall()))(
+            con.execute(f"SELECT * FROM '{pq}/*.parquet'"))
+        dcols, drows = (lambda r: ([d[0] for d in r.description], r.fetchall()))(
+            con.execute(sql))
+    except Exception as e:
+        print(f"ERROR    {name}: {str(e).splitlines()[0]}"); fail += 1; continue
+    if sorted(scols) != sorted(dcols):
+        print(f"SCHEMA   {name}: spark={sorted(scols)} duck={sorted(dcols)}")
+        fail += 1; continue
+    if len(srows) != len(drows):
+        print(f"ROWS     {name}: spark={len(srows)} duck={len(drows)}")
+        fail += 1; continue
+    hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
+    if hs != hd:
+        print(f"HASH     {name}: spark={hs[:12]} duck={hd[:12]} ({len(srows)} rows)")
+        # show first differing row for debugging
+        idx_s = sorted(range(len(scols)), key=lambda i: scols[i])
+        idx_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        ls = sorted("\x01".join(canon(r[i]) for i in idx_s) for r in srows)
+        ld = sorted("\x01".join(canon(r[i]) for i in idx_d) for r in drows)
+        for a, b in zip(ls, ld):
+            if a != b:
+                print(f"  cols:  {sorted(scols)}")
+                print(f"  spark: {a.split(chr(1))}")
+                print(f"  duck:  {b.split(chr(1))}")
+                break
+        fail += 1; continue
+    print(f"OK       {name} ({len(srows)} rows)")
+    ok += 1
+
+print(f"\n{ok} ok, {fail} failed / {len(names)} checked")
+sys.exit(1 if fail else 0)
