@@ -78,7 +78,27 @@ object SparkEntry {
     "q_range_read" -> ((s, d) =>
       Lifecycle.rangeReadPlan(T.objects(s, d), 1000L, 50000L)),
     "q_checksums" -> ((s, d) =>
-      Lifecycle.checksumColumns(T.objects(s, d))))
+      Lifecycle.checksumColumns(T.objects(s, d))),
+    // ---- LLM-pipeline: dedup / similarity / text / multimodal / events ----
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
+    "q_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(T.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(T.documents(s, d))),
+    "q_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(T.documents(s, d))),
+    "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
+    "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, T.embeddings(s, d))),
+    "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(T.embeddings(s, d))),
+    "q_text_stats" -> ((s, d) => TextAnalysis.textStats(T.documents(s, d))),
+    "q_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(T.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(T.documents(s, d))),
+    "q_doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(T.documents(s, d))),
+    "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(T.mediaAssets(s, d))),
+    "q_daily_growth" -> ((s, d) => Aggregates.dailyGrowth(T.events(s, d))),
+    "q_stream_hourly" -> ((s, d) => Events.hourlyCounts(T.events(s, d))),
+    "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))))
 
   def oracleSql: Map[String, String] = Map(
     "q_list_keys" -> O.withCtes(
@@ -346,5 +366,197 @@ object SparkEntry {
     "q_checksums" -> O.withCtes(
       """SELECT key, etag, sha256(key) AS sha256_hex,
         |  (md5(key) = etag) AS etag_ok
-        |FROM objects ORDER BY key""".stripMargin, O.objects))
+        |FROM objects ORDER BY key""".stripMargin, O.objects),
+
+    "q_dedup_exact" -> O.withCtes(
+      """SELECT doc_id, md5(norm) AS fingerprint,
+        |  count(*) OVER (PARTITION BY md5(norm)) AS cluster_size,
+        |  (count(*) OVER (PARTITION BY md5(norm))) > 1 AS is_dup
+        |FROM doc_words ORDER BY doc_id""".stripMargin, O.docWords),
+
+    "q_dedup_minhash_lsh" -> O.withCtes(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+        |FROM minhash_bands a JOIN minhash_bands b
+        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      O.docWords, O.shingle2, O.shingleHash, O.minhashSigs, O.minhashBandsCte),
+
+    "q_dedup_simhash" -> O.withCtes(
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM ch a JOIN ch b
+        |  ON a.idx = b.idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+      O.docWords, O.simhashCte,
+      """ch AS (
+        |  SELECT doc_id, simhash, t.c AS idx,
+        |    (simhash >> (4 * t.c)) & 15 AS chunk_val
+        |  FROM simhash CROSS JOIN range(4) t(c)
+        |)""".stripMargin),
+
+    "q_dedup_ngram_jaccard" -> O.withCtes(
+      """SELECT doc_a, doc_b, inter_count,
+        |  na + nb - inter_count AS union_count,
+        |  inter_count * 1000 // (na + nb - inter_count) AS jacc_x1000
+        |FROM inter
+        |JOIN (SELECT doc_id, n AS na FROM sz) sa ON doc_a = sa.doc_id
+        |JOIN (SELECT doc_id, n AS nb FROM sz) sb ON doc_b = sb.doc_id
+        |WHERE inter_count * 1000 // (na + nb - inter_count) >= 100
+        |ORDER BY doc_a, doc_b""".stripMargin,
+      O.docWords, O.shingle2,
+      "bg AS (SELECT DISTINCT doc_id, source, lang, s FROM shingle2)",
+      "sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1)",
+      """inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_count
+        |  FROM bg a JOIN bg b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.s = b.s
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)""".stripMargin),
+
+    "q_ann_topk" -> O.withCtes(
+      s"""SELECT query_id, neighbor_id, rank, cos_x1e6 FROM (
+         |  SELECT query_id, neighbor_id, cos_x1e6,
+         |    row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos_x1e6 DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ${O.cosSql("list_sum([c.qv[i] * s.qv[i] for i in generate_series(1, 64)])", "c.nrm", "s.nrm")} AS cos_x1e6
+         |    FROM emb_n c JOIN emb_n s
+         |      ON s.vec_id % 25 = 0 AND c.vec_id <> s.vec_id))
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin, O.embQuant),
+
+    "q_ann_lsh" -> O.withCtes(
+      s"""SELECT query_id, neighbor_id, bucket, rank, cos_x1e6 FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1e6 DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |      b.bucket AS bucket,
+         |      ${O.cosSql("list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])", "a.nrm", "b.nrm")} AS cos_x1e6
+         |    FROM lsh_buckets a JOIN lsh_buckets b
+         |      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id))
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      O.embQuant, O.planes, O.lshBucketsCte),
+
+    "q_embed_neardup" -> O.withCtes(
+      s"""SELECT vec_a, vec_b, cos_x1e6 FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${O.cosSql("list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])", "a.nrm", "b.nrm")} AS cos_x1e6
+         |  FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id)
+         |WHERE cos_x1e6 >= 400000
+         |ORDER BY vec_a, vec_b""".stripMargin, O.embQuant),
+
+    "q_text_stats" ->
+      """SELECT doc_id, n_tokens, n_chars_obs, chars_match, non_space_chars,
+        |  CASE WHEN n_tokens > 0 THEN non_space_chars * 100 // n_tokens
+        |       ELSE 0 END AS avg_token_len_x100
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    length(text) AS n_chars_obs,
+        |    (length(text) = n_chars) AS chars_match,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS non_space_chars
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" -> O.withCtes(
+      s"""SELECT doc_id, n_tokens, n_stop, n_uniq, stop_x1000, uniq_x1000,
+         |  least(n_tokens, 100) * 10 + (1000 - stop_x1000) // 2
+         |    + uniq_x1000 // 4 AS quality_x1000
+         |FROM (
+         |  SELECT doc_id, n_tokens, n_stop, n_uniq,
+         |    n_stop * 1000 // n_tokens AS stop_x1000,
+         |    n_uniq * 1000 // n_tokens AS uniq_x1000
+         |  FROM (
+         |    SELECT doc_id, len(ws) AS n_tokens,
+         |      len(list_filter(ws, x -> x IN (${TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")}))) AS n_stop,
+         |      len(list_distinct(ws)) AS n_uniq
+         |    FROM doc_words))
+         |ORDER BY doc_id""".stripMargin, O.docWords),
+
+    "q_lang_id" -> langIdOracle,
+
+    "q_doc_fingerprint" -> O.withCtes(
+      """SELECT doc_id, fp60, list_min(shl) AS min_shingle_h,
+        |  list_max(shl) AS max_shingle_h
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp60,
+        |    [('0x' || substr(md5(x), 1, 15))::BIGINT
+        |     for x in [array_to_string(ws[i:i+1], ' ')
+        |               for i in generate_series(1, len(ws) - 1)]] AS shl
+        |  FROM doc_words)
+        |ORDER BY doc_id""".stripMargin, O.docWords),
+
+    "q_media_meta" -> O.withCtes(
+      """SELECT media_id, media_type,
+        |  octet_length(from_hex(payload_hex)) AS byte_len,
+        |  CAST(list_sum([('0x' || substr(payload_hex, i * 2 - 1, 2))::BIGINT
+        |                 for i in generate_series(1, 64)]) AS BIGINT) AS byte_sum,
+        |  width, height
+        |FROM media_assets ORDER BY media_id""".stripMargin, O.mediaAssets),
+
+    "q_daily_growth" -> O.withCtes(
+      """SELECT ts_ms // 86400000 AS day, event_type,
+        |  count(*) AS event_count,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM events_norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      O.eventsNorm),
+
+    "q_stream_hourly" -> O.withCtes(
+      """SELECT ts_ms // 3600000 * 3600000 AS hour_start_ms, event_type,
+        |  count(*) AS event_count,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events_norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      O.eventsNorm),
+
+    "q_sessionize" -> O.withCtes(
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM (
+        |  SELECT user_id, ts_ms, value,
+        |    CAST(sum(is_new) OVER (
+        |      PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts_ms, value,
+        |      CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+        |             OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+        |           THEN 1 ELSE 0 END AS is_new
+        |    FROM events_norm))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, O.eventsNorm))
+
+  /** Lang-ID oracle generated from the same marker constants as the Spark
+    * implementation (TextAnalysis.LangMarkers) so they cannot drift. */
+  private def langIdOracle: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      val occ = markers.map { m =>
+        s"(length(padded) - length(replace(padded, '$m', ''))) // ${m.length}"
+      }.mkString(" + ")
+      s"$occ AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$r")
+      val restMax = if (rest.size == 1) rest.head
+                    else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $restMax THEN '$l'"
+    }.mkString("\n      ")
+    val sCols = langs.map("s_" + _).mkString(", ")
+    O.withCtes(
+      s"""SELECT doc_id, $sCols, lang,
+         |  CASE $cases
+         |      ELSE '${langs.last}' END AS predicted_lang,
+         |  (CASE $cases
+         |      ELSE '${langs.last}' END) = lang AS is_match
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM (SELECT doc_id, lang, ' ' || norm || ' ' AS padded FROM doc_words))
+         |ORDER BY doc_id""".stripMargin, O.docWords)
+  }
 }

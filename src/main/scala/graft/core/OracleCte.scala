@@ -144,6 +144,136 @@ object OracleCte {
       |  WHERE l_orderkey % 50 = 0 AND l_linenumber % 6 <> 0
       |)""".stripMargin
 
+  // ---- LLM-pipeline mirrors (documents / embeddings / events / media) ----
+
+  /** Normalized text + word list (mirror of Dedup.withWords / TextFns). */
+  val docWords: String =
+    """doc_words AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Word-bigram shingles (mirror of TextFns.shingleExpr(n=2)). */
+  val shingle2: String =
+    """shingle2 AS (
+      |  SELECT doc_id, source, lang,
+      |    unnest([array_to_string(ws[i:i+1], ' ')
+      |            for i in generate_series(1, len(ws) - 1)]) AS s
+      |  FROM doc_words WHERE len(ws) >= 2
+      |)""".stripMargin
+
+  /** Shingle hashes reduced mod P (mirror of Dedup.shingleHashes). */
+  val shingleHash: String =
+    s"""shingle_hash AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(s), 1, 15))::BIGINT % ${graft.functions.TextFns.P} AS hmod
+       |  FROM shingle2
+       |)""".stripMargin
+
+  /** MinHash signatures: k=16 permutation minima (mirror of
+    * Dedup.minhashSignatures — same (a,b,P) family). */
+  val minhashSigs: String = {
+    import graft.functions.TextFns.{P, permA, permB}
+    val mins = (0 until 16)
+      .map(i => s"min((${permA(i)} * hmod + ${permB(i)}) % $P) AS mh$i")
+      .mkString(",\n    ")
+    s"""minhash_sigs AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM shingle_hash GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** LSH bands: 4 bands × 4 rows (mirror of Dedup.minhashBands). */
+  val minhashBandsCte: String = {
+    val selects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"mh${4 * j + r}")
+      s"SELECT doc_id, $j AS band, md5(${cols.mkString(" || ',' || ")}) AS sig FROM minhash_sigs"
+    }
+    s"""minhash_bands AS (
+       |  ${selects.mkString("\n  UNION ALL\n  ")}
+       |)""".stripMargin
+  }
+
+  /** 16-bit SimHash per doc (mirror of Dedup.simhash). */
+  val simhashCte: String = {
+    val sums = (0 until 16)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n      ")
+    val simExpr = (0 until 16)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""simhash AS (
+       |  SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM (
+       |    SELECT doc_id,
+       |      $sums
+       |    FROM (
+       |      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+       |      FROM (SELECT doc_id, unnest(ws) AS t FROM doc_words))
+       |    GROUP BY doc_id)
+       |)""".stripMargin
+  }
+
+  /** Quantized embeddings + integer norms (mirror of Similarity.quantized). */
+  val embQuant: String =
+    """emb_n AS (
+      |  SELECT vec_id, label, qv,
+      |    CAST(list_sum([x * x for x in qv]) AS BIGINT) AS nrm
+      |  FROM (
+      |    SELECT vec_id, label,
+      |      [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS qv
+      |    FROM embeddings)
+      |)""".stripMargin
+
+  /** Deterministic hyperplanes (mirror of Similarity.hyperplanes(4, 64)). */
+  val planes: String =
+    """planes AS (
+      |  SELECT p.p, d.d,
+      |    ('0x' || substr(md5(p.p || '_' || d.d), 1, 8))::BIGINT % 2001 - 1000 AS w
+      |  FROM range(4) p(p) CROSS JOIN range(64) d(d)
+      |)""".stripMargin
+
+  /** LSH sign-buckets (mirror of Similarity.lshBuckets). */
+  val lshBucketsCte: String =
+    """lsh_buckets AS (
+      |  SELECT n.vec_id, n.qv, n.nrm, b.bucket FROM emb_n n JOIN (
+      |    SELECT vec_id,
+      |      CAST(sum(CASE WHEN sp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+      |    FROM (
+      |      SELECT n.vec_id, pl.p, CAST(sum(pl.w * n.qv[pl.d + 1]) AS BIGINT) AS sp
+      |      FROM emb_n n CROSS JOIN planes pl
+      |      GROUP BY n.vec_id, pl.p)
+      |    GROUP BY vec_id) b USING (vec_id)
+      |)""".stripMargin
+
+  /** Engine-identical integer cosine (see Similarity.cosExpr). */
+  def cosSql(dot: String, na: String, nb: String): String =
+    s"CAST(floor(CAST($dot AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) * 1000000) AS BIGINT)"
+
+  /** events with epoch-ms (mirror of Tables.events ts_ms). */
+  val eventsNorm: String =
+    """events_norm AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_ms(ts) AS ts_ms
+      |  FROM events
+      |)""".stripMargin
+
+  /** media_assets (mirror of Tables.mediaAssets; payload as hex twin). */
+  val mediaAssets: String =
+    """media_assets AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    md5(text) || md5(text || '#1') || md5(text || '#2') || md5(text || '#3') AS payload_hex,
+      |    CAST(16 + doc_id % 64 AS INT) AS width,
+      |    CAST(16 + doc_id % 48 AS INT) AS height,
+      |    source
+      |  FROM documents
+      |)""".stripMargin
+
   /** Compose a query over a chain of CTEs (dependencies first). */
   def withCtes(sql: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + sql

@@ -215,6 +215,35 @@ object Tables {
     raw(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     raw(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame =
+
+  /** events carries nanosecond parquet timestamps, which Spark's reader
+    * rejects; read them as raw INT64 nanos and derive epoch-ms — matching
+    * DuckDB's epoch_ms on the same column (both floor toward zero; values
+    * are all post-1970). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+  }
+
+  /**
+   * media_assets: multimodal rows synthesized from documents — an opaque
+   * binary payload (64 bytes derived from the text digest; real decode is
+   * stubbed, see [[graft.operators.Multimodal]]) plus typed metadata, the
+   * schema shape of an image/audio/video column at 100 TB.
+   */
+  def mediaAssets(spark: SparkSession, dir: String): DataFrame = {
+    val hex = concat(md5(col("text")), md5(concat(col("text"), lit("#1"))),
+      md5(concat(col("text"), lit("#2"))), md5(concat(col("text"), lit("#3"))))
+    documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, lit("image"))
+        .when(col("doc_id") % 3 === 1, lit("audio"))
+        .otherwise(lit("video")).as("media_type"),
+      unhex(hex).as("payload"),
+      hex.as("payload_hex"),
+      (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+      (lit(16) + col("doc_id") % 48).cast("int").as("height"),
+      col("source"))
+  }
 }

@@ -139,10 +139,11 @@ object Aggregates {
 
   /** Cluster-growth-style daily time series from the events table — ref
     * UtilizationSchemaDefinition.java:75-88 (cluster_growth_daily). Value
-    * sums use integer cents (floor(value*100)) for cross-engine parity. */
+    * sums use integer cents (floor(value*100)) for cross-engine parity;
+    * `ts_ms` comes pre-derived from the INT64-nanos column (Tables.events). */
   def dailyGrowth(events: DataFrame): DataFrame =
     events
-      .withColumn("day", (unix_millis(col("ts")) / 86400000L).cast("long"))
+      .withColumn("day", expr("ts_ms DIV 86400000"))
       .withColumn("cents", floor(col("value") * 100).cast("long"))
       .groupBy("day", "event_type")
       .agg(

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/**
+ * Document deduplication family for large-scale training-data pipelines:
+ * exact (hash groupBy), MinHash+LSH (shingle → k-perm signature → banded
+ * bucket join), SimHash (bit-vote fingerprint + pigeonhole chunk join), and
+ * exact n-gram Jaccard within candidate buckets.
+ *
+ * Scale design (the whole point of these shapes):
+ *   - Exact dedup: one shuffle on a 16-byte fingerprint, never on the text.
+ *   - MinHash+LSH: candidate generation is a self-join on (band, signature)
+ *     — cost ∝ Σ bucket², never n². Signature build is a single groupBy with
+ *     k min-aggregates (map-side partial min), no per-row state.
+ *   - SimHash: hamming-≤h pairs found by pigeonhole over bit chunks — at
+ *     most `chunks` shuffles of (chunk_val) keys; never all-pairs.
+ *   - n-gram Jaccard: exact verification restricted to (source, lang)
+ *     candidate buckets (in production: to LSH candidates) — the classic
+ *     candidate-then-verify topology.
+ * All arithmetic is integer (mod-prime perms, bit ops, x1000 ratios) so the
+ * DuckDB oracle matches bit-for-bit.
+ */
+object Dedup {
+
+  val NumPerms = 16
+  val NumBands = 4 // 4 rows per band
+
+  /** doc_id + normalized text + word array. */
+  private def withWords(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", normText(col("text")))
+      .withColumn("ws", split(col("norm"), " "))
+
+  /** Exact dedup: md5 fingerprint of normalized text; cluster size via a
+    * window over the fingerprint (one shuffle on the 16-byte hash). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    withWords(docs)
+      .withColumn("fingerprint", md5(col("norm")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("fingerprint")))
+      .withColumn("is_dup", col("cluster_size") > 1)
+      .select("doc_id", "fingerprint", "cluster_size", "is_dup")
+      .orderBy("doc_id")
+
+  /** Word-bigram shingles, hashed and pre-reduced mod P. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    withWords(docs)
+      .filter(size(col("ws")) >= 2)
+      .withColumn("s", explode(shingleExpr("ws", 2)))
+      .withColumn("hmod", tokenHash60("s") % P)
+
+  /** MinHash signatures: k=16 permutation minima per doc — a single groupBy
+    * with 16 min() aggregates (map-side combinable). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val mins = (0 until NumPerms).map { i =>
+      min(expr(s"(${permA(i)} * hmod + ${permB(i)}) % $P")).as(s"mh$i")
+    }
+    shingleHashes(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Long-format LSH bands: (doc_id, band, sig=md5 of 4 signature minima). */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { j =>
+      struct(
+        lit(j).as("band"),
+        md5(concat_ws(",",
+          (0 until 4).map(r => col(s"mh${4 * j + r}")): _*)).as("sig"))
+    }
+    minhashSignatures(docs)
+      .withColumn("bs", explode(array(bandStructs: _*)))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing ≥1 band bucket, with the number of
+    * shared bands (the LSH score). Self-join on (band, sig) — never n². */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val b = minhashBands(docs)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash: per-bit vote over (repeated) unigram token hashes.
+    * Production variant uses 64 bits — identical pipeline, wider shifts. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val sums = (0 until 16).map { j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$j")
+    }
+    val simExpr = (0 until 16)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    withWords(docs)
+      .withColumn("t", explode(col("ws")))
+      .withColumn("h", tokenHash60("t"))
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("simhash", expr(s"CAST($simExpr AS BIGINT)"))
+      .select("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, found via pigeonhole:
+    * split 16 bits into 4 chunks — any pair within hamming 3 shares a chunk;
+    * join per chunk, then verify with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("idx"),
+        expr(s"shiftright(simhash, ${4 * c}) & 15").as("chunk_val"))
+    }
+    val ch = sh
+      .withColumn("cs", explode(array(chunkStructs: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("cs.idx").as("idx"), col("cs.chunk_val").as("chunk_val"))
+    ch.as("a").join(ch.as("b"),
+        col("a.idx") === col("b.idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram (word-bigram) Jaccard over candidate buckets
+    * (source, lang): |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|∩|,
+    * emitted as an integer x1000 ratio. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccardX1000: Long = 100): DataFrame = {
+    val bg = withWords(docs)
+      .filter(size(col("ws")) >= 2)
+      .withColumn("s", explode(shingleExpr("ws", 2)))
+      .select("doc_id", "source", "lang", "s")
+      .distinct()
+    val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = bg.as("a").join(bg.as("b"),
+        col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_count"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("union_count", col("na") + col("nb") - col("inter_count"))
+      .withColumn("jacc_x1000", expr("inter_count * 1000 DIV union_count"))
+      .filter(col("jacc_x1000") >= minJaccardX1000)
+      .select("doc_a", "doc_b", "inter_count", "union_count", "jacc_x1000")
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/**
+ * Text analysis for training-data pipelines over the `documents` table:
+ * token counting (regex tokenizer), quality scoring (length / stopword /
+ * vocabulary-diversity ratios), marker-based language identification, and
+ * document fingerprinting (content hash + shingle extrema).
+ *
+ * Scale design: all four are pure per-row expression pipelines (projection
+ * only, no shuffle except the final presentation sort) — they stream through
+ * WholeStageCodegen at scan speed, and at 100 TB they parallelize per
+ * parquet row-group with full column pruning (only `text` + ids read).
+ * Integer-only outputs (x1000 ratios) keep the DuckDB oracle bit-identical.
+ */
+object TextAnalysis {
+
+  val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Per-language marker substrings (padded with spaces, matched against the
+    * space-padded normalized text) — a tiny, deterministic stand-in for a
+    * char-n-gram language profile. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die "),
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " los ", " de "),
+    "fr" -> Seq(" le ", " les ", " des "),
+    "zh" -> Seq(" de ", " shi ", " le "))
+
+  /** Token / char statistics. Oracle: len(regexp_extract_all(text,'\S+')),
+    * length(regexp_replace(text,'\s','','g')). */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", expr("size(regexp_extract_all(text, '\\\\S+', 0))"))
+      .withColumn("n_chars_obs", length(col("text")))
+      .withColumn("chars_match", length(col("text")) === col("n_chars"))
+      .withColumn("non_space_chars",
+        length(regexp_replace(col("text"), "\\s", "")))
+      .withColumn("avg_token_len_x100",
+        expr("CASE WHEN n_tokens > 0 THEN non_space_chars * 100 DIV n_tokens ELSE 0 END"))
+      .select("doc_id", "n_tokens", "n_chars_obs", "chars_match",
+        "non_space_chars", "avg_token_len_x100")
+      .orderBy("doc_id")
+
+  /** Quality score: integer blend of length, stopword ratio and vocabulary
+    * diversity — the shape of a production quality filter, deterministic. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    docs
+      .withColumn("ws", split(normText(col("text")), " "))
+      .withColumn("n_tokens", size(col("ws")))
+      .withColumn("n_stop", expr(s"size(filter(ws, x -> x IN ($stopList)))"))
+      .withColumn("n_uniq", size(array_distinct(col("ws"))))
+      .withColumn("stop_x1000", expr("n_stop * 1000 DIV n_tokens"))
+      .withColumn("uniq_x1000", expr("n_uniq * 1000 DIV n_tokens"))
+      .withColumn("quality_x1000",
+        expr("least(n_tokens, 100) * 10 + (1000 - stop_x1000) DIV 2 + uniq_x1000 DIV 4"))
+      .select("doc_id", "n_tokens", "n_stop", "n_uniq", "stop_x1000",
+        "uniq_x1000", "quality_x1000")
+      .orderBy("doc_id")
+  }
+
+  /** Marker-occurrence language ID: per-language integer scores via
+    * occurrence counting (length delta / marker length), argmax with a fixed
+    * priority order. Emits scores + prediction + agreement with the label. */
+  def langId(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("padded",
+      concat(lit(" "), normText(col("text")), lit(" ")))
+    val scored = LangMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      val occ = markers.map { m =>
+        s"(length(padded) - length(replace(padded, '$m', ''))) DIV ${m.length}"
+      }.mkString(" + ")
+      df.withColumn(s"s_$lang", expr(occ))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), acc) =>
+        val rest = langs.drop(i + 1).map(r => s"s_$r")
+        val restMax = if (rest.size == 1) rest.head
+                      else s"greatest(${rest.mkString(", ")})"
+        when(expr(s"s_$l >= $restMax"), lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("predicted_lang", pred)
+      .withColumn("is_match", col("predicted_lang") === col("lang"))
+      .select((Seq("doc_id") ++ langs.map("s_" + _) ++
+        Seq("lang", "predicted_lang", "is_match")).map(col): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: 60-bit content hash of the normalized text plus
+    * min/max word-bigram shingle hashes (winnowing-style extrema). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", normText(col("text")))
+      .withColumn("ws", split(col("norm"), " "))
+      .withColumn("fp60", tokenHash60("norm"))
+      .withColumn("sh",
+        expr("transform(transform(sequence(0, size(ws) - 2), " +
+          "i -> array_join(slice(ws, i + 1, 2), ' ')), " +
+          "s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("min_shingle_h", array_min(col("sh")))
+      .withColumn("max_shingle_h", array_max(col("sh")))
+      .select("doc_id", "fp60", "min_shingle_h", "max_shingle_h")
+      .orderBy("doc_id")
+}
