@@ -207,8 +207,8 @@ object SparkEntry {
     "q_quota_usage" -> O.withCtes(
       """SELECT volume, bucket, used_bytes, quota_bytes, used_namespace,
         |  (quota_bytes <> -1 AND used_bytes > quota_bytes) AS over_quota,
-        |  CASE WHEN quota_bytes > 0 THEN used_bytes * 10000 // quota_bytes
-        |       ELSE -1 END AS usage_pct_x100
+        |  CAST(CASE WHEN quota_bytes > 0 THEN used_bytes * 10000 // quota_bytes
+        |       ELSE -1 END AS BIGINT) AS usage_pct_x100
         |FROM buckets ORDER BY volume, bucket""".stripMargin,
       O.objects, O.buckets),
 

@@ -48,8 +48,8 @@ object OracleCte {
       |    CASE WHEN bucket_idx % 2 = 0 THEN 'OBS' ELSE 'FSO' END AS layout
       |  FROM (
       |    SELECT volume, bucket,
-      |      SUM(data_size) AS used_bytes,
-      |      COUNT(*) AS used_namespace,
+      |      CAST(SUM(data_size) AS BIGINT) AS used_bytes,
+      |      CAST(COUNT(*) AS BIGINT) AS used_namespace,
       |      CAST(substr(bucket, 7, 10) AS BIGINT) AS bucket_idx
       |    FROM objects GROUP BY volume, bucket
       |  )
@@ -57,10 +57,10 @@ object OracleCte {
 
   val volumes: String =
     """volumes AS (
-      |  SELECT volume, SUM(used_bytes) AS used_bytes,
-      |    SUM(used_namespace) AS used_namespace,
-      |    COUNT(*) AS bucket_count,
-      |    1000000000000 AS quota_bytes,
+      |  SELECT volume, CAST(SUM(used_bytes) AS BIGINT) AS used_bytes,
+      |    CAST(SUM(used_namespace) AS BIGINT) AS used_namespace,
+      |    CAST(COUNT(*) AS BIGINT) AS bucket_count,
+      |    CAST(1000000000000 AS BIGINT) AS quota_bytes,
       |    'admin' || substr(volume, 4, 10) AS owner
       |  FROM buckets GROUP BY volume
       |)""".stripMargin
