@@ -88,7 +88,7 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(T.documents(s, d))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, T.embeddings(s, d))),
-    "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(T.embeddings(s, d))),
+    "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, T.embeddings(s, d))),
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(T.documents(s, d))),
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(T.documents(s, d))),
@@ -155,14 +155,14 @@ object SparkEntry {
 
     "q_filesize_histogram" -> O.withCtes(
       """SELECT volume, bucket,
-        |  GREATEST((CAST(1 AS BIGINT) << CAST(ceil(log2(GREATEST(data_size, 1))) AS INT)), 1024) AS size_bin,
+        |  GREATEST((CAST(1 AS BIGINT) << (CASE WHEN data_size <= 1 THEN 0 ELSE length(bin(data_size - 1)) END)), 1024) AS size_bin,
         |  count(*) AS file_count
         |FROM objects
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, O.objects),
 
     "q_container_histogram" -> O.withCtes(
       """SELECT
-        |  GREATEST((CAST(1 AS BIGINT) << CAST(ceil(log2(GREATEST(used_bytes, 1))) AS INT)), 1048576) AS size_bin,
+        |  GREATEST((CAST(1 AS BIGINT) << (CASE WHEN used_bytes <= 1 THEN 0 ELSE length(bin(used_bytes - 1)) END)), 1048576) AS size_bin,
         |  count(*) AS container_count
         |FROM containers_scm
         |GROUP BY 1 ORDER BY 1""".stripMargin, O.containersScm),
@@ -382,18 +382,18 @@ object SparkEntry {
       O.docWords, O.shingle2, O.shingleHash, O.minhashSigs, O.minhashBandsCte),
 
     "q_dedup_simhash" -> O.withCtes(
-      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(max(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) AS hamming
         |FROM ch a JOIN ch b
         |  ON a.idx = b.idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        |ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.docWords, O.simhashCte,
-      """ch AS (
-        |  SELECT doc_id, simhash, t.c AS idx,
-        |    (simhash >> (4 * t.c)) & 15 AS chunk_val
-        |  FROM simhash CROSS JOIN range(4) t(c)
-        |)""".stripMargin),
+      s"""ch AS (
+         |  SELECT doc_id, simhash, t.c AS idx,
+         |    (simhash >> (${Dedup.ChunkBits} * t.c)) & ${(1 << Dedup.ChunkBits) - 1} AS chunk_val
+         |  FROM simhash CROSS JOIN range(4) t(c)
+         |)""".stripMargin),
 
     "q_dedup_ngram_jaccard" -> O.withCtes(
       """SELECT doc_a, doc_b, inter_count,
@@ -404,14 +404,20 @@ object SparkEntry {
         |JOIN (SELECT doc_id, n AS nb FROM sz) sb ON doc_b = sb.doc_id
         |WHERE inter_count * 1000 // (na + nb - inter_count) >= 100
         |ORDER BY doc_a, doc_b""".stripMargin,
-      O.docWords, O.shingle2,
-      "bg AS (SELECT DISTINCT doc_id, source, lang, s FROM shingle2)",
+      O.docWords, O.shingle2, O.shingleHash, O.minhashSigs, O.minhashBandsCte,
+      """cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM minhash_bands a JOIN minhash_bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)""".stripMargin,
+      "bg AS (SELECT DISTINCT doc_id, s FROM shingle2)",
       "sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1)",
       """inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_count
-        |  FROM bg a JOIN bg b
-        |    ON a.source = b.source AND a.lang = b.lang AND a.s = b.s
-        |   AND a.doc_id < b.doc_id
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+        |  FROM cand c
+        |  JOIN bg a ON c.doc_a = a.doc_id
+        |  JOIN bg b ON c.doc_b = b.doc_id AND a.s = b.s
         |  GROUP BY 1, 2
         |)""".stripMargin),
 
@@ -424,29 +430,26 @@ object SparkEntry {
          |    SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
          |      ${O.cosSql("list_sum([c.qv[i] * s.qv[i] for i in generate_series(1, 64)])", "c.nrm", "s.nrm")} AS cos_x1e6
          |    FROM emb_n c JOIN emb_n s
-         |      ON s.vec_id % 25 = 0 AND c.vec_id <> s.vec_id))
+         |      ON s.vec_id < 20 AND c.vec_id <> s.vec_id))
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin, O.embQuant),
 
     "q_ann_lsh" -> O.withCtes(
-      s"""SELECT query_id, neighbor_id, bucket, rank, cos_x1e6 FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos_x1e6 DESC, neighbor_id) AS rank
-         |  FROM (
-         |    SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
-         |      b.bucket AS bucket,
-         |      ${O.cosSql("list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])", "a.nrm", "b.nrm")} AS cos_x1e6
-         |    FROM lsh_buckets a JOIN lsh_buckets b
-         |      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id))
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-      O.embQuant, O.planes, O.lshBucketsCte),
+      """SELECT query_id, neighbor_id, shared_bands, rank, cos_x1e6 FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_x1e6 DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT vec_a AS query_id, vec_b AS neighbor_id, shared_bands, cos_x1e6
+        |    FROM cand_cos
+        |    UNION ALL
+        |    SELECT vec_b, vec_a, shared_bands, cos_x1e6 FROM cand_cos))
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      O.embQuant, O.planes, O.lshBandsCte, O.lshCandCte, O.candCosCte),
 
     "q_embed_neardup" -> O.withCtes(
-      s"""SELECT vec_a, vec_b, cos_x1e6 FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${O.cosSql("list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])", "a.nrm", "b.nrm")} AS cos_x1e6
-         |  FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id)
-         |WHERE cos_x1e6 >= 400000
-         |ORDER BY vec_a, vec_b""".stripMargin, O.embQuant),
+      """SELECT vec_a, vec_b, cos_x1e6 FROM cand_cos
+        |WHERE cos_x1e6 >= 400000
+        |ORDER BY vec_a, vec_b""".stripMargin,
+      O.embQuant, O.planes, O.lshBandsCte, O.lshCandCte, O.candCosCte),
 
     "q_text_stats" ->
       """SELECT doc_id, n_tokens, n_chars_obs, chars_match, non_space_chars,
@@ -479,8 +482,8 @@ object SparkEntry {
     "q_lang_id" -> langIdOracle,
 
     "q_doc_fingerprint" -> O.withCtes(
-      """SELECT doc_id, fp60, list_min(shl) AS min_shingle_h,
-        |  list_max(shl) AS max_shingle_h
+      """SELECT doc_id, fp60, coalesce(list_min(shl), -1) AS min_shingle_h,
+        |  coalesce(list_max(shl), -1) AS max_shingle_h
         |FROM (
         |  SELECT doc_id,
         |    ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp60,

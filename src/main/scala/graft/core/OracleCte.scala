@@ -197,12 +197,12 @@ object OracleCte {
        |)""".stripMargin
   }
 
-  /** 16-bit SimHash per doc (mirror of Dedup.simhash). */
+  /** 60-bit SimHash per doc (mirror of Dedup.simhash). */
   val simhashCte: String = {
-    val sums = (0 until 16)
+    val sums = (0 until graft.operators.Dedup.SimhashBits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n      ")
-    val simExpr = (0 until 16)
+    val simExpr = (0 until graft.operators.Dedup.SimhashBits)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     s"""simhash AS (
@@ -227,26 +227,46 @@ object OracleCte {
       |    FROM embeddings)
       |)""".stripMargin
 
-  /** Deterministic hyperplanes (mirror of Similarity.hyperplanes(4, 64)). */
+  /** Deterministic hyperplanes (mirror of Similarity.hyperplanes(16, 64)). */
   val planes: String =
-    """planes AS (
-      |  SELECT p.p, d.d,
-      |    ('0x' || substr(md5(p.p || '_' || d.d), 1, 8))::BIGINT % 2001 - 1000 AS w
-      |  FROM range(4) p(p) CROSS JOIN range(64) d(d)
+    s"""planes AS (
+       |  SELECT p.p, d.d,
+       |    ('0x' || substr(md5(p.p || '_' || d.d), 1, 8))::BIGINT % 2001 - 1000 AS w
+       |  FROM range(${graft.operators.Similarity.NumPlanes}) p(p) CROSS JOIN range(64) d(d)
+       |)""".stripMargin
+
+  /** Banded sign-LSH signatures (mirror of Similarity.lshBands). */
+  val lshBandsCte: String = {
+    val bb = graft.operators.Similarity.BandBits
+    s"""lsh_bands AS (
+       |  SELECT vec_id, CAST(p // $bb AS INT) AS band,
+       |    CAST(sum(CASE WHEN sp > 0 THEN (1 << CAST(p % $bb AS INT)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM (
+       |    SELECT n.vec_id, pl.p, CAST(sum(pl.w * n.qv[pl.d + 1]) AS BIGINT) AS sp
+       |    FROM emb_n n CROSS JOIN planes pl
+       |    GROUP BY n.vec_id, pl.p)
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** Undirected LSH candidate pairs (mirror of Similarity.lshCandidates). */
+  val lshCandCte: String =
+    """lsh_cand AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS shared_bands
+      |  FROM lsh_bands a JOIN lsh_bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
       |)""".stripMargin
 
-  /** LSH sign-buckets (mirror of Similarity.lshBuckets). */
-  val lshBucketsCte: String =
-    """lsh_buckets AS (
-      |  SELECT n.vec_id, n.qv, n.nrm, b.bucket FROM emb_n n JOIN (
-      |    SELECT vec_id,
-      |      CAST(sum(CASE WHEN sp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
-      |    FROM (
-      |      SELECT n.vec_id, pl.p, CAST(sum(pl.w * n.qv[pl.d + 1]) AS BIGINT) AS sp
-      |      FROM emb_n n CROSS JOIN planes pl
-      |      GROUP BY n.vec_id, pl.p)
-      |    GROUP BY vec_id) b USING (vec_id)
-      |)""".stripMargin
+  /** Candidates + exact integer cosine (mirror of Similarity.withCosine). */
+  val candCosCte: String =
+    s"""cand_cos AS (
+       |  SELECT c.vec_a, c.vec_b, c.shared_bands,
+       |    ${cosSql("list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])", "a.nrm", "b.nrm")} AS cos_x1e6
+       |  FROM lsh_cand c
+       |  JOIN emb_n a ON c.vec_a = a.vec_id
+       |  JOIN emb_n b ON c.vec_b = b.vec_id
+       |)""".stripMargin
 
   /** Engine-identical integer cosine (see Similarity.cosExpr). */
   def cosSql(dot: String, na: String, nb: String): String =

@@ -219,12 +219,11 @@ object Tables {
   /** events carries nanosecond parquet timestamps, which Spark's reader
     * rejects; read them as raw INT64 nanos and derive epoch-ms — matching
     * DuckDB's epoch_ms on the same column (both floor toward zero; values
-    * are all post-1970). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * are all post-1970). Requires spark.sql.legacy.parquet.nanosAsLong=true,
+    * set at session construction (see GraftSession) — not mutated here. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     raw(spark, dir, "events")
       .withColumn("ts_ms", expr("ts DIV 1000000"))
-  }
 
   /**
    * media_assets: multimodal rows synthesized from documents — an opaque

@@ -22,11 +22,14 @@ object Aggregates {
 
   /** Log₂ size bin upper bound: 41 bins, 1 KB → 1 PB
     * (ref ReconUtils.getFileSizeUpperBound, ReconConstants.java:82-89).
-    * Computed as an integer shift (1 << ceil(log2 x)) — never a double cast,
-    * whose truncate-vs-round semantics differ across engines. */
+    * Pure integer arithmetic: ceil(log2 x) = bit-length of (x-1), taken as
+    * length(bin(x-1)) — float log2 is an ln-ratio whose rounding lands
+    * fractionally above the integer for some exact powers of two (JVM
+    * log2(2^29) = 29.000000000000004), so a float path is off-by-one-bin
+    * on exactly the bin boundaries. */
   def pow2Bin(sizeCol: String, minBin: Long): Column =
     expr(s"greatest(shiftleft(CAST(1 AS BIGINT), " +
-      s"CAST(ceil(log2(greatest($sizeCol, 1))) AS INT)), ${minBin}L)")
+      s"CASE WHEN $sizeCol <= 1 THEN 0 ELSE length(bin($sizeCol - 1)) END), ${minBin}L)")
 
   /** File-size histogram per (volume, bucket, bin) — ref
     * FileSizeCountTaskHelper.java:51-77. */

@@ -87,14 +87,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 16-bit SimHash: per-bit vote over (repeated) unigram token hashes.
-    * Production variant uses 64 bits — identical pipeline, wider shifts. */
+  val SimhashBits = 60  // full width of the md5-derived token hash
+  val ChunkBits = 15    // 4 chunks × 15 bits; 2^15 bucket values per chunk
+
+  /** 60-bit SimHash: per-bit vote over (repeated) unigram token hashes —
+    * one groupBy with 60 map-side-combinable sum aggregates. */
   def simhash(docs: DataFrame): DataFrame = {
-    val sums = (0 until 16).map { j =>
+    val sums = (0 until SimhashBits).map { j =>
       sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
         .as(s"s$j")
     }
-    val simExpr = (0 until 16)
+    val simExpr = (0 until SimhashBits)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     withWords(docs)
@@ -107,13 +110,16 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, found via pigeonhole:
-    * split 16 bits into 4 chunks — any pair within hamming 3 shares a chunk;
-    * join per chunk, then verify with bit_count(xor). */
+    * split 60 bits into 4 chunks of 15 — any pair within hamming 3 agrees on
+    * a full chunk; join per chunk (2^15 bucket values ⇒ bucket sizes ~n/32k,
+    * never the n²/16 of narrow chunks), dedup pairs with a groupBy, verify
+    * with bit_count(xor). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs)
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("idx"),
-        expr(s"shiftright(simhash, ${4 * c}) & 15").as("chunk_val"))
+        expr(s"shiftright(simhash, ${ChunkBits * c}) & ${(1 << ChunkBits) - 1}")
+          .as("chunk_val"))
     }
     val ch = sh
       .withColumn("cs", explode(array(chunkStructs: _*)))
@@ -126,25 +132,30 @@ object Dedup {
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .groupBy("doc_a", "doc_b")
+      .agg(max("hamming").as("hamming")) // identical per pair; groupBy dedups
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram (word-bigram) Jaccard over candidate buckets
-    * (source, lang): |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|∩|,
-    * emitted as an integer x1000 ratio. */
+  /** Exact n-gram (word-bigram) Jaccard verification over MinHash-LSH
+    * candidate pairs — the candidates-then-verify topology: |A∩B| via a
+    * candidate-mediated shingle equi-join (touches only candidate docs),
+    * |A∪B| = |A|+|B|-|∩|, emitted as an integer x1000 ratio. Cost is
+    * linear in corpus (shingle sets) + Σ candidate work — never quadratic
+    * within a partition-key bucket. */
   def ngramJaccardPairs(docs: DataFrame, minJaccardX1000: Long = 100): DataFrame = {
+    val cands = minhashLshPairs(docs).select("doc_a", "doc_b")
     val bg = withWords(docs)
       .filter(size(col("ws")) >= 2)
       .withColumn("s", explode(shingleExpr("ws", 2)))
-      .select("doc_id", "source", "lang", "s")
+      .select("doc_id", "s")
       .distinct()
     val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = bg.as("a").join(bg.as("b"),
-        col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = cands
+      .join(bg.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(bg.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter_count"))
     inter
       .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")

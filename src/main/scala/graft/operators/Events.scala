@@ -5,10 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Event-stream analytics over the events table (the batch duals of the
- * Structured Streaming pipelines in [[graft.streaming.ChangeStream]]; the
- * reference's analog is Recon's incremental aggregation over the OM change
- * stream, OMDBUpdatesHandler.java:71-99 + OmTableInsightTask.java).
+ * Event-stream analytics over the events table (batch duals of streaming
+ * windowed aggregation; the reference's analog is Recon's incremental
+ * aggregation over the OM change stream, OMDBUpdatesHandler.java:71-99 +
+ * OmTableInsightTask.java — see graft.streaming for the incremental layer).
  *
  * Scale design: tumbling windows are a single groupBy on (window, type) —
  * map-side combinable; sessionization is one shuffle on user_id followed by

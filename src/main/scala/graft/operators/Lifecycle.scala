@@ -133,10 +133,11 @@ object Lifecycle {
         "last_chunk", "content_range")
       .orderBy("key", "data_size")
 
-  /** Integrity columns: sha256 + md5 over key identity (the container
+  /** Integrity columns: sha256 + md5 + crc32 over key identity (the container
     * scanner's checksum verification shape —
     * BackgroundContainerDataScanner.java:33-103). CRC32 exists in Spark but
-    * not DuckDB, so the oracle covers md5/sha256; crc32 is spec-tested. */
+    * not DuckDB, so the oracle covers md5/sha256; crc32 parity against the
+    * JDK implementation is covered by ChecksumSpec in src/test. */
   def checksumColumns(objects: DataFrame): DataFrame =
     objects
       .select(
@@ -145,4 +146,9 @@ object Lifecycle {
         sha2(col("key").cast("binary"), 256).as("sha256_hex"),
         (md5(col("key")) === col("etag")).as("etag_ok"))
       .orderBy("key")
+
+  /** crc32 of a string column (Spark built-in; oracle-exempt — spec-tested
+    * against java.util.zip.CRC32). */
+  def crc32Of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    crc32(c.cast("binary"))
 }

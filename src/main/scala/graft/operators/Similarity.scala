@@ -37,13 +37,16 @@ object Similarity {
   private val cosExpr =
     "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nrm_a AS DOUBLE) * CAST(nrm_b AS DOUBLE)) * 1000000) AS BIGINT)"
 
-  /** Brute-force cosine top-k: every (vec_id % queryMod == 0) vector probes
-    * the full corpus. Queries are broadcast into the corpus scan. */
-  def annTopK(embeddings: DataFrame, queryMod: Int = 25, k: Int = 5): DataFrame = {
+  /** Brute-force cosine top-k for a BOUNDED query set (vec_id < numQueries):
+    * exact baseline, cost O(numQueries · corpus) — linear in the corpus for
+    * a fixed query batch, so it scales (unlike a query set that grows with
+    * the corpus, which degenerates to O(n²)). Queries are broadcast into
+    * the corpus scan; the corpus is never shuffled. */
+  def annTopK(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5): DataFrame = {
     val corpus = quantized(embeddings)
       .select(col("vec_id").as("neighbor_id"), col("qv").as("cv"), col("nrm").as("nrm_a"))
     val queries = quantized(embeddings)
-      .filter(col("vec_id") % queryMod === 0)
+      .filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("sv"), col("nrm").as("nrm_b"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_x1e6").desc, col("neighbor_id"))
@@ -57,6 +60,9 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  val NumPlanes = 16
+  val BandBits = 8 // 2 OR-ed hash tables of 8 sign bits ⇒ 256 buckets/band
+
   /** Deterministic random-hyperplane weights: numPlanes × dim, each weight
     * derived from an md5 prefix — reproducible in any engine, no RNG. */
   def hyperplanes(spark: SparkSession, numPlanes: Int, dim: Int): DataFrame =
@@ -65,48 +71,92 @@ object Similarity {
       .withColumn("w",
         expr("CAST(conv(substring(md5(concat(p, '_', d)), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"))
 
-  /** Sign-bucket of every vector under the hyperplane family: bucket =
-    * Σ_p (⟨w_p, v⟩ > 0 ? 1<<p : 0). The wide qv array never shuffles for
-    * the bucket computation — only (vec_id, p, partial sums) do; the
-    * buckets rejoin the quantized vectors by vec_id afterwards. */
-  def lshBuckets(embeddings: DataFrame, planes: DataFrame): DataFrame = {
-    val q = quantized(embeddings)
-    val buckets = q
+  /**
+   * Banded sign-LSH (the OR-of-ANDs / multi-hash-table construction): the 16
+   * hyperplane sign bits split into 2 bands of 8 bits; two vectors are
+   * candidates iff they agree on ALL bits of SOME band. Long format:
+   * (vec_id, band, sig).
+   *
+   * The wide qv array never shuffles for the signature computation — only
+   * (vec_id, plane, partial sum) triples do. At 100 TB the knobs are
+   * numPlanes/bandBits: per-band bucket count is 2^bandBits, so bandBits
+   * tunes to ~log2(n / targetBucketSize) and candidate cost stays
+   * Σ_band Σ_bucket sz² with bounded bucket sizes, never n².
+   */
+  def lshBands(embeddings: DataFrame, planes: DataFrame,
+               bandBits: Int = BandBits): DataFrame =
+    quantized(embeddings)
       .select(col("vec_id"), posexplode(col("qv")).as(Seq("d", "v")))
       .join(broadcast(planes), "d")
       .groupBy("vec_id", "p")
       .agg(sum(expr("w * v")).as("sp"))
-      .groupBy("vec_id")
+      .withColumn("band", expr(s"CAST(p DIV $bandBits AS INT)"))
+      .groupBy("vec_id", "band")
       .agg(
-        sum(expr("CASE WHEN sp > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE CAST(0 AS BIGINT) END"))
-          .as("bucket"))
-    q.join(buckets, "vec_id")
-  }
+        sum(expr(s"CASE WHEN sp > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p % $bandBits AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("sig"))
 
-  /** LSH-bucketed ANN: probe only same-bucket candidates — the 100 TB path
-    * (each bucket is an independent partition; no global pairwise join). */
+  /** Undirected candidate pairs from the banded join — ids only (narrow
+    * rows through the shuffle), deduped across bands with the band-match
+    * count kept as the LSH score. */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+
+  /** Attach exact integer cosine to candidate pairs: two id-equi-joins fetch
+    * the quantized vectors for only the candidate rows (linear shuffles). */
+  private def withCosine(cands: DataFrame, q: DataFrame): DataFrame =
+    cands
+      .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .withColumn("dot",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos_x1e6", expr(cosExpr))
+
+  /** LSH-bucketed ANN: rank same-band candidates per query by exact cosine —
+    * the 100 TB product surface (candidate generation is banded, verification
+    * touches only candidate pairs; no global pairwise join anywhere). */
   def annLsh(spark: SparkSession, embeddings: DataFrame,
-             numPlanes: Int = 4, k: Int = 3): DataFrame = {
-    val bk = lshBuckets(embeddings, hyperplanes(spark, numPlanes, 64))
+             numPlanes: Int = NumPlanes, k: Int = 3): DataFrame = {
+    val q = quantized(embeddings)
+    val cands = lshCandidates(lshBands(embeddings, hyperplanes(spark, numPlanes, 64)))
+    val scored = withCosine(cands, q)
+    val directed = scored
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"),
+        col("shared_bands"), col("cos_x1e6"))
+      .unionByName(scored.select(col("vec_b").as("query_id"),
+        col("vec_a").as("neighbor_id"), col("shared_bands"), col("cos_x1e6")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_x1e6").desc, col("neighbor_id"))
-    bk.as("a").join(bk.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(
-        col("b.vec_id").as("query_id"), col("a.vec_id").as("neighbor_id"),
-        col("b.bucket").as("bucket"),
-        expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
-        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
-      .withColumn("cos_x1e6", expr(cosExpr))
+    directed
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "bucket", "rank", "cos_x1e6")
+      .select("query_id", "neighbor_id", "shared_bands", "rank", "cos_x1e6")
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold (x1e6). Exact
-    * verification — at scale, feed LSH candidates instead of all pairs. */
-  def nearDupPairs(embeddings: DataFrame, minCosX1e6: Long = 400000): DataFrame = {
+  /** Embedding near-duplicate pairs: exact cosine ≥ threshold verified over
+    * LSH candidates only — the candidates-then-verify topology (recall is
+    * governed by the band parameters, cost by bucket sizes; never an
+    * all-pairs join). */
+  def nearDupPairs(spark: SparkSession, embeddings: DataFrame,
+                   minCosX1e6: Long = 400000): DataFrame = {
+    val cands = lshCandidates(
+      lshBands(embeddings, hyperplanes(spark, NumPlanes, 64)))
+    withCosine(cands, quantized(embeddings))
+      .filter(col("cos_x1e6") >= minCosX1e6)
+      .select("vec_a", "vec_b", "cos_x1e6")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** All-pairs exact near-dup (the O(n²) correctness oracle for
+    * [[nearDupPairs]]) — dev/spec use only, never the declared query. */
+  def nearDupPairsExact(embeddings: DataFrame, minCosX1e6: Long = 400000): DataFrame = {
     val n = quantized(embeddings)
     n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(

@@ -92,18 +92,24 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: 60-bit content hash of the normalized text plus
-    * min/max word-bigram shingle hashes (winnowing-style extrema). */
+    * min/max word-bigram shingle hashes (winnowing-style extrema). Docs with
+    * fewer than 2 words have no shingles — extrema emit as -1 (sequence(0,-1)
+    * would otherwise produce a descending range and slice(ws, 0, 2) throws;
+    * the oracle's empty list comprehension yields NULL extrema → coalesced
+    * to -1 on both sides so outputs stay NULL-free). */
   def fingerprint(docs: DataFrame): DataFrame =
     docs
       .withColumn("norm", normText(col("text")))
       .withColumn("ws", split(col("norm"), " "))
       .withColumn("fp60", tokenHash60("norm"))
       .withColumn("sh",
-        expr("transform(transform(sequence(0, size(ws) - 2), " +
+        expr("CASE WHEN size(ws) >= 2 THEN " +
+          "transform(transform(sequence(0, size(ws) - 2), " +
           "i -> array_join(slice(ws, i + 1, 2), ' ')), " +
-          "s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
-      .withColumn("min_shingle_h", array_min(col("sh")))
-      .withColumn("max_shingle_h", array_max(col("sh")))
+          "s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+      .withColumn("min_shingle_h", coalesce(array_min(col("sh")), lit(-1L)))
+      .withColumn("max_shingle_h", coalesce(array_max(col("sh")), lit(-1L)))
       .select("doc_id", "fp60", "min_shingle_h", "max_shingle_h")
       .orderBy("doc_id")
 }
