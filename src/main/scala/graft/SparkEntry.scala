@@ -98,7 +98,16 @@ object SparkEntry {
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(T.mediaAssets(s, d))),
     "q_daily_growth" -> ((s, d) => Aggregates.dailyGrowth(T.events(s, d))),
     "q_stream_hourly" -> ((s, d) => Events.hourlyCounts(T.events(s, d))),
-    "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))))
+    "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))),
+    // ---- incremental CDC-maintained views (SURVEY §2.9) ----
+    "q_stream_filesize" -> ((s, d) => {
+      val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objects(s, d), d)
+      graft.streaming.ChangeStream.fileSizeView(s, w)
+    }),
+    "q_stream_counts" -> ((s, d) => {
+      val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objects(s, d), d)
+      graft.streaming.ChangeStream.countsView(s, w)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q_list_keys" -> O.withCtes(
@@ -515,6 +524,22 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events_norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.eventsNorm),
+
+    // The CDC log replays PUT(every object) + DELETE(version % 7 == 0), so
+    // the net state the incrementally-maintained views must equal is
+    // `objects WHERE version % 7 <> 0` — the closed form the oracle checks.
+    "q_stream_filesize" -> O.withCtes(
+      """SELECT volume, bucket,
+        |  GREATEST((CAST(1 AS BIGINT) << (CASE WHEN data_size <= 1 THEN 0 ELSE length(bin(data_size - 1)) END)), 1024) AS size_bin,
+        |  count(*) AS file_count,
+        |  CAST(sum(data_size) AS BIGINT) AS total_size
+        |FROM objects WHERE version % 7 <> 0
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, O.objects),
+
+    "q_stream_counts" -> O.withCtes(
+      """SELECT 'keys' AS entity, count(*) AS cnt,
+        |  CAST(sum(data_size) AS BIGINT) AS total_bytes
+        |FROM objects WHERE version % 7 <> 0""".stripMargin, O.objects),
 
     "q_sessionize" -> O.withCtes(
       """SELECT user_id, session_id, count(*) AS n_events,

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/**
+ * Structured-Streaming incremental aggregate maintenance over the CDC log —
+ * the engine's Recon task layer (apache/ozone
+ * FileSizeCountTaskHelper.java:206-299 ±delta maintenance with batch flush,
+ * OmTableInsightTask.java global counts, ReconTaskSchemaDefinition.java:59
+ * last-applied-seq checkpoint).
+ *
+ * Design (Spark-first):
+ *   - source: parquet file stream over the seq#-ordered log, drained in
+ *     bounded micro-batches (`maxFilesPerTrigger` + Trigger.AvailableNow) —
+ *     the dual of Recon's event-buffer drain;
+ *   - each micro-batch folds to ±delta rows (PUT = +1/+size, DELETE =
+ *     -1/-size) and MERGEs into a parquet state table via
+ *     read-union-aggregate-swap. Deltas are commutative integers, so replay
+ *     order within a batch is irrelevant and cross-batch out-of-order
+ *     (a DELETE draining before its PUT) nets out correctly;
+ *   - exactly-once: Structured Streaming checkpoints the source offsets;
+ *     the state swap additionally records the last applied batchId and
+ *     skips re-application on recovery (idempotent MERGE) — the analog of
+ *     the reference's last-applied-seq# guard;
+ *   - reprocess: [[reprocessFileSize]] rebuilds the view from a full
+ *     snapshot in one batch aggregate (FileSizeCountTaskHelper.java:80-160)
+ *     and the stream resumes from its checkpoint.
+ *
+ * Scale: state merge cost is O(|state| + |delta|) per batch with a single
+ * shuffle on the view key — at 100 TB the state table is the (small)
+ * aggregate, never the raw namespace; the log itself is never re-read.
+ */
+object ChangeStream {
+
+  // ---- state table I/O: versioned swap directories with a batchId marker --
+
+  private def readState(spark: SparkSession, dir: String, schema: String): DataFrame = {
+    val cur = Paths.get(dir, "current")
+    if (Files.exists(cur))
+      spark.read.parquet(Files.readString(cur).trim)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  private def lastBatch(dir: String): Long = {
+    val p = Paths.get(dir, "last_batch")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  /** Atomically publish `next` as the new state for `batchId`: write to a
+    * versioned subdir, then flip the `current` pointer file. */
+  private def publish(next: DataFrame, dir: String, batchId: Long): Unit = {
+    val vdir = s"$dir/v$batchId"
+    next.write.mode("overwrite").parquet(vdir)
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, "current.tmp")
+    Files.writeString(tmp, vdir)
+    Files.move(tmp, Paths.get(dir, "current"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(Paths.get(dir, "last_batch"), batchId.toString)
+  }
+
+  val FileSizeSchema =
+    "volume STRING, bucket STRING, size_bin BIGINT, file_count BIGINT, total_size BIGINT"
+  val CountsSchema = "entity STRING, cnt BIGINT, total_bytes BIGINT"
+
+  /** ±delta fold of one event micro-batch for the file-size view
+    * (FileSizeCountTaskHelper.java:206-264: PUT +1, DELETE -1 per bin). */
+  def fileSizeDeltas(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("size_bin", graft.operators.Aggregates.pow2Bin("data_size", 1024L))
+      .withColumn("sgn", when(col("op") === "PUT", 1L).otherwise(-1L))
+      .groupBy("volume", "bucket", "size_bin")
+      .agg(sum(col("sgn")).as("file_count"),
+        sum(col("sgn") * col("data_size")).as("total_size"))
+
+  /** MERGE deltas into the state: union + re-aggregate on the view key,
+    * keeping zero/negative rows (transient out-of-order nets to 0). */
+  private def mergeFileSize(spark: SparkSession, stateDir: String,
+                            deltas: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastBatch(stateDir)) return // recovery replay: already applied
+    val next = readState(spark, stateDir, FileSizeSchema)
+      .unionByName(deltas)
+      .groupBy("volume", "bucket", "size_bin")
+      .agg(sum("file_count").as("file_count"), sum("total_size").as("total_size"))
+    publish(next, stateDir, batchId)
+  }
+
+  /** Global entity counts delta fold (OmTableInsightTask shape). */
+  def countsDeltas(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("sgn", when(col("op") === "PUT", 1L).otherwise(-1L))
+      .groupBy(lit("keys").as("entity"))
+      .agg(sum(col("sgn")).as("cnt"),
+        sum(col("sgn") * col("data_size")).as("total_bytes"))
+
+  private def mergeCounts(spark: SparkSession, stateDir: String,
+                          deltas: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastBatch(stateDir)) return
+    val next = readState(spark, stateDir, CountsSchema)
+      .unionByName(deltas)
+      .groupBy("entity")
+      .agg(sum("cnt").as("cnt"), sum("total_bytes").as("total_bytes"))
+    publish(next, stateDir, batchId)
+  }
+
+  /**
+   * Drain the whole CDC log through bounded micro-batches, maintaining both
+   * views incrementally; returns after the stream runs dry
+   * (Trigger.AvailableNow). Restart-safe: offsets live in `workDir/ckpt`,
+   * applied batchIds in each state dir.
+   */
+  def replay(spark: SparkSession, logDir: String, workDir: String,
+             filesPerBatch: Int = 2): Unit = {
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ChangeLog.Schema))
+      .option("maxFilesPerTrigger", filesPerBatch)
+      .parquet(logDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          mergeFileSize(spark, s"$workDir/state_filesize", fileSizeDeltas(b), batchId)
+          mergeCounts(spark, s"$workDir/state_counts", countsDeltas(b), batchId)
+        } finally b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the maintained file-size view (positive bins only — fully-deleted
+    * bins net to 0 and are not part of the logical view). */
+  def fileSizeView(spark: SparkSession, workDir: String): DataFrame =
+    readState(spark, s"$workDir/state_filesize", FileSizeSchema)
+      .filter(col("file_count") > 0)
+      .orderBy("volume", "bucket", "size_bin")
+
+  def countsView(spark: SparkSession, workDir: String): DataFrame =
+    readState(spark, s"$workDir/state_counts", CountsSchema)
+      .orderBy("entity")
+
+  /** Batch reprocess (bootstrap): rebuild the file-size view from a full
+    * net-state snapshot — FileSizeCountTaskHelper.java:80-160's reprocess. */
+  def reprocessFileSize(netObjects: DataFrame): DataFrame =
+    netObjects
+      .withColumn("size_bin", graft.operators.Aggregates.pow2Bin("data_size", 1024L))
+      .groupBy("volume", "bucket", "size_bin")
+      .agg(count(lit(1)).as("file_count"), sum("data_size").as("total_size"))
+      .orderBy("volume", "bucket", "size_bin")
+
+  // ---- one-shot replay per (JVM, source table dir): both maintained views
+  // come out of a single stream drain, so q_stream_* queries share the work.
+
+  private val replayed = scala.collection.mutable.Map.empty[String, String]
+
+  /** Synthesize the CDC log from `objects`, drain it through the stream once
+    * per JVM per sfDir, and return the work dir holding the state tables. */
+  def replayedWorkDir(spark: SparkSession, objects: DataFrame,
+                      sfDir: String): String = synchronized {
+    replayed.getOrElseUpdate(sfDir, {
+      val work = Files.createTempDirectory("graft_stream_").toString
+      ChangeLog.write(objects, s"$work/log", numFiles = 8)
+      replay(spark, s"$work/log", work, filesPerBatch = 2)
+      work
+    })
+  }
+}
