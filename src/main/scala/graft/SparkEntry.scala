@@ -13,9 +13,10 @@ import graft.operators._
  */
 object SparkEntry {
 
-  /** Flagship: listKeys page over the synthesized namespace (sf0.001). */
+  /** Flagship: listKeys page over the persisted key-sorted namespace
+    * (sf0.001) — partition-pruned to one (volume, bucket) directory. */
   def entry(spark: SparkSession): DataFrame =
-    Listing.listKeys(T.objects(spark, "/root/testdata/sf0.001"),
+    Listing.listKeys(T.objectsSorted(spark, "/root/testdata/sf0.001"),
       "vol1", "bucket3", "warehouse/N/", "", 100)
 
   // Lifecycle rule set used by q_lifecycle_expiry (epochs: 1998-01-01, 1997-01-01).
@@ -24,17 +25,19 @@ object SparkEntry {
     Lifecycle.LcRule("r2", "warehouse/A/", None, 852076800000L))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- listing family (SURVEY §2.1/2.2/2.6) ----
+    // ---- listing family (SURVEY §2.1/2.2/2.6) — reads the PERSISTED
+    // key-sorted namespace so bucket partition pruning + key range
+    // row-group skipping actually fire (see Tables.objectsSorted) ----
     "q_list_keys" -> ((s, d) =>
-      Listing.listKeys(T.objects(s, d), "vol1", "bucket3", "warehouse/N/",
+      Listing.listKeys(T.objectsSorted(s, d), "vol1", "bucket3", "warehouse/N/",
         "warehouse/N/2", 100)),
     "q_list_objects_v2" -> ((s, d) =>
-      Listing.listObjectsV2(T.objects(s, d), "vol0", "bucket0",
+      Listing.listObjectsV2(T.objectsSorted(s, d), "vol0", "bucket0",
         "warehouse/N/", "", 1000)),
     "q_list_status" -> ((s, d) =>
-      Listing.listStatus(T.objects(s, d), "vol2", "bucket5", "warehouse/R")),
+      Listing.listStatus(T.objectsSorted(s, d), "vol2", "bucket5", "warehouse/R")),
     "q_page_after" -> ((s, d) =>
-      Listing.pageAfter(T.objects(s, d), "vol3", "bucket7",
+      Listing.pageAfter(T.objectsSorted(s, d), "vol3", "bucket7",
         "warehouse/N/15", 50)),
     "q_list_buckets" -> ((s, d) =>
       Listing.listBuckets(T.buckets(s, d), "vol1", "bucket2", 5)),

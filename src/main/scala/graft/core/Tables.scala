@@ -66,6 +66,36 @@ object Tables {
       .withColumn("etag", md5(col("key")))
   }
 
+  // ---- persisted key-sorted namespace (the "RocksDB" of the engine) ----
+
+  private val warehouses = scala.collection.mutable.Map.empty[String, String]
+
+  /**
+   * The namespace as a PERSISTED key-sorted table: `objects` written once
+   * per (JVM, source dir) as parquet partitioned by (volume, bucket) and
+   * sorted by `key` within each file — the engine's analog of the
+   * reference's key-sorted RocksDB column family
+   * (OmMetadataManagerImpl.java:1144-1172 iterator.seek).
+   *
+   * Why this layout at 100 TB: every listing query scopes to
+   * volume = v AND bucket = b, which becomes a DIRECTORY partition filter
+   * (only that bucket's files are listed/read — true O(bucket) pruning),
+   * and the in-file key sort gives parquet row-group min/max stats that
+   * skip all ranges not overlapping the prefix/startKey range — together
+   * the O(page) "seek" the reference gets from RocksDB.
+   */
+  def objectsSorted(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val w = warehouses.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+      objects(spark, dir)
+        .repartition(col("volume"), col("bucket"))
+        .sortWithinPartitions("key")
+        .write.partitionBy("volume", "bucket").mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(w)
+  }
+
   /** buckets (ref OmBucketInfo.java:52-114): usage rollup + deterministic quotas. */
   def buckets(spark: SparkSession, dir: String): DataFrame = {
     objects(spark, dir)

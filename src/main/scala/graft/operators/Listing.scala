@@ -9,13 +9,30 @@ import org.apache.spark.sql.functions._
  * s3gateway BucketEndpoint.java:95-256 ListObjectsV2,
  * KeyManagerImpl.java:1979-2100 listStatus with fake-dir synthesis).
  *
- * Scale design: every listing is a prefix+range predicate over a key-sorted
- * table → parquet min/max file skipping prunes to the few files containing
- * the prefix; `ORDER BY key LIMIT n` compiles to TakeOrderedAndProject (no
+ * Scale design: every listing is a prefix+range predicate over the
+ * PERSISTED key-sorted namespace (Tables.objectsSorted: parquet partitioned
+ * by (volume, bucket), key-sorted within files) — the volume/bucket
+ * equality prunes to one directory partition and the sargable key range
+ * ([[Listing.prefixPred]]) skips non-overlapping parquet row groups via
+ * min/max stats, together the O(page) "seek" of the reference's RocksDB
+ * iterator. `ORDER BY key LIMIT n` compiles to TakeOrderedAndProject (no
  * global sort materialization). Pagination is keyset (`key > token`), never
  * OFFSET — constant cost per page at any table size.
  */
 object Listing {
+
+  /** Prefix predicate as a sargable range: startsWith(p) ⟺ p ≤ key < succ(p)
+    * where succ increments p's last char — an EXACT bound (every extension of
+    * p sorts below succ(p)), so parquet row-group min/max stats can skip
+    * non-overlapping ranges (the "seek" of OmMetadataManagerImpl.java:
+    * 1144-1172). startsWith is kept as a conjunct for its own pushdown. */
+  def prefixPred(c: Column, prefix: String): Column =
+    if (prefix.isEmpty) lit(true)
+    else if (prefix.last == Char.MaxValue) c.startsWith(prefix)
+    else {
+      val upper = prefix.init + (prefix.last + 1).toChar
+      c >= prefix && c < upper && c.startsWith(prefix)
+    }
 
   /**
    * listKeys(volume, bucket, prefix, startKey, maxKeys): ordered page of
@@ -27,7 +44,7 @@ object Listing {
                prefix: String, startKey: String, maxKeys: Int): DataFrame =
     objects
       .filter(col("volume") === volume && col("bucket") === bucket &&
-        col("key").startsWith(prefix) && col("key") > startKey)
+        prefixPred(col("key"), prefix) && col("key") > startKey)
       .select("key", "data_size", "replicated_size", "replication_type",
         "creation_time", "owner", "etag")
       // key alone is not unique in the synthetic namespace — extend the sort
@@ -46,7 +63,7 @@ object Listing {
     val p = prefix.length
     objects
       .filter(col("volume") === volume && col("bucket") === bucket &&
-        col("key").startsWith(prefix) && col("key") > startAfter)
+        prefixPred(col("key"), prefix) && col("key") > startAfter)
       .withColumn("rest", expr(s"substring(key, ${p + 1})"))
       .withColumn("slash", instr(col("rest"), "/"))
       .withColumn("entry",
@@ -74,7 +91,7 @@ object Listing {
     val p = prefix.length
     objects
       .filter(col("volume") === volume && col("bucket") === bucket &&
-        col("key").startsWith(prefix))
+        prefixPred(col("key"), prefix))
       .withColumn("rest", expr(s"substring(key, ${p + 1})"))
       .withColumn("slash", instr(col("rest"), "/"))
       .withColumn("child",

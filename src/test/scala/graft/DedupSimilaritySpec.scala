@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity invariants on tiny hand-built corpora. */
+class DedupSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+
+  test("exact dedup clusters identical normalized text") {
+    val d = docs(
+      1L -> "Hello   World", 2L -> "hello world", 3L -> "different text")
+    val r = rows(Dedup.exactDedup(d).select("doc_id", "cluster_size", "is_dup"))
+    assert(r === Seq(Seq(1L, 2L, true), Seq(2L, 2L, true), Seq(3L, 1L, false)))
+  }
+
+  test("identical docs share all MinHash-LSH bands; disjoint docs share none") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely unrelated words appear here now then")
+    val pairs = rows(Dedup.minhashLshPairs(d))
+    assert(pairs === Seq(Seq(1L, 2L, Dedup.NumBands.toLong)))
+  }
+
+  test("simhash of identical docs is identical; hamming-0 pairs survive the pigeonhole join") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight")
+    val sh = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    val pairs = rows(Dedup.simhashPairs(d))
+    assert(pairs === Seq(Seq(1L, 2L, 0)))
+  }
+
+  test("ngram Jaccard verifies MinHash candidates with exact x1000 ratios") {
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g h",
+      3L -> "z y x w v u t s")
+    val r = rows(Dedup.ngramJaccardPairs(d, minJaccardX1000 = 500))
+    assert(r === Seq(Seq(1L, 2L, 7L, 7L, 1000L)))
+  }
+
+  private def embs(rows: (Long, Seq[Float])*): org.apache.spark.sql.DataFrame =
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0L))
+
+  // 64-dim unit-ish vectors: v(i) has 1.0 at position i, small noise elsewhere.
+  private def basisVec(hot: Int, noise: Float = 0.01f): Seq[Float] =
+    (0 until 64).map(i => if (i == hot) 1.0f else noise)
+
+  test("LSH near-dup finds identical vectors (cos = 1e6) and skips orthogonal ones") {
+    val e = embs(
+      1L -> basisVec(0), 2L -> basisVec(0), // identical → all bands agree
+      3L -> basisVec(40, 0.0f))             // near-orthogonal to 1,2
+    val r = rows(Similarity.nearDupPairs(spark, e, minCosX1e6 = 900000))
+    // identical quantized vectors: dot = nrm exactly, all doubles < 2^53 ⇒
+    // cos computes to exactly 1.0 and floors to 1000000
+    assert(r === Seq(Seq(1L, 2L, 1000000L)))
+  }
+
+  test("LSH near-dup pairs are a subset of the exact all-pairs result") {
+    val e = embs((1L to 12L).map(i => i -> basisVec((i % 4).toInt, 0.02f)): _*)
+    val lsh = rows(Similarity.nearDupPairs(spark, e, 500000)).map(_.take(2)).toSet
+    val exact = rows(Similarity.nearDupPairsExact(e, 500000)).map(_.take(2)).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty) // identical-basis groups must collide in every band
+  }
+
+  test("brute-force top-k ranks the matching basis vector first") {
+    val e = embs(
+      0L -> basisVec(1), 5L -> basisVec(1), 6L -> basisVec(2), 7L -> basisVec(3))
+    val top = rows(Similarity.annTopK(e, numQueries = 1, k = 1))
+    assert(top.head(0) === 0L && top.head(1) === 5L) // query 0's best = its twin
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregates, Lifecycle}
+
+/** Scalar-function parity specs: crc32 vs the JDK, log₂ binning boundary
+  * exactness, ETag-of-ETags shape. */
+class FunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("crc32Of matches java.util.zip.CRC32 bit-for-bit") {
+    val inputs = Seq("", "a", "hello world", "warehouse/N/1/1.dat",
+      "the quick brown fox", "éü中文")
+    val got = inputs.toDF("s")
+      .select(col("s"), Lifecycle.crc32Of(col("s")).as("c"))
+      .as[(String, Long)].collect().toMap
+    inputs.foreach { s =>
+      val j = new java.util.zip.CRC32
+      j.update(s.getBytes("UTF-8"))
+      assert(got(s) === j.getValue, s"crc32('$s')")
+    }
+  }
+
+  test("pow2Bin is exact on power-of-two boundaries (incl. the float-log2 trap at 2^29)") {
+    val cases = Seq(
+      0L -> 1024L, 1L -> 1024L, 1023L -> 1024L, 1024L -> 1024L,
+      1025L -> 2048L, 2048L -> 2048L, 2049L -> 4096L,
+      (1L << 29) -> (1L << 29), (1L << 29) + 1 -> (1L << 30),
+      (1L << 40) -> (1L << 40), (1L << 40) + 1 -> (1L << 41))
+    val got = cases.map(_._1).toDF("data_size")
+      .select(col("data_size"), Aggregates.pow2Bin("data_size", 1024L).as("bin"))
+      .as[(Long, Long)].collect().toMap
+    cases.foreach { case (in, want) => assert(got(in) === want, s"bin($in)") }
+  }
+
+  test("multipart ETag-of-ETags is md5(concat(part etags)) || '-' || n") {
+    val parts = Seq(
+      ("u1", 1L, 1, "aaa", 5L), ("u1", 1L, 2, "bbb", 6L),
+      ("u2", 2L, 1, "ccc", 7L))
+      .toDF("upload_id", "order_key", "part_number", "etag", "size")
+    val got = rows(Lifecycle.multipartEtag(parts))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Seq(
+      Seq("u1", md5hex("aaabbb") + "-2"),
+      Seq("u2", md5hex("ccc") + "-1")))
+  }
+
+  test("multipart validation flags gaps and counts parts") {
+    val parts = Seq(
+      ("u1", 1L, 1, "a", 5L), ("u1", 1L, 2, "b", 6L), // valid
+      ("u2", 2L, 1, "c", 7L), ("u2", 2L, 3, "d", 8L)) // gap: part 2 missing
+      .toDF("upload_id", "order_key", "part_number", "etag", "size")
+    val r = rows(Lifecycle.multipartValidate(parts)
+      .select("upload_id", "num_parts", "is_valid"))
+    assert(r === Seq(Seq("u1", 2L, true), Seq("u2", 2L, false)))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Listing
+
+/**
+ * Listing semantics on a hand-built namespace — mirrors the case matrix of
+ * the reference's TestListKeys.java:155-265 (prefix × startKey) and
+ * TestOmMetadataManager.java:405-533 (pagination, truncation).
+ */
+class ListingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // (volume, bucket, key, data_size) — two buckets, nested dirs.
+  private lazy val objects = Seq(
+    ("v1", "b1", "a/key1", 10L), ("v1", "b1", "a/key2", 20L),
+    ("v1", "b1", "a/b/key3", 30L), ("v1", "b1", "a/b/key4", 40L),
+    ("v1", "b1", "a/b/c/key5", 50L), ("v1", "b1", "z1", 60L),
+    ("v1", "b2", "a/key1", 70L), ("v2", "b1", "a/key1", 80L))
+    .toDF("volume", "bucket", "key", "data_size")
+    .withColumn("replicated_size", col("data_size") * 3)
+    .withColumn("replication_type", lit("RATIS/THREE"))
+    .withColumn("creation_time", col("data_size") * 1000)
+    .withColumn("modification_time", col("data_size") * 1000)
+    .withColumn("owner", lit("o"))
+    .withColumn("etag", md5(col("key")))
+
+  private def keysOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("key").as[String].collect().toSeq
+
+  // Case 1 (TestListKeys): empty prefix, empty startKey → everything in bucket.
+  test("listKeys: empty prefix and startKey returns the whole bucket in key order") {
+    assert(keysOf(Listing.listKeys(objects, "v1", "b1", "", "", 100)) ===
+      Seq("a/b/c/key5", "a/b/key3", "a/b/key4", "a/key1", "a/key2", "z1"))
+  }
+
+  // Case 2: prefix only → only keys under the prefix.
+  test("listKeys: prefix scopes to matching keys only") {
+    assert(keysOf(Listing.listKeys(objects, "v1", "b1", "a/b/", "", 100)) ===
+      Seq("a/b/c/key5", "a/b/key3", "a/b/key4"))
+  }
+
+  // Case 3: startKey is exclusive (skipStartKey semantics).
+  test("listKeys: startKey is exclusive") {
+    assert(keysOf(Listing.listKeys(objects, "v1", "b1", "a/", "a/b/key3", 100)) ===
+      Seq("a/b/key4", "a/key1", "a/key2"))
+  }
+
+  // Case 4: startKey before the prefix range → full prefix range.
+  test("listKeys: startKey below the prefix range is a no-op") {
+    assert(keysOf(Listing.listKeys(objects, "v1", "b1", "a/b/", "a/a", 100)) ===
+      Seq("a/b/c/key5", "a/b/key3", "a/b/key4"))
+  }
+
+  test("listKeys: emits maxKeys+1 rows so the caller derives isTruncated") {
+    assert(keysOf(Listing.listKeys(objects, "v1", "b1", "", "", 2)) ===
+      Seq("a/b/c/key5", "a/b/key3", "a/b/key4"))
+  }
+
+  test("listKeys: scopes to the exact (volume, bucket)") {
+    assert(keysOf(Listing.listKeys(objects, "v1", "b2", "", "", 100)) === Seq("a/key1"))
+    assert(keysOf(Listing.listKeys(objects, "v2", "b1", "", "", 100)) === Seq("a/key1"))
+  }
+
+  test("keyset pagination walks the bucket without overlap or gaps") {
+    val page1 = keysOf(Listing.pageAfter(objects, "v1", "b1", "", 3))
+    val page2 = keysOf(Listing.pageAfter(objects, "v1", "b1", page1.last, 3))
+    assert(page1 === Seq("a/b/c/key5", "a/b/key3", "a/b/key4"))
+    assert(page2 === Seq("a/key1", "a/key2", "z1"))
+  }
+
+  test("prefixPred matches startsWith exactly (incl. boundary neighbours)") {
+    val keys = Seq("a", "a/", "a/x", "a0", "a/" + "￿" + "x", "b", "")
+    val df = keys.toDF("k")
+    val viaPred = df.filter(Listing.prefixPred(col("k"), "a/")).as[String].collect().toSet
+    val viaStarts = keys.filter(_.startsWith("a/")).toSet
+    assert(viaPred === viaStarts)
+  }
+
+  test("listObjectsV2 groups at the delimiter into common prefixes") {
+    val r = rows(Listing.listObjectsV2(objects, "v1", "b1", "a/", "", 100)
+      .select("entry", "is_common_prefix", "num_keys"))
+    assert(r === Seq(
+      Seq("a/b/", true, 3L), Seq("a/key1", false, 1L), Seq("a/key2", false, 1L)))
+  }
+
+  test("listStatus synthesizes fake directory children with rollups") {
+    val r = rows(Listing.listStatus(objects, "v1", "b1", "a")
+      .select("child", "is_dir", "num_files", "total_size"))
+    assert(r === Seq(
+      Seq("b", true, 3L, 120L), Seq("key1", false, 1L, 10L),
+      Seq("key2", false, 1L, 20L)))
+  }
+
+  test("persisted namespace: listing plan partition-prunes to one bucket and pushes the key range") {
+    val sorted = graft.core.Tables.objectsSorted(spark, "/root/testdata/sf0.001")
+    val q = Listing.listKeys(sorted, "vol1", "bucket3", "warehouse/N/", "", 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      plan.contains("volume#") && plan.contains("bucket#"),
+      s"expected volume/bucket partition filters in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(key,warehouse/N/") &&
+      plan.contains("LessThan(key,warehouse/N0"),
+      s"expected pushed key range in:\n$plan")
+    // and the result is still correct (maxKeys+1 rows ⇒ truncation signal)
+    assert(q.count() === 11)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{ChangeLog, ChangeStream}
+import graft.core.Tables
+
+/** Incremental-view invariants: streamed state == batch reprocess of the
+  * net snapshot, and the replay is restart-idempotent. */
+class StreamingSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("CDC log replays to exactly the batch-reprocessed net state") {
+    val objects = Tables.objects(spark, sf)
+    val work = java.nio.file.Files.createTempDirectory("graft_test_stream_").toString
+    ChangeLog.write(objects, s"$work/log", numFiles = 6)
+    ChangeStream.replay(spark, s"$work/log", work, filesPerBatch = 2)
+
+    val streamed = rows(ChangeStream.fileSizeView(spark, work))
+    val net = objects.filter(col("version") % 7 =!= 0)
+    val batch = rows(ChangeStream.reprocessFileSize(net))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+
+    val counts = rows(ChangeStream.countsView(spark, work))
+    val Seq(Seq(entity, cnt, bytes)) = counts
+    assert(entity === "keys")
+    assert(cnt === net.count())
+    assert(bytes === net.agg(sum("data_size")).head.getLong(0))
+  }
+
+  test("replay is idempotent across a restart (checkpoint + batchId guard)") {
+    val objects = Tables.objects(spark, sf)
+    val work = java.nio.file.Files.createTempDirectory("graft_test_stream2_").toString
+    ChangeLog.write(objects, s"$work/log", numFiles = 4)
+    ChangeStream.replay(spark, s"$work/log", work, filesPerBatch = 2)
+    val first = rows(ChangeStream.fileSizeView(spark, work))
+    // a second drain over the same checkpoint finds no new files and must
+    // leave the state untouched
+    ChangeStream.replay(spark, s"$work/log", work, filesPerBatch = 2)
+    assert(rows(ChangeStream.fileSizeView(spark, work)) === first)
+  }
+
+  test("event log is seq-dense and typed") {
+    val ev = ChangeLog.events(Tables.objects(spark, sf))
+    val n = ev.count()
+    assert(ev.agg(min("seq"), max("seq")).head.toSeq === Seq(1L, n))
+    assert(ev.select("op").distinct().orderBy("op")
+      .collect().map(_.getString(0)).toSeq === Seq("DELETE", "PUT"))
+  }
+}
