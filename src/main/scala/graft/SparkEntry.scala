@@ -102,6 +102,12 @@ object SparkEntry {
     "q_daily_growth" -> ((s, d) => Aggregates.dailyGrowth(T.events(s, d))),
     "q_stream_hourly" -> ((s, d) => Events.hourlyCounts(T.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))),
+    // ---- FSO parent-pointer hierarchy (SURVEY §2.3 row FSO-resolve) ----
+    "q_fso_resolve" -> ((s, d) =>
+      Hierarchy.resolveFiles(T.directoriesFso(s, d), T.filesFso(s, d))),
+    "q_fso_list_status" -> ((s, d) =>
+      Hierarchy.listStatusFso(T.directoriesFso(s, d), T.filesFso(s, d),
+        "vol2", "bucket5", "warehouse/R")),
     // ---- incremental CDC-maintained views (SURVEY §2.9) ----
     "q_stream_filesize" -> ((s, d) => {
       val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objects(s, d), d)
@@ -527,6 +533,21 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events_norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.eventsNorm),
+
+    // FSO resolve must round-trip to the original flat keys — the oracle is
+    // simply the objects table re-read as (volume, bucket, path, size).
+    "q_fso_resolve" -> O.withCtes(
+      """SELECT volume, bucket, key AS path, data_size
+        |FROM objects
+        |ORDER BY volume, bucket, path, data_size""".stripMargin, O.objects),
+
+    "q_fso_list_status" -> O.withCtes(
+      """SELECT split_part(key, '/', 3) AS child, true AS is_dir,
+        |  count(*) AS num_files, CAST(sum(data_size) AS BIGINT) AS total_size
+        |FROM objects
+        |WHERE volume = 'vol2' AND bucket = 'bucket5'
+        |  AND key LIKE 'warehouse/R/%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin, O.objects),
 
     // The CDC log replays PUT(every object) + DELETE(version % 7 == 0), so
     // the net state the incrementally-maintained views must equal is

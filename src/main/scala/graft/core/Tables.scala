@@ -204,6 +204,50 @@ object Tables {
             .otherwise(col("data_size"))))
   }
 
+  // ---- FSO parent-pointer namespace (directoryTable/fileTable,
+  // ref OMDBDefinition.java:246-265) — derived from the same objects so the
+  // FSO resolve round-trips to the flat keys. ----
+
+  private def lastSeg(c: org.apache.spark.sql.Column) =
+    element_at(split(c, "/"), -1)
+
+  /** directories(volume, bucket, dir_id, parent_id, name): every ancestor
+    * prefix of every key, one row per distinct dir. Ids are md5-derived
+    * from the full path (Hierarchy.pathId); a root child's parent_id = 0. */
+  def directoriesFso(spark: SparkSession, dir: String): DataFrame = {
+    val o = objects(spark, dir)
+    val prefixes = (1 to 3).map(d =>
+      concat_ws("/", slice(split(col("key"), "/"), 1, d)))
+    val paths = o
+      .select(col("volume"), col("bucket"), explode(array(prefixes: _*)).as("path"))
+      .distinct()
+    val parentPath = expr("CASE WHEN instr(path, '/') > 0 THEN " +
+      "substring(path, 1, length(path) - length(element_at(split(path, '/'), -1)) - 1) " +
+      "ELSE '' END")
+    paths
+      .withColumn("dir_id",
+        graft.operators.Hierarchy.pathId(col("volume"), col("bucket"), col("path")))
+      .withColumn("parent_path", parentPath)
+      .withColumn("parent_id",
+        when(col("parent_path") === "", lit(0L))
+          .otherwise(graft.operators.Hierarchy.pathId(
+            col("volume"), col("bucket"), col("parent_path"))))
+      .select(col("volume"), col("bucket"), col("dir_id"), col("parent_id"),
+        lastSeg(col("path")).as("name"))
+  }
+
+  /** files keyed by parent dir id (fileTable rows: parentId + fileName). */
+  def filesFso(spark: SparkSession, dir: String): DataFrame = {
+    val o = objects(spark, dir)
+    val parentPath = expr(
+      "substring(key, 1, length(key) - length(element_at(split(key, '/'), -1)) - 1)")
+    o.select(col("volume"), col("bucket"),
+        graft.operators.Hierarchy.pathId(col("volume"), col("bucket"), parentPath)
+          .as("parent_id"),
+        lastSeg(col("key")).as("name"),
+        col("object_id"), col("data_size"), col("modification_time"))
+  }
+
   /** audit_access ← orders (heatmap source, ref HeatMapUtil.java:60-130). */
   def auditAccess(spark: SparkSession, dir: String): DataFrame = {
     val o = raw(spark, dir, "orders")

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * FSO (file-system-optimized) namespace: parent-pointer hierarchy over
+ * `directories(dir_id, parent_id, name)` + `files(parent_id, name, ...)` —
+ * the reference's directoryTable/fileTable model (apache/ozone
+ * OMDBDefinition.java:246-265) with path resolution mirroring
+ * ReconUtils.java:780-803 (gatherSubPaths) and
+ * SnapshotDiffManager.java:1116-1130 (full-path construction).
+ *
+ * Scale design: resolution is a BOUNDED-DEPTH loop of equi-joins on
+ * (volume, bucket, parent_id) — depth is a namespace config (the reference
+ * caps path depth), so this is k co-partitioned shuffles, never driver-side
+ * recursion or an unbounded iterative fixpoint; the directory table is
+ * orders of magnitude smaller than the file table and broadcast-joins when
+ * it fits.
+ */
+object Hierarchy {
+
+  /** Deterministic 60-bit id of a (volume, bucket, path) node — md5-prefix
+    * based so the DuckDB oracle derives identical ids. Root parent id = 0. */
+  def pathId(volume: Column, bucket: Column, path: Column): Column =
+    conv(substring(md5(concat(volume, lit(":"), bucket, lit(":"), path)), 1, 15),
+      16, 10).cast("long")
+
+  /** Same id computed driver-side (for resolving a literal query path). */
+  def pathIdOf(volume: String, bucket: String, path: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$volume:$bucket:$path".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md.substring(0, 15), 16)
+  }
+
+  /**
+   * Resolve every directory to its full path via maxDepth-bounded parent
+   * joins: each pass prepends the parent's name and hops one level up;
+   * rows already at the root pass through unchanged.
+   */
+  def resolveDirs(dirs: DataFrame, maxDepth: Int = 8): DataFrame = {
+    val parents = dirs.select(
+      col("volume").as("pv"), col("bucket").as("pb"),
+      col("dir_id").as("p_id"), col("parent_id").as("p_parent"),
+      col("name").as("p_name"))
+    var cur = dirs.select(col("volume"), col("bucket"), col("dir_id"),
+      col("parent_id"), col("name").as("path"))
+    for (_ <- 1 until maxDepth) {
+      cur = cur.join(parents,
+          cur("volume") === parents("pv") && cur("bucket") === parents("pb") &&
+            cur("parent_id") === parents("p_id"), "left")
+        .select(cur("volume"), cur("bucket"), cur("dir_id"),
+          coalesce(col("p_parent"), lit(0L)).as("parent_id"),
+          when(col("p_name").isNotNull,
+            concat(col("p_name"), lit("/"), col("path")))
+            .otherwise(col("path")).as("path"))
+    }
+    cur.select("volume", "bucket", "dir_id", "path")
+  }
+
+  /** Full path of every file: resolved parent dir path + '/' + file name —
+    * the FSO→flat round trip (must reproduce the original OBS keys). */
+  def resolveFiles(dirs: DataFrame, files: DataFrame,
+                   maxDepth: Int = 8): DataFrame = {
+    val rd = resolveDirs(dirs, maxDepth)
+      .select(col("volume"), col("bucket"),
+        col("dir_id").as("parent_id"), col("path").as("dir_path"))
+    files.join(rd, Seq("volume", "bucket", "parent_id"))
+      .select(col("volume"), col("bucket"),
+        concat(col("dir_path"), lit("/"), col("name")).as("path"),
+        col("data_size"))
+      .orderBy("volume", "bucket", "path", "data_size")
+  }
+
+  /**
+   * FSO listStatus: immediate children of `parentPath` via the parent
+   * pointer — one id-equality probe into each table (the point of the FSO
+   * layout: no prefix scan), with a direct-file rollup per child directory.
+   */
+  def listStatusFso(dirs: DataFrame, files: DataFrame,
+                    volume: String, bucket: String, parentPath: String): DataFrame = {
+    val pid = if (parentPath.isEmpty) 0L else pathIdOf(volume, bucket, parentPath)
+    val childDirs = dirs
+      .filter(col("volume") === volume && col("bucket") === bucket &&
+        col("parent_id") === pid)
+      .select(col("dir_id"), col("name").as("child"))
+    val dirRollup = childDirs.join(
+        files.filter(col("volume") === volume && col("bucket") === bucket)
+          .select(col("parent_id").as("dir_id"), col("data_size")),
+        Seq("dir_id"), "left")
+      .groupBy("child")
+      .agg(count(col("data_size")).as("num_files"),
+        coalesce(sum("data_size"), lit(0L)).as("total_size"))
+      .withColumn("is_dir", lit(true))
+    val childFiles = files
+      .filter(col("volume") === volume && col("bucket") === bucket &&
+        col("parent_id") === pid)
+      .groupBy(col("name").as("child"))
+      .agg(count(lit(1)).as("num_files"), sum("data_size").as("total_size"))
+      .withColumn("is_dir", lit(false))
+    dirRollup.unionByName(childFiles)
+      .select("child", "is_dir", "num_files", "total_size")
+      .orderBy("child")
+  }
+}

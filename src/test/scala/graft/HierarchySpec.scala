@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Hierarchy
+
+/** FSO parent-pointer hierarchy on a tiny hand-built tree. */
+class HierarchySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // tree: a/ , a/b/ , c/  with files a/f1, a/b/f2, c/f3, f4 (root file)
+  private def id(p: String) = Hierarchy.pathIdOf("v", "b", p)
+
+  private lazy val dirs = Seq(
+    ("v", "b", id("a"), 0L, "a"),
+    ("v", "b", id("a/b"), id("a"), "b"),
+    ("v", "b", id("c"), 0L, "c"))
+    .toDF("volume", "bucket", "dir_id", "parent_id", "name")
+
+  private lazy val files = Seq(
+    ("v", "b", id("a"), "f1", 1L, 10L),
+    ("v", "b", id("a/b"), "f2", 2L, 20L),
+    ("v", "b", id("c"), "f3", 3L, 30L),
+    ("v", "b", 0L, "f4", 4L, 40L))
+    .toDF("volume", "bucket", "parent_id", "name", "object_id", "data_size")
+    .withColumn("modification_time", lit(0L))
+
+  test("resolveDirs rebuilds full paths from parent pointers") {
+    val r = Hierarchy.resolveDirs(dirs, maxDepth = 4)
+      .select("dir_id", "path").as[(Long, String)].collect().toMap
+    assert(r === Map(id("a") -> "a", id("a/b") -> "a/b", id("c") -> "c"))
+  }
+
+  test("resolveFiles round-trips to full file paths") {
+    val paths = Hierarchy.resolveFiles(dirs, files)
+      .select("path").as[String].collect().toSeq
+    // root files (parent_id = 0) are not resolvable through the dir table
+    assert(paths === Seq("a/b/f2", "a/f1", "c/f3"))
+  }
+
+  test("listStatusFso lists immediate children with direct-file rollups") {
+    val root = rows(Hierarchy.listStatusFso(dirs, files, "v", "b", ""))
+    assert(root === Seq(
+      Seq("a", true, 1L, 10L), Seq("c", true, 1L, 30L),
+      Seq("f4", false, 1L, 40L)))
+    val underA = rows(Hierarchy.listStatusFso(dirs, files, "v", "b", "a"))
+    assert(underA === Seq(
+      Seq("b", true, 1L, 20L), Seq("f1", false, 1L, 10L)))
+  }
+}
