@@ -102,6 +102,10 @@ object SparkEntry {
     "q_daily_growth" -> ((s, d) => Aggregates.dailyGrowth(T.events(s, d))),
     "q_stream_hourly" -> ((s, d) => Events.hourlyCounts(T.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))),
+    // ---- write path: commit log + versioned snapshots (SURVEY §2.11) ----
+    "q_write_apply" -> ((s, d) => CommitLog.appliedState(T.objects(s, d))),
+    "q_write_snapshot_diff" -> ((s, d) =>
+      CommitLog.snapshotDiffFromLog(T.objects(s, d))),
     // ---- FSO parent-pointer hierarchy (SURVEY §2.3 row FSO-resolve) ----
     "q_fso_resolve" -> ((s, d) =>
       Hierarchy.resolveFiles(T.directoriesFso(s, d), T.filesFso(s, d))),
@@ -533,6 +537,57 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events_norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.eventsNorm),
+
+    // Commit-log closed forms: the synthetic write workload is keyed by
+    // version (create @1; v∈{3,6} overwrite ×2 @2; v=4 delete @3; v=5
+    // rename to .mv @3/@4), so the latest-wins fold has a per-key closed
+    // form over the grouped objects (dup fixture rows collapse to max size).
+    "q_write_apply" -> O.withCtes(
+      """SELECT volume, bucket,
+        |  CASE WHEN version = 5 THEN key || '.mv' ELSE key END AS key,
+        |  object_id,
+        |  CASE WHEN version IN (3, 6) THEN mx * 2 ELSE mx END AS data_size
+        |FROM (
+        |  SELECT volume, bucket, key, object_id, version, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5)
+        |WHERE version <> 4
+        |ORDER BY volume, bucket, key, data_size""".stripMargin, O.objects),
+
+    "q_write_snapshot_diff" -> O.withCtes(
+      """SELECT coalesce(a.object_id, b.object_id) AS object_id,
+        |  coalesce(a.old_key, '') AS old_key,
+        |  coalesce(a.old_size, -1) AS old_size,
+        |  coalesce(b.new_key, '') AS new_key,
+        |  coalesce(b.new_size, -1) AS new_size,
+        |  CASE WHEN a.old_key IS NULL THEN 'CREATE'
+        |       WHEN b.new_key IS NULL THEN 'DELETE'
+        |       WHEN a.old_key <> b.new_key THEN 'RENAME'
+        |       WHEN a.old_size <> b.new_size THEN 'MODIFY'
+        |       ELSE 'UNCHANGED' END AS diff_type
+        |FROM (SELECT object_id, key AS old_key, data_size AS old_size FROM s1d) a
+        |FULL OUTER JOIN (SELECT object_id, key AS new_key, data_size AS new_size FROM s2d) b
+        |  ON a.object_id = b.object_id
+        |WHERE NOT (a.old_key IS NOT NULL AND b.new_key IS NOT NULL
+        |  AND a.old_key = b.new_key AND a.old_size = b.new_size)
+        |ORDER BY object_id""".stripMargin,
+      O.objects,
+      """wgrp AS (
+        |  SELECT volume, bucket, key, object_id, version, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5
+        |)""".stripMargin,
+      """s1d AS (
+        |  SELECT key, object_id, mx AS data_size FROM wgrp
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY object_id ORDER BY mx DESC, key) = 1
+        |)""".stripMargin,
+      """s2d AS (
+        |  SELECT CASE WHEN version = 5 THEN key || '.mv' ELSE key END AS key,
+        |    object_id,
+        |    CASE WHEN version IN (3, 6) THEN mx * 2 ELSE mx END AS data_size
+        |  FROM wgrp WHERE version <> 4
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY object_id ORDER BY data_size DESC, key) = 1
+        |)""".stripMargin),
 
     // FSO resolve must round-trip to the original flat keys — the oracle is
     // simply the objects table re-read as (volume, bucket, path, size).
