@@ -19,6 +19,10 @@ object SparkEntry {
     Listing.listKeys(T.objectsSorted(spark, "/root/testdata/sf0.001"),
       "vol1", "bucket3", "warehouse/N/", "", 100)
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   // Lifecycle rule set used by q_lifecycle_expiry (epochs: 1998-01-01, 1997-01-01).
   private val lcRules = Seq(
     Lifecycle.LcRule("r1", "warehouse/R/", Some("R"), 883612800000L),
@@ -102,6 +106,16 @@ object SparkEntry {
     "q_daily_growth" -> ((s, d) => Aggregates.dailyGrowth(T.events(s, d))),
     "q_stream_hourly" -> ((s, d) => Events.hourlyCounts(T.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))),
+    // ---- conditional reads + filter DSL (SURVEY §2.2) ----
+    "q_conditional_read" -> ((s, d) =>
+      Conditional.conditionalRead(T.objects(s, d), Conditional.ReadConds(
+        ifNoneMatch = Some(md5Hex("warehouse/N/1/1.dat")),
+        ifModifiedSince = Some(870000000000L)))),
+    "q_filter_dsl" -> ((s, d) =>
+      FilterDsl.scan(T.objects(s, d),
+        "data_size:greater:50000,tag_flag:equals:R,key:regex:^warehouse/R/1")
+        .select("volume", "bucket", "key", "data_size", "tag_flag")
+        .orderBy("volume", "bucket", "key", "data_size")),
     // ---- write path: commit log + versioned snapshots (SURVEY §2.11) ----
     "q_write_apply" -> ((s, d) => CommitLog.appliedState(T.objects(s, d))),
     "q_write_snapshot_diff" -> ((s, d) =>
@@ -537,6 +551,22 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events_norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.eventsNorm),
+
+    "q_conditional_read" -> O.withCtes(
+      s"""SELECT volume, bucket, key, etag, modification_time,
+         |  CASE WHEN etag = '${md5Hex("warehouse/N/1/1.dat")}' THEN '304'
+         |       WHEN modification_time <= 870000000000 THEN '304'
+         |       ELSE '200' END AS status
+         |FROM objects
+         |ORDER BY volume, bucket, key, modification_time""".stripMargin,
+      O.objects),
+
+    "q_filter_dsl" -> O.withCtes(
+      """SELECT volume, bucket, key, data_size, tag_flag
+        |FROM objects
+        |WHERE data_size > 50000 AND tag_flag = 'R'
+        |  AND regexp_matches(key, '^warehouse/R/1')
+        |ORDER BY volume, bucket, key, data_size""".stripMargin, O.objects),
 
     // Commit-log closed forms: the synthetic write workload is keyed by
     // version (create @1; v∈{3,6} overwrite ×2 @2; v=4 delete @3; v=5

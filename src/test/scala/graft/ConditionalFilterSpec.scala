@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Conditional, FilterDsl}
+import graft.operators.Conditional.ReadConds
+
+/** RFC 7232 precedence matrix + filter-DSL compilation. */
+class ConditionalFilterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val obj = Seq(("v", "b", "k1", "etag1", 100L))
+    .toDF("volume", "bucket", "key", "etag", "modification_time")
+
+  private def statusOf(conds: ReadConds): String =
+    Conditional.conditionalRead(obj, conds)
+      .select("status").as[String].head()
+
+  test("no conditions → 200") {
+    assert(statusOf(ReadConds()) === "200")
+  }
+  test("If-Match mismatch → 412; match → falls through") {
+    assert(statusOf(ReadConds(ifMatch = Some("other"))) === "412")
+    assert(statusOf(ReadConds(ifMatch = Some("etag1"))) === "200")
+  }
+  test("If-Unmodified-Since: modified later → 412") {
+    assert(statusOf(ReadConds(ifUnmodifiedSince = Some(50L))) === "412")
+    assert(statusOf(ReadConds(ifUnmodifiedSince = Some(100L))) === "200")
+  }
+  test("If-None-Match match → 304") {
+    assert(statusOf(ReadConds(ifNoneMatch = Some("etag1"))) === "304")
+    assert(statusOf(ReadConds(ifNoneMatch = Some("x"))) === "200")
+  }
+  test("If-Modified-Since: not modified since → 304") {
+    assert(statusOf(ReadConds(ifModifiedSince = Some(100L))) === "304")
+    assert(statusOf(ReadConds(ifModifiedSince = Some(99L))) === "200")
+  }
+  test("precedence: failing If-Match beats matching If-None-Match") {
+    assert(statusOf(ReadConds(ifMatch = Some("other"),
+      ifNoneMatch = Some("etag1"))) === "412")
+  }
+
+  private lazy val rows4 = Seq(
+    ("a", 10L, "x/1"), ("b", 20L, "x/2"), ("c", 30L, "y/1"))
+    .toDF("tag", "size", "path")
+
+  test("filter DSL compiles equals/lesser/greater/regex conjunctions") {
+    assert(FilterDsl.scan(rows4, "tag:equals:a").count() === 1)
+    assert(FilterDsl.scan(rows4, "size:greater:15").count() === 2)
+    assert(FilterDsl.scan(rows4, "size:lesser:30,path:regex:^x/").count() === 2)
+    assert(FilterDsl.scan(rows4, "size:greater:15,path:regex:^x/").count() === 1)
+  }
+
+  test("filter DSL values containing colons survive the 3-way split") {
+    val df = Seq(("k", "a:b:c")).toDF("k", "v")
+    assert(FilterDsl.scan(df, "v:equals:a:b:c").count() === 1)
+  }
+
+  test("filter DSL rejects unknown ops") {
+    intercept[IllegalArgumentException] {
+      FilterDsl.compile("a:like:b")
+    }
+  }
+}
