@@ -106,6 +106,16 @@ object SparkEntry {
     "q_daily_growth" -> ((s, d) => Aggregates.dailyGrowth(T.events(s, d))),
     "q_stream_hourly" -> ((s, d) => Events.hourlyCounts(T.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))),
+    // ---- nested types: MAP tags / ARRAY<STRUCT> acls + locations ----
+    "q_tags_expiry" -> ((s, d) =>
+      Nested.tagRuleExpiry(T.objectsNested(s, d), "R", 883612800000L)),
+    "q_acl_probe" -> ((s, d) => {
+      import s.implicits._
+      Nested.aclProbe(T.objectsNested(s, d),
+        Seq("clerk1", "clerk3").toDF("principal"))
+    }),
+    "q_locations_explode" -> ((s, d) =>
+      Nested.locationsExplode(T.objectsNested(s, d))),
     // ---- conditional reads + filter DSL (SURVEY §2.2) ----
     "q_conditional_read" -> ((s, d) =>
       Conditional.conditionalRead(T.objects(s, d), Conditional.ReadConds(
@@ -551,6 +561,32 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events_norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.eventsNorm),
+
+    // Nested-type oracles use the flat closed forms the nested columns
+    // derive from (tags['flag'] == tag_flag, acl name == owner, locations
+    // == chunked byte ranges).
+    "q_tags_expiry" -> O.withCtes(
+      """SELECT volume, bucket, key, data_size, modification_time
+        |FROM objects
+        |WHERE tag_flag = 'R' AND modification_time < 883612800000
+        |ORDER BY volume, bucket, key, data_size, modification_time""".stripMargin,
+      O.objects),
+
+    "q_acl_probe" -> O.withCtes(
+      """SELECT volume, bucket, key, owner FROM objects
+        |WHERE owner IN ('clerk1', 'clerk3')
+        |ORDER BY volume, bucket, key""".stripMargin, O.objects),
+
+    "q_locations_explode" -> O.withCtes(
+      s"""SELECT key, data_size, container_id,
+         |  object_id * 100 + i AS local_id,
+         |  i * ${graft.core.Tables.LocChunkBytes} AS "offset",
+         |  least(${graft.core.Tables.LocChunkBytes}, data_size - i * ${graft.core.Tables.LocChunkBytes}) AS length
+         |FROM (
+         |  SELECT key, data_size, container_id, object_id,
+         |    unnest(generate_series(0, (data_size - 1) // ${graft.core.Tables.LocChunkBytes})) AS i
+         |  FROM objects)
+         |ORDER BY key, data_size, "offset"""".stripMargin, O.objects),
 
     "q_conditional_read" -> O.withCtes(
       s"""SELECT volume, bucket, key, etag, modification_time,

@@ -204,6 +204,37 @@ object Tables {
             .otherwise(col("data_size"))))
   }
 
+  /** Block/chunk size of the nested location lists (small so the synthetic
+    * objects span several blocks; the reference default is 4 MB chunks). */
+  val LocChunkBytes = 16384L
+
+  /**
+   * objects with the reference's REAL nested shape (OmKeyInfo.java:72-113):
+   *   - tags  MAP<STRING,STRING>          (ImmutableMap tags)
+   *   - acls  ARRAY<STRUCT<name,type,rights>>  (List<OzoneAcl>)
+   *   - locations ARRAY<STRUCT<container_id,local_id,offset,length>>
+   *     (List<OmKeyLocationInfo> — one struct per LocChunkBytes block).
+   * All nested values derive deterministically from flat columns so oracle
+   * queries have closed flat forms.
+   */
+  def objectsNested(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .withColumn("tags",
+        map(lit("flag"), col("tag_flag"), lit("owner"), col("owner")))
+      .withColumn("acls", array(
+        struct(col("owner").as("name"), lit("USER").as("type"),
+          lit("rwx").as("rights")),
+        struct(lit("world").as("name"), lit("GROUP").as("type"),
+          lit("r--").as("rights"))))
+      .withColumn("locations",
+        expr(s"""transform(
+          sequence(CAST(0 AS BIGINT), (data_size - 1) DIV $LocChunkBytes),
+          i -> struct(
+            container_id AS container_id,
+            object_id * 100 + i AS local_id,
+            i * $LocChunkBytes AS offset,
+            least($LocChunkBytes, data_size - i * $LocChunkBytes) AS length))"""))
+
   // ---- FSO parent-pointer namespace (directoryTable/fileTable,
   // ref OMDBDefinition.java:246-265) — derived from the same objects so the
   // FSO resolve round-trips to the flat keys. ----
