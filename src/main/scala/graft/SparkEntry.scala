@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.core.{OracleCte => O, Tables => T}
 import graft.operators._
 
@@ -106,6 +107,27 @@ object SparkEntry {
     "q_daily_growth" -> ((s, d) => Aggregates.dailyGrowth(T.events(s, d))),
     "q_stream_hourly" -> ((s, d) => Events.hourlyCounts(T.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))),
+    // ---- lifecycle/ops extras: MPU expiry, replica history, orphans,
+    // recon filters, edge serialization, media byte range ----
+    "q_mpu_expiry" -> ((s, d) =>
+      Lifecycle.mpuExpiry(T.multipartParts(s, d), 870000000000L)),
+    "q_replica_history" -> ((s, d) =>
+      Lifecycle.replicaHistoryStats(T.replicaHistory(s, d))),
+    "q_orphan_scan" -> ((s, d) =>
+      Hierarchy.orphanFiles(
+        T.directoriesFso(s, d).filter(col("dir_id") % 13 =!= 0),
+        T.filesFso(s, d))),
+    "q_recon_key_filter" -> ((s, d) =>
+      FilterDsl.scan(T.objects(s, d),
+        "replication_type:equals:EC/rs-3-2-1024k,data_size:greater:50000")
+        .filter(col("creation_time").between(820454400000L, 883612800000L))
+        .select("volume", "bucket", "key", "replication_type", "data_size",
+          "creation_time")
+        .orderBy("volume", "bucket", "key", "data_size", "creation_time")),
+    "q_url_encode" -> ((s, d) => Lifecycle.urlEncoded(T.objects(s, d))),
+    "q_json_edge" -> ((s, d) => Lifecycle.jsonEdge(T.objects(s, d))),
+    "q_media_range" -> ((s, d) =>
+      Multimodal.mediaByteRange(T.mediaAssets(s, d), 8, 8)),
     // ---- nested types: MAP tags / ARRAY<STRUCT> acls + locations ----
     "q_tags_expiry" -> ((s, d) =>
       Nested.tagRuleExpiry(T.objectsNested(s, d), "R", 883612800000L)),
@@ -561,6 +583,61 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events_norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.eventsNorm),
+
+    "q_mpu_expiry" -> O.withCtes(
+      """SELECT upload_id, initiated, num_parts, total_size FROM (
+        |  SELECT upload_id, min(creation_time) AS initiated,
+        |    count(*) AS num_parts, CAST(sum(size) AS BIGINT) AS total_size
+        |  FROM multipart_parts GROUP BY 1)
+        |WHERE initiated < 870000000000
+        |ORDER BY upload_id""".stripMargin, O.multipartParts),
+
+    "q_replica_history" -> O.withCtes(
+      """SELECT container_id, datanode, count(*) AS n_reports,
+        |  min(ts) AS first_seen, max(ts) AS last_seen,
+        |  coalesce(CAST(max(gap) AS BIGINT), 0) AS max_gap_ms
+        |FROM (
+        |  SELECT container_id, datanode, ts,
+        |    ts - lag(ts) OVER (PARTITION BY container_id, datanode ORDER BY ts) AS gap
+        |  FROM replica_history)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      O.objects, O.replicaHistoryCte),
+
+    "q_orphan_scan" -> O.withCtes(
+      """SELECT volume, bucket, pid AS parent_id, name, object_id, data_size
+        |FROM (
+        |  SELECT volume, bucket, object_id, data_size,
+        |    list_extract(parts, len(parts)) AS name,
+        |    ('0x' || substr(md5(volume || ':' || bucket || ':' ||
+        |      array_to_string(list_slice(parts, 1, len(parts) - 1), '/')), 1, 15))::BIGINT AS pid
+        |  FROM (SELECT volume, bucket, object_id, data_size,
+        |          string_split(key, '/') AS parts FROM objects))
+        |WHERE pid % 13 = 0
+        |ORDER BY volume, bucket, name, object_id, data_size""".stripMargin,
+      O.objects),
+
+    "q_recon_key_filter" -> O.withCtes(
+      """SELECT volume, bucket, key, replication_type, data_size, creation_time
+        |FROM objects
+        |WHERE replication_type = 'EC/rs-3-2-1024k' AND data_size > 50000
+        |  AND creation_time BETWEEN 820454400000 AND 883612800000
+        |ORDER BY volume, bucket, key, data_size, creation_time""".stripMargin,
+      O.objects),
+
+    "q_url_encode" -> O.withCtes(
+      """SELECT key, replace(key, '/', '%2F') AS enc,
+        |  replace(replace(key, '/', '%2F'), '%2F', '/') = key AS roundtrip
+        |FROM objects ORDER BY key""".stripMargin, O.objects),
+
+    "q_json_edge" -> O.withCtes(
+      """SELECT key,
+        |  to_json(struct_pack(key := key, size := data_size))::VARCHAR AS doc
+        |FROM objects ORDER BY key, doc""".stripMargin, O.objects),
+
+    "q_media_range" -> O.withCtes(
+      """SELECT media_id, CAST(8 AS BIGINT) AS range_start,
+        |  substr(payload_hex, 17, 16) AS chunk_hex
+        |FROM media_assets ORDER BY media_id""".stripMargin, O.mediaAssets),
 
     // Nested-type oracles use the flat closed forms the nested columns
     // derive from (tags['flag'] == tag_flag, acl name == owner, locations

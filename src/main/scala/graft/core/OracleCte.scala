@@ -139,9 +139,19 @@ object OracleCte {
       |    l_orderkey AS order_key,
       |    l_linenumber AS part_number,
       |    md5('part' || l_orderkey || '_' || l_linenumber) AS etag,
-      |    CAST(floor(l_extendedprice) AS BIGINT) AS size
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS size,
+      |    epoch_ms(l_shipdate) AS creation_time
       |  FROM lineitem
       |  WHERE l_orderkey % 50 = 0 AND l_linenumber % 6 <> 0
+      |)""".stripMargin
+
+  /** replica_history (mirror of Tables.replicaHistory). */
+  val replicaHistoryCte: String =
+    """replica_history AS (
+      |  SELECT container_id,
+      |    'dn' || ((container_id + version) % 20) AS datanode,
+      |    modification_time AS ts
+      |  FROM objects
       |)""".stripMargin
 
   // ---- LLM-pipeline mirrors (documents / embeddings / events / media) ----

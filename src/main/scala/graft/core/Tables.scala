@@ -312,8 +312,18 @@ object Tables {
         col("l_linenumber").as("part_number"),
         md5(concat(lit("part"), col("l_orderkey").cast("string"), lit("_"),
           col("l_linenumber").cast("string"))).as("etag"),
-        floor(col("l_extendedprice")).cast("long").as("size"))
+        floor(col("l_extendedprice")).cast("long").as("size"),
+        epochMs(col("l_shipdate")).as("creation_time"))
   }
+
+  /** replica_history: datanode report stream per container (ref
+    * ContainerEndpoint.java:330-345 replica first/last-seen history). */
+  def replicaHistory(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir).select(
+      col("container_id"),
+      concat(lit("dn"),
+        ((col("container_id") + col("version")) % 20).cast("string")).as("datanode"),
+      col("modification_time").as("ts"))
 
   /** documents / embeddings / events raw tables (LLM-pipeline inputs). */
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -73,6 +73,16 @@ object Hierarchy {
       .orderBy("volume", "bucket", "path", "data_size")
   }
 
+  /** Reachability / orphan scan (ref FSORepairTool.java:88-89): files whose
+    * parent directory no longer exists — a LEFT ANTI join on the parent
+    * pointer (one co-partitioned shuffle; the dir side is the small one). */
+  def orphanFiles(dirs: DataFrame, files: DataFrame): DataFrame =
+    files.join(
+        dirs.select(col("volume"), col("bucket"), col("dir_id").as("parent_id")),
+        Seq("volume", "bucket", "parent_id"), "left_anti")
+      .select("volume", "bucket", "parent_id", "name", "object_id", "data_size")
+      .orderBy("volume", "bucket", "name", "object_id", "data_size")
+
   /**
    * FSO listStatus: immediate children of `parentPath` via the parent
    * pointer — one id-equality probe into each table (the point of the FSO

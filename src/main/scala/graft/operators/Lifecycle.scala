@@ -151,4 +151,54 @@ object Lifecycle {
     * against java.util.zip.CRC32). */
   def crc32Of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     crc32(c.cast("binary"))
+
+  /** Expired multipart uploads: uploads initiated before `beforeMs`, with
+    * their reclaimable part totals — the MPU-expiry dual of openKeyExpiry
+    * (ref ExpiredMultipartUploadsAbortRequest / OmMetadataManagerImpl
+    * getExpiredMultipartUploads). One groupBy on upload_id. */
+  def mpuExpiry(parts: DataFrame, beforeMs: Long): DataFrame =
+    parts
+      .groupBy("upload_id")
+      .agg(
+        min("creation_time").as("initiated"),
+        count(lit(1)).as("num_parts"),
+        sum("size").as("total_size"))
+      .filter(col("initiated") < beforeMs)
+      .orderBy("upload_id")
+
+  /** Replica-report history lag/lead per (container, datanode): first/last
+    * seen and the largest report gap — ref ContainerEndpoint.java:330-345
+    * (replica history timeline). One shuffle on the composite key; the gap
+    * uses lag() inside each partition. */
+  def replicaHistoryStats(history: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("container_id", "datanode").orderBy("ts")
+    history
+      .withColumn("gap", col("ts") - lag("ts", 1).over(w))
+      .groupBy("container_id", "datanode")
+      .agg(
+        count(lit(1)).as("n_reports"),
+        min("ts").as("first_seen"),
+        max("ts").as("last_seen"),
+        coalesce(max("gap"), lit(0L)).as("max_gap_ms"))
+      .orderBy("container_id", "datanode")
+  }
+
+  /** URL-encoded key form + decode round trip (s3gateway edge serialization;
+    * ref ObjectEndpoint key handling). Output parity note: for the key
+    * alphabet [A-Za-z0-9./] only '/' percent-encodes, so the DuckDB oracle
+    * mirrors with a replace chain. */
+  def urlEncoded(objects: DataFrame): DataFrame =
+    objects
+      .select(col("key"), expr("url_encode(key)").as("enc"))
+      .withColumn("roundtrip", expr("url_decode(enc)") === col("key"))
+      .orderBy("key")
+
+  /** JSON-at-the-edge serialization of the key record (the REST response
+    * shape; ref Recon API types). Compact struct→JSON, engine-identical. */
+  def jsonEdge(objects: DataFrame): DataFrame =
+    objects
+      .select(col("key"),
+        to_json(struct(col("key"), col("data_size").as("size"))).as("doc"))
+      .orderBy("key", "doc")
 }

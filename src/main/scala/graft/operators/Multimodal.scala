@@ -61,6 +61,16 @@ object Multimodal {
       }
   }
 
+  /** Byte-range read of the binary payload (the ranged-GET of §2.1 applied
+    * to a multimodal column): slice [start, start+len) without ever moving
+    * the full payload past the scan. */
+  def mediaByteRange(media: DataFrame, start: Int, len: Int): DataFrame =
+    media
+      .select(col("media_id"),
+        lit(start.toLong).as("range_start"),
+        lower(hex(expr(s"substring(payload, ${start + 1}, $len)"))).as("chunk_hex"))
+      .orderBy("media_id")
+
   /** Declarative metadata + byte-level stats (oracle-checkable): byte length
     * of the binary payload and the byte sum recomputed from the hex twin —
     * the checksum/ETag shape of §2.8 applied to a multimodal column. */
