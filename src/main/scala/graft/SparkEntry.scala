@@ -58,7 +58,17 @@ object SparkEntry {
       Aggregates.globalCounts(T.objects(s, d), T.buckets(s, d),
         T.volumes(s, d), T.openKeys(s, d), T.containersScm(s, d))),
     "q_quota_usage" -> ((s, d) => Aggregates.quotaUsage(T.buckets(s, d))),
-    "q_heatmap" -> ((s, d) => Aggregates.heatmap(T.auditAccess(s, d))),
+    "q_heatmap" -> ((s, d) =>
+      Aggregates.heatmap(Aggregates.AuditHeatmapProvider.accessEvents(s, d))),
+    "q_typed_filesize" -> ((s, d) => {
+      import s.implicits._
+      graft.core.Model.objectsDS(s, d)
+        .groupByKey(r => graft.functions.TypedAggs.pow2BinValue(r.data_size, 1024L))
+        .agg(graft.functions.TypedAggs.FileSizeCounter.toColumn)
+        .map { case (bin, (cnt, bytes)) => (bin, cnt, bytes) }
+        .toDF("size_bin", "file_count", "total_bytes")
+        .orderBy("size_bin")
+    }),
     // ---- join/diff family (SURVEY §2.3/2.7) ----
     "q_container_key_join" -> ((s, d) =>
       Joins.containerKeyJoin(T.objects(s, d), T.containersScm(s, d))),
@@ -583,6 +593,13 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events_norm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.eventsNorm),
+
+    "q_typed_filesize" -> O.withCtes(
+      """SELECT
+        |  GREATEST((CAST(1 AS BIGINT) << (CASE WHEN data_size <= 1 THEN 0 ELSE length(bin(data_size - 1)) END)), 1024) AS size_bin,
+        |  count(*) AS file_count,
+        |  CAST(sum(data_size) AS BIGINT) AS total_bytes
+        |FROM objects GROUP BY 1 ORDER BY 1""".stripMargin, O.objects),
 
     "q_mpu_expiry" -> O.withCtes(
       """SELECT upload_id, initiated, num_parts, total_size FROM (

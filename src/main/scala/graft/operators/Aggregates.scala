@@ -140,6 +140,19 @@ object Aggregates {
       .orderBy("volume", "bucket", "prefix")
   }
 
+  /** Pluggable heatmap source — ref recon/.../heatmap/IHeatMapProvider.java
+    * (providers feed access events from different backends; here any
+    * implementation yields the DataFrame [[heatmap]] consumes). */
+  trait HeatmapProvider {
+    def accessEvents(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame
+  }
+
+  /** Default provider: the audit-log synthesis (HeatMapUtil's audit source). */
+  object AuditHeatmapProvider extends HeatmapProvider {
+    def accessEvents(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+      graft.core.Tables.auditAccess(spark, dir)
+  }
+
   /** Cluster-growth-style daily time series from the events table — ref
     * UtilizationSchemaDefinition.java:75-88 (cluster_growth_daily). Value
     * sums use integer cents (floor(value*100)) for cross-engine parity;
