@@ -163,8 +163,10 @@ object SparkEntry {
     "q_write_snapshot_diff" -> ((s, d) =>
       CommitLog.snapshotDiffFromLog(T.objects(s, d))),
     // ---- FSO parent-pointer hierarchy (SURVEY §2.3 row FSO-resolve) ----
+    // namespace depth is a config (keys here are 4 segments ⇒ 3 dir levels)
     "q_fso_resolve" -> ((s, d) =>
-      Hierarchy.resolveFiles(T.directoriesFso(s, d), T.filesFso(s, d))),
+      Hierarchy.resolveFiles(T.directoriesFso(s, d), T.filesFso(s, d),
+        maxDepth = 4)),
     "q_fso_list_status" -> ((s, d) =>
       Hierarchy.listStatusFso(T.directoriesFso(s, d), T.filesFso(s, d),
         "vol2", "bucket5", "warehouse/R")),

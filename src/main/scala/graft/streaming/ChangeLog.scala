@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -28,28 +27,48 @@ object ChangeLog {
     "key STRING, data_size BIGINT, ts BIGINT"
 
   /** Typed event stream derived from the objects table (PUT + partial
-    * DELETE), totally ordered by seq#. */
-  def events(objects: DataFrame): DataFrame = {
+    * DELETE), totally ordered by seq#. Seq assignment is the SCALABLE
+    * two-pass global index (range-partition by the order key, count per
+    * partition, broadcast prefix offsets, add partition-local row number) —
+    * never a single-partition global window, which would serialize the
+    * whole log through one task at 100 TB. */
+  def events(objects: DataFrame, numParts: Int = 8): DataFrame = {
     val puts = objects.select(
       lit("PUT").as("op"), col("volume"), col("bucket"), col("key"),
       col("data_size"), col("creation_time").as("ts"))
     val deletes = objects.filter(col("version") % 7 === 0).select(
       lit("DELETE").as("op"), col("volume"), col("bucket"), col("key"),
       col("data_size"), col("modification_time").as("ts"))
-    val w = Window.orderBy("ts", "key", "op", "data_size")
-    puts.unionByName(deletes)
-      .withColumn("seq", row_number().over(w).cast("long"))
+    val ordered = puts.unionByName(deletes)
+      .repartitionByRange(numParts, col("ts"), col("key"), col("op"), col("data_size"))
+      .sortWithinPartitions("ts", "key", "op", "data_size")
+      // both passes must observe the SAME partitioning (range boundaries
+      // come from sampling) — pin it
+      .persist()
+    // pass 1: per-partition counts → prefix offsets (driver-side, tiny)
+    val counts = ordered.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    // pass 2: partition-local index + broadcast offset
+    val spark = objects.sparkSession
+    val schema = ordered.schema.add("seq", "long")
+    val withSeq = ordered.rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = offsets(i)
+      it.map { r => n += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)
+      }
+    }
+    spark.createDataFrame(withSeq, schema)
       .select("seq", "op", "volume", "bucket", "key", "data_size", "ts")
   }
 
   /** Write the log as `numFiles` parquet files split by seq range (file i
     * holds the i-th contiguous slice of the sequence) — ordered replay. */
   def write(objects: DataFrame, logDir: String, numFiles: Int = 8): Unit = {
-    val ev = events(objects)
-    ev.withColumn("part", (col("seq") % numFiles).cast("int"))
+    events(objects, numFiles)
       .repartitionByRange(numFiles, col("seq"))
       .sortWithinPartitions("seq")
-      .drop("part")
       .write.mode("overwrite").parquet(logDir)
   }
 }
