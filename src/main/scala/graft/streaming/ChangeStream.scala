@@ -156,6 +156,39 @@ object ChangeStream {
       .agg(count(lit(1)).as("file_count"), sum("data_size").as("total_size"))
       .orderBy("volume", "bucket", "size_bin")
 
+  /**
+   * Watermarked tumbling-window aggregation over an event stream — the
+   * genuine Structured Streaming dual of Events.hourlyCounts (watermark
+   * bounds state; late events beyond it are dropped, matching the
+   * reference's ordered-WAL assumption where lateness cannot occur).
+   * Drains `srcDir` (parquet events with ts_ms/event_type/value) with
+   * AvailableNow and appends completed windows to `outDir`.
+   */
+  def hourlyCountsStream(spark: SparkSession, srcDir: String, outDir: String,
+                         workDir: String): Unit = {
+    val src = spark.readStream
+      .schema("event_id BIGINT, user_id STRING, event_type STRING, " +
+        "value DOUBLE, ts_ms BIGINT")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(srcDir)
+    val agg = src
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_millis(col("window.start")).as("hour_start_ms"),
+        col("event_type"), col("event_count"), col("value_cents"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$workDir/ckpt_hourly")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // ---- one-shot replay per (JVM, source table dir): both maintained views
   // come out of a single stream drain, so q_stream_* queries share the work.
 

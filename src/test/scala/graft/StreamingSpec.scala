@@ -41,6 +41,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(ChangeStream.fileSizeView(spark, work)) === first)
   }
 
+  test("watermarked streaming hourly counts match the batch dual (closed windows)") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_hourly_").toString
+    val ev = Tables.events(spark, sf).select("event_id", "user_id",
+      "event_type", "value", "ts_ms")
+    ev.repartitionByRange(4, col("ts_ms")).write.parquet(s"$work/src")
+    ChangeStream.hourlyCountsStream(spark, s"$work/src", s"$work/out", work)
+    val streamed = spark.read.parquet(s"$work/out")
+    val batch = graft.operators.Events.hourlyCounts(ev)
+    // append mode emits only windows the watermark has CLOSED — every
+    // emitted window must match its batch dual exactly, and most windows
+    // (all but the stream-tail hour) must have been emitted
+    val joined = streamed.join(batch,
+      Seq("hour_start_ms", "event_type", "event_count", "value_cents"))
+    assert(joined.count() === streamed.count())
+    assert(streamed.count() >= batch.count() / 2)
+  }
+
   test("event log is seq-dense and typed") {
     val ev = ChangeLog.events(Tables.objects(spark, sf))
     val n = ev.count()
