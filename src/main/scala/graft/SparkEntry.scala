@@ -105,6 +105,9 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T.documents(s, d))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
+    "q_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
+    "q_token_classes" -> ((s, d) =>
+      TextAnalysis.tokenClasses(T.documents(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, T.embeddings(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, T.embeddings(s, d))),
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(T.documents(s, d))),
@@ -512,6 +515,30 @@ object SparkEntry {
          |    FROM emb_n c JOIN emb_n s
          |      ON s.vec_id < 20 AND c.vec_id <> s.vec_id))
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin, O.embQuant),
+
+    "q_ann_ivf" -> O.withCtes(
+      s"""SELECT query_id, neighbor_id, cell_id, rank, cos_x1e6 FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_x1e6 DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      c.cell_id,
+         |      ${O.cosSql("list_sum([c.qv[i] * q.qv[i] for i in generate_series(1, 64)])", "c.nrm", "q.nrm")} AS cos_x1e6
+         |    FROM ivf_cells c JOIN ivf_cells q
+         |      ON c.cell_id = q.cell_id AND q.vec_id < 20
+         |     AND c.vec_id <> q.vec_id))
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      O.embQuant, O.ivfCellsCte),
+
+    "q_token_classes" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+        |  len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        |  len(regexp_extract_all(text, '[A-Za-z]+'))
+        |    + len(regexp_extract_all(text, '[0-9]'))
+        |    + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS approx_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ann_lsh" -> O.withCtes(
       """SELECT query_id, neighbor_id, shared_bands, rank, cos_x1e6 FROM (

@@ -278,6 +278,21 @@ object OracleCte {
        |  JOIN emb_n b ON c.vec_b = b.vec_id
        |)""".stripMargin
 
+  /** IVF cell assignment (mirror of Similarity.ivfCells(16)): nearest of
+    * the first-16 seed centroids by integer cosine, cell_id tie-break. */
+  val ivfCellsCte: String =
+    s"""ivf_cells AS (
+       |  SELECT vec_id, cell_id, qv, nrm FROM (
+       |    SELECT n.vec_id, c.cell_id, n.qv, n.nrm,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ${cosSql("list_sum([n.qv[i] * c.cv[i] for i in generate_series(1, 64)])", "n.nrm", "c.cnrm")} DESC,
+       |        c.cell_id) AS rn
+       |    FROM emb_n n CROSS JOIN (
+       |      SELECT vec_id AS cell_id, qv AS cv, nrm AS cnrm
+       |      FROM emb_n WHERE vec_id < 16) c)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   /** Engine-identical integer cosine (see Similarity.cosExpr). */
   def cosSql(dot: String, na: String, nb: String): String =
     s"CAST(floor(CAST($dot AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) * 1000000) AS BIGINT)"

@@ -154,6 +154,60 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /**
+   * IVF (inverted-file) coarse quantization — the centroid-bucketed scale
+   * path complementing the sign-LSH tables: every vector is assigned to the
+   * nearest of `numCells` deterministic seed centroids (the first
+   * `numCells` corpus vectors by id), and a probe touches only its own
+   * cell's posting list.
+   *
+   * Scale design: assignment broadcasts the tiny centroid set into the
+   * corpus scan (one pass, vectors never shuffle for it); in production
+   * numCells tunes to ~√n and recall grows with nprobe. Returns
+   * (vec_id, cell_id, qv, nrm).
+   */
+  def ivfCells(embeddings: DataFrame, numCells: Int = 16): DataFrame = {
+    val q = quantized(embeddings)
+    val cents = q.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cell_id"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("cdot",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("ccos",
+        expr("CAST(floor(CAST(cdot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell_id", "qv", "nrm")
+  }
+
+  /** IVF ANN: bounded query batch (vec_id < numQueries) probes ONLY its own
+    * cell, ranked by exact cosine — cost ∝ cell size, not corpus size. */
+  def annIvf(embeddings: DataFrame, numCells: Int = 16,
+             numQueries: Int = 20, k: Int = 3): DataFrame = {
+    val cells = ivfCells(embeddings, numCells)
+    val queries = cells.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("cell_id"),
+        col("qv").as("sv"), col("nrm").as("snrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id"))
+    cells
+      .select(col("vec_id").as("neighbor_id"), col("cell_id"),
+        col("qv").as("cv"), col("nrm").as("nrm_a"))
+      .join(broadcast(queries), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(cv, sv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos_x1e6",
+        expr("CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nrm_a AS DOUBLE) * CAST(snrm AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cell_id", "rank", "cos_x1e6")
+      .orderBy("query_id", "rank")
+  }
+
   /** All-pairs exact near-dup (the O(n²) correctness oracle for
     * [[nearDupPairs]]) — dev/spec use only, never the declared query. */
   def nearDupPairsExact(embeddings: DataFrame, minCosX1e6: Long = 400000): DataFrame = {

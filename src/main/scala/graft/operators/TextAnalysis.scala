@@ -91,6 +91,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-class token counting (BPE-ish pre-tokenization classes:
+    * letter runs, single digits, punctuation marks — the split shape most
+    * byte-pair tokenizers apply before merging). Pure regex projections. */
+  def tokenClasses(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_words",
+        expr("size(regexp_extract_all(text, '[A-Za-z]+', 0))"))
+      .withColumn("n_digits",
+        expr("size(regexp_extract_all(text, '[0-9]', 0))"))
+      .withColumn("n_punct",
+        expr("size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0))"))
+      .withColumn("approx_tokens",
+        col("n_words") + col("n_digits") + col("n_punct"))
+      .select("doc_id", "n_words", "n_digits", "n_punct", "approx_tokens")
+      .orderBy("doc_id")
+
   /** Document fingerprint: 60-bit content hash of the normalized text plus
     * min/max word-bigram shingle hashes (winnowing-style extrema). Docs with
     * fewer than 2 words have no shingles — extrema emit as -1 (sequence(0,-1)

@@ -200,8 +200,10 @@ object ChangeStream {
                       sfDir: String): String = synchronized {
     replayed.getOrElseUpdate(sfDir, {
       val work = Files.createTempDirectory("graft_stream_").toString
-      ChangeLog.write(objects, s"$work/log", numFiles = 8)
-      replay(spark, s"$work/log", work, filesPerBatch = 2)
+      // 6 files / 3 per trigger = 2 incremental merges: still a genuine
+      // multi-batch drain, without paying per-batch fixed cost 4×
+      ChangeLog.write(objects, s"$work/log", numFiles = 6)
+      replay(spark, s"$work/log", work, filesPerBatch = 3)
       work
     })
   }
