@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Optimizer rule: make `key.startsWith(p)` sargable by conjoining the exact
+ * range `p <= key < succ(p)` (succ increments the last char; every
+ * extension of p sorts strictly below it) — the SURVEY §4 prefix→range
+ * rewrite as a real Catalyst `Rule[LogicalPlan]`, so ANY user-written
+ * startsWith filter gets parquet min/max row-group skipping without
+ * calling [[graft.operators.Listing.prefixPred]] explicitly. The engine's
+ * dual of the reference's RocksDB prefix iterator seek
+ * (apache/ozone OmMetadataManagerImpl.java:1144-1172).
+ *
+ * Idempotent under the optimizer's fixpoint batches: a StartsWith whose
+ * Filter already carries the matching lower bound is left untouched.
+ */
+object PrefixRangeRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      // bounds already present for (attribute, prefix) — suppress re-adding
+      val existing: Set[(ExprId, String)] = cond.collect {
+        case GreaterThanOrEqual(a: Attribute, Literal(s: UTF8String, StringType)) =>
+          (a.exprId, s.toString)
+      }.toSet
+      val newCond = cond.transformUp {
+        case sw @ StartsWith(a: Attribute, Literal(p: UTF8String, StringType))
+            if p.numChars() > 0 && p.toString.last != Char.MaxValue &&
+              !existing.contains((a.exprId, p.toString)) =>
+          val prefix = p.toString
+          val upper = prefix.init + (prefix.last + 1).toChar
+          And(And(
+            GreaterThanOrEqual(a, Literal(prefix)),
+            LessThan(a, Literal(upper))), sw)
+      }
+      if (newCond.fastEquals(cond)) f else f.copy(condition = newCond)
+  }
+}
+
+/** SparkSessionExtensions hook: `.withExtensions(PrefixRangeExtension)`. */
+object PrefixRangeExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => PrefixRangeRule)
+}

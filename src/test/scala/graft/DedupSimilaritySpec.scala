@@ -74,6 +74,34 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(lsh.nonEmpty) // identical-basis groups must collide in every band
   }
 
+  test("fingerprint guards short documents (no shingles → -1 extrema, no crash)") {
+    val d = docs(1L -> "", 2L -> "single", 3L -> "two words")
+    val r = rows(graft.operators.TextAnalysis.fingerprint(d)
+      .select("doc_id", "min_shingle_h", "max_shingle_h"))
+    assert(r(0)(1) === -1L && r(0)(2) === -1L) // empty doc
+    assert(r(1)(1) === -1L && r(1)(2) === -1L) // one word
+    assert(r(2)(1) != -1L && r(2)(1) === r(2)(2)) // exactly one shingle
+  }
+
+  test("multimodal feature extraction is deterministic and matches the byte sums") {
+    val media = graft.core.Tables.mediaAssets(spark, "/root/testdata/sf0.001")
+    val feats = graft.operators.Multimodal.extractFeatures(spark, media)
+      .select("media_id", "byte_len", "byte_sum")
+    val meta = graft.operators.Multimodal.mediaMeta(media)
+      .select("media_id", "byte_len", "byte_sum")
+    assert(feats.count() === meta.count())
+    assert(feats.exceptAll(meta).count() === 0)
+  }
+
+  test("IVF cells partition the corpus and self-probe ranks twins first") {
+    val e = embs((0L to 11L).map(i => i -> basisVec((i % 4).toInt, 0.02f)): _*)
+    val cells = Similarity.ivfCells(e, numCells = 4)
+    assert(cells.count() === 12) // every vector assigned exactly once
+    val top = rows(Similarity.annIvf(e, numCells = 4, numQueries = 1, k = 1))
+    // query 0's cell contains its identical twins (4, 8) → top hit cos 1e6
+    assert(top.head(0) === 0L && top.head(4) === 1000000L)
+  }
+
   test("brute-force top-k ranks the matching basis vector first") {
     val e = embs(
       0L -> basisVec(1), 5L -> basisVec(1), 6L -> basisVec(2), 7L -> basisVec(3))

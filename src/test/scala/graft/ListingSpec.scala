@@ -105,4 +105,16 @@ class ListingSpec extends SparkSpecBase {
     // and the result is still correct (maxKeys+1 rows ⇒ truncation signal)
     assert(q.count() === 11)
   }
+
+  test("PrefixRangeRule makes a PLAIN startsWith filter sargable (optimizer extension)") {
+    val sorted = graft.core.Tables.objectsSorted(spark, "/root/testdata/sf0.001")
+    // no prefixPred here — just the naive user-written predicate
+    val q = sorted.filter(col("key").startsWith("warehouse/N/"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(key,warehouse/N/") &&
+      plan.contains("LessThan(key,warehouse/N0"),
+      s"expected rule-injected pushed range in:\n$plan")
+    val expected = sorted.collect().count(_.getAs[String]("key").startsWith("warehouse/N/"))
+    assert(q.count() === expected)
+  }
 }
