@@ -242,10 +242,24 @@ object Tables {
   private def lastSeg(c: org.apache.spark.sql.Column) =
     element_at(split(c, "/"), -1)
 
+  // The FSO tables are PERSISTED entities in the reference (directoryTable/
+  // fileTable); derive them once per (JVM, source) and keep them cached so
+  // the resolve/listStatus/orphan queries don't re-pay the explode+distinct
+  // synthesis each time.
+  private val fsoCache = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+  private def memoPersist(kind: String, dir: String)(build: => DataFrame): DataFrame =
+    synchronized { fsoCache.getOrElseUpdate((kind, dir), build.persist()) }
+
+  def directoriesFso(spark: SparkSession, dir: String): DataFrame =
+    memoPersist("dirs", dir)(directoriesFsoBuild(spark, dir))
+
+  def filesFso(spark: SparkSession, dir: String): DataFrame =
+    memoPersist("files", dir)(filesFsoBuild(spark, dir))
+
   /** directories(volume, bucket, dir_id, parent_id, name): every ancestor
     * prefix of every key, one row per distinct dir. Ids are md5-derived
     * from the full path (Hierarchy.pathId); a root child's parent_id = 0. */
-  def directoriesFso(spark: SparkSession, dir: String): DataFrame = {
+  private def directoriesFsoBuild(spark: SparkSession, dir: String): DataFrame = {
     val o = objects(spark, dir)
     val prefixes = (1 to 3).map(d =>
       concat_ws("/", slice(split(col("key"), "/"), 1, d)))
@@ -268,7 +282,7 @@ object Tables {
   }
 
   /** files keyed by parent dir id (fileTable rows: parentId + fileName). */
-  def filesFso(spark: SparkSession, dir: String): DataFrame = {
+  private def filesFsoBuild(spark: SparkSession, dir: String): DataFrame = {
     val o = objects(spark, dir)
     val parentPath = expr(
       "substring(key, 1, length(key) - length(element_at(split(key, '/'), -1)) - 1)")
