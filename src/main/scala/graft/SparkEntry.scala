@@ -163,6 +163,12 @@ object SparkEntry {
         .orderBy("volume", "bucket", "key", "data_size")),
     // ---- write path: commit log + versioned snapshots (SURVEY §2.11) ----
     "q_write_apply" -> ((s, d) => CommitLog.appliedState(T.objects(s, d))),
+    "q_trash_list" -> ((s, d) => CommitLog.trashList(T.objects(s, d))),
+    "q_deleted_referenced" -> ((s, d) =>
+      CommitLog.deletedButReferenced(T.objects(s, d), T.containersScm(s, d))),
+    "q_salted_volume_bytes" -> ((s, d) =>
+      Aggregates.saltedSumCount(T.objects(s, d), Seq("volume"), "data_size")
+        .orderBy("volume")),
     "q_write_snapshot_diff" -> ((s, d) =>
       CommitLog.snapshotDiffFromLog(T.objects(s, d))),
     // ---- FSO parent-pointer hierarchy (SURVEY §2.3 row FSO-resolve) ----
@@ -741,6 +747,26 @@ object SparkEntry {
         |  FROM objects GROUP BY 1, 2, 3, 4, 5)
         |WHERE version <> 4
         |ORDER BY volume, bucket, key, data_size""".stripMargin, O.objects),
+
+    // DELETE events exist exactly for version ∈ {4, 5} rows (see CommitLog
+    // synthesizeLog), giving the trash / reachability closed forms.
+    "q_trash_list" -> O.withCtes(
+      """SELECT volume, bucket, key, count(*) AS n_deleted,
+        |  CAST(sum(data_size) AS BIGINT) AS reclaim_bytes
+        |FROM objects WHERE version IN (4, 5)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, O.objects),
+
+    "q_deleted_referenced" -> O.withCtes(
+      """SELECT volume, bucket, key, object_id, container_id, data_size
+        |FROM objects
+        |WHERE version IN (4, 5) AND container_id % 97 <> 0
+        |ORDER BY volume, bucket, key, object_id, data_size""".stripMargin,
+      O.objects),
+
+    "q_salted_volume_bytes" -> O.withCtes(
+      """SELECT volume, CAST(sum(data_size) AS BIGINT) AS total_data_size,
+        |  count(*) AS cnt
+        |FROM objects GROUP BY 1 ORDER BY 1""".stripMargin, O.objects),
 
     "q_write_snapshot_diff" -> O.withCtes(
       """SELECT coalesce(a.object_id, b.object_id) AS object_id,

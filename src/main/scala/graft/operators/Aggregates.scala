@@ -140,6 +140,22 @@ object Aggregates {
       .orderBy("volume", "bucket", "prefix")
   }
 
+  /**
+   * Skew-safe two-stage aggregation (salting): stage 1 groups on
+   * (keys, salt) so a heavy-hitter key's rows split across `numSalts`
+   * reducers; stage 2 combines the partials. Use when ONE key dominates a
+   * reduce partition (hash partial aggregation alone doesn't help if the
+   * final reduce of a single key exceeds one executor). Salt derives from
+   * the physical partition id — correctness never depends on its value.
+   */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     numSalts: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(numSalts)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__psum").as(s"total_$valueCol"), sum("__pcnt").as("cnt"))
+
   /** Pluggable heatmap source — ref recon/.../heatmap/IHeatMapProvider.java
     * (providers feed access events from different backends; here any
     * implementation yields the DataFrame [[heatmap]] consumes). */

@@ -34,22 +34,23 @@ object CommitLog {
   def synthesizeLog(objects: DataFrame): DataFrame = {
     val base = objects.select(
       col("volume"), col("bucket"), col("key"), col("object_id"),
-      col("data_size"), col("version"))
+      col("container_id"), col("data_size"), col("version"))
     val creates = base.select(lit(1L).as("seq"), lit("PUT").as("op"),
-      col("volume"), col("bucket"), col("key"), col("object_id"), col("data_size"))
+      col("volume"), col("bucket"), col("key"), col("object_id"),
+      col("container_id"), col("data_size"))
     val overwrites = base.filter(col("version") === 3 || col("version") === 6)
       .select(lit(2L).as("seq"), lit("PUT").as("op"),
         col("volume"), col("bucket"), col("key"), col("object_id"),
-        (col("data_size") * 2).as("data_size"))
+        col("container_id"), (col("data_size") * 2).as("data_size"))
     val deletes = base.filter(col("version") === 4 || col("version") === 5)
       .select(lit(3L).as("seq"), lit("DELETE").as("op"),
         col("volume"), col("bucket"), col("key"), col("object_id"),
-        col("data_size"))
+        col("container_id"), col("data_size"))
     val renames = base.filter(col("version") === 5)
       .select(lit(4L).as("seq"), lit("PUT").as("op"),
         col("volume"), col("bucket"),
         concat(col("key"), lit(".mv")).as("key"), col("object_id"),
-        col("data_size"))
+        col("container_id"), col("data_size"))
     creates.unionByName(overwrites).unionByName(deletes).unionByName(renames)
   }
 
@@ -79,6 +80,32 @@ object CommitLog {
       .orderBy(col("data_size").desc, col("key"))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** deletedTable view (ref OMDBDefinition deletedTable, RepeatedOmKeyInfo:
+    * a key can accumulate SEVERAL deleted versions): every key with DELETE
+    * events in the log, with version count + reclaimable bytes. */
+  def trashList(objects: DataFrame): DataFrame =
+    synthesizeLog(objects)
+      .filter(col("op") === "DELETE")
+      .groupBy("volume", "bucket", "key")
+      .agg(count(lit(1)).as("n_deleted"),
+        sum("data_size").as("reclaim_bytes"))
+      .orderBy("volume", "bucket", "key")
+
+  /** Reachability check deleted ∩ referenced (ref block-deletion safety /
+    * FSORepairTool shape): deleted keys whose container is still live —
+    * blocks pending reclaim that a container scan must not drop. Broadcast
+    * semi-join against the (small) live-container set. */
+  def deletedButReferenced(objects: DataFrame, containersScm: DataFrame): DataFrame = {
+    val deleted = synthesizeLog(objects)
+      .filter(col("op") === "DELETE")
+      .select("volume", "bucket", "key", "object_id", "container_id", "data_size")
+    val live = containersScm.filter(col("state") =!= "DELETED")
+      .select("container_id")
+    deleted.join(broadcast(live), Seq("container_id"), "left_semi")
+      .select("volume", "bucket", "key", "object_id", "container_id", "data_size")
+      .orderBy("volume", "bucket", "key", "object_id", "data_size")
   }
 
   /** Snapshot diff computed from two COMMITTED versions of the log — the
