@@ -15,6 +15,8 @@ object Bench {
     // setup cost, not per-query cost).
     SparkEntry.entry(spark).count()
     graft.core.Tables.objectsSorted(spark, sfDir).count()
+    graft.core.Tables.directoriesFso(spark, sfDir).count()
+    graft.core.Tables.filesFso(spark, sfDir).count()
     SparkEntry.queries.get("q_global_counts").foreach(_(spark, sfDir).count())
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()

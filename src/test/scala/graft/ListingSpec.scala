@@ -106,6 +106,32 @@ class ListingSpec extends SparkSpecBase {
     assert(q.count() === 11)
   }
 
+  test("listObjectsV2: startAfter inside a common prefix resumes mid-group (prevDir carry-over)") {
+    // token points INTO the a/b/ group: the remaining a/b/ key (only
+    // a/b/key4 — a/b/c/key5 sorts BEFORE the token) regroups under the
+    // same common prefix (the reference's prevDir dedup semantics)
+    val r = rows(Listing.listObjectsV2(objects, "v1", "b1", "a/", "a/b/key3", 100)
+      .select("entry", "is_common_prefix", "num_keys"))
+    assert(r === Seq(
+      Seq("a/b/", true, 1L), Seq("a/key1", false, 1L), Seq("a/key2", false, 1L)))
+  }
+
+  test("listObjectsV2: empty continuation token behaves as from-the-start") {
+    val all = rows(Listing.listObjectsV2(objects, "v1", "b1", "a/", "", 100))
+    val viaEmpty = rows(Listing.listObjectsV2(objects, "v1", "b1", "a/", "", 100))
+    assert(all === viaEmpty && all.nonEmpty)
+  }
+
+  test("container-key join broadcasts the small container dim (plan quality)") {
+    val q = graft.operators.Joins.containerKeyJoin(
+      graft.core.Tables.objects(spark, "/root/testdata/sf0.001"),
+      graft.core.Tables.containersScm(spark, "/root/testdata/sf0.001"))
+    q.collect() // let AQE finalize the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join in:\n$plan")
+  }
+
   test("PrefixRangeRule makes a PLAIN startsWith filter sargable (optimizer extension)") {
     val sorted = graft.core.Tables.objectsSorted(spark, "/root/testdata/sf0.001")
     // no prefixPred here — just the naive user-written predicate
