@@ -187,6 +187,10 @@ object SparkEntry {
     "q_stream_counts" -> ((s, d) => {
       val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objects(s, d), d)
       graft.streaming.ChangeStream.countsView(s, w)
+    }),
+    "q_stream_nssummary" -> ((s, d) => {
+      val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objects(s, d), d)
+      graft.streaming.ChangeStream.nsSummaryView(s, w)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -834,6 +838,19 @@ object SparkEntry {
       """SELECT 'keys' AS entity, count(*) AS cnt,
         |  CAST(sum(data_size) AS BIGINT) AS total_bytes
         |FROM objects WHERE version % 7 <> 0""".stripMargin, O.objects),
+
+    "q_stream_nssummary" -> O.withCtes(
+      """SELECT volume, bucket, dir,
+        |  count(*) AS num_files,
+        |  CAST(sum(data_size) AS BIGINT) AS size_of_files
+        |FROM (
+        |  SELECT volume, bucket, data_size,
+        |    array_to_string(list_slice(string_split(key, '/'), 1, d.d), '/') AS dir,
+        |    len(string_split(key, '/')) AS np, d.d
+        |  FROM objects CROSS JOIN (VALUES (1), (2), (3)) d(d)
+        |  WHERE version % 7 <> 0)
+        |WHERE np > d
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, O.objects),
 
     "q_sessionize" -> O.withCtes(
       """SELECT user_id, session_id, count(*) AS n_events,

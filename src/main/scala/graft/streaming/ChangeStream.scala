@@ -68,6 +68,8 @@ object ChangeStream {
   val FileSizeSchema =
     "volume STRING, bucket STRING, size_bin BIGINT, file_count BIGINT, total_size BIGINT"
   val CountsSchema = "entity STRING, cnt BIGINT, total_bytes BIGINT"
+  val NsSummarySchema =
+    "volume STRING, bucket STRING, dir STRING, num_files BIGINT, size_of_files BIGINT"
 
   /** ±delta fold of one event micro-batch for the file-size view
     * (FileSizeCountTaskHelper.java:206-264: PUT +1, DELETE -1 per bin). */
@@ -88,6 +90,35 @@ object ChangeStream {
       .unionByName(deltas)
       .groupBy("volume", "bucket", "size_bin")
       .agg(sum("file_count").as("file_count"), sum("total_size").as("total_size"))
+    publish(next, stateDir, batchId)
+  }
+
+  /** NSSummary ±delta fold: each event contributes to every ancestor dir
+    * of its key (bounded-depth prefix explode, the streamed dual of
+    * NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459 — the
+    * upward propagation becomes a generator, not driver recursion). */
+  def nsSummaryDeltas(batch: DataFrame, maxDepth: Int = 3): DataFrame = {
+    val prefixes = (1 to maxDepth).map { d =>
+      when(size(split(col("key"), "/")) > d,
+        concat_ws("/", slice(split(col("key"), "/"), 1, d)))
+    }
+    batch
+      .withColumn("dir", explode(array(prefixes: _*)))
+      .filter(col("dir").isNotNull)
+      .withColumn("sgn", when(col("op") === "PUT", 1L).otherwise(-1L))
+      .groupBy("volume", "bucket", "dir")
+      .agg(sum(col("sgn")).as("num_files"),
+        sum(col("sgn") * col("data_size")).as("size_of_files"))
+  }
+
+  private def mergeNsSummary(spark: SparkSession, stateDir: String,
+                             deltas: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastBatch(stateDir)) return
+    val next = readState(spark, stateDir, NsSummarySchema)
+      .unionByName(deltas)
+      .groupBy("volume", "bucket", "dir")
+      .agg(sum("num_files").as("num_files"),
+        sum("size_of_files").as("size_of_files"))
     publish(next, stateDir, batchId)
   }
 
@@ -127,6 +158,7 @@ object ChangeStream {
         try {
           mergeFileSize(spark, s"$workDir/state_filesize", fileSizeDeltas(b), batchId)
           mergeCounts(spark, s"$workDir/state_counts", countsDeltas(b), batchId)
+          mergeNsSummary(spark, s"$workDir/state_nssummary", nsSummaryDeltas(b), batchId)
         } finally b.unpersist()
         ()
       }
@@ -146,6 +178,11 @@ object ChangeStream {
   def countsView(spark: SparkSession, workDir: String): DataFrame =
     readState(spark, s"$workDir/state_counts", CountsSchema)
       .orderBy("entity")
+
+  def nsSummaryView(spark: SparkSession, workDir: String): DataFrame =
+    readState(spark, s"$workDir/state_nssummary", NsSummarySchema)
+      .filter(col("num_files") > 0)
+      .orderBy("volume", "bucket", "dir")
 
   /** Batch reprocess (bootstrap): rebuild the file-size view from a full
     * net-state snapshot — FileSizeCountTaskHelper.java:80-160's reprocess. */
