@@ -141,6 +141,14 @@ object SparkEntry {
     "q_json_edge" -> ((s, d) => Lifecycle.jsonEdge(T.objects(s, d))),
     "q_media_range" -> ((s, d) =>
       Multimodal.mediaByteRange(T.mediaAssets(s, d), 8, 8)),
+    "q_media_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.frameSample(s, T.mediaAssets(s, d))
+        .map(f => (f.media_id, f.frame_idx,
+          f.frame.map("%02x".format(_)).mkString))
+        .toDF("media_id", "frame_idx", "frame_hex")
+        .orderBy("media_id", "frame_idx")
+    }),
     // ---- nested types: MAP tags / ARRAY<STRUCT> acls + locations ----
     "q_tags_expiry" -> ((s, d) =>
       Nested.tagRuleExpiry(T.objectsNested(s, d), "R", 883612800000L)),
@@ -694,6 +702,14 @@ object SparkEntry {
       """SELECT media_id, CAST(8 AS BIGINT) AS range_start,
         |  substr(payload_hex, 17, 16) AS chunk_hex
         |FROM media_assets ORDER BY media_id""".stripMargin, O.mediaAssets),
+
+    // 64-byte payloads, 16-byte frames, stride 2 ⇒ frames 0 and 2; frame k
+    // covers hex chars [32k+1, 32k+32].
+    "q_media_frames" -> O.withCtes(
+      """SELECT media_id, i * 2 AS frame_idx,
+        |  substr(payload_hex, i * 64 + 1, 32) AS frame_hex
+        |FROM media_assets CROSS JOIN (VALUES (0), (1)) t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin, O.mediaAssets),
 
     // Nested-type oracles use the flat closed forms the nested columns
     // derive from (tags['flag'] == tag_flag, acl name == owner, locations

@@ -61,6 +61,32 @@ object Multimodal {
       }
   }
 
+  /** One sampled frame: asset id + frame index + the frame's bytes. */
+  final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /**
+   * Frame sampling for video/audio payloads: split the payload into
+   * fixed-size frames and keep every `stride`-th one — the decode itself is
+   * the documented stub (no codecs in this container; a real pipeline
+   * replaces the splitter with ffmpeg-style demux inside the same
+   * mapPartitions batch shape). Output rows ∝ sampled frames; payloads
+   * never shuffle — sampling happens in the scan's partition.
+   */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  frameBytes: Int = 16, stride: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload", "width", "height", "source")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          // STUB demux: fixed-size byte frames stand in for decoded frames
+          r.payload.grouped(frameBytes).zipWithIndex.collect {
+            case (bytes, i) if i % stride == 0 => Frame(r.media_id, i, bytes)
+          }
+        }
+      }
+  }
+
   /** Byte-range read of the binary payload (the ranged-GET of §2.1 applied
     * to a multimodal column): slice [start, start+len) without ever moving
     * the full payload past the scan. */

@@ -27,6 +27,11 @@ class StreamingSpec extends SparkSpecBase {
     assert(entity === "keys")
     assert(cnt === net.count())
     assert(bytes === net.agg(sum("data_size")).head.getLong(0))
+
+    val nsStreamed = rows(ChangeStream.nsSummaryView(spark, work))
+    val nsBatch = rows(graft.operators.Aggregates.nsSummary(net)
+      .select("volume", "bucket", "dir", "num_files", "size_of_files"))
+    assert(nsStreamed === nsBatch)
   }
 
   test("replay is idempotent across a restart (checkpoint + batchId guard)") {
