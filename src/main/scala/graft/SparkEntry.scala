@@ -120,6 +120,7 @@ object SparkEntry {
     "q_daily_growth" -> ((s, d) => Aggregates.dailyGrowth(T.events(s, d))),
     "q_stream_hourly" -> ((s, d) => Events.hourlyCounts(T.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))),
+    "q_session_window" -> ((s, d) => Events.sessionWindows(T.events(s, d))),
     // ---- lifecycle/ops extras: MPU expiry, replica history, orphans,
     // recon filters, edge serialization, media byte range ----
     "q_mpu_expiry" -> ((s, d) =>
@@ -867,6 +868,24 @@ object SparkEntry {
         |  WHERE version % 7 <> 0)
         |WHERE np > d
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, O.objects),
+
+    "q_session_window" -> O.withCtes(
+      """SELECT user_id, count(*) AS n_events,
+        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM (
+        |  SELECT user_id, ts_ms, value,
+        |    CAST(sum(is_new) OVER (
+        |      PARTITION BY user_id ORDER BY ts_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts_ms, value,
+        |      CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+        |             OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+        |           THEN 1 ELSE 0 END AS is_new
+        |    FROM events_norm))
+        |GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin,
+      O.eventsNorm),
 
     "q_sessionize" -> O.withCtes(
       """SELECT user_id, session_id, count(*) AS n_events,

@@ -29,6 +29,62 @@ object Events {
         sum("cents").as("value_cents"))
       .orderBy("hour_start_ms", "event_type")
 
+  /** Native session windows (session_window(ts, gap)): the idiomatic Spark
+    * form of gap-based sessionization — identical session boundaries to
+    * [[sessionize]] (window end = last event + gap), and the SAME expression
+    * works under Structured Streaming with a watermark. */
+  def sessionWindows(events: DataFrame, gapMs: Long = 1800000L): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      // session_window's interval is half-open (an event at exactly
+      // last+gap opens a NEW session) while sessionize splits only on
+      // gap > gapMs — gap+1ms aligns the two semantics exactly
+      .groupBy(col("user_id"), session_window(col("ts"), s"${gapMs + 1} milliseconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_ms").as("start_ms"),
+        max("ts_ms").as("end_ms"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .select("user_id", "n_events", "start_ms", "end_ms", "value_cents")
+      .orderBy("user_id", "start_ms")
+
+  /** One closed session (typed custom-state output). */
+  final case class Session(user_id: String, n_events: Long, start_ms: Long,
+                           end_ms: Long, value_cents: Long)
+
+  /** Typed custom-state sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset state API the reference's event-driven
+    * aggregators map onto; in batch mode each key's full group arrives in
+    * one invocation and every session closes. Same output as [[sessionize]]
+    * minus the per-user session ordinal. */
+  def sessionizeTyped(spark: org.apache.spark.sql.SparkSession,
+                      events: DataFrame, gapMs: Long = 1800000L)
+      : org.apache.spark.sql.Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("ts_ms"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: String, rows: Iterator[(String, Long, Long)],
+         _: GroupState[Long]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var start, last, n, cents = 0L
+          var open = false
+          sorted.foreach { case (_, ts, c) =>
+            if (!open) { start = ts; last = ts; n = 1; cents = c; open = true }
+            else if (ts - last > gapMs) {
+              out += Session(user, n, start, last, cents)
+              start = ts; last = ts; n = 1; cents = c
+            } else { last = ts; n += 1; cents += c }
+          }
+          if (open) out += Session(user, n, start, last, cents)
+          out.iterator
+        })
+  }
+
   /** Gap-based sessionization (30-min inactivity): per user, a new session
     * starts when the gap to the previous event exceeds the timeout — the
     * batch dual of mapGroupsWithState session windows. */

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded randomized invariants (deterministic — fixed seeds). */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("prefixPred ⟺ startsWith over 400 random ASCII key/prefix pairs") {
+    val rnd = new Random(42)
+    val chars = "abz/09.AZ" + "ÿ￿"
+    def str(n: Int) = (0 until n).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    val cases = (0 until 400).map { _ =>
+      val key = str(rnd.nextInt(12))
+      val prefix = if (rnd.nextBoolean() && key.nonEmpty)
+        key.take(rnd.nextInt(key.length) + 1) else str(rnd.nextInt(5) + 1)
+      (key, prefix)
+    }
+    val df = cases.toDF("k", "p").persist()
+    cases.map(_._2).distinct.foreach { p =>
+      val got = df.filter(col("p") === p)
+        .filter(graft.operators.Listing.prefixPred(col("k"), p))
+        .select("k").as[String].collect().sorted.toSeq
+      val want = cases.filter(c => c._2 == p && c._1.startsWith(p))
+        .map(_._1).sorted
+      assert(got === want, s"prefix '$p'")
+    }
+  }
+
+  test("pow2BinValue matches the BigInt reference over random longs") {
+    val rnd = new Random(7)
+    def refBin(x: Long, minBin: Long): Long = {
+      val b = if (x <= 1) 1L
+        else BigInt(2).pow((BigInt(x) - 1).bitLength).toLong
+      math.max(b, minBin)
+    }
+    (0 until 2000).foreach { _ =>
+      val x = math.abs(rnd.nextLong()) % (1L << 50)
+      assert(graft.functions.TypedAggs.pow2BinValue(x, 1024L) === refBin(x, 1024L),
+        s"x=$x")
+    }
+  }
+
+  test("RS(6,3) survives 200 random erasure patterns on random stripes") {
+    val rnd = new Random(1234)
+    val codec = graft.functions.ReedSolomon.Codec(6, 3)
+    (0 until 200).foreach { trial =>
+      val data = Array.fill(6)(Array.fill(24)(rnd.nextInt(256).toByte))
+      val full = data ++ codec.encode(data)
+      val erase = rnd.shuffle((0 until 9).toList).take(rnd.nextInt(3) + 1)
+      val damaged = full.map(_.clone: Array[Byte])
+      erase.foreach(i => damaged(i) = null)
+      val rec = codec.decode(damaged)
+      full.indices.foreach(i =>
+        assert(rec(i).toSeq === full(i).toSeq, s"trial $trial shard $i erased $erase"))
+    }
+  }
+
+  test("session_window and flatMapGroupsWithState sessionizers agree with the window-lag sessionizer") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val base = graft.operators.Events.sessionize(ev)
+      .select("user_id", "n_events", "start_ms", "end_ms", "value_cents")
+    val viaWindow = graft.operators.Events.sessionWindows(ev)
+      .select("user_id", "n_events", "start_ms", "end_ms", "value_cents")
+    assert(viaWindow.exceptAll(base).count() === 0)
+    assert(base.exceptAll(viaWindow).count() === 0)
+    val viaState = graft.operators.Events.sessionizeTyped(spark, ev)
+      .toDF("user_id", "n_events", "start_ms", "end_ms", "value_cents")
+    assert(viaState.exceptAll(base).count() === 0)
+    assert(base.exceptAll(viaState).count() === 0)
+  }
+}
