@@ -61,6 +61,43 @@ object Multimodal {
       }
   }
 
+  /** A resized asset: new dims + the downsampled payload. */
+  final case class Resized(media_id: Long, width: Int, height: Int,
+                           out_w: Int, out_h: Int, pixels: Array[Byte])
+
+  /**
+   * Resize (downsample) the payload interpreted as a width×height byte
+   * matrix via nearest-neighbor stride sampling — the STUB stands in for a
+   * real interpolating resize (no image libs here); the plumbing is the
+   * real shape: metadata-driven dimension math, per-partition batch
+   * iteration, payloads never shuffled.
+   */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+                 outW: Int = 4, outH: Int = 4): Dataset[Resized] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "payload", "width", "height", "source")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          // payload is a row-major byte matrix truncated/wrapped to w×h
+          val out = new Array[Byte](outW * outH)
+          var y = 0
+          while (y < outH) {
+            val sy = y * r.height / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * r.width / outW
+              out(y * outW + x) =
+                r.payload((sy * r.width + sx) % r.payload.length)
+              x += 1
+            }
+            y += 1
+          }
+          Resized(r.media_id, r.width, r.height, outW, outH, out)
+        }
+      }
+  }
+
   /** One sampled frame: asset id + frame index + the frame's bytes. */
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 

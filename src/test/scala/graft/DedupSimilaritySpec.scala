@@ -93,6 +93,18 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(feats.exceptAll(meta).count() === 0)
   }
 
+  test("multimodal resize downsamples deterministically to the target dims") {
+    val media = graft.core.Tables.mediaAssets(spark, "/root/testdata/sf0.001")
+    val r = graft.operators.Multimodal.resizeStub(spark, media, 4, 4)
+    val first = r.orderBy("media_id").head()
+    assert(first.out_w === 4 && first.out_h === 4 && first.pixels.length === 16)
+    // deterministic: same input → same bytes on a second run
+    val again = graft.operators.Multimodal.resizeStub(spark, media, 4, 4)
+      .orderBy("media_id").head()
+    assert(first.pixels.toSeq === again.pixels.toSeq)
+    assert(r.count() === media.count())
+  }
+
   test("IVF cells partition the corpus and self-probe ranks twins first") {
     val e = embs((0L to 11L).map(i => i -> basisVec((i % 4).toInt, 0.02f)): _*)
     val cells = Similarity.ivfCells(e, numCells = 4)
