@@ -18,6 +18,9 @@ object Bench {
     graft.core.Tables.directoriesFso(spark, sfDir).count()
     graft.core.Tables.filesFso(spark, sfDir).count()
     SparkEntry.queries.get("q_global_counts").foreach(_(spark, sfDir).count())
+    // NOT warmed on purpose: the CDC log write + stream drain IS the work
+    // of the q_stream_* family (incremental-view bootstrap), so the first
+    // stream query's time deliberately includes it.
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()

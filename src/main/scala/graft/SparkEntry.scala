@@ -173,10 +173,12 @@ object SparkEntry {
     "q_locations_explode" -> ((s, d) =>
       Nested.locationsExplode(T.objectsNested(s, d))),
     // ---- conditional reads + filter DSL (SURVEY §2.2) ----
+    // If-None-Match + If-Unmodified-Since: BOTH evaluate under RFC 7232
+    // (If-Modified-Since would be ignored next to If-None-Match).
     "q_conditional_read" -> ((s, d) =>
       Conditional.conditionalRead(T.objects(s, d), Conditional.ReadConds(
         ifNoneMatch = Some(md5Hex("warehouse/N/1/1.dat")),
-        ifModifiedSince = Some(870000000000L)))),
+        ifUnmodifiedSince = Some(870000000000L)))),
     "q_filter_dsl" -> ((s, d) =>
       FilterDsl.scan(T.objects(s, d),
         "data_size:greater:50000,tag_flag:equals:R,key:regex:^warehouse/R/1")
@@ -752,8 +754,8 @@ object SparkEntry {
 
     "q_conditional_read" -> O.withCtes(
       s"""SELECT volume, bucket, key, etag, modification_time,
-         |  CASE WHEN etag = '${md5Hex("warehouse/N/1/1.dat")}' THEN '304'
-         |       WHEN modification_time <= 870000000000 THEN '304'
+         |  CASE WHEN modification_time > 870000000000 THEN '412'
+         |       WHEN etag = '${md5Hex("warehouse/N/1/1.dat")}' THEN '304'
          |       ELSE '200' END AS status
          |FROM objects
          |ORDER BY volume, bucket, key, modification_time""".stripMargin,

@@ -261,10 +261,15 @@ object Tables {
     * from the full path (Hierarchy.pathId); a root child's parent_id = 0. */
   private def directoriesFsoBuild(spark: SparkSession, dir: String): DataFrame = {
     val o = objects(spark, dir)
+    // STRICT ancestor prefixes only (depth < number of segments): a file's
+    // own full path must never become a phantom directory row on
+    // namespaces whose keys aren't uniformly deep
     val prefixes = (1 to 3).map(d =>
-      concat_ws("/", slice(split(col("key"), "/"), 1, d)))
+      when(size(split(col("key"), "/")) > d,
+        concat_ws("/", slice(split(col("key"), "/"), 1, d))))
     val paths = o
       .select(col("volume"), col("bucket"), explode(array(prefixes: _*)).as("path"))
+      .filter(col("path").isNotNull)
       .distinct()
     val parentPath = expr("CASE WHEN instr(path, '/') > 0 THEN " +
       "substring(path, 1, length(path) - length(element_at(split(path, '/'), -1)) - 1) " +

@@ -35,8 +35,10 @@ object GF256 {
     require(a != 0, "zero has no inverse")
     exp(255 - logT(a & 0xff))
   }
-  def div(a: Int, b: Int): Int =
+  def div(a: Int, b: Int): Int = {
+    require(b != 0, "division by zero in GF(256)")
     if (a == 0) 0 else exp((logT(a & 0xff) - logT(b & 0xff) + 255) % 255)
+  }
 }
 
 object ReedSolomon {

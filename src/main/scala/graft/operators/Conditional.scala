@@ -22,13 +22,18 @@ object Conditional {
     ifModifiedSince: Option[Long] = None,
     ifUnmodifiedSince: Option[Long] = None)
 
-  /** Decision column for a GET under `conds` (statuses: 200 / 304 / 412). */
+  /** Decision column for a GET under `conds` (statuses: 200 / 304 / 412).
+    * RFC 7232 §3.4/§3.3 ignore rules: If-Unmodified-Since is IGNORED when
+    * If-Match is present; If-Modified-Since is IGNORED when If-None-Match
+    * is present. */
   def statusCol(conds: ReadConds): Column = {
     val checks: Seq[(Column, String)] = Seq(
       conds.ifMatch.map(e => (col("etag") =!= e) -> "412"),
-      conds.ifUnmodifiedSince.map(t => (col("modification_time") > t) -> "412"),
+      conds.ifUnmodifiedSince.filter(_ => conds.ifMatch.isEmpty)
+        .map(t => (col("modification_time") > t) -> "412"),
       conds.ifNoneMatch.map(e => (col("etag") === e) -> "304"),
-      conds.ifModifiedSince.map(t => (col("modification_time") <= t) -> "304")
+      conds.ifModifiedSince.filter(_ => conds.ifNoneMatch.isEmpty)
+        .map(t => (col("modification_time") <= t) -> "304")
     ).flatten
     checks.foldRight(lit("200")) { case ((cond, code), acc) =>
       when(cond, lit(code)).otherwise(acc)

@@ -36,9 +36,15 @@ object FilterDsl {
     }
   }
 
+  /** Atom boundary: a comma only splits conjuncts when followed by a new
+    * `field:op:` head — commas INSIDE a value (regex quantifiers `a{1,3}`,
+    * alternations, character classes) stay part of the value. */
+  private val AtomBoundary =
+    ",(?=[A-Za-z_][A-Za-z0-9_.]*:(?i:equals|lesser|greater|regex):)"
+
   /** Compile a comma-separated conjunction (the reference ANDs its atoms). */
   def compile(spec: String): Column =
-    spec.split(",").map(atom).reduce(_ && _)
+    spec.split(AtomBoundary).map(atom).reduce(_ && _)
 
   /** Filtered scan under a DSL spec. */
   def scan(df: DataFrame, spec: String): DataFrame = df.filter(compile(spec))

@@ -28,7 +28,12 @@ object Listing {
     * 1144-1172). startsWith is kept as a conjunct for its own pushdown. */
   def prefixPred(c: Column, prefix: String): Column =
     if (prefix.isEmpty) lit(true)
-    else if (prefix.last == Char.MaxValue) c.startsWith(prefix)
+    // Incrementing into/through the surrogate block (U+D800–U+DFFF) breaks
+    // UTF-8 binary ordering (a lone surrogate re-encodes as '?', and
+    // supplementary chars sort above U+E000 in code-point order) — fall
+    // back to plain startsWith for those rare prefixes rather than risk an
+    // unsatisfiable range. Same guard as plans.PrefixRangeRule.
+    else if (prefix.last >= 0xD7FF.toChar) c.startsWith(prefix)
     else {
       val upper = prefix.init + (prefix.last + 1).toChar
       c >= prefix && c < upper && c.startsWith(prefix)

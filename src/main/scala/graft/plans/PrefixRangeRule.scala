@@ -30,8 +30,11 @@ object PrefixRangeRule extends Rule[LogicalPlan] {
           (a.exprId, s.toString)
       }.toSet
       val newCond = cond.transformUp {
+        // last char must increment WITHOUT entering the surrogate block
+        // (U+D800–U+DFFF): a lone surrogate re-encodes as '?' and breaks
+        // UTF-8 binary order — leave such prefixes as plain startsWith.
         case sw @ StartsWith(a: Attribute, Literal(p: UTF8String, StringType))
-            if p.numChars() > 0 && p.toString.last != Char.MaxValue &&
+            if p.numChars() > 0 && p.toString.last < 0xD7FF.toChar &&
               !existing.contains((a.exprId, p.toString)) =>
           val prefix = p.toString
           val upper = prefix.init + (prefix.last + 1).toChar

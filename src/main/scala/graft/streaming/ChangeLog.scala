@@ -39,21 +39,26 @@ object ChangeLog {
     val deletes = objects.filter(col("version") % 7 === 0).select(
       lit("DELETE").as("op"), col("volume"), col("bucket"), col("key"),
       col("data_size"), col("modification_time").as("ts"))
+    // total order includes volume/bucket: keys repeat across buckets, and a
+    // tie left to shuffle internals would make seq assignment (and thus a
+    // dbUpdates(sinceSeq) resume) nondeterministic across runs
+    val sortCols = Seq("ts", "volume", "bucket", "key", "op", "data_size")
     val ordered = puts.unionByName(deletes)
-      .repartitionByRange(numParts, col("ts"), col("key"), col("op"), col("data_size"))
-      .sortWithinPartitions("ts", "key", "op", "data_size")
-      // both passes must observe the SAME partitioning (range boundaries
-      // come from sampling) — pin it
-      .persist()
+      .repartitionByRange(numParts, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    // ONE RDD instance for both passes: the range shuffle materializes once
+    // and its outputs are reused (stage skip), so both passes see identical
+    // partition boundaries without pinning anything in the block cache
+    val orderedRdd = ordered.rdd
     // pass 1: per-partition counts → prefix offsets (driver-side, tiny)
-    val counts = ordered.rdd
+    val counts = orderedRdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     // pass 2: partition-local index + broadcast offset
     val spark = objects.sparkSession
     val schema = ordered.schema.add("seq", "long")
-    val withSeq = ordered.rdd.mapPartitionsWithIndex { (i, it) =>
+    val withSeq = orderedRdd.mapPartitionsWithIndex { (i, it) =>
       var n = offsets(i)
       it.map { r => n += 1
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)

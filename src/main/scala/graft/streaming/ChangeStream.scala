@@ -47,13 +47,20 @@ object ChangeStream {
         org.apache.spark.sql.types.StructType.fromDDL(schema))
   }
 
+  /** Last applied batchId, parsed from the `current` pointer's version-dir
+    * name — ONE atomically-written file carries both the state location and
+    * the applied-batch watermark, so there is no crash window in which the
+    * state is flipped but the watermark isn't (which would double-apply the
+    * batch on recovery replay). */
   private def lastBatch(dir: String): Long = {
-    val p = Paths.get(dir, "last_batch")
-    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+    val cur = Paths.get(dir, "current")
+    if (!Files.exists(cur)) -1L
+    else Files.readString(cur).trim.split('/').last.stripPrefix("v").toLong
   }
 
   /** Atomically publish `next` as the new state for `batchId`: write to a
-    * versioned subdir, then flip the `current` pointer file. */
+    * versioned subdir, then flip the `current` pointer file (the pointer
+    * name encodes batchId — see [[lastBatch]]). */
   private def publish(next: DataFrame, dir: String, batchId: Long): Unit = {
     val vdir = s"$dir/v$batchId"
     next.write.mode("overwrite").parquet(vdir)
@@ -62,7 +69,6 @@ object ChangeStream {
     Files.writeString(tmp, vdir)
     Files.move(tmp, Paths.get(dir, "current"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    Files.writeString(Paths.get(dir, "last_batch"), batchId.toString)
   }
 
   val FileSizeSchema =

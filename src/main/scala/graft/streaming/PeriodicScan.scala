@@ -35,19 +35,22 @@ object PeriodicScan {
 
   /**
    * One scan tick: evaluate `rule` over rows with cursor < modification_time
-   * ≤ `nowMs`, advance the cursor to `nowMs`, and return the tick's matches.
-   * Repeated ticks never rescan old rows; a crashed tick re-runs from the
-   * previous cursor (at-least-once, idempotent output per tick window).
+   * ≤ `nowMs`, hand the batch to `consume`, and advance the cursor to
+   * `nowMs` ONLY after consume returns — a crashed tick re-runs from the
+   * previous cursor, so delivery is at-least-once (the cursor must never
+   * move past rows nobody has processed). Repeated successful ticks never
+   * rescan old rows.
    */
-  def tick(objects: DataFrame, stateDir: String, nowMs: Long,
-           rule: org.apache.spark.sql.Column): DataFrame = {
+  def tick[T](objects: DataFrame, stateDir: String, nowMs: Long,
+              rule: org.apache.spark.sql.Column)(consume: DataFrame => T): T = {
     val cur = readCursor(stateDir)
     val batch = objects
       .filter(col("modification_time") > cur &&
         col("modification_time") <= nowMs && rule)
       .select("volume", "bucket", "key", "data_size", "modification_time")
       .orderBy("volume", "bucket", "key", "data_size", "modification_time")
+    val result = consume(batch)
     writeCursor(stateDir, nowMs)
-    batch
+    result
   }
 }

@@ -38,6 +38,16 @@ class ConditionalFilterSpec extends SparkSpecBase {
     assert(statusOf(ReadConds(ifMatch = Some("other"),
       ifNoneMatch = Some("etag1"))) === "412")
   }
+  test("RFC ignore rule: If-Unmodified-Since is ignored when If-Match present") {
+    // IUS alone would 412 (modified at 100 > 50); passing If-Match masks it
+    assert(statusOf(ReadConds(ifMatch = Some("etag1"),
+      ifUnmodifiedSince = Some(50L))) === "200")
+  }
+  test("RFC ignore rule: If-Modified-Since is ignored when If-None-Match present") {
+    // IMS alone would 304 (not modified since 100); non-matching INM → 200
+    assert(statusOf(ReadConds(ifNoneMatch = Some("x"),
+      ifModifiedSince = Some(100L))) === "200")
+  }
 
   private lazy val rows4 = Seq(
     ("a", 10L, "x/1"), ("b", 20L, "x/2"), ("c", 30L, "y/1"))
@@ -53,6 +63,12 @@ class ConditionalFilterSpec extends SparkSpecBase {
   test("filter DSL values containing colons survive the 3-way split") {
     val df = Seq(("k", "a:b:c")).toDF("k", "v")
     assert(FilterDsl.scan(df, "v:equals:a:b:c").count() === 1)
+  }
+
+  test("filter DSL regex values containing commas are not torn apart") {
+    assert(FilterDsl.scan(rows4, "path:regex:^x/[0-9]{1,2}$").count() === 2)
+    assert(FilterDsl.scan(rows4, "path:regex:^(x|y)/[0-9]{1,2}$,tag:equals:a")
+      .count() === 1)
   }
 
   test("filter DSL rejects unknown ops") {

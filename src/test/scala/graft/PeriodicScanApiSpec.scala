@@ -15,13 +15,27 @@ class PeriodicScanApiSpec extends SparkSpecBase {
   test("periodic scan ticks advance the cursor and never rescan old rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scan_").toString
     val rule = col("data_size") > 0L
-    val t1 = rows(PeriodicScan.tick(objs, dir, nowMs = 250L, rule))
+    val t1 = PeriodicScan.tick(objs, dir, nowMs = 250L, rule)(rows)
     assert(t1.map(_(2)) === Seq("k1", "k2"))
     assert(PeriodicScan.readCursor(dir) === 250L)
-    val t2 = rows(PeriodicScan.tick(objs, dir, nowMs = 400L, rule))
+    val t2 = PeriodicScan.tick(objs, dir, nowMs = 400L, rule)(rows)
     assert(t2.map(_(2)) === Seq("k3", "k4")) // only rows newer than the cursor
-    val t3 = rows(PeriodicScan.tick(objs, dir, nowMs = 500L, rule))
+    val t3 = PeriodicScan.tick(objs, dir, nowMs = 500L, rule)(rows)
     assert(t3.isEmpty)
+  }
+
+  test("periodic scan is at-least-once: a failed consumer leaves the cursor put") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scan_alo_").toString
+    val rule = col("data_size") > 0L
+    intercept[RuntimeException] {
+      PeriodicScan.tick(objs, dir, nowMs = 250L, rule) { _ =>
+        throw new RuntimeException("downstream failed")
+      }
+    }
+    assert(PeriodicScan.readCursor(dir) === Long.MinValue) // not advanced
+    // retry re-delivers the same rows
+    val t = PeriodicScan.tick(objs, dir, nowMs = 250L, rule)(rows)
+    assert(t.map(_(2)) === Seq("k1", "k2"))
   }
 
   private val sf = "/root/testdata/sf0.001"
