@@ -137,7 +137,7 @@ object Lifecycle {
     * scanner's checksum verification shape —
     * BackgroundContainerDataScanner.java:33-103). CRC32 exists in Spark but
     * not DuckDB, so the oracle covers md5/sha256; crc32 parity against the
-    * JDK implementation is covered by ChecksumSpec in src/test. */
+    * JDK implementation is covered by FunctionsSpec in src/test. */
   def checksumColumns(objects: DataFrame): DataFrame =
     objects
       .select(
