@@ -17,10 +17,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  *     bounded micro-batches (`maxFilesPerTrigger` + Trigger.AvailableNow) —
  *     the dual of Recon's event-buffer drain;
  *   - each micro-batch folds to ±delta rows (PUT = +1/+size, DELETE =
- *     -1/-size) and MERGEs into a parquet state table via
- *     read-union-aggregate-swap. Deltas are commutative integers, so replay
- *     order within a batch is irrelevant and cross-batch out-of-order
- *     (a DELETE draining before its PUT) nets out correctly;
+ *     -1/-size) and MERGEs into a parquet state table partitioned by
+ *     (volume, bucket): only partitions PRESENT IN THE DELTA are read,
+ *     re-aggregated, and rewritten; untouched partitions keep their
+ *     existing files (a manifest maps each partition to its current leaf
+ *     dir, and an atomic pointer flip publishes the new manifest). Deltas
+ *     are commutative integers, so replay order within a batch is
+ *     irrelevant and cross-batch out-of-order (a DELETE draining before
+ *     its PUT) nets out correctly;
  *   - exactly-once: Structured Streaming checkpoints the source offsets;
  *     the state swap additionally records the last applied batchId and
  *     skips re-application on recovery (idempotent MERGE) — the analog of
@@ -29,46 +33,149 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  *     snapshot in one batch aggregate (FileSizeCountTaskHelper.java:80-160)
  *     and the stream resumes from its checkpoint.
  *
- * Scale: state merge cost is O(|state| + |delta|) per batch with a single
- * shuffle on the view key — at 100 TB the state table is the (small)
- * aggregate, never the raw namespace; the log itself is never re-read.
+ * Scale: state merge cost is O(|touched partitions| + |delta|) per batch —
+ * the partitioned dual of the reference's touched-keys-only flush
+ * (FileSizeCountTaskHelper.java:257-299 upsert batch). A batch touching a
+ * few thousand keys in 3 buckets rewrites 3 partitions, never the
+ * billion-row global state; the log itself is never re-read.
  */
 object ChangeStream {
 
-  // ---- state table I/O: versioned swap directories with a batchId marker --
+  // ---- state table I/O ----------------------------------------------------
+  //
+  // Layout per state dir:
+  //   v<batchId>/__pk=<hex(volumebucket)>/part-*.parquet   data, partitioned
+  //   manifest-v<batchId>                                        pk -> leaf dir, one per line
+  //   current                                                    path of the live manifest
+  // A micro-batch writes ONLY the partitions present in its delta into a new
+  // v<batchId> dir, then publishes a manifest that maps touched partitions to
+  // the new leaves and keeps every untouched partition pointing at its old
+  // files. The `current` pointer flip is the single atomic commit; its target
+  // name encodes the applied batchId, so there is no crash window in which
+  // the state is flipped but the watermark isn't. Superseded version dirs
+  // (referenced by neither the live nor the previous manifest) are deleted
+  // after the flip — disk stays O(|state| + |last delta|), not O(batches).
+  //
+  // The partition key is hex-encoded so leaf dir names are filesystem-safe
+  // without Hive escaping; data files keep the real volume/bucket columns.
 
-  private def readState(spark: SparkSession, dir: String, schema: String): DataFrame = {
-    val cur = Paths.get(dir, "current")
-    if (Files.exists(cur))
-      spark.read.parquet(Files.readString(cur).trim)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(schema))
-  }
+  /** Hex partition key for (volume, bucket) — Column form (Spark `hex` emits
+    * uppercase, matching [[pkOf]]). */
+  private def pkCol: org.apache.spark.sql.Column =
+    hex(encode(concat_ws("", col("volume"), col("bucket")), "UTF-8"))
 
-  /** Last applied batchId, parsed from the `current` pointer's version-dir
-    * name — ONE atomically-written file carries both the state location and
-    * the applied-batch watermark, so there is no crash window in which the
-    * state is flipped but the watermark isn't (which would double-apply the
-    * batch on recovery replay). */
+  /** Driver-side twin of [[pkCol]]. */
+  private[graft] def pkOf(volume: String, bucket: String): String =
+    (volume + "" + bucket).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").mkString
+
+  /** Last applied batchId, parsed from the `current` pointer's target name
+    * (`.../manifest-v<N>` or legacy `.../v<N>`). */
   private def lastBatch(dir: String): Long = {
     val cur = Paths.get(dir, "current")
     if (!Files.exists(cur)) -1L
-    else Files.readString(cur).trim.split('/').last.stripPrefix("v").toLong
+    else Files.readString(cur).trim.split('/').last
+      .stripPrefix("manifest-").stripPrefix("v").toLong
   }
 
-  /** Atomically publish `next` as the new state for `batchId`: write to a
-    * versioned subdir, then flip the `current` pointer file (the pointer
-    * name encodes batchId — see [[lastBatch]]). */
-  private def publish(next: DataFrame, dir: String, batchId: Long): Unit = {
+  /** The live manifest: partition key -> leaf dir path (empty before the
+    * first publish). */
+  private[graft] def readManifest(dir: String): Map[String, String] = {
+    val cur = Paths.get(dir, "current")
+    if (!Files.exists(cur)) Map.empty
+    else {
+      val mf = Paths.get(Files.readString(cur).trim)
+      if (!Files.exists(mf)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(mf).asScala.iterator
+          .filter(_.nonEmpty)
+          .map { line => val Array(pk, path) = line.split('\t'); pk -> path }
+          .toMap
+      }
+    }
+  }
+
+  private def emptyDf(spark: SparkSession, schema: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+
+  /** Read the full logical state (all partitions listed in the manifest). */
+  private def readState(spark: SparkSession, dir: String, schema: String): DataFrame = {
+    val paths = readManifest(dir).values.toSeq.sorted
+    if (paths.isEmpty) emptyDf(spark, schema)
+    else spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(paths: _*)
+  }
+
+  /** Read ONLY the given partitions of the state (partition pruning by
+    * manifest lookup — never touches untouched partitions' files). */
+  private def readStatePartitions(spark: SparkSession, dir: String,
+                                  schema: String, pks: Seq[String]): DataFrame = {
+    val manifest = readManifest(dir)
+    val paths = pks.flatMap(manifest.get).sorted
+    if (paths.isEmpty) emptyDf(spark, schema)
+    else spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(paths: _*)
+  }
+
+  /** Publish `next` (carrying a `__pk` column; ONLY touched partitions) as
+    * the state for `batchId`: write partitioned by __pk into a version dir,
+    * write a manifest remapping touched partitions to the new leaves, flip
+    * the `current` pointer, then drop version dirs and manifests referenced
+    * by neither the new nor the previous manifest (the previous one is kept
+    * for crash recovery). */
+  private def publishPartitioned(next: DataFrame, dir: String,
+                                 touched: Seq[String], batchId: Long): Unit = {
     val vdir = s"$dir/v$batchId"
-    next.write.mode("overwrite").parquet(vdir)
+    next.write.mode("overwrite").partitionBy("__pk").parquet(vdir)
+    val prev = readManifest(dir)
+    val updated = prev ++ touched.map(pk => pk -> s"$vdir/__pk=$pk")
     Files.createDirectories(Paths.get(dir))
+    val mf = Paths.get(dir, s"manifest-v$batchId")
+    Files.writeString(mf,
+      updated.toSeq.sorted.map { case (pk, p) => s"$pk\t$p" }.mkString("\n"))
     val tmp = Paths.get(dir, "current.tmp")
-    Files.writeString(tmp, vdir)
+    Files.writeString(tmp, mf.toString)
     Files.move(tmp, Paths.get(dir, "current"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    retain(dir, keepDirs = (prev.values ++ updated.values)
+      .map(p => Paths.get(p).getParent.getFileName.toString).toSet)
+  }
+
+  /** Delete v* dirs not in keepDirs and all but the two most recent
+    * manifest-v* files (current + previous, for crash recovery). */
+  private def listDir(p: java.nio.file.Path): Array[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.toArray(new java.util.function.IntFunction[Array[java.nio.file.Path]] {
+      def apply(n: Int): Array[java.nio.file.Path] = new Array[java.nio.file.Path](n)
+    }) finally s.close()
+  }
+
+  private def retain(dir: String, keepDirs: Set[String]): Unit = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return
+    val children = listDir(root)
+    val manifests = children.map(_.getFileName.toString)
+      .filter(_.startsWith("manifest-v"))
+      .sortBy(n => n.stripPrefix("manifest-v").toLong)
+    val liveManifests = manifests.takeRight(2).toSet
+    children.foreach { c =>
+      val name = c.getFileName.toString
+      val stale =
+        (name.startsWith("v") && name.drop(1).forall(_.isDigit) &&
+          !keepDirs.contains(name)) ||
+        (name.startsWith("manifest-v") && !liveManifests.contains(name))
+      if (stale) deleteRecursively(c)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   val FileSizeSchema =
@@ -87,16 +194,32 @@ object ChangeStream {
       .agg(sum(col("sgn")).as("file_count"),
         sum(col("sgn") * col("data_size")).as("total_size"))
 
-  /** MERGE deltas into the state: union + re-aggregate on the view key,
-    * keeping zero/negative rows (transient out-of-order nets to 0). */
-  private def mergeFileSize(spark: SparkSession, stateDir: String,
-                            deltas: DataFrame, batchId: Long): Unit = {
+  /**
+   * MERGE deltas into a (volume, bucket)-partitioned state: read ONLY the
+   * state partitions present in the delta, union + re-aggregate on the view
+   * key (keeping zero/negative rows — transient out-of-order nets to 0),
+   * and publish a manifest in which untouched partitions keep their old
+   * files untouched. The touched-partition list is a driver-side collect,
+   * bounded by the number of distinct (volume, bucket) namespaces in one
+   * micro-batch — thousands at most, never row-scale.
+   */
+  private def mergePartitioned(spark: SparkSession, stateDir: String,
+                               deltas: DataFrame, batchId: Long,
+                               schema: String, groupCols: Seq[String],
+                               sumCols: Seq[String],
+                               pk: org.apache.spark.sql.Column = pkCol): Unit = {
     if (batchId <= lastBatch(stateDir)) return // recovery replay: already applied
-    val next = readState(spark, stateDir, FileSizeSchema)
-      .unionByName(deltas)
-      .groupBy("volume", "bucket", "size_bin")
-      .agg(sum("file_count").as("file_count"), sum("total_size").as("total_size"))
-    publish(next, stateDir, batchId)
+    val d = deltas.withColumn("__pk", pk)
+    val touched = d.select("__pk").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty) return
+    val old = readStatePartitions(spark, stateDir, schema, touched)
+      .withColumn("__pk", pk)
+    val next = old.unionByName(d)
+      .groupBy("__pk", groupCols: _*)
+      .agg(sum(sumCols.head).as(sumCols.head),
+        sumCols.tail.map(c => sum(c).as(c)): _*)
+    publishPartitioned(next, stateDir, touched, batchId)
   }
 
   /** NSSummary ±delta fold: each event contributes to every ancestor dir
@@ -117,17 +240,6 @@ object ChangeStream {
         sum(col("sgn") * col("data_size")).as("size_of_files"))
   }
 
-  private def mergeNsSummary(spark: SparkSession, stateDir: String,
-                             deltas: DataFrame, batchId: Long): Unit = {
-    if (batchId <= lastBatch(stateDir)) return
-    val next = readState(spark, stateDir, NsSummarySchema)
-      .unionByName(deltas)
-      .groupBy("volume", "bucket", "dir")
-      .agg(sum("num_files").as("num_files"),
-        sum("size_of_files").as("size_of_files"))
-    publish(next, stateDir, batchId)
-  }
-
   /** Global entity counts delta fold (OmTableInsightTask shape). */
   def countsDeltas(batch: DataFrame): DataFrame =
     batch
@@ -136,15 +248,6 @@ object ChangeStream {
       .agg(sum(col("sgn")).as("cnt"),
         sum(col("sgn") * col("data_size")).as("total_bytes"))
 
-  private def mergeCounts(spark: SparkSession, stateDir: String,
-                          deltas: DataFrame, batchId: Long): Unit = {
-    if (batchId <= lastBatch(stateDir)) return
-    val next = readState(spark, stateDir, CountsSchema)
-      .unionByName(deltas)
-      .groupBy("entity")
-      .agg(sum("cnt").as("cnt"), sum("total_bytes").as("total_bytes"))
-    publish(next, stateDir, batchId)
-  }
 
   /**
    * Drain the whole CDC log through bounded micro-batches, maintaining both
@@ -162,9 +265,15 @@ object ChangeStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
-          mergeFileSize(spark, s"$workDir/state_filesize", fileSizeDeltas(b), batchId)
-          mergeCounts(spark, s"$workDir/state_counts", countsDeltas(b), batchId)
-          mergeNsSummary(spark, s"$workDir/state_nssummary", nsSummaryDeltas(b), batchId)
+          mergePartitioned(spark, s"$workDir/state_filesize", fileSizeDeltas(b),
+            batchId, FileSizeSchema, Seq("volume", "bucket", "size_bin"),
+            Seq("file_count", "total_size"))
+          mergePartitioned(spark, s"$workDir/state_counts", countsDeltas(b),
+            batchId, CountsSchema, Seq("entity"),
+            Seq("cnt", "total_bytes"), pk = lit("00"))
+          mergePartitioned(spark, s"$workDir/state_nssummary", nsSummaryDeltas(b),
+            batchId, NsSummarySchema, Seq("volume", "bucket", "dir"),
+            Seq("num_files", "size_of_files"))
         } finally b.unpersist()
         ()
       }

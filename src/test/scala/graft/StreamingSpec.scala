@@ -46,6 +46,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(ChangeStream.fileSizeView(spark, work)) === first)
   }
 
+  test("a micro-batch rewrites ONLY the state partitions its delta touches") {
+    import java.nio.file.{Files, Paths}
+    val objects = Tables.objects(spark, sf)
+    val work = Files.createTempDirectory("graft_test_stream3_").toString
+    ChangeLog.write(objects, s"$work/log", numFiles = 4)
+    ChangeStream.replay(spark, s"$work/log", work, filesPerBatch = 4)
+
+    val stateDir = s"$work/state_filesize"
+    val before = ChangeStream.readManifest(stateDir)
+    assert(before.size > 1, "fixture must span several (volume,bucket) partitions")
+    // bytes of every current state file, keyed by partition
+    def partFiles(leaf: String): Seq[(String, Array[Byte])] = {
+      val d = Paths.get(leaf)
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.toString)
+          .map(p => p.toString -> Files.readAllBytes(p))
+      } finally s.close()
+    }
+    val beforeBytes = before.map { case (pk, leaf) => pk -> partFiles(leaf) }
+
+    // a second delta touching exactly one (volume, bucket)
+    val one = objects.limit(1).select("volume", "bucket").head
+    val (tv, tb) = (one.getString(0), one.getString(1))
+    val touchedPk = ChangeStream.pkOf(tv, tb)
+    val extra = objects.filter(col("volume") === tv && col("bucket") === tb)
+      .orderBy("key", "version", "data_size").limit(10)
+    // new log file after the checkpointed ones: the resumed stream drains
+    // only this file as one fresh micro-batch
+    graft.streaming.ChangeLog.events(extra)
+      .withColumn("seq", col("seq") + 1000000L)
+      .coalesce(1).write.mode("append").parquet(s"$work/log")
+    ChangeStream.replay(spark, s"$work/log", work, filesPerBatch = 4)
+
+    val after = ChangeStream.readManifest(stateDir)
+    assert(after(touchedPk) !== before(touchedPk),
+      "touched partition must move to a new version dir")
+    (before - touchedPk).foreach { case (pk, leaf) =>
+      assert(after(pk) === leaf, s"untouched partition $pk must keep its path")
+      assert(beforeBytes(pk).map { case (p, b) => p -> b.toSeq } ===
+        partFiles(leaf).map { case (p, b) => p -> b.toSeq },
+        s"untouched partition $pk files must be byte-identical")
+    }
+    // and the merged view is still exactly the batch recompute of net + extra
+    val net = objects.filter(col("version") % 7 =!= 0)
+      .unionByName(extra.filter(col("version") % 7 =!= 0))
+    assert(rows(ChangeStream.fileSizeView(spark, work)) ===
+      rows(ChangeStream.reprocessFileSize(net)))
+  }
+
   test("watermarked streaming hourly counts match the batch dual (closed windows)") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft_hourly_").toString
