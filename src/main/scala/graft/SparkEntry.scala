@@ -193,7 +193,8 @@ object SparkEntry {
       Aggregates.saltedSumCount(T.objects(s, d), Seq("volume"), "data_size")
         .orderBy("volume")),
     "q_write_snapshot_diff" -> ((s, d) =>
-      CommitLog.snapshotDiffFromLog(T.objects(s, d))),
+      CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d)),
+    "q_list_snapshots" -> ((s, d) => CommitLog.snapshotInfo(T.objects(s, d))),
     // ---- FSO parent-pointer hierarchy (SURVEY §2.3 row FSO-resolve) ----
     // namespace depth is a config (keys here are 4 segments ⇒ 3 dir levels)
     "q_fso_resolve" -> ((s, d) =>
@@ -201,6 +202,11 @@ object SparkEntry {
         maxDepth = 4)),
     "q_fso_list_status" -> ((s, d) =>
       Hierarchy.listStatusFso(T.directoriesFso(s, d), T.filesFso(s, d),
+        "vol2", "bucket5", "warehouse/R")),
+    // 5-segment namespace: each child dir's rollup must traverse TWO dir
+    // levels to reach its files — direct-children-only counting returns 0.
+    "q_fso_list_status_deep" -> ((s, d) =>
+      Hierarchy.listStatusFso(T.directoriesFsoDeep(s, d), T.filesFsoDeep(s, d),
         "vol2", "bucket5", "warehouse/R")),
     // ---- incremental CDC-maintained views (SURVEY §2.9) ----
     "q_stream_filesize" -> ((s, d) => {
@@ -839,6 +845,24 @@ object SparkEntry {
         |    PARTITION BY object_id ORDER BY data_size DESC, key) = 1
         |)""".stripMargin),
 
+    // Snapshot catalog: s1 state = all created keys at original size (fold
+    // at seq 1 = creates only); s2 state = the q_write_apply closed form.
+    "q_list_snapshots" -> O.withCtes(
+      """SELECT * FROM (
+        |  SELECT 's1' AS name, CAST(1 AS BIGINT) AS seq,
+        |    count(*) AS num_keys, CAST(sum(mx) AS BIGINT) AS total_bytes
+        |  FROM wgrp
+        |  UNION ALL
+        |  SELECT 's2', CAST(4 AS BIGINT), count(*),
+        |    CAST(sum(CASE WHEN version IN (3, 6) THEN mx * 2 ELSE mx END) AS BIGINT)
+        |  FROM wgrp WHERE version <> 4
+        |) ORDER BY name""".stripMargin,
+      O.objects,
+      """wgrp AS (
+        |  SELECT volume, bucket, key, object_id, version, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5
+        |)""".stripMargin),
+
     // FSO resolve must round-trip to the original flat keys — the oracle is
     // simply the objects table re-read as (volume, bucket, path, size).
     "q_fso_resolve" -> O.withCtes(
@@ -853,6 +877,16 @@ object SparkEntry {
         |WHERE volume = 'vol2' AND bucket = 'bucket5'
         |  AND key LIKE 'warehouse/R/%'
         |GROUP BY 1 ORDER BY 1""".stripMargin, O.objects),
+
+    // recursive subtree rollup: every key under warehouse/R/<child>/... is
+    // counted toward <child>, two dir levels above the files
+    "q_fso_list_status_deep" -> O.withCtes(
+      """SELECT split_part(key, '/', 3) AS child, true AS is_dir,
+        |  count(*) AS num_files, CAST(sum(data_size) AS BIGINT) AS total_size
+        |FROM objects_deep
+        |WHERE volume = 'vol2' AND bucket = 'bucket5'
+        |  AND key LIKE 'warehouse/R/%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin, O.objects, O.objectsDeep),
 
     // The CDC log replays PUT(every object) + DELETE(version % 7 == 0), so
     // the net state the incrementally-maintained views must equal is

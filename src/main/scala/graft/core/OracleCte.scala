@@ -38,6 +38,15 @@ object OracleCte {
       |  FROM lineitem
       |)""".stripMargin
 
+  /** Deepened 5-segment namespace (mirror of Tables.objectsDeep). */
+  val objectsDeep: String =
+    """objects_deep AS (
+      |  SELECT volume, bucket,
+      |    substring(key, 1, length(key) - 4) || '/p' || (object_id % 3) || '.dat' AS key,
+      |    object_id, data_size, modification_time
+      |  FROM objects
+      |)""".stripMargin
+
   val buckets: String =
     """buckets AS (
       |  SELECT volume, bucket, used_bytes, used_namespace,

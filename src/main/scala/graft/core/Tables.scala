@@ -251,20 +251,41 @@ object Tables {
     synchronized { fsoCache.getOrElseUpdate((kind, dir), build.persist()) }
 
   def directoriesFso(spark: SparkSession, dir: String): DataFrame =
-    memoPersist("dirs", dir)(directoriesFsoBuild(spark, dir))
+    memoPersist("dirs", dir)(directoriesFsoBuild(objects(spark, dir)))
 
   def filesFso(spark: SparkSession, dir: String): DataFrame =
-    memoPersist("files", dir)(filesFsoBuild(spark, dir))
+    memoPersist("files", dir)(filesFsoBuild(objects(spark, dir)))
+
+  /**
+   * Deepened namespace (5-segment keys: the 4-segment key's basename
+   * becomes a directory holding one `p<n>.dat` file) — exercises FSO
+   * recursion beyond one level: a child dir's listStatus rollup must
+   * traverse two dir levels to reach its files.
+   */
+  def objectsDeep(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir).withColumn("key",
+      concat(expr("substring(key, 1, length(key) - 4)"),
+        lit("/p"), (col("object_id") % 3).cast("string"), lit(".dat")))
+
+  def directoriesFsoDeep(spark: SparkSession, dir: String): DataFrame =
+    memoPersist("dirsDeep", dir)(directoriesFsoBuild(objectsDeep(spark, dir)))
+
+  def filesFsoDeep(spark: SparkSession, dir: String): DataFrame =
+    memoPersist("filesDeep", dir)(filesFsoBuild(objectsDeep(spark, dir)))
 
   /** directories(volume, bucket, dir_id, parent_id, name): every ancestor
     * prefix of every key, one row per distinct dir. Ids are md5-derived
-    * from the full path (Hierarchy.pathId); a root child's parent_id = 0. */
-  private def directoriesFsoBuild(spark: SparkSession, dir: String): DataFrame = {
-    val o = objects(spark, dir)
+    * from the full path (Hierarchy.pathId); a root child's parent_id = 0.
+    * The prefix depth is DERIVED from the namespace's own max key depth at
+    * build time (one tiny agg, paid once per memoized build) — keys deeper
+    * than any hardcoded bound can never silently lose their parent dirs. */
+  private def directoriesFsoBuild(o: DataFrame): DataFrame = {
+    val maxDirDepth = o
+      .agg(max(size(split(col("key"), "/")))).head.getInt(0) - 1
     // STRICT ancestor prefixes only (depth < number of segments): a file's
     // own full path must never become a phantom directory row on
     // namespaces whose keys aren't uniformly deep
-    val prefixes = (1 to 3).map(d =>
+    val prefixes = (1 to maxDirDepth).map(d =>
       when(size(split(col("key"), "/")) > d,
         concat_ws("/", slice(split(col("key"), "/"), 1, d))))
     val paths = o
@@ -287,8 +308,7 @@ object Tables {
   }
 
   /** files keyed by parent dir id (fileTable rows: parentId + fileName). */
-  private def filesFsoBuild(spark: SparkSession, dir: String): DataFrame = {
-    val o = objects(spark, dir)
+  private def filesFsoBuild(o: DataFrame): DataFrame = {
     val parentPath = expr(
       "substring(key, 1, length(key) - length(element_at(split(key, '/'), -1)) - 1)")
     o.select(col("volume"), col("bucket"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,8 +54,43 @@ object CommitLog {
     creates.unionByName(overwrites).unionByName(deletes).unionByName(renames)
   }
 
-  /** Snapshot pointers (SnapshotInfo table): name → last included seq. */
-  val Snapshots: Seq[(String, Long)] = Seq("s1" -> 1L, "s2" -> 4L)
+  /**
+   * Snapshot write ops (the CreateSnapshot / DeleteSnapshot requests of the
+   * reference's write dispatch, OMDBDefinition.java:302-307
+   * snapshotInfoTable): the catalog workload. A temp snapshot is created
+   * and deleted to exercise the delete path; the survivors are the s1/s2
+   * pair every diff query resolves through the catalog.
+   */
+  val SnapshotOps: Seq[(String, String, Long)] = Seq(
+    ("CREATE", "s1", 1L), ("CREATE", "tmp", 2L),
+    ("CREATE", "s2", 4L), ("DELETE", "tmp", 2L))
+
+  /** Live snapshots after folding the op stream — the snapshot chain. The
+    * fold is driver-side: the op stream is control-plane-tiny (one row per
+    * snapshot op), like the reference's in-memory snapshot chain. */
+  def snapshotChain: Seq[(String, Long)] =
+    SnapshotOps.foldLeft(Vector.empty[(String, Long)]) {
+      case (acc, ("CREATE", n, s)) => acc :+ (n -> s)
+      case (acc, ("DELETE", n, _)) => acc.filterNot(_._1 == n)
+      case (acc, _) => acc
+    }
+
+  /** Snapshot pointers (SnapshotInfo table): name → last included seq.
+    * Derived from the op fold, not hardcoded. */
+  def Snapshots: Seq[(String, Long)] = snapshotChain
+
+  /** snapshot_info catalog rows: one per live snapshot with its state
+    * stats — what listSnapshots / getSnapshotInfo read. */
+  def snapshotInfo(objects: DataFrame): DataFrame = {
+    val log = synthesizeLog(objects)
+    snapshotChain.map { case (name, seq) =>
+      applyAt(log, seq).agg(
+          count(lit(1)).as("num_keys"),
+          sum("data_size").cast("long").as("total_bytes"))
+        .select(lit(name).as("name"), lit(seq).as("seq"),
+          col("num_keys"), col("total_bytes"))
+    }.reduce(_ unionByName _).orderBy("name")
+  }
 
   /** Materialize table state as-of `maxSeq`: latest-op-wins per key (one
     * window = one shuffle), keeping only keys whose last op is a PUT. */
@@ -108,13 +143,91 @@ object CommitLog {
       .orderBy("volume", "bucket", "key", "object_id", "data_size")
   }
 
-  /** Snapshot diff computed from two COMMITTED versions of the log — the
-    * write-path-derived dual of Joins.snapshotDiff over synthetic filters
-    * (ref SnapshotDiffManager.java:1397-1469). */
+  /** Snapshot diff computed by folding the FULL log to both versions — the
+    * reference full-walk fallback (SnapshotDiffManager.java:1397-1469).
+    * Kept as the verification oracle for [[snapshotDiffDelta]]; the
+    * declared query uses the delta path. */
   def snapshotDiffFromLog(objects: DataFrame): DataFrame = {
     val log = synthesizeLog(objects)
     val s1 = dedupByObjectId(applyAt(log, Snapshots.head._2))
     val s2 = dedupByObjectId(applyAt(log, Snapshots.last._2))
     Joins.snapshotDiff(s1, s2)
+  }
+
+  // ---- materialized checkpoints + log-slice delta diff ---------------------
+
+  private val snapWarehouses = scala.collection.mutable.Map.empty[String, String]
+
+  /**
+   * Materialize the commit log (seq-range-sorted parquet, so a delta slice
+   * is a row-group-pruned scan) and each live snapshot's folded checkpoint
+   * state ONCE per (JVM, source dir) — the engine's dual of the reference's
+   * RocksDB checkpoints. Stores only paths; every session re-reads from
+   * disk. Returns the warehouse dir.
+   */
+  def snapshotWarehouse(spark: SparkSession, objects: DataFrame,
+                        dir: String): String = synchronized {
+    snapWarehouses.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_snap_").toString
+      synthesizeLog(objects)
+        .repartitionByRange(8, col("seq"))
+        .sortWithinPartitions("seq", "volume", "bucket", "key")
+        .write.mode("overwrite").parquet(s"$out/log")
+      val logDf = spark.read.parquet(s"$out/log")
+      snapshotChain.foreach { case (name, seq) =>
+        applyAt(logDf, seq).write.mode("overwrite").parquet(s"$out/state_$name")
+      }
+      out
+    })
+  }
+
+  /**
+   * Log-slice snapshot diff: fold ONLY the records with
+   * `seqFrom < seq <= seqTo` and merge them against the FROM checkpoint —
+   * O(|delta|) work plus a broadcast-probed read of the FROM state, the
+   * commit-log dual of the reference's SST-delta pruning
+   * (hadoop-hdds/rocksdb-checkpoint-differ/src/main/java/org/apache/ozone/
+   * rocksdiff/RocksDBCheckpointDiffer.java:775-830 getSSTDiffList). The TO
+   * state is never folded from the full log: it is reconstructed only for
+   * the touched keys as (FROM rows as PUT@seqFrom) ∪ delta, latest-op-wins.
+   *
+   * The FROM probe pulls every row whose key appears in the delta AND every
+   * row of every touched object_id (two broadcast hash lookups in one scan,
+   * no shuffle of the state) — the id closure makes the per-object_id dedup
+   * see the same row set a full-state computation would, so the result is
+   * exactly `Joins.snapshotDiff(fold(≤seqFrom), fold(≤seqTo))`.
+   */
+  def snapshotDiffDelta(log: DataFrame, fromState: DataFrame,
+                        seqFrom: Long, seqTo: Long): DataFrame = {
+    val recCols = Seq("seq", "op", "volume", "bucket", "key", "object_id",
+      "data_size").map(col)
+    val delta = log.filter(col("seq") > seqFrom && col("seq") <= seqTo)
+      .select(recCols: _*)
+    val touchedKeys = delta.select("volume", "bucket", "key").distinct()
+    val keyMatched = fromState
+      .join(broadcast(touchedKeys), Seq("volume", "bucket", "key"), "left_semi")
+    val touchedIds = delta.select("object_id")
+      .unionByName(keyMatched.select("object_id")).distinct()
+    val fromTouched = fromState
+      .join(broadcast(touchedIds), Seq("object_id"), "left_semi")
+      .select("volume", "bucket", "key", "object_id", "data_size")
+    val base = fromTouched.select(lit(seqFrom).as("seq"), lit("PUT").as("op"),
+      col("volume"), col("bucket"), col("key"), col("object_id"),
+      col("data_size"))
+    val toTouched = applyAt(base.unionByName(delta), seqTo)
+    Joins.snapshotDiff(dedupByObjectId(fromTouched), dedupByObjectId(toTouched))
+  }
+
+  /** The declared diff query: resolve both snapshots through the catalog
+    * chain and run the delta diff over the materialized warehouse. */
+  def snapshotDiffFromCatalog(spark: SparkSession, objects: DataFrame,
+                              dir: String, from: String = "s1",
+                              to: String = "s2"): DataFrame = {
+    val wh = snapshotWarehouse(spark, objects, dir)
+    val chain = snapshotChain.toMap
+    snapshotDiffDelta(
+      spark.read.parquet(s"$wh/log"),
+      spark.read.parquet(s"$wh/state_$from"),
+      chain(from), chain(to))
   }
 }

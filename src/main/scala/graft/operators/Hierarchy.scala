@@ -84,24 +84,41 @@ object Hierarchy {
       .orderBy("volume", "bucket", "name", "object_id", "data_size")
 
   /**
-   * FSO listStatus: immediate children of `parentPath` via the parent
-   * pointer — one id-equality probe into each table (the point of the FSO
-   * layout: no prefix scan), with a direct-file rollup per child directory.
+   * FSO listStatus: immediate children of `parentPath`, where each child
+   * directory's rollup covers its WHOLE subtree (recursive, matching the
+   * reference: KeyManagerImpl.java:1979-2100 returns the children and Recon
+   * computes their sizes recursively — and matching what the OBS
+   * [[Listing.listStatus]] prefix grouping counts). The subtree rollup goes
+   * through the resolved directory paths (the same k bounded parent-joins
+   * as [[resolveDirs]] — never driver recursion): every file joins to its
+   * parent dir's path once, and the child is the first path segment under
+   * `parentPath` — one co-partitioned join + one aggregation.
    */
   def listStatusFso(dirs: DataFrame, files: DataFrame,
-                    volume: String, bucket: String, parentPath: String): DataFrame = {
+                    volume: String, bucket: String, parentPath: String,
+                    maxDepth: Int = 8): DataFrame = {
     val pid = if (parentPath.isEmpty) 0L else pathIdOf(volume, bucket, parentPath)
-    val childDirs = dirs
-      .filter(col("volume") === volume && col("bucket") === bucket &&
-        col("parent_id") === pid)
-      .select(col("dir_id"), col("name").as("child"))
-    val dirRollup = childDirs.join(
-        files.filter(col("volume") === volume && col("bucket") === bucket)
-          .select(col("parent_id").as("dir_id"), col("data_size")),
-        Seq("dir_id"), "left")
+    val scoped = dirs.filter(col("volume") === volume && col("bucket") === bucket)
+    val rd = resolveDirs(scoped, maxDepth)
+    val prefix = if (parentPath.isEmpty) "" else parentPath + "/"
+    // child segment directly under parentPath, for any path inside the subtree
+    def childOf(path: Column): Column =
+      element_at(split(substring(path, prefix.length + 1, Int.MaxValue), "/"), 1)
+    val subDirs = rd
+      .filter(col("path").startsWith(prefix) && col("path") =!= lit(parentPath))
+      .select(col("dir_id"), childOf(col("path")).as("child"))
+    // every file in the subtree, attributed to its child-of-parentPath
+    val subFiles = files
+      .filter(col("volume") === volume && col("bucket") === bucket)
+      .join(subDirs.select(col("dir_id").as("parent_id"), col("child")),
+        Seq("parent_id"))
       .groupBy("child")
-      .agg(count(col("data_size")).as("num_files"),
-        coalesce(sum("data_size"), lit(0L)).as("total_size"))
+      .agg(count(lit(1)).as("num_files"), sum("data_size").as("total_size"))
+    val dirRollup = subDirs.select("child").distinct()
+      .join(subFiles, Seq("child"), "left")
+      .select(col("child"),
+        coalesce(col("num_files"), lit(0L)).as("num_files"),
+        coalesce(col("total_size"), lit(0L)).as("total_size"))
       .withColumn("is_dir", lit(true))
     val childFiles = files
       .filter(col("volume") === volume && col("bucket") === bucket &&

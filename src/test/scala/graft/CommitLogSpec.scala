@@ -1,0 +1,32 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.CommitLog
+
+/** Write-path invariants: the log-slice delta diff must equal the
+  * full-state fold diff, and the snapshot catalog folds its op stream. */
+class CommitLogSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("snapshot chain folds CREATE + DELETE ops (temp snapshot dropped)") {
+    assert(CommitLog.snapshotChain === Seq("s1" -> 1L, "s2" -> 4L))
+  }
+
+  test("delta-slice snapshot diff equals the full-state fold diff") {
+    val o = Tables.objects(spark, sf)
+    val full = rows(CommitLog.snapshotDiffFromLog(o))
+    val delta = rows(CommitLog.snapshotDiffFromCatalog(spark, o, sf))
+    assert(full.nonEmpty)
+    assert(delta === full)
+  }
+
+  test("snapshot_info stats agree with the folded states") {
+    val o = Tables.objects(spark, sf)
+    val log = CommitLog.synthesizeLog(o)
+    val info = rows(CommitLog.snapshotInfo(o))
+    assert(info.map(r => (r(0), r(1))) === Seq(("s1", 1L), ("s2", 4L)))
+    val s2 = CommitLog.applyAt(log, 4L)
+    assert(info(1)(2) === s2.count())
+  }
+}

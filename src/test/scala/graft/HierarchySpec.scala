@@ -37,13 +37,27 @@ class HierarchySpec extends SparkSpecBase {
     assert(paths === Seq("a/b/f2", "a/f1", "c/f3"))
   }
 
-  test("listStatusFso lists immediate children with direct-file rollups") {
+  test("listStatusFso lists immediate children with RECURSIVE subtree rollups") {
+    // 'a' counts f1 AND a/b/f2 — the whole subtree, not just direct files
     val root = rows(Hierarchy.listStatusFso(dirs, files, "v", "b", ""))
     assert(root === Seq(
-      Seq("a", true, 1L, 10L), Seq("c", true, 1L, 30L),
+      Seq("a", true, 2L, 30L), Seq("c", true, 1L, 30L),
       Seq("f4", false, 1L, 40L)))
     val underA = rows(Hierarchy.listStatusFso(dirs, files, "v", "b", "a"))
     assert(underA === Seq(
       Seq("b", true, 1L, 20L), Seq("f1", false, 1L, 10L)))
+  }
+
+  test("FSO and OBS listStatus agree on a 3-level tree (deep fixture)") {
+    val sf = "/root/testdata/sf0.001"
+    val fso = rows(Hierarchy.listStatusFso(
+      graft.core.Tables.directoriesFsoDeep(spark, sf),
+      graft.core.Tables.filesFsoDeep(spark, sf),
+      "vol2", "bucket5", "warehouse/R"))
+    val obs = rows(graft.operators.Listing.listStatus(
+        graft.core.Tables.objectsDeep(spark, sf), "vol2", "bucket5", "warehouse/R")
+      .select("child", "is_dir", "num_files", "total_size"))
+    assert(fso.nonEmpty)
+    assert(fso === obs)
   }
 }
