@@ -167,9 +167,15 @@ object SparkEntry {
       Nested.tagRuleExpiry(T.objectsNested(s, d), "R", 883612800000L)),
     "q_acl_probe" -> ((s, d) => {
       import s.implicits._
+      // auditor2 is a NON-owner principal — only the name+type+rights match
+      // through the acls array can grant it (owner shortcut would miss it)
       Nested.aclProbe(T.objectsNested(s, d),
-        Seq("clerk1", "clerk3").toDF("principal"))
+        Seq("clerk1", "clerk3", "auditor2").toDF("principal"))
     }),
+    // ---- multi-tenancy catalog (SURVEY §2.11 tenant RPCs) ----
+    "q_list_tenants" -> ((s, d) => Tenants.listTenants(T.tenantState(s, d))),
+    "q_tenant_user_info" -> ((s, d) =>
+      Tenants.tenantUserInfo(T.tenantAccessIds(s, d), "clerk1")),
     "q_locations_explode" -> ((s, d) =>
       Nested.locationsExplode(T.objectsNested(s, d))),
     // ---- conditional reads + filter DSL (SURVEY §2.2) ----
@@ -742,10 +748,29 @@ object SparkEntry {
         |ORDER BY volume, bucket, key, data_size, modification_time""".stripMargin,
       O.objects),
 
+    // READ is granted by the owner's USER/rwx entry (name = owner) or the
+    // auditor<object_id%3> USER entry, readable only when version is even
+    // (mirrors the Tables.objectsNested acl synthesis).
     "q_acl_probe" -> O.withCtes(
-      """SELECT volume, bucket, key, owner FROM objects
-        |WHERE owner IN ('clerk1', 'clerk3')
-        |ORDER BY volume, bucket, key""".stripMargin, O.objects),
+      """SELECT volume, bucket, key, principal FROM objects
+        |CROSS JOIN (VALUES ('clerk1'), ('clerk3'), ('auditor2')) p(principal)
+        |WHERE owner = principal
+        |   OR ('auditor' || (object_id % 3) = principal AND version % 2 = 0)
+        |ORDER BY volume, bucket, key, principal""".stripMargin, O.objects),
+
+    "q_list_tenants" -> O.withCtes(
+      """SELECT 'tenant' || substr(volume, 4, 10) AS tenant_id, volume,
+        |  bucket_count, used_bytes
+        |FROM volumes ORDER BY tenant_id""".stripMargin,
+      O.objects, O.buckets, O.volumes),
+
+    "q_tenant_user_info" -> O.withCtes(
+      """SELECT DISTINCT
+        |  'tenant' || substr(volume, 4, 10) || '$' || owner AS access_id,
+        |  'tenant' || substr(volume, 4, 10) AS tenant_id,
+        |  owner AS user_principal
+        |FROM objects WHERE owner = 'clerk1'
+        |ORDER BY access_id""".stripMargin, O.objects),
 
     "q_locations_explode" -> O.withCtes(
       s"""SELECT key, data_size, container_id,

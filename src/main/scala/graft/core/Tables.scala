@@ -225,7 +225,13 @@ object Tables {
         struct(col("owner").as("name"), lit("USER").as("type"),
           lit("rwx").as("rights")),
         struct(lit("world").as("name"), lit("GROUP").as("type"),
-          lit("r--").as("rights"))))
+          lit("r--").as("rights")),
+        // non-owner USER grant whose rights vary — a principal-accurate
+        // probe must match name AND type AND rights, not just ownership
+        struct(concat(lit("auditor"), (col("object_id") % 3).cast("string"))
+            .as("name"), lit("USER").as("type"),
+          when(col("version") % 2 === 0, lit("r--")).otherwise(lit("-w-"))
+            .as("rights"))))
       .withColumn("locations",
         expr(s"""transform(
           sequence(CAST(0 AS BIGINT), (data_size - 1) DIV $LocChunkBytes),
@@ -317,6 +323,27 @@ object Tables {
         lastSeg(col("key")).as("name"),
         col("object_id"), col("data_size"), col("modification_time"))
   }
+
+  /** tenant_state (ref OMDBDefinition.java:279-298 tenantStateTable): one
+    * tenant per volume (S3-multi-tenancy maps a tenant to the volume it
+    * owns), with the volume's usage rollup. */
+  def tenantState(spark: SparkSession, dir: String): DataFrame =
+    volumes(spark, dir).select(
+      concat(lit("tenant"), substring(col("volume"), 4, 10)).as("tenant_id"),
+      col("volume"), col("bucket_count"), col("used_bytes"))
+
+  /** tenant_access_ids (tenantAccessIdTable + principalToAccessIdsTable):
+    * one access id per (tenant, principal) observed as a key owner inside
+    * the tenant's volume — accessId = "<tenant>$<principal>", the
+    * reference's accessId convention. */
+  def tenantAccessIds(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .select("volume", "owner").distinct()
+      .withColumn("tenant_id",
+        concat(lit("tenant"), substring(col("volume"), 4, 10)))
+      .select(col("tenant_id"),
+        col("owner").as("user_principal"),
+        concat(col("tenant_id"), lit("$"), col("owner")).as("access_id"))
 
   /** audit_access ← orders (heatmap source, ref HeatMapUtil.java:60-130). */
   def auditAccess(spark: SparkSession, dir: String): DataFrame = {

@@ -27,17 +27,23 @@ object Nested {
       .select("volume", "bucket", "key", "data_size", "modification_time")
       .orderBy("volume", "bucket", "key", "data_size", "modification_time")
 
-  /** ACL semi-join probe: keys readable by any of `principals` — LEFT SEMI
-    * against a (broadcast) principal set, matched through the acls array
-    * with an exists() lambda (GetAcl / tenant-access probe shape). */
-  def aclProbe(objectsNested: DataFrame, principals: DataFrame): DataFrame = {
-    val granted = objectsNested.filter(
-      exists(col("acls"), a => a("rights").contains("r")))
-    granted.join(broadcast(principals),
-        granted("owner") === principals("principal"), "left_semi")
-      .select("volume", "bucket", "key", "owner")
-      .orderBy("volume", "bucket", "key")
-  }
+  /**
+   * Principal-accurate ACL probe: (key, principal) pairs where the
+   * requesting principal holds READ through a USER acl entry matching its
+   * OWN name — the checkAccess resolution of the reference
+   * (hadoop-ozone/common/.../OzoneAclUtil.java: each entry matched on
+   * name + type + rights), not an owner shortcut. The principal set is
+   * broadcast; the acl match is an exists() lambda over the nested array
+   * evaluated inside the (codegen'd) join condition — the key table never
+   * shuffles.
+   */
+  def aclProbe(objectsNested: DataFrame, principals: DataFrame): DataFrame =
+    objectsNested.join(broadcast(principals),
+        exists(col("acls"), a =>
+          a("type") === "USER" && a("name") === col("principal") &&
+            a("rights").contains("r")))
+      .select("volume", "bucket", "key", "principal")
+      .orderBy("volume", "bucket", "key", "principal")
 
   /** Explode the per-key block location list — one row per block with its
     * byte range (the lookupKey → block-list resolution of the reference). */
