@@ -55,6 +55,11 @@ object SparkEntry {
     "q_page_after" -> ((s, d) =>
       Listing.pageAfter(T.objectsSorted(s, d), "vol3", "bucket7",
         "warehouse/N/15", 50)),
+    // tokenized multi-page walk (maxKeys=97 forces page boundaries on both
+    // key and CommonPrefix entries); concatenation == untokenized listing
+    "q_list_objects_pages" -> ((s, d) =>
+      Listing.listObjectsV2Walk(T.objectsSorted(s, d), "vol0", "bucket0",
+        "warehouse/N/", 97)),
     "q_list_buckets" -> ((s, d) =>
       Listing.listBuckets(T.buckets(s, d), "vol1", "bucket2", 5)),
     "q_list_volumes" -> ((s, d) => Listing.listVolumes(T.volumes(s, d))),
@@ -271,6 +276,21 @@ object SparkEntry {
         |WHERE volume = 'vol3' AND bucket = 'bucket7'
         |  AND key > 'warehouse/N/15'
         |ORDER BY key, data_size LIMIT 50""".stripMargin, O.objects),
+
+    "q_list_objects_pages" -> O.withCtes(
+      """SELECT entry, max(slash) > 0 AS is_common_prefix,
+        |  count(*) AS num_keys, CAST(sum(data_size) AS BIGINT) AS total_size
+        |FROM (
+        |  SELECT CASE WHEN strpos(rest, '/') > 0
+        |      THEN 'warehouse/N/' || substring(rest, 1, strpos(rest, '/'))
+        |      ELSE key END AS entry,
+        |    strpos(rest, '/') AS slash, data_size
+        |  FROM (
+        |    SELECT key, data_size, substring(key, 13) AS rest
+        |    FROM objects
+        |    WHERE volume = 'vol0' AND bucket = 'bucket0'
+        |      AND key LIKE 'warehouse/N/%'))
+        |GROUP BY entry ORDER BY entry""".stripMargin, O.objects),
 
     "q_list_buckets" -> O.withCtes(
       """SELECT * FROM buckets

@@ -126,6 +126,124 @@ object Listing {
       .orderBy("key", "data_size")
       .limit(maxKeys)
 
+  // ---- S3 ContinueToken pagination (ref s3gateway ContinueToken.java:
+  // hex-encoded lastKey[+lastDir] with an integrity digest;
+  // BucketEndpoint.java:184-256: keys and CommonPrefixes count JOINTLY
+  // against maxKeys, and a page ending inside a CommonPrefix carries that
+  // dir so the next page resumes past it without rescanning it) ----
+
+  /** Decoded continuation token. `lastDir` is set when the previous page
+    * ended on a CommonPrefix entry: the next page resumes at succ(lastDir),
+    * skipping every remaining key under that prefix. */
+  final case class S3Token(lastKey: String, lastDir: Option[String])
+
+  private def hexEnc(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+  private def hexDec(h: String): String =
+    new String(h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
+  private def tokenDigest(payload: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  /** Opaque wire form: `hex(lastKey)[:hex(lastDir)]-digest` — hex keeps the
+    * separator chars unambiguous for arbitrary key bytes. */
+  def encodeToken(t: S3Token): String = {
+    val payload = hexEnc(t.lastKey) + t.lastDir.map(d => ":" + hexEnc(d)).getOrElse("")
+    payload + "-" + tokenDigest(payload)
+  }
+
+  /** Inverse of [[encodeToken]]; rejects tampered or malformed tokens. */
+  def decodeToken(s: String): S3Token = {
+    val i = s.lastIndexOf('-')
+    require(i > 0, s"malformed continue token: $s")
+    val (payload, dg) = (s.substring(0, i), s.substring(i + 1))
+    require(tokenDigest(payload) == dg, "continue token digest mismatch")
+    payload.split(':') match {
+      case Array(k)    => S3Token(hexDec(k), None)
+      case Array(k, d) => S3Token(hexDec(k), Some(hexDec(d)))
+      case _           => throw new IllegalArgumentException("malformed token payload")
+    }
+  }
+
+  /** One tokenized ListObjectsV2 page: grouped entries (keys +
+    * CommonPrefixes, jointly counted) strictly after the token position,
+    * maxKeys+1 rows so the caller derives truncation. The lastDir resume is
+    * a sargable `key >= succ(dir)` — the whole finished prefix is skipped
+    * by row-group stats, never rescanned. */
+  def listObjectsV2Page(objects: DataFrame, volume: String, bucket: String,
+                        prefix: String, token: Option[S3Token],
+                        maxKeys: Int): DataFrame = {
+    val resume: Column = token match {
+      case None => lit(true)
+      case Some(S3Token(lk, None)) => col("key") > lk
+      case Some(S3Token(_, Some(dir))) =>
+        // same surrogate-block guard as prefixPred
+        if (dir.nonEmpty && dir.last < 0xD7FF.toChar)
+          col("key") >= (dir.init + (dir.last + 1).toChar)
+        else !col("key").startsWith(dir) && col("key") > dir
+    }
+    val p = prefix.length
+    objects
+      .filter(col("volume") === volume && col("bucket") === bucket &&
+        prefixPred(col("key"), prefix) && resume)
+      .withColumn("rest", expr(s"substring(key, ${p + 1})"))
+      .withColumn("slash", instr(col("rest"), "/"))
+      .withColumn("entry",
+        when(col("slash") > 0,
+          concat(lit(prefix), expr("substring(rest, 1, slash)")))
+          .otherwise(col("key")))
+      .groupBy("entry")
+      .agg(
+        (max(col("slash")) > 0).as("is_common_prefix"),
+        count(lit(1)).as("num_keys"),
+        sum("data_size").as("total_size"))
+      .orderBy("entry")
+      .limit(maxKeys + 1)
+  }
+
+  /** Next-page token from a collected maxKeys+1 page: None when the page
+    * was final; else the last RETURNED entry, with the dir carry-over when
+    * that entry is a CommonPrefix. */
+  def nextTokenOf(page: Seq[org.apache.spark.sql.Row],
+                  maxKeys: Int): Option[S3Token] =
+    if (page.size <= maxKeys) None
+    else {
+      val last = page(maxKeys - 1)
+      val entry = last.getString(0)
+      if (last.getBoolean(1)) Some(S3Token(entry, Some(entry)))
+      else Some(S3Token(entry, None))
+    }
+
+  /** Full tokenized walk (the client-side pagination loop): pages are
+    * independent O(page) queries chained by encoded tokens; the
+    * concatenation must equal the untokenized listing — each page collect
+    * is bounded by maxKeys, never the namespace. */
+  def listObjectsV2Walk(objects: DataFrame, volume: String, bucket: String,
+                        prefix: String, maxKeys: Int,
+                        maxPages: Int = 100000): DataFrame = {
+    val spark = objects.sparkSession
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var token: Option[S3Token] = None
+    var pages = 0
+    var done = false
+    while (!done && pages < maxPages) {
+      // round-trip through the wire form every hop — the encode/decode path
+      // is part of what the walk exercises
+      val wire = token.map(encodeToken).map(decodeToken)
+      val pg = listObjectsV2Page(objects, volume, bucket, prefix, wire, maxKeys)
+        .collect().toSeq
+      buf ++= pg.take(maxKeys)
+      token = nextTokenOf(pg, maxKeys)
+      done = token.isEmpty
+      pages += 1
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(buf.toSeq, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "entry STRING, is_common_prefix BOOLEAN, num_keys BIGINT, total_size BIGINT"))
+      .orderBy("entry")
+  }
+
   /** listBuckets of a volume with prefix + exclusive startBucket
     * (ref OmMetadataManagerImpl listBuckets semantics). */
   def listBuckets(buckets: DataFrame, volume: String,

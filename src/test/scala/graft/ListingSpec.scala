@@ -122,6 +122,42 @@ class ListingSpec extends SparkSpecBase {
     assert(all === viaEmpty && all.nonEmpty)
   }
 
+  test("S3 continue token round-trips and rejects tampering") {
+    val plain = Listing.S3Token("a/b/key3", None)
+    val withDir = Listing.S3Token("a/b/", Some("a/b/"))
+    val uni = Listing.S3Token("a/ü/ключ", Some("a/ü/"))
+    Seq(plain, withDir, uni).foreach { t =>
+      assert(Listing.decodeToken(Listing.encodeToken(t)) === t)
+    }
+    val wire = Listing.encodeToken(withDir)
+    val tampered = wire.updated(0, if (wire(0) == '0') '1' else '0')
+    assertThrows[IllegalArgumentException](Listing.decodeToken(tampered))
+  }
+
+  test("tokenized walk: page ending ON a common prefix carries lastDir and skips it") {
+    // entries in order: a/b/ (CP), a/key1, a/key2 — maxKeys=1 makes page 1
+    // end exactly on the a/b/ group boundary
+    val p1 = Listing.listObjectsV2Page(objects, "v1", "b1", "a/", None, 1)
+      .collect().toSeq
+    val t1 = Listing.nextTokenOf(p1, 1)
+    assert(p1.head.getString(0) === "a/b/" && p1.head.getBoolean(1))
+    assert(t1 === Some(Listing.S3Token("a/b/", Some("a/b/"))))
+    // next page resumes past the WHOLE a/b/ subtree
+    val p2 = Listing.listObjectsV2Page(objects, "v1", "b1", "a/", t1, 1)
+      .collect().toSeq
+    assert(p2.map(_.getString(0)) === Seq("a/key1", "a/key2"))
+    val t2 = Listing.nextTokenOf(p2, 1)
+    assert(t2 === Some(Listing.S3Token("a/key1", None)))
+  }
+
+  test("tokenized walk concatenation equals the untokenized listing (no gap, no overlap)") {
+    for (mk <- Seq(1, 2, 3, 100)) {
+      val walked = rows(Listing.listObjectsV2Walk(objects, "v1", "b1", "a/", mk))
+      val full = rows(Listing.listObjectsV2(objects, "v1", "b1", "a/", "", 1000))
+      assert(walked === full, s"maxKeys=$mk")
+    }
+  }
+
   test("container-key join broadcasts the small container dim (plan quality)") {
     val q = graft.operators.Joins.containerKeyJoin(
       graft.core.Tables.objects(spark, "/root/testdata/sf0.001"),
