@@ -134,6 +134,10 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(T.documents(s, d))),
     "q_media_meta" -> ((s, d) => Multimodal.mediaMeta(T.mediaAssets(s, d))),
+    // EC round-trip: stripe RS(3,2), erase one shard per stripe,
+    // reconstruct — output equals the source payloads iff decode works
+    "q_ec_reconstruct" -> ((s, d) =>
+      ErasureOps.reconstructAfterErasure(T.mediaAssets(s, d))),
     "q_daily_growth" -> ((s, d) => Aggregates.dailyGrowth(T.events(s, d))),
     "q_stream_hourly" -> ((s, d) => Events.hourlyCounts(T.events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(T.events(s, d))),
@@ -671,6 +675,11 @@ object SparkEntry {
         |  CAST(list_sum([('0x' || substr(payload_hex, i * 2 - 1, 2))::BIGINT
         |                 for i in generate_series(1, 64)]) AS BIGINT) AS byte_sum,
         |  width, height
+        |FROM media_assets ORDER BY media_id""".stripMargin, O.mediaAssets),
+
+    // reconstruction must reproduce the source payload bytes exactly
+    "q_ec_reconstruct" -> O.withCtes(
+      """SELECT media_id, payload_hex AS recovered_hex
         |FROM media_assets ORDER BY media_id""".stripMargin, O.mediaAssets),
 
     "q_daily_growth" -> O.withCtes(
