@@ -76,6 +76,8 @@ object SparkEntry {
     "q_quota_usage" -> ((s, d) => Aggregates.quotaUsage(T.buckets(s, d))),
     "q_heatmap" -> ((s, d) =>
       Aggregates.heatmap(Aggregates.AuditHeatmapProvider.accessEvents(s, d))),
+    "q_heatmap_tree" -> ((s, d) =>
+      Aggregates.heatmapTree(Aggregates.AuditHeatmapProvider.accessEvents(s, d))),
     "q_typed_filesize" -> ((s, d) => {
       import s.implicits._
       graft.core.Model.objectsDS(s, d)
@@ -381,6 +383,32 @@ object SparkEntry {
         |        GROUP BY volume, bucket,
         |          array_to_string(list_slice(string_split(key, '/'), 1, 2), '/')))
         |ORDER BY volume, bucket, prefix""".stripMargin, O.auditAccess),
+
+    // per-LEVEL normalization: min/max among a level's own siblings
+    "q_heatmap_tree" -> O.withCtes(
+      """SELECT level, path, access_count,
+        |  CASE WHEN max(access_count) OVER (PARTITION BY level)
+        |          > min(access_count) OVER (PARTITION BY level)
+        |    THEN (access_count - min(access_count) OVER (PARTITION BY level)) * 10000
+        |         // (max(access_count) OVER (PARTITION BY level)
+        |            - min(access_count) OVER (PARTITION BY level))
+        |    ELSE 0 END AS heat_x10000
+        |FROM (
+        |  SELECT 1 AS level, volume AS path, count(*) AS access_count
+        |  FROM hm_base GROUP BY volume
+        |  UNION ALL
+        |  SELECT 2, volume || '/' || bucket, count(*)
+        |  FROM hm_base GROUP BY volume, bucket
+        |  UNION ALL
+        |  SELECT 3, volume || '/' || bucket || '/' || prefix, count(*)
+        |  FROM hm_base GROUP BY volume, bucket, prefix)
+        |ORDER BY level, path""".stripMargin,
+      O.auditAccess,
+      """hm_base AS (
+        |  SELECT volume, bucket,
+        |    array_to_string(list_slice(string_split(key, '/'), 1, 2), '/') AS prefix
+        |  FROM audit_access WHERE op = 'READ_KEY'
+        |)""".stripMargin),
 
     "q_container_key_join" -> O.withCtes(
       """SELECT t.container_id, t.num_keys, t.total_size, c.state

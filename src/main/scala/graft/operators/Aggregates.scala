@@ -141,6 +141,42 @@ object Aggregates {
   }
 
   /**
+   * Heatmap ENTITY TREE: one row per tree node across the
+   * volume → volume/bucket → volume/bucket/prefix levels, each level
+   * min/max-normalized among its own siblings — ref HeatMapUtil.java:60-130
+   * (nested EntityMetaData tree with per-level rollups and :102-111
+   * normalization). One `rollup()` pass computes every level in a single
+   * shuffle; the per-level normalization is a window over the (tiny) node
+   * table, never over raw events.
+   */
+  def heatmapTree(audit: DataFrame): DataFrame = {
+    val base = audit
+      .filter(col("op") === "READ_KEY")
+      .withColumn("prefix", concat_ws("/", slice(split(col("key"), "/"), 1, 2)))
+    // grouping_id bits (volume=4, bucket=2, prefix=1): 0 = leaf level,
+    // 1 = bucket level, 3 = volume level, 7 = grand total (dropped)
+    val nodes = base.rollup("volume", "bucket", "prefix")
+      .agg(count(lit(1)).as("access_count"), grouping_id().as("gid"))
+      .filter(col("gid") =!= 7)
+      .withColumn("level",
+        when(col("gid") === 0, 3).when(col("gid") === 1, 2).otherwise(1))
+      .withColumn("path",
+        when(col("level") === 1, col("volume"))
+          .when(col("level") === 2, concat_ws("/", col("volume"), col("bucket")))
+          .otherwise(concat_ws("/", col("volume"), col("bucket"), col("prefix"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("level")
+    nodes
+      .withColumn("min_c", min("access_count").over(w))
+      .withColumn("max_c", max("access_count").over(w))
+      .withColumn("heat_x10000",
+        when(col("max_c") > col("min_c"),
+          expr("(access_count - min_c) * 10000 DIV (max_c - min_c)"))
+          .otherwise(lit(0L)))
+      .select("level", "path", "access_count", "heat_x10000")
+      .orderBy("level", "path")
+  }
+
+  /**
    * Skew-safe two-stage aggregation (salting): stage 1 groups on
    * (keys, salt) so a heavy-hitter key's rows split across `numSalts`
    * reducers; stage 2 combines the partials. Use when ONE key dominates a
