@@ -621,11 +621,11 @@ object SparkEntry {
          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |      c.cell_id,
          |      ${O.cosSql("list_sum([c.qv[i] * q.qv[i] for i in generate_series(1, 64)])", "c.nrm", "q.nrm")} AS cos_x1e6
-         |    FROM ivf_cells c JOIN ivf_cells q
-         |      ON c.cell_id = q.cell_id AND q.vec_id < 20
+         |    FROM ivf_cells c JOIN ivf_probe q
+         |      ON c.cell_id = q.cell_id
          |     AND c.vec_id <> q.vec_id))
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-      O.embQuant, O.ivfCellsCte),
+      (O.embQuant +: O.ivfCtes): _*),
 
     "q_token_classes" ->
       """SELECT doc_id,

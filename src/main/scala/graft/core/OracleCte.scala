@@ -287,20 +287,50 @@ object OracleCte {
        |  JOIN emb_n b ON c.vec_b = b.vec_id
        |)""".stripMargin
 
-  /** IVF cell assignment (mirror of Similarity.ivfCells(16)): nearest of
-    * the first-16 seed centroids by integer cosine, cell_id tie-break. */
-  val ivfCellsCte: String =
-    s"""ivf_cells AS (
-       |  SELECT vec_id, cell_id, qv, nrm FROM (
+  /** One (vector, centroid) ranking pass (mirror of Similarity.rankCells):
+    * integer cosine, cell_id tie-break, keep ranks <= `keep`. */
+  private def ivfAsgSql(cents: String, name: String, filter: String,
+                        keep: Int): String =
+    s"""$name AS (
+       |  SELECT vec_id, cell_id, qv, nrm, rn FROM (
        |    SELECT n.vec_id, c.cell_id, n.qv, n.nrm,
        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |        ${cosSql("list_sum([n.qv[i] * c.cv[i] for i in generate_series(1, 64)])", "n.nrm", "c.cnrm")} DESC,
+       |        ${cosSql("list_sum([n.qv[j] * c.cv[j] for j in generate_series(1, 64)])", "n.nrm", "c.cnrm")} DESC,
        |        c.cell_id) AS rn
-       |    FROM emb_n n CROSS JOIN (
-       |      SELECT vec_id AS cell_id, qv AS cv, nrm AS cnrm
-       |      FROM emb_n WHERE vec_id < 16) c)
-       |  WHERE rn = 1
+       |    FROM emb_n n CROSS JOIN $cents c$filter)
+       |  WHERE rn <= $keep
        |)""".stripMargin
+
+  /** Integer component means of an assignment (Lloyd re-center step). */
+  private def ivfMeanSql(i: Int): String =
+    s"""ivf_mean${i + 1} AS (
+       |  SELECT cell_id, g.i AS pos,
+       |    CAST(floor(CAST(sum(qv[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+       |  FROM ivf_asg$i CROSS JOIN generate_series(1, 64) g(i)
+       |  GROUP BY cell_id, g.i
+       |)""".stripMargin
+
+  private def ivfCentsSql(i: Int): String =
+    s"""cents$i AS (
+       |  SELECT cell_id, cv,
+       |    CAST(list_sum([x * x for x in cv]) AS BIGINT) AS cnrm
+       |  FROM (SELECT cell_id, list(mv ORDER BY pos) AS cv
+       |        FROM ivf_mean$i GROUP BY cell_id)
+       |)""".stripMargin
+
+  /** Lloyd-refined IVF chain (mirror of Similarity.ivfCentroids(16, 2) +
+    * final hard assignment + the nprobe=2 probe list for vec_id < 20). */
+  val ivfCtes: Seq[String] = Seq(
+    """cents0 AS (
+      |  SELECT vec_id AS cell_id, qv AS cv, nrm AS cnrm
+      |  FROM emb_n WHERE vec_id < 16
+      |)""".stripMargin,
+    ivfAsgSql("cents0", "ivf_asg0", "", 1),
+    ivfMeanSql(0), ivfCentsSql(1),
+    ivfAsgSql("cents1", "ivf_asg1", "", 1),
+    ivfMeanSql(1), ivfCentsSql(2),
+    ivfAsgSql("cents2", "ivf_cells", "", 1),
+    ivfAsgSql("cents2", "ivf_probe", " WHERE n.vec_id < 20", 2))
 
   /** Engine-identical integer cosine (see Similarity.cosExpr). */
   def cosSql(dot: String, na: String, nb: String): String =

@@ -154,41 +154,77 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /**
-   * IVF (inverted-file) coarse quantization — the centroid-bucketed scale
-   * path complementing the sign-LSH tables: every vector is assigned to the
-   * nearest of `numCells` deterministic seed centroids (the first
-   * `numCells` corpus vectors by id), and a probe touches only its own
-   * cell's posting list.
-   *
-   * Scale design: assignment broadcasts the tiny centroid set into the
-   * corpus scan (one pass, vectors never shuffle for it); in production
-   * numCells tunes to ~√n and recall grows with nprobe. Returns
-   * (vec_id, cell_id, qv, nrm).
-   */
-  def ivfCells(embeddings: DataFrame, numCells: Int = 16): DataFrame = {
-    val q = quantized(embeddings)
-    val cents = q.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cell_id"), col("qv").as("cv"),
-        col("nrm").as("cnrm"))
+  private val centCosExpr =
+    "CAST(floor(CAST(cdot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) * 1000000) AS BIGINT)"
+
+  /** Rank every (vector, centroid) pair by integer cosine; keep ranks ≤
+    * `keep` (1 = hard assignment, >1 = multi-probe). Input cents:
+    * (cell_id, cv, cnrm); output keeps (vec_id, cell_id, qv, nrm, rn). */
+  private def rankCells(q: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cell_id"))
     q.crossJoin(broadcast(cents))
       .withColumn("cdot",
         expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .withColumn("ccos",
-        expr("CAST(floor(CAST(cdot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("ccos", expr(centCosExpr))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= keep)
+      .select("vec_id", "cell_id", "qv", "nrm", "rn")
+  }
+
+  /**
+   * Lloyd-refined IVF centroids, fully deterministic: seeded start (first
+   * `numCells` corpus vectors by id) + `iters` assign/re-center passes.
+   * Component means are floor(sum / count) — exact integers in both
+   * engines (sums stay far below 2⁵³), so the DuckDB oracle reproduces the
+   * centroids bit-for-bit. Cells that lose all members simply drop out
+   * (standard Lloyd behavior). Returns (cell_id, cv, cnrm).
+   *
+   * Scale design: each pass is one broadcast of the tiny centroid set into
+   * the corpus scan plus one aggregation keyed by (cell, component) — the
+   * corpus never shuffles; at 100 TB the refined centroids would be
+   * materialized once (like the LSH bands) and reused by every probe.
+   */
+  def ivfCentroids(q: DataFrame, numCells: Int = 16, iters: Int = 2): DataFrame = {
+    var cents = q.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    for (_ <- 1 to iters) {
+      val assigned = rankCells(q, cents, keep = 1)
+      cents = assigned
+        .select(col("cell_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cell_id", "pos")
+        .agg(expr("CAST(floor(CAST(sum(v) AS DOUBLE) / count(1)) AS BIGINT)")
+          .as("mv"))
+        .groupBy("cell_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)")
+          .as("cv"))
+        .withColumn("cnrm",
+          expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    }
+    cents
+  }
+
+  /** IVF posting lists: every vector hard-assigned to its nearest
+    * Lloyd-refined centroid. Returns (vec_id, cell_id, qv, nrm). */
+  def ivfCells(embeddings: DataFrame, numCells: Int = 16,
+               iters: Int = 2): DataFrame = {
+    val q = quantized(embeddings)
+    rankCells(q, ivfCentroids(q, numCells, iters), keep = 1)
       .select("vec_id", "cell_id", "qv", "nrm")
   }
 
-  /** IVF ANN: bounded query batch (vec_id < numQueries) probes ONLY its own
-    * cell, ranked by exact cosine — cost ∝ cell size, not corpus size. */
+  /** IVF ANN with multi-probe: a bounded query batch (vec_id < numQueries)
+    * probes its `nprobe` nearest cells' posting lists, ranked by exact
+    * cosine — cost ∝ nprobe · cell size, never corpus size; recall grows
+    * with nprobe (spec-checked against the brute-force oracle). */
   def annIvf(embeddings: DataFrame, numCells: Int = 16,
-             numQueries: Int = 20, k: Int = 3): DataFrame = {
-    val cells = ivfCells(embeddings, numCells)
-    val queries = cells.filter(col("vec_id") < numQueries)
+             numQueries: Int = 20, k: Int = 3, nprobe: Int = 2,
+             iters: Int = 2): DataFrame = {
+    val q = quantized(embeddings)
+    val cents = ivfCentroids(q, numCells, iters)
+    val cells = rankCells(q, cents, keep = 1)
+    val probes = rankCells(q.filter(col("vec_id") < numQueries), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("cell_id"),
         col("qv").as("sv"), col("nrm").as("snrm"))
     val w = Window.partitionBy("query_id")
@@ -196,7 +232,7 @@ object Similarity {
     cells
       .select(col("vec_id").as("neighbor_id"), col("cell_id"),
         col("qv").as("cv"), col("nrm").as("nrm_a"))
-      .join(broadcast(queries), Seq("cell_id"))
+      .join(broadcast(probes), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("dot",
         expr("aggregate(zip_with(cv, sv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))

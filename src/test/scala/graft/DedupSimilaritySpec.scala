@@ -114,6 +114,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(top.head(0) === 0L && top.head(4) === 1000000L)
   }
 
+  test("IVF recall@3 vs the brute-force oracle is bounded below (real corpus)") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.annTopK(emb, numQueries = 20, k = 3))
+    val ivf = hits(Similarity.annIvf(emb))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@3 = $recall (${ivf.size} ivf, ${exact.size} exact)")
+  }
+
   test("brute-force top-k ranks the matching basis vector first") {
     val e = embs(
       0L -> basisVec(1), 5L -> basisVec(1), 6L -> basisVec(2), 7L -> basisVec(3))
