@@ -44,6 +44,13 @@ object Api {
                prefix: String, startKey: String, maxKeys: Int): DataFrame =
     Listing.listKeys(T.objectsSorted(s, d), volume, bucket, prefix, startKey, maxKeys)
 
+  /** ListKeysLight: the same page with only the light columns (the
+    * reference strips locations/acls for this RPC). */
+  def listKeysLight(s: SparkSession, d: String, volume: String, bucket: String,
+                    prefix: String, startKey: String, maxKeys: Int): DataFrame =
+    listKeys(s, d, volume, bucket, prefix, startKey, maxKeys)
+      .select("key", "data_size", "creation_time")
+
   def listStatus(s: SparkSession, d: String, volume: String, bucket: String,
                  dir: String): DataFrame =
     Listing.listStatus(T.objectsSorted(s, d), volume, bucket, dir)
@@ -78,13 +85,35 @@ object Api {
     Lifecycle.mpuExpiry(T.multipartParts(s, d), beforeMs)
 
   // -- snapshots + change stream -------------------------------------------
-  def listSnapshots(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    CommitLog.Snapshots.toDF("snapshot_name", "last_seq")
-  }
+  def listSnapshots(s: SparkSession, d: String): DataFrame =
+    CommitLog.snapshotInfo(T.objects(s, d))
+
+  /** GetSnapshotInfo: one catalog row by name. */
+  def getSnapshotInfo(s: SparkSession, d: String, name: String): DataFrame =
+    CommitLog.snapshotInfo(T.objects(s, d)).filter(col("name") === name)
 
   def snapshotDiff(s: SparkSession, d: String): DataFrame =
-    CommitLog.snapshotDiffFromLog(T.objects(s, d))
+    CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d)
+
+  /** ListSnapshotDiffJobs: one row per adjacent catalog pair with the
+    * job-report rollup (the reference lists submitted diff jobs with
+    * their status; here every chain pair is a completed job). */
+  def listSnapshotDiffJobs(s: SparkSession, d: String): DataFrame = {
+    val chain = CommitLog.snapshotChain
+    chain.zip(chain.tail).map { case ((from, _), (to, _)) =>
+      CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d, from, to)
+        .agg(count(lit(1)).as("diff_rows"))
+        .select(lit(s"$from->$to").as("job_id"), lit(from).as("from_snapshot"),
+          lit(to).as("to_snapshot"), lit("DONE").as("status"), col("diff_rows"))
+    }.reduce(_ unionByName _)
+  }
+
+  // -- multi-tenancy --------------------------------------------------------
+  def listTenants(s: SparkSession, d: String): DataFrame =
+    Tenants.listTenants(T.tenantState(s, d))
+
+  def tenantGetUserInfo(s: SparkSession, d: String, principal: String): DataFrame =
+    Tenants.tenantUserInfo(T.tenantAccessIds(s, d), principal)
 
   /** DBUpdates(seq): the typed change stream since a sequence number. */
   def dbUpdates(s: SparkSession, d: String, sinceSeq: Long): DataFrame =

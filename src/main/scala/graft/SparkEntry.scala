@@ -21,15 +21,22 @@ object SparkEntry {
       "vol1", "bucket3", "warehouse/N/", "", 100)
 
   // MinHash bands feed BOTH the LSH-pair query and the Jaccard verifier —
-  // persist them once per source (the at-scale pattern: candidate
-  // signatures are a materialized artifact, not recomputed per consumer).
-  private val bandsCache =
-    scala.collection.mutable.Map.empty[String, DataFrame]
-  private def minhashBandsCached(s: SparkSession, d: String): DataFrame =
-    synchronized {
-      bandsCache.getOrElseUpdate(d,
-        Dedup.minhashBands(T.documents(s, d)).persist())
+  // materialize them once per source as parquet and re-read per session
+  // (the at-scale pattern: candidate signatures are a materialized
+  // artifact, not recomputed per consumer — and a path cache never hands a
+  // new session a DataFrame bound to a stopped one).
+  private val bandsPaths =
+    scala.collection.mutable.Map.empty[String, String]
+  private def minhashBandsCached(s: SparkSession, d: String): DataFrame = {
+    val p = synchronized {
+      bandsPaths.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("graft_bands_").toString
+        Dedup.minhashBands(T.documents(s, d)).write.mode("overwrite").parquet(out)
+        out
+      })
     }
+    s.read.parquet(p)
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

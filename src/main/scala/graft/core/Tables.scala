@@ -249,18 +249,28 @@ object Tables {
     element_at(split(c, "/"), -1)
 
   // The FSO tables are PERSISTED entities in the reference (directoryTable/
-  // fileTable); derive them once per (JVM, source) and keep them cached so
-  // the resolve/listStatus/orphan queries don't re-pay the explode+distinct
-  // synthesis each time.
-  private val fsoCache = scala.collection.mutable.Map.empty[(String, String), DataFrame]
-  private def memoPersist(kind: String, dir: String)(build: => DataFrame): DataFrame =
-    synchronized { fsoCache.getOrElseUpdate((kind, dir), build.persist()) }
+  // fileTable); derive them once per (JVM, source) into a parquet dir and
+  // RE-READ per session (like objectsSorted) — the cache stores only paths,
+  // so a stopped-and-recreated SparkSession never sees a DataFrame bound to
+  // a dead session, and nothing stays pinned in the block cache.
+  private val fsoPaths = scala.collection.mutable.Map.empty[(String, String), String]
+  private def memoPersist(spark: SparkSession, kind: String, dir: String)
+                         (build: => DataFrame): DataFrame = {
+    val p = synchronized {
+      fsoPaths.getOrElseUpdate((kind, dir), {
+        val out = java.nio.file.Files.createTempDirectory(s"graft_${kind}_").toString
+        build.write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    spark.read.parquet(p)
+  }
 
   def directoriesFso(spark: SparkSession, dir: String): DataFrame =
-    memoPersist("dirs", dir)(directoriesFsoBuild(objects(spark, dir)))
+    memoPersist(spark, "dirs", dir)(directoriesFsoBuild(objects(spark, dir)))
 
   def filesFso(spark: SparkSession, dir: String): DataFrame =
-    memoPersist("files", dir)(filesFsoBuild(objects(spark, dir)))
+    memoPersist(spark, "files", dir)(filesFsoBuild(objects(spark, dir)))
 
   /**
    * Deepened namespace (5-segment keys: the 4-segment key's basename
@@ -274,10 +284,10 @@ object Tables {
         lit("/p"), (col("object_id") % 3).cast("string"), lit(".dat")))
 
   def directoriesFsoDeep(spark: SparkSession, dir: String): DataFrame =
-    memoPersist("dirsDeep", dir)(directoriesFsoBuild(objectsDeep(spark, dir)))
+    memoPersist(spark, "dirsDeep", dir)(directoriesFsoBuild(objectsDeep(spark, dir)))
 
   def filesFsoDeep(spark: SparkSession, dir: String): DataFrame =
-    memoPersist("filesDeep", dir)(filesFsoBuild(objectsDeep(spark, dir)))
+    memoPersist(spark, "filesDeep", dir)(filesFsoBuild(objectsDeep(spark, dir)))
 
   /** directories(volume, bucket, dir_id, parent_id, name): every ancestor
     * prefix of every key, one row per distinct dir. Ids are md5-derived

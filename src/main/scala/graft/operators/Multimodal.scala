@@ -79,19 +79,23 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          // payload is a row-major byte matrix truncated/wrapped to w×h
           val out = new Array[Byte](outW * outH)
-          var y = 0
-          while (y < outH) {
-            val sy = y * r.height / outH
-            var x = 0
-            while (x < outW) {
-              val sx = x * r.width / outW
-              out(y * outW + x) =
-                r.payload((sy * r.width + sx) % r.payload.length)
-              x += 1
+          // degenerate assets (empty payload or non-positive dims) resize to
+          // an all-zero frame instead of crashing the whole partition
+          if (r.payload.nonEmpty && r.width > 0 && r.height > 0) {
+            // payload is a row-major byte matrix truncated/wrapped to w×h
+            var y = 0
+            while (y < outH) {
+              val sy = y * r.height / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * r.width / outW
+                out(y * outW + x) =
+                  r.payload((sy * r.width + sx) % r.payload.length)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
           }
           Resized(r.media_id, r.width, r.height, outW, outH, out)
         }

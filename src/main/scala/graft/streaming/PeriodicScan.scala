@@ -36,10 +36,12 @@ object PeriodicScan {
   /**
    * One scan tick: evaluate `rule` over rows with cursor < modification_time
    * ≤ `nowMs`, hand the batch to `consume`, and advance the cursor to
-   * `nowMs` ONLY after consume returns — a crashed tick re-runs from the
-   * previous cursor, so delivery is at-least-once (the cursor must never
-   * move past rows nobody has processed). Repeated successful ticks never
-   * rescan old rows.
+   * `nowMs` ONLY after the batch is MATERIALIZED and consume has returned —
+   * the batch is persisted and counted before consume runs, so a consumer
+   * that returns a lazy value cannot cause the cursor to commit ahead of
+   * unprocessed rows. A crashed tick re-runs from the previous cursor:
+   * delivery is at-least-once, and repeated successful ticks never rescan
+   * old rows.
    */
   def tick[T](objects: DataFrame, stateDir: String, nowMs: Long,
               rule: org.apache.spark.sql.Column)(consume: DataFrame => T): T = {
@@ -49,8 +51,12 @@ object PeriodicScan {
         col("modification_time") <= nowMs && rule)
       .select("volume", "bucket", "key", "data_size", "modification_time")
       .orderBy("volume", "bucket", "key", "data_size", "modification_time")
-    val result = consume(batch)
-    writeCursor(stateDir, nowMs)
-    result
+      .persist()
+    try {
+      batch.count() // materialization barrier ahead of the cursor commit
+      val result = consume(batch)
+      writeCursor(stateDir, nowMs)
+      result
+    } finally batch.unpersist()
   }
 }

@@ -55,4 +55,15 @@ class PeriodicScanApiSpec extends SparkSpecBase {
     assert(Api.listSnapshots(spark, sf).count() === 2)
     assert(Api.dbUpdates(spark, sf, Long.MaxValue).count() === 0)
   }
+
+  test("API facade: light listings, snapshot catalog, diff jobs, tenants") {
+    assert(Api.listKeysLight(spark, sf, "vol1", "bucket3", "warehouse/", "", 5)
+      .columns.toSeq === Seq("key", "data_size", "creation_time"))
+    assert(Api.getSnapshotInfo(spark, sf, "s2").count() === 1)
+    val jobs = Api.listSnapshotDiffJobs(spark, sf).collect()
+    assert(jobs.map(_.getString(0)).toSeq === Seq("s1->s2"))
+    assert(jobs.head.getAs[Long]("diff_rows") > 0)
+    assert(Api.listTenants(spark, sf).count() === 4)
+    assert(Api.tenantGetUserInfo(spark, sf, "clerk1").count() >= 1)
+  }
 }
