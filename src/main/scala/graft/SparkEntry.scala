@@ -62,11 +62,11 @@ object SparkEntry {
     "q_page_after" -> ((s, d) =>
       Listing.pageAfter(T.objectsSorted(s, d), "vol3", "bucket7",
         "warehouse/N/15", 50)),
-    // tokenized multi-page walk (maxKeys=97 forces page boundaries on both
-    // key and CommonPrefix entries); concatenation == untokenized listing
+    // tokenized multi-page walk (maxKeys chosen so the walk spans several
+    // pages at both verify and bench SFs); concatenation == untokenized
     "q_list_objects_pages" -> ((s, d) =>
       Listing.listObjectsV2Walk(T.objectsSorted(s, d), "vol0", "bucket0",
-        "warehouse/N/", 97)),
+        "warehouse/N/", 397)),
     "q_list_buckets" -> ((s, d) =>
       Listing.listBuckets(T.buckets(s, d), "vol1", "bucket2", 5)),
     "q_list_volumes" -> ((s, d) => Listing.listVolumes(T.volumes(s, d))),
@@ -218,7 +218,8 @@ object SparkEntry {
         .orderBy("volume")),
     "q_write_snapshot_diff" -> ((s, d) =>
       CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d)),
-    "q_list_snapshots" -> ((s, d) => CommitLog.snapshotInfo(T.objects(s, d))),
+    "q_list_snapshots" -> ((s, d) =>
+      CommitLog.snapshotInfoFromWarehouse(s, T.objects(s, d), d)),
     // ---- FSO parent-pointer hierarchy (SURVEY §2.3 row FSO-resolve) ----
     // namespace depth is a config (keys here are 4 segments ⇒ 3 dir levels)
     "q_fso_resolve" -> ((s, d) =>
@@ -863,33 +864,37 @@ object SparkEntry {
         |  AND regexp_matches(key, '^warehouse/R/1')
         |ORDER BY volume, bucket, key, data_size""".stripMargin, O.objects),
 
-    // Commit-log closed forms: the synthetic write workload is keyed by
-    // version (create @1; v∈{3,6} overwrite ×2 @2; v=4 delete @3; v=5
-    // rename to .mv @3/@4), so the latest-wins fold has a per-key closed
-    // form over the grouped objects (dup fixture rows collapse to max size).
+    // Commit-log closed forms: the synthetic write workload creates every
+    // key @1, then churns ONLY keys with (object_id//10)%10=0 (~10% of the
+    // namespace): v∈{3,6} overwrite ×2 @2; v=4 delete @3; v=5 rename @3/@4.
+    // The latest-wins fold has a per-key closed form over the grouped
+    // objects (dup fixture rows collapse to max size).
     "q_write_apply" -> O.withCtes(
       """SELECT volume, bucket,
-        |  CASE WHEN version = 5 THEN key || '.mv' ELSE key END AS key,
+        |  CASE WHEN version = 5 AND churn THEN key || '.mv' ELSE key END AS key,
         |  object_id,
-        |  CASE WHEN version IN (3, 6) THEN mx * 2 ELSE mx END AS data_size
+        |  CASE WHEN version IN (3, 6) AND churn THEN mx * 2 ELSE mx END AS data_size
         |FROM (
-        |  SELECT volume, bucket, key, object_id, version, max(data_size) AS mx
-        |  FROM objects GROUP BY 1, 2, 3, 4, 5)
-        |WHERE version <> 4
+        |  SELECT volume, bucket, key, object_id, version,
+        |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6)
+        |WHERE NOT (version = 4 AND churn)
         |ORDER BY volume, bucket, key, data_size""".stripMargin, O.objects),
 
-    // DELETE events exist exactly for version ∈ {4, 5} rows (see CommitLog
-    // synthesizeLog), giving the trash / reachability closed forms.
+    // DELETE events exist exactly for churned version ∈ {4, 5} rows (see
+    // CommitLog synthesizeLog), giving the trash / reachability closed forms.
     "q_trash_list" -> O.withCtes(
       """SELECT volume, bucket, key, count(*) AS n_deleted,
         |  CAST(sum(data_size) AS BIGINT) AS reclaim_bytes
-        |FROM objects WHERE version IN (4, 5)
+        |FROM objects
+        |WHERE version IN (4, 5) AND (object_id // 10) % 10 = 0
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, O.objects),
 
     "q_deleted_referenced" -> O.withCtes(
       """SELECT volume, bucket, key, object_id, container_id, data_size
         |FROM objects
-        |WHERE version IN (4, 5) AND container_id % 97 <> 0
+        |WHERE version IN (4, 5) AND (object_id // 10) % 10 = 0
+        |  AND container_id % 97 <> 0
         |ORDER BY volume, bucket, key, object_id, data_size""".stripMargin,
       O.objects),
 
@@ -917,8 +922,9 @@ object SparkEntry {
         |ORDER BY object_id""".stripMargin,
       O.objects,
       """wgrp AS (
-        |  SELECT volume, bucket, key, object_id, version, max(data_size) AS mx
-        |  FROM objects GROUP BY 1, 2, 3, 4, 5
+        |  SELECT volume, bucket, key, object_id, version,
+        |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6
         |)""".stripMargin,
       """s1d AS (
         |  SELECT key, object_id, mx AS data_size FROM wgrp
@@ -926,10 +932,10 @@ object SparkEntry {
         |    PARTITION BY object_id ORDER BY mx DESC, key) = 1
         |)""".stripMargin,
       """s2d AS (
-        |  SELECT CASE WHEN version = 5 THEN key || '.mv' ELSE key END AS key,
+        |  SELECT CASE WHEN version = 5 AND churn THEN key || '.mv' ELSE key END AS key,
         |    object_id,
-        |    CASE WHEN version IN (3, 6) THEN mx * 2 ELSE mx END AS data_size
-        |  FROM wgrp WHERE version <> 4
+        |    CASE WHEN version IN (3, 6) AND churn THEN mx * 2 ELSE mx END AS data_size
+        |  FROM wgrp WHERE NOT (version = 4 AND churn)
         |  QUALIFY row_number() OVER (
         |    PARTITION BY object_id ORDER BY data_size DESC, key) = 1
         |)""".stripMargin),
@@ -943,13 +949,14 @@ object SparkEntry {
         |  FROM wgrp
         |  UNION ALL
         |  SELECT 's2', CAST(4 AS BIGINT), count(*),
-        |    CAST(sum(CASE WHEN version IN (3, 6) THEN mx * 2 ELSE mx END) AS BIGINT)
-        |  FROM wgrp WHERE version <> 4
+        |    CAST(sum(CASE WHEN version IN (3, 6) AND churn THEN mx * 2 ELSE mx END) AS BIGINT)
+        |  FROM wgrp WHERE NOT (version = 4 AND churn)
         |) ORDER BY name""".stripMargin,
       O.objects,
       """wgrp AS (
-        |  SELECT volume, bucket, key, object_id, version, max(data_size) AS mx
-        |  FROM objects GROUP BY 1, 2, 3, 4, 5
+        |  SELECT volume, bucket, key, object_id, version,
+        |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6
         |)""".stripMargin),
 
     // FSO resolve must round-trip to the original flat keys — the oracle is

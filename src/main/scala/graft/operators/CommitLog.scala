@@ -22,8 +22,11 @@ object CommitLog {
 
   /**
    * Deterministic synthetic write workload over the namespace (the
-   * fixture's stand-in for live write RPCs). Per object key, keyed by its
-   * version v (v == linenumber, fixed per key):
+   * fixture's stand-in for live write RPCs). After the create flood, the
+   * post-snapshot churn touches only the CHURN SCOPE — keys whose orderkey
+   * ends in 0 (object_id DIV 10 % 10 == 0), ~10% of the namespace — the
+   * realistic regime where a delta-pruned snapshot diff beats re-folding
+   * full states. Per churned key, keyed by version v (== linenumber):
    *   - every key:        PUT  @seq 1 (create)
    *   - v ∈ {3, 6}:       PUT  @seq 2 with doubled size (overwrite/commit)
    *   - v == 4:           DELETE @seq 3 (delete)
@@ -35,18 +38,21 @@ object CommitLog {
     val base = objects.select(
       col("volume"), col("bucket"), col("key"), col("object_id"),
       col("container_id"), col("data_size"), col("version"))
+    val churned = expr("(object_id DIV 10) % 10") === 0
     val creates = base.select(lit(1L).as("seq"), lit("PUT").as("op"),
       col("volume"), col("bucket"), col("key"), col("object_id"),
       col("container_id"), col("data_size"))
-    val overwrites = base.filter(col("version") === 3 || col("version") === 6)
+    val overwrites = base
+      .filter((col("version") === 3 || col("version") === 6) && churned)
       .select(lit(2L).as("seq"), lit("PUT").as("op"),
         col("volume"), col("bucket"), col("key"), col("object_id"),
         col("container_id"), (col("data_size") * 2).as("data_size"))
-    val deletes = base.filter(col("version") === 4 || col("version") === 5)
+    val deletes = base
+      .filter((col("version") === 4 || col("version") === 5) && churned)
       .select(lit(3L).as("seq"), lit("DELETE").as("op"),
         col("volume"), col("bucket"), col("key"), col("object_id"),
         col("container_id"), col("data_size"))
-    val renames = base.filter(col("version") === 5)
+    val renames = base.filter(col("version") === 5 && churned)
       .select(lit(4L).as("seq"), lit("PUT").as("op"),
         col("volume"), col("bucket"),
         concat(col("key"), lit(".mv")).as("key"), col("object_id"),
@@ -203,19 +209,37 @@ object CommitLog {
       "data_size").map(col)
     val delta = log.filter(col("seq") > seqFrom && col("seq") <= seqTo)
       .select(recCols: _*)
+    // no forced broadcast: with a genuinely small delta AQE broadcasts the
+    // touched sets into the state scan; when a synthetic delta covers most
+    // of the namespace it falls back to a shuffle join instead of pushing
+    // an oversized hash table to every task
     val touchedKeys = delta.select("volume", "bucket", "key").distinct()
     val keyMatched = fromState
-      .join(broadcast(touchedKeys), Seq("volume", "bucket", "key"), "left_semi")
+      .join(touchedKeys, Seq("volume", "bucket", "key"), "left_semi")
     val touchedIds = delta.select("object_id")
       .unionByName(keyMatched.select("object_id")).distinct()
     val fromTouched = fromState
-      .join(broadcast(touchedIds), Seq("object_id"), "left_semi")
+      .join(touchedIds, Seq("object_id"), "left_semi")
       .select("volume", "bucket", "key", "object_id", "data_size")
     val base = fromTouched.select(lit(seqFrom).as("seq"), lit("PUT").as("op"),
       col("volume"), col("bucket"), col("key"), col("object_id"),
       col("data_size"))
     val toTouched = applyAt(base.unionByName(delta), seqTo)
     Joins.snapshotDiff(dedupByObjectId(fromTouched), dedupByObjectId(toTouched))
+  }
+
+  /** snapshot_info served from the materialized checkpoints — each row is
+    * one small aggregate over a checkpoint parquet, never a log re-fold. */
+  def snapshotInfoFromWarehouse(spark: SparkSession, objects: DataFrame,
+                                dir: String): DataFrame = {
+    val wh = snapshotWarehouse(spark, objects, dir)
+    snapshotChain.map { case (name, seq) =>
+      spark.read.parquet(s"$wh/state_$name").agg(
+          count(lit(1)).as("num_keys"),
+          sum("data_size").cast("long").as("total_bytes"))
+        .select(lit(name).as("name"), lit(seq).as("seq"),
+          col("num_keys"), col("total_bytes"))
+    }.reduce(_ unionByName _).orderBy("name")
   }
 
   /** The declared diff query: resolve both snapshots through the catalog

@@ -131,7 +131,10 @@ object ChangeStream {
   private def publishPartitioned(next: DataFrame, dir: String,
                                  touched: Seq[String], batchId: Long): Unit = {
     val vdir = s"$dir/v$batchId"
-    next.write.mode("overwrite").partitionBy("__pk").parquet(vdir)
+    // co-locate each partition's rows in one task so every __pk leaf gets
+    // ONE file instead of numShufflePartitions × numPk small files
+    next.repartition(col("__pk"))
+      .write.mode("overwrite").partitionBy("__pk").parquet(vdir)
     val prev = readManifest(dir)
     val updated = prev ++ touched.map(pk => pk -> s"$vdir/__pk=$pk")
     Files.createDirectories(Paths.get(dir))
