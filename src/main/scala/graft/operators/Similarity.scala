@@ -220,9 +220,10 @@ object Similarity {
     * with nprobe (spec-checked against the brute-force oracle). */
   def annIvf(embeddings: DataFrame, numCells: Int = 16,
              numQueries: Int = 20, k: Int = 3, nprobe: Int = 2,
-             iters: Int = 2): DataFrame = {
+             iters: Int = 2, precomputedCentroids: Option[DataFrame] = None): DataFrame = {
     val q = quantized(embeddings)
-    val cents = ivfCentroids(q, numCells, iters)
+    val cents = precomputedCentroids
+      .getOrElse(ivfCentroids(q, numCells, iters))
     val cells = rankCells(q, cents, keep = 1)
     val probes = rankCells(q.filter(col("vec_id") < numQueries), cents, nprobe)
       .select(col("vec_id").as("query_id"), col("cell_id"),
