@@ -86,11 +86,11 @@ object Api {
 
   // -- snapshots + change stream -------------------------------------------
   def listSnapshots(s: SparkSession, d: String): DataFrame =
-    CommitLog.snapshotInfo(T.objects(s, d))
+    CommitLog.snapshotInfoFromWarehouse(s, T.objects(s, d), d)
 
-  /** GetSnapshotInfo: one catalog row by name. */
+  /** GetSnapshotInfo: one catalog row by name (checkpoint-served). */
   def getSnapshotInfo(s: SparkSession, d: String, name: String): DataFrame =
-    CommitLog.snapshotInfo(T.objects(s, d)).filter(col("name") === name)
+    listSnapshots(s, d).filter(col("name") === name)
 
   def snapshotDiff(s: SparkSession, d: String): DataFrame =
     CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d)
@@ -105,7 +105,13 @@ object Api {
         .agg(count(lit(1)).as("diff_rows"))
         .select(lit(s"$from->$to").as("job_id"), lit(from).as("from_snapshot"),
           lit(to).as("to_snapshot"), lit("DONE").as("status"), col("diff_rows"))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _).getOrElse {
+      // a 0/1-snapshot catalog has no diff jobs — empty result, not a crash
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "job_id STRING, from_snapshot STRING, to_snapshot STRING, " +
+            "status STRING, diff_rows BIGINT"))
+    }
   }
 
   // -- multi-tenancy --------------------------------------------------------

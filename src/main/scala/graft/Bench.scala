@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions.col
   * success. The JSON line goes to stdout AND `bench_out.json` (file first,
   * so a truncated stdout capture can never lose the per-query map). */
 object Bench {
+  private def cloneDir(src: String): String = {
+    import java.nio.file._
+    val dst = Files.createTempDirectory("graft_steady_")
+    val s = Files.walk(Paths.get(src))
+    try s.forEach { p =>
+      val t = dst.resolve(Paths.get(src).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    } finally s.close()
+    // manifests/pointers carry absolute paths into the source dir; rewrite
+    val w = Files.walk(dst)
+    try w.filter(p => {
+      val n = p.getFileName.toString
+      n == "current" || n.startsWith("manifest-v")
+    }).forEach { p =>
+      Files.writeString(p, Files.readString(p).replace(src, dst.toString))
+    } finally w.close()
+    dst.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -37,13 +57,17 @@ object Bench {
     // Steady-state incremental cost: ONE post-bootstrap micro-batch over a
     // small appended delta — the number that matters for a long-running
     // incremental view (only touched (volume,bucket) partitions rewrite).
+    // Runs in a CLONE of the bootstrap work dir so the memoized state the
+    // timed q_stream_* queries read stays exactly the canonical replay.
+    val steadyWork = cloneDir(work)
     val delta = objects
       .orderBy("volume", "bucket", "key", "version", "data_size").limit(1000)
     graft.streaming.ChangeLog.events(delta)
       .withColumn("seq", col("seq") + 10000000L)
-      .coalesce(1).write.mode("append").parquet(s"$work/log")
+      .coalesce(1).write.mode("append").parquet(s"$steadyWork/log")
     val tS = System.nanoTime()
-    graft.streaming.ChangeStream.replay(spark, s"$work/log", work, filesPerBatch = 4)
+    graft.streaming.ChangeStream.replay(spark, s"$steadyWork/log", steadyWork,
+      filesPerBatch = 4)
     val steadySec = secs(tS)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -296,8 +296,12 @@ object Tables {
     * build time (one tiny agg, paid once per memoized build) — keys deeper
     * than any hardcoded bound can never silently lose their parent dirs. */
   private def directoriesFsoBuild(o: DataFrame): DataFrame = {
-    val maxDirDepth = o
-      .agg(max(size(split(col("key"), "/")))).head.getInt(0) - 1
+    // coalesce guards the empty-input case (max over zero rows is null);
+    // the depth value is then irrelevant — zero key rows explode to zero
+    // directory rows for any bound
+    val maxDirDepth = math.max(1,
+      o.agg(coalesce(max(size(split(col("key"), "/"))), lit(2)))
+        .head.getInt(0) - 1)
     // STRICT ancestor prefixes only (depth < number of segments): a file's
     // own full path must never become a phantom directory row on
     // namespaces whose keys aren't uniformly deep

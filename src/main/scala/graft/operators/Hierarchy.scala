@@ -34,10 +34,19 @@ object Hierarchy {
     java.lang.Long.parseLong(md.substring(0, 15), 16)
   }
 
+  /** Trees deeper than this are assumed cyclic/corrupt and left partially
+    * resolved rather than looping forever (the reference caps path depth
+    * far below this). */
+  val MaxResolveDepth = 64
+
   /**
-   * Resolve every directory to its full path via maxDepth-bounded parent
-   * joins: each pass prepends the parent's name and hops one level up;
-   * rows already at the root pass through unchanged.
+   * Resolve every directory to its full path via batches of parent joins:
+   * each pass prepends the parent's name and hops one level up; rows
+   * already at the root pass through unchanged. After `maxDepth` hops a
+   * COMPLETENESS CHECK (one tiny action on the dir-sized frame) extends
+   * the climb in further batches until every row is rooted — a namespace
+   * deeper than the hint degrades to one extra round-trip, never to
+   * silently truncated paths.
    */
   def resolveDirs(dirs: DataFrame, maxDepth: Int = 8): DataFrame = {
     val parents = dirs.select(
@@ -46,7 +55,7 @@ object Hierarchy {
       col("name").as("p_name"))
     var cur = dirs.select(col("volume"), col("bucket"), col("dir_id"),
       col("parent_id"), col("name").as("path"))
-    for (_ <- 1 until maxDepth) {
+    def hop(): Unit =
       cur = cur.join(parents,
           cur("volume") === parents("pv") && cur("bucket") === parents("pb") &&
             cur("parent_id") === parents("p_id"), "left")
@@ -55,6 +64,17 @@ object Hierarchy {
           when(col("p_name").isNotNull,
             concat(col("p_name"), lit("/"), col("path")))
             .otherwise(col("path")).as("path"))
+    var hops = 0
+    var batch = math.max(1, maxDepth - 1)
+    var unresolved = true
+    while (unresolved && hops < MaxResolveDepth) {
+      for (_ <- 1 to batch) hop()
+      hops += batch
+      unresolved = !cur.filter(col("parent_id") =!= 0).isEmpty
+      if (unresolved) {
+        cur = cur.localCheckpoint() // cut the join lineage before extending
+        batch = 8
+      }
     }
     cur.select("volume", "bucket", "dir_id", "path")
   }

@@ -61,28 +61,13 @@ object Listing {
    * S3 ListObjectsV2 delimiter grouping: entries under `prefix` grouped at the
    * first `delimiter` past the prefix into CommonPrefixes; keys and prefixes
    * interleave in lexicographic order — ref BucketEndpoint.java:184-256
-   * (prevDir dedup becomes a plain groupBy).
+   * (prevDir dedup becomes a plain groupBy). Delegates to the tokenized
+   * page (startAfter == a lastKey-only token) so the two can never diverge.
    */
   def listObjectsV2(objects: DataFrame, volume: String, bucket: String,
-                    prefix: String, startAfter: String, maxKeys: Int): DataFrame = {
-    val p = prefix.length
-    objects
-      .filter(col("volume") === volume && col("bucket") === bucket &&
-        prefixPred(col("key"), prefix) && col("key") > startAfter)
-      .withColumn("rest", expr(s"substring(key, ${p + 1})"))
-      .withColumn("slash", instr(col("rest"), "/"))
-      .withColumn("entry",
-        when(col("slash") > 0,
-          concat(lit(prefix), expr("substring(rest, 1, slash)")))
-          .otherwise(col("key")))
-      .groupBy("entry")
-      .agg(
-        (max(col("slash")) > 0).as("is_common_prefix"),
-        count(lit(1)).as("num_keys"),
-        sum("data_size").as("total_size"))
-      .orderBy("entry")
-      .limit(maxKeys + 1)
-  }
+                    prefix: String, startAfter: String, maxKeys: Int): DataFrame =
+    listObjectsV2Page(objects, volume, bucket, prefix,
+      if (startAfter.isEmpty) None else Some(S3Token(startAfter, None)), maxKeys)
 
   /**
    * listStatus: immediate children of a directory, synthesizing "fake
@@ -169,7 +154,15 @@ object Listing {
     * CommonPrefixes, jointly counted) strictly after the token position,
     * maxKeys+1 rows so the caller derives truncation. The lastDir resume is
     * a sargable `key >= succ(dir)` — the whole finished prefix is skipped
-    * by row-group stats, never rescanned. */
+    * by row-group stats, never rescanned.
+    *
+    * Cost note: group completeness forces each page to aggregate the
+    * remaining tail of the prefix range before its LIMIT applies (a
+    * declarative groupBy cannot stop after maxKeys complete groups the way
+    * the reference's ordered iterator does), so a full walk costs
+    * O(pages · avg-remaining) — fine when pages ≪ groups; size maxKeys
+    * accordingly. The resume predicate still prunes everything already
+    * paged out. */
   def listObjectsV2Page(objects: DataFrame, volume: String, bucket: String,
                         prefix: String, token: Option[S3Token],
                         maxKeys: Int): DataFrame = {

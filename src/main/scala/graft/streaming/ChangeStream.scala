@@ -79,13 +79,15 @@ object ChangeStream {
   }
 
   /** The live manifest: partition key -> leaf dir path (empty before the
-    * first publish). */
+    * first publish). A pre-manifest pointer targeting a version DIRECTORY
+    * (legacy single-dir layout) reads as one whole-state partition. */
   private[graft] def readManifest(dir: String): Map[String, String] = {
     val cur = Paths.get(dir, "current")
     if (!Files.exists(cur)) Map.empty
     else {
       val mf = Paths.get(Files.readString(cur).trim)
       if (!Files.exists(mf)) Map.empty
+      else if (Files.isDirectory(mf)) Map("LEGACY" -> mf.toString)
       else {
         import scala.jdk.CollectionConverters._
         Files.readAllLines(mf).asScala.iterator
