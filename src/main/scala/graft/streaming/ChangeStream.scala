@@ -255,6 +255,33 @@ object ChangeStream {
 
 
   /**
+   * Apply ONE delta micro-batch to the three maintained views OUTSIDE the
+   * streaming scaffold — the merge path alone, against whatever state the
+   * work dir holds (each view advances to its own next batchId). Used to
+   * measure steady-state merge cost and to drive merges from non-streaming
+   * callers; the streaming replay below goes through exactly the same
+   * merges.
+   */
+  def applyDeltaBatch(spark: SparkSession, workDir: String,
+                      batch: DataFrame): Unit = {
+    val b = batch.persist()
+    try {
+      def next(dir: String): Long = lastBatch(dir) + 1
+      val fs = s"$workDir/state_filesize"
+      mergePartitioned(spark, fs, fileSizeDeltas(b), next(fs),
+        FileSizeSchema, Seq("volume", "bucket", "size_bin"),
+        Seq("file_count", "total_size"))
+      val ct = s"$workDir/state_counts"
+      mergePartitioned(spark, ct, countsDeltas(b), next(ct),
+        CountsSchema, Seq("entity"), Seq("cnt", "total_bytes"), pk = lit("00"))
+      val ns = s"$workDir/state_nssummary"
+      mergePartitioned(spark, ns, nsSummaryDeltas(b), next(ns),
+        NsSummarySchema, Seq("volume", "bucket", "dir"),
+        Seq("num_files", "size_of_files"))
+    } finally { b.unpersist(); () }
+  }
+
+  /**
    * Drain the whole CDC log through bounded micro-batches, maintaining both
    * views incrementally; returns after the stream runs dry
    * (Trigger.AvailableNow). Restart-safe: offsets live in `workDir/ckpt`,

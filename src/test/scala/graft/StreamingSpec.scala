@@ -98,6 +98,20 @@ class StreamingSpec extends SparkSpecBase {
       rows(ChangeStream.reprocessFileSize(net)))
   }
 
+  test("applyDeltaBatch merges exactly like a streamed micro-batch") {
+    val objects = Tables.objects(spark, sf)
+    val work = java.nio.file.Files.createTempDirectory("graft_test_stream4_").toString
+    ChangeLog.write(objects, s"$work/log", numFiles = 2)
+    ChangeStream.replay(spark, s"$work/log", work, filesPerBatch = 2)
+    val extra = objects.orderBy("key", "version", "data_size").limit(20)
+    val batch = ChangeLog.events(extra).withColumn("seq", col("seq") + 999999L)
+    ChangeStream.applyDeltaBatch(spark, work, batch)
+    val net = objects.filter(col("version") % 7 =!= 0)
+      .unionByName(extra.filter(col("version") % 7 =!= 0))
+    assert(rows(ChangeStream.fileSizeView(spark, work)) ===
+      rows(ChangeStream.reprocessFileSize(net)))
+  }
+
   test("watermarked streaming hourly counts match the batch dual (closed windows)") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft_hourly_").toString
