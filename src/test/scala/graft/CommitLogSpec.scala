@@ -21,6 +21,15 @@ class CommitLogSpec extends SparkSpecBase {
     assert(delta === full)
   }
 
+  test("delta diff prunes the log scan to the seq slice (pushed filters)") {
+    val o = Tables.objects(spark, sf)
+    val plan = CommitLog.snapshotDiffFromCatalog(spark, o, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(seq,1)") &&
+      plan.contains("LessThanOrEqual(seq,4)"),
+      s"expected the seq slice pushed into the log scan in:\n$plan")
+  }
+
   test("snapshot_info stats agree with the folded states") {
     val o = Tables.objects(spark, sf)
     val log = CommitLog.synthesizeLog(o)
