@@ -50,7 +50,9 @@ object Bench {
       graft.core.Tables.objects(spark, sfDir), sfDir)
     // Streaming bootstrap (CDC log synthesis + full stream drain) measured
     // as ITS OWN metric instead of smearing into the first q_stream_* query.
-    val objects = graft.core.Tables.objects(spark, sfDir)
+    // Source = the mixed-depth namespace, matching the q_stream_* queries'
+    // replayedWorkDir source (the memoized state is built once per sfDir).
+    val objects = graft.core.Tables.objectsMixed(spark, sfDir)
     val tB = System.nanoTime()
     val work = graft.streaming.ChangeStream.replayedWorkDir(spark, objects, sfDir)
     val bootstrapSec = secs(tB)

@@ -92,7 +92,9 @@ object SparkEntry {
       Aggregates.fileSizeHistogram(T.objects(s, d))),
     "q_container_histogram" -> ((s, d) =>
       Aggregates.containerSizeHistogram(T.containersScm(s, d))),
-    "q_ns_summary" -> ((s, d) => Aggregates.nsSummary(T.objects(s, d))),
+    // mixed 4/6-segment namespace: the rollup must emit depth-4/5 ancestors
+    // for the deepened keys — any hardcoded depth bound fails the hash
+    "q_ns_summary" -> ((s, d) => Aggregates.nsSummary(T.objectsMixed(s, d))),
     "q_du_topn" -> ((s, d) => Aggregates.duTopN(T.objects(s, d), "vol0", 10)),
     "q_global_counts" -> ((s, d) =>
       Aggregates.globalCounts(T.objects(s, d), T.buckets(s, d),
@@ -252,16 +254,18 @@ object SparkEntry {
       Hierarchy.listStatusFso(T.directoriesFsoDeep(s, d), T.filesFsoDeep(s, d),
         "vol2", "bucket5", "warehouse/R")),
     // ---- incremental CDC-maintained views (SURVEY §2.9) ----
+    // the CDC source is the MIXED-depth namespace so the streamed NSSummary
+    // exercises data-driven ancestor depth end-to-end
     "q_stream_filesize" -> ((s, d) => {
-      val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objects(s, d), d)
+      val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objectsMixed(s, d), d)
       graft.streaming.ChangeStream.fileSizeView(s, w)
     }),
     "q_stream_counts" -> ((s, d) => {
-      val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objects(s, d), d)
+      val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objectsMixed(s, d), d)
       graft.streaming.ChangeStream.countsView(s, w)
     }),
     "q_stream_nssummary" -> ((s, d) => {
-      val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objects(s, d), d)
+      val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objectsMixed(s, d), d)
       graft.streaming.ChangeStream.nsSummaryView(s, w)
     }))
 
@@ -347,6 +351,8 @@ object SparkEntry {
         |FROM containers_scm
         |GROUP BY 1 ORDER BY 1""".stripMargin, O.containersScm),
 
+    // ALL strict ancestor prefixes (depth from each key, not a constant) —
+    // over the mixed 4/6-segment namespace
     "q_ns_summary" -> O.withCtes(
       """SELECT volume, bucket, dir,
         |  count(*) AS num_files,
@@ -354,11 +360,12 @@ object SparkEntry {
         |  CAST(sum(replicated_size) AS BIGINT) AS replicated_size
         |FROM (
         |  SELECT volume, bucket, data_size, replicated_size,
-        |    array_to_string(list_slice(string_split(key, '/'), 1, d.d), '/') AS dir,
-        |    len(string_split(key, '/')) AS np, d.d
-        |  FROM objects CROSS JOIN (VALUES (1), (2), (3)) d(d))
-        |WHERE np > d
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, O.objects),
+        |    array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS dir
+        |  FROM (
+        |    SELECT *, unnest(generate_series(1, len(string_split(key, '/')) - 1)) AS d
+        |    FROM objects_mixed))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      O.objects, O.objectsMixed),
 
     "q_du_topn" -> O.withCtes(
       """SELECT bucket,
@@ -1018,18 +1025,19 @@ object SparkEntry {
         |  CAST(sum(data_size) AS BIGINT) AS total_bytes
         |FROM objects WHERE version % 7 <> 0""".stripMargin, O.objects),
 
+    // streamed over the mixed-depth namespace: ALL ancestor prefixes
     "q_stream_nssummary" -> O.withCtes(
       """SELECT volume, bucket, dir,
         |  count(*) AS num_files,
         |  CAST(sum(data_size) AS BIGINT) AS size_of_files
         |FROM (
         |  SELECT volume, bucket, data_size,
-        |    array_to_string(list_slice(string_split(key, '/'), 1, d.d), '/') AS dir,
-        |    len(string_split(key, '/')) AS np, d.d
-        |  FROM objects CROSS JOIN (VALUES (1), (2), (3)) d(d)
-        |  WHERE version % 7 <> 0)
-        |WHERE np > d
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin, O.objects),
+        |    array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS dir
+        |  FROM (
+        |    SELECT *, unnest(generate_series(1, len(string_split(key, '/')) - 1)) AS d
+        |    FROM objects_mixed WHERE version % 7 <> 0))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      O.objects, O.objectsMixed),
 
     "q_session_window" -> O.withCtes(
       """SELECT user_id, count(*) AS n_events,

@@ -47,6 +47,21 @@ object OracleCte {
       |  FROM objects
       |)""".stripMargin
 
+  /** Mixed-depth namespace (mirror of Tables.objectsMixed): every 5th
+    * object's key deepens to 6 segments. */
+  val objectsMixed: String =
+    """objects_mixed AS (
+      |  SELECT volume, bucket,
+      |    CASE WHEN object_id % 5 = 0
+      |      THEN substring(key, 1, length(key) - 4)
+      |        || '/d' || (object_id % 2) || '/p' || (object_id % 3) || '.dat'
+      |      ELSE key END AS key,
+      |    object_id, data_size, replicated_size, replication_type,
+      |    creation_time, modification_time, owner, tag_flag, container_id,
+      |    version, etag
+      |  FROM objects
+      |)""".stripMargin
+
   val buckets: String =
     """buckets AS (
       |  SELECT volume, bucket, used_bytes, used_namespace,

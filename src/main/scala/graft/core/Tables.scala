@@ -283,6 +283,20 @@ object Tables {
       concat(expr("substring(key, 1, length(key) - 4)"),
         lit("/p"), (col("object_id") % 3).cast("string"), lit(".dat")))
 
+  /**
+   * MIXED-depth namespace: every 5th object's key gains two extra segments
+   * (4-segment and 6-segment keys side by side) — the rollup fixture that
+   * catches any hardcoded ancestor depth: a depth-3 prefix explode loses
+   * the depth-4/5 ancestors of the deepened keys entirely.
+   */
+  def objectsMixed(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir).withColumn("key",
+      when(col("object_id") % 5 === 0,
+        concat(expr("substring(key, 1, length(key) - 4)"),
+          lit("/d"), (col("object_id") % 2).cast("string"),
+          lit("/p"), (col("object_id") % 3).cast("string"), lit(".dat")))
+        .otherwise(col("key")))
+
   def directoriesFsoDeep(spark: SparkSession, dir: String): DataFrame =
     memoPersist(spark, "dirsDeep", dir)(directoriesFsoBuild(objectsDeep(spark, dir)))
 

@@ -31,6 +31,25 @@ object Aggregates {
     expr(s"greatest(shiftleft(CAST(1 AS BIGINT), " +
       s"CASE WHEN $sizeCol <= 1 THEN 0 ELSE length(bin($sizeCol - 1)) END), ${minBin}L)")
 
+  /** Keys deeper than this are assumed hostile/corrupt (the reference caps
+    * path depth via ozone.om.max.path.depth far below it); the cap only
+    * bounds the per-row explode, it is never what decides rollup depth. */
+  val MaxAncestorDepth = 64
+
+  /** Array of every STRICT ancestor prefix of a `a/b/c/file` key — depth
+    * derives per-row from the key itself, so a namespace deeper than any
+    * fixture can never silently lose ancestors (the batch dual of the
+    * reference's propagate-to-every-ancestor,
+    * NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459).
+    * Guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than emitting
+    * empty, so 1-segment keys take the ELSE array() branch. */
+  def ancestorDirs(keyCol: String): Column =
+    expr(s"""CASE WHEN size(split($keyCol, '/')) > 1 THEN
+      transform(
+        sequence(1, least(size(split($keyCol, '/')) - 1, $MaxAncestorDepth)),
+        d -> array_join(slice(split($keyCol, '/'), 1, d), '/'))
+      ELSE array() END""")
+
   /** File-size histogram per (volume, bucket, bin) — ref
     * FileSizeCountTaskHelper.java:51-77. */
   def fileSizeHistogram(objects: DataFrame): DataFrame =
@@ -56,24 +75,19 @@ object Aggregates {
    * reference's incremental upward propagation
    * (NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459).
    * Keys are `a/b/c/file` paths; each file contributes to ancestors
-   * `a`, `a/b`, `a/b/c` via an exploded bounded-depth prefix array —
+   * `a`, `a/b`, `a/b/c` via an exploded per-row prefix array
+   * ([[ancestorDirs]] — depth comes from each key, never a config) —
    * one wide shuffle instead of per-level self-joins.
    */
-  def nsSummary(objects: DataFrame, maxDepth: Int = 3): DataFrame = {
-    val prefixes = (1 to maxDepth).map { d =>
-      when(size(split(col("key"), "/")) > d,
-        concat_ws("/", slice(split(col("key"), "/"), 1, d)))
-    }
+  def nsSummary(objects: DataFrame): DataFrame =
     objects
-      .withColumn("dir", explode(array(prefixes: _*)))
-      .filter(col("dir").isNotNull)
+      .withColumn("dir", explode(ancestorDirs("key")))
       .groupBy("volume", "bucket", "dir")
       .agg(
         count(lit(1)).as("num_files"),
         sum("data_size").as("size_of_files"),
         sum("replicated_size").as("replicated_size"))
       .orderBy("volume", "bucket", "dir")
-  }
 
   /** du top-N: largest level-2 directories — ref BucketEntityHandler.java:91-145
     * + ReconUtils.java:534-540 (top-k). */

@@ -227,23 +227,18 @@ object ChangeStream {
     publishPartitioned(next, stateDir, touched, batchId)
   }
 
-  /** NSSummary ±delta fold: each event contributes to every ancestor dir
-    * of its key (bounded-depth prefix explode, the streamed dual of
+  /** NSSummary ±delta fold: each event contributes to EVERY ancestor dir
+    * of its key (per-row prefix explode via Aggregates.ancestorDirs — depth
+    * comes from the key, never a config; the streamed dual of
     * NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459 — the
     * upward propagation becomes a generator, not driver recursion). */
-  def nsSummaryDeltas(batch: DataFrame, maxDepth: Int = 3): DataFrame = {
-    val prefixes = (1 to maxDepth).map { d =>
-      when(size(split(col("key"), "/")) > d,
-        concat_ws("/", slice(split(col("key"), "/"), 1, d)))
-    }
+  def nsSummaryDeltas(batch: DataFrame): DataFrame =
     batch
-      .withColumn("dir", explode(array(prefixes: _*)))
-      .filter(col("dir").isNotNull)
+      .withColumn("dir", explode(graft.operators.Aggregates.ancestorDirs("key")))
       .withColumn("sgn", when(col("op") === "PUT", 1L).otherwise(-1L))
       .groupBy("volume", "bucket", "dir")
       .agg(sum(col("sgn")).as("num_files"),
         sum(col("sgn") * col("data_size")).as("size_of_files"))
-  }
 
   /** Global entity counts delta fold (OmTableInsightTask shape). */
   def countsDeltas(batch: DataFrame): DataFrame =

@@ -10,8 +10,9 @@ class StreamingSpec extends SparkSpecBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("CDC log replays to exactly the batch-reprocessed net state") {
-    val objects = Tables.objects(spark, sf)
+  test("CDC log replays to exactly the batch-reprocessed net state " +
+    "(mixed 4/6-segment namespace — data-driven ancestor depth)") {
+    val objects = Tables.objectsMixed(spark, sf)
     val work = java.nio.file.Files.createTempDirectory("graft_test_stream_").toString
     ChangeLog.write(objects, s"$work/log", numFiles = 6)
     ChangeStream.replay(spark, s"$work/log", work, filesPerBatch = 2)
@@ -32,6 +33,11 @@ class StreamingSpec extends SparkSpecBase {
     val nsBatch = rows(graft.operators.Aggregates.nsSummary(net)
       .select("volume", "bucket", "dir", "num_files", "size_of_files"))
     assert(nsStreamed === nsBatch)
+    // the deepened keys MUST surface depth-4/5 ancestors — a hardcoded
+    // depth-3 explode would make this assertion (and the parity above) fail
+    val deep = ChangeStream.nsSummaryView(spark, work)
+      .filter(size(split(col("dir"), "/")) > 3).count()
+    assert(deep > 0, "mixed namespace must roll up ancestors deeper than 3")
   }
 
   test("replay is idempotent across a restart (checkpoint + batchId guard)") {
