@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions.col
   * success. The JSON line goes to stdout AND `bench_out.json` (file first,
   * so a truncated stdout capture can never lose the per-query map). */
 object Bench {
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p); ()
+  }
+
   private def cloneDir(src: String): String = {
     import java.nio.file._
     val dst = Files.createTempDirectory("graft_steady_")
@@ -64,6 +73,10 @@ object Bench {
     // long-running incremental view pays per batch (only touched
     // (volume,bucket) partitions rewrite).
     val steadyWork = cloneDir(work)
+    // hand the clone over from streaming to batch-driven maintenance:
+    // applyDeltaBatch refuses dirs holding a (dead, path-bound) streaming
+    // checkpoint, so the batch watermarks can never collide with a resume
+    deleteRecursively(java.nio.file.Paths.get(steadyWork, "ckpt"))
     val delta = objects
       .orderBy("volume", "bucket", "key", "version", "data_size").limit(1000)
     val deltaBatch = graft.streaming.ChangeLog.events(delta)
@@ -86,10 +99,66 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // ---- 10× scale probe: the 5 headline queries on a synthetic 10× of
+    // this namespace (≈ sf1 when the bench dir is sf0.1) — catches plan
+    // cliffs (broadcast overflow, skew, shuffle explosion) that the base
+    // SF structurally cannot. Near-linear scaling ⇒ each probe time stays
+    // well under 15× its base-SF time. Opt out: SPARK_GRAFT_SCALE_PROBE=0.
+    val sf1Json = if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) ""
+    else {
+      import org.apache.spark.sql.{functions => F}
+      val T = graft.core.Tables
+      // 10 replicas; the orderkey path segment gains a replica digit so the
+      // DIRECTORY population scales 10× too, not just files-per-dir
+      def scale10(df: org.apache.spark.sql.DataFrame) = df
+        .crossJoin(spark.range(10).toDF("rep"))
+        .withColumn("key", F.expr(
+          """concat(element_at(split(key, '/'), 1), '/',
+                    element_at(split(key, '/'), 2), '/',
+                    element_at(split(key, '/'), 3) || rep, '/',
+                    element_at(split(key, '/'), 4))"""))
+        .withColumn("object_id", F.col("object_id") * 10 + F.col("rep"))
+        .drop("rep")
+      val obj10 = scale10(T.objects(spark, sfDir))
+      // the key-sorted warehouse is INGEST cost (reported separately)
+      val tI = System.nanoTime()
+      val wh10 = java.nio.file.Files.createTempDirectory("graft_sf1_").toString
+      obj10.repartition(F.col("volume"), F.col("bucket"))
+        .sortWithinPartitions("key")
+        .write.partitionBy("volume", "bucket").mode("overwrite").parquet(wh10)
+      val ingestSec = secs(tI)
+      val sorted10 = spark.read.parquet(wh10)
+      val probes: Seq[(String, () => Long)] = Seq(
+        "q_list_keys" -> (() => graft.operators.Listing.listKeys(sorted10,
+          "vol1", "bucket3", "warehouse/N/", "warehouse/N/2", 100).count()),
+        "q_filesize_histogram" -> (() =>
+          graft.operators.Aggregates.fileSizeHistogram(obj10).count()),
+        "q_ns_summary" -> (() =>
+          graft.operators.Aggregates.nsSummary(obj10).count()),
+        "q_snapshot_diff" -> (() => graft.operators.Joins.snapshotDiff(
+          scale10(T.snapshotV1(spark, sfDir)),
+          scale10(T.snapshotV2(spark, sfDir))).count()),
+        "q_write_apply" -> (() =>
+          graft.operators.CommitLog.appliedState(obj10).count()))
+      val times = probes.map { case (name, run) =>
+        val t0 = System.nanoTime()
+        try run()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1:$name FAILED: ${e.getMessage}")
+          spark.stop(); sys.exit(1)
+        }
+        name -> secs(t0)
+      }
+      val m = times.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s""","sf1":$m,"sf1_ingest_sec":$ingestSec"""
+    }
+
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""stream_bootstrap_sec":$bootstrapSec,""" +
-        s""""stream_steady_batch_sec":$steadySec,"sf":"$sfDir"}"""
+        s""""stream_steady_batch_sec":$steadySec$sf1Json,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     println(json)
     spark.stop()

@@ -59,15 +59,21 @@ object ChangeStream {
   // The partition key is hex-encoded so leaf dir names are filesystem-safe
   // without Hive escaping; data files keep the real volume/bucket columns.
 
-  /** Hex partition key for (volume, bucket) — Column form (Spark `hex` emits
-    * uppercase, matching [[pkOf]]). */
+  /** Hex partition key for (volume, bucket) — each component hex-encoded
+    * SEPARATELY and joined with a non-hex '-', so no (volume, bucket) pair
+    * can ever collide into another's physical partition (and the leaf name
+    * needs no unprintable separator bytes). Spark `hex` emits uppercase,
+    * matching [[pkOf]]. */
   private def pkCol: org.apache.spark.sql.Column =
-    hex(encode(concat_ws("", col("volume"), col("bucket")), "UTF-8"))
+    concat_ws("-", hex(encode(col("volume"), "UTF-8")),
+      hex(encode(col("bucket"), "UTF-8")))
 
   /** Driver-side twin of [[pkCol]]. */
-  private[graft] def pkOf(volume: String, bucket: String): String =
-    (volume + "" + bucket).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private[graft] def pkOf(volume: String, bucket: String): String = {
+    def h(x: String) = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .map(b => f"${b & 0xff}%02X").mkString
+    h(volume) + "-" + h(bucket)
+  }
 
   /** Last applied batchId, parsed from the `current` pointer's target name
     * (`.../manifest-v<N>` or legacy `.../v<N>`). */
@@ -129,7 +135,9 @@ object ChangeStream {
     * write a manifest remapping touched partitions to the new leaves, flip
     * the `current` pointer, then drop version dirs and manifests referenced
     * by neither the new nor the previous manifest (the previous one is kept
-    * for crash recovery). */
+    * for crash recovery). A legacy whole-state entry is dropped from the
+    * new manifest (the caller migrated its rows into `next`) but its dir
+    * survives one more publish via keepDirs, like any previous manifest. */
   private def publishPartitioned(next: DataFrame, dir: String,
                                  touched: Seq[String], batchId: Long): Unit = {
     val vdir = s"$dir/v$batchId"
@@ -138,7 +146,7 @@ object ChangeStream {
     next.repartition(col("__pk"))
       .write.mode("overwrite").partitionBy("__pk").parquet(vdir)
     val prev = readManifest(dir)
-    val updated = prev ++ touched.map(pk => pk -> s"$vdir/__pk=$pk")
+    val updated = (prev - "LEGACY") ++ touched.map(pk => pk -> s"$vdir/__pk=$pk")
     Files.createDirectories(Paths.get(dir))
     val mf = Paths.get(dir, s"manifest-v$batchId")
     Files.writeString(mf,
@@ -148,11 +156,28 @@ object ChangeStream {
     Files.move(tmp, Paths.get(dir, "current"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     retain(dir, keepDirs = (prev.values ++ updated.values)
-      .map(p => Paths.get(p).getParent.getFileName.toString).toSet)
+      .map(versionDirName).toSet)
+  }
+
+  /** Version-dir name a manifest path pins: a `__pk=` leaf pins its parent
+    * version dir; a legacy whole-state path IS the version dir (taking its
+    * parent would wrongly pin — and then delete — the state root's name). */
+  private def versionDirName(p: String): String = {
+    val path = Paths.get(p)
+    if (path.getFileName.toString.startsWith("__pk="))
+      path.getParent.getFileName.toString
+    else path.getFileName.toString
   }
 
   /** Delete v* dirs not in keepDirs and all but the two most recent
-    * manifest-v* files (current + previous, for crash recovery). */
+    * manifest-v* files (current + previous, for crash recovery).
+    *
+    * Read-snapshot window: a DataFrame planned from a manifest stays
+    * readable for the NEXT publish (its dirs are in keepDirs via the
+    * previous manifest) but not beyond — a lazy reader held across TWO
+    * further publishes can hit FileNotFound on its superseded dirs.
+    * Long-lived readers should re-plan from the current manifest (the
+    * view accessors below do this on every call). */
   private def listDir(p: java.nio.file.Path): Array[java.nio.file.Path] = {
     val s = Files.list(p)
     try s.toArray(new java.util.function.IntFunction[Array[java.nio.file.Path]] {
@@ -214,17 +239,35 @@ object ChangeStream {
                                sumCols: Seq[String],
                                pk: org.apache.spark.sql.Column = pkCol): Unit = {
     if (batchId <= lastBatch(stateDir)) return // recovery replay: already applied
-    val d = deltas.withColumn("__pk", pk)
-    val touched = d.select("__pk").distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (touched.isEmpty) return
-    val old = readStatePartitions(spark, stateDir, schema, touched)
-      .withColumn("__pk", pk)
-    val next = old.unionByName(d)
-      .groupBy("__pk", groupCols: _*)
-      .agg(sum(sumCols.head).as(sumCols.head),
-        sumCols.tail.map(c => sum(c).as(c)): _*)
-    publishPartitioned(next, stateDir, touched, batchId)
+    // persist the (aggregated, tiny) delta so the touched-pk collect and the
+    // publish write don't each re-run the delta shuffle over the raw batch
+    val d = deltas.withColumn("__pk", pk).persist()
+    try {
+      val touchedDelta = d.select("__pk").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touchedDelta.isEmpty) return
+      val manifest = readManifest(stateDir)
+      // A pre-partitioned (legacy single-dir) state cannot be merged
+      // partition-wise: its rows live in one undivided dir the touched-pk
+      // read would miss. MIGRATE on first merge: fold the WHOLE legacy
+      // state in, remap every partition to new leaves, and let publish
+      // drop the LEGACY entry (the old dir survives one publish for crash
+      // recovery, then retention collects it).
+      val (old, touched) =
+        if (manifest.contains("LEGACY")) {
+          val whole = readState(spark, stateDir, schema).withColumn("__pk", pk)
+          val allPks = (whole.select("__pk").distinct()
+            .collect().map(_.getString(0)) ++ touchedDelta).distinct.toSeq
+          (whole, allPks)
+        } else
+          (readStatePartitions(spark, stateDir, schema, touchedDelta)
+            .withColumn("__pk", pk), touchedDelta)
+      val next = old.unionByName(d)
+        .groupBy("__pk", groupCols: _*)
+        .agg(sum(sumCols.head).as(sumCols.head),
+          sumCols.tail.map(c => sum(c).as(c)): _*)
+      publishPartitioned(next, stateDir, touched, batchId)
+    } finally { d.unpersist(); () }
   }
 
   /** NSSummary ±delta fold: each event contributes to EVERY ancestor dir
@@ -249,31 +292,75 @@ object ChangeStream {
         sum(col("sgn") * col("data_size")).as("total_bytes"))
 
 
+  // The three per-view merges are independent (separate state dirs, separate
+  // manifests) — submit them as CONCURRENT Spark jobs so a micro-batch pays
+  // ~max(view merge cost) instead of the sum; each view's merge is itself a
+  // touched-partitions-only rewrite.
+  // EAGER val, not lazy: a lazy val initializes under the enclosing
+  // object's monitor, which [[replayedWorkDir]] (synchronized) holds while
+  // blocked in awaitTermination — the stream thread's first merge would
+  // deadlock against it.
+  private val mergePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        (r: Runnable) => { val t = new Thread(r, "graft-view-merge")
+          t.setDaemon(true); t }))
+
+  /** Merge one event micro-batch into all three maintained views; `batchIdOf`
+    * supplies each view's batchId (the stream passes the micro-batch id to
+    * all; out-of-band callers advance each view's own watermark). */
+  private def mergeAllViews(spark: SparkSession, workDir: String,
+                            b: DataFrame, batchIdOf: String => Long): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = mergePool
+    val jobs = Seq(
+      Future {
+        val fs = s"$workDir/state_filesize"
+        mergePartitioned(spark, fs, fileSizeDeltas(b), batchIdOf(fs),
+          FileSizeSchema, Seq("volume", "bucket", "size_bin"),
+          Seq("file_count", "total_size"))
+      },
+      Future {
+        val ct = s"$workDir/state_counts"
+        mergePartitioned(spark, ct, countsDeltas(b), batchIdOf(ct),
+          CountsSchema, Seq("entity"), Seq("cnt", "total_bytes"),
+          pk = lit("00"))
+      },
+      Future {
+        val ns = s"$workDir/state_nssummary"
+        mergePartitioned(spark, ns, nsSummaryDeltas(b), batchIdOf(ns),
+          NsSummarySchema, Seq("volume", "bucket", "dir"),
+          Seq("num_files", "size_of_files"))
+      })
+    Await.result(Future.sequence(jobs), Duration.Inf)
+    ()
+  }
+
   /**
    * Apply ONE delta micro-batch to the three maintained views OUTSIDE the
    * streaming scaffold — the merge path alone, against whatever state the
    * work dir holds (each view advances to its own next batchId). Used to
    * measure steady-state merge cost and to drive merges from non-streaming
-   * callers; the streaming replay below goes through exactly the same
-   * merges.
+   * callers; [[replay]] goes through exactly the same merges.
+   *
+   * REFUSES a stream-managed work dir (one holding a streaming checkpoint):
+   * out-of-band merges advance the per-view batchId watermarks past ids the
+   * checkpointed stream would replay next, so a later stream resume on the
+   * same dir would have its micro-batches silently discarded by the
+   * idempotency guard. Delete the checkpoint first to hand a dir over from
+   * streaming to batch-driven maintenance.
    */
   def applyDeltaBatch(spark: SparkSession, workDir: String,
                       batch: DataFrame): Unit = {
+    require(!Files.exists(Paths.get(workDir, "ckpt")),
+      s"applyDeltaBatch on stream-managed dir $workDir: a streaming " +
+        "checkpoint exists; resuming that stream after out-of-band merges " +
+        "would silently drop its micro-batches. Remove the checkpoint to " +
+        "take over batch-driven maintenance.")
     val b = batch.persist()
-    try {
-      def next(dir: String): Long = lastBatch(dir) + 1
-      val fs = s"$workDir/state_filesize"
-      mergePartitioned(spark, fs, fileSizeDeltas(b), next(fs),
-        FileSizeSchema, Seq("volume", "bucket", "size_bin"),
-        Seq("file_count", "total_size"))
-      val ct = s"$workDir/state_counts"
-      mergePartitioned(spark, ct, countsDeltas(b), next(ct),
-        CountsSchema, Seq("entity"), Seq("cnt", "total_bytes"), pk = lit("00"))
-      val ns = s"$workDir/state_nssummary"
-      mergePartitioned(spark, ns, nsSummaryDeltas(b), next(ns),
-        NsSummarySchema, Seq("volume", "bucket", "dir"),
-        Seq("num_files", "size_of_files"))
-    } finally { b.unpersist(); () }
+    try mergeAllViews(spark, workDir, b, dir => lastBatch(dir) + 1)
+    finally { b.unpersist(); () }
   }
 
   /**
@@ -291,17 +378,8 @@ object ChangeStream {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
-        try {
-          mergePartitioned(spark, s"$workDir/state_filesize", fileSizeDeltas(b),
-            batchId, FileSizeSchema, Seq("volume", "bucket", "size_bin"),
-            Seq("file_count", "total_size"))
-          mergePartitioned(spark, s"$workDir/state_counts", countsDeltas(b),
-            batchId, CountsSchema, Seq("entity"),
-            Seq("cnt", "total_bytes"), pk = lit("00"))
-          mergePartitioned(spark, s"$workDir/state_nssummary", nsSummaryDeltas(b),
-            batchId, NsSummarySchema, Seq("volume", "bucket", "dir"),
-            Seq("num_files", "size_of_files"))
-        } finally b.unpersist()
+        try mergeAllViews(spark, workDir, b, _ => batchId)
+        finally b.unpersist()
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")

@@ -111,11 +111,52 @@ class StreamingSpec extends SparkSpecBase {
     ChangeStream.replay(spark, s"$work/log", work, filesPerBatch = 2)
     val extra = objects.orderBy("key", "version", "data_size").limit(20)
     val batch = ChangeLog.events(extra).withColumn("seq", col("seq") + 999999L)
+    // a stream-managed dir is refused (watermark collision on resume) …
+    val ex = intercept[IllegalArgumentException] {
+      ChangeStream.applyDeltaBatch(spark, work, batch)
+    }
+    assert(ex.getMessage.contains("stream-managed"))
+    // … deleting the checkpoint hands it over to batch-driven maintenance
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rm(java.nio.file.Paths.get(work, "ckpt"))
     ChangeStream.applyDeltaBatch(spark, work, batch)
     val net = objects.filter(col("version") % 7 =!= 0)
       .unionByName(extra.filter(col("version") % 7 =!= 0))
     assert(rows(ChangeStream.fileSizeView(spark, work)) ===
       rows(ChangeStream.reprocessFileSize(net)))
+  }
+
+  test("a legacy single-dir state is migrated losslessly on first merge") {
+    import java.nio.file.{Files, Paths}
+    val objects = Tables.objects(spark, sf)
+    val net = objects.filter(col("version") % 7 =!= 0)
+    val work = Files.createTempDirectory("graft_test_legacy_").toString
+    val stateDir = s"$work/state_filesize"
+    // hand-build the pre-manifest layout: whole state in ONE version dir,
+    // `current` pointing at the dir itself
+    ChangeStream.reprocessFileSize(net).write.parquet(s"$stateDir/v0")
+    Files.writeString(Paths.get(stateDir, "current"), s"$stateDir/v0")
+    assert(ChangeStream.readManifest(stateDir).contains("LEGACY"))
+
+    val extra = objects.orderBy("key", "version", "data_size").limit(20)
+    val batch = ChangeLog.events(extra).withColumn("seq", col("seq") + 999999L)
+    ChangeStream.applyDeltaBatch(spark, work, batch)
+
+    // every legacy row (touched-partition or not) must survive the merge
+    val expect = rows(ChangeStream.reprocessFileSize(
+      net.unionByName(extra.filter(col("version") % 7 =!= 0))))
+    assert(rows(ChangeStream.fileSizeView(spark, work)) === expect)
+    // migrated: partitioned manifest, no LEGACY entry; the legacy dir
+    // itself survives this publish as the crash-recovery snapshot
+    val mf = ChangeStream.readManifest(stateDir)
+    assert(!mf.contains("LEGACY") && mf.size > 1)
+    assert(Files.exists(Paths.get(stateDir, "v0")))
   }
 
   test("watermarked streaming hourly counts match the batch dual (closed windows)") {
