@@ -29,10 +29,22 @@ object Api {
     Listing.listBuckets(T.buckets(s, d), volume, startBucket, maxBuckets)
 
   // -- key lookups + listings ----------------------------------------------
+  // Every key op first chases bucket links to the terminal real bucket
+  // (identity for non-links) — OmMetadataManagerImpl.java:1089-1093.
+  private def resolved(s: SparkSession, d: String, volume: String,
+                       bucket: String): Option[(String, String)] =
+    Links.resolveOne(T.bucketLinks(s, d), T.buckets(s, d),
+      volume, bucket).toOption
+
   def lookupKey(s: SparkSession, d: String, volume: String, bucket: String,
-                key: String): DataFrame =
-    T.objectsSorted(s, d).filter(col("volume") === volume &&
-      col("bucket") === bucket && col("key") === key)
+                key: String): DataFrame = {
+    val base = T.objectsSorted(s, d)
+    resolved(s, d, volume, bucket) match {
+      case Some((v, b)) => base.filter(col("volume") === v &&
+        col("bucket") === b && col("key") === key)
+      case None => base.limit(0) // broken link: no key, flagged in catalog
+    }
+  }
 
   /** GetKeyInfo: lookup + nested locations/tags/acls. */
   def getKeyInfo(s: SparkSession, d: String, volume: String, bucket: String,
@@ -42,7 +54,12 @@ object Api {
 
   def listKeys(s: SparkSession, d: String, volume: String, bucket: String,
                prefix: String, startKey: String, maxKeys: Int): DataFrame =
-    Listing.listKeys(T.objectsSorted(s, d), volume, bucket, prefix, startKey, maxKeys)
+    Links.listKeysVia(T.objectsSorted(s, d), T.bucketLinks(s, d),
+      T.buckets(s, d), volume, bucket, prefix, startKey, maxKeys)
+
+  /** The link-resolution catalog (status per link: OK/DANGLING/CYCLE). */
+  def resolveBucketLinks(s: SparkSession, d: String): DataFrame =
+    Links.resolveBucketLinks(T.bucketLinks(s, d), T.buckets(s, d))
 
   /** ListKeysLight: the same page with only the light columns (the
     * reference strips locations/acls for this RPC). */
@@ -84,6 +101,12 @@ object Api {
                                   beforeMs: Long): DataFrame =
     Lifecycle.mpuExpiry(T.multipartParts(s, d), beforeMs)
 
+  /** ListMultipartUploads: a bucket's in-flight uploads under a prefix —
+    * ref OzoneManagerRequestHandler.java:253 over multipartInfoTable. */
+  def listMultipartUploads(s: SparkSession, d: String, volume: String,
+                           bucket: String, prefix: String): DataFrame =
+    Lifecycle.listMultipartUploads(T.multipartInfo(s, d), volume, bucket, prefix)
+
   // -- snapshots + change stream -------------------------------------------
   def listSnapshots(s: SparkSession, d: String): DataFrame =
     CommitLog.snapshotInfoFromWarehouse(s, T.objects(s, d), d)
@@ -113,6 +136,26 @@ object Api {
             "status STRING, diff_rows BIGINT"))
     }
   }
+
+  // -- auth catalog ---------------------------------------------------------
+  /** GetS3Secret: the secret of one access id (ref s3SecretTable lookup). */
+  def getS3Secret(s: SparkSession, d: String, accessId: String): DataFrame =
+    T.s3Secrets(s, d).filter(col("access_id") === accessId)
+
+  def getUserInfo(s: SparkSession, d: String, userName: String): DataFrame =
+    T.userTable(s, d).filter(col("user_name") === userName)
+
+  /** Delegation-token catalog (dTokenTable) with optional expiry cut. */
+  def listDelegationTokens(s: SparkSession, d: String,
+                           expiringBeforeMs: Long = Long.MaxValue): DataFrame =
+    T.dTokens(s, d).filter(col("max_expiry_ms") < expiringBeforeMs)
+      .orderBy("owner")
+
+  /** Prefix-ACL-aware read probe for one principal (prefixTable layered
+    * under the object ACLs, longest matching prefix wins). */
+  def checkAccess(s: SparkSession, d: String, principal: String): DataFrame =
+    graft.operators.Nested.prefixAclProbe(T.objectsNested(s, d),
+      T.prefixAcls(s, d), principal)
 
   // -- multi-tenancy --------------------------------------------------------
   def listTenants(s: SparkSession, d: String): DataFrame =

@@ -87,6 +87,17 @@ object SparkEntry {
     "q_list_buckets" -> ((s, d) =>
       Listing.listBuckets(T.buckets(s, d), "vol1", "bucket2", 5)),
     "q_list_volumes" -> ((s, d) => Listing.listVolumes(T.volumes(s, d))),
+    // ---- link buckets (OmBucketInfo.isLink chase) + MPU listing ----
+    "q_link_resolve" -> ((s, d) =>
+      Links.resolveBucketLinks(T.bucketLinks(s, d), T.buckets(s, d))),
+    // listing THROUGH the 2-hop chain link-b -> link-a -> (vol0, bucket0)
+    // must equal listing the source bucket directly
+    "q_link_list" -> ((s, d) =>
+      Links.listKeysVia(T.objectsSorted(s, d), T.bucketLinks(s, d),
+        T.buckets(s, d), "vol2", "link-b", "warehouse/N/", "", 100)),
+    "q_list_mpus" -> ((s, d) =>
+      Lifecycle.listMultipartUploads(T.multipartInfo(s, d), "vol2", "bucket0",
+        "warehouse/mpu/1")),
     // ---- aggregation family (SURVEY §2.4) ----
     "q_filesize_histogram" -> ((s, d) =>
       Aggregates.fileSizeHistogram(T.objects(s, d))),
@@ -210,6 +221,25 @@ object SparkEntry {
       Nested.aclProbe(T.objectsNested(s, d),
         Seq("clerk1", "clerk3", "auditor2").toDF("principal"))
     }),
+    // ---- auth catalog: user/s3-secret/d-token tables + prefix ACLs ----
+    "q_user_volumes" -> ((s, d) =>
+      T.userTable(s, d).orderBy("user_name")),
+    // GetS3Secret shape: every access id of one principal with its secret
+    "q_s3_secret" -> ((s, d) =>
+      T.s3Secrets(s, d)
+        .filter(col("access_id").endsWith("$clerk1"))
+        .orderBy("access_id")),
+    "q_dtoken_expiry" -> ((s, d) =>
+      T.dTokens(s, d)
+        .filter(col("max_expiry_ms") < 799286400000L) // 1995-05-01
+        .select("token_id", "owner", "renewer", "issued_ms", "max_expiry_ms")
+        .orderBy("owner")),
+    // object-ACL grants and prefix-ACL grants DISAGREE by construction:
+    // auditor2 reads even-version keys via object acls, and warehouse/A/
+    // keys via the longest-prefix rule (the shorter warehouse/ rule denies)
+    "q_prefix_acl" -> ((s, d) =>
+      Nested.prefixAclProbe(T.objectsNested(s, d), T.prefixAcls(s, d),
+        "auditor2")),
     // ---- multi-tenancy catalog (SURVEY §2.11 tenant RPCs) ----
     "q_list_tenants" -> ((s, d) => Tenants.listTenants(T.tenantState(s, d))),
     "q_tenant_user_info" -> ((s, d) =>
@@ -253,6 +283,11 @@ object SparkEntry {
     "q_fso_list_status_deep" -> ((s, d) =>
       Hierarchy.listStatusFso(T.directoriesFsoDeep(s, d), T.filesFsoDeep(s, d),
         "vol2", "bucket5", "warehouse/R")),
+    // the same listing via keyset pages (child > token), concatenated —
+    // must hash-equal the unpaged q_fso_list_status oracle
+    "q_fso_list_pages" -> ((s, d) =>
+      Hierarchy.listStatusFsoWalk(T.directoriesFso(s, d), T.filesFso(s, d),
+        "vol2", "bucket5", "warehouse/R", pageSize = 150)),
     // ---- incremental CDC-maintained views (SURVEY §2.9) ----
     // the CDC source is the MIXED-depth namespace so the streamed NSSummary
     // exercises data-driven ancestor depth end-to-end
@@ -336,6 +371,44 @@ object SparkEntry {
     "q_list_volumes" -> O.withCtes(
       "SELECT * FROM volumes ORDER BY volume",
       O.objects, O.buckets, O.volumes),
+
+    // The link catalog is a 5-row static fixture, so its resolution has a
+    // closed literal form derived by hand from the chase semantics
+    // (direct OK@1, chain OK@2, dangling@1, 2-cycle CYCLE@maxHops+1).
+    "q_link_resolve" ->
+      """SELECT volume, bucket, resolved_volume, resolved_bucket,
+        |  CAST(hops AS BIGINT) AS hops, status
+        |FROM (VALUES
+        |  ('vol0', 'link-cycle1', 'vol0', 'link-cycle2', 9, 'CYCLE'),
+        |  ('vol0', 'link-cycle2', 'vol0', 'link-cycle1', 9, 'CYCLE'),
+        |  ('vol1', 'link-a', 'vol0', 'bucket0', 1, 'OK'),
+        |  ('vol2', 'link-b', 'vol0', 'bucket0', 2, 'OK'),
+        |  ('vol3', 'link-broken', 'vol0', 'no-such-bucket', 1, 'DANGLING'))
+        |  t(volume, bucket, resolved_volume, resolved_bucket, hops, status)
+        |ORDER BY volume, bucket""".stripMargin,
+
+    // listing through the chain == listing the terminal source bucket
+    "q_link_list" -> O.withCtes(
+      """SELECT key, data_size, replicated_size, replication_type,
+        |  creation_time, owner, etag
+        |FROM objects
+        |WHERE volume = 'vol0' AND bucket = 'bucket0'
+        |  AND key LIKE 'warehouse/N/%' AND key > ''
+        |ORDER BY key, data_size, creation_time LIMIT 101""".stripMargin,
+      O.objects),
+
+    "q_list_mpus" -> O.withCtes(
+      """SELECT key, upload_id, initiated_ms, num_parts FROM (
+        |  SELECT 'vol' || (order_key % 4) AS volume,
+        |    'bucket' || (order_key % 10) AS bucket,
+        |    'warehouse/mpu/' || order_key || '.bin' AS key,
+        |    upload_id, min(creation_time) AS initiated_ms,
+        |    count(*) AS num_parts
+        |  FROM multipart_parts GROUP BY order_key, upload_id)
+        |WHERE volume = 'vol2' AND bucket = 'bucket0'
+        |  AND key LIKE 'warehouse/mpu/1%'
+        |ORDER BY key, upload_id LIMIT 1001""".stripMargin,
+      O.multipartParts),
 
     "q_filesize_histogram" -> O.withCtes(
       """SELECT volume, bucket,
@@ -463,18 +536,23 @@ object SparkEntry {
         |ORDER BY side, container_id""".stripMargin,
       O.objects, O.containersScm, O.containersOm),
 
+    // MIS_REPLICATED: full healthy count, but the replicas span fewer
+    // racks than min(replication_factor, cluster racks)
     "q_replica_health" -> O.withCtes(
       """SELECT c.container_id, c.replication_factor,
         |  coalesce(t.replica_count, 0) AS replica_count,
         |  coalesce(t.healthy_count, 0) AS healthy_count,
+        |  coalesce(t.rack_count, 0) AS rack_count,
         |  CASE WHEN coalesce(t.healthy_count, 0) = 0 THEN 'MISSING'
         |       WHEN coalesce(t.healthy_count, 0) < c.replication_factor THEN 'UNDER_REPLICATED'
         |       WHEN coalesce(t.replica_count, 0) > c.replication_factor THEN 'OVER_REPLICATED'
+        |       WHEN coalesce(t.rack_count, 0) < least(c.replication_factor, 5) THEN 'MIS_REPLICATED'
         |       ELSE 'HEALTHY' END AS health
         |FROM containers_scm c
         |LEFT JOIN (
         |  SELECT container_id, count(*) AS replica_count,
-        |    CAST(sum(CASE WHEN replica_state = 'CLOSED' THEN 1 ELSE 0 END) AS BIGINT) AS healthy_count
+        |    CAST(sum(CASE WHEN replica_state = 'CLOSED' THEN 1 ELSE 0 END) AS BIGINT) AS healthy_count,
+        |    count(DISTINCT rack) AS rack_count
         |  FROM replicas GROUP BY 1) t USING (container_id)
         |WHERE c.state <> 'DELETED'
         |ORDER BY container_id""".stripMargin, O.containersScm, O.replicas),
@@ -848,6 +926,43 @@ object SparkEntry {
         |   OR ('auditor' || (object_id % 3) = principal AND version % 2 = 0)
         |ORDER BY volume, bucket, key, principal""".stripMargin, O.objects),
 
+    "q_user_volumes" -> O.withCtes(
+      """SELECT owner AS user_name, count(*) AS volume_count,
+        |  CAST(sum(used_bytes) AS BIGINT) AS owned_bytes
+        |FROM volumes GROUP BY 1 ORDER BY 1""".stripMargin,
+      O.objects, O.buckets, O.volumes),
+
+    "q_s3_secret" -> O.withCtes(
+      """SELECT access_id, md5(access_id || '#secret') AS secret
+        |FROM (
+        |  SELECT DISTINCT
+        |    'tenant' || substr(volume, 4, 10) || '$' || owner AS access_id
+        |  FROM objects WHERE owner = 'clerk1')
+        |ORDER BY access_id""".stripMargin, O.objects),
+
+    "q_dtoken_expiry" -> O.withCtes(
+      """SELECT md5('token' || owner) AS token_id, owner, 'om' AS renewer,
+        |  issued_ms,
+        |  issued_ms + (CAST(substr(owner, 6, 10) AS BIGINT) + 1) * 2592000000 AS max_expiry_ms
+        |FROM (
+        |  SELECT owner, min(creation_time) AS issued_ms
+        |  FROM objects GROUP BY 1)
+        |WHERE issued_ms + (CAST(substr(owner, 6, 10) AS BIGINT) + 1) * 2592000000
+        |      < 799286400000
+        |ORDER BY owner""".stripMargin, O.objects),
+
+    // auditor2 = 'auditor' || (object_id % 3) with object-read iff version
+    // even (objectsNested synthesis); prefix grant iff under warehouse/A/
+    // (longest match 'warehouse/A/' r--; the shorter 'warehouse/' is -w-)
+    "q_prefix_acl" -> O.withCtes(
+      """SELECT volume, bucket, key, 'auditor2' AS principal,
+        |  CASE WHEN object_id % 3 = 2 AND version % 2 = 0 THEN 'OBJECT'
+        |       ELSE 'PREFIX' END AS granted_via
+        |FROM objects
+        |WHERE (object_id % 3 = 2 AND version % 2 = 0)
+        |   OR key LIKE 'warehouse/A/%'
+        |ORDER BY volume, bucket, key, granted_via""".stripMargin, O.objects),
+
     "q_list_tenants" -> O.withCtes(
       """SELECT 'tenant' || substr(volume, 4, 10) AS tenant_id, volume,
         |  bucket_count, used_bytes
@@ -992,6 +1107,15 @@ object SparkEntry {
         |ORDER BY volume, bucket, path, data_size""".stripMargin, O.objects),
 
     "q_fso_list_status" -> O.withCtes(
+      """SELECT split_part(key, '/', 3) AS child, true AS is_dir,
+        |  count(*) AS num_files, CAST(sum(data_size) AS BIGINT) AS total_size
+        |FROM objects
+        |WHERE volume = 'vol2' AND bucket = 'bucket5'
+        |  AND key LIKE 'warehouse/R/%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin, O.objects),
+
+    // paged walk ≡ unpaged listing (keyset pagination is lossless)
+    "q_fso_list_pages" -> O.withCtes(
       """SELECT split_part(key, '/', 3) AS child, true AS is_dir,
         |  count(*) AS num_files, CAST(sum(data_size) AS BIGINT) AS total_size
         |FROM objects

@@ -107,13 +107,18 @@ object OracleCte {
 
   val replicas: String =
     """replicas AS (
-      |  SELECT c.container_id,
-      |    'dn' || ((c.container_id + r.r) % 20) AS datanode,
-      |    CASE WHEN c.container_id % 29 = 0 AND r.r = 1 THEN 'UNHEALTHY'
+      |  SELECT container_id,
+      |    'dn' || dn AS datanode,
+      |    'rack' || (dn % 5) AS rack,
+      |    CASE WHEN container_id % 29 = 0 AND r = 1 THEN 'UNHEALTHY'
       |         ELSE 'CLOSED' END AS replica_state
-      |  FROM containers_scm c CROSS JOIN range(4) r(r)
-      |  WHERE (r.r <= 2 AND NOT (c.container_id % 13 = 0 AND r.r = 2))
-      |     OR (r.r = 3 AND c.container_id % 17 = 0)
+      |  FROM (
+      |    SELECT c.container_id, r.r,
+      |      (c.container_id + CASE WHEN c.container_id % 23 = 0
+      |         THEN r.r * 5 ELSE r.r END) % 20 AS dn
+      |    FROM containers_scm c CROSS JOIN range(4) r(r)
+      |    WHERE (r.r <= 2 AND NOT (c.container_id % 13 = 0 AND r.r = 2))
+      |       OR (r.r = 3 AND c.container_id % 17 = 0))
       |)""".stripMargin
 
   val snapshotV1: String =

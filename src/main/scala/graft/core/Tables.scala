@@ -116,6 +116,24 @@ object Tables {
       .drop("bucket_idx")
   }
 
+  /**
+   * bucket_links: symlink buckets — no keys of their own; every key op
+   * chases source_volume/source_bucket (ref OmBucketInfo.java:89-91,305-307
+   * isLink, resolution OmMetadataManagerImpl.java:1089-1093). The static
+   * catalog covers every resolution class: a direct link, a 2-hop chain,
+   * a dangling target, and a 2-cycle.
+   */
+  def bucketLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("vol1", "link-a", "vol0", "bucket0"),
+      ("vol2", "link-b", "vol1", "link-a"),
+      ("vol3", "link-broken", "vol0", "no-such-bucket"),
+      ("vol0", "link-cycle1", "vol0", "link-cycle2"),
+      ("vol0", "link-cycle2", "vol0", "link-cycle1"))
+      .toDF("volume", "bucket", "source_volume", "source_bucket")
+  }
+
   /** volumes (ref OmVolumeArgs.java:50-71). */
   def volumes(spark: SparkSession, dir: String): DataFrame =
     buckets(spark, dir)
@@ -148,7 +166,11 @@ object Tables {
   /**
    * replicas: 3 per container; %13==0 loses one (under-replicated), %17==0
    * gains one (over-replicated), replica 1 of %29==0 is UNHEALTHY
-   * (ref ContainerHealthStatus.java:46-124).
+   * (ref ContainerHealthStatus.java:46-124). Topology: 20 datanodes in 5
+   * racks (rack = dn % 5). Normal placement strides datanodes by 1 → three
+   * distinct racks; %23==0 containers stride by 5 → all replicas land in
+   * ONE rack (full count, placement-policy violation ⇒ MIS_REPLICATED,
+   * ref ContainerHealthStatus.java:135 isMisReplicated).
    */
   def replicas(spark: SparkSession, dir: String): DataFrame = {
     val base = containersScm(spark, dir).select("container_id")
@@ -156,9 +178,11 @@ object Tables {
       .filter(
         (col("r") <= 2 && !(col("container_id") % 13 === 0 && col("r") === 2)) ||
         (col("r") === 3 && col("container_id") % 17 === 0))
+    val dnNum = (col("container_id") +
+      when(col("container_id") % 23 === 0, col("r") * 5).otherwise(col("r"))) % 20
     base
-      .withColumn("datanode",
-        concat(lit("dn"), ((col("container_id") + col("r")) % 20).cast("string")))
+      .withColumn("datanode", concat(lit("dn"), dnNum.cast("string")))
+      .withColumn("rack", concat(lit("rack"), (dnNum % 5).cast("string")))
       .withColumn("replica_state",
         when(col("container_id") % 29 === 0 && col("r") === 1, lit("UNHEALTHY"))
           .otherwise(lit("CLOSED")))
@@ -373,6 +397,52 @@ object Tables {
         col("owner").as("user_principal"),
         concat(col("tenant_id"), lit("$"), col("owner")).as("access_id"))
 
+  // ---- auth catalog (ref OMDBDefinition.java:149-191: userTable,
+  // s3SecretTable, dTokenTable, prefixTable) ----
+
+  /** user_table (ref OMDBDefinition.java:149-155 userTable: principal →
+    * owned volumes): volume-ownership rollup per admin principal. */
+  def userTable(spark: SparkSession, dir: String): DataFrame =
+    volumes(spark, dir)
+      .groupBy(col("owner").as("user_name"))
+      .agg(count(lit(1)).as("volume_count"),
+        sum("used_bytes").as("owned_bytes"))
+
+  /** s3_secret_table (ref OMDBDefinition.java:156-161 s3SecretTable):
+    * one secret per tenant access id, md5-derived so GetS3Secret has a
+    * closed oracle form. */
+  def s3Secrets(spark: SparkSession, dir: String): DataFrame =
+    tenantAccessIds(spark, dir).select(col("access_id"),
+      md5(concat(col("access_id"), lit("#secret"))).as("secret"))
+
+  /** d_token_table (ref OMDBDefinition.java:162-168 dTokenTable): one
+    * delegation token per key-writing principal; expiry staggers by the
+    * principal's index so expiry scans discriminate. */
+  def dTokens(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .groupBy("owner")
+      .agg(min("creation_time").as("issued_ms"))
+      .withColumn("owner_idx", substring(col("owner"), 6, 10).cast("long"))
+      .select(
+        md5(concat(lit("token"), col("owner"))).as("token_id"),
+        col("owner"), lit("om").as("renewer"), col("issued_ms"),
+        (col("issued_ms") + (col("owner_idx") + 1) * 2592000000L)
+          .as("max_expiry_ms"))
+
+  /** prefix_acls (ref OMDBDefinition.java:186-191 prefixTable): per bucket,
+    * `warehouse/` grants auditor2 write-only while `warehouse/A/` grants
+    * read — the two DISAGREE, so longest-prefix-wins evaluation is
+    * observable (a shortest-match or any-match bug flips grants). */
+  def prefixAcls(spark: SparkSession, dir: String): DataFrame = {
+    val b = buckets(spark, dir).select("volume", "bucket")
+    b.select(col("volume"), col("bucket"), lit("warehouse/").as("prefix"),
+        lit("auditor2").as("name"), lit("USER").as("type"),
+        lit("-w-").as("rights"))
+      .unionByName(b.select(col("volume"), col("bucket"),
+        lit("warehouse/A/").as("prefix"), lit("auditor2").as("name"),
+        lit("USER").as("type"), lit("r--").as("rights")))
+  }
+
   /** audit_access ← orders (heatmap source, ref HeatMapUtil.java:60-130). */
   def auditAccess(spark: SparkSession, dir: String): DataFrame = {
     val o = raw(spark, dir, "orders")
@@ -409,6 +479,25 @@ object Tables {
         floor(col("l_extendedprice")).cast("long").as("size"),
         epochMs(col("l_shipdate")).as("creation_time"))
   }
+
+  /**
+   * multipart_info: one row per IN-FLIGHT multipart upload keyed by
+   * (volume, bucket, key, upload_id) — ref OMDBDefinition.java:230-235
+   * multipartInfoTable (ListMultipartUploads walks it per bucket). Derived
+   * from the parts synthesis; order_key multiples of 50 put every MPU in
+   * bucket0 of vol0/vol2.
+   */
+  def multipartInfo(spark: SparkSession, dir: String): DataFrame =
+    multipartParts(spark, dir)
+      .groupBy("upload_id", "order_key")
+      .agg(min("creation_time").as("initiated_ms"),
+        count(lit(1)).as("num_parts"))
+      .select(
+        concat(lit("vol"), (col("order_key") % 4).cast("string")).as("volume"),
+        concat(lit("bucket"), (col("order_key") % 10).cast("string")).as("bucket"),
+        concat(lit("warehouse/mpu/"), col("order_key").cast("string"),
+          lit(".bin")).as("key"),
+        col("upload_id"), col("initiated_ms"), col("num_parts"))
 
   /** replica_history: datanode report stream per container (ref
     * ContainerEndpoint.java:330-345 replica first/last-seen history). */

@@ -52,37 +52,47 @@ object Events {
   final case class Session(user_id: String, n_events: Long, start_ms: Long,
                            end_ms: Long, value_cents: Long)
 
-  /** Typed custom-state sessionization via flatMapGroupsWithState — the
-    * KeyValueGroupedDataset state API the reference's event-driven
-    * aggregators map onto; in batch mode each key's full group arrives in
-    * one invocation and every session closes. Same output as [[sessionize]]
-    * minus the per-user session ordinal. */
+  /**
+   * Typed sessionization as an O(1)-state ITERATOR FOLD over
+   * secondary-sorted input: one shuffle on user_id, an in-partition sort by
+   * (user, ts), then a lazy mapPartitions scan that closes a session when
+   * the gap exceeds `gapMs` or the user changes. No per-user buffering —
+   * a user with 10⁸ events streams through in constant memory (a
+   * flatMapGroupsWithState batch fold would have to materialize and sort
+   * the whole group, since batch group iterators are unordered; the
+   * genuinely streaming gap-session path is [[sessionWindows]]'
+   * session_window under a watermark). Same output as [[sessionize]] minus
+   * the per-user session ordinal.
+   */
   def sessionizeTyped(spark: org.apache.spark.sql.SparkSession,
                       events: DataFrame, gapMs: Long = 1800000L)
       : org.apache.spark.sql.Dataset[Session] = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.select(col("user_id"), col("ts_ms"),
         floor(col("value") * 100).cast("long").as("cents"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_ms", "cents")
       .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: String, rows: Iterator[(String, Long, Long)],
-         _: GroupState[Long]) => {
-          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var start, last, n, cents = 0L
-          var open = false
-          sorted.foreach { case (_, ts, c) =>
-            if (!open) { start = ts; last = ts; n = 1; cents = c; open = true }
-            else if (ts - last > gapMs) {
-              out += Session(user, n, start, last, cents)
-              start = ts; last = ts; n = 1; cents = c
-            } else { last = ts; n += 1; cents += c }
-          }
-          if (open) out += Session(user, n, start, last, cents)
-          out.iterator
-        })
+      .mapPartitions { rows =>
+        // sentinel-terminated fold: emit a session the moment it closes
+        var open = false
+        var user = ""
+        var start, last, n, cents = 0L
+        (rows.map(Some(_)) ++ Iterator(None)).flatMap {
+          case Some((u, ts, c)) =>
+            if (!open) {
+              open = true; user = u; start = ts; last = ts; n = 1; cents = c
+              Iterator.empty
+            } else if (u != user || ts - last > gapMs) {
+              val closed = Session(user, n, start, last, cents)
+              user = u; start = ts; last = ts; n = 1; cents = c
+              Iterator.single(closed)
+            } else { last = ts; n += 1; cents += c; Iterator.empty }
+          case None =>
+            if (open) Iterator.single(Session(user, n, start, last, cents))
+            else Iterator.empty
+        }
+      }
   }
 
   /** Gap-based sessionization (30-min inactivity): per user, a new session

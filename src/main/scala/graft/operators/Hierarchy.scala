@@ -116,17 +116,25 @@ object Hierarchy {
    */
   def listStatusFso(dirs: DataFrame, files: DataFrame,
                     volume: String, bucket: String, parentPath: String,
-                    maxDepth: Int = 8): DataFrame = {
+                    maxDepth: Int = 8,
+                    startChild: String = "",
+                    numEntries: Option[Int] = None,
+                    resolvedDirs: Option[DataFrame] = None): DataFrame = {
     val pid = if (parentPath.isEmpty) 0L else pathIdOf(volume, bucket, parentPath)
-    val scoped = dirs.filter(col("volume") === volume && col("bucket") === bucket)
-    val rd = resolveDirs(scoped, maxDepth)
+    val rd = resolvedDirs.getOrElse(resolveDirs(
+      dirs.filter(col("volume") === volume && col("bucket") === bucket),
+      maxDepth))
     val prefix = if (parentPath.isEmpty) "" else parentPath + "/"
     // child segment directly under parentPath, for any path inside the subtree
     def childOf(path: Column): Column =
       element_at(split(substring(path, prefix.length + 1, Int.MaxValue), "/"), 1)
+    // keyset resume (startChild EXCLUSIVE, the reference's startKey —
+    // KeyManagerImpl.java:1979-2100): applied while SCOPING the subtree, so
+    // already-paged children's subtrees are pruned before any join/agg work
     val subDirs = rd
       .filter(col("path").startsWith(prefix) && col("path") =!= lit(parentPath))
       .select(col("dir_id"), childOf(col("path")).as("child"))
+      .filter(col("child") > startChild)
     // every file in the subtree, attributed to its child-of-parentPath
     val subFiles = files
       .filter(col("volume") === volume && col("bucket") === bucket)
@@ -142,12 +150,49 @@ object Hierarchy {
       .withColumn("is_dir", lit(true))
     val childFiles = files
       .filter(col("volume") === volume && col("bucket") === bucket &&
-        col("parent_id") === pid)
+        col("parent_id") === pid && col("name") > startChild)
       .groupBy(col("name").as("child"))
       .agg(count(lit(1)).as("num_files"), sum("data_size").as("total_size"))
       .withColumn("is_dir", lit(false))
-    dirRollup.unionByName(childFiles)
+    val out = dirRollup.unionByName(childFiles)
       .select("child", "is_dir", "num_files", "total_size")
+      .orderBy("child")
+    // numEntries+1 rows so the caller derives truncation, like listKeys
+    numEntries.map(n => out.limit(n + 1)).getOrElse(out)
+  }
+
+  /**
+   * Paged FSO listStatus walk (the client pagination loop): independent
+   * pages chained by `child > lastChild` keyset tokens; concatenation must
+   * equal the unpaged listing. The resolved-dir paths are computed ONCE and
+   * shared across pages (they are an index artifact, the dual of the
+   * reference's persisted directoryTable the iterator seeks into) — each
+   * page then costs one join + agg over the REMAINING subtree only.
+   */
+  def listStatusFsoWalk(dirs: DataFrame, files: DataFrame,
+                        volume: String, bucket: String, parentPath: String,
+                        pageSize: Int, maxDepth: Int = 8,
+                        maxPages: Int = 100000): DataFrame = {
+    val spark = dirs.sparkSession
+    val rd = resolveDirs(
+      dirs.filter(col("volume") === volume && col("bucket") === bucket),
+      maxDepth).localCheckpoint()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var start = ""
+    var pages = 0
+    var done = false
+    while (!done && pages < maxPages) {
+      val pg = listStatusFso(dirs, files, volume, bucket, parentPath,
+        maxDepth, start, Some(pageSize), Some(rd)).collect().toSeq
+      buf ++= pg.take(pageSize)
+      done = pg.size <= pageSize
+      if (!done) start = pg(pageSize - 1).getString(0)
+      pages += 1
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(buf.toSeq, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "child STRING, is_dir BOOLEAN, num_files BIGINT, total_size BIGINT"))
       .orderBy("child")
   }
 }

@@ -43,27 +43,37 @@ object Joins {
     omOnly.unionByName(scmOnly).orderBy("side", "container_id")
   }
 
-  /** Replica health: expected replication factor vs healthy replica count →
-    * UNDER/OVER/MIS/HEALTHY (ref ContainerHealthStatus.java:46-124). */
-  def replicaHealth(containersScm: DataFrame, replicas: DataFrame): DataFrame = {
+  /** Replica health: expected replication factor vs healthy replica count
+    * AND rack placement → MISSING/UNDER/OVER/MIS_REPLICATED/HEALTHY (ref
+    * ContainerHealthStatus.java:46-135; isMisReplicated:135 = full count
+    * but replicas span fewer racks than the placement policy requires,
+    * i.e. min(replication_factor, cluster racks)). One groupBy over the
+    * replica table + a broadcastable container dim. */
+  def replicaHealth(containersScm: DataFrame, replicas: DataFrame,
+                    numClusterRacks: Int = 5): DataFrame = {
     val counts = replicas
       .groupBy("container_id")
       .agg(
         count(lit(1)).as("replica_count"),
         sum(when(col("replica_state") === "CLOSED", 1L).otherwise(0L))
-          .as("healthy_count"))
+          .as("healthy_count"),
+        countDistinct("rack").as("rack_count"))
     containersScm
       .filter(col("state") =!= "DELETED")
       .join(counts, Seq("container_id"), "left")
       .withColumn("replica_count", coalesce(col("replica_count"), lit(0L)))
       .withColumn("healthy_count", coalesce(col("healthy_count"), lit(0L)))
+      .withColumn("rack_count", coalesce(col("rack_count"), lit(0L)))
       .withColumn("health",
         when(col("healthy_count") === 0, lit("MISSING"))
           .when(col("healthy_count") < col("replication_factor"), lit("UNDER_REPLICATED"))
           .when(col("replica_count") > col("replication_factor"), lit("OVER_REPLICATED"))
+          .when(col("rack_count") <
+              least(col("replication_factor"), lit(numClusterRacks)),
+            lit("MIS_REPLICATED"))
           .otherwise(lit("HEALTHY")))
       .select("container_id", "replication_factor", "replica_count",
-        "healthy_count", "health")
+        "healthy_count", "rack_count", "health")
       .orderBy("container_id")
   }
 

@@ -166,6 +166,23 @@ object Lifecycle {
       .filter(col("initiated") < beforeMs)
       .orderBy("upload_id")
 
+  /** ListMultipartUploads: the in-flight uploads of ONE bucket, optional
+    * key prefix, ordered by (key, upload_id) with keyset pagination — ref
+    * OzoneManagerRequestHandler.java:253 walking multipartInfoTable
+    * (OMDBDefinition.java:230-235). Same sargable prefix + startKey range
+    * as the key listings: O(page) against a (volume, bucket)-partitioned
+    * upload catalog, maxUploads+1 rows so the caller derives truncation. */
+  def listMultipartUploads(multipartInfo: DataFrame, volume: String,
+                           bucket: String, prefix: String,
+                           startKey: String = "",
+                           maxUploads: Int = 1000): DataFrame =
+    multipartInfo
+      .filter(col("volume") === volume && col("bucket") === bucket &&
+        Listing.prefixPred(col("key"), prefix) && col("key") > startKey)
+      .select("key", "upload_id", "initiated_ms", "num_parts")
+      .orderBy("key", "upload_id")
+      .limit(maxUploads + 1)
+
   /** Replica-report history lag/lead per (container, datanode): first/last
     * seen and the largest report gap — ref ContainerEndpoint.java:330-345
     * (replica history timeline). One shuffle on the composite key; the gap

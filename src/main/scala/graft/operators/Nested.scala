@@ -45,6 +45,55 @@ object Nested {
       .select("volume", "bucket", "key", "principal")
       .orderBy("volume", "bucket", "key", "principal")
 
+  /**
+   * ACL probe WITH prefix ACLs (ref OMDBDefinition.java:186-191 prefixTable;
+   * prefix entries evaluated on path resolve): a principal reads a key when
+   * its object ACL grants READ, or — failing that — when the LONGEST
+   * matching prefix ACL for that principal grants READ (a shorter matching
+   * prefix that denies is overridden by a longer one that grants, and vice
+   * versa). Output rows carry `granted_via` ∈ {OBJECT, PREFIX}.
+   *
+   * Scale design: the principal's prefix rules collapse to ONE array per
+   * (volume, bucket) and broadcast; the longest-match pick is a per-row
+   * array_sort+filter lambda over that tiny array — the key table never
+   * shuffles and no window function is needed (windows can't distinguish
+   * the namespace's legitimately duplicate rows).
+   */
+  def prefixAclProbe(objectsNested: DataFrame, prefixAcls: DataFrame,
+                     principal: String): DataFrame = {
+    val rules = prefixAcls
+      .filter(col("name") === principal && col("type") === "USER")
+      .groupBy(col("volume").as("pv"), col("bucket").as("pb"))
+      .agg(collect_list(struct(col("prefix"), col("rights"))).as("rules"))
+    objectsNested
+      .join(broadcast(rules),
+        col("volume") === col("pv") && col("bucket") === col("pb"), "left")
+      .withColumn("object_grant",
+        exists(col("acls"), a =>
+          a("type") === "USER" && a("name") === principal &&
+            a("rights").contains("r")))
+      // longest matching prefix rule, if any (ties impossible: equal-length
+      // prefixes for one principal in one bucket are the same string)
+      // try_element_at: NULL (not an ANSI error) when no rule matches
+      .withColumn("best_rule", expr(
+        """try_element_at(
+             array_sort(
+               filter(rules, r -> startswith(key, r.prefix)),
+               (a, b) -> CASE WHEN length(a.prefix) > length(b.prefix) THEN -1
+                              WHEN length(a.prefix) < length(b.prefix) THEN 1
+                              ELSE 0 END),
+             1)"""))
+      .withColumn("prefix_grant",
+        coalesce(col("best_rule.rights").contains("r"), lit(false)))
+      .withColumn("granted_via",
+        when(col("object_grant"), lit("OBJECT"))
+          .when(col("prefix_grant"), lit("PREFIX")))
+      .filter(col("granted_via").isNotNull)
+      .select(col("volume"), col("bucket"), col("key"),
+        lit(principal).as("principal"), col("granted_via"))
+      .orderBy("volume", "bucket", "key", "granted_via")
+  }
+
   /** Explode the per-key block location list — one row per block with its
     * byte range (the lookupKey → block-list resolution of the reference). */
   def locationsExplode(objectsNested: DataFrame): DataFrame =

@@ -48,6 +48,22 @@ class HierarchySpec extends SparkSpecBase {
       Seq("b", true, 1L, 20L), Seq("f1", false, 1L, 10L)))
   }
 
+  test("paged FSO listStatus: pages concatenate to the unpaged listing, token at a dir boundary") {
+    // root children in order: a (dir), c (dir), f4 (file) — pageSize 1 puts
+    // a page break exactly ON each dir boundary
+    for (ps <- Seq(1, 2, 100)) {
+      val walked = rows(Hierarchy.listStatusFsoWalk(dirs, files, "v", "b", "",
+        pageSize = ps))
+      val full = rows(Hierarchy.listStatusFso(dirs, files, "v", "b", ""))
+      assert(walked === full, s"pageSize=$ps")
+    }
+    // a single mid-walk page: resumes STRICTLY after the token child and
+    // still carries the full recursive rollup of the next dir
+    val page = rows(Hierarchy.listStatusFso(dirs, files, "v", "b", "",
+      startChild = "a", numEntries = Some(1)))
+    assert(page === Seq(Seq("c", true, 1L, 30L), Seq("f4", false, 1L, 40L)))
+  }
+
   test("FSO and OBS listStatus agree on a 3-level tree (deep fixture)") {
     val sf = "/root/testdata/sf0.001"
     val fso = rows(Hierarchy.listStatusFso(

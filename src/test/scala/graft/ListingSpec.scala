@@ -158,6 +158,57 @@ class ListingSpec extends SparkSpecBase {
     }
   }
 
+  test("link buckets: chain resolves to its source, broken links flag and list empty") {
+    val sf = "/root/testdata/sf0.001"
+    val links = graft.core.Tables.bucketLinks(spark, sf)
+    val buckets = graft.core.Tables.buckets(spark, sf)
+    val sorted = graft.core.Tables.objectsSorted(spark, sf)
+    // listing THROUGH the 2-hop chain == listing the terminal source bucket
+    val viaLink = rows(graft.operators.Links.listKeysVia(
+      sorted, links, buckets, "vol2", "link-b", "warehouse/N/", "", 50))
+    val direct = rows(Listing.listKeys(
+      sorted, "vol0", "bucket0", "warehouse/N/", "", 50))
+    assert(viaLink === direct && viaLink.nonEmpty)
+    // dangling + cyclic links list EMPTY (and carry a status in the catalog)
+    assert(rows(graft.operators.Links.listKeysVia(
+      sorted, links, buckets, "vol3", "link-broken", "", "", 50)).isEmpty)
+    assert(rows(graft.operators.Links.listKeysVia(
+      sorted, links, buckets, "vol0", "link-cycle1", "", "", 50)).isEmpty)
+    val status = graft.operators.Links.resolveBucketLinks(links, buckets)
+      .select("bucket", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(status("link-a") === "OK" && status("link-b") === "OK")
+    assert(status("link-broken") === "DANGLING")
+    assert(status("link-cycle1") === "CYCLE" && status("link-cycle2") === "CYCLE")
+  }
+
+  test("ListMultipartUploads pages by key and concatenates to the full listing") {
+    val sf = "/root/testdata/sf0.001"
+    val mpus = graft.core.Tables.multipartInfo(spark, sf)
+    val full = rows(graft.operators.Lifecycle.listMultipartUploads(
+      mpus, "vol2", "bucket0", "warehouse/mpu/"))
+    assert(full.nonEmpty)
+    // keyset pagination: chain startKey = last key of the previous page
+    val pageSize = math.max(1, full.size / 3)
+    var start = ""
+    var walked = Seq.empty[Seq[Any]]
+    var done = false
+    while (!done) {
+      val page = rows(graft.operators.Lifecycle.listMultipartUploads(
+        mpus, "vol2", "bucket0", "warehouse/mpu/", start, pageSize))
+      val kept = page.take(pageSize)
+      walked ++= kept
+      done = page.size <= pageSize
+      if (!done) start = kept.last.head.asInstanceOf[String]
+    }
+    assert(walked === full)
+    // prefix narrows the listing
+    val narrowed = rows(graft.operators.Lifecycle.listMultipartUploads(
+      mpus, "vol2", "bucket0", "warehouse/mpu/1"))
+    assert(narrowed.size < full.size || full.forall(
+      _.head.asInstanceOf[String].startsWith("warehouse/mpu/1")))
+  }
+
   test("container-key join broadcasts the small container dim (plan quality)") {
     val q = graft.operators.Joins.containerKeyJoin(
       graft.core.Tables.objects(spark, "/root/testdata/sf0.001"),

@@ -57,7 +57,31 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
-  test("session_window and flatMapGroupsWithState sessionizers agree with the window-lag sessionizer") {
+  test("typed sessionizer streams a 100k-event user without buffering the group") {
+    val rnd = new Random(99)
+    // one pathological user with 1e5 events + a second small user, gaps
+    // engineered so dozens of sessions close mid-stream
+    var ts = 0L
+    val big = (0 until 100000).map { i =>
+      ts += (if (rnd.nextInt(1000) == 0) 2000000L else rnd.nextInt(1000).toLong)
+      (i.toLong, "heavy", "e", rnd.nextDouble() * 10, ts)
+    }
+    val small = Seq((200000L, "light", "e", 1.0, 5L), (200001L, "light", "e", 2.0, 4000000L))
+    val ev = (big ++ small)
+      .toDF("event_id", "user_id", "event_type", "value", "ts_ms")
+    val typed = graft.operators.Events.sessionizeTyped(spark, ev)
+      .toDF("user_id", "n_events", "start_ms", "end_ms", "value_cents")
+    val base = graft.operators.Events.sessionize(ev)
+      .select("user_id", "n_events", "start_ms", "end_ms", "value_cents")
+    assert(typed.exceptAll(base).count() === 0)
+    assert(base.exceptAll(typed).count() === 0)
+    assert(typed.filter(col("user_id") === "heavy").count() > 10)
+    // every heavy event is in exactly one session
+    assert(typed.filter(col("user_id") === "heavy")
+      .agg(sum("n_events")).head.getLong(0) === 100000L)
+  }
+
+  test("session_window and the typed iterator sessionizer agree with the window-lag sessionizer") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val base = graft.operators.Events.sessionize(ev)
       .select("user_id", "n_events", "start_ms", "end_ms", "value_cents")
