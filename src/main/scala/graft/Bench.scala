@@ -79,14 +79,21 @@ object Bench {
     deleteRecursively(java.nio.file.Paths.get(steadyWork, "ckpt"))
     val delta = objects
       .orderBy("volume", "bucket", "key", "version", "data_size").limit(1000)
-    val deltaBatch = graft.streaming.ChangeLog.events(delta)
-      .withColumn("seq", col("seq") + 10000000L)
-      .persist()
-    deltaBatch.count()
-    val tS = System.nanoTime()
-    graft.streaming.ChangeStream.applyDeltaBatch(spark, steadyWork, deltaBatch)
-    val steadySec = secs(tS)
-    deltaBatch.unpersist()
+    // steady state means REPEATED batches: apply three and report the
+    // median, so the first batch's one-off codegen/plan warmup doesn't
+    // masquerade as per-batch cost
+    val steadyTimes = (0 until 3).map { i =>
+      val deltaBatch = graft.streaming.ChangeLog.events(delta)
+        .withColumn("seq", col("seq") + 10000000L * (i + 1))
+        .persist()
+      deltaBatch.count()
+      val tS = System.nanoTime()
+      graft.streaming.ChangeStream.applyDeltaBatch(spark, steadyWork, deltaBatch)
+      val t = secs(tS)
+      deltaBatch.unpersist()
+      t
+    }
+    val steadySec = steadyTimes.sorted.apply(1)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()

@@ -284,10 +284,20 @@ object SparkEntry {
       Hierarchy.listStatusFso(T.directoriesFsoDeep(s, d), T.filesFsoDeep(s, d),
         "vol2", "bucket5", "warehouse/R")),
     // the same listing via keyset pages (child > token), concatenated —
-    // must hash-equal the unpaged q_fso_list_status oracle
-    "q_fso_list_pages" -> ((s, d) =>
-      Hierarchy.listStatusFsoWalk(T.directoriesFso(s, d), T.filesFso(s, d),
-        "vol2", "bucket5", "warehouse/R", pageSize = 150)),
+    // must hash-equal the unpaged q_fso_list_status oracle. Page size
+    // adapts to the child count (one cheap count on the small dir table)
+    // so the walk spans ~5 pages at EVERY scale factor — exercising real
+    // pagination at verify SF without page-count blowup at bench SF.
+    "q_fso_list_pages" -> ((s, d) => {
+      val dirs = T.directoriesFso(s, d)
+      val pid = Hierarchy.pathIdOf("vol2", "bucket5", "warehouse/R")
+      val n = dirs.filter(col("volume") === "vol2" &&
+        col("bucket") === "bucket5" &&
+        col("parent_id") === pid).count()
+      Hierarchy.listStatusFsoWalk(dirs, T.filesFso(s, d),
+        "vol2", "bucket5", "warehouse/R",
+        pageSize = math.max(50, (n / 5 + 1).toInt))
+    }),
     // ---- incremental CDC-maintained views (SURVEY §2.9) ----
     // the CDC source is the MIXED-depth namespace so the streamed NSSummary
     // exercises data-driven ancestor depth end-to-end

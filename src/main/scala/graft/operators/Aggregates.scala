@@ -50,6 +50,13 @@ object Aggregates {
         d -> array_join(slice(split($keyCol, '/'), 1, d), '/'))
       ELSE array() END""")
 
+  /** Every prefix of a DIRECTORY path INCLUDING the path itself — the
+    * ancestor set a leaf-dir aggregate propagates to. */
+  def dirAndAncestors(dirCol: String): Column =
+    expr(s"""transform(
+      sequence(1, least(size(split($dirCol, '/')), $MaxAncestorDepth)),
+      d -> array_join(slice(split($dirCol, '/'), 1, d), '/'))""")
+
   /** File-size histogram per (volume, bucket, bin) — ref
     * FileSizeCountTaskHelper.java:51-77. */
   def fileSizeHistogram(objects: DataFrame): DataFrame =
@@ -75,19 +82,34 @@ object Aggregates {
    * reference's incremental upward propagation
    * (NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459).
    * Keys are `a/b/c/file` paths; each file contributes to ancestors
-   * `a`, `a/b`, `a/b/c` via an exploded per-row prefix array
-   * ([[ancestorDirs]] — depth comes from each key, never a config) —
-   * one wide shuffle instead of per-level self-joins.
+   * `a`, `a/b`, `a/b/c` — depth comes from each key, never a config.
+   *
+   * TWO-STAGE shape: files first aggregate to their immediate parent dir
+   * (one shuffle over |files| NARROW rows), then only the (far fewer)
+   * distinct leaf dirs explode their ancestor chains and re-aggregate.
+   * Exploding per FILE would shuffle |files| × avg-depth rows keyed by
+   * path strings — at 100 TB that explode is the dominant shuffle; per-dir
+   * it is ~|dirs| × depth, orders of magnitude smaller.
    */
-  def nsSummary(objects: DataFrame): DataFrame =
+  def nsSummary(objects: DataFrame): DataFrame = {
+    val parentDir = expr(
+      "substring(key, 1, length(key) - length(element_at(split(key, '/'), -1)) - 1)")
     objects
-      .withColumn("dir", explode(ancestorDirs("key")))
+      .withColumn("leaf", parentDir)
+      .filter(col("leaf") =!= "") // 1-segment keys have no ancestor dirs
+      .groupBy("volume", "bucket", "leaf")
+      .agg(
+        count(lit(1)).as("nf"),
+        sum("data_size").as("sz"),
+        sum("replicated_size").as("rs"))
+      .withColumn("dir", explode(dirAndAncestors("leaf")))
       .groupBy("volume", "bucket", "dir")
       .agg(
-        count(lit(1)).as("num_files"),
-        sum("data_size").as("size_of_files"),
-        sum("replicated_size").as("replicated_size"))
+        sum("nf").as("num_files"),
+        sum("sz").as("size_of_files"),
+        sum("rs").as("replicated_size"))
       .orderBy("volume", "bucket", "dir")
+  }
 
   /** du top-N: largest level-2 directories — ref BucketEntityHandler.java:91-145
     * + ReconUtils.java:534-540 (top-k). */

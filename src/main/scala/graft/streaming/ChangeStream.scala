@@ -142,8 +142,10 @@ object ChangeStream {
                                  touched: Seq[String], batchId: Long): Unit = {
     val vdir = s"$dir/v$batchId"
     // co-locate each partition's rows in one task so every __pk leaf gets
-    // ONE file instead of numShufflePartitions × numPk small files
-    next.repartition(col("__pk"))
+    // ONE file instead of numShufflePartitions × numPk small files; size
+    // the exchange to the touched-partition count — a steady-state batch
+    // touching 2 namespaces runs a 2-task write, not a 32-task one
+    next.repartition(math.max(1, touched.size), col("__pk"))
       .write.mode("overwrite").partitionBy("__pk").parquet(vdir)
     val prev = readManifest(dir)
     val updated = (prev - "LEGACY") ++ touched.map(pk => pk -> s"$vdir/__pk=$pk")
@@ -271,17 +273,25 @@ object ChangeStream {
   }
 
   /** NSSummary ±delta fold: each event contributes to EVERY ancestor dir
-    * of its key (per-row prefix explode via Aggregates.ancestorDirs — depth
-    * comes from the key, never a config; the streamed dual of
-    * NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459 — the
-    * upward propagation becomes a generator, not driver recursion). */
+    * of its key (depth from the key, never a config; the streamed dual of
+    * NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459 — upward
+    * propagation becomes a generator, not driver recursion). Same
+    * two-stage shape as the batch rollup: ±deltas first collapse onto
+    * their immediate parent dir, then only the distinct leaf dirs explode
+    * their ancestor chains — signs are linear, so the staging is exact. */
   def nsSummaryDeltas(batch: DataFrame): DataFrame =
     batch
-      .withColumn("dir", explode(graft.operators.Aggregates.ancestorDirs("key")))
+      .withColumn("leaf", expr(
+        "substring(key, 1, length(key) - length(element_at(split(key, '/'), -1)) - 1)"))
+      .filter(col("leaf") =!= "")
       .withColumn("sgn", when(col("op") === "PUT", 1L).otherwise(-1L))
+      .groupBy("volume", "bucket", "leaf")
+      .agg(sum(col("sgn")).as("nf"),
+        sum(col("sgn") * col("data_size")).as("sz"))
+      .withColumn("dir",
+        explode(graft.operators.Aggregates.dirAndAncestors("leaf")))
       .groupBy("volume", "bucket", "dir")
-      .agg(sum(col("sgn")).as("num_files"),
-        sum(col("sgn") * col("data_size")).as("size_of_files"))
+      .agg(sum("nf").as("num_files"), sum("sz").as("size_of_files"))
 
   /** Global entity counts delta fold (OmTableInsightTask shape). */
   def countsDeltas(batch: DataFrame): DataFrame =
