@@ -48,9 +48,14 @@ object Api {
 
   /** GetKeyInfo: lookup + nested locations/tags/acls. */
   def getKeyInfo(s: SparkSession, d: String, volume: String, bucket: String,
-                 key: String): DataFrame =
-    T.objectsNested(s, d).filter(col("volume") === volume &&
-      col("bucket") === bucket && col("key") === key)
+                 key: String): DataFrame = {
+    val base = T.objectsNested(s, d)
+    resolved(s, d, volume, bucket) match {
+      case Some((v, b)) => base.filter(col("volume") === v &&
+        col("bucket") === b && col("key") === key)
+      case None => base.limit(0)
+    }
+  }
 
   def listKeys(s: SparkSession, d: String, volume: String, bucket: String,
                prefix: String, startKey: String, maxKeys: Int): DataFrame =
@@ -61,6 +66,21 @@ object Api {
   def resolveBucketLinks(s: SparkSession, d: String): DataFrame =
     Links.resolveBucketLinks(T.bucketLinks(s, d), T.buckets(s, d))
 
+  /** S3 ListObjectsV2 (delimiter grouping + CommonPrefixes), link-aware —
+    * S3 bucket aliasing IS the link-bucket feature. */
+  def listObjectsV2(s: SparkSession, d: String, volume: String, bucket: String,
+                    prefix: String, startAfter: String,
+                    maxKeys: Int): DataFrame = {
+    val base = T.objectsSorted(s, d)
+    resolved(s, d, volume, bucket) match {
+      case Some((v, b)) =>
+        Listing.listObjectsV2(base, v, b, prefix, startAfter, maxKeys)
+      case None =>
+        Listing.listObjectsV2(base, volume, bucket, prefix, startAfter, maxKeys)
+          .limit(0)
+    }
+  }
+
   /** ListKeysLight: the same page with only the light columns (the
     * reference strips locations/acls for this RPC). */
   def listKeysLight(s: SparkSession, d: String, volume: String, bucket: String,
@@ -69,13 +89,24 @@ object Api {
       .select("key", "data_size", "creation_time")
 
   def listStatus(s: SparkSession, d: String, volume: String, bucket: String,
-                 dir: String): DataFrame =
-    Listing.listStatus(T.objectsSorted(s, d), volume, bucket, dir)
+                 dir: String): DataFrame = {
+    val base = T.objectsSorted(s, d)
+    resolved(s, d, volume, bucket) match {
+      case Some((v, b)) => Listing.listStatus(base, v, b, dir)
+      case None => Listing.listStatus(base, volume, bucket, dir).limit(0)
+    }
+  }
 
   def listStatusFso(s: SparkSession, d: String, volume: String, bucket: String,
                     dir: String): DataFrame =
-    Hierarchy.listStatusFso(T.directoriesFso(s, d), T.filesFso(s, d),
-      volume, bucket, dir)
+    resolved(s, d, volume, bucket) match {
+      case Some((v, b)) =>
+        Hierarchy.listStatusFso(T.directoriesFso(s, d), T.filesFso(s, d),
+          v, b, dir)
+      case None =>
+        Hierarchy.listStatusFso(T.directoriesFso(s, d), T.filesFso(s, d),
+          volume, bucket, dir).limit(0)
+    }
 
   def getFileStatus(s: SparkSession, d: String, volume: String, bucket: String,
                     key: String): DataFrame =
@@ -83,8 +114,7 @@ object Api {
 
   def getAcl(s: SparkSession, d: String, volume: String, bucket: String,
              key: String): DataFrame =
-    T.objectsNested(s, d).filter(col("volume") === volume &&
-      col("bucket") === bucket && col("key") === key)
+    getKeyInfo(s, d, volume, bucket, key)
       .select(col("key"), explode(col("acls")).as("acl"))
       .select("key", "acl.name", "acl.type", "acl.rights")
 

@@ -8,15 +8,6 @@ import org.apache.spark.sql.functions.col
   * success. The JSON line goes to stdout AND `bench_out.json` (file first,
   * so a truncated stdout capture can never lose the per-query map). */
 object Bench {
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(deleteRecursively) finally s.close()
-    }
-    Files.deleteIfExists(p); ()
-  }
-
   private def cloneDir(src: String): String = {
     import java.nio.file._
     val dst = Files.createTempDirectory("graft_steady_")
@@ -76,7 +67,8 @@ object Bench {
     // hand the clone over from streaming to batch-driven maintenance:
     // applyDeltaBatch refuses dirs holding a (dead, path-bound) streaming
     // checkpoint, so the batch watermarks can never collide with a resume
-    deleteRecursively(java.nio.file.Paths.get(steadyWork, "ckpt"))
+    graft.streaming.ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(steadyWork, "ckpt"))
     val delta = objects
       .orderBy("volume", "bucket", "key", "version", "data_size").limit(1000)
     // steady state means REPEATED batches: apply three and report the
@@ -159,8 +151,14 @@ object Bench {
       }
       val m = times.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // the 10x warehouse is probe-only — reclaim it before reporting
+      graft.streaming.ChangeStream.deleteRecursively(
+        java.nio.file.Paths.get(wh10))
       s""","sf1":$m,"sf1_ingest_sec":$ingestSec"""
     }
+    // the steady-state clone served its three batches — reclaim it too
+    graft.streaming.ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(steadyWork))
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

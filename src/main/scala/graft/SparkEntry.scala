@@ -437,17 +437,19 @@ object SparkEntry {
     // ALL strict ancestor prefixes (depth from each key, not a constant) —
     // over the mixed 4/6-segment namespace
     "q_ns_summary" -> O.withCtes(
-      """SELECT volume, bucket, dir,
-        |  count(*) AS num_files,
-        |  CAST(sum(data_size) AS BIGINT) AS size_of_files,
-        |  CAST(sum(replicated_size) AS BIGINT) AS replicated_size
-        |FROM (
-        |  SELECT volume, bucket, data_size, replicated_size,
-        |    array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS dir
-        |  FROM (
-        |    SELECT *, unnest(generate_series(1, len(string_split(key, '/')) - 1)) AS d
-        |    FROM objects_mixed))
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      s"""SELECT volume, bucket, dir,
+         |  count(*) AS num_files,
+         |  CAST(sum(data_size) AS BIGINT) AS size_of_files,
+         |  CAST(sum(replicated_size) AS BIGINT) AS replicated_size
+         |FROM (
+         |  SELECT volume, bucket, data_size, replicated_size,
+         |    array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS dir
+         |  FROM (
+         |    SELECT *, unnest(generate_series(1,
+         |      least(len(string_split(key, '/')) - 1,
+         |            ${Aggregates.MaxAncestorDepth}))) AS d
+         |    FROM objects_mixed))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       O.objects, O.objectsMixed),
 
     "q_du_topn" -> O.withCtes(
@@ -1161,16 +1163,18 @@ object SparkEntry {
 
     // streamed over the mixed-depth namespace: ALL ancestor prefixes
     "q_stream_nssummary" -> O.withCtes(
-      """SELECT volume, bucket, dir,
-        |  count(*) AS num_files,
-        |  CAST(sum(data_size) AS BIGINT) AS size_of_files
-        |FROM (
-        |  SELECT volume, bucket, data_size,
-        |    array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS dir
-        |  FROM (
-        |    SELECT *, unnest(generate_series(1, len(string_split(key, '/')) - 1)) AS d
-        |    FROM objects_mixed WHERE version % 7 <> 0))
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      s"""SELECT volume, bucket, dir,
+         |  count(*) AS num_files,
+         |  CAST(sum(data_size) AS BIGINT) AS size_of_files
+         |FROM (
+         |  SELECT volume, bucket, data_size,
+         |    array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS dir
+         |  FROM (
+         |    SELECT *, unnest(generate_series(1,
+         |      least(len(string_split(key, '/')) - 1,
+         |            ${Aggregates.MaxAncestorDepth}))) AS d
+         |    FROM objects_mixed WHERE version % 7 <> 0))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       O.objects, O.objectsMixed),
 
     "q_session_window" -> O.withCtes(

@@ -367,8 +367,7 @@ object Tables {
 
   /** files keyed by parent dir id (fileTable rows: parentId + fileName). */
   private def filesFsoBuild(o: DataFrame): DataFrame = {
-    val parentPath = expr(
-      "substring(key, 1, length(key) - length(element_at(split(key, '/'), -1)) - 1)")
+    val parentPath = graft.operators.Aggregates.parentDirOf("key")
     o.select(col("volume"), col("bucket"),
         graft.operators.Hierarchy.pathId(col("volume"), col("bucket"), parentPath)
           .as("parent_id"),

@@ -33,25 +33,24 @@ object Aggregates {
 
   /** Keys deeper than this are assumed hostile/corrupt (the reference caps
     * path depth via ozone.om.max.path.depth far below it); the cap only
-    * bounds the per-row explode, it is never what decides rollup depth. */
+    * bounds the per-row explode, it is never what decides rollup depth —
+    * and the oracle SQL mirrors the SAME cap, so a beyond-cap input would
+    * fail loudly at the gate rather than silently diverge. */
   val MaxAncestorDepth = 64
 
-  /** Array of every STRICT ancestor prefix of a `a/b/c/file` key — depth
-    * derives per-row from the key itself, so a namespace deeper than any
-    * fixture can never silently lose ancestors (the batch dual of the
-    * reference's propagate-to-every-ancestor,
-    * NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459).
-    * Guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than emitting
-    * empty, so 1-segment keys take the ELSE array() branch. */
-  def ancestorDirs(keyCol: String): Column =
-    expr(s"""CASE WHEN size(split($keyCol, '/')) > 1 THEN
-      transform(
-        sequence(1, least(size(split($keyCol, '/')) - 1, $MaxAncestorDepth)),
-        d -> array_join(slice(split($keyCol, '/'), 1, d), '/'))
-      ELSE array() END""")
+  /** Immediate parent directory of a slash-delimited path (empty for a
+    * 1-segment path) — shared by the rollups and the FSO table builds so
+    * the batch/streamed/namespace derivations can never drift. */
+  def parentDirOf(pathCol: String): Column =
+    expr(s"substring($pathCol, 1, length($pathCol) - " +
+      s"length(element_at(split($pathCol, '/'), -1)) - 1)")
 
   /** Every prefix of a DIRECTORY path INCLUDING the path itself — the
-    * ancestor set a leaf-dir aggregate propagates to. */
+    * ancestor set a leaf-dir aggregate propagates to. Depth derives
+    * per-row from the path (capped at [[MaxAncestorDepth]]), so a
+    * namespace deeper than any fixture never silently loses ancestors —
+    * the dual of the reference's propagate-to-every-ancestor
+    * (NSSummaryTaskDbEventHandler.propagateSizeUpwards:426-459). */
   def dirAndAncestors(dirCol: String): Column =
     expr(s"""transform(
       sequence(1, least(size(split($dirCol, '/')), $MaxAncestorDepth)),
@@ -92,10 +91,8 @@ object Aggregates {
    * it is ~|dirs| × depth, orders of magnitude smaller.
    */
   def nsSummary(objects: DataFrame): DataFrame = {
-    val parentDir = expr(
-      "substring(key, 1, length(key) - length(element_at(split(key, '/'), -1)) - 1)")
     objects
-      .withColumn("leaf", parentDir)
+      .withColumn("leaf", parentDirOf("key"))
       .filter(col("leaf") =!= "") // 1-segment keys have no ancestor dirs
       .groupBy("volume", "bucket", "leaf")
       .agg(

@@ -26,13 +26,10 @@ object Links {
    * hops traversed (1 = direct link).
    */
   def resolveBucketLinks(links: DataFrame, buckets: DataFrame,
-                         maxHops: Int = 8,
-                         starts: Option[DataFrame] = None): DataFrame = {
-    // `links` is the FULL link catalog (every hop consults it); `starts`
-    // optionally narrows which links to resolve (point resolution)
+                         maxHops: Int = 8): DataFrame = {
     val l = links.select(col("volume").as("lv"), col("bucket").as("lb"),
       col("source_volume").as("sv"), col("source_bucket").as("sb"))
-    var cur = starts.getOrElse(links).select(col("volume"), col("bucket"),
+    var cur = links.select(col("volume"), col("bucket"),
       col("source_volume").as("cv"), col("source_bucket").as("cb"),
       lit(1L).as("hops"), lit(false).as("terminal"))
     for (_ <- 1 to maxHops) {
@@ -58,19 +55,29 @@ object Links {
   }
 
   /** One bucket's terminal resolution: Right((volume, bucket)) — identity
-    * for a non-link bucket — or Left(status) for a broken chain. The chase
-    * itself is [[resolveBucketLinks]] filtered to the request (point
-    * resolution, collect of ≤1 row). */
+    * for a non-link bucket — or Left(status) for a broken chain. This is
+    * the PER-REQUEST path, so the chase runs driver-side over the
+    * collected link catalog (each hop is a catalog get in the reference;
+    * the catalog is a sliver of the bucket table, control-plane-sized —
+    * for catalog-scale resolution use [[resolveBucketLinks]]), plus ONE
+    * point existence probe on the terminal bucket. */
   def resolveOne(links: DataFrame, buckets: DataFrame, volume: String,
-                 bucket: String): Either[String, (String, String)] = {
-    val hit = resolveBucketLinks(links, buckets, starts = Some(
-      links.filter(col("volume") === volume && col("bucket") === bucket)))
+                 bucket: String,
+                 maxHops: Int = 8): Either[String, (String, String)] = {
+    val chain = links
+      .select("volume", "bucket", "source_volume", "source_bucket")
       .collect()
-    hit.headOption match {
-      case None => Right((volume, bucket)) // not a link
-      case Some(r) if r.getString(5) == "OK" =>
-        Right((r.getString(2), r.getString(3)))
-      case Some(r) => Left(r.getString(5))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getString(3))).toMap
+    if (!chain.contains((volume, bucket))) Right((volume, bucket))
+    else {
+      var cur = (volume, bucket)
+      var hops = 0
+      while (chain.contains(cur) && hops < maxHops) { cur = chain(cur); hops += 1 }
+      if (chain.contains(cur)) Left("CYCLE")
+      else if (buckets.filter(col("volume") === cur._1 &&
+        col("bucket") === cur._2).isEmpty) Left("DANGLING")
+      else Right(cur)
     }
   }
 

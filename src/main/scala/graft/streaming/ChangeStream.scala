@@ -148,7 +148,12 @@ object ChangeStream {
     next.repartition(math.max(1, touched.size), col("__pk"))
       .write.mode("overwrite").partitionBy("__pk").parquet(vdir)
     val prev = readManifest(dir)
-    val updated = (prev - "LEGACY") ++ touched.map(pk => pk -> s"$vdir/__pk=$pk")
+    // only remap pks that actually produced a leaf — an over-approximated
+    // touched hint (pk with neither old state nor delta rows for this
+    // view) must not leave a manifest entry pointing at a missing dir
+    val updated = (prev - "LEGACY") ++ touched
+      .filter(pk => Files.exists(Paths.get(vdir, s"__pk=$pk")))
+      .map(pk => pk -> s"$vdir/__pk=$pk")
     Files.createDirectories(Paths.get(dir))
     val mf = Paths.get(dir, s"manifest-v$batchId")
     Files.writeString(mf,
@@ -205,9 +210,10 @@ object ChangeStream {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
+    ()
   }
 
   val FileSizeSchema =
@@ -239,14 +245,25 @@ object ChangeStream {
                                deltas: DataFrame, batchId: Long,
                                schema: String, groupCols: Seq[String],
                                sumCols: Seq[String],
-                               pk: org.apache.spark.sql.Column = pkCol): Unit = {
+                               pk: org.apache.spark.sql.Column = pkCol,
+                               touchedHint: Option[Seq[String]] = None): Unit = {
     if (batchId <= lastBatch(stateDir)) return // recovery replay: already applied
-    // persist the (aggregated, tiny) delta so the touched-pk collect and the
-    // publish write don't each re-run the delta shuffle over the raw batch
-    val d = deltas.withColumn("__pk", pk).persist()
+    // touchedHint (from the caller's one batch-level distinct) skips the
+    // per-view touched collect — the whole merge is then a SINGLE job. The
+    // hint may over-approximate (a pk whose rows fold to no delta rows for
+    // THIS view): publish drops hinted pks that produced no leaf, and the
+    // extra state read/rewrite of such a pk is correct, just unnecessary.
+    // Without a hint, persist the (aggregated, tiny) delta so the touched
+    // collect and the publish write don't each re-run the delta shuffle.
+    val d0 = deltas.withColumn("__pk", pk)
+    val (d, touchedDelta, persisted) = touchedHint match {
+      case Some(hint) => (d0, hint, false)
+      case None =>
+        val dp = d0.persist()
+        (dp, dp.select("__pk").distinct()
+          .collect().map(_.getString(0)).toSeq, true)
+    }
     try {
-      val touchedDelta = d.select("__pk").distinct()
-        .collect().map(_.getString(0)).toSeq
       if (touchedDelta.isEmpty) return
       val manifest = readManifest(stateDir)
       // A pre-partitioned (legacy single-dir) state cannot be merged
@@ -269,7 +286,7 @@ object ChangeStream {
         .agg(sum(sumCols.head).as(sumCols.head),
           sumCols.tail.map(c => sum(c).as(c)): _*)
       publishPartitioned(next, stateDir, touched, batchId)
-    } finally { d.unpersist(); () }
+    } finally { if (persisted) d.unpersist(); () }
   }
 
   /** NSSummary ±delta fold: each event contributes to EVERY ancestor dir
@@ -281,8 +298,7 @@ object ChangeStream {
     * their ancestor chains — signs are linear, so the staging is exact. */
   def nsSummaryDeltas(batch: DataFrame): DataFrame =
     batch
-      .withColumn("leaf", expr(
-        "substring(key, 1, length(key) - length(element_at(split(key, '/'), -1)) - 1)"))
+      .withColumn("leaf", graft.operators.Aggregates.parentDirOf("key"))
       .filter(col("leaf") =!= "")
       .withColumn("sgn", when(col("op") === "PUT", 1L).otherwise(-1L))
       .groupBy("volume", "bucket", "leaf")
@@ -324,24 +340,30 @@ object ChangeStream {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = mergePool
+    // ONE batch-level distinct feeds every view's touched set (the counts
+    // view keys everything to the constant "00" partition) — each view's
+    // merge then runs as a single Spark job instead of collect + write
+    val batchPks = b.select(pkCol.as("__pk")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (batchPks.isEmpty) return
     val jobs = Seq(
       Future {
         val fs = s"$workDir/state_filesize"
         mergePartitioned(spark, fs, fileSizeDeltas(b), batchIdOf(fs),
           FileSizeSchema, Seq("volume", "bucket", "size_bin"),
-          Seq("file_count", "total_size"))
+          Seq("file_count", "total_size"), touchedHint = Some(batchPks))
       },
       Future {
         val ct = s"$workDir/state_counts"
         mergePartitioned(spark, ct, countsDeltas(b), batchIdOf(ct),
           CountsSchema, Seq("entity"), Seq("cnt", "total_bytes"),
-          pk = lit("00"))
+          pk = lit("00"), touchedHint = Some(Seq("00")))
       },
       Future {
         val ns = s"$workDir/state_nssummary"
         mergePartitioned(spark, ns, nsSummaryDeltas(b), batchIdOf(ns),
           NsSummarySchema, Seq("volume", "bucket", "dir"),
-          Seq("num_files", "size_of_files"))
+          Seq("num_files", "size_of_files"), touchedHint = Some(batchPks))
       })
     Await.result(Future.sequence(jobs), Duration.Inf)
     ()

@@ -56,6 +56,40 @@ class PeriodicScanApiSpec extends SparkSpecBase {
     assert(Api.dbUpdates(spark, sf, Long.MaxValue).count() === 0)
   }
 
+  test("API facade: every key RPC resolves bucket links consistently") {
+    // the same logical namespace must be visible through a link no matter
+    // which read RPC is used (lookup, key info, acl, listings)
+    val direct = Api.listKeys(spark, sf, "vol0", "bucket0", "warehouse/", "", 5)
+    val viaLink = Api.listKeys(spark, sf, "vol1", "link-a", "warehouse/", "", 5)
+    assert(rows(viaLink) === rows(direct) && viaLink.count() > 0)
+    val k = direct.select("key").as[String].head()
+    assert(rows(Api.lookupKey(spark, sf, "vol1", "link-a", k)) ===
+      rows(Api.lookupKey(spark, sf, "vol0", "bucket0", k)))
+    assert(rows(Api.getKeyInfo(spark, sf, "vol1", "link-a", k)) ===
+      rows(Api.getKeyInfo(spark, sf, "vol0", "bucket0", k)))
+    assert(rows(Api.getAcl(spark, sf, "vol1", "link-a", k)) ===
+      rows(Api.getAcl(spark, sf, "vol0", "bucket0", k)))
+    assert(rows(Api.listStatus(spark, sf, "vol2", "link-b", "warehouse")) ===
+      rows(Api.listStatus(spark, sf, "vol0", "bucket0", "warehouse")))
+    assert(rows(Api.listObjectsV2(spark, sf, "vol2", "link-b", "warehouse/", "", 10)) ===
+      rows(Api.listObjectsV2(spark, sf, "vol0", "bucket0", "warehouse/", "", 10)))
+    // broken links: empty through EVERY RPC, flagged in the catalog
+    assert(Api.lookupKey(spark, sf, "vol3", "link-broken", k).count() === 0)
+    assert(Api.getKeyInfo(spark, sf, "vol3", "link-broken", k).count() === 0)
+    assert(Api.listStatus(spark, sf, "vol3", "link-broken", "warehouse").count() === 0)
+    assert(Api.resolveBucketLinks(spark, sf)
+      .filter(col("status") =!= "OK").count() === 3)
+  }
+
+  test("API facade: auth catalog lookups") {
+    assert(Api.getS3Secret(spark, sf, "tenant0$clerk1").count() === 1)
+    assert(Api.getUserInfo(spark, sf, "admin0").count() === 1)
+    assert(Api.listDelegationTokens(spark, sf).count() === 7)
+    assert(Api.checkAccess(spark, sf, "auditor2").count() > 0)
+    assert(Api.listMultipartUploads(spark, sf, "vol2", "bucket0",
+      "warehouse/mpu/").count() > 0)
+  }
+
   test("API facade: light listings, snapshot catalog, diff jobs, tenants") {
     assert(Api.listKeysLight(spark, sf, "vol1", "bucket3", "warehouse/", "", 5)
       .columns.toSeq === Seq("key", "data_size", "creation_time"))

@@ -117,14 +117,7 @@ class StreamingSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("stream-managed"))
     // … deleting the checkpoint hands it over to batch-driven maintenance
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.forEach(rm) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p); ()
-    }
-    rm(java.nio.file.Paths.get(work, "ckpt"))
+    ChangeStream.deleteRecursively(java.nio.file.Paths.get(work, "ckpt"))
     ChangeStream.applyDeltaBatch(spark, work, batch)
     val net = objects.filter(col("version") % 7 =!= 0)
       .unionByName(extra.filter(col("version") % 7 =!= 0))
