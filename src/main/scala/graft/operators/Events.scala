@@ -95,6 +95,86 @@ object Events {
       }
   }
 
+  /** Open-session state carried across micro-batches. */
+  final case class OpenSession(start_ms: Long, last_ms: Long, n: Long,
+                               cents: Long)
+
+  /**
+   * STREAMING typed sessionizer via flatMapGroupsWithState — the
+   * KeyValueGroupedDataset custom-state API in its proper habitat: state
+   * lives ACROSS micro-batches (an open session carries over until a gap
+   * or an event-time timeout closes it), and the per-invocation sort is
+   * bounded by one user's events in ONE micro-batch (trigger-sized),
+   * never their full history — the unbounded-buffer trap the batch
+   * [[sessionizeTyped]] avoids with a secondary sort doesn't arise.
+   * Drains `srcDir` (parquet events) with AvailableNow, appends CLOSED
+   * sessions to `outDir`; sessions still open when the stream runs dry
+   * stay in state (they'd emit on the next run's timeout).
+   */
+  def sessionizeStream(spark: org.apache.spark.sql.SparkSession,
+                       srcDir: String, outDir: String, workDir: String,
+                       gapMs: Long = 1800000L): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    val src = spark.readStream
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, ts_ms BIGINT")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(srcDir)
+    val sessions = src
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "2 hours")
+      // the watermarked ts column must SURVIVE into the grouped Dataset or
+      // Spark rejects the event-time timeout
+      .select(col("user_id").cast("string"), col("ts_ms"),
+        floor(col("value") * 100).cast("long").as("cents"), col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: String, rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: session closed
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.n, s.start_ms, s.last_ms, s.cents))
+          } else {
+            // ONE micro-batch's slice of this user — trigger-bounded
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, c, _) =>
+              cur match {
+                case Some(s) if ts - s.last_ms > gapMs =>
+                  out += Session(user, s.n, s.start_ms, s.last_ms, s.cents)
+                  cur = Some(OpenSession(ts, ts, 1L, c))
+                case Some(s) =>
+                  cur = Some(OpenSession(s.start_ms, ts, s.n + 1, s.cents + c))
+                case None =>
+                  cur = Some(OpenSession(ts, ts, 1L, c))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly beyond the current watermark or Spark
+              // rejects the timeout; the open session then closes as soon
+              // as the watermark passes its gap horizon
+              state.setTimeoutTimestamp(
+                math.max(s.last_ms + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+        })
+    val q = sessions.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$workDir/ckpt_sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Gap-based sessionization (30-min inactivity): per user, a new session
     * starts when the gap to the previous event exceeds the timeout — the
     * batch dual of mapGroupsWithState session windows. */

@@ -219,6 +219,22 @@ class ListingSpec extends SparkSpecBase {
       s"expected a broadcast join in:\n$plan")
   }
 
+  test("prefix ACL probe broadcasts the rule catalog (plan quality)") {
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.operators.Nested.prefixAclProbe(
+      graft.core.Tables.objectsNested(spark, sf),
+      graft.core.Tables.prefixAcls(spark, sf), "auditor2")
+    q.collect() // let AQE finalize the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected the per-bucket rule arrays to broadcast in:\n$plan")
+    // longest-prefix-wins is observable: warehouse/A keys grant via PREFIX
+    // even at odd versions, everything else only via OBJECT
+    val byVia = q.groupBy("granted_via").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byVia.getOrElse("PREFIX", 0L) > 0 && byVia.getOrElse("OBJECT", 0L) > 0)
+  }
+
   test("PrefixRangeRule makes a PLAIN startsWith filter sargable (optimizer extension)") {
     val sorted = graft.core.Tables.objectsSorted(spark, "/root/testdata/sf0.001")
     // no prefixPred here — just the naive user-written predicate

@@ -125,6 +125,33 @@ class StreamingSpec extends SparkSpecBase {
       rows(ChangeStream.reprocessFileSize(net)))
   }
 
+  test("a batch of 1-segment keys merges cleanly (NSSummary hint over-approximation)") {
+    import org.apache.spark.sql.functions.lit
+    val spark0 = spark
+    import spark0.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_test_flat_").toString
+    // keys with NO parent dir: the nssummary delta folds to zero rows while
+    // the batch-level touched hint still names their (volume, bucket) —
+    // publish must not leave a manifest entry pointing at a missing leaf
+    // sizes in DIFFERENT log2 bins (1024 vs 2048) so the view keeps 2 rows
+    val flat = Seq(("v", "b", "flat1.dat", 1L, 10L), ("v", "b", "flat2.dat", 2L, 2000L))
+      .toDF("volume", "bucket", "key", "object_id", "data_size")
+      .withColumn("version", lit(1L))
+      .withColumn("creation_time", col("object_id") * 1000L)
+      .withColumn("modification_time", col("object_id") * 2000L)
+    val batch = ChangeLog.events(flat)
+    ChangeStream.applyDeltaBatch(spark, work, batch)
+    // filesize/counts views carry the rows; the nssummary view is empty
+    // and — crucially — READABLE (no dangling manifest path)
+    assert(ChangeStream.fileSizeView(spark, work).count() === 2)
+    assert(ChangeStream.countsView(spark, work).count() === 1)
+    assert(ChangeStream.nsSummaryView(spark, work).count() === 0)
+    // and a second batch still merges (state dir not corrupted)
+    ChangeStream.applyDeltaBatch(spark, work,
+      ChangeLog.events(flat).withColumn("seq", col("seq") + 100L))
+    assert(ChangeStream.fileSizeView(spark, work).count() === 2)
+  }
+
   test("a legacy single-dir state is migrated losslessly on first merge") {
     import java.nio.file.{Files, Paths}
     val objects = Tables.objects(spark, sf)
@@ -167,6 +194,37 @@ class StreamingSpec extends SparkSpecBase {
     val joined = streamed.join(batch,
       Seq("hour_start_ms", "event_type", "event_count", "value_cents"))
     assert(joined.count() === streamed.count())
+    assert(streamed.count() >= batch.count() / 2)
+  }
+
+  test("streaming flatMapGroupsWithState sessionizer: every emitted session is a true batch session") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sess_stream_").toString
+    val ev = Tables.events(spark, sf).select("event_id", "user_id",
+      "event_type", "value", "ts_ms")
+    // time-sliced files written SEQUENTIALLY (distinct mtimes): the file
+    // source orders by timestamp, so micro-batches arrive in event-time
+    // order, the watermark never drops data, and cross-batch open sessions
+    // exercise the carried state (one bulk write leaves file order — and
+    // thus late-data drops — to mtime ties)
+    val Seq(mn, mx) = ev.agg(min("ts_ms"), max("ts_ms")).head.toSeq
+      .map(_.asInstanceOf[Long])
+    val step = (mx - mn) / 6 + 1
+    (0 until 6).foreach { i =>
+      ev.filter(col("ts_ms") >= mn + i * step && col("ts_ms") < mn + (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+      Thread.sleep(50)
+    }
+    graft.operators.Events.sessionizeStream(spark, s"$work/src", s"$work/out", work)
+    val streamed = spark.read.parquet(s"$work/out")
+    val batch = graft.operators.Events.sessionize(ev)
+      .select(col("user_id").cast("string").as("user_id"), col("n_events"),
+        col("start_ms"), col("end_ms"), col("value_cents"))
+    val joined = streamed.join(batch,
+      Seq("user_id", "n_events", "start_ms", "end_ms", "value_cents"))
+    assert(joined.count() === streamed.count(),
+      "every emitted session must match a batch session exactly")
+    // most sessions close mid-stream (gap or watermark timeout); only the
+    // per-user tail can stay open past the drain
     assert(streamed.count() >= batch.count() / 2)
   }
 
