@@ -456,7 +456,9 @@ object ChangeStream {
   def hourlyCountsStream(spark: SparkSession, srcDir: String, outDir: String,
                          workDir: String): Unit = {
     val src = spark.readStream
-      .schema("event_id BIGINT, user_id STRING, event_type STRING, " +
+      // user_id is INT64 in the events parquet; declaring it STRING only
+      // survives while no operator reads the column — keep the real type
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
         "value DOUBLE, ts_ms BIGINT")
       .option("maxFilesPerTrigger", 2)
       .parquet(srcDir)
