@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
  */
 object Events {
 
+  /** Schema of the normalized events stream (user_id is INT64 in the
+    * events parquet — a mis-declared type only stays harmless while no
+    * operator reads the column). One constant for every stream reader. */
+  val EventsSchema = "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+    "value DOUBLE, ts_ms BIGINT"
+
   /** Tumbling hourly counts by event type — the batch dual of the streaming
     * windowed aggregation (oracle for the streaming spec). */
   def hourlyCounts(events: DataFrame): DataFrame =
@@ -117,8 +123,7 @@ object Events {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
     val src = spark.readStream
-      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, ts_ms BIGINT")
+      .schema(EventsSchema)
       .option("maxFilesPerTrigger", 2)
       .parquet(srcDir)
     val sessions = src
@@ -149,7 +154,13 @@ object Events {
                   out += Session(user, s.n, s.start_ms, s.last_ms, s.cents)
                   cur = Some(OpenSession(ts, ts, 1L, c))
                 case Some(s) =>
-                  cur = Some(OpenSession(s.start_ms, ts, s.n + 1, s.cents + c))
+                  // monotone bounds: an out-of-order event INSIDE the open
+                  // window (possible when file arrival order deviates from
+                  // event time) must never move last_ms backward — that
+                  // would both split the session on the next gap check and
+                  // emit an end_ms before an absorbed event
+                  cur = Some(OpenSession(math.min(s.start_ms, ts),
+                    math.max(s.last_ms, ts), s.n + 1, s.cents + c))
                 case None =>
                   cur = Some(OpenSession(ts, ts, 1L, c))
               }

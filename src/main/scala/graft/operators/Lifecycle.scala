@@ -169,16 +169,20 @@ object Lifecycle {
   /** ListMultipartUploads: the in-flight uploads of ONE bucket, optional
     * key prefix, ordered by (key, upload_id) with keyset pagination — ref
     * OzoneManagerRequestHandler.java:253 walking multipartInfoTable
-    * (OMDBDefinition.java:230-235). Same sargable prefix + startKey range
-    * as the key listings: O(page) against a (volume, bucket)-partitioned
-    * upload catalog, maxUploads+1 rows so the caller derives truncation. */
+    * (OMDBDefinition.java:230-235, keyed /vol/bucket/key/uploadId). The
+    * resume token is the FULL (key, upload_id) pair: several in-flight
+    * uploads of the SAME key are normal, and a key-only token would skip
+    * the same-key siblings past a page boundary. Same sargable prefix
+    * range as the key listings, maxUploads+1 rows for truncation. */
   def listMultipartUploads(multipartInfo: DataFrame, volume: String,
                            bucket: String, prefix: String,
-                           startKey: String = "",
+                           startKey: String = "", startUploadId: String = "",
                            maxUploads: Int = 1000): DataFrame =
     multipartInfo
       .filter(col("volume") === volume && col("bucket") === bucket &&
-        Listing.prefixPred(col("key"), prefix) && col("key") > startKey)
+        Listing.prefixPred(col("key"), prefix) &&
+        (col("key") > startKey ||
+          (col("key") === startKey && col("upload_id") > startUploadId)))
       .select("key", "upload_id", "initiated_ms", "num_parts")
       .orderBy("key", "upload_id")
       .limit(maxUploads + 1)

@@ -245,48 +245,44 @@ object ChangeStream {
                                deltas: DataFrame, batchId: Long,
                                schema: String, groupCols: Seq[String],
                                sumCols: Seq[String],
-                               pk: org.apache.spark.sql.Column = pkCol,
-                               touchedHint: Option[Seq[String]] = None): Unit = {
+                               touchedPks: Seq[String],
+                               pk: org.apache.spark.sql.Column = pkCol): Unit = {
     if (batchId <= lastBatch(stateDir)) return // recovery replay: already applied
-    // touchedHint (from the caller's one batch-level distinct) skips the
-    // per-view touched collect — the whole merge is then a SINGLE job. The
-    // hint may over-approximate (a pk whose rows fold to no delta rows for
-    // THIS view): publish drops hinted pks that produced no leaf, and the
-    // extra state read/rewrite of such a pk is correct, just unnecessary.
-    // Without a hint, persist the (aggregated, tiny) delta so the touched
-    // collect and the publish write don't each re-run the delta shuffle.
-    val d0 = deltas.withColumn("__pk", pk)
-    val (d, touchedDelta, persisted) = touchedHint match {
-      case Some(hint) => (d0, hint, false)
-      case None =>
-        val dp = d0.persist()
-        (dp, dp.select("__pk").distinct()
-          .collect().map(_.getString(0)).toSeq, true)
-    }
+    // touchedPks comes from the caller's ONE batch-level distinct — the
+    // whole merge is then a single Spark job per view. The set may
+    // over-approximate (a pk whose rows fold to no delta rows for THIS
+    // view): publish drops pks that produced no leaf, and the extra state
+    // read/rewrite of such a pk is correct, just unnecessary.
+    if (touchedPks.isEmpty) return
+    val d = deltas.withColumn("__pk", pk)
+    val manifest = readManifest(stateDir)
+    // A pre-partitioned (legacy single-dir) state cannot be merged
+    // partition-wise: its rows live in one undivided dir the touched-pk
+    // read would miss. MIGRATE on first merge: fold the WHOLE legacy
+    // state in (persisted — the pk collect and the publish write each
+    // scan it), remap every partition to new leaves, and let publish drop
+    // the LEGACY entry (the old dir survives one publish for crash
+    // recovery, then retention collects it).
+    val legacyWhole =
+      if (manifest.contains("LEGACY"))
+        Some(readState(spark, stateDir, schema).withColumn("__pk", pk).persist())
+      else None
     try {
-      if (touchedDelta.isEmpty) return
-      val manifest = readManifest(stateDir)
-      // A pre-partitioned (legacy single-dir) state cannot be merged
-      // partition-wise: its rows live in one undivided dir the touched-pk
-      // read would miss. MIGRATE on first merge: fold the WHOLE legacy
-      // state in, remap every partition to new leaves, and let publish
-      // drop the LEGACY entry (the old dir survives one publish for crash
-      // recovery, then retention collects it).
-      val (old, touched) =
-        if (manifest.contains("LEGACY")) {
-          val whole = readState(spark, stateDir, schema).withColumn("__pk", pk)
+      val (old, touched) = legacyWhole match {
+        case Some(whole) =>
           val allPks = (whole.select("__pk").distinct()
-            .collect().map(_.getString(0)) ++ touchedDelta).distinct.toSeq
+            .collect().map(_.getString(0)) ++ touchedPks).distinct.toSeq
           (whole, allPks)
-        } else
-          (readStatePartitions(spark, stateDir, schema, touchedDelta)
-            .withColumn("__pk", pk), touchedDelta)
+        case None =>
+          (readStatePartitions(spark, stateDir, schema, touchedPks)
+            .withColumn("__pk", pk), touchedPks)
+      }
       val next = old.unionByName(d)
         .groupBy("__pk", groupCols: _*)
         .agg(sum(sumCols.head).as(sumCols.head),
           sumCols.tail.map(c => sum(c).as(c)): _*)
       publishPartitioned(next, stateDir, touched, batchId)
-    } finally { if (persisted) d.unpersist(); () }
+    } finally { legacyWhole.foreach(_.unpersist()); () }
   }
 
   /** NSSummary ±delta fold: each event contributes to EVERY ancestor dir
@@ -351,19 +347,19 @@ object ChangeStream {
         val fs = s"$workDir/state_filesize"
         mergePartitioned(spark, fs, fileSizeDeltas(b), batchIdOf(fs),
           FileSizeSchema, Seq("volume", "bucket", "size_bin"),
-          Seq("file_count", "total_size"), touchedHint = Some(batchPks))
+          Seq("file_count", "total_size"), touchedPks = batchPks)
       },
       Future {
         val ct = s"$workDir/state_counts"
         mergePartitioned(spark, ct, countsDeltas(b), batchIdOf(ct),
           CountsSchema, Seq("entity"), Seq("cnt", "total_bytes"),
-          pk = lit("00"), touchedHint = Some(Seq("00")))
+          touchedPks = Seq("00"), pk = lit("00"))
       },
       Future {
         val ns = s"$workDir/state_nssummary"
         mergePartitioned(spark, ns, nsSummaryDeltas(b), batchIdOf(ns),
           NsSummarySchema, Seq("volume", "bucket", "dir"),
-          Seq("num_files", "size_of_files"), touchedHint = Some(batchPks))
+          Seq("num_files", "size_of_files"), touchedPks = batchPks)
       })
     Await.result(Future.sequence(jobs), Duration.Inf)
     ()
@@ -456,10 +452,7 @@ object ChangeStream {
   def hourlyCountsStream(spark: SparkSession, srcDir: String, outDir: String,
                          workDir: String): Unit = {
     val src = spark.readStream
-      // user_id is INT64 in the events parquet; declaring it STRING only
-      // survives while no operator reads the column — keep the real type
-      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, ts_ms BIGINT")
+      .schema(graft.operators.Events.EventsSchema)
       .option("maxFilesPerTrigger", 2)
       .parquet(srcDir)
     val agg = src

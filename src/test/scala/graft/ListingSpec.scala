@@ -182,31 +182,48 @@ class ListingSpec extends SparkSpecBase {
     assert(status("link-cycle1") === "CYCLE" && status("link-cycle2") === "CYCLE")
   }
 
-  test("ListMultipartUploads pages by key and concatenates to the full listing") {
+  test("ListMultipartUploads pages by (key, upload_id) and concatenates to the full listing") {
     val sf = "/root/testdata/sf0.001"
+    def walk(mpus: org.apache.spark.sql.DataFrame, volume: String,
+             bucket: String, prefix: String, pageSize: Int): Seq[Seq[Any]] = {
+      var (startKey, startUp) = ("", "")
+      var walked = Seq.empty[Seq[Any]]
+      var done = false
+      while (!done) {
+        val page = rows(graft.operators.Lifecycle.listMultipartUploads(
+          mpus, volume, bucket, prefix, startKey, startUp, pageSize))
+        val kept = page.take(pageSize)
+        walked ++= kept
+        done = page.size <= pageSize
+        if (!done) {
+          startKey = kept.last.head.asInstanceOf[String]
+          startUp = kept.last(1).asInstanceOf[String]
+        }
+      }
+      walked
+    }
     val mpus = graft.core.Tables.multipartInfo(spark, sf)
     val full = rows(graft.operators.Lifecycle.listMultipartUploads(
       mpus, "vol2", "bucket0", "warehouse/mpu/"))
     assert(full.nonEmpty)
-    // keyset pagination: chain startKey = last key of the previous page
-    val pageSize = math.max(1, full.size / 3)
-    var start = ""
-    var walked = Seq.empty[Seq[Any]]
-    var done = false
-    while (!done) {
-      val page = rows(graft.operators.Lifecycle.listMultipartUploads(
-        mpus, "vol2", "bucket0", "warehouse/mpu/", start, pageSize))
-      val kept = page.take(pageSize)
-      walked ++= kept
-      done = page.size <= pageSize
-      if (!done) start = kept.last.head.asInstanceOf[String]
-    }
-    assert(walked === full)
+    assert(walk(mpus, "vol2", "bucket0", "warehouse/mpu/",
+      math.max(1, full.size / 3)) === full)
     // prefix narrows the listing
     val narrowed = rows(graft.operators.Lifecycle.listMultipartUploads(
       mpus, "vol2", "bucket0", "warehouse/mpu/1"))
     assert(narrowed.size < full.size || full.forall(
       _.head.asInstanceOf[String].startsWith("warehouse/mpu/1")))
+    // SAME-KEY siblings straddling a page boundary: the reference allows
+    // several in-flight uploads of one key, so the token must be the full
+    // (key, upload_id) pair — a key-only token skips up2/up3 here
+    val multi = Seq(
+      ("v", "b", "k1", "up1", 1L, 1L), ("v", "b", "k1", "up2", 2L, 1L),
+      ("v", "b", "k1", "up3", 3L, 1L), ("v", "b", "k2", "up4", 4L, 1L))
+      .toDF("volume", "bucket", "key", "upload_id", "initiated_ms", "num_parts")
+    val fullMulti = rows(graft.operators.Lifecycle.listMultipartUploads(
+      multi, "v", "b", ""))
+    assert(fullMulti.map(_(1)) === Seq("up1", "up2", "up3", "up4"))
+    assert(walk(multi, "v", "b", "", 1) === fullMulti)
   }
 
   test("container-key join broadcasts the small container dim (plan quality)") {
