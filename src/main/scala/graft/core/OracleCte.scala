@@ -381,4 +381,9 @@ object OracleCte {
   /** Compose a query over a chain of CTEs (dependencies first). */
   def withCtes(sql: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + sql
+
+  /** Same, with RECURSIVE — needed when any CTE in the chain references
+    * itself (DuckDB allows non-recursive CTEs to coexist in the chain). */
+  def withCtesRecursive(sql: String, ctes: String*): String =
+    "WITH RECURSIVE " + ctes.mkString(",\n") + "\n" + sql
 }

@@ -170,4 +170,53 @@ object Dedup {
       .select("doc_a", "doc_b", "inter_count", "union_count", "jacc_x1000")
       .orderBy("doc_a", "doc_b")
   }
+
+  /**
+   * Duplicate-CLUSTER assignment: connected components over verified
+   * near-dup pairs, each doc labeled with the MIN doc_id of its component
+   * — the step a dedup pipeline runs after candidate verification to pick
+   * one canonical doc per cluster (doc_id == cluster_id) and drop the
+   * rest.
+   *
+   * Min-label propagation: each iteration is one join + min-agg on the
+   * SPARSE edge list (|edges| ≈ verified pairs ≪ n²), labels only ever
+   * decrease, and near-dup components have tiny diameter, so a handful of
+   * iterations reach the fixpoint (detected by the monotone label-sum —
+   * one cheap agg per iteration, no row-level diff join). Driver loop
+   * bounded by `maxIter`; lineage cut per iteration via localCheckpoint so
+   * the plan never grows with iterations — no driver-side graph, no n²
+   * anything, scales to billions of docs with million-row edge lists.
+   */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+                  maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint() // materialize once; every iteration re-reads it
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("label")).localCheckpoint()
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min("nl").as("nbr_label"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val s = labels.agg(sum("label")).head.getLong(0)
+      converged = s == prevSum // labels are monotone non-increasing
+      prevSum = s
+      iter += 1
+    }
+    require(converged, s"dupClusters did not converge within $maxIter iterations")
+    val asg = labels.withColumnRenamed("label", "cluster_id")
+    asg.join(asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
 }

@@ -56,6 +56,22 @@ class DedupSimilaritySpec extends SparkSpecBase {
   private def basisVec(hot: Int, noise: Float = 0.01f): Seq[Float] =
     (0 until 64).map(i => if (i == hot) 1.0f else noise)
 
+  test("dupClusters labels every component with its min doc id (multi-hop chain)") {
+    val ids = (1L to 8L).map(Tuple1(_)).toDF("doc_id")
+    // chain 2-3-4-5 needs THREE propagation hops to pull 5 down to 2;
+    // 7-8 is a simple pair; 1 and 6 stay singletons
+    val pairs = Seq((2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val r = rows(Dedup.dupClusters(ids, pairs))
+    assert(r === Seq(
+      Seq(1L, 1L, 1L), Seq(2L, 2L, 4L), Seq(3L, 2L, 4L), Seq(4L, 2L, 4L),
+      Seq(5L, 2L, 4L), Seq(6L, 6L, 1L), Seq(7L, 7L, 2L), Seq(8L, 7L, 2L)))
+    // fixpoint guard: an iteration budget too small must fail loudly,
+    // never return a partially-propagated labeling
+    assertThrows[IllegalArgumentException](
+      Dedup.dupClusters(ids, pairs, maxIter = 1))
+  }
+
   test("LSH near-dup finds identical vectors (cos = 1e6) and skips orthogonal ones") {
     val e = embs(
       1L -> basisVec(0), 2L -> basisVec(0), // identical → all bands agree
