@@ -356,7 +356,23 @@ object SparkEntry {
     "q_stream_nssummary" -> ((s, d) => {
       val w = graft.streaming.ChangeStream.replayedWorkDir(s, T.objectsMixed(s, d), d)
       graft.streaming.ChangeStream.nsSummaryView(s, w)
-    }))
+    }),
+    // ---- cluster-health plane: datanodes / pipelines / balancer ----
+    "q_datanode_usage" -> ((s, d) =>
+      ClusterHealth.datanodeUsage(T.datanodes(s, d), T.replicas(s, d),
+        T.pipelineMembers(s, d))),
+    "q_pipeline_health" -> ((s, d) =>
+      ClusterHealth.pipelineHealth(T.pipelines(s, d), T.containersScm(s, d))),
+    "q_balancer_plan" -> ((s, d) =>
+      ClusterHealth.balancerPlan(T.datanodes(s, d))),
+    "q_deleted_dirs" -> ((s, d) =>
+      ClusterHealth.deletedDirsInsight(T.objectsMixed(s, d),
+        T.deletedDirs(s, d))),
+    // ---- training-data sampling: exact quotas + token budgets ----
+    "q_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(T.documents(s, d), "lang", quota = 40)),
+    "q_corpus_mix" -> ((s, d) =>
+      Sampling.corpusMix(T.documents(s, d), "source", budgetTokens = 800L)))
 
   def oracleSql: Map[String, String] = Map(
     "q_list_keys" -> O.withCtes(
@@ -1267,7 +1283,108 @@ object SparkEntry {
         |             OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
         |           THEN 1 ELSE 0 END AS is_new
         |    FROM events_norm))
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, O.eventsNorm))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin, O.eventsNorm),
+
+    "q_datanode_usage" -> O.withCtes(
+      """SELECT d.uuid, d.hostname, d.rack, d.state, d.op_state,
+        |  d.last_heartbeat_ms, d.capacity, d.used, d.remaining, d.committed,
+        |  (d.capacity - d.remaining) * 10000 // d.capacity AS utilization_bp,
+        |  COALESCE(c.containers, 0) AS containers,
+        |  COALESCE(p.pipelines, 0) AS pipelines
+        |FROM datanodes d
+        |LEFT JOIN (
+        |  SELECT datanode, count(DISTINCT container_id) AS containers
+        |  FROM replicas GROUP BY 1) c ON c.datanode = d.uuid
+        |LEFT JOIN (
+        |  SELECT datanode, count(*) AS pipelines
+        |  FROM pipeline_members GROUP BY 1) p ON p.datanode = d.uuid
+        |ORDER BY d.uuid""".stripMargin,
+      O.datanodes, O.containersScm, O.replicas, O.pipelines,
+      O.pipelineMembers),
+
+    "q_pipeline_health" -> O.withCtes(
+      """SELECT pl.pipeline_id, pl.replication, pl.state, pl.leader_node,
+        |  pl.num_datanodes, pl.last_leader_election_ms, pl.leader_elections,
+        |  COALESCE(c.cnt, 0) AS container_count,
+        |  (pl.state = 'OPEN' AND (pl.leader_node IS NOT NULL
+        |     OR pl.replication LIKE 'EC/%')) AS healthy
+        |FROM pipelines pl
+        |LEFT JOIN (
+        |  SELECT container_id % 12 AS pipeline_idx, count(*) AS cnt
+        |  FROM containers_scm WHERE state <> 'DELETED' GROUP BY 1) c
+        |  ON c.pipeline_idx = pl.pipeline_idx
+        |ORDER BY pl.pipeline_id""".stripMargin,
+      O.pipelines, O.containersScm),
+
+    "q_balancer_plan" -> O.withCtes(
+      """SELECT uuid, rack, capacity, utilization_bp,
+        |  avg_bp AS avg_utilization_bp,
+        |  CASE WHEN utilization_bp > avg_bp + 1000 THEN 'OVER_UTILIZED'
+        |       WHEN utilization_bp < avg_bp - 1000 THEN 'UNDER_UTILIZED'
+        |       ELSE 'WITHIN_THRESHOLD' END AS action,
+        |  CASE WHEN utilization_bp > avg_bp + 1000
+        |         THEN capacity * utilization_bp // 10000
+        |            - capacity * (avg_bp + 1000) // 10000
+        |       WHEN utilization_bp < avg_bp - 1000
+        |         THEN capacity * (avg_bp - 1000) // 10000
+        |            - capacity * utilization_bp // 10000
+        |       ELSE 0 END AS move_bytes
+        |FROM (
+        |  SELECT *, (capacity - remaining) * 10000 // capacity AS utilization_bp
+        |  FROM datanodes
+        |  WHERE state = 'HEALTHY' AND op_state = 'IN_SERVICE') e
+        |CROSS JOIN (
+        |  SELECT (CAST(sum(capacity) AS BIGINT) - CAST(sum(remaining) AS BIGINT))
+        |           * 10000 // CAST(sum(capacity) AS BIGINT) AS avg_bp
+        |  FROM datanodes
+        |  WHERE state = 'HEALTHY' AND op_state = 'IN_SERVICE') s
+        |ORDER BY utilization_bp DESC, uuid""".stripMargin, O.datanodes),
+
+    "q_deleted_dirs" -> O.withCtes(
+      s"""SELECT n.volume, n.bucket, n.dir, dd.deleted_ms,
+         |  n.num_files AS pending_files, n.size_of_files AS pending_bytes
+         |FROM (
+         |  SELECT volume, bucket, dir, count(*) AS num_files,
+         |    CAST(sum(data_size) AS BIGINT) AS size_of_files
+         |  FROM (
+         |    SELECT volume, bucket, data_size,
+         |      array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS dir
+         |    FROM (
+         |      SELECT *, unnest(generate_series(1,
+         |        least(len(string_split(key, '/')) - 1,
+         |              ${Aggregates.MaxAncestorDepth}))) AS d
+         |      FROM objects_mixed))
+         |  GROUP BY 1, 2, 3) n
+         |JOIN deleted_dirs dd
+         |  ON n.volume = dd.volume AND n.bucket = dd.bucket AND n.dir = dd.dir
+         |ORDER BY n.volume, n.bucket, n.dir""".stripMargin,
+      O.objects, O.objectsMixed, O.deletedDirs),
+
+    "q_sample_stratified" -> (
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 40
+        |ORDER BY lang, sample_rank""".stripMargin),
+
+    "q_corpus_mix" -> (
+      """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |      md5(CAST(doc_id AS VARCHAR)) AS h
+        |    FROM documents))
+        |WHERE cum_tokens <= 800
+        |ORDER BY source, cum_tokens""".stripMargin))
 
   /** Lang-ID oracle generated from the same marker constants as the Spark
     * implementation (TextAnalysis.LangMarkers) so they cannot drift. */

@@ -378,6 +378,74 @@ object OracleCte {
       |  FROM documents
       |)""".stripMargin
 
+  // ---- cluster-health mirrors (datanodes / pipelines / deleted dirs) ----
+
+  /** datanodes (mirror of Tables.datanodes). */
+  val datanodes: String =
+    """datanodes AS (
+      |  SELECT uuid, hostname, rack, state, op_state, last_heartbeat_ms,
+      |    capacity, used,
+      |    capacity - used - capacity // 100 * 5 AS remaining,
+      |    used // 10 AS committed
+      |  FROM (
+      |    SELECT 'dn' || i AS uuid,
+      |      'host' || i || '.rack' || (i % 5) AS hostname,
+      |      'rack' || (i % 5) AS rack,
+      |      CASE WHEN i % 7 = 3 THEN 'STALE'
+      |           WHEN i % 7 = 6 THEN 'DEAD' ELSE 'HEALTHY' END AS state,
+      |      CASE WHEN i % 6 = 2 THEN 'DECOMMISSIONING'
+      |           WHEN i % 6 = 5 THEN 'IN_MAINTENANCE'
+      |           ELSE 'IN_SERVICE' END AS op_state,
+      |      1700000000000 - i * 45000 AS last_heartbeat_ms,
+      |      capacity,
+      |      capacity // 100 * ((i * 37) % 80 + 5) AS used
+      |    FROM (
+      |      SELECT i, (i % 4 + 1) * 1000000000000 AS capacity
+      |      FROM range(20) t(i)))
+      |)""".stripMargin
+
+  /** pipelines (mirror of Tables.pipelines). */
+  val pipelines: String =
+    """pipelines AS (
+      |  SELECT 'pipeline-' || p AS pipeline_id,
+      |    CASE WHEN p % 3 = 0 THEN 'RATIS/THREE'
+      |         WHEN p % 3 = 1 THEN 'RATIS/ONE'
+      |         ELSE 'EC/rs-3-2-1024k' END AS replication,
+      |    CAST(CASE WHEN p % 3 = 0 THEN 3 WHEN p % 3 = 1 THEN 1
+      |         ELSE 5 END AS INT) AS num_datanodes,
+      |    CASE WHEN p % 5 = 4 THEN 'DORMANT'
+      |         WHEN p % 5 = 2 THEN 'CLOSED' ELSE 'OPEN' END AS state,
+      |    CASE WHEN p % 3 <> 2 THEN 'dn' || (p % 20) END AS leader_node,
+      |    1700000000000 - p * 60000 AS last_leader_election_ms,
+      |    p % 4 AS leader_elections,
+      |    p AS pipeline_idx
+      |  FROM range(12) t(p)
+      |)""".stripMargin
+
+  /** pipeline_members (mirror of Tables.pipelineMembers). */
+  val pipelineMembers: String =
+    """pipeline_members AS (
+      |  SELECT pipeline_id, 'dn' || ((pipeline_idx + k * 7) % 20) AS datanode
+      |  FROM pipelines CROSS JOIN range(5) r(k)
+      |  WHERE k < num_datanodes
+      |)""".stripMargin
+
+  /** deleted_dirs (mirror of Tables.deletedDirs). */
+  val deletedDirs: String =
+    """deleted_dirs AS (
+      |  SELECT volume, bucket, dir,
+      |    1700000000000 + (h % 1000) * 1000 AS deleted_ms
+      |  FROM (
+      |    SELECT volume, bucket, dir,
+      |      ('0x' || substr(md5(dir), 1, 15))::BIGINT AS h
+      |    FROM (
+      |      SELECT DISTINCT volume, bucket,
+      |        substr(key, 1, length(key)
+      |          - length(string_split(key, '/')[-1]) - 1) AS dir
+      |      FROM objects_mixed))
+      |  WHERE dir <> '' AND h % 23 = 0
+      |)""".stripMargin
+
   /** Compose a query over a chain of CTEs (dependencies first). */
   def withCtes(sql: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + sql

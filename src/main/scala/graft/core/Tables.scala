@@ -442,6 +442,84 @@ object Tables {
         lit("USER").as("type"), lit("r--").as("rights")))
   }
 
+  // ---- cluster-health plane (SCM/Recon datanode + pipeline catalog) ----
+
+  /** datanodes: 20 nodes in 5 racks, aligned with [[replicas]]' dn/rack
+    * naming — ref NodeEndpoint.java (DatanodeMetadata.java:34-93:
+    * state/opState/heartbeat) + DatanodeStorageReport.java:27-36
+    * (capacity/used/remaining/committed). The used% spread `(i*37)%80+5`
+    * plants genuine over/under-utilized nodes for the balancer fixture;
+    * 5% of capacity is reserved, so utilization (capacity-remaining)/
+    * capacity = used% + 5. */
+  def datanodes(spark: SparkSession, dir: String): DataFrame =
+    spark.range(20).toDF("i")
+      .withColumn("capacity", (col("i") % 4 + 1) * 1000000000000L)
+      .withColumn("used",
+        expr("capacity DIV 100 * ((i * 37) % 80 + 5)"))
+      .select(
+        concat(lit("dn"), col("i").cast("string")).as("uuid"),
+        concat(lit("host"), col("i").cast("string"), lit(".rack"),
+          (col("i") % 5).cast("string")).as("hostname"),
+        concat(lit("rack"), (col("i") % 5).cast("string")).as("rack"),
+        when(col("i") % 7 === 3, lit("STALE"))
+          .when(col("i") % 7 === 6, lit("DEAD"))
+          .otherwise(lit("HEALTHY")).as("state"),
+        when(col("i") % 6 === 2, lit("DECOMMISSIONING"))
+          .when(col("i") % 6 === 5, lit("IN_MAINTENANCE"))
+          .otherwise(lit("IN_SERVICE")).as("op_state"),
+        (lit(1700000000000L) - col("i") * 45000L).as("last_heartbeat_ms"),
+        col("capacity"), col("used"),
+        expr("capacity - used - capacity DIV 100 * 5").as("remaining"),
+        expr("used DIV 10").as("committed"))
+
+  /** pipelines: 12 pipelines over the dn ring — ref PipelineEndpoint.java
+    * + PipelineMetadata.java:35-67. Replication decides the member count
+    * (RATIS/THREE=3, RATIS/ONE=1, EC rs-3-2=5); EC pipelines have no Ratis
+    * leader. Containers map onto pipelines by `container_id % 12` (the
+    * fixture's SCM pipeline map). */
+  def pipelines(spark: SparkSession, dir: String): DataFrame =
+    spark.range(12).toDF("p")
+      .select(
+        concat(lit("pipeline-"), col("p").cast("string")).as("pipeline_id"),
+        when(col("p") % 3 === 0, lit("RATIS/THREE"))
+          .when(col("p") % 3 === 1, lit("RATIS/ONE"))
+          .otherwise(lit("EC/rs-3-2-1024k")).as("replication"),
+        when(col("p") % 3 === 0, lit(3)).when(col("p") % 3 === 1, lit(1))
+          .otherwise(lit(5)).cast("int").as("num_datanodes"),
+        when(col("p") % 5 === 4, lit("DORMANT"))
+          .when(col("p") % 5 === 2, lit("CLOSED"))
+          .otherwise(lit("OPEN")).as("state"),
+        when(col("p") % 3 =!= 2,
+          concat(lit("dn"), (col("p") % 20).cast("string"))).as("leader_node"),
+        (lit(1700000000000L) - col("p") * 60000L).as("last_leader_election_ms"),
+        (col("p") % 4).as("leader_elections"),
+        col("p").as("pipeline_idx"))
+
+  /** (pipeline, member datanode) pairs: member k of pipeline p is
+    * dn `(p + 7k) % 20` — the stride spreads pipelines across racks. */
+  def pipelineMembers(spark: SparkSession, dir: String): DataFrame =
+    pipelines(spark, dir)
+      .withColumn("k", explode(expr("sequence(0, num_datanodes - 1)")))
+      .select(col("pipeline_id"),
+        concat(lit("dn"),
+          ((col("pipeline_idx") + col("k") * 7) % 20).cast("string"))
+          .as("datanode"))
+
+  /** deleted_dirs (ref OMDBDefinition.java:110,267-273
+    * deletedDirectoryTable): directories deleted but not yet purged —
+    * ~1/23 of the mixed namespace's distinct leaf dirs (md5-selected, so
+    * the pick is engine-portable), each row one `rm -r` root awaiting the
+    * background purge. */
+  def deletedDirs(spark: SparkSession, dir: String): DataFrame =
+    objectsMixed(spark, dir)
+      .select(col("volume"), col("bucket"),
+        graft.operators.Aggregates.parentDirOf("key").as("dir"))
+      .filter(col("dir") =!= "").distinct()
+      .withColumn("h", graft.functions.TextFns.tokenHash60("dir"))
+      .filter(col("h") % 23 === 0)
+      .select(col("volume"), col("bucket"), col("dir"),
+        (lit(1700000000000L) + (col("h") % 1000) * 1000L).as("deleted_ms"))
+
   /** audit_access ← orders (heatmap source, ref HeatMapUtil.java:60-130). */
   def auditAccess(spark: SparkSession, dir: String): DataFrame = {
     val o = raw(spark, dir, "orders")

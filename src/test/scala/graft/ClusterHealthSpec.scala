@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.operators.ClusterHealth
+
+/** Cluster-health plane: balancer classification invariants, datanode
+  * usage wiring, pipeline health verdicts, deleted-dir purge backlog. */
+class ClusterHealthSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("balancer plan: limits bracket the average and every class is present") {
+    val plan = ClusterHealth.balancerPlan(T.datanodes(spark, sf)).collect()
+    val avg = plan.head.getAs[Long]("avg_utilization_bp")
+    assert(plan.forall(_.getAs[Long]("avg_utilization_bp") == avg),
+      "cluster average is a single value")
+    // the fixture plants all three classes (spread (i*37)%80+5 vs ±10%)
+    val byAction = plan.groupBy(_.getAs[String]("action")).view.mapValues(_.toSeq)
+    assert(byAction.keySet == Set("OVER_UTILIZED", "UNDER_UTILIZED",
+      "WITHIN_THRESHOLD"))
+    byAction("OVER_UTILIZED").foreach { r =>
+      assert(r.getAs[Long]("utilization_bp") > avg + 1000)
+      assert(r.getAs[Long]("move_bytes") > 0)
+    }
+    byAction("UNDER_UTILIZED").foreach { r =>
+      assert(r.getAs[Long]("utilization_bp") < avg - 1000)
+      assert(r.getAs[Long]("move_bytes") > 0)
+    }
+    byAction("WITHIN_THRESHOLD").foreach { r =>
+      assert(r.getAs[Long]("move_bytes") == 0)
+    }
+  }
+
+  test("balancer plan excludes stale/dead/decommissioning/maintenance nodes") {
+    val plan = ClusterHealth.balancerPlan(T.datanodes(spark, sf))
+    val participating = plan.select("uuid").collect().map(_.getString(0)).toSet
+    val ineligible = T.datanodes(spark, sf)
+      .filter(col("state") =!= "HEALTHY" || col("op_state") =!= "IN_SERVICE")
+      .select("uuid").collect().map(_.getString(0)).toSet
+    assert(ineligible.nonEmpty)
+    assert(participating.intersect(ineligible).isEmpty)
+    assert(participating.size + ineligible.size == 20)
+  }
+
+  test("datanode usage: container totals cover the replica map exactly") {
+    val usage = ClusterHealth.datanodeUsage(T.datanodes(spark, sf),
+      T.replicas(spark, sf), T.pipelineMembers(spark, sf))
+    assert(usage.count() == 20) // every node listed, with or without load
+    val totalContainers = usage.agg(sum("containers")).head.getLong(0)
+    val expected = T.replicas(spark, sf)
+      .select("datanode", "container_id").distinct().count()
+    assert(totalContainers == expected)
+    // utilization is the storage-report identity, per node
+    usage.collect().foreach { r =>
+      val expectBp = (r.getAs[Long]("capacity") - r.getAs[Long]("remaining")) *
+        10000 / r.getAs[Long]("capacity")
+      assert(r.getAs[Long]("utilization_bp") == expectBp, r.getAs[String]("uuid"))
+    }
+  }
+
+  test("pipeline health: EC pipelines are leaderless yet healthy when open") {
+    val ph = ClusterHealth.pipelineHealth(T.pipelines(spark, sf),
+      T.containersScm(spark, sf)).collect()
+    assert(ph.length == 12)
+    val ec = ph.filter(_.getAs[String]("replication").startsWith("EC/"))
+    assert(ec.nonEmpty)
+    ec.foreach { r =>
+      assert(r.getAs[String]("leader_node") == null)
+      assert(r.getAs[Boolean]("healthy") ==
+        (r.getAs[String]("state") == "OPEN"))
+    }
+    // non-deleted containers all land on some pipeline
+    val live = T.containersScm(spark, sf)
+      .filter(col("state") =!= "DELETED").count()
+    assert(ph.map(_.getAs[Long]("container_count")).sum == live)
+  }
+
+  test("deleted-dir backlog equals a direct subtree scan per deleted dir") {
+    val objects = T.objectsMixed(spark, sf)
+    val insight = ClusterHealth.deletedDirsInsight(objects,
+      T.deletedDirs(spark, sf))
+    val got = insight.select("volume", "bucket", "dir", "pending_files",
+      "pending_bytes").collect()
+    assert(got.nonEmpty)
+    // spot-check 3 dirs against a per-dir prefix scan (the naive oracle)
+    got.take(3).foreach { r =>
+      val naive = objects
+        .filter(col("volume") === r.getString(0) &&
+          col("bucket") === r.getString(1) &&
+          (col("key").startsWith(r.getString(2) + "/")))
+        .agg(count(lit(1)), coalesce(sum("data_size"), lit(0L)))
+        .head
+      assert(r.getAs[Long]("pending_files") == naive.getLong(0), r.getString(2))
+      assert(r.getAs[Long]("pending_bytes") == naive.getLong(1), r.getString(2))
+    }
+  }
+}

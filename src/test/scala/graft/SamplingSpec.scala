@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.operators.Sampling
+
+/** Deterministic sampling: exact per-stratum quotas, token-budget fill
+  * invariants, reproducibility across partitionings. */
+class SamplingSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stratified sample takes exactly min(quota, |stratum|) per stratum") {
+    val docs = T.documents(spark, sf)
+    val quota = 10
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.stratifiedSample(docs, "lang", quota)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet)
+    sizes.foreach { case (lang, n) =>
+      assert(got(lang) == math.min(quota.toLong, n), s"stratum $lang")
+    }
+  }
+
+  test("sample is stable under repartitioning (order comes from the hash, not the layout)") {
+    val docs = T.documents(spark, sf)
+    val a = Sampling.stratifiedSample(docs, "lang", 15)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.stratifiedSample(docs.repartition(13), "lang", 15)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("corpus mix never exceeds the budget and fills it greedily") {
+    val docs = T.documents(spark, sf)
+    val budget = 500L
+    val mix = Sampling.corpusMix(docs, "source", budget).collect()
+    assert(mix.nonEmpty)
+    val bySource = mix.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val total = rs.map(_.getAs[Long]("n_tokens")).sum
+      assert(total <= budget, s"$src over budget")
+      assert(total == rs.map(_.getAs[Long]("cum_tokens")).max, s"$src cumsum")
+    }
+    // greedy: the next doc in hash order would overflow the budget for at
+    // least one source (i.e., the cut is tight, not arbitrary)
+    val all = Sampling.corpusMix(docs, "source", Long.MaxValue)
+    val next = all
+      .join(Sampling.corpusMix(docs, "source", budget)
+          .select(col("source"), col("cum_tokens"))
+          .groupBy("source").agg(max("cum_tokens").as("taken")),
+        Seq("source"))
+      .filter(col("cum_tokens") > col("taken"))
+      .groupBy("source").agg(min("cum_tokens").as("next_cum"))
+    next.collect().foreach { r =>
+      assert(r.getAs[Long]("next_cum") > budget,
+        s"${r.getString(0)}: a fitting doc was skipped")
+    }
+  }
+}
