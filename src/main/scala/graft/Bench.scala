@@ -43,6 +43,7 @@ object Bench {
     graft.core.Tables.filesFso(spark, sfDir).count()
     graft.core.Tables.directoriesFsoDeep(spark, sfDir).count()
     graft.core.Tables.filesFsoDeep(spark, sfDir).count()
+    graft.core.Tables.deletedDirs(spark, sfDir).count()
     SparkEntry.queries.get("q_global_counts").foreach(_(spark, sfDir).count())
     // snapshot checkpoints are ingest-time artifacts too (the reference's
     // RocksDB checkpoints exist before any diff is asked for)

@@ -368,6 +368,15 @@ object SparkEntry {
     "q_deleted_dirs" -> ((s, d) =>
       ClusterHealth.deletedDirsInsight(T.objectsMixed(s, d),
         T.deletedDirs(s, d))),
+    "q_block_deletion" -> ((s, d) =>
+      ClusterHealth.blockDeletionBacklog(T.objects(s, d))),
+    // reads a PRE-CHURN snapshot through the .snapshot path indicator —
+    // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
+    // snapshot view provably differs from live: creation-time sizes, no
+    // .mv keys, churn-deleted keys still present
+    "q_snapshot_read" -> ((s, d) =>
+      CommitLog.snapshotPathList(s, T.objects(s, d), d, "vol2", "bucket5",
+        ".snapshot/s1/warehouse/N/", maxKeys = 100)),
     // ---- training-data sampling: exact quotas + token budgets ----
     "q_sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(T.documents(s, d), "lang", quota = 40)),
@@ -1359,6 +1368,27 @@ object SparkEntry {
          |  ON n.volume = dd.volume AND n.bucket = dd.bucket AND n.dir = dd.dir
          |ORDER BY n.volume, n.bucket, n.dir""".stripMargin,
       O.objects, O.objectsMixed, O.deletedDirs),
+
+    "q_block_deletion" -> O.withCtes(
+      s"""SELECT container_id,
+         |  count(*) AS pending_txns,
+         |  CAST(sum((data_size - 1) // ${graft.core.Tables.LocChunkBytes} + 1) AS BIGINT) AS pending_blocks,
+         |  CAST(sum(data_size) AS BIGINT) AS pending_bytes,
+         |  CAST(sum(CASE WHEN object_id % 5 > 3 THEN 1 ELSE 0 END) AS BIGINT) AS expired_txns
+         |FROM objects
+         |WHERE (version = 4 OR version = 5) AND (object_id // 10) % 10 = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin, O.objects),
+
+    // snapshot s1 = seq 1 = the create flood only: per-key max-size fold
+    // with NONE of the churn (no doubling, no .mv keys, no deletes)
+    "q_snapshot_read" -> O.withCtes(
+      """SELECT key, object_id, data_size FROM (
+        |  SELECT key, object_id, max(data_size) AS data_size
+        |  FROM objects
+        |  WHERE volume = 'vol2' AND bucket = 'bucket5'
+        |    AND key LIKE 'warehouse/N/%'
+        |  GROUP BY 1, 2)
+        |ORDER BY key LIMIT 101""".stripMargin, O.objects),
 
     "q_sample_stratified" -> (
       """SELECT doc_id, lang, sample_rank FROM (

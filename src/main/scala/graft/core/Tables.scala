@@ -511,14 +511,18 @@ object Tables {
     * the pick is engine-portable), each row one `rm -r` root awaiting the
     * background purge. */
   def deletedDirs(spark: SparkSession, dir: String): DataFrame =
-    objectsMixed(spark, dir)
-      .select(col("volume"), col("bucket"),
-        graft.operators.Aggregates.parentDirOf("key").as("dir"))
-      .filter(col("dir") =!= "").distinct()
-      .withColumn("h", graft.functions.TextFns.tokenHash60("dir"))
-      .filter(col("h") % 23 === 0)
-      .select(col("volume"), col("bucket"), col("dir"),
-        (lit(1700000000000L) + (col("h") % 1000) * 1000L).as("deleted_ms"))
+    // a real deletedDirectoryTable is a stored table, not a derived view —
+    // memoize it like the FSO tables so consumers pay a parquet read
+    memoPersist(spark, "deldirs", dir) {
+      objectsMixed(spark, dir)
+        .select(col("volume"), col("bucket"),
+          graft.operators.Aggregates.parentDirOf("key").as("dir"))
+        .filter(col("dir") =!= "").distinct()
+        .withColumn("h", graft.functions.TextFns.tokenHash60("dir"))
+        .filter(col("h") % 23 === 0)
+        .select(col("volume"), col("bucket"), col("dir"),
+          (lit(1700000000000L) + (col("h") % 1000) * 1000L).as("deleted_ms"))
+    }
 
   /** audit_access ← orders (heatmap source, ref HeatMapUtil.java:60-130). */
   def auditAccess(spark: SparkSession, dir: String): DataFrame = {

@@ -105,18 +105,51 @@ object ClusterHealth {
       .orderBy(col("utilization_bp").desc, col("uuid"))
   }
 
+  /**
+   * SCM deleted-block transaction backlog per container — ref
+   * DeletedBlockLogImpl.java:159-166 (a transaction is {txID, containerID,
+   * block list, retry count}) and the retry bookkeeping around :149-155 /
+   * :386-451 (transactions past the retry budget stop being re-sent):
+   * one transaction per DELETE commit in the log, block count from the
+   * deleted key's chunk layout (Tables.LocChunkBytes blocks, the same
+   * layout `locations` explodes). The per-container rollup is what SCM
+   * hands each datanode as its deletion work queue.
+   */
+  def blockDeletionBacklog(objects: DataFrame,
+                           maxRetry: Int = 3): DataFrame =
+    CommitLog.synthesizeLog(objects)
+      .filter(col("op") === "DELETE")
+      .withColumn("blocks",
+        expr(s"(data_size - 1) DIV ${graft.core.Tables.LocChunkBytes} + 1"))
+      .withColumn("retry_count", col("object_id") % 5)
+      .groupBy("container_id")
+      .agg(count(lit(1)).as("pending_txns"),
+        sum("blocks").as("pending_blocks"),
+        sum("data_size").as("pending_bytes"),
+        sum(when(col("retry_count") > maxRetry, 1L).otherwise(0L))
+          .as("expired_txns"))
+      .orderBy("container_id")
+
   /** Deleted-directory purge backlog: each deleted dir with the file count
     * and bytes still pending purge in its subtree — the Recon OM-insight
-    * over deletedDirectoryTable. A dir's subtree aggregate IS its
-    * [[Aggregates.nsSummary]] row (every file contributes to every
-    * ancestor), so this is the rollup semi-joined to the deleted set —
-    * no per-dir subtree scans. */
+    * over deletedDirectoryTable. Same two-stage shape as
+    * [[Aggregates.nsSummary]] (a dir's subtree aggregate is its rollup
+    * row), but the broadcast join against the deleted set lands BETWEEN
+    * the ancestor explode and the final aggregate, so only ancestors that
+    * ARE deleted dirs reach the dir-level shuffle (deleted ≪ all dirs) —
+    * no full-namespace rollup materializes, no per-dir subtree scans. */
   def deletedDirsInsight(objects: DataFrame,
                          deletedDirs: DataFrame): DataFrame =
-    Aggregates.nsSummary(objects)
+    objects
+      .withColumn("leaf", Aggregates.parentDirOf("key"))
+      .filter(col("leaf") =!= "")
+      .groupBy("volume", "bucket", "leaf")
+      .agg(count(lit(1)).as("nf"), sum("data_size").as("sz"))
+      .withColumn("dir", explode(Aggregates.dirAndAncestors("leaf")))
       .join(broadcast(deletedDirs), Seq("volume", "bucket", "dir"))
-      .select(col("volume"), col("bucket"), col("dir"), col("deleted_ms"),
-        col("num_files").as("pending_files"),
-        col("size_of_files").as("pending_bytes"))
+      .groupBy("volume", "bucket", "dir", "deleted_ms")
+      .agg(sum("nf").as("pending_files"), sum("sz").as("pending_bytes"))
+      .select("volume", "bucket", "dir", "deleted_ms", "pending_files",
+        "pending_bytes")
       .orderBy("volume", "bucket", "dir")
 }

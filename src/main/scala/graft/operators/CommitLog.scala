@@ -254,4 +254,31 @@ object CommitLog {
       spark.read.parquet(s"$wh/state_$from"),
       chain(from), chain(to))
   }
+
+  /**
+   * List keys through a `bucket/.snapshot/<name>/<prefix>` path — ref
+   * OzoneConsts.java:544 (OM_SNAPSHOT_INDICATOR) and OmSnapshotManager's
+   * snapshot-path routing: reads under the indicator are served from the
+   * named snapshot's checkpoint DB, not the live table. The name resolves
+   * through the live chain (a deleted/unknown snapshot fails loudly, the
+   * reference's FILE_NOT_FOUND); the residual prefix + maxKeys+1
+   * truncation page the checkpoint like any live listing.
+   */
+  def snapshotPathList(spark: SparkSession, objects: DataFrame, dir: String,
+                       volume: String, bucket: String, path: String,
+                       maxKeys: Int): DataFrame = {
+    val ind = ".snapshot/"
+    require(path.startsWith(ind), s"not a snapshot path: $path")
+    val rest = path.substring(ind.length)
+    val name = rest.takeWhile(_ != '/')
+    val prefix = rest.drop(name.length).stripPrefix("/")
+    require(snapshotChain.exists(_._1 == name), s"no such snapshot: $name")
+    val wh = snapshotWarehouse(spark, objects, dir)
+    spark.read.parquet(s"$wh/state_$name")
+      .filter(col("volume") === volume && col("bucket") === bucket &&
+        col("key").startsWith(prefix))
+      .select("key", "object_id", "data_size")
+      .orderBy("key")
+      .limit(maxKeys + 1)
+  }
 }

@@ -182,18 +182,22 @@ object Dedup {
    * SPARSE edge list (|edges| ≈ verified pairs ≪ n²), labels only ever
    * decrease, and near-dup components have tiny diameter, so a handful of
    * iterations reach the fixpoint (detected by the monotone label-sum —
-   * one cheap agg per iteration, no row-level diff join). Driver loop
-   * bounded by `maxIter`; lineage cut per iteration via localCheckpoint so
-   * the plan never grows with iterations — no driver-side graph, no n²
-   * anything, scales to billions of docs with million-row edge lists.
+   * one cheap agg per iteration, no row-level diff join). The loop runs
+   * ONLY over docs that appear in some edge (everything else is a
+   * singleton by construction and unioned back at the end) — near-dup
+   * edge sets are sparse, so the iterated frame is ~2·|pairs| rows, not
+   * the corpus. Driver loop bounded by `maxIter`; lineage cut per
+   * iteration via localCheckpoint so the plan never grows — no
+   * driver-side graph, no n² anything, scales to billions of docs with
+   * million-row edge lists.
    */
   def dupClusters(docs: DataFrame, pairs: DataFrame,
                   maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
     val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint() // materialize once; every iteration re-reads it
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("label")).localCheckpoint()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
     var prevSum = labels.agg(sum("label")).head.getLong(0)
     var converged = false
     var iter = 0
@@ -214,9 +218,15 @@ object Dedup {
     }
     require(converged, s"dupClusters did not converge within $maxIter iterations")
     val asg = labels.withColumnRenamed("label", "cluster_id")
-    asg.join(asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+    val sized = asg
+      .join(asg.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
         "cluster_id")
-      .select("doc_id", "cluster_id", "cluster_size")
+    val singletons = docs
+      .join(asg.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    sized.select("doc_id", "cluster_id", "cluster_size")
+      .unionByName(singletons)
       .orderBy("doc_id")
   }
 }

@@ -76,6 +76,46 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(ph.map(_.getAs[Long]("container_count")).sum == live)
   }
 
+  test("block-deletion backlog covers every DELETE commit exactly once") {
+    import graft.operators.CommitLog
+    val objects = T.objects(spark, sf)
+    val backlog = ClusterHealth.blockDeletionBacklog(objects)
+    val deletes = CommitLog.synthesizeLog(objects)
+      .filter(col("op") === "DELETE")
+    assert(backlog.agg(sum("pending_txns")).head.getLong(0) == deletes.count())
+    assert(backlog.agg(sum("pending_bytes")).head.getLong(0) ==
+      deletes.agg(sum("data_size")).head.getLong(0))
+    // a txn past the retry budget is expired, never more txns than exist
+    backlog.collect().foreach { r =>
+      assert(r.getAs[Long]("expired_txns") <= r.getAs[Long]("pending_txns"))
+      assert(r.getAs[Long]("pending_blocks") >= r.getAs[Long]("pending_txns"))
+    }
+  }
+
+  test("snapshot-path read serves pre-churn state and rejects unknown names") {
+    import graft.operators.CommitLog
+    val objects = T.objects(spark, sf)
+    val snap = CommitLog.snapshotPathList(spark, objects, sf,
+      "vol2", "bucket5", ".snapshot/s1/warehouse/N/", maxKeys = 1000000)
+    // s1 precedes all churn: no doubled sizes, no .mv keys, deletes visible
+    val live = CommitLog.appliedState(objects)
+      .filter(col("volume") === "vol2" && col("bucket") === "bucket5" &&
+        col("key").startsWith("warehouse/N/"))
+    assert(snap.filter(col("key").endsWith(".mv")).count() == 0)
+    val snapKeys = snap.select("key").collect().map(_.getString(0)).toSet
+    val liveKeys = live.select("key").collect().map(_.getString(0)).toSet
+    // churn deleted some keys from live that the snapshot still holds
+    assert((snapKeys -- liveKeys).nonEmpty)
+    intercept[IllegalArgumentException] {
+      CommitLog.snapshotPathList(spark, objects, sf, "vol2", "bucket5",
+        ".snapshot/nope/warehouse/", 10)
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.snapshotPathList(spark, objects, sf, "vol2", "bucket5",
+        "warehouse/N/", 10) // not a snapshot path
+    }
+  }
+
   test("deleted-dir backlog equals a direct subtree scan per deleted dir") {
     val objects = T.objectsMixed(spark, sf)
     val insight = ClusterHealth.deletedDirsInsight(objects,
