@@ -370,6 +370,9 @@ object SparkEntry {
         T.deletedDirs(s, d))),
     "q_block_deletion" -> ((s, d) =>
       ClusterHealth.blockDeletionBacklog(T.objects(s, d))),
+    "q_safemode" -> ((s, d) =>
+      ClusterHealth.safemodeStatus(T.datanodes(s, d), T.pipelines(s, d),
+        T.pipelineMembers(s, d), T.containersScm(s, d), T.replicas(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -1378,6 +1381,49 @@ object SparkEntry {
          |FROM objects
          |WHERE (version = 4 OR version = 5) AND (object_id // 10) % 10 = 0
          |GROUP BY 1 ORDER BY 1""".stripMargin, O.objects),
+
+    "q_safemode" -> O.withCtes(
+      """SELECT * FROM (
+        |  WITH rules AS (
+        |    SELECT 'CONTAINER' AS rule,
+        |      (total * 9900 + 9999) // 10000 AS required, actual
+        |    FROM (SELECT count(*) AS total FROM containers_scm
+        |          WHERE state <> 'DELETED')
+        |    CROSS JOIN (
+        |      SELECT count(*) AS actual FROM (
+        |        SELECT container_id FROM containers_scm
+        |        WHERE state <> 'DELETED'
+        |          AND container_id IN (SELECT container_id FROM replicas)))
+        |    UNION ALL
+        |    SELECT 'HEALTHY_PIPELINE',
+        |      (total * 1000 + 9999) // 10000, actual
+        |    FROM (SELECT count(*) AS total FROM pipelines)
+        |    CROSS JOIN (
+        |      SELECT count(*) AS actual FROM pipelines
+        |      WHERE replication = 'RATIS/THREE' AND state = 'OPEN'
+        |        AND leader_node IS NOT NULL)
+        |    UNION ALL
+        |    SELECT 'ONE_REPLICA_PIPELINE',
+        |      (total * 9000 + 9999) // 10000, actual
+        |    FROM (SELECT count(*) AS total FROM pipelines)
+        |    CROSS JOIN (
+        |      SELECT count(DISTINCT m.pipeline_id) AS actual
+        |      FROM pipeline_members m
+        |      JOIN datanodes d ON d.uuid = m.datanode
+        |      WHERE d.state <> 'DEAD')
+        |    UNION ALL
+        |    SELECT 'DATANODE', 1, count(*)
+        |    FROM datanodes WHERE state <> 'DEAD')
+        |  SELECT rule, required, actual, actual >= required AS satisfied
+        |  FROM rules
+        |  UNION ALL
+        |  SELECT 'EXIT_SAFEMODE', count(*),
+        |    CAST(sum(CASE WHEN actual >= required THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN actual >= required THEN 1 ELSE 0 END) AS BIGINT) >= count(*)
+        |  FROM rules)
+        |ORDER BY rule""".stripMargin,
+      O.datanodes, O.pipelines, O.pipelineMembers, O.containersScm,
+      O.replicas),
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold
     // with NONE of the churn (no doubling, no .mv keys, no deletes)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -129,6 +129,76 @@ object ClusterHealth {
         sum(when(col("retry_count") > maxRetry, 1L).otherwise(0L))
           .as("expired_txns"))
       .orderBy("container_id")
+
+  /**
+   * SCM safemode exit-rule evaluation — one row per rule with its required
+   * vs actual count and the verdict, plus the overall EXIT_SAFEMODE fold:
+   *   - CONTAINER (AbstractContainerSafeModeRule.java:83-99): cutOff =
+   *     ceil(totalContainers × 99%), satisfied once that many containers
+   *     have a reported replica;
+   *   - HEALTHY_PIPELINE (HealthyPipelineSafeModeRule.java:113-114):
+   *     threshold = ceil(10% × pipelines), counted over open Ratis/THREE
+   *     pipelines with a leader;
+   *   - ONE_REPLICA_PIPELINE (OneReplicaPipelineSafeModeRule.java:214):
+   *     threshold = ceil(90% × pipelines), a pipeline reports once any
+   *     member datanode is alive;
+   *   - DATANODE (DataNodeSafeModeRule.java:40-66): a configured minimum
+   *     of registered (non-dead) nodes, default 1.
+   * Thresholds are the reference defaults in basis points; ceil is exact
+   * integer math ((total·bp + 9999) DIV 10000), so the oracle reproduces
+   * every count. All inputs are control-plane tables except `replicas`,
+   * which aggregates to a reported-container count first.
+   */
+  def safemodeStatus(datanodes: DataFrame, pipelines: DataFrame,
+                     pipelineMembers: DataFrame, containersScm: DataFrame,
+                     replicas: DataFrame,
+                     containerCutoffBp: Long = 9900L,
+                     healthyPipelineBp: Long = 1000L,
+                     oneReplicaBp: Long = 9000L,
+                     requiredDns: Long = 1L): DataFrame = {
+    // exact integer ceil(total · bp / 10000); every caller names the
+    // count column `total`
+    def ceilBp(bp: Long): Column = expr(s"(total * $bp + 9999) DIV 10000")
+    val containers = containersScm.filter(col("state") =!= "DELETED")
+      .select("container_id")
+    val reported = containers
+      .join(replicas.select("container_id").distinct(), Seq("container_id"),
+        "left_semi")
+    val containerRule = containers.agg(count(lit(1)).as("total"))
+      .crossJoin(broadcast(reported.agg(count(lit(1)).as("actual"))))
+      .select(lit("CONTAINER").as("rule"),
+        ceilBp(containerCutoffBp).as("required"),
+        col("actual"))
+    val pipelineTotal = pipelines.agg(count(lit(1)).as("total"))
+    val healthyRule = pipelineTotal
+      .crossJoin(broadcast(pipelines
+        .filter(col("replication") === "RATIS/THREE" &&
+          col("state") === "OPEN" && col("leader_node").isNotNull)
+        .agg(count(lit(1)).as("actual"))))
+      .select(lit("HEALTHY_PIPELINE").as("rule"),
+        ceilBp(healthyPipelineBp).as("required"), col("actual"))
+    val liveMembers = pipelineMembers
+      .join(broadcast(datanodes.filter(col("state") =!= "DEAD")
+        .select(col("uuid").as("datanode"))), Seq("datanode"), "left_semi")
+      .select("pipeline_id").distinct()
+    val oneReplicaRule = pipelineTotal
+      .crossJoin(broadcast(liveMembers.agg(count(lit(1)).as("actual"))))
+      .select(lit("ONE_REPLICA_PIPELINE").as("rule"),
+        ceilBp(oneReplicaBp).as("required"), col("actual"))
+    val dnRule = datanodes.filter(col("state") =!= "DEAD")
+      .agg(count(lit(1)).as("actual"))
+      .select(lit("DATANODE").as("rule"), lit(requiredDns).as("required"),
+        col("actual"))
+    val rules = containerRule.unionByName(healthyRule)
+      .unionByName(oneReplicaRule).unionByName(dnRule)
+      .withColumn("satisfied", col("actual") >= col("required"))
+    val exitRow = rules
+      .agg(count(lit(1)).as("required"),
+        sum(when(col("satisfied"), 1L).otherwise(0L)).as("actual"))
+      .select(lit("EXIT_SAFEMODE").as("rule"), col("required"), col("actual"))
+      .withColumn("satisfied", col("actual") >= col("required"))
+    rules.unionByName(exitRow).orderBy("rule")
+  }
 
   /** Deleted-directory purge backlog: each deleted dir with the file count
     * and bytes still pending purge in its subtree — the Recon OM-insight

@@ -76,6 +76,22 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(ph.map(_.getAs[Long]("container_count")).sum == live)
   }
 
+  test("safemode: all default rules pass; a raised datanode floor flips the exit") {
+    def status(requiredDns: Long) = ClusterHealth.safemodeStatus(
+      T.datanodes(spark, sf), T.pipelines(spark, sf),
+      T.pipelineMembers(spark, sf), T.containersScm(spark, sf),
+      T.replicas(spark, sf), requiredDns = requiredDns)
+    val ok = status(1L).collect().map(r =>
+      r.getAs[String]("rule") -> r.getAs[Boolean]("satisfied")).toMap
+    assert(ok.size == 5 && ok.values.forall(identity))
+    // the fixture registers 18 non-dead nodes; demanding 19 must fail the
+    // DATANODE rule and hold the cluster in safemode
+    val held = status(19L).collect().map(r =>
+      r.getAs[String]("rule") -> r.getAs[Boolean]("satisfied")).toMap
+    assert(!held("DATANODE") && !held("EXIT_SAFEMODE"))
+    assert(held("CONTAINER") && held("HEALTHY_PIPELINE"))
+  }
+
   test("block-deletion backlog covers every DELETE commit exactly once") {
     import graft.operators.CommitLog
     val objects = T.objects(spark, sf)
