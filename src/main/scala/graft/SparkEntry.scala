@@ -55,6 +55,21 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  // PQ codebooks are index-build artifacts exactly like the IVF centroids
+  private val pqCbPaths =
+    scala.collection.mutable.Map.empty[String, String]
+  private def pqCodebooksCached(s: SparkSession, d: String): DataFrame = {
+    val p = synchronized {
+      pqCbPaths.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("graft_pqcb_").toString
+        Similarity.pqCodebooks(Similarity.quantized(T.embeddings(s, d)))
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    s.read.parquet(p)
+  }
+
   // Verified near-dup pairs are likewise a materialized pipeline artifact:
   // LSH candidates → exact jaccard verify runs once at ingest; clustering
   // (and any downstream canonical-doc pruning) consumes the persisted
@@ -207,10 +222,22 @@ object SparkEntry {
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d),
       precomputedCentroids = Some(ivfCentroidsCached(s, d)))),
+    // PQ/ADC: the corpus side of the probe touches only 4 small codes per
+    // vector (the compressed-index regime; codebooks are a built artifact)
+    "q_ann_pq" -> ((s, d) => Similarity.annPq(T.embeddings(s, d),
+      precomputedCodebooks = Some(pqCodebooksCached(s, d)))),
     "q_token_classes" -> ((s, d) =>
       TextAnalysis.tokenClasses(T.documents(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, T.embeddings(s, d))),
     "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, T.embeddings(s, d))),
+    // the same component closure as q_dedup_clusters, over the embedding
+    // near-dup edge list (cosine ≥ 0.4 on LSH candidates)
+    "q_embed_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+        T.embeddings(s, d).select(col("vec_id").as("doc_id")),
+        Similarity.nearDupPairs(s, T.embeddings(s, d))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .withColumnRenamed("doc_id", "vec_id")),
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(T.documents(s, d))),
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(T.documents(s, d))),
@@ -809,6 +836,27 @@ object SparkEntry {
           |)""".stripMargin,
         "asg AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)")): _*),
 
+    "q_embed_clusters" -> O.withCtesRecursive(
+      """SELECT a.vec_id, a.cluster_id, c.cluster_size
+        |FROM asg a JOIN (SELECT cluster_id, count(*) AS cluster_size
+        |                 FROM asg GROUP BY 1) c USING (cluster_id)
+        |ORDER BY a.vec_id""".stripMargin,
+      O.embQuant, O.planes, O.lshBandsCte, O.lshCandCte, O.candCosCte,
+      """epairs AS (
+        |  SELECT vec_a, vec_b FROM cand_cos WHERE cos_x1e6 >= 400000
+        |)""".stripMargin,
+      """eedges AS (
+        |  SELECT vec_a AS u, vec_b AS v FROM epairs
+        |  UNION ALL
+        |  SELECT vec_b, vec_a FROM epairs
+        |)""".stripMargin,
+      """reach(vec_id, lab) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.u, r.lab FROM eedges e JOIN reach r ON e.v = r.vec_id
+        |)""".stripMargin,
+      "asg AS (SELECT vec_id, min(lab) AS cluster_id FROM reach GROUP BY 1)"),
+
     "q_ann_topk" -> O.withCtes(
       s"""SELECT query_id, neighbor_id, rank, cos_x1e6 FROM (
          |  SELECT query_id, neighbor_id, cos_x1e6,
@@ -820,6 +868,30 @@ object SparkEntry {
          |    FROM emb_n c JOIN emb_n s
          |      ON s.vec_id < 20 AND c.vec_id <> s.vec_id))
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin, O.embQuant),
+
+    "q_ann_pq" -> O.withCtes(
+      s"""SELECT query_id, neighbor_id, rank, cos_x1e6 FROM (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    ${O.cosSql("list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])", "a.nrm", "b.nrm")} AS cos_x1e6,
+         |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+         |      ${O.cosSql("list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])", "a.nrm", "b.nrm")} DESC,
+         |      s.neighbor_id) AS rank
+         |  FROM (
+         |    SELECT query_id, neighbor_id FROM (
+         |      SELECT query_id, neighbor_id,
+         |        row_number() OVER (
+         |          PARTITION BY query_id ORDER BY adist, neighbor_id) AS srank
+         |      FROM (
+         |        SELECT l.query_id, p.vec_id AS neighbor_id,
+         |          CAST(sum(l.d) AS BIGINT) AS adist
+         |        FROM pq_codes p JOIN pq_lut l ON p.m = l.m AND p.code = l.code
+         |        WHERE p.vec_id <> l.query_id
+         |        GROUP BY 1, 2))
+         |    WHERE srank <= 100) s
+         |  JOIN emb_n a ON a.vec_id = s.neighbor_id
+         |  JOIN emb_n b ON b.vec_id = s.query_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      (Seq(O.embQuant) ++ O.pqCtes): _*),
 
     "q_ann_ivf" -> O.withCtes(
       s"""SELECT query_id, neighbor_id, cell_id, rank, cos_x1e6 FROM (

@@ -356,6 +356,52 @@ object OracleCte {
   def cosSql(dot: String, na: String, nb: String): String =
     s"CAST(floor(CAST($dot AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) * 1000000) AS BIGINT)"
 
+  /** PQ mirrors (Similarity.pqSubvectors/pqCodebooks/pqCodes with M=4
+    * subspaces × 16 dims, K=8 codewords, one Lloyd pass, floor-mean
+    * re-centering, squared-L2 everywhere). */
+  private def pqAsgSql(cbName: String, outName: String): String =
+    s"""$outName AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        list_sum([(s.sv[i] - c.cb[i]) * (s.sv[i] - c.cb[i])
+       |                  for i in generate_series(1, 16)]), c.code) AS rn
+       |    FROM pq_sub s JOIN $cbName c ON s.m = c.m)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  val pqCtes: Seq[String] = Seq(
+    """pq_sub AS (
+      |  SELECT vec_id, m,
+      |    [CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+      |          ELSE CAST(floor(CAST(qv[m * 16 + i] AS DOUBLE)
+      |                 / sqrt(CAST(nrm AS DOUBLE)) * 1024) AS BIGINT) END
+      |     for i in generate_series(1, 16)] AS sv
+      |  FROM emb_n CROSS JOIN range(4) t(m)
+      |)""".stripMargin,
+    """pq_cb0 AS (
+      |  SELECT m, CAST(vec_id AS INT) AS code, sv AS cb
+      |  FROM pq_sub WHERE vec_id < 8
+      |)""".stripMargin,
+    pqAsgSql("pq_cb0", "pq_asg0"),
+    """pq_cb1 AS (
+      |  SELECT m, code, list(mv ORDER BY pos) AS cb FROM (
+      |    SELECT a.m, a.code, g.i AS pos,
+      |      CAST(floor(CAST(sum(s.sv[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+      |    FROM pq_asg0 a JOIN pq_sub s ON a.vec_id = s.vec_id AND a.m = s.m
+      |    CROSS JOIN generate_series(1, 16) g(i)
+      |    GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2
+      |)""".stripMargin,
+    pqAsgSql("pq_cb1", "pq_codes"),
+    """pq_lut AS (
+      |  SELECT s.vec_id AS query_id, c.m, c.code,
+      |    CAST(list_sum([(s.sv[i] - c.cb[i]) * (s.sv[i] - c.cb[i])
+      |                   for i in generate_series(1, 16)]) AS BIGINT) AS d
+      |  FROM pq_sub s JOIN pq_cb1 c ON s.m = c.m
+      |  WHERE s.vec_id < 20
+      |)""".stripMargin)
+
   /** events with epoch-ms (mirror of Tables.events ts_ms). */
   val eventsNorm: String =
     """events_norm AS (

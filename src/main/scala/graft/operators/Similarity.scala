@@ -245,6 +245,133 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---- product quantization (PQ): the compressed-corpus scale path ----
+
+  val PqM = 4 // subspaces
+  val PqK = 8 // codewords per subspace
+  val PqDim = 16 // dims per subspace (PqM · PqDim = 64)
+
+  /** One row per (vector, subspace): the 16-dim integer subvector of the
+    * UNIT-NORMALIZED vector (floor(qv/‖qv‖·1024) — divide/sqrt/multiply on
+    * exact integers are correctly-rounded IEEE doubles, identical in both
+    * engines). Normalizing first makes PQ's squared L2 monotone with
+    * cosine, the metric every other ANN query here ranks by. */
+  private def pqSubvectors(q: DataFrame): DataFrame =
+    q.withColumn("nv",
+        expr("transform(qv, v -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(floor(CAST(v AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) * 1024) AS BIGINT) END)"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> struct(m AS m, slice(nv, m * $PqDim + 1, $PqDim) AS sv))"))
+        .as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** Nearest codeword per (vector, subspace) under exact integer squared
+    * L2, code tie-break — the PQ encode step. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m")
+      .orderBy(col("dist"), col("code"))
+    sub.join(broadcast(cb), "m")
+      .withColumn("dist",
+        expr("aggregate(zip_with(sv, cb, (x, c) -> (x - c) * (x - c)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "code")
+  }
+
+  /**
+   * Deterministic PQ codebooks: per subspace, `PqK` codewords seeded from
+   * the first `PqK` corpus vectors' subvectors and refined by `iters`
+   * Lloyd passes under squared L2 with floor-mean re-centering — the same
+   * exact-integer recipe as [[ivfCentroids]], so the DuckDB oracle
+   * reproduces every codeword. Returns (m, code, cb).
+   *
+   * Scale design: codebooks are PqM·PqK tiny rows trained by broadcast
+   * passes (corpus never shuffles) and, like the IVF centroids, would be
+   * materialized once per corpus and reused by every encode/probe.
+   */
+  def pqCodebooks(q: DataFrame, iters: Int = 1): DataFrame = {
+    val sub = pqSubvectors(q)
+    var cb = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cb"))
+    for (_ <- 1 to iters) {
+      cb = pqAssign(sub, cb)
+        .join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos")
+        .agg(expr("CAST(floor(CAST(sum(v) AS DOUBLE) / count(1)) AS BIGINT)")
+          .as("mv"))
+        .groupBy("m", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)")
+          .as("cb"))
+    }
+    cb
+  }
+
+  /** PQ codes: every corpus vector compressed to PqM small codes —
+    * 4 bytes a vector instead of 64 floats. Returns (vec_id, m, code). */
+  def pqCodes(embeddings: DataFrame,
+              codebooks: Option[DataFrame] = None): DataFrame = {
+    val q = quantized(embeddings)
+    pqAssign(pqSubvectors(q), codebooks.getOrElse(pqCodebooks(q)))
+  }
+
+  /**
+   * PQ ANN — the production two-stage probe:
+   *   1. ADC shortlist: each query precomputes a (subspace, code) →
+   *      squared-L2 lookup table against the codebooks; a neighbor's
+   *      approximate distance is the sum of its PqM table hits, and only
+   *      the `shortlist` best survive. The corpus side touches ONLY the
+   *      integer codes — at 100 TB the original vectors never leave
+   *      storage for this stage, the scan is a (m, code) equi-join + sum.
+   *   2. Exact rerank: the shortlist rows (and nothing else) fetch their
+   *      real vectors by id and rank by exact integer cosine.
+   * Accuracy/cost trade on PqM/PqK/shortlist exactly as in a production
+   * IVF-PQ index; recall@k is spec-bounded against the brute force.
+   */
+  def annPq(embeddings: DataFrame, numQueries: Int = 20, k: Int = 5,
+            shortlist: Int = 100,
+            precomputedCodebooks: Option[DataFrame] = None): DataFrame = {
+    val q = quantized(embeddings)
+    val cb = precomputedCodebooks.getOrElse(pqCodebooks(q))
+    val codes = pqAssign(pqSubvectors(q), cb)
+    val lut = pqSubvectors(q.filter(col("vec_id") < numQueries))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb), "m")
+      .withColumn("d",
+        expr("aggregate(zip_with(sv, cb, (x, c) -> (x - c) * (x - c)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select("query_id", "m", "code", "d")
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    val short = codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d").as("adist"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id"))
+    short
+      .join(q.select(col("vec_id").as("neighbor_id"), col("qv").as("cv"),
+        col("nrm").as("nrm_a")), "neighbor_id")
+      .join(broadcast(q.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("sv2"),
+          col("nrm").as("nrm_b"))), "query_id")
+      .withColumn("dot",
+        expr("aggregate(zip_with(cv, sv2, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos_x1e6", expr(cosExpr))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_x1e6")
+      .orderBy("query_id", "rank")
+  }
+
   /** All-pairs exact near-dup (the O(n²) correctness oracle for
     * [[nearDupPairs]]) — dev/spec use only, never the declared query. */
   def nearDupPairsExact(embeddings: DataFrame, minCosX1e6: Long = 400000): DataFrame = {

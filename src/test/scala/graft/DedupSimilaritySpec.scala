@@ -141,6 +141,28 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall@3 = $recall (${ivf.size} ivf, ${exact.size} exact)")
   }
 
+  test("PQ shortlist+rerank recall@5 vs the brute-force oracle is bounded below") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.annTopK(emb, numQueries = 20, k = 5))
+    val pq = hits(Similarity.annPq(emb, numQueries = 20, k = 5))
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@5 = $recall")
+    // the reranked output is ranked by EXACT cosine: any neighbor shared
+    // with the brute force carries the identical cosine value
+    val exactCos = Similarity.annTopK(emb, numQueries = 20, k = 5)
+      .select("query_id", "neighbor_id", "cos_x1e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Similarity.annPq(emb, numQueries = 20, k = 5)
+      .select("query_id", "neighbor_id", "cos_x1e6").collect()
+      .foreach { r =>
+        exactCos.get((r.getLong(0), r.getLong(1)))
+          .foreach(c => assert(c == r.getLong(2)))
+      }
+  }
+
   test("brute-force top-k ranks the matching basis vector first") {
     val e = embs(
       0L -> basisVec(1), 5L -> basisVec(1), 6L -> basisVec(2), 7L -> basisVec(3))
