@@ -411,7 +411,14 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(T.documents(s, d), "lang", quota = 40)),
     "q_corpus_mix" -> ((s, d) =>
-      Sampling.corpusMix(T.documents(s, d), "source", budgetTokens = 800L)))
+      Sampling.corpusMix(T.documents(s, d), "source", budgetTokens = 800L)),
+    // ---- corpus curation: PII redaction, repetition filter,
+    // benchmark decontamination, sequence packing ----
+    "q_pii_scrub" -> ((s, d) => Curation.piiScrub(T.documents(s, d))),
+    "q_repetition_filter" -> ((s, d) =>
+      Curation.repetitionFilter(T.documents(s, d))),
+    "q_decontaminate" -> ((s, d) => Curation.decontaminate(T.documents(s, d))),
+    "q_seq_pack" -> ((s, d) => Curation.seqPack(T.documents(s, d))))
 
   def oracleSql: Map[String, String] = Map(
     "q_list_keys" -> O.withCtes(
@@ -1532,7 +1539,112 @@ object SparkEntry {
         |      md5(CAST(doc_id AS VARCHAR)) AS h
         |    FROM documents))
         |WHERE cum_tokens <= 800
-        |ORDER BY source, cum_tokens""".stripMargin))
+        |ORDER BY source, cum_tokens""".stripMargin),
+
+    "q_pii_scrub" -> (
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text
+         |         ELSE text || ' contact user' || doc_id
+         |           || '@example.com or admin.' || doc_id
+         |           || '@corp.example.org call 415-555-'
+         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |           || ' ssn 078-05-'
+         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |           || ' from 10.' || (doc_id % 200) || '.'
+         |           || ((doc_id * 7) % 250) || '.' || (doc_id % 250)
+         |    END AS aug
+         |  FROM documents
+         |), scr AS (
+         |  SELECT doc_id, aug,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+         |      '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         |      '${Curation.SsnRe}', '<SSN>', 'g'),
+         |      '${Curation.PhoneRe}', '<PHONE>', 'g'),
+         |      '${Curation.IpRe}', '<IP>', 'g') AS scrubbed
+         |  FROM aug
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(aug, '${Curation.EmailRe}')) AS n_email,
+         |  len(regexp_extract_all(aug, '${Curation.SsnRe}')) AS n_ssn,
+         |  len(regexp_extract_all(aug, '${Curation.PhoneRe}')) AS n_phone,
+         |  len(regexp_extract_all(aug, '${Curation.IpRe}')) AS n_ip,
+         |  ('0x' || substr(md5(scrubbed), 1, 15))::BIGINT AS scrub_fp60,
+         |  length(aug) - length(scrubbed) AS len_delta
+         |FROM scr ORDER BY doc_id""".stripMargin),
+
+    "q_repetition_filter" -> O.withCtes(
+      """SELECT doc_id, max_token_run, n_grams, top_gram_occ, dup_gram_occ,
+        |  top_gram_occ * 1000 // n_grams AS top_x1000,
+        |  dup_gram_occ * 1000 // n_grams AS dup_x1000,
+        |  (max_token_run <= 2 AND top_gram_occ * 1000 // n_grams <= 50
+        |   AND dup_gram_occ * 1000 // n_grams <= 100) AS keep
+        |FROM (
+        |  SELECT doc_id, max(run) AS max_token_run FROM (
+        |    SELECT doc_id, w, isl, count(*) AS run FROM (
+        |      SELECT doc_id, w,
+        |        pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS isl
+        |      FROM (SELECT doc_id, unnest(ws) AS w,
+        |              unnest(generate_series(1, len(ws))) AS pos
+        |            FROM doc_words))
+        |    GROUP BY 1, 2, 3) GROUP BY 1) runs
+        |JOIN (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    max(c) AS top_gram_occ,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_gram_occ
+        |  FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id,
+        |        unnest([array_to_string(ws[i:i+1], ' ')
+        |                for i in generate_series(1, len(ws) - 1)]) AS g
+        |      FROM doc_words WHERE len(ws) >= 2)
+        |    GROUP BY 1, 2) GROUP BY 1) gs
+        |USING (doc_id)
+        |ORDER BY doc_id""".stripMargin, O.docWords),
+
+    "q_decontaminate" -> O.withCtes(
+      """SELECT d.doc_id,
+        |  coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+        |  coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+        |  coalesce(h.n_shared_grams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN (
+        |  SELECT t.doc_id, count(DISTINCT t.gh) AS n_shared_grams,
+        |    count(DISTINCT b.bench_doc) AS n_bench_docs
+        |  FROM (SELECT doc_id, gh FROM grams4 WHERE doc_id % 50 <> 7) t
+        |  JOIN (SELECT doc_id AS bench_doc, gh FROM grams4 WHERE doc_id % 50 = 7) b
+        |    USING (gh)
+        |  GROUP BY 1) h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 50 <> 7
+        |ORDER BY d.doc_id""".stripMargin,
+      O.docWords,
+      """grams4 AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(ws[i:i+3], ' ')
+        |              for i in generate_series(1, len(ws) - 3)]) AS g
+        |    FROM doc_words WHERE len(ws) >= 4)
+        |)""".stripMargin),
+
+    "q_seq_pack" -> O.withCtes(
+      """SELECT doc_id, shard, n_tokens,
+        |  end_off - n_tokens AS start_off,
+        |  (end_off - n_tokens) // 2048 AS start_block,
+        |  (end_off - 1) // 2048 AS end_block,
+        |  (end_off - 1) // 2048 - (end_off - n_tokens) // 2048 + 1 AS n_blocks
+        |FROM (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS end_off
+        |  FROM (
+        |    SELECT doc_id, len(ws) AS n_tokens,
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+        |        AS shard
+        |    FROM doc_words))
+        |ORDER BY doc_id""".stripMargin, O.docWords))
 
   /** Lang-ID oracle generated from the same marker constants as the Spark
     * implementation (TextAnalysis.LangMarkers) so they cannot drift. */

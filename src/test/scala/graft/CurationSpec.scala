@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Curation operators: PII redaction, repetition filter, decontamination,
+  * sequence packing — crafted fixtures exercising each rule directly
+  * (the oracle gate covers the documents-table path). */
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("piiScrub redacts every class and leaves clean docs untouched") {
+    // doc_id 3 (% 3 == 0) stays unaugmented; others gain the contact line
+    val out = Curation.piiScrub(docs(3L -> "plain text only", 4L -> "body"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val clean = out(3L)
+    assert(clean.getInt(1) == 0 && clean.getInt(2) == 0 &&
+      clean.getInt(3) == 0 && clean.getInt(4) == 0)
+    assert(clean.getInt(6) == 0) // len_delta: nothing redacted
+    val dirty = out(4L)
+    assert(dirty.getInt(1) == 2) // two emails in the contact line
+    assert(dirty.getInt(2) == 1 && dirty.getInt(3) == 1 && dirty.getInt(4) == 1)
+    assert(dirty.getInt(6) > 0)
+  }
+
+  test("piiScrub output contains no residual PII matches") {
+    val aug = Curation.piiAugmented(docs(1L -> "x", 2L -> "y", 5L -> "z"))
+    val scrubbedRe = Seq(Curation.EmailRe, Curation.SsnRe,
+      Curation.PhoneRe, Curation.IpRe)
+    val residual = scrubbedRe.map { re =>
+      aug.withColumn("s",
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("aug"), Curation.EmailRe, "<EMAIL>"), Curation.SsnRe, "<SSN>"),
+            Curation.PhoneRe, "<PHONE>"), Curation.IpRe, "<IP>"))
+        .where(expr(s"s RLIKE '${re.replace("\\", "\\\\")}'")).count()
+    }.sum
+    assert(residual == 0L)
+  }
+
+  test("repetitionFilter: runs, bigram occupancy, keep decision") {
+    val out = Curation.repetitionFilter(docs(
+      1L -> "a a a a b",          // run of 4 'a', top bigram 'a a' ×3 of 4
+      2L -> ('a' to 'z').mkString(" "))) // 26 distinct tokens, 25 unique bigrams
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val rep = out(1L)
+    assert(rep.getLong(1) == 4L)        // max_token_run
+    assert(rep.getLong(2) == 4L)        // n_grams
+    assert(rep.getLong(3) == 3L)        // top_gram_occ ('a a')
+    assert(rep.getLong(4) == 3L)        // dup_gram_occ
+    assert(!rep.getBoolean(7))          // dropped
+    val ok = out(2L)
+    assert(ok.getLong(1) == 1L)
+    assert(ok.getLong(3) == 1L)         // all bigrams unique
+    assert(ok.getLong(6) == 0L)         // dup_x1000
+    assert(ok.getBoolean(7))            // kept: top 40‰ ≤ 50‰, dup 0
+  }
+
+  test("decontaminate flags exactly the docs sharing a 4-gram with the bench split") {
+    // doc 7 is the benchmark (7 % 50 == 7); doc 1 shares its 4-gram twice
+    // (distinct-gram semantics → n_shared_grams 1), doc 2 shares nothing
+    val out = Curation.decontaminate(docs(
+      7L -> "alpha beta gamma delta",
+      1L -> "x alpha beta gamma delta y alpha beta gamma delta",
+      2L -> "one two three four five"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(7L)) // bench docs are not scored
+    assert(out(1L).getLong(1) == 1L && out(1L).getLong(2) == 1L &&
+      out(1L).getBoolean(3))
+    assert(out(2L).getLong(1) == 0L && !out(2L).getBoolean(3))
+  }
+
+  test("seqPack: offsets are contiguous per shard and block spans cover tokens") {
+    val src = (0L until 200L).map(i => i -> ("w " * (i % 37 + 1).toInt).trim)
+    val out = Curation.seqPack(docs(src: _*), shards = 4, seqLen = 64)
+    val byShard = out.collect().groupBy(_.getLong(1))
+    assert(byShard.size == 4)
+    byShard.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getLong(0))
+      // start_off of doc k == end_off (start+n_tokens) of doc k-1; first is 0
+      ordered.foldLeft(0L) { (expectedStart, r) =>
+        assert(r.getLong(3) == expectedStart)
+        assert(r.getLong(4) == r.getLong(3) / 64)                     // start_block
+        assert(r.getLong(5) == (r.getLong(3) + r.getInt(2) - 1) / 64) // end_block
+        r.getLong(3) + r.getInt(2)
+      }
+    }
+  }
+}
