@@ -92,9 +92,12 @@ object Aggregates {
    */
   def nsSummary(objects: DataFrame): DataFrame = {
     objects
-      .withColumn("leaf", parentDirOf("key"))
-      .filter(col("leaf") =!= "") // 1-segment keys have no ancestor dirs
-      .groupBy("volume", "bucket", "leaf")
+      // one split per key (parentDirOf+dirAndAncestors would re-split 3×)
+      .withColumn("segs",
+        expr("slice(split(key, '/'), 1, size(split(key, '/')) - 1)"))
+      .filter(size(col("segs")) >= 1) // 1-segment keys have no ancestor dirs
+      .groupBy(col("volume"), col("bucket"),
+        array_join(col("segs"), "/").as("leaf"))
       .agg(
         count(lit(1)).as("nf"),
         sum("data_size").as("sz"),
