@@ -418,7 +418,17 @@ object SparkEntry {
     "q_repetition_filter" -> ((s, d) =>
       Curation.repetitionFilter(T.documents(s, d))),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(T.documents(s, d))),
-    "q_seq_pack" -> ((s, d) => Curation.seqPack(T.documents(s, d))))
+    "q_seq_pack" -> ((s, d) => Curation.seqPack(T.documents(s, d))),
+    // dedup pipeline's final stage: keep the best-quality member per cluster
+    "q_dedup_canonical" -> ((s, d) =>
+      Dedup.canonicalDocs(
+        Dedup.dupClusters(T.documents(s, d), verifiedPairsCached(s, d)),
+        TextAnalysis.qualityScore(T.documents(s, d)))),
+    "q_keyword_search" -> ((s, d) =>
+      TextAnalysis.keywordSearch(T.documents(s, d), SearchTerms)))
+
+  /** Query-term set for q_keyword_search (mirrored in its oracle). */
+  val SearchTerms = Seq("table", "spark", "query", "zebra")
 
   def oracleSql: Map[String, String] = Map(
     "q_list_keys" -> O.withCtes(
@@ -1644,7 +1654,65 @@ object SparkEntry {
         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
         |        AS shard
         |    FROM doc_words))
-        |ORDER BY doc_id""".stripMargin, O.docWords))
+        |ORDER BY doc_id""".stripMargin, O.docWords),
+
+    "q_dedup_canonical" -> O.withCtesRecursive(
+      """SELECT a.doc_id, a.cluster_id, c.cluster_size, q.quality_x1000,
+        |  row_number() OVER (PARTITION BY a.cluster_id
+        |    ORDER BY q.quality_x1000 DESC, a.doc_id) = 1 AS keep
+        |FROM asg a
+        |JOIN (SELECT cluster_id, count(*) AS cluster_size
+        |      FROM asg GROUP BY 1) c USING (cluster_id)
+        |JOIN qual q ON a.doc_id = q.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+      (Seq(O.docWords, O.shingle2, O.shingleHash, O.minhashSigs,
+        O.minhashBandsCte, candCte, bgCte, szCte, interCte) ++ Seq(
+        """jpairs AS (
+          |  SELECT doc_a, doc_b FROM inter
+          |  JOIN (SELECT doc_id, n AS na FROM sz) sa ON doc_a = sa.doc_id
+          |  JOIN (SELECT doc_id, n AS nb FROM sz) sb ON doc_b = sb.doc_id
+          |  WHERE inter_count * 1000 // (na + nb - inter_count) >= 100
+          |)""".stripMargin,
+        """edges AS (
+          |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM jpairs
+          |)""".stripMargin,
+        """reach(doc_id, lab) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.doc_id
+          |)""".stripMargin,
+        "asg AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)",
+        s"""qual AS (
+           |  SELECT doc_id,
+           |    least(n_tokens, 100) * 10 + (1000 - n_stop * 1000 // n_tokens) // 2
+           |      + (n_uniq * 1000 // n_tokens) // 4 AS quality_x1000
+           |  FROM (
+           |    SELECT doc_id, len(ws) AS n_tokens,
+           |      len(list_filter(ws, x -> x IN (${graft.operators.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")}))) AS n_stop,
+           |      len(list_distinct(ws)) AS n_uniq
+           |    FROM doc_words)
+           |)""".stripMargin)): _*),
+
+    "q_keyword_search" -> O.withCtes(
+      s"""SELECT doc_id,
+         |  CAST(sum(tf * (n_docs * 1000 // df)) AS BIGINT) AS score_x1000,
+         |  count(*) AS n_terms_hit
+         |FROM post
+         |JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1)
+         |  USING (term)
+         |CROSS JOIN (SELECT count(*) AS n_docs FROM documents)
+         |GROUP BY 1
+         |ORDER BY score_x1000 DESC, doc_id
+         |LIMIT 20""".stripMargin,
+      O.docWords,
+      s"""post AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS t FROM doc_words)
+         |  WHERE t IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2
+         |)""".stripMargin))
 
   /** Lang-ID oracle generated from the same marker constants as the Spark
     * implementation (TextAnalysis.LangMarkers) so they cannot drift. */

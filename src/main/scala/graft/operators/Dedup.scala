@@ -229,4 +229,19 @@ object Dedup {
       .unionByName(singletons)
       .orderBy("doc_id")
   }
+
+  /** Canonical-document selection — the dedup pipeline's final decision:
+    * within each duplicate cluster keep exactly the highest-quality member
+    * (doc_id tiebreak), drop the rest. One window partitioned by
+    * cluster_id; clusters are tiny (near-dup groups), so no skew — the
+    * shuffle is one pass over (doc_id, cluster_id, quality) narrow rows. */
+  def canonicalDocs(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters
+      .join(quality.select("doc_id", "quality_x1000"), "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("quality_x1000").desc, col("doc_id"))))
+      .withColumn("keep", col("rk") === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "quality_x1000", "keep")
+      .orderBy("doc_id")
 }

@@ -128,4 +128,32 @@ object TextAnalysis {
       .withColumn("max_shingle_h", coalesce(array_max(col("sh")), lit(-1L)))
       .select("doc_id", "fp60", "min_shingle_h", "max_shingle_h")
       .orderBy("doc_id")
+
+  /** Keyword search over an inverted-index view: per-doc term frequencies
+    * for the query terms, integer IDF weighting (n_docs*1000 DIV df), and
+    * deterministic top-k (score desc, doc_id tiebreak).
+    *
+    * Scale shape: the query-term filter lands BEFORE any shuffle, so only
+    * matching postings ever aggregate — the corpus streams through the
+    * explode+filter map-side regardless of corpus size; df and n_docs are
+    * broadcast 1-row/tiny frames. At production scale the postings list
+    * (doc_id, term, tf) is the materialized index this probes. */
+  def keywordSearch(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val postings = docs
+      .withColumn("ws", split(normText(col("text")), " "))
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = postings.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    postings
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * expr("n_docs * 1000 DIV df"))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score_x1000"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_x1000").desc, col("doc_id"))
+      .limit(k)
+  }
 }
