@@ -39,6 +39,7 @@ object Bench {
     // setup cost, not per-query cost).
     SparkEntry.entry(spark).count()
     graft.core.Tables.objectsSorted(spark, sfDir).count()
+    graft.core.Tables.objectsMixedSorted(spark, sfDir).count()
     graft.core.Tables.directoriesFso(spark, sfDir).count()
     graft.core.Tables.filesFso(spark, sfDir).count()
     graft.core.Tables.directoriesFsoDeep(spark, sfDir).count()
@@ -125,7 +126,7 @@ object Bench {
       val tI = System.nanoTime()
       val wh10 = java.nio.file.Files.createTempDirectory("graft_sf1_").toString
       obj10.repartition(F.col("volume"), F.col("bucket"))
-        .sortWithinPartitions("key")
+        .sortWithinPartitions(F.col("volume"), F.col("bucket"), F.col("key"))
         .write.partitionBy("volume", "bucket").mode("overwrite").parquet(wh10)
       val ingestSec = secs(tI)
       val sorted10 = spark.read.parquet(wh10)
@@ -134,8 +135,10 @@ object Bench {
           "vol1", "bucket3", "warehouse/N/", "warehouse/N/2", 100).count()),
         "q_filesize_histogram" -> (() =>
           graft.operators.Aggregates.fileSizeHistogram(obj10).count()),
+        // the declared query's own path: the shuffle-free sorted fold over
+        // the (10×) key-sorted warehouse
         "q_ns_summary" -> (() =>
-          graft.operators.Aggregates.nsSummary(obj10).count()),
+          graft.operators.Aggregates.nsSummarySorted(sorted10).count()),
         "q_snapshot_diff" -> (() => graft.operators.Joins.snapshotDiff(
           scale10(T.snapshotV1(spark, sfDir)),
           scale10(T.snapshotV2(spark, sfDir))).count()),

@@ -158,8 +158,12 @@ object SparkEntry {
     "q_container_histogram" -> ((s, d) =>
       Aggregates.containerSizeHistogram(T.containersScm(s, d))),
     // mixed 4/6-segment namespace: the rollup must emit depth-4/5 ancestors
-    // for the deepened keys — any hardcoded depth bound fails the hash
-    "q_ns_summary" -> ((s, d) => Aggregates.nsSummary(T.objectsMixed(s, d))),
+    // for the deepened keys — any hardcoded depth bound fails the hash.
+    // Runs the shuffle-free sorted fold over the key-sorted warehouse (the
+    // declarative Aggregates.nsSummary stays the unsorted-input dual,
+    // equivalence-spec'd in AggregatesSpec).
+    "q_ns_summary" -> ((s, d) =>
+      Aggregates.nsSummarySorted(T.objectsMixedSorted(s, d))),
     "q_du_topn" -> ((s, d) => Aggregates.duTopN(T.objects(s, d), "vol0", 10)),
     "q_global_counts" -> ((s, d) =>
       Aggregates.globalCounts(T.objects(s, d), T.buckets(s, d),

@@ -89,7 +89,12 @@ object Tables {
       val out = java.nio.file.Files.createTempDirectory("graft_wh_").toString
       objects(spark, dir)
         .repartition(col("volume"), col("bucket"))
-        .sortWithinPartitions("key")
+        // sort includes the partition columns: the partitioned write's
+        // required ordering is then already satisfied, so FileFormatWriter
+        // inserts NO extra sort — an added partition-cols-only sort is not
+        // key-stable and would silently break in-file key order (the
+        // contract nsSummarySorted's fold depends on)
+        .sortWithinPartitions(col("volume"), col("bucket"), col("key"))
         .write.partitionBy("volume", "bucket").mode("overwrite").parquet(out)
       out
     })
@@ -320,6 +325,27 @@ object Tables {
           lit("/d"), (col("object_id") % 2).cast("string"),
           lit("/p"), (col("object_id") % 3).cast("string"), lit(".dat")))
         .otherwise(col("key")))
+
+  /** The MIXED-depth namespace in the key-sorted warehouse layout (see
+    * [[objectsSorted]]) — the input shape [[graft.operators.Aggregates
+    * .nsSummarySorted]]'s shuffle-free fold requires. Written once per
+    * (JVM, source dir); ingest cost, not query cost. */
+  def objectsMixedSorted(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val w = warehouses.getOrElseUpdate(dir + "#mixed", {
+      val out = java.nio.file.Files.createTempDirectory("graft_whmx_").toString
+      objectsMixed(spark, dir)
+        .repartition(col("volume"), col("bucket"))
+        // sort includes the partition columns: the partitioned write's
+        // required ordering is then already satisfied, so FileFormatWriter
+        // inserts NO extra sort — an added partition-cols-only sort is not
+        // key-stable and would silently break in-file key order (the
+        // contract nsSummarySorted's fold depends on)
+        .sortWithinPartitions(col("volume"), col("bucket"), col("key"))
+        .write.partitionBy("volume", "bucket").mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(w)
+  }
 
   def directoriesFsoDeep(spark: SparkSession, dir: String): DataFrame =
     memoPersist(spark, "dirsDeep", dir)(directoriesFsoBuild(objectsDeep(spark, dir)))
