@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
  * log up to its seq — the same semantics RocksDB gives the reference.
  *
  * Scale design: [[applyAt]] is ONE window over (volume, bucket, key) — a
- * single shuffle on the namespace key, map-side pre-filterable by seq; no
- * per-op driver loop, no iterative reconciliation. Snapshot diff reuses the
+ * single shuffle on the namespace key with map-side WindowGroupLimit
+ * pruning, pre-filterable by seq; no per-op driver loop, no iterative
+ * reconciliation. Snapshot diff reuses the
  * object_id full-outer join of [[Joins.snapshotDiff]] on two folded states.
  */
 object CommitLog {
@@ -101,6 +102,9 @@ object CommitLog {
   /** Materialize table state as-of `maxSeq`: latest-op-wins per key (one
     * window = one shuffle), keeping only keys whose last op is a PUT. */
   def applyAt(log: DataFrame, maxSeq: Long): DataFrame = {
+    // row_number()=1 deliberately: Spark's WindowGroupLimit rewrite prunes
+    // to one candidate per key on the MAP side before the shuffle (measured
+    // faster than max_by, whose struct buffer forces SortAggregate)
     val w = Window.partitionBy("volume", "bucket", "key")
       .orderBy(col("seq").desc, col("data_size").desc)
     log.filter(col("seq") <= maxSeq)
@@ -115,7 +119,8 @@ object CommitLog {
       .orderBy("volume", "bucket", "key", "data_size")
 
   /** One row per object_id (snapshot-read invariant; deterministic
-    * representative: max size, then key) — same rule as Tables' snapshots. */
+    * representative: max size, then key) — same rule as Tables' snapshots.
+    * row_number()=1 gets Spark's map-side WindowGroupLimit pruning. */
   private def dedupByObjectId(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("object_id")
       .orderBy(col("data_size").desc, col("key"))

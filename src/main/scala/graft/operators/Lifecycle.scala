@@ -97,17 +97,24 @@ object Lifecycle {
       .orderBy("upload_id")
 
   /** Latest-version-wins dedup — the cache-over-DB merge semantics
-    * (OmMetadataManagerImpl.java:1114-1162) as a window:
-    * row_number() over (partition by logical key order by version desc) = 1. */
+    * (OmMetadataManagerImpl.java:1114-1162): one winner per logical key
+    * under (version desc, key, size desc). */
   def latestVersionWins(objects: DataFrame): DataFrame = {
     val lvKey = concat_ws("/", slice(split(col("key"), "/"), 1, 3))
-    val w = Window.partitionBy("volume", "bucket", "lv_key")
-      .orderBy(col("version").desc, col("key"), col("data_size").desc)
+    // (version desc, key asc, size desc) winner as min_by(-version, key,
+    // -size): hash aggregate with map-side partial winners — at scale only
+    // one candidate per lv_key per mapper crosses the shuffle, where the
+    // window form shuffles and sorts EVERY version of every key
     objects
       .withColumn("lv_key", lvKey)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("volume", "bucket", "lv_key", "key", "version", "data_size")
+      .groupBy("volume", "bucket", "lv_key")
+      .agg(min_by(
+        struct(col("key"), col("version"), col("data_size")),
+        struct((-col("version")).as("nv"), col("key"),
+          (-col("data_size")).as("ns"))).as("__w"))
+      .select(col("volume"), col("bucket"), col("lv_key"),
+        col("__w.key").as("key"), col("__w.version").as("version"),
+        col("__w.data_size").as("data_size"))
       .orderBy("volume", "bucket", "lv_key")
   }
 
