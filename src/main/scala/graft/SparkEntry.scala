@@ -345,6 +345,14 @@ object SparkEntry {
       CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d)),
     "q_list_snapshots" -> ((s, d) =>
       CommitLog.snapshotInfoFromWarehouse(s, T.objects(s, d), d)),
+    // SST pruning for snapshot diff (rocksdb-checkpoint-differ): walk the
+    // compaction DAG from the newer snapshot's range-pruned file map down
+    // to files the older snapshot already holds — DIFFERENT rows are the
+    // minimal SST read set for the diff job.
+    "q_sst_diff" -> ((s, d) =>
+      CompactionDag.sstDiff(
+        T.sstLive(s, d, 6300), T.sstLive(s, d, 3500), T.sstEdges(s, d),
+        destGen = 3500, lo = "000600", hi = "001200")),
     // ---- FSO parent-pointer hierarchy (SURVEY §2.3 row FSO-resolve) ----
     // namespace depth is a config (keys here are 4 segments ⇒ 3 dir levels)
     "q_fso_resolve" -> ((s, d) =>
@@ -1287,6 +1295,50 @@ object SparkEntry {
         |  SELECT volume, bucket, key, object_id, version,
         |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
         |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6
+        |)""".stripMargin),
+
+    // Compaction-DAG SST diff: recursive walk from the newer snapshot's
+    // range-pruned live set through output→input edges; SAME = reached ∩
+    // dest, DIFFERENT = terminal frontier (no node / predates dest horizon
+    // / no successors), interior nodes not emitted.
+    "q_sst_diff" -> O.withCtesRecursive(
+      """SELECT r.file,
+        |  CASE WHEN EXISTS (SELECT 1 FROM dest_live d WHERE d.file = r.file)
+        |       THEN 'SAME' ELSE 'DIFFERENT' END AS cls
+        |FROM reach r
+        |WHERE EXISTS (SELECT 1 FROM dest_live d WHERE d.file = r.file)
+        |   OR NOT EXISTS (SELECT 1 FROM nodes n WHERE n.file = r.file)
+        |   OR (SELECT n.gen FROM nodes n WHERE n.file = r.file) < 3500
+        |   OR NOT EXISTS (SELECT 1 FROM sst_edges e WHERE e.output_file = r.file)
+        |ORDER BY cls, file""".stripMargin,
+      O.sstCatalog, O.sstEdges,
+      """nodes AS (
+        |  SELECT file, MIN(seq) AS gen FROM (
+        |    SELECT output_file AS file, seq FROM sst_edges
+        |    UNION ALL SELECT input_file, seq FROM sst_edges)
+        |  GROUP BY file
+        |)""".stripMargin,
+      """src_live AS (
+        |  SELECT file FROM sst_catalog
+        |  WHERE created_gen <= 6300
+        |    AND (consumed_gen IS NULL OR consumed_gen > 6300)
+        |    AND end_key >= '000600' AND start_key <= '001200'
+        |)""".stripMargin,
+      """dest_live AS (
+        |  SELECT file FROM sst_catalog
+        |  WHERE created_gen <= 3500
+        |    AND (consumed_gen IS NULL OR consumed_gen > 3500)
+        |    AND end_key >= '000600' AND start_key <= '001200'
+        |)""".stripMargin,
+      """reach AS (
+        |  SELECT file FROM src_live
+        |  UNION
+        |  SELECT e.input_file AS file
+        |  FROM reach r
+        |  JOIN nodes n ON n.file = r.file
+        |  JOIN sst_edges e ON e.output_file = r.file
+        |  WHERE n.gen >= 3500
+        |    AND NOT EXISTS (SELECT 1 FROM dest_live d WHERE d.file = r.file)
         |)""".stripMargin),
 
     // FSO resolve must round-trip to the original flat keys — the oracle is

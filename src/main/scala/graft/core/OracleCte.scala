@@ -492,6 +492,52 @@ object OracleCte {
       |  WHERE dir <> '' AND h % 23 = 0
       |)""".stripMargin
 
+  /** Mirror of Tables.sstCatalog — the SST universe of the compaction-DAG
+    * differ (three-level history + static terminal-branch rows). */
+  val sstCatalog: String =
+    """sst_catalog AS (
+      |  SELECT 'f' || i AS file, 3*i AS created_gen,
+      |    CASE WHEN i < 1000 THEN 2000 + 10*(i // 4) END AS consumed_gen,
+      |    lpad(CAST(i AS VARCHAR), 6, '0') AS start_key,
+      |    lpad(CAST(i AS VARCHAR), 6, '0') AS end_key
+      |  FROM range(1200) t(i)
+      |  UNION ALL
+      |  SELECT 'l1-' || k, 2000 + 10*k,
+      |    CASE WHEN k < 200 THEN 3000 + 40*(k // 4) END,
+      |    lpad(CAST(4*k AS VARCHAR), 6, '0'),
+      |    lpad(CAST(4*k+3 AS VARCHAR), 6, '0')
+      |  FROM range(250) t(k)
+      |  UNION ALL
+      |  SELECT 'l2-' || j, 3000 + 40*j, NULL,
+      |    lpad(CAST(16*j AS VARCHAR), 6, '0'),
+      |    lpad(CAST(16*j+15 AS VARCHAR), 6, '0')
+      |  FROM range(50) t(j)
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    ('s-same', 200, NULL, '000700', '000700'),
+      |    ('s-old-out', 5000, NULL, '000700', '000700'),
+      |    ('s-tip', 5000, NULL, '000700', '000700'),
+      |    ('s-old-in', 100, 5000, 'zz-out', 'zz-out'),
+      |    ('s-mid', 4000, 5000, '000700', '000700'),
+      |    ('s-ancient', 50, 100, 'zz-out', 'zz-out'))
+      |)""".stripMargin
+
+  /** Mirror of Tables.sstEdges (compaction log, output → input). */
+  val sstEdges: String =
+    """sst_edges AS (
+      |  SELECT 'l1-' || k AS output_file, 'f' || (4*k + m) AS input_file,
+      |    2000 + 10*k AS seq
+      |  FROM range(250) t(k), range(4) u(m)
+      |  UNION ALL
+      |  SELECT 'l2-' || j, 'l1-' || (4*j + m), 3000 + 40*j
+      |  FROM range(50) t(j), range(4) u(m)
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    ('s-old-out', 's-old-in', 5000),
+      |    ('s-old-in', 's-ancient', 100),
+      |    ('s-tip', 's-mid', 5000))
+      |)""".stripMargin
+
   /** Compose a query over a chain of CTEs (dependencies first). */
   def withCtes(sql: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + sql

@@ -631,6 +631,89 @@ object Tables {
       .withColumn("ts_ms", expr("ts DIV 1000000"))
 
   /**
+   * sst_catalog: the SST-file universe behind the compaction-DAG differ
+   * (ref hadoop-hdds/rocksdb-checkpoint-differ — RocksDBCheckpointDiffer /
+   * CompactionDag / RocksDiffUtils). A three-level compaction history:
+   * 1200 L0 flush files `f{i}` (created at gen 3i; only i<1000 ever
+   * compact), 250 L1 outputs `l1-{k}` (compaction seq 2000+10k over inputs
+   * f{4k..4k+3}; k<200 later consumed), 50 L2 outputs `l2-{j}` (seq
+   * 3000+40j over l1-{4j..4j+3}), plus a static tail covering the walk's
+   * terminal branches: `s-same` live in both snapshots; `s-old-out` whose
+   * input `s-old-in` predates the dest horizon (generation cutoff — its key
+   * range lies OUTSIDE the diff range, so the range-pruned dest map can't
+   * claim it, exactly the reference's RocksDiffUtils-filtered-map case);
+   * `s-tip` whose input `s-mid` was never an output (no-successor branch).
+   * A snapshot at generation g holds files with created_gen <= g <
+   * consumed_gen. Key ranges are zero-padded ids so lex order == numeric.
+   */
+  def sstCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def k6(c: org.apache.spark.sql.Column) = format_string("%06d", c)
+    val l0 = spark.range(1200).toDF("i").select(
+      concat(lit("f"), col("i")).as("file"),
+      (col("i") * 3).as("created_gen"),
+      when(col("i") < 1000, lit(2000) + expr("i DIV 4") * 10)
+        .cast("long").as("consumed_gen"),
+      k6(col("i")).as("start_key"),
+      k6(col("i")).as("end_key"))
+    val l1 = spark.range(250).toDF("k").select(
+      concat(lit("l1-"), col("k")).as("file"),
+      (lit(2000) + col("k") * 10).as("created_gen"),
+      when(col("k") < 200, lit(3000) + expr("k DIV 4") * 40)
+        .cast("long").as("consumed_gen"),
+      k6(col("k") * 4).as("start_key"),
+      k6(col("k") * 4 + 3).as("end_key"))
+    val l2 = spark.range(50).toDF("j").select(
+      concat(lit("l2-"), col("j")).as("file"),
+      (lit(3000) + col("j") * 40).as("created_gen"),
+      lit(null).cast("long").as("consumed_gen"),
+      k6(col("j") * 16).as("start_key"),
+      k6(col("j") * 16 + 15).as("end_key"))
+    val statics = Seq(
+      ("s-same", 200L, None, "000700", "000700"),
+      ("s-old-out", 5000L, None, "000700", "000700"),
+      ("s-tip", 5000L, None, "000700", "000700"),
+      ("s-old-in", 100L, Some(5000L), "zz-out", "zz-out"),
+      ("s-mid", 4000L, Some(5000L), "000700", "000700"),
+      ("s-ancient", 50L, Some(100L), "zz-out", "zz-out"))
+      .toDF("file", "created_gen", "consumed_gen", "start_key", "end_key")
+    l0.unionByName(l1).unionByName(l2).unionByName(statics)
+  }
+
+  /** Live SST map of the snapshot taken at generation `gen`. */
+  def sstLive(spark: SparkSession, dir: String, gen: Long): DataFrame =
+    sstCatalog(spark, dir)
+      .filter(col("created_gen") <= gen &&
+        (col("consumed_gen").isNull || col("consumed_gen") > gen))
+      .select("file", "start_key", "end_key")
+
+  /** Compaction log edges (output_file, input_file, seq) matching
+    * [[sstCatalog]] — the reference's compactionLogTable entries flattened
+    * to one row per (output, input) pair (CompactionDag edge direction:
+    * output → input). */
+  def sstEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l1 = spark.range(250).toDF("k")
+      .crossJoin(spark.range(4).toDF("m"))
+      .select(
+        concat(lit("l1-"), col("k")).as("output_file"),
+        concat(lit("f"), col("k") * 4 + col("m")).as("input_file"),
+        (lit(2000) + col("k") * 10).as("seq"))
+    val l2 = spark.range(50).toDF("j")
+      .crossJoin(spark.range(4).toDF("m"))
+      .select(
+        concat(lit("l2-"), col("j")).as("output_file"),
+        concat(lit("l1-"), col("j") * 4 + col("m")).as("input_file"),
+        (lit(3000) + col("j") * 40).as("seq"))
+    val statics = Seq(
+      ("s-old-out", "s-old-in", 5000L),
+      ("s-old-in", "s-ancient", 100L),
+      ("s-tip", "s-mid", 5000L))
+      .toDF("output_file", "input_file", "seq")
+    l1.unionByName(l2).unionByName(statics)
+  }
+
+  /**
    * media_assets: multimodal rows synthesized from documents — an opaque
    * binary payload (64 bytes derived from the text digest; real decode is
    * stubbed, see [[graft.operators.Multimodal]]) plus typed metadata, the

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Snapshot-diff SST pruning over the compaction DAG — the reference's
+ * `rocksdb-checkpoint-differ` subsystem. Given two snapshots' live SST-file
+ * sets and the compaction log (which compactions consumed which input files
+ * into which outputs), compute the minimal set of SSTs whose content differs
+ * between the snapshots, so a snapshot diff reads only those files instead
+ * of both full checkpoints.
+ *
+ * Reference semantics
+ * (hadoop-hdds/rocksdb-checkpoint-differ/src/main/java/org/apache/ozone/rocksdiff/):
+ *   - CompactionDag.java:66-81 — DAG edges run output → input: the
+ *     "successors" of a file are the inputs of the compaction that produced
+ *     it, i.e. walking successors walks BACK toward older content.
+ *   - RocksDBCheckpointDiffer.internalGetSSTDiffList — BFS from the newer
+ *     (src) snapshot's files: a file present in the older (dest) snapshot is
+ *     SAME; a file the compaction log never mentions is DIFFERENT; a file
+ *     whose node generation predates the dest snapshot is DIFFERENT (its
+ *     content diverged before dest's horizon, cannot be matched further); a
+ *     file with no successors (never an output of a tracked compaction) is
+ *     DIFFERENT; otherwise expand into its compaction inputs and continue.
+ *   - CompactionDag.java:42-47 / 66-74 — a node's generation is the seq of
+ *     the first compaction-log entry mentioning it (entries arrive in seq
+ *     order, so first-seen == min seq).
+ *   - RocksDiffUtils.java:58-100 — both snapshots' file maps are pruned to
+ *     the requested key range BEFORE the walk (an SST whose [start_key,
+ *     end_key] doesn't overlap the diff's bucket prefix is irrelevant).
+ *
+ * Scale shape: the two snapshot file maps are checkpoint METADATA (one row
+ * per live SST — broadcastable at any realistic deployment), so the dest
+ * membership probes are broadcast joins. The unbounded table is the
+ * compaction LOG (years of history); it is scanned once for the node-gen
+ * map and then joined per BFS level against a frontier no larger than the
+ * src file set plus one compaction fan-in — the log itself never drives a
+ * shuffle wider than the frontier. Loop depth is the DAG level count
+ * (single digits in practice), each level cut with localCheckpoint; a depth
+ * guard mirrors the reference's traversal-level cap (a cycle in a corrupt
+ * log must fail loudly, not spin — RocksDBCheckpointDiffer traversal guard).
+ */
+object CompactionDag {
+
+  /** DAG levels are bounded by compaction depth (L0→L6 in practice); far
+    * past this the log is cyclic/corrupt — fail like the reference does. */
+  val MaxWalkDepth = 32
+
+  /** Node generations: min compaction seq mentioning the file on either
+    * side (CompactionDag.java:66-74 computeIfAbsent at entry seq). One
+    * projection + one agg over the log, computed once and reused by every
+    * BFS level. */
+  def nodeGens(edges: DataFrame): DataFrame =
+    edges.select(col("output_file").as("file"), col("seq"))
+      .unionByName(edges.select(col("input_file").as("file"), col("seq")))
+      .groupBy("file").agg(min("seq").as("gen"))
+
+  /** Key-range pruning of a snapshot file map (RocksDiffUtils.java:58-76):
+    * keep SSTs whose [start_key, end_key] overlaps [lo, hi]. */
+  def pruneByRange(files: DataFrame, lo: String, hi: String): DataFrame =
+    files.filter(col("end_key") >= lo && col("start_key") <= hi)
+
+  /**
+   * The SST diff walk. `srcLive`/`destLive` carry (file, start_key,
+   * end_key) for the newer/older snapshot respectively; `edges` is the
+   * compaction log (output_file, input_file, seq); `destGen` is the older
+   * snapshot's generation. Returns (file, cls) with cls ∈ {SAME,
+   * DIFFERENT}: DIFFERENT is the pruned read set for the diff job, SAME is
+   * content already covered by the dest checkpoint. Interior nodes (files
+   * fully decomposed into their compaction inputs) are not emitted, exactly
+   * like the reference's result maps.
+   */
+  def sstDiff(srcLive: DataFrame, destLive: DataFrame, edges: DataFrame,
+              destGen: Long, lo: String, hi: String): DataFrame = {
+    val src = pruneByRange(srcLive, lo, hi).select("file")
+    val dest = broadcast(pruneByRange(destLive, lo, hi).select("file"))
+    val gens = nodeGens(edges)
+
+    var sameBatches = List(src.join(dest, Seq("file"), "left_semi"))
+    var diffBatches = List.empty[DataFrame]
+    var frontier = src.join(dest, Seq("file"), "left_anti").localCheckpoint()
+    var visited = src.localCheckpoint()
+    var depth = 0
+    while (!frontier.isEmpty) {
+      depth += 1
+      if (depth > MaxWalkDepth)
+        throw new IllegalStateException(
+          s"compaction-DAG walk exceeded $MaxWalkDepth levels — cyclic or " +
+            "corrupt compaction log (reference traversal guard)")
+      val f = frontier.join(gens, Seq("file"), "left")
+      // terminal: never compacted (no node) or predates the dest horizon
+      val cut = f.filter(col("gen").isNull || col("gen") < destGen)
+        .select("file")
+      val expandable = f
+        .filter(col("gen").isNotNull && col("gen") >= destGen)
+        .select("file")
+      val expanded = expandable
+        .join(edges, expandable("file") === edges("output_file"), "left")
+        .select(expandable("file"), col("input_file"))
+      // in the log but never an output: no further decomposition possible
+      val noSucc = expanded.filter(col("input_file").isNull).select("file")
+      diffBatches ::= cut.unionByName(noSucc).localCheckpoint()
+      val nexts = expanded.filter(col("input_file").isNotNull)
+        .select(col("input_file").as("file")).distinct()
+        .join(visited, Seq("file"), "left_anti")
+        .localCheckpoint()
+      sameBatches ::= nexts.join(dest, Seq("file"), "left_semi")
+      frontier = nexts.join(dest, Seq("file"), "left_anti").localCheckpoint()
+      visited = visited.unionByName(nexts).localCheckpoint()
+    }
+    val same = sameBatches.reduce(_ unionByName _)
+      .withColumn("cls", lit("SAME"))
+    val diff = diffBatches.foldLeft(same.filter(lit(false)).drop("cls"))(
+        _ unionByName _)
+      .withColumn("cls", lit("DIFFERENT"))
+    same.unionByName(diff).orderBy("cls", "file")
+  }
+}

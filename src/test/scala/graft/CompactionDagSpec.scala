@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.CompactionDag
+
+/** Compaction-DAG SST diff walk (rocksdb-checkpoint-differ semantics):
+  * every terminal branch of the reference's internalGetSSTDiffList must
+  * fire on the synthesized history — membership SAME, multi-level expand
+  * to SAME, never-compacted DIFFERENT, generation-cutoff DIFFERENT,
+  * no-successor DIFFERENT — and interior (fully decomposed) nodes must
+  * not be emitted at all. */
+class CompactionDagSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val cls: Map[String, String] = CompactionDag.sstDiff(
+      Tables.sstLive(spark, sf, 6300), Tables.sstLive(spark, sf, 3500),
+      Tables.sstEdges(spark, sf), destGen = 3500,
+      lo = "000600", hi = "001200")
+    .as[(String, String)].collect().toMap
+
+  test("walk emits the expected SAME / DIFFERENT partition sizes") {
+    // SAME: l1-150 (only L1 surviving the range prune in dest) + reached
+    // L0 f604..f999 + direct-membership f1000..f1166 + s-same = 565;
+    // DIFFERENT: boundary l1-148/149 (gen cutoff), f1167..f1199 (never
+    // compacted, newer than dest), s-old-in (cutoff), s-mid (no successor).
+    assert(cls.count(_._2 == "SAME") === 565)
+    assert(cls.count(_._2 == "DIFFERENT") === 37)
+  }
+
+  test("membership and expansion reach SAME files") {
+    assert(cls("l1-150") === "SAME")   // direct membership in dest
+    assert(cls("f604") === "SAME")     // reached via l2 -> l1-151 -> f604
+    assert(cls("f999") === "SAME")     // reached via src-live l1-249
+    assert(cls("f1000") === "SAME")    // src ∩ dest membership
+    assert(cls("s-same") === "SAME")
+  }
+
+  test("terminal branches classify DIFFERENT") {
+    assert(cls("f1167") === "DIFFERENT")  // never in the compaction log
+    assert(cls("f1199") === "DIFFERENT")
+    // node generation 3480/3490 predates destGen 3500 and the range-pruned
+    // dest map cannot claim them — the reference's cutoff branch
+    assert(cls("l1-148") === "DIFFERENT")
+    assert(cls("l1-149") === "DIFFERENT")
+    assert(cls("s-old-in") === "DIFFERENT") // gen 100 < 3500
+    assert(cls("s-mid") === "DIFFERENT")    // in log, never an output
+  }
+
+  test("interior and unreached files are not emitted") {
+    // fully decomposed into inputs -> not in either result map
+    for (f <- Seq("l2-40", "l1-151", "l1-200", "s-tip", "s-old-out"))
+      assert(!cls.contains(f), f)
+    // dest-only / range-pruned / consumed files never reached
+    for (f <- Seq("f600", "f100", "l2-0", "s-ancient"))
+      assert(!cls.contains(f), f)
+  }
+
+  test("a cyclic/over-deep log fails the traversal guard, not spins") {
+    // 40-node chain exceeds MaxWalkDepth=32 distinct levels
+    val chain = (0 until 40).map(i => (s"n$i", s"n${i + 1}", 100L))
+      .toDF("output_file", "input_file", "seq")
+    val src = Seq(("n0", "a", "a")).toDF("file", "start_key", "end_key")
+    val dest = src.filter(lit(false))
+    val e = intercept[IllegalStateException] {
+      CompactionDag.sstDiff(src, dest, chain, 50, "a", "z").count()
+    }
+    assert(e.getMessage.contains("compaction-DAG"))
+  }
+
+  test("visited guard terminates on a 2-cycle without the depth guard") {
+    val cyc = Seq(("a", "b", 100L), ("b", "a", 100L))
+      .toDF("output_file", "input_file", "seq")
+    val src = Seq(("a", "a", "a")).toDF("file", "start_key", "end_key")
+    val dest = src.filter(lit(false))
+    val out = CompactionDag.sstDiff(src, dest, cyc, 50, "a", "z")
+      .as[(String, String)].collect().toMap
+    // both nodes expand into each other; neither is terminal -> empty
+    assert(out.isEmpty)
+  }
+}
