@@ -437,7 +437,13 @@ object SparkEntry {
         Dedup.dupClusters(T.documents(s, d), verifiedPairsCached(s, d)),
         TextAnalysis.qualityScore(T.documents(s, d)))),
     "q_keyword_search" -> ((s, d) =>
-      TextAnalysis.keywordSearch(T.documents(s, d), SearchTerms)))
+      TextAnalysis.keywordSearch(T.documents(s, d), SearchTerms)),
+    // n-gram LM counts with cutoff: the canonical count-based-LM /
+    // memorization-audit corpus pass (one hash agg over exploded trigrams)
+    "q_ngram_counts" -> ((s, d) =>
+      TextAnalysis.ngramCounts(T.documents(s, d), n = 3, minCount = 3)),
+    "q_bm25_rank" -> ((s, d) =>
+      TextAnalysis.bm25Rank(T.documents(s, d), SearchTerms)))
 
   /** Query-term set for q_keyword_search (mirrored in its oracle). */
   val SearchTerms = Seq("table", "spark", "query", "zebra")
@@ -1768,6 +1774,42 @@ object SparkEntry {
          |  FROM (SELECT doc_id, unnest(ws) AS t FROM doc_words)
          |  WHERE t IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
          |  GROUP BY 1, 2
+         |)""".stripMargin),
+
+    "q_ngram_counts" -> O.withCtes(
+      """SELECT gram, count(*) AS cnt
+        |FROM (
+        |  SELECT unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in generate_series(1, len(ws) - 2)]) AS gram
+        |  FROM doc_words WHERE len(ws) >= 3)
+        |GROUP BY 1 HAVING count(*) >= 3
+        |ORDER BY cnt DESC, gram""".stripMargin,
+      O.docWords),
+
+    // BM25: keywordSearch's integer IDF plus tf saturation (k1=1.2 as 12
+    // on a x10 scale) and doc-length normalization (b=0.75 as the 250/750
+    // split) — arithmetic mirrors TextAnalysis.bm25Rank exactly.
+    "q_bm25_rank" -> O.withCtes(
+      """SELECT doc_id,
+        |  CAST(sum((n_docs * 1000 // df) *
+        |    (tf * 22 * 1000 //
+        |      (tf * 10 + 12 * (250 + 750 * dl // avgdl) // 1000)) // 1000)
+        |    AS BIGINT) AS score_x1000,
+        |  count(*) AS n_terms_hit
+        |FROM post
+        |JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1)
+        |  USING (term)
+        |CROSS JOIN (SELECT count(*) AS n_docs,
+        |            sum(len(ws)) // count(*) AS avgdl FROM doc_words)
+        |GROUP BY 1
+        |ORDER BY score_x1000 DESC, doc_id
+        |LIMIT 20""".stripMargin,
+      O.docWords,
+      s"""post AS (
+         |  SELECT doc_id, dl, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM doc_words)
+         |  WHERE t IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3
          |)""".stripMargin))
 
   /** Lang-ID oracle generated from the same marker constants as the Spark

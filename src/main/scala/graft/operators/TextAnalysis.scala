@@ -156,4 +156,70 @@ object TextAnalysis {
       .orderBy(col("score_x1000").desc, col("doc_id"))
       .limit(k)
   }
+
+  /**
+   * Word n-gram language-model counts with a count cutoff — the canonical
+   * corpus pass behind count-based LMs and contamination/memorization
+   * audits: every n-gram, its global occurrence count, pruned below
+   * `minCount`.
+   *
+   * Scale shape: explode multiplies rows ~n× token count, then ONE hash
+   * aggregate with map-side partial combine does all the work; n-gram keys
+   * are high-cardinality and near-uniform, so no salting is needed, and
+   * the cutoff prunes the heavy tail before anything downstream reads the
+   * table. At 100 TB this is the textbook shuffle-bound job — the right
+   * knob is shuffle partition count, not a different plan.
+   */
+  def ngramCounts(docs: DataFrame, n: Int = 3, minCount: Long = 3): DataFrame =
+    docs
+      .withColumn("ws", split(normText(col("text")), " "))
+      .filter(size(col("ws")) >= n)
+      .select(explode(shingleExpr("ws", n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("gram"))
+
+  /** BM25 defaults: k1 = 1.2 (stored ×10), b = 0.75 (stored via the 250 /
+    * 750 split in the length norm). */
+  val Bm25K1x10 = 12
+
+  /**
+   * BM25 ranking for a query-term set — [[keywordSearch]]'s IDF weighting
+   * plus the two things BM25 adds: tf saturation (k1) and document-length
+   * normalization (b against the corpus mean length). All arithmetic is
+   * scaled-integer (×10/×1000) so the DuckDB oracle reproduces scores
+   * bit-for-bit: norm_x1000 = 250 + 750·dl/avgdl, tf_sat_x1000 =
+   * tf·(10+k1₁₀)·1000 / (tf·10 + k1₁₀·norm_x1000/1000), contribution =
+   * idf_x1000 · tf_sat_x1000 / 1000.
+   *
+   * Scale shape: same as keywordSearch — the term filter precedes every
+   * shuffle; dl rides the posting rows; avgdl/n_docs are 1-row broadcast
+   * aggs (map-side partials over the corpus scan).
+   */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val withLen = docs
+      .withColumn("ws", split(normText(col("text")), " "))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val postings = withLen
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = postings.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+    val stats = withLen.agg(
+      count(lit(1)).as("n_docs"),
+      expr("sum(dl) DIV count(*)").as("avgdl"))
+    postings
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("norm_x1000", expr("250 + 750 * dl DIV avgdl"))
+      .withColumn("tf_sat_x1000", expr(
+        s"tf * (10 + $Bm25K1x10) * 1000 DIV " +
+          s"(tf * 10 + $Bm25K1x10 * norm_x1000 DIV 1000)"))
+      .withColumn("w", expr("(n_docs * 1000 DIV df) * tf_sat_x1000 DIV 1000"))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score_x1000"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_x1000").desc, col("doc_id"))
+      .limit(k)
+  }
 }

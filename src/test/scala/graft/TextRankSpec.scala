@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** n-gram LM counts and BM25 ranking on a tiny hand-checkable corpus. */
+class TextRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the cat"),
+    (3L, "a dog sat on the mat and the dog sat on the mat again " +
+      "and more and more words pad this document out considerably"),
+    (4L, "zz yy xx"))
+    .toDF("doc_id", "text")
+
+  test("ngramCounts counts trigrams globally with a cutoff") {
+    val m = TextAnalysis.ngramCounts(docs, n = 3, minCount = 2)
+      .as[(String, Long)].collect().toMap
+    // "sat on the": docs 1, 2, 3 (twice in 3) -> 4
+    assert(m("sat on the") === 4L)
+    // "the cat sat": docs 1 and 2 -> 2
+    assert(m("the cat sat") === 2L)
+    // below cutoff: "zz yy xx" appears once -> pruned
+    assert(!m.contains("zz yy xx"))
+  }
+
+  test("bm25 saturates tf and penalizes long documents") {
+    val r = TextAnalysis.bm25Rank(docs, Seq("cat", "mat"), k = 10)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, s, h) => id -> ((s, h)) }.toMap
+    // doc 2 (cat x2, short) must outrank doc 3 (mat x2 but much longer:
+    // length norm divides its tf saturation down)
+    assert(r(2)._1 > r(3)._1)
+    // doc 1 hits both terms once
+    assert(r(1)._2 === 2L)
+    // doc 4 hits nothing
+    assert(!r.contains(4L))
+    // tf saturation: doc 2's two cats score < 2x doc 1's single cat
+    // contribution (extract per-term weight by comparing hit counts)
+    assert(r(2)._1 < 2L * r(1)._1)
+  }
+}
