@@ -143,7 +143,10 @@ object Bench {
           scale10(T.snapshotV1(spark, sfDir)),
           scale10(T.snapshotV2(spark, sfDir))).count()),
         "q_write_apply" -> (() =>
-          graft.operators.CommitLog.appliedState(obj10).count()))
+          graft.operators.CommitLog.appliedState(obj10).count()),
+        // the winner-per-key agg family (min_by map-side partials)
+        "q_latest_version" -> (() =>
+          graft.operators.Lifecycle.latestVersionWins(obj10).count()))
       val times = probes.map { case (name, run) =>
         val t0 = System.nanoTime()
         try run()

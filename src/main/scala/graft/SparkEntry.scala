@@ -89,6 +89,23 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  // Embedding near-dup pairs are a verified artifact exactly like the
+  // document pairs: LSH candidates -> exact integer cosine, materialized
+  // once per source and shared by the pair listing and the cluster closure.
+  private val embedPairsPaths =
+    scala.collection.mutable.Map.empty[String, String]
+  private def embedPairsCached(s: SparkSession, d: String): DataFrame = {
+    val p = synchronized {
+      embedPairsPaths.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("graft_epairs_").toString
+        Similarity.nearDupPairs(s, T.embeddings(s, d))
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    s.read.parquet(p)
+  }
+
   // DuckDB CTE chain for the verified-pair derivation, shared by the
   // jaccard-verify and cluster-assignment oracles so they cannot drift.
   private val candCte =
@@ -233,13 +250,14 @@ object SparkEntry {
     "q_token_classes" -> ((s, d) =>
       TextAnalysis.tokenClasses(T.documents(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(s, T.embeddings(s, d))),
-    "q_embed_neardup" -> ((s, d) => Similarity.nearDupPairs(s, T.embeddings(s, d))),
+    "q_embed_neardup" -> ((s, d) =>
+      embedPairsCached(s, d).orderBy("vec_a", "vec_b")),
     // the same component closure as q_dedup_clusters, over the embedding
     // near-dup edge list (cosine ≥ 0.4 on LSH candidates)
     "q_embed_clusters" -> ((s, d) =>
       Dedup.dupClusters(
         T.embeddings(s, d).select(col("vec_id").as("doc_id")),
-        Similarity.nearDupPairs(s, T.embeddings(s, d))
+        embedPairsCached(s, d)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .withColumnRenamed("doc_id", "vec_id")),
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(T.documents(s, d))),
@@ -404,8 +422,11 @@ object SparkEntry {
       ClusterHealth.pipelineHealth(T.pipelines(s, d), T.containersScm(s, d))),
     "q_balancer_plan" -> ((s, d) =>
       ClusterHealth.balancerPlan(T.datanodes(s, d))),
+    // the backlog rides the shuffle-free NSSummary fold over the sorted
+    // warehouse (deletedDirsInsight stays the unsorted dual)
     "q_deleted_dirs" -> ((s, d) =>
-      ClusterHealth.deletedDirsInsight(T.objectsMixed(s, d),
+      ClusterHealth.deletedDirsInsightSorted(
+        Aggregates.nsSummarySorted(T.objectsMixedSorted(s, d)),
         T.deletedDirs(s, d))),
     "q_block_deletion" -> ((s, d) =>
       ClusterHealth.blockDeletionBacklog(T.objects(s, d))),

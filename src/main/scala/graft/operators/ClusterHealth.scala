@@ -225,4 +225,20 @@ object ClusterHealth {
       .select("volume", "bucket", "dir", "deleted_ms", "pending_files",
         "pending_bytes")
       .orderBy("volume", "bucket", "dir")
+
+  /** [[deletedDirsInsight]] over the key-sorted warehouse: a deleted dir's
+    * pending backlog IS its namespace-rollup row, so feed
+    * [[Aggregates.nsSummarySorted]]'s shuffle-free fold through the
+    * broadcast deleted-dir probe — no leaf re-aggregation, no re-derived
+    * scan, no shuffle at all before the final presentation sort. Same rows
+    * as the unsorted dual (equivalence holds because both compute full
+    * subtree rollups per dir). */
+  def deletedDirsInsightSorted(nsRollup: DataFrame,
+                               deletedDirs: DataFrame): DataFrame =
+    nsRollup
+      .join(broadcast(deletedDirs), Seq("volume", "bucket", "dir"))
+      .select(col("volume"), col("bucket"), col("dir"), col("deleted_ms"),
+        col("num_files").as("pending_files"),
+        col("size_of_files").as("pending_bytes"))
+      .orderBy("volume", "bucket", "dir")
 }

@@ -75,12 +75,20 @@ object CompactionDag {
               destGen: Long, lo: String, hi: String): DataFrame = {
     val src = pruneByRange(srcLive, lo, hi).select("file")
     val dest = broadcast(pruneByRange(destLive, lo, hi).select("file"))
-    val gens = nodeGens(edges)
+
+    // frontier/visited are metadata-sized (≤ |src files| + one fan-in);
+    // keep them on a few partitions so the per-level jobs don't pay 32-way
+    // task scheduling for kilobyte frames
+    def pin(df: DataFrame): DataFrame = df.coalesce(4).localCheckpoint()
+
+    // materialize the node-gen map ONCE — joining it lazily would re-run
+    // its aggregation (a full pass over the log) on every BFS level
+    val gens = pin(nodeGens(edges))
 
     var sameBatches = List(src.join(dest, Seq("file"), "left_semi"))
     var diffBatches = List.empty[DataFrame]
-    var frontier = src.join(dest, Seq("file"), "left_anti").localCheckpoint()
-    var visited = src.localCheckpoint()
+    var frontier = pin(src.join(dest, Seq("file"), "left_anti"))
+    var visited = pin(src)
     var depth = 0
     while (!frontier.isEmpty) {
       depth += 1
@@ -100,14 +108,13 @@ object CompactionDag {
         .select(expandable("file"), col("input_file"))
       // in the log but never an output: no further decomposition possible
       val noSucc = expanded.filter(col("input_file").isNull).select("file")
-      diffBatches ::= cut.unionByName(noSucc).localCheckpoint()
-      val nexts = expanded.filter(col("input_file").isNotNull)
+      diffBatches ::= pin(cut.unionByName(noSucc))
+      val nexts = pin(expanded.filter(col("input_file").isNotNull)
         .select(col("input_file").as("file")).distinct()
-        .join(visited, Seq("file"), "left_anti")
-        .localCheckpoint()
+        .join(visited, Seq("file"), "left_anti"))
       sameBatches ::= nexts.join(dest, Seq("file"), "left_semi")
-      frontier = nexts.join(dest, Seq("file"), "left_anti").localCheckpoint()
-      visited = visited.unionByName(nexts).localCheckpoint()
+      frontier = pin(nexts.join(dest, Seq("file"), "left_anti"))
+      visited = pin(visited.unionByName(nexts))
     }
     val same = sameBatches.reduce(_ unionByName _)
       .withColumn("cls", lit("SAME"))

@@ -194,10 +194,14 @@ object Dedup {
   def dupClusters(docs: DataFrame, pairs: DataFrame,
                   maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // materialize once; every iteration re-reads it. Near-dup edge lists
+    // are far smaller than the corpus (verified pairs only) — pack them
+    // onto a few partitions so each propagation round schedules a handful
+    // of tasks, not a full shuffle-width of empty ones.
     val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint() // materialize once; every iteration re-reads it
+      .coalesce(4).localCheckpoint()
     var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+      .withColumn("label", col("doc_id")).coalesce(4).localCheckpoint()
     var prevSum = labels.agg(sum("label")).head.getLong(0)
     var converged = false
     var iter = 0
@@ -210,7 +214,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .coalesce(4).localCheckpoint()
       val s = labels.agg(sum("label")).head.getLong(0)
       converged = s == prevSum // labels are monotone non-increasing
       prevSum = s
