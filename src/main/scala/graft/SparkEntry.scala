@@ -25,86 +25,46 @@ object SparkEntry {
   // (the at-scale pattern: candidate signatures are a materialized
   // artifact, not recomputed per consumer — and a path cache never hands a
   // new session a DataFrame bound to a stopped one).
-  private val bandsPaths =
-    scala.collection.mutable.Map.empty[String, String]
-  private def minhashBandsCached(s: SparkSession, d: String): DataFrame = {
+  // One shared memoizer: artifact kind + source dir → temp parquet path.
+  // The cache stores PATHS so a recreated session never sees a DataFrame
+  // bound to a stopped one.
+  private val artifactPaths =
+    scala.collection.mutable.Map.empty[(String, String), String]
+  private def cachedParquet(s: SparkSession, kind: String, d: String)
+                           (build: => DataFrame): DataFrame = {
     val p = synchronized {
-      bandsPaths.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("graft_bands_").toString
-        Dedup.minhashBands(T.documents(s, d)).write.mode("overwrite").parquet(out)
+      artifactPaths.getOrElseUpdate((kind, d), {
+        val out =
+          java.nio.file.Files.createTempDirectory(s"graft_${kind}_").toString
+        build.write.mode("overwrite").parquet(out)
         out
       })
     }
     s.read.parquet(p)
   }
 
-  // Lloyd-refined IVF centroids are likewise a materialized index artifact
-  // (built once at ingest, reused by every probe) — parquet path cache,
-  // re-read per session.
-  private val centsPaths =
-    scala.collection.mutable.Map.empty[String, String]
-  private def ivfCentroidsCached(s: SparkSession, d: String): DataFrame = {
-    val p = synchronized {
-      centsPaths.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("graft_cents_").toString
-        Similarity.ivfCentroids(Similarity.quantized(T.embeddings(s, d)))
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-    }
-    s.read.parquet(p)
-  }
+  private def minhashBandsCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "bands", d)(Dedup.minhashBands(T.documents(s, d)))
 
-  // PQ codebooks are index-build artifacts exactly like the IVF centroids
-  private val pqCbPaths =
-    scala.collection.mutable.Map.empty[String, String]
-  private def pqCodebooksCached(s: SparkSession, d: String): DataFrame = {
-    val p = synchronized {
-      pqCbPaths.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("graft_pqcb_").toString
-        Similarity.pqCodebooks(Similarity.quantized(T.embeddings(s, d)))
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-    }
-    s.read.parquet(p)
-  }
+  // Lloyd-refined IVF centroids and PQ codebooks are index artifacts
+  // exactly like the bands (built once at ingest, reused by every probe)
+  private def ivfCentroidsCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "cents", d)(
+      Similarity.ivfCentroids(Similarity.quantized(T.embeddings(s, d))))
+  private def pqCodebooksCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "pqcb", d)(
+      Similarity.pqCodebooks(Similarity.quantized(T.embeddings(s, d))))
 
-  // Verified near-dup pairs are likewise a materialized pipeline artifact:
-  // LSH candidates → exact jaccard verify runs once at ingest; clustering
-  // (and any downstream canonical-doc pruning) consumes the persisted
-  // pairs rather than re-verifying.
-  private val pairsPaths =
-    scala.collection.mutable.Map.empty[String, String]
-  private def verifiedPairsCached(s: SparkSession, d: String): DataFrame = {
-    val p = synchronized {
-      pairsPaths.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("graft_pairs_").toString
-        Dedup.ngramJaccardPairs(T.documents(s, d),
-            candidates = Some(Dedup.lshPairsFromBands(minhashBandsCached(s, d))))
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-    }
-    s.read.parquet(p)
-  }
-
-  // Embedding near-dup pairs are a verified artifact exactly like the
-  // document pairs: LSH candidates -> exact integer cosine, materialized
-  // once per source and shared by the pair listing and the cluster closure.
-  private val embedPairsPaths =
-    scala.collection.mutable.Map.empty[String, String]
-  private def embedPairsCached(s: SparkSession, d: String): DataFrame = {
-    val p = synchronized {
-      embedPairsPaths.getOrElseUpdate(d, {
-        val out = java.nio.file.Files.createTempDirectory("graft_epairs_").toString
-        Similarity.nearDupPairs(s, T.embeddings(s, d))
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-    }
-    s.read.parquet(p)
-  }
+  // Verified near-dup pairs (document jaccard + embedding cosine) are
+  // materialized pipeline artifacts: LSH candidates → exact verify runs
+  // once at ingest; clustering and canonical-doc pruning consume the
+  // persisted pairs rather than re-verifying.
+  private def verifiedPairsCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "pairs", d)(
+      Dedup.ngramJaccardPairs(T.documents(s, d),
+        candidates = Some(Dedup.lshPairsFromBands(minhashBandsCached(s, d)))))
+  private def embedPairsCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "epairs", d)(Similarity.nearDupPairs(s, T.embeddings(s, d)))
 
   // DuckDB CTE chain for the verified-pair derivation, shared by the
   // jaccard-verify and cluster-assignment oracles so they cannot drift.

@@ -82,8 +82,10 @@ object CompactionDag {
     def pin(df: DataFrame): DataFrame = df.coalesce(4).localCheckpoint()
 
     // materialize the node-gen map ONCE — joining it lazily would re-run
-    // its aggregation (a full pass over the log) on every BFS level
-    val gens = pin(nodeGens(edges))
+    // its aggregation (a full pass over the log) on every BFS level. NOT
+    // pinned to few partitions: it is log-sized (one row per SST ever
+    // mentioned), unlike the frontier frames below.
+    val gens = nodeGens(edges).localCheckpoint()
 
     var sameBatches = List(src.join(dest, Seq("file"), "left_semi"))
     var diffBatches = List.empty[DataFrame]

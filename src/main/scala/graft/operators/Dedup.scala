@@ -194,14 +194,18 @@ object Dedup {
   def dupClusters(docs: DataFrame, pairs: DataFrame,
                   maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-    // materialize once; every iteration re-reads it. Near-dup edge lists
-    // are far smaller than the corpus (verified pairs only) — pack them
-    // onto a few partitions so each propagation round schedules a handful
-    // of tasks, not a full shuffle-width of empty ones.
+    // materialize once; every iteration re-reads it
     val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
-      .coalesce(4).localCheckpoint()
+      .localCheckpoint()
+    // size the iteration state to the edge volume: near-dup edge lists are
+    // far smaller than the corpus, and a handful of partitions per round
+    // beats a full shuffle-width of empty tasks — but a million-edge list
+    // still fans out (500k rows/partition target, capped at 200)
+    val stateParts = math.max(4,
+      math.min(200, (edges.count() / 500000L).toInt + 1))
     var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).coalesce(4).localCheckpoint()
+      .withColumn("label", col("doc_id"))
+      .coalesce(stateParts).localCheckpoint()
     var prevSum = labels.agg(sum("label")).head.getLong(0)
     var converged = false
     var iter = 0
@@ -214,7 +218,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .coalesce(4).localCheckpoint()
+        .coalesce(stateParts).localCheckpoint()
       val s = labels.agg(sum("label")).head.getLong(0)
       converged = s == prevSum // labels are monotone non-increasing
       prevSum = s

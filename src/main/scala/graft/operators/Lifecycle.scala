@@ -104,14 +104,22 @@ object Lifecycle {
     // (version desc, key asc, size desc) winner as min_by(-version, key,
     // -size): hash aggregate with map-side partial winners — at scale only
     // one candidate per lv_key per mapper crosses the shuffle, where the
-    // window form shuffles and sorts EVERY version of every key
+    // window form shuffles and sorts EVERY version of every key.
+    // NULL version/size must LOSE (the window dual's DESC sorts NULLs
+    // last, and so does the oracle) but ascending struct comparison puts
+    // NULLs first — map them to Long.MaxValue explicitly. Negation cannot
+    // overflow: versions and sizes are non-negative counters in the model
+    // (OmKeyInfo updateID / dataSize).
+    val nv = when(col("version").isNull, lit(Long.MaxValue))
+      .otherwise(-col("version")).as("nv")
+    val ns = when(col("data_size").isNull, lit(Long.MaxValue))
+      .otherwise(-col("data_size")).as("ns")
     objects
       .withColumn("lv_key", lvKey)
       .groupBy("volume", "bucket", "lv_key")
       .agg(min_by(
         struct(col("key"), col("version"), col("data_size")),
-        struct((-col("version")).as("nv"), col("key"),
-          (-col("data_size")).as("ns"))).as("__w"))
+        struct(nv, col("key"), ns)).as("__w"))
       .select(col("volume"), col("bucket"), col("lv_key"),
         col("__w.key").as("key"), col("__w.version").as("version"),
         col("__w.data_size").as("data_size"))

@@ -2,7 +2,7 @@ package graft.tools
 
 /** Dev-only: time a named subset of declared queries (warm, 2 passes) to
   * decide where a perf pass pays. Usage: runMain graft.tools.HotProbe
-  * [sfDir] [q1,q2,...] — defaults to the round-4 bench's slowest ten. */
+  * [sfDir] [q1,q2,...] — defaults to the round-4 bench's slowest set. */
 object HotProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -16,6 +16,9 @@ object HotProbe {
     val spark = graft.core.GraftSession.local(cpus)
     def secs(t0: Long) = (System.nanoTime() - t0) / 1e9
     graft.SparkEntry.entry(spark).count()  // session warmup
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      sys.error(s"unknown queries: ${unknown.mkString(", ")}")
     for (name <- names; fn <- graft.SparkEntry.queries.get(name)) {
       val t0 = System.nanoTime(); val n = fn(spark, sfDir).count()
       val t1 = System.nanoTime(); fn(spark, sfDir).count()
