@@ -144,9 +144,10 @@ object Bench {
           scale10(T.snapshotV2(spark, sfDir))).count()),
         "q_write_apply" -> (() =>
           graft.operators.CommitLog.appliedState(obj10).count()),
-        // the winner-per-key agg family (min_by map-side partials)
+        // the declared query's own path: winner-per-key as a shuffle-free
+        // fold over the (10×) key-sorted warehouse
         "q_latest_version" -> (() =>
-          graft.operators.Lifecycle.latestVersionWins(obj10).count()))
+          graft.operators.Lifecycle.latestVersionWinsSorted(sorted10).count()))
       val times = probes.map { case (name, run) =>
         val t0 = System.nanoTime()
         try run()

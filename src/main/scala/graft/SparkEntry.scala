@@ -181,8 +181,10 @@ object SparkEntry {
       Lifecycle.multipartValidate(T.multipartParts(s, d))),
     "q_multipart_etag" -> ((s, d) =>
       Lifecycle.multipartEtag(T.multipartParts(s, d))),
+    // shuffle-free winner-per-key fold over the key-sorted warehouse
+    // (latestVersionWins min_by stays the unsorted dual)
     "q_latest_version" -> ((s, d) =>
-      Lifecycle.latestVersionWins(T.objects(s, d))),
+      Lifecycle.latestVersionWinsSorted(T.objectsSorted(s, d))),
     "q_range_read" -> ((s, d) =>
       Lifecycle.rangeReadPlan(T.objects(s, d), 1000L, 50000L)),
     "q_checksums" -> ((s, d) =>

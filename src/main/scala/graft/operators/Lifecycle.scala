@@ -126,6 +126,124 @@ object Lifecycle {
       .orderBy("volume", "bucket", "lv_key")
   }
 
+  /** One winner-or-boundary-partial row of [[latestVersionWinsSorted]];
+    * boundary rows (first/last run of a scan partition) may continue in an
+    * adjacent partition and re-combine in a tiny follow-up aggregate. */
+  case class LvFoldRow(volume: String, bucket: String, lv_key: String,
+                       key: String, version: Long, data_size: Long,
+                       boundary: Boolean)
+
+  /**
+   * [[latestVersionWins]] over KEY-SORTED input (the
+   * [[graft.core.Tables.objectsSorted]] warehouse layout): every version
+   * of a logical key shares its 3-segment prefix, so in key order they
+   * form one contiguous run — a per-partition streaming fold keeps ONE
+   * candidate at a time and emits each run's winner with no shuffle and
+   * no hash map. Only the first/last run of each partition may straddle a
+   * partition boundary; those emit as partials and re-combine in an
+   * aggregate over ~2×partitions rows. This is the reference's own shape:
+   * the cache-over-DB merge walks a SORTED iterator
+   * (OmMetadataManagerImpl.java:1114-1162), it never hash-groups the
+   * table. Throws on key-order regressions like nsSummarySorted — an
+   * unsorted scan could split a run across two finals. min_by
+   * [[latestVersionWins]] stays the unsorted dual.
+   */
+  def latestVersionWinsSorted(sortedObjects: DataFrame): DataFrame = {
+    val spark = sortedObjects.sparkSession
+    import spark.implicits._
+    val folded = sortedObjects
+      .select(col("volume").cast("string"), col("bucket").cast("string"),
+        col("key"), col("version"), col("data_size"))
+      .as[(String, String, String, Long, Long)]
+      .mapPartitions { rows =>
+        new Iterator[LvFoldRow] {
+          private var curV: String = null
+          private var curB: String = null
+          private var prevKey: String = null
+          private var lvKey: String = null
+          private var bKey: String = null
+          private var bVer = 0L
+          private var bSize = 0L
+          private var firstRun = true
+          private var open = false
+
+          private def lvKeyOf(key: String): String = {
+            var seen = 0; var i = 0
+            while (i < key.length && seen < 3) {
+              if (key.charAt(i) == '/') seen += 1
+              if (seen < 3) i += 1
+            }
+            if (seen == 3) key.substring(0, i) else key
+          }
+
+          /** (version desc, key asc, data_size desc) — the same total
+            * order as the min_by dual and the oracle window. */
+          private def beats(k: String, v: Long, s: Long): Boolean =
+            v > bVer || (v == bVer && (k < bKey ||
+              (k == bKey && s > bSize)))
+
+          private def close(atEnd: Boolean): LvFoldRow = {
+            val r = LvFoldRow(curV, curB, lvKey, bKey, bVer, bSize,
+              boundary = firstRun || atEnd)
+            firstRun = false
+            open = false
+            r
+          }
+
+          private def step(v: String, b: String, key: String,
+                           ver: Long, size: Long): LvFoldRow = {
+            var out: LvFoldRow = null
+            if (v != curV || b != curB) {
+              if (open) out = close(atEnd = true) // run hit a source switch
+              curV = v; curB = b; prevKey = null; firstRun = true
+            } else if (prevKey != null && key < prevKey)
+              throw new IllegalStateException(
+                s"latestVersionWinsSorted requires key-sorted input: '$key' " +
+                  s"follows '$prevKey' in ($v, $b) — use latestVersionWins")
+            prevKey = key
+            val lk = lvKeyOf(key)
+            if (!open) {
+              // a source switch above closed any open run, so at most one
+              // output per step: either that close or this run change
+              lvKey = lk; bKey = key; bVer = ver; bSize = size; open = true
+            } else if (lk != lvKey) {
+              out = close(atEnd = false)
+              lvKey = lk; bKey = key; bVer = ver; bSize = size; open = true
+            } else if (beats(key, ver, size)) {
+              bKey = key; bVer = ver; bSize = size
+            }
+            out
+          }
+
+          def hasNext: Boolean = rows.hasNext || open
+          def next(): LvFoldRow = {
+            while (rows.hasNext) {
+              val r = rows.next()
+              val out = step(r._1, r._2, r._3, r._4, r._5)
+              if (out != null) return out
+            }
+            if (open) return close(atEnd = true) // last run of the partition
+            throw new NoSuchElementException
+          }
+        }
+      }.toDF()
+    val finals = folded.filter(!col("boundary"))
+      .select("volume", "bucket", "lv_key", "key", "version", "data_size")
+    val nv = when(col("version").isNull, lit(Long.MaxValue))
+      .otherwise(-col("version")).as("nv")
+    val ns = when(col("data_size").isNull, lit(Long.MaxValue))
+      .otherwise(-col("data_size")).as("ns")
+    val combined = folded.filter(col("boundary"))
+      .groupBy("volume", "bucket", "lv_key")
+      .agg(min_by(
+        struct(col("key"), col("version"), col("data_size")),
+        struct(nv, col("key"), ns)).as("__w"))
+      .select(col("volume"), col("bucket"), col("lv_key"),
+        col("__w.key").as("key"), col("__w.version").as("version"),
+        col("__w.data_size").as("data_size"))
+    finals.unionByName(combined).orderBy("volume", "bucket", "lv_key")
+  }
+
   /**
    * Byte-range read planning: for a `Range: bytes=a-b` request compute the
    * effective range and the 4 MB chunk span to fetch (ref

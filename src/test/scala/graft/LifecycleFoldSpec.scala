@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The shuffle-free sorted latest-version-wins fold must agree EXACTLY
+  * with the min_by dual — including when the scan slices sorted files
+  * into many partitions (straddling runs re-combine from partials) and
+  * on adversarially unsorted input (loud refusal, not wrong winners). */
+class LifecycleFoldSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+  import graft.operators.Lifecycle
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    rows(df.orderBy("volume", "bucket", "lv_key"))
+
+  test("sorted fold == min_by dual on the warehouse namespace") {
+    val expected = canon(Lifecycle.latestVersionWins(
+      graft.core.Tables.objects(spark, sf)))
+    val got = canon(Lifecycle.latestVersionWinsSorted(
+      graft.core.Tables.objectsSorted(spark, sf)))
+    assert(got === expected)
+  }
+
+  test("fold survives file slicing into many scan partitions") {
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val sliced = graft.core.Tables.objectsSorted(spark, sf)
+      assert(sliced.rdd.getNumPartitions > 8)
+      val got = canon(Lifecycle.latestVersionWinsSorted(sliced))
+      val expected = canon(Lifecycle.latestVersionWins(
+        graft.core.Tables.objects(spark, sf)))
+      assert(got === expected)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
+  test("fold REFUSES unsorted input instead of emitting split-run winners") {
+    val messy = graft.core.Tables.objects(spark, sf)
+      .repartition(7, col("object_id"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Lifecycle.latestVersionWinsSorted(messy).count()
+    }
+    assert(e.getMessage.contains("key-sorted") ||
+      Option(e.getCause).exists(_.getMessage.contains("key-sorted")))
+  }
+
+  test("winner ordering: version desc, then key asc, then size desc") {
+    import spark.implicits._
+    val df = Seq(
+      // same lv_key a/b/1: v3 beats v2; among v3s, key asc wins; among
+      // equal (v, key), size desc wins
+      ("v", "b", "a/b/1/x.dat", 3L, 10L),
+      ("v", "b", "a/b/1/x.dat", 3L, 90L),
+      ("v", "b", "a/b/1/y.dat", 3L, 99L),
+      ("v", "b", "a/b/1/z.dat", 2L, 50L),
+      ("v", "b", "a/b/2/x.dat", 1L, 7L))
+      .toDF("volume", "bucket", "key", "version", "data_size")
+      .coalesce(1)
+      .sortWithinPartitions("volume", "bucket", "key")
+    val got = canon(Lifecycle.latestVersionWinsSorted(df))
+    assert(got === Seq(
+      Seq("v", "b", "a/b/1", "a/b/1/x.dat", 3L, 90L),
+      Seq("v", "b", "a/b/2", "a/b/2/x.dat", 1L, 7L)))
+  }
+}
