@@ -50,6 +50,18 @@ class AggregatesFoldSpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("key-sorted")))
   }
 
+  test("fold's parquet scan reads ONLY the five fold columns (plan-asserted)") {
+    val plan = Aggregates.nsSummarySorted(
+        graft.core.Tables.objectsMixedSorted(spark, sf))
+      .queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no parquet ReadSchema in plan"))
+    assert(read.contains("key") && read.contains("data_size") &&
+      read.contains("replicated_size"))
+    for (c <- Seq("etag", "owner", "creation_time", "version"))
+      assert(!read.contains(c), s"scan reads pruned column $c: $read")
+  }
+
   test("single-segment keys contribute to no directory") {
     import spark.implicits._
     val df = Seq(

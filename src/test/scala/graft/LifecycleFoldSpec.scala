@@ -48,6 +48,20 @@ class LifecycleFoldSpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("key-sorted")))
   }
 
+  test("fold's parquet scan reads ONLY the five fold columns (plan-asserted)") {
+    val plan = Lifecycle.latestVersionWinsSorted(
+        graft.core.Tables.objectsSorted(spark, sf))
+      .queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no parquet ReadSchema in plan"))
+    // pruning through mapPartitions: at 100 TB reading etag/owner/... for
+    // a 5-column fold would double the scan bytes
+    assert(read.contains("key") && read.contains("version") &&
+      read.contains("data_size"))
+    for (c <- Seq("etag", "owner", "creation_time", "replicated_size"))
+      assert(!read.contains(c), s"scan reads pruned column $c: $read")
+  }
+
   test("winner ordering: version desc, then key asc, then size desc") {
     import spark.implicits._
     val df = Seq(
