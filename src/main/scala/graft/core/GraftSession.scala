@@ -18,7 +18,7 @@ object GraftSession {
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
-      .withExtensions(graft.plans.PrefixRangeExtension)
+      .withExtensions(graft.plans.GraftExtensions)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")

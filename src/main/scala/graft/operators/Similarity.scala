@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
  *   - rankings order by the integer cosine with id tie-breaks.
  *
  * Scale design: the query side of top-k is broadcast (queries ≪ corpus);
- * LSH planes are a tiny broadcast dim; all hot paths are codegen'd
- * higher-order array functions (zip_with/aggregate) — no UDFs.
+ * LSH planes are a tiny broadcast dim; the dot-product kernel is the
+ * native codegen'd `graft_dot_long` Expression (functions/ArrayDotLong —
+ * one primitive loop in whole-stage codegen, no per-row allocation); the
+ * remaining array math stays in higher-order functions — no UDFs.
  */
 object Similarity {
 
@@ -31,7 +33,7 @@ object Similarity {
       .withColumn("qv",
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
       .withColumn("nrm",
-        expr("aggregate(zip_with(qv, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        expr("graft_dot_long(qv, qv)"))
       .select("vec_id", "label", "qv", "nrm")
 
   private val cosExpr =
@@ -52,7 +54,7 @@ object Similarity {
       .orderBy(col("cos_x1e6").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
       .withColumn("dot",
-        expr("aggregate(zip_with(cv, sv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        expr("graft_dot_long(cv, sv)"))
       .withColumn("cos_x1e6", expr(cosExpr))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -115,7 +117,7 @@ object Similarity {
       .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
         col("nrm").as("nrm_b")), "vec_b")
       .withColumn("dot",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        expr("graft_dot_long(qa, qb)"))
       .withColumn("cos_x1e6", expr(cosExpr))
 
   /** LSH-bucketed ANN: rank same-band candidates per query by exact cosine —
@@ -165,7 +167,7 @@ object Similarity {
       .orderBy(col("ccos").desc, col("cell_id"))
     q.crossJoin(broadcast(cents))
       .withColumn("cdot",
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        expr("graft_dot_long(qv, cv)"))
       .withColumn("ccos", expr(centCosExpr))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= keep)
@@ -200,7 +202,7 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)")
           .as("cv"))
         .withColumn("cnrm",
-          expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          expr("graft_dot_long(cv, cv)"))
     }
     cents
   }
@@ -236,7 +238,7 @@ object Similarity {
       .join(broadcast(probes), Seq("cell_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("dot",
-        expr("aggregate(zip_with(cv, sv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        expr("graft_dot_long(cv, sv)"))
       .withColumn("cos_x1e6",
         expr("CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nrm_a AS DOUBLE) * CAST(snrm AS DOUBLE)) * 1000000) AS BIGINT)"))
       .withColumn("rank", row_number().over(w))
@@ -363,8 +365,7 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("qv").as("sv2"),
           col("nrm").as("nrm_b"))), "query_id")
       .withColumn("dot",
-        expr("aggregate(zip_with(cv, sv2, (x, y) -> x * y), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        expr("graft_dot_long(cv, sv2)"))
       .withColumn("cos_x1e6", expr(cosExpr))
       .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)
@@ -379,7 +380,7 @@ object Similarity {
     n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"),
+        expr("graft_dot_long(a.qv, b.qv)").as("dot"),
         col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
       .withColumn("cos_x1e6", expr(cosExpr))
       .filter(col("cos_x1e6") >= minCosX1e6)

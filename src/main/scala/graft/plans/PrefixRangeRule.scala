@@ -46,8 +46,20 @@ object PrefixRangeRule extends Rule[LogicalPlan] {
   }
 }
 
-/** SparkSessionExtensions hook: `.withExtensions(PrefixRangeExtension)`. */
-object PrefixRangeExtension extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+/** SparkSessionExtensions hook: `.withExtensions(GraftExtensions)` —
+  * the optimizer rule above plus the engine's native SQL functions
+  * (graft_dot_long, [[graft.functions.ArrayDotLong]]). */
+object GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PrefixRangeRule)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ArrayDotLong].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot_long takes 2 arguments, got ${children.length}")
+        graft.functions.ArrayDotLong(children(0), children(1))
+      }))
+  }
 }
