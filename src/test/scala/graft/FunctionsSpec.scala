@@ -55,4 +55,37 @@ class FunctionsSpec extends SparkSpecBase {
       .select("upload_id", "num_parts", "is_valid"))
     assert(r === Seq(Seq("u1", 2L, true), Seq("u2", 2L, false)))
   }
+
+  test("graft_dot_long matches the HOF dual incl. NULL/length semantics") {
+    import org.apache.spark.sql.functions.expr
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),      // 4+10+18 = 32
+      (2L, Seq(-7L, 0L), Seq(3L, 9L)),             // -21
+      (3L, Seq(1L, 2L), Seq(1L, 2L, 3L)),          // length mismatch -> NULL
+      (4L, Seq.empty[Long], Seq.empty[Long]))      // empty -> 0
+      .toDF("id", "a", "b")
+    val both = df.select(
+      expr("graft_dot_long(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("hof"))
+      .collect()
+    for (r <- both) assert(r.get(0) === r.get(1))
+    assert(both.map(_.get(0)).toSeq === Seq(32L, -21L, null, 0L))
+    // null element and null array both yield NULL (matching zip_with pad)
+    val nulls = df.sparkSession.sql(
+      """SELECT graft_dot_long(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS e,
+        |       graft_dot_long(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n""".stripMargin)
+      .collect().head
+    assert(nulls.get(0) === null && nulls.get(1) === null)
+    // interpreted path (no codegen) agrees with the codegen'd one
+    val interp = graft.functions.ArrayDotLong(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 2L, 3L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(4L, 5L, 6L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+      .eval(null)
+    assert(interp === 32L)
+  }
 }
