@@ -325,6 +325,13 @@ object SparkEntry {
       CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d)),
     "q_list_snapshots" -> ((s, d) =>
       CommitLog.snapshotInfoFromWarehouse(s, T.objects(s, d), d)),
+    // S3 write-protocol decisions (CopyObject / MultiDelete) evaluated
+    // against current key state — request batches broadcast into the scan
+    "q_copy_object" -> ((s, d) =>
+      S3Ops.copyObjects(T.objects(s, d), T.copyRequests(s, d))),
+    "q_multi_delete" -> ((s, d) =>
+      S3Ops.multiDelete(T.objects(s, d), T.deleteRequests(s, d),
+        T.volumes(s, d))),
     // SST pruning for snapshot diff (rocksdb-checkpoint-differ): walk the
     // compaction DAG from the newer snapshot's range-pruned file map down
     // to files the older snapshot already holds — DIFFERENT rows are the
@@ -1285,6 +1292,57 @@ object SparkEntry {
         |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
         |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6
         |)""".stripMargin),
+
+    // CopyObject decision table: source looked up FIRST (missing source
+    // wins over self-copy checks), self-copy w/o metadata change illegal,
+    // storage-class self-copy allowed, copies carry the source ETag.
+    "q_copy_object" -> O.withCtes(
+      """SELECT volume, bucket, src_key, dst_key, status,
+        |  CASE WHEN status LIKE 'COPIED%' THEN src_etag ELSE '' END AS etag,
+        |  CASE WHEN status LIKE 'COPIED%' THEN src_size ELSE -1 END AS size
+        |FROM (
+        |  SELECT r.volume, r.bucket, r.src_key, r.dst_key,
+        |    s.src_etag, s.src_size,
+        |    CASE WHEN s.src_etag IS NULL THEN 'ERR_NO_SUCH_KEY'
+        |         WHEN r.dst_key = r.src_key AND r.storage_class IS NULL
+        |           THEN 'ERR_INVALID_REQUEST'
+        |         WHEN r.dst_key = r.src_key THEN 'COPIED_SELF'
+        |         ELSE 'COPIED' END AS status
+        |  FROM copy_requests r
+        |  LEFT JOIN src s ON s.volume = r.volume AND s.bucket = r.bucket
+        |    AND s.src_key = r.src_key)
+        |ORDER BY volume, bucket, src_key, dst_key, status""".stripMargin,
+      O.objects, O.copyRequests,
+      """src AS (
+        |  SELECT volume, bucket, key AS src_key, data_size AS src_size,
+        |    etag AS src_etag
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY volume, bucket, key
+        |          ORDER BY version DESC, data_size DESC) AS rn
+        |        FROM objects o
+        |        WHERE EXISTS (SELECT 1 FROM copy_requests r
+        |          WHERE r.volume = o.volume AND r.bucket = o.bucket
+        |            AND r.src_key = o.key))
+        |  WHERE rn = 1
+        |)""".stripMargin),
+
+    // MultiDelete result table: missing keys still count as deleted
+    // (idempotent), wrong expected-bucket-owner -> AccessDenied.
+    "q_multi_delete" -> O.withCtes(
+      """SELECT r.volume, r.bucket, r.key, r.expected_owner,
+        |  coalesce(e.existed, false) AS existed,
+        |  CASE WHEN r.expected_owner <> v.owner THEN 'ACCESS_DENIED'
+        |       ELSE 'DELETED' END AS result
+        |FROM delete_requests r
+        |JOIN volumes v USING (volume)
+        |LEFT JOIN (
+        |  SELECT DISTINCT volume, bucket, key, true AS existed FROM objects o
+        |  WHERE EXISTS (SELECT 1 FROM delete_requests r
+        |    WHERE r.volume = o.volume AND r.bucket = o.bucket
+        |      AND r.key = o.key)) e
+        |  USING (volume, bucket, key)
+        |ORDER BY volume, bucket, key, expected_owner""".stripMargin,
+      O.objects, O.buckets, O.volumes, O.deleteRequests),
 
     // Compaction-DAG SST diff: recursive walk from the newer snapshot's
     // range-pruned live set through output→input edges; SAME = reached ∩

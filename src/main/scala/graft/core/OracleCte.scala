@@ -492,6 +492,30 @@ object OracleCte {
       |  WHERE dir <> '' AND h % 23 = 0
       |)""".stripMargin
 
+  /** Mirror of Tables.copyRequests. */
+  val copyRequests: String =
+    """copy_requests AS (
+      |  SELECT DISTINCT volume, bucket,
+      |    CASE WHEN cls = 1 THEN key || '.nope' ELSE key END AS src_key,
+      |    CASE cls WHEN 0 THEN key || '.copy'
+      |             WHEN 1 THEN key || '.copied'
+      |             ELSE key END AS dst_key,
+      |    CASE WHEN cls = 3 THEN 'REDUCED_REDUNDANCY' END AS storage_class
+      |  FROM (SELECT *, (object_id // 101) % 4 AS cls FROM objects
+      |        WHERE version = 1 AND object_id % 101 = 0)
+      |)""".stripMargin
+
+  /** Mirror of Tables.deleteRequests. */
+  val deleteRequests: String =
+    """delete_requests AS (
+      |  SELECT DISTINCT volume, bucket,
+      |    CASE WHEN cls = 1 THEN key || '.ghost' ELSE key END AS key,
+      |    CASE WHEN cls = 2 THEN 'intruder'
+      |         ELSE 'admin' || substr(volume, 4, 10) END AS expected_owner
+      |  FROM (SELECT *, (object_id // 97) % 3 AS cls FROM objects
+      |        WHERE version = 1 AND object_id % 97 = 0)
+      |)""".stripMargin
+
   /** Mirror of Tables.sstCatalog — the SST universe of the compaction-DAG
     * differ (three-level history + static terminal-branch rows). */
   val sstCatalog: String =

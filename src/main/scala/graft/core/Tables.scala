@@ -631,6 +631,44 @@ object Tables {
       .withColumn("ts_ms", expr("ts DIV 1000000"))
 
   /**
+   * copy_requests: a CopyObject batch covering every decision branch of
+   * the reference's `ObjectEndpoint.copyObject` — normal copy, missing
+   * source, self-copy without metadata change (illegal), self-copy with a
+   * storage-class change (allowed). Sampled deterministically from the
+   * key population; class cycles with the sample index.
+   */
+  def copyRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("version") === 1 && col("object_id") % 101 === 0)
+      .withColumn("cls", expr("(object_id DIV 101) % 4"))
+      .select(
+        col("volume"), col("bucket"),
+        when(col("cls") === 1, concat(col("key"), lit(".nope")))
+          .otherwise(col("key")).as("src_key"),
+        when(col("cls") === 0, concat(col("key"), lit(".copy")))
+          .when(col("cls") === 1, concat(col("key"), lit(".copied")))
+          .otherwise(col("key")).as("dst_key"),
+        when(col("cls") === 3, lit("REDUCED_REDUNDANCY"))
+          .cast("string").as("storage_class"))
+      .distinct()
+
+  /** delete_requests: a MultiDelete batch — existing keys, missing keys
+    * (idempotent-delete branch), and requests carrying a wrong
+    * expected-bucket-owner (AccessDenied branch). */
+  def deleteRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("version") === 1 && col("object_id") % 97 === 0)
+      .withColumn("cls", expr("(object_id DIV 97) % 3"))
+      .select(
+        col("volume"), col("bucket"),
+        when(col("cls") === 1, concat(col("key"), lit(".ghost")))
+          .otherwise(col("key")).as("key"),
+        when(col("cls") === 2, lit("intruder"))
+          .otherwise(concat(lit("admin"), substring(col("volume"), 4, 10)))
+          .as("expected_owner"))
+      .distinct()
+
+  /**
    * sst_catalog: the SST-file universe behind the compaction-DAG differ
    * (ref hadoop-hdds/rocksdb-checkpoint-differ — RocksDBCheckpointDiffer /
    * CompactionDag / RocksDiffUtils). A three-level compaction history:

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * S3 write-protocol semantics the gateway evaluates BEFORE a write lands:
+ * server-side CopyObject and batched MultiDelete — the two remaining
+ * ObjectEndpoint/BucketEndpoint verbs with real decision logic (the
+ * reference's s3gateway):
+ *
+ *   - CopyObject (`ObjectEndpoint.copyObject`, ObjectEndpoint.java:~213-290
+ *     PUT with x-amz-copy-source): look up the SOURCE key first (missing →
+ *     NoSuchKey, even for self-copies), then reject a self-copy that
+ *     changes no metadata (INVALID_REQUEST), allow a self-copy with a
+ *     storage-class change (dummy response carrying the source ETag), and
+ *     otherwise copy — the response ETag is the source's (single-part
+ *     copies keep content identity), the size is the source's.
+ *   - MultiDelete (`BucketEndpoint.multiDelete`, BucketEndpoint.java:343-
+ *     400): batch of ≤1000 keys; a key that does NOT exist still counts
+ *     as deleted (KEY_NOT_FOUND → deleted — S3 deletes are idempotent);
+ *     the expected-bucket-owner precondition
+ *     (S3Owner.verifyBucketOwnerCondition) fails the key with
+ *     AccessDenied instead.
+ *
+ * Scale shape: request batches are protocol-sized (≤1000 keys) while the
+ * key table is the 100 TB side — so requests broadcast INTO the corpus
+ * scan (semi-join restricts the scan to requested keys before any
+ * aggregation), and every classification afterwards is a projection over
+ * request-sized frames. The corpus never shuffles.
+ */
+object S3Ops {
+
+  /** Latest committed row per REQUESTED (volume, bucket, key): semi-filter
+    * by the broadcast request keys first, then the (null-safe) winner agg
+    * runs on request-sized data only. */
+  private def sourceState(objects: DataFrame, keys: DataFrame): DataFrame = {
+    val nv = when(col("version").isNull, lit(Long.MaxValue))
+      .otherwise(-col("version")).as("nv")
+    val ns = when(col("data_size").isNull, lit(Long.MaxValue))
+      .otherwise(-col("data_size")).as("ns")
+    objects
+      .join(broadcast(keys), Seq("volume", "bucket", "key"), "left_semi")
+      .groupBy("volume", "bucket", "key")
+      .agg(min_by(struct(col("data_size"), col("etag")),
+        struct(nv, ns)).as("__w"))
+      .select(col("volume"), col("bucket"), col("key"),
+        col("__w.data_size").as("src_size"), col("__w.etag").as("src_etag"))
+  }
+
+  /** Evaluate a CopyObject request batch against current key state. */
+  def copyObjects(objects: DataFrame, requests: DataFrame): DataFrame = {
+    val src = sourceState(objects,
+      requests.select(col("volume"), col("bucket"), col("src_key").as("key")))
+      .withColumnRenamed("key", "src_key")
+    requests
+      .join(broadcast(src), Seq("volume", "bucket", "src_key"), "left")
+      .withColumn("status",
+        when(col("src_etag").isNull, lit("ERR_NO_SUCH_KEY"))
+          .when(col("dst_key") === col("src_key") &&
+            col("storage_class").isNull, lit("ERR_INVALID_REQUEST"))
+          .when(col("dst_key") === col("src_key"), lit("COPIED_SELF"))
+          .otherwise(lit("COPIED")))
+      .withColumn("etag",
+        when(col("status").startsWith("COPIED"), col("src_etag"))
+          .otherwise(lit("")))
+      .withColumn("size",
+        when(col("status").startsWith("COPIED"), col("src_size"))
+          .otherwise(lit(-1L)))
+      .select("volume", "bucket", "src_key", "dst_key", "status", "etag",
+        "size")
+      .orderBy("volume", "bucket", "src_key", "dst_key", "status")
+  }
+
+  /** Evaluate a MultiDelete request batch: per-key deleted/error results
+    * with the reference's idempotent missing-key semantics. */
+  def multiDelete(objects: DataFrame, requests: DataFrame,
+                  volumes: DataFrame): DataFrame = {
+    val existing = objects
+      .join(broadcast(requests.select("volume", "bucket", "key")),
+        Seq("volume", "bucket", "key"), "left_semi")
+      .select("volume", "bucket", "key").distinct()
+      .withColumn("existed", lit(true))
+    requests
+      .join(broadcast(volumes.select(col("volume"), col("owner"))), Seq("volume"))
+      .join(broadcast(existing), Seq("volume", "bucket", "key"), "left")
+      .withColumn("existed", coalesce(col("existed"), lit(false)))
+      .withColumn("result",
+        when(col("expected_owner") =!= col("owner"), lit("ACCESS_DENIED"))
+          .otherwise(lit("DELETED")))
+      .select("volume", "bucket", "key", "expected_owner", "existed",
+        "result")
+      .orderBy("volume", "bucket", "key", "expected_owner")
+  }
+}
