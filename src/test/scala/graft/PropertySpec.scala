@@ -28,6 +28,26 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("graft_dot_long == HOF fold over 300 random long-vector pairs") {
+    val rnd = new Random(7)
+    val cases = (0 until 300).map { i =>
+      val n = rnd.nextInt(80) // includes 0-length
+      val a = Seq.fill(n)(rnd.nextLong() % 100000)
+      // mix equal-length and mismatched pairs
+      val b = if (i % 5 == 0) Seq.fill(n + 1)(rnd.nextLong() % 100000)
+              else Seq.fill(n)(rnd.nextLong() % 100000)
+      (i.toLong, a, b)
+    }
+    val both = cases.toDF("id", "a", "b")
+      .select(col("id"),
+        expr("graft_dot_long(a, b)").as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("hof"))
+      .collect()
+    for (r <- both)
+      assert(r.get(1) === r.get(2), s"id=${r.get(0)}")
+  }
+
   test("pow2BinValue matches the BigInt reference over random longs") {
     val rnd = new Random(7)
     def refBin(x: Long, minBin: Long): Long = {
