@@ -403,6 +403,9 @@ object SparkEntry {
       ClusterHealth.pipelineHealth(T.pipelines(s, d), T.containersScm(s, d))),
     "q_balancer_plan" -> ((s, d) =>
       ClusterHealth.balancerPlan(T.datanodes(s, d))),
+    "q_decommission" -> ((s, d) =>
+      ClusterHealth.decommissionReadiness(T.replicas(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
     // the backlog rides the shuffle-free NSSummary fold over the sorted
     // warehouse (deletedDirsInsight stays the unsorted dual)
     "q_deleted_dirs" -> ((s, d) =>
@@ -1531,6 +1534,66 @@ object SparkEntry {
         |  ON c.pipeline_idx = pl.pipeline_idx
         |ORDER BY pl.pipeline_id""".stripMargin,
       O.pipelines, O.containersScm),
+
+    "q_decommission" -> O.withCtes(
+      """SELECT l.datanode AS uuid, l.op_state,
+        |  count(*) AS total,
+        |  CAST(sum(CASE WHEN cls.class = 'SUFFICIENTLY_REPLICATED'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS sufficiently_replicated,
+        |  CAST(sum(CASE WHEN cls.class = 'DELETING'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS deleting,
+        |  CAST(sum(CASE WHEN cls.class = 'UNDER_REPLICATED'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS under_replicated,
+        |  CAST(sum(CASE WHEN cls.class = 'UNCLOSED'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS unclosed,
+        |  (sum(CASE WHEN cls.class = 'UNDER_REPLICATED' THEN 1 ELSE 0 END) = 0
+        |   AND sum(CASE WHEN cls.class = 'UNCLOSED' THEN 1 ELSE 0 END) = 0)
+        |    AS can_proceed
+        |FROM (
+        |  SELECT r.container_id, r.datanode, d.op_state
+        |  FROM replicas r JOIN datanodes d ON r.datanode = d.uuid
+        |  WHERE d.op_state <> 'IN_SERVICE') l
+        |JOIN (
+        |  SELECT container_id,
+        |    CASE WHEN state IN ('DELETED', 'DELETING') THEN 'DELETING'
+        |         WHEN state NOT IN ('CLOSED', 'QUASI_CLOSED')
+        |           OR in_service = 0 OR mismatched > 0 THEN 'UNCLOSED'
+        |         WHEN (CASE WHEN rf - healthy <= 0 THEN 0
+        |               ELSE GREATEST(GREATEST(0, rf - healthy - maint),
+        |                    GREATEST(0, LEAST(rf, 2) - healthy)) END) > 0
+        |           THEN 'UNDER_REPLICATED'
+        |         ELSE 'SUFFICIENTLY_REPLICATED' END AS class
+        |  FROM (
+        |    SELECT a.container_id,
+        |      any_value(a.state) AS state,
+        |      any_value(a.replication_factor) AS rf,
+        |      sum(CASE WHEN a.op_state = 'IN_SERVICE'
+        |        AND a.replica_state <> 'UNHEALTHY' THEN 1 ELSE 0 END)
+        |        AS healthy,
+        |      sum(CASE WHEN a.op_state IN
+        |          ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+        |        AND a.replica_state <> 'UNHEALTHY' THEN 1 ELSE 0 END)
+        |        AS maint,
+        |      sum(CASE WHEN a.op_state = 'IN_SERVICE' THEN 1 ELSE 0 END)
+        |        AS in_service,
+        |      sum(CASE WHEN a.op_state = 'IN_SERVICE'
+        |        AND a.replica_state <> 'UNHEALTHY'
+        |        AND a.replica_state <> a.state THEN 1 ELSE 0 END)
+        |        AS mismatched
+        |    FROM (
+        |      SELECT r.container_id, r.replica_state, d.op_state,
+        |        c.state, c.replication_factor
+        |      FROM replicas r
+        |      JOIN datanodes d ON r.datanode = d.uuid
+        |      JOIN containers_scm c USING (container_id)) a
+        |    WHERE a.container_id IN (
+        |      SELECT r2.container_id FROM replicas r2
+        |      JOIN datanodes d2 ON r2.datanode = d2.uuid
+        |      WHERE d2.op_state <> 'IN_SERVICE')
+        |    GROUP BY a.container_id)) cls
+        |  USING (container_id)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+      O.datanodes, O.containersScm, O.replicas),
 
     "q_balancer_plan" -> O.withCtes(
       """SELECT uuid, rack, capacity, utilization_bp,

@@ -131,6 +131,99 @@ object ClusterHealth {
       .orderBy("container_id")
 
   /**
+   * Decommission / maintenance readiness — the admin monitor's per-node
+   * container walk (DatanodeAdminMonitorImpl.java:406-470
+   * checkContainersReplicatedOnNode): every container holding a replica on
+   * a node leaving service is classified
+   *   - DELETING: container DELETED/DELETING — never blocks the workflow;
+   *   - UNCLOSED: fails isHealthyEnoughForOffline
+   *     (RatisContainerReplicaCount.java:429-452 — container not
+   *     CLOSED/QUASI_CLOSED, no in-service replica at all, or an
+   *     in-service non-UNHEALTHY replica disagreeing with the container
+   *     state);
+   *   - UNDER_REPLICATED: missingReplicas > 0
+   *     (RatisContainerReplicaCount.java:356-374 with no inflight ops:
+   *     UNHEALTHY and leaving-node replicas don't count as available,
+   *     maintenance copies discount the deficit but
+   *     minHealthyForMaintenance = min(rf, 2) healthy must remain);
+   *   - SUFFICIENTLY_REPLICATED otherwise,
+   * then rolled up per node with `can_proceed` — the monitor's "all
+   * containers sufficiently replicated or deleting" progress gate.
+   *
+   * Scale shape: node + container catalogs broadcast into the replica map;
+   * the per-container count aggregates ONLY the tracked containers (semi-
+   * join prune on the leaving nodes' working set) — with k nodes draining
+   * out of N the shuffle is O(k/N) of the replica map, never all of it.
+   */
+  def decommissionReadiness(replicas: DataFrame, datanodes: DataFrame,
+                            containersScm: DataFrame): DataFrame = {
+    val dnStates = datanodes.select(col("uuid").as("datanode"),
+      col("op_state"))
+    val containerDim = containersScm.select(col("container_id"),
+      col("state"), col("replication_factor"))
+    // node + container catalogs are control-plane-sized → broadcast into
+    // the (data-plane) replica map; one scan annotates every replica
+    val annotated = replicas
+      .join(broadcast(dnStates), Seq("datanode"))
+      .join(broadcast(containerDim), Seq("container_id"))
+    // the tracked set: (leaving node, container) pairs the monitor walks
+    val leaving = annotated
+      .filter(col("op_state") =!= "IN_SERVICE")
+      .select("container_id", "datanode", "op_state")
+    // count the replica classes ONLY for tracked containers (semi-join
+    // prunes the shuffle input to the leaving nodes' working set — tiny
+    // next to the full replica map when few nodes are leaving)
+    val healthyRep = col("replica_state") =!= "UNHEALTHY"
+    val counts = annotated
+      .join(leaving.select("container_id").distinct(),
+        Seq("container_id"), "left_semi")
+      .groupBy("container_id")
+      .agg(
+        first("state").as("state"),
+        first("replication_factor").as("rf"),
+        sum(when(col("op_state") === "IN_SERVICE" && healthyRep, 1L)
+          .otherwise(0L)).as("healthy"),
+        sum(when(col("op_state")
+            .isin("IN_MAINTENANCE", "ENTERING_MAINTENANCE") && healthyRep,
+          1L).otherwise(0L)).as("maint"),
+        sum(when(col("op_state") === "IN_SERVICE", 1L).otherwise(0L))
+          .as("in_service"),
+        sum(when(col("op_state") === "IN_SERVICE" && healthyRep &&
+          col("replica_state") =!= col("state"), 1L).otherwise(0L))
+          .as("mismatched"))
+    // missingReplicas with no inflight ops: delta = rf - healthy; if
+    // positive, maintenance copies discount it but at least
+    // min(rf, 2) (= minHealthyForMaintenance) healthy must remain
+    val missing = when(col("rf") - col("healthy") <= 0, lit(0L))
+      .otherwise(greatest(
+        greatest(lit(0L), col("rf") - col("healthy") - col("maint")),
+        greatest(lit(0L), least(col("rf"), lit(2L)) - col("healthy"))))
+    val classified = counts.withColumn("class",
+      when(col("state").isin("DELETED", "DELETING"), lit("DELETING"))
+        .when(!col("state").isin("CLOSED", "QUASI_CLOSED") ||
+          col("in_service") === 0 || col("mismatched") > 0, lit("UNCLOSED"))
+        .when(missing > 0, lit("UNDER_REPLICATED"))
+        .otherwise(lit("SUFFICIENTLY_REPLICATED")))
+      .select("container_id", "class")
+    leaving
+      .join(classified, Seq("container_id"))
+      .groupBy(col("datanode").as("uuid"), col("op_state"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("class") === "SUFFICIENTLY_REPLICATED", 1L)
+          .otherwise(0L)).as("sufficiently_replicated"),
+        sum(when(col("class") === "DELETING", 1L).otherwise(0L))
+          .as("deleting"),
+        sum(when(col("class") === "UNDER_REPLICATED", 1L).otherwise(0L))
+          .as("under_replicated"),
+        sum(when(col("class") === "UNCLOSED", 1L).otherwise(0L))
+          .as("unclosed"))
+      .withColumn("can_proceed",
+        col("under_replicated") === 0 && col("unclosed") === 0)
+      .orderBy("uuid")
+  }
+
+  /**
    * SCM safemode exit-rule evaluation — one row per rule with its required
    * vs actual count and the verdict, plus the overall EXIT_SAFEMODE fold:
    *   - CONTAINER (AbstractContainerSafeModeRule.java:83-99): cutOff =

@@ -132,6 +132,73 @@ class ClusterHealthSpec extends SparkSpecBase {
     }
   }
 
+  test("decommission readiness classifies every monitor branch") {
+    import spark.implicits._
+    // micro-cluster: dnA decommissioning, dnB in maintenance, dnC/dnD/dnE
+    // in service
+    val dns = Seq(
+      ("dnA", "DECOMMISSIONING"), ("dnB", "IN_MAINTENANCE"),
+      ("dnC", "IN_SERVICE"), ("dnD", "IN_SERVICE"), ("dnE", "IN_SERVICE"))
+      .toDF("uuid", "op_state")
+    // container → (state, replicas): each picks one branch
+    //  1 deleting; 2 sufficient via maintenance discount (2 healthy + 1
+    //  maint ≥ minHealthy 2); 3 under-replicated on a decommissioning
+    //  node (2 healthy < rf 3, no maintenance discount); 4 unclosed: the
+    //  in-service replica disagrees with the CLOSED container; 5 unclosed:
+    //  no in-service replica at all; 6 under-replicated: UNHEALTHY replica
+    //  doesn't count as available
+    val containers = Seq(
+      (1L, "DELETED", 3), (2L, "CLOSED", 3), (3L, "CLOSED", 3),
+      (4L, "CLOSED", 3), (5L, "CLOSED", 3), (6L, "CLOSED", 3))
+      .toDF("container_id", "state", "replication_factor")
+    val reps = Seq(
+      (1L, "dnA", "CLOSED"), (1L, "dnC", "CLOSED"), (1L, "dnD", "CLOSED"),
+      (2L, "dnB", "CLOSED"), (2L, "dnC", "CLOSED"), (2L, "dnD", "CLOSED"),
+      (3L, "dnA", "CLOSED"), (3L, "dnC", "CLOSED"), (3L, "dnD", "CLOSED"),
+      (4L, "dnA", "CLOSED"), (4L, "dnC", "QUASI_CLOSED"),
+      (4L, "dnD", "CLOSED"), (4L, "dnE", "CLOSED"),
+      (5L, "dnA", "CLOSED"), (5L, "dnB", "CLOSED"),
+      (6L, "dnA", "CLOSED"), (6L, "dnC", "UNHEALTHY"), (6L, "dnD", "CLOSED"),
+      (6L, "dnE", "CLOSED"))
+      .toDF("container_id", "datanode", "replica_state")
+    val out = ClusterHealth.decommissionReadiness(reps, dns, containers)
+      .collect().map(r => r.getAs[String]("uuid") -> r).toMap
+    val a = out("dnA")
+    assert(a.getAs[Long]("total") == 5)
+    assert(a.getAs[Long]("deleting") == 1)            // container 1
+    assert(a.getAs[Long]("under_replicated") == 2)    // containers 3, 6
+    assert(a.getAs[Long]("unclosed") == 2)            // containers 4, 5
+    assert(a.getAs[Long]("sufficiently_replicated") == 0)
+    assert(!a.getAs[Boolean]("can_proceed"))
+    val b = out("dnB")
+    // dnB tracks containers 2 (sufficient: its own maintenance copy
+    // discounts the deficit, 2 healthy ≥ minHealthy) and 5 (unclosed)
+    assert(b.getAs[Long]("total") == 2)
+    assert(b.getAs[Long]("sufficiently_replicated") == 1)
+    assert(b.getAs[Long]("unclosed") == 1)
+    assert(!b.getAs[Boolean]("can_proceed"))
+  }
+
+  test("decommission readiness on the fixture agrees with first principles") {
+    val sfd = sf
+    val out = ClusterHealth.decommissionReadiness(T.replicas(spark, sfd),
+      T.datanodes(spark, sfd), T.containersScm(spark, sfd)).collect()
+    // exactly the 6 leaving nodes, every one blocked by the static fixture
+    // (no re-replication ever happens in it)
+    assert(out.map(_.getAs[String]("uuid")).sorted.toSeq ==
+      Seq("dn11", "dn14", "dn17", "dn2", "dn5", "dn8"))
+    assert(out.forall(!_.getAs[Boolean]("can_proceed")))
+    // maintenance nodes keep most containers sufficient (minHealthy 2);
+    // decommissioning nodes need the full factor back, so most block
+    val byState = out.groupBy(_.getAs[String]("op_state"))
+    assert(byState("IN_MAINTENANCE").forall(r =>
+      r.getAs[Long]("sufficiently_replicated") >
+        r.getAs[Long]("under_replicated")))
+    assert(byState("DECOMMISSIONING").forall(r =>
+      r.getAs[Long]("under_replicated") >
+        r.getAs[Long]("sufficiently_replicated")))
+  }
+
   test("deleted-dir backlog equals a direct subtree scan per deleted dir") {
     val objects = T.objectsMixed(spark, sf)
     val insight = ClusterHealth.deletedDirsInsight(objects,
