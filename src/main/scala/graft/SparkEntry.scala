@@ -141,6 +141,9 @@ object SparkEntry {
     "q_list_mpus" -> ((s, d) =>
       Lifecycle.listMultipartUploads(T.multipartInfo(s, d), "vol2", "bucket0",
         "warehouse/mpu/1")),
+    "q_list_parts" -> ((s, d) =>
+      Lifecycle.listParts(T.multipartParts(s, d), partNumberMarker = 1,
+        maxParts = 4)),
     // ---- aggregation family (SURVEY §2.4) ----
     "q_filesize_histogram" -> ((s, d) =>
       Aggregates.fileSizeHistogram(T.objects(s, d))),
@@ -557,6 +560,31 @@ object SparkEntry {
         |WHERE volume = 'vol2' AND bucket = 'bucket0'
         |  AND key LIKE 'warehouse/mpu/1%'
         |ORDER BY key, upload_id LIMIT 1001""".stripMargin,
+      O.multipartParts),
+
+    "q_list_parts" -> O.withCtes(
+      """SELECT upload_id, order_key, part_number, etag, size, last_modified,
+        |  n > 4 AS truncated,
+        |  CASE WHEN n > 4 THEN max(CASE WHEN rn = 4 THEN part_number END)
+        |    OVER (PARTITION BY upload_id) ELSE 0 END
+        |    AS next_part_number_marker
+        |FROM (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY upload_id ORDER BY part_number)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY upload_id) AS n
+        |  FROM (
+        |    SELECT upload_id, order_key, part_number, etag, size,
+        |      creation_time AS last_modified
+        |    FROM (
+        |      SELECT *, row_number() OVER (
+        |          PARTITION BY upload_id, order_key, part_number
+        |          ORDER BY creation_time DESC, size DESC, etag) AS dr
+        |      FROM multipart_parts)
+        |    WHERE dr = 1)
+        |  WHERE part_number > 1)
+        |WHERE rn <= 4
+        |ORDER BY upload_id, part_number""".stripMargin,
       O.multipartParts),
 
     "q_filesize_histogram" -> O.withCtes(

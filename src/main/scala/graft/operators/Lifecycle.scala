@@ -320,6 +320,54 @@ object Lifecycle {
       .orderBy("key", "upload_id")
       .limit(maxUploads + 1)
 
+  /**
+   * S3 ListParts, evaluated for every upload as one batch (the gateway
+   * serves one upload per request — MultipartKeyHandler.java:126-175; the
+   * batch form answers all of them in a single pass, the same shape as the
+   * CopyObject/MultiDelete decision tables): parts with
+   * `part_number > partNumberMarker` in part order, at most `maxParts` per
+   * upload, with the per-upload truncation flag and
+   * next-part-number-marker (= last returned part number) riding every
+   * row. The stored part map is keyed by part number
+   * (multipartInfoTable's PartKeyInfo map) — a re-uploaded part REPLACES
+   * the stored one, so duplicate fixture parts dedup latest-wins
+   * ((creation_time, size) desc, etag) first.
+   *
+   * Scale shape: the dedup is a map-side-partial min_by hash agg; the page
+   * cut is one window over (upload_id, part_number) — a single shuffle of
+   * the parts table, already tiny relative to the data plane.
+   */
+  def listParts(parts: DataFrame, partNumberMarker: Int,
+                maxParts: Int): DataFrame = {
+    val nct = when(col("creation_time").isNull, lit(Long.MaxValue))
+      .otherwise(-col("creation_time"))
+    val nsz = when(col("size").isNull, lit(Long.MaxValue))
+      .otherwise(-col("size"))
+    val stored = parts
+      .groupBy("upload_id", "order_key", "part_number")
+      .agg(min_by(
+        struct(col("etag"), col("size"), col("creation_time")),
+        struct(nct, nsz, col("etag"))).as("__w"))
+      .select(col("upload_id"), col("order_key"), col("part_number"),
+        col("__w.etag").as("etag"), col("__w.size").as("size"),
+        col("__w.creation_time").as("last_modified"))
+    val w = Window.partitionBy("upload_id").orderBy("part_number")
+    val wAll = Window.partitionBy("upload_id")
+    stored
+      .filter(col("part_number") > partNumberMarker)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") <= maxParts)
+      .withColumn("truncated", col("__n") > maxParts)
+      .withColumn("next_part_number_marker",
+        when(col("truncated"),
+          max(when(col("__rn") === maxParts, col("part_number")))
+            .over(wAll)).otherwise(lit(0)))
+      .select("upload_id", "order_key", "part_number", "etag", "size",
+        "last_modified", "truncated", "next_part_number_marker")
+      .orderBy("upload_id", "part_number")
+  }
+
   /** Replica-report history lag/lead per (container, datanode): first/last
     * seen and the largest report gap — ref ContainerEndpoint.java:330-345
     * (replica history timeline). One shuffle on the composite key; the gap

@@ -226,6 +226,39 @@ class ListingSpec extends SparkSpecBase {
     assert(walk(multi, "v", "b", "", 1) === fullMulti)
   }
 
+  test("ListParts pages chain by next-part-number-marker to the full part list") {
+    val sf = "/root/testdata/sf0.001"
+    val parts = graft.core.Tables.multipartParts(spark, sf)
+    // unpaged = one huge page from marker 0
+    val full = rows(graft.operators.Lifecycle.listParts(parts, 0, 10000))
+      .map(_.take(6))
+    assert(full.nonEmpty)
+    // per-upload chained walk: every page's kept rows concatenate to the
+    // unpaged listing, next marker = last part number of a truncated page
+    val perUpload = full.groupBy(_.head.asInstanceOf[String])
+    val pageSize = 2
+    perUpload.toSeq.sortBy(_._1).take(3).foreach { case (up, expect) =>
+      var marker = 0
+      var walked = Seq.empty[Seq[Any]]
+      var done = false
+      while (!done) {
+        val page = rows(graft.operators.Lifecycle.listParts(
+          parts, marker, pageSize)).filter(_.head == up)
+        walked ++= page.map(_.take(6))
+        done = page.isEmpty || !page.last(6).asInstanceOf[Boolean]
+        if (!done) {
+          val next = page.last(7).asInstanceOf[Int]
+          assert(next == page.last(2).asInstanceOf[Int],
+            s"next marker is the last returned part number ($up)")
+          marker = next
+        }
+      }
+      assert(walked === expect, up)
+    }
+    // duplicate parts collapse to ONE stored row per part number
+    assert(full.map(r => (r.head, r(2))).distinct.size === full.size)
+  }
+
   test("container-key join broadcasts the small container dim (plan quality)") {
     val q = graft.operators.Joins.containerKeyJoin(
       graft.core.Tables.objects(spark, "/root/testdata/sf0.001"),
