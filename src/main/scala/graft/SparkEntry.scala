@@ -432,6 +432,9 @@ object SparkEntry {
       Sampling.stratifiedSample(T.documents(s, d), "lang", quota = 40)),
     "q_corpus_mix" -> ((s, d) =>
       Sampling.corpusMix(T.documents(s, d), "source", budgetTokens = 800L)),
+    "q_mix_weights" -> ((s, d) =>
+      Sampling.mixWeights(T.documents(s, d), "source",
+        budgetTokens = 1000000L)),
     // ---- corpus curation: PII redaction, repetition filter,
     // benchmark decontamination, sequence packing ----
     "q_pii_scrub" -> ((s, d) => Curation.piiScrub(T.documents(s, d))),
@@ -1756,6 +1759,26 @@ object SparkEntry {
         |    FROM documents))
         |WHERE cum_tokens <= 800
         |ORDER BY source, cum_tokens""".stripMargin),
+
+    "q_mix_weights" -> (
+      """SELECT domain, docs, tokens,
+        |  isq * 10000 // isq_total AS weight_bp,
+        |  1000000 * (isq * 10000 // isq_total) // 10000 AS sampled_tokens,
+        |  (1000000 * (isq * 10000 // isq_total) // 10000) * 10000 // tokens
+        |    AS epochs_bp
+        |FROM (
+        |  SELECT *, CAST(sum(isq) OVER () AS BIGINT) AS isq_total FROM (
+        |    SELECT source AS domain, count(*) AS docs,
+        |      CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |      CAST(floor(sqrt(CAST(sum(n_tokens) AS BIGINT))) AS BIGINT)
+        |        AS isq
+        |    FROM (
+        |      SELECT source,
+        |        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |          AS n_tokens
+        |      FROM documents)
+        |    GROUP BY 1))
+        |ORDER BY domain""".stripMargin),
 
     "q_pii_scrub" -> (
       s"""WITH aug AS (

@@ -50,4 +50,36 @@ object Sampling {
       .select(col("doc_id"), col(stratum), col("n_tokens"),
         col("cum_tokens"))
       .orderBy(col(stratum), col("cum_tokens"))
+
+  /**
+   * Temperature-smoothed mixture weights (α = 1/2): per-domain sampling
+   * probability p_i ∝ tokens_i^α — the exponent-smoothing rebalancing rule
+   * for multi-domain/multilingual corpora (small domains are upsampled
+   * relative to their share, large ones damped; α = 1 is proportional,
+   * α = 0 uniform). All quantities stay integer: floor(sqrt(x)) is
+   * engine-portable because IEEE-754 sqrt is correctly rounded (exact for
+   * x < 2^52), and the weight/epoch math is basis-point DIV. epochs_bp >
+   * 10000 means the domain repeats within the budget.
+   *
+   * Scale shape: one map-side-combined hash agg to per-domain totals
+   * (domains are control-plane-small) + a 1-row broadcast normalizer.
+   */
+  def mixWeights(docs: DataFrame, domain: String,
+                 budgetTokens: Long): DataFrame = {
+    val per = docs
+      .withColumn("n_tokens",
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long"))
+      .groupBy(col(domain).as("domain"))
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .withColumn("isq", expr("CAST(floor(sqrt(tokens)) AS BIGINT)"))
+    val total = per.agg(sum("isq").as("isq_total"))
+    per.crossJoin(broadcast(total))
+      .withColumn("weight_bp", expr("isq * 10000 DIV isq_total"))
+      .withColumn("sampled_tokens",
+        expr(s"$budgetTokens * weight_bp DIV 10000"))
+      .withColumn("epochs_bp", expr("sampled_tokens * 10000 DIV tokens"))
+      .select("domain", "docs", "tokens", "weight_bp", "sampled_tokens",
+        "epochs_bp")
+      .orderBy("domain")
+  }
 }

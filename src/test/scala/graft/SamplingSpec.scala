@@ -59,4 +59,30 @@ class SamplingSpec extends SparkSpecBase {
         s"${r.getString(0)}: a fitting doc was skipped")
     }
   }
+
+  test("mix weights damp large domains and upsample small ones (α = 1/2)") {
+    import spark.implicits._
+    // 100:1 token skew between web and rare
+    val docs = ((1 to 100).map(i => (i.toLong, "web", "w " * 100)) ++
+      (1 to 10).map(i => (100L + i, "rare", "w " * 10)))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.mixWeights(docs, "source", budgetTokens = 100000L)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    val (web, rare) = (out("web"), out("rare"))
+    val totalTokens =
+      web.getAs[Long]("tokens") + rare.getAs[Long]("tokens")
+    def shareBp(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("tokens") * 10000 / totalTokens
+    // smoothing compresses the ratio: the big domain's weight sits below
+    // its token share, the small one's above
+    assert(web.getAs[Long]("weight_bp") < shareBp(web))
+    assert(rare.getAs[Long]("weight_bp") > shareBp(rare))
+    // weights normalize (up to DIV truncation) and budget splits likewise
+    val wSum = web.getAs[Long]("weight_bp") + rare.getAs[Long]("weight_bp")
+    assert(wSum <= 10000 && wSum >= 9998)
+    // sqrt(100x) = 10x: the smoothed ratio is the square root of the raw
+    val ratio = web.getAs[Long]("weight_bp").toDouble /
+      rare.getAs[Long]("weight_bp")
+    assert(ratio > 9.0 && ratio < 11.0, s"smoothed ratio $ratio")
+  }
 }
