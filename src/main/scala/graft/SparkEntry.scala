@@ -206,6 +206,8 @@ object SparkEntry {
       Lifecycle.checksumColumns(T.objects(s, d))),
     // ---- LLM-pipeline: dedup / similarity / text / multimodal / events ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
+    "q_substr_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(T.documents(s, d), k = 8)),
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.lshPairsFromBands(minhashBandsCached(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(T.documents(s, d))),
@@ -846,6 +848,34 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY md5(norm)) AS cluster_size,
         |  (count(*) OVER (PARTITION BY md5(norm))) > 1 AS is_dup
         |FROM doc_words ORDER BY doc_id""".stripMargin, O.docWords),
+
+    "q_substr_spans" -> O.withCtes(
+      """SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        |  max(e) - min(s) + 1 AS span_tokens
+        |FROM (
+        |  SELECT doc_id, s, e,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM (
+        |    SELECT doc_id, s, e,
+        |      CASE WHEN s <= coalesce(max(e) OVER (
+        |          PARTITION BY doc_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        -2) + 1 THEN 0 ELSE 1 END AS ni
+        |    FROM (
+        |      SELECT doc_id, s, e,
+        |        count(*) OVER (PARTITION BY gram) AS c
+        |      FROM (
+        |        SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+        |          CAST(i + 6 AS BIGINT) AS e,
+        |          array_to_string(ws[i:i+7], ' ') AS gram
+        |        FROM (
+        |          SELECT doc_id, ws,
+        |            unnest(generate_series(1, len(ws) - 7)) AS i
+        |          FROM doc_words WHERE len(ws) >= 8)))
+        |    WHERE c > 1))
+        |GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin, O.docWords),
 
     "q_dedup_minhash_lsh" -> O.withCtes(
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands

@@ -252,4 +252,52 @@ object Dedup {
       .withColumn("keep", col("rk") === 1)
       .select("doc_id", "cluster_id", "cluster_size", "quality_x1000", "keep")
       .orderBy("doc_id")
+
+  /**
+   * Exact duplicate SPANS — substring-level dedup (the "dedup the
+   * training data at the substring level" pass of Lee et al. 2021,
+   * arXiv:2107.06499): every k-token window whose exact text occurs more
+   * than once in the corpus marks its token range; per doc, overlapping or
+   * adjacent ranges merge to maximal spans. The hash-gram formulation is
+   * the distributed stand-in for the paper's suffix array: for a fixed
+   * minimum match length k it finds exactly the same duplicated-substring
+   * mass (a duplicated substring of length L ≥ k is covered by its L-k+1
+   * duplicated k-grams, which merge back into one span).
+   *
+   * Scale shape: posexplode to (doc, pos, gram) — the corpus token count —
+   * then ONE shuffle grouping by the gram text (exact matches, no
+   * collision risk); duplicated grams (a small fraction) flow into a
+   * per-doc sort-window for the island merge. The group-by-gram is the
+   * same textbook shuffle as ngramCounts; AQE handles the few hot grams.
+   *
+   * Output: one row per maximal duplicated span.
+   */
+  def duplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val occ = withWords(docs)
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(shingleExpr("ws", k)).as(Seq("pos", "gram")))
+    val dupOcc = occ
+      .withColumn("occurrences",
+        count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("occurrences") > 1)
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + k - 1).cast("long").as("e"))
+    // gaps-and-islands: a new island starts where this span begins past
+    // every previous end + 1 (adjacent spans merge — contiguous tokens)
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val prevMax = max("e").over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dupOcc
+      .withColumn("new_island",
+        when(col("s") <= coalesce(prevMax, lit(-2)) + 1, 0L).otherwise(1L))
+      .withColumn("island",
+        sum("new_island").over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
 }

@@ -163,6 +163,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
       }
   }
 
+  test("duplicate spans: planted substrings merge to exact maximal spans") {
+    import spark.implicits._
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared12 = words(12, "dup") // 12-token run duplicated across docs
+    val docs = Seq(
+      // doc 1: unique prefix of 5, the shared run, unique suffix of 4
+      (1L, s"${words(5, "a")} $shared12 ${words(4, "b")}"),
+      // doc 2: the shared run at position 0, then unique tail
+      (2L, s"$shared12 ${words(9, "c")}"),
+      // doc 3: all-unique text — must emit nothing
+      (3L, words(30, "u")),
+      // doc 4: WITHIN-doc repetition: the same 8-token run twice with a
+      // unique separator token between the copies
+      (4L, s"${words(8, "r")} sep ${words(8, "r")}"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, k = 8).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    // the 12-token duplicated run = 5 overlapping 8-grams merged into ONE
+    // span of exactly 12 tokens at the right offsets
+    assert(spans(1L) === Seq((5L, 16L)))
+    assert(spans(2L) === Seq((0L, 11L)))
+    assert(!spans.contains(3L))
+    // within-doc copies are 8 tokens at offsets 0 and 9; the separator
+    // keeps them apart, so two distinct spans survive the merge
+    assert(spans(4L) === Seq((0L, 7L), (9L, 16L)))
+  }
+
   test("brute-force top-k ranks the matching basis vector first") {
     val e = embs(
       0L -> basisVec(1), 5L -> basisVec(1), 6L -> basisVec(2), 7L -> basisVec(3))
