@@ -312,6 +312,7 @@ object SparkEntry {
     "q_prefix_acl" -> ((s, d) =>
       Nested.prefixAclProbe(T.objectsNested(s, d), T.prefixAcls(s, d),
         "auditor2")),
+    "q_acl_apply" -> ((s, d) => Nested.applyAclOps(T.aclOps(s, d))),
     // ---- multi-tenancy catalog (SURVEY §2.11 tenant RPCs) ----
     "q_list_tenants" -> ((s, d) => Tenants.listTenants(T.tenantState(s, d))),
     "q_tenant_user_info" -> ((s, d) =>
@@ -1224,6 +1225,28 @@ object SparkEntry {
     // auditor2 = 'auditor' || (object_id % 3) with object-read iff version
     // even (objectsNested synthesis); prefix grant iff under warehouse/A/
     // (longest match 'warehouse/A/' r--; the shorter 'warehouse/' is -w-)
+    "q_acl_apply" -> O.withCtes(
+      """SELECT volume, bucket, key, ptype, pname, scope,
+        |  CAST(sum(1 << b) AS BIGINT) AS rights_mask
+        |FROM (
+        |  SELECT volume, bucket, key, ptype, pname, scope, b,
+        |    arg_max(op, seq) AS last_op
+        |  FROM (
+        |    SELECT a.*, t.b
+        |    FROM acl_ops a
+        |    LEFT JOIN (
+        |      SELECT volume, bucket, key, max(seq) AS set_seq
+        |      FROM acl_ops WHERE op = 'SET' GROUP BY 1, 2, 3) s
+        |      USING (volume, bucket, key)
+        |    CROSS JOIN range(0, 8) t(b)
+        |    WHERE a.seq >= coalesce(s.set_seq, 0)
+        |      AND ((a.bits >> b) & 1) = 1)
+        |  GROUP BY 1, 2, 3, 4, 5, 6, 7)
+        |WHERE last_op <> 'REMOVE'
+        |GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
+      O.objects, O.aclOpsCte),
+
     "q_prefix_acl" -> O.withCtes(
       """SELECT volume, bucket, key, 'auditor2' AS principal,
         |  CASE WHEN object_id % 3 = 2 AND version % 2 = 0 THEN 'OBJECT'

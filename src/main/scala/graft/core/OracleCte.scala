@@ -516,6 +516,34 @@ object OracleCte {
       |        WHERE version = 1 AND object_id % 97 = 0)
       |)""".stripMargin
 
+  /** Mirror of Tables.aclOps — the 13-row op template joined onto the
+    * sampled keys. */
+  val aclOpsCte: String =
+    """acl_ops AS (
+      |  SELECT o.volume, o.bucket, o.key, t.seq, t.op, t.ptype, t.pname,
+      |    'ACCESS' AS scope, t.bits
+      |  FROM (
+      |    SELECT DISTINCT volume, bucket, key,
+      |      (object_id // 101) % 5 AS variant
+      |    FROM objects WHERE object_id % 101 = 0) o
+      |  JOIN (VALUES
+      |    (0, 1, 'ADD', 'USER', 'alice', 3),
+      |    (0, 2, 'REMOVE', 'USER', 'alice', 2),
+      |    (1, 1, 'ADD', 'USER', 'alice', 3),
+      |    (1, 2, 'SET', 'USER', 'bob', 1),
+      |    (2, 1, 'ADD', 'USER', 'alice', 1),
+      |    (2, 2, 'ADD', 'USER', 'alice', 6),
+      |    (2, 3, 'REMOVE', 'USER', 'alice', 4),
+      |    (3, 1, 'REMOVE', 'USER', 'ghost', 7),
+      |    (3, 2, 'ADD', 'GROUP', 'devs', 9),
+      |    (4, 1, 'SET', 'USER', 'alice', 7),
+      |    (4, 1, 'SET', 'GROUP', 'ops', 3),
+      |    (4, 2, 'ADD', 'USER', 'alice', 8),
+      |    (4, 3, 'REMOVE', 'USER', 'alice', 1))
+      |    t(variant, seq, op, ptype, pname, bits)
+      |    ON o.variant = t.variant
+      |)""".stripMargin
+
   /** Mirror of Tables.sstCatalog — the SST universe of the compaction-DAG
     * differ (three-level history + static terminal-branch rows). */
   val sstCatalog: String =

@@ -468,6 +468,46 @@ object Tables {
         lit("USER").as("type"), lit("r--").as("rights")))
   }
 
+  /**
+   * acl_ops: the ACL write-request log (ref OMKeySetAclRequest /
+   * OMKeyAddAclRequest / OMKeyRemoveAclRequest request family, semantics
+   * in OzoneAclUtil.java:203-258 — entries keyed by (name, type, scope),
+   * add unions the rights set, remove subtracts it, set replaces the whole
+   * list). One op sequence per sampled key (~1/101), five variants
+   * covering: add-then-partial-remove, add-voided-by-set, union-of-adds,
+   * remove-on-absent no-op + group grant, and a multi-entry SET followed
+   * by add/remove churn. `bits` is the rights bitmask
+   * (READ=1 WRITE=2 CREATE=4 LIST=8). The template is a 13-row dimension
+   * broadcast onto the sampled keys.
+   */
+  def aclOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val template = Seq(
+      (0L, 1L, "ADD", "USER", "alice", 3L),
+      (0L, 2L, "REMOVE", "USER", "alice", 2L),
+      (1L, 1L, "ADD", "USER", "alice", 3L),
+      (1L, 2L, "SET", "USER", "bob", 1L),
+      (2L, 1L, "ADD", "USER", "alice", 1L),
+      (2L, 2L, "ADD", "USER", "alice", 6L),
+      (2L, 3L, "REMOVE", "USER", "alice", 4L),
+      (3L, 1L, "REMOVE", "USER", "ghost", 7L),
+      (3L, 2L, "ADD", "GROUP", "devs", 9L),
+      (4L, 1L, "SET", "USER", "alice", 7L),
+      (4L, 1L, "SET", "GROUP", "ops", 3L),
+      (4L, 2L, "ADD", "USER", "alice", 8L),
+      (4L, 3L, "REMOVE", "USER", "alice", 1L))
+      .toDF("variant", "seq", "op", "ptype", "pname", "bits")
+      .withColumn("scope", lit("ACCESS"))
+    objects(spark, dir)
+      .filter(col("object_id") % 101 === 0)
+      .select(col("volume"), col("bucket"), col("key"),
+        expr("(object_id DIV 101) % 5").as("variant"))
+      .distinct() // a request log has one op stream per key (dup-safe)
+      .join(broadcast(template), Seq("variant"))
+      .select("volume", "bucket", "key", "seq", "op", "ptype", "pname",
+        "scope", "bits")
+  }
+
   // ---- cluster-health plane (SCM/Recon datanode + pipeline catalog) ----
 
   /** datanodes: 20 nodes in 5 racks, aligned with [[replicas]]' dn/rack

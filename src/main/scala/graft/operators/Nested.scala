@@ -94,6 +94,41 @@ object Nested {
       .orderBy("volume", "bucket", "key", "granted_via")
   }
 
+  /**
+   * Fold the ACL write-request log to final per-principal rights — the
+   * SetAcl/AddAcl/RemoveAcl apply path (OzoneAclUtil.java:203-258 via the
+   * OMKey*AclRequest family): entries are keyed by (name, type, scope);
+   * ADD unions the rights set, REMOVE subtracts it (dropping the entry
+   * when empty), SET replaces the key's whole list. The fold is bit-level
+   * latest-op-wins: ops before the key's last SET are void (the SET's own
+   * grants carry its seq), each surviving (principal, right-bit) event
+   * stream resolves to whichever grant/revoke came last, and surviving
+   * bits sum back into the rights mask — no ordered iteration, just two
+   * hash aggregations.
+   *
+   * Scale shape: the log shuffles once on (key, principal, bit) — the
+   * 8-way bit explode only on mask bits actually set; the re-mask agg
+   * reuses the same partitioning prefix. last-SET seqs join in as a
+   * broadcast (SET requests are rare next to add/remove churn).
+   */
+  def applyAclOps(aclOps: DataFrame): DataFrame = {
+    val keyCols = Seq("volume", "bucket", "key")
+    val lastSet = aclOps.filter(col("op") === "SET")
+      .groupBy(keyCols.map(col): _*).agg(max("seq").as("set_seq"))
+    aclOps
+      .join(broadcast(lastSet), keyCols, "left")
+      .filter(col("seq") >= coalesce(col("set_seq"), lit(0L)))
+      .withColumn("bit", explode(expr(
+        "filter(sequence(0, 7), b -> (shiftright(bits, b) % 2) = 1)")))
+      .groupBy(col("volume"), col("bucket"), col("key"), col("ptype"),
+        col("pname"), col("scope"), col("bit"))
+      .agg(max_by(col("op"), col("seq")).as("last_op"))
+      .filter(col("last_op") =!= "REMOVE")
+      .groupBy("volume", "bucket", "key", "ptype", "pname", "scope")
+      .agg(sum(expr("shiftleft(1, bit)")).as("rights_mask"))
+      .orderBy("volume", "bucket", "key", "ptype", "pname", "scope")
+  }
+
   /** Explode the per-key block location list — one row per block with its
     * byte range (the lookupKey → block-list resolution of the reference). */
   def locationsExplode(objectsNested: DataFrame): DataFrame =

@@ -285,6 +285,41 @@ class ListingSpec extends SparkSpecBase {
     assert(byVia.getOrElse("PREFIX", 0L) > 0 && byVia.getOrElse("OBJECT", 0L) > 0)
   }
 
+  test("ACL op fold: add unions, remove subtracts, set voids earlier ops") {
+    import spark.implicits._
+    def op(key: String, seq: Long, op: String, ptype: String, pname: String,
+           bits: Long) = ("v", "b", key, seq, op, ptype, pname, "ACCESS", bits)
+    val log = Seq(
+      // add 3 then remove bit 1 → 1
+      op("k1", 1, "ADD", "USER", "alice", 3),
+      op("k1", 2, "REMOVE", "USER", "alice", 2),
+      // set AFTER an add voids it entirely
+      op("k2", 1, "ADD", "USER", "alice", 3),
+      op("k2", 2, "SET", "USER", "bob", 1),
+      // union of adds minus a partial remove
+      op("k3", 1, "ADD", "USER", "alice", 1),
+      op("k3", 2, "ADD", "USER", "alice", 6),
+      op("k3", 3, "REMOVE", "USER", "alice", 4),
+      // remove on an absent principal is a no-op; the entry never appears
+      op("k4", 1, "REMOVE", "USER", "ghost", 7),
+      // multi-entry SET then churn: alice 7 → +8 → -1 = 14; ops keeps 3;
+      // a FULL remove (all bits) drops carol's entry entirely
+      op("k5", 1, "SET", "USER", "alice", 7),
+      op("k5", 1, "SET", "GROUP", "ops", 3),
+      op("k5", 1, "SET", "USER", "carol", 5),
+      op("k5", 2, "ADD", "USER", "alice", 8),
+      op("k5", 3, "REMOVE", "USER", "alice", 1),
+      op("k5", 4, "REMOVE", "USER", "carol", 5))
+      .toDF("volume", "bucket", "key", "seq", "op", "ptype", "pname",
+        "scope", "bits")
+    val got = graft.operators.Nested.applyAclOps(log).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("pname")) ->
+        r.getAs[Long]("rights_mask")).toMap
+    assert(got === Map(
+      ("k1", "alice") -> 1L, ("k2", "bob") -> 1L, ("k3", "alice") -> 3L,
+      ("k5", "alice") -> 14L, ("k5", "ops") -> 3L))
+  }
+
   test("PrefixRangeRule makes a PLAIN startsWith filter sargable (optimizer extension)") {
     val sorted = graft.core.Tables.objectsSorted(spark, "/root/testdata/sf0.001")
     // no prefixPred here — just the naive user-written predicate
