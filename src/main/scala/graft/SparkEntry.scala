@@ -412,6 +412,9 @@ object SparkEntry {
     "q_decommission" -> ((s, d) =>
       ClusterHealth.decommissionReadiness(T.replicas(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    "q_merkle_reconcile" -> ((s, d) =>
+      ClusterHealth.merkleReconcile(T.objectsNested(s, d),
+        T.replicas(s, d))),
     // the backlog rides the shuffle-free NSSummary fold over the sorted
     // warehouse (deletedDirsInsight stays the unsorted dual)
     "q_deleted_dirs" -> ((s, d) =>
@@ -1618,6 +1621,52 @@ object SparkEntry {
         |  ON c.pipeline_idx = pl.pipeline_idx
         |ORDER BY pl.pipeline_id""".stripMargin,
       O.pipelines, O.containersScm),
+
+    "q_merkle_reconcile" -> O.withCtes(
+      s"""SELECT container_id, datanode, data_checksum, n_replicas,
+         |  agree_count,
+         |  data_checksum <> (min(CASE WHEN agree_count = max_agree
+         |      THEN data_checksum END)
+         |    OVER (PARTITION BY container_id)) AS needs_reconcile
+         |FROM (
+         |  SELECT *, max(agree_count) OVER (PARTITION BY container_id)
+         |    AS max_agree
+         |  FROM (
+         |    SELECT *,
+         |      count(*) OVER (PARTITION BY container_id) AS n_replicas,
+         |      count(*) OVER (PARTITION BY container_id, data_checksum)
+         |        AS agree_count
+         |    FROM (
+         |      SELECT container_id, datanode,
+         |        md5(string_agg(block_ck, '' ORDER BY local_id))
+         |          AS data_checksum
+         |      FROM (
+         |        SELECT container_id, datanode, local_id,
+         |          md5(string_agg(chunk_ck, '' ORDER BY off, chunk_ck))
+         |            AS block_ck
+         |        FROM (
+         |          SELECT c.container_id, r.datanode, c.local_id, c.off,
+         |            md5(c.container_id || ':' || c.local_id || ':'
+         |              || c.off || ':' || c.length || ':'
+         |              || CASE WHEN r.replica_state = 'UNHEALTHY'
+         |                 THEN 'corrupt' ELSE 'ok' END) AS chunk_ck
+         |          FROM (
+         |            SELECT container_id, object_id * 100 + i AS local_id,
+         |              i * ${graft.core.Tables.LocChunkBytes} AS off,
+         |              least(${graft.core.Tables.LocChunkBytes},
+         |                data_size - i * ${graft.core.Tables.LocChunkBytes})
+         |                AS length
+         |            FROM (
+         |              SELECT container_id, object_id, data_size,
+         |                unnest(generate_series(0,
+         |                  (data_size - 1) // ${graft.core.Tables.LocChunkBytes}))
+         |                  AS i
+         |              FROM objects)) c
+         |          JOIN replicas r USING (container_id))
+         |        GROUP BY 1, 2, 3)
+         |      GROUP BY 1, 2)))
+         |ORDER BY container_id, datanode""".stripMargin,
+      O.objects, O.containersScm, O.replicas),
 
     "q_decommission" -> O.withCtes(
       """SELECT l.datanode AS uuid, l.op_state,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -221,6 +222,67 @@ object ClusterHealth {
       .withColumn("can_proceed",
         col("under_replicated") === 0 && col("unclosed") === 0)
       .orderBy("uuid")
+  }
+
+  /**
+   * Container Merkle-tree reconciliation — the container-checksum plane
+   * (ContainerMerkleTreeWriter.java:31-45: chunk checksums roll up into a
+   * block checksum ordered by offset, block checksums into one container
+   * data checksum ordered by block ID; the reference aggregates with
+   * CRC32C, this model with md5 — the portable deterministic hash, same
+   * tree shape). Every replica computes its tree from its own data — an
+   * UNHEALTHY replica's diverges — and replicas of a container then
+   * compare: whoever disagrees with the majority checksum (ties broken by
+   * smallest checksum) needs reconciliation, the repair-to-peers decision
+   * of the reconcile command flow.
+   *
+   * Scale shape: leaves explode once from the OM chunk layout and join the
+   * (container → datanode) replica map — the ×replication fan-out every
+   * datanode pays locally in the reference appears here as one
+   * co-partitioned pass; both rollup levels aggregate on prefixes of the
+   * same (container, datanode, block) key, so the tree build is one
+   * shuffle; the majority vote runs on container-level rows only (one row
+   * per replica).
+   */
+  def merkleReconcile(objectsNested: DataFrame,
+                      replicas: DataFrame): DataFrame = {
+    val chunks = objectsNested
+      .select(explode(col("locations")).as("loc"))
+      .select(col("loc.container_id").as("container_id"),
+        col("loc.local_id").as("local_id"),
+        col("loc.offset").as("offset"), col("loc.length").as("length"))
+    val perReplica = chunks
+      .join(replicas.select("container_id", "datanode", "replica_state"),
+        Seq("container_id"))
+      .withColumn("chunk_ck", md5(concat_ws(":",
+        col("container_id"), col("local_id"), col("offset"), col("length"),
+        when(col("replica_state") === "UNHEALTHY", lit("corrupt"))
+          .otherwise(lit("ok")))))
+    val blockLevel = perReplica
+      .groupBy("container_id", "datanode", "local_id")
+      .agg(collect_list(struct(col("offset"), col("chunk_ck"))).as("cs"))
+      .withColumn("block_ck",
+        md5(concat_ws("", sort_array(col("cs")).getField("chunk_ck"))))
+    val containerLevel = blockLevel
+      .groupBy("container_id", "datanode")
+      .agg(collect_list(struct(col("local_id"), col("block_ck"))).as("bs"))
+      .withColumn("data_checksum",
+        md5(concat_ws("", sort_array(col("bs")).getField("block_ck"))))
+      .select("container_id", "datanode", "data_checksum")
+    val wC = Window.partitionBy("container_id")
+    val wCk = Window.partitionBy("container_id", "data_checksum")
+    containerLevel
+      .withColumn("n_replicas", count(lit(1)).over(wC))
+      .withColumn("agree_count", count(lit(1)).over(wCk))
+      .withColumn("max_agree", max("agree_count").over(wC))
+      .withColumn("majority_checksum",
+        min(when(col("agree_count") === col("max_agree"),
+          col("data_checksum"))).over(wC))
+      .withColumn("needs_reconcile",
+        col("data_checksum") =!= col("majority_checksum"))
+      .select("container_id", "datanode", "data_checksum", "n_replicas",
+        "agree_count", "needs_reconcile")
+      .orderBy("container_id", "datanode")
   }
 
   /**

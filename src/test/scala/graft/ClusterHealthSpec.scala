@@ -199,6 +199,38 @@ class ClusterHealthSpec extends SparkSpecBase {
         r.getAs[Long]("sufficiently_replicated")))
   }
 
+  test("merkle reconciliation flags exactly the diverging replicas") {
+    val sfd = sf
+    val out = ClusterHealth.merkleReconcile(
+      T.objectsNested(spark, sfd), T.replicas(spark, sfd)).collect()
+    val byContainer = out.groupBy(_.getAs[Long]("container_id"))
+    byContainer.foreach { case (cid, reps) =>
+      val flagged = reps.filter(_.getAs[Boolean]("needs_reconcile"))
+      if (cid % 29 == 0) {
+        // the UNHEALTHY replica's tree diverges; with >= 3 replicas the
+        // healthy majority wins and exactly one replica repairs. A 2-way
+        // 1:1 split (also %13: one replica lost) resolves by the
+        // smallest-checksum tiebreak — exactly one side still repairs.
+        assert(flagged.length == 1, s"container $cid")
+        assert(reps.map(_.getAs[Long]("agree_count")).max ==
+          reps.length - 1 || reps.length == 2, s"container $cid")
+      } else {
+        // all replicas hold identical trees — nobody repairs
+        assert(flagged.isEmpty, s"container $cid")
+        assert(reps.forall(_.getAs[Long]("agree_count") == reps.length),
+          s"container $cid")
+      }
+    }
+    // the checksum itself is order-dependent through both rollup levels:
+    // permuting the input rows must not change any tree root
+    val shuffled = ClusterHealth.merkleReconcile(
+      T.objectsNested(spark, sfd).repartition(7), T.replicas(spark, sfd))
+      .collect()
+    assert(shuffled.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet === out.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet)
+  }
+
   test("deleted-dir backlog equals a direct subtree scan per deleted dir") {
     val objects = T.objectsMixed(spark, sf)
     val insight = ClusterHealth.deletedDirsInsight(objects,
