@@ -251,24 +251,46 @@ object ClusterHealth {
       .select(col("loc.container_id").as("container_id"),
         col("loc.local_id").as("local_id"),
         col("loc.offset").as("offset"), col("loc.length").as("length"))
-    val perReplica = chunks
-      .join(replicas.select("container_id", "datanode", "replica_state"),
-        Seq("container_id"))
-      .withColumn("chunk_ck", md5(concat_ws(":",
-        col("container_id"), col("local_id"), col("offset"), col("length"),
-        when(col("replica_state") === "UNHEALTHY", lit("corrupt"))
-          .otherwise(lit("ok")))))
-    val blockLevel = perReplica
-      .groupBy("container_id", "datanode", "local_id")
-      .agg(collect_list(struct(col("offset"), col("chunk_ck"))).as("cs"))
-      .withColumn("block_ck",
-        md5(concat_ws("", sort_array(col("cs")).getField("chunk_ck"))))
-    val containerLevel = blockLevel
-      .groupBy("container_id", "datanode")
-      .agg(collect_list(struct(col("local_id"), col("block_ck"))).as("bs"))
-      .withColumn("data_checksum",
-        md5(concat_ws("", sort_array(col("bs")).getField("block_ck"))))
-      .select("container_id", "datanode", "data_checksum")
+    // a replica's tree is a pure function of (layout, replica_state) in
+    // this model, so build the TWO variant trees per container in one
+    // pass over the layout instead of fanning the chunk table out
+    // ×replication — at 100 TB the rollup is two md5 streams per chunk,
+    // not a per-replica recompute (replicas then just pick their variant)
+    def ck(salt: String) = md5(concat_ws(":",
+      col("container_id"), col("local_id"), col("offset"), col("length"),
+      lit(salt)))
+    val blockLevel = chunks
+      .withColumn("ck_ok", ck("ok"))
+      .withColumn("ck_corrupt", ck("corrupt"))
+      .groupBy("container_id", "local_id")
+      .agg(
+        collect_list(struct(col("offset"), col("ck_ok"))).as("cs_ok"),
+        collect_list(struct(col("offset"), col("ck_corrupt")))
+          .as("cs_corrupt"))
+      .select(col("container_id"), col("local_id"),
+        md5(concat_ws("", sort_array(col("cs_ok")).getField("ck_ok")))
+          .as("block_ok"),
+        md5(concat_ws("",
+          sort_array(col("cs_corrupt")).getField("ck_corrupt")))
+          .as("block_corrupt"))
+    val containerTrees = blockLevel
+      .groupBy("container_id")
+      .agg(
+        collect_list(struct(col("local_id"), col("block_ok"))).as("bs_ok"),
+        collect_list(struct(col("local_id"), col("block_corrupt")))
+          .as("bs_corrupt"))
+      .select(col("container_id"),
+        md5(concat_ws("", sort_array(col("bs_ok")).getField("block_ok")))
+          .as("tree_ok"),
+        md5(concat_ws("",
+          sort_array(col("bs_corrupt")).getField("block_corrupt")))
+          .as("tree_corrupt"))
+    val containerLevel = replicas
+      .select("container_id", "datanode", "replica_state")
+      .join(containerTrees, Seq("container_id"))
+      .select(col("container_id"), col("datanode"),
+        when(col("replica_state") === "UNHEALTHY", col("tree_corrupt"))
+          .otherwise(col("tree_ok")).as("data_checksum"))
     val wC = Window.partitionBy("container_id")
     val wCk = Window.partitionBy("container_id", "data_checksum")
     containerLevel
