@@ -144,6 +144,8 @@ object SparkEntry {
     "q_list_parts" -> ((s, d) =>
       Lifecycle.listParts(T.multipartParts(s, d), partNumberMarker = 1,
         maxParts = 4)),
+    "q_recover_lease" -> ((s, d) =>
+      Lifecycle.recoverLeases(T.objects(s, d))),
     // ---- aggregation family (SURVEY §2.4) ----
     "q_filesize_histogram" -> ((s, d) =>
       Aggregates.fileSizeHistogram(T.objects(s, d))),
@@ -570,6 +572,40 @@ object SparkEntry {
         |  AND key LIKE 'warehouse/mpu/1%'
         |ORDER BY key, upload_id LIMIT 1001""".stripMargin,
       O.multipartParts),
+
+    "q_recover_lease" -> O.withCtes(
+      s"""SELECT volume, bucket, key, decision,
+         |  CASE WHEN decision = 'RECOVERED'
+         |    THEN (data_size - 1) // ${graft.core.Tables.LocChunkBytes} + 1
+         |    ELSE 0 END AS n_blocks
+         |FROM (
+         |  SELECT volume, bucket, key, data_size,
+         |    CASE WHEN state = 'ABSENT' THEN 'KEY_NOT_FOUND'
+         |         WHEN state = 'CLOSED' THEN 'KEY_ALREADY_CLOSED'
+         |         WHEN (object_id // 10) % 4 = 0 THEN 'OPEN_KEY_DELETED'
+         |         WHEN (object_id // 10) % 4 = 1
+         |           THEN 'ALREADY_UNDER_RECOVERY'
+         |         WHEN NOT ((object_id // 10) % 16 = 2)
+         |           AND 1700000000000 < last_update + 3600000
+         |           THEN 'UNDER_SOFT_LIMIT'
+         |         ELSE 'RECOVERED' END AS decision
+         |  FROM (
+         |    SELECT volume, bucket, key, object_id, data_size, state,
+         |      CASE WHEN state = 'OPEN' AND (object_id // 10) % 4 = 2
+         |           THEN 1700000000000 - (object_id // 10) % 7200000
+         |           ELSE 1700000000000 - 3600000 - 1 END AS last_update
+         |    FROM (
+         |      SELECT volume, bucket, key, object_id, data_size, 'CLOSED'
+         |        AS state
+         |      FROM objects WHERE version = 1 AND object_id % 101 = 0
+         |      UNION ALL
+         |      SELECT volume, bucket, key || '.gone', object_id, data_size,
+         |        'ABSENT'
+         |      FROM objects WHERE version = 1 AND object_id % 101 = 0
+         |      UNION ALL
+         |      SELECT volume, bucket, key, object_id, data_size, 'OPEN'
+         |      FROM objects WHERE version = 5)))
+         |ORDER BY volume, bucket, key, decision""".stripMargin, O.objects),
 
     "q_list_parts" -> O.withCtes(
       """SELECT upload_id, order_key, part_number, etag, size, last_modified,

@@ -55,6 +55,75 @@ object Lifecycle {
         sum("data_size").as("expired_bytes"))
       .orderBy("volume", "bucket")
 
+  /** NOW / soft-limit constants for [[recoverLeases]] (mirrored in the
+    * oracle; the soft limit is the reference's 1h default). */
+  val LeaseNowMs = 1700000000000L
+  val LeaseSoftLimitMs = 3600000L
+
+  /**
+   * Lease-recovery decision table — OMRecoverLeaseRequest.doWork
+   * (OMRecoverLeaseRequest.java:185-260), every branch in the reference's
+   * precedence order, evaluated for a request batch in one pass:
+   *   1. key absent from keyTable            → KEY_NOT_FOUND
+   *   2. no HSYNC_CLIENT_ID on the key       → KEY_ALREADY_CLOSED
+   *   3. open entry marked DELETED_HSYNC_KEY → OPEN_KEY_DELETED
+   *   4. LEASE_RECOVERY already set          → ALREADY_UNDER_RECOVERY
+   *      (the reference proceeds; it's a distinct outcome here)
+   *   5. !force and now < lastUpdate + soft  → UNDER_SOFT_LIMIT
+   *   6. else                                → RECOVERED, with the block
+   *      count the response finalizes (updateBlockInfo walks the tail of
+   *      the location list).
+   * The batch: every hsync-open key (version 5 — the open_keys
+   * population) plus a closed-key and a ghost-key request per ~1/101
+   * sample. Open-key state flags derive from f = object_id DIV 10 (the
+   * order key — version-5 object_ids are all odd, so object_id itself
+   * cannot split mod 4): f%4=0 deleted open entry, f%4=1 already
+   * recovering, f%4=2 a recent lastUpdate (inside the soft window only
+   * when f % 7200000 < soft — a data-dependent split), f%4=3 stale;
+   * force on f%16=2 overrides the soft limit.
+   *
+   * Scale shape: one projection pass over the namespace scan — the
+   * decision is a pure row function; no join, no shuffle except the
+   * output sort.
+   */
+  def recoverLeases(objects: DataFrame): DataFrame = {
+    val base = objects.select("volume", "bucket", "key", "object_id",
+      "data_size", "version")
+    val closed = base.filter(col("version") === 1 &&
+        col("object_id") % 101 === 0)
+      .withColumn("state", lit("CLOSED"))
+    val ghosts = base.filter(col("version") === 1 &&
+        col("object_id") % 101 === 0)
+      .withColumn("key", concat(col("key"), lit(".gone")))
+      .withColumn("state", lit("ABSENT"))
+    val open = base.filter(col("version") === 5)
+      .withColumn("state", lit("OPEN"))
+    val reqs = closed.unionByName(ghosts).unionByName(open)
+      .withColumn("f", expr("object_id DIV 10"))
+      .withColumn("force", col("state") === "OPEN" && col("f") % 16 === 2)
+      .withColumn("last_update",
+        when(col("state") === "OPEN" && col("f") % 4 === 2,
+          lit(LeaseNowMs) - col("f") % 7200000L)
+          .otherwise(lit(LeaseNowMs) - LeaseSoftLimitMs - 1))
+    val blocks =
+      expr(s"(data_size - 1) DIV ${graft.core.Tables.LocChunkBytes} + 1")
+    reqs
+      .withColumn("decision",
+        when(col("state") === "ABSENT", lit("KEY_NOT_FOUND"))
+          .when(col("state") === "CLOSED", lit("KEY_ALREADY_CLOSED"))
+          .when(col("f") % 4 === 0, lit("OPEN_KEY_DELETED"))
+          .when(col("f") % 4 === 1, lit("ALREADY_UNDER_RECOVERY"))
+          .when(!col("force") &&
+            lit(LeaseNowMs) <
+              col("last_update") + LeaseSoftLimitMs,
+            lit("UNDER_SOFT_LIMIT"))
+          .otherwise(lit("RECOVERED")))
+      .withColumn("n_blocks",
+        when(col("decision") === "RECOVERED", blocks).otherwise(lit(0L)))
+      .select("volume", "bucket", "key", "decision", "n_blocks")
+      .orderBy("volume", "bucket", "key", "decision")
+  }
+
   /**
    * Multipart completion validation: per upload, parts must be unique and
    * gap-free from 1; emits the S3 multipart ETag = md5(concat of part etags)

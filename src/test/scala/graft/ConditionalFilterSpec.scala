@@ -76,4 +76,34 @@ class ConditionalFilterSpec extends SparkSpecBase {
       FilterDsl.compile("a:like:b")
     }
   }
+
+  test("lease recovery: force overrides the soft limit, precedence holds") {
+    val sf = "/root/testdata/sf0.001"
+    val objects = graft.core.Tables.objects(spark, sf)
+    val out = graft.operators.Lifecycle.recoverLeases(objects)
+    val byKey = out.collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    // derive per-request expectations from first principles over the raw
+    // object rows (version 5 = hsync-open; f = orderkey drives the flags)
+    val raw = objects.filter(col("version") === 5)
+      .select("key", "object_id", "data_size").distinct().collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val f = r.getAs[Long]("object_id") / 10
+      val expect =
+        if (f % 4 == 0) "OPEN_KEY_DELETED"
+        else if (f % 4 == 1) "ALREADY_UNDER_RECOVERY"
+        else if (f % 4 == 2 && f % 16 != 2 && f % 7200000 < 3600000)
+          "UNDER_SOFT_LIMIT"
+        else "RECOVERED"
+      val got = byKey(r.getAs[String]("key"))
+      assert(got.getAs[String]("decision") === expect, r.getAs[String]("key"))
+      // only recovered leases finalize blocks
+      assert((got.getAs[Long]("n_blocks") > 0) === (expect == "RECOVERED"))
+    }
+    // ghost and closed request classes are present and decided correctly
+    val decisions = out.collect().map(_.getAs[String]("decision")).toSet
+    assert(decisions.contains("KEY_NOT_FOUND"))
+    assert(decisions.contains("KEY_ALREADY_CLOSED"))
+  }
 }
