@@ -137,6 +137,26 @@ object Api {
                            bucket: String, prefix: String): DataFrame =
     Lifecycle.listMultipartUploads(T.multipartInfo(s, d), volume, bucket, prefix)
 
+  /** S3 ListParts for one upload — MultipartKeyHandler.java:126-175. */
+  def listParts(s: SparkSession, d: String, uploadId: String,
+                partNumberMarker: Int, maxParts: Int): DataFrame =
+    Lifecycle.listParts(T.multipartParts(s, d), partNumberMarker, maxParts)
+      .filter(col("upload_id") === uploadId)
+
+  /** RecoverLease decisions for the batch — OMRecoverLeaseRequest. */
+  def recoverLease(s: SparkSession, d: String): DataFrame =
+    Lifecycle.recoverLeases(T.objects(s, d))
+
+  /** Decommission/maintenance workflow status per leaving node —
+    * DatanodeAdminMonitorImpl's progress report. */
+  def decommissionStatus(s: SparkSession, d: String): DataFrame =
+    graft.operators.ClusterHealth.decommissionReadiness(
+      T.replicas(s, d), T.datanodes(s, d), T.containersScm(s, d))
+
+  /** SetAcl/AddAcl/RemoveAcl applied state — the OMKey*AclRequest fold. */
+  def applyAcls(s: SparkSession, d: String): DataFrame =
+    graft.operators.Nested.applyAclOps(T.aclOps(s, d))
+
   // -- snapshots + change stream -------------------------------------------
   def listSnapshots(s: SparkSession, d: String): DataFrame =
     CommitLog.snapshotInfoFromWarehouse(s, T.objects(s, d), d)

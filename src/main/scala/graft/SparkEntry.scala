@@ -462,7 +462,10 @@ object SparkEntry {
     "q_ngram_counts" -> ((s, d) =>
       TextAnalysis.ngramCounts(T.documents(s, d), n = 3, minCount = 3)),
     "q_bm25_rank" -> ((s, d) =>
-      TextAnalysis.bm25Rank(T.documents(s, d), SearchTerms)))
+      TextAnalysis.bm25Rank(T.documents(s, d), SearchTerms)),
+    "q_lm_familiarity" -> ((s, d) =>
+      TextAnalysis.lmFamiliarity(T.documents(s, d),
+        TextAnalysis.ngramCounts(T.documents(s, d), n = 3, minCount = 3))))
 
   /** Query-term set for q_keyword_search (mirrored in its oracle). */
   val SearchTerms = Seq("table", "spark", "query", "zebra")
@@ -2089,6 +2092,26 @@ object SparkEntry {
         |  FROM doc_words WHERE len(ws) >= 3)
         |GROUP BY 1 HAVING count(*) >= 3
         |ORDER BY cnt DESC, gram""".stripMargin,
+      O.docWords),
+
+    "q_lm_familiarity" -> O.withCtes(
+      """SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN lm.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS known_grams,
+        |  CAST(sum(CASE WHEN lm.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000
+        |    // count(*) AS familiarity_pm
+        |FROM (
+        |  SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
+        |          for i in generate_series(1, len(ws) - 2)]) AS gram
+        |  FROM doc_words WHERE len(ws) >= 3) dg
+        |LEFT JOIN (
+        |  SELECT gram FROM (
+        |    SELECT unnest([array_to_string(ws[i:i+2], ' ')
+        |            for i in generate_series(1, len(ws) - 2)]) AS gram
+        |    FROM doc_words WHERE len(ws) >= 3)
+        |  GROUP BY 1 HAVING count(*) >= 3) lm ON dg.gram = lm.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
       O.docWords),
 
     // BM25: keywordSearch's integer IDF plus tf saturation (k1=1.2 as 12

@@ -179,6 +179,32 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("gram"))
 
+  /**
+   * LM-familiarity score — the count-based-LM quality filter (the
+   * CCNet/KenLM-style pass with integer arithmetic): per document, the
+   * per-mille fraction of its n-grams found in a high-count LM table
+   * (e.g. [[ngramCounts]] of a trusted corpus). Low familiarity ⇒ the
+   * doc's token patterns are rare in the LM corpus — gibberish,
+   * boilerplate, or far out of domain.
+   *
+   * Scale shape: doc-grams shuffle-join the LM table on the gram text;
+   * after a count cutoff the LM side is the small side (heavy-tail
+   * pruned), so AQE broadcasts it; the per-doc rollup is map-side
+   * combinable.
+   */
+  def lmFamiliarity(docs: DataFrame, lm: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("ws", split(normText(col("text")), " "))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(shingleExpr("ws", n)).as("gram"))
+      .join(lm.select(col("gram"), lit(1L).as("known")), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("known"), lit(0L))).as("known_grams"))
+      .withColumn("familiarity_pm",
+        expr("known_grams * 1000 DIV n_grams"))
+      .orderBy("doc_id")
+
   /** BM25 defaults: k1 = 1.2 (stored ×10), b = 0.75 (stored via the 250 /
     * 750 split in the length norm). */
   val Bm25K1x10 = 12

@@ -40,4 +40,19 @@ class TextRankSpec extends SparkSpecBase {
     // contribution (extract per-term weight by comparing hit counts)
     assert(r(2)._1 < 2L * r(1)._1)
   }
+
+  test("LM familiarity: common-pattern docs score high, gibberish scores 0") {
+    import spark.implicits._
+    // 4 docs repeat the same sentence (its trigrams clear the cutoff);
+    // one is pure gibberish (every trigram unique in the corpus)
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1L to 4L).map(i => (i, common)) :+
+      (9L, "zxq wvu tsr qpo nml kji hgf")).toDF("doc_id", "text")
+    val lm = graft.operators.TextAnalysis.ngramCounts(docs, 3, 3)
+    val got = graft.operators.TextAnalysis.lmFamiliarity(docs, lm)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("familiarity_pm"))
+      .toMap
+    assert(got(1L) === 1000L && got(4L) === 1000L)
+    assert(got(9L) === 0L)
+  }
 }
