@@ -114,6 +114,12 @@ object Bench {
     else {
       import org.apache.spark.sql.{functions => F}
       val T = graft.core.Tables
+      // the probe runs at the END of a long JVM: drop the 114 queries'
+      // cached blocks and force a full GC first, else heap pressure from
+      // the base-SF pass dominates the measurement (observed 3-5x probe
+      // swings between otherwise identical runs)
+      spark.catalog.clearCache()
+      System.gc()
       // 10 replicas; the orderkey path segment gains a replica digit so the
       // DIRECTORY population scales 10× too, not just files-per-dir
       def scale10(df: org.apache.spark.sql.DataFrame) = df

@@ -36,43 +36,36 @@ object CommitLog {
    * same key tie-break deterministically inside the fold (size desc).
    */
   def synthesizeLog(objects: DataFrame): DataFrame = {
+    // Four pushdown-filtered scans, NOT a per-row generator: tools/
+    // LogSynthProbe A/B'd generator forms (all-rows and churn-only) at the
+    // 10× probe scale — warm parity at best, and the generator's per-row
+    // array/struct allocation degrades badly under JVM memory pressure
+    // (55-65 s first-run outliers vs a stable 13-20 s here). The branch
+    // scans 2-4 push `version`+churn predicates into the source, so their
+    // IO is ~10% of the namespace each, not full re-reads.
     val base = objects.select(
       col("volume"), col("bucket"), col("key"), col("object_id"),
       col("container_id"), col("data_size"), col("version"))
     val churned = expr("(object_id DIV 10) % 10") === 0
-    // every key creates — a plain projection, no generator cost
     val creates = base.select(lit(1L).as("seq"), lit("PUT").as("op"),
       col("volume"), col("bucket"), col("key"), col("object_id"),
       col("container_id"), col("data_size"))
-    // the churn ops ride ONE second scan with version+churn pushdown and a
-    // generator only on the ~6% of rows that emit extras (measured faster
-    // than both the 4-union form — 4 source scans — and a single
-    // all-rows generator, whose per-row array/struct allocation loses to
-    // the extra pipelined scans)
-    val extras = base
-      .filter(churned && col("version").isin(3, 4, 5, 6))
-      .select(col("volume"), col("bucket"), col("object_id"),
-        col("container_id"),
-        explode(expr(
-          """CASE
-            |  WHEN version IN (3, 6) THEN array(
-            |    named_struct('seq', 2L, 'op', 'PUT',
-            |                 'key', key, 'data_size', data_size * 2))
-            |  WHEN version = 4 THEN array(
-            |    named_struct('seq', 3L, 'op', 'DELETE',
-            |                 'key', key, 'data_size', data_size))
-            |  ELSE array(
-            |    named_struct('seq', 3L, 'op', 'DELETE',
-            |                 'key', key, 'data_size', data_size),
-            |    named_struct('seq', 4L, 'op', 'PUT',
-            |                 'key', concat(key, '.mv'),
-            |                 'data_size', data_size))
-            |END""".stripMargin)).as("e"))
-      .select(col("e.seq").as("seq"), col("e.op").as("op"),
-        col("volume"), col("bucket"), col("e.key").as("key"),
-        col("object_id"), col("container_id"),
-        col("e.data_size").as("data_size"))
-    creates.unionByName(extras)
+    val overwrites = base
+      .filter((col("version") === 3 || col("version") === 6) && churned)
+      .select(lit(2L).as("seq"), lit("PUT").as("op"),
+        col("volume"), col("bucket"), col("key"), col("object_id"),
+        col("container_id"), (col("data_size") * 2).as("data_size"))
+    val deletes = base
+      .filter((col("version") === 4 || col("version") === 5) && churned)
+      .select(lit(3L).as("seq"), lit("DELETE").as("op"),
+        col("volume"), col("bucket"), col("key"), col("object_id"),
+        col("container_id"), col("data_size"))
+    val renames = base.filter(col("version") === 5 && churned)
+      .select(lit(4L).as("seq"), lit("PUT").as("op"),
+        col("volume"), col("bucket"),
+        concat(col("key"), lit(".mv")).as("key"), col("object_id"),
+        col("container_id"), col("data_size"))
+    creates.unionByName(overwrites).unionByName(deletes).unionByName(renames)
   }
 
   /**
