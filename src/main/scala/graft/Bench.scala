@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.col
 object Bench {
   private def cloneDir(src: String): String = {
     import java.nio.file._
-    val dst = Files.createTempDirectory("graft_steady_")
+    val dst = java.nio.file.Paths.get(graft.core.TempDirs.create("graft_steady_"))
     val s = Files.walk(Paths.get(src))
     try s.forEach { p =>
       val t = dst.resolve(Paths.get(src).relativize(p).toString)
@@ -134,7 +134,7 @@ object Bench {
       val obj10 = scale10(T.objects(spark, sfDir))
       // the key-sorted warehouse is INGEST cost (reported separately)
       val tI = System.nanoTime()
-      val wh10 = java.nio.file.Files.createTempDirectory("graft_sf1_").toString
+      val wh10 = graft.core.TempDirs.create("graft_sf1_")
       obj10.repartition(F.col("volume"), F.col("bucket"))
         .sortWithinPartitions(F.col("volume"), F.col("bucket"), F.col("key"))
         .write.partitionBy("volume", "bucket").mode("overwrite").parquet(wh10)

@@ -35,7 +35,7 @@ object SparkEntry {
     val p = synchronized {
       artifactPaths.getOrElseUpdate((kind, d), {
         val out =
-          java.nio.file.Files.createTempDirectory(s"graft_${kind}_").toString
+          graft.core.TempDirs.create(s"graft_${kind}_")
         build.write.mode("overwrite").parquet(out)
         out
       })

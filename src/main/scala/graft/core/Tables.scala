@@ -86,7 +86,7 @@ object Tables {
    */
   def objectsSorted(spark: SparkSession, dir: String): DataFrame = synchronized {
     val w = warehouses.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+      val out = graft.core.TempDirs.create("graft_wh_")
       objects(spark, dir)
         .repartition(col("volume"), col("bucket"))
         // sort includes the partition columns: the partitioned write's
@@ -287,7 +287,7 @@ object Tables {
                          (build: => DataFrame): DataFrame = {
     val p = synchronized {
       fsoPaths.getOrElseUpdate((kind, dir), {
-        val out = java.nio.file.Files.createTempDirectory(s"graft_${kind}_").toString
+        val out = graft.core.TempDirs.create(s"graft_${kind}_")
         build.write.mode("overwrite").parquet(out)
         out
       })
@@ -332,7 +332,7 @@ object Tables {
     * (JVM, source dir); ingest cost, not query cost. */
   def objectsMixedSorted(spark: SparkSession, dir: String): DataFrame = synchronized {
     val w = warehouses.getOrElseUpdate(dir + "#mixed", {
-      val out = java.nio.file.Files.createTempDirectory("graft_whmx_").toString
+      val out = graft.core.TempDirs.create("graft_whmx_")
       objectsMixed(spark, dir)
         .repartition(col("volume"), col("bucket"))
         // sort includes the partition columns: the partitioned write's

@@ -186,7 +186,7 @@ object CommitLog {
   def snapshotWarehouse(spark: SparkSession, objects: DataFrame,
                         dir: String): String = synchronized {
     snapWarehouses.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft_snap_").toString
+      val out = graft.core.TempDirs.create("graft_snap_")
       synthesizeLog(objects)
         .repartitionByRange(8, col("seq"))
         .sortWithinPartitions("seq", "volume", "bucket", "key")

@@ -483,7 +483,7 @@ object ChangeStream {
   def replayedWorkDir(spark: SparkSession, objects: DataFrame,
                       sfDir: String): String = synchronized {
     replayed.getOrElseUpdate(sfDir, {
-      val work = Files.createTempDirectory("graft_stream_").toString
+      val work = graft.core.TempDirs.create("graft_stream_")
       // 6 files / 3 per trigger = 2 incremental merges: still a genuine
       // multi-batch drain, without paying per-batch fixed cost 4×
       ChangeLog.write(objects, s"$work/log", numFiles = 6)

@@ -27,7 +27,7 @@ object ScaleProbe {
     spark.range(10).count()
     val obj10 = scale10(T.objects(spark, sfDir))
     val tI = System.nanoTime()
-    val wh10 = java.nio.file.Files.createTempDirectory("graft_sf1p_").toString
+    val wh10 = graft.core.TempDirs.create("graft_sf1p_")
     obj10.repartition(F.col("volume"), F.col("bucket"))
       .sortWithinPartitions(F.col("volume"), F.col("bucket"), F.col("key"))
       .write.partitionBy("volume", "bucket").mode("overwrite").parquet(wh10)

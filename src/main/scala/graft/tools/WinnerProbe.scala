@@ -47,7 +47,7 @@ object WinnerProbe {
     time("min_by 10x again")(graft.operators.Lifecycle.latestVersionWins(obj10).count())
     time("window 10x again")(windowForm(obj10).count())
     // the declared query's path: zero-shuffle fold over the sorted layout
-    val wh = java.nio.file.Files.createTempDirectory("graft_wp_").toString
+    val wh = graft.core.TempDirs.create("graft_wp_")
     obj10.repartition(F.col("volume"), F.col("bucket"))
       .sortWithinPartitions(F.col("volume"), F.col("bucket"), F.col("key"))
       .write.partitionBy("volume", "bucket").mode("overwrite").parquet(wh)
