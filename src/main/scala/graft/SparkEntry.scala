@@ -146,6 +146,7 @@ object SparkEntry {
         maxParts = 4)),
     "q_recover_lease" -> ((s, d) =>
       Lifecycle.recoverLeases(T.objects(s, d))),
+    "q_ofs_resolve" -> ((s, d) => OfsPath.resolve(T.ofsRequests(s, d))),
     // ---- aggregation family (SURVEY §2.4) ----
     "q_filesize_histogram" -> ((s, d) =>
       Aggregates.fileSizeHistogram(T.objects(s, d))),
@@ -575,6 +576,36 @@ object SparkEntry {
         |  AND key LIKE 'warehouse/mpu/1%'
         |ORDER BY key, upload_id LIMIT 1001""".stripMargin,
       O.multipartParts),
+
+    "q_ofs_resolve" -> O.withCtes(
+      """SELECT path, username,
+        |  CASE WHEN n = 0 THEN 'ROOT'
+        |       WHEN key_name <> '' THEN 'KEY'
+        |       WHEN bucket <> '' THEN 'BUCKET'
+        |       ELSE 'VOLUME' END AS level,
+        |  mount, volume, bucket, key_name
+        |FROM (
+        |  SELECT path, username, n, mount,
+        |    CASE WHEN n = 0 THEN ''
+        |         WHEN mount = 'tmp' THEN 'tmp'
+        |         ELSE toks[1] END AS volume,
+        |    CASE WHEN mount = 'tmp' THEN md5(username)
+        |         WHEN n >= 2 THEN toks[2] ELSE '' END AS bucket,
+        |    CASE WHEN key0 <> '' AND path LIKE '%/' THEN key0 || '/'
+        |         ELSE key0 END AS key_name
+        |  FROM (
+        |    SELECT path, username, toks, len(toks) AS n,
+        |      CASE WHEN len(toks) >= 1 AND toks[1] = 'tmp' THEN 'tmp'
+        |           ELSE '' END AS mount,
+        |      coalesce(array_to_string(list_slice(toks,
+        |        CASE WHEN len(toks) >= 1 AND toks[1] = 'tmp' THEN 2
+        |             ELSE 3 END, len(toks)), '/'), '') AS key0
+        |    FROM (
+        |      SELECT path, username,
+        |        list_filter(string_split(path, '/'), t -> t <> '') AS toks
+        |      FROM ofs_requests)))
+        |ORDER BY path, username""".stripMargin,
+      O.objects, O.ofsRequests),
 
     "q_recover_lease" -> O.withCtes(
       s"""SELECT volume, bucket, key, decision,

@@ -516,6 +516,27 @@ object OracleCte {
       |        WHERE version = 1 AND object_id % 97 = 0)
       |)""".stripMargin
 
+  /** Mirror of Tables.ofsRequests. */
+  val ofsRequests: String =
+    """ofs_requests AS (
+      |  SELECT DISTINCT path, username FROM (
+      |    SELECT CASE cls
+      |        WHEN 0 THEN '/' || volume
+      |        WHEN 1 THEN '/' || volume || '/' || bucket
+      |        WHEN 2 THEN '/' || volume || '/' || bucket || '/' || key
+      |        WHEN 3 THEN '/' || volume || '//' || bucket || '/' || key
+      |        WHEN 4 THEN '/tmp/' || key
+      |        ELSE '/' || volume || '/' || bucket || '/' ||
+      |          array_to_string(list_slice(string_split(key, '/'), 1, 3),
+      |            '/') || '/'
+      |      END AS path, owner AS username
+      |    FROM (
+      |      SELECT volume, bucket, key, owner,
+      |        (object_id // 103) % 6 AS cls
+      |      FROM objects WHERE object_id % 103 = 0)
+      |    UNION ALL SELECT '/', 'root')
+      |)""".stripMargin
+
   /** Mirror of Tables.aclOps — the 13-row op template joined onto the
     * sampled keys. */
   val aclOpsCte: String =

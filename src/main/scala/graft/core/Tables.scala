@@ -508,6 +508,34 @@ object Tables {
         "scope", "bits")
   }
 
+  /** ofs_requests: a rooted-path resolution batch (ref OFSPath.java) —
+    * per ~1/103 sampled key, one of six path shapes: volume-only,
+    * bucket, full key, messy consecutive slashes, the /tmp mount, and a
+    * trailing-slash directory path; plus the root itself. */
+  def ofsRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    objects(spark, dir)
+      .filter(col("object_id") % 103 === 0)
+      .select(col("volume"), col("bucket"), col("key"), col("owner"),
+        expr("(object_id DIV 103) % 6").as("cls"))
+      .select(
+        when(col("cls") === 0, concat(lit("/"), col("volume")))
+          .when(col("cls") === 1,
+            concat(lit("/"), col("volume"), lit("/"), col("bucket")))
+          .when(col("cls") === 2, concat(lit("/"), col("volume"), lit("/"),
+            col("bucket"), lit("/"), col("key")))
+          .when(col("cls") === 3, concat(lit("/"), col("volume"),
+            lit("//"), col("bucket"), lit("/"), col("key")))
+          .when(col("cls") === 4, concat(lit("/tmp/"), col("key")))
+          .otherwise(concat(lit("/"), col("volume"), lit("/"),
+            col("bucket"), lit("/"),
+            expr("array_join(slice(split(key, '/'), 1, 3), '/')"),
+            lit("/"))).as("path"),
+        col("owner").as("username"))
+      .unionByName(Seq(("/", "root")).toDF("path", "username"))
+      .distinct()
+  }
+
   // ---- cluster-health plane (SCM/Recon datanode + pipeline catalog) ----
 
   /** datanodes: 20 nodes in 5 racks, aligned with [[replicas]]' dn/rack

@@ -285,6 +285,31 @@ class ListingSpec extends SparkSpecBase {
     assert(byVia.getOrElse("PREFIX", 0L) > 0 && byVia.getOrElse("OBJECT", 0L) > 0)
   }
 
+  test("OFS path resolution matches the reference parse table") {
+    import spark.implicits._
+    val md5u = java.security.MessageDigest.getInstance("MD5")
+      .digest("alice".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val reqs = Seq(
+      "/vol1/buc2/dir3/key4", "/vol1/buc2", "/vol1", "/tmp/dir3/key4",
+      "/", "//vol1///buc2//k", "/vol1/buc2/dir3/", "/tmp")
+      .map(p => (p, "alice")).toDF("path", "username")
+    val got = graft.operators.OfsPath.resolve(reqs).collect()
+      .map(r => r.getString(0) -> (r.getAs[String]("level"),
+        r.getAs[String]("volume"), r.getAs[String]("bucket"),
+        r.getAs[String]("key_name"))).toMap
+    assert(got("/vol1/buc2/dir3/key4") === (("KEY", "vol1", "buc2", "dir3/key4")))
+    assert(got("/vol1/buc2") === (("BUCKET", "vol1", "buc2", "")))
+    assert(got("/vol1") === (("VOLUME", "vol1", "", "")))
+    assert(got("/tmp/dir3/key4") === (("KEY", "tmp", md5u, "dir3/key4")))
+    assert(got("/") === (("ROOT", "", "", "")))
+    // StringTokenizer semantics: consecutive delimiters collapse
+    assert(got("//vol1///buc2//k") === (("KEY", "vol1", "buc2", "k")))
+    // a trailing '/' survives on the key (fs.Path drops it; OFSPath restores)
+    assert(got("/vol1/buc2/dir3/") === (("KEY", "vol1", "buc2", "dir3/")))
+    // the bare mount resolves to the user's md5 bucket
+    assert(got("/tmp") === (("BUCKET", "tmp", md5u, "")))
+  }
+
   test("ACL op fold: add unions, remove subtracts, set voids earlier ops") {
     import spark.implicits._
     def op(key: String, seq: Long, op: String, ptype: String, pname: String,
