@@ -418,6 +418,8 @@ object SparkEntry {
     "q_merkle_reconcile" -> ((s, d) =>
       ClusterHealth.merkleReconcile(T.objectsNested(s, d),
         T.replicas(s, d))),
+    "q_ec_recovery_plan" -> ((s, d) =>
+      ClusterHealth.ecRecoveryPlan(T.ecShards(s, d), T.datanodes(s, d))),
     // the backlog rides the shuffle-free NSSummary fold over the sorted
     // warehouse (deletedDirsInsight stays the unsorted dual)
     "q_deleted_dirs" -> ((s, d) =>
@@ -1691,6 +1693,43 @@ object SparkEntry {
         |  ON c.pipeline_idx = pl.pipeline_idx
         |ORDER BY pl.pipeline_id""".stripMargin,
       O.pipelines, O.containersScm),
+
+    "q_ec_recovery_plan" -> O.withCtes(
+      """SELECT container_id, online_indexes, offline_only_indexes,
+        |  5 - (online_indexes + offline_only_indexes) AS missing_indexes,
+        |  max_copies, decision,
+        |  CASE WHEN decision = 'UNDER_REPLICATED'
+        |    THEN 5 - (online_indexes + offline_only_indexes)
+        |    ELSE 0 END AS reconstruct_shards
+        |FROM (
+        |  SELECT *,
+        |    CASE WHEN online_indexes + offline_only_indexes < 3
+        |           THEN 'UNRECOVERABLE'
+        |         WHEN online_indexes + offline_only_indexes < 5
+        |           THEN 'UNDER_REPLICATED'
+        |         WHEN max_copies > 1 THEN 'OVER_REPLICATED'
+        |         WHEN offline_only_indexes > 0 THEN 'OFFLINE_COPIES'
+        |         ELSE 'HEALTHY' END AS decision
+        |  FROM (
+        |    SELECT container_id,
+        |      CAST(sum(CASE WHEN online >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS online_indexes,
+        |      CAST(sum(CASE WHEN online = 0 AND offline >= 1
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS offline_only_indexes,
+        |      CAST(max(online) AS BIGINT) AS max_copies
+        |    FROM (
+        |      SELECT s.container_id, s.replica_index,
+        |        sum(CASE WHEN s.shard_state <> 'UNHEALTHY'
+        |          AND d.op_state = 'IN_SERVICE' THEN 1 ELSE 0 END)
+        |          AS online,
+        |        sum(CASE WHEN s.shard_state <> 'UNHEALTHY'
+        |          AND d.op_state <> 'IN_SERVICE' THEN 1 ELSE 0 END)
+        |          AS offline
+        |      FROM ec_shards s JOIN datanodes d ON s.datanode = d.uuid
+        |      GROUP BY 1, 2)
+        |    GROUP BY 1))
+        |ORDER BY container_id""".stripMargin,
+      O.containersScm, O.ecShards, O.datanodes),
 
     "q_merkle_reconcile" -> O.withCtes(
       s"""SELECT container_id, datanode, data_checksum, n_replicas,

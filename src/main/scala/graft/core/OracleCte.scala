@@ -516,6 +516,28 @@ object OracleCte {
       |        WHERE version = 1 AND object_id % 97 = 0)
       |)""".stripMargin
 
+  /** Mirror of Tables.ecShards. */
+  val ecShards: String =
+    """ec_shards AS (
+      |  SELECT container_id, idx AS replica_index,
+      |    'dn' || dn AS datanode,
+      |    CASE WHEN container_id % 29 = 0 AND idx = 1 THEN 'UNHEALTHY'
+      |         ELSE 'CLOSED' END AS shard_state
+      |  FROM (
+      |    SELECT c.container_id, i.idx,
+      |      (c.container_id + i.idx * 7) % 20 AS dn
+      |    FROM containers_scm c CROSS JOIN range(1, 6) i(idx)
+      |    WHERE c.state <> 'DELETED' AND (c.container_id % 12) % 3 = 2
+      |      AND NOT (c.container_id % 31 = 0 AND i.idx = 2)
+      |      AND NOT (c.container_id % 37 = 0 AND i.idx IN (2, 4, 5))
+      |    UNION ALL
+      |    SELECT container_id, 3 AS idx,
+      |      (container_id + 3 * 7 + 3) % 20 AS dn
+      |    FROM containers_scm
+      |    WHERE state <> 'DELETED' AND (container_id % 12) % 3 = 2
+      |      AND container_id % 41 = 0)
+      |)""".stripMargin
+
   /** Mirror of Tables.ofsRequests. */
   val ofsRequests: String =
     """ofs_requests AS (

@@ -508,6 +508,38 @@ object Tables {
         "scope", "bits")
   }
 
+  /**
+   * ec_shards: per-index shard replicas of the EC rs-3-2 containers (the
+   * containers on EC pipelines: container_id % 12 on a p % 3 == 2
+   * pipeline, matching [[pipelines]]). Index k of container c lands on
+   * dn (c + 7k) % 20 — the same stride the pipeline fixture uses.
+   * Planted failure modes:
+   *   - %31: index 2 lost entirely (reconstructable — 4 indexes live);
+   *   - %37: indexes 2, 4, 5 all lost (2 < data=3 → unrecoverable);
+   *   - %41: index 3 carried TWICE on in-service nodes (over-replicated);
+   *   - %29: index 1's only copy UNHEALTHY (counts as missing);
+   * plus whatever indexes naturally land on the leaving nodes
+   * (dn 2/5/8/11/14/17 — offline-available, not missing).
+   */
+  def ecShards(spark: SparkSession, dir: String): DataFrame = {
+    val ec = containersScm(spark, dir)
+      .filter(col("state") =!= "DELETED" &&
+        (col("container_id") % 12) % 3 === 2)
+      .select("container_id")
+    val base = ec.crossJoin(spark.range(1, 6).toDF("idx"))
+      .filter(!(col("container_id") % 31 === 0 && col("idx") === 2))
+      .filter(!(col("container_id") % 37 === 0 && col("idx").isin(2, 4, 5)))
+      .withColumn("dn", (col("container_id") + col("idx") * 7) % 20)
+    val dups = ec.filter(col("container_id") % 41 === 0)
+      .withColumn("idx", lit(3L))
+      .withColumn("dn", (col("container_id") + col("idx") * 7 + 3) % 20)
+    base.unionByName(dups)
+      .select(col("container_id"), col("idx").as("replica_index"),
+        concat(lit("dn"), col("dn").cast("string")).as("datanode"),
+        when(col("container_id") % 29 === 0 && col("idx") === 1,
+          lit("UNHEALTHY")).otherwise(lit("CLOSED")).as("shard_state"))
+  }
+
   /** ofs_requests: a rooted-path resolution batch (ref OFSPath.java) —
     * per ~1/103 sampled key, one of six path shapes: volume-only,
     * bucket, full key, messy consecutive slashes, the /tmp mount, and a

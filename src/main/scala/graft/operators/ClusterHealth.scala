@@ -225,6 +225,61 @@ object ClusterHealth {
   }
 
   /**
+   * EC reconstruction planning — the SCM-side shard census of
+   * ECContainerReplicaCount (ECContainerReplicaCount.java:310-313
+   * isUnrecoverable: fewer distinct healthy indexes than data shards;
+   * :350-377 unavailableIndexes: an index counts as missing only when NO
+   * healthy copy exists anywhere — copies on decommissioning/maintenance
+   * nodes are still readable and instead need re-copying, not
+   * reconstruction). Per rs-3-2 container the decision precedence:
+   * UNRECOVERABLE (< 3 available indexes) → UNDER_REPLICATED (≥ 1 index
+   * with no copy: offline EC reconstruction rebuilds `reconstruct_shards`
+   * of them) → OVER_REPLICATED (an index with > 1 in-service copy) →
+   * OFFLINE_COPIES (indexes living only on leaving nodes) → HEALTHY.
+   *
+   * Scale shape: the node catalog broadcasts into the shard map; both
+   * rollups aggregate on (container, index) prefixes — one shuffle.
+   */
+  def ecRecoveryPlan(ecShards: DataFrame, datanodes: DataFrame,
+                     dataShards: Int = 3,
+                     requiredNodes: Int = 5): DataFrame = {
+    val dn = datanodes.select(col("uuid").as("datanode"), col("op_state"))
+    val healthy = col("shard_state") =!= "UNHEALTHY"
+    val perIdx = ecShards
+      .join(broadcast(dn), Seq("datanode"))
+      .groupBy("container_id", "replica_index")
+      .agg(
+        sum(when(healthy && col("op_state") === "IN_SERVICE", 1L)
+          .otherwise(0L)).as("online"),
+        sum(when(healthy && col("op_state") =!= "IN_SERVICE", 1L)
+          .otherwise(0L)).as("offline"))
+    perIdx
+      .groupBy("container_id")
+      .agg(
+        sum(when(col("online") >= 1, 1L).otherwise(0L))
+          .as("online_indexes"),
+        sum(when(col("online") === 0 && col("offline") >= 1, 1L)
+          .otherwise(0L)).as("offline_only_indexes"),
+        max("online").as("max_copies"))
+      .withColumn("available_indexes",
+        col("online_indexes") + col("offline_only_indexes"))
+      .withColumn("missing_indexes",
+        lit(requiredNodes.toLong) - col("available_indexes"))
+      .withColumn("decision",
+        when(col("available_indexes") < dataShards, lit("UNRECOVERABLE"))
+          .when(col("missing_indexes") > 0, lit("UNDER_REPLICATED"))
+          .when(col("max_copies") > 1, lit("OVER_REPLICATED"))
+          .when(col("offline_only_indexes") > 0, lit("OFFLINE_COPIES"))
+          .otherwise(lit("HEALTHY")))
+      .withColumn("reconstruct_shards",
+        when(col("decision") === "UNDER_REPLICATED",
+          col("missing_indexes")).otherwise(lit(0L)))
+      .select("container_id", "online_indexes", "offline_only_indexes",
+        "missing_indexes", "max_copies", "decision", "reconstruct_shards")
+      .orderBy("container_id")
+  }
+
+  /**
    * Container Merkle-tree reconciliation — the container-checksum plane
    * (ContainerMerkleTreeWriter.java:31-45: chunk checksums roll up into a
    * block checksum ordered by offset, block checksums into one container

@@ -199,6 +199,46 @@ class ClusterHealthSpec extends SparkSpecBase {
         r.getAs[Long]("sufficiently_replicated")))
   }
 
+  test("EC recovery plan: availability, offline discounts, precedence") {
+    import spark.implicits._
+    val dns = Seq(("dnS", "IN_SERVICE"), ("dnS2", "IN_SERVICE"),
+      ("dnD", "DECOMMISSIONING"), ("dnM", "IN_MAINTENANCE"))
+      .toDF("uuid", "op_state")
+    def s(c: Long, i: Long, dn: String, st: String = "CLOSED") =
+      (c, i, dn, st)
+    val shards = Seq(
+      // c1: all 5 online → HEALTHY
+      s(1, 1, "dnS"), s(1, 2, "dnS"), s(1, 3, "dnS"), s(1, 4, "dnS"),
+      s(1, 5, "dnS"),
+      // c2: index 5 lost → UNDER_REPLICATED, reconstruct 1
+      s(2, 1, "dnS"), s(2, 2, "dnS"), s(2, 3, "dnS"), s(2, 4, "dnS"),
+      // c3: only 2 distinct indexes left → UNRECOVERABLE
+      s(3, 1, "dnS"), s(3, 2, "dnS"),
+      // c4: index 4 only on a decommissioning node, index 5 only on
+      // maintenance: still AVAILABLE (no reconstruction), OFFLINE_COPIES
+      s(4, 1, "dnS"), s(4, 2, "dnS"), s(4, 3, "dnS"), s(4, 4, "dnD"),
+      s(4, 5, "dnM"),
+      // c5: index 1's only copy UNHEALTHY → missing; 4 online → UNDER
+      s(5, 1, "dnS", "UNHEALTHY"), s(5, 2, "dnS"), s(5, 3, "dnS"),
+      s(5, 4, "dnS"), s(5, 5, "dnS"),
+      // c6: index 3 twice on in-service nodes → OVER_REPLICATED
+      s(6, 1, "dnS"), s(6, 2, "dnS"), s(6, 3, "dnS"), s(6, 3, "dnS2"),
+      s(6, 4, "dnS"), s(6, 5, "dnS"))
+      .toDF("container_id", "replica_index", "datanode", "shard_state")
+    val got = ClusterHealth.ecRecoveryPlan(shards, dns).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("decision") === "HEALTHY")
+    assert(got(2L).getAs[String]("decision") === "UNDER_REPLICATED")
+    assert(got(2L).getAs[Long]("reconstruct_shards") === 1L)
+    assert(got(3L).getAs[String]("decision") === "UNRECOVERABLE")
+    assert(got(3L).getAs[Long]("reconstruct_shards") === 0L)
+    assert(got(4L).getAs[String]("decision") === "OFFLINE_COPIES")
+    assert(got(4L).getAs[Long]("missing_indexes") === 0L)
+    assert(got(5L).getAs[String]("decision") === "UNDER_REPLICATED")
+    assert(got(6L).getAs[String]("decision") === "OVER_REPLICATED")
+    assert(got(6L).getAs[Long]("max_copies") === 2L)
+  }
+
   test("merkle reconciliation flags exactly the diverging replicas") {
     val sfd = sf
     val out = ClusterHealth.merkleReconcile(
