@@ -157,7 +157,11 @@ object Bench {
         // the declared query's own path: winner-per-key as a shuffle-free
         // fold over the (10×) key-sorted warehouse
         "q_latest_version" -> (() =>
-          graft.operators.Lifecycle.latestVersionWinsSorted(sorted10).count()))
+          graft.operators.Lifecycle.latestVersionWinsSorted(sorted10).count()),
+        // data-plane tree build: chunk leaves scale 10× with the namespace
+        "q_merkle_reconcile" -> (() =>
+          graft.operators.ClusterHealth.merkleReconcile(
+            T.nestedFrom(obj10), T.replicas(spark, sfDir)).count()))
       val times = probes.map { case (name, run) =>
         val t0 = System.nanoTime()
         try run()

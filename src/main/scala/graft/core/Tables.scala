@@ -247,7 +247,12 @@ object Tables {
    * queries have closed flat forms.
    */
   def objectsNested(spark: SparkSession, dir: String): DataFrame =
-    objects(spark, dir)
+    nestedFrom(objects(spark, dir))
+
+  /** The nested-column synthesis over ANY objects-shaped input (shared by
+    * the catalog table and the 10× scale probe). */
+  def nestedFrom(objects: DataFrame): DataFrame =
+    objects
       .withColumn("tags",
         map(lit("flag"), col("tag_flag"), lit("owner"), col("owner")))
       .withColumn("acls", array(

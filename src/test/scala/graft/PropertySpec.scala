@@ -28,6 +28,42 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("duplicateSpans == brute-force reference over random small corpora") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val k = 3
+    for (trial <- 0 until 5) {
+      // tiny alphabet forces genuine cross- and within-doc k-gram repeats
+      val docs = (0 until 12).map { i =>
+        val n = 3 + rnd.nextInt(20)
+        (i.toLong, Seq.fill(n)("t" + rnd.nextInt(4)).mkString(" "))
+      }
+      // brute force: every k-gram occurrence, gram -> global count,
+      // mark+merge (adjacency included) per doc
+      val occ = docs.flatMap { case (id, text) =>
+        val ws = text.split(" ")
+        (0 to ws.length - k).map(p => (id, p, ws.slice(p, p + k).mkString(" ")))
+      }
+      val counts = occ.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = occ.filter(o => counts(o._3) > 1)
+        .groupBy(_._1).view.mapValues { os =>
+          val spans = os.map(o => (o._2.toLong, (o._2 + k - 1).toLong))
+            .sortBy(identity)
+          spans.tail.foldLeft(Vector(spans.head)) { case (acc, (s, e)) =>
+            val (ls, le) = acc.last
+            if (s <= le + 1) acc.init :+ (ls, math.max(le, e))
+            else acc :+ (s, e)
+          }
+        }.toMap
+      val got = graft.operators.Dedup
+        .duplicateSpans(docs.toDF("doc_id", "text"), k).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getLong(2)))
+          .toVector.sortBy(identity)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("graft_dot_long == HOF fold over 300 random long-vector pairs") {
     val rnd = new Random(7)
     val cases = (0 until 300).map { i =>
