@@ -164,6 +164,13 @@ object SparkEntry {
       Aggregates.globalCounts(T.objects(s, d), T.buckets(s, d),
         T.volumes(s, d), T.openKeys(s, d), T.containersScm(s, d))),
     "q_quota_usage" -> ((s, d) => Aggregates.quotaUsage(T.buckets(s, d))),
+    "q_quota_enforce" -> ((s, d) =>
+      Aggregates.quotaEnforce(
+        T.objects(s, d).filter(col("object_id") % 107 === 0)
+          .select(col("volume"), col("bucket"),
+            org.apache.spark.sql.functions.expr("key || '.new'").as("key"),
+            col("replicated_size").as("allocate_bytes")),
+        T.buckets(s, d))),
     "q_heatmap" -> ((s, d) =>
       Aggregates.heatmap(Aggregates.AuditHeatmapProvider.accessEvents(s, d))),
     "q_heatmap_tree" -> ((s, d) =>
@@ -723,6 +730,22 @@ object SparkEntry {
         |  SELECT 'containers', count(*), CAST(coalesce(sum(used_bytes), 0) AS BIGINT) FROM containers_scm
         |) ORDER BY entity""".stripMargin,
       O.objects, O.buckets, O.volumes, O.openKeys, O.containersScm),
+
+    "q_quota_enforce" -> O.withCtes(
+      """SELECT r.volume, r.bucket, r.key, r.allocate_bytes,
+        |  CASE WHEN b.quota_bytes > -1
+        |         AND b.quota_bytes - b.used_bytes < r.allocate_bytes
+        |         THEN 'QUOTA_BYTES_EXCEEDED'
+        |       WHEN b.quota_namespace > -1
+        |         AND b.quota_namespace < b.used_namespace + 1
+        |         THEN 'QUOTA_NAMESPACE_EXCEEDED'
+        |       ELSE 'ALLOWED' END AS decision
+        |FROM (
+        |  SELECT volume, bucket, key || '.new' AS key,
+        |    replicated_size AS allocate_bytes
+        |  FROM objects WHERE object_id % 107 = 0) r
+        |JOIN buckets b USING (volume, bucket)
+        |ORDER BY 1, 2, 3, 4""".stripMargin, O.objects, O.buckets),
 
     "q_quota_usage" -> O.withCtes(
       """SELECT volume, bucket, used_bytes, quota_bytes, used_namespace,

@@ -282,6 +282,36 @@ object Aggregates {
       .orderBy("volume", "bucket")
 
   /**
+   * Write-admission quota check — OMKeyCreateRequest.java:317-319 calling
+   * OMKeyRequest.java:876-907: a create is admitted against the target
+   * bucket's CURRENT usage snapshot, bytes first (rejected when
+   * quota_bytes - used_bytes < allocation; the allocation is the
+   * REPLICATED size, the pre-allocated space of the reference), then
+   * namespace (quota_namespace < used_namespace + 1); a quota of -1
+   * (QUOTA_RESET) disables its check. Request-time admission only — the
+   * serial reserve-at-commit bookkeeping is the streaming counter
+   * family's job, not this batch check.
+   *
+   * Scale shape: the bucket usage catalog broadcasts into the request
+   * batch — pure per-row decision, no shuffle beyond the output sort.
+   */
+  def quotaEnforce(requests: DataFrame, buckets: DataFrame): DataFrame =
+    requests
+      .join(broadcast(buckets.select("volume", "bucket", "used_bytes",
+        "used_namespace", "quota_bytes", "quota_namespace")),
+        Seq("volume", "bucket"))
+      .withColumn("decision",
+        when(col("quota_bytes") > -1L &&
+          col("quota_bytes") - col("used_bytes") < col("allocate_bytes"),
+          lit("QUOTA_BYTES_EXCEEDED"))
+          .when(col("quota_namespace") > -1L &&
+            col("quota_namespace") < col("used_namespace") + 1,
+            lit("QUOTA_NAMESPACE_EXCEEDED"))
+          .otherwise(lit("ALLOWED")))
+      .select("volume", "bucket", "key", "allocate_bytes", "decision")
+      .orderBy("volume", "bucket", "key", "allocate_bytes")
+
+  /**
    * Heatmap: access counts per (volume, bucket, top-level prefix) from audit
    * events, min/max-normalized at the root — ref HeatMapUtil.java:60-130
    * (tree build) and :102-111 (min/max normalization). Normalization is

@@ -88,4 +88,33 @@ class FunctionsSpec extends SparkSpecBase {
       .eval(null)
     assert(interp === 32L)
   }
+
+  test("quota admission: bytes precede namespace; -1 disables a check") {
+    import spark.implicits._
+    val buckets = Seq(
+      // (bytes quota, used, ns quota, used ns)
+      ("v", "roomy", 1000L, 100L, 10L, 3L),
+      ("v", "tightb", 1000L, 950L, 10L, 3L),
+      ("v", "tightn", 1000L, 100L, 10L, 10L),
+      ("v", "both", 1000L, 950L, 10L, 10L),
+      ("v", "nolimit", -1L, 999999L, -1L, 999999L))
+      .toDF("volume", "bucket", "quota_bytes", "used_bytes",
+        "quota_namespace", "used_namespace")
+    val reqs = Seq(("v", "roomy", "k", 100L), ("v", "tightb", "k", 100L),
+      ("v", "tightn", "k", 100L), ("v", "both", "k", 100L),
+      ("v", "nolimit", "k", 100L), ("v", "tightb", "fits", 50L))
+      .toDF("volume", "bucket", "key", "allocate_bytes")
+    val got = graft.operators.Aggregates.quotaEnforce(reqs, buckets)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getAs[String]("decision"))
+      .toMap
+    assert(got(("roomy", "k")) === "ALLOWED")
+    assert(got(("tightb", "k")) === "QUOTA_BYTES_EXCEEDED")
+    assert(got(("tightb", "fits")) === "ALLOWED")
+    assert(got(("tightn", "k")) === "QUOTA_NAMESPACE_EXCEEDED")
+    // bytes check fires first when both would reject
+    assert(got(("both", "k")) === "QUOTA_BYTES_EXCEEDED")
+    // QUOTA_RESET (-1) disables both checks regardless of usage
+    assert(got(("nolimit", "k")) === "ALLOWED")
+  }
 }
