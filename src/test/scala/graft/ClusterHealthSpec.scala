@@ -239,6 +239,25 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got(6L).getAs[Long]("max_copies") === 2L)
   }
 
+  test("new cluster queries keep catalog joins broadcast (plan quality)") {
+    val sfd = sf
+    val dec = ClusterHealth.decommissionReadiness(T.replicas(spark, sfd),
+      T.datanodes(spark, sfd), T.containersScm(spark, sfd))
+    dec.collect()
+    assert(dec.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"), "decommission catalogs broadcast")
+    val mr = ClusterHealth.merkleReconcile(
+      T.objectsNested(spark, sfd), T.replicas(spark, sfd))
+    mr.collect()
+    // AQE prints Final + Initial sections; count only the final plan
+    val mrPlan = mr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the variant-tree rewrite: exactly ONE generator pass over the chunk
+    // layout — a per-replica fan-out would explode once per replica join
+    assert(mrPlan.split("Generate explode").length - 1 == 1,
+      s"one layout explode expected in:\n$mrPlan")
+  }
+
   test("merkle reconciliation flags exactly the diverging replicas") {
     val sfd = sf
     val out = ClusterHealth.merkleReconcile(
