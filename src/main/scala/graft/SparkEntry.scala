@@ -147,6 +147,9 @@ object SparkEntry {
     "q_recover_lease" -> ((s, d) =>
       Lifecycle.recoverLeases(T.objects(s, d))),
     "q_ofs_resolve" -> ((s, d) => OfsPath.resolve(T.ofsRequests(s, d))),
+    "q_rename_keys" -> ((s, d) =>
+      CommitLog.renameKeysDecisions(T.renameRequests(s, d),
+        T.objects(s, d))),
     // ---- aggregation family (SURVEY §2.4) ----
     "q_filesize_histogram" -> ((s, d) =>
       Aggregates.fileSizeHistogram(T.objects(s, d))),
@@ -585,6 +588,30 @@ object SparkEntry {
         |  AND key LIKE 'warehouse/mpu/1%'
         |ORDER BY key, upload_id LIMIT 1001""".stripMargin,
       O.multipartParts),
+
+    "q_rename_keys" -> O.withCtes(
+      """SELECT volume, bucket, from_key, to_key, decision,
+        |  (decision = 'RENAMED' OR decision = 'DEST_EXISTS') AS applied,
+        |  CASE WHEN max(CASE WHEN decision <> 'RENAMED' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY volume, bucket) > 0
+        |    THEN 'PARTIAL_RENAME' ELSE 'OK' END AS batch_status
+        |FROM (
+        |  SELECT r.volume, r.bucket, r.from_key, r.to_key,
+        |    CASE WHEN r.from_key = '' OR r.to_key = '' THEN 'EMPTY_NAME'
+        |         WHEN t.k IS NOT NULL AND f.k IS NULL
+        |           THEN 'DEST_EXISTS_AND_SRC_MISSING'
+        |         WHEN t.k IS NOT NULL THEN 'DEST_EXISTS'
+        |         WHEN f.k IS NULL THEN 'SRC_MISSING'
+        |         ELSE 'RENAMED' END AS decision
+        |  FROM rename_requests r
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket, key AS k FROM objects) f
+        |    ON r.volume = f.volume AND r.bucket = f.bucket
+        |      AND r.from_key = f.k
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket, key AS k FROM objects) t
+        |    ON r.volume = t.volume AND r.bucket = t.bucket
+        |      AND r.to_key = t.k)
+        |ORDER BY volume, bucket, from_key, to_key""".stripMargin,
+      O.objects, O.renameRequests),
 
     "q_ofs_resolve" -> O.withCtes(
       """SELECT path, username,

@@ -538,6 +538,22 @@ object OracleCte {
       |      AND container_id % 41 = 0)
       |)""".stripMargin
 
+  /** Mirror of Tables.renameRequests. */
+  val renameRequests: String =
+    """rename_requests AS (
+      |  SELECT DISTINCT volume, bucket,
+      |    CASE WHEN cls IN (1, 4) THEN key || '.ghost' ELSE key END
+      |      AS from_key,
+      |    CASE cls WHEN 0 THEN key || '.renamed'
+      |             WHEN 1 THEN key || '.r1'
+      |             WHEN 3 THEN ''
+      |             WHEN 2 THEN key
+      |             ELSE regexp_replace(key, '[0-9]+\.dat$', '1.dat') END
+      |      AS to_key
+      |  FROM (SELECT *, (object_id // 109) % 5 AS cls FROM objects
+      |        WHERE object_id % 109 = 0)
+      |)""".stripMargin
+
   /** Mirror of Tables.ofsRequests. */
   val ofsRequests: String =
     """ofs_requests AS (

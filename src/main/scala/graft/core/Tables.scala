@@ -545,6 +545,31 @@ object Tables {
           lit("UNHEALTHY")).otherwise(lit("CLOSED")).as("shard_state"))
   }
 
+  /** rename_requests: a RenameKeys batch per ~1/109 sampled key covering
+    * every decision branch (ref OMKeysRenameRequest): clean rename,
+    * missing source, existing destination (the version-1 sibling of the
+    * same order always exists), empty target name, and
+    * dest-exists+src-missing combined. */
+  def renameRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 109 === 0)
+      .select(col("volume"), col("bucket"), col("key"),
+        expr("(object_id DIV 109) % 5").as("cls"),
+        expr("regexp_replace(key, '[0-9]+\\\\.dat$', '1.dat')").as("sib"))
+      .select(col("volume"), col("bucket"),
+        when(col("cls").isin(1, 4), concat(col("key"), lit(".ghost")))
+          .otherwise(col("key")).as("from_key"),
+        when(col("cls") === 0, concat(col("key"), lit(".renamed")))
+          .when(col("cls") === 1, concat(col("key"), lit(".r1")))
+          .when(col("cls") === 3, lit(""))
+          // cls 2: rename onto ITSELF — an existing destination in the
+          // same bucket by construction; cls 4: the version-1 sibling
+          // (same bucket only when the suppkeys agree — a data-split
+          // between combined-failure and plain src-missing)
+          .when(col("cls") === 2, col("key"))
+          .otherwise(col("sib")).as("to_key"))
+      .distinct()
+
   /** ofs_requests: a rooted-path resolution batch (ref OFSPath.java) —
     * per ~1/103 sampled key, one of six path shapes: volume-only,
     * bucket, full key, messy consecutive slashes, the /tmp mount, and a

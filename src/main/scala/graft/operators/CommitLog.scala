@@ -135,6 +135,63 @@ object CommitLog {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /**
+   * RenameKeys batch decisions — OMKeysRenameRequest.java:135-223, the
+   * per-key branch order evaluated for every request in one pass:
+   *   - empty from/to name → EMPTY_NAME, not applied;
+   *   - destination already exists → DEST_EXISTS, marked un-renamed BUT
+   *     the rename still applies (the reference records the failure and
+   *     then falls through to overwrite the destination — there is no
+   *     `continue` on that branch, :173-181 vs :186-193);
+   *   - source missing → SRC_MISSING (with DEST_EXISTS_AND_SRC_MISSING
+   *     when both fire — the reference adds the key to unRenamedKeys
+   *     twice);
+   *   - otherwise → RENAMED.
+   * The batch (one per bucket) reports OK only when nothing failed, else
+   * PARTIAL_RENAME — the reference's renameStatus fold. ACL denial is
+   * covered by the ACL probe family, not re-modeled here.
+   *
+   * Scale shape: two existence probes against the namespace key set, both
+   * equi-joins on the full (volume, bucket, key) prefix — they co-shuffle
+   * with the request batch; the batch verdict is one window over the
+   * bucket.
+   */
+  def renameKeysDecisions(requests: DataFrame,
+                          objects: DataFrame): DataFrame = {
+    val keys = objects.select("volume", "bucket", "key").distinct()
+    val fromProbe = keys
+      .withColumnRenamed("key", "from_key")
+      .withColumn("from_exists", lit(true))
+    val toProbe = keys
+      .withColumnRenamed("key", "to_key")
+      .withColumn("to_exists", lit(true))
+    val decided = requests
+      .join(fromProbe, Seq("volume", "bucket", "from_key"), "left")
+      .join(toProbe, Seq("volume", "bucket", "to_key"), "left")
+      .withColumn("decision",
+        when(col("from_key") === "" || col("to_key") === "",
+          lit("EMPTY_NAME"))
+          .when(coalesce(col("to_exists"), lit(false)) &&
+            !coalesce(col("from_exists"), lit(false)),
+            lit("DEST_EXISTS_AND_SRC_MISSING"))
+          .when(coalesce(col("to_exists"), lit(false)), lit("DEST_EXISTS"))
+          .when(!coalesce(col("from_exists"), lit(false)),
+            lit("SRC_MISSING"))
+          .otherwise(lit("RENAMED")))
+      // the reference applies the rename on DEST_EXISTS despite marking it
+      // failed — `applied` records what actually changed in the key table
+      .withColumn("applied",
+        col("decision") === "RENAMED" || col("decision") === "DEST_EXISTS")
+    decided
+      .withColumn("batch_status",
+        when(max(when(col("decision") =!= "RENAMED", 1L).otherwise(0L))
+          .over(Window.partitionBy("volume", "bucket")) > 0,
+          lit("PARTIAL_RENAME")).otherwise(lit("OK")))
+      .select("volume", "bucket", "from_key", "to_key", "decision",
+        "applied", "batch_status")
+      .orderBy("volume", "bucket", "from_key", "to_key")
+  }
+
   /** deletedTable view (ref OMDBDefinition deletedTable, RepeatedOmKeyInfo:
     * a key can accumulate SEVERAL deleted versions): every key with DELETE
     * events in the log, with version count + reclaimable bytes. */

@@ -38,4 +38,27 @@ class CommitLogSpec extends SparkSpecBase {
     val s2 = CommitLog.applyAt(log, 4L)
     assert(info(1)(2) === s2.count())
   }
+
+  test("rename batch: the dest-exists quirk applies despite failing") {
+    import spark.implicits._
+    val ns = Seq(("v", "b", "a"), ("v", "b", "c"), ("v", "clean", "x"))
+      .toDF("volume", "bucket", "key")
+    val reqs = Seq(
+      ("v", "b", "a", "c"),    // dest exists: marked failed, APPLIED anyway
+      ("v", "b", "ghost", "c"), // dest exists + src missing
+      ("v", "b", "ghost", "d"), // src missing
+      ("v", "b", "a", ""),     // empty target
+      ("v", "clean", "x", "y")) // the only clean batch
+      .toDF("volume", "bucket", "from_key", "to_key")
+    val got = CommitLog.renameKeysDecisions(reqs, ns).collect()
+      .map(r => (r.getString(2), r.getString(3)) ->
+        (r.getAs[String]("decision"), r.getAs[Boolean]("applied"),
+          r.getAs[String]("batch_status"))).toMap
+    assert(got(("a", "c")) === (("DEST_EXISTS", true, "PARTIAL_RENAME")))
+    assert(got(("ghost", "c")) ===
+      (("DEST_EXISTS_AND_SRC_MISSING", false, "PARTIAL_RENAME")))
+    assert(got(("ghost", "d")) === (("SRC_MISSING", false, "PARTIAL_RENAME")))
+    assert(got(("a", "")) === (("EMPTY_NAME", false, "PARTIAL_RENAME")))
+    assert(got(("x", "y")) === (("RENAMED", true, "OK")))
+  }
 }
