@@ -205,6 +205,8 @@ object SparkEntry {
       Lifecycle.lifecycleExpiry(T.objects(s, d), lcRules)),
     "q_open_key_expiry" -> ((s, d) =>
       Lifecycle.openKeyExpiry(T.openKeys(s, d), 896659200000L)),
+    "q_open_key_cleanup" -> ((s, d) =>
+      Lifecycle.openKeyCleanup(T.openKeys(s, d), 896659200000L)),
     "q_multipart_validate" -> ((s, d) =>
       Lifecycle.multipartValidate(T.multipartParts(s, d))),
     "q_multipart_etag" -> ((s, d) =>
@@ -918,6 +920,17 @@ object SparkEntry {
         |  FROM objects)
         |WHERE rule_id IS NOT NULL
         |ORDER BY volume, bucket, key, data_size, modification_time""".stripMargin, O.objects),
+
+    "q_open_key_cleanup" -> O.withCtes(
+      """SELECT volume, bucket, key, client_id,
+        |  (object_id // 10) % 3 = 0 AS hsynced,
+        |  CASE WHEN creation_time >= 896659200000 THEN 'RETAIN'
+        |       WHEN (object_id // 10) % 3 = 0 THEN 'COMMIT'
+        |       ELSE 'DELETE' END AS action,
+        |  data_size
+        |FROM open_keys
+        |ORDER BY volume, bucket, key, client_id, data_size""".stripMargin,
+      O.objects, O.openKeys),
 
     "q_open_key_expiry" -> O.withCtes(
       """SELECT volume, bucket, count(*) AS expired_count,

@@ -55,6 +55,29 @@ object Lifecycle {
         sum("data_size").as("expired_bytes"))
       .orderBy("volume", "bucket")
 
+  /**
+   * Open-key cleanup decisions — OpenKeyCleanupService.java:183-235: the
+   * expired open keys (creation older than the threshold) split into the
+   * two submit paths: non-hsync'd entries batch into open-key DELETEs,
+   * hsync'd entries have durable data and are COMMITTED instead; entries
+   * inside the threshold are retained. The hsync flag derives from the
+   * order key (f % 3 == 0 — writes through ofs/o3fs hsync, the S3 path
+   * never does).
+   *
+   * Scale shape: a pure row decision over the open-key table — no join,
+   * no shuffle beyond the output sort.
+   */
+  def openKeyCleanup(openKeys: DataFrame, cutoffMs: Long): DataFrame =
+    openKeys
+      .withColumn("hsynced", expr("(object_id DIV 10) % 3 = 0"))
+      .withColumn("action",
+        when(col("creation_time") >= cutoffMs, lit("RETAIN"))
+          .when(col("hsynced"), lit("COMMIT"))
+          .otherwise(lit("DELETE")))
+      .select("volume", "bucket", "key", "client_id", "hsynced", "action",
+        "data_size")
+      .orderBy("volume", "bucket", "key", "client_id", "data_size")
+
   /** NOW / soft-limit constants for [[recoverLeases]] (mirrored in the
     * oracle; the soft limit is the reference's 1h default). */
   val LeaseNowMs = 1700000000000L
