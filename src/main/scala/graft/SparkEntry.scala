@@ -235,6 +235,8 @@ object SparkEntry {
       Dedup.dupClusters(T.documents(s, d).select("doc_id"),
         verifiedPairsCached(s, d))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
+    "q_semantic_decon" -> ((s, d) =>
+      Similarity.semanticDecon(T.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d),
       precomputedCentroids = Some(ivfCentroidsCached(s, d)))),
     // PQ/ADC: the corpus side of the probe touches only 4 small codes per
@@ -1168,6 +1170,26 @@ object SparkEntry {
         |    SELECT vec_b, vec_a, shared_bands, cos_x1e6 FROM cand_cos))
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
       O.embQuant, O.planes, O.lshBandsCte, O.lshCandCte, O.candCosCte),
+
+    "q_semantic_decon" -> O.withCtes(
+      s"""SELECT vec_id, bench_id, cos_x1e6, n_bench_hits FROM (
+         |  SELECT vec_id, bench_id, cos_x1e6,
+         |    count(*) OVER (PARTITION BY vec_id) AS n_bench_hits,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_x1e6 DESC, bench_id) AS rn
+         |  FROM (
+         |  SELECT c.vec_id, b.bench_id,
+         |    ${O.cosSql(
+              "list_sum([c.cv[i] * b.bv[i] for i in generate_series(1, 64)])",
+              "c.nrm_a", "b.nrm_b")} AS cos_x1e6
+         |  FROM (
+         |    SELECT vec_id, qv AS cv, nrm AS nrm_a FROM emb_n
+         |    WHERE vec_id % 50 <> 0) c
+         |  CROSS JOIN (
+         |    SELECT vec_id AS bench_id, qv AS bv, nrm AS nrm_b FROM emb_n
+         |    WHERE vec_id % 50 = 0) b)
+         |  WHERE cos_x1e6 >= 350000)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin, O.embQuant),
 
     "q_embed_neardup" -> O.withCtes(
       """SELECT vec_a, vec_b, cos_x1e6 FROM cand_cos

@@ -39,6 +39,38 @@ object Similarity {
   private val cosExpr =
     "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nrm_a AS DOUBLE) * CAST(nrm_b AS DOUBLE)) * 1000000) AS BIGINT)"
 
+  /**
+   * Semantic decontamination — the embedding-space sibling of the n-gram
+   * [[Curation.decontaminate]] pass (SemDeDup-style screening): corpus
+   * vectors whose cosine against ANY held-out benchmark vector clears the
+   * threshold are flagged, with their closest benchmark match and the hit
+   * count. The held-out split (vec_id % benchMod) is fixture-side small —
+   * like any real benchmark suite — so it broadcasts into one pass over
+   * the corpus; the corpus never shuffles (the flagged fraction alone
+   * reaches the per-vector argmax agg).
+   */
+  def semanticDecon(embeddings: DataFrame, benchMod: Long = 50,
+                    minCosX1e6: Long = 350000): DataFrame = {
+    val q = quantized(embeddings)
+    val bench = q.filter(col("vec_id") % benchMod === 0)
+      .select(col("vec_id").as("bench_id"), col("qv").as("bv"),
+        col("nrm").as("nrm_b"))
+    val corpus = q.filter(col("vec_id") % benchMod =!= 0)
+      .select(col("vec_id"), col("qv").as("cv"), col("nrm").as("nrm_a"))
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("dot", expr("graft_dot_long(cv, bv)"))
+      .withColumn("cos_x1e6", expr(cosExpr))
+      .filter(col("cos_x1e6") >= minCosX1e6)
+      .groupBy("vec_id")
+      .agg(
+        min_by(struct(col("bench_id"), col("cos_x1e6")),
+          struct((-col("cos_x1e6")).as("nc"), col("bench_id"))).as("__b"),
+        count(lit(1)).as("n_bench_hits"))
+      .select(col("vec_id"), col("__b.bench_id").as("bench_id"),
+        col("__b.cos_x1e6").as("cos_x1e6"), col("n_bench_hits"))
+      .orderBy("vec_id")
+  }
+
   /** Brute-force cosine top-k for a BOUNDED query set (vec_id < numQueries):
     * exact baseline, cost O(numQueries · corpus) — linear in the corpus for
     * a fixed query batch, so it scales (unlike a query set that grows with

@@ -163,6 +163,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
       }
   }
 
+  test("semantic decon flags near-benchmark vectors with their best match") {
+    // vec 0 and 50 are the benchmark split (ids % 50 == 0); corpus vec 7
+    // is a twin of benchmark 0, corpus vec 8 is near benchmark 50, vec 9
+    // is orthogonal to both
+    val e = embs(
+      0L -> basisVec(1), 50L -> basisVec(2),
+      7L -> basisVec(1), 8L -> basisVec(2, noise = 0.05f),
+      9L -> basisVec(40, noise = 0.0f))
+    val got = Similarity.semanticDecon(e, benchMod = 50,
+      minCosX1e6 = 350000).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Long]("n_bench_hits"))).toMap
+    assert(got(7L)._1 === 0L) // twin matches ITS benchmark, not the other
+    assert(got(8L)._1 === 50L)
+    assert(!got.contains(9L)) // orthogonal vector stays clean
+  }
+
   test("duplicate spans: planted substrings merge to exact maximal spans") {
     import spark.implicits._
     def words(n: Int, tag: String) =
