@@ -196,6 +196,9 @@ object SparkEntry {
       Joins.replicaHealth(T.containersScm(s, d), T.replicas(s, d))),
     "q_snapshot_diff" -> ((s, d) =>
       Joins.snapshotDiff(T.snapshotV1(s, d), T.snapshotV2(s, d))),
+    "q_snapshot_diff_page" -> ((s, d) =>
+      Joins.snapshotDiffPage(T.snapshotV1(s, d), T.snapshotV2(s, d),
+        token = 100, pageSize = 50)),
     "q_snapshot_diff_summary" -> ((s, d) =>
       Joins.snapshotDiffSummary(T.snapshotV1(s, d), T.snapshotV2(s, d))),
     "q_layout_union" -> ((s, d) =>
@@ -888,6 +891,35 @@ object SparkEntry {
         |WHERE NOT (a.old_key IS NOT NULL AND b.new_key IS NOT NULL
         |  AND a.old_key = b.new_key AND a.old_size = b.new_size)
         |ORDER BY object_id""".stripMargin,
+      O.objects, O.snapshotV1, O.snapshotV2),
+
+    "q_snapshot_diff_page" -> O.withCtes(
+      """SELECT idx, object_id, old_key, new_key, old_size, new_size,
+        |  diff_type,
+        |  CASE WHEN 150 < n THEN 150 ELSE -1 END AS next_token
+        |FROM (
+        |  SELECT *, row_number() OVER (ORDER BY object_id) - 1 AS idx,
+        |    count(*) OVER () AS n
+        |  FROM (
+        |    SELECT coalesce(a.object_id, b.object_id) AS object_id,
+        |      coalesce(a.old_key, '') AS old_key,
+        |      coalesce(a.old_size, -1) AS old_size,
+        |      coalesce(b.new_key, '') AS new_key,
+        |      coalesce(b.new_size, -1) AS new_size,
+        |      CASE WHEN a.old_key IS NULL THEN 'CREATE'
+        |           WHEN b.new_key IS NULL THEN 'DELETE'
+        |           WHEN a.old_key <> b.new_key THEN 'RENAME'
+        |           WHEN a.old_size <> b.new_size THEN 'MODIFY'
+        |           ELSE 'UNCHANGED' END AS diff_type
+        |    FROM (SELECT object_id, key AS old_key, data_size AS old_size
+        |          FROM snap_v1) a
+        |    FULL OUTER JOIN (SELECT object_id, key AS new_key,
+        |          data_size AS new_size FROM snap_v2) b
+        |      ON a.object_id = b.object_id
+        |    WHERE NOT (a.old_key IS NOT NULL AND b.new_key IS NOT NULL
+        |      AND a.old_key = b.new_key AND a.old_size = b.new_size)))
+        |WHERE idx >= 100 AND idx < 150
+        |ORDER BY idx""".stripMargin,
       O.objects, O.snapshotV1, O.snapshotV2),
 
     "q_snapshot_diff_summary" -> O.withCtes(

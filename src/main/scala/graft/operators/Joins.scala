@@ -109,6 +109,37 @@ object Joins {
       .orderBy("object_id")
   }
 
+  /**
+   * One page of the snapshot-diff REPORT — the reference persists the
+   * computed report keyed by (jobId, index) and serves it in pages of
+   * `pageSize` from an index token, returning the next token
+   * (SnapshotDiffManager's getSnapshotDiffReport paging over
+   * snapDiffReportTable). The report index is the diff's own total order
+   * (object_id — stable across requests because the report is a frozen
+   * artifact); `next_token` rides every row, -1 on the last page.
+   *
+   * Scale shape: the index is a row_number over the materialized report —
+   * the one global sort the REPORT itself already paid (the reference
+   * writes the report ordered once per job; pages are range reads). The
+   * token filter prunes before anything else downstream.
+   */
+  def snapshotDiffPage(v1: DataFrame, v2: DataFrame, token: Long,
+                       pageSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("object_id")
+    val indexed = snapshotDiff(v1, v2)
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+    val total = indexed.agg(count(lit(1)).as("__n"))
+    indexed
+      .filter(col("idx") >= token && col("idx") < token + pageSize)
+      .crossJoin(broadcast(total))
+      .withColumn("next_token",
+        when(lit(token + pageSize) < col("__n"), lit(token + pageSize))
+          .otherwise(lit(-1L)))
+      .select("idx", "object_id", "old_key", "new_key", "old_size",
+        "new_size", "diff_type", "next_token")
+      .orderBy("idx")
+  }
+
   /** Snapshot diff rollup (counts per class) — the summary the reference
     * reports per diff job. */
   def snapshotDiffSummary(v1: DataFrame, v2: DataFrame): DataFrame =

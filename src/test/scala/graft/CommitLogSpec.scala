@@ -39,6 +39,25 @@ class CommitLogSpec extends SparkSpecBase {
     assert(info(1)(2) === s2.count())
   }
 
+  test("snapshot-diff report pages chain by token to the full report") {
+    val (v1, v2) = (Tables.snapshotV1(spark, sf), Tables.snapshotV2(spark, sf))
+    val full = rows(graft.operators.Joins.snapshotDiff(v1, v2))
+    var token = 0L
+    var walked = Seq.empty[Seq[Any]]
+    var done = false
+    while (!done) {
+      val page = rows(graft.operators.Joins.snapshotDiffPage(
+        v1, v2, token, 500))
+      assert(page.size <= 500)
+      // (idx, object_id, old_key, new_key, old_size, new_size, type, tok)
+      walked ++= page.map(r => Seq(r(1), r(2), r(3), r(6)))
+      val next = page.last.last.asInstanceOf[Long]
+      if (next == -1L) done = true else token = next
+    }
+    // the chained pages ARE the report: same ids, keys, classes, order
+    assert(walked === full.map(r => Seq(r(0), r(1), r(3), r(5))))
+  }
+
   test("rename batch: the dest-exists quirk applies despite failing") {
     import spark.implicits._
     val ns = Seq(("v", "b", "a"), ("v", "b", "c"), ("v", "clean", "x"))
