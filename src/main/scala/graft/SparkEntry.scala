@@ -652,7 +652,7 @@ object SparkEntry {
 
     "q_recover_lease" -> O.withCtes(
       s"""SELECT volume, bucket, key, decision,
-         |  CASE WHEN decision = 'RECOVERED'
+         |  CASE WHEN decision = 'RECOVERED' AND data_size > 0
          |    THEN (data_size - 1) // ${graft.core.Tables.LocChunkBytes} + 1
          |    ELSE 0 END AS n_blocks
          |FROM (

@@ -277,10 +277,16 @@ object Dedup {
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"),
         posexplode(shingleExpr("ws", k)).as(Seq("pos", "gram")))
-    val dupOcc = occ
-      .withColumn("occurrences",
-        count(lit(1)).over(Window.partitionBy("gram")))
+    // count per gram as a map-side-combined AGGREGATE, then semi-join the
+    // duplicated grams back — a count window over (gram) would pile every
+    // occurrence of a hot boilerplate gram onto one task with no
+    // pre-combine and no AQE skew splitting (which covers joins only)
+    val dupGrams = occ
+      .groupBy("gram").agg(count(lit(1)).as("occurrences"))
       .filter(col("occurrences") > 1)
+      .select("gram")
+    val dupOcc = occ
+      .join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         (col("pos") + k - 1).cast("long").as("e"))
     // gaps-and-islands: a new island starts where this span begins past

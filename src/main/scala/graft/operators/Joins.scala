@@ -125,16 +125,39 @@ object Joins {
    */
   def snapshotDiffPage(v1: DataFrame, v2: DataFrame, token: Long,
                        pageSize: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("object_id")
-    val indexed = snapshotDiff(v1, v2)
-      .withColumn("idx", row_number().over(w).cast("long") - 1)
-    val total = indexed.agg(count(lit(1)).as("__n"))
-    indexed
-      .filter(col("idx") >= token && col("idx") < token + pageSize)
-      .crossJoin(broadcast(total))
+    // index via the two-pass range-partition + prefix-offset idiom
+    // (ChangeLog.events) — NEVER a no-partition global window, which
+    // would serialize the whole report through one task at scale. One
+    // RDD instance backs both passes (stage reuse, no cache pinning).
+    val report = snapshotDiff(v1, v2)
+      .repartitionByRange(8, col("object_id"))
+      .sortWithinPartitions("object_id")
+    val reportRdd = report.rdd
+    val counts = reportRdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = report.schema.add("idx", "long")
+    val withIdx = reportRdd.mapPartitionsWithIndex { (i, it) =>
+      var n = offsets(i) - 1
+      it.map { r => n += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)
+      }
+    }
+    // maxKeys+1 truncation probe instead of a total count: fetch one index
+    // past the page — its presence answers "is there a next page" without
+    // a second evaluation of the diff lineage. The no-partition window is
+    // fine HERE: it runs over the ≤ pageSize+1 already-filtered rows, not
+    // the report.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    v1.sparkSession.createDataFrame(withIdx, schema)
+      .filter(col("idx") >= token && col("idx") <= token + pageSize)
+      .withColumn("__probe_max", max("idx").over(wAll))
+      .filter(col("idx") < token + pageSize)
       .withColumn("next_token",
-        when(lit(token + pageSize) < col("__n"), lit(token + pageSize))
-          .otherwise(lit(-1L)))
+        when(col("__probe_max") === token + pageSize,
+          lit(token + pageSize)).otherwise(lit(-1L)))
       .select("idx", "object_id", "old_key", "new_key", "old_size",
         "new_size", "diff_type", "next_token")
       .orderBy("idx")

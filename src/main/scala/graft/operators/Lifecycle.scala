@@ -128,8 +128,10 @@ object Lifecycle {
         when(col("state") === "OPEN" && col("f") % 4 === 2,
           lit(LeaseNowMs) - col("f") % 7200000L)
           .otherwise(lit(LeaseNowMs) - LeaseSoftLimitMs - 1))
-    val blocks =
-      expr(s"(data_size - 1) DIV ${graft.core.Tables.LocChunkBytes} + 1")
+    // a 0-byte file has no blocks — and (0-1) DIV c is the one input
+    // where Spark's truncating DIV and DuckDB's flooring // disagree
+    val blocks = expr(
+      s"IF(data_size <= 0, 0L, (data_size - 1) DIV ${graft.core.Tables.LocChunkBytes} + 1)")
     reqs
       .withColumn("decision",
         when(col("state") === "ABSENT", lit("KEY_NOT_FOUND"))
