@@ -168,6 +168,18 @@ object Api {
   def snapshotDiff(s: SparkSession, d: String): DataFrame =
     CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d)
 
+  /** Reclaimable deleted keys (the KeyDeletingService / SnapshotDeleting
+    * Service candidate set): buffered deletes whose blocks may be purged
+    * now — absent from the previous snapshot in the chain. */
+  def listReclaimableKeys(s: SparkSession, d: String): DataFrame =
+    Reclaim.snapshotReclaim(s, T.objects(s, d), d)
+      .filter(col("reclaimable"))
+
+  /** Per-snapshot exclusive size (SnapshotInfo.exclusiveSize): bytes freed
+    * if that snapshot alone were deleted. */
+  def snapshotExclusiveSizes(s: SparkSession, d: String): DataFrame =
+    Reclaim.snapshotExclusive(s, T.objects(s, d), d)
+
   /** ListSnapshotDiffJobs: one row per adjacent catalog pair with the
     * job-report rollup (the reference lists submitted diff jobs with
     * their status; here every chain pair is a completed job). */

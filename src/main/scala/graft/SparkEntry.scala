@@ -363,6 +363,12 @@ object SparkEntry {
       CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d)),
     "q_list_snapshots" -> ((s, d) =>
       CommitLog.snapshotInfoFromWarehouse(s, T.objects(s, d), d)),
+    // Snapshot space reclamation (ReclaimableKeyFilter semantics): decide
+    // every buffered deleted key through the chain; exclusive-size rollup
+    "q_snapshot_reclaim" -> ((s, d) =>
+      Reclaim.snapshotReclaim(s, T.objects(s, d), d)),
+    "q_snapshot_exclusive" -> ((s, d) =>
+      Reclaim.snapshotExclusive(s, T.objects(s, d), d)),
     // S3 write-protocol decisions (CopyObject / MultiDelete) evaluated
     // against current key state — request batches broadcast into the scan
     "q_copy_object" -> ((s, d) =>
@@ -1577,6 +1583,61 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN version IN (3, 6) AND churn THEN mx * 2 ELSE mx END) AS BIGINT)
         |  FROM wgrp WHERE NOT (version = 4 AND churn)
         |) ORDER BY name""".stripMargin,
+      O.objects,
+      """wgrp AS (
+        |  SELECT volume, bucket, key, object_id, version,
+        |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6
+        |)""".stripMargin),
+
+    // Reclaim closed forms over the commit-log chain (s1 @1, s2 @4, AOS):
+    // s2's deletedTable = the row-granular seq-3 deletes — present in s1
+    // (the per-key fold winner mx) exactly when the row carries the max
+    // size, so a non-max duplicate row is location-mismatched → reclaimable,
+    // and a matched row is exclusive to the chain-head s1. The AOS band
+    // (churn v ∈ {1,3,4}): v=1 shared with s1 (no charge), v=3 overwritten
+    // → exclusive to s2, v=4 already gone from s2 → reclaimable.
+    "q_snapshot_reclaim" -> O.withCtes(
+      """SELECT owner, volume, bucket, key, object_id, data_size,
+        |  reclaimable, exclusive_to
+        |FROM (
+        |  SELECT 's2' AS owner, o.volume, o.bucket, o.key, o.object_id,
+        |    o.data_size, o.data_size <> w.mx AS reclaimable,
+        |    CASE WHEN o.data_size = w.mx THEN 's1' END AS exclusive_to
+        |  FROM objects o
+        |  JOIN wgrp w ON o.volume = w.volume AND o.bucket = w.bucket
+        |    AND o.key = w.key
+        |  WHERE o.version IN (4, 5) AND (o.object_id // 10) % 10 = 0
+        |  UNION ALL
+        |  SELECT 'AOS', volume, bucket, key, object_id,
+        |    CASE WHEN version = 3 THEN mx * 2 ELSE mx END,
+        |    version = 4,
+        |    CASE WHEN version = 3 THEN 's2' END
+        |  FROM wgrp WHERE churn AND version IN (1, 3, 4))
+        |ORDER BY owner, volume, bucket, key, data_size""".stripMargin,
+      O.objects,
+      """wgrp AS (
+        |  SELECT volume, bucket, key, object_id, version,
+        |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6
+        |)""".stripMargin),
+
+    "q_snapshot_exclusive" -> O.withCtes(
+      """SELECT exclusive_to AS snapshot, count(*) AS n_exclusive,
+        |  CAST(sum(data_size) AS BIGINT) AS exclusive_bytes
+        |FROM (
+        |  SELECT o.data_size,
+        |    CASE WHEN o.data_size = w.mx THEN 's1' END AS exclusive_to
+        |  FROM objects o
+        |  JOIN wgrp w ON o.volume = w.volume AND o.bucket = w.bucket
+        |    AND o.key = w.key
+        |  WHERE o.version IN (4, 5) AND (o.object_id // 10) % 10 = 0
+        |  UNION ALL
+        |  SELECT CASE WHEN version = 3 THEN mx * 2 ELSE mx END,
+        |    CASE WHEN version = 3 THEN 's2' END
+        |  FROM wgrp WHERE churn AND version IN (1, 3, 4))
+        |WHERE exclusive_to IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
       O.objects,
       """wgrp AS (
         |  SELECT volume, bucket, key, object_id, version,

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Snapshot space reclamation — the engine's dual of the reference's
+ * ReclaimableKeyFilter (hadoop-ozone/ozone-manager/src/main/java/org/apache/
+ * hadoop/ozone/om/snapshot/filter/ReclaimableKeyFilter.java:87-117): a
+ * deleted key buffered in a snapshot's (or the active store's) deletedTable
+ * is RECLAIMABLE — its blocks may be purged — iff the same key is absent
+ * from the previous snapshot in the chain; "same key" means same name, same
+ * objectID and identical block locations (SnapshotUtils.java:289-330
+ * isBlockLocationInfoSame). If it IS present there but absent from the
+ * previous-to-previous snapshot, the key is retained exclusively by that
+ * previous snapshot and its size accrues to the snapshot's exclusiveSize
+ * (ReclaimableKeyFilter.java:142-154 calculateExclusiveSize) — the number
+ * the reference shows as "space freed when this snapshot is deleted".
+ *
+ * In this engine a snapshot state is a commit-log fold ([[CommitLog]]), so
+ * block-location identity is modeled as (object_id, data_size) equality:
+ * the synthetic workload's only location-changing op is the overwrite,
+ * which doubles data_size (CommitLog.synthesizeLog), exactly like a block
+ * reallocation. The prev-to-prev probe compares the PREVIOUS snapshot's
+ * row (not the deleted entry) against the prev-prev state, matching the
+ * reference's use of the prev snapshot's keyInfo for the second lookup
+ * (ReclaimableKeyFilter.java:108-112).
+ *
+ * Scale shape: each deletedTable is decided by at most two equi-joins on
+ * the namespace key (volume, bucket, key) against materialized snapshot
+ * checkpoints — co-partitioned shuffles linear in |deletedTable|, with AQE
+ * free to broadcast the (churn-sized) deleted side; never a log re-fold,
+ * never a driver loop over keys.
+ */
+object Reclaim {
+
+  /**
+   * Decide one deletedTable against its chain context. `entries` carries
+   * (volume, bucket, key, object_id, data_size) plus any passthrough
+   * columns; the result appends:
+   *   - `reclaimable`  — true iff absent from `prevState` (or the chain
+   *     has no previous snapshot, ReclaimableKeyFilter.java:100-102);
+   *   - `exclusive_to` — `prevName` when retained exclusively by the
+   *     previous snapshot (present there, absent from `prevPrevState`),
+   *     else null.
+   */
+  def reclaimDecisions(entries: DataFrame, prevState: Option[DataFrame],
+                       prevName: String,
+                       prevPrevState: Option[DataFrame]): DataFrame =
+    prevState match {
+      case None =>
+        // chain head: nothing precedes, every deleted key is reclaimable
+        entries.withColumn("reclaimable", lit(true))
+          .withColumn("exclusive_to", lit(null).cast("string"))
+      case Some(prev) =>
+        val p = prev.select(col("volume"), col("bucket"), col("key"),
+          col("object_id").as("__p_oid"), col("data_size").as("__p_size"))
+        val withPrev = entries
+          .join(p, Seq("volume", "bucket", "key"), "left")
+          .withColumn("__prev_present",
+            col("__p_oid").isNotNull &&
+              col("__p_oid") === col("object_id") &&
+              col("__p_size") === col("data_size"))
+        val withBoth = prevPrevState match {
+          case None => withPrev.withColumn("__pp_present", lit(false))
+          case Some(pp0) =>
+            val pp = pp0.select(col("volume"), col("bucket"), col("key"),
+              col("object_id").as("__pp_oid"),
+              col("data_size").as("__pp_size"))
+            withPrev.join(pp, Seq("volume", "bucket", "key"), "left")
+              .withColumn("__pp_present",
+                col("__prev_present") && col("__pp_oid").isNotNull &&
+                  col("__pp_oid") === col("__p_oid") &&
+                  col("__pp_size") === col("__p_size"))
+        }
+        val keep = entries.columns.map(col)
+        withBoth
+          .withColumn("reclaimable", !col("__prev_present"))
+          .withColumn("exclusive_to",
+            when(col("__prev_present") && !col("__pp_present"),
+              lit(prevName)))
+          .select(keep :+ col("reclaimable") :+ col("exclusive_to"): _*)
+    }
+
+  /**
+   * The active store's deletedTable for the reclaim workload: a post-s2
+   * delete band (seq 5, after the last snapshot) over churn-scope keys,
+   * one entry per key at its CURRENT folded size — the state a real
+   * KeyDeletingService pass would see:
+   *   - version 1 (never touched)    → present in s2 AND s1 → retained,
+   *     shared with the prev-prev snapshot (no exclusive charge);
+   *   - version 3 (overwritten @2)   → present in s2 at the doubled size,
+   *     size-mismatched vs s1 → retained, exclusive to s2;
+   *   - version 4 (already deleted @3) → absent from s2 → reclaimable
+   *     (a second deleted generation of the key — the reference's
+   *     RepeatedOmKeyInfo explicitly models several deleted versions).
+   */
+  def aosDeletedEntries(objects: DataFrame): DataFrame =
+    objects
+      .filter(expr("(object_id DIV 10) % 10") === 0 &&
+        col("version").isin(1, 3, 4))
+      .groupBy("volume", "bucket", "key", "object_id", "version")
+      .agg(max("data_size").as("__mx"))
+      .select(col("volume"), col("bucket"), col("key"), col("object_id"),
+        when(col("version") === 3, col("__mx") * 2)
+          .otherwise(col("__mx")).as("data_size"))
+
+  /**
+   * Declared reclaim query: decide every buffered deleted key through the
+   * snapshot chain (s1 @1, s2 @4, active store), reading snapshot states
+   * from the materialized warehouse checkpoints.
+   *   - s2's deletedTable  = the log's seq-3 deletes (row-granular, like
+   *     the reference's per-version RepeatedOmKeyInfo entries); chain
+   *     context prev = s1, no prev-prev (s1 is the chain head);
+   *   - active deletedTable = [[aosDeletedEntries]]; prev = s2,
+   *     prev-prev = s1.
+   */
+  def snapshotReclaim(spark: SparkSession, objects: DataFrame,
+                      dir: String): DataFrame = {
+    val wh = CommitLog.snapshotWarehouse(spark, objects, dir)
+    val s1 = spark.read.parquet(s"$wh/state_s1")
+    val s2 = spark.read.parquet(s"$wh/state_s2")
+    val snapDeleted = CommitLog.synthesizeLog(objects)
+      .filter(col("op") === "DELETE")
+      .select("volume", "bucket", "key", "object_id", "data_size")
+    val inSnap = reclaimDecisions(snapDeleted, Some(s1), "s1", None)
+      .select(lit("s2").as("owner"), col("*"))
+    val inAos = reclaimDecisions(aosDeletedEntries(objects), Some(s2), "s2",
+      Some(s1)).select(lit("AOS").as("owner"), col("*"))
+    inSnap.unionByName(inAos)
+      .orderBy("owner", "volume", "bucket", "key", "data_size")
+  }
+
+  /** Per-snapshot exclusive size rollup (the reference's exclusiveSizeMap,
+    * persisted on SnapshotInfo and surfaced by the snapshot list UI):
+    * bytes freed if that snapshot alone were deleted. */
+  def snapshotExclusive(spark: SparkSession, objects: DataFrame,
+                        dir: String): DataFrame =
+    snapshotReclaim(spark, objects, dir)
+      .filter(col("exclusive_to").isNotNull)
+      .groupBy(col("exclusive_to").as("snapshot"))
+      .agg(count(lit(1)).as("n_exclusive"),
+        sum("data_size").cast("long").as("exclusive_bytes"))
+      .orderBy("snapshot")
+}

@@ -100,4 +100,13 @@ class PeriodicScanApiSpec extends SparkSpecBase {
     assert(Api.listTenants(spark, sf).count() === 4)
     assert(Api.tenantGetUserInfo(spark, sf, "clerk1").count() >= 1)
   }
+
+  test("API facade: reclaim candidates and exclusive sizes") {
+    val rec = Api.listReclaimableKeys(spark, sf)
+    assert(rec.count() > 0)
+    assert(rec.filter(!rec("reclaimable")).isEmpty)
+    val excl = Api.snapshotExclusiveSizes(spark, sf).collect()
+    assert(excl.map(_.getString(0)).toSeq === Seq("s1", "s2"))
+    assert(excl.forall(_.getAs[Long]("exclusive_bytes") > 0))
+  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.{CommitLog, Reclaim}
+import org.apache.spark.sql.DataFrame
+
+/** ReclaimableKeyFilter semantics: a deleted key is reclaimable iff absent
+  * from the previous snapshot in the chain (objectID + location identity);
+  * retained keys absent from the prev-prev snapshot charge the previous
+  * snapshot's exclusive size. */
+class ReclaimSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  private def state(rows: (String, String, String, Long, Long)*): DataFrame =
+    rows.toDF("volume", "bucket", "key", "object_id", "data_size")
+
+  test("decision branches: absent / shared / exclusive / chain-head") {
+    val deleted = state(
+      ("v", "b", "gone", 1L, 10L),      // in neither prev state
+      ("v", "b", "shared", 2L, 20L),    // in prev AND prev-prev
+      ("v", "b", "only-prev", 3L, 30L), // in prev only → exclusive
+      ("v", "b", "moved", 4L, 40L),     // in prev under same name, new size
+      ("v", "b", "stolen", 5L, 50L))    // name in prev, different object
+    val prev = state(
+      ("v", "b", "shared", 2L, 20L),
+      ("v", "b", "only-prev", 3L, 30L),
+      ("v", "b", "moved", 4L, 41L),
+      ("v", "b", "stolen", 99L, 50L))
+    val prevPrev = state(
+      ("v", "b", "shared", 2L, 20L),
+      // same name but an older generation: must NOT count as shared
+      ("v", "b", "only-prev", 3L, 31L))
+    val got = Reclaim
+      .reclaimDecisions(deleted, Some(prev), "sPrev", Some(prevPrev))
+      .orderBy("key")
+      .select("key", "reclaimable", "exclusive_to")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      ("gone", true, null),
+      ("moved", true, null),   // size change = block reallocation
+      ("only-prev", false, "sPrev"),
+      ("shared", false, null),
+      ("stolen", true, null))) // objectID mismatch = different key
+    // chain head: no previous snapshot → everything reclaimable
+    val head = Reclaim.reclaimDecisions(deleted, None, "none", None)
+    assert(head.filter(!head("reclaimable")).isEmpty)
+  }
+
+  test("declared query agrees with first-principles recompute") {
+    val o = Tables.objects(spark, sf)
+    val got = Reclaim.snapshotReclaim(spark, o, sf)
+    // recompute chain states directly from the log (no warehouse)
+    val log = CommitLog.synthesizeLog(o)
+    val s1 = CommitLog.applyAt(log, 1L)
+    val s2 = CommitLog.applyAt(log, 4L)
+    val expSnap = Reclaim.reclaimDecisions(
+      log.filter($"op" === "DELETE")
+        .select("volume", "bucket", "key", "object_id", "data_size"),
+      Some(s1), "s1", None)
+    val expAos = Reclaim.reclaimDecisions(
+      Reclaim.aosDeletedEntries(o), Some(s2), "s2", Some(s1))
+    assert(got.count() === expSnap.count() + expAos.count())
+    assert(rows(got.filter($"owner" === "s2")
+      .drop("owner").orderBy("volume", "bucket", "key", "data_size")) ===
+      rows(expSnap.orderBy("volume", "bucket", "key", "data_size")))
+    assert(rows(got.filter($"owner" === "AOS")
+      .drop("owner").orderBy("volume", "bucket", "key", "data_size")) ===
+      rows(expAos.orderBy("volume", "bucket", "key", "data_size")))
+  }
+
+  test("AOS band decisions follow the version structure") {
+    val o = Tables.objects(spark, sf)
+    val aos = Reclaim.snapshotReclaim(spark, o, sf)
+      .filter($"owner" === "AOS").cache()
+    try {
+      // v=4 keys were deleted before s2 → reclaimable; v=1 shared with
+      // both snapshots → retained free; v=3 overwritten → exclusive to s2
+      val byDecision = aos
+        .groupBy("reclaimable", "exclusive_to").count()
+        .collect().map(r => (r.getBoolean(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(byDecision.keySet === Set(
+        (true, null), (false, null), (false, "s2")))
+      // the three version classes are near-equal population slices
+      val n = byDecision.values.sum
+      byDecision.values.foreach(v =>
+        assert(v > n / 5, s"unbalanced decision classes: $byDecision"))
+    } finally aos.unpersist()
+  }
+
+  test("exclusive rollup sums exactly the exclusive_to rows") {
+    val o = Tables.objects(spark, sf)
+    val dec = Reclaim.snapshotReclaim(spark, o, sf)
+    val viaQuery = rows(Reclaim.snapshotExclusive(spark, o, sf))
+    val direct = rows(dec.filter($"exclusive_to".isNotNull)
+      .groupBy($"exclusive_to".as("snapshot"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_exclusive"),
+        org.apache.spark.sql.functions.sum("data_size").cast("long")
+          .as("exclusive_bytes"))
+      .orderBy("snapshot"))
+    assert(viaQuery === direct)
+    assert(viaQuery.map(_.head) === Seq("s1", "s2"))
+  }
+}
