@@ -369,6 +369,12 @@ object SparkEntry {
       Reclaim.snapshotReclaim(s, T.objects(s, d), d)),
     "q_snapshot_exclusive" -> ((s, d) =>
       Reclaim.snapshotExclusive(s, T.objects(s, d), d)),
+    "q_reclaim_dirs" -> ((s, d) =>
+      Reclaim.reclaimDirs(T.deletedDirs(s, d),
+        T.objectsMixed(s, d)
+          .filter(col("creation_time") <= T.SnapCut1Ms))),
+    "q_reclaim_renames" -> ((s, d) =>
+      Reclaim.renameEntryReclaim(s, T.objects(s, d), d)),
     // S3 write-protocol decisions (CopyObject / MultiDelete) evaluated
     // against current key state — request batches broadcast into the scan
     "q_copy_object" -> ((s, d) =>
@@ -1643,6 +1649,61 @@ object SparkEntry {
         |  SELECT volume, bucket, key, object_id, version,
         |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
         |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6
+        |)""".stripMargin),
+
+    // Deleted-dir reclaim: a dir is referenced by the previous snapshot iff
+    // some key alive at the cut has it as a strict ancestor prefix.
+    "q_reclaim_dirs" -> O.withCtes(
+      s"""SELECT dd.volume, dd.bucket, dd.dir, dd.deleted_ms,
+         |  p.dir IS NULL AS reclaimable
+         |FROM deleted_dirs dd
+         |LEFT JOIN prev_dirs p ON dd.volume = p.volume
+         |  AND dd.bucket = p.bucket AND dd.dir = p.dir
+         |ORDER BY dd.volume, dd.bucket, dd.dir""".stripMargin,
+      O.objects, O.objectsMixed, O.deletedDirs,
+      s"""prev_dirs AS (
+         |  SELECT DISTINCT volume, bucket,
+         |    array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS dir
+         |  FROM (
+         |    SELECT *, unnest(generate_series(1,
+         |      least(len(string_split(key, '/')) - 1,
+         |            ${Aggregates.MaxAncestorDepth}))) AS d
+         |    FROM objects_mixed
+         |    WHERE creation_time <= ${graft.core.Tables.SnapCut1Ms})
+         |)""".stripMargin),
+
+    // Rename-entry reclaim: the same entries live in s2's frozen
+    // renamedTable (probe s1 — old names still referenced) and the active
+    // store's (probe s2 — rename already applied, no reference left).
+    "q_reclaim_renames" -> O.withCtes(
+      """SELECT owner, volume, bucket, object_id, orig_key, reclaimable
+        |FROM (
+        |  SELECT 's2' AS owner, e.volume, e.bucket, e.object_id,
+        |    e.orig_key, s1k.key IS NULL AS reclaimable
+        |  FROM entries e LEFT JOIN s1keys s1k ON e.volume = s1k.volume
+        |    AND e.bucket = s1k.bucket AND e.orig_key = s1k.key
+        |  UNION ALL
+        |  SELECT 'AOS', e.volume, e.bucket, e.object_id, e.orig_key,
+        |    s2k.key IS NULL
+        |  FROM entries e LEFT JOIN s2keys s2k ON e.volume = s2k.volume
+        |    AND e.bucket = s2k.bucket AND e.orig_key = s2k.key)
+        |ORDER BY owner, volume, bucket, orig_key, object_id""".stripMargin,
+      O.objects,
+      """wgrp AS (
+        |  SELECT volume, bucket, key, object_id, version,
+        |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6
+        |)""".stripMargin,
+      """entries AS (
+        |  SELECT DISTINCT volume, bucket, object_id, key AS orig_key
+        |  FROM objects
+        |  WHERE version = 5 AND (object_id // 10) % 10 = 0
+        |)""".stripMargin,
+      """s1keys AS (SELECT DISTINCT volume, bucket, key FROM objects)""",
+      """s2keys AS (
+        |  SELECT volume, bucket,
+        |    CASE WHEN version = 5 AND churn THEN key || '.mv' ELSE key END AS key
+        |  FROM wgrp WHERE NOT (version = 4 AND churn)
         |)""".stripMargin),
 
     // CopyObject decision table: source looked up FIRST (missing source

@@ -142,4 +142,83 @@ object Reclaim {
       .agg(count(lit(1)).as("n_exclusive"),
         sum("data_size").cast("long").as("exclusive_bytes"))
       .orderBy("snapshot")
+
+  /**
+   * Deleted-directory reclaim — ReclaimableDirFilter.java:58-73: a
+   * deleted directory (an `rm -r` root awaiting the background purge) is
+   * reclaimable iff the previous snapshot in the chain has no directory at
+   * the same path with the same objectID; with no previous snapshot it is
+   * always reclaimable. Directory ids in this engine are md5-path-derived
+   * (Hierarchy.pathId), so id equality is implied by path equality and
+   * presence is the whole decision.
+   *
+   * `prevDirs` is the previous snapshot's directory set (volume, bucket,
+   * dir); the decision is one left-semi-shaped equi-join on the dir path —
+   * co-partitioned with the (tiny) deletedDirectoryTable side, which AQE
+   * broadcasts.
+   */
+  def dirReclaimDecisions(deletedDirs: DataFrame,
+                          prevDirs: Option[DataFrame]): DataFrame =
+    prevDirs match {
+      case None => deletedDirs.withColumn("reclaimable", lit(true))
+      case Some(prev) =>
+        deletedDirs.join(
+            prev.select(col("volume"), col("bucket"), col("dir"))
+              .distinct().withColumn("__present", lit(true)),
+            Seq("volume", "bucket", "dir"), "left")
+          .withColumn("reclaimable", col("__present").isNull)
+          .drop("__present")
+    }
+
+  /** Declared dir-reclaim query: the mixed-namespace deletedDirectoryTable
+    * decided against the previous snapshot's directory set — the strict
+    * ancestors of every key alive at the snapshot cut. A dir whose files
+    * were all created after the cut has no prior-snapshot reference and
+    * reclaims immediately; one retained by the snapshot must wait for the
+    * chain to advance (SnapshotDeletingService ordering). */
+  def reclaimDirs(deletedDirs: DataFrame, prevObjects: DataFrame): DataFrame = {
+    val prevDirs = prevObjects
+      .select(col("volume"), col("bucket"),
+        Aggregates.parentDirOf("key").as("pdir"))
+      .filter(col("pdir") =!= "")
+      .select(col("volume"), col("bucket"),
+        explode(Aggregates.dirAndAncestors("pdir")).as("dir"))
+    dirReclaimDecisions(deletedDirs, Some(prevDirs))
+      .orderBy("volume", "bucket", "dir")
+  }
+
+  /**
+   * snapshotRenamedTable entry reclaim — ReclaimableRenameEntryFilter
+   * .java:54-92: a rename entry (objectId → the key's dbKey at the time of
+   * the last snapshot) is reclaimable iff that original dbKey no longer
+   * resolves in the previous snapshot's key table (no reference remains;
+   * the FSO dir-table arm does not arise here — the commit-log namespace
+   * is flat OBS). The workload's renames (seq 3-4, between s1 and s2)
+   * put the same entries in BOTH s2's frozen renamedTable and the active
+   * store's — the snapshot is a frozen copy of the whole DB — and the two
+   * owners decide oppositely: s2's entries probe s1, where the old names
+   * still exist (retained); the active store's probe s2, where the rename
+   * already applied (reclaimable). One distinct-entry build plus one
+   * equi-join per owner on the namespace key.
+   */
+  def renameEntryReclaim(spark: SparkSession, objects: DataFrame,
+                         dir: String): DataFrame = {
+    val wh = CommitLog.snapshotWarehouse(spark, objects, dir)
+    val entries = objects
+      .filter(expr("(object_id DIV 10) % 10") === 0 && col("version") === 5)
+      .select(col("volume"), col("bucket"), col("object_id"),
+        col("key").as("orig_key"))
+      .distinct()
+    def decide(owner: String, prevState: DataFrame): DataFrame =
+      entries.join(
+          prevState.select(col("volume"), col("bucket"),
+            col("key").as("orig_key")).withColumn("__present", lit(true)),
+          Seq("volume", "bucket", "orig_key"), "left")
+        .select(lit(owner).as("owner"), col("volume"), col("bucket"),
+          col("object_id"), col("orig_key"),
+          col("__present").isNull.as("reclaimable"))
+    decide("s2", spark.read.parquet(s"$wh/state_s1"))
+      .unionByName(decide("AOS", spark.read.parquet(s"$wh/state_s2")))
+      .orderBy("owner", "volume", "bucket", "orig_key", "object_id")
+  }
 }

@@ -91,6 +91,51 @@ class ReclaimSpec extends SparkSpecBase {
     } finally aos.unpersist()
   }
 
+  test("dir reclaim: referenced iff a cut-alive key sits under the dir") {
+    val deleted = Seq(
+      ("v", "b", "a/b", 1L), ("v", "b", "a", 2L), ("v", "b", "z", 3L))
+      .toDF("volume", "bucket", "dir", "deleted_ms")
+    val prevObjects = Seq(
+      ("v", "b", "a/b/f.dat"), // references a AND a/b
+      ("v", "b", "top.dat"))   // roots reference nothing
+      .toDF("volume", "bucket", "key")
+    val got = Reclaim.reclaimDirs(deleted, prevObjects)
+      .select("dir", "reclaimable").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    assert(got === Seq("a" -> false, "a/b" -> false, "z" -> true))
+    // chain head: no previous snapshot → every deleted dir reclaimable
+    assert(Reclaim.dirReclaimDecisions(deleted, None)
+      .filter(!$"reclaimable").isEmpty)
+  }
+
+  test("declared dir reclaim splits the deleted set both ways") {
+    val dd = Tables.deletedDirs(spark, sf)
+    val got = Reclaim.reclaimDirs(dd,
+      Tables.objectsMixed(spark, sf)
+        .filter($"creation_time" <= Tables.SnapCut1Ms)).cache()
+    try {
+      assert(got.count() === dd.count())
+      val n = got.filter($"reclaimable").count()
+      assert(n > 0 && n < dd.count(),
+        s"expected both outcomes, got $n/${dd.count()} reclaimable")
+    } finally got.unpersist()
+  }
+
+  test("rename entries: retained in the snapshot owner, reclaimable in AOS") {
+    val o = Tables.objects(spark, sf)
+    val got = Reclaim.renameEntryReclaim(spark, o, sf).cache()
+    try {
+      assert(got.count() > 0)
+      // s2's frozen table probes s1 where every pre-rename name still
+      // resolves; the active store probes s2 where the rename applied
+      assert(got.filter($"owner" === "s2" && $"reclaimable").isEmpty)
+      assert(got.filter($"owner" === "AOS" && !$"reclaimable").isEmpty)
+      val halves = got.groupBy("owner").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(halves("s2") === halves("AOS"))
+    } finally got.unpersist()
+  }
+
   test("exclusive rollup sums exactly the exclusive_to rows") {
     val o = Tables.objects(spark, sf)
     val dec = Reclaim.snapshotReclaim(spark, o, sf)
