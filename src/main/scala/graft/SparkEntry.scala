@@ -375,6 +375,11 @@ object SparkEntry {
           .filter(col("creation_time") <= T.SnapCut1Ms))),
     "q_reclaim_renames" -> ((s, d) =>
       Reclaim.renameEntryReclaim(s, T.objects(s, d), d)),
+    // SstFilteringService census: per bucket, the SST files a filtered
+    // snapshot DB sheds (prefix outside [smallest,largest] at last level)
+    "q_sst_filter" -> ((s, d) =>
+      CompactionDag.sstBucketPrune(T.sstNamespaceFiles(s, d),
+        T.buckets(s, d))),
     // S3 write-protocol decisions (CopyObject / MultiDelete) evaluated
     // against current key state — request batches broadcast into the scan
     "q_copy_object" -> ((s, d) =>
@@ -1671,6 +1676,27 @@ object SparkEntry {
          |    FROM objects_mixed
          |    WHERE creation_time <= ${graft.core.Tables.SnapCut1Ms})
          |)""".stripMargin),
+
+    // SstFilteringService: a last-level file is prunable for a bucket iff
+    // its [smallest, largest] prefix window excludes '/vol/bucket/'.
+    "q_sst_filter" -> O.withCtes(
+      """SELECT volume, bucket,
+        |  count(*) AS n_files,
+        |  CAST(sum(CASE WHEN level = 3 AND NOT ov THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+        |  CAST(sum(CASE WHEN ov THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_range,
+        |  CAST(sum(CASE WHEN level <> 3 AND NOT ov THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_level,
+        |  CAST(sum(CASE WHEN level = 3 AND NOT ov THEN n_keys ELSE 0 END) AS BIGINT) AS pruned_keys
+        |FROM (
+        |  SELECT b.volume, b.bucket, f.level, f.n_keys,
+        |    substr(f.smallest_key, 1, length(b.pfx)) <= b.pfx
+        |      AND b.pfx <= substr(f.largest_key, 1, length(b.pfx)) AS ov
+        |  FROM sst_ns f
+        |  CROSS JOIN (
+        |    SELECT DISTINCT volume, bucket,
+        |      '/' || volume || '/' || bucket || '/' AS pfx
+        |    FROM objects) b)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      O.objects, O.sstNamespaceFiles),
 
     // Rename-entry reclaim: the same entries live in s2's frozen
     // renamedTable (probe s1 — old names still referenced) and the active

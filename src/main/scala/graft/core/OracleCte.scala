@@ -477,6 +477,25 @@ object OracleCte {
       |)""".stripMargin
 
   /** deleted_dirs (mirror of Tables.deletedDirs). */
+  /** Mirror of Tables.sstNamespaceFiles: 500-key chunks of the sorted
+    * distinct dbKey space, every 7th file at level 0. */
+  val sstNamespaceFiles: String =
+    """sst_ns AS (
+      |  SELECT printf('ns-%05d', file_id) AS file,
+      |    CASE WHEN file_id % 7 = 0 THEN 0 ELSE 3 END AS level,
+      |    smallest_key, largest_key, n_keys
+      |  FROM (
+      |    SELECT file_id, min(db_key) AS smallest_key,
+      |      max(db_key) AS largest_key, count(*) AS n_keys
+      |    FROM (
+      |      SELECT db_key,
+      |        (row_number() OVER (ORDER BY db_key) - 1) // 500 AS file_id
+      |      FROM (
+      |        SELECT DISTINCT '/' || volume || '/' || bucket || '/' || key AS db_key
+      |        FROM objects))
+      |    GROUP BY file_id)
+      |)""".stripMargin
+
   val deletedDirs: String =
     """deleted_dirs AS (
       |  SELECT volume, bucket, dir,

@@ -882,6 +882,36 @@ object Tables {
   }
 
   /**
+   * sst_namespace_files: the live SST file map of a DB whose keyTable holds
+   * the whole namespace — each file one 500-key chunk of the sorted dbKey
+   * space `/volume/bucket/key` with its (smallestKey, largestKey) metadata
+   * (the LiveFileMetaData the reference reads in RocksDatabase
+   * .deleteFilesNotMatchingPrefix:872-890), every 7th file parked at
+   * level 0 (un-prunable: the old deleteFile API only removed last-level
+   * files and the service keeps that restriction). The global sort is
+   * fixture INGEST cost, memoized once per (JVM, source dir) — a real DB
+   * writes its SSTs sorted to begin with.
+   */
+  def sstNamespaceFiles(spark: SparkSession, dir: String): DataFrame =
+    memoPersist(spark, "sstns", dir) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("db_key")
+      objects(spark, dir)
+        .select(concat(lit("/"), col("volume"), lit("/"), col("bucket"),
+          lit("/"), col("key")).as("db_key"))
+        .distinct()
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("file_id", expr("CAST((__rn - 1) DIV 500 AS BIGINT)"))
+        .groupBy("file_id")
+        .agg(min("db_key").as("smallest_key"),
+          max("db_key").as("largest_key"),
+          count(lit(1)).as("n_keys"))
+        .select(format_string("ns-%05d", col("file_id")).as("file"),
+          when(col("file_id") % 7 === 0, lit(0))
+            .otherwise(lit(3)).as("level"),
+          col("smallest_key"), col("largest_key"), col("n_keys"))
+    }
+
+  /**
    * media_assets: multimodal rows synthesized from documents — an opaque
    * binary payload (64 bytes derived from the text digest; real decode is
    * stubbed, see [[graft.operators.Multimodal]]) plus typed metadata, the

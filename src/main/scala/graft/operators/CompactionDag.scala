@@ -62,6 +62,47 @@ object CompactionDag {
     files.filter(col("end_key") >= lo && col("start_key") <= hi)
 
   /**
+   * SstFilteringService per-bucket prune census — SstFilteringService
+   * .java:219-243 walks every snapshot, asks RocksDatabase
+   * .deleteFilesNotMatchingPrefix:872-907 to drop the SSTs whose key range
+   * cannot contain the snapshot's bucket prefix: a LAST-LEVEL file is
+   * prunable iff NOT `firstNChars(smallestKey, L) <= prefix <=
+   * firstNChars(largestKey, L)` (RocksDiffUtils.java:42-49
+   * isKeyWithPrefixPresent); files off the last level are never deleted.
+   * One decision per (bucket, file), rolled up per bucket:
+   *   - n_pruned     — last-level files outside the prefix range,
+   *   - n_kept_range — files whose range admits the prefix,
+   *   - n_kept_level — out-of-range files saved only by the level rule,
+   *   - pruned_keys  — key entries the filtered snapshot DB sheds.
+   *
+   * Scale shape: the bucket catalog is a broadcast-sized dim crossed into
+   * the file-metadata scan (files × buckets decisions, exactly the
+   * reference's per-snapshot loop), then one shuffle on (volume, bucket)
+   * for the rollup. The SST metadata table is ~|namespace|/500 rows —
+   * control-plane-sized at any SF.
+   */
+  def sstBucketPrune(files: DataFrame, buckets: DataFrame): DataFrame = {
+    val dim = buckets.select(col("volume"), col("bucket"))
+      .withColumn("__prefix",
+        concat(lit("/"), col("volume"), lit("/"), col("bucket"), lit("/")))
+    files.crossJoin(broadcast(dim))
+      .withColumn("__overlap", expr(
+        "substr(smallest_key, 1, length(__prefix)) <= __prefix AND " +
+          "__prefix <= substr(largest_key, 1, length(__prefix))"))
+      .groupBy("volume", "bucket")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("level") === 3 && !col("__overlap"), 1L)
+          .otherwise(0L)).as("n_pruned"),
+        sum(when(col("__overlap"), 1L).otherwise(0L)).as("n_kept_range"),
+        sum(when(col("level") =!= 3 && !col("__overlap"), 1L)
+          .otherwise(0L)).as("n_kept_level"),
+        sum(when(col("level") === 3 && !col("__overlap"), col("n_keys"))
+          .otherwise(0L)).cast("long").as("pruned_keys"))
+      .orderBy("volume", "bucket")
+  }
+
+  /**
    * The SST diff walk. `srcLive`/`destLive` carry (file, start_key,
    * end_key) for the newer/older snapshot respectively; `edges` is the
    * compaction log (output_file, input_file, seq); `destGen` is the older

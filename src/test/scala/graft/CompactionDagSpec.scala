@@ -80,4 +80,43 @@ class CompactionDagSpec extends SparkSpecBase {
     // both nodes expand into each other; neither is terminal -> empty
     assert(out.isEmpty)
   }
+
+  test("sst bucket prune: prefix window + last-level rule per decision") {
+    val files = Seq(
+      // inside bucket b1 only
+      ("f-in", 3, "/v/b1/a", "/v/b1/z", 10L),
+      // straddles b1|b2 boundary: kept for both
+      ("f-span", 3, "/v/b1/x", "/v/b2/c", 10L),
+      // inside b2, level 0: out-of-range for b1 but never pruned
+      ("f-l0", 0, "/v/b2/d", "/v/b2/m", 10L))
+      .toDF("file", "level", "smallest_key", "largest_key", "n_keys")
+    val buckets = Seq(("v", "b1"), ("v", "b2")).toDF("volume", "bucket")
+    val got = CompactionDag.sstBucketPrune(files, buckets).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    // b1: f-in + f-span in range, f-l0 saved by level; nothing pruned
+    // b2: f-span + f-l0 in range, f-in prunable (10 keys shed)
+    assert(got === Seq(
+      ("b1", 3L, 0L, 2L, 1L, 0L),
+      ("b2", 3L, 1L, 2L, 0L, 10L)))
+  }
+
+  test("declared sst filter: every bucket sheds most of the namespace") {
+    val got = CompactionDag.sstBucketPrune(
+      Tables.sstNamespaceFiles(spark, sf), Tables.buckets(spark, sf))
+      .cache()
+    try {
+      val n = Tables.sstNamespaceFiles(spark, sf).count()
+      assert(got.count() === 40)
+      // per bucket the decision classes partition the file set
+      assert(got.filter(
+        col("n_pruned") + col("n_kept_range") + col("n_kept_level")
+          =!= col("n_files")).isEmpty)
+      assert(got.filter(col("n_files") =!= n).isEmpty)
+      // a bucket holds ~1/40 of the namespace: pruning must dominate
+      val worstKept = got.select(
+        max(col("n_kept_range") + col("n_kept_level"))).head.getLong(0)
+      assert(worstKept < n / 2, s"pruning too weak: kept $worstKept of $n")
+    } finally got.unpersist()
+  }
 }
