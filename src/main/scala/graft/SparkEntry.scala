@@ -502,7 +502,9 @@ object SparkEntry {
       TextAnalysis.bm25Rank(T.documents(s, d), SearchTerms)),
     "q_lm_familiarity" -> ((s, d) =>
       TextAnalysis.lmFamiliarity(T.documents(s, d),
-        TextAnalysis.ngramCounts(T.documents(s, d), n = 3, minCount = 3))))
+        TextAnalysis.ngramCounts(T.documents(s, d), n = 3, minCount = 3))),
+    "q_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(T.documents(s, d))))
 
   /** Query-term set for q_keyword_search (mirrored in its oracle). */
   val SearchTerms = Seq("table", "spark", "query", "zebra")
@@ -2446,6 +2448,27 @@ object SparkEntry {
         |            for i in generate_series(1, len(ws) - 2)]) AS gram
         |    FROM doc_words WHERE len(ws) >= 3)
         |  GROUP BY 1 HAVING count(*) >= 3) lm ON dg.gram = lm.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      O.docWords),
+
+    // Vocabulary induction: top-1024 word types by (count desc, word),
+    // then per-doc OOV share against that vocab.
+    "q_vocab_coverage" -> O.withCtes(
+      """SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  (count(*) - CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT)) * 1000 // count(*) AS coverage_pm
+        |FROM (
+        |  SELECT doc_id, unnest(ws) AS word
+        |  FROM doc_words WHERE len(ws) >= 1) w
+        |LEFT JOIN (
+        |  SELECT word FROM (
+        |    SELECT word, count(*) AS cnt FROM (
+        |      SELECT unnest(ws) AS word
+        |      FROM doc_words WHERE len(ws) >= 1)
+        |    GROUP BY 1 ORDER BY cnt DESC, word LIMIT 1024)) v
+        |  USING (word)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
       O.docWords),
 

@@ -180,6 +180,39 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("gram"))
 
   /**
+   * Vocabulary induction + per-document OOV coverage — the tokenizer-prep
+   * pass of a training pipeline: rank word types by corpus frequency,
+   * keep the top `vocabSize` (ties broken by the word itself, so the
+   * vocab is a pure function of the corpus), and score every document by
+   * how much of it the vocabulary covers. Low-coverage docs are what a
+   * fixed tokenizer would shred into byte fallbacks — the rows a curation
+   * pass reviews or routes to vocab expansion.
+   *
+   * Scale shape: token explode → ONE map-side-combined frequency
+   * aggregate; the top-V cut is a TakeOrdered (no full sort materialized)
+   * and V is constant-sized, so membership is a broadcast hash probe
+   * inside the per-doc rollup's single doc_id shuffle. Nothing joins on
+   * text larger than a word.
+   */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1024): DataFrame = {
+    val words = docs
+      .withColumn("ws", split(normText(col("text")), " "))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabSize)
+      .select(col("word"), lit(true).as("__in"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("coverage_pm",
+        expr("(n_tokens - oov_tokens) * 1000 DIV n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * LM-familiarity score — the count-based-LM quality filter (the
    * CCNet/KenLM-style pass with integer arithmetic): per document, the
    * per-mille fraction of its n-grams found in a high-count LM table

@@ -55,4 +55,19 @@ class TextRankSpec extends SparkSpecBase {
     assert(got(1L) === 1000L && got(4L) === 1000L)
     assert(got(9L) === 0L)
   }
+
+  test("vocab coverage: top-V cut by (count desc, word), OOV per doc") {
+    // corpus frequencies: "aa"×4, "bb"×3, "cc"×2, "dd"×2, "zz"×1 —
+    // vocabSize 3 keeps {aa, bb, cc} (cc beats dd on the word tie-break)
+    val docs = Seq(
+      (1L, "aa aa bb cc"), (2L, "aa bb dd dd"), (3L, "aa bb cc zz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, vocabSize = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) === ((4L, 0L, 1000L)))
+    assert(got(2L) === ((4L, 2L, 500L)))
+    assert(got(3L) === ((4L, 1L, 750L)))
+  }
 }
