@@ -380,6 +380,10 @@ object SparkEntry {
     "q_sst_filter" -> ((s, d) =>
       CompactionDag.sstBucketPrune(T.sstNamespaceFiles(s, d),
         T.buckets(s, d))),
+    // One KeyDeletingService pass: key-ordered limit over the reclaimable
+    // set, per-bucket purge rollup (BucketPurgeSize)
+    "q_purge_plan" -> ((s, d) =>
+      Reclaim.purgePlan(s, T.objects(s, d), d)),
     // S3 write-protocol decisions (CopyObject / MultiDelete) evaluated
     // against current key state — request batches broadcast into the scan
     "q_copy_object" -> ((s, d) =>
@@ -1628,6 +1632,36 @@ object SparkEntry {
         |    CASE WHEN version = 3 THEN 's2' END
         |  FROM wgrp WHERE churn AND version IN (1, 3, 4))
         |ORDER BY owner, volume, bucket, key, data_size""".stripMargin,
+      O.objects,
+      """wgrp AS (
+        |  SELECT volume, bucket, key, object_id, version,
+        |    (object_id // 10) % 10 = 0 AS churn, max(data_size) AS mx
+        |  FROM objects GROUP BY 1, 2, 3, 4, 5, 6
+        |)""".stripMargin),
+
+    // Purge pass: reclaimable rows only (band-1 non-max duplicate rows +
+    // the AOS v=4 band), key-ordered ('AOS' sorts before 's2'), capped at
+    // 500 keys, rolled up per bucket with the chunk-layout block count.
+    "q_purge_plan" -> O.withCtes(
+      s"""SELECT volume, bucket, count(*) AS purged_namespace,
+         |  CAST(sum(data_size) AS BIGINT) AS purged_bytes,
+         |  CAST(sum(CASE WHEN data_size <= 0 THEN 0
+         |    ELSE (data_size - 1) // ${graft.core.Tables.LocChunkBytes} + 1
+         |    END) AS BIGINT) AS purged_blocks
+         |FROM (
+         |  SELECT * FROM (
+         |    SELECT 's2' AS owner, o.volume, o.bucket, o.key, o.data_size
+         |    FROM objects o
+         |    JOIN wgrp w ON o.volume = w.volume AND o.bucket = w.bucket
+         |      AND o.key = w.key
+         |    WHERE o.version IN (4, 5) AND (o.object_id // 10) % 10 = 0
+         |      AND o.data_size <> w.mx
+         |    UNION ALL
+         |    SELECT 'AOS', volume, bucket, key, mx
+         |    FROM wgrp WHERE churn AND version = 4)
+         |  ORDER BY owner, volume, bucket, key, data_size
+         |  LIMIT 500)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.objects,
       """wgrp AS (
         |  SELECT volume, bucket, key, object_id, version,

@@ -144,6 +144,33 @@ object Reclaim {
       .orderBy("snapshot")
 
   /**
+   * One KeyDeletingService purge pass over the reclaimable set —
+   * KeyDeletingService.java:150-265: the task walks the deletedTable in
+   * key order up to `keyLimitPerTask` keys, ships their block groups to
+   * SCM ((size-1)/chunk+1 blocks per key, the locations layout), and
+   * rolls the DB purge up PER BUCKET (BucketPurgeSize: purgedBytes +
+   * purgedNamespace, the deltas that decrement bucket usage when the
+   * purge request commits).
+   *
+   * Scale shape: the limit is a TakeOrdered over the already-decided
+   * reclaim frame (top-K, never a global sort materialization), then one
+   * (volume, bucket) rollup shuffle of at most `keyLimit` rows.
+   */
+  def purgePlan(spark: SparkSession, objects: DataFrame, dir: String,
+                keyLimit: Int = 500): DataFrame =
+    snapshotReclaim(spark, objects, dir)
+      .filter(col("reclaimable"))
+      .orderBy("owner", "volume", "bucket", "key", "data_size")
+      .limit(keyLimit)
+      .withColumn("__blocks", expr("IF(data_size <= 0, 0L, " +
+        s"(data_size - 1) DIV ${graft.core.Tables.LocChunkBytes} + 1)"))
+      .groupBy("volume", "bucket")
+      .agg(count(lit(1)).as("purged_namespace"),
+        sum("data_size").cast("long").as("purged_bytes"),
+        sum("__blocks").cast("long").as("purged_blocks"))
+      .orderBy("volume", "bucket")
+
+  /**
    * Deleted-directory reclaim — ReclaimableDirFilter.java:58-73: a
    * deleted directory (an `rm -r` root awaiting the background purge) is
    * reclaimable iff the previous snapshot in the chain has no directory at

@@ -136,6 +136,28 @@ class ReclaimSpec extends SparkSpecBase {
     } finally got.unpersist()
   }
 
+  test("purge plan: key-ordered cap, per-bucket sums match the slice") {
+    val o = Tables.objects(spark, sf)
+    val recl = Reclaim.snapshotReclaim(spark, o, sf)
+      .filter($"reclaimable")
+    val total = recl.count()
+    // uncapped: every reclaimable key is purged
+    val full = Reclaim.purgePlan(spark, o, sf, keyLimit = total.toInt + 10)
+    assert(full.agg(org.apache.spark.sql.functions.sum("purged_namespace"))
+      .head.getLong(0) === total)
+    // capped at 7: exactly the first 7 keys in (owner, v, b, key, size)
+    // order contribute
+    val sliceBytes = recl
+      .orderBy("owner", "volume", "bucket", "key", "data_size")
+      .limit(7).agg(org.apache.spark.sql.functions.sum("data_size"))
+      .head.getLong(0)
+    val capped = Reclaim.purgePlan(spark, o, sf, keyLimit = 7)
+    assert(capped.agg(org.apache.spark.sql.functions.sum("purged_namespace"))
+      .head.getLong(0) === 7L)
+    assert(capped.agg(org.apache.spark.sql.functions.sum("purged_bytes"))
+      .head.getLong(0) === sliceBytes)
+  }
+
   test("exclusive rollup sums exactly the exclusive_to rows") {
     val o = Tables.objects(spark, sf)
     val dec = Reclaim.snapshotReclaim(spark, o, sf)
