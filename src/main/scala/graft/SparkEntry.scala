@@ -490,6 +490,10 @@ object SparkEntry {
     "q_repetition_filter" -> ((s, d) =>
       Curation.repetitionFilter(T.documents(s, d))),
     "q_decontaminate" -> ((s, d) => Curation.decontaminate(T.documents(s, d))),
+    // the whole pipeline's keep/drop report with first-failing-stage
+    // attribution
+    "q_curation_funnel" -> ((s, d) =>
+      Curation.curationFunnel(T.documents(s, d))),
     "q_seq_pack" -> ((s, d) => Curation.seqPack(T.documents(s, d))),
     // dedup pipeline's final stage: keep the best-quality member per cluster
     "q_dedup_canonical" -> ((s, d) =>
@@ -1265,20 +1269,7 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    "q_quality_score" -> O.withCtes(
-      s"""SELECT doc_id, n_tokens, n_stop, n_uniq, stop_x1000, uniq_x1000,
-         |  least(n_tokens, 100) * 10 + (1000 - stop_x1000) // 2
-         |    + uniq_x1000 // 4 AS quality_x1000
-         |FROM (
-         |  SELECT doc_id, n_tokens, n_stop, n_uniq,
-         |    n_stop * 1000 // n_tokens AS stop_x1000,
-         |    n_uniq * 1000 // n_tokens AS uniq_x1000
-         |  FROM (
-         |    SELECT doc_id, len(ws) AS n_tokens,
-         |      len(list_filter(ws, x -> x IN (${TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")}))) AS n_stop,
-         |      len(list_distinct(ws)) AS n_uniq
-         |    FROM doc_words))
-         |ORDER BY doc_id""".stripMargin, O.docWords),
+    "q_quality_score" -> qualityScoreOracle,
 
     "q_lang_id" -> langIdOracle,
 
@@ -2292,91 +2283,13 @@ object SparkEntry {
         |    GROUP BY 1))
         |ORDER BY domain""".stripMargin),
 
-    "q_pii_scrub" -> (
-      s"""WITH aug AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 3 = 0 THEN text
-         |         ELSE text || ' contact user' || doc_id
-         |           || '@example.com or admin.' || doc_id
-         |           || '@corp.example.org call 415-555-'
-         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-         |           || ' ssn 078-05-'
-         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-         |           || ' from 10.' || (doc_id % 200) || '.'
-         |           || ((doc_id * 7) % 250) || '.' || (doc_id % 250)
-         |    END AS aug
-         |  FROM documents
-         |), scr AS (
-         |  SELECT doc_id, aug,
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
-         |      '${Curation.EmailRe}', '<EMAIL>', 'g'),
-         |      '${Curation.SsnRe}', '<SSN>', 'g'),
-         |      '${Curation.PhoneRe}', '<PHONE>', 'g'),
-         |      '${Curation.IpRe}', '<IP>', 'g') AS scrubbed
-         |  FROM aug
-         |)
-         |SELECT doc_id,
-         |  len(regexp_extract_all(aug, '${Curation.EmailRe}')) AS n_email,
-         |  len(regexp_extract_all(aug, '${Curation.SsnRe}')) AS n_ssn,
-         |  len(regexp_extract_all(aug, '${Curation.PhoneRe}')) AS n_phone,
-         |  len(regexp_extract_all(aug, '${Curation.IpRe}')) AS n_ip,
-         |  ('0x' || substr(md5(scrubbed), 1, 15))::BIGINT AS scrub_fp60,
-         |  length(aug) - length(scrubbed) AS len_delta
-         |FROM scr ORDER BY doc_id""".stripMargin),
+    "q_pii_scrub" -> piiScrubOracle,
 
-    "q_repetition_filter" -> O.withCtes(
-      """SELECT doc_id, max_token_run, n_grams, top_gram_occ, dup_gram_occ,
-        |  top_gram_occ * 1000 // n_grams AS top_x1000,
-        |  dup_gram_occ * 1000 // n_grams AS dup_x1000,
-        |  (max_token_run <= 2 AND top_gram_occ * 1000 // n_grams <= 50
-        |   AND dup_gram_occ * 1000 // n_grams <= 100) AS keep
-        |FROM (
-        |  SELECT doc_id, max(run) AS max_token_run FROM (
-        |    SELECT doc_id, w, isl, count(*) AS run FROM (
-        |      SELECT doc_id, w,
-        |        pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS isl
-        |      FROM (SELECT doc_id, unnest(ws) AS w,
-        |              unnest(generate_series(1, len(ws))) AS pos
-        |            FROM doc_words))
-        |    GROUP BY 1, 2, 3) GROUP BY 1) runs
-        |JOIN (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-        |    max(c) AS top_gram_occ,
-        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_gram_occ
-        |  FROM (
-        |    SELECT doc_id, g, count(*) AS c FROM (
-        |      SELECT doc_id,
-        |        unnest([array_to_string(ws[i:i+1], ' ')
-        |                for i in generate_series(1, len(ws) - 1)]) AS g
-        |      FROM doc_words WHERE len(ws) >= 2)
-        |    GROUP BY 1, 2) GROUP BY 1) gs
-        |USING (doc_id)
-        |ORDER BY doc_id""".stripMargin, O.docWords),
+    "q_repetition_filter" -> repetitionFilterOracle,
 
-    "q_decontaminate" -> O.withCtes(
-      """SELECT d.doc_id,
-        |  coalesce(h.n_shared_grams, 0) AS n_shared_grams,
-        |  coalesce(h.n_bench_docs, 0) AS n_bench_docs,
-        |  coalesce(h.n_shared_grams, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN (
-        |  SELECT t.doc_id, count(DISTINCT t.gh) AS n_shared_grams,
-        |    count(DISTINCT b.bench_doc) AS n_bench_docs
-        |  FROM (SELECT doc_id, gh FROM grams4 WHERE doc_id % 50 <> 7) t
-        |  JOIN (SELECT doc_id AS bench_doc, gh FROM grams4 WHERE doc_id % 50 = 7) b
-        |    USING (gh)
-        |  GROUP BY 1) h ON d.doc_id = h.doc_id
-        |WHERE d.doc_id % 50 <> 7
-        |ORDER BY d.doc_id""".stripMargin,
-      O.docWords,
-      """grams4 AS (
-        |  SELECT DISTINCT doc_id,
-        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
-        |  FROM (
-        |    SELECT doc_id,
-        |      unnest([array_to_string(ws[i:i+3], ' ')
-        |              for i in generate_series(1, len(ws) - 3)]) AS g
-        |    FROM doc_words WHERE len(ws) >= 4)
-        |)""".stripMargin),
+    "q_decontaminate" -> decontaminateOracle,
+
+    "q_curation_funnel" -> curationFunnelOracle,
 
     "q_seq_pack" -> O.withCtes(
       """SELECT doc_id, shard, n_tokens,
@@ -2534,6 +2447,134 @@ object SparkEntry {
 
   /** Lang-ID oracle generated from the same marker constants as the Spark
     * implementation (TextAnalysis.LangMarkers) so they cannot drift. */
+  private def qualityScoreOracle: String = O.withCtes(
+    s"""SELECT doc_id, n_tokens, n_stop, n_uniq, stop_x1000, uniq_x1000,
+       |  least(n_tokens, 100) * 10 + (1000 - stop_x1000) // 2
+       |    + uniq_x1000 // 4 AS quality_x1000
+       |FROM (
+       |  SELECT doc_id, n_tokens, n_stop, n_uniq,
+       |    n_stop * 1000 // n_tokens AS stop_x1000,
+       |    n_uniq * 1000 // n_tokens AS uniq_x1000
+       |  FROM (
+       |    SELECT doc_id, len(ws) AS n_tokens,
+       |      len(list_filter(ws, x -> x IN (${TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")}))) AS n_stop,
+       |      len(list_distinct(ws)) AS n_uniq
+       |    FROM doc_words))
+       |ORDER BY doc_id""".stripMargin, O.docWords)
+
+  private def piiScrubOracle: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text
+       |         ELSE text || ' contact user' || doc_id
+       |           || '@example.com or admin.' || doc_id
+       |           || '@corp.example.org call 415-555-'
+       |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |           || ' ssn 078-05-'
+       |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |           || ' from 10.' || (doc_id % 200) || '.'
+       |           || ((doc_id * 7) % 250) || '.' || (doc_id % 250)
+       |    END AS aug
+       |  FROM documents
+       |), scr AS (
+       |  SELECT doc_id, aug,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+       |      '${Curation.EmailRe}', '<EMAIL>', 'g'),
+       |      '${Curation.SsnRe}', '<SSN>', 'g'),
+       |      '${Curation.PhoneRe}', '<PHONE>', 'g'),
+       |      '${Curation.IpRe}', '<IP>', 'g') AS scrubbed
+       |  FROM aug
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '${Curation.EmailRe}')) AS n_email,
+       |  len(regexp_extract_all(aug, '${Curation.SsnRe}')) AS n_ssn,
+       |  len(regexp_extract_all(aug, '${Curation.PhoneRe}')) AS n_phone,
+       |  len(regexp_extract_all(aug, '${Curation.IpRe}')) AS n_ip,
+       |  ('0x' || substr(md5(scrubbed), 1, 15))::BIGINT AS scrub_fp60,
+       |  length(aug) - length(scrubbed) AS len_delta
+       |FROM scr ORDER BY doc_id""".stripMargin
+
+  private def repetitionFilterOracle: String = O.withCtes(
+    """SELECT doc_id, max_token_run, n_grams, top_gram_occ, dup_gram_occ,
+      |  top_gram_occ * 1000 // n_grams AS top_x1000,
+      |  dup_gram_occ * 1000 // n_grams AS dup_x1000,
+      |  (max_token_run <= 2 AND top_gram_occ * 1000 // n_grams <= 50
+      |   AND dup_gram_occ * 1000 // n_grams <= 100) AS keep
+      |FROM (
+      |  SELECT doc_id, max(run) AS max_token_run FROM (
+      |    SELECT doc_id, w, isl, count(*) AS run FROM (
+      |      SELECT doc_id, w,
+      |        pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS isl
+      |      FROM (SELECT doc_id, unnest(ws) AS w,
+      |              unnest(generate_series(1, len(ws))) AS pos
+      |            FROM doc_words))
+      |    GROUP BY 1, 2, 3) GROUP BY 1) runs
+      |JOIN (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      |    max(c) AS top_gram_occ,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_gram_occ
+      |  FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM (
+      |      SELECT doc_id,
+      |        unnest([array_to_string(ws[i:i+1], ' ')
+      |                for i in generate_series(1, len(ws) - 1)]) AS g
+      |      FROM doc_words WHERE len(ws) >= 2)
+      |    GROUP BY 1, 2) GROUP BY 1) gs
+      |USING (doc_id)
+      |ORDER BY doc_id""".stripMargin, O.docWords)
+
+  private def decontaminateOracle: String = O.withCtes(
+    """SELECT d.doc_id,
+      |  coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+      |  coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+      |  coalesce(h.n_shared_grams, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN (
+      |  SELECT t.doc_id, count(DISTINCT t.gh) AS n_shared_grams,
+      |    count(DISTINCT b.bench_doc) AS n_bench_docs
+      |  FROM (SELECT doc_id, gh FROM grams4 WHERE doc_id % 50 <> 7) t
+      |  JOIN (SELECT doc_id AS bench_doc, gh FROM grams4 WHERE doc_id % 50 = 7) b
+      |    USING (gh)
+      |  GROUP BY 1) h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 50 <> 7
+      |ORDER BY d.doc_id""".stripMargin,
+    O.docWords,
+    """grams4 AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest([array_to_string(ws[i:i+3], ' ')
+      |              for i in generate_series(1, len(ws) - 3)]) AS g
+      |    FROM doc_words WHERE len(ws) >= 4)
+      |)""".stripMargin)
+
+  /** The funnel composes the five component oracles verbatim as nested
+    * CTEs — each stage's SQL stays the single source of truth and the
+    * funnel can never drift from the stage queries it reports on. (Plain
+    * concatenation: an outer stripMargin would eat the inner SQL's
+    * leading `||` concatenation operators.) */
+  private def curationFunnelOracle: String =
+    "WITH lang_t AS (\n" + langIdOracle +
+      "\n), qual_t AS (\n" + qualityScoreOracle +
+      "\n), rep_t AS (\n" + repetitionFilterOracle +
+      "\n), pii_t AS (\n" + piiScrubOracle +
+      "\n), dec_t AS (\n" + decontaminateOracle + "\n)\n" +
+      """SELECT d.doc_id, l.predicted_lang, q.quality_x1000,
+        |  p.n_email + p.n_ssn + p.n_phone + p.n_ip AS n_pii,
+        |  CASE WHEN d.doc_id % 50 = 7 THEN 'benchmark'
+        |       WHEN l.predicted_lang <> 'en' THEN 'lang'
+        |       WHEN q.quality_x1000 < 900 THEN 'quality'
+        |       WHEN NOT r.keep THEN 'repetition'
+        |       WHEN c.contaminated THEN 'contaminated'
+        |       ELSE 'keep' END AS verdict
+        |FROM (SELECT doc_id FROM documents) d
+        |JOIN lang_t l USING (doc_id)
+        |JOIN qual_t q USING (doc_id)
+        |JOIN rep_t r USING (doc_id)
+        |JOIN pii_t p USING (doc_id)
+        |LEFT JOIN dec_t c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   private def langIdOracle: String = {
     val scores = TextAnalysis.LangMarkers.map { case (lang, markers) =>
       val occ = markers.map { m =>

@@ -152,6 +152,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /**
+   * The curation funnel: every quality gate of the pipeline evaluated per
+   * document with FIRST-FAILING-STAGE attribution — the report a corpus
+   * owner reads to see where the data goes (and why) before training:
+   * benchmark split (held out entirely) → language gate → quality score →
+   * repetition → contamination → keep. PII is a transform, not a gate:
+   * its redaction count rides along so "kept" never means "unscrubbed".
+   *
+   * Scale shape: each stage is already a per-doc frame shuffled on
+   * doc_id; the funnel joins co-partition on that same key, so composing
+   * five gates adds joins but no new shuffle pattern. Thresholds are
+   * fixture-calibrated so every verdict class is populated at every SF.
+   */
+  def curationFunnel(docs: DataFrame, qualityMin: Int = 900,
+                     benchMod: Int = 50, benchRem: Int = 7): DataFrame = {
+    val lang = TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("predicted_lang"))
+    val qual = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_x1000"))
+    val rep = repetitionFilter(docs)
+      .select(col("doc_id"), col("keep").as("__rep_keep"))
+    val pii = piiScrub(docs).select(col("doc_id"),
+      (col("n_email") + col("n_ssn") + col("n_phone") + col("n_ip"))
+        .as("n_pii"))
+    val dec = decontaminate(docs, benchMod = benchMod, benchRem = benchRem)
+      .select(col("doc_id"), col("contaminated"))
+    docs.select("doc_id")
+      .join(lang, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(pii, Seq("doc_id"))
+      .join(dec, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("doc_id") % benchMod === benchRem, lit("benchmark"))
+          .when(col("predicted_lang") =!= "en", lit("lang"))
+          .when(col("quality_x1000") < qualityMin, lit("quality"))
+          .when(!col("__rep_keep"), lit("repetition"))
+          .when(col("contaminated"), lit("contaminated"))
+          .otherwise(lit("keep")))
+      .select("doc_id", "predicted_lang", "quality_x1000", "n_pii",
+        "verdict")
+      .orderBy("doc_id")
+  }
+
   /** Concat-and-chop sequence packing: deterministic shard assignment
     * (md5 of doc_id → shard), docs concatenated in doc_id order within a
     * shard, then chopped into fixed seqLen token blocks. Emits each doc's

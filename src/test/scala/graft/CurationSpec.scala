@@ -88,4 +88,27 @@ class CurationSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("curation funnel: first-failing-stage attribution, all classes live") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val funnel = Curation.curationFunnel(docs).cache()
+    try {
+      assert(funnel.count() === docs.count())
+      val classes = funnel.groupBy("verdict").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(classes.keySet === Set("benchmark", "lang", "quality",
+        "repetition", "contaminated", "keep"),
+        s"missing verdict classes: $classes")
+      // priority: every non-'lang' verdict row must have predicted en
+      // (a failing earlier stage always wins)
+      assert(funnel.filter(col("verdict").isin("quality", "repetition",
+        "contaminated", "keep") && col("predicted_lang") =!= "en").isEmpty)
+      // benchmark split is exactly the held-out congruence class
+      assert(funnel.filter((col("doc_id") % 50 === 7) =!=
+        (col("verdict") === "benchmark")).isEmpty)
+      // kept docs can still carry PII redactions (scrub, don't drop)
+      assert(funnel.filter(col("verdict") === "keep" && col("n_pii") > 0)
+        .count() > 0)
+    } finally funnel.unpersist()
+  }
 }
