@@ -337,6 +337,9 @@ object SparkEntry {
     "q_list_tenants" -> ((s, d) => Tenants.listTenants(T.tenantState(s, d))),
     "q_tenant_user_info" -> ((s, d) =>
       Tenants.tenantUserInfo(T.tenantAccessIds(s, d), "clerk1")),
+    "q_tenant_assign" -> ((s, d) =>
+      Tenants.assignAccessIdDecisions(T.assignRequests(s, d),
+        T.tenantState(s, d), T.tenantAccessIds(s, d))),
     "q_locations_explode" -> ((s, d) =>
       Nested.locationsExplode(T.objectsNested(s, d))),
     // ---- conditional reads + filter DSL (SURVEY §2.2) ----
@@ -483,6 +486,10 @@ object SparkEntry {
       Sampling.corpusMix(T.documents(s, d), "source", budgetTokens = 800L)),
     "q_mix_weights" -> ((s, d) =>
       Sampling.mixWeights(T.documents(s, d), "source",
+        budgetTokens = 1000000L)),
+    // exact largest-remainder apportionment of the same budget
+    "q_mix_allocation" -> ((s, d) =>
+      Sampling.mixAllocation(T.documents(s, d), "source",
         budgetTokens = 1000000L)),
     // ---- corpus curation: PII redaction, repetition filter,
     // benchmark decontamination, sequence packing ----
@@ -1476,6 +1483,43 @@ object SparkEntry {
         |FROM objects WHERE owner = 'clerk1'
         |ORDER BY access_id""".stripMargin, O.objects),
 
+    // AssignUserAccessId ladder in the reference's branch order; the
+    // request VALUES mirror Tables.assignRequests exactly.
+    "q_tenant_assign" -> O.withCtes(
+      """SELECT r.tenant_id, r.user_principal, r.access_id,
+        |  CASE WHEN length(r.access_id) >= 100 THEN 'INVALID_ACCESS_ID'
+        |       WHEN r.user_principal LIKE '%$%' THEN 'INVALID_TENANT_USERNAME'
+        |       WHEN r.tenant_id LIKE '%$%' THEN 'INVALID_TENANT_ID'
+        |       WHEN t.tenant_id IS NULL THEN 'TENANT_NOT_FOUND'
+        |       WHEN i.access_id IS NOT NULL OR u.user_principal IS NOT NULL
+        |         THEN 'TENANT_USER_ACCESS_ID_ALREADY_EXISTS'
+        |       ELSE 'ASSIGNED' END AS decision
+        |FROM (VALUES
+        |  ('tenant1', 'newuser', repeat('a', 100)),
+        |  ('tenant1', 'bad$user', 'tenant1$badu'),
+        |  ('ten$ant1', 'user1', 'x1'),
+        |  ('tenant9', 'user2', 'tenant9$user2'),
+        |  ('tenant9', 'bad$u', 'y1'),
+        |  ('tenant9', 'clerk1', 'tenant1$clerk1'),
+        |  ('tenant1', 'freshuser', 'tenant1$clerk1'),
+        |  ('tenant2', 'clerk3', 'tenant2$clerk3x'),
+        |  ('tenant3', 'alice', 'tenant3$alice'))
+        |  r(tenant_id, user_principal, access_id)
+        |LEFT JOIN (
+        |  SELECT DISTINCT 'tenant' || substr(volume, 4, 10) AS tenant_id
+        |  FROM objects) t ON r.tenant_id = t.tenant_id
+        |LEFT JOIN (
+        |  SELECT DISTINCT
+        |    'tenant' || substr(volume, 4, 10) || '$' || owner AS access_id
+        |  FROM objects) i ON r.access_id = i.access_id
+        |LEFT JOIN (
+        |  SELECT DISTINCT 'tenant' || substr(volume, 4, 10) AS tenant_id,
+        |    owner AS user_principal
+        |  FROM objects) u ON r.tenant_id = u.tenant_id
+        |  AND r.user_principal = u.user_principal
+        |ORDER BY r.tenant_id, r.user_principal, r.access_id""".stripMargin,
+      O.objects),
+
     "q_locations_explode" -> O.withCtes(
       s"""SELECT key, data_size, container_id,
          |  object_id * 100 + i AS local_id,
@@ -2281,6 +2325,33 @@ object SparkEntry {
         |          AS n_tokens
         |      FROM documents)
         |    GROUP BY 1))
+        |ORDER BY domain""".stripMargin),
+
+    // Hamilton apportionment: floor shares, then +1 to the largest scaled
+    // remainders until the budget is exact.
+    "q_mix_allocation" -> (
+      """SELECT domain, docs, tokens, base_alloc,
+        |  base_alloc + CASE WHEN row_number() OVER
+        |      (ORDER BY rem DESC, domain) <= n_extra
+        |    THEN 1 ELSE 0 END AS alloc
+        |FROM (
+        |  SELECT *,
+        |    1000000 * isq // isq_total AS base_alloc,
+        |    (1000000 * isq) % isq_total AS rem,
+        |    CAST(1000000 - sum(1000000 * isq // isq_total) OVER () AS BIGINT)
+        |      AS n_extra
+        |  FROM (
+        |    SELECT *, CAST(sum(isq) OVER () AS BIGINT) AS isq_total FROM (
+        |      SELECT source AS domain, count(*) AS docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |        CAST(floor(sqrt(CAST(sum(n_tokens) AS BIGINT))) AS BIGINT)
+        |          AS isq
+        |      FROM (
+        |        SELECT source,
+        |          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |            AS n_tokens
+        |        FROM documents)
+        |      GROUP BY 1)))
         |ORDER BY domain""".stripMargin),
 
     "q_pii_scrub" -> piiScrubOracle,

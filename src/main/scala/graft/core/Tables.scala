@@ -427,6 +427,27 @@ object Tables {
         col("owner").as("user_principal"),
         concat(col("tenant_id"), lit("$"), col("owner")).as("access_id"))
 
+  /** AssignUserAccessId request batch — the static catalog covers every
+    * decision branch of OMTenantAssignUserAccessIdRequest (oversized
+    * accessId, delimiter in principal/tenant, unknown tenant, duplicate
+    * accessId, principal already in the tenant, clean assignment) plus
+    * the branch-order probes (delimiter beats unknown tenant, unknown
+    * tenant beats duplicate accessId). */
+  def assignRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("tenant1", "newuser", "a" * 100),
+      ("tenant1", "bad$user", "tenant1$badu"),
+      ("ten$ant1", "user1", "x1"),
+      ("tenant9", "user2", "tenant9$user2"),
+      ("tenant9", "bad$u", "y1"),
+      ("tenant9", "clerk1", "tenant1$clerk1"),
+      ("tenant1", "freshuser", "tenant1$clerk1"),
+      ("tenant2", "clerk3", "tenant2$clerk3x"),
+      ("tenant3", "alice", "tenant3$alice"))
+      .toDF("tenant_id", "user_principal", "access_id")
+  }
+
   // ---- auth catalog (ref OMDBDefinition.java:149-191: userTable,
   // s3SecretTable, dTokenTable, prefixTable) ----
 

@@ -82,4 +82,41 @@ object Sampling {
         "epochs_bp")
       .orderBy("domain")
   }
+
+  /**
+   * Exact token-budget apportionment across domains by largest remainder
+   * (Hamilton's method) over the same √-smoothed weights as
+   * [[mixWeights]]: base_i = ⌊B·isq_i / isq_total⌋, then the B − Σbase
+   * leftover tokens go one each to the largest scaled remainders
+   * (B·isq_i mod isq_total; ties broken by domain name). Unlike the
+   * floor-only sampled_tokens of [[mixWeights]], Σ alloc == B exactly —
+   * what a training loader actually schedules.
+   *
+   * Scale shape: identical to [[mixWeights]] up to the per-domain table
+   * (one map-side-combined agg); the remainder-rank window runs over the
+   * control-plane-sized domain list, like the reference's in-memory
+   * snapshot chain fold.
+   */
+  def mixAllocation(docs: DataFrame, domain: String,
+                    budgetTokens: Long): DataFrame = {
+    val per = docs
+      .withColumn("n_tokens",
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long"))
+      .groupBy(col(domain).as("domain"))
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .withColumn("isq", expr("CAST(floor(sqrt(tokens)) AS BIGINT)"))
+    val total = per.agg(sum("isq").as("isq_total"))
+    val based = per.crossJoin(broadcast(total))
+      .withColumn("base_alloc", expr(s"$budgetTokens * isq DIV isq_total"))
+      .withColumn("rem", expr(s"($budgetTokens * isq) % isq_total"))
+    val short = based
+      .agg((lit(budgetTokens) - sum("base_alloc")).as("n_extra"))
+    based.crossJoin(broadcast(short))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("domain"))))
+      .withColumn("alloc", col("base_alloc") +
+        when(col("rk") <= col("n_extra"), 1L).otherwise(0L))
+      .select("domain", "docs", "tokens", "base_alloc", "alloc")
+      .orderBy("domain")
+  }
 }

@@ -101,6 +101,28 @@ class PeriodicScanApiSpec extends SparkSpecBase {
     assert(Api.tenantGetUserInfo(spark, sf, "clerk1").count() >= 1)
   }
 
+  test("tenant assign: the validation ladder fires in reference order") {
+    val got = graft.operators.Tenants.assignAccessIdDecisions(
+      graft.core.Tables.assignRequests(spark, sf),
+      graft.core.Tables.tenantState(spark, sf),
+      graft.core.Tables.tenantAccessIds(spark, sf))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(3)).toMap
+    assert(got(("tenant1", "newuser")) === "INVALID_ACCESS_ID")
+    assert(got(("tenant1", "bad$user")) === "INVALID_TENANT_USERNAME")
+    assert(got(("ten$ant1", "user1")) === "INVALID_TENANT_ID")
+    assert(got(("tenant9", "user2")) === "TENANT_NOT_FOUND")
+    // delimiter check precedes tenant existence
+    assert(got(("tenant9", "bad$u")) === "INVALID_TENANT_USERNAME")
+    // tenant existence precedes the duplicate-accessId check
+    assert(got(("tenant9", "clerk1")) === "TENANT_NOT_FOUND")
+    assert(got(("tenant1", "freshuser"))
+      === "TENANT_USER_ACCESS_ID_ALREADY_EXISTS")
+    assert(got(("tenant2", "clerk3"))
+      === "TENANT_USER_ACCESS_ID_ALREADY_EXISTS")
+    assert(got(("tenant3", "alice")) === "ASSIGNED")
+  }
+
   test("API facade: reclaim candidates and exclusive sizes") {
     val rec = Api.listReclaimableKeys(spark, sf)
     assert(rec.count() > 0)

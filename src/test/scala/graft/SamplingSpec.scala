@@ -85,4 +85,24 @@ class SamplingSpec extends SparkSpecBase {
       rare.getAs[Long]("weight_bp")
     assert(ratio > 9.0 && ratio < 11.0, s"smoothed ratio $ratio")
   }
+
+  test("mix allocation: Hamilton apportionment sums exactly to the budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "x " * 100), (2L, "b", "x " * 100), (3L, "c", "x " * 100))
+      .toDF("doc_id", "source", "text")
+    // equal domains, budget 100: 100/3 floors to 33 each, 1 leftover goes
+    // to the lexicographically-first domain of the tied remainders
+    val got = Sampling.mixAllocation(docs, "source", 100L).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") === ((33L, 34L)))
+    assert(got("b") === ((33L, 33L)))
+    assert(got("c") === ((33L, 33L)))
+    // fixture corpus: the allocation is exact at any budget
+    val alloc = Sampling.mixAllocation(
+      T.documents(spark, "/root/testdata/sf0.001"), "source", 999983L)
+    assert(alloc.agg(sum("alloc")).head.getLong(0) === 999983L)
+    // and never drifts more than one token from the floor share
+    assert(alloc.filter(col("alloc") - col("base_alloc") > 1).isEmpty)
+  }
 }
