@@ -340,6 +340,10 @@ object SparkEntry {
     "q_tenant_assign" -> ((s, d) =>
       Tenants.assignAccessIdDecisions(T.assignRequests(s, d),
         T.tenantState(s, d), T.tenantAccessIds(s, d))),
+    // FSO write path: the missing parent dirs a CreateFile batch mints
+    "q_mkdir_parents" -> ((s, d) =>
+      Hierarchy.mkdirMissingParents(T.mkdirRequests(s, d),
+        T.objects(s, d))),
     "q_locations_explode" -> ((s, d) =>
       Nested.locationsExplode(T.objectsNested(s, d))),
     // ---- conditional reads + filter DSL (SURVEY §2.2) ----
@@ -1904,6 +1908,49 @@ object SparkEntry {
       """SELECT volume, bucket, key AS path, data_size
         |FROM objects
         |ORDER BY volume, bucket, path, data_size""".stripMargin, O.objects),
+
+    // Missing parents: request-path ancestors absent from the existing
+    // ancestor set of the requests' buckets; ids are the FSO path ids.
+    "q_mkdir_parents" -> O.withCtes(
+      """SELECT c.volume, c.bucket, c.path,
+        |  ('0x' || substr(md5(c.volume || ':' || c.bucket || ':' || c.path),
+        |    1, 15))::BIGINT AS dir_id,
+        |  CASE WHEN instr(c.path, '/') = 0 THEN 0
+        |    ELSE ('0x' || substr(md5(c.volume || ':' || c.bucket || ':' ||
+        |      substr(c.path, 1,
+        |        length(c.path) - length(string_split(c.path, '/')[-1]) - 1)),
+        |      1, 15))::BIGINT END AS parent_id
+        |FROM cand c
+        |LEFT JOIN exist e ON c.volume = e.volume AND c.bucket = e.bucket
+        |  AND c.path = e.path
+        |WHERE e.path IS NULL
+        |ORDER BY c.volume, c.bucket, c.path""".stripMargin,
+      O.objects,
+      """reqs(volume, bucket, key) AS (VALUES
+        |  ('vol0', 'bucket0', 'warehouse/A/newdir/sub/file.dat'),
+        |  ('vol0', 'bucket0', 'warehouse/NEWTOP/x/y/file.dat'),
+        |  ('vol0', 'bucket0', 'warehouse/NEWTOP/x/z/file.dat'),
+        |  ('vol0', 'bucket0', 'warehouse/A/file2.dat'),
+        |  ('vol0', 'bucket0', 'rootfile.dat'),
+        |  ('vol1', 'bucket3', 'warehouse/N/fresh/leaf.dat'))""".stripMargin,
+      """cand AS (
+        |  SELECT DISTINCT volume, bucket,
+        |    array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS path
+        |  FROM (
+        |    SELECT *, unnest(generate_series(1,
+        |      least(len(string_split(key, '/')) - 1, 64))) AS d
+        |    FROM reqs)
+        |)""".stripMargin,
+      """exist AS (
+        |  SELECT DISTINCT volume, bucket,
+        |    array_to_string(list_slice(string_split(key, '/'), 1, d), '/') AS path
+        |  FROM (
+        |    SELECT o.volume, o.bucket, o.key, unnest(generate_series(1,
+        |      least(len(string_split(o.key, '/')) - 1, 64))) AS d
+        |    FROM objects o
+        |    JOIN (SELECT DISTINCT volume, bucket FROM reqs) rb
+        |      ON o.volume = rb.volume AND o.bucket = rb.bucket)
+        |)""".stripMargin),
 
     "q_fso_list_status" -> O.withCtes(
       """SELECT split_part(key, '/', 3) AS child, true AS is_dir,

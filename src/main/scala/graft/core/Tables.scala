@@ -427,6 +427,22 @@ object Tables {
         col("owner").as("user_principal"),
         concat(col("tenant_id"), lit("$"), col("owner")).as("access_id"))
 
+  /** CreateFile request batch for the missing-parent walk — covers a new
+    * subtree under an existing dir, a brand-new top chain, two requests
+    * sharing a new subtree (minted once), a fully-existing parent chain
+    * (nothing to mint) and a root-level file (no parents). */
+  def mkdirRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("vol0", "bucket0", "warehouse/A/newdir/sub/file.dat"),
+      ("vol0", "bucket0", "warehouse/NEWTOP/x/y/file.dat"),
+      ("vol0", "bucket0", "warehouse/NEWTOP/x/z/file.dat"),
+      ("vol0", "bucket0", "warehouse/A/file2.dat"),
+      ("vol0", "bucket0", "rootfile.dat"),
+      ("vol1", "bucket3", "warehouse/N/fresh/leaf.dat"))
+      .toDF("volume", "bucket", "key")
+  }
+
   /** AssignUserAccessId request batch — the static catalog covers every
     * decision branch of OMTenantAssignUserAccessIdRequest (oversized
     * accessId, delimiter in principal/tenant, unknown tenant, duplicate

@@ -169,6 +169,52 @@ object Hierarchy {
    * reference's persisted directoryTable the iterator seeks into) — each
    * page then costs one join + agg over the REMAINING subtree only.
    */
+  /**
+   * Missing-parent materialization for a CreateFile/CreateDirectory batch
+   * — the reference's OMDirectoryCreateRequest walks a request's path from
+   * the bucket root and collects every ancestor absent from the directory
+   * table ("missing parents"), each minted with a fresh objectID, before
+   * the key itself can land (OMDirectoryCreateRequest.java
+   * getAllMissingParentDirInfos). Here the whole batch resolves in one
+   * pass: explode each request's strict ancestors, dedup ACROSS requests
+   * (two requests sharing a new subtree mint each dir once), and anti-join
+   * the existing directory set; ids are the deterministic path ids the FSO
+   * tables already use, so a minted dir's id equals what
+   * [[graft.core.Tables.directoriesFso]] would derive for it.
+   *
+   * Scale shape: the existing-dir side is pre-pruned to the REQUESTS'
+   * buckets (a broadcast semi-join pushed into the key scan) before its
+   * ancestor explode; both sides then meet in one co-partitioned anti-join
+   * on the dir path.
+   */
+  def mkdirMissingParents(requests: DataFrame,
+                          objects: DataFrame): DataFrame = {
+    def ancestors(df: DataFrame): DataFrame = df
+      .select(col("volume"), col("bucket"),
+        Aggregates.parentDirOf("key").as("pdir"))
+      .filter(col("pdir") =!= "")
+      .select(col("volume"), col("bucket"),
+        explode(Aggregates.dirAndAncestors("pdir")).as("path"))
+      .distinct()
+    val reqBuckets = requests.select("volume", "bucket").distinct()
+    val existing = ancestors(
+      objects.join(broadcast(reqBuckets), Seq("volume", "bucket"),
+        "left_semi"))
+    val parentPath = expr("CASE WHEN instr(path, '/') > 0 THEN " +
+      "substring(path, 1, length(path) - length(element_at(split(path, '/'), -1)) - 1) " +
+      "ELSE '' END")
+    ancestors(requests)
+      .join(existing, Seq("volume", "bucket", "path"), "left_anti")
+      .withColumn("dir_id", pathId(col("volume"), col("bucket"), col("path")))
+      .withColumn("parent_path", parentPath)
+      .withColumn("parent_id",
+        when(col("parent_path") === "", lit(0L))
+          .otherwise(pathId(col("volume"), col("bucket"),
+            col("parent_path"))))
+      .select("volume", "bucket", "path", "dir_id", "parent_id")
+      .orderBy("volume", "bucket", "path")
+  }
+
   def listStatusFsoWalk(dirs: DataFrame, files: DataFrame,
                         volume: String, bucket: String, parentPath: String,
                         pageSize: Int, maxDepth: Int = 8,

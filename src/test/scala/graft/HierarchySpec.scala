@@ -76,4 +76,34 @@ class HierarchySpec extends SparkSpecBase {
     assert(fso.nonEmpty)
     assert(fso === obs)
   }
+
+  test("mkdir parents: mints exactly the absent ancestors, once per dir") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Hierarchy.mkdirMissingParents(
+      graft.core.Tables.mkdirRequests(spark, sf),
+      graft.core.Tables.objects(spark, sf)).collect()
+    val paths = got.map(r => (r.getString(0), r.getString(2))).toSeq
+    // shared NEWTOP chain minted once; existing warehouse/A untouched;
+    // root-level file and fully-existing chains contribute nothing
+    assert(paths === Seq(
+      ("vol0", "warehouse/A/newdir"),
+      ("vol0", "warehouse/A/newdir/sub"),
+      ("vol0", "warehouse/NEWTOP"),
+      ("vol0", "warehouse/NEWTOP/x"),
+      ("vol0", "warehouse/NEWTOP/x/y"),
+      ("vol0", "warehouse/NEWTOP/x/z"),
+      ("vol1", "warehouse/N/fresh")))
+    // minted ids chain correctly: each dir's parent_id is either an
+    // EXISTING dir's id or another minted dir's id
+    val minted = got.map(r => r.getLong(3)).toSet
+    val existingIds = Set(
+      Hierarchy.pathIdOf("vol0", "bucket0", "warehouse"),
+      Hierarchy.pathIdOf("vol0", "bucket0", "warehouse/A"),
+      Hierarchy.pathIdOf("vol1", "bucket3", "warehouse/N"))
+    got.foreach { r =>
+      assert(minted.contains(r.getLong(4)) ||
+        existingIds.contains(r.getLong(4)),
+        s"dangling parent for ${r.getString(2)}")
+    }
+  }
 }
