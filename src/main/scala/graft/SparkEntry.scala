@@ -506,6 +506,8 @@ object SparkEntry {
     "q_curation_funnel" -> ((s, d) =>
       Curation.curationFunnel(T.documents(s, d))),
     "q_seq_pack" -> ((s, d) => Curation.seqPack(T.documents(s, d))),
+    // overlapping-window chunk plan (retrieval/embedding prep)
+    "q_doc_chunks" -> ((s, d) => Curation.docChunks(T.documents(s, d))),
     // dedup pipeline's final stage: keep the best-quality member per cluster
     "q_dedup_canonical" -> ((s, d) =>
       Dedup.canonicalDocs(
@@ -2408,6 +2410,19 @@ object SparkEntry {
     "q_decontaminate" -> decontaminateOracle,
 
     "q_curation_funnel" -> curationFunnelOracle,
+
+    // chunk count: 1 if n <= 256 else ceil((n - 256) / 192) + 1; spans
+    // advance by the stride and clamp at the doc end
+    "q_doc_chunks" -> O.withCtes(
+      """SELECT doc_id, chunk_idx, chunk_idx * 192 AS start_tok,
+        |  least(chunk_idx * 192 + 256, n_tokens) AS end_tok, n_tokens
+        |FROM (
+        |  SELECT doc_id, n_tokens, unnest(generate_series(0,
+        |    CASE WHEN n_tokens <= 256 THEN 0
+        |         ELSE (n_tokens - 256 + 191) // 192 END)) AS chunk_idx
+        |  FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+        |        FROM doc_words))
+        |ORDER BY doc_id, chunk_idx""".stripMargin, O.docWords),
 
     "q_seq_pack" -> O.withCtes(
       """SELECT doc_id, shard, n_tokens,

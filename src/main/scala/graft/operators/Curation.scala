@@ -196,6 +196,30 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /**
+   * Overlapping-window chunk plan — the retrieval/embedding prep dual of
+   * [[seqPack]]: each document splits into `window`-token chunks advancing
+   * by `stride` (< window ⇒ adjacent chunks overlap by window − stride
+   * tokens, so no boundary sentence is ever lost to a cut). Emits one row
+   * per chunk with its token span; a doc at or under one window is a
+   * single chunk. Pure per-row arithmetic + an explode — no shuffle until
+   * the output ordering.
+   */
+  def docChunks(docs: DataFrame, window: Int = 256,
+                stride: Int = 192): DataFrame =
+    docs
+      .withColumn("ws", split(normText(col("text")), " "))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("n_chunks", expr(s"IF(n_tokens <= $window, 1L, " +
+        s"(n_tokens - $window + ${stride - 1}) DIV $stride + 1)"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("end_tok",
+        least(col("start_tok") + window, col("n_tokens")))
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "n_tokens")
+      .orderBy("doc_id", "chunk_idx")
+
   /** Concat-and-chop sequence packing: deterministic shard assignment
     * (md5 of doc_id → shard), docs concatenated in doc_id order within a
     * shard, then chopped into fixed seqLen token blocks. Emits each doc's

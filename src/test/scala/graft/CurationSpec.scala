@@ -89,6 +89,28 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("doc chunks: stride windows cover every token, overlap by 64") {
+    val d = Seq((1L, ("w " * 448).trim), (2L, ("w " * 449).trim),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val got = Curation.docChunks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 448 tokens: [0,256) + [192,448); 449 adds [384,449); short: 1 chunk
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 256L), (1L, 1L, 192L, 448L),
+      (2L, 0L, 0L, 256L), (2L, 1L, 192L, 448L), (2L, 2L, 384L, 449L),
+      (3L, 0L, 0L, 2L)))
+    // invariants: first chunk starts at 0, last ends at n, consecutive
+    // chunks overlap by exactly window - stride
+    got.groupBy(_._1).values.foreach { rs =>
+      val s = rs.sortBy(_._2)
+      assert(s.head._3 === 0L)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + 192)
+        case _ =>
+      }
+    }
+  }
+
   test("curation funnel: first-failing-stage attribution, all classes live") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val funnel = Curation.curationFunnel(docs).cache()
