@@ -344,6 +344,11 @@ object SparkEntry {
     "q_mkdir_parents" -> ((s, d) =>
       Hierarchy.mkdirMissingParents(T.mkdirRequests(s, d),
         T.objects(s, d))),
+    // CreateBucket validation ladder in reference branch order (name →
+    // cap → link args → volume → collision → byte quota → ns quota)
+    "q_bucket_create" -> ((s, d) =>
+      BucketOps.bucketCreateDecisions(T.bucketCreateRequests(s, d),
+        T.volumesNs(s, d), T.buckets(s, d))),
     "q_locations_explode" -> ((s, d) =>
       Nested.locationsExplode(T.objectsNested(s, d))),
     // ---- conditional reads + filter DSL (SURVEY §2.2) ----
@@ -525,7 +530,11 @@ object SparkEntry {
       TextAnalysis.lmFamiliarity(T.documents(s, d),
         TextAnalysis.ngramCounts(T.documents(s, d), n = 3, minCount = 3))),
     "q_vocab_coverage" -> ((s, d) =>
-      TextAnalysis.vocabCoverage(T.documents(s, d))))
+      TextAnalysis.vocabCoverage(T.documents(s, d))),
+    // BPE merge-candidate ranking: adjacent char/</w> pair frequencies
+    // over the distinct vocabulary, weighted by corpus word counts
+    "q_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairStats(T.documents(s, d))))
 
   /** Query-term set for q_keyword_search (mirrored in its oracle). */
   val SearchTerms = Seq("table", "spark", "query", "zebra")
@@ -1954,6 +1963,99 @@ object SparkEntry {
         |      ON o.volume = rb.volume AND o.bucket = rb.bucket)
         |)""".stripMargin),
 
+    // CreateBucket ladder: staged CASE rungs in reference branch order;
+    // in-batch collisions and namespace admission via cumulative windows
+    "q_bucket_create" -> O.withCtes(
+      """SELECT req_id, volume, bucket, coalesce(e4, 'CREATED') AS decision
+        |FROM ns ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """volumes_ns AS (
+        |  SELECT volume, bucket_count, quota_bytes,
+        |    CASE WHEN volume = 'vol3' THEN bucket_count + 2
+        |         ELSE -1 END AS quota_namespace
+        |  FROM volumes)""".stripMargin,
+      """reqs(req_id, volume, bucket, has_source_volume, has_source_bucket,
+        |     has_encryption, quota_bytes) AS (VALUES
+        |  (1, 'vol0', 'newb-a', FALSE, FALSE, FALSE, 5000000),
+        |  (2, 'vol0', 'newb-a', FALSE, FALSE, FALSE, 5000000),
+        |  (3, 'vol0', 'bucket3', FALSE, FALSE, FALSE, 5000000),
+        |  (4, 'vol9', 'newb-b', FALSE, FALSE, FALSE, 5000000),
+        |  (5, 'vol1', 'newb-c', TRUE, FALSE, FALSE, 0),
+        |  (6, 'vol1', 'newb-d', TRUE, TRUE, TRUE, 0),
+        |  (7, 'vol1', 'newb-e', TRUE, TRUE, FALSE, 0),
+        |  (8, 'vol1', 'newb-f', FALSE, FALSE, FALSE, 0),
+        |  (9, 'vol2', 'newb-g', FALSE, FALSE, FALSE, 999000000000),
+        |  (10, 'vol2', 'newb-h', FALSE, FALSE, FALSE, 990000000000),
+        |  (11, 'vol3', 'newb-i', FALSE, FALSE, FALSE, 1000000),
+        |  (12, 'vol3', 'newb-j', FALSE, FALSE, FALSE, 1000000),
+        |  (13, 'vol3', 'newb-k', FALSE, FALSE, FALSE, 1000000),
+        |  (14, 'vol9', 'bucket3', FALSE, FALSE, FALSE, 5000000),
+        |  (15, 'vol9', 'newb-l', FALSE, TRUE, FALSE, 0),
+        |  (16, 'vol0', 'Newb-Bad', FALSE, FALSE, FALSE, 5000000),
+        |  (17, 'vol0', 'ab', FALSE, FALSE, FALSE, 5000000),
+        |  (18, 'vol0', 'bad..name', FALSE, FALSE, FALSE, 5000000),
+        |  (19, 'vol0', '192.168.1.1', FALSE, FALSE, FALSE, 5000000),
+        |  (20, 'vol9', '-badstart', FALSE, FALSE, FALSE, 5000000))""".stripMargin,
+      """tot AS (SELECT count(*) AS total_buckets FROM buckets)""",
+      """qsum AS (
+        |  SELECT volume, CAST(sum(CASE WHEN quota_bytes > -1
+        |    THEN quota_bytes ELSE 0 END) AS BIGINT) AS bucket_quota_sum
+        |  FROM buckets GROUP BY 1)""".stripMargin,
+      """staged AS (
+        |  SELECT r.req_id, r.volume, r.bucket, r.has_source_volume,
+        |    r.has_source_bucket, r.has_encryption, r.quota_bytes,
+        |    v.volume IS NOT NULL AS vol_exists,
+        |    v.quota_bytes AS vol_quota_bytes, v.bucket_count,
+        |    v.quota_namespace, b.bucket IS NOT NULL AS bkt_exists,
+        |    t.total_buckets, coalesce(q.bucket_quota_sum, 0) AS bucket_quota_sum
+        |  FROM reqs r
+        |  CROSS JOIN tot t
+        |  LEFT JOIN volumes_ns v ON r.volume = v.volume
+        |  LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |  LEFT JOIN qsum q ON r.volume = q.volume)""".stripMargin,
+      """early AS (
+        |  SELECT *, CASE
+        |    WHEN NOT (length(bucket) BETWEEN 3 AND 63
+        |      AND regexp_matches(bucket, '^[a-z0-9.-]+$')
+        |      AND instr(bucket, '..') = 0 AND instr(bucket, '-.') = 0
+        |      AND instr(bucket, '.-') = 0
+        |      AND NOT regexp_matches(bucket, '^[0-9.]+$')
+        |      AND substr(bucket, 1, 1) NOT IN ('.', '-')
+        |      AND substr(bucket, length(bucket), 1) NOT IN ('.', '-'))
+        |      THEN 'INVALID_BUCKET_NAME'
+        |    WHEN total_buckets >= 1000000 THEN 'TOO_MANY_BUCKETS'
+        |    WHEN has_source_bucket <> has_source_volume
+        |      THEN 'INVALID_LINK_ARGS'
+        |    WHEN has_source_bucket AND has_encryption
+        |      THEN 'LINK_WITH_ENCRYPTION'
+        |    WHEN NOT vol_exists THEN 'VOLUME_NOT_FOUND'
+        |    WHEN bkt_exists THEN 'BUCKET_ALREADY_EXISTS' END AS e1
+        |  FROM staged)""".stripMargin,
+      """dup AS (
+        |  SELECT *, coalesce(e1, CASE WHEN
+        |    sum(CASE WHEN e1 IS NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY volume, bucket ORDER BY req_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 1
+        |    THEN 'BUCKET_ALREADY_EXISTS' END) AS e2
+        |  FROM early)""".stripMargin,
+      """bytes AS (
+        |  SELECT *, coalesce(e2, CASE
+        |    WHEN NOT has_source_bucket AND vol_quota_bytes > 0
+        |      AND quota_bytes <= 0 THEN 'QUOTA_ERROR'
+        |    WHEN NOT has_source_bucket AND quota_bytes > 0
+        |      AND vol_quota_bytes <> -1
+        |      AND bucket_quota_sum + quota_bytes > vol_quota_bytes
+        |      THEN 'QUOTA_EXCEEDED_BYTES' END) AS e3
+        |  FROM dup)""".stripMargin,
+      """ns AS (
+        |  SELECT *, coalesce(e3, CASE
+        |    WHEN quota_namespace > 0 AND bucket_count +
+        |      sum(CASE WHEN e3 IS NULL THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY volume ORDER BY req_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      > quota_namespace THEN 'QUOTA_EXCEEDED_NS' END) AS e4
+        |  FROM bytes)""".stripMargin),
+
     "q_fso_list_status" -> O.withCtes(
       """SELECT split_part(key, '/', 3) AS child, true AS is_dir,
         |  count(*) AS num_files, CAST(sum(data_size) AS BIGINT) AS total_size
@@ -2550,6 +2652,24 @@ object SparkEntry {
         |    GROUP BY 1 ORDER BY cnt DESC, word LIMIT 1024)) v
         |  USING (word)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+      O.docWords),
+
+    // BPE pair scoring: word frequencies (corpus pass), then adjacent
+    // symbol pairs over the char+</w> alphabet of each DISTINCT word,
+    // weighted by word count; top-50 by (count desc, pair).
+    "q_bpe_pairs" -> O.withCtes(
+      """SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pair_count
+        |FROM (
+        |  SELECT wcnt,
+        |    unnest([s[i] || ' ' || s[i+1]
+        |            for i in generate_series(1, len(s) - 1)]) AS pair
+        |  FROM (
+        |    SELECT wcnt, list_append(string_split(w, ''), '</w>') AS s
+        |    FROM (
+        |      SELECT w, count(*) AS wcnt FROM (
+        |        SELECT unnest(ws) AS w FROM doc_words)
+        |      WHERE len(w) > 0 GROUP BY 1)))
+        |GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
       O.docWords),
 
     // BM25: keywordSearch's integer IDF plus tf saturation (k1=1.2 as 12

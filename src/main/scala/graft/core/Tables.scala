@@ -443,6 +443,48 @@ object Tables {
       .toDF("volume", "bucket", "key")
   }
 
+  /** volumes + a namespace quota (bucket-count budget): vol3 admits
+    * exactly 2 more buckets, others unlimited — so the CreateBucket
+    * namespace-admission branch has live pass AND fail rows. */
+  def volumesNs(spark: SparkSession, dir: String): DataFrame =
+    volumes(spark, dir)
+      .withColumn("quota_namespace",
+        when(col("volume") === "vol3", col("bucket_count") + 2)
+          .otherwise(lit(-1L)))
+
+  /** CreateBucket request batch — covers every decision branch of
+    * OMBucketCreateRequest (invalid names incl. the IPv4 rule, in-batch
+    * and catalog name collisions, unpaired link args, link+encryption,
+    * unknown volume, byte-quota QUOTA_ERROR/QUOTA_EXCEEDED near-miss pair,
+    * sequential namespace admission on vol3) plus branch-order probes
+    * (name beats unknown volume, link args beat unknown volume). */
+  def bucketCreateRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "newb-a", false, false, false, 5000000L),
+      (2L, "vol0", "newb-a", false, false, false, 5000000L),
+      (3L, "vol0", "bucket3", false, false, false, 5000000L),
+      (4L, "vol9", "newb-b", false, false, false, 5000000L),
+      (5L, "vol1", "newb-c", true, false, false, 0L),
+      (6L, "vol1", "newb-d", true, true, true, 0L),
+      (7L, "vol1", "newb-e", true, true, false, 0L),
+      (8L, "vol1", "newb-f", false, false, false, 0L),
+      (9L, "vol2", "newb-g", false, false, false, 999000000000L),
+      (10L, "vol2", "newb-h", false, false, false, 990000000000L),
+      (11L, "vol3", "newb-i", false, false, false, 1000000L),
+      (12L, "vol3", "newb-j", false, false, false, 1000000L),
+      (13L, "vol3", "newb-k", false, false, false, 1000000L),
+      (14L, "vol9", "bucket3", false, false, false, 5000000L),
+      (15L, "vol9", "newb-l", false, true, false, 0L),
+      (16L, "vol0", "Newb-Bad", false, false, false, 5000000L),
+      (17L, "vol0", "ab", false, false, false, 5000000L),
+      (18L, "vol0", "bad..name", false, false, false, 5000000L),
+      (19L, "vol0", "192.168.1.1", false, false, false, 5000000L),
+      (20L, "vol9", "-badstart", false, false, false, 5000000L))
+      .toDF("req_id", "volume", "bucket", "has_source_volume",
+        "has_source_bucket", "has_encryption", "quota_bytes")
+  }
+
   /** AssignUserAccessId request batch — the static catalog covers every
     * decision branch of OMTenantAssignUserAccessIdRequest (oversized
     * accessId, delimiter in principal/tenant, unknown tenant, duplicate

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * OM bucket-admin write requests as decision tables — the CreateBucket
+ * validation ladder in reference branch order
+ * (`hadoop-ozone/ozone-manager/.../request/bucket/OMBucketCreateRequest.java`):
+ *
+ *   1. strict-S3 bucket-name validation (preExecute,
+ *      OMBucketCreateRequest.java:102 → HddsClientUtils.java:74-156,180-199:
+ *      charset/uppercase/`..`/`-.`/`.-`, not-IPv4/all-numeric, 3-63 length,
+ *      no leading/trailing `.`/`-`) → INVALID_BUCKET_NAME
+ *   2. bucket-table cap (OMBucketCreateRequest.java:120,168-184
+ *      validateMaxBucket) → TOO_MANY_BUCKETS
+ *   3. link args must come in pairs (OMBucketCreateRequest.java:145-149)
+ *      → INVALID_LINK_ARGS
+ *   4. links cannot carry encryption (OMBucketCreateRequest.java:151-154)
+ *      → LINK_WITH_ENCRYPTION
+ *   5. volume lookup (OMBucketCreateRequest.java:242-245) → VOLUME_NOT_FOUND
+ *   6. name collision against the bucket table AND earlier creates in the
+ *      same batch — the reference sees in-batch creates through the table
+ *      cache (OMBucketCreateRequest.java:248-251 isExist over addCacheEntry
+ *      state) → BUCKET_ALREADY_EXISTS
+ *   7. byte-quota admission, skipped for links
+ *      (OMBucketCreateRequest.java:254-257,375-412 checkQuotaBytesValid):
+ *      volume quota set but bucket quota unset → QUOTA_ERROR; existing
+ *      bucket quota sum + requested > volume quota → QUOTA_EXCEEDED_BYTES
+ *   8. namespace-quota admission (OMBucketCreateRequest.java:269,355-372
+ *      checkQuotaInNamespace, volume usedNamespace counts buckets):
+ *      in-batch creates consume namespace sequentially, so per volume the
+ *      first (quota − used) admitted requests fit → QUOTA_EXCEEDED_NS
+ *   9. CREATED
+ *
+ * Modeled against the catalog snapshot: byte-quota sums use the existing
+ * bucket table only (the reference also accumulates quotas of buckets
+ * created earlier in the batch — that needs an ordered fold; a what-if
+ * planner evaluates against the snapshot). In-batch name collisions and
+ * namespace consumption ARE sequential, computed with per-group windows.
+ *
+ * Scale shape: every catalog side is a rollup (volume probe, per-volume
+ * quota sums, one global count) broadcast into the protocol-sized request
+ * batch; the bucket-exists probe joins on (volume, bucket) against the
+ * bucket table's keys only. The windows partition by (volume, bucket) /
+ * volume over request-sized data. Nothing corpus-sized shuffles.
+ */
+object BucketOps {
+
+  /** Strict-S3 resource-name validity (HddsClientUtils.verifyResourceName
+    * with isStrictS3) as one boolean column. */
+  private def nameValid(c: org.apache.spark.sql.Column) =
+    length(c).between(3, 63) &&
+      c.rlike("^[a-z0-9.-]+$") &&
+      !c.contains("..") && !c.contains("-.") && !c.contains(".-") &&
+      !c.rlike("^[0-9.]+$") &&
+      !c.rlike("^[.-]") && !c.rlike("[.-]$")
+
+  def bucketCreateDecisions(requests: DataFrame, volumes: DataFrame,
+                            buckets: DataFrame,
+                            maxBuckets: Long = 1000000L): DataFrame = {
+    val totalBuckets = buckets.agg(count(lit(1)).as("total_buckets"))
+    val volProbe = volumes.select(col("volume"), lit(true).as("vol_exists"),
+      col("quota_bytes").as("vol_quota_bytes"), col("bucket_count"),
+      col("quota_namespace"))
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists"))
+    val qsum = buckets.groupBy("volume")
+      .agg(sum(when(col("quota_bytes") > -1L, col("quota_bytes"))
+        .otherwise(0L)).as("bucket_quota_sum"))
+
+    val upToBatch = Window.partitionBy("volume", "bucket")
+      .orderBy("req_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val upToVolume = Window.partitionBy("volume").orderBy("req_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    requests
+      .crossJoin(broadcast(totalBuckets))
+      .join(broadcast(volProbe), Seq("volume"), "left")
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(qsum), Seq("volume"), "left")
+      .withColumn("early",
+        when(!nameValid(col("bucket")), lit("INVALID_BUCKET_NAME"))
+          .when(col("total_buckets") >= maxBuckets, lit("TOO_MANY_BUCKETS"))
+          .when(col("has_source_bucket") =!= col("has_source_volume"),
+            lit("INVALID_LINK_ARGS"))
+          .when(col("has_source_bucket") && col("has_encryption"),
+            lit("LINK_WITH_ENCRYPTION"))
+          .when(col("vol_exists").isNull, lit("VOLUME_NOT_FOUND"))
+          .when(coalesce(col("bkt_exists"), lit(false)),
+            lit("BUCKET_ALREADY_EXISTS")))
+      // earliest surviving request per (volume, bucket) owns the name
+      .withColumn("name_rank",
+        sum(when(col("early").isNull, 1L).otherwise(0L)).over(upToBatch))
+      .withColumn("e2", coalesce(col("early"),
+        when(col("early").isNull && col("name_rank") > 1,
+          lit("BUCKET_ALREADY_EXISTS"))))
+      .withColumn("e3", coalesce(col("e2"),
+        when(!col("has_source_bucket") && col("vol_quota_bytes") > 0 &&
+          col("quota_bytes") <= 0, lit("QUOTA_ERROR"))
+          .when(!col("has_source_bucket") && col("quota_bytes") > 0 &&
+            col("vol_quota_bytes") =!= -1L &&
+            coalesce(col("bucket_quota_sum"), lit(0L)) + col("quota_bytes") >
+              col("vol_quota_bytes"),
+            lit("QUOTA_EXCEEDED_BYTES"))))
+      // survivors consume volume namespace in req_id order
+      .withColumn("ns_rank",
+        sum(when(col("e3").isNull, 1L).otherwise(0L)).over(upToVolume))
+      .withColumn("decision", coalesce(col("e3"),
+        when(col("quota_namespace") > 0 &&
+          col("bucket_count") + col("ns_rank") > col("quota_namespace"),
+          lit("QUOTA_EXCEEDED_NS")),
+        lit("CREATED")))
+      .select("req_id", "volume", "bucket", "decision")
+      .orderBy("req_id")
+  }
+}

@@ -281,4 +281,87 @@ object TextAnalysis {
       .orderBy(col("score_x1000").desc, col("doc_id"))
       .limit(k)
   }
+
+  /**
+   * One BPE merge-scoring pass (Sennrich et al. 2016, arXiv:1508.07909) —
+   * the tokenizer-induction primitive: adjacent-symbol pair frequencies
+   * over the corpus, with the initial symbol alphabet = characters plus an
+   * end-of-word marker `</w>`. The top pair is the next merge a BPE
+   * trainer would take; the top-k table is the merge candidate ranking.
+   *
+   * Scale shape: the ONLY corpus-sized shuffle is the word-frequency
+   * aggregate (map-side combined). Pair explosion and scoring run over the
+   * DISTINCT vocabulary — a data reduction of corpus-tokens → word-types —
+   * so the pair agg is vocab·avg-word-len rows regardless of corpus size.
+   */
+  def bpePairStats(docs: DataFrame, k: Int = 50): DataFrame =
+    bpePairCounts(wordCounts(docs))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+
+  /** Corpus word frequencies: the corpus-sized pass of BPE training. */
+  private[graft] def wordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(normText(col("text")), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+
+  /** Adjacent-symbol pairs of the char+`</w>` alphabet, weighted by word
+    * frequency, over a (w, wcnt) vocabulary frame. */
+  private def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("syms", concat(split(col("w"), ""), array(lit("</w>"))))
+      .select(col("wcnt"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wcnt").as("pair_count"))
+
+  /**
+   * Full BPE merge-list training: the corpus-sized word count runs
+   * distributed, then the merge loop folds over the reduced vocabulary on
+   * the driver — the same split real tokenizer trainers use (the vocab
+   * after reduction is word-types, not tokens; `vocabCap` keeps the
+   * collect bounded by construction, highest-count types first). Returns
+   * the ordered merge list, ties broken by the pair string so the result
+   * is a pure function of the corpus.
+   */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               vocabCap: Int = 1 << 16): Seq[(String, String)] = {
+    val vocab0: Array[(Vector[String], Long)] = wordCounts(docs)
+      .orderBy(col("wcnt").desc, col("w"))
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0).split("").toVector :+ "</w>", r.getLong(1)))
+    var vocab = vocab0
+    val merges = Vector.newBuilder[(String, String)]
+    var i = 0
+    while (i < numMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + cnt
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) return merges.result()
+      val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+      merges += best
+      val merged = best._1 + best._2
+      vocab = vocab.map { case (syms, cnt) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+            out += merged; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        (out.result(), cnt)
+      }
+      i += 1
+    }
+    merges.result()
+  }
 }

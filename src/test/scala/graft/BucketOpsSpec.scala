@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.BucketOps
+import graft.core.{Tables => T}
+
+/** CreateBucket decision ladder: the declared fixture end-to-end plus the
+  * branches it can't reach (TOO_MANY_BUCKETS) on a micro catalog. */
+class BucketOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketCreateDecisions: every branch of the declared fixture") {
+    val got = BucketOps.bucketCreateDecisions(
+      T.bucketCreateRequests(spark, sf), T.volumesNs(spark, sf),
+      T.buckets(spark, sf))
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got === Map(
+      1L -> "CREATED",                // fresh name, quota fits
+      2L -> "BUCKET_ALREADY_EXISTS",  // in-batch twin of 1
+      3L -> "BUCKET_ALREADY_EXISTS",  // catalog collision
+      4L -> "VOLUME_NOT_FOUND",
+      5L -> "INVALID_LINK_ARGS",      // source volume without source bucket
+      6L -> "LINK_WITH_ENCRYPTION",
+      7L -> "CREATED",                // link: byte-quota checks skipped
+      8L -> "QUOTA_ERROR",            // volume quota set, bucket quota unset
+      9L -> "QUOTA_EXCEEDED_BYTES",   // 3.901e9 existing + 999e9 > 1e12
+      10L -> "CREATED",               // 3.901e9 + 990e9 < 1e12 near-miss
+      11L -> "CREATED",               // vol3 ns budget admits 2 more: rank 1
+      12L -> "CREATED",               // rank 2
+      13L -> "QUOTA_EXCEEDED_NS",     // rank 3 over budget
+      14L -> "VOLUME_NOT_FOUND",      // volume check beats name collision
+      15L -> "INVALID_LINK_ARGS",     // link args beat unknown volume
+      16L -> "INVALID_BUCKET_NAME",   // uppercase
+      17L -> "INVALID_BUCKET_NAME",   // too short
+      18L -> "INVALID_BUCKET_NAME",   // contiguous periods
+      19L -> "INVALID_BUCKET_NAME",   // IPv4
+      20L -> "INVALID_BUCKET_NAME"))  // leading dash, beats unknown volume
+  }
+
+  test("bucket-table cap fires before link and volume checks") {
+    val reqs = Seq(
+      (1L, "v1", "okname", false, false, false, 10L),
+      (2L, "v9", "okname2", true, false, false, 10L))
+      .toDF("req_id", "volume", "bucket", "has_source_volume",
+        "has_source_bucket", "has_encryption", "quota_bytes")
+    val vols = Seq(("v1", 1L, -1L, -1L))
+      .toDF("volume", "bucket_count", "quota_bytes", "quota_namespace")
+    val bkts = Seq(("v1", "old-bucket", -1L))
+      .toDF("volume", "bucket", "quota_bytes")
+    val got = BucketOps.bucketCreateDecisions(reqs, vols, bkts,
+      maxBuckets = 1L)
+      .as[(Long, String, String, String)].collect().map(r => r._1 -> r._4)
+    // the cap is checked before link args and before the volume lookup
+    assert(got.toSeq === Seq(1L -> "TOO_MANY_BUCKETS",
+      2L -> "TOO_MANY_BUCKETS"))
+  }
+
+  test("unlimited volume byte quota (-1) admits quota-less buckets") {
+    val reqs = Seq((1L, "v1", "fresh-b", false, false, false, 0L))
+      .toDF("req_id", "volume", "bucket", "has_source_volume",
+        "has_source_bucket", "has_encryption", "quota_bytes")
+    val vols = Seq(("v1", 0L, -1L, -1L))
+      .toDF("volume", "bucket_count", "quota_bytes", "quota_namespace")
+    val bkts = Seq.empty[(String, String, Long)]
+      .toDF("volume", "bucket", "quota_bytes")
+    val got = BucketOps.bucketCreateDecisions(reqs, vols, bkts)
+      .as[(Long, String, String, String)].collect()
+    assert(got.head._4 === "CREATED")
+  }
+}

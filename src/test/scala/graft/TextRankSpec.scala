@@ -70,4 +70,24 @@ class TextRankSpec extends SparkSpecBase {
     assert(got(2L) === ((4L, 2L, 500L)))
     assert(got(3L) === ((4L, 1L, 750L)))
   }
+
+  test("BPE: pair stats and merge sequence match the hand-derived run") {
+    // the classic BPE walkthrough corpus (Sennrich et al. 2016 §3.2
+    // shape): low x5, lower x2, newest x6, widest x3
+    val corpus = Seq((1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" ")))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.bpePairStats(corpus, k = 3)
+      .as[(String, Long)].collect()
+    // "e s" rides newest(6) + widest(3) = 9; "s t" and "t </w>" tie at 9
+    // behind it lexicographically
+    assert(top.head === (("e s", 9L)))
+    assert(top.toSeq === Seq(("e s", 9L), ("s t", 9L), ("t </w>", 9L)))
+
+    val merges = TextAnalysis.bpeTrain(corpus, numMerges = 5)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")))
+  }
 }
