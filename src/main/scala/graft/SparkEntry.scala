@@ -465,6 +465,10 @@ object SparkEntry {
     "q_decommission" -> ((s, d) =>
       ClusterHealth.decommissionReadiness(T.replicas(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    // rack-aware placement picks for under-replicated containers
+    "q_replica_placement" -> ((s, d) =>
+      ClusterHealth.replicaPlacement(T.replicas(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
     "q_merkle_reconcile" -> ((s, d) =>
       ClusterHealth.merkleReconcile(T.objectsNested(s, d),
         T.replicas(s, d))),
@@ -2263,6 +2267,53 @@ object SparkEntry {
          |      GROUP BY 1, 2)))
          |ORDER BY container_id, datanode""".stripMargin,
       O.objects, O.containersScm, O.replicas),
+
+    // Rack-aware placement: same staged picks — candidates exclude
+    // holders and short-space nodes, rank by (new rack, free space, id);
+    // the second pick re-excludes the first pick's node and rack.
+    "q_replica_placement" -> O.withCtes(
+      """SELECT container_id, CAST(1 AS BIGINT) AS pick, uuid AS datanode,
+        |  dn_rack AS rack, new_rack
+        |FROM pick1
+        |UNION ALL
+        |SELECT container_id, CAST(2 AS BIGINT), uuid, dn_rack, new_rack
+        |FROM pick2 WHERE rn2 = 1
+        |ORDER BY container_id, pick""".stripMargin,
+      O.containersScm, O.replicas, O.datanodes,
+      """per_cont AS (
+        |  SELECT container_id,
+        |    sum(CASE WHEN replica_state <> 'UNHEALTHY' THEN 1 ELSE 0 END)
+        |      AS healthy,
+        |    list(datanode) AS held_nodes,
+        |    list(rack) FILTER (replica_state <> 'UNHEALTHY') AS held_racks
+        |  FROM replicas GROUP BY 1)""".stripMargin,
+      """under_rep AS (
+        |  SELECT c.container_id, c.used_bytes AS container_bytes,
+        |    p.held_nodes, p.held_racks,
+        |    c.replication_factor - p.healthy AS needed
+        |  FROM containers_scm c JOIN per_cont p USING (container_id)
+        |  WHERE c.state <> 'DELETED'
+        |    AND c.replication_factor - p.healthy > 0)""".stripMargin,
+      """elig AS (
+        |  SELECT uuid, rack AS dn_rack, remaining FROM datanodes
+        |  WHERE state = 'HEALTHY' AND op_state = 'IN_SERVICE')""".stripMargin,
+      """ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY container_id
+        |    ORDER BY new_rack DESC, remaining DESC, uuid) AS rn
+        |  FROM (
+        |    SELECT u.container_id, u.needed, e.uuid, e.dn_rack, e.remaining,
+        |      NOT list_contains(coalesce(u.held_racks, []), e.dn_rack) AS new_rack
+        |    FROM under_rep u CROSS JOIN elig e
+        |    WHERE NOT list_contains(u.held_nodes, e.uuid)
+        |      AND e.remaining >= greatest(5368709120, u.container_bytes)))""".stripMargin,
+      """pick1 AS (SELECT * FROM ranked WHERE rn = 1)""",
+      """pick2 AS (
+        |  SELECT r.container_id, r.uuid, r.dn_rack, r.new_rack,
+        |    row_number() OVER (PARTITION BY r.container_id
+        |      ORDER BY (r.dn_rack <> p.dn_rack) DESC, r.new_rack DESC,
+        |        r.remaining DESC, r.uuid) AS rn2
+        |  FROM ranked r JOIN pick1 p ON r.container_id = p.container_id
+        |  WHERE r.needed >= 2 AND r.uuid <> p.uuid)""".stripMargin),
 
     "q_decommission" -> O.withCtes(
       """SELECT l.datanode AS uuid, l.op_state,

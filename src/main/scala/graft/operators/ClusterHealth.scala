@@ -224,6 +224,94 @@ object ClusterHealth {
       .orderBy("uuid")
   }
 
+  /** Reference default container size (hasEnoughSpace's floor,
+    * ScmConfigKeys OZONE_SCM_CONTAINER_SIZE_DEFAULT = 5 GB). */
+  val ContainerSizeBytes = 5L * 1024 * 1024 * 1024
+
+  /**
+   * Rack-aware replica placement for under-replicated RATIS containers —
+   * the write-side dual of the replica-health check: for each non-deleted
+   * container whose healthy replica count is short of its factor, choose
+   * the target datanodes the reference's placement policy would accept
+   * (`SCMContainerPlacementRackAware.chooseDatanodesInternal`,
+   * SCMContainerPlacementRackAware.java:104-257):
+   *
+   *   - candidates are HEALTHY + IN_SERVICE nodes not already holding ANY
+   *     copy of the container (excludedNodes), with room for a container
+   *     (`hasEnoughSpace`: remaining ≥ max(5 GB, container bytes))
+   *   - rack spread: prefer racks that hold no HEALTHY copy (an UNHEALTHY
+   *     replica is getting replaced, so its rack doesn't count as
+   *     covered); with the policy's `fallback` (the ReplicationManager
+   *     default) a same-rack node is accepted when no new-rack node fits
+   *   - a second pick additionally avoids the FIRST pick's rack (the
+   *     reference re-excludes each chosen node's rack before the next
+   *     chooseNode), falling back likewise
+   *
+   * The reference picks randomly among valid nodes; this plan determinizes
+   * to (new-rack first, most free space, uuid) so the decision is a pure
+   * function of the catalogs — the CONSTRAINTS are the checkable contract.
+   * Emits one row per planned copy with its pick order; a container with
+   * needed > planned rows is short of valid targets (NOT_ENOUGH_NODES).
+   *
+   * Scale shape: the replica rollup is one shuffle on container_id pruned
+   * to under-replicated containers first; the node catalog (control-plane
+   * sized) broadcasts into the candidate build, so the candidate frame is
+   * |under-replicated| × |eligible nodes| with all ranking windows
+   * partitioned by container_id. Nothing data-plane-sized shuffles twice.
+   */
+  def replicaPlacement(replicas: DataFrame, datanodes: DataFrame,
+                       containersScm: DataFrame): DataFrame = {
+    val healthyRep = col("replica_state") =!= "UNHEALTHY"
+    val perContainer = replicas
+      .groupBy("container_id")
+      .agg(
+        sum(when(healthyRep, 1L).otherwise(0L)).as("healthy"),
+        collect_set(col("datanode")).as("held_nodes"),
+        collect_set(when(healthyRep, col("rack"))).as("held_racks"))
+    val underRep = containersScm
+      .filter(col("state") =!= "DELETED")
+      .select(col("container_id"), col("replication_factor").as("rf"),
+        col("used_bytes").as("container_bytes"))
+      .join(perContainer, Seq("container_id"))
+      .withColumn("needed", col("rf") - col("healthy"))
+      .filter(col("needed") > 0)
+    val eligibleNodes = datanodes
+      .filter(col("state") === "HEALTHY" && col("op_state") === "IN_SERVICE")
+      .select(col("uuid"), col("rack").as("dn_rack"), col("remaining"))
+    val cands = underRep
+      .crossJoin(broadcast(eligibleNodes))
+      .filter(!array_contains(col("held_nodes"), col("uuid")) &&
+        col("remaining") >= greatest(lit(ContainerSizeBytes),
+          col("container_bytes")))
+      .withColumn("new_rack",
+        !array_contains(col("held_racks"), col("dn_rack")))
+    val order = Window.partitionBy("container_id")
+      .orderBy(col("new_rack").desc, col("remaining").desc, col("uuid"))
+    val ranked = cands.withColumn("rn", row_number().over(order))
+    val pick1 = ranked.filter(col("rn") === 1)
+    // second pick re-excludes pick1's node and rack, falling back to
+    // pick1's rack only when no other rack has a valid node
+    val p1 = pick1.select(col("container_id"),
+      col("uuid").as("p1_uuid"), col("dn_rack").as("p1_rack"))
+    val order2 = Window.partitionBy("container_id")
+      .orderBy(col("avoids_p1").desc, col("new_rack").desc,
+        col("remaining").desc, col("uuid"))
+    val pick2 = ranked
+      .filter(col("needed") >= 2)
+      .join(broadcast(p1), Seq("container_id"))
+      .filter(col("uuid") =!= col("p1_uuid"))
+      .withColumn("avoids_p1", col("dn_rack") =!= col("p1_rack"))
+      .withColumn("rn2", row_number().over(order2))
+      .filter(col("rn2") === 1)
+    pick1.select(col("container_id"), lit(1L).as("pick"),
+      col("uuid").as("datanode"), col("dn_rack").as("rack"),
+      col("new_rack"))
+      .union(pick2.select(col("container_id"), lit(2L).as("pick"),
+        col("uuid").as("datanode"), col("dn_rack").as("rack"),
+        col("new_rack")))
+      .orderBy("container_id", "pick")
+  }
+
   /**
    * EC reconstruction planning — the SCM-side shard census of
    * ECContainerReplicaCount (ECContainerReplicaCount.java:310-313

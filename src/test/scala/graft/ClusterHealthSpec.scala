@@ -290,6 +290,38 @@ class ClusterHealthSpec extends SparkSpecBase {
       .toSet)
   }
 
+  test("replica placement honors exclusion, rack spread, space, fallback") {
+    import spark.implicits._
+    // 4 nodes, 2 racks; c1 under by 1 (copies on dnA1/dnA2 = rack A) →
+    // must pick a rack-B node, the freer one; c2's only copy is UNHEALTHY
+    // on dnA1 (rack A NOT counted as covered) and needs 2: first pick is
+    // the freest non-holder (dnB1), second must avoid rack B → dnA2;
+    // c3 under by 1 but every candidate is space-short except dnA2 → c3
+    // falls back to the only node with room even though it shares rack A
+    val nodes = Seq(
+      ("dnA1", "rackA", "HEALTHY", "IN_SERVICE", 9000000000000L),
+      ("dnA2", "rackA", "HEALTHY", "IN_SERVICE", 8000000000000L),
+      ("dnB1", "rackB", "HEALTHY", "IN_SERVICE", 9500000000000L),
+      ("dnB2", "rackB", "HEALTHY", "IN_SERVICE", 6L * 1024 * 1024 * 1024))
+      .toDF("uuid", "rack", "state", "op_state", "remaining")
+    val reps = Seq(
+      (1L, "dnA1", "rackA", "CLOSED"), (1L, "dnA2", "rackA", "CLOSED"),
+      (2L, "dnA1", "rackA", "UNHEALTHY"),
+      (3L, "dnB1", "rackB", "CLOSED"), (3L, "dnA1", "rackA", "CLOSED"))
+      .toDF("container_id", "datanode", "rack", "replica_state")
+    val conts = Seq(
+      (1L, "CLOSED", 3, 1000000L), (2L, "CLOSED", 3, 1000000L),
+      (3L, "CLOSED", 3, 7L * 1024 * 1024 * 1024))
+      .toDF("container_id", "state", "replication_factor", "used_bytes")
+    val got = ClusterHealth.replicaPlacement(reps, nodes, conts)
+      .as[(Long, Long, String, String, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "dnB1", "rackB", true),
+      (2L, 1L, "dnB1", "rackB", true),
+      (2L, 2L, "dnA2", "rackA", true),
+      (3L, 1L, "dnA2", "rackA", false)))
+  }
+
   test("deleted-dir backlog equals a direct subtree scan per deleted dir") {
     val objects = T.objectsMixed(spark, sf)
     val insight = ClusterHealth.deletedDirsInsight(objects,
