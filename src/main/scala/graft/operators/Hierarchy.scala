@@ -220,16 +220,22 @@ object Hierarchy {
                         pageSize: Int, maxDepth: Int = 8,
                         maxPages: Int = 100000): DataFrame = {
     val spark = dirs.sparkSession
-    val rd = resolveDirs(
-      dirs.filter(col("volume") === volume && col("bucket") === bucket),
+    // The walk reads the WHOLE listing page by page, so the subtree rollup
+    // is materialized once (child-level rows = output-sized, tiny next to
+    // the file table) and every page is a keyset slice `child > token` of
+    // that snapshot — one join+agg total instead of one per page. The
+    // per-page subtree PRUNING path (listStatusFso's startChild) stays the
+    // shape for single-page API calls, where computing the full listing
+    // would waste the whole point of resuming.
+    val full = listStatusFso(dirs, files, volume, bucket, parentPath,
       maxDepth).localCheckpoint()
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     var start = ""
     var pages = 0
     var done = false
     while (!done && pages < maxPages) {
-      val pg = listStatusFso(dirs, files, volume, bucket, parentPath,
-        maxDepth, start, Some(pageSize), Some(rd)).collect().toSeq
+      val pg = full.filter(col("child") > start).orderBy("child")
+        .limit(pageSize + 1).collect().toSeq
       buf ++= pg.take(pageSize)
       done = pg.size <= pageSize
       if (!done) start = pg(pageSize - 1).getString(0)

@@ -141,5 +141,10 @@ object Nested {
         col("loc.local_id").as("local_id"),
         col("loc.offset").as("offset"),
         col("loc.length").as("length"))
-      .orderBy("key", "data_size", "offset")
+      // per-key block order (the GetKeyInfo contract) is already exact:
+      // the explode preserves transform(sequence(...)) offset order and a
+      // key's rows never split across partitions. A GLOBAL sort would be a
+      // range-shuffle of the exploded (≈7×) frame for presentation only —
+      // at 100 TB that shuffle IS the query, so it stays out.
+      .sortWithinPartitions("key", "data_size", "offset")
 }
