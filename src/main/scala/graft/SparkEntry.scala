@@ -150,6 +150,19 @@ object SparkEntry {
     "q_rename_keys" -> ((s, d) =>
       CommitLog.renameKeysDecisions(T.renameRequests(s, d),
         T.objects(s, d))),
+    // FSO DeleteKey ladder: bucket → path resolve → dir emptiness. The
+    // dir-path set derives in one ancestor explode (no iterative resolve:
+    // the probe needs paths, not ids)
+    "q_delete_key" -> ((s, d) =>
+      CommitLog.keyDeleteDecisions(T.deleteKeyRequests(s, d),
+        T.objects(s, d), T.buckets(s, d),
+        T.objects(s, d)
+          .withColumn("pdir", Aggregates.parentDirOf("key"))
+          .filter(col("pdir") =!= "")
+          .select(col("volume"), col("bucket"),
+            org.apache.spark.sql.functions.explode(
+              Aggregates.dirAndAncestors("pdir")).as("path"))
+          .distinct())),
     // ---- aggregation family (SURVEY §2.4) ----
     "q_filesize_histogram" -> ((s, d) =>
       Aggregates.fileSizeHistogram(T.objects(s, d))),
@@ -672,6 +685,52 @@ object SparkEntry {
         |      AND r.to_key = t.k)
         |ORDER BY volume, bucket, from_key, to_key""".stripMargin,
       O.objects, O.renameRequests),
+
+    // DeleteKey ladder: bucket probe → dir/file path resolve → computed
+    // dir emptiness (never assumed from catalog shape)
+    "q_delete_key" -> O.withCtes(
+      """SELECT r.volume, r.bucket, r.key,
+        |  CASE WHEN b.volume IS NULL THEN 'BUCKET_NOT_FOUND'
+        |       WHEN d.path IS NOT NULL AND coalesce(ch.n, 0) > 0
+        |         THEN 'DIRECTORY_NOT_EMPTY'
+        |       WHEN d.path IS NOT NULL THEN 'DELETED_DIR'
+        |       WHEN f.key IS NOT NULL THEN 'DELETED_FILE'
+        |       ELSE 'KEY_NOT_FOUND' END AS decision
+        |FROM del_reqs r
+        |LEFT JOIN (SELECT DISTINCT volume, bucket FROM objects) b
+        |  ON r.volume = b.volume AND r.bucket = b.bucket
+        |LEFT JOIN fso_dirs d ON r.volume = d.volume
+        |  AND r.bucket = d.bucket AND r.key = d.path
+        |LEFT JOIN (SELECT DISTINCT volume, bucket, key FROM objects) f
+        |  ON r.volume = f.volume AND r.bucket = f.bucket AND r.key = f.key
+        |LEFT JOIN (
+        |  SELECT r2.volume, r2.bucket, r2.key, count(*) AS n
+        |  FROM del_reqs r2 JOIN objects o
+        |    ON o.volume = r2.volume AND o.bucket = r2.bucket
+        |      AND o.key LIKE r2.key || '/%'
+        |  GROUP BY 1, 2, 3) ch
+        |  ON r.volume = ch.volume AND r.bucket = ch.bucket
+        |    AND r.key = ch.key
+        |ORDER BY r.volume, r.bucket, r.key""".stripMargin,
+      O.objects,
+      """del_reqs AS (
+        |  SELECT DISTINCT volume,
+        |    CASE WHEN cls = 3 THEN 'no-such-bucket' ELSE bucket END AS bucket,
+        |    CASE WHEN cls = 1 THEN key || '.ghost'
+        |         WHEN cls = 2 THEN substr(key, 1,
+        |           length(key) - length(string_split(key, '/')[-1]) - 1)
+        |         ELSE key END AS key
+        |  FROM (
+        |    SELECT volume, bucket, key, (object_id // 113) % 4 AS cls
+        |    FROM objects WHERE object_id % 113 = 0))""".stripMargin,
+      """fso_dirs AS (
+        |  SELECT DISTINCT volume, bucket,
+        |    array_to_string(ws[1:d], '/') AS path
+        |  FROM (
+        |    SELECT volume, bucket, string_split(key, '/') AS ws,
+        |      unnest(generate_series(1,
+        |        len(string_split(key, '/')) - 1)) AS d
+        |    FROM objects))""".stripMargin),
 
     "q_ofs_resolve" -> O.withCtes(
       """SELECT path, username,

@@ -649,6 +649,24 @@ object Tables {
           .otherwise(col("sib")).as("to_key"))
       .distinct()
 
+  /** delete_key_requests: a DeleteKey batch per ~1/113 sampled key, one of
+    * four classes (ref OMKeyDeleteRequestWithFSO): the key itself (a file
+    * delete), a ghost sibling (KEY_NOT_FOUND), the key's PARENT directory
+    * (a non-empty FSO dir), and an unknown bucket. */
+  def deleteKeyRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 113 === 0)
+      .select(col("volume"), col("bucket"), col("key"),
+        expr("(object_id DIV 113) % 4").as("cls"))
+      .select(col("volume"),
+        when(col("cls") === 3, lit("no-such-bucket"))
+          .otherwise(col("bucket")).as("bucket"),
+        when(col("cls") === 1, concat(col("key"), lit(".ghost")))
+          .when(col("cls") === 2, expr("substring(key, 1, length(key) - " +
+            "length(element_at(split(key, '/'), -1)) - 1)"))
+          .otherwise(col("key")).as("key"))
+      .distinct()
+
   /** ofs_requests: a rooted-path resolution batch (ref OFSPath.java) —
     * per ~1/103 sampled key, one of six path shapes: volume-only,
     * bucket, full key, messy consecutive slashes, the /tmp mount, and a

@@ -192,6 +192,60 @@ object CommitLog {
       .orderBy("volume", "bucket", "from_key", "to_key")
   }
 
+  /**
+   * DeleteKey request decisions — the FSO delete ladder in reference
+   * branch order (OMKeyDeleteRequestWithFSO.java:103-150): bucket lookup
+   * (validateBucketAndVolume) → path resolution (file? directory? neither
+   * → KEY_NOT_FOUND) → a directory must have no children
+   * (OMKeyDeleteRequestWithFSO.java:141-146 → DIRECTORY_NOT_EMPTY) → an
+   * empty dir deletes as a dir (DELETED_DIR, → deletedDirTable), a file
+   * as a file (DELETED_FILE, → deletedTable). Emptiness is COMPUTED (any
+   * namespace entry strictly under the path), never assumed from the
+   * catalog shape, so callers with genuinely empty dirs classify right.
+   *
+   * Scale shape: the protocol-sized request batch broadcasts into every
+   * probe — file/dir existence are broadcast semi-joins that prune the
+   * namespace scan to requested paths, the child count is one
+   * prefix-filtered scan grouped by the requested dir. The namespace
+   * never shuffles; every post-probe join is request-sized.
+   */
+  def keyDeleteDecisions(requests: DataFrame, objects: DataFrame,
+                         buckets: DataFrame, dirs: DataFrame): DataFrame = {
+    val reqKeys = requests.select("volume", "bucket", "key").distinct()
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumn("bkt_exists", lit(true))
+    val fileProbe = objects
+      .join(broadcast(reqKeys), Seq("volume", "bucket", "key"), "left_semi")
+      .select("volume", "bucket", "key").distinct()
+      .withColumn("is_file", lit(true))
+    val dirProbe = dirs
+      .select(col("volume"), col("bucket"), col("path").as("key"))
+      .join(broadcast(reqKeys), Seq("volume", "bucket", "key"), "left_semi")
+      .distinct()
+      .withColumn("is_dir", lit(true))
+    val children = objects
+      .join(broadcast(reqKeys.withColumnRenamed("key", "dir")),
+        Seq("volume", "bucket"))
+      .filter(col("key").startsWith(concat(col("dir"), lit("/"))))
+      .groupBy(col("volume"), col("bucket"), col("dir").as("key"))
+      .agg(count(lit(1)).as("n_children"))
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(fileProbe), Seq("volume", "bucket", "key"), "left")
+      .join(broadcast(dirProbe), Seq("volume", "bucket", "key"), "left")
+      .join(broadcast(children), Seq("volume", "bucket", "key"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(coalesce(col("is_dir"), lit(false)) &&
+            coalesce(col("n_children"), lit(0L)) > 0,
+            lit("DIRECTORY_NOT_EMPTY"))
+          .when(coalesce(col("is_dir"), lit(false)), lit("DELETED_DIR"))
+          .when(coalesce(col("is_file"), lit(false)), lit("DELETED_FILE"))
+          .otherwise(lit("KEY_NOT_FOUND")))
+      .select("volume", "bucket", "key", "decision")
+      .orderBy("volume", "bucket", "key")
+  }
+
   /** deletedTable view (ref OMDBDefinition deletedTable, RepeatedOmKeyInfo:
     * a key can accumulate SEVERAL deleted versions): every key with DELETE
     * events in the log, with version count + reclaimable bytes. */

@@ -80,4 +80,30 @@ class CommitLogSpec extends SparkSpecBase {
     assert(got(("a", "")) === (("EMPTY_NAME", false, "PARTIAL_RENAME")))
     assert(got(("x", "y")) === (("RENAMED", true, "OK")))
   }
+
+  test("keyDeleteDecisions: every ladder branch incl. the empty dir") {
+    import spark.implicits._
+    val objects = Seq(("v1", "b1", "a/f1.dat", 1L),
+      ("v1", "b1", "a/sub/f2.dat", 2L))
+      .toDF("volume", "bucket", "key", "data_size")
+    // a real directory table can hold an EMPTY dir (mkdir with no files
+    // yet) — the derived-catalog queries never see one, the ladder must
+    val dirs = Seq(("v1", "b1", "a"), ("v1", "b1", "a/sub"),
+      ("v1", "b1", "empty"))
+      .toDF("volume", "bucket", "path")
+    val buckets = Seq(("v1", "b1")).toDF("volume", "bucket")
+    val reqs = Seq(("v1", "b1", "a"), ("v1", "b1", "empty"),
+      ("v1", "b1", "a/f1.dat"), ("v1", "b1", "ghost"),
+      ("v1", "nob", "a/f1.dat"))
+      .toDF("volume", "bucket", "key")
+    val got = graft.operators.CommitLog
+      .keyDeleteDecisions(reqs, objects, buckets, dirs)
+      .as[(String, String, String, String)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(got(("b1", "a")) === "DIRECTORY_NOT_EMPTY")
+    assert(got(("b1", "empty")) === "DELETED_DIR")
+    assert(got(("b1", "a/f1.dat")) === "DELETED_FILE")
+    assert(got(("b1", "ghost")) === "KEY_NOT_FOUND")
+    assert(got(("nob", "a/f1.dat")) === "BUCKET_NOT_FOUND")
+  }
 }
