@@ -230,4 +230,26 @@ object Api {
   def dbUpdates(s: SparkSession, d: String, sinceSeq: Long): DataFrame =
     graft.streaming.ChangeLog.events(T.objects(s, d))
       .filter(col("seq") > sinceSeq)
+
+  /** CreateBucket admission: the full validation-ladder verdict per
+    * request in a batch. */
+  def createBuckets(s: SparkSession, d: String,
+                    requests: DataFrame): DataFrame =
+    BucketOps.bucketCreateDecisions(requests, T.volumesNs(s, d),
+      T.buckets(s, d))
+
+  /** DeleteKey(s): the FSO delete-ladder verdict per request. */
+  def deleteKeys(s: SparkSession, d: String, requests: DataFrame): DataFrame =
+    CommitLog.keyDeleteDecisions(requests, T.objects(s, d), T.buckets(s, d),
+      T.objects(s, d)
+        .withColumn("pdir", Aggregates.parentDirOf("key"))
+        .filter(col("pdir") =!= "")
+        .select(col("volume"), col("bucket"),
+          explode(Aggregates.dirAndAncestors("pdir")).as("path"))
+        .distinct())
+
+  /** ReplicationManager placement picks for under-replicated containers. */
+  def replicaPlacement(s: SparkSession, d: String): DataFrame =
+    ClusterHealth.replicaPlacement(T.replicas(s, d), T.datanodes(s, d),
+      T.containersScm(s, d))
 }
