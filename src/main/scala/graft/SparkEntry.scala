@@ -528,6 +528,8 @@ object SparkEntry {
     "q_curation_funnel" -> ((s, d) =>
       Curation.curationFunnel(T.documents(s, d))),
     "q_seq_pack" -> ((s, d) => Curation.seqPack(T.documents(s, d))),
+    // per-shard packing diagnostics: padding waste + fragmentation
+    "q_pack_stats" -> ((s, d) => Curation.packStats(T.documents(s, d))),
     // overlapping-window chunk plan (retrieval/embedding prep)
     "q_doc_chunks" -> ((s, d) => Curation.docChunks(T.documents(s, d))),
     // dedup pipeline's final stage: keep the best-quality member per cluster
@@ -2654,6 +2656,37 @@ object SparkEntry {
         |        AS shard
         |    FROM doc_words))
         |ORDER BY doc_id""".stripMargin, O.docWords),
+
+    // packing diagnostics: fold of the seq-pack layout per shard
+    "q_pack_stats" -> O.withCtes(
+      """SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 AS n_blocks,
+        |  (CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 * 2048
+        |    - CAST(sum(n_tokens) AS BIGINT) AS tail_pad,
+        |  ((CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 * 2048
+        |    - CAST(sum(n_tokens) AS BIGINT)) * 1000
+        |    // ((CAST(sum(n_tokens) AS BIGINT) + 2047) // 2048 * 2048)
+        |    AS pad_pm,
+        |  CAST(sum(CASE WHEN n_blocks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS split_docs,
+        |  CAST(sum(n_blocks - 1) AS BIGINT) AS boundary_cuts
+        |FROM (
+        |  SELECT doc_id, shard, n_tokens,
+        |    (end_off - 1) // 2048 - (end_off - n_tokens) // 2048 + 1
+        |      AS n_blocks
+        |  FROM (
+        |    SELECT doc_id, shard, n_tokens,
+        |      CAST(sum(n_tokens) OVER (
+        |        PARTITION BY shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS end_off
+        |    FROM (
+        |      SELECT doc_id, len(ws) AS n_tokens,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % 8 AS shard
+        |      FROM doc_words)))
+        |GROUP BY shard ORDER BY shard""".stripMargin, O.docWords),
 
     "q_dedup_canonical" -> O.withCtesRecursive(
       """SELECT a.doc_id, a.cluster_id, c.cluster_size, q.quality_x1000,

@@ -241,4 +241,33 @@ object Curation {
         "end_block", "n_blocks")
       .orderBy("doc_id")
   }
+
+  /**
+   * Packing diagnostics over the [[seqPack]] layout — the numbers a
+   * training-data engineer reads to pick seqLen and shard count: per
+   * shard, the token mass, the block count and tail padding (the ONLY
+   * padding concat-and-chop ever produces), and fragmentation (documents
+   * that cross a block boundary lose attention locality at the cut).
+   * `pad_pm` = padded-slot share per mille of the shard's block capacity.
+   *
+   * Scale shape: rides seqPack's single per-shard window shuffle, then
+   * folds to one row per shard (map-side combinable agg).
+   */
+  def packStats(docs: DataFrame, shards: Int = 8,
+                seqLen: Long = 2048): DataFrame =
+    seqPack(docs, shards, seqLen)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("n_blocks") > 1, 1L).otherwise(0L)).as("split_docs"),
+        sum(col("n_blocks") - 1).as("boundary_cuts"))
+      .withColumn("n_blocks",
+        expr(s"(total_tokens + ${seqLen - 1}L) DIV ${seqLen}L"))
+      .withColumn("tail_pad",
+        expr(s"n_blocks * ${seqLen}L - total_tokens"))
+      .withColumn("pad_pm",
+        expr(s"tail_pad * 1000 DIV (n_blocks * ${seqLen}L)"))
+      .select("shard", "n_docs", "total_tokens", "n_blocks", "tail_pad",
+        "pad_pm", "split_docs", "boundary_cuts")
+      .orderBy("shard")
 }

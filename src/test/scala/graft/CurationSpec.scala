@@ -111,6 +111,32 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("pack stats: token conservation, tail-pad bound, cut consistency") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pack = Curation.seqPack(docs).cache()
+    val stats = Curation.packStats(docs).collect()
+    // every shard row internally consistent; padding strictly under one
+    // block; block count covers the token mass exactly
+    stats.foreach { r =>
+      val (total, nBlocks, tailPad) =
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("n_blocks"),
+          r.getAs[Long]("tail_pad"))
+      assert(tailPad >= 0 && tailPad < 2048, s"shard ${r.get(0)}")
+      assert(nBlocks * 2048 === total + tailPad)
+    }
+    // conservation vs the packing layout itself
+    val fromPack = pack.groupBy("shard")
+      .agg(sum("n_tokens").as("t"), sum(expr("n_blocks - 1")).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    stats.foreach { r =>
+      val (t, c) = fromPack(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("total_tokens") === t)
+      assert(r.getAs[Long]("boundary_cuts") === c)
+    }
+    pack.unpersist()
+  }
+
   test("curation funnel: first-failing-stage attribution, all classes live") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val funnel = Curation.curationFunnel(docs).cache()
