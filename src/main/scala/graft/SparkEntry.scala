@@ -357,6 +357,10 @@ object SparkEntry {
     "q_mkdir_parents" -> ((s, d) =>
       Hierarchy.mkdirMissingParents(T.mkdirRequests(s, d),
         T.objects(s, d))),
+    // SigV4 auth batch: signing-key chain + string-to-sign compare via
+    // the native graft_hmac kernel
+    "q_sigv4_verify" -> ((s, d) =>
+      S3Ops.sigv4Verify(T.sigv4Requests(s, d), T.s3Secrets(s, d))),
     // CreateBucket validation ladder in reference branch order (name →
     // cap → link args → volume → collision → byte quota → ns quota)
     "q_bucket_create" -> ((s, d) =>
@@ -1503,6 +1507,23 @@ object SparkEntry {
         |    'tenant' || substr(volume, 4, 10) || '$' || owner AS access_id
         |  FROM objects WHERE owner = 'clerk1')
         |ORDER BY access_id""".stripMargin, O.objects),
+
+    // SigV4 verdicts: the fixture signs per access id one valid request
+    // (independent javax.crypto signer), one corrupted, one ghost — so the
+    // verdict column is a pure function of the id set; the MATCH rows only
+    // materialize if the engine's graft_hmac chain reproduces the
+    // independent signer bit-for-bit.
+    "q_sigv4_verify" -> O.withCtes(
+      """SELECT access_id, verdict FROM (
+        |  SELECT access_id, 'MATCH' AS verdict FROM ids
+        |  UNION ALL SELECT access_id, 'MISMATCH' FROM ids
+        |  UNION ALL SELECT access_id || '-ghost', 'NO_SECRET' FROM ids)
+        |ORDER BY access_id, verdict""".stripMargin,
+      O.objects,
+      """ids AS (
+        |  SELECT DISTINCT
+        |    'tenant' || substr(volume, 4, 10) || '$' || owner AS access_id
+        |  FROM objects)""".stripMargin),
 
     "q_dtoken_expiry" -> O.withCtes(
       """SELECT md5('token' || owner) AS token_id, owner, 'om' AS renewer,

@@ -524,6 +524,41 @@ object Tables {
     tenantAccessIds(spark, dir).select(col("access_id"),
       md5(concat(col("access_id"), lit("#secret"))).as("secret"))
 
+  /** sigv4_requests: an auth batch over the s3-secret catalog — per
+    * access id a correctly-signed request (signed HERE with plain
+    * javax.crypto, deliberately independent of the engine's graft_hmac
+    * kernel, so the two implementations gate each other through the MATCH
+    * verdict), a corrupted-signature twin, and an unknown-access-id ghost.
+    * String-to-sign follows the reference's 4-line shape with the
+    * credential scope on line 3 (AWSV4AuthValidator.getSigningKey). */
+  def sigv4Requests(spark: SparkSession, dir: String): DataFrame = {
+    val sign = udf((secret: String, strToSign: String) => {
+      def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+        val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+        mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+        mac.doFinal(msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val scope = strToSign.split('\n')(2).split('/')
+      val kDate = hmac(("AWS4" + secret)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8), scope(0))
+      val kSigning = hmac(hmac(hmac(kDate, scope(1)), scope(2)),
+        "aws4_request")
+      hmac(kSigning, strToSign).map("%02x".format(_)).mkString
+    })
+    val base = s3Secrets(spark, dir)
+      .withColumn("str_to_sign", concat(
+        lit("AWS4-HMAC-SHA256\n20240101T000000Z\n" +
+          "20240101/us-east-1/s3/aws4_request\n"),
+        sha2(concat(col("access_id"), lit("#payload")), 256)))
+    base.select(col("access_id"), col("str_to_sign"),
+        sign(col("secret"), col("str_to_sign")).as("signature"))
+      .unionByName(base.select(col("access_id"), col("str_to_sign"),
+        md5(col("access_id")).as("signature")))
+      .unionByName(base.select(
+        concat(col("access_id"), lit("-ghost")).as("access_id"),
+        col("str_to_sign"), md5(col("access_id")).as("signature")))
+  }
+
   /** d_token_table (ref OMDBDefinition.java:162-168 dTokenTable): one
     * delegation token per key-writing principal; expiry staggers by the
     * principal's index so expiry scans discriminate. */

@@ -61,5 +61,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot_long takes 2 arguments, got ${children.length}")
         graft.functions.ArrayDotLong(children(0), children(1))
       }))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hmac"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HmacSha256].getName, "graft_hmac"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_hmac takes 2 arguments, got ${children.length}")
+        graft.functions.HmacSha256(children(0), children(1))
+      }))
   }
 }

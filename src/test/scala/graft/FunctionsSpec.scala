@@ -89,6 +89,49 @@ class FunctionsSpec extends SparkSpecBase {
     assert(interp === 32L)
   }
 
+  test("graft_hmac reproduces the RFC 4231 HMAC-SHA256 test vectors") {
+    import org.apache.spark.sql.functions.{expr, lit, lower, hex}
+    // RFC 4231 case 1: key = 0x0b x20, data = "Hi There"
+    val df = Seq(1).toDF("x")
+      .withColumn("k", expr(s"unhex('${"0b" * 20}')"))
+      .withColumn("sig", lower(hex(expr("graft_hmac(k, 'Hi There')"))))
+    assert(df.select("sig").head.getString(0) ===
+      "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
+    // RFC 4231 case 2: key = "Jefe", data = "what do ya want for nothing?"
+    val c2 = Seq(1).toDF("x")
+      .withColumn("sig", lower(hex(expr(
+        "graft_hmac(cast('Jefe' AS BINARY), 'what do ya want for nothing?')"))))
+    assert(c2.select("sig").head.getString(0) ===
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    // NULL propagation
+    val n = spark.sql("SELECT graft_hmac(CAST(NULL AS BINARY), 'x') AS a, " +
+      "graft_hmac(cast('k' AS BINARY), CAST(NULL AS STRING)) AS b")
+      .head
+    assert(n.get(0) === null && n.get(1) === null)
+  }
+
+  test("sigv4Verify verdicts: valid, corrupted, unknown access id") {
+    import graft.operators.S3Ops
+    val secrets = Seq(("id1", "topsecret")).toDF("access_id", "secret")
+    val sts = "AWS4-HMAC-SHA256\n20240101T000000Z\n" +
+      "20240101/us-east-1/s3/aws4_request\nabc123"
+    // independent signer: plain javax.crypto, no engine code
+    def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      mac.doFinal(msg.getBytes("UTF-8"))
+    }
+    val kSigning = hmac(hmac(hmac(hmac("AWS4topsecret".getBytes("UTF-8"),
+      "20240101"), "us-east-1"), "s3"), "aws4_request")
+    val good = hmac(kSigning, sts).map("%02x".format(_)).mkString
+    val reqs = Seq(("id1", sts, good), ("id1", sts, "deadbeef"),
+      ("ghost", sts, good)).toDF("access_id", "str_to_sign", "signature")
+    val got = S3Ops.sigv4Verify(reqs, secrets)
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("ghost", "NO_SECRET"), ("id1", "MATCH"),
+      ("id1", "MISMATCH")))
+  }
+
   test("quota admission: bytes precede namespace; -1 disables a check") {
     import spark.implicits._
     val buckets = Seq(
