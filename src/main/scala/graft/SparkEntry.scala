@@ -357,6 +357,11 @@ object SparkEntry {
     "q_mkdir_parents" -> ((s, d) =>
       Hierarchy.mkdirMissingParents(T.mkdirRequests(s, d),
         T.objects(s, d))),
+    // audit parser templates (ozone debug auditparser commands.properties)
+    "q_audit_top_users" -> ((s, d) => Audit.topUsers(T.auditLog(s, d))),
+    "q_audit_top_cmds" -> ((s, d) => Audit.topCmds(T.auditLog(s, d))),
+    "q_audit_top_times" -> ((s, d) =>
+      Audit.topActiveTimes(T.auditLog(s, d))),
     // SigV4 auth batch: signing-key chain + string-to-sign compare via
     // the native graft_hmac kernel
     "q_sigv4_verify" -> ((s, d) =>
@@ -1507,6 +1512,27 @@ object SparkEntry {
         |    'tenant' || substr(volume, 4, 10) || '$' || owner AS access_id
         |  FROM objects WHERE owner = 'clerk1')
         |ORDER BY access_id""".stripMargin, O.objects),
+
+    // audit parser: the three canned templates, DESC-total ASC-key top-5
+    "q_audit_top_users" -> O.withCtes(
+      """SELECT owner AS user, count(*) AS total
+        |FROM objects GROUP BY 1
+        |ORDER BY total DESC, user LIMIT 5""".stripMargin, O.objects),
+
+    "q_audit_top_cmds" -> O.withCtes(
+      """SELECT CASE WHEN version % 4 = 0 THEN 'READ_KEY'
+        |       WHEN version % 4 = 1 THEN 'ALLOCATE_KEY'
+        |       WHEN version % 4 = 2 THEN 'COMMIT_KEY'
+        |       ELSE 'DELETE_KEY' END AS op, count(*) AS total
+        |FROM objects GROUP BY 1
+        |ORDER BY total DESC, op LIMIT 5""".stripMargin, O.objects),
+
+    "q_audit_top_times" -> O.withCtes(
+      """SELECT strftime(to_timestamp(modification_time // 1000),
+        |    '%Y-%m-%d %H:%M:%S') AS dt,
+        |  count(*) AS thecount
+        |FROM objects GROUP BY 1
+        |ORDER BY thecount DESC, dt LIMIT 5""".stripMargin, O.objects),
 
     // SigV4 verdicts: the fixture signs per access id one valid request
     // (independent javax.crypto signer), one corrupted, one ghost — so the

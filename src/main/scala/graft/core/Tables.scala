@@ -524,6 +524,36 @@ object Tables {
     tenantAccessIds(spark, dir).select(col("access_id"),
       md5(concat(col("access_id"), lit("#secret"))).as("secret"))
 
+  /** audit_log: OM audit entries in the parser's table shape
+    * (AuditEntry.java: datetime/level/logger/user/ip/op/params/result/
+    * exception) — one entry per key op, log4j datetime with a millis
+    * comma suffix, op class from the version stream, %19 sampled
+    * FAILUREs. */
+  def auditLog(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir).select(
+      concat(
+        date_format(
+          expr("CAST(modification_time DIV 1000 AS TIMESTAMP)"),
+          "yyyy-MM-dd HH:mm:ss"),
+        lit(","),
+        lpad(pmod(col("modification_time"), lit(1000L)).cast("string"),
+          3, "0"))
+        .as("datetime"),
+      lit("INFO").as("level"),
+      lit("OMAudit").as("logger"),
+      col("owner").as("user"),
+      concat(lit("10.0.0."), substring(col("owner"), 6, 10)).as("ip"),
+      when(col("version") % 4 === 0, lit("READ_KEY"))
+        .when(col("version") % 4 === 1, lit("ALLOCATE_KEY"))
+        .when(col("version") % 4 === 2, lit("COMMIT_KEY"))
+        .otherwise(lit("DELETE_KEY")).as("op"),
+      concat(lit("{volume="), col("volume"), lit(", bucket="),
+        col("bucket"), lit(", key="), col("key"), lit("}")).as("params"),
+      when(col("object_id") % 19 === 0, lit("FAILURE"))
+        .otherwise(lit("SUCCESS")).as("result"),
+      when(col("object_id") % 19 === 0, lit("PERMISSION_DENIED"))
+        .otherwise(lit("")).as("exception"))
+
   /** sigv4_requests: an auth batch over the s3-secret catalog — per
     * access id a correctly-signed request (signed HERE with plain
     * javax.crypto, deliberately independent of the engine's graft_hmac
