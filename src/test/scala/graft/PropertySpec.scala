@@ -113,6 +113,53 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("bucket-name validity == first-principles HddsClientUtils port over random names") {
+    import graft.operators.BucketOps
+    // independent re-derivation of verifyResourceName(strictS3) straight
+    // from the reference's per-char + whole-name rules — no regexes, so a
+    // translation slip in the operator's regex form can't hide
+    def refValid(s: String): Boolean = {
+      if (s.length < 3 || s.length > 63) return false
+      var prev: Char = 0
+      var isIPv4 = true
+      for (c <- s) {
+        if (c != '.') isIPv4 &= c >= '0' && c <= '9'
+        if (c.isUpper) return false
+        val ok = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+          c == '-' || c == '.'
+        if (!ok) return false
+        if (prev == '.' && c == '.') return false
+        if (prev == '-' && c == '.') return false
+        if (prev == '.' && c == '-') return false
+        prev = c
+      }
+      if (isIPv4) return false
+      if (s.head == '.' || s.head == '-') return false
+      if (s.last == '.' || s.last == '-') return false
+      true
+    }
+    val rnd = new scala.util.Random(20260813)
+    val alpha = "abz019.-_AB$"
+    val names = (Seq("abc", "a.b-c", "192.168.1.1", "1.2.3", "...", "ab",
+      "a" * 63, "a" * 64, "a-.b", "a.-b", "xn--ab") ++
+      (1 to 300).map(_ => (1 to (rnd.nextInt(10) + 1))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)).distinct
+    val reqs = names.zipWithIndex
+      .map { case (n, i) => (i.toLong, "v1", n, false, false, false, 10L) }
+      .toDF("req_id", "volume", "bucket", "has_source_volume",
+        "has_source_bucket", "has_encryption", "quota_bytes")
+    val vols = Seq(("v1", 0L, -1L, -1L))
+      .toDF("volume", "bucket_count", "quota_bytes", "quota_namespace")
+    val bkts = Seq.empty[(String, String, Long)]
+      .toDF("volume", "bucket", "quota_bytes")
+    val got = BucketOps.bucketCreateDecisions(reqs, vols, bkts)
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    names.foreach { n =>
+      val expected = if (refValid(n)) "CREATED" else "INVALID_BUCKET_NAME"
+      assert(got(n) === expected, s"name '$n'")
+    }
+  }
+
   test("typed sessionizer streams a 100k-event user without buffering the group") {
     val rnd = new Random(99)
     // one pathological user with 1e5 events + a second small user, gaps
