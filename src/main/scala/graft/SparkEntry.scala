@@ -371,6 +371,10 @@ object SparkEntry {
     "q_bucket_create" -> ((s, d) =>
       BucketOps.bucketCreateDecisions(T.bucketCreateRequests(s, d),
         T.volumesNs(s, d), T.buckets(s, d))),
+    // CreateVolume ladder: POSIX names, collisions, per-owner cap of 2
+    "q_volume_create" -> ((s, d) =>
+      BucketOps.volumeCreateDecisions(T.volumeCreateRequests(s, d),
+        T.volumes(s, d), maxUserVolumes = 2L)),
     "q_locations_explode" -> ((s, d) =>
       Nested.locationsExplode(T.objectsNested(s, d))),
     // ---- conditional reads + filter DSL (SURVEY §2.2) ----
@@ -2375,6 +2379,50 @@ object SparkEntry {
          |      GROUP BY 1, 2)))
          |ORDER BY container_id, datanode""".stripMargin,
       O.objects, O.containersScm, O.replicas),
+
+    // CreateVolume ladder: staged rungs + cumulative windows (collision
+    // ownership, sequential per-owner cap at 2)
+    "q_volume_create" -> O.withCtes(
+      """SELECT req_id, volume, owner, coalesce(e3, 'CREATED') AS decision
+        |FROM (
+        |  SELECT *, coalesce(e2, CASE WHEN coalesce(owned, 0) +
+        |      sum(CASE WHEN e2 IS NULL THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY owner ORDER BY req_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - 1 >= 2 THEN 'USER_TOO_MANY_VOLUMES' END) AS e3
+        |  FROM (
+        |    SELECT *, coalesce(e1, CASE WHEN
+        |      sum(CASE WHEN e1 IS NULL THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY volume ORDER BY req_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 1
+        |      THEN 'VOLUME_ALREADY_EXISTS' END) AS e2
+        |    FROM (
+        |      SELECT r.req_id, r.volume, r.owner, c.owned,
+        |        CASE WHEN NOT (length(r.volume) BETWEEN 3 AND 63
+        |          AND regexp_matches(r.volume, '^[a-z0-9._-]+$')
+        |          AND instr(r.volume, '..') = 0
+        |          AND instr(r.volume, '-.') = 0
+        |          AND instr(r.volume, '.-') = 0
+        |          AND NOT regexp_matches(r.volume, '^[0-9.]+$')
+        |          AND substr(r.volume, 1, 1) NOT IN ('.', '-')
+        |          AND substr(r.volume, length(r.volume), 1)
+        |            NOT IN ('.', '-'))
+        |          THEN 'INVALID_VOLUME_NAME'
+        |        WHEN v.volume IS NOT NULL THEN 'VOLUME_ALREADY_EXISTS'
+        |        END AS e1
+        |      FROM (VALUES
+        |        (1, 'newvol-a', 'admin0'), (2, 'newvol-a', 'admin5'),
+        |        (3, 'vol2', 'admin0'), (4, 'Bad_Vol', 'admin1'),
+        |        (5, 'newvol_b', 'admin1'), (6, 'newvol-c', 'admin1'),
+        |        (7, 'ab', 'admin2'), (8, '10.0.0.1', 'admin2'),
+        |        (9, 'newvol-d', 'ghostuser'), (10, 'newvol-e', 'admin3'),
+        |        (11, 'newvol-f', 'admin3'))
+        |        r(req_id, volume, owner)
+        |      LEFT JOIN volumes v ON r.volume = v.volume
+        |      LEFT JOIN (SELECT owner, count(*) AS owned FROM volumes
+        |                 GROUP BY 1) c ON r.owner = c.owner)))
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes),
 
     // Rack-aware placement: same staged picks — candidates exclude
     // holders and short-space nodes, rank by (new rack, free space, id);

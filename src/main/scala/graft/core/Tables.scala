@@ -485,6 +485,28 @@ object Tables {
         "has_source_bucket", "has_encryption", "quota_bytes")
   }
 
+  /** CreateVolume request batch — every OMVolumeCreateRequest branch:
+    * invalid names (uppercase/short/IPv4), a POSIX underscore name that is
+    * LEGAL for volumes (strict=false), catalog + in-batch collisions, and
+    * per-owner cap sequencing on admin1/admin3 (each owns 1; the declared
+    * query caps at 2). */
+  def volumeCreateRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "newvol-a", "admin0"),
+      (2L, "newvol-a", "admin5"),
+      (3L, "vol2", "admin0"),
+      (4L, "Bad_Vol", "admin1"),
+      (5L, "newvol_b", "admin1"),
+      (6L, "newvol-c", "admin1"),
+      (7L, "ab", "admin2"),
+      (8L, "10.0.0.1", "admin2"),
+      (9L, "newvol-d", "ghostuser"),
+      (10L, "newvol-e", "admin3"),
+      (11L, "newvol-f", "admin3"))
+      .toDF("req_id", "volume", "owner")
+  }
+
   /** AssignUserAccessId request batch — the static catalog covers every
     * decision branch of OMTenantAssignUserAccessIdRequest (oversized
     * accessId, delimiter in principal/tenant, unknown tenant, duplicate

@@ -116,4 +116,56 @@ object BucketOps {
       .select("req_id", "volume", "bucket", "decision")
       .orderBy("req_id")
   }
+
+  /**
+   * CreateVolume validation ladder (OMVolumeCreateRequest + the owner-list
+   * cap in OMVolumeRequest.addVolumeToOwnerList,
+   * OMVolumeRequest.java:88-96): volume-name rules (verifyResourceName
+   * with isStrictS3=false — underscores legal, 3-63 length still applies
+   * to volumes) → name collision against the volume table AND earlier
+   * creates in the batch → per-owner volume cap, where in-batch creates
+   * count toward the owner's list sequentially (the reference sees them
+   * through the user-table cache) → CREATED.
+   *
+   * Scale shape mirrors [[bucketCreateDecisions]]: catalog rollups
+   * broadcast into the protocol-sized batch; windows partition by volume /
+   * owner over request-sized data.
+   */
+  def volumeCreateDecisions(requests: DataFrame, volumes: DataFrame,
+                            maxUserVolumes: Long = 1024L): DataFrame = {
+    val volProbe = volumes.select(col("volume"),
+      lit(true).as("vol_exists"))
+    val ownerCounts = volumes.groupBy("owner")
+      .agg(count(lit(1)).as("owned"))
+    val volNameValid =
+      length(col("volume")).between(3, 63) &&
+        col("volume").rlike("^[a-z0-9._-]+$") &&
+        !col("volume").contains("..") && !col("volume").contains("-.") &&
+        !col("volume").contains(".-") &&
+        !col("volume").rlike("^[0-9.]+$") &&
+        !col("volume").rlike("^[.-]") && !col("volume").rlike("[.-]$")
+    val upToName = Window.partitionBy("volume").orderBy("req_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val upToOwner = Window.partitionBy("owner").orderBy("req_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    requests
+      .join(broadcast(volProbe), Seq("volume"), "left")
+      .join(broadcast(ownerCounts), Seq("owner"), "left")
+      .withColumn("early",
+        when(!volNameValid, lit("INVALID_VOLUME_NAME"))
+          .when(coalesce(col("vol_exists"), lit(false)),
+            lit("VOLUME_ALREADY_EXISTS")))
+      .withColumn("name_rank",
+        sum(when(col("early").isNull, 1L).otherwise(0L)).over(upToName))
+      .withColumn("e2", coalesce(col("early"),
+        when(col("name_rank") > 1, lit("VOLUME_ALREADY_EXISTS"))))
+      .withColumn("owner_rank",
+        sum(when(col("e2").isNull, 1L).otherwise(0L)).over(upToOwner))
+      .withColumn("decision", coalesce(col("e2"),
+        when(coalesce(col("owned"), lit(0L)) + col("owner_rank") - 1 >=
+          maxUserVolumes, lit("USER_TOO_MANY_VOLUMES")),
+        lit("CREATED")))
+      .select("req_id", "volume", "owner", "decision")
+      .orderBy("req_id")
+  }
 }

@@ -57,6 +57,26 @@ class BucketOpsSpec extends SparkSpecBase {
       2L -> "TOO_MANY_BUCKETS"))
   }
 
+  test("volumeCreateDecisions: names, collisions, sequential owner cap") {
+    val got = BucketOps.volumeCreateDecisions(
+      T.volumeCreateRequests(spark, sf), T.volumes(spark, sf),
+      maxUserVolumes = 2L)
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got === Map(
+      1L -> "CREATED",
+      2L -> "VOLUME_ALREADY_EXISTS",  // in-batch twin of 1
+      3L -> "VOLUME_ALREADY_EXISTS",  // catalog
+      4L -> "INVALID_VOLUME_NAME",    // uppercase
+      5L -> "CREATED",                // underscore legal for volumes
+      6L -> "USER_TOO_MANY_VOLUMES",  // admin1: 1 owned + 1 admitted >= 2
+      7L -> "INVALID_VOLUME_NAME",    // too short
+      8L -> "INVALID_VOLUME_NAME",    // IPv4
+      9L -> "CREATED",                // unknown owner starts at 0
+      10L -> "CREATED",
+      11L -> "USER_TOO_MANY_VOLUMES"))
+  }
+
   test("unlimited volume byte quota (-1) admits quota-less buckets") {
     val reqs = Seq((1L, "v1", "fresh-b", false, false, false, 0L))
       .toDF("req_id", "volume", "bucket", "has_source_volume",
