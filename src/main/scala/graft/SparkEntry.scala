@@ -241,6 +241,13 @@ object SparkEntry {
       Dedup.duplicateSpans(T.documents(s, d), k = 8)),
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.lshPairsFromBands(minhashBandsCached(s, d))),
+    // steady-state ingest: screen an incoming batch (doc_id % 7) against
+    // the corpus's persisted band index — no corpus re-hash
+    "q_dedup_incremental" -> ((s, d) => {
+      val bands = minhashBandsCached(s, d)
+      Dedup.incrementalDedup(bands.filter(col("doc_id") % 7 === 0),
+        bands.filter(col("doc_id") % 7 =!= 0))
+    }),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(T.documents(s, d))),
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T.documents(s, d),
@@ -521,6 +528,8 @@ object SparkEntry {
     // ---- training-data sampling: exact quotas + token budgets ----
     "q_sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(T.documents(s, d), "lang", quota = 40)),
+    // hash-deterministic train/val/test assignment (stable under growth)
+    "q_data_split" -> ((s, d) => Sampling.dataSplit(T.documents(s, d))),
     "q_corpus_mix" -> ((s, d) =>
       Sampling.corpusMix(T.documents(s, d), "source", budgetTokens = 800L)),
     "q_mix_weights" -> ((s, d) =>
@@ -1183,6 +1192,37 @@ object SparkEntry {
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.docWords, O.shingle2, O.shingleHash, O.minhashSigs, O.minhashBandsCte),
+
+    // incremental dedup: new-batch bands probe the corpus index + each
+    // other; DUP_CORPUS beats DUP_IN_BATCH
+    "q_dedup_incremental" -> O.withCtes(
+      """SELECT d.doc_id,
+        |  coalesce(ch.corpus_candidates, 0) AS corpus_candidates,
+        |  coalesce(bc.batch_candidates, 0) AS batch_candidates,
+        |  CASE WHEN coalesce(ch.corpus_candidates, 0) > 0 THEN 'DUP_CORPUS'
+        |       WHEN coalesce(bc.batch_candidates, 0) > 0
+        |         THEN 'DUP_IN_BATCH'
+        |       ELSE 'NEW' END AS verdict
+        |FROM (SELECT DISTINCT doc_id FROM newb) d
+        |LEFT JOIN ch ON d.doc_id = ch.doc_id
+        |LEFT JOIN bc ON d.doc_id = bc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+      O.docWords, O.shingle2, O.shingleHash, O.minhashSigs,
+      O.minhashBandsCte,
+      """newb AS (SELECT * FROM minhash_bands WHERE doc_id % 7 = 0)""",
+      """corp AS (SELECT * FROM minhash_bands WHERE doc_id % 7 <> 0)""",
+      """ch AS (
+        |  SELECT n.doc_id, count(DISTINCT c.doc_id) AS corpus_candidates
+        |  FROM newb n JOIN corp c ON n.band = c.band AND n.sig = c.sig
+        |  GROUP BY 1)""".stripMargin,
+      """bc AS (
+        |  SELECT doc_id, count(DISTINCT other) AS batch_candidates
+        |  FROM (
+        |    SELECT a.doc_id, b.doc_id AS other
+        |    FROM newb a JOIN newb b
+        |      ON a.band = b.band AND a.sig = b.sig
+        |        AND a.doc_id <> b.doc_id)
+        |  GROUP BY 1)""".stripMargin),
 
     "q_dedup_simhash" -> O.withCtes(
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2751,6 +2791,19 @@ object SparkEntry {
         |        AS shard
         |    FROM doc_words))
         |ORDER BY doc_id""".stripMargin, O.docWords),
+
+    // hash-deterministic split assignment: bucket = md5-60bit % 1000
+    "q_data_split" ->
+      """SELECT doc_id, source, bucket_pm,
+        |  CASE WHEN bucket_pm < 10 THEN 'test'
+        |       WHEN bucket_pm < 20 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS bucket_pm
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // packing diagnostics: fold of the seq-pack layout per shard
     "q_pack_stats" -> O.withCtes(

@@ -89,6 +89,47 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame): DataFrame =
     lshPairsFromBands(minhashBands(docs))
 
+  /**
+   * Incremental dedup: screen an INCOMING batch against the corpus's
+   * persisted LSH index without re-hashing the corpus — the steady-state
+   * ingest path at 100 TB (the index is an artifact like the key-sorted
+   * warehouse; an arriving batch costs hash(batch) + index probe, never
+   * O(corpus)). Per new document: candidate counts against the corpus
+   * index and within the batch itself, and a verdict — DUP_CORPUS wins
+   * over DUP_IN_BATCH (a corpus collision already decides the doc's fate;
+   * in-batch collisions only matter among genuinely new docs).
+   *
+   * Scale shape: both joins are banded (band, sig) equi-joins — cost
+   * Σ bucket-overlap, never batch × corpus; the per-doc rollups are
+   * batch-sized.
+   */
+  def incrementalDedup(newBands: DataFrame,
+                       corpusBands: DataFrame): DataFrame = {
+    val corpusHits = newBands.as("n").join(corpusBands.as("c"),
+        col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(countDistinct(col("c.doc_id")).as("corpus_candidates"))
+    val batchPairs = lshPairsFromBands(newBands)
+    val batchCounts = batchPairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+      .unionByName(batchPairs
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
+      .groupBy("doc_id")
+      .agg(countDistinct("other").as("batch_candidates"))
+    newBands.select("doc_id").distinct()
+      .join(corpusHits, Seq("doc_id"), "left")
+      .join(batchCounts, Seq("doc_id"), "left")
+      .withColumn("corpus_candidates",
+        coalesce(col("corpus_candidates"), lit(0L)))
+      .withColumn("batch_candidates",
+        coalesce(col("batch_candidates"), lit(0L)))
+      .withColumn("verdict",
+        when(col("corpus_candidates") > 0, lit("DUP_CORPUS"))
+          .when(col("batch_candidates") > 0, lit("DUP_IN_BATCH"))
+          .otherwise(lit("NEW")))
+      .orderBy("doc_id")
+  }
+
   val SimhashBits = 60  // full width of the md5-derived token hash
   val ChunkBits = 15    // 4 chunks × 15 bits; 2^15 bucket values per chunk
 

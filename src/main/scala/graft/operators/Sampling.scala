@@ -119,4 +119,26 @@ object Sampling {
       .select("domain", "docs", "tokens", "base_alloc", "alloc")
       .orderBy("domain")
   }
+
+  /**
+   * Deterministic train/val/test assignment: each document's split is a
+   * pure function of md5(doc_id) reduced to a per-mille bucket —
+   * reproducible across runs and engines, stable under corpus growth (a
+   * doc never changes split when others arrive, unlike rank-based
+   * slicing), and embarrassingly parallel (a pure projection, no shuffle
+   * at any scale). `valPm`/`testPm` are per-mille shares: bucket <
+   * testPm → test, < testPm+valPm → val, else train.
+   */
+  def dataSplit(docs: DataFrame, valPm: Int = 10,
+                testPm: Int = 10): DataFrame =
+    docs
+      .withColumn("bucket_pm",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), " +
+          "16, 10) AS BIGINT) % 1000"))
+      .withColumn("split",
+        when(col("bucket_pm") < testPm, lit("test"))
+          .when(col("bucket_pm") < testPm + valPm, lit("val"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("source"), col("bucket_pm"), col("split"))
+      .orderBy("doc_id")
 }

@@ -29,6 +29,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(pairs === Seq(Seq(1L, 2L, Dedup.NumBands.toLong)))
   }
 
+  test("incremental dedup: corpus hit beats in-batch hit beats NEW") {
+    val corpus = docs(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "totally distinct corpus content sits right here")
+    val batch = docs(
+      1L -> "the quick brown fox jumps over the lazy dog", // = corpus 10
+      2L -> "twin pair inside the arriving batch only now",
+      3L -> "twin pair inside the arriving batch only now",
+      4L -> "nothing like anything else anywhere at all ok")
+    val got = Dedup.incrementalDedup(Dedup.minhashBands(batch),
+      Dedup.minhashBands(corpus))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((1L, 0L, "DUP_CORPUS")))
+    assert(got(2L) === ((0L, 1L, "DUP_IN_BATCH")))
+    assert(got(3L) === ((0L, 1L, "DUP_IN_BATCH")))
+    assert(got(4L) === ((0L, 0L, "NEW")))
+  }
+
   test("simhash of identical docs is identical; hamming-0 pairs survive the pigeonhole join") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",

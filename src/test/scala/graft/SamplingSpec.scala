@@ -105,4 +105,24 @@ class SamplingSpec extends SparkSpecBase {
     // and never drifts more than one token from the floor share
     assert(alloc.filter(col("alloc") - col("base_alloc") > 1).isEmpty)
   }
+
+  test("data split: partition of the corpus, growth-stable, near the shares") {
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+    val split = Sampling.dataSplit(docs).cache()
+    // a partition: every doc exactly once, split consistent with bucket
+    assert(split.count() === docs.count())
+    assert(split.filter(
+      (col("bucket_pm") < 10 && col("split") =!= "test") ||
+      (col("bucket_pm") >= 10 && col("bucket_pm") < 20 &&
+        col("split") =!= "val") ||
+      (col("bucket_pm") >= 20 && col("split") =!= "train")).isEmpty)
+    // growth-stable: the assignment on a SUBSET equals the full run's
+    val sub = Sampling.dataSplit(docs.filter(col("doc_id") % 3 === 0))
+      .select("doc_id", "split")
+    val full = split.select("doc_id", "split")
+      .withColumnRenamed("split", "split_full")
+    assert(sub.join(full, "doc_id")
+      .filter(col("split") =!= col("split_full")).isEmpty)
+    split.unpersist()
+  }
 }
