@@ -235,4 +235,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(ev.select("op").distinct().orderBy("op")
       .collect().map(_.getString(0)).toSeq === Seq("DELETE", "PUT"))
   }
+
+  test("streamed replica-seen stats == batch replicaHistoryStats") {
+    val work = java.nio.file.Files.createTempDirectory("graft_reports_")
+      .toString
+    val hist = Tables.replicaHistory(spark, sf)
+    // ts-ranged part files: the file source drains them in range order,
+    // so per-group arrival respects event order across micro-batches
+    hist.repartitionByRange(4, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.parquet(s"$work/src")
+    graft.streaming.ReportStream.replicaSeenStream(spark,
+      s"$work/src", s"$work/out", s"$work/ckpt")
+    val got = graft.streaming.ReportStream
+      .replicaSeenView(spark, s"$work/out")
+      .select("container_id", "datanode", "n_reports", "first_seen",
+        "last_seen")
+    val want = graft.operators.Lifecycle.replicaHistoryStats(hist)
+      .select("container_id", "datanode", "n_reports", "first_seen",
+        "last_seen")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    graft.streaming.ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(work))
+  }
 }
