@@ -256,6 +256,30 @@ class ClusterHealthSpec extends SparkSpecBase {
     // layout — a per-replica fan-out would explode once per replica join
     assert(mrPlan.split("Generate explode").length - 1 == 1,
       s"one layout explode expected in:\n$mrPlan")
+    // round-5 decision queries: every catalog/request probe must stay a
+    // broadcast join — a sort-merge exchange here means a control-plane
+    // frame shuffled the data-plane side
+    val placement = ClusterHealth.replicaPlacement(T.replicas(spark, sfd),
+      T.datanodes(spark, sfd), T.containersScm(spark, sfd))
+    placement.collect()
+    assert(placement.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"), "placement node catalog broadcast")
+    val delKey = graft.operators.CommitLog.keyDeleteDecisions(
+      T.deleteKeyRequests(spark, sfd), T.objects(spark, sfd),
+      T.buckets(spark, sfd),
+      T.objects(spark, sfd)
+        .withColumn("pdir",
+          graft.operators.Aggregates.parentDirOf("key"))
+        .filter(col("pdir") =!= "")
+        .select(col("volume"), col("bucket"),
+          explode(graft.operators.Aggregates.dirAndAncestors("pdir"))
+            .as("path")).distinct())
+    delKey.collect()
+    val dkPlan = delKey.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(dkPlan.contains("BroadcastExchange") &&
+      !dkPlan.contains("SortMergeJoin"),
+      s"delete-key probes must all broadcast:\n$dkPlan")
   }
 
   test("merkle reconciliation flags exactly the diverging replicas") {
