@@ -382,6 +382,11 @@ object SparkEntry {
     "q_volume_create" -> ((s, d) =>
       BucketOps.volumeCreateDecisions(T.volumeCreateRequests(s, d),
         T.volumes(s, d), maxUserVolumes = 2L)),
+    // SetBucketProperty quota ladder: bytes before namespace, own quota
+    // excluded from the volume-budget sum
+    "q_set_quota" -> ((s, d) =>
+      BucketOps.setBucketQuotaDecisions(T.setQuotaRequests(s, d),
+        T.volumes(s, d), T.buckets(s, d), T.bucketLinks(s, d))),
     "q_locations_explode" -> ((s, d) =>
       Nested.locationsExplode(T.objectsNested(s, d))),
     // ---- conditional reads + filter DSL (SURVEY §2.2) ----
@@ -2463,6 +2468,60 @@ object SparkEntry {
         |                 GROUP BY 1) c ON r.owner = c.owner)))
         |ORDER BY req_id""".stripMargin,
       O.objects, O.buckets, O.volumes),
+
+    // SetBucketProperty quota ladder: same staged CASE over broadcastable
+    // catalog rollups; -2 = absent field, -1 = QUOTA_RESET
+    "q_set_quota" -> O.withCtes(
+      """SELECT r.volume, r.bucket, r.new_quota_bytes, r.new_quota_ns,
+        |  CASE
+        |    WHEN b.bucket IS NULL AND l.bucket IS NULL
+        |      THEN 'BUCKET_NOT_FOUND'
+        |    WHEN l.bucket IS NOT NULL THEN 'CANNOT_SET_ON_LINK'
+        |    WHEN r.new_quota_bytes = -1 AND v.quota_bytes <> -1
+        |      THEN 'QUOTA_ERROR_CLEAR'
+        |    WHEN r.new_quota_bytes > 0
+        |      AND r.new_quota_bytes < b.used_bytes
+        |      THEN 'QUOTA_ERROR_BELOW_USAGE'
+        |    WHEN r.new_quota_bytes > 0
+        |      AND r.new_quota_bytes >= b.quota_bytes
+        |      AND v.quota_bytes <> -1
+        |      AND coalesce(q.all_quota_sum, 0)
+        |        - CASE WHEN b.quota_bytes > -1 THEN b.quota_bytes
+        |               ELSE 0 END
+        |        + r.new_quota_bytes > v.quota_bytes
+        |      THEN 'QUOTA_EXCEEDED'
+        |    WHEN r.new_quota_ns > 0 AND r.new_quota_ns < b.used_namespace
+        |      THEN 'QUOTA_ERROR_NS_BELOW_USAGE'
+        |    ELSE 'UPDATED' END AS decision
+        |FROM reqs r
+        |LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |LEFT JOIN links l ON r.volume = l.volume AND r.bucket = l.bucket
+        |LEFT JOIN volumes v ON r.volume = v.volume
+        |LEFT JOIN (
+        |  SELECT volume, CAST(sum(CASE WHEN quota_bytes > -1
+        |    THEN quota_bytes ELSE 0 END) AS BIGINT) AS all_quota_sum
+        |  FROM buckets GROUP BY 1) q ON r.volume = q.volume
+        |ORDER BY r.volume, r.bucket, r.new_quota_bytes,
+        |  r.new_quota_ns""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """links(volume, bucket) AS (VALUES
+        |  ('vol1', 'link-a'), ('vol2', 'link-b'), ('vol3', 'link-broken'),
+        |  ('vol0', 'link-cycle1'), ('vol0', 'link-cycle2'))""".stripMargin,
+      """reqs AS (
+        |  SELECT volume, bucket,
+        |    CASE WHEN bucket_idx % 5 = 0 THEN used_bytes + 1000000000
+        |         WHEN bucket_idx % 5 = 1 THEN -1
+        |         WHEN bucket_idx % 5 = 2
+        |           THEN greatest(used_bytes // 2, 1)
+        |         WHEN bucket_idx % 5 = 3 THEN 999999000000
+        |         ELSE -2 END AS new_quota_bytes,
+        |    CASE WHEN bucket_idx % 5 = 4
+        |      THEN greatest(used_namespace // 2, 1)
+        |      ELSE -2 END AS new_quota_ns
+        |  FROM (SELECT *, CAST(substr(bucket, 7, 10) AS BIGINT)
+        |          AS bucket_idx FROM buckets)
+        |  UNION ALL VALUES ('vol1', 'link-a', 5000000, -2),
+        |    ('vol0', 'no-such-bucket', 5000000, -2))""".stripMargin),
 
     // Rack-aware placement: same staged picks — candidates exclude
     // holders and short-space nodes, rank by (new rack, free space, id);

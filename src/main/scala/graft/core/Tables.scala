@@ -485,6 +485,32 @@ object Tables {
         "has_source_bucket", "has_encryption", "quota_bytes")
   }
 
+  /** set_quota_requests: a SetBucketProperty quota batch — one request
+    * per catalog bucket, class by bucket index (valid raise / clear-while-
+    * volume-set / below byte usage / volume-budget blowout / below ns
+    * usage), plus a link-bucket and an unknown-bucket probe. -2 = field
+    * absent, -1 = QUOTA_RESET. */
+  def setQuotaRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val derived = buckets(spark, dir)
+      .withColumn("bucket_idx",
+        substring(col("bucket"), 7, 10).cast("long"))
+      .select(col("volume"), col("bucket"),
+        when(col("bucket_idx") % 5 === 0, col("used_bytes") + 1000000000L)
+          .when(col("bucket_idx") % 5 === 1, lit(-1L))
+          .when(col("bucket_idx") % 5 === 2,
+            greatest(expr("used_bytes DIV 2"), lit(1L)))
+          .when(col("bucket_idx") % 5 === 3, lit(999999000000L))
+          .otherwise(lit(-2L)).as("new_quota_bytes"),
+        when(col("bucket_idx") % 5 === 4,
+          greatest(expr("used_namespace DIV 2"), lit(1L)))
+          .otherwise(lit(-2L)).as("new_quota_ns"))
+    derived.unionByName(Seq(
+      ("vol1", "link-a", 5000000L, -2L),
+      ("vol0", "no-such-bucket", 5000000L, -2L))
+      .toDF("volume", "bucket", "new_quota_bytes", "new_quota_ns"))
+  }
+
   /** CreateVolume request batch — every OMVolumeCreateRequest branch:
     * invalid names (uppercase/short/IPv4), a POSIX underscore name that is
     * LEGAL for volumes (strict=false), catalog + in-batch collisions, and

@@ -168,4 +168,68 @@ object BucketOps {
       .select("req_id", "volume", "owner", "decision")
       .orderBy("req_id")
   }
+
+  /**
+   * SetBucketProperty quota-update ladder (OMBucketSetPropertyRequest
+   * .java:151-156 existence/link, checkQuotaBytesValid:280-331,
+   * checkQuotaNamespaceValid:333-352, bytes before namespace). Decision
+   * labels split the reference's overloaded QUOTA_ERROR by cause:
+   * QUOTA_ERROR_CLEAR (clearing bucket quota while the volume quota is
+   * set), QUOTA_ERROR_BELOW_USAGE / QUOTA_ERROR_NS_BELOW_USAGE (requested
+   * quota under current usage), QUOTA_EXCEEDED (other buckets' quotas +
+   * requested > volume quota — own current quota excluded from the sum,
+   * OMBucketSetPropertyRequest.java:313-321), CANNOT_SET_ON_LINK,
+   * BUCKET_NOT_FOUND, UPDATED. `-2` marks an absent quota field (proto
+   * has-bit); `-1` is the reference's QUOTA_RESET.
+   *
+   * Scale shape: every probe (bucket catalog, link table, volume args,
+   * per-volume quota sums) is a control-plane rollup broadcast into the
+   * request batch; one projection decides the batch.
+   */
+  def setBucketQuotaDecisions(requests: DataFrame, volumes: DataFrame,
+                              buckets: DataFrame,
+                              links: DataFrame): DataFrame = {
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists"), col("used_bytes"), col("used_namespace"),
+      col("quota_bytes").as("cur_quota"))
+    val linkProbe = links.select(col("volume"), col("bucket"),
+      lit(true).as("is_link"))
+    val volProbe = volumes.select(col("volume"),
+      col("quota_bytes").as("vol_quota"))
+    val qsum = buckets.groupBy("volume")
+      .agg(sum(when(col("quota_bytes") > -1L, col("quota_bytes"))
+        .otherwise(0L)).as("all_quota_sum"))
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(linkProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(volProbe), Seq("volume"), "left")
+      .join(broadcast(qsum), Seq("volume"), "left")
+      .withColumn("others_quota_sum",
+        coalesce(col("all_quota_sum"), lit(0L)) -
+          when(col("cur_quota") > -1L, col("cur_quota")).otherwise(0L))
+      .withColumn("decision",
+        when(coalesce(col("bkt_exists"), lit(false)) === false &&
+          coalesce(col("is_link"), lit(false)) === false,
+          lit("BUCKET_NOT_FOUND"))
+          .when(coalesce(col("is_link"), lit(false)),
+            lit("CANNOT_SET_ON_LINK"))
+          .when(col("new_quota_bytes") === -1L && col("vol_quota") =!= -1L,
+            lit("QUOTA_ERROR_CLEAR"))
+          .when(col("new_quota_bytes") > 0L &&
+            col("new_quota_bytes") < col("used_bytes"),
+            lit("QUOTA_ERROR_BELOW_USAGE"))
+          .when(col("new_quota_bytes") > 0L &&
+            col("new_quota_bytes") >= col("cur_quota") &&
+            col("vol_quota") =!= -1L &&
+            col("others_quota_sum") + col("new_quota_bytes") >
+              col("vol_quota"),
+            lit("QUOTA_EXCEEDED"))
+          .when(col("new_quota_ns") > 0L &&
+            col("new_quota_ns") < col("used_namespace"),
+            lit("QUOTA_ERROR_NS_BELOW_USAGE"))
+          .otherwise(lit("UPDATED")))
+      .select("volume", "bucket", "new_quota_bytes", "new_quota_ns",
+        "decision")
+      .orderBy("volume", "bucket", "new_quota_bytes", "new_quota_ns")
+  }
 }

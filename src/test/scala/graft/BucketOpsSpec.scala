@@ -77,6 +77,35 @@ class BucketOpsSpec extends SparkSpecBase {
       11L -> "USER_TOO_MANY_VOLUMES"))
   }
 
+  test("setBucketQuotaDecisions: every branch live; own quota excluded") {
+    val got = BucketOps.setBucketQuotaDecisions(
+      T.setQuotaRequests(spark, sf), T.volumes(spark, sf),
+      T.buckets(spark, sf), T.bucketLinks(spark, sf))
+      .as[(String, String, Long, Long, String)].collect()
+    val byDecision = got.groupBy(_._5).view.mapValues(_.length).toMap
+    assert(byDecision.keySet === Set("UPDATED", "QUOTA_ERROR_CLEAR",
+      "QUOTA_ERROR_BELOW_USAGE", "QUOTA_EXCEEDED",
+      "QUOTA_ERROR_NS_BELOW_USAGE", "CANNOT_SET_ON_LINK",
+      "BUCKET_NOT_FOUND"))
+    assert(got.count(r => r._2 == "link-a") === 1)
+    // own-quota exclusion: raising ONE bucket to just under the volume
+    // budget minus the others' sum must pass, even above its own quota
+    val vols = Seq(("v1", 100L)).toDF("volume", "quota_bytes")
+    val bkts = Seq(("v1", "b1", 10L, 1L, 30L), ("v1", "b2", 10L, 1L, 50L))
+      .toDF("volume", "bucket", "used_bytes", "used_namespace",
+        "quota_bytes")
+    val links = Seq.empty[(String, String, String, String)]
+      .toDF("volume", "bucket", "source_volume", "source_bucket")
+    // b1: 50 (others) + 49 = 99 <= 100 → UPDATED; 51 would blow it
+    val reqs = Seq(("v1", "b1", 49L, -2L), ("v1", "b1", 51L, -2L))
+      .toDF("volume", "bucket", "new_quota_bytes", "new_quota_ns")
+    val micro = BucketOps.setBucketQuotaDecisions(reqs, vols, bkts, links)
+      .as[(String, String, Long, Long, String)].collect()
+      .map(r => r._3 -> r._5).toMap
+    assert(micro(49L) === "UPDATED")
+    assert(micro(51L) === "QUOTA_EXCEEDED")
+  }
+
   test("unlimited volume byte quota (-1) admits quota-less buckets") {
     val reqs = Seq((1L, "v1", "fresh-b", false, false, false, 0L))
       .toDF("req_id", "volume", "bucket", "has_source_volume",
