@@ -18,8 +18,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 if not skip_verify:
+    subset = " " + " ".join(only) if only else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{subset}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     tail = (r.stdout + r.stderr)[-3000:]
     if r.returncode != 0:
