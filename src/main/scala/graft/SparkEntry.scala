@@ -507,6 +507,10 @@ object SparkEntry {
     "q_replica_placement" -> ((s, d) =>
       ClusterHealth.replicaPlacement(T.replicas(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    // balancer iteration: rank-paired nodes, budgeted largest-first moves
+    "q_balancer_moves" -> ((s, d) =>
+      ClusterHealth.balancerMoves(T.datanodes(s, d), T.replicas(s, d),
+        T.containersScm(s, d))),
     "q_merkle_reconcile" -> ((s, d) =>
       ClusterHealth.merkleReconcile(T.objectsNested(s, d),
         T.replicas(s, d))),
@@ -2653,6 +2657,60 @@ object SparkEntry {
         |  FROM datanodes
         |  WHERE state = 'HEALTHY' AND op_state = 'IN_SERVICE') s
         |ORDER BY utilization_bp DESC, uuid""".stripMargin, O.datanodes),
+
+    // balancer iteration: rank-paired over/under nodes, per-pair budgets
+    // (source floor, target ceiling, iteration cap), largest-first fill
+    "q_balancer_moves" -> O.withCtes(
+      """SELECT source, target, container_id, used_bytes, cum_bytes
+        |FROM (
+        |  SELECT c.source, c.target, c.container_id, c.used_bytes,
+        |    CAST(sum(c.used_bytes) OVER (PARTITION BY c.source
+        |      ORDER BY c.used_bytes DESC, c.container_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_bytes,
+        |    c.budget
+        |  FROM (
+        |    SELECT p.source, p.target, p.budget, r.container_id,
+        |      ci.used_bytes
+        |    FROM pairs p
+        |    JOIN replicas r ON r.datanode = p.source
+        |    JOIN containers_scm ci ON ci.container_id = r.container_id
+        |      AND ci.state = 'CLOSED'
+        |    LEFT JOIN (SELECT DISTINCT container_id, datanode
+        |               FROM replicas) t
+        |      ON t.container_id = r.container_id AND t.datanode = p.target
+        |    WHERE t.datanode IS NULL) c)
+        |WHERE cum_bytes <= budget
+        |ORDER BY source, cum_bytes""".stripMargin,
+      O.containersScm, O.replicas, O.datanodes,
+      """elig AS (
+        |  SELECT *,
+        |    (capacity - remaining) * 10000 // capacity AS utilization_bp
+        |  FROM datanodes
+        |  WHERE state = 'HEALTHY' AND op_state = 'IN_SERVICE')""".stripMargin,
+      """stats AS (
+        |  SELECT (CAST(sum(capacity) AS BIGINT)
+        |    - CAST(sum(remaining) AS BIGINT)) * 10000
+        |    // CAST(sum(capacity) AS BIGINT) AS avg_bp FROM elig)""".stripMargin,
+      """overn AS (
+        |  SELECT uuid AS source,
+        |    row_number() OVER (ORDER BY utilization_bp DESC, uuid) AS rk,
+        |    capacity * (utilization_bp - (avg_bp - 1000)) // 10000
+        |      AS source_budget
+        |  FROM elig CROSS JOIN stats
+        |  WHERE utilization_bp > avg_bp + 1000)""".stripMargin,
+      """undern AS (
+        |  SELECT uuid AS target,
+        |    row_number() OVER (ORDER BY utilization_bp ASC, uuid) AS rk,
+        |    capacity * ((avg_bp + 1000) - utilization_bp) // 10000
+        |      AS target_budget
+        |  FROM elig CROSS JOIN stats
+        |  WHERE utilization_bp < avg_bp - 1000)""".stripMargin,
+      """pairs AS (
+        |  SELECT o.source, u.target,
+        |    least(o.source_budget, u.target_budget, 107374182400)
+        |      AS budget
+        |  FROM overn o JOIN undern u ON o.rk = u.rk)""".stripMargin),
 
     "q_deleted_dirs" -> O.withCtes(
       s"""SELECT n.volume, n.bucket, n.dir, dd.deleted_ms,

@@ -229,6 +229,78 @@ object ClusterHealth {
   val ContainerSizeBytes = 5L * 1024 * 1024 * 1024
 
   /**
+   * Container-balancer iteration planning — the move-selection step after
+   * [[balancerPlan]]'s classification (ContainerBalancerTask +
+   * FindSourceGreedy/AbstractFindTargetGreedy): pair each over-utilized
+   * node with an under-utilized one, then schedule that source's CLOSED
+   * containers (largest first, the selection-criteria order) while the
+   * running total fits every budget the reference enforces —
+   * canSizeLeaveSource (source must stay ≥ the lower limit,
+   * FindSourceGreedy.java:153-165), canSizeEnterTarget (target must stay
+   * ≤ the upper limit, AbstractFindTargetGreedy.java:178-199) and
+   * maxSizeToMovePerIteration (ContainerBalancerTask.java:921) — and the
+   * container has no replica already on the target
+   * (AbstractFindTargetGreedy.java:119-122).
+   *
+   * Determinization: the reference walks greedy orderings with mutable
+   * entering/leaving maps; here over-nodes pair rank-for-rank with
+   * under-nodes (most-over ↔ most-under) and the per-pair schedule is a
+   * windowed cumulative fill — a pure function of the catalogs.
+   *
+   * Scale shape: node classification is catalog-sized; the only
+   * container-scale work is one semi-join of the replica map against the
+   * (few) paired sources, then per-pair windows over those nodes'
+   * containers only.
+   */
+  def balancerMoves(datanodes: DataFrame, replicas: DataFrame,
+                    containersScm: DataFrame, thresholdBp: Long = 1000L,
+                    maxSizeToMove: Long = 100L * 1024 * 1024 * 1024)
+      : DataFrame = {
+    val plan = balancerPlan(datanodes, thresholdBp)
+    val over = plan.filter(col("action") === "OVER_UTILIZED")
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("utilization_bp").desc, col("uuid"))))
+      .select(col("uuid").as("source"), col("rk"),
+        // bytes the source may shed before hitting the LOWER limit
+        expr("capacity * (utilization_bp - (avg_utilization_bp - " +
+          s"$thresholdBp)) DIV 10000").as("source_budget"))
+    val under = plan.filter(col("action") === "UNDER_UTILIZED")
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("utilization_bp").asc, col("uuid"))))
+      .select(col("uuid").as("target"), col("rk"),
+        // bytes the target may absorb before hitting the UPPER limit
+        expr("capacity * ((avg_utilization_bp + " +
+          s"$thresholdBp) - utilization_bp) DIV 10000").as("target_budget"))
+    val pairs = over.join(under, Seq("rk"))
+      .withColumn("budget",
+        least(col("source_budget"), col("target_budget"),
+          lit(maxSizeToMove)))
+      .select("source", "target", "budget")
+    // containers resident on a paired source, CLOSED, absent from the
+    // pair's target; replica map pruned to the paired sources first
+    val srcReplicas = replicas
+      .join(broadcast(pairs.select(col("source").as("datanode"))),
+        Seq("datanode"), "left_semi")
+    val onTarget = replicas.select(col("container_id"),
+      col("datanode").as("target"), lit(true).as("on_target"))
+    val cands = srcReplicas
+      .select(col("datanode").as("source"), col("container_id"))
+      .join(broadcast(pairs), Seq("source"))
+      .join(containersScm.filter(col("state") === "CLOSED")
+        .select(col("container_id"), col("used_bytes")), Seq("container_id"))
+      .join(onTarget, Seq("container_id", "target"), "left")
+      .filter(col("on_target").isNull)
+    val fill = Window.partitionBy("source")
+      .orderBy(col("used_bytes").desc, col("container_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cands
+      .withColumn("cum_bytes", sum("used_bytes").over(fill))
+      .filter(col("cum_bytes") <= col("budget"))
+      .select("source", "target", "container_id", "used_bytes", "cum_bytes")
+      .orderBy("source", "cum_bytes")
+  }
+
+  /**
    * Rack-aware replica placement for under-replicated RATIS containers —
    * the write-side dual of the replica-health check: for each non-deleted
    * container whose healthy replica count is short of its factor, choose

@@ -314,6 +314,31 @@ class ClusterHealthSpec extends SparkSpecBase {
       .toSet)
   }
 
+  test("balancer moves: budget respected, no target collision, over→under") {
+    val moves = ClusterHealth.balancerMoves(T.datanodes(spark, sf),
+      T.replicas(spark, sf), T.containersScm(spark, sf)).cache()
+    assert(moves.count() > 0)
+    val plan = ClusterHealth.balancerPlan(T.datanodes(spark, sf))
+    val classes = plan.collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    val reps = T.replicas(spark, sf)
+      .select("container_id", "datanode").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    moves.collect().foreach { m =>
+      val (src, tgt, cid) = (m.getString(0), m.getString(1), m.getLong(2))
+      assert(classes(src) === "OVER_UTILIZED", src)
+      assert(classes(tgt) === "UNDER_UTILIZED", tgt)
+      assert(reps.contains((cid, src)), s"$cid must sit on source $src")
+      assert(!reps.contains((cid, tgt)), s"$cid already on target $tgt")
+    }
+    // largest-first fill: within a source, sizes never increase
+    moves.collect().groupBy(_.getString(0)).values.foreach { ms =>
+      val sizes = ms.sortBy(_.getLong(4)).map(_.getLong(3))
+      assert(sizes.sameElements(sizes.sortBy(-(_: Long))), "size order")
+    }
+    moves.unpersist()
+  }
+
   test("replica placement honors exclusion, rack spread, space, fallback") {
     import spark.implicits._
     // 4 nodes, 2 racks; c1 under by 1 (copies on dnA1/dnA2 = rack A) →
