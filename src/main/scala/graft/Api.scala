@@ -252,4 +252,26 @@ object Api {
   def replicaPlacement(s: SparkSession, d: String): DataFrame =
     ClusterHealth.replicaPlacement(T.replicas(s, d), T.datanodes(s, d),
       T.containersScm(s, d))
+
+  /** CreateVolume admission verdicts for a request batch. */
+  def createVolumes(s: SparkSession, d: String, requests: DataFrame,
+                    maxUserVolumes: Long = 1024L): DataFrame =
+    BucketOps.volumeCreateDecisions(requests, T.volumes(s, d),
+      maxUserVolumes)
+
+  /** SetBucketProperty quota-update verdicts. */
+  def setBucketQuotas(s: SparkSession, d: String,
+                      requests: DataFrame): DataFrame =
+    BucketOps.setBucketQuotaDecisions(requests, T.volumes(s, d),
+      T.buckets(s, d), T.bucketLinks(s, d))
+
+  /** Balancer iteration plan (paired moves under the budget caps). */
+  def balancerMoves(s: SparkSession, d: String): DataFrame =
+    ClusterHealth.balancerMoves(T.datanodes(s, d), T.replicas(s, d),
+      T.containersScm(s, d))
+
+  /** SigV4 auth verdicts for a signed-request batch. */
+  def validateSigV4(s: SparkSession, d: String,
+                    requests: DataFrame): DataFrame =
+    S3Ops.sigv4Verify(requests, T.s3Secrets(s, d))
 }

@@ -258,6 +258,9 @@ object SparkEntry {
       Dedup.dupClusters(T.documents(s, d).select("doc_id"),
         verifiedPairsCached(s, d))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
+    // SQ8 serving prep: per-vector affine code params + error bound
+    "q_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeStats(T.embeddings(s, d))),
     "q_semantic_decon" -> ((s, d) =>
       Similarity.semanticDecon(T.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d),
@@ -1306,6 +1309,22 @@ object SparkEntry {
         |  SELECT e.u, r.lab FROM eedges e JOIN reach r ON e.v = r.vec_id
         |)""".stripMargin,
       "asg AS (SELECT vec_id, min(lab) AS cluster_id FROM reach GROUP BY 1)"),
+
+    // SQ8 stats: non-negative integer DIV throughout → exact parity
+    "q_embed_quantize" -> O.withCtes(
+      """SELECT vec_id, mn, mx,
+        |  CAST(list_sum([(v - mn) * 255 // gspan for v in qv]) AS BIGINT)
+        |    AS code_sum,
+        |  CAST(list_max([abs(v - (mn + ((v - mn) * 255 // gspan) * gspan
+        |    // 255)) for v in qv]) AS BIGINT) AS max_err_milli
+        |FROM (
+        |  SELECT vec_id, qv,
+        |    CAST(list_min(qv) AS BIGINT) AS mn,
+        |    CAST(list_max(qv) AS BIGINT) AS mx,
+        |    CAST(greatest(list_max(qv) - list_min(qv), 1) AS BIGINT)
+        |      AS gspan
+        |  FROM emb_n)
+        |ORDER BY vec_id""".stripMargin, O.embQuant),
 
     "q_ann_topk" -> O.withCtes(
       s"""SELECT query_id, neighbor_id, rank, cos_x1e6 FROM (

@@ -40,6 +40,34 @@ object Similarity {
     "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nrm_a AS DOUBLE) * CAST(nrm_b AS DOUBLE)) * 1000000) AS BIGINT)"
 
   /**
+   * Per-vector int8 affine quantization stats — the scalar-quantizer (SQ8)
+   * prep of a serving-side ANN index: each vector gets (min, max) range
+   * params and 255-step codes `(v - min) · 255 ÷ span`; emitted here as
+   * the code checksum plus the max absolute reconstruction error (the
+   * bound on cosine drift a retrieval stack validates before swapping the
+   * float index out). All arithmetic is non-negative integer DIV over the
+   * milli-quantized components, so both engines agree bit-for-bit; a
+   * constant vector (span 0) degenerates to code 0 / error 0.
+   *
+   * Scale shape: a pure codegen'd projection over the embedding scan —
+   * zero shuffles at any corpus size.
+   */
+  def quantizeStats(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .withColumn("mn", expr("array_min(qv)"))
+      .withColumn("mx", expr("array_max(qv)"))
+      .withColumn("gspan", expr("greatest(mx - mn, 1L)"))
+      .withColumn("code_sum", expr(
+        "aggregate(transform(qv, v -> (v - mn) * 255 DIV gspan), " +
+          "0L, (a, x) -> a + x)"))
+      .withColumn("max_err_milli", expr(
+        "aggregate(transform(qv, v -> abs(v - (mn + " +
+          "((v - mn) * 255 DIV gspan) * gspan DIV 255))), " +
+          "0L, (a, x) -> greatest(a, x))"))
+      .select("vec_id", "mn", "mx", "code_sum", "max_err_milli")
+      .orderBy("vec_id")
+
+  /**
    * Semantic decontamination — the embedding-space sibling of the n-gram
    * [[Curation.decontaminate]] pass (SemDeDup-style screening): corpus
    * vectors whose cosine against ANY held-out benchmark vector clears the

@@ -29,6 +29,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(pairs === Seq(Seq(1L, 2L, Dedup.NumBands.toLong)))
   }
 
+  test("SQ8 quantize stats: one-step error bound, constant-vector edge") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val st = graft.operators.Similarity.quantizeStats(emb).collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      val (mn, mx, err) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      val span = math.max(mx - mn, 1L)
+      // floor quantization drops at most one 255th-step per component
+      assert(err <= span / 255 + 1, s"vec ${r.get(0)}: err $err span $span")
+    }
+    // constant vector: span clamps to 1, codes 0, exact reconstruction
+    import spark.implicits._
+    val const = Seq((1L, "x", Array.fill(8)(0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val c = graft.operators.Similarity.quantizeStats(const).head
+    assert(c.getLong(1) === c.getLong(2))
+    assert(c.getLong(3) === 0L && c.getLong(4) === 0L)
+  }
+
   test("incremental dedup: corpus hit beats in-batch hit beats NEW") {
     val corpus = docs(
       10L -> "the quick brown fox jumps over the lazy dog",
