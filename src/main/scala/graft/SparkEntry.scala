@@ -416,6 +416,12 @@ object SparkEntry {
       CommitLog.snapshotDiffFromCatalog(s, T.objects(s, d), d)),
     "q_list_snapshots" -> ((s, d) =>
       CommitLog.snapshotInfoFromWarehouse(s, T.objects(s, d), d)),
+    // CreateSnapshot ladder: name rules, link resolution to the SOURCE
+    // bucket, owner/admin gate, chain collision
+    "q_snapshot_create" -> ((s, d) =>
+      CommitLog.snapshotCreateDecisions(T.snapshotCreateRequests(s, d),
+        T.buckets(s, d), T.bucketLinks(s, d), T.volumes(s, d),
+        T.snapshotCatalog(s, d))),
     // Snapshot space reclamation (ReclaimableKeyFilter semantics): decide
     // every buffered deleted key through the chain; exclusive-size rollup
     "q_snapshot_reclaim" -> ((s, d) =>
@@ -2491,6 +2497,64 @@ object SparkEntry {
         |                 GROUP BY 1) c ON r.owner = c.owner)))
         |ORDER BY req_id""".stripMargin,
       O.objects, O.buckets, O.volumes),
+
+    // CreateSnapshot ladder: hardcoded link-resolution table (the static
+    // link fixture), snapshot chain s1/s2 on the commit-log bucket
+    "q_snapshot_create" -> O.withCtes(
+      """SELECT s.req_id, s.snapshot_name, s.rv AS resolved_volume,
+        |  s.rb AS resolved_bucket,
+        |  CASE WHEN NOT (length(s.snapshot_name) BETWEEN 3 AND 63
+        |      AND regexp_matches(s.snapshot_name, '^[a-z0-9.-]+$')
+        |      AND instr(s.snapshot_name, '..') = 0
+        |      AND instr(s.snapshot_name, '-.') = 0
+        |      AND instr(s.snapshot_name, '.-') = 0
+        |      AND NOT regexp_matches(s.snapshot_name, '^[0-9.]+$')
+        |      AND substr(s.snapshot_name, 1, 1) NOT IN ('.', '-')
+        |      AND substr(s.snapshot_name, length(s.snapshot_name), 1)
+        |        NOT IN ('.', '-'))
+        |      THEN 'INVALID_SNAPSHOT_NAME'
+        |    WHEN s.status = 'CYCLE' THEN 'LINK_LOOP'
+        |    WHEN s.status = 'DANGLING' OR b.volume IS NULL
+        |      THEN 'BUCKET_NOT_FOUND'
+        |    WHEN s.principal <> v.owner AND s.principal <> 'om-admin'
+        |      THEN 'PERMISSION_DENIED'
+        |    WHEN sn.name IS NOT NULL THEN 'FILE_ALREADY_EXISTS'
+        |    ELSE 'CREATED' END AS decision
+        |FROM staged s
+        |LEFT JOIN buckets b ON s.rv = b.volume AND s.rb = b.bucket
+        |LEFT JOIN volumes v ON s.rv = v.volume
+        |LEFT JOIN snaps sn ON s.rv = sn.volume AND s.rb = sn.bucket
+        |  AND s.snapshot_name = sn.name
+        |ORDER BY s.req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """linkres(volume, bucket, rv0, rb0, status) AS (VALUES
+        |  ('vol1', 'link-a', 'vol0', 'bucket0', 'OK'),
+        |  ('vol2', 'link-b', 'vol0', 'bucket0', 'OK'),
+        |  ('vol3', 'link-broken', 'vol0', 'no-such-bucket', 'DANGLING'),
+        |  ('vol0', 'link-cycle1', 'vol0', 'link-cycle1', 'CYCLE'),
+        |  ('vol0', 'link-cycle2', 'vol0', 'link-cycle2', 'CYCLE'))""".stripMargin,
+      """snaps(volume, bucket, name) AS (VALUES
+        |  ('vol0', 'bucket0', 's1'), ('vol0', 'bucket0', 's2'),
+        |  ('vol2', 'bucket5', 'snap-golden'))""".stripMargin,
+      """reqs(req_id, volume, bucket, snapshot_name, principal) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 'snap-new', 'admin0'),
+        |  (2, 'vol0', 'bucket0', 's1', 'admin0'),
+        |  (3, 'vol1', 'link-a', 'snap-via-link', 'admin0'),
+        |  (4, 'vol1', 'link-a', 's2', 'admin0'),
+        |  (5, 'vol3', 'link-broken', 'x-snap', 'admin0'),
+        |  (6, 'vol0', 'link-cycle1', 'y-snap', 'admin0'),
+        |  (7, 'vol0', 'bucket0', 'Bad..Name', 'admin0'),
+        |  (8, 'vol0', 'bucket0', 'snap-two', 'clerk1'),
+        |  (9, 'vol2', 'bucket5', 'snap-three', 'admin2'),
+        |  (10, 'vol2', 'nobucket', 'snap-four', 'admin2'),
+        |  (11, 'vol0', 'bucket0', 'snap-five', 'om-admin'),
+        |  (12, 'vol2', 'bucket5', 'snap-golden', 'admin2'))""".stripMargin,
+      """staged AS (
+        |  SELECT r.req_id, r.snapshot_name, r.principal,
+        |    coalesce(l.rv0, r.volume) AS rv,
+        |    coalesce(l.rb0, r.bucket) AS rb, l.status
+        |  FROM reqs r LEFT JOIN linkres l
+        |    ON r.volume = l.volume AND r.bucket = l.bucket)""".stripMargin),
 
     // SetBucketProperty quota ladder: same staged CASE over broadcastable
     // catalog rollups; -2 = absent field, -1 = QUOTA_RESET

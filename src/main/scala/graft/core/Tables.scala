@@ -511,6 +511,39 @@ object Tables {
       .toDF("volume", "bucket", "new_quota_bytes", "new_quota_ns"))
   }
 
+  /** snapshot_catalog: the live snapshot chain (CommitLog.snapshotChain
+    * fold) anchored on the commit-log bucket — the existence probe for
+    * snapshot-admin requests. */
+  def snapshotCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    (graft.operators.CommitLog.snapshotChain
+      .map { case (n, _) => ("vol0", "bucket0", n) } :+
+      (("vol2", "bucket5", "snap-golden")))
+      .toDF("volume", "bucket", "name")
+  }
+
+  /** snapshot_create_requests: every OMSnapshotCreateRequest branch —
+    * fresh name, duplicate, create THROUGH a link (landing on the source
+    * bucket, incl. a link+duplicate combo), dangling link, link loop,
+    * invalid name, non-owner principal, admin override, unknown bucket. */
+  def snapshotCreateRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "snap-new", "admin0"),
+      (2L, "vol0", "bucket0", "s1", "admin0"),
+      (3L, "vol1", "link-a", "snap-via-link", "admin0"),
+      (4L, "vol1", "link-a", "s2", "admin0"),
+      (5L, "vol3", "link-broken", "x-snap", "admin0"),
+      (6L, "vol0", "link-cycle1", "y-snap", "admin0"),
+      (7L, "vol0", "bucket0", "Bad..Name", "admin0"),
+      (8L, "vol0", "bucket0", "snap-two", "clerk1"),
+      (9L, "vol2", "bucket5", "snap-three", "admin2"),
+      (10L, "vol2", "nobucket", "snap-four", "admin2"),
+      (11L, "vol0", "bucket0", "snap-five", "om-admin"),
+      (12L, "vol2", "bucket5", "snap-golden", "admin2"))
+      .toDF("req_id", "volume", "bucket", "snapshot_name", "principal")
+  }
+
   /** CreateVolume request batch — every OMVolumeCreateRequest branch:
     * invalid names (uppercase/short/IPv4), a POSIX underscore name that is
     * LEGAL for volumes (strict=false), catalog + in-batch collisions, and

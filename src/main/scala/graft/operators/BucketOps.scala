@@ -49,8 +49,9 @@ import org.apache.spark.sql.functions._
 object BucketOps {
 
   /** Strict-S3 resource-name validity (HddsClientUtils.verifyResourceName
-    * with isStrictS3) as one boolean column. */
-  private def nameValid(c: org.apache.spark.sql.Column) =
+    * with isStrictS3) as one boolean column — shared with the snapshot
+    * ladder (validateSnapshotName routes through the same strict rules). */
+  private[operators] def nameValid(c: org.apache.spark.sql.Column) =
     length(c).between(3, 63) &&
       c.rlike("^[a-z0-9.-]+$") &&
       !c.contains("..") && !c.contains("-.") && !c.contains(".-") &&

@@ -246,6 +246,69 @@ object CommitLog {
       .orderBy("volume", "bucket", "key")
   }
 
+  /**
+   * CreateSnapshot validation ladder (OMSnapshotCreateRequest): snapshot
+   * name through the strict resource-name rules
+   * (OMSnapshotCreateRequest.java:107 → OmUtils.validateSnapshotName:744 →
+   * verifyResourceName strict) → bucket-link resolution BEFORE any other
+   * check (the snapshot lands on the SOURCE bucket,
+   * OMSnapshotCreateRequest.java:110-112 resolveBucketLink; a dangling
+   * chain is a missing bucket, a loop refuses outright) → owner-or-admin
+   * permission (OMSnapshotCreateRequest.java:116-123; owner approximated
+   * by the resolved VOLUME owner — buckets carry no separate owner in
+   * this catalog) → name collision against the live snapshot chain on the
+   * RESOLVED bucket (OMSnapshotCreateRequest.java:166-169,
+   * FILE_ALREADY_EXISTS) → CREATED, reporting the resolved target.
+   *
+   * Scale shape: links/buckets/volumes/snapshot-chain probes are all
+   * control-plane catalogs broadcast into the request batch.
+   */
+  def snapshotCreateDecisions(requests: DataFrame, buckets: DataFrame,
+                              links: DataFrame, volumes: DataFrame,
+                              snapshots: DataFrame,
+                              admins: Seq[String] = Seq("om-admin"))
+      : DataFrame = {
+    val resolved = Links.resolveBucketLinks(links, buckets)
+      .select(col("volume"), col("bucket"),
+        col("resolved_volume").as("rv0"),
+        col("resolved_bucket").as("rb0"),
+        col("status").as("link_status"))
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumnRenamed("volume", "rv").withColumnRenamed("bucket", "rb")
+      .withColumn("bkt_exists", lit(true))
+    val ownerProbe = volumes.select(col("volume").as("rv"),
+      col("owner").as("vol_owner"))
+    val snapProbe = snapshots.select(col("volume").as("rv"),
+      col("bucket").as("rb"), col("name").as("snapshot_name"),
+      lit(true).as("snap_exists"))
+    requests
+      .join(broadcast(resolved), Seq("volume", "bucket"), "left")
+      // a loop never resolves — report the REQUESTED pair, not whichever
+      // cycle member the bounded chase happened to stop on
+      .withColumn("rv", when(col("link_status") === "CYCLE", col("volume"))
+        .otherwise(coalesce(col("rv0"), col("volume"))))
+      .withColumn("rb", when(col("link_status") === "CYCLE", col("bucket"))
+        .otherwise(coalesce(col("rb0"), col("bucket"))))
+      .join(broadcast(bktProbe), Seq("rv", "rb"), "left")
+      .join(broadcast(ownerProbe), Seq("rv"), "left")
+      .join(broadcast(snapProbe), Seq("rv", "rb", "snapshot_name"), "left")
+      .withColumn("decision",
+        when(!BucketOps.nameValid(col("snapshot_name")),
+          lit("INVALID_SNAPSHOT_NAME"))
+          .when(col("link_status") === "CYCLE", lit("LINK_LOOP"))
+          .when(col("link_status") === "DANGLING" ||
+            col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("principal") =!= col("vol_owner") &&
+            !col("principal").isin(admins: _*), lit("PERMISSION_DENIED"))
+          .when(coalesce(col("snap_exists"), lit(false)),
+            lit("FILE_ALREADY_EXISTS"))
+          .otherwise(lit("CREATED")))
+      .select(col("req_id"), col("snapshot_name"),
+        col("rv").as("resolved_volume"), col("rb").as("resolved_bucket"),
+        col("decision"))
+      .orderBy("req_id")
+  }
+
   /** deletedTable view (ref OMDBDefinition deletedTable, RepeatedOmKeyInfo:
     * a key can accumulate SEVERAL deleted versions): every key with DELETE
     * events in the log, with version count + reclaimable bytes. */

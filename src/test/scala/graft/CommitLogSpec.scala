@@ -81,6 +81,33 @@ class CommitLogSpec extends SparkSpecBase {
     assert(got(("x", "y")) === (("RENAMED", true, "OK")))
   }
 
+  test("snapshotCreateDecisions: link resolution, ownership, collisions") {
+    import spark.implicits._
+    val sfd = "/root/testdata/sf0.001"
+    import graft.core.{Tables => T}
+    val got = graft.operators.CommitLog.snapshotCreateDecisions(
+      T.snapshotCreateRequests(spark, sfd), T.buckets(spark, sfd),
+      T.bucketLinks(spark, sfd), T.volumes(spark, sfd),
+      T.snapshotCatalog(spark, sfd))
+      .as[(Long, String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L)._3 === "CREATED")
+    // the legacy chain names (s1/s2) predate strict validation: a
+    // re-create request fails the NAME rung before the collision check
+    assert(got(2L)._3 === "INVALID_SNAPSHOT_NAME")
+    // the link request lands on the SOURCE bucket
+    assert(got(3L) === (("vol0", "bucket0", "CREATED")))
+    assert(got(4L)._3 === "INVALID_SNAPSHOT_NAME")
+    assert(got(5L)._3 === "BUCKET_NOT_FOUND")
+    assert(got(6L) === (("vol0", "link-cycle1", "LINK_LOOP")))
+    assert(got(7L)._3 === "INVALID_SNAPSHOT_NAME")
+    assert(got(8L)._3 === "PERMISSION_DENIED")
+    assert(got(9L)._3 === "CREATED")
+    assert(got(10L)._3 === "BUCKET_NOT_FOUND")
+    assert(got(11L)._3 === "CREATED") // admin override
+    assert(got(12L)._3 === "FILE_ALREADY_EXISTS")
+  }
+
   test("keyDeleteDecisions: every ladder branch incl. the empty dir") {
     import spark.implicits._
     val objects = Seq(("v1", "b1", "a/f1.dat", 1L),
