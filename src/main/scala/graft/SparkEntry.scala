@@ -447,6 +447,12 @@ object SparkEntry {
     // against current key state — request batches broadcast into the scan
     "q_copy_object" -> ((s, d) =>
       S3Ops.copyObjects(T.objects(s, d), T.copyRequests(s, d))),
+    // PutObjectTagging: gateway tag-set validation (first failing tag in
+    // list order) ahead of the OM bucket/key probes — branch order per
+    // EndpointBase.validateAndGetTagging + S3PutObjectTaggingRequest.
+    "q_put_object_tagging" -> ((s, d) =>
+      S3Ops.putObjectTagging(T.tagRequests(s, d), T.tagEntries(s, d),
+        T.buckets(s, d), T.objects(s, d))),
     "q_multi_delete" -> ((s, d) =>
       S3Ops.multiDelete(T.objects(s, d), T.deleteRequests(s, d),
         T.volumes(s, d))),
@@ -2040,6 +2046,68 @@ object SparkEntry {
         |            AND r.src_key = o.key))
         |  WHERE rn = 1
         |)""".stripMargin),
+
+    // PutObjectTagging: per-tag ladder in list order (first failing tag
+    // decides), then the count limit, then OM bucket/key existence —
+    // mirrors EndpointBase.validateAndGetTagging + the OM request.
+    "q_put_object_tagging" -> O.withCtes(
+      """SELECT r.req_id, r.volume, r.bucket, r.key,
+        |  coalesce(c.tag_count, 0) AS tag_count,
+        |  coalesce(f.first_tag_err,
+        |    CASE WHEN c.tag_count > 10 THEN 'TOO_MANY_TAGS' END,
+        |    CASE WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND' END,
+        |    CASE WHEN k.key IS NULL THEN 'KEY_NOT_FOUND' END,
+        |    'APPLIED') AS decision
+        |FROM tag_reqs r
+        |LEFT JOIN (SELECT req_id, count(*) AS tag_count
+        |           FROM tag_entries GROUP BY 1) c USING (req_id)
+        |LEFT JOIN (SELECT req_id, arg_min(eff_err, pos) AS first_tag_err
+        |           FROM per_tag WHERE eff_err IS NOT NULL GROUP BY 1) f
+        |  USING (req_id)
+        |LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |LEFT JOIN (SELECT DISTINCT volume, bucket, key FROM objects) k
+        |  ON r.volume = k.volume AND r.bucket = k.bucket AND r.key = k.key
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets,
+      """tag_reqs AS (
+        |  SELECT object_id AS req_id,
+        |    (object_id // 101) % 10 AS cls,
+        |    volume,
+        |    CASE WHEN (object_id // 101) % 13 = 3 THEN 'no-such-bucket'
+        |         ELSE bucket END AS bucket,
+        |    CASE WHEN (object_id // 101) % 7 = 2 THEN key || '.nope'
+        |         ELSE key END AS key
+        |  FROM objects WHERE object_id % 101 = 0)""".stripMargin,
+      """tag_entries AS (
+        |  SELECT req_id, pos,
+        |    CASE WHEN cls = 1 AND pos = 2 THEN ''
+        |         WHEN cls = 2 AND pos = 1 THEN 'aws:source'
+        |         WHEN cls = 3 AND pos = 2 THEN repeat('k', 129)
+        |         WHEN cls = 5 AND pos = 2 THEN 'bad#key'
+        |         WHEN cls = 7 AND pos = 3 THEN 'env1'
+        |         ELSE 'env' || pos END AS tag_key,
+        |    CASE WHEN cls = 4 AND pos = 3 THEN repeat('v', 257)
+        |         WHEN cls = 6 AND pos = 2 THEN 'bad!value'
+        |         WHEN cls = 9 AND pos = 2 THEN NULL
+        |         ELSE 'v' || pos END AS tag_value
+        |  FROM tag_reqs CROSS JOIN range(1, 12) t(pos)
+        |  WHERE pos <= CASE WHEN cls = 8 THEN 11 ELSE 3 END)""".stripMargin,
+      """per_tag AS (
+        |  SELECT req_id, pos,
+        |    coalesce(
+        |      CASE WHEN tag_key = '' THEN 'EMPTY_KEY'
+        |        WHEN tag_key LIKE 'aws:%' THEN 'AWS_PREFIX'
+        |        WHEN tag_value IS NULL THEN 'VALUE_MISSING'
+        |        WHEN length(tag_key) > 128 THEN 'KEY_TOO_LONG'
+        |        WHEN length(tag_value) > 256 THEN 'VALUE_TOO_LONG'
+        |        WHEN NOT regexp_matches(tag_key, '^[a-zA-Z0-9 _.:/=+-]*$')
+        |          THEN 'KEY_PATTERN'
+        |        WHEN NOT regexp_matches(tag_value, '^[a-zA-Z0-9 _.:/=+-]*$')
+        |          THEN 'VALUE_PATTERN' END,
+        |      CASE WHEN row_number() OVER (
+        |          PARTITION BY req_id, tag_key ORDER BY pos) > 1
+        |        THEN 'DUPLICATE_KEY' END) AS eff_err
+        |  FROM tag_entries)""".stripMargin),
 
     // MultiDelete result table: missing keys still count as deleted
     // (idempotent), wrong expected-bucket-owner -> AccessDenied.

@@ -1155,6 +1155,57 @@ object Tables {
     }
 
   /**
+   * tag_requests: a PutObjectTagging request batch sampled from the key
+   * catalog (every object with object_id % 101 == 0), with orthogonal
+   * probe dimensions so gateway-validation errors, OM-existence errors
+   * and their precedence are all live:
+   *   - cls = (object_id DIV 101) % 10 picks the tag-set synthesis class
+   *     (see [[tagEntries]]),
+   *   - (object_id DIV 101) % 7 == 2 rewrites the key to a missing one,
+   *   - (object_id DIV 101) % 13 == 3 rewrites the bucket to a missing
+   *     one (gateway tag errors must still win — the validation runs
+   *     before any OM lookup, EndpointBase.validateAndGetTagging).
+   */
+  def tagRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 101 === 0)
+      .select(col("object_id").as("req_id"),
+        expr("object_id DIV 101").as("probe"),
+        col("volume"), col("bucket"), col("key"))
+      .select(col("req_id"),
+        (col("probe") % 10).as("cls"),
+        col("volume"),
+        when(col("probe") % 13 === 3, lit("no-such-bucket"))
+          .otherwise(col("bucket")).as("bucket"),
+        when(col("probe") % 7 === 2, concat(col("key"), lit(".nope")))
+          .otherwise(col("key")).as("key"))
+
+  /** tag_entries: the ordered tag list per request — one row per (req_id,
+    * pos). Class map (cls from [[tagRequests]]): 0 valid; 1 empty key at
+    * pos 2; 2 `aws:` key prefix at pos 1; 3 129-char key; 4 257-char
+    * value; 5 key pattern violation; 6 value pattern violation; 7
+    * duplicate key at pos 3; 8 eleven tags (count limit); 9 NULL value. */
+  def tagEntries(spark: SparkSession, dir: String): DataFrame =
+    tagRequests(spark, dir)
+      .select(col("req_id"), col("cls"),
+        explode(sequence(lit(1),
+          when(col("cls") === 8, lit(11)).otherwise(lit(3)))).as("pos"))
+      .select(col("req_id"), col("pos"),
+        when(col("cls") === 1 && col("pos") === 2, lit(""))
+          .when(col("cls") === 2 && col("pos") === 1, lit("aws:source"))
+          .when(col("cls") === 3 && col("pos") === 2,
+            lit("k" * 129))
+          .when(col("cls") === 5 && col("pos") === 2, lit("bad#key"))
+          .when(col("cls") === 7 && col("pos") === 3, lit("env1"))
+          .otherwise(concat(lit("env"), col("pos"))).as("tag_key"),
+        when(col("cls") === 4 && col("pos") === 3,
+          lit("v" * 257))
+          .when(col("cls") === 6 && col("pos") === 2, lit("bad!value"))
+          .when(col("cls") === 9 && col("pos") === 2,
+            lit(null).cast("string"))
+          .otherwise(concat(lit("v"), col("pos"))).as("tag_value"))
+
+  /**
    * media_assets: multimodal rows synthesized from documents — an opaque
    * binary payload (64 bytes derived from the text digest; real decode is
    * stubbed, see [[graft.operators.Multimodal]]) plus typed metadata, the

@@ -129,4 +129,80 @@ object S3Ops {
           .otherwise(lit("MISMATCH")))
       .select("access_id", "verdict")
       .orderBy("access_id", "verdict")
+
+  /** S3 tag charset (ASCII model of the reference's
+    * `^[\p{L}\p{Z}\p{N}_.:/=+\-]*$`, S3Consts.java:101 — the fixture is
+    * ASCII-only so the Unicode general categories reduce to this). */
+  private val TagPattern = "^[a-zA-Z0-9 _.:/=+-]*$"
+
+  /**
+   * PutObjectTagging — the gateway's tag-set validation in list order
+   * followed by the OM apply, as one decision table.
+   *
+   * Per-tag ladder (EndpointBase.validateAndGetTagging, EndpointBase.java:
+   * 469-540, evaluated per tag IN LIST ORDER — the first failing tag
+   * decides the request):
+   *   1. empty key            → EMPTY_KEY
+   *   2. key starts `aws:`    → AWS_PREFIX       (S3Consts.AWS_TAG_PREFIX)
+   *   3. value missing (NULL) → VALUE_MISSING
+   *   4. key length > 128     → KEY_TOO_LONG     (TAG_KEY_LENGTH_LIMIT)
+   *   5. value length > 256   → VALUE_TOO_LONG   (TAG_VALUE_LENGTH_LIMIT)
+   *   6. key pattern          → KEY_PATTERN      (TAG_REGEX_PATTERN)
+   *   7. value pattern        → VALUE_PATTERN
+   *   8. key seen earlier     → DUPLICATE_KEY    (tags.put previous != null)
+   * then the set check `size > 10` → TOO_MANY_TAGS (TAG_NUM_LIMIT), and
+   * only then the OM request (S3PutObjectTaggingRequest.java:120-135):
+   * bucket lookup → BUCKET_NOT_FOUND, key lookup → KEY_NOT_FOUND, else
+   * APPLIED. Branch-order probes come free from the fixture's orthogonal
+   * error dimensions (a bad tag on a missing key must report the tag).
+   * Link-bucket resolution (preExecute resolveBucket) is covered by
+   * q_link_resolve; requests here arrive source-resolved.
+   *
+   * Scale shape: entries/requests are protocol-sized; the only corpus
+   * touch is the key-existence probe, done by broadcasting the request
+   * keys INTO the objects scan (left-semi) so the corpus never shuffles.
+   * The duplicate-key window partitions by (req_id, tag_key) over
+   * request-sized data.
+   */
+  def putObjectTagging(requests: DataFrame, entries: DataFrame,
+                       buckets: DataFrame, objects: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupW = Window.partitionBy("req_id", "tag_key").orderBy("pos")
+    val perTag = entries
+      .withColumn("tag_err",
+        when(col("tag_key") === "", lit("EMPTY_KEY"))
+          .when(col("tag_key").startsWith("aws:"), lit("AWS_PREFIX"))
+          .when(col("tag_value").isNull, lit("VALUE_MISSING"))
+          .when(length(col("tag_key")) > 128, lit("KEY_TOO_LONG"))
+          .when(length(col("tag_value")) > 256, lit("VALUE_TOO_LONG"))
+          .when(!col("tag_key").rlike(TagPattern), lit("KEY_PATTERN"))
+          .when(!col("tag_value").rlike(TagPattern), lit("VALUE_PATTERN")))
+      .withColumn("eff_err", coalesce(col("tag_err"),
+        when(row_number().over(dupW) > 1, lit("DUPLICATE_KEY"))))
+    val firstErr = perTag.where(col("eff_err").isNotNull)
+      .groupBy("req_id")
+      .agg(min_by(col("eff_err"), col("pos")).as("first_tag_err"))
+    val counts = entries.groupBy("req_id")
+      .agg(count(lit(1)).as("tag_count"))
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists"))
+    val keyProbe = objects
+      .join(broadcast(requests.select("volume", "bucket", "key")),
+        Seq("volume", "bucket", "key"), "left_semi")
+      .select(col("volume"), col("bucket"), col("key"),
+        lit(true).as("key_exists")).distinct()
+    requests
+      .join(broadcast(counts), Seq("req_id"), "left")
+      .join(broadcast(firstErr), Seq("req_id"), "left")
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(keyProbe), Seq("volume", "bucket", "key"), "left")
+      .select(col("req_id"), col("volume"), col("bucket"), col("key"),
+        coalesce(col("tag_count"), lit(0L)).as("tag_count"),
+        coalesce(col("first_tag_err"),
+          when(col("tag_count") > 10, lit("TOO_MANY_TAGS")),
+          when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND")),
+          when(col("key_exists").isNull, lit("KEY_NOT_FOUND")),
+          lit("APPLIED")).as("decision"))
+      .orderBy("req_id")
+  }
 }
