@@ -453,6 +453,12 @@ object SparkEntry {
     "q_put_object_tagging" -> ((s, d) =>
       S3Ops.putObjectTagging(T.tagRequests(s, d), T.tagEntries(s, d),
         T.buckets(s, d), T.objects(s, d))),
+    // PutBucketLifecycleConfiguration: the full OmLifecycleConfiguration/
+    // OmLCRule/OmLCExpiration/OmLCFilter validation ladder in reference
+    // branch order, first-failing rule decides.
+    "q_lifecycle_set" -> ((s, d) =>
+      Lifecycle.lifecycleSetDecisions(T.lcSetRequests(s, d),
+        T.lcRuleEntries(s, d), T.buckets(s, d))),
     "q_multi_delete" -> ((s, d) =>
       S3Ops.multiDelete(T.objects(s, d), T.deleteRequests(s, d),
         T.volumes(s, d))),
@@ -2108,6 +2114,177 @@ object SparkEntry {
         |          PARTITION BY req_id, tag_key ORDER BY pos) > 1
         |        THEN 'DUPLICATE_KEY' END) AS eff_err
         |  FROM tag_entries)""".stripMargin),
+
+    // Lifecycle-configuration set ladder; request/rule VALUES mirror
+    // Tables.lcSetRequests/lcRuleEntries exactly (req 19's 1001 rules
+    // come from range()).
+    "q_lifecycle_set" -> O.withCtes(
+      """SELECT q.req_id, q.volume, q.bucket,
+        |  coalesce(
+        |    CASE WHEN NOT (length(q.volume) BETWEEN 3 AND 63
+        |      AND regexp_matches(q.volume, '^[a-z0-9.-]+$')
+        |      AND instr(q.volume, '..') = 0 AND instr(q.volume, '-.') = 0
+        |      AND instr(q.volume, '.-') = 0
+        |      AND NOT regexp_matches(q.volume, '^[0-9.]+$')
+        |      AND substr(q.volume, 1, 1) NOT IN ('.', '-')
+        |      AND substr(q.volume, length(q.volume), 1) NOT IN ('.', '-'))
+        |      THEN 'INVALID_VOLUME_NAME' END,
+        |    CASE WHEN NOT (length(q.bucket) BETWEEN 3 AND 63
+        |      AND regexp_matches(q.bucket, '^[a-z0-9.-]+$')
+        |      AND instr(q.bucket, '..') = 0 AND instr(q.bucket, '-.') = 0
+        |      AND instr(q.bucket, '.-') = 0
+        |      AND NOT regexp_matches(q.bucket, '^[0-9.]+$')
+        |      AND substr(q.bucket, 1, 1) NOT IN ('.', '-')
+        |      AND substr(q.bucket, length(q.bucket), 1) NOT IN ('.', '-'))
+        |      THEN 'INVALID_BUCKET_NAME' END,
+        |    CASE WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND' END,
+        |    CASE WHEN rc.rule_count IS NULL THEN 'NO_RULES' END,
+        |    CASE WHEN rc.rule_count > 1000 THEN 'TOO_MANY_RULES' END,
+        |    CASE WHEN rc.distinct_ids < rc.rule_count
+        |      THEN 'DUPLICATE_RULE_ID' END,
+        |    fe.first_rule_err, 'SET') AS decision
+        |FROM lc_reqs q
+        |LEFT JOIN buckets b ON q.volume = b.volume AND q.bucket = b.bucket
+        |LEFT JOIN (SELECT req_id, count(*) AS rule_count,
+        |             count(DISTINCT rule_id) AS distinct_ids
+        |           FROM lcerr GROUP BY 1) rc USING (req_id)
+        |LEFT JOIN (SELECT req_id, arg_min(rule_err, rule_pos)
+        |             AS first_rule_err
+        |           FROM lcerr WHERE rule_err IS NOT NULL GROUP BY 1) fe
+        |  USING (req_id)
+        |ORDER BY q.req_id""".stripMargin,
+      O.objects, O.buckets,
+      """lc_reqs(req_id, volume, bucket) AS (VALUES
+        |  (1, 'vol0', 'bucket0'), (2, 'vol0', 'bucket0'),
+        |  (3, 'vol0', 'bucket0'), (4, 'vol0', 'bucket0'),
+        |  (5, 'vol0', 'bucket1'), (6, 'vol0', 'bucket0'),
+        |  (7, 'vol0', 'bucket0'), (8, 'vol0', 'bucket0'),
+        |  (9, 'vol0', 'bucket0'), (10, 'vol0', 'bucket1'),
+        |  (11, 'vol0', 'bucket0'), (12, 'vol0', 'bucket0'),
+        |  (13, 'vol0', 'bucket0'), (14, 'vol0', 'bucket0'),
+        |  (15, 'vol0', 'bucket0'), (16, 'vol0', 'bucket0'),
+        |  (17, 'vol0', 'bucket0'), (18, 'vol0', 'bucket0'),
+        |  (19, 'vol0', 'bucket0'), (20, 'vol0', 'bucket0'),
+        |  (21, 'vol0', 'no-such-bucket'), (22, 'vol0', 'BAD..Name'),
+        |  (23, 'bad_vol!', 'bucket0'), (24, 'vol0', 'bucket1'),
+        |  (25, 'vol0', 'no-such-bucket'), (26, 'vol0', 'bucket0'),
+        |  (27, 'bad_vol!', 'BAD..Name'), (28, 'vol0', 'bucket0'),
+        |  (29, 'vol0', 'bucket0'), (30, 'vol0', 'bucket0'),
+        |  (31, 'vol0', 'bucket1'), (32, 'vol0', 'bucket1'))""".stripMargin,
+      """lc_rules(req_id, rule_pos, rule_id, prefix, filter_prefix,
+        |  filter_tag_key, filter_tag_value, filter_has_and, n_actions,
+        |  n_expirations, exp_days, exp_date_ms) AS (
+        |  SELECT * FROM (VALUES
+        |  (1, 1, 'ok-1', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (2, 1, 'ok-1', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (2, 2, repeat('x', 256), 'warehouse/', NULL, NULL, NULL, FALSE,
+        |    1, 1, 30, NULL),
+        |  (3, 1, 'r3', 'warehouse/', NULL, NULL, NULL, FALSE, 0, 0,
+        |    NULL, NULL),
+        |  (4, 1, 'r4', 'warehouse/', NULL, NULL, NULL, FALSE, 2, 2,
+        |    30, NULL),
+        |  (5, 1, 'r5', 'warehouse/A', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (6, 1, 'r6', 'warehouse/', 'warehouse/A/', NULL, NULL, FALSE,
+        |    1, 1, 30, NULL),
+        |  (7, 1, 'r7', NULL, NULL, NULL, NULL, FALSE, 1, 1, 30, NULL),
+        |  (8, 1, 'r8', repeat('p', 1025), NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (9, 1, 'r9', '.Trash/u1/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (10, 1, 'r10', 'a//b/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (11, 1, 'r11', NULL, 'warehouse/A/', 'env', 'prod', FALSE, 1, 1,
+        |    30, NULL),
+        |  (12, 1, 'r12', NULL, NULL, repeat('k', 129), 'v', FALSE, 1, 1,
+        |    30, NULL),
+        |  (13, 1, 'r13', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    0, NULL),
+        |  (14, 1, 'r14', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, 798681600000),
+        |  (15, 1, 'r15', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    NULL, NULL),
+        |  (16, 1, 'r16', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    NULL, 790045200000),
+        |  (17, 1, 'r17', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    NULL, 789177600000),
+        |  (18, 1, 'dup', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (18, 2, 'dup', 'warehouse/B/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (21, 1, 'r21', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (22, 1, 'r22', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (23, 1, 'r23', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (24, 1, 'r24', 'warehouse/A/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    NULL, 798681600000),
+        |  (25, 1, 'r25', 'warehouse/', NULL, NULL, NULL, FALSE, 0, 0,
+        |    NULL, NULL),
+        |  (26, 1, repeat('y', 256), 'warehouse/', NULL, NULL, NULL, FALSE,
+        |    0, 0, NULL, NULL),
+        |  (27, 1, 'r27', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (28, 1, 'dup', 'warehouse/', NULL, NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (28, 2, 'dup', 'warehouse/', NULL, NULL, NULL, FALSE, 0, 0,
+        |    NULL, NULL),
+        |  (29, 1, 'r29', NULL, NULL, 'env', 'prod', TRUE, 1, 1, 30, NULL),
+        |  (30, 1, 'r30', NULL, NULL, 'env', 'prod', FALSE, 1, 1, 30, NULL),
+        |  (31, 1, 'r31', NULL, 'warehouse/B/', NULL, NULL, FALSE, 1, 1,
+        |    30, NULL),
+        |  (32, 1, 'r32', NULL, 'warehouse/B', NULL, NULL, FALSE, 1, 1,
+        |    30, NULL))
+        |  UNION ALL
+        |  SELECT 19, CAST(pos AS INTEGER), 'r' || pos, 'warehouse/', NULL,
+        |    NULL, NULL, FALSE, 1, 1, 30, NULL
+        |  FROM range(1, 1002) t(pos))""".stripMargin,
+      """lcerr AS (
+        |  SELECT r.req_id, r.rule_pos, r.rule_id,
+        |    CASE WHEN length(r.rule_id) > 255 THEN 'ID_TOO_LONG'
+        |      WHEN r.n_actions = 0 THEN 'NO_ACTION'
+        |      WHEN r.n_expirations >= 1 AND
+        |        ((r.exp_days IS NULL) = (r.exp_date_ms IS NULL))
+        |        THEN 'EXP_DAYS_XOR_DATE'
+        |      WHEN r.n_expirations >= 1 AND r.exp_days IS NOT NULL
+        |        AND r.exp_days <= 0 THEN 'EXP_DAYS_NONPOSITIVE'
+        |      WHEN r.n_expirations >= 1 AND r.exp_date_ms IS NOT NULL
+        |        AND r.exp_date_ms % 86400000 <> 0
+        |        THEN 'EXP_DATE_NOT_MIDNIGHT'
+        |      WHEN r.n_expirations >= 1 AND r.exp_date_ms IS NOT NULL
+        |        AND r.exp_date_ms < 790041600000 THEN 'EXP_DATE_PAST'
+        |      WHEN b.layout = 'FSO'
+        |        AND coalesce(r.prefix, r.filter_prefix) IS NOT NULL
+        |        AND coalesce(r.prefix, r.filter_prefix) <> ''
+        |        AND NOT ends_with(coalesce(r.prefix, r.filter_prefix), '/')
+        |        THEN 'FSO_PREFIX_NO_SLASH'
+        |      WHEN r.n_expirations > 1 THEN 'MULTIPLE_EXPIRATION'
+        |      WHEN r.prefix IS NOT NULL AND (r.filter_prefix IS NOT NULL
+        |        OR r.filter_tag_key IS NOT NULL OR r.filter_has_and)
+        |        THEN 'PREFIX_AND_FILTER'
+        |      WHEN r.prefix IS NULL AND NOT (r.filter_prefix IS NOT NULL
+        |        OR r.filter_tag_key IS NOT NULL OR r.filter_has_and)
+        |        THEN 'NO_PREFIX_OR_FILTER'
+        |      WHEN length(r.prefix) > 1024 THEN 'PREFIX_TOO_LONG'
+        |      WHEN r.prefix = '.Trash' OR starts_with(r.prefix, '.Trash/')
+        |        THEN 'TRASH_PREFIX'
+        |      WHEN b.layout = 'FSO' AND contains(r.prefix, '//')
+        |        THEN 'FSO_PREFIX_INVALID'
+        |      WHEN (CASE WHEN r.filter_prefix IS NOT NULL THEN 1 ELSE 0 END
+        |          + CASE WHEN r.filter_tag_key IS NOT NULL THEN 1 ELSE 0 END
+        |          + CASE WHEN r.filter_has_and THEN 1 ELSE 0 END) > 1
+        |        THEN 'FILTER_MULTI'
+        |      WHEN r.filter_tag_key IS NOT NULL AND (r.filter_tag_key = ''
+        |        OR length(r.filter_tag_key) > 128
+        |        OR length(r.filter_tag_value) > 256)
+        |        THEN 'FILTER_TAG_INVALID' END AS rule_err
+        |  FROM lc_rules r
+        |  JOIN lc_reqs q USING (req_id)
+        |  LEFT JOIN buckets b ON q.volume = b.volume
+        |    AND q.bucket = b.bucket)""".stripMargin),
 
     // MultiDelete result table: missing keys still count as deleted
     // (idempotent), wrong expected-bucket-owner -> AccessDenied.

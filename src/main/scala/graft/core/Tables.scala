@@ -1205,6 +1205,88 @@ object Tables {
             lit(null).cast("string"))
           .otherwise(concat(lit("v"), col("pos"))).as("tag_value"))
 
+  /** lc_set_requests: a PutBucketLifecycleConfiguration batch — name
+    * probes, existence probes, and one request per config-/rule-level
+    * branch of the validation ladder (rules live in [[lcRuleEntries]]). */
+  def lcSetRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ((1L to 20L).map(i => (i, "vol0",
+      if (i == 5 || i == 10) "bucket1" else "bucket0")) ++ Seq(
+      (21L, "vol0", "no-such-bucket"),
+      (22L, "vol0", "BAD..Name"),
+      (23L, "bad_vol!", "bucket0"),
+      (24L, "vol0", "bucket1"),
+      (25L, "vol0", "no-such-bucket"),
+      (26L, "vol0", "bucket0"),
+      (27L, "bad_vol!", "BAD..Name"),
+      (28L, "vol0", "bucket0"),
+      (29L, "vol0", "bucket0"),
+      (30L, "vol0", "bucket0"),
+      (31L, "vol0", "bucket1"),
+      (32L, "vol0", "bucket1")))
+      .toDF("req_id", "volume", "bucket")
+  }
+
+  /** lc_rule_entries: the ordered rule list per lifecycle-set request.
+    * Tuple = (req_id, rule_pos, rule_id, prefix, filter_prefix,
+    * filter_tag_key, filter_tag_value, filter_has_and, n_actions,
+    * n_expirations, exp_days, exp_date_ms). Req 19 carries 1001 generated
+    * rules (the LC_MAX_RULES=1000 cap); req 20 has none (NO_RULES). */
+  def lcRuleEntries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = Option.apply[String] _
+    val L = Option.apply[Long] _
+    val n = Option.empty[String]
+    val nl = Option.empty[Long]
+    val rows: Seq[(Long, Int, String, Option[String], Option[String],
+      Option[String], Option[String], Boolean, Int, Int, Option[Long],
+      Option[Long])] = Seq(
+      (1L, 1, "ok-1", S("warehouse/"), n, n, n, false, 1, 1, L(30L), nl),
+      (2L, 1, "ok-1", S("warehouse/"), n, n, n, false, 1, 1, L(30L), nl),
+      (2L, 2, "x" * 256, S("warehouse/"), n, n, n, false, 1, 1, L(30L), nl),
+      (3L, 1, "r3", S("warehouse/"), n, n, n, false, 0, 0, nl, nl),
+      (4L, 1, "r4", S("warehouse/"), n, n, n, false, 2, 2, L(30L), nl),
+      (5L, 1, "r5", S("warehouse/A"), n, n, n, false, 1, 1, L(30L), nl),
+      (6L, 1, "r6", S("warehouse/"), S("warehouse/A/"), n, n, false, 1, 1,
+        L(30L), nl),
+      (7L, 1, "r7", n, n, n, n, false, 1, 1, L(30L), nl),
+      (8L, 1, "r8", S("p" * 1025), n, n, n, false, 1, 1, L(30L), nl),
+      (9L, 1, "r9", S(".Trash/u1/"), n, n, n, false, 1, 1, L(30L), nl),
+      (10L, 1, "r10", S("a//b/"), n, n, n, false, 1, 1, L(30L), nl),
+      (11L, 1, "r11", n, S("warehouse/A/"), S("env"), S("prod"), false,
+        1, 1, L(30L), nl),
+      (12L, 1, "r12", n, n, S("k" * 129), S("v"), false, 1, 1, L(30L), nl),
+      (13L, 1, "r13", S("warehouse/"), n, n, n, false, 1, 1, L(0L), nl),
+      (14L, 1, "r14", S("warehouse/"), n, n, n, false, 1, 1, L(30L),
+        L(798681600000L)),
+      (15L, 1, "r15", S("warehouse/"), n, n, n, false, 1, 1, nl, nl),
+      (16L, 1, "r16", S("warehouse/"), n, n, n, false, 1, 1, nl,
+        L(790045200000L)),
+      (17L, 1, "r17", S("warehouse/"), n, n, n, false, 1, 1, nl,
+        L(789177600000L)),
+      (18L, 1, "dup", S("warehouse/"), n, n, n, false, 1, 1, L(30L), nl),
+      (18L, 2, "dup", S("warehouse/B/"), n, n, n, false, 1, 1, L(30L), nl),
+      (21L, 1, "r21", S("warehouse/"), n, n, n, false, 1, 1, L(30L), nl),
+      (22L, 1, "r22", S("warehouse/"), n, n, n, false, 1, 1, L(30L), nl),
+      (23L, 1, "r23", S("warehouse/"), n, n, n, false, 1, 1, L(30L), nl),
+      (24L, 1, "r24", S("warehouse/A/"), n, n, n, false, 1, 1, nl,
+        L(798681600000L)),
+      (25L, 1, "r25", S("warehouse/"), n, n, n, false, 0, 0, nl, nl),
+      (26L, 1, "y" * 256, S("warehouse/"), n, n, n, false, 0, 0, nl, nl),
+      (27L, 1, "r27", S("warehouse/"), n, n, n, false, 1, 1, L(30L), nl),
+      (28L, 1, "dup", S("warehouse/"), n, n, n, false, 1, 1, L(30L), nl),
+      (28L, 2, "dup", S("warehouse/"), n, n, n, false, 0, 0, nl, nl),
+      (29L, 1, "r29", n, n, S("env"), S("prod"), true, 1, 1, L(30L), nl),
+      (30L, 1, "r30", n, n, S("env"), S("prod"), false, 1, 1, L(30L), nl),
+      (31L, 1, "r31", n, S("warehouse/B/"), n, n, false, 1, 1, L(30L), nl),
+      (32L, 1, "r32", n, S("warehouse/B"), n, n, false, 1, 1, L(30L), nl)) ++
+      (1 to 1001).map(i => (19L, i, "r" + i, S("warehouse/"), n, n, n,
+        false, 1, 1, L(30L), nl))
+    rows.toDF("req_id", "rule_pos", "rule_id", "prefix", "filter_prefix",
+      "filter_tag_key", "filter_tag_value", "filter_has_and", "n_actions",
+      "n_expirations", "exp_days", "exp_date_ms")
+  }
+
   /**
    * media_assets: multimodal rows synthesized from documents — an opaque
    * binary payload (64 bytes derived from the text digest; real decode is

@@ -497,4 +497,130 @@ object Lifecycle {
       .select(col("key"),
         to_json(struct(col("key"), col("data_size").as("size"))).as("doc"))
       .orderBy("key", "doc")
+
+  /** Request-time "now" for lifecycle-config validation — a midnight-UTC
+    * epoch inside the fixture era (creationTime in
+    * OmLifecycleConfiguration.valid). 790041600000 = day 9144 exactly. */
+  val LcCreatedMs = 790041600000L
+
+  /**
+   * PutBucketLifecycleConfiguration as a decision table — the validation
+   * ladder of `OMLifecycleConfigurationSetRequest` +
+   * `OmLifecycleConfiguration.valid` + `OmLCRule.valid` +
+   * `OmLCExpiration.valid` + `OmLCFilter.valid` in reference branch order:
+   *
+   * Request level (preExecute → validateAndUpdateCache):
+   *   1. OmUtils.validateVolumeName (OMLifecycleConfigurationSetRequest
+   *      .java:80) → INVALID_VOLUME_NAME
+   *   2. validateBucketName (:81) → INVALID_BUCKET_NAME
+   *   3. bucket lookup (layout resolve / :150) → BUCKET_NOT_FOUND
+   * Config level (OmLifecycleConfiguration.java:112-147; blank-name checks
+   *   are unreachable after 1-2):
+   *   4. rules empty → NO_RULES
+   *   5. rules > LC_MAX_RULES=1000 → TOO_MANY_RULES
+   *   6. duplicate rule IDs → DUPLICATE_RULE_ID
+   * Rule level, first failing rule in list order (OmLCRule.java:177-231;
+   * the first action is modeled as the expiration when n_expirations ≥ 1):
+   *   7.  id > 255 chars → ID_TOO_LONG
+   *   8.  no actions → NO_ACTION
+   *   9.  action-1 OmLCExpiration.valid (days XOR date, OmLCExpiration
+   *       .java:94-110): both/neither → EXP_DAYS_XOR_DATE; days ≤ 0 →
+   *       EXP_DAYS_NONPOSITIVE; date not midnight UTC →
+   *       EXP_DATE_NOT_MIDNIGHT; date before creation →
+   *       EXP_DATE_PAST
+   *   10. FSO effective-prefix (prefix else filter prefix) nonempty and
+   *       not '/'-terminated (checked INSIDE the action loop, after
+   *       action.valid) → FSO_PREFIX_NO_SLASH
+   *   11. a second expiration action (iteration 2 of the loop) →
+   *       MULTIPLE_EXPIRATION
+   *   12. prefix and filter together → PREFIX_AND_FILTER
+   *   13. neither → NO_PREFIX_OR_FILTER
+   *   14. prefix > 1024 bytes → PREFIX_TOO_LONG
+   *   15. trash-root prefix → TRASH_PREFIX (OmLifecycleUtils
+   *       .validateTrashPrefix)
+   *   16. FSO prefix not normalized ('//') → FSO_PREFIX_INVALID
+   *       (validateAndNormalizePrefix)
+   *   17. filter with >1 of (prefix, tag, and-operator) → FILTER_MULTI
+   *       (OmLCFilter.java:83)
+   *   18. filter tag key empty/>128 or value >256 → FILTER_TAG_INVALID
+   * else SET.
+   *
+   * Scale shape: the config batch is protocol-sized; the only catalog
+   * touch is one broadcast bucket probe (existence + layout). Rule
+   * evaluation is a projection over the request-sized rule list, the
+   * first-failing-rule pick one min_by over it.
+   */
+  def lifecycleSetDecisions(requests: DataFrame, rules: DataFrame,
+                            buckets: DataFrame,
+                            maxRules: Long = 1000L): DataFrame = {
+    val effPrefix = coalesce(col("prefix"), col("filter_prefix"))
+    val hasFilter = col("filter_prefix").isNotNull ||
+      col("filter_tag_key").isNotNull || col("filter_has_and")
+    val filterParts =
+      when(col("filter_prefix").isNotNull, 1).otherwise(0) +
+        when(col("filter_tag_key").isNotNull, 1).otherwise(0) +
+        when(col("filter_has_and"), 1).otherwise(0)
+    val ruleErr =
+      when(length(col("rule_id")) > 255, lit("ID_TOO_LONG"))
+        .when(col("n_actions") === 0, lit("NO_ACTION"))
+        .when(col("n_expirations") >= 1 &&
+          (col("exp_days").isNull === col("exp_date_ms").isNull),
+          lit("EXP_DAYS_XOR_DATE"))
+        .when(col("n_expirations") >= 1 && col("exp_days").isNotNull &&
+          col("exp_days") <= 0, lit("EXP_DAYS_NONPOSITIVE"))
+        .when(col("n_expirations") >= 1 && col("exp_date_ms").isNotNull &&
+          col("exp_date_ms") % 86400000L =!= 0, lit("EXP_DATE_NOT_MIDNIGHT"))
+        .when(col("n_expirations") >= 1 && col("exp_date_ms").isNotNull &&
+          col("exp_date_ms") < LcCreatedMs, lit("EXP_DATE_PAST"))
+        .when(col("layout") === "FSO" && effPrefix.isNotNull &&
+          effPrefix =!= "" && !effPrefix.endsWith("/"),
+          lit("FSO_PREFIX_NO_SLASH"))
+        .when(col("n_expirations") > 1, lit("MULTIPLE_EXPIRATION"))
+        .when(col("prefix").isNotNull && hasFilter,
+          lit("PREFIX_AND_FILTER"))
+        .when(col("prefix").isNull && !hasFilter,
+          lit("NO_PREFIX_OR_FILTER"))
+        .when(length(col("prefix")) > 1024, lit("PREFIX_TOO_LONG"))
+        .when(col("prefix") === ".Trash" ||
+          col("prefix").startsWith(".Trash/"), lit("TRASH_PREFIX"))
+        .when(col("layout") === "FSO" && col("prefix").contains("//"),
+          lit("FSO_PREFIX_INVALID"))
+        .when(filterParts > 1, lit("FILTER_MULTI"))
+        .when(col("filter_tag_key").isNotNull &&
+          (col("filter_tag_key") === "" ||
+            length(col("filter_tag_key")) > 128 ||
+            length(col("filter_tag_value")) > 256),
+          lit("FILTER_TAG_INVALID"))
+
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists"), col("layout"))
+    val reqWithBkt = requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+    val ruleFrame = rules
+      .join(broadcast(reqWithBkt.select("req_id", "layout")), Seq("req_id"))
+      .withColumn("rule_err", ruleErr)
+    val ruleCounts = ruleFrame.groupBy("req_id")
+      .agg(count(lit(1)).as("rule_count"),
+        countDistinct(col("rule_id")).as("distinct_ids"))
+    val firstRuleErr = ruleFrame.where(col("rule_err").isNotNull)
+      .groupBy("req_id")
+      .agg(min_by(col("rule_err"), col("rule_pos")).as("first_rule_err"))
+    reqWithBkt
+      .join(broadcast(ruleCounts), Seq("req_id"), "left")
+      .join(broadcast(firstRuleErr), Seq("req_id"), "left")
+      .select(col("req_id"), col("volume"), col("bucket"),
+        coalesce(
+          when(!BucketOps.nameValid(col("volume")),
+            lit("INVALID_VOLUME_NAME")),
+          when(!BucketOps.nameValid(col("bucket")),
+            lit("INVALID_BUCKET_NAME")),
+          when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND")),
+          when(col("rule_count").isNull, lit("NO_RULES")),
+          when(col("rule_count") > maxRules, lit("TOO_MANY_RULES")),
+          when(col("distinct_ids") < col("rule_count"),
+            lit("DUPLICATE_RULE_ID")),
+          col("first_rule_err"),
+          lit("SET")).as("decision"))
+      .orderBy("req_id")
+  }
 }
