@@ -459,6 +459,15 @@ object SparkEntry {
     "q_lifecycle_set" -> ((s, d) =>
       Lifecycle.lifecycleSetDecisions(T.lcSetRequests(s, d),
         T.lcRuleEntries(s, d), T.buckets(s, d))),
+    // CommitPart / AbortMultipartUpload write ladders — completes the MPU
+    // protocol surface (initiate→commit→complete/abort→list).
+    "q_mpu_commit_part" -> ((s, d) =>
+      Lifecycle.mpuCommitPart(T.mpuCommitRequests(s, d),
+        T.mpuOpenParts(s, d), T.multipartInfo(s, d),
+        T.multipartParts(s, d), T.buckets(s, d))),
+    "q_mpu_abort" -> ((s, d) =>
+      Lifecycle.mpuAbort(T.mpuAbortRequests(s, d), T.multipartInfo(s, d),
+        T.multipartParts(s, d), T.buckets(s, d))),
     "q_multi_delete" -> ((s, d) =>
       S3Ops.multiDelete(T.objects(s, d), T.deleteRequests(s, d),
         T.volumes(s, d))),
@@ -2285,6 +2294,108 @@ object SparkEntry {
         |  JOIN lc_reqs q USING (req_id)
         |  LEFT JOIN buckets b ON q.volume = b.volume
         |    AND q.bucket = b.bucket)""".stripMargin),
+
+    // CommitPart ladder: bucket → open-key(clientID) → multipartInfo →
+    // blank-ETag → COMMITTED(+replaced_previous).
+    "q_mpu_commit_part" -> O.withCtes(
+      """SELECT req_id, volume, bucket, key, part_number, decision,
+        |  (decision = 'COMMITTED' AND had_part) AS replaced_previous
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket, r.key, r.part_number,
+        |    CASE WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND'
+        |         WHEN o.client_id IS NULL THEN 'KEY_NOT_FOUND'
+        |         WHEN i.upload_id IS NULL THEN 'NO_SUCH_MULTIPART_UPLOAD'
+        |         WHEN r.etag IS NULL OR trim(r.etag) = ''
+        |           THEN 'INVALID_REQUEST'
+        |         ELSE 'COMMITTED' END AS decision,
+        |    coalesce(p.part_number IS NOT NULL, FALSE) AS had_part
+        |  FROM commit_reqs r
+        |  LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket, key, client_id
+        |             FROM mpu_open) o
+        |    ON r.volume = o.volume AND r.bucket = o.bucket
+        |    AND r.key = o.key AND r.client_id = o.client_id
+        |  LEFT JOIN mpu_info i ON r.volume = i.volume
+        |    AND r.bucket = i.bucket AND r.key = i.key
+        |    AND r.upload_id = i.upload_id
+        |  LEFT JOIN (SELECT DISTINCT upload_id,
+        |               CAST(part_number AS INTEGER) AS part_number
+        |             FROM multipart_parts) p
+        |    ON r.upload_id = p.upload_id AND r.part_number = p.part_number)
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets, O.multipartParts,
+      """mpu_open AS (
+        |  SELECT DISTINCT
+        |    'vol' || (l_orderkey % 4) AS volume,
+        |    'bucket' || (l_orderkey % 10) AS bucket,
+        |    'warehouse/mpu/' || l_orderkey || '.bin' AS key,
+        |    l_orderkey AS order_key,
+        |    CAST(l_linenumber AS INTEGER) AS part_number,
+        |    l_orderkey * 100 + l_linenumber AS client_id
+        |  FROM lineitem WHERE l_orderkey % 50 = 0)""".stripMargin,
+      """mpu_info AS (
+        |  SELECT 'vol' || (order_key % 4) AS volume,
+        |    'bucket' || (order_key % 10) AS bucket,
+        |    'warehouse/mpu/' || order_key || '.bin' AS key,
+        |    upload_id
+        |  FROM multipart_parts GROUP BY order_key, upload_id)""".stripMargin,
+      """commit_reqs AS (
+        |  SELECT order_key * 10 + part_number AS req_id,
+        |    volume,
+        |    CASE WHEN cls = 4 THEN 'no-such-bucket' ELSE bucket END
+        |      AS bucket,
+        |    key, order_key, part_number,
+        |    CASE WHEN cls = 2 THEN md5('nope' || order_key)
+        |         ELSE md5('upload' || order_key) END AS upload_id,
+        |    CASE WHEN cls = 1 THEN client_id + 999983
+        |         ELSE client_id END AS client_id,
+        |    CASE WHEN cls IN (3, 4) THEN NULL
+        |         ELSE md5('part' || order_key || '_' || part_number) END
+        |      AS etag
+        |  FROM (SELECT *, (order_key // 50 + part_number) % 5 AS cls
+        |        FROM mpu_open))""".stripMargin),
+
+    // AbortMultipartUpload ladder: bucket → multipartInfo → ABORTED with
+    // the parts/bytes cleanup rollup (open-key miss is WARN-only).
+    "q_mpu_abort" -> O.withCtes(
+      """SELECT req_id, volume, bucket, key, decision,
+        |  CASE WHEN decision = 'ABORTED' THEN coalesce(n_parts, 0)
+        |       ELSE 0 END AS parts_removed,
+        |  CASE WHEN decision = 'ABORTED' THEN coalesce(part_bytes, 0)
+        |       ELSE 0 END AS bytes_released
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket, r.key,
+        |    CASE WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND'
+        |         WHEN i.upload_id IS NULL THEN 'NO_SUCH_MULTIPART_UPLOAD'
+        |         ELSE 'ABORTED' END AS decision,
+        |    p.n_parts, p.part_bytes
+        |  FROM abort_reqs r
+        |  LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |  LEFT JOIN mpu_info i ON r.volume = i.volume
+        |    AND r.bucket = i.bucket AND r.key = i.key
+        |    AND r.upload_id = i.upload_id
+        |  LEFT JOIN (SELECT upload_id, count(*) AS n_parts,
+        |               CAST(sum(size) AS BIGINT) AS part_bytes
+        |             FROM multipart_parts GROUP BY 1) p
+        |    ON r.upload_id = p.upload_id)
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets, O.multipartParts,
+      """mpu_info AS (
+        |  SELECT 'vol' || (order_key % 4) AS volume,
+        |    'bucket' || (order_key % 10) AS bucket,
+        |    'warehouse/mpu/' || order_key || '.bin' AS key,
+        |    upload_id
+        |  FROM multipart_parts GROUP BY order_key, upload_id)""".stripMargin,
+      """abort_reqs AS (
+        |  SELECT order_key AS req_id,
+        |    'vol' || (order_key % 4) AS volume,
+        |    CASE WHEN cls = 2 THEN 'no-such-bucket'
+        |         ELSE 'bucket' || (order_key % 10) END AS bucket,
+        |    'warehouse/mpu/' || order_key || '.bin' AS key,
+        |    CASE WHEN cls = 1 THEN md5('nope' || order_key)
+        |         ELSE md5('upload' || order_key) END AS upload_id
+        |  FROM (SELECT order_key, (order_key // 50) % 3 AS cls
+        |        FROM multipart_parts GROUP BY order_key))""".stripMargin),
 
     // MultiDelete result table: missing keys still count as deleted
     // (idempotent), wrong expected-bucket-owner -> AccessDenied.

@@ -979,6 +979,77 @@ object Tables {
           lit(".bin")).as("key"),
         col("upload_id"), col("initiated_ms"), col("num_parts"))
 
+  /** mpu_open_parts: one openKeyTable entry per in-flight (upload, part) —
+    * what a CommitPart resolves by clientID. Derived WITHOUT the %6
+    * committed-part gap filter (a part can be open but not yet committed);
+    * client_id = order_key*100 + part_number. Distinct because lineitem
+    * carries duplicate (orderkey, linenumber) pairs. */
+  def mpuOpenParts(spark: SparkSession, dir: String): DataFrame =
+    raw(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(
+        concat(lit("vol"), (col("l_orderkey") % 4).cast("string"))
+          .as("volume"),
+        concat(lit("bucket"), (col("l_orderkey") % 10).cast("string"))
+          .as("bucket"),
+        concat(lit("warehouse/mpu/"), col("l_orderkey").cast("string"),
+          lit(".bin")).as("key"),
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").cast("int").as("part_number"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("client_id"))
+      .distinct()
+
+  /** mpu_commit_requests: a CommitPart batch over the open-part set —
+    * cls picks the probe: 0 commit (replaced iff the part is already in
+    * the parts table), 1 clientID mismatch, 2 unknown uploadId, 3 blank
+    * ETag, 4 missing bucket (which also nulls the etag — bucket must
+    * still win, probing the ladder order). */
+  def mpuCommitRequests(spark: SparkSession, dir: String): DataFrame =
+    mpuOpenParts(spark, dir)
+      .withColumn("cls",
+        (expr("order_key DIV 50") + col("part_number")) % 5)
+      .select(
+        (col("order_key") * 10 + col("part_number")).as("req_id"),
+        col("volume"),
+        when(col("cls") === 4, lit("no-such-bucket"))
+          .otherwise(col("bucket")).as("bucket"),
+        col("key"), col("order_key"), col("part_number"),
+        when(col("cls") === 2,
+          md5(concat(lit("nope"), col("order_key").cast("string"))))
+          .otherwise(
+            md5(concat(lit("upload"), col("order_key").cast("string"))))
+          .as("upload_id"),
+        // +999983 (not +1): client ids pack as order_key*100+part, so a
+        // small offset would collide with a sibling part's open entry
+        when(col("cls") === 1, col("client_id") + 999983L)
+          .otherwise(col("client_id")).as("client_id"),
+        when(col("cls") === 3 || col("cls") === 4,
+          lit(null).cast("string"))
+          .otherwise(md5(concat(lit("part"), col("order_key").cast("string"),
+            lit("_"), col("part_number").cast("string")))).as("etag"))
+
+  /** mpu_abort_requests: an AbortMultipartUpload batch per upload — cls
+    * 0 valid abort, 1 unknown uploadId, 2 missing bucket. */
+  def mpuAbortRequests(spark: SparkSession, dir: String): DataFrame =
+    multipartParts(spark, dir)
+      .groupBy("order_key")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("cls", expr("(order_key DIV 50) % 3"))
+      .select(
+        col("order_key").as("req_id"),
+        concat(lit("vol"), (col("order_key") % 4).cast("string"))
+          .as("volume"),
+        when(col("cls") === 2, lit("no-such-bucket"))
+          .otherwise(concat(lit("bucket"),
+            (col("order_key") % 10).cast("string"))).as("bucket"),
+        concat(lit("warehouse/mpu/"), col("order_key").cast("string"),
+          lit(".bin")).as("key"),
+        when(col("cls") === 1,
+          md5(concat(lit("nope"), col("order_key").cast("string"))))
+          .otherwise(
+            md5(concat(lit("upload"), col("order_key").cast("string"))))
+          .as("upload_id"))
+
   /** replica_history: datanode report stream per container (ref
     * ContainerEndpoint.java:330-345 replica first/last-seen history). */
   def replicaHistory(spark: SparkSession, dir: String): DataFrame =

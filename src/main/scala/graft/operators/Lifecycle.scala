@@ -498,6 +498,107 @@ object Lifecycle {
         to_json(struct(col("key"), col("data_size").as("size"))).as("doc"))
       .orderBy("key", "doc")
 
+  /**
+   * CommitPart (S3MultipartUploadCommitPartRequest.validateAndUpdateCache)
+   * as a decision table, in reference branch order:
+   *   1. validateBucketAndVolume (:150)            → BUCKET_NOT_FOUND
+   *   2. open key by (vol,bkt,key,clientID) absent (:168 — the lookup
+   *      happens after the multipartInfo GET but its null-check comes
+   *      first)                                    → KEY_NOT_FOUND
+   *   3. multipartInfoTable miss (:199 — upload aborted while the part
+   *      was uploading)                            → NO_SUCH_MULTIPART_UPLOAD
+   *   4. blank ETag in the split parts-table schema (:229-233, mandatory
+   *      for every committed part)                 → INVALID_REQUEST
+   *   5. COMMITTED — replaced_previous is true when the part number was
+   *      already committed (oldMultipartPartInfo != null: the reference
+   *      moves the old part to the delete table).
+   *
+   * Scale shape: the request batch broadcasts into every probe — the
+   * open-part and parts tables are first left-semi-restricted to the
+   * requested keys, so the big sides never shuffle and all decision
+   * logic runs on request-sized frames.
+   */
+  def mpuCommitPart(requests: DataFrame, openParts: DataFrame,
+                    mpuInfo: DataFrame, parts: DataFrame,
+                    buckets: DataFrame): DataFrame = {
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists"))
+    val openProbe = openParts
+      .join(broadcast(requests.select("volume", "bucket", "key",
+        "client_id")), Seq("volume", "bucket", "key", "client_id"),
+        "left_semi")
+      .select(col("volume"), col("bucket"), col("key"), col("client_id"),
+        lit(true).as("open_exists")).distinct()
+    val infoProbe = mpuInfo.select(col("volume"), col("bucket"),
+      col("key"), col("upload_id"), lit(true).as("mpu_exists"))
+    val partProbe = parts
+      .select(col("upload_id"), col("part_number").cast("int")
+        .as("part_number"), lit(true).as("had_part")).distinct()
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(openProbe),
+        Seq("volume", "bucket", "key", "client_id"), "left")
+      .join(broadcast(infoProbe),
+        Seq("volume", "bucket", "key", "upload_id"), "left")
+      .join(broadcast(partProbe), Seq("upload_id", "part_number"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("open_exists").isNull, lit("KEY_NOT_FOUND"))
+          .when(col("mpu_exists").isNull, lit("NO_SUCH_MULTIPART_UPLOAD"))
+          .when(col("etag").isNull || trim(col("etag")) === "",
+            lit("INVALID_REQUEST"))
+          .otherwise(lit("COMMITTED")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("key"),
+        col("part_number"), col("decision"),
+        (col("decision") === "COMMITTED" &&
+          coalesce(col("had_part"), lit(false))).as("replaced_previous"))
+      .orderBy("req_id")
+  }
+
+  /**
+   * AbortMultipartUpload (S3MultipartUploadAbortRequest
+   * .validateAndUpdateCache:140-175) as a decision table:
+   *   1. validateBucketAndVolume → BUCKET_NOT_FOUND
+   *   2. multipartInfoTable miss → NO_SUCH_MULTIPART_UPLOAD (an open-key
+   *      miss alone is only a WARN in the reference — orphan parts from
+   *      OpenKeyCleanupService — and does not fail the abort)
+   *   3. ABORTED, reporting the cleanup the response carries: committed
+   *      parts moved to the delete table and their byte sum (the quota
+   *      release).
+   * Probe sides restrict to the request batch before any aggregation.
+   */
+  def mpuAbort(requests: DataFrame, mpuInfo: DataFrame, parts: DataFrame,
+               buckets: DataFrame): DataFrame = {
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists"))
+    val infoProbe = mpuInfo.select(col("volume"), col("bucket"),
+      col("key"), col("upload_id"), lit(true).as("mpu_exists"))
+    val partAgg = parts
+      .join(broadcast(requests.select("upload_id")), Seq("upload_id"),
+        "left_semi")
+      .groupBy("upload_id")
+      .agg(count(lit(1)).as("n_parts"), sum("size").as("part_bytes"))
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(infoProbe),
+        Seq("volume", "bucket", "key", "upload_id"), "left")
+      .join(broadcast(partAgg), Seq("upload_id"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("mpu_exists").isNull,
+            lit("NO_SUCH_MULTIPART_UPLOAD"))
+          .otherwise(lit("ABORTED")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("key"),
+        col("decision"),
+        when(col("decision") === "ABORTED",
+          coalesce(col("n_parts"), lit(0L))).otherwise(lit(0L))
+          .as("parts_removed"),
+        when(col("decision") === "ABORTED",
+          coalesce(col("part_bytes"), lit(0L))).otherwise(lit(0L))
+          .as("bytes_released"))
+      .orderBy("req_id")
+  }
+
   /** Request-time "now" for lifecycle-config validation — a midnight-UTC
     * epoch inside the fixture era (creationTime in
     * OmLifecycleConfiguration.valid). 790041600000 = day 9144 exactly. */
