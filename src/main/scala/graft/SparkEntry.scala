@@ -468,6 +468,17 @@ object SparkEntry {
     "q_mpu_abort" -> ((s, d) =>
       Lifecycle.mpuAbort(T.mpuAbortRequests(s, d), T.multipartInfo(s, d),
         T.multipartParts(s, d), T.buckets(s, d))),
+    // Tenant admin write ladders: create / delete (not-empty checked
+    // before existence, the reference's preExecute order) / revoke.
+    "q_tenant_create" -> ((s, d) =>
+      Tenants.tenantCreateDecisions(T.tenantCreateRequests(s, d),
+        T.tenantState(s, d), T.volumes(s, d))),
+    "q_tenant_delete" -> ((s, d) =>
+      Tenants.tenantDeleteDecisions(T.tenantDeleteRequests(s, d),
+        T.tenantStateExt(s, d), T.tenantAccessCatalog(s, d))),
+    "q_tenant_revoke" -> ((s, d) =>
+      Tenants.tenantRevokeDecisions(T.tenantRevokeRequests(s, d),
+        T.tenantAccessCatalog(s, d))),
     "q_multi_delete" -> ((s, d) =>
       S3Ops.multiDelete(T.objects(s, d), T.deleteRequests(s, d),
         T.volumes(s, d))),
@@ -2396,6 +2407,85 @@ object SparkEntry {
         |         ELSE md5('upload' || order_key) END AS upload_id
         |  FROM (SELECT order_key, (order_key // 50) % 3 AS cls
         |        FROM multipart_parts GROUP BY order_key))""".stripMargin),
+
+    // CreateTenant ladder: '$' delimiter → tenant-exists → volume name →
+    // volume-exists (force skips) → CREATED.
+    "q_tenant_create" -> O.withCtes(
+      """SELECT r.req_id, r.tenant_id, r.volume,
+        |  CASE WHEN contains(r.tenant_id, '$') THEN 'INVALID_VOLUME_NAME'
+        |    WHEN t.tenant_id IS NOT NULL THEN 'TENANT_ALREADY_EXISTS'
+        |    WHEN NOT (length(r.volume) BETWEEN 3 AND 63
+        |      AND regexp_matches(r.volume, '^[a-z0-9._-]+$')
+        |      AND instr(r.volume, '..') = 0 AND instr(r.volume, '-.') = 0
+        |      AND instr(r.volume, '.-') = 0
+        |      AND NOT regexp_matches(r.volume, '^[0-9.]+$')
+        |      AND substr(r.volume, 1, 1) NOT IN ('.', '-')
+        |      AND substr(r.volume, length(r.volume), 1) NOT IN ('.', '-'))
+        |      THEN 'INVALID_VOLUME_NAME'
+        |    WHEN v.volume IS NOT NULL AND NOT r.force_f
+        |      THEN 'VOLUME_ALREADY_EXISTS'
+        |    ELSE 'CREATED' END AS decision
+        |FROM t_create_reqs r
+        |LEFT JOIN (SELECT DISTINCT 'tenant' || substr(volume, 4, 10)
+        |             AS tenant_id FROM volumes) t USING (tenant_id)
+        |LEFT JOIN (SELECT DISTINCT volume FROM volumes) v USING (volume)
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """t_create_reqs(req_id, tenant_id, volume, force_f) AS (VALUES
+        |  (1, 'tenant-new', 'tenant-new', FALSE),
+        |  (2, 'bad$tenant', 'bad$tenant', FALSE),
+        |  (3, 'tenant0', 'tenant0', FALSE),
+        |  (4, 'tenant-v', 'vol1', FALSE),
+        |  (5, 'tenant-bad-vol', 'BAD..Vol', FALSE),
+        |  (6, 'tenant0', 'BAD..Vol', FALSE),
+        |  (7, 'bad$x', 'vol1', FALSE),
+        |  (8, 'tenant-f', 'vol1', TRUE))""".stripMargin),
+
+    // DeleteTenant ladder — not-empty precedes existence (preExecute
+    // order), so a missing tenant with live access ids is NOT_EMPTY.
+    "q_tenant_delete" -> O.withCtes(
+      """SELECT r.req_id, r.tenant_id,
+        |  CASE WHEN h.tenant_id IS NOT NULL THEN 'TENANT_NOT_EMPTY'
+        |    WHEN t.tenant_id IS NULL THEN 'TENANT_NOT_FOUND'
+        |    ELSE 'DELETED' END AS decision
+        |FROM t_delete_reqs r
+        |LEFT JOIN (SELECT DISTINCT 'tenant' || substr(volume, 4, 10)
+        |             AS tenant_id FROM volumes
+        |           UNION ALL SELECT 'tenant-empty') t USING (tenant_id)
+        |LEFT JOIN (SELECT DISTINCT 'tenant' || substr(volume, 4, 10)
+        |             AS tenant_id FROM objects
+        |           UNION ALL SELECT 'no-such-but-hasids') h
+        |  USING (tenant_id)
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """t_delete_reqs(req_id, tenant_id) AS (VALUES
+        |  (1, 'tenant0'), (2, 'no-such-tenant'),
+        |  (3, 'tenant-empty'), (4, 'no-such-but-hasids'))""".stripMargin),
+
+    // RevokeUserAccessId ladder: id-exists → assigned-to-tenant → admin
+    // guard → REVOKED.
+    "q_tenant_revoke" -> O.withCtes(
+      """SELECT r.req_id, r.access_id,
+        |  CASE WHEN c.access_id IS NULL THEN 'ACCESS_ID_NOT_FOUND'
+        |    WHEN c.tenant_id IS NULL THEN 'TENANT_NOT_FOUND'
+        |    WHEN c.is_admin THEN 'PERMISSION_DENIED'
+        |    ELSE 'REVOKED' END AS decision
+        |FROM t_revoke_reqs r
+        |LEFT JOIN t_access_cat c USING (access_id)
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects,
+      """t_access_cat AS (
+        |  SELECT 'tenant' || substr(volume, 4, 10) || '$' || owner
+        |      AS access_id,
+        |    'tenant' || substr(volume, 4, 10) AS tenant_id,
+        |    owner = 'clerk0' AS is_admin
+        |  FROM (SELECT DISTINCT volume, owner FROM objects)
+        |  UNION ALL
+        |  SELECT 'no-such-but-hasids$ghost', 'no-such-but-hasids', FALSE
+        |  UNION ALL SELECT 'orphan$ghost2', NULL, FALSE)""".stripMargin,
+      """t_revoke_reqs(req_id, access_id) AS (VALUES
+        |  (1, 'tenant0$clerk1'), (2, 'tenant0$clerk0'),
+        |  (3, 'nope$user'), (4, 'orphan$ghost2'))""".stripMargin),
 
     // MultiDelete result table: missing keys still count as deleted
     // (idempotent), wrong expected-bucket-owner -> AccessDenied.

@@ -427,6 +427,73 @@ object Tables {
         col("owner").as("user_principal"),
         concat(col("tenant_id"), lit("$"), col("owner")).as("access_id"))
 
+  /** tenant_access_catalog: [[tenantAccessIds]] plus an admin flag
+    * (clerk0 is each tenant's admin — OMTenantAssignAdminRequest model)
+    * and two synthetic rows: an access id under a tenant MISSING from the
+    * state table (the delete-order quirk) and an orphan access id with no
+    * tenant at all (the revoke TENANT_NOT_FOUND branch). */
+  def tenantAccessCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tenantAccessIds(spark, dir)
+      .withColumn("is_admin", col("user_principal") === "clerk0")
+      .unionByName(Seq(
+        ("no-such-but-hasids", "ghost", "no-such-but-hasids$ghost", false),
+        (null, "ghost2", "orphan$ghost2", false))
+        .toDF("tenant_id", "user_principal", "access_id", "is_admin"))
+  }
+
+  /** tenant_state plus one registered-but-empty tenant (no access ids,
+    * no usage) — the DELETED branch of the delete ladder. */
+  def tenantStateExt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tenantState(spark, dir).unionByName(
+      Seq(("tenant-empty", "vol-empty", 0L, 0L))
+        .toDF("tenant_id", "volume", "bucket_count", "used_bytes"))
+  }
+
+  /** tenant_create_requests: every OMTenantCreateRequest branch — the
+    * '$' delimiter check, tenant-exists, volume-name rules, volume-exists
+    * (with the force override), plus branch-order probes. */
+  def tenantCreateRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "tenant-new", "tenant-new", false),
+      (2L, "bad$tenant", "bad$tenant", false),
+      (3L, "tenant0", "tenant0", false),
+      (4L, "tenant-v", "vol1", false),
+      (5L, "tenant-bad-vol", "BAD..Vol", false),
+      (6L, "tenant0", "BAD..Vol", false),
+      (7L, "bad$x", "vol1", false),
+      (8L, "tenant-f", "vol1", true))
+      .toDF("req_id", "tenant_id", "volume", "force_when_volume_exists")
+  }
+
+  /** tenant_delete_requests: not-empty (checked BEFORE existence — the
+    * reference's preExecute order, a truthful quirk), not-found, empty →
+    * deleted. 'tenant-empty' exists only in the extended state probe the
+    * operator unions in. */
+  def tenantDeleteRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "tenant0"),
+      (2L, "no-such-tenant"),
+      (3L, "tenant-empty"),
+      (4L, "no-such-but-hasids"))
+      .toDF("req_id", "tenant_id")
+  }
+
+  /** tenant_revoke_requests: REVOKED / PERMISSION_DENIED (tenant admin) /
+    * ACCESS_ID_NOT_FOUND / TENANT_NOT_FOUND (orphan id). */
+  def tenantRevokeRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "tenant0$clerk1"),
+      (2L, "tenant0$clerk0"),
+      (3L, "nope$user"),
+      (4L, "orphan$ghost2"))
+      .toDF("req_id", "access_id")
+  }
+
   /** CreateFile request batch for the missing-parent walk — covers a new
     * subtree under an existing dir, a brand-new top chain, two requests
     * sharing a new subtree (minted once), a fully-existing parent chain

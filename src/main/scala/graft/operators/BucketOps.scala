@@ -51,6 +51,15 @@ object BucketOps {
   /** Strict-S3 resource-name validity (HddsClientUtils.verifyResourceName
     * with isStrictS3) as one boolean column — shared with the snapshot
     * ladder (validateSnapshotName routes through the same strict rules). */
+  /** OmUtils.validateVolumeName at strict=false — POSIX names, underscore
+    * legal (shared by CreateVolume and CreateTenant). */
+  private[operators] def volumeNameValid(c: org.apache.spark.sql.Column) =
+    length(c).between(3, 63) &&
+      c.rlike("^[a-z0-9._-]+$") &&
+      !c.contains("..") && !c.contains("-.") && !c.contains(".-") &&
+      !c.rlike("^[0-9.]+$") &&
+      !c.rlike("^[.-]") && !c.rlike("[.-]$")
+
   private[operators] def nameValid(c: org.apache.spark.sql.Column) =
     length(c).between(3, 63) &&
       c.rlike("^[a-z0-9.-]+$") &&
@@ -138,13 +147,7 @@ object BucketOps {
       lit(true).as("vol_exists"))
     val ownerCounts = volumes.groupBy("owner")
       .agg(count(lit(1)).as("owned"))
-    val volNameValid =
-      length(col("volume")).between(3, 63) &&
-        col("volume").rlike("^[a-z0-9._-]+$") &&
-        !col("volume").contains("..") && !col("volume").contains("-.") &&
-        !col("volume").contains(".-") &&
-        !col("volume").rlike("^[0-9.]+$") &&
-        !col("volume").rlike("^[.-]") && !col("volume").rlike("[.-]$")
+    val volNameValid = BucketOps.volumeNameValid(col("volume"))
     val upToName = Window.partitionBy("volume").orderBy("req_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val upToOwner = Window.partitionBy("owner").orderBy("req_id")

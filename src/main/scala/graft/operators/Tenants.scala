@@ -74,4 +74,88 @@ object Tenants {
       .select("tenant_id", "user_principal", "access_id", "decision")
       .orderBy("tenant_id", "user_principal", "access_id")
   }
+
+  /**
+   * CreateTenant ladder (OMTenantCreateRequest.preExecute:110-180, in
+   * reference order):
+   *   1. '$' in tenant id → INVALID_VOLUME_NAME (:123 — the reference
+   *      reports the volume-name code for the delimiter too)
+   *   2. tenantStateTable hit → TENANT_ALREADY_EXISTS (:132)
+   *   3. OmUtils.validateVolumeName on the tenant's volume (defaults to
+   *      the tenant name) → INVALID_VOLUME_NAME (:141)
+   *   4. volume exists and force flag unset → VOLUME_ALREADY_EXISTS
+   *      (:170-172, forceCreationWhenVolumeExists skips)
+   *   5. CREATED.
+   */
+  def tenantCreateDecisions(requests: DataFrame, tenantState: DataFrame,
+                            volumes: DataFrame): DataFrame = {
+    val tenants = tenantState.select("tenant_id").distinct()
+      .withColumn("__tenant_exists", lit(true))
+    val vols = volumes.select("volume").distinct()
+      .withColumn("__vol_exists", lit(true))
+    requests
+      .join(broadcast(tenants), Seq("tenant_id"), "left")
+      .join(broadcast(vols), Seq("volume"), "left")
+      .select(col("req_id"), col("tenant_id"), col("volume"),
+        when(col("tenant_id").contains("$"), lit("INVALID_VOLUME_NAME"))
+          .when(col("__tenant_exists").isNotNull,
+            lit("TENANT_ALREADY_EXISTS"))
+          .when(!BucketOps.volumeNameValid(col("volume")),
+            lit("INVALID_VOLUME_NAME"))
+          .when(col("__vol_exists").isNotNull &&
+            !col("force_when_volume_exists"), lit("VOLUME_ALREADY_EXISTS"))
+          .otherwise(lit("CREATED")).as("decision"))
+      .orderBy("req_id")
+  }
+
+  /**
+   * DeleteTenant ladder (OMTenantDeleteRequest.preExecute:75-115). The
+   * not-empty check runs BEFORE the existence lookup (isTenantEmpty must
+   * precede the Ranger policy teardown) — so a tenant missing from the
+   * state table but still holding access ids reports TENANT_NOT_EMPTY,
+   * not TENANT_NOT_FOUND. A truthful reference quirk, probed by the
+   * fixture:
+   *   1. access ids exist under the tenant → TENANT_NOT_EMPTY (:91)
+   *   2. tenantStateTable miss → TENANT_NOT_FOUND (:105)
+   *   3. DELETED (volume decoupled).
+   */
+  def tenantDeleteDecisions(requests: DataFrame, tenantState: DataFrame,
+                            accessCatalog: DataFrame): DataFrame = {
+    val tenants = tenantState.select("tenant_id").distinct()
+      .withColumn("__tenant_exists", lit(true))
+    val nonEmpty = accessCatalog.where(col("tenant_id").isNotNull)
+      .select("tenant_id").distinct()
+      .withColumn("__has_ids", lit(true))
+    requests
+      .join(broadcast(tenants), Seq("tenant_id"), "left")
+      .join(broadcast(nonEmpty), Seq("tenant_id"), "left")
+      .select(col("req_id"), col("tenant_id"),
+        when(col("__has_ids").isNotNull, lit("TENANT_NOT_EMPTY"))
+          .when(col("__tenant_exists").isNull, lit("TENANT_NOT_FOUND"))
+          .otherwise(lit("DELETED")).as("decision"))
+      .orderBy("req_id")
+  }
+
+  /**
+   * RevokeUserAccessId ladder (OMTenantRevokeUserAccessIdRequest:90-125):
+   *   1. accessId absent from tenantAccessIdTable → ACCESS_ID_NOT_FOUND
+   *   2. the accessId row carries no tenant → TENANT_NOT_FOUND
+   *   3. the accessId is a tenant admin → PERMISSION_DENIED (admins must
+   *      be revoked via TenantRevokeAdmin first)
+   *   4. REVOKED.
+   */
+  def tenantRevokeDecisions(requests: DataFrame,
+                            accessCatalog: DataFrame): DataFrame = {
+    val probe = accessCatalog.select(col("access_id"),
+      col("tenant_id").as("__row_tenant"), col("is_admin"),
+      lit(true).as("__id_exists"))
+    requests
+      .join(broadcast(probe), Seq("access_id"), "left")
+      .select(col("req_id"), col("access_id"),
+        when(col("__id_exists").isNull, lit("ACCESS_ID_NOT_FOUND"))
+          .when(col("__row_tenant").isNull, lit("TENANT_NOT_FOUND"))
+          .when(col("is_admin"), lit("PERMISSION_DENIED"))
+          .otherwise(lit("REVOKED")).as("decision"))
+      .orderBy("req_id")
+  }
 }
