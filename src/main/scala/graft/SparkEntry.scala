@@ -2096,14 +2096,20 @@ object SparkEntry {
         |ORDER BY req_id""".stripMargin,
       O.objects, O.buckets,
       """tag_reqs AS (
-        |  SELECT object_id AS req_id,
-        |    (object_id // 101) % 10 AS cls,
+        |  SELECT req_id, cls,
         |    volume,
-        |    CASE WHEN (object_id // 101) % 13 = 3 THEN 'no-such-bucket'
-        |         ELSE bucket END AS bucket,
-        |    CASE WHEN (object_id // 101) % 7 = 2 THEN key || '.nope'
-        |         ELSE key END AS key
-        |  FROM objects WHERE object_id % 101 = 0)""".stripMargin,
+        |    CASE WHEN probe % 13 = 3 THEN 'no-such-bucket'
+        |         ELSE split_part(bk, '|', 1) END AS bucket,
+        |    CASE WHEN probe % 7 = 2 THEN split_part(bk, '|', 2) || '.nope'
+        |         ELSE split_part(bk, '|', 2) END AS key
+        |  FROM (
+        |    SELECT object_id AS req_id,
+        |      (object_id // 1010) % 10 AS cls,
+        |      (object_id // 101) AS probe,
+        |      min(volume) AS volume,
+        |      min(bucket || '|' || key) AS bk
+        |    FROM objects WHERE object_id % 101 = 0
+        |    GROUP BY 1, 2, 3))""".stripMargin,
       """tag_entries AS (
         |  SELECT req_id, pos,
         |    CASE WHEN cls = 1 AND pos = 2 THEN ''

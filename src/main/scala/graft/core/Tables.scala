@@ -1307,16 +1307,25 @@ object Tables {
   def tagRequests(spark: SparkSession, dir: String): DataFrame =
     objects(spark, dir)
       .filter(col("object_id") % 101 === 0)
-      .select(col("object_id").as("req_id"),
-        expr("object_id DIV 101").as("probe"),
-        col("volume"), col("bucket"), col("key"))
+      // lineitem carries duplicate (orderkey, linenumber) pairs →
+      // object_id is NOT unique; canonicalize one request per id by the
+      // smallest (bucket, key) pair ('|' never appears in either)
+      .groupBy(col("object_id").as("req_id"))
+      .agg(min(col("volume")).as("volume"),
+        min(concat(col("bucket"), lit("|"), col("key"))).as("bk"))
+      // cls from the SECOND digit of probe: the last digit of object_id
+      // (and so of probe) is a linenumber 1..7 and never reaches 0/8/9
       .select(col("req_id"),
-        (col("probe") % 10).as("cls"),
+        (expr("req_id DIV 1010") % 10).as("cls"),
+        expr("req_id DIV 101").as("probe"),
         col("volume"),
+        substring_index(col("bk"), "|", 1).as("bucket0"),
+        substring_index(col("bk"), "|", -1).as("key0"))
+      .select(col("req_id"), col("cls"), col("volume"),
         when(col("probe") % 13 === 3, lit("no-such-bucket"))
-          .otherwise(col("bucket")).as("bucket"),
-        when(col("probe") % 7 === 2, concat(col("key"), lit(".nope")))
-          .otherwise(col("key")).as("key"))
+          .otherwise(col("bucket0")).as("bucket"),
+        when(col("probe") % 7 === 2, concat(col("key0"), lit(".nope")))
+          .otherwise(col("key0")).as("key"))
 
   /** tag_entries: the ordered tag list per request — one row per (req_id,
     * pos). Class map (cls from [[tagRequests]]): 0 valid; 1 empty key at

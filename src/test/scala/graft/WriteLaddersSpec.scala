@@ -1,0 +1,187 @@
+package graft
+
+import graft.core.{Tables => T}
+import graft.operators.{Lifecycle, S3Ops, Tenants}
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-5 write-protocol ladders: PutObjectTagging, lifecycle-config set,
+ * MPU commit-part/abort, tenant create/delete/revoke. Each group gets (a)
+ * a micro fixture asserting exact branch decisions incl. order probes and
+ * (b) where the declared fixture is data-derived, an independent
+ * re-derivation of the expected decision for EVERY row at sf0.001.
+ */
+class WriteLaddersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- PutObjectTagging -------------------------------------------------
+
+  test("putObjectTagging: per-tag ladder order on a micro batch") {
+    val reqs = Seq(
+      (1L, "v", "b", "k1"),  // first failing tag decides: pos2 aws:
+      (2L, "v", "b", "k1"),  // within a tag: aws: beats too-long key
+      (3L, "v", "b", "k1"),  // error at pos2 beats duplicate at pos3
+      (4L, "v", "b", "k1"),  // clean dup → DUPLICATE_KEY
+      (5L, "v", "b", "nope"), // valid tags, missing key
+      (6L, "v", "nob", "k1")) // valid tags, missing bucket
+      .toDF("req_id", "volume", "bucket", "key")
+    val entries = Seq(
+      (1L, 1, "env", "x"), (1L, 2, "aws:a", "x"), (1L, 3, "", "x"),
+      (2L, 1, "aws:" + "k" * 130, "x"),
+      (3L, 1, "env", "x"), (3L, 2, "bad#k", "x"), (3L, 3, "env", "x"),
+      (4L, 1, "env", "x"), (4L, 2, "ok", "x"), (4L, 3, "env", "y"),
+      (5L, 1, "env", "x"),
+      (6L, 1, "env", "x"))
+      .toDF("req_id", "pos", "tag_key", "tag_value")
+    val bkts = Seq(("v", "b")).toDF("volume", "bucket")
+    val objs = Seq(("v", "b", "k1")).toDF("volume", "bucket", "key")
+    val got = S3Ops.putObjectTagging(reqs, entries, bkts, objs)
+      .select("req_id", "decision").as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "AWS_PREFIX",      // pos2 fails before pos3's empty key
+      2L -> "AWS_PREFIX",      // prefix check precedes length check
+      3L -> "KEY_PATTERN",     // pos2 error beats the pos3 duplicate
+      4L -> "DUPLICATE_KEY",
+      5L -> "KEY_NOT_FOUND",
+      6L -> "BUCKET_NOT_FOUND"))
+  }
+
+  test("putObjectTagging: declared fixture re-derived row-by-row") {
+    // sf0.01 (not the usual 0.001): the sampled id space must be dense
+    // enough for all ten synthesis classes to fire
+    val sf = "/root/testdata/sf0.01"
+    val got = S3Ops.putObjectTagging(T.tagRequests(spark, sf),
+      T.tagEntries(spark, sf), T.buckets(spark, sf), T.objects(spark, sf))
+      .as[(Long, String, String, String, Long, String)].collect()
+    assert(got.nonEmpty)
+    val clsErr = Map(1 -> "EMPTY_KEY", 2 -> "AWS_PREFIX",
+      3 -> "KEY_TOO_LONG", 4 -> "VALUE_TOO_LONG", 5 -> "KEY_PATTERN",
+      6 -> "VALUE_PATTERN", 7 -> "DUPLICATE_KEY", 8 -> "TOO_MANY_TAGS",
+      9 -> "VALUE_MISSING")
+    got.foreach { case (reqId, _, bucket, key, n, decision) =>
+      val cls = ((reqId / 1010) % 10).toInt
+      val expected = clsErr.getOrElse(cls,
+        if (bucket == "no-such-bucket") "BUCKET_NOT_FOUND"
+        else if (key.endsWith(".nope")) "KEY_NOT_FOUND"
+        else "APPLIED")
+      assert(decision === expected, s"req $reqId cls $cls n=$n")
+    }
+    // every ladder class fires somewhere in the fixture
+    assert(got.map(_._6).toSet ===
+      (clsErr.values.toSet ++ Set("BUCKET_NOT_FOUND", "KEY_NOT_FOUND",
+        "APPLIED")))
+  }
+
+  // ---- Lifecycle-configuration set -------------------------------------
+
+  test("lifecycleSetDecisions: FSO layout gates the slash checks") {
+    val reqs = Seq((1L, "vol", "obs"), (2L, "vol", "fso"))
+      .toDF("req_id", "volume", "bucket")
+    val rule = (pos: Long) => (pos, 1, "r1", Some("warehouse/A"),
+      Option.empty[String], Option.empty[String], Option.empty[String],
+      false, 1, 1, Some(30L), Option.empty[Long])
+    val rules = Seq(rule(1L), rule(2L))
+      .toDF("req_id", "rule_pos", "rule_id", "prefix", "filter_prefix",
+        "filter_tag_key", "filter_tag_value", "filter_has_and",
+        "n_actions", "n_expirations", "exp_days", "exp_date_ms")
+    val bkts = Seq(("vol", "obs", "OBS"), ("vol", "fso", "FSO"))
+      .toDF("volume", "bucket", "layout")
+    val got = Lifecycle.lifecycleSetDecisions(reqs, rules, bkts)
+      .select("req_id", "decision").as[(Long, String)].collect().toMap
+    // the same un-slashed prefix is legal on OBS, rejected on FSO
+    assert(got === Map(1L -> "SET", 2L -> "FSO_PREFIX_NO_SLASH"))
+  }
+
+  test("lifecycleSetDecisions: rule cap is parameterized") {
+    val reqs = Seq((1L, "vol", "obs")).toDF("req_id", "volume", "bucket")
+    val rules = (1 to 3).map(i => (1L, i, s"r$i", Some("p/"),
+      Option.empty[String], Option.empty[String], Option.empty[String],
+      false, 1, 1, Some(30L), Option.empty[Long]))
+      .toDF("req_id", "rule_pos", "rule_id", "prefix", "filter_prefix",
+        "filter_tag_key", "filter_tag_value", "filter_has_and",
+        "n_actions", "n_expirations", "exp_days", "exp_date_ms")
+    val bkts = Seq(("vol", "obs", "OBS")).toDF("volume", "bucket", "layout")
+    val capped = Lifecycle.lifecycleSetDecisions(reqs, rules, bkts,
+      maxRules = 2L).select("decision").as[String].head()
+    assert(capped === "TOO_MANY_RULES")
+  }
+
+  // ---- MPU commit-part / abort -----------------------------------------
+
+  test("mpuCommitPart and mpuAbort: micro upload walk") {
+    val bkts = Seq(("v", "b")).toDF("volume", "bucket")
+    val open = Seq(
+      ("v", "b", "k", 1, 101L), ("v", "b", "k", 2, 102L))
+      .toDF("volume", "bucket", "key", "part_number", "client_id")
+    val info = Seq(("v", "b", "k", "up1"))
+      .toDF("volume", "bucket", "key", "upload_id")
+    val parts = Seq(("up1", 1, 500L))
+      .toDF("upload_id", "part_number", "size")
+    val commits = Seq(
+      (1L, "v", "b", "k", 1, "up1", 101L, "etag1"),  // re-commit part 1
+      (2L, "v", "b", "k", 2, "up1", 102L, "etag2"),  // fresh part 2
+      (3L, "v", "b", "k", 1, "up1", 999L, "etag1"),  // client mismatch
+      (4L, "v", "b", "k", 1, "nope", 101L, "etag1"), // unknown upload
+      (5L, "v", "b", "k", 1, "up1", 101L, " "))      // blank etag
+      .toDF("req_id", "volume", "bucket", "key", "part_number",
+        "upload_id", "client_id", "etag")
+    val gotC = Lifecycle.mpuCommitPart(commits, open, info, parts, bkts)
+      .select("req_id", "decision", "replaced_previous")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(gotC === Map(
+      1L -> (("COMMITTED", true)),
+      2L -> (("COMMITTED", false)),
+      3L -> (("KEY_NOT_FOUND", false)),
+      4L -> (("NO_SUCH_MULTIPART_UPLOAD", false)),
+      5L -> (("INVALID_REQUEST", false))))
+
+    val aborts = Seq(
+      (1L, "v", "b", "k", "up1"),
+      (2L, "v", "b", "k", "nope"),
+      (3L, "v", "nob", "k", "up1"))
+      .toDF("req_id", "volume", "bucket", "key", "upload_id")
+    val gotA = Lifecycle.mpuAbort(aborts, info, parts, bkts)
+      .select("req_id", "decision", "parts_removed", "bytes_released")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(gotA === Map(
+      1L -> (("ABORTED", 1L, 500L)),
+      2L -> (("NO_SUCH_MULTIPART_UPLOAD", 0L, 0L)),
+      3L -> (("BUCKET_NOT_FOUND", 0L, 0L))))
+  }
+
+  // ---- Tenant admin ladders --------------------------------------------
+
+  test("tenant delete: not-empty is checked before existence") {
+    val reqs = Seq((1L, "ghost-with-ids"), (2L, "ghost-empty"))
+      .toDF("req_id", "tenant_id")
+    val state = Seq(("registered", "v", 0L, 0L))
+      .toDF("tenant_id", "volume", "bucket_count", "used_bytes")
+    val cat = Seq(("ghost-with-ids", "u", "ghost-with-ids$u", false))
+      .toDF("tenant_id", "user_principal", "access_id", "is_admin")
+    val got = Tenants.tenantDeleteDecisions(reqs, state, cat)
+      .select("req_id", "decision").as[(Long, String)].collect().toMap
+    // a tenant missing from the state table but holding access ids is
+    // NOT_EMPTY (the reference's preExecute order), not NOT_FOUND
+    assert(got === Map(1L -> "TENANT_NOT_EMPTY", 2L -> "TENANT_NOT_FOUND"))
+  }
+
+  test("tenant create: force flag skips only the volume-exists check") {
+    val reqs = Seq(
+      (1L, "t-a", "existing-vol", false),
+      (2L, "t-a", "existing-vol", true),
+      (3L, "bad$t", "existing-vol", true))
+      .toDF("req_id", "tenant_id", "volume", "force_when_volume_exists")
+    val state = Seq(("other", "v", 0L, 0L))
+      .toDF("tenant_id", "volume", "bucket_count", "used_bytes")
+    val vols = Seq(("existing-vol", "a", "o"))
+      .toDF("volume", "admin", "owner")
+    val got = Tenants.tenantCreateDecisions(reqs, state, vols)
+      .select("req_id", "decision").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "VOLUME_ALREADY_EXISTS", 2L -> "CREATED",
+      3L -> "INVALID_VOLUME_NAME"))
+  }
+}
