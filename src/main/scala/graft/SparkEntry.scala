@@ -479,6 +479,18 @@ object SparkEntry {
     "q_tenant_revoke" -> ((s, d) =>
       Tenants.tenantRevokeDecisions(T.tenantRevokeRequests(s, d),
         T.tenantAccessCatalog(s, d))),
+    // FSO rename ladder: hsync guard, own-subtree guard, into-dir moves
+    // with dst/basename collision, dst-parent existence.
+    "q_fso_rename" -> ((s, d) =>
+      CommitLog.fsoRenameDecisions(T.fsoRenameRequests(s, d),
+        T.objects(s, d), T.buckets(s, d),
+        T.objects(s, d)
+          .withColumn("pdir", Aggregates.parentDirOf("key"))
+          .filter(col("pdir") =!= "")
+          .select(col("volume"), col("bucket"),
+            org.apache.spark.sql.functions.explode(
+              Aggregates.dirAndAncestors("pdir")).as("path"))
+          .distinct())),
     "q_multi_delete" -> ((s, d) =>
       S3Ops.multiDelete(T.objects(s, d), T.deleteRequests(s, d),
         T.volumes(s, d))),
@@ -2492,6 +2504,93 @@ object SparkEntry {
       """t_revoke_reqs(req_id, access_id) AS (VALUES
         |  (1, 'tenant0$clerk1'), (2, 'tenant0$clerk0'),
         |  (3, 'nope$user'), (4, 'orphan$ghost2'))""".stripMargin),
+
+    // FSO rename ladder — probes mirror the operator's file/dir/parent/
+    // dst-basename lookups; hsync = latest version ≡ 0 (mod 3).
+    "q_fso_rename" -> O.withCtes(
+      """SELECT r.req_id, r.volume, r.bucket, r.src_key, r.to_key,
+        |  CASE WHEN r.src_key = '' THEN 'INVALID_KEY_NAME'
+        |    WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND'
+        |    WHEN sf.key IS NULL AND sd.path IS NULL THEN 'KEY_NOT_FOUND'
+        |    WHEN sf.key IS NOT NULL AND sd.path IS NULL
+        |      AND sf.maxv % 3 = 0 THEN 'RENAME_OPEN_FILE'
+        |    WHEN sd.path IS NOT NULL
+        |      AND starts_with(r.to_key, r.src_key || '/')
+        |      THEN 'RENAME_ERROR_SUBDIR'
+        |    WHEN (df.key IS NOT NULL OR dd.path IS NOT NULL)
+        |      AND r.to_key = r.src_key AND df.key IS NOT NULL
+        |      THEN 'SELF_NOOP'
+        |    WHEN (df.key IS NOT NULL OR dd.path IS NOT NULL)
+        |      AND r.to_key = r.src_key THEN 'KEY_ALREADY_EXISTS'
+        |    WHEN dd.path IS NOT NULL AND nt.k IS NOT NULL
+        |      THEN 'KEY_ALREADY_EXISTS'
+        |    WHEN dd.path IS NOT NULL THEN 'RENAMED_INTO_DIR'
+        |    WHEN df.key IS NOT NULL THEN 'KEY_ALREADY_EXISTS'
+        |    WHEN len(string_split(r.to_key, '/')) > 1 AND pd.path IS NULL
+        |      THEN 'RENAME_ERROR_PARENT'
+        |    ELSE 'RENAMED' END AS decision
+        |FROM rename_fso_reqs r
+        |LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |LEFT JOIN rn_files sf ON r.volume = sf.volume
+        |  AND r.bucket = sf.bucket AND r.src_key = sf.key
+        |LEFT JOIN fso_dirs sd ON r.volume = sd.volume
+        |  AND r.bucket = sd.bucket AND r.src_key = sd.path
+        |LEFT JOIN rn_files df ON r.volume = df.volume
+        |  AND r.bucket = df.bucket AND r.to_key = df.key
+        |LEFT JOIN fso_dirs dd ON r.volume = dd.volume
+        |  AND r.bucket = dd.bucket AND r.to_key = dd.path
+        |LEFT JOIN fso_dirs pd ON r.volume = pd.volume
+        |  AND r.bucket = pd.bucket
+        |  AND pd.path = substring(r.to_key, 1, length(r.to_key) -
+        |    length(string_split(r.to_key, '/')[-1]) - 1)
+        |LEFT JOIN (SELECT volume, bucket, key AS k FROM rn_files
+        |           UNION SELECT volume, bucket, path FROM fso_dirs) nt
+        |  ON r.volume = nt.volume AND r.bucket = nt.bucket
+        |  AND nt.k = r.to_key || '/' || string_split(r.src_key, '/')[-1]
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets,
+      """rn_files AS (
+        |  SELECT volume, bucket, key, max(version) AS maxv
+        |  FROM objects GROUP BY 1, 2, 3)""".stripMargin,
+      """fso_dirs AS (
+        |  SELECT DISTINCT volume, bucket,
+        |    array_to_string(ws[1:d], '/') AS path
+        |  FROM (
+        |    SELECT volume, bucket, string_split(key, '/') AS ws,
+        |      unnest(generate_series(1,
+        |        len(string_split(key, '/')) - 1)) AS d
+        |    FROM objects))""".stripMargin,
+      """rename_fso_reqs AS (
+        |  SELECT req_id, volume,
+        |    CASE WHEN probe % 13 = 3 THEN 'no-such-bucket'
+        |         ELSE bucket0 END AS bucket,
+        |    CASE WHEN probe % 17 = 5 THEN ''
+        |         WHEN cls = 1 THEN key0 || '.ghost'
+        |         WHEN cls IN (2, 3, 7) THEN pdir
+        |         ELSE key0 END AS src_key,
+        |    CASE WHEN cls = 0 THEN key0 || '.r0'
+        |         WHEN cls = 1 THEN key0 || '.r1'
+        |         WHEN cls = 2 THEN pdir || '-moved'
+        |         WHEN cls = 3 THEN pdir || '/x/sub'
+        |         WHEN cls = 4 THEN key0
+        |         WHEN cls = 5 AND probe % 2 = 0 THEN 'warehouse'
+        |         WHEN cls = 5 THEN pdir
+        |         WHEN cls = 6 THEN 'nowhere/x/' || base
+        |         ELSE pdir END AS to_key
+        |  FROM (
+        |    SELECT req_id, (req_id // 1310) % 8 AS cls,
+        |      (req_id // 131) AS probe, volume,
+        |      split_part(bk, '|', 1) AS bucket0,
+        |      split_part(bk, '|', 2) AS key0,
+        |      substring(split_part(bk, '|', 2), 1,
+        |        length(split_part(bk, '|', 2)) -
+        |        length(string_split(split_part(bk, '|', 2), '/')[-1]) - 1)
+        |        AS pdir,
+        |      string_split(split_part(bk, '|', 2), '/')[-1] AS base
+        |    FROM (
+        |      SELECT object_id AS req_id, min(volume) AS volume,
+        |        min(bucket || '|' || key) AS bk
+        |      FROM objects WHERE object_id % 131 = 0 GROUP BY 1)))""".stripMargin),
 
     // MultiDelete result table: missing keys still count as deleted
     // (idempotent), wrong expected-bucket-owner -> AccessDenied.

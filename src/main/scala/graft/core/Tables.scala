@@ -494,6 +494,60 @@ object Tables {
       .toDF("req_id", "access_id")
   }
 
+  /** fso_rename_requests: an FSO RenameKey batch sampled from the key
+    * catalog (object_id % 131 == 0, canonicalized like [[tagRequests]]).
+    * cls = second digit of probe picks the path shape:
+    *   0 file → fresh sibling name            (RENAMED, unless hsync'ed)
+    *   1 ghost source                         (KEY_NOT_FOUND)
+    *   2 dir → fresh sibling dir name         (RENAMED)
+    *   3 dir → its own subtree                (RENAME_ERROR_SUBDIR)
+    *   4 file → itself                        (SELF_NOOP)
+    *   5 file → its parent dir (KEY_ALREADY_EXISTS via the into-dir
+    *     path: dst/basename == src); even probes instead move into the
+    *     top-level 'warehouse' dir where dst/basename is fresh
+    *     (RENAMED_INTO_DIR)
+    *   6 file → under a nonexistent parent    (RENAME_ERROR_PARENT)
+    *   7 dir → itself                         (KEY_ALREADY_EXISTS —
+    *     case-3b: a self-rename is only a no-op for FILES)
+    * plus orthogonal probes: probe%13==3 missing bucket, probe%17==5
+    * empty source (INVALID_KEY_NAME — checked before everything).
+    * Case-6 (dst an existing file elsewhere) has no deterministic
+    * data-derived path and is covered by the micro spec. */
+  def fsoRenameRequests(spark: SparkSession, dir: String): DataFrame = {
+    val base = objects(spark, dir)
+      .filter(col("object_id") % 131 === 0)
+      .groupBy(col("object_id").as("req_id"))
+      .agg(min(col("volume")).as("volume"),
+        min(concat(col("bucket"), lit("|"), col("key"))).as("bk"))
+      .select(col("req_id"),
+        (expr("req_id DIV 1310") % 8).as("cls"),
+        expr("req_id DIV 131").as("probe"),
+        col("volume"),
+        substring_index(col("bk"), "|", 1).as("bucket0"),
+        substring_index(col("bk"), "|", -1).as("key0"))
+      .withColumn("pdir",
+        graft.operators.Aggregates.parentDirOf("key0"))
+      .withColumn("base", element_at(split(col("key0"), "/"), -1))
+    base.select(col("req_id"),
+      col("volume"),
+      when(col("probe") % 13 === 3, lit("no-such-bucket"))
+        .otherwise(col("bucket0")).as("bucket"),
+      when(col("probe") % 17 === 5, lit(""))
+        .when(col("cls") === 1, concat(col("key0"), lit(".ghost")))
+        .when(col("cls").isin(2, 3, 7), col("pdir"))
+        .otherwise(col("key0")).as("src_key"),
+      when(col("cls") === 0, concat(col("key0"), lit(".r0")))
+        .when(col("cls") === 1, concat(col("key0"), lit(".r1")))
+        .when(col("cls") === 2, concat(col("pdir"), lit("-moved")))
+        .when(col("cls") === 3, concat(col("pdir"), lit("/x/sub")))
+        .when(col("cls") === 4, col("key0"))
+        .when(col("cls") === 5 && col("probe") % 2 === 0,
+          lit("warehouse"))
+        .when(col("cls") === 5, col("pdir"))
+        .when(col("cls") === 6, concat(lit("nowhere/x/"), col("base")))
+        .otherwise(col("pdir")).as("to_key"))
+  }
+
   /** CreateFile request batch for the missing-parent walk — covers a new
     * subtree under an existing dir, a brand-new top chain, two requests
     * sharing a new subtree (minted once), a fully-existing parent chain

@@ -247,6 +247,133 @@ object CommitLog {
   }
 
   /**
+   * FSO single-key rename ladder (OMKeyRenameRequestWithFSO
+   * .validateAndUpdateCache:95-210 + OMFileRequest
+   * .verifyToDirIsASubDirOfFromDirectory:788-803 / getKeyParentDir:
+   * 821-845), in reference branch order:
+   *   1. empty source name (checked before even the bucket lock)
+   *      → INVALID_KEY_NAME
+   *   2. validateBucketAndVolume → BUCKET_NOT_FOUND
+   *   3. source path resolves to neither file nor dir → KEY_NOT_FOUND
+   *   4. source is an hsync'ed open file → RENAME_OPEN_FILE
+   *   5. renaming a DIRECTORY to its own subtree (the dst's parent chain
+   *      contains the src) → RENAME_ERROR_SUBDIR (KEY_RENAME_ERROR)
+   *   6. destination exists:
+   *      a. dst == src and src is a file → SELF_NOOP (SUCCESS, no write)
+   *      b. dst == src and src is a dir  → KEY_ALREADY_EXISTS
+   *      c. dst is a dir → the source moves UNDER it as
+   *         dst/basename(src); if that path already exists
+   *         → KEY_ALREADY_EXISTS, else → RENAMED_INTO_DIR
+   *      d. dst is a file → KEY_ALREADY_EXISTS
+   *   7. destination missing: its immediate parent must exist as a dir
+   *      (root-level dsts exempt) → RENAME_ERROR_PARENT
+   *      (KEY_RENAME_ERROR), else → RENAMED.
+   * UpdateID preconditions (:124-129) are not modeled — the catalog
+   * carries no client-supplied expected-updateID.
+   *
+   * hsync model: a key is an hsync'ed open file iff its LATEST version
+   * ≡ 0 (mod 3) — the rename probes the committed key's metadata
+   * (OmKeyInfo.isHsync), so the flag derives from the winning version.
+   *
+   * Scale shape: mirrors [[keyDeleteDecisions]] — the request batch
+   * broadcasts into file/dir existence semi-joins; the namespace never
+   * shuffles; everything after the probes is request-sized.
+   */
+  def fsoRenameDecisions(requests: DataFrame, objects: DataFrame,
+                         buckets: DataFrame, dirs: DataFrame): DataFrame = {
+    val srcKeys = requests.select(col("volume"), col("bucket"),
+      col("src_key").as("key")).distinct()
+    val dstKeys = requests.select(col("volume"), col("bucket"),
+      col("to_key").as("key")).distinct()
+    val newToKeys = requests.select(col("volume"), col("bucket"),
+      concat(col("to_key"), lit("/"),
+        element_at(split(col("src_key"), "/"), -1)).as("key")).distinct()
+    val parentKeys = requests.select(col("volume"), col("bucket"),
+      Aggregates.parentDirOf("to_key").as("key")).distinct()
+    val probeKeys = srcKeys.unionByName(dstKeys).unionByName(newToKeys)
+      .unionByName(parentKeys).distinct()
+    // one pass over the key table: latest version decides hsync
+    val fileProbe = objects
+      .join(broadcast(probeKeys), Seq("volume", "bucket", "key"),
+        "left_semi")
+      .groupBy("volume", "bucket", "key")
+      .agg(max(col("version")).as("__maxv"))
+      .select(col("volume"), col("bucket"), col("key"),
+        lit(true).as("is_file"), (col("__maxv") % 3 === 0).as("hsync"))
+    val dirProbe = dirs
+      .select(col("volume"), col("bucket"), col("path").as("key"))
+      .join(broadcast(probeKeys), Seq("volume", "bucket", "key"),
+        "left_semi")
+      .distinct()
+      .withColumn("is_dir", lit(true))
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumn("bkt_exists", lit(true))
+
+    val srcFile = fileProbe.select(col("volume"), col("bucket"),
+      col("key").as("src_key"), col("is_file").as("src_is_file"),
+      col("hsync").as("src_hsync"))
+    val srcDir = dirProbe.select(col("volume"), col("bucket"),
+      col("key").as("src_key"), col("is_dir").as("src_is_dir"))
+    val dstFile = fileProbe.select(col("volume"), col("bucket"),
+      col("key").as("to_key"), col("is_file").as("dst_is_file"))
+    val dstDir = dirProbe.select(col("volume"), col("bucket"),
+      col("key").as("to_key"), col("is_dir").as("dst_is_dir"))
+    val parentProbe = dirProbe.select(col("volume"), col("bucket"),
+      col("key").as("dst_parent"), col("is_dir").as("parent_is_dir"))
+    val newToProbe = fileProbe
+      .select(col("volume"), col("bucket"), col("key"))
+      .unionByName(dirProbe.select(col("volume"), col("bucket"),
+        col("key")))
+      .distinct()
+      .select(col("volume"), col("bucket"), col("key").as("new_to"),
+        lit(true).as("newto_exists"))
+
+    requests
+      .withColumn("dst_parent", Aggregates.parentDirOf("to_key"))
+      .withColumn("new_to", concat(col("to_key"), lit("/"),
+        element_at(split(col("src_key"), "/"), -1)))
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(srcFile), Seq("volume", "bucket", "src_key"), "left")
+      .join(broadcast(srcDir), Seq("volume", "bucket", "src_key"), "left")
+      .join(broadcast(dstFile), Seq("volume", "bucket", "to_key"), "left")
+      .join(broadcast(dstDir), Seq("volume", "bucket", "to_key"), "left")
+      .join(broadcast(parentProbe), Seq("volume", "bucket", "dst_parent"),
+        "left")
+      .join(broadcast(newToProbe), Seq("volume", "bucket", "new_to"),
+        "left")
+      .withColumn("__dst_exists",
+        coalesce(col("dst_is_file"), lit(false)) ||
+          coalesce(col("dst_is_dir"), lit(false)))
+      .withColumn("decision",
+        when(col("src_key") === "", lit("INVALID_KEY_NAME"))
+          .when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("src_is_file").isNull && col("src_is_dir").isNull,
+            lit("KEY_NOT_FOUND"))
+          .when(coalesce(col("src_is_file"), lit(false)) &&
+            col("src_is_dir").isNull &&
+            coalesce(col("src_hsync"), lit(false)),
+            lit("RENAME_OPEN_FILE"))
+          .when(coalesce(col("src_is_dir"), lit(false)) &&
+            col("to_key").startsWith(concat(col("src_key"), lit("/"))),
+            lit("RENAME_ERROR_SUBDIR"))
+          .when(col("__dst_exists") && col("to_key") === col("src_key") &&
+            coalesce(col("dst_is_file"), lit(false)), lit("SELF_NOOP"))
+          .when(col("__dst_exists") && col("to_key") === col("src_key"),
+            lit("KEY_ALREADY_EXISTS"))
+          .when(coalesce(col("dst_is_dir"), lit(false)) &&
+            coalesce(col("newto_exists"), lit(false)),
+            lit("KEY_ALREADY_EXISTS"))
+          .when(coalesce(col("dst_is_dir"), lit(false)),
+            lit("RENAMED_INTO_DIR"))
+          .when(col("__dst_exists"), lit("KEY_ALREADY_EXISTS"))
+          .when(size(split(col("to_key"), "/")) > 1 &&
+            col("parent_is_dir").isNull, lit("RENAME_ERROR_PARENT"))
+          .otherwise(lit("RENAMED")))
+      .select("req_id", "volume", "bucket", "src_key", "to_key", "decision")
+      .orderBy("req_id")
+  }
+
+  /**
    * CreateSnapshot validation ladder (OMSnapshotCreateRequest): snapshot
    * name through the strict resource-name rules
    * (OMSnapshotCreateRequest.java:107 → OmUtils.validateSnapshotName:744 →

@@ -153,6 +153,49 @@ class WriteLaddersSpec extends SparkSpecBase {
       3L -> (("BUCKET_NOT_FOUND", 0L, 0L))))
   }
 
+  // ---- FSO rename ------------------------------------------------------
+
+  test("fsoRenameDecisions: every branch on a micro namespace") {
+    import graft.operators.CommitLog
+    // namespace: a/b/f1.dat (v=1), a/b/f2.dat (v=3 → hsync), a/c/g.dat
+    val objs = Seq(
+      ("v", "b", "a/b/f1.dat", 1L), ("v", "b", "a/b/f2.dat", 3L),
+      ("v", "b", "a/c/g.dat", 1L))
+      .toDF("volume", "bucket", "key", "version")
+    val dirs = Seq(("v", "b", "a"), ("v", "b", "a/b"), ("v", "b", "a/c"))
+      .toDF("volume", "bucket", "path")
+    val bkts = Seq(("v", "b")).toDF("volume", "bucket")
+    val reqs = Seq(
+      (1L, "v", "b", "a/b/f1.dat", "a/b/f9.dat"),   // plain rename
+      (2L, "v", "b", "a/b/f2.dat", "a/b/f9.dat"),   // hsync'ed source
+      (3L, "v", "b", "a/b", "a/b/x/y"),             // own subtree
+      (4L, "v", "b", "a/b/f1.dat", "a/c/g.dat"),    // case-6 dst file
+      (5L, "v", "b", "a/b/f1.dat", "a/c"),          // into dir, fresh
+      (6L, "v", "b", "a/b/f1.dat", "a/b"),          // into dir, collides
+      (7L, "v", "b", "a/b", "a/c"),                 // dir into dir: a/c/b
+      (8L, "v", "b", "a/b/f1.dat", "zz/f1.dat"),    // parent missing
+      (9L, "v", "b", "a/b/f1.dat", "a/b/f1.dat"),   // file self-noop
+      (10L, "v", "b", "a/b", "a/b"),                // dir self → exists
+      (11L, "v", "b", "", "a/b/f9.dat"),            // empty source
+      (12L, "v", "nob", "a/b/f1.dat", "a/b/f9.dat"))// missing bucket
+      .toDF("req_id", "volume", "bucket", "src_key", "to_key")
+    val got = CommitLog.fsoRenameDecisions(reqs, objs, bkts, dirs)
+      .select("req_id", "decision").as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "RENAMED",
+      2L -> "RENAME_OPEN_FILE",
+      3L -> "RENAME_ERROR_SUBDIR",
+      4L -> "KEY_ALREADY_EXISTS",
+      5L -> "RENAMED_INTO_DIR",     // a/c/f1.dat is fresh
+      6L -> "KEY_ALREADY_EXISTS",   // a/b/f1.dat collides with itself
+      7L -> "RENAMED_INTO_DIR",     // a/c/b is fresh
+      8L -> "RENAME_ERROR_PARENT",
+      9L -> "SELF_NOOP",
+      10L -> "KEY_ALREADY_EXISTS",  // self-rename is a no-op only for files
+      11L -> "INVALID_KEY_NAME",
+      12L -> "BUCKET_NOT_FOUND"))
+  }
+
   // ---- Tenant admin ladders --------------------------------------------
 
   test("tenant delete: not-empty is checked before existence") {
