@@ -274,4 +274,59 @@ object Api {
   def validateSigV4(s: SparkSession, d: String,
                     requests: DataFrame): DataFrame =
     S3Ops.sigv4Verify(requests, T.s3Secrets(s, d))
+
+  /** PutObjectTagging: gateway tag-set validation then the OM apply. */
+  def putObjectTagging(s: SparkSession, d: String, requests: DataFrame,
+                       entries: DataFrame): DataFrame =
+    S3Ops.putObjectTagging(requests, entries, T.buckets(s, d),
+      T.objects(s, d))
+
+  /** GetObjectTagging: the stored tag map of one key. */
+  def getObjectTagging(s: SparkSession, d: String, volume: String,
+                       bucket: String, key: String): DataFrame =
+    Nested.tagsOf(T.objectsNested(s, d), volume, bucket, key)
+
+  /** PutBucketLifecycleConfiguration validation verdicts. */
+  def setLifecycleConfiguration(s: SparkSession, d: String,
+                                requests: DataFrame,
+                                rules: DataFrame): DataFrame =
+    Lifecycle.lifecycleSetDecisions(requests, rules, T.buckets(s, d))
+
+  /** MPU CommitPart / AbortMultipartUpload decisions. */
+  def commitMultipartParts(s: SparkSession, d: String,
+                           requests: DataFrame): DataFrame =
+    Lifecycle.mpuCommitPart(requests, T.mpuOpenParts(s, d),
+      T.multipartInfo(s, d), T.multipartParts(s, d), T.buckets(s, d))
+
+  def abortMultipartUploads(s: SparkSession, d: String,
+                            requests: DataFrame): DataFrame =
+    Lifecycle.mpuAbort(requests, T.multipartInfo(s, d),
+      T.multipartParts(s, d), T.buckets(s, d))
+
+  /** Tenant admin: create / delete / revoke-access-id decisions. */
+  def createTenants(s: SparkSession, d: String,
+                    requests: DataFrame): DataFrame =
+    Tenants.tenantCreateDecisions(requests, T.tenantState(s, d),
+      T.volumes(s, d))
+
+  def deleteTenants(s: SparkSession, d: String,
+                    requests: DataFrame): DataFrame =
+    Tenants.tenantDeleteDecisions(requests, T.tenantStateExt(s, d),
+      T.tenantAccessCatalog(s, d))
+
+  def revokeTenantAccessIds(s: SparkSession, d: String,
+                            requests: DataFrame): DataFrame =
+    Tenants.tenantRevokeDecisions(requests, T.tenantAccessCatalog(s, d))
+
+  /** FSO RenameKey decisions (subtree/hsync/parent guards). */
+  def renameKeysFso(s: SparkSession, d: String,
+                    requests: DataFrame): DataFrame =
+    CommitLog.fsoRenameDecisions(requests, T.objects(s, d),
+      T.buckets(s, d),
+      T.objects(s, d)
+        .withColumn("pdir", Aggregates.parentDirOf("key"))
+        .filter(col("pdir") =!= "")
+        .select(col("volume"), col("bucket"),
+          explode(Aggregates.dirAndAncestors("pdir")).as("path"))
+        .distinct())
 }
