@@ -479,6 +479,18 @@ object SparkEntry {
     "q_tenant_revoke" -> ((s, d) =>
       Tenants.tenantRevokeDecisions(T.tenantRevokeRequests(s, d),
         T.tenantAccessCatalog(s, d))),
+    // CreateDirectory ladder: root guard, file-in-path guards (self and
+    // ancestor), idempotent DIR_EXISTS, minted-parents count.
+    "q_fso_mkdir" -> ((s, d) =>
+      Hierarchy.mkdirDecisions(T.fsoMkdirRequests(s, d), T.objects(s, d),
+        T.buckets(s, d),
+        T.objects(s, d)
+          .withColumn("pdir", Aggregates.parentDirOf("key"))
+          .filter(col("pdir") =!= "")
+          .select(col("volume"), col("bucket"),
+            org.apache.spark.sql.functions.explode(
+              Aggregates.dirAndAncestors("pdir")).as("path"))
+          .distinct())),
     // FSO rename ladder: hsync guard, own-subtree guard, into-dir moves
     // with dst/basename collision, dst-parent existence.
     "q_fso_rename" -> ((s, d) =>
@@ -2504,6 +2516,82 @@ object SparkEntry {
       """t_revoke_reqs(req_id, access_id) AS (VALUES
         |  (1, 'tenant0$clerk1'), (2, 'tenant0$clerk0'),
         |  (3, 'nope$user'), (4, 'orphan$ghost2'))""".stripMargin),
+
+    // CreateDirectory ladder — prefix explode per request, file/dir
+    // probes per prefix, minted = missing prefixes.
+    "q_fso_mkdir" -> O.withCtes(
+      """SELECT r.req_id, r.volume, r.bucket, r.path,
+        |  CASE WHEN r.path = '' THEN 'CANNOT_CREATE_DIRECTORY_AT_ROOT'
+        |       WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND'
+        |       WHEN f.self_file OR f.anc_file THEN 'FILE_ALREADY_EXISTS'
+        |       WHEN f.self_dir THEN 'DIR_EXISTS'
+        |       ELSE 'CREATED' END AS decision,
+        |  CASE WHEN r.path <> '' AND b.bucket IS NOT NULL
+        |        AND (f.self_file OR f.anc_file)
+        |       THEN CASE WHEN f.self_file THEN 'SELF' ELSE 'ANCESTOR' END
+        |       ELSE '' END AS blocked_by,
+        |  CASE WHEN r.path <> '' AND b.bucket IS NOT NULL
+        |        AND NOT (f.self_file OR f.anc_file OR f.self_dir)
+        |       THEN f.missing_prefixes ELSE 0 END AS dirs_minted
+        |FROM mkdir_reqs r
+        |LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |LEFT JOIN mk_flags f USING (req_id)
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets,
+      """fso_dirs AS (
+        |  SELECT DISTINCT volume, bucket,
+        |    array_to_string(ws[1:d], '/') AS path
+        |  FROM (
+        |    SELECT volume, bucket, string_split(key, '/') AS ws,
+        |      unnest(generate_series(1,
+        |        len(string_split(key, '/')) - 1)) AS d
+        |    FROM objects))""".stripMargin,
+      """mkdir_reqs AS (
+        |  SELECT req_id, volume,
+        |    CASE WHEN probe % 13 = 3 THEN 'no-such-bucket'
+        |         ELSE bucket0 END AS bucket,
+        |    CASE WHEN probe % 17 = 5 THEN ''
+        |         WHEN cls = 0 THEN pdir || '/newdir'
+        |         WHEN cls = 1 THEN pdir || '/n1/n2/n3'
+        |         WHEN cls = 2 THEN pdir
+        |         WHEN cls = 3 THEN key0
+        |         WHEN cls = 4 THEN key0 || '/sub/x'
+        |         ELSE 'newtop/d' || (probe % 5) || '/x' END AS path
+        |  FROM (
+        |    SELECT req_id, (req_id // 1510) % 6 AS cls,
+        |      (req_id // 151) AS probe, volume,
+        |      split_part(bk, '|', 1) AS bucket0,
+        |      split_part(bk, '|', 2) AS key0,
+        |      substring(split_part(bk, '|', 2), 1,
+        |        length(split_part(bk, '|', 2)) -
+        |        length(string_split(split_part(bk, '|', 2), '/')[-1]) - 1)
+        |        AS pdir
+        |    FROM (
+        |      SELECT object_id AS req_id, min(volume) AS volume,
+        |        min(bucket || '|' || key) AS bk
+        |      FROM objects WHERE object_id % 151 = 0 GROUP BY 1)))""".stripMargin,
+      """mk_flags AS (
+        |  SELECT req_id,
+        |    bool_or(fk.key IS NOT NULL AND p.pfx = p.path) AS self_file,
+        |    bool_or(fk.key IS NOT NULL AND p.pfx <> p.path) AS anc_file,
+        |    bool_or(dd.path IS NOT NULL AND p.pfx = p.path) AS self_dir,
+        |    CAST(sum(CASE WHEN dd.path IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS missing_prefixes
+        |  FROM (
+        |    SELECT req_id, volume, bucket, path,
+        |      array_to_string(ws[1:d], '/') AS pfx
+        |    FROM (
+        |      SELECT req_id, volume, bucket, path,
+        |        string_split(path, '/') AS ws,
+        |        unnest(generate_series(1,
+        |          len(string_split(path, '/')))) AS d
+        |      FROM mkdir_reqs WHERE path <> '')) p
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket, key FROM objects) fk
+        |    ON p.volume = fk.volume AND p.bucket = fk.bucket
+        |    AND p.pfx = fk.key
+        |  LEFT JOIN fso_dirs dd ON p.volume = dd.volume
+        |    AND p.bucket = dd.bucket AND p.pfx = dd.path
+        |  GROUP BY 1)""".stripMargin),
 
     // FSO rename ladder — probes mirror the operator's file/dir/parent/
     // dst-basename lookups; hsync = latest version ≡ 0 (mod 3).

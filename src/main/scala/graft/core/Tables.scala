@@ -548,6 +548,42 @@ object Tables {
         .otherwise(col("pdir")).as("to_key"))
   }
 
+  /** fso_mkdir_requests: an OMDirectoryCreateRequest batch, data-derived
+    * like [[fsoRenameRequests]] (object_id % 151 == 0). cls = second
+    * digit of probe:
+    *   0 new dir under an existing dir        (CREATED, 1 minted)
+    *   1 deep new chain under an existing dir (CREATED, 3 minted)
+    *   2 existing dir                         (DIR_EXISTS — idempotent)
+    *   3 path is an existing FILE             (FILE_ALREADY_EXISTS)
+    *   4 an ANCESTOR is an existing file      (FILE_ALREADY_EXISTS)
+    *   5 brand-new top-level chain            (CREATED, 2 minted)
+    * probes: probe%13==3 missing bucket; probe%17==5 empty path
+    * (CANNOT_CREATE_DIRECTORY_AT_ROOT). */
+  def fsoMkdirRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 151 === 0)
+      .groupBy(col("object_id").as("req_id"))
+      .agg(min(col("volume")).as("volume"),
+        min(concat(col("bucket"), lit("|"), col("key"))).as("bk"))
+      .select(col("req_id"),
+        (expr("req_id DIV 1510") % 6).as("cls"),
+        expr("req_id DIV 151").as("probe"),
+        col("volume"),
+        substring_index(col("bk"), "|", 1).as("bucket0"),
+        substring_index(col("bk"), "|", -1).as("key0"))
+      .withColumn("pdir", graft.operators.Aggregates.parentDirOf("key0"))
+      .select(col("req_id"), col("volume"),
+        when(col("probe") % 13 === 3, lit("no-such-bucket"))
+          .otherwise(col("bucket0")).as("bucket"),
+        when(col("probe") % 17 === 5, lit(""))
+          .when(col("cls") === 0, concat(col("pdir"), lit("/newdir")))
+          .when(col("cls") === 1, concat(col("pdir"), lit("/n1/n2/n3")))
+          .when(col("cls") === 2, col("pdir"))
+          .when(col("cls") === 3, col("key0"))
+          .when(col("cls") === 4, concat(col("key0"), lit("/sub/x")))
+          .otherwise(concat(lit("newtop/d"),
+            (col("probe") % 5).cast("string"), lit("/x"))).as("path"))
+
   /** CreateFile request batch for the missing-parent walk — covers a new
     * subtree under an existing dir, a brand-new top chain, two requests
     * sharing a new subtree (minted once), a fully-existing parent chain

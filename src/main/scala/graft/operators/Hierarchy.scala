@@ -215,6 +215,79 @@ object Hierarchy {
       .orderBy("volume", "bucket", "path")
   }
 
+  /**
+   * CreateDirectory ladder (OMDirectoryCreateRequest
+   * .validateAndUpdateCache:141-205 + OMFileRequest.verifyFilesInPath):
+   *   1. empty/normalized-to-root path → CANNOT_CREATE_DIRECTORY_AT_ROOT
+   *      (:148-150)
+   *   2. validateBucketAndVolume → BUCKET_NOT_FOUND
+   *   3. the path itself or any ANCESTOR exists as a FILE →
+   *      FILE_ALREADY_EXISTS (:172-174, FILE_EXISTS /
+   *      FILE_EXISTS_IN_GIVENPATH; blocked_by says which)
+   *   4. the full path already a dir → DIR_EXISTS (Result
+   *      .DIRECTORY_ALREADY_EXISTS — an idempotent no-op, NOT an error)
+   *   5. CREATED — with dirs_minted counting the missing prefixes the
+   *      request materializes (the [[mkdirMissingParents]] walk per
+   *      request).
+   *
+   * Scale shape: the request batch's prefix explode is request-sized;
+   * file/dir existence are broadcast semi-probes into the namespace scan
+   * keyed by those prefixes. The namespace never shuffles.
+   */
+  def mkdirDecisions(requests: DataFrame, objects: DataFrame,
+                     buckets: DataFrame, dirs: DataFrame): DataFrame = {
+    val prefixes = requests
+      .filter(col("path") =!= "")
+      .select(col("req_id"), col("volume"), col("bucket"), col("path"),
+        explode(Aggregates.dirAndAncestors("path")).as("pfx"))
+    val pfxKeys = prefixes.select(col("volume"), col("bucket"),
+      col("pfx").as("key")).distinct()
+    val fileProbe = objects
+      .join(broadcast(pfxKeys), Seq("volume", "bucket", "key"), "left_semi")
+      .select(col("volume"), col("bucket"), col("key").as("pfx"))
+      .distinct()
+      .withColumn("is_file", lit(true))
+    val dirProbe = dirs
+      .select(col("volume"), col("bucket"), col("path").as("pfx"))
+      .join(broadcast(pfxKeys.withColumnRenamed("key", "pfx")),
+        Seq("volume", "bucket", "pfx"), "left_semi")
+      .distinct()
+      .withColumn("is_dir", lit(true))
+    val flags = prefixes
+      .join(broadcast(fileProbe), Seq("volume", "bucket", "pfx"), "left")
+      .join(broadcast(dirProbe), Seq("volume", "bucket", "pfx"), "left")
+      .groupBy("req_id")
+      .agg(
+        max(coalesce(col("is_file"), lit(false)) &&
+          col("pfx") === col("path")).as("self_file"),
+        max(coalesce(col("is_file"), lit(false)) &&
+          col("pfx") =!= col("path")).as("anc_file"),
+        max(coalesce(col("is_dir"), lit(false)) &&
+          col("pfx") === col("path")).as("self_dir"),
+        sum(when(col("is_dir").isNull, 1L).otherwise(0L))
+          .as("missing_prefixes"))
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumn("bkt_exists", lit(true))
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(flags), Seq("req_id"), "left")
+      .withColumn("decision",
+        when(col("path") === "", lit("CANNOT_CREATE_DIRECTORY_AT_ROOT"))
+          .when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("self_file") || col("anc_file"),
+            lit("FILE_ALREADY_EXISTS"))
+          .when(col("self_dir"), lit("DIR_EXISTS"))
+          .otherwise(lit("CREATED")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("path"),
+        col("decision"),
+        when(col("decision") === "FILE_ALREADY_EXISTS",
+          when(col("self_file"), lit("SELF")).otherwise(lit("ANCESTOR")))
+          .otherwise(lit("")).as("blocked_by"),
+        when(col("decision") === "CREATED", col("missing_prefixes"))
+          .otherwise(lit(0L)).as("dirs_minted"))
+      .orderBy("req_id")
+  }
+
   def listStatusFsoWalk(dirs: DataFrame, files: DataFrame,
                         volume: String, bucket: String, parentPath: String,
                         pageSize: Int, maxDepth: Int = 8,
