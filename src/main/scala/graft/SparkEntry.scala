@@ -479,6 +479,12 @@ object SparkEntry {
     "q_tenant_revoke" -> ((s, d) =>
       Tenants.tenantRevokeDecisions(T.tenantRevokeRequests(s, d),
         T.tenantAccessCatalog(s, d))),
+    // Recon ClusterStateEndpoint: one-row cluster summary (global counts,
+    // container states + MISSING, pipelines, datanodes, capacity).
+    "q_cluster_state" -> ((s, d) =>
+      ClusterHealth.clusterState(T.volumes(s, d), T.buckets(s, d),
+        T.objects(s, d), T.containersScm(s, d), T.replicas(s, d),
+        T.datanodes(s, d), T.pipelines(s, d), T.deletedDirs(s, d))),
     // CreateDirectory ladder: root guard, file-in-path guards (self and
     // ancestor), idempotent DIR_EXISTS, minted-parents count.
     "q_fso_mkdir" -> ((s, d) =>
@@ -2516,6 +2522,38 @@ object SparkEntry {
       """t_revoke_reqs(req_id, access_id) AS (VALUES
         |  (1, 'tenant0$clerk1'), (2, 'tenant0$clerk0'),
         |  (3, 'nope$user'), (4, 'orphan$ghost2'))""".stripMargin),
+
+    // ClusterStateEndpoint one-row summary via scalar subqueries.
+    "q_cluster_state" -> O.withCtes(
+      """SELECT
+        |  (SELECT count(*) FROM volumes) AS volumes,
+        |  (SELECT count(*) FROM buckets) AS buckets,
+        |  (SELECT count(*) FROM objects) AS keys,
+        |  (SELECT count(*) FROM containers_scm) AS containers_total,
+        |  (SELECT CAST(sum(CASE WHEN state = 'OPEN' THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM containers_scm) AS containers_open,
+        |  (SELECT CAST(sum(CASE WHEN state = 'CLOSED' THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM containers_scm) AS containers_closed,
+        |  (SELECT CAST(sum(CASE WHEN state = 'DELETED' THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM containers_scm) AS containers_deleted,
+        |  (SELECT count(*) FROM containers_scm c
+        |   WHERE c.state <> 'DELETED' AND NOT EXISTS
+        |     (SELECT 1 FROM replicas r
+        |      WHERE r.container_id = c.container_id))
+        |    AS containers_missing,
+        |  (SELECT count(*) FROM pipelines) AS pipelines_total,
+        |  (SELECT CAST(sum(CASE WHEN state = 'OPEN' THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM pipelines) AS pipelines_open,
+        |  (SELECT count(*) FROM datanodes) AS datanodes_total,
+        |  (SELECT CAST(sum(CASE WHEN state = 'HEALTHY' THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM datanodes) AS datanodes_healthy,
+        |  (SELECT CAST(sum(capacity) AS BIGINT) FROM datanodes)
+        |    AS capacity_total,
+        |  (SELECT CAST(sum(used) AS BIGINT) FROM datanodes)
+        |    AS capacity_used,
+        |  (SELECT count(*) FROM deleted_dirs) AS deleted_dirs""".stripMargin,
+      O.objects, O.objectsMixed, O.buckets, O.volumes, O.containersScm,
+      O.replicas, O.datanodes, O.pipelines, O.deletedDirs),
 
     // CreateDirectory ladder — prefix explode per request, file/dir
     // probes per prefix, minted = missing prefixes.

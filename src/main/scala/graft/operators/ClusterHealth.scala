@@ -633,4 +633,52 @@ object ClusterHealth {
         col("num_files").as("pending_files"),
         col("size_of_files").as("pending_bytes"))
       .orderBy("volume", "bucket", "dir")
+
+  /**
+   * Recon ClusterStateEndpoint (`recon/.../api/ClusterStateEndpoint.java:
+   * 97-200`) as one summary row: global table counts (volumes / buckets /
+   * keys), SCM container counts by state plus MISSING (a live container
+   * with zero reported replicas — the endpoint's unhealthy-containers
+   * probe), pipeline counts, datanode counts/health and raw capacity
+   * totals, and the deleted-dir backlog size.
+   *
+   * Scale shape: every input is either a control-plane catalog or an
+   * already-maintained rollup; each aggregate is a map-side-combined
+   * single-row reduction, and the final assembly is a broadcast cross of
+   * one-row frames. The only key-table touch is the `keys` count —
+   * served incrementally at scale by the streamed global-counts view
+   * (q_stream_counts), scanned here for the batch dual.
+   */
+  def clusterState(volumes: DataFrame, buckets: DataFrame,
+                   objects: DataFrame, containersScm: DataFrame,
+                   replicas: DataFrame, datanodes: DataFrame,
+                   pipelines: DataFrame,
+                   deletedDirs: DataFrame): DataFrame = {
+    val v = volumes.agg(count(lit(1)).as("volumes"))
+    val b = buckets.agg(count(lit(1)).as("buckets"))
+    val k = objects.agg(count(lit(1)).as("keys"))
+    val c = containersScm.agg(
+      count(lit(1)).as("containers_total"),
+      sum(when(col("state") === "OPEN", 1L).otherwise(0L))
+        .as("containers_open"),
+      sum(when(col("state") === "CLOSED", 1L).otherwise(0L))
+        .as("containers_closed"),
+      sum(when(col("state") === "DELETED", 1L).otherwise(0L))
+        .as("containers_deleted"))
+    val m = containersScm.filter(col("state") =!= "DELETED")
+      .join(replicas.select("container_id").distinct(),
+        Seq("container_id"), "left_anti")
+      .agg(count(lit(1)).as("containers_missing"))
+    val p = pipelines.agg(count(lit(1)).as("pipelines_total"),
+      sum(when(col("state") === "OPEN", 1L).otherwise(0L))
+        .as("pipelines_open"))
+    val d = datanodes.agg(count(lit(1)).as("datanodes_total"),
+      sum(when(col("state") === "HEALTHY", 1L).otherwise(0L))
+        .as("datanodes_healthy"),
+      sum("capacity").as("capacity_total"),
+      sum("used").as("capacity_used"))
+    val dd = deletedDirs.agg(count(lit(1)).as("deleted_dirs"))
+    v.crossJoin(b).crossJoin(k).crossJoin(c).crossJoin(m).crossJoin(p)
+      .crossJoin(d).crossJoin(dd)
+  }
 }
