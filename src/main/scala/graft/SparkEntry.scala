@@ -479,6 +479,20 @@ object SparkEntry {
     "q_tenant_revoke" -> ((s, d) =>
       Tenants.tenantRevokeDecisions(T.tenantRevokeRequests(s, d),
         T.tenantAccessCatalog(s, d))),
+    // DeleteVolume / DeleteBucket ladders (ref-count and occupancy
+    // guards; links delete on their own empty key space).
+    "q_volume_delete" -> ((s, d) =>
+      BucketOps.volumeDeleteDecisions(T.volumeDeleteRequests(s, d),
+        T.volumesRef(s, d))),
+    "q_bucket_delete" -> ((s, d) => {
+      import s.implicits._
+      BucketOps.bucketDeleteDecisions(T.bucketDeleteRequests(s, d),
+        T.bucketCatalogExt(s, d), T.objects(s, d),
+        T.multipartInfo(s, d).select("volume", "bucket")
+          .unionByName(Seq(("vol0", "empty-mpu")).toDF("volume", "bucket")),
+        T.snapshotCatalog(s, d).select("volume", "bucket")
+          .unionByName(Seq(("vol0", "empty-snap")).toDF("volume", "bucket")))
+    }),
     // Recon ClusterStateEndpoint: one-row cluster summary (global counts,
     // container states + MISSING, pipelines, datanodes, capacity).
     "q_cluster_state" -> ((s, d) =>
@@ -2522,6 +2536,66 @@ object SparkEntry {
       """t_revoke_reqs(req_id, access_id) AS (VALUES
         |  (1, 'tenant0$clerk1'), (2, 'tenant0$clerk0'),
         |  (3, 'nope$user'), (4, 'orphan$ghost2'))""".stripMargin),
+
+    // DeleteVolume ladder: lookup → ref-count → emptiness → DELETED.
+    "q_volume_delete" -> O.withCtes(
+      """SELECT r.req_id, r.volume,
+        |  CASE WHEN v.volume IS NULL THEN 'VOLUME_NOT_FOUND'
+        |       WHEN v.ref_count <> 0 THEN 'VOLUME_IS_REFERENCED'
+        |       WHEN v.bucket_count > 0 THEN 'VOLUME_NOT_EMPTY'
+        |       ELSE 'DELETED' END AS decision
+        |FROM (VALUES (1, 'vol0'), (2, 'vol3'), (3, 'no-such-vol'),
+        |      (4, 'vol-bare')) r(req_id, volume)
+        |LEFT JOIN (
+        |  SELECT volume, bucket_count,
+        |    CASE WHEN volume = 'vol3' THEN 1 ELSE 0 END AS ref_count
+        |  FROM volumes
+        |  UNION ALL SELECT 'vol-bare', 0, 0) v USING (volume)
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes),
+
+    // DeleteBucket ladder: keys beat MPUs beat snapshots; link buckets
+    // delete on their own (empty) key space.
+    "q_bucket_delete" -> O.withCtes(
+      """SELECT req_id, volume, bucket, decision,
+        |  CASE WHEN decision = 'BUCKET_NOT_EMPTY'
+        |       THEN CASE WHEN has_keys THEN 'KEYS' ELSE 'MPUS' END
+        |       ELSE '' END AS reason
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket,
+        |    k.volume IS NOT NULL AS has_keys,
+        |    CASE WHEN c.volume IS NULL THEN 'BUCKET_NOT_FOUND'
+        |         WHEN k.volume IS NOT NULL THEN 'BUCKET_NOT_EMPTY'
+        |         WHEN m.volume IS NOT NULL THEN 'BUCKET_NOT_EMPTY'
+        |         WHEN s.volume IS NOT NULL THEN 'CONTAINS_SNAPSHOT'
+        |         ELSE 'DELETED' END AS decision
+        |  FROM (VALUES (1, 'vol0', 'bucket0'), (2, 'vol2', 'bucket5'),
+        |        (3, 'vol0', 'no-such'), (4, 'vol0', 'empty-b'),
+        |        (5, 'vol0', 'empty-mpu'), (6, 'vol0', 'empty-snap'),
+        |        (7, 'vol1', 'link-a'), (8, 'vol2', 'link-b'))
+        |    r(req_id, volume, bucket)
+        |  LEFT JOIN (
+        |    SELECT volume, bucket FROM buckets
+        |    UNION ALL SELECT * FROM (VALUES ('vol1', 'link-a'),
+        |      ('vol2', 'link-b'), ('vol3', 'link-broken'),
+        |      ('vol0', 'link-cycle1'), ('vol0', 'link-cycle2'),
+        |      ('vol0', 'empty-b'), ('vol0', 'empty-mpu'),
+        |      ('vol0', 'empty-snap')) t(volume, bucket)) c
+        |    ON r.volume = c.volume AND r.bucket = c.bucket
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket FROM objects) k
+        |    ON r.volume = k.volume AND r.bucket = k.bucket
+        |  LEFT JOIN (
+        |    SELECT DISTINCT 'vol' || (order_key % 4) AS volume,
+        |      'bucket' || (order_key % 10) AS bucket
+        |    FROM multipart_parts
+        |    UNION ALL SELECT 'vol0', 'empty-mpu') m
+        |    ON r.volume = m.volume AND r.bucket = m.bucket
+        |  LEFT JOIN (SELECT * FROM (VALUES ('vol0', 'bucket0'),
+        |      ('vol2', 'bucket5'), ('vol0', 'empty-snap'))
+        |      t(volume, bucket)) s
+        |    ON r.volume = s.volume AND r.bucket = s.bucket)
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets, O.multipartParts),
 
     // ClusterStateEndpoint one-row summary via scalar subqueries.
     "q_cluster_state" -> O.withCtes(

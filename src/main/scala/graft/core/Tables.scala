@@ -548,6 +548,58 @@ object Tables {
         .otherwise(col("pdir")).as("to_key"))
   }
 
+  /** volumes_ref: the volume catalog reduced to the delete-ladder probes
+    * (bucket occupancy + tenant reference count; vol3 models the
+    * tenant-referenced volume) plus one bare volume with no buckets. */
+  def volumesRef(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    volumes(spark, dir)
+      .select(col("volume"), col("bucket_count"),
+        when(col("volume") === "vol3", 1L).otherwise(0L).as("ref_count"))
+      .unionByName(Seq(("vol-bare", 0L, 0L))
+        .toDF("volume", "bucket_count", "ref_count"))
+  }
+
+  /** volume_delete_requests: NOT_EMPTY / IS_REFERENCED (checked before
+    * emptiness — vol3 is also non-empty, probing the order) / NOT_FOUND /
+    * DELETED (the bare volume). */
+  def volumeDeleteRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "vol0"), (2L, "vol3"), (3L, "no-such-vol"), (4L, "vol-bare"))
+      .toDF("req_id", "volume")
+  }
+
+  /** bucket_catalog_ext: real buckets ∪ link buckets ∪ three synthetic
+    * empty buckets (plain / with an in-flight MPU / with a snapshot) —
+    * the existence probe for DeleteBucket. */
+  def bucketCatalogExt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buckets(spark, dir).select("volume", "bucket")
+      .unionByName(bucketLinks(spark, dir).select("volume", "bucket"))
+      .unionByName(Seq(
+        ("vol0", "empty-b"), ("vol0", "empty-mpu"), ("vol0", "empty-snap"))
+        .toDF("volume", "bucket"))
+  }
+
+  /** bucket_delete_requests: keys-occupied (beats MPU and snapshot
+    * checks), missing, plain-empty, MPU-blocked, snapshot-blocked, and
+    * two link buckets (a link's OWN key space is empty, so deleting the
+    * link succeeds even though its source holds keys — reference
+    * isBucketEmpty walks the link's prefix, not the source's). */
+  def bucketDeleteRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0"),
+      (2L, "vol2", "bucket5"),
+      (3L, "vol0", "no-such"),
+      (4L, "vol0", "empty-b"),
+      (5L, "vol0", "empty-mpu"),
+      (6L, "vol0", "empty-snap"),
+      (7L, "vol1", "link-a"),
+      (8L, "vol2", "link-b"))
+      .toDF("req_id", "volume", "bucket")
+  }
+
   /** fso_mkdir_requests: an OMDirectoryCreateRequest batch, data-derived
     * like [[fsoRenameRequests]] (object_id % 151 == 0). cls = second
     * digit of probe:

@@ -141,6 +141,73 @@ object BucketOps {
    * broadcast into the protocol-sized batch; windows partition by volume /
    * owner over request-sized data.
    */
+  /**
+   * DeleteVolume ladder (OMVolumeDeleteRequest.validateAndUpdateCache:
+   * 105-145): volume lookup → VOLUME_NOT_FOUND; non-zero reference count
+   * (tenant features pin the volume, :124-127 — checked BEFORE emptiness)
+   * → VOLUME_IS_REFERENCED; buckets remain → VOLUME_NOT_EMPTY (:140);
+   * else DELETED (volume also leaves its owner's user-table list).
+   */
+  def volumeDeleteDecisions(requests: DataFrame,
+                            volumesRef: DataFrame): DataFrame =
+    requests
+      .join(broadcast(volumesRef.withColumn("vol_exists", lit(true))),
+        Seq("volume"), "left")
+      .select(col("req_id"), col("volume"),
+        when(col("vol_exists").isNull, lit("VOLUME_NOT_FOUND"))
+          .when(col("ref_count") =!= 0, lit("VOLUME_IS_REFERENCED"))
+          .when(col("bucket_count") > 0, lit("VOLUME_NOT_EMPTY"))
+          .otherwise(lit("DELETED")).as("decision"))
+      .orderBy("req_id")
+
+  /**
+   * DeleteBucket ladder (OMBucketDeleteRequest.validateAndUpdateCache:
+   * 115-165): bucket lookup (volume deliberately unchecked — a bucket
+   * can't exist without one) → BUCKET_NOT_FOUND; keys remain →
+   * BUCKET_NOT_EMPTY/KEYS (:135); incomplete MPUs → BUCKET_NOT_EMPTY/MPUS
+   * (:143-146, same result code, different message); snapshots under the
+   * bucket → CONTAINS_SNAPSHOT (:155); else DELETED. A LINK bucket's own
+   * key space is empty, so links delete regardless of their source's
+   * occupancy (isBucketEmpty walks the link's prefix).
+   *
+   * Scale shape: existence and snapshot probes are control-plane
+   * catalogs; key/MPU occupancy are broadcast-semi-pruned rollups over
+   * just the requested buckets.
+   */
+  def bucketDeleteDecisions(requests: DataFrame, catalog: DataFrame,
+                            objects: DataFrame, mpuInfo: DataFrame,
+                            snapshots: DataFrame): DataFrame = {
+    val reqBuckets = requests.select("volume", "bucket").distinct()
+    val exists = catalog.select("volume", "bucket").distinct()
+      .withColumn("bkt_exists", lit(true))
+    val hasKeys = objects
+      .join(broadcast(reqBuckets), Seq("volume", "bucket"), "left_semi")
+      .select("volume", "bucket").distinct()
+      .withColumn("has_keys", lit(true))
+    val hasMpus = mpuInfo
+      .join(broadcast(reqBuckets), Seq("volume", "bucket"), "left_semi")
+      .select("volume", "bucket").distinct()
+      .withColumn("has_mpus", lit(true))
+    val hasSnaps = snapshots.select("volume", "bucket").distinct()
+      .withColumn("has_snaps", lit(true))
+    requests
+      .join(broadcast(exists), Seq("volume", "bucket"), "left")
+      .join(broadcast(hasKeys), Seq("volume", "bucket"), "left")
+      .join(broadcast(hasMpus), Seq("volume", "bucket"), "left")
+      .join(broadcast(hasSnaps), Seq("volume", "bucket"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("has_keys").isNotNull, lit("BUCKET_NOT_EMPTY"))
+          .when(col("has_mpus").isNotNull, lit("BUCKET_NOT_EMPTY"))
+          .when(col("has_snaps").isNotNull, lit("CONTAINS_SNAPSHOT"))
+          .otherwise(lit("DELETED")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("decision"),
+        when(col("decision") === "BUCKET_NOT_EMPTY",
+          when(col("has_keys").isNotNull, lit("KEYS"))
+            .otherwise(lit("MPUS"))).otherwise(lit("")).as("reason"))
+      .orderBy("req_id")
+  }
+
   def volumeCreateDecisions(requests: DataFrame, volumes: DataFrame,
                             maxUserVolumes: Long = 1024L): DataFrame = {
     val volProbe = volumes.select(col("volume"),
