@@ -479,6 +479,11 @@ object SparkEntry {
     "q_tenant_revoke" -> ((s, d) =>
       Tenants.tenantRevokeDecisions(T.tenantRevokeRequests(s, d),
         T.tenantAccessCatalog(s, d))),
+    // KeyCommit ladder: recovery/hsync guards ahead of the open-entry
+    // probe, quota on the committed allocation.
+    "q_key_commit" -> ((s, d) =>
+      Lifecycle.keyCommitDecisions(T.keyCommitRequests(s, d),
+        T.buckets(s, d))),
     // DeleteVolume / DeleteBucket ladders (ref-count and occupancy
     // guards; links delete on their own empty key space).
     "q_volume_delete" -> ((s, d) =>
@@ -2536,6 +2541,54 @@ object SparkEntry {
       """t_revoke_reqs(req_id, access_id) AS (VALUES
         |  (1, 'tenant0$clerk1'), (2, 'tenant0$clerk0'),
         |  (3, 'nope$user'), (4, 'orphan$ghost2'))""".stripMargin),
+
+    // KeyCommit ladder — flags mirror Tables.keyCommitRequests exactly.
+    "q_key_commit" -> O.withCtes(
+      """SELECT req_id, volume, bucket, key, decision,
+        |  CASE WHEN decision = 'KEY_NOT_FOUND' AND open_exists
+        |        AND open_deleted THEN 'DELETED_HSYNC'
+        |       ELSE '' END AS reason
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket, r.key, r.open_exists,
+        |    r.open_deleted,
+        |    CASE WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND'
+        |      WHEN r.is_recovery AND NOT r.committed_hsync
+        |        THEN 'KEY_ALREADY_CLOSED'
+        |      WHEN NOT r.open_exists THEN 'KEY_NOT_FOUND'
+        |      WHEN r.open_deleted THEN 'KEY_NOT_FOUND'
+        |      WHEN r.open_lease AND NOT r.is_recovery
+        |        THEN 'KEY_UNDER_LEASE_RECOVERY'
+        |      WHEN b.quota_bytes > -1
+        |        AND b.used_bytes + r.commit_size > b.quota_bytes
+        |        THEN 'QUOTA_EXCEEDED'
+        |      WHEN r.is_recovery THEN 'RECOVERED'
+        |      ELSE 'COMMITTED' END AS decision
+        |  FROM kc_reqs r
+        |  LEFT JOIN buckets b ON r.volume = b.volume
+        |    AND r.bucket = b.bucket)
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets,
+      """kc_reqs AS (
+        |  SELECT req_id, volume,
+        |    CASE WHEN probe % 13 = 3 THEN 'no-such-bucket'
+        |         ELSE bucket0 END AS bucket,
+        |    key, cls = 2 AS is_recovery,
+        |    cls <> 1 AS open_exists,
+        |    CASE WHEN cls = 3 THEN 1000000000000
+        |         ELSE data_size END AS commit_size,
+        |    req_id % 9 = 0 AS open_deleted,
+        |    req_id % 9 = 1 AS open_lease,
+        |    req_id % 2 = 0 AS committed_hsync
+        |  FROM (
+        |    SELECT req_id, (req_id // 890) % 6 AS cls,
+        |      (req_id // 89) AS probe, volume,
+        |      split_part(bk, '|', 1) AS bucket0,
+        |      split_part(bk, '|', 2) AS key, data_size
+        |    FROM (
+        |      SELECT object_id AS req_id, min(volume) AS volume,
+        |        min(bucket || '|' || key) AS bk,
+        |        min(data_size) AS data_size
+        |      FROM objects WHERE object_id % 89 = 0 GROUP BY 1)))""".stripMargin),
 
     // DeleteVolume ladder: lookup → ref-count → emptiness → DELETED.
     "q_volume_delete" -> O.withCtes(

@@ -600,6 +600,44 @@ object Tables {
       .toDF("req_id", "volume", "bucket")
   }
 
+  /** key_commit_requests: an OMKeyCommitRequest batch (object_id % 89
+    * == 0, canonicalized). cls = second digit of probe: 0/4/5 plain
+    * commit, 1 clientID mismatch, 2 lease recovery, 3 oversized commit
+    * (quota probe — buckets with unset quota still admit it). Open-entry
+    * metadata flags derive orthogonally from req_id: %9==0 deleted-hsync
+    * marker, %9==1 lease-recovery marker, %2==0 committed-key-has-hsync
+    * -writer. probe%13==3 rewrites the bucket to a missing one. */
+  def keyCommitRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 89 === 0)
+      .groupBy(col("object_id").as("req_id"))
+      .agg(min(col("volume")).as("volume"),
+        min(concat(col("bucket"), lit("|"), col("key"))).as("bk"),
+        min(col("data_size")).as("data_size"))
+      .select(col("req_id"),
+        (expr("req_id DIV 890") % 6).as("cls"),
+        expr("req_id DIV 89").as("probe"),
+        col("volume"),
+        substring_index(col("bk"), "|", 1).as("bucket0"),
+        substring_index(col("bk"), "|", -1).as("key"),
+        col("data_size"))
+      .select(col("req_id"), col("volume"),
+        when(col("probe") % 13 === 3, lit("no-such-bucket"))
+          .otherwise(col("bucket0")).as("bucket"),
+        col("key"),
+        (col("cls") === 2).as("is_recovery"),
+        when(col("cls") === 1, col("req_id") * 7 % 100000 + 999983L)
+          .otherwise(col("req_id") * 7 % 100000).as("client_id"),
+        // the open-table resolution outcome (a mismatched clientID finds
+        // no entry) — pre-joined here; the probe shape itself is the
+        // broadcast pattern proven in mpuCommitPart
+        (col("cls") =!= 1).as("open_exists"),
+        when(col("cls") === 3, lit(1000000000000L))
+          .otherwise(col("data_size")).as("commit_size"),
+        (col("req_id") % 9 === 0).as("open_deleted_hsync"),
+        (col("req_id") % 9 === 1).as("open_lease_recovery"),
+        (col("req_id") % 2 === 0).as("committed_has_hsync_writer"))
+
   /** fso_mkdir_requests: an OMDirectoryCreateRequest batch, data-derived
     * like [[fsoRenameRequests]] (object_id % 151 == 0). cls = second
     * digit of probe:

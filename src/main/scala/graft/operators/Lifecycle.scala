@@ -599,6 +599,52 @@ object Lifecycle {
       .orderBy("req_id")
   }
 
+  /**
+   * KeyCommit ladder (OMKeyCommitRequest.validateAndUpdateCache:200-380 —
+   * the write-path hot RPC), over requests pre-resolved against their
+   * open-entry / committed-key state (the resolution join itself is the
+   * broadcast probe pattern of [[mpuCommitPart]]):
+   *   1. validateBucketAndVolume → BUCKET_NOT_FOUND
+   *   2. recovery of a key whose committed form carries no hsync writer
+   *      (:249-251, BEFORE the open-key lookup — the writer clientID
+   *      comes from that metadata) → KEY_ALREADY_CLOSED
+   *   3. open entry for (key, clientID) absent (:260-262) → KEY_NOT_FOUND
+   *   4. open entry marked deleted/overwritten-hsync (:264-266) → also
+   *      KEY_NOT_FOUND, surfaced via reason=DELETED_HSYNC
+   *   5. LEASE_RECOVERY metadata on a non-recovery commit (:271-273)
+   *      → KEY_UNDER_LEASE_RECOVERY
+   *   6. bucket byte-quota on the committed allocation (:326
+   *      checkBucketQuotaInBytes; quota -1 = unset admits anything)
+   *      → QUOTA_EXCEEDED
+   *   7. COMMITTED (RECOVERED for recovery requests).
+   */
+  def keyCommitDecisions(requests: DataFrame,
+                         buckets: DataFrame): DataFrame = {
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      col("quota_bytes"), col("used_bytes"), lit(true).as("bkt_exists"))
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("is_recovery") && !col("committed_has_hsync_writer"),
+            lit("KEY_ALREADY_CLOSED"))
+          .when(!col("open_exists"), lit("KEY_NOT_FOUND"))
+          .when(col("open_deleted_hsync"), lit("KEY_NOT_FOUND"))
+          .when(col("open_lease_recovery") && !col("is_recovery"),
+            lit("KEY_UNDER_LEASE_RECOVERY"))
+          .when(col("quota_bytes") > -1L &&
+            col("used_bytes") + col("commit_size") > col("quota_bytes"),
+            lit("QUOTA_EXCEEDED"))
+          .when(col("is_recovery"), lit("RECOVERED"))
+          .otherwise(lit("COMMITTED")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("key"),
+        col("decision"),
+        when(col("decision") === "KEY_NOT_FOUND" && col("open_exists") &&
+          col("open_deleted_hsync"), lit("DELETED_HSYNC"))
+          .otherwise(lit("")).as("reason"))
+      .orderBy("req_id")
+  }
+
   /** Request-time "now" for lifecycle-config validation — a midnight-UTC
     * epoch inside the fixture era (creationTime in
     * OmLifecycleConfiguration.valid). 790041600000 = day 9144 exactly. */
