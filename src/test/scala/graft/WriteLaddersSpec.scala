@@ -196,6 +196,89 @@ class WriteLaddersSpec extends SparkSpecBase {
       12L -> "BUCKET_NOT_FOUND"))
   }
 
+  // ---- mkdir -----------------------------------------------------------
+
+  test("mkdirDecisions: file-in-path beats dir-exists; minted counts") {
+    import graft.operators.Hierarchy
+    val objs = Seq(("v", "b", "a/b/f.dat"))
+      .toDF("volume", "bucket", "key")
+    val dirs = Seq(("v", "b", "a"), ("v", "b", "a/b"))
+      .toDF("volume", "bucket", "path")
+    val bkts = Seq(("v", "b")).toDF("volume", "bucket")
+    val reqs = Seq(
+      (1L, "v", "b", "a/b/f.dat/under"), // ancestor is a file
+      (2L, "v", "b", "a/b/f.dat"),       // path is a file
+      (3L, "v", "b", "a/b"),             // idempotent
+      (4L, "v", "b", "a/x/y"),           // two minted under a
+      (5L, "v", "b", ""))                // root
+      .toDF("req_id", "volume", "bucket", "path")
+    val got = Hierarchy.mkdirDecisions(reqs, objs, bkts, dirs)
+      .select("req_id", "decision", "blocked_by", "dirs_minted")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> (("FILE_ALREADY_EXISTS", "ANCESTOR", 0L)),
+      2L -> (("FILE_ALREADY_EXISTS", "SELF", 0L)),
+      3L -> (("DIR_EXISTS", "", 0L)),
+      4L -> (("CREATED", "", 2L)),
+      5L -> (("CANNOT_CREATE_DIRECTORY_AT_ROOT", "", 0L))))
+  }
+
+  // ---- volume / bucket delete ------------------------------------------
+
+  test("delete ladders: reference-count and occupancy precedence") {
+    import graft.operators.BucketOps
+    val vols = Seq(("v-busy", 3L, 0L), ("v-ref", 3L, 1L), ("v-bare", 0L, 0L))
+      .toDF("volume", "bucket_count", "ref_count")
+    val vreqs = Seq((1L, "v-busy"), (2L, "v-ref"), (3L, "v-bare"),
+      (4L, "ghost")).toDF("req_id", "volume")
+    val gotV = BucketOps.volumeDeleteDecisions(vreqs, vols)
+      .select("req_id", "decision").as[(Long, String)].collect().toMap
+    // the tenant reference pins the volume even though it is also
+    // non-empty — ref-count is checked first
+    assert(gotV === Map(1L -> "VOLUME_NOT_EMPTY",
+      2L -> "VOLUME_IS_REFERENCED", 3L -> "DELETED",
+      4L -> "VOLUME_NOT_FOUND"))
+
+    val cat = Seq(("v", "all"), ("v", "mpu"), ("v", "snap"), ("v", "ok"))
+      .toDF("volume", "bucket")
+    val objs = Seq(("v", "all", "k")).toDF("volume", "bucket", "key")
+    val mpus = Seq(("v", "all"), ("v", "mpu")).toDF("volume", "bucket")
+    val snaps = Seq(("v", "all"), ("v", "snap")).toDF("volume", "bucket")
+    val breqs = (1L to 4L).zip(Seq("all", "mpu", "snap", "ok"))
+      .map { case (i, b) => (i, "v", b) }
+      .toDF("req_id", "volume", "bucket")
+    val gotB = BucketOps.bucketDeleteDecisions(breqs, cat, objs, mpus, snaps)
+      .select("req_id", "decision", "reason")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // keys shadow MPUs shadow snapshots
+    assert(gotB === Map(
+      1L -> (("BUCKET_NOT_EMPTY", "KEYS")),
+      2L -> (("BUCKET_NOT_EMPTY", "MPUS")),
+      3L -> (("CONTAINS_SNAPSHOT", "")),
+      4L -> (("DELETED", ""))))
+  }
+
+  // ---- key commit ------------------------------------------------------
+
+  test("keyCommitDecisions: fixture re-derived row-by-row at sf0.01") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Lifecycle.keyCommitDecisions(T.keyCommitRequests(spark, sf01),
+      T.buckets(spark, sf01))
+      .as[(Long, String, String, String, String, String)].collect()
+    assert(got.nonEmpty)
+    // every ladder class fires
+    assert(got.map(_._5).toSet === Set("BUCKET_NOT_FOUND",
+      "KEY_ALREADY_CLOSED", "KEY_NOT_FOUND", "KEY_UNDER_LEASE_RECOVERY",
+      "QUOTA_EXCEEDED", "RECOVERED", "COMMITTED"))
+    // recovery precedence: KEY_ALREADY_CLOSED only on recovery requests
+    // (cls 2 ⇔ req_id DIV 890 % 6 == 2) with an hsync-less committed key
+    got.filter(_._5 == "KEY_ALREADY_CLOSED").foreach { r =>
+      assert((r._1 / 890) % 6 == 2 && r._1 % 2 == 1, r)
+    }
+  }
+
   // ---- Tenant admin ladders --------------------------------------------
 
   test("tenant delete: not-empty is checked before existence") {
