@@ -1232,19 +1232,21 @@ object Tables {
     * client_id = order_key*100 + part_number. Distinct because lineitem
     * carries duplicate (orderkey, linenumber) pairs. */
   def mpuOpenParts(spark: SparkSession, dir: String): DataFrame =
-    raw(spark, dir, "lineitem")
-      .filter(col("l_orderkey") % 50 === 0)
-      .select(
-        concat(lit("vol"), (col("l_orderkey") % 4).cast("string"))
-          .as("volume"),
-        concat(lit("bucket"), (col("l_orderkey") % 10).cast("string"))
-          .as("bucket"),
-        concat(lit("warehouse/mpu/"), col("l_orderkey").cast("string"),
-          lit(".bin")).as("key"),
-        col("l_orderkey").as("order_key"),
-        col("l_linenumber").cast("int").as("part_number"),
-        (col("l_orderkey") * 100 + col("l_linenumber")).as("client_id"))
-      .distinct()
+    memoPersist(spark, "mpuopen", dir) {
+      raw(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(
+          concat(lit("vol"), (col("l_orderkey") % 4).cast("string"))
+            .as("volume"),
+          concat(lit("bucket"), (col("l_orderkey") % 10).cast("string"))
+            .as("bucket"),
+          concat(lit("warehouse/mpu/"), col("l_orderkey").cast("string"),
+            lit(".bin")).as("key"),
+          col("l_orderkey").as("order_key"),
+          col("l_linenumber").cast("int").as("part_number"),
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("client_id"))
+        .distinct()
+    }
 
   /** mpu_commit_requests: a CommitPart batch over the open-part set —
     * cls picks the probe: 0 commit (replaced iff the part is already in
