@@ -219,6 +219,9 @@ object SparkEntry {
     // ---- predicate jobs + scalar/window (SURVEY §2.2/2.5/2.8) ----
     "q_lifecycle_expiry" -> ((s, d) =>
       Lifecycle.lifecycleExpiry(T.objects(s, d), lcRules)),
+    // Recon open-keys insight: per-bucket count, hsync split, size totals.
+    "q_open_keys_insight" -> ((s, d) =>
+      Lifecycle.openKeysInsight(T.openKeys(s, d))),
     "q_open_key_expiry" -> ((s, d) =>
       Lifecycle.openKeyExpiry(T.openKeys(s, d), 896659200000L)),
     "q_open_key_cleanup" -> ((s, d) =>
@@ -1205,6 +1208,16 @@ object SparkEntry {
       """SELECT volume, bucket, count(*) AS expired_count,
         |  CAST(sum(data_size) AS BIGINT) AS expired_bytes
         |FROM open_keys WHERE creation_time < 896659200000
+        |GROUP BY 1, 2 ORDER BY volume, bucket""".stripMargin,
+      O.objects, O.openKeys),
+
+    "q_open_keys_insight" -> O.withCtes(
+      """SELECT volume, bucket, count(*) AS open_count,
+        |  CAST(sum(CASE WHEN client_id % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hsync_count,
+        |  CAST(sum(data_size) AS BIGINT) AS open_bytes,
+        |  CAST(sum(replicated_size) AS BIGINT) AS open_replicated_bytes
+        |FROM open_keys
         |GROUP BY 1, 2 ORDER BY volume, bucket""".stripMargin,
       O.objects, O.openKeys),
 

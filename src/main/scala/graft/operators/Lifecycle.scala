@@ -56,6 +56,23 @@ object Lifecycle {
       .orderBy("volume", "bucket")
 
   /**
+   * Recon OMDBInsightEndpoint open-keys insight (`recon/.../api/
+   * OMDBInsightEndpoint.java` GET /keys/open summary): per-bucket open-key
+   * count with the hsync split and both size totals (unreplicated and
+   * replicated) — the numbers the insight page headlines. One
+   * map-side-combined hash aggregation over the open-key table.
+   */
+  def openKeysInsight(openKeys: DataFrame): DataFrame =
+    openKeys
+      .withColumn("hsync", col("client_id") % 3 === 0)
+      .groupBy("volume", "bucket")
+      .agg(count(lit(1)).as("open_count"),
+        sum(when(col("hsync"), 1L).otherwise(0L)).as("hsync_count"),
+        sum("data_size").as("open_bytes"),
+        sum("replicated_size").as("open_replicated_bytes"))
+      .orderBy("volume", "bucket")
+
+  /**
    * Open-key cleanup decisions — OpenKeyCleanupService.java:183-235: the
    * expired open keys (creation older than the threshold) split into the
    * two submit paths: non-hsync'd entries batch into open-key DELETEs,
