@@ -111,16 +111,40 @@ object Bench {
     // cliffs (broadcast overflow, skew, shuffle explosion) that the base
     // SF structurally cannot. Near-linear scaling ⇒ each probe time stays
     // well under 15× its base-SF time. Opt out: SPARK_GRAFT_SCALE_PROBE=0.
+    // the probe runs at the END of a long JVM: clearCache + System.gc
+    // proved insufficient (10-20× probe swings persisted — the base
+    // pass's old-gen debris dominates), so the probes get a FRESH
+    // SparkSession: stop the base one, GC, recreate. memoPersist caches
+    // store paths, not DataFrames, so derived warehouses re-read fine.
     val sf1Json = if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")) ""
     else {
+      spark.catalog.clearCache()
+      spark.stop()
+      System.gc()
+      scaleProbe(graft.core.GraftSession.local(cpus), sfDir)
+    }
+    // the steady-state clone served its three batches — reclaim it too
+    graft.streaming.ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(steadyWork))
+
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""stream_bootstrap_sec":$bootstrapSec,""" +
+        s""""stream_steady_batch_sec":$steadySec$sf1Json,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json)
+    println(json)
+    if (!spark.sparkContext.isStopped) spark.stop()
+  }
+
+  /** The 10× scale-probe body, run in its own FRESH session (the caller
+    * stops the base session first — see the sf1Json comment). Returns the
+    * `,"sf1":{...},"sf1_ingest_sec":N` JSON fragment. */
+  private def scaleProbe(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String): String = {
       import org.apache.spark.sql.{functions => F}
       val T = graft.core.Tables
-      // the probe runs at the END of a long JVM: drop the 114 queries'
-      // cached blocks and force a full GC first, else heap pressure from
-      // the base-SF pass dominates the measurement (observed 3-5x probe
-      // swings between otherwise identical runs)
-      spark.catalog.clearCache()
-      System.gc()
+      def secs(t0: Long) = (System.nanoTime() - t0) / 1e9
       // 10 replicas; the orderkey path segment gains a replica digit so the
       // DIRECTORY population scales 10× too, not just files-per-dir
       def scale10(df: org.apache.spark.sql.DataFrame) = df
@@ -141,11 +165,16 @@ object Bench {
         .write.partitionBy("volume", "bucket").mode("overwrite").parquet(wh10)
       val ingestSec = secs(tI)
       val sorted10 = spark.read.parquet(wh10)
+      // probes read the MATERIALIZED 10× warehouse (sorted10), never the
+      // lazy obj10 synthesis: re-deriving the crossJoin per probe made the
+      // probe time synthesis-bound and heap-sensitive (observed 2.9s vs
+      // 29s for the same histogram plan between runs) — a cluster reads
+      // stored parquet, so that is the honest shape to measure
       val probes: Seq[(String, () => Long)] = Seq(
         "q_list_keys" -> (() => graft.operators.Listing.listKeys(sorted10,
           "vol1", "bucket3", "warehouse/N/", "warehouse/N/2", 100).count()),
         "q_filesize_histogram" -> (() =>
-          graft.operators.Aggregates.fileSizeHistogram(obj10).count()),
+          graft.operators.Aggregates.fileSizeHistogram(sorted10).count()),
         // the declared query's own path: the shuffle-free sorted fold over
         // the (10×) key-sorted warehouse
         "q_ns_summary" -> (() =>
@@ -154,7 +183,7 @@ object Bench {
           scale10(T.snapshotV1(spark, sfDir)),
           scale10(T.snapshotV2(spark, sfDir))).count()),
         "q_write_apply" -> (() =>
-          graft.operators.CommitLog.appliedState(obj10).count()),
+          graft.operators.CommitLog.appliedState(sorted10).count()),
         // the declared query's own path: winner-per-key as a shuffle-free
         // fold over the (10×) key-sorted warehouse
         "q_latest_version" -> (() =>
@@ -162,7 +191,7 @@ object Bench {
         // data-plane tree build: chunk leaves scale 10× with the namespace
         "q_merkle_reconcile" -> (() =>
           graft.operators.ClusterHealth.merkleReconcile(
-            T.nestedFrom(obj10), T.replicas(spark, sfDir)).count()))
+            T.nestedFrom(sorted10), T.replicas(spark, sfDir)).count()))
       val times = probes.map { case (name, run) =>
         val t0 = System.nanoTime()
         try run()
@@ -177,18 +206,7 @@ object Bench {
       // the 10x warehouse is probe-only — reclaim it before reporting
       graft.streaming.ChangeStream.deleteRecursively(
         java.nio.file.Paths.get(wh10))
+      spark.stop()
       s""","sf1":$m,"sf1_ingest_sec":$ingestSec"""
-    }
-    // the steady-state clone served its three batches — reclaim it too
-    graft.streaming.ChangeStream.deleteRecursively(
-      java.nio.file.Paths.get(steadyWork))
-
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""stream_bootstrap_sec":$bootstrapSec,""" +
-        s""""stream_steady_batch_sec":$steadySec$sf1Json,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
-    println(json)
-    spark.stop()
   }
 }
