@@ -456,6 +456,9 @@ object SparkEntry {
     "q_put_object_tagging" -> ((s, d) =>
       S3Ops.putObjectTagging(T.tagRequests(s, d), T.tagEntries(s, d),
         T.buckets(s, d), T.objects(s, d))),
+    "q_put_bucket_tagging" -> ((s, d) =>
+      S3Ops.putBucketTagging(T.bucketTagRequests(s, d),
+        T.bucketTagEntries(s, d), T.buckets(s, d))),
     // PutBucketLifecycleConfiguration: the full OmLifecycleConfiguration/
     // OmLCRule/OmLCExpiration/OmLCFilter validation ladder in reference
     // branch order, first-failing rule decides.
@@ -2202,6 +2205,60 @@ object SparkEntry {
         |          PARTITION BY req_id, tag_key ORDER BY pos) > 1
         |        THEN 'DUPLICATE_KEY' END) AS eff_err
         |  FROM tag_entries)""".stripMargin),
+
+    // PutBucketTagging: same per-tag ladder, 50-tag bucket cap, bucket
+    // existence only.
+    "q_put_bucket_tagging" -> O.withCtes(
+      """SELECT r.req_id, r.volume, r.bucket,
+        |  coalesce(c.tag_count, 0) AS tag_count,
+        |  coalesce(f.first_tag_err,
+        |    CASE WHEN c.tag_count > 50 THEN 'TOO_MANY_TAGS' END,
+        |    CASE WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND' END,
+        |    'APPLIED') AS decision
+        |FROM bt_reqs r
+        |LEFT JOIN (SELECT req_id, count(*) AS tag_count
+        |           FROM bt_entries GROUP BY 1) c USING (req_id)
+        |LEFT JOIN (SELECT req_id, arg_min(eff_err, pos) AS first_tag_err
+        |           FROM bt_per_tag WHERE eff_err IS NOT NULL GROUP BY 1) f
+        |  USING (req_id)
+        |LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets,
+      """bt_reqs AS (
+        |  SELECT CAST(substr(volume, 4, 10) AS BIGINT) * 100 +
+        |      CAST(substr(bucket, 7, 10) AS BIGINT) AS req_id,
+        |    (CAST(substr(volume, 4, 10) AS BIGINT) +
+        |      CAST(substr(bucket, 7, 10) AS BIGINT)) % 6 AS cls,
+        |    volume, bucket
+        |  FROM buckets
+        |  UNION ALL SELECT 9001, 0, 'vol0', 'no-such-bucket'
+        |  UNION ALL SELECT 9002, 1, 'vol9', 'bucket0')""".stripMargin,
+      """bt_entries AS (
+        |  SELECT req_id, pos,
+        |    CASE WHEN cls = 2 AND pos = 1 THEN 'aws:team'
+        |         WHEN cls = 3 AND pos = 3 THEN 'env1'
+        |         WHEN cls = 5 AND pos = 2 THEN ''
+        |         ELSE 'env' || pos END AS tag_key,
+        |    'v' || pos AS tag_value
+        |  FROM bt_reqs CROSS JOIN range(1, 52) t(pos)
+        |  WHERE pos <= CASE WHEN cls = 1 THEN 51
+        |                    WHEN cls = 4 THEN 50 ELSE 3 END)""".stripMargin,
+      """bt_per_tag AS (
+        |  SELECT req_id, pos,
+        |    coalesce(
+        |      CASE WHEN tag_key = '' THEN 'EMPTY_KEY'
+        |        WHEN tag_key LIKE 'aws:%' THEN 'AWS_PREFIX'
+        |        WHEN tag_value IS NULL THEN 'VALUE_MISSING'
+        |        WHEN length(tag_key) > 128 THEN 'KEY_TOO_LONG'
+        |        WHEN length(tag_value) > 256 THEN 'VALUE_TOO_LONG'
+        |        WHEN NOT regexp_matches(tag_key, '^[a-zA-Z0-9 _.:/=+-]*$')
+        |          THEN 'KEY_PATTERN'
+        |        WHEN NOT regexp_matches(tag_value,
+        |          '^[a-zA-Z0-9 _.:/=+-]*$') THEN 'VALUE_PATTERN' END,
+        |      CASE WHEN row_number() OVER (
+        |          PARTITION BY req_id, tag_key ORDER BY pos) > 1
+        |        THEN 'DUPLICATE_KEY' END) AS eff_err
+        |  FROM bt_entries)""".stripMargin),
 
     // Lifecycle-configuration set ladder; request/rule VALUES mirror
     // Tables.lcSetRequests/lcRuleEntries exactly (req 19's 1001 rules

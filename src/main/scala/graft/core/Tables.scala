@@ -427,6 +427,40 @@ object Tables {
         col("owner").as("user_principal"),
         concat(col("tenant_id"), lit("$"), col("owner")).as("access_id"))
 
+  /** bucket_tag_requests: one PutBucketTagging request per catalog
+    * bucket, cls = (vol+idx)%6: 0 valid, 1 FIFTY-ONE tags (the bucket cap
+    * is 50), 2 aws:-prefix, 3 duplicate, 4 exactly 50 tags (boundary
+    * pass), 5 empty key — plus an unknown-bucket probe and an
+    * unknown-bucket-with-51-tags probe (gateway error wins). */
+  def bucketTagRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buckets(spark, dir).select(
+      (expr("CAST(substr(volume, 4, 10) AS BIGINT)") * 100 +
+        expr("CAST(substr(bucket, 7, 10) AS BIGINT)")).as("req_id"),
+      ((expr("CAST(substr(volume, 4, 10) AS BIGINT)") +
+        expr("CAST(substr(bucket, 7, 10) AS BIGINT)")) % 6).as("cls"),
+      col("volume"), col("bucket"))
+      .unionByName(Seq(
+        (9001L, 0L, "vol0", "no-such-bucket"),
+        (9002L, 1L, "vol9", "bucket0"))
+        .toDF("req_id", "cls", "volume", "bucket"))
+  }
+
+  /** bucket_tag_entries: ordered tag list per bucket-tagging request. */
+  def bucketTagEntries(spark: SparkSession, dir: String): DataFrame =
+    bucketTagRequests(spark, dir)
+      .select(col("req_id"), col("cls"),
+        explode(sequence(lit(1),
+          when(col("cls") === 1, lit(51))
+            .when(col("cls") === 4, lit(50))
+            .otherwise(lit(3)))).as("pos"))
+      .select(col("req_id"), col("pos"),
+        when(col("cls") === 2 && col("pos") === 1, lit("aws:team"))
+          .when(col("cls") === 3 && col("pos") === 3, lit("env1"))
+          .when(col("cls") === 5 && col("pos") === 2, lit(""))
+          .otherwise(concat(lit("env"), col("pos"))).as("tag_key"),
+        concat(lit("v"), col("pos")).as("tag_value"))
+
   /** tenant_access_catalog: [[tenantAccessIds]] plus an admin flag
     * (clerk0 is each tenant's admin — OMTenantAssignAdminRequest model)
     * and two synthetic rows: an access id under a tenant MISSING from the

@@ -164,6 +164,47 @@ object S3Ops {
    * The duplicate-key window partitions by (req_id, tag_key) over
    * request-sized data.
    */
+  /**
+   * PutBucketTagging — the same per-tag gateway ladder as
+   * [[putObjectTagging]] but with the BUCKET tag-count cap
+   * (S3Consts.TAG_BUCKET_NUM_LIMIT = 50, vs 10 for objects) and only a
+   * bucket-existence probe on the OM side (S3PutBucketTaggingRequest).
+   */
+  def putBucketTagging(requests: DataFrame, entries: DataFrame,
+                       buckets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupW = Window.partitionBy("req_id", "tag_key").orderBy("pos")
+    val perTag = entries
+      .withColumn("tag_err",
+        when(col("tag_key") === "", lit("EMPTY_KEY"))
+          .when(col("tag_key").startsWith("aws:"), lit("AWS_PREFIX"))
+          .when(col("tag_value").isNull, lit("VALUE_MISSING"))
+          .when(length(col("tag_key")) > 128, lit("KEY_TOO_LONG"))
+          .when(length(col("tag_value")) > 256, lit("VALUE_TOO_LONG"))
+          .when(!col("tag_key").rlike(TagPattern), lit("KEY_PATTERN"))
+          .when(!col("tag_value").rlike(TagPattern), lit("VALUE_PATTERN")))
+      .withColumn("eff_err", coalesce(col("tag_err"),
+        when(row_number().over(dupW) > 1, lit("DUPLICATE_KEY"))))
+    val firstErr = perTag.where(col("eff_err").isNotNull)
+      .groupBy("req_id")
+      .agg(min_by(col("eff_err"), col("pos")).as("first_tag_err"))
+    val counts = entries.groupBy("req_id")
+      .agg(count(lit(1)).as("tag_count"))
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists"))
+    requests
+      .join(broadcast(counts), Seq("req_id"), "left")
+      .join(broadcast(firstErr), Seq("req_id"), "left")
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .select(col("req_id"), col("volume"), col("bucket"),
+        coalesce(col("tag_count"), lit(0L)).as("tag_count"),
+        coalesce(col("first_tag_err"),
+          when(col("tag_count") > 50, lit("TOO_MANY_TAGS")),
+          when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND")),
+          lit("APPLIED")).as("decision"))
+      .orderBy("req_id")
+  }
+
   def putObjectTagging(requests: DataFrame, entries: DataFrame,
                        buckets: DataFrame, objects: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
