@@ -485,6 +485,10 @@ object SparkEntry {
     "q_tenant_revoke" -> ((s, d) =>
       Tenants.tenantRevokeDecisions(T.tenantRevokeRequests(s, d),
         T.tenantAccessCatalog(s, d))),
+    // SetTimes ladder: preExecute mtime guard, keep-on--1.
+    "q_set_times" -> ((s, d) =>
+      Lifecycle.setTimesDecisions(T.setTimesRequests(s, d),
+        T.objects(s, d), T.buckets(s, d))),
     // KeyCommit ladder: recovery/hsync guards ahead of the open-entry
     // probe, quota on the committed allocation.
     "q_key_commit" -> ((s, d) =>
@@ -2611,6 +2615,45 @@ object SparkEntry {
       """t_revoke_reqs(req_id, access_id) AS (VALUES
         |  (1, 'tenant0$clerk1'), (2, 'tenant0$clerk0'),
         |  (3, 'nope$user'), (4, 'orphan$ghost2'))""".stripMargin),
+
+    // SetTimes ladder mirror.
+    "q_set_times" -> O.withCtes(
+      """SELECT r.req_id, r.volume, r.bucket, r.key,
+        |  CASE WHEN r.mtime < -1 THEN 'INVALID_REQUEST'
+        |       WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND'
+        |       WHEN k.cur_mtime IS NULL THEN 'KEY_NOT_FOUND'
+        |       WHEN r.mtime >= 0 THEN 'SET'
+        |       ELSE 'KEPT' END AS decision,
+        |  CASE WHEN r.mtime < -1 OR b.bucket IS NULL
+        |        OR k.cur_mtime IS NULL THEN -1
+        |       WHEN r.mtime >= 0 THEN r.mtime
+        |       ELSE k.cur_mtime END AS effective_mtime
+        |FROM st_reqs r
+        |LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |LEFT JOIN (SELECT volume, bucket, key,
+        |             max(modification_time) AS cur_mtime
+        |           FROM objects GROUP BY 1, 2, 3) k
+        |  ON r.volume = k.volume AND r.bucket = k.bucket AND r.key = k.key
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets,
+      """st_reqs AS (
+        |  SELECT req_id, volume,
+        |    CASE WHEN probe % 13 = 3 THEN 'no-such-bucket'
+        |         ELSE bucket0 END AS bucket,
+        |    CASE WHEN cls = 3 THEN key0 || '.ghost' ELSE key0 END AS key,
+        |    CASE WHEN cls = 0 THEN 800000000000
+        |         WHEN cls = 1 THEN -1
+        |         WHEN cls = 2 THEN -5
+        |         ELSE 800000000000 END AS mtime
+        |  FROM (
+        |    SELECT req_id, (req_id // 1270) % 4 AS cls,
+        |      (req_id // 127) AS probe, volume,
+        |      split_part(bk, '|', 1) AS bucket0,
+        |      split_part(bk, '|', 2) AS key0
+        |    FROM (
+        |      SELECT object_id AS req_id, min(volume) AS volume,
+        |        min(bucket || '|' || key) AS bk
+        |      FROM objects WHERE object_id % 127 = 0 GROUP BY 1)))""".stripMargin),
 
     // KeyCommit ladder — flags mirror Tables.keyCommitRequests exactly.
     "q_key_commit" -> O.withCtes(

@@ -634,6 +634,32 @@ object Tables {
       .toDF("req_id", "volume", "bucket")
   }
 
+  /** set_times_requests: an OMKeySetTimesRequest batch (object_id % 127,
+    * canonicalized). cls: 0 set to a fixed epoch, 1 mtime=-1 (keep), 2
+    * mtime=-5 (invalid — rejected in preExecute BEFORE any lookup), 3
+    * ghost key; probe%13==3 missing bucket. */
+  def setTimesRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 127 === 0)
+      .groupBy(col("object_id").as("req_id"))
+      .agg(min(col("volume")).as("volume"),
+        min(concat(col("bucket"), lit("|"), col("key"))).as("bk"))
+      .select(col("req_id"),
+        (expr("req_id DIV 1270") % 4).as("cls"),
+        expr("req_id DIV 127").as("probe"),
+        col("volume"),
+        substring_index(col("bk"), "|", 1).as("bucket0"),
+        substring_index(col("bk"), "|", -1).as("key0"))
+      .select(col("req_id"), col("volume"),
+        when(col("probe") % 13 === 3, lit("no-such-bucket"))
+          .otherwise(col("bucket0")).as("bucket"),
+        when(col("cls") === 3, concat(col("key0"), lit(".ghost")))
+          .otherwise(col("key0")).as("key"),
+        when(col("cls") === 0, lit(800000000000L))
+          .when(col("cls") === 1, lit(-1L))
+          .when(col("cls") === 2, lit(-5L))
+          .otherwise(lit(800000000000L)).as("mtime"))
+
   /** key_commit_requests: an OMKeyCommitRequest batch (object_id % 89
     * == 0, canonicalized). cls = second digit of probe: 0/4/5 plain
     * commit, 1 clientID mismatch, 2 lease recovery, 3 oversized commit

@@ -617,6 +617,40 @@ object Lifecycle {
   }
 
   /**
+   * SetTimes ladder (OMKeySetTimesRequest): mtime < -1 rejected in
+   * preExecute (:211-212, BEFORE any lookup) → INVALID_REQUEST; bucket
+   * probe → BUCKET_NOT_FOUND; key lookup (:228) → KEY_NOT_FOUND;
+   * mtime ≥ 0 → SET (new mtime); mtime == -1 → KEPT (the stored mtime
+   * stands, :187-188). effective_mtime reports the resulting value
+   * (-1 for failed requests).
+   */
+  def setTimesDecisions(requests: DataFrame, objects: DataFrame,
+                        buckets: DataFrame): DataFrame = {
+    val keyProbe = objects
+      .join(broadcast(requests.select("volume", "bucket", "key")),
+        Seq("volume", "bucket", "key"), "left_semi")
+      .groupBy("volume", "bucket", "key")
+      .agg(max(col("modification_time")).as("cur_mtime"))
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumn("bkt_exists", lit(true))
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(keyProbe), Seq("volume", "bucket", "key"), "left")
+      .withColumn("decision",
+        when(col("mtime") < -1L, lit("INVALID_REQUEST"))
+          .when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("cur_mtime").isNull, lit("KEY_NOT_FOUND"))
+          .when(col("mtime") >= 0, lit("SET"))
+          .otherwise(lit("KEPT")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("key"),
+        col("decision"),
+        when(col("decision") === "SET", col("mtime"))
+          .when(col("decision") === "KEPT", col("cur_mtime"))
+          .otherwise(lit(-1L)).as("effective_mtime"))
+      .orderBy("req_id")
+  }
+
+  /**
    * KeyCommit ladder (OMKeyCommitRequest.validateAndUpdateCache:200-380 —
    * the write-path hot RPC), over requests pre-resolved against their
    * open-entry / committed-key state (the resolution join itself is the
