@@ -74,6 +74,37 @@ class WriteLaddersSpec extends SparkSpecBase {
         "APPLIED")))
   }
 
+  test("putBucketTagging: the 50-tag bucket cap, boundary exact") {
+    val reqs = Seq((1L, "v", "b"), (2L, "v", "b"))
+      .toDF("req_id", "volume", "bucket")
+    val entries = ((1 to 50).map(p => (1L, p, s"k$p", "v")) ++
+      (1 to 51).map(p => (2L, p, s"k$p", "v")))
+      .toDF("req_id", "pos", "tag_key", "tag_value")
+    val bkts = Seq(("v", "b")).toDF("volume", "bucket")
+    val got = S3Ops.putBucketTagging(reqs, entries, bkts)
+      .select("req_id", "decision").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "APPLIED", 2L -> "TOO_MANY_TAGS"))
+  }
+
+  test("setTimesDecisions: keep-on-minus-one reports the stored mtime") {
+    val objs = Seq(("v", "b", "k", 111L), ("v", "b", "k", 222L))
+      .toDF("volume", "bucket", "key", "modification_time")
+    val bkts = Seq(("v", "b")).toDF("volume", "bucket")
+    val reqs = Seq(
+      (1L, "v", "b", "k", 999L), (2L, "v", "b", "k", -1L),
+      (3L, "v", "b", "k", -5L), (4L, "v", "b", "ghost", 999L))
+      .toDF("req_id", "volume", "bucket", "key", "mtime")
+    val got = Lifecycle.setTimesDecisions(reqs, objs, bkts)
+      .select("req_id", "decision", "effective_mtime")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> (("SET", 999L)),
+      2L -> (("KEPT", 222L)),   // latest stored mtime wins
+      3L -> (("INVALID_REQUEST", -1L)),
+      4L -> (("KEY_NOT_FOUND", -1L))))
+  }
+
   // ---- Lifecycle-configuration set -------------------------------------
 
   test("lifecycleSetDecisions: FSO layout gates the slash checks") {
