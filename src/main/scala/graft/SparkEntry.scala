@@ -494,6 +494,11 @@ object SparkEntry {
     "q_key_commit" -> ((s, d) =>
       Lifecycle.keyCommitDecisions(T.keyCommitRequests(s, d),
         T.buckets(s, d))),
+    // SetVolumeQuota ladder: silent-ignore semantics for invalid values,
+    // unset-bucket and bucket-sum guards, bytes validated before ns.
+    "q_volume_set_quota" -> ((s, d) =>
+      BucketOps.volumeSetQuotaDecisions(T.volumeSetQuotaRequests(s, d),
+        T.volumeQuotaProbe(s, d))),
     // DeleteVolume / DeleteBucket ladders (ref-count and occupancy
     // guards; links delete on their own empty key space).
     "q_volume_delete" -> ((s, d) =>
@@ -2702,6 +2707,60 @@ object SparkEntry {
         |        min(bucket || '|' || key) AS bk,
         |        min(data_size) AS data_size
         |      FROM objects WHERE object_id % 89 = 0 GROUP BY 1)))""".stripMargin),
+
+    // SetVolumeQuota ladder mirror.
+    "q_volume_set_quota" -> O.withCtes(
+      """SELECT r.req_id, r.volume,
+        |  CASE WHEN p.volume IS NULL THEN 'VOLUME_NOT_FOUND'
+        |       WHEN bo LIKE 'ERROR%' THEN bo
+        |       WHEN no LIKE 'ERROR%' THEN no
+        |       ELSE 'APPLIED' END AS decision,
+        |  CASE WHEN p.volume IS NULL THEN '-' ELSE bo END AS bytes_outcome,
+        |  CASE WHEN p.volume IS NULL THEN '-' ELSE no END AS ns_outcome
+        |FROM (
+        |  SELECT r.req_id, r.volume,
+        |    CASE WHEN r.new_quota_bytes = -2 THEN 'ABSENT'
+        |      WHEN r.new_quota_bytes = -1 THEN 'RESET'
+        |      WHEN r.new_quota_bytes < -1 OR r.new_quota_bytes = 0
+        |        THEN 'IGNORED'
+        |      WHEN p.has_unset_bucket THEN 'ERROR_UNSET_BUCKETS'
+        |      WHEN r.new_quota_bytes < p.bucket_quota_sum
+        |        THEN 'ERROR_LT_BUCKET_SUM'
+        |      ELSE 'SET' END AS bo,
+        |    CASE WHEN r.new_quota_ns = -2 THEN 'ABSENT'
+        |      WHEN r.new_quota_ns = -1 THEN 'RESET'
+        |      WHEN r.new_quota_ns < -1 OR r.new_quota_ns = 0
+        |        THEN 'IGNORED'
+        |      WHEN p.bucket_count > r.new_quota_ns
+        |        THEN 'ERROR_LT_BUCKET_COUNT'
+        |      ELSE 'SET' END AS no,
+        |    p.volume AS pvol
+        |  FROM vsq_reqs r
+        |  LEFT JOIN vq_probe p USING (volume)) r
+        |LEFT JOIN vq_probe p USING (volume)
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets,
+      """vq_probe AS (
+        |  SELECT volume, count(*) AS bucket_count,
+        |    CAST(sum(CASE WHEN quota_bytes > -1 THEN quota_bytes
+        |      ELSE 0 END) AS BIGINT) AS bucket_quota_sum,
+        |    bool_or(quota_bytes = -1) AS has_unset_bucket
+        |  FROM buckets GROUP BY 1
+        |  UNION ALL SELECT 'vol-bare', 0, 0, FALSE
+        |  UNION ALL SELECT 'vol-capped', 2, 800000000000, FALSE)""".stripMargin,
+      """vsq_reqs(req_id, volume, new_quota_bytes, new_quota_ns) AS (VALUES
+        |  (1, 'vol0', 500000000000, -2),
+        |  (2, 'vol0', -2, 5),
+        |  (3, 'vol0', -2, 100),
+        |  (4, 'vol0', -1, -2),
+        |  (5, 'vol0', 0, -2),
+        |  (6, 'no-such-vol', 10, 10),
+        |  (7, 'vol-bare', 500, -2),
+        |  (8, 'vol-bare', -2, 0),
+        |  (9, 'vol0', -5, -2),
+        |  (10, 'vol-capped', 500000000000, -2),
+        |  (11, 'vol-capped', 900000000000, -2),
+        |  (12, 'vol-capped', -2, 1))""".stripMargin),
 
     // DeleteVolume ladder: lookup → ref-count → emptiness → DELETED.
     "q_volume_delete" -> O.withCtes(

@@ -594,6 +594,47 @@ object Tables {
         .toDF("volume", "bucket_count", "ref_count"))
   }
 
+  /** volume_quota_probe: per-volume facts the SetVolumeQuota ladder
+    * needs — bucket count, byte-quota sum over quota-carrying buckets,
+    * any-bucket-without-quota flag — plus two synthetic volumes: one
+    * bucketless, one fully-quota'd with a known sum (the
+    * quota-below-bucket-sum branch is unreachable on the real catalog
+    * because every volume holds the quota-less bucket5). */
+  def volumeQuotaProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buckets(spark, dir)
+      .groupBy("volume")
+      .agg(count(lit(1)).as("bucket_count"),
+        sum(when(col("quota_bytes") > -1L, col("quota_bytes"))
+          .otherwise(0L)).as("bucket_quota_sum"),
+        max(when(col("quota_bytes") === -1L, true).otherwise(false))
+          .as("has_unset_bucket"))
+      .unionByName(Seq(
+        ("vol-bare", 0L, 0L, false),
+        ("vol-capped", 2L, 800000000000L, false))
+        .toDF("volume", "bucket_count", "bucket_quota_sum",
+          "has_unset_bucket"))
+  }
+
+  /** volume_set_quota_requests: -2 = field absent, -1 = QUOTA_RESET. */
+  def volumeSetQuotaRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", 500000000000L, -2L),
+      (2L, "vol0", -2L, 5L),
+      (3L, "vol0", -2L, 100L),
+      (4L, "vol0", -1L, -2L),
+      (5L, "vol0", 0L, -2L),
+      (6L, "no-such-vol", 10L, 10L),
+      (7L, "vol-bare", 500L, -2L),
+      (8L, "vol-bare", -2L, 0L),
+      (9L, "vol0", -5L, -2L),
+      (10L, "vol-capped", 500000000000L, -2L),
+      (11L, "vol-capped", 900000000000L, -2L),
+      (12L, "vol-capped", -2L, 1L))
+      .toDF("req_id", "volume", "new_quota_bytes", "new_quota_ns")
+  }
+
   /** volume_delete_requests: NOT_EMPTY / IS_REFERENCED (checked before
     * emptiness — vol3 is also non-empty, probing the order) / NOT_FOUND /
     * DELETED (the bare volume). */

@@ -142,6 +142,55 @@ object BucketOps {
    * owner over request-sized data.
    */
   /**
+   * SetVolumeQuota ladder (OMVolumeSetQuotaRequest.checkQuotaBytesValid /
+   * checkQuotaNamespaceValid:195-262):
+   *   - volume lookup → VOLUME_NOT_FOUND
+   *   - byte quota: values < -1 or == 0 are silently IGNORED (the checker
+   *     returns false and the field is skipped, not an error); -1 RESETs;
+   *     otherwise any non-link bucket without its own quota →
+   *     ERROR_UNSET_BUCKETS (QUOTA_ERROR), a quota below the bucket-quota
+   *     sum → ERROR_LT_BUCKET_SUM (QUOTA_EXCEEDED), else SET
+   *   - namespace quota: same ignore/reset handling; a quota below the
+   *     existing bucket count → ERROR_LT_BUCKET_COUNT (QUOTA_EXCEEDED)
+   *   - decision = VOLUME_NOT_FOUND, else the first thrown error (bytes
+   *     are validated before namespace), else APPLIED.
+   */
+  def volumeSetQuotaDecisions(requests: DataFrame,
+                              probe: DataFrame): DataFrame = {
+    val p = probe.withColumn("vol_exists", lit(true))
+    requests
+      .join(broadcast(p), Seq("volume"), "left")
+      .withColumn("bytes_outcome",
+        when(col("new_quota_bytes") === -2L, lit("ABSENT"))
+          .when(col("new_quota_bytes") === -1L, lit("RESET"))
+          .when(col("new_quota_bytes") < -1L ||
+            col("new_quota_bytes") === 0L, lit("IGNORED"))
+          .when(col("has_unset_bucket"), lit("ERROR_UNSET_BUCKETS"))
+          .when(col("new_quota_bytes") < col("bucket_quota_sum"),
+            lit("ERROR_LT_BUCKET_SUM"))
+          .otherwise(lit("SET")))
+      .withColumn("ns_outcome",
+        when(col("new_quota_ns") === -2L, lit("ABSENT"))
+          .when(col("new_quota_ns") === -1L, lit("RESET"))
+          .when(col("new_quota_ns") < -1L || col("new_quota_ns") === 0L,
+            lit("IGNORED"))
+          .when(col("bucket_count") > col("new_quota_ns"),
+            lit("ERROR_LT_BUCKET_COUNT"))
+          .otherwise(lit("SET")))
+      .select(col("req_id"), col("volume"),
+        when(col("vol_exists").isNull, lit("VOLUME_NOT_FOUND"))
+          .when(col("bytes_outcome").startsWith("ERROR"),
+            col("bytes_outcome"))
+          .when(col("ns_outcome").startsWith("ERROR"), col("ns_outcome"))
+          .otherwise(lit("APPLIED")).as("decision"),
+        when(col("vol_exists").isNull, lit("-"))
+          .otherwise(col("bytes_outcome")).as("bytes_outcome"),
+        when(col("vol_exists").isNull, lit("-"))
+          .otherwise(col("ns_outcome")).as("ns_outcome"))
+      .orderBy("req_id")
+  }
+
+  /**
    * DeleteVolume ladder (OMVolumeDeleteRequest.validateAndUpdateCache:
    * 105-145): volume lookup → VOLUME_NOT_FOUND; non-zero reference count
    * (tenant features pin the volume, :124-127 — checked BEFORE emptiness)
