@@ -16,6 +16,22 @@ class WriteLaddersSpec extends SparkSpecBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("ladder plans are broadcast-shaped: no shuffle joins anywhere") {
+    // the scale contract of every write ladder: request batches broadcast
+    // into catalog probes — a SortMergeJoin/ShuffledHashJoin would mean a
+    // corpus-sized shuffle at 100 TB
+    val sf01 = "/root/testdata/sf0.01"
+    for (q <- Seq("q_put_object_tagging", "q_fso_rename", "q_fso_mkdir",
+      "q_key_commit", "q_bucket_delete", "q_mpu_commit_part")) {
+      val df = SparkEntry.queries(q)(spark, sf01)
+      df.count() // AQE-final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$q has a SortMergeJoin")
+      assert(!plan.contains("ShuffledHashJoin"),
+        s"$q has a ShuffledHashJoin")
+    }
+  }
+
   // ---- PutObjectTagging -------------------------------------------------
 
   test("putObjectTagging: per-tag ladder order on a micro batch") {
