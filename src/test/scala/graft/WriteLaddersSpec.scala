@@ -326,6 +326,30 @@ class WriteLaddersSpec extends SparkSpecBase {
     }
   }
 
+  // ---- cluster state ---------------------------------------------------
+
+  test("clusterState: MISSING counts live containers with zero replicas") {
+    import graft.operators.ClusterHealth
+    val one = Seq(Tuple1(1)).toDF("x")
+    val vols = Seq(Tuple1("v")).toDF("volume")
+    val bkts = Seq(("v", "b")).toDF("volume", "bucket")
+    val objs = Seq(("v", "b", "k")).toDF("volume", "bucket", "key")
+    val cont = Seq((1L, "CLOSED"), (2L, "CLOSED"), (3L, "DELETED"))
+      .toDF("container_id", "state")
+    // container 2 has no replicas (MISSING); deleted 3 doesn't count
+    val reps = Seq(Tuple1(1L)).toDF("container_id")
+    val dns = Seq(("dn0", "HEALTHY", 100L, 40L))
+      .toDF("uuid", "state", "capacity", "used")
+    val pips = Seq(("p0", "OPEN")).toDF("pipeline_id", "state")
+    val dd = Seq.empty[(String, String, String)]
+      .toDF("volume", "bucket", "dir")
+    val row = ClusterHealth.clusterState(vols, bkts, objs, cont, reps,
+      dns, pips, dd).collect()(0)
+    assert(row.getAs[Long]("containers_missing") === 1L)
+    assert(row.getAs[Long]("containers_deleted") === 1L)
+    assert(row.getAs[Long]("deleted_dirs") === 0L)
+  }
+
   // ---- Tenant admin ladders --------------------------------------------
 
   test("tenant delete: not-empty is checked before existence") {
