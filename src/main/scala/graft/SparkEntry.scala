@@ -494,6 +494,11 @@ object SparkEntry {
     "q_key_commit" -> ((s, d) =>
       Lifecycle.keyCommitDecisions(T.keyCommitRequests(s, d),
         T.buckets(s, d))),
+    // SetVolumeOwner ladder: same-owner no-op, per-owner volume cap on
+    // the receiving side.
+    "q_volume_set_owner" -> ((s, d) =>
+      BucketOps.volumeSetOwnerDecisions(T.volumeSetOwnerRequests(s, d),
+        T.volumes(s, d), maxUserVolumes = 1L)),
     // SetVolumeQuota ladder: silent-ignore semantics for invalid values,
     // unset-bucket and bucket-sum guards, bytes validated before ns.
     "q_volume_set_quota" -> ((s, d) =>
@@ -2707,6 +2712,24 @@ object SparkEntry {
         |        min(bucket || '|' || key) AS bk,
         |        min(data_size) AS data_size
         |      FROM objects WHERE object_id % 89 = 0 GROUP BY 1)))""".stripMargin),
+
+    // SetVolumeOwner ladder mirror (cap = 1 to make the branch live).
+    "q_volume_set_owner" -> O.withCtes(
+      """SELECT r.req_id, r.volume, r.new_owner,
+        |  CASE WHEN v.volume IS NULL THEN 'VOLUME_NOT_FOUND'
+        |       WHEN v.owner = r.new_owner THEN 'OK_NOOP'
+        |       WHEN coalesce(oc.owned, 0) >= 1 THEN 'TOO_MANY_VOLUMES'
+        |       ELSE 'OWNER_CHANGED' END AS decision
+        |FROM (VALUES (1, 'vol0', 'admin0'), (2, 'vol0', 'fresh-user'),
+        |      (3, 'no-such-vol', 'fresh-user'), (4, 'vol1', 'admin2'),
+        |      (5, 'no-such-vol', 'admin0')) r(req_id, volume, new_owner)
+        |LEFT JOIN (SELECT volume, 'admin' || substr(volume, 4, 10)
+        |             AS owner FROM volumes) v USING (volume)
+        |LEFT JOIN (SELECT 'admin' || substr(volume, 4, 10) AS new_owner,
+        |             count(*) AS owned
+        |           FROM volumes GROUP BY 1) oc USING (new_owner)
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes),
 
     // SetVolumeQuota ladder mirror.
     "q_volume_set_quota" -> O.withCtes(

@@ -635,6 +635,21 @@ object Tables {
       .toDF("req_id", "volume", "new_quota_bytes", "new_quota_ns")
   }
 
+  /** volume_set_owner_requests: noop (same owner), transfer to a fresh
+    * user, unknown volume (beats the noop-owner probe), transfer to a
+    * user at the volume cap (cap shrunk to 1 in the declared query so the
+    * branch is live on a 4-volume catalog; reference default 1024). */
+  def volumeSetOwnerRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "admin0"),
+      (2L, "vol0", "fresh-user"),
+      (3L, "no-such-vol", "fresh-user"),
+      (4L, "vol1", "admin2"),
+      (5L, "no-such-vol", "admin0"))
+      .toDF("req_id", "volume", "new_owner")
+  }
+
   /** volume_delete_requests: NOT_EMPTY / IS_REFERENCED (checked before
     * emptiness — vol3 is also non-empty, probing the order) / NOT_FOUND /
     * DELETED (the bare volume). */

@@ -191,6 +191,32 @@ object BucketOps {
   }
 
   /**
+   * SetVolumeOwner ladder (OMVolumeSetOwnerRequest.validateAndUpdateCache:
+   * 130-175): volume lookup → VOLUME_NOT_FOUND; newOwner == oldOwner →
+   * OK_NOOP (:146-148, returns success WITHOUT a write); the transfer
+   * adds the volume to the new owner's user-table list, which enforces
+   * the per-owner volume cap (addVolumeToOwnerList — same cap as
+   * CreateVolume) → TOO_MANY_VOLUMES; else OWNER_CHANGED.
+   */
+  def volumeSetOwnerDecisions(requests: DataFrame, volumes: DataFrame,
+                              maxUserVolumes: Long = 1024L): DataFrame = {
+    val volProbe = volumes.select(col("volume"),
+      col("owner").as("cur_owner"), lit(true).as("vol_exists"))
+    val ownerCounts = volumes.groupBy(col("owner").as("new_owner"))
+      .agg(count(lit(1)).as("owned"))
+    requests
+      .join(broadcast(volProbe), Seq("volume"), "left")
+      .join(broadcast(ownerCounts), Seq("new_owner"), "left")
+      .select(col("req_id"), col("volume"), col("new_owner"),
+        when(col("vol_exists").isNull, lit("VOLUME_NOT_FOUND"))
+          .when(col("cur_owner") === col("new_owner"), lit("OK_NOOP"))
+          .when(coalesce(col("owned"), lit(0L)) >= maxUserVolumes,
+            lit("TOO_MANY_VOLUMES"))
+          .otherwise(lit("OWNER_CHANGED")).as("decision"))
+      .orderBy("req_id")
+  }
+
+  /**
    * DeleteVolume ladder (OMVolumeDeleteRequest.validateAndUpdateCache:
    * 105-145): volume lookup → VOLUME_NOT_FOUND; non-zero reference count
    * (tenant features pin the volume, :124-127 — checked BEFORE emptiness)
