@@ -536,6 +536,18 @@ object SparkEntry {
             org.apache.spark.sql.functions.explode(
               Aggregates.dirAndAncestors("pdir")).as("path"))
           .distinct())),
+    // CreateFile ladder: overwrite/recursive flags, file-in-path guards,
+    // immediate-parent requirement, minted parents on recursive create.
+    "q_create_file" -> ((s, d) =>
+      Hierarchy.createFileDecisions(T.createFileRequests(s, d),
+        T.objects(s, d), T.buckets(s, d),
+        T.objects(s, d)
+          .withColumn("pdir", Aggregates.parentDirOf("key"))
+          .filter(col("pdir") =!= "")
+          .select(col("volume"), col("bucket"),
+            org.apache.spark.sql.functions.explode(
+              Aggregates.dirAndAncestors("pdir")).as("path"))
+          .distinct())),
     // FSO rename ladder: hsync guard, own-subtree guard, into-dir moves
     // with dst/basename collision, dst-parent existence.
     "q_fso_rename" -> ((s, d) =>
@@ -2946,6 +2958,92 @@ object SparkEntry {
         |        unnest(generate_series(1,
         |          len(string_split(path, '/')))) AS d
         |      FROM mkdir_reqs WHERE path <> '')) p
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket, key FROM objects) fk
+        |    ON p.volume = fk.volume AND p.bucket = fk.bucket
+        |    AND p.pfx = fk.key
+        |  LEFT JOIN fso_dirs dd ON p.volume = dd.volume
+        |    AND p.bucket = dd.bucket AND p.pfx = dd.path
+        |  GROUP BY 1)""".stripMargin),
+
+    // CreateFile ladder mirror.
+    "q_create_file" -> O.withCtes(
+      """SELECT req_id, volume, bucket, path, decision,
+        |  CASE WHEN decision = 'CREATED' THEN coalesce(mp, 0)
+        |       ELSE 0 END AS dirs_minted
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket, r.path,
+        |    CASE WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND'
+        |      WHEN sd.path IS NOT NULL THEN 'NOT_A_FILE'
+        |      WHEN coalesce(f.anc_file, FALSE) THEN 'NOT_A_FILE'
+        |      WHEN sf.key IS NOT NULL AND NOT r.overwrite
+        |        THEN 'FILE_ALREADY_EXISTS'
+        |      WHEN NOT r.recursive AND r.parent <> '' AND pd.path IS NULL
+        |        THEN 'DIRECTORY_NOT_FOUND'
+        |      WHEN sf.key IS NOT NULL THEN 'OVERWRITTEN'
+        |      ELSE 'CREATED' END AS decision,
+        |    f.missing_parents AS mp
+        |  FROM cf_reqs r
+        |  LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket, key FROM objects) sf
+        |    ON r.volume = sf.volume AND r.bucket = sf.bucket
+        |    AND r.path = sf.key
+        |  LEFT JOIN fso_dirs sd ON r.volume = sd.volume
+        |    AND r.bucket = sd.bucket AND r.path = sd.path
+        |  LEFT JOIN fso_dirs pd ON r.volume = pd.volume
+        |    AND r.bucket = pd.bucket AND r.parent = pd.path
+        |  LEFT JOIN cf_flags f USING (req_id))
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets,
+      """fso_dirs AS (
+        |  SELECT DISTINCT volume, bucket,
+        |    array_to_string(ws[1:d], '/') AS path
+        |  FROM (
+        |    SELECT volume, bucket, string_split(key, '/') AS ws,
+        |      unnest(generate_series(1,
+        |        len(string_split(key, '/')) - 1)) AS d
+        |    FROM objects))""".stripMargin,
+      """cf_reqs AS (
+        |  SELECT req_id, volume,
+        |    CASE WHEN probe % 13 = 3 THEN 'no-such-bucket'
+        |         ELSE bucket0 END AS bucket,
+        |    path,
+        |    substring(path, 1, length(path) -
+        |      length(string_split(path, '/')[-1]) - 1) AS parent,
+        |    cls = 2 AS overwrite, cls = 6 AS recursive
+        |  FROM (
+        |    SELECT req_id, cls, probe, volume, bucket0,
+        |      CASE WHEN cls = 0 THEN pdir || '/fresh.dat'
+        |           WHEN cls IN (1, 2) THEN key0
+        |           WHEN cls = 3 THEN pdir
+        |           WHEN cls = 4 THEN key0 || '/sub.dat'
+        |           ELSE pdir || '/nd1/nd2/leaf.dat' END AS path
+        |    FROM (
+        |      SELECT req_id, (req_id // 1390) % 7 AS cls,
+        |        (req_id // 139) AS probe, volume,
+        |        split_part(bk, '|', 1) AS bucket0,
+        |        split_part(bk, '|', 2) AS key0,
+        |        substring(split_part(bk, '|', 2), 1,
+        |          length(split_part(bk, '|', 2)) -
+        |          length(string_split(split_part(bk, '|', 2), '/')[-1]) - 1)
+        |          AS pdir
+        |      FROM (
+        |        SELECT object_id AS req_id, min(volume) AS volume,
+        |          min(bucket || '|' || key) AS bk
+        |        FROM objects WHERE object_id % 139 = 0 GROUP BY 1))))""".stripMargin,
+      """cf_flags AS (
+        |  SELECT req_id,
+        |    bool_or(fk.key IS NOT NULL) AS anc_file,
+        |    CAST(sum(CASE WHEN dd.path IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS missing_parents
+        |  FROM (
+        |    SELECT req_id, volume, bucket,
+        |      array_to_string(ws[1:d], '/') AS pfx
+        |    FROM (
+        |      SELECT req_id, volume, bucket,
+        |        string_split(parent, '/') AS ws,
+        |        unnest(generate_series(1,
+        |          len(string_split(parent, '/')))) AS d
+        |      FROM cf_reqs WHERE parent <> '')) p
         |  LEFT JOIN (SELECT DISTINCT volume, bucket, key FROM objects) fk
         |    ON p.volume = fk.volume AND p.bucket = fk.bucket
         |    AND p.pfx = fk.key

@@ -716,6 +716,38 @@ object Tables {
           .when(col("cls") === 2, lit(-5L))
           .otherwise(lit(800000000000L)).as("mtime"))
 
+  /** create_file_requests: an OMFileCreateRequest batch (object_id % 139,
+    * canonicalized). cls: 0 fresh name (CREATED), 1 existing file without
+    * overwrite (FILE_ALREADY_EXISTS), 2 existing file WITH overwrite
+    * (OVERWRITTEN), 3 path is a dir (NOT_A_FILE), 4 ancestor is a file
+    * (NOT_A_FILE), 5 deep new path non-recursive (DIRECTORY_NOT_FOUND),
+    * 6 deep new path recursive (CREATED + minted parents);
+    * probe%13==3 missing bucket. */
+  def createFileRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 139 === 0)
+      .groupBy(col("object_id").as("req_id"))
+      .agg(min(col("volume")).as("volume"),
+        min(concat(col("bucket"), lit("|"), col("key"))).as("bk"))
+      .select(col("req_id"),
+        (expr("req_id DIV 1390") % 7).as("cls"),
+        expr("req_id DIV 139").as("probe"),
+        col("volume"),
+        substring_index(col("bk"), "|", 1).as("bucket0"),
+        substring_index(col("bk"), "|", -1).as("key0"))
+      .withColumn("pdir", graft.operators.Aggregates.parentDirOf("key0"))
+      .select(col("req_id"), col("volume"),
+        when(col("probe") % 13 === 3, lit("no-such-bucket"))
+          .otherwise(col("bucket0")).as("bucket"),
+        when(col("cls") === 0, concat(col("pdir"), lit("/fresh.dat")))
+          .when(col("cls").isin(1, 2), col("key0"))
+          .when(col("cls") === 3, col("pdir"))
+          .when(col("cls") === 4, concat(col("key0"), lit("/sub.dat")))
+          .otherwise(concat(col("pdir"), lit("/nd1/nd2/leaf.dat")))
+          .as("path"),
+        (col("cls") === 2).as("overwrite"),
+        (col("cls") === 6).as("recursive"))
+
   /** key_commit_requests: an OMKeyCommitRequest batch (object_id % 89
     * == 0, canonicalized). cls = second digit of probe: 0/4/5 plain
     * commit, 1 clientID mismatch, 2 lease recovery, 3 oversized commit

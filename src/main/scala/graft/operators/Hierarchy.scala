@@ -288,6 +288,90 @@ object Hierarchy {
       .orderBy("req_id")
   }
 
+  /**
+   * CreateFile ladder (OMFileCreateRequest.checkDirectoryResult:342-357 +
+   * checkAllParentsExist:366-377) — mkdir's dual with the overwrite and
+   * recursive client flags:
+   *   1. validateBucketAndVolume → BUCKET_NOT_FOUND
+   *   2. verifyFilesInPath outcome (the three results are mutually
+   *      exclusive): path IS a dir → NOT_A_FILE; an ancestor is a file →
+   *      NOT_A_FILE (FILE_EXISTS_IN_GIVENPATH); path is a file and
+   *      overwrite unset → FILE_ALREADY_EXISTS
+   *   3. non-recursive create requires the IMMEDIATE parent dir
+   *      (higher levels assumed, checkAllParentsExist) →
+   *      DIRECTORY_NOT_FOUND
+   *   4. OVERWRITTEN (path was a file, overwrite set) or CREATED, with
+   *      dirs_minted = missing parent-chain prefixes the recursive create
+   *      materializes.
+   */
+  def createFileDecisions(requests: DataFrame, objects: DataFrame,
+                          buckets: DataFrame, dirs: DataFrame): DataFrame = {
+    val withParent = requests
+      .withColumn("parent", Aggregates.parentDirOf("path"))
+    val prefixes = withParent
+      .filter(col("parent") =!= "")
+      .select(col("req_id"), col("volume"), col("bucket"), col("path"),
+        explode(Aggregates.dirAndAncestors("parent")).as("pfx"))
+    val pathKeys = withParent.select(col("volume"), col("bucket"),
+      col("path").as("key"))
+      .unionByName(prefixes.select(col("volume"), col("bucket"),
+        col("pfx").as("key")))
+      .distinct()
+    val fileProbe = objects
+      .join(broadcast(pathKeys), Seq("volume", "bucket", "key"),
+        "left_semi")
+      .select(col("volume"), col("bucket"), col("key")).distinct()
+      .withColumn("is_file", lit(true))
+    val dirProbe = dirs
+      .select(col("volume"), col("bucket"), col("path").as("key"))
+      .join(broadcast(pathKeys), Seq("volume", "bucket", "key"),
+        "left_semi")
+      .distinct()
+      .withColumn("is_dir", lit(true))
+    val parentFlags = prefixes
+      .join(broadcast(fileProbe.withColumnRenamed("key", "pfx")),
+        Seq("volume", "bucket", "pfx"), "left")
+      .join(broadcast(dirProbe.withColumnRenamed("key", "pfx")),
+        Seq("volume", "bucket", "pfx"), "left")
+      .groupBy("req_id")
+      .agg(
+        max(coalesce(col("is_file"), lit(false))).as("anc_file"),
+        sum(when(col("is_dir").isNull, 1L).otherwise(0L))
+          .as("missing_parents"))
+    val selfFile = fileProbe.select(col("volume"), col("bucket"),
+      col("key").as("path"), col("is_file").as("self_file"))
+    val selfDir = dirProbe.select(col("volume"), col("bucket"),
+      col("key").as("path"), col("is_dir").as("self_dir"))
+    val parentDirP = dirProbe.select(col("volume"), col("bucket"),
+      col("key").as("parent"), col("is_dir").as("parent_is_dir"))
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumn("bkt_exists", lit(true))
+    withParent
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(selfFile), Seq("volume", "bucket", "path"), "left")
+      .join(broadcast(selfDir), Seq("volume", "bucket", "path"), "left")
+      .join(broadcast(parentDirP), Seq("volume", "bucket", "parent"),
+        "left")
+      .join(broadcast(parentFlags), Seq("req_id"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(coalesce(col("self_dir"), lit(false)), lit("NOT_A_FILE"))
+          .when(coalesce(col("anc_file"), lit(false)), lit("NOT_A_FILE"))
+          .when(coalesce(col("self_file"), lit(false)) &&
+            !col("overwrite"), lit("FILE_ALREADY_EXISTS"))
+          .when(!col("recursive") && col("parent") =!= "" &&
+            col("parent_is_dir").isNull, lit("DIRECTORY_NOT_FOUND"))
+          .when(coalesce(col("self_file"), lit(false)),
+            lit("OVERWRITTEN"))
+          .otherwise(lit("CREATED")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("path"),
+        col("decision"),
+        when(col("decision") === "CREATED",
+          coalesce(col("missing_parents"), lit(0L))).otherwise(lit(0L))
+          .as("dirs_minted"))
+      .orderBy("req_id")
+  }
+
   def listStatusFsoWalk(dirs: DataFrame, files: DataFrame,
                         volume: String, bucket: String, parentPath: String,
                         pageSize: Int, maxDepth: Int = 8,
