@@ -22,7 +22,8 @@ class WriteLaddersSpec extends SparkSpecBase {
     // corpus-sized shuffle at 100 TB
     val sf01 = "/root/testdata/sf0.01"
     for (q <- Seq("q_put_object_tagging", "q_fso_rename", "q_fso_mkdir",
-      "q_key_commit", "q_bucket_delete", "q_mpu_commit_part")) {
+      "q_key_commit", "q_bucket_delete", "q_mpu_commit_part",
+      "q_create_file")) {
       val df = SparkEntry.queries(q)(spark, sf01)
       df.count() // AQE-final plan
       val plan = df.queryExecution.executedPlan.toString
