@@ -1462,14 +1462,20 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     raw(spark, dir, "embeddings")
 
-  /** events carries nanosecond parquet timestamps, which Spark's reader
-    * rejects; read them as raw INT64 nanos and derive epoch-ms — matching
-    * DuckDB's epoch_ms on the same column (both floor toward zero; values
-    * are all post-1970). Requires spark.sql.legacy.parquet.nanosAsLong=true,
-    * set at session construction (see GraftSession) — not mutated here. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    raw(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
+  /** events epoch-ms derivation, robust to how the generator wrote `ts`:
+    * micro/nano parquet timestamps surface as TIMESTAMP(_NTZ) and go through
+    * [[epochMs]] (session TZ pinned UTC == DuckDB epoch_ms); legacy INT64
+    * nanos (spark.sql.legacy.parquet.nanosAsLong=true, set in GraftSession)
+    * surface as LongType and floor-divide to ms. Both floor toward zero;
+    * values are all post-1970. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val ev = raw(spark, dir, "events")
+    val tsMs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+      case _                                   => epochMs(col("ts"))
+    }
+    ev.withColumn("ts_ms", tsMs)
+  }
 
   /**
    * copy_requests: a CopyObject batch covering every decision branch of
