@@ -939,6 +939,118 @@ object Tables {
       .toDF("req_id", "volume", "bucket", "snapshot_name", "principal")
   }
 
+  /** snapshot_catalog_ext: the rename ladder's existence probe — the live
+    * chain with SNAPSHOT_ACTIVE status plus one SNAPSHOT_DELETED entry
+    * pending reclamation (rename must refuse it with FILE_NOT_FOUND,
+    * OMSnapshotRenameRequest.java:190-200; the entry still OCCUPIES its
+    * name for the new-name collision check — deleted snapshots stay in
+    * snapshotInfoTable until purged). */
+  def snapshotCatalogExt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    snapshotCatalog(spark, dir)
+      .withColumn("status", lit("SNAPSHOT_ACTIVE"))
+      .unionByName(Seq(("vol0", "bucket0", "snap-gone", "SNAPSHOT_DELETED"))
+        .toDF("volume", "bucket", "name", "status"))
+  }
+
+  /** snapshot_rename_requests: every OMSnapshotRenameRequest branch —
+    * plain rename, invalid NEW name (the only one preExecute validates),
+    * rename through a link (lands on the source bucket), new-name
+    * collision (checked BEFORE the old-name lookup, incl. the
+    * old-missing+new-exists precedence probe and the self-rename), old
+    * missing, old SNAPSHOT_DELETED, non-owner principal, admin override,
+    * dangling link, link loop, unknown bucket. */
+  def snapshotRenameRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "s1", "s1-renamed", "admin0"),
+      (2L, "vol0", "bucket0", "s1", "Bad..Name", "admin0"),
+      (3L, "vol1", "link-a", "s2", "s2-new", "admin0"),
+      (4L, "vol0", "bucket0", "s1", "s2", "admin0"),
+      (5L, "vol0", "bucket0", "nope", "fresh-name", "admin0"),
+      (6L, "vol0", "bucket0", "snap-gone", "revived", "admin0"),
+      (7L, "vol0", "bucket0", "s1", "s1-x", "clerk1"),
+      (8L, "vol2", "bucket5", "snap-golden", "snap-aurum", "om-admin"),
+      (9L, "vol3", "link-broken", "s1", "s1-y", "admin0"),
+      (10L, "vol0", "link-cycle1", "s1", "s1-z", "admin0"),
+      (11L, "vol2", "nobucket", "s1", "s1-w", "admin2"),
+      (12L, "vol0", "bucket0", "s2", "s2", "admin0"),
+      (13L, "vol0", "bucket0", "ghost", "s1", "admin0"))
+      .toDF("req_id", "volume", "bucket", "old_name", "new_name",
+        "principal")
+  }
+
+  /** allocate_block_requests: an OMAllocateBlockRequest batch, derived
+    * from the key population like [[keyCommitRequests]] (object_id % 97
+    * == 0, canonicalized — lineitem dups collapse to one request per id).
+    * cls = second digit of probe picks the ladder branch:
+    *   0/1 plain allocation, 2 clientID mismatch (open entry not found),
+    *   3 lease-recovery marker, 4 deleted/overwritten-hsync marker,
+    *   5 quota blowout (the open key already holds enough blocks that the
+    *     next allocation's replicated size overruns the bucket quota).
+    * probe%13==3 rewrites the bucket to a missing one
+    * (validateBucketAndVolume runs FIRST). had_blocks = probe%4 open
+    * blocks already allocated; replication_type rides along for the
+    * QuotaUtil.getReplicatedSize math. */
+  def allocateBlockRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 97 === 0)
+      .groupBy(col("object_id").as("req_id"))
+      .agg(min(col("volume")).as("volume"),
+        min(concat(col("bucket"), lit("|"), col("key"))).as("bk"),
+        min(col("replication_type")).as("replication_type"))
+      .select(col("req_id"),
+        (expr("req_id DIV 970") % 6).as("cls"),
+        expr("req_id DIV 97").as("probe"),
+        col("volume"), col("replication_type"),
+        substring_index(col("bk"), "|", 1).as("bucket0"),
+        substring_index(col("bk"), "|", -1).as("key"))
+      .select(col("req_id"), col("volume"),
+        when(col("probe") % 13 === 3, lit("no-such-bucket"))
+          .otherwise(col("bucket0")).as("bucket"),
+        col("key"), col("replication_type"),
+        when(col("cls") === 2, col("req_id") * 7 % 100000 + 999983L)
+          .otherwise(col("req_id") * 7 % 100000).as("client_id"),
+        (col("cls") =!= 2).as("open_exists"),
+        (col("cls") === 3).as("open_lease_recovery"),
+        (col("cls") === 4).as("open_deleted_hsync"),
+        when(col("cls") === 5, lit(4000L))
+          .otherwise(col("probe") % 4).as("had_blocks"))
+
+  /** assign_admin_requests: OMTenantAssignAdminRequest batch — accessId
+    * unassigned anywhere (TENANT_NOT_FOUND on tenant inference), accessId
+    * absent with an EXPLICIT tenant (ACCESS_ID_NOT_FOUND), accessId
+    * assigned to a DIFFERENT tenant than requested (INVALID_TENANT_ID),
+    * plain + delegated assignment, and the inferred-tenant path (empty
+    * tenant_id → resolved from the accessId). */
+  def assignAdminRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "tenant1", "tenant1$clerk1", true),
+      (2L, "", "tenant2$clerk2", false),
+      (3L, "", "ghost$nobody", false),
+      (4L, "tenant1", "tenant1$missing", true),
+      (5L, "tenant2", "tenant1$clerk1", false),
+      (6L, "tenant3", "tenant3$alice", false))
+      .toDF("req_id", "tenant_id", "access_id", "delegated")
+  }
+
+  /** set_secret_requests: OMSetSecretRequest batch — the accessId probe
+    * runs FIRST (ACCESS_ID_NOT_FOUND before any secret validation), then
+    * empty secret, then the 8-char minimum (OzoneConsts
+    * .S3_SECRET_KEY_MIN_LENGTH), then SET. */
+  def setSecretRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "tenant1$clerk1", "a-perfectly-long-secret"),
+      (2L, "ghost$nobody", "another-long-secret"),
+      (3L, "tenant2$clerk2", ""),
+      (4L, "tenant3$alice", "short"),
+      (5L, "ghost$nobody", "short"),
+      (6L, "tenant2$clerk2", "exactly8"))
+      .toDF("req_id", "access_id", "secret")
+  }
+
   /** CreateVolume request batch — every OMVolumeCreateRequest branch:
     * invalid names (uppercase/short/IPv4), a POSIX underscore name that is
     * LEGAL for volumes (strict=false), catalog + in-batch collisions, and
