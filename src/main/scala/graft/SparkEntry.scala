@@ -425,6 +425,13 @@ object SparkEntry {
       CommitLog.snapshotCreateDecisions(T.snapshotCreateRequests(s, d),
         T.buckets(s, d), T.bucketLinks(s, d), T.volumes(s, d),
         T.snapshotCatalog(s, d))),
+    // RenameSnapshot ladder: only the NEW name validated, link lands on
+    // the source bucket, new-name collision BEFORE the old-name lookup
+    // (deleted snapshots still occupy their name), non-ACTIVE old refused
+    "q_snapshot_rename" -> ((s, d) =>
+      CommitLog.snapshotRenameDecisions(T.snapshotRenameRequests(s, d),
+        T.buckets(s, d), T.bucketLinks(s, d), T.volumes(s, d),
+        T.snapshotCatalogExt(s, d))),
     // Snapshot space reclamation (ReclaimableKeyFilter semantics): decide
     // every buffered deleted key through the chain; exclusive-size rollup
     "q_snapshot_reclaim" -> ((s, d) =>
@@ -3648,6 +3655,72 @@ object SparkEntry {
         |  (12, 'vol2', 'bucket5', 'snap-golden', 'admin2'))""".stripMargin,
       """staged AS (
         |  SELECT r.req_id, r.snapshot_name, r.principal,
+        |    coalesce(l.rv0, r.volume) AS rv,
+        |    coalesce(l.rb0, r.bucket) AS rb, l.status
+        |  FROM reqs r LEFT JOIN linkres l
+        |    ON r.volume = l.volume AND r.bucket = l.bucket)""".stripMargin),
+
+    // RenameSnapshot ladder: NEW-name-only validation, link resolution,
+    // collision-before-old-lookup (deleted entries occupy names)
+    "q_snapshot_rename" -> O.withCtes(
+      """SELECT s.req_id, s.old_name, s.new_name,
+        |  s.rv AS resolved_volume, s.rb AS resolved_bucket,
+        |  CASE WHEN NOT (length(s.new_name) BETWEEN 3 AND 63
+        |      AND regexp_matches(s.new_name, '^[a-z0-9.-]+$')
+        |      AND instr(s.new_name, '..') = 0
+        |      AND instr(s.new_name, '-.') = 0
+        |      AND instr(s.new_name, '.-') = 0
+        |      AND NOT regexp_matches(s.new_name, '^[0-9.]+$')
+        |      AND substr(s.new_name, 1, 1) NOT IN ('.', '-')
+        |      AND substr(s.new_name, length(s.new_name), 1)
+        |        NOT IN ('.', '-'))
+        |      THEN 'INVALID_SNAPSHOT_NAME'
+        |    WHEN s.status = 'CYCLE' THEN 'LINK_LOOP'
+        |    WHEN s.status = 'DANGLING' OR b.volume IS NULL
+        |      THEN 'BUCKET_NOT_FOUND'
+        |    WHEN s.principal <> v.owner AND s.principal <> 'om-admin'
+        |      THEN 'PERMISSION_DENIED'
+        |    WHEN sn.name IS NOT NULL THEN 'FILE_ALREADY_EXISTS'
+        |    WHEN so.name IS NULL OR so.status <> 'SNAPSHOT_ACTIVE'
+        |      THEN 'FILE_NOT_FOUND'
+        |    ELSE 'RENAMED' END AS decision
+        |FROM staged s
+        |LEFT JOIN buckets b ON s.rv = b.volume AND s.rb = b.bucket
+        |LEFT JOIN volumes v ON s.rv = v.volume
+        |LEFT JOIN snapsext sn ON s.rv = sn.volume AND s.rb = sn.bucket
+        |  AND s.new_name = sn.name
+        |LEFT JOIN snapsext so ON s.rv = so.volume AND s.rb = so.bucket
+        |  AND s.old_name = so.name
+        |ORDER BY s.req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """linkres(volume, bucket, rv0, rb0, status) AS (VALUES
+        |  ('vol1', 'link-a', 'vol0', 'bucket0', 'OK'),
+        |  ('vol2', 'link-b', 'vol0', 'bucket0', 'OK'),
+        |  ('vol3', 'link-broken', 'vol0', 'no-such-bucket', 'DANGLING'),
+        |  ('vol0', 'link-cycle1', 'vol0', 'link-cycle1', 'CYCLE'),
+        |  ('vol0', 'link-cycle2', 'vol0', 'link-cycle2', 'CYCLE'))""".stripMargin,
+      """snapsext(volume, bucket, name, status) AS (VALUES
+        |  ('vol0', 'bucket0', 's1', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 's2', 'SNAPSHOT_ACTIVE'),
+        |  ('vol2', 'bucket5', 'snap-golden', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 'snap-gone', 'SNAPSHOT_DELETED'))""".stripMargin,
+      """reqs(req_id, volume, bucket, old_name, new_name, principal) AS
+        |  (VALUES
+        |  (1, 'vol0', 'bucket0', 's1', 's1-renamed', 'admin0'),
+        |  (2, 'vol0', 'bucket0', 's1', 'Bad..Name', 'admin0'),
+        |  (3, 'vol1', 'link-a', 's2', 's2-new', 'admin0'),
+        |  (4, 'vol0', 'bucket0', 's1', 'snap-gone', 'admin0'),
+        |  (5, 'vol0', 'bucket0', 'nope', 'fresh-name', 'admin0'),
+        |  (6, 'vol0', 'bucket0', 'snap-gone', 'revived', 'admin0'),
+        |  (7, 'vol0', 'bucket0', 's1', 's1-x', 'clerk1'),
+        |  (8, 'vol2', 'bucket5', 'snap-golden', 'snap-aurum', 'om-admin'),
+        |  (9, 'vol3', 'link-broken', 's1', 's1-y', 'admin0'),
+        |  (10, 'vol0', 'link-cycle1', 's1', 's1-z', 'admin0'),
+        |  (11, 'vol2', 'nobucket', 's1', 's1-w', 'admin2'),
+        |  (12, 'vol2', 'bucket5', 'snap-golden', 'snap-golden', 'admin2'),
+        |  (13, 'vol2', 'bucket5', 'ghost', 'snap-golden', 'admin2'))""".stripMargin,
+      """staged AS (
+        |  SELECT r.req_id, r.old_name, r.new_name, r.principal,
         |    coalesce(l.rv0, r.volume) AS rv,
         |    coalesce(l.rb0, r.bucket) AS rb, l.status
         |  FROM reqs r LEFT JOIN linkres l

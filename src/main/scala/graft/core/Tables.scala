@@ -966,7 +966,10 @@ object Tables {
       (1L, "vol0", "bucket0", "s1", "s1-renamed", "admin0"),
       (2L, "vol0", "bucket0", "s1", "Bad..Name", "admin0"),
       (3L, "vol1", "link-a", "s2", "s2-new", "admin0"),
-      (4L, "vol0", "bucket0", "s1", "s2", "admin0"),
+      // collision probes use names that CLEAR the strict new-name rung
+      // (3-63 chars — the legacy chain names s1/s2 would fail it first):
+      // snap-gone is SNAPSHOT_DELETED yet still occupies its name
+      (4L, "vol0", "bucket0", "s1", "snap-gone", "admin0"),
       (5L, "vol0", "bucket0", "nope", "fresh-name", "admin0"),
       (6L, "vol0", "bucket0", "snap-gone", "revived", "admin0"),
       (7L, "vol0", "bucket0", "s1", "s1-x", "clerk1"),
@@ -974,8 +977,8 @@ object Tables {
       (9L, "vol3", "link-broken", "s1", "s1-y", "admin0"),
       (10L, "vol0", "link-cycle1", "s1", "s1-z", "admin0"),
       (11L, "vol2", "nobucket", "s1", "s1-w", "admin2"),
-      (12L, "vol0", "bucket0", "s2", "s2", "admin0"),
-      (13L, "vol0", "bucket0", "ghost", "s1", "admin0"))
+      (12L, "vol2", "bucket5", "snap-golden", "snap-golden", "admin2"),
+      (13L, "vol2", "bucket5", "ghost", "snap-golden", "admin2"))
       .toDF("req_id", "volume", "bucket", "old_name", "new_name",
         "principal")
   }

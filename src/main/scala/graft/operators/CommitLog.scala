@@ -436,6 +436,76 @@ object CommitLog {
       .orderBy("req_id")
   }
 
+  /**
+   * RenameSnapshot validation ladder (OMSnapshotRenameRequest.java):
+   * preExecute validates ONLY the new name (:87 validateSnapshotName) →
+   * bucket-link resolution (:93, the rename lands on the SOURCE bucket;
+   * dangling chain = missing bucket, loop refuses) → owner-or-admin
+   * permission (:101-107) → then validateAndUpdateCache probes the NEW
+   * name for a collision BEFORE looking the old one up (:171 vs :180 —
+   * so old-missing+new-exists reports FILE_ALREADY_EXISTS, and a
+   * self-rename collides with itself) → old absent → FILE_NOT_FOUND
+   * (:184) → old in any non-ACTIVE status (SNAPSHOT_DELETED pending
+   * reclamation still occupies its name in snapshotInfoTable) →
+   * FILE_NOT_FOUND (:188-197) → RENAMED.
+   *
+   * Scale shape: identical to [[snapshotCreateDecisions]] — every probe
+   * (links, buckets, volume owners, snapshot catalog) is a control-plane
+   * dimension broadcast into the request-batch scan; no shuffle.
+   */
+  def snapshotRenameDecisions(requests: DataFrame, buckets: DataFrame,
+                              links: DataFrame, volumes: DataFrame,
+                              snapshotsExt: DataFrame,
+                              admins: Seq[String] = Seq("om-admin"))
+      : DataFrame = {
+    val resolved = Links.resolveBucketLinks(links, buckets)
+      .select(col("volume"), col("bucket"),
+        col("resolved_volume").as("rv0"),
+        col("resolved_bucket").as("rb0"),
+        col("status").as("link_status"))
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumnRenamed("volume", "rv").withColumnRenamed("bucket", "rb")
+      .withColumn("bkt_exists", lit(true))
+    val ownerProbe = volumes.select(col("volume").as("rv"),
+      col("owner").as("vol_owner"))
+    // a SNAPSHOT_DELETED entry still occupies its name for the collision
+    // check — probe existence over EVERY status, but carry status for
+    // the old-name rung
+    val newProbe = snapshotsExt.select(col("volume").as("rv"),
+      col("bucket").as("rb"), col("name").as("new_name"),
+      lit(true).as("new_exists"))
+    val oldProbe = snapshotsExt.select(col("volume").as("rv"),
+      col("bucket").as("rb"), col("name").as("old_name"),
+      col("status").as("old_status"))
+    requests
+      .join(broadcast(resolved), Seq("volume", "bucket"), "left")
+      .withColumn("rv", when(col("link_status") === "CYCLE", col("volume"))
+        .otherwise(coalesce(col("rv0"), col("volume"))))
+      .withColumn("rb", when(col("link_status") === "CYCLE", col("bucket"))
+        .otherwise(coalesce(col("rb0"), col("bucket"))))
+      .join(broadcast(bktProbe), Seq("rv", "rb"), "left")
+      .join(broadcast(ownerProbe), Seq("rv"), "left")
+      .join(broadcast(newProbe), Seq("rv", "rb", "new_name"), "left")
+      .join(broadcast(oldProbe), Seq("rv", "rb", "old_name"), "left")
+      .withColumn("decision",
+        when(!BucketOps.nameValid(col("new_name")),
+          lit("INVALID_SNAPSHOT_NAME"))
+          .when(col("link_status") === "CYCLE", lit("LINK_LOOP"))
+          .when(col("link_status") === "DANGLING" ||
+            col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("principal") =!= col("vol_owner") &&
+            !col("principal").isin(admins: _*), lit("PERMISSION_DENIED"))
+          .when(coalesce(col("new_exists"), lit(false)),
+            lit("FILE_ALREADY_EXISTS"))
+          .when(col("old_status").isNull ||
+            col("old_status") =!= "SNAPSHOT_ACTIVE", lit("FILE_NOT_FOUND"))
+          .otherwise(lit("RENAMED")))
+      .select(col("req_id"), col("old_name"), col("new_name"),
+        col("rv").as("resolved_volume"), col("rb").as("resolved_bucket"),
+        col("decision"))
+      .orderBy("req_id")
+  }
+
   /** deletedTable view (ref OMDBDefinition deletedTable, RepeatedOmKeyInfo:
     * a key can accumulate SEVERAL deleted versions): every key with DELETE
     * events in the log, with version count + reclaimable bytes. */

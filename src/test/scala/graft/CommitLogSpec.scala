@@ -108,6 +108,38 @@ class CommitLogSpec extends SparkSpecBase {
     assert(got(12L)._3 === "FILE_ALREADY_EXISTS")
   }
 
+  test("snapshotRenameDecisions: collision-before-old-lookup, statuses") {
+    import spark.implicits._
+    val sfd = "/root/testdata/sf0.001"
+    import graft.core.{Tables => T}
+    val got = graft.operators.CommitLog.snapshotRenameDecisions(
+      T.snapshotRenameRequests(spark, sfd), T.buckets(spark, sfd),
+      T.bucketLinks(spark, sfd), T.volumes(spark, sfd),
+      T.snapshotCatalogExt(spark, sfd))
+      .as[(Long, String, String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    assert(got(1L)._3 === "RENAMED")
+    // only the NEW name goes through preExecute validation
+    assert(got(2L)._3 === "INVALID_SNAPSHOT_NAME")
+    // the link request resolves and renames on the SOURCE bucket
+    assert(got(3L) === (("vol0", "bucket0", "RENAMED")))
+    // new-name collision outranks everything after permission — and a
+    // SNAPSHOT_DELETED entry still occupies its name
+    assert(got(4L)._3 === "FILE_ALREADY_EXISTS")
+    assert(got(5L)._3 === "FILE_NOT_FOUND")
+    // deleted old snapshot reads as absent (pending reclamation)
+    assert(got(6L)._3 === "FILE_NOT_FOUND")
+    assert(got(7L)._3 === "PERMISSION_DENIED")
+    assert(got(8L)._3 === "RENAMED") // admin override
+    assert(got(9L)._3 === "BUCKET_NOT_FOUND")
+    assert(got(10L)._3 === "LINK_LOOP")
+    assert(got(11L)._3 === "BUCKET_NOT_FOUND")
+    // self-rename collides with itself (new checked first)
+    assert(got(12L)._3 === "FILE_ALREADY_EXISTS")
+    // old-missing + new-exists: the new-name probe wins
+    assert(got(13L)._3 === "FILE_ALREADY_EXISTS")
+  }
+
   test("keyDeleteDecisions: every ladder branch incl. the empty dir") {
     import spark.implicits._
     val objects = Seq(("v1", "b1", "a/f1.dat", 1L),
