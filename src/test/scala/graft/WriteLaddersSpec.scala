@@ -327,6 +327,36 @@ class WriteLaddersSpec extends SparkSpecBase {
     }
   }
 
+  test("allocateBlockDecisions: per-class branches + quota math") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Lifecycle.allocateBlockDecisions(
+      T.allocateBlockRequests(spark, sf01), T.buckets(spark, sf01))
+      .as[(Long, String, String, String, String, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._5).toSet === Set("BUCKET_NOT_FOUND", "KEY_NOT_FOUND",
+      "KEY_UNDER_LEASE_RECOVERY", "QUOTA_EXCEEDED", "ALLOCATED"))
+    for (r <- got) {
+      val cls = (r._1 / 970) % 6
+      val probe = r._1 / 97
+      if (probe % 13 == 3) assert(r._5 == "BUCKET_NOT_FOUND", r)
+      else if (cls == 2) assert(r._5 == "KEY_NOT_FOUND", r)
+      else if (cls == 3) assert(r._5 == "KEY_UNDER_LEASE_RECOVERY", r)
+      else if (cls == 4) assert(r._5 == "KEY_NOT_FOUND", r)
+      else if (cls == 5)
+        // 4000 open blocks replicated overrun every FINITE quota; the
+        // unlimited bucket5 (quota -1) still allocates — and reports the
+        // grown block count
+        if (r._3 == "bucket5") assert(r._5 == "ALLOCATED" && r._6 == 4001L, r)
+        else assert(r._5 == "QUOTA_EXCEEDED", r)
+      else {
+        // plain allocations: ≤ 4 blocks replicated ≤ 12 MiB fits every
+        // bucket except the 1 MB-quota bucket9 (already over quota)
+        if (r._3 == "bucket9") assert(r._5 == "QUOTA_EXCEEDED", r)
+        else assert(r._5 == "ALLOCATED" && r._6 == probe % 4 + 1, r)
+      }
+    }
+  }
+
   // ---- cluster state ---------------------------------------------------
 
   test("clusterState: MISSING counts live containers with zero replicas") {
