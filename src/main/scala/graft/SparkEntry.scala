@@ -492,6 +492,15 @@ object SparkEntry {
     "q_tenant_revoke" -> ((s, d) =>
       Tenants.tenantRevokeDecisions(T.tenantRevokeRequests(s, d),
         T.tenantAccessCatalog(s, d))),
+    // TenantAssignAdmin ladder: tenant inference from the accessId,
+    // explicit-tenant existence, accessId membership, delegated grants.
+    "q_tenant_assign_admin" -> ((s, d) =>
+      Tenants.assignAdminDecisions(T.assignAdminRequests(s, d),
+        T.tenantState(s, d), T.tenantAccessCatalog(s, d))),
+    // SetSecret ladder: accessId probe FIRST, empty/8-char-minimum secret.
+    "q_set_secret" -> ((s, d) =>
+      Tenants.setSecretDecisions(T.setSecretRequests(s, d),
+        T.tenantAccessCatalog(s, d))),
     // SetTimes ladder: preExecute mtime guard, keep-on--1.
     "q_set_times" -> ((s, d) =>
       Lifecycle.setTimesDecisions(T.setTimesRequests(s, d),
@@ -2649,6 +2658,76 @@ object SparkEntry {
       """t_revoke_reqs(req_id, access_id) AS (VALUES
         |  (1, 'tenant0$clerk1'), (2, 'tenant0$clerk0'),
         |  (3, 'nope$user'), (4, 'orphan$ghost2'))""".stripMargin),
+
+    // TenantAssignAdmin ladder mirror: inference via the access catalog,
+    // then tenant existence, then membership.
+    "q_tenant_assign_admin" -> O.withCtes(
+      """SELECT r.req_id,
+        |  coalesce(CASE WHEN r.tenant_id = '' THEN c.tenant_id
+        |    ELSE r.tenant_id END, '') AS tenant_id,
+        |  r.access_id,
+        |  CASE WHEN r.tenant_id = '' AND c.access_id IS NULL
+        |      THEN 'TENANT_NOT_FOUND'
+        |    WHEN t.tenant_id IS NULL THEN 'TENANT_NOT_FOUND'
+        |    WHEN c.access_id IS NULL THEN 'ACCESS_ID_NOT_FOUND'
+        |    WHEN c.tenant_id <> r.tenant_id AND r.tenant_id <> ''
+        |      THEN 'INVALID_TENANT_ID'
+        |    WHEN r.delegated THEN 'ASSIGNED_DELEGATED'
+        |    ELSE 'ASSIGNED' END AS decision
+        |FROM ta_reqs r
+        |LEFT JOIN t_access_cat c USING (access_id)
+        |LEFT JOIN (SELECT DISTINCT 'tenant' || substr(volume, 4, 10)
+        |    AS tenant_id FROM objects) t
+        |  ON t.tenant_id = CASE WHEN r.tenant_id = '' THEN c.tenant_id
+        |    ELSE r.tenant_id END
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects,
+      """t_access_cat AS (
+        |  SELECT 'tenant' || substr(volume, 4, 10) || '$' || owner
+        |      AS access_id,
+        |    'tenant' || substr(volume, 4, 10) AS tenant_id,
+        |    owner = 'clerk0' AS is_admin
+        |  FROM (SELECT DISTINCT volume, owner FROM objects)
+        |  UNION ALL
+        |  SELECT 'no-such-but-hasids$ghost', 'no-such-but-hasids', FALSE
+        |  UNION ALL SELECT 'orphan$ghost2', NULL, FALSE)""".stripMargin,
+      """ta_reqs(req_id, tenant_id, access_id, delegated) AS (VALUES
+        |  (1, 'tenant1', 'tenant1$clerk1', TRUE),
+        |  (2, '', 'tenant2$clerk2', FALSE),
+        |  (3, '', 'ghost$nobody', FALSE),
+        |  (4, 'tenant1', 'tenant1$missing', TRUE),
+        |  (5, 'tenant2', 'tenant1$clerk1', FALSE),
+        |  (6, 'tenant3', 'tenant3$clerk3', FALSE))""".stripMargin),
+
+    // SetSecret ladder mirror: accessId probe first, then secret rules.
+    "q_set_secret" -> O.withCtes(
+      """SELECT r.req_id, r.access_id,
+        |  CASE WHEN c.access_id IS NULL THEN 'ACCESS_ID_NOT_FOUND'
+        |    WHEN length(r.secret) = 0 THEN 'INVALID_REQUEST'
+        |    WHEN length(r.secret) < 8 THEN 'INVALID_REQUEST'
+        |    ELSE 'SET' END AS decision,
+        |  CASE WHEN c.access_id IS NULL THEN ''
+        |    WHEN length(r.secret) = 0 THEN 'EMPTY_SECRET'
+        |    WHEN length(r.secret) < 8 THEN 'SECRET_TOO_SHORT'
+        |    ELSE '' END AS reason
+        |FROM ss_reqs r
+        |LEFT JOIN (SELECT DISTINCT access_id FROM t_access_cat) c
+        |  USING (access_id)
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects,
+      """t_access_cat AS (
+        |  SELECT 'tenant' || substr(volume, 4, 10) || '$' || owner
+        |      AS access_id
+        |  FROM (SELECT DISTINCT volume, owner FROM objects)
+        |  UNION ALL SELECT 'no-such-but-hasids$ghost'
+        |  UNION ALL SELECT 'orphan$ghost2')""".stripMargin,
+      """ss_reqs(req_id, access_id, secret) AS (VALUES
+        |  (1, 'tenant1$clerk1', 'a-perfectly-long-secret'),
+        |  (2, 'ghost$nobody', 'another-long-secret'),
+        |  (3, 'tenant2$clerk2', ''),
+        |  (4, 'tenant3$clerk3', 'short'),
+        |  (5, 'ghost$nobody', 'short'),
+        |  (6, 'tenant2$clerk2', 'exactly8'))""".stripMargin),
 
     // SetTimes ladder mirror.
     "q_set_times" -> O.withCtes(

@@ -1034,7 +1034,7 @@ object Tables {
       (3L, "", "ghost$nobody", false),
       (4L, "tenant1", "tenant1$missing", true),
       (5L, "tenant2", "tenant1$clerk1", false),
-      (6L, "tenant3", "tenant3$alice", false))
+      (6L, "tenant3", "tenant3$clerk3", false))
       .toDF("req_id", "tenant_id", "access_id", "delegated")
   }
 
@@ -1048,7 +1048,7 @@ object Tables {
       (1L, "tenant1$clerk1", "a-perfectly-long-secret"),
       (2L, "ghost$nobody", "another-long-secret"),
       (3L, "tenant2$clerk2", ""),
-      (4L, "tenant3$alice", "short"),
+      (4L, "tenant3$clerk3", "short"),
       (5L, "ghost$nobody", "short"),
       (6L, "tenant2$clerk2", "exactly8"))
       .toDF("req_id", "access_id", "secret")

@@ -158,4 +158,74 @@ object Tenants {
           .otherwise(lit("REVOKED")).as("decision"))
       .orderBy("req_id")
   }
+
+  /**
+   * TenantAssignAdmin ladder (OMTenantAssignAdminRequest.preExecute:71-111,
+   * reference order):
+   *   1. empty tenantId → infer it from the accessId; accessId unassigned
+   *      anywhere → TENANT_NOT_FOUND (:83-90)
+   *   2. checkTenantExistence on the (explicit) tenant → TENANT_NOT_FOUND
+   *      (:94)
+   *   3. accessId absent from tenantAccessIdTable → ACCESS_ID_NOT_FOUND
+   *      (:99-104)
+   *   4. accessId assigned to a DIFFERENT tenant → INVALID_TENANT_ID
+   *      (:107-111)
+   *   5. ASSIGNED / ASSIGNED_DELEGATED (:125-128 — the delegated flag
+   *      rides into the admin grant).
+   *
+   * Scale shape: two broadcast control-plane probes (accessId catalog,
+   * tenant catalog) into the request batch; no shuffle.
+   */
+  def assignAdminDecisions(requests: DataFrame, tenantState: DataFrame,
+                           accessCatalog: DataFrame): DataFrame = {
+    val idProbe = accessCatalog.select(col("access_id"),
+      col("tenant_id").as("__id_tenant"), lit(true).as("__id_exists"))
+    val tenants = tenantState.select(col("tenant_id").as("__eff_tenant"))
+      .distinct().withColumn("__tenant_exists", lit(true))
+    requests
+      .join(broadcast(idProbe), Seq("access_id"), "left")
+      .withColumn("__eff_tenant",
+        when(col("tenant_id") === "", col("__id_tenant"))
+          .otherwise(col("tenant_id")))
+      .join(broadcast(tenants), Seq("__eff_tenant"), "left")
+      .select(col("req_id"),
+        coalesce(col("__eff_tenant"), lit("")).as("tenant_id"),
+        col("access_id"),
+        when(col("tenant_id") === "" && col("__id_exists").isNull,
+          lit("TENANT_NOT_FOUND")) // inference found no assignment
+          .when(col("__tenant_exists").isNull, lit("TENANT_NOT_FOUND"))
+          .when(col("__id_exists").isNull, lit("ACCESS_ID_NOT_FOUND"))
+          .when(col("__id_tenant") =!= col("__eff_tenant"),
+            lit("INVALID_TENANT_ID"))
+          .when(col("delegated"), lit("ASSIGNED_DELEGATED"))
+          .otherwise(lit("ASSIGNED")).as("decision"))
+      .orderBy("req_id")
+  }
+
+  /**
+   * SetSecret ladder (OMSetSecretRequest.preExecute:57-88, reference
+   * order): the accessId existence probe runs FIRST (:73
+   * ACCESS_ID_NOT_FOUND — even an invalid secret on an unknown accessId
+   * reports the accessId error), then empty secret (:80-82
+   * INVALID_REQUEST), then the S3_SECRET_KEY_MIN_LENGTH = 8 floor
+   * (OzoneConsts.java:372, :85-88 INVALID_REQUEST), else SET. The reason
+   * column disambiguates the two INVALID_REQUEST branches.
+   */
+  def setSecretDecisions(requests: DataFrame,
+                         accessCatalog: DataFrame): DataFrame = {
+    val idProbe = accessCatalog.select(col("access_id"),
+      lit(true).as("__id_exists")).distinct()
+    requests
+      .join(broadcast(idProbe), Seq("access_id"), "left")
+      .select(col("req_id"), col("access_id"),
+        when(col("__id_exists").isNull, lit("ACCESS_ID_NOT_FOUND"))
+          .when(length(col("secret")) === 0, lit("INVALID_REQUEST"))
+          .when(length(col("secret")) < 8, lit("INVALID_REQUEST"))
+          .otherwise(lit("SET")).as("decision"),
+        when(col("__id_exists").isNull, lit(""))
+          .when(length(col("secret")) === 0, lit("EMPTY_SECRET"))
+          .when(length(col("secret")) < 8, lit("SECRET_TOO_SHORT"))
+          .otherwise(lit("")).as("reason"))
+      .orderBy("req_id")
+  }
 }

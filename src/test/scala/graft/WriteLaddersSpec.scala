@@ -357,6 +357,39 @@ class WriteLaddersSpec extends SparkSpecBase {
     }
   }
 
+  test("assignAdminDecisions: inference, membership, delegation") {
+    val got = Tenants.assignAdminDecisions(
+      T.assignAdminRequests(spark, sf), T.tenantState(spark, sf),
+      T.tenantAccessCatalog(spark, sf))
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got(1L) === (("tenant1", "ASSIGNED_DELEGATED")))
+    // empty tenant_id resolves THROUGH the accessId
+    assert(got(2L) === (("tenant2", "ASSIGNED")))
+    // inference over an unassigned accessId is a TENANT error, not an
+    // accessId error (the reference infers before any accessId probe)
+    assert(got(3L)._2 === "TENANT_NOT_FOUND")
+    assert(got(4L)._2 === "ACCESS_ID_NOT_FOUND")
+    // accessId held by a DIFFERENT tenant than the explicit one
+    assert(got(5L)._2 === "INVALID_TENANT_ID")
+    assert(got(6L) === (("tenant3", "ASSIGNED")))
+  }
+
+  test("setSecretDecisions: accessId probe outranks secret validation") {
+    val got = Tenants.setSecretDecisions(
+      T.setSecretRequests(spark, sf), T.tenantAccessCatalog(spark, sf))
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(1L) === (("SET", "")))
+    assert(got(2L) === (("ACCESS_ID_NOT_FOUND", "")))
+    assert(got(3L) === (("INVALID_REQUEST", "EMPTY_SECRET")))
+    assert(got(4L) === (("INVALID_REQUEST", "SECRET_TOO_SHORT")))
+    // unknown accessId + bad secret: the accessId error wins
+    assert(got(5L) === (("ACCESS_ID_NOT_FOUND", "")))
+    // exactly the 8-char minimum passes
+    assert(got(6L) === (("SET", "")))
+  }
+
   // ---- cluster state ---------------------------------------------------
 
   test("clusterState: MISSING counts live containers with zero replicas") {
