@@ -30,16 +30,15 @@ import org.apache.spark.sql.functions._
  *     the requested key range BEFORE the walk (an SST whose [start_key,
  *     end_key] doesn't overlap the diff's bucket prefix is irrelevant).
  *
- * Scale shape: the two snapshot file maps are checkpoint METADATA (one row
- * per live SST — broadcastable at any realistic deployment), so the dest
- * membership probes are broadcast joins. The unbounded table is the
- * compaction LOG (years of history); it is scanned once for the node-gen
- * map and then joined per BFS level against a frontier no larger than the
- * src file set plus one compaction fan-in — the log itself never drives a
- * shuffle wider than the frontier. Loop depth is the DAG level count
- * (single digits in practice), each level cut with localCheckpoint; a depth
- * guard mirrors the reference's traversal-level cap (a cycle in a corrupt
- * log must fail loudly, not spin — RocksDBCheckpointDiffer traversal guard).
+ * Scale shape: every walk input is checkpoint/compaction METADATA — one row
+ * per SST file ever mentioned, never per key — which the reference differ
+ * itself materializes whole in driver heap (RocksDBCheckpointDiffer builds
+ * its CompactionDag from the full compactionLogTable before walking). The
+ * walk therefore collects the pruned file maps + edge list (bounded by SST
+ * count) and runs the BFS in memory: one Spark scan per input instead of a
+ * frontier join + isEmpty action per DAG level. A depth guard mirrors the
+ * reference's traversal-level cap (a cycle in a corrupt log must fail
+ * loudly, not spin — RocksDBCheckpointDiffer traversal guard).
  */
 object CompactionDag {
 
@@ -114,56 +113,66 @@ object CompactionDag {
    */
   def sstDiff(srcLive: DataFrame, destLive: DataFrame, edges: DataFrame,
               destGen: Long, lo: String, hi: String): DataFrame = {
-    val src = pruneByRange(srcLive, lo, hi).select("file")
-    val dest = broadcast(pruneByRange(destLive, lo, hi).select("file"))
+    val spark = srcLive.sparkSession
+    import spark.implicits._
 
-    // frontier/visited are metadata-sized (≤ |src files| + one fan-in);
-    // keep them on a few partitions so the per-level jobs don't pay 32-way
-    // task scheduling for kilobyte frames
-    def pin(df: DataFrame): DataFrame = df.coalesce(4).localCheckpoint()
+    // ALL walk inputs are checkpoint/compaction METADATA — one row per SST
+    // file, not per key. The reference differ holds the identical DAG in
+    // driver heap (RocksDBCheckpointDiffer builds CompactionDag from the
+    // whole compactionLogTable before any walk); collecting here is the
+    // same control-plane bound, and it turns a 2·depth-job BFS (a Spark
+    // job per level for frontier/isEmpty/checkpoint) into one in-memory
+    // walk. Three bounded collects: src files, dest files, the edge list
+    // (which also yields node gens in one pass).
+    val src: Array[String] =
+      pruneByRange(srcLive, lo, hi).select("file").as[String].collect()
+    val dest: Set[String] =
+      pruneByRange(destLive, lo, hi).select("file").as[String].collect().toSet
+    val edgeRows: Array[(String, String, Long)] = edges
+      .select(col("output_file"), col("input_file"), col("seq").cast("long"))
+      .as[(String, String, Long)].collect()
+    val gens = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((o, i, s) <- edgeRows) {
+      gens.update(o, math.min(gens.getOrElse(o, Long.MaxValue), s))
+      gens.update(i, math.min(gens.getOrElse(i, Long.MaxValue), s))
+    }
+    val inputsOf: Map[String, Array[String]] =
+      edgeRows.groupBy(_._1).map { case (o, rs) => o -> rs.map(_._2) }
 
-    // materialize the node-gen map ONCE — joining it lazily would re-run
-    // its aggregation (a full pass over the log) on every BFS level. NOT
-    // pinned to few partitions: it is log-sized (one row per SST ever
-    // mentioned), unlike the frontier frames below.
-    val gens = nodeGens(edges).localCheckpoint()
-
-    var sameBatches = List(src.join(dest, Seq("file"), "left_semi"))
-    var diffBatches = List.empty[DataFrame]
-    var frontier = pin(src.join(dest, Seq("file"), "left_anti"))
-    var visited = pin(src)
+    val same = scala.collection.mutable.ArrayBuffer.empty[String]
+    val diff = scala.collection.mutable.ArrayBuffer.empty[String]
+    val visited = scala.collection.mutable.HashSet.empty[String]
+    visited ++= src
+    same ++= src.filter(dest)
+    var frontier: Seq[String] = src.filterNot(dest)
     var depth = 0
-    while (!frontier.isEmpty) {
+    while (frontier.nonEmpty) {
       depth += 1
       if (depth > MaxWalkDepth)
         throw new IllegalStateException(
           s"compaction-DAG walk exceeded $MaxWalkDepth levels — cyclic or " +
             "corrupt compaction log (reference traversal guard)")
-      val f = frontier.join(gens, Seq("file"), "left")
-      // terminal: never compacted (no node) or predates the dest horizon
-      val cut = f.filter(col("gen").isNull || col("gen") < destGen)
-        .select("file")
-      val expandable = f
-        .filter(col("gen").isNotNull && col("gen") >= destGen)
-        .select("file")
-      val expanded = expandable
-        .join(edges, expandable("file") === edges("output_file"), "left")
-        .select(expandable("file"), col("input_file"))
-      // in the log but never an output: no further decomposition possible
-      val noSucc = expanded.filter(col("input_file").isNull).select("file")
-      diffBatches ::= pin(cut.unionByName(noSucc))
-      val nexts = pin(expanded.filter(col("input_file").isNotNull)
-        .select(col("input_file").as("file")).distinct()
-        .join(visited, Seq("file"), "left_anti"))
-      sameBatches ::= nexts.join(dest, Seq("file"), "left_semi")
-      frontier = pin(nexts.join(dest, Seq("file"), "left_anti"))
-      visited = pin(visited.unionByName(nexts))
+      val nexts = scala.collection.mutable.LinkedHashSet.empty[String]
+      for (file <- frontier) {
+        gens.get(file) match {
+          // terminal: never compacted, or predates the dest horizon
+          case None => diff += file
+          case Some(g) if g < destGen => diff += file
+          case _ =>
+            inputsOf.get(file) match {
+              // in the log but never an output: cannot decompose further
+              case None => diff += file
+              case Some(ins) =>
+                for (in <- ins if !visited(in)) nexts += in
+            }
+        }
+      }
+      visited ++= nexts
+      val (inDest, notInDest) = nexts.toSeq.partition(dest)
+      same ++= inDest
+      frontier = notInDest
     }
-    val same = sameBatches.reduce(_ unionByName _)
-      .withColumn("cls", lit("SAME"))
-    val diff = diffBatches.foldLeft(same.filter(lit(false)).drop("cls"))(
-        _ unionByName _)
-      .withColumn("cls", lit("DIFFERENT"))
-    same.unionByName(diff).orderBy("cls", "file")
+    (same.map(f => (f, "SAME")) ++ diff.map(f => (f, "DIFFERENT")))
+      .toSeq.toDF("file", "cls").orderBy("cls", "file")
   }
 }
