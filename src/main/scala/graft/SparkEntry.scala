@@ -520,6 +520,10 @@ object SparkEntry {
     "q_volume_set_owner" -> ((s, d) =>
       BucketOps.volumeSetOwnerDecisions(T.volumeSetOwnerRequests(s, d),
         T.volumes(s, d), maxUserVolumes = 1L)),
+    // QuotaRepair recount: namespace-wide usage recompute (replicated
+    // bytes; FSO dirs count namespace) diffed against the stored catalog.
+    "q_quota_repair" -> ((s, d) =>
+      BucketOps.quotaRepair(T.objects(s, d), T.buckets(s, d))),
     // SetVolumeQuota ladder: silent-ignore semantics for invalid values,
     // unset-bucket and bucket-sum guards, bytes validated before ns.
     "q_volume_set_quota" -> ((s, d) =>
@@ -3868,6 +3872,45 @@ object SparkEntry {
         |    coalesce(l.rb0, r.bucket) AS rb, l.status
         |  FROM reqs r LEFT JOIN linkres l
         |    ON r.volume = l.volume AND r.bucket = l.bucket)""".stripMargin),
+
+    // QuotaRepair recount mirror: replicated-size recount + FSO dir
+    // namespace, diffed against the stored catalog.
+    "q_quota_repair" -> O.withCtes(
+      """SELECT b.volume, b.bucket,
+        |  b.used_bytes AS stored_bytes,
+        |  coalesce(k.actual_bytes, 0) AS actual_bytes,
+        |  coalesce(k.actual_bytes, 0) - b.used_bytes AS diff_bytes,
+        |  b.used_namespace AS stored_ns,
+        |  coalesce(k.key_ns, 0) + CASE WHEN b.layout = 'FSO'
+        |    THEN coalesce(d.dir_ns, 0) ELSE 0 END AS actual_ns,
+        |  coalesce(k.key_ns, 0) + CASE WHEN b.layout = 'FSO'
+        |    THEN coalesce(d.dir_ns, 0) ELSE 0 END
+        |    - b.used_namespace AS diff_ns,
+        |  coalesce(k.actual_bytes, 0) <> b.used_bytes
+        |    OR coalesce(k.key_ns, 0) + CASE WHEN b.layout = 'FSO'
+        |      THEN coalesce(d.dir_ns, 0) ELSE 0 END
+        |      <> b.used_namespace AS changed
+        |FROM buckets b
+        |LEFT JOIN (
+        |  SELECT volume, bucket, count(*) AS key_ns,
+        |    CAST(sum(replicated_size) AS BIGINT) AS actual_bytes
+        |  FROM objects GROUP BY 1, 2) k
+        |  ON b.volume = k.volume AND b.bucket = k.bucket
+        |LEFT JOIN (
+        |  SELECT volume, bucket, count(*) AS dir_ns
+        |  FROM (
+        |    SELECT DISTINCT volume, bucket,
+        |      array_to_string(list_slice(string_split(key, '/'), 1, d),
+        |        '/') AS path
+        |    FROM (
+        |      SELECT volume, bucket, key,
+        |        unnest(generate_series(1,
+        |          len(string_split(key, '/')) - 1)) AS d
+        |      FROM objects))
+        |  GROUP BY 1, 2) d
+        |  ON b.volume = d.volume AND b.bucket = d.bucket
+        |ORDER BY b.volume, b.bucket""".stripMargin,
+      O.objects, O.buckets),
 
     // SetBucketProperty quota ladder: same staged CASE over broadcastable
     // catalog rollups; -2 = absent field, -1 = QUOTA_RESET

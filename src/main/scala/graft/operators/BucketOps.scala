@@ -378,4 +378,54 @@ object BucketOps {
         "decision")
       .orderBy("volume", "bucket", "new_quota_bytes", "new_quota_ns")
   }
+
+  /**
+   * QuotaRepair recount (OMQuotaRepairRequest + QuotaRepairTask.java:
+   * repairCount:322-383 walks keyTable/fileTable/directoryTable and
+   * recomputes per-bucket usage from scratch; extractCount:639-655 adds 1
+   * to usedNamespace per entry and getReplicatedSize() to usedBytes for
+   * key/file entries — directories count namespace only; repairActiveDb
+   * :155-196 then emits ONLY the buckets whose recount differs as
+   * (diffUsedBytes, diffUsedNamespace) deltas).
+   *
+   * Here: the stored catalog tracks raw data_size (the drift under
+   * repair), the recount sums replicated_size; FSO buckets add their
+   * derived directory set to the namespace recount (OBS buckets have no
+   * directoryTable). Emits every bucket with old/new/diff and the changed
+   * flag — the repair request body is the changed=true slice.
+   *
+   * Scale shape: two namespace-wide aggregations (bytes+keys in one pass;
+   * the FSO dir recount dedups ancestor paths exactly like nsSummary) and
+   * a broadcast catalog join — the same shape the reference spreads over
+   * its executor pool, minus the driver-side BlockingQueue.
+   */
+  def quotaRepair(objects: DataFrame, buckets: DataFrame): DataFrame = {
+    val keyCounts = objects.groupBy("volume", "bucket")
+      .agg(count(lit(1)).as("key_ns"),
+        sum("replicated_size").as("actual_bytes"))
+    val dirCounts = objects
+      .withColumn("pdir", Aggregates.parentDirOf("key"))
+      .filter(col("pdir") =!= "")
+      .select(col("volume"), col("bucket"),
+        explode(Aggregates.dirAndAncestors("pdir")).as("path"))
+      .distinct()
+      .groupBy("volume", "bucket").agg(count(lit(1)).as("dir_ns"))
+    buckets.select("volume", "bucket", "layout", "used_bytes",
+        "used_namespace")
+      .join(keyCounts, Seq("volume", "bucket"), "left")
+      .join(dirCounts, Seq("volume", "bucket"), "left")
+      .withColumn("actual_bytes", coalesce(col("actual_bytes"), lit(0L)))
+      .withColumn("actual_ns",
+        coalesce(col("key_ns"), lit(0L)) +
+          when(col("layout") === "FSO", coalesce(col("dir_ns"), lit(0L)))
+            .otherwise(lit(0L)))
+      .select(col("volume"), col("bucket"),
+        col("used_bytes").as("stored_bytes"), col("actual_bytes"),
+        (col("actual_bytes") - col("used_bytes")).as("diff_bytes"),
+        col("used_namespace").as("stored_ns"), col("actual_ns"),
+        (col("actual_ns") - col("used_namespace")).as("diff_ns"),
+        (col("actual_bytes") =!= col("used_bytes") ||
+          col("actual_ns") =!= col("used_namespace")).as("changed"))
+      .orderBy("volume", "bucket")
+  }
 }

@@ -118,4 +118,30 @@ class BucketOpsSpec extends SparkSpecBase {
       .as[(Long, String, String, String)].collect()
     assert(got.head._4 === "CREATED")
   }
+
+  test("quotaRepair: replicated-byte recount, FSO-only dir namespace") {
+    import graft.core.{Tables => T}
+    val got = BucketOps.quotaRepair(T.objects(spark, sf),
+      T.buckets(spark, sf))
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      // diff columns are exact deltas; changed ⇔ any delta
+      assert(r._5 === r._4 - r._3, r)
+      assert(r._8 === r._7 - r._6, r)
+      assert(r._9 === (r._5 != 0L || r._8 != 0L), r)
+      val idx = r._2.stripPrefix("bucket").toLong
+      if (idx % 2 == 0)
+        // OBS: no directoryTable — namespace recount equals the key count,
+        // which the stored catalog already has right
+        assert(r._8 === 0L, r)
+      else
+        // FSO: derived dirs join the namespace recount
+        assert(r._8 > 0L, r)
+      // replication drift: stored raw bytes < replicated recount whenever
+      // the bucket holds any RATIS/THREE or EC key (all buckets do)
+      assert(r._5 > 0L, r)
+    }
+  }
 }
