@@ -3675,18 +3675,21 @@ object SparkEntry {
          |        AS agree_count
          |    FROM (
          |      SELECT container_id, datanode,
-         |        md5(string_agg(block_ck, '' ORDER BY local_id))
+         |        md5(container_id || ':' || bit_xor(block_ck))
          |          AS data_checksum
          |      FROM (
          |        SELECT container_id, datanode, local_id,
-         |          md5(string_agg(chunk_ck, '' ORDER BY off, chunk_ck))
+         |          ('0x' || substr(md5(container_id || ':' || local_id
+         |              || ':' || bit_xor(chunk_ck)), 1, 15))::BIGINT
          |            AS block_ck
          |        FROM (
          |          SELECT c.container_id, r.datanode, c.local_id, c.off,
-         |            md5(c.container_id || ':' || c.local_id || ':'
+         |            ('0x' || substr(md5(c.container_id || ':'
+         |              || c.local_id || ':'
          |              || c.off || ':' || c.length || ':'
          |              || CASE WHEN r.replica_state = 'UNHEALTHY'
-         |                 THEN 'corrupt' ELSE 'ok' END) AS chunk_ck
+         |                 THEN 'corrupt' ELSE 'ok' END), 1, 15))::BIGINT
+         |              AS chunk_ck
          |          FROM (
          |            SELECT container_id, object_id * 100 + i AS local_id,
          |              i * ${graft.core.Tables.LocChunkBytes} AS off,

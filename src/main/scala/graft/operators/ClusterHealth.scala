@@ -454,10 +454,15 @@ object ClusterHealth {
    * Scale shape: leaves explode once from the OM chunk layout and join the
    * (container → datanode) replica map — the ×replication fan-out every
    * datanode pays locally in the reference appears here as one
-   * co-partitioned pass; both rollup levels aggregate on prefixes of the
-   * same (container, datanode, block) key, so the tree build is one
-   * shuffle; the majority vote runs on container-level rows only (one row
-   * per replica).
+   * co-partitioned pass. Each tree level folds its children with bit_xor
+   * over a 60-bit md5 prefix (a commutative MULTISET hash): any chunk
+   * divergence still flips the block and container digests w.h.p., but
+   * the rollup is a plain two-level aggregation — no per-group array
+   * materialization or sort, so a container with 10⁵ blocks costs the
+   * same per-row work as one with 10 (the reference's offset-ordered
+   * CRC32C concat needs its own ordered walk; order-independence is the
+   * distributed-friendly equivalent). The majority vote runs on
+   * container-level rows only (one row per replica).
    */
   def merkleReconcile(objectsNested: DataFrame,
                       replicas: DataFrame): DataFrame = {
@@ -469,36 +474,31 @@ object ClusterHealth {
     // a replica's tree is a pure function of (layout, replica_state) in
     // this model, so build the TWO variant trees per container in one
     // pass over the layout instead of fanning the chunk table out
-    // ×replication — at 100 TB the rollup is two md5 streams per chunk,
-    // not a per-replica recompute (replicas then just pick their variant)
-    def ck(salt: String) = md5(concat_ws(":",
-      col("container_id"), col("local_id"), col("offset"), col("length"),
-      lit(salt)))
+    // ×replication (replicas then just pick their variant)
+    def ck(salt: String) = expr(
+      s"""CAST(conv(substring(md5(concat_ws(':', container_id, local_id,
+         |  offset, length, '$salt')), 1, 15), 16, 10) AS BIGINT)"""
+        .stripMargin.replace("\n", " "))
     val blockLevel = chunks
       .withColumn("ck_ok", ck("ok"))
       .withColumn("ck_corrupt", ck("corrupt"))
       .groupBy("container_id", "local_id")
-      .agg(
-        collect_list(struct(col("offset"), col("ck_ok"))).as("cs_ok"),
-        collect_list(struct(col("offset"), col("ck_corrupt")))
-          .as("cs_corrupt"))
+      .agg(expr("bit_xor(ck_ok)").as("x_ok"),
+        expr("bit_xor(ck_corrupt)").as("x_corrupt"))
       .select(col("container_id"), col("local_id"),
-        md5(concat_ws("", sort_array(col("cs_ok")).getField("ck_ok")))
-          .as("block_ok"),
-        md5(concat_ws("",
-          sort_array(col("cs_corrupt")).getField("ck_corrupt")))
+        expr("CAST(conv(substring(md5(concat_ws(':', container_id, " +
+          "local_id, x_ok)), 1, 15), 16, 10) AS BIGINT)").as("block_ok"),
+        expr("CAST(conv(substring(md5(concat_ws(':', container_id, " +
+          "local_id, x_corrupt)), 1, 15), 16, 10) AS BIGINT)")
           .as("block_corrupt"))
     val containerTrees = blockLevel
       .groupBy("container_id")
-      .agg(
-        collect_list(struct(col("local_id"), col("block_ok"))).as("bs_ok"),
-        collect_list(struct(col("local_id"), col("block_corrupt")))
-          .as("bs_corrupt"))
+      .agg(expr("bit_xor(block_ok)").as("t_ok"),
+        expr("bit_xor(block_corrupt)").as("t_corrupt"))
       .select(col("container_id"),
-        md5(concat_ws("", sort_array(col("bs_ok")).getField("block_ok")))
+        md5(concat_ws(":", col("container_id"), col("t_ok")))
           .as("tree_ok"),
-        md5(concat_ws("",
-          sort_array(col("bs_corrupt")).getField("block_corrupt")))
+        md5(concat_ws(":", col("container_id"), col("t_corrupt")))
           .as("tree_corrupt"))
     val containerLevel = replicas
       .select("container_id", "datanode", "replica_state")
