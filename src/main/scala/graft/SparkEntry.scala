@@ -520,6 +520,15 @@ object SparkEntry {
     "q_volume_set_owner" -> ((s, d) =>
       BucketOps.volumeSetOwnerDecisions(T.volumeSetOwnerRequests(s, d),
         T.volumes(s, d), maxUserVolumes = 1L)),
+    // SetBucketOwner ladder: same-owner explicit no-op (UNCHANGED).
+    "q_bucket_set_owner" -> ((s, d) =>
+      BucketOps.bucketSetOwnerDecisions(T.bucketSetOwnerRequests(s, d),
+        T.buckets(s, d), T.volumes(s, d))),
+    // SetSnapshotProperty ladder: in-batch dup beats missing-key; deleted
+    // snapshots still accept property writes.
+    "q_snapshot_set_property" -> ((s, d) =>
+      CommitLog.snapshotSetPropertyDecisions(
+        T.snapshotSetPropertyRequests(s, d), T.snapshotCatalogExt(s, d))),
     // QuotaRepair recount: namespace-wide usage recompute (replicated
     // bytes; FSO dirs count namespace) diffed against the stored catalog.
     "q_quota_repair" -> ((s, d) =>
@@ -3875,6 +3884,53 @@ object SparkEntry {
         |    coalesce(l.rb0, r.bucket) AS rb, l.status
         |  FROM reqs r LEFT JOIN linkres l
         |    ON r.volume = l.volume AND r.bucket = l.bucket)""".stripMargin),
+
+    // SetBucketOwner ladder mirror (bucket owner = volume owner).
+    "q_bucket_set_owner" -> O.withCtes(
+      """SELECT r.req_id, r.volume, r.bucket, r.new_owner,
+        |  CASE WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND'
+        |    WHEN r.new_owner = v.owner THEN 'UNCHANGED'
+        |    ELSE 'SET' END AS decision
+        |FROM bso_reqs r
+        |LEFT JOIN buckets b ON r.volume = b.volume AND r.bucket = b.bucket
+        |LEFT JOIN volumes v ON r.volume = v.volume
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """bso_reqs(req_id, volume, bucket, new_owner) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 'clerk9'),
+        |  (2, 'vol0', 'bucket0', 'admin0'),
+        |  (3, 'vol0', 'no-such', 'clerk1'),
+        |  (4, 'vol2', 'bucket5', 'admin2'),
+        |  (5, 'vol1', 'bucket3', 'bob'))""".stripMargin),
+
+    // SetSnapshotProperty ladder mirror: dup window beats existence.
+    "q_snapshot_set_property" -> O.withCtes(
+      """SELECT req_id, volume, bucket, name, property,
+        |  CASE WHEN occurrence > 1 THEN 'INVALID_REQUEST'
+        |    WHEN snap_exists IS NULL THEN 'FILE_NOT_FOUND'
+        |    ELSE 'UPDATED' END AS decision
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket, r.name, r.property,
+        |    row_number() OVER (PARTITION BY r.volume, r.bucket, r.name
+        |      ORDER BY r.req_id) AS occurrence,
+        |    sn.name AS snap_exists
+        |  FROM ssp_reqs r
+        |  LEFT JOIN snapsext sn ON r.volume = sn.volume
+        |    AND r.bucket = sn.bucket AND r.name = sn.name)
+        |ORDER BY req_id""".stripMargin,
+      """snapsext(volume, bucket, name, status) AS (VALUES
+        |  ('vol0', 'bucket0', 's1', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 's2', 'SNAPSHOT_ACTIVE'),
+        |  ('vol2', 'bucket5', 'snap-golden', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 'snap-gone', 'SNAPSHOT_DELETED'))""".stripMargin,
+      """ssp_reqs(req_id, volume, bucket, name, property) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 's1', 'deep_cleaned_deleted_dir'),
+        |  (2, 'vol0', 'bucket0', 'ghost', 'exclusive_size'),
+        |  (3, 'vol0', 'bucket0', 's2', 'exclusive_size'),
+        |  (4, 'vol0', 'bucket0', 's1', 'exclusive_size'),
+        |  (5, 'vol2', 'bucket5', 'snap-golden', 'deep_cleaned_deleted_dir'),
+        |  (6, 'vol0', 'bucket0', 'snap-gone', 'exclusive_size'),
+        |  (7, 'vol0', 'bucket0', 'ghost', 'deep_cleaned_deleted_dir'))""".stripMargin),
 
     // QuotaRepair recount mirror: replicated-size recount + FSO dir
     // namespace, diffed against the stored catalog.

@@ -1054,6 +1054,42 @@ object Tables {
       .toDF("req_id", "access_id", "secret")
   }
 
+  /** bucket_set_owner_requests: OMBucketSetOwnerRequest branches —
+    * missing bucket, same-owner no-op (success=false, not an error), and
+    * plain transfers. Bucket owner is modeled as the volume owner
+    * (buckets carry no separate owner in this catalog, as in the
+    * snapshot-create ladder). */
+  def bucketSetOwnerRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "clerk9"),
+      (2L, "vol0", "bucket0", "admin0"),
+      (3L, "vol0", "no-such", "clerk1"),
+      (4L, "vol2", "bucket5", "admin2"),
+      (5L, "vol1", "bucket3", "bob"))
+      .toDF("req_id", "volume", "bucket", "new_owner")
+  }
+
+  /** snapshot_set_property_requests: OMSnapshotSetPropertyRequest
+    * branches — plain update, missing snapshot, IN-BATCH duplicate key
+    * (checked BEFORE the table lookup — probed by a duplicate of a
+    * MISSING key), and the truthful quirk that a SNAPSHOT_DELETED entry
+    * still accepts property updates (the reference never checks status
+    * here). */
+  def snapshotSetPropertyRequests(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "s1", "deep_cleaned_deleted_dir"),
+      (2L, "vol0", "bucket0", "ghost", "exclusive_size"),
+      (3L, "vol0", "bucket0", "s2", "exclusive_size"),
+      (4L, "vol0", "bucket0", "s1", "exclusive_size"),
+      (5L, "vol2", "bucket5", "snap-golden", "deep_cleaned_deleted_dir"),
+      (6L, "vol0", "bucket0", "snap-gone", "exclusive_size"),
+      (7L, "vol0", "bucket0", "ghost", "deep_cleaned_deleted_dir"))
+      .toDF("req_id", "volume", "bucket", "name", "property")
+  }
+
   /** CreateVolume request batch — every OMVolumeCreateRequest branch:
     * invalid names (uppercase/short/IPv4), a POSIX underscore name that is
     * LEGAL for volumes (strict=false), catalog + in-batch collisions, and

@@ -380,6 +380,31 @@ object BucketOps {
   }
 
   /**
+   * SetBucketOwner ladder (OMBucketSetOwnerRequest.java:125-150): bucket
+   * lookup → BUCKET_NOT_FOUND (:130); new owner equal to the stored
+   * owner → an OK response with success=false and NO update (:137-150,
+   * the reference's explicit no-op — modeled UNCHANGED); else SET.
+   * Bucket owner approximated by the volume owner (no separate bucket
+   * owner in this catalog — same convention as snapshotCreateDecisions).
+   */
+  def bucketSetOwnerDecisions(requests: DataFrame, buckets: DataFrame,
+                              volumes: DataFrame): DataFrame = {
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumn("__bkt_exists", lit(true))
+    val ownerProbe = volumes.select(col("volume"),
+      col("owner").as("cur_owner"))
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(ownerProbe), Seq("volume"), "left")
+      .select(col("req_id"), col("volume"), col("bucket"),
+        col("new_owner"),
+        when(col("__bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("new_owner") === col("cur_owner"), lit("UNCHANGED"))
+          .otherwise(lit("SET")).as("decision"))
+      .orderBy("req_id")
+  }
+
+  /**
    * QuotaRepair recount (OMQuotaRepairRequest + QuotaRepairTask.java:
    * repairCount:322-383 walks keyTable/fileTable/directoryTable and
    * recomputes per-bucket usage from scratch; extractCount:639-655 adds 1

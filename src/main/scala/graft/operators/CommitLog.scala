@@ -506,6 +506,37 @@ object CommitLog {
       .orderBy("req_id")
   }
 
+  /**
+   * SetSnapshotProperty ladder (OMSnapshotSetPropertyRequest
+   * .validateAndUpdateCache:122-170): an IN-BATCH duplicate snapshot key
+   * refuses with INVALID_REQUEST (:134-138, checked as each request is
+   * visited — so a duplicate of a MISSING key still reports the
+   * duplicate, not FILE_NOT_FOUND); an absent snapshot →
+   * FILE_NOT_FOUND (:151-155); else UPDATED. The reference never checks
+   * snapshot STATUS here — a SNAPSHOT_DELETED entry pending reclamation
+   * accepts property updates (deep-clean flags / exclusive sizes are
+   * exactly what the reclamation services write).
+   *
+   * Scale shape: the batch is protocol-sized; the dup probe is one window
+   * over the batch's own key, the existence probe one broadcast join.
+   */
+  def snapshotSetPropertyDecisions(requests: DataFrame,
+                                   snapshotsExt: DataFrame): DataFrame = {
+    val snapProbe = snapshotsExt.select(col("volume"), col("bucket"),
+      col("name"), lit(true).as("__snap_exists"))
+    val wKey = Window.partitionBy("volume", "bucket", "name")
+      .orderBy("req_id")
+    requests
+      .withColumn("__occurrence", row_number().over(wKey))
+      .join(broadcast(snapProbe), Seq("volume", "bucket", "name"), "left")
+      .select(col("req_id"), col("volume"), col("bucket"), col("name"),
+        col("property"),
+        when(col("__occurrence") > 1, lit("INVALID_REQUEST"))
+          .when(col("__snap_exists").isNull, lit("FILE_NOT_FOUND"))
+          .otherwise(lit("UPDATED")).as("decision"))
+      .orderBy("req_id")
+  }
+
   /** deletedTable view (ref OMDBDefinition deletedTable, RepeatedOmKeyInfo:
     * a key can accumulate SEVERAL deleted versions): every key with DELETE
     * events in the log, with version count + reclaimable bytes. */

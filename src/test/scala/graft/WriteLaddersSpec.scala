@@ -390,6 +390,37 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(got(6L) === (("SET", "")))
   }
 
+  test("bucketSetOwnerDecisions: same-owner is a no-op, not an error") {
+    val got = graft.operators.BucketOps.bucketSetOwnerDecisions(
+      T.bucketSetOwnerRequests(spark, sf), T.buckets(spark, sf),
+      T.volumes(spark, sf))
+      .as[(Long, String, String, String, String)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(got(1L) === "SET")
+    assert(got(2L) === "UNCHANGED")
+    assert(got(3L) === "BUCKET_NOT_FOUND")
+    assert(got(4L) === "UNCHANGED")
+    assert(got(5L) === "SET")
+  }
+
+  test("snapshotSetPropertyDecisions: dup beats missing; deleted accepts") {
+    val got = graft.operators.CommitLog.snapshotSetPropertyDecisions(
+      T.snapshotSetPropertyRequests(spark, sf),
+      T.snapshotCatalogExt(spark, sf))
+      .as[(Long, String, String, String, String, String)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(got(1L) === "UPDATED")
+    assert(got(2L) === "FILE_NOT_FOUND")
+    assert(got(3L) === "UPDATED")
+    // in-batch duplicate of req 1's key
+    assert(got(4L) === "INVALID_REQUEST")
+    assert(got(5L) === "UPDATED")
+    // SNAPSHOT_DELETED still accepts property writes (no status check)
+    assert(got(6L) === "UPDATED")
+    // duplicate of a MISSING key: the dup rung still wins
+    assert(got(7L) === "INVALID_REQUEST")
+  }
+
   // ---- cluster state ---------------------------------------------------
 
   test("clusterState: MISSING counts live containers with zero replicas") {
