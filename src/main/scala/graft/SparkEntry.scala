@@ -352,6 +352,14 @@ object SparkEntry {
         .filter(col("max_expiry_ms") < 799286400000L) // 1995-05-01
         .select("token_id", "owner", "renewer", "issued_ms", "max_expiry_ms")
         .orderBy("owner")),
+    // RenewToken ladder: presented maxDate checked BEFORE the store probe.
+    "q_token_renew" -> ((s, d) =>
+      graft.operators.Security.renewTokenDecisions(
+        T.renewTokenRequests(s, d), T.dTokens(s, d))),
+    // CancelToken ladder: owner-or-renewer access BEFORE the store probe.
+    "q_token_cancel" -> ((s, d) =>
+      graft.operators.Security.cancelTokenDecisions(
+        T.cancelTokenRequests(s, d), T.dTokens(s, d))),
     // object-ACL grants and prefix-ACL grants DISAGREE by construction:
     // auditor2 reads even-version keys via object acls, and warehouse/A/
     // keys via the longest-prefix rule (the shorter warehouse/ rule denies)
@@ -1796,6 +1804,70 @@ object SparkEntry {
         |WHERE issued_ms + (CAST(substr(owner, 6, 10) AS BIGINT) + 1) * 2592000000
         |      < 799286400000
         |ORDER BY owner""".stripMargin, O.objects),
+
+    // RenewToken ladder mirror: expiry checked before the store probe.
+    "q_token_renew" -> O.withCtes(
+      """SELECT r.req_id, r.token_owner, r.caller,
+        |  CASE WHEN r.max_expiry_ms < 799286400000 THEN 'TOKEN_EXPIRED'
+        |    WHEN s.token_id IS NULL THEN 'INVALID_TOKEN'
+        |    WHEN r.renewer = '' THEN 'ACCESS_DENIED'
+        |    WHEN r.caller <> r.renewer THEN 'ACCESS_DENIED'
+        |    ELSE 'RENEWED' END AS decision,
+        |  CASE WHEN r.max_expiry_ms >= 799286400000
+        |      AND s.token_id IS NOT NULL AND r.renewer <> ''
+        |      AND r.caller = r.renewer
+        |    THEN least(r.max_expiry_ms, 799286400000 + 86400000)
+        |    ELSE 0 END AS new_expiry_ms
+        |FROM rt_reqs r
+        |LEFT JOIN dstore s ON r.token_id = s.token_id
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects,
+      """dstore AS (
+        |  SELECT DISTINCT md5('token' || owner) AS token_id
+        |  FROM objects)""".stripMargin,
+      """rt_reqs AS (
+        |  SELECT req_id, token_owner, renewer, max_expiry_ms, caller,
+        |    md5('token' || token_owner) AS token_id
+        |  FROM (VALUES
+        |    (1, 'clerk1', 'om', 799286400000 + 7776000000, 'om'),
+        |    (2, 'clerk1', 'om', 799286400000 - 1, 'om'),
+        |    (3, 'ghost', 'om', 799286400000 + 7776000000, 'om'),
+        |    (4, 'clerk2', '', 799286400000 + 7776000000, 'om'),
+        |    (5, 'clerk3', 'om', 799286400000 + 7776000000, 'hive'),
+        |    (6, 'ghost2', 'om', 799286400000 - 1, 'om'))
+        |    v(req_id, token_owner, renewer, max_expiry_ms, caller))""".stripMargin),
+
+    // CancelToken ladder mirror: access gate before the store probe.
+    "q_token_cancel" -> O.withCtes(
+      """SELECT r.req_id, r.token_owner, r.caller,
+        |  CASE WHEN r.presented_owner = '' THEN 'INVALID_TOKEN'
+        |    WHEN r.caller <> r.presented_owner
+        |      AND (r.renewer = '' OR r.caller <> r.renewer)
+        |      THEN 'ACCESS_DENIED'
+        |    WHEN s.token_id IS NULL THEN 'INVALID_TOKEN'
+        |    ELSE 'CANCELLED' END AS decision,
+        |  CASE WHEN r.presented_owner = '' THEN 'NO_OWNER'
+        |    WHEN r.caller <> r.presented_owner
+        |      AND (r.renewer = '' OR r.caller <> r.renewer) THEN ''
+        |    WHEN s.token_id IS NULL THEN 'NOT_FOUND'
+        |    ELSE '' END AS reason
+        |FROM ct_reqs r
+        |LEFT JOIN dstore s ON r.token_id = s.token_id
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects,
+      """dstore AS (
+        |  SELECT DISTINCT md5('token' || owner) AS token_id
+        |  FROM objects)""".stripMargin,
+      """ct_reqs AS (
+        |  SELECT req_id, token_owner, presented_owner, renewer, caller,
+        |    md5('token' || token_owner) AS token_id
+        |  FROM (VALUES
+        |    (1, 'clerk1', 'clerk1', 'om', 'clerk1'),
+        |    (2, 'clerk2', 'clerk2', 'om', 'om'),
+        |    (3, 'clerk3', 'clerk3', 'om', 'hive'),
+        |    (4, 'ghost', 'ghost', 'om', 'ghost'),
+        |    (5, 'clerk5', '', 'om', 'om'))
+        |    v(req_id, token_owner, presented_owner, renewer, caller))""".stripMargin),
 
     // auditor2 = 'auditor' || (object_id % 3) with object-read iff version
     // even (objectsNested synthesis); prefix grant iff under warehouse/A/

@@ -1230,6 +1230,43 @@ object Tables {
         (col("issued_ms") + (col("owner_idx") + 1) * 2592000000L)
           .as("max_expiry_ms"))
 
+  /** renew_token_requests: OzoneDelegationTokenSecretManager.renewToken
+    * branches. The token identifier is CLIENT-presented, so max_expiry
+    * rides in the request (the store only gates existence) — including
+    * the precedence probe: an expired UNKNOWN token reports TOKEN_EXPIRED
+    * because maxDate is checked before the store lookup. */
+  def renewTokenRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val now = 799286400000L // the dtoken plane's "now" (1995-05-01)
+    Seq(
+      (1L, "clerk1", "om", now + 7776000000L, "om"),
+      (2L, "clerk1", "om", now - 1L, "om"),
+      (3L, "ghost", "om", now + 7776000000L, "om"),
+      (4L, "clerk2", "", now + 7776000000L, "om"),
+      (5L, "clerk3", "om", now + 7776000000L, "hive"),
+      (6L, "ghost2", "om", now - 1L, "om"))
+      .toDF("req_id", "token_owner", "renewer", "max_expiry_ms", "caller")
+      .withColumn("token_id",
+        md5(concat(lit("token"), col("token_owner"))))
+  }
+
+  /** cancel_token_requests: cancelToken branches — owner cancels, renewer
+    * cancels, a third party refused, unknown token (the access check runs
+    * BEFORE the store probe), and a presented identifier with no owner. */
+  def cancelTokenRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "clerk1", "clerk1", "om", "clerk1"),
+      (2L, "clerk2", "clerk2", "om", "om"),
+      (3L, "clerk3", "clerk3", "om", "hive"),
+      (4L, "ghost", "ghost", "om", "ghost"),
+      (5L, "clerk5", "", "om", "om"))
+      .toDF("req_id", "token_owner", "presented_owner", "renewer",
+        "caller")
+      .withColumn("token_id",
+        md5(concat(lit("token"), col("token_owner"))))
+  }
+
   /** prefix_acls (ref OMDBDefinition.java:186-191 prefixTable): per bucket,
     * `warehouse/` grants auditor2 write-only while `warehouse/A/` grants
     * read — the two DISAGREE, so longest-prefix-wins evaluation is

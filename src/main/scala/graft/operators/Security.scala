@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * OM delegation-token write plane —
+ * `OzoneDelegationTokenSecretManager` renew/cancel over the dTokenTable
+ * (reference:
+ * hadoop-ozone/ozone-manager/src/main/java/org/apache/hadoop/ozone/security/
+ * OzoneDelegationTokenSecretManager.java).
+ *
+ * Scale shape: the token table is a control-plane dimension (one row per
+ * live token); both ladders are one broadcast existence probe into a
+ * protocol-sized request batch — zero shuffles.
+ */
+object Security {
+
+  /** The dtoken plane's fixed "now" (1995-05-01, matching the expiry
+    * scan's horizon) and the configured renew interval (24 h default). */
+  val TokenNowMs = 799286400000L
+  val TokenRenewIntervalMs = 86400000L
+
+  /**
+   * RenewToken ladder (OzoneDelegationTokenSecretManager.renewToken
+   * :267-298, reference order):
+   *   1. presented maxDate < now → TOKEN_EXPIRED (:278-283 — checked
+   *      BEFORE the store lookup, so an expired UNKNOWN token reports
+   *      expiry, not invalidity)
+   *   2. validateToken store probe → INVALID_TOKEN (:284)
+   *   3. renewer empty on the identifier → ACCESS_DENIED (:285-289)
+   *   4. caller != identifier renewer → ACCESS_DENIED (:290-295)
+   *   5. RENEWED; new expiry = min(maxDate, now + renewInterval) (:297).
+   */
+  def renewTokenDecisions(requests: DataFrame,
+                          dTokens: DataFrame): DataFrame = {
+    val store = dTokens.select(col("token_id"),
+      lit(true).as("__in_store"))
+    requests
+      .join(broadcast(store), Seq("token_id"), "left")
+      .select(col("req_id"), col("token_owner"), col("caller"),
+        when(col("max_expiry_ms") < TokenNowMs, lit("TOKEN_EXPIRED"))
+          .when(col("__in_store").isNull, lit("INVALID_TOKEN"))
+          .when(col("renewer") === "", lit("ACCESS_DENIED"))
+          .when(col("caller") =!= col("renewer"), lit("ACCESS_DENIED"))
+          .otherwise(lit("RENEWED")).as("decision"),
+        when(col("max_expiry_ms") >= TokenNowMs &&
+          col("__in_store").isNotNull && col("renewer") =!= "" &&
+          col("caller") === col("renewer"),
+          least(col("max_expiry_ms"),
+            lit(TokenNowMs + TokenRenewIntervalMs)))
+          .otherwise(lit(0L)).as("new_expiry_ms"))
+      .orderBy("req_id")
+  }
+
+  /**
+   * CancelToken ladder (cancelToken:318-350, reference order):
+   *   1. identifier owner missing → INVALID_TOKEN (:329-331)
+   *   2. caller is neither the owner nor the renewer → ACCESS_DENIED
+   *      (:335-341)
+   *   3. token absent from the store → INVALID_TOKEN (:345-348 — the
+   *      access check runs BEFORE the store probe)
+   *   4. CANCELLED.
+   * The reason column splits the two INVALID_TOKEN branches.
+   */
+  def cancelTokenDecisions(requests: DataFrame,
+                           dTokens: DataFrame): DataFrame = {
+    val store = dTokens.select(col("token_id"),
+      lit(true).as("__in_store"))
+    requests
+      .join(broadcast(store), Seq("token_id"), "left")
+      .select(col("req_id"), col("token_owner"), col("caller"),
+        when(col("presented_owner") === "", lit("INVALID_TOKEN"))
+          .when(col("caller") =!= col("presented_owner") &&
+            (col("renewer") === "" || col("caller") =!= col("renewer")),
+            lit("ACCESS_DENIED"))
+          .when(col("__in_store").isNull, lit("INVALID_TOKEN"))
+          .otherwise(lit("CANCELLED")).as("decision"),
+        when(col("presented_owner") === "", lit("NO_OWNER"))
+          .when(col("caller") =!= col("presented_owner") &&
+            (col("renewer") === "" || col("caller") =!= col("renewer")),
+            lit(""))
+          .when(col("__in_store").isNull, lit("NOT_FOUND"))
+          .otherwise(lit("")).as("reason"))
+      .orderBy("req_id")
+  }
+}

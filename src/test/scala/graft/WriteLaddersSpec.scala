@@ -421,6 +421,34 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(got(7L) === "INVALID_REQUEST")
   }
 
+  test("token renew/cancel ladders: precedence probes") {
+    import graft.operators.Security
+    val renew = Security.renewTokenDecisions(
+      T.renewTokenRequests(spark, sf), T.dTokens(spark, sf))
+      .as[(Long, String, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    // renew interval caps the extension below the presented maxDate
+    assert(renew(1L) === (("RENEWED",
+      Security.TokenNowMs + Security.TokenRenewIntervalMs)))
+    assert(renew(2L)._1 === "TOKEN_EXPIRED")
+    assert(renew(3L)._1 === "INVALID_TOKEN")
+    assert(renew(4L)._1 === "ACCESS_DENIED")
+    assert(renew(5L)._1 === "ACCESS_DENIED")
+    // an expired UNKNOWN token reports expiry — maxDate precedes the probe
+    assert(renew(6L)._1 === "TOKEN_EXPIRED")
+
+    val cancel = Security.cancelTokenDecisions(
+      T.cancelTokenRequests(spark, sf), T.dTokens(spark, sf))
+      .as[(Long, String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(cancel(1L) === (("CANCELLED", ""))) // owner cancels
+    assert(cancel(2L) === (("CANCELLED", ""))) // renewer cancels
+    assert(cancel(3L)._1 === "ACCESS_DENIED")
+    // access gate passes (owner), THEN the store probe misses
+    assert(cancel(4L) === (("INVALID_TOKEN", "NOT_FOUND")))
+    assert(cancel(5L) === (("INVALID_TOKEN", "NO_OWNER")))
+  }
+
   // ---- cluster state ---------------------------------------------------
 
   test("clusterState: MISSING counts live containers with zero replicas") {
