@@ -28,6 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] means 32 concurrent tasks sharing this one heap; size it to
   // the machine (128 GiB here) or wide hash aggregates spill at ~150 MB of
-  // execution memory per task. Override with SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // execution memory per task — and the bench holds ~180 queries' cached
+  // artifacts in ONE session, where 48g showed storage eviction + old-gen
+  // debris inflating late-running queries 15×. Override with
+  // SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "80g")}",
 )

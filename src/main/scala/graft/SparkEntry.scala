@@ -480,6 +480,15 @@ object SparkEntry {
     "q_lifecycle_set" -> ((s, d) =>
       Lifecycle.lifecycleSetDecisions(T.lcSetRequests(s, d),
         T.lcRuleEntries(s, d), T.buckets(s, d))),
+    // DeleteLifecycleConfiguration ladder over DERIVED config state (the
+    // buckets the set ladder decided SET on), through links.
+    "q_lifecycle_delete" -> ((s, d) =>
+      Lifecycle.lifecycleDeleteDecisions(T.lcDeleteRequests(s, d),
+        T.buckets(s, d), T.bucketLinks(s, d), T.volumes(s, d),
+        Lifecycle.lifecycleSetDecisions(T.lcSetRequests(s, d),
+          T.lcRuleEntries(s, d), T.buckets(s, d))
+          .filter(col("decision") === "SET")
+          .select("volume", "bucket"))),
     // CommitPart / AbortMultipartUpload write ladders — completes the MPU
     // protocol surface (initiate→commit→complete/abort→list).
     "q_mpu_commit_part" -> ((s, d) =>
@@ -3886,6 +3895,49 @@ object SparkEntry {
         |  (12, 'vol2', 'bucket5', 'snap-golden', 'admin2'))""".stripMargin,
       """staged AS (
         |  SELECT r.req_id, r.snapshot_name, r.principal,
+        |    coalesce(l.rv0, r.volume) AS rv,
+        |    coalesce(l.rb0, r.bucket) AS rb, l.status
+        |  FROM reqs r LEFT JOIN linkres l
+        |    ON r.volume = l.volume AND r.bucket = l.bucket)""".stripMargin),
+
+    // DeleteLifecycleConfiguration ladder mirror. The config catalog is
+    // the derived SET outcome of the lifecycle-set ladder (vol0/bucket0,
+    // vol0/bucket1 — deterministic from the lcSetRequests fixture).
+    "q_lifecycle_delete" -> O.withCtes(
+      """SELECT s.req_id, s.rv AS resolved_volume, s.rb AS resolved_bucket,
+        |  CASE WHEN s.status = 'CYCLE' THEN 'LINK_LOOP'
+        |    WHEN s.status = 'DANGLING' OR b.volume IS NULL
+        |      THEN 'BUCKET_NOT_FOUND'
+        |    WHEN s.principal <> v.owner AND s.principal <> 'om-admin'
+        |      THEN 'PERMISSION_DENIED'
+        |    WHEN c.volume IS NULL
+        |      THEN 'LIFECYCLE_CONFIGURATION_NOT_FOUND'
+        |    ELSE 'DELETED' END AS decision
+        |FROM staged s
+        |LEFT JOIN buckets b ON s.rv = b.volume AND s.rb = b.bucket
+        |LEFT JOIN volumes v ON s.rv = v.volume
+        |LEFT JOIN lc_cfgs c ON s.rv = c.volume AND s.rb = c.bucket
+        |ORDER BY s.req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """linkres(volume, bucket, rv0, rb0, status) AS (VALUES
+        |  ('vol1', 'link-a', 'vol0', 'bucket0', 'OK'),
+        |  ('vol2', 'link-b', 'vol0', 'bucket0', 'OK'),
+        |  ('vol3', 'link-broken', 'vol0', 'no-such-bucket', 'DANGLING'),
+        |  ('vol0', 'link-cycle1', 'vol0', 'link-cycle1', 'CYCLE'),
+        |  ('vol0', 'link-cycle2', 'vol0', 'link-cycle2', 'CYCLE'))""".stripMargin,
+      """lc_cfgs(volume, bucket) AS (VALUES
+        |  ('vol0', 'bucket0'), ('vol0', 'bucket1'))""".stripMargin,
+      """reqs(req_id, volume, bucket, principal) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 'admin0'),
+        |  (2, 'vol0', 'bucket2', 'admin0'),
+        |  (3, 'vol1', 'link-a', 'admin0'),
+        |  (4, 'vol0', 'bucket1', 'clerk1'),
+        |  (5, 'vol0', 'no-such', 'admin0'),
+        |  (6, 'vol0', 'link-cycle1', 'admin0'),
+        |  (7, 'vol3', 'link-broken', 'admin0'),
+        |  (8, 'vol0', 'bucket1', 'om-admin'))""".stripMargin,
+      """staged AS (
+        |  SELECT r.req_id, r.principal,
         |    coalesce(l.rv0, r.volume) AS rv,
         |    coalesce(l.rb0, r.bucket) AS rb, l.status
         |  FROM reqs r LEFT JOIN linkres l

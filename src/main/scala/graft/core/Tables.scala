@@ -1090,6 +1090,24 @@ object Tables {
       .toDF("req_id", "volume", "bucket", "name", "property")
   }
 
+  /** lc_delete_requests: OMLifecycleConfigurationDeleteRequest branches —
+    * delete where a config exists, no-config bucket, delete THROUGH a
+    * link (the config lives on the source bucket), non-owner, unknown
+    * bucket, link loop, dangling link, admin override. */
+  def lcDeleteRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "admin0"),
+      (2L, "vol0", "bucket2", "admin0"),
+      (3L, "vol1", "link-a", "admin0"),
+      (4L, "vol0", "bucket1", "clerk1"),
+      (5L, "vol0", "no-such", "admin0"),
+      (6L, "vol0", "link-cycle1", "admin0"),
+      (7L, "vol3", "link-broken", "admin0"),
+      (8L, "vol0", "bucket1", "om-admin"))
+      .toDF("req_id", "volume", "bucket", "principal")
+  }
+
   /** CreateVolume request batch — every OMVolumeCreateRequest branch:
     * invalid names (uppercase/short/IPv4), a POSIX underscore name that is
     * LEGAL for volumes (strict=false), catalog + in-batch collisions, and

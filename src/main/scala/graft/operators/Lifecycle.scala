@@ -810,6 +810,60 @@ object Lifecycle {
    * evaluation is a projection over the request-sized rule list, the
    * first-failing-rule pick one min_by over it.
    */
+  /**
+   * DeleteBucketLifecycleConfiguration ladder
+   * (OMLifecycleConfigurationDeleteRequest): preExecute resolves the
+   * bucket link (:77-79 — the config lives on the SOURCE bucket; a loop
+   * refuses, a dangling chain is a missing bucket) → cluster-admin or
+   * bucket-owner permission (:184-185 PERMISSION_DENIED; owner modeled by
+   * the resolved volume owner) → lifecycleConfigurationTable existence on
+   * the resolved bucket (:131-134) → LIFECYCLE_CONFIGURATION_NOT_FOUND →
+   * DELETED. The config catalog itself is DERIVED state: the distinct
+   * buckets whose [[lifecycleSetDecisions]] run decided SET.
+   *
+   * Scale shape: all probes (links, buckets, volume owners, config
+   * catalog) broadcast into the protocol-sized batch.
+   */
+  def lifecycleDeleteDecisions(requests: DataFrame, buckets: DataFrame,
+                               links: DataFrame, volumes: DataFrame,
+                               lcConfigs: DataFrame,
+                               admins: Seq[String] = Seq("om-admin"))
+      : DataFrame = {
+    val resolved = Links.resolveBucketLinks(links, buckets)
+      .select(col("volume"), col("bucket"),
+        col("resolved_volume").as("rv0"),
+        col("resolved_bucket").as("rb0"),
+        col("status").as("link_status"))
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumnRenamed("volume", "rv").withColumnRenamed("bucket", "rb")
+      .withColumn("bkt_exists", lit(true))
+    val ownerProbe = volumes.select(col("volume").as("rv"),
+      col("owner").as("vol_owner"))
+    val cfgProbe = lcConfigs.select(col("volume").as("rv"),
+      col("bucket").as("rb")).distinct()
+      .withColumn("cfg_exists", lit(true))
+    requests
+      .join(broadcast(resolved), Seq("volume", "bucket"), "left")
+      .withColumn("rv", when(col("link_status") === "CYCLE", col("volume"))
+        .otherwise(coalesce(col("rv0"), col("volume"))))
+      .withColumn("rb", when(col("link_status") === "CYCLE", col("bucket"))
+        .otherwise(coalesce(col("rb0"), col("bucket"))))
+      .join(broadcast(bktProbe), Seq("rv", "rb"), "left")
+      .join(broadcast(ownerProbe), Seq("rv"), "left")
+      .join(broadcast(cfgProbe), Seq("rv", "rb"), "left")
+      .select(col("req_id"),
+        col("rv").as("resolved_volume"), col("rb").as("resolved_bucket"),
+        when(col("link_status") === "CYCLE", lit("LINK_LOOP"))
+          .when(col("link_status") === "DANGLING" ||
+            col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("principal") =!= col("vol_owner") &&
+            !col("principal").isin(admins: _*), lit("PERMISSION_DENIED"))
+          .when(col("cfg_exists").isNull,
+            lit("LIFECYCLE_CONFIGURATION_NOT_FOUND"))
+          .otherwise(lit("DELETED")).as("decision"))
+      .orderBy("req_id")
+  }
+
   def lifecycleSetDecisions(requests: DataFrame, rules: DataFrame,
                             buckets: DataFrame,
                             maxRules: Long = 1000L): DataFrame = {

@@ -449,6 +449,27 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(cancel(5L) === (("INVALID_TOKEN", "NO_OWNER")))
   }
 
+  test("lifecycleDeleteDecisions: derived config state, links, owners") {
+    val lcConfigs = Lifecycle.lifecycleSetDecisions(
+      T.lcSetRequests(spark, sf), T.lcRuleEntries(spark, sf),
+      T.buckets(spark, sf))
+      .filter(col("decision") === "SET").select("volume", "bucket")
+    val got = Lifecycle.lifecycleDeleteDecisions(
+      T.lcDeleteRequests(spark, sf), T.buckets(spark, sf),
+      T.bucketLinks(spark, sf), T.volumes(spark, sf), lcConfigs)
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._3 === "DELETED")
+    assert(got(2L)._3 === "LIFECYCLE_CONFIGURATION_NOT_FOUND")
+    // the config lives on the SOURCE bucket of the link
+    assert(got(3L) === (("vol0", "bucket0", "DELETED")))
+    assert(got(4L)._3 === "PERMISSION_DENIED")
+    assert(got(5L)._3 === "BUCKET_NOT_FOUND")
+    assert(got(6L)._3 === "LINK_LOOP")
+    assert(got(7L)._3 === "BUCKET_NOT_FOUND")
+    assert(got(8L)._3 === "DELETED") // admin override
+  }
+
   // ---- cluster state ---------------------------------------------------
 
   test("clusterState: MISSING counts live containers with zero replicas") {
