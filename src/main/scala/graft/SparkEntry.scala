@@ -577,40 +577,24 @@ object SparkEntry {
         T.datanodes(s, d), T.pipelines(s, d), T.deletedDirs(s, d))),
     // CreateDirectory ladder: root guard, file-in-path guards (self and
     // ancestor), idempotent DIR_EXISTS, minted-parents count.
+    // the ancestor set IS the memoized dir warehouse (strict key
+    // prefixes, distinct) — read it instead of re-exploding the namespace
     "q_fso_mkdir" -> ((s, d) =>
       Hierarchy.mkdirDecisions(T.fsoMkdirRequests(s, d), T.objects(s, d),
         T.buckets(s, d),
-        T.objects(s, d)
-          .withColumn("pdir", Aggregates.parentDirOf("key"))
-          .filter(col("pdir") =!= "")
-          .select(col("volume"), col("bucket"),
-            org.apache.spark.sql.functions.explode(
-              Aggregates.dirAndAncestors("pdir")).as("path"))
-          .distinct())),
+        T.dirPaths(s, d))),
     // CreateFile ladder: overwrite/recursive flags, file-in-path guards,
     // immediate-parent requirement, minted parents on recursive create.
     "q_create_file" -> ((s, d) =>
       Hierarchy.createFileDecisions(T.createFileRequests(s, d),
         T.objects(s, d), T.buckets(s, d),
-        T.objects(s, d)
-          .withColumn("pdir", Aggregates.parentDirOf("key"))
-          .filter(col("pdir") =!= "")
-          .select(col("volume"), col("bucket"),
-            org.apache.spark.sql.functions.explode(
-              Aggregates.dirAndAncestors("pdir")).as("path"))
-          .distinct())),
+        T.dirPaths(s, d))),
     // FSO rename ladder: hsync guard, own-subtree guard, into-dir moves
     // with dst/basename collision, dst-parent existence.
     "q_fso_rename" -> ((s, d) =>
       CommitLog.fsoRenameDecisions(T.fsoRenameRequests(s, d),
         T.objects(s, d), T.buckets(s, d),
-        T.objects(s, d)
-          .withColumn("pdir", Aggregates.parentDirOf("key"))
-          .filter(col("pdir") =!= "")
-          .select(col("volume"), col("bucket"),
-            org.apache.spark.sql.functions.explode(
-              Aggregates.dirAndAncestors("pdir")).as("path"))
-          .distinct())),
+        T.dirPaths(s, d))),
     "q_multi_delete" -> ((s, d) =>
       S3Ops.multiDelete(T.objects(s, d), T.deleteRequests(s, d),
         T.volumes(s, d))),

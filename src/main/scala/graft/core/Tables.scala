@@ -303,6 +303,21 @@ object Tables {
   def directoriesFso(spark: SparkSession, dir: String): DataFrame =
     memoPersist(spark, "dirs", dir)(directoriesFsoBuild(objects(spark, dir)))
 
+  /** The distinct (volume, bucket, path) ancestor set of the namespace —
+    * the FULL-PATH view of the dir warehouse that the mkdir/create-file/
+    * rename ladders probe. Memoized once per source dir: the explode +
+    * distinct over the whole namespace is ingest cost, not per-query
+    * cost (it IS the directoryTable a real OM maintains incrementally). */
+  def dirPaths(spark: SparkSession, dir: String): DataFrame =
+    memoPersist(spark, "dirpaths", dir)(
+      objects(spark, dir)
+        .withColumn("pdir", graft.operators.Aggregates.parentDirOf("key"))
+        .filter(col("pdir") =!= "")
+        .select(col("volume"), col("bucket"),
+          explode(graft.operators.Aggregates.dirAndAncestors("pdir"))
+            .as("path"))
+        .distinct())
+
   def filesFso(spark: SparkSession, dir: String): DataFrame =
     memoPersist(spark, "files", dir)(filesFsoBuild(objects(spark, dir)))
 
