@@ -329,4 +329,22 @@ object Api {
         .select(col("volume"), col("bucket"),
           explode(Aggregates.dirAndAncestors("pdir")).as("path"))
         .distinct())
+
+  /** TenantRevokeAdmin decisions (assign's mirror; idempotent). */
+  def revokeTenantAdmins(s: SparkSession, d: String,
+                         requests: DataFrame): DataFrame =
+    Tenants.revokeAdminDecisions(requests, T.tenantState(s, d),
+      T.tenantAccessCatalog(s, d))
+
+  /** RevokeSecret decisions (permission gate before the store probe). */
+  def revokeS3Secrets(s: SparkSession, d: String,
+                      requests: DataFrame): DataFrame =
+    graft.operators.Security.revokeSecretDecisions(requests,
+      T.s3Secrets(s, d), T.tenantAccessCatalog(s, d))
+
+  /** DeleteSnapshot decisions (name gate, links, non-active refusals). */
+  def deleteSnapshots(s: SparkSession, d: String,
+                      requests: DataFrame): DataFrame =
+    CommitLog.snapshotDeleteDecisions(requests, T.buckets(s, d),
+      T.bucketLinks(s, d), T.volumes(s, d), T.snapshotCatalogLive(s, d))
 }

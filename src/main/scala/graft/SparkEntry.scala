@@ -514,9 +514,21 @@ object SparkEntry {
     "q_tenant_assign_admin" -> ((s, d) =>
       Tenants.assignAdminDecisions(T.assignAdminRequests(s, d),
         T.tenantState(s, d), T.tenantAccessCatalog(s, d))),
+    // TenantRevokeAdmin ladder: assign's mirror — revoke clears both
+    // admin flags unconditionally (idempotent on non-admins), was_admin
+    // reports whether the grant existed.
+    "q_tenant_revoke_admin" -> ((s, d) =>
+      Tenants.revokeAdminDecisions(T.revokeAdminRequests(s, d),
+        T.tenantState(s, d), T.tenantAccessCatalog(s, d))),
     // SetSecret ladder: accessId probe FIRST, empty/8-char-minimum secret.
     "q_set_secret" -> ((s, d) =>
       Tenants.setSecretDecisions(T.setSecretRequests(s, d),
+        T.tenantAccessCatalog(s, d))),
+    // RevokeSecret ladder: permission gate in preExecute BEFORE the store
+    // probe; remove-if-exists (missing secret is a non-error status).
+    "q_revoke_secret" -> ((s, d) =>
+      graft.operators.Security.revokeSecretDecisions(
+        T.revokeSecretRequests(s, d), T.s3Secrets(s, d),
         T.tenantAccessCatalog(s, d))),
     // SetTimes ladder: preExecute mtime guard, keep-on--1.
     "q_set_times" -> ((s, d) =>
@@ -541,6 +553,14 @@ object SparkEntry {
     "q_bucket_set_owner" -> ((s, d) =>
       BucketOps.bucketSetOwnerDecisions(T.bucketSetOwnerRequests(s, d),
         T.buckets(s, d), T.volumes(s, d))),
+    // DeleteSnapshot ladder: name re-validated in preExecute (legacy
+    // chain names refuse deletion — truthful artifact), link resolution
+    // to the source bucket, owner/admin gate, already-deleted and
+    // non-active entries refused FILE_NOT_FOUND.
+    "q_snapshot_delete" -> ((s, d) =>
+      CommitLog.snapshotDeleteDecisions(T.snapshotDeleteRequests(s, d),
+        T.buckets(s, d), T.bucketLinks(s, d), T.volumes(s, d),
+        T.snapshotCatalogLive(s, d))),
     // SetSnapshotProperty ladder: in-batch dup beats missing-key; deleted
     // snapshots still accept property writes.
     "q_snapshot_set_property" -> ((s, d) =>
@@ -2777,6 +2797,81 @@ object SparkEntry {
         |  (5, 'tenant2', 'tenant1$clerk1', FALSE),
         |  (6, 'tenant3', 'tenant3$clerk3', FALSE))""".stripMargin),
 
+    // TenantRevokeAdmin ladder mirror: assign's rungs, REVOKED is
+    // idempotent, was_admin reports the pre-existing grant.
+    "q_tenant_revoke_admin" -> O.withCtes(
+      """SELECT req_id, tenant_id, access_id, decision,
+        |  (decision = 'REVOKED' AND coalesce(is_admin, FALSE))
+        |    AS was_admin
+        |FROM (
+        |  SELECT r.req_id,
+        |    coalesce(CASE WHEN r.tenant_id = '' THEN c.tenant_id
+        |      ELSE r.tenant_id END, '') AS tenant_id,
+        |    r.access_id, c.is_admin,
+        |    CASE WHEN r.tenant_id = '' AND c.access_id IS NULL
+        |        THEN 'TENANT_NOT_FOUND'
+        |      WHEN t.tenant_id IS NULL THEN 'TENANT_NOT_FOUND'
+        |      WHEN c.access_id IS NULL THEN 'ACCESS_ID_NOT_FOUND'
+        |      WHEN c.tenant_id <> r.tenant_id AND r.tenant_id <> ''
+        |        THEN 'INVALID_TENANT_ID'
+        |      ELSE 'REVOKED' END AS decision
+        |  FROM ra_reqs r
+        |  LEFT JOIN t_access_cat c USING (access_id)
+        |  LEFT JOIN (SELECT DISTINCT 'tenant' || substr(volume, 4, 10)
+        |      AS tenant_id FROM objects) t
+        |    ON t.tenant_id = CASE WHEN r.tenant_id = '' THEN c.tenant_id
+        |      ELSE r.tenant_id END)
+        |ORDER BY req_id""".stripMargin,
+      O.objects,
+      """t_access_cat AS (
+        |  SELECT 'tenant' || substr(volume, 4, 10) || '$' || owner
+        |      AS access_id,
+        |    'tenant' || substr(volume, 4, 10) AS tenant_id,
+        |    owner = 'clerk0' AS is_admin
+        |  FROM (SELECT DISTINCT volume, owner FROM objects)
+        |  UNION ALL
+        |  SELECT 'no-such-but-hasids$ghost', 'no-such-but-hasids', FALSE
+        |  UNION ALL SELECT 'orphan$ghost2', NULL, FALSE)""".stripMargin,
+      """ra_reqs(req_id, tenant_id, access_id) AS (VALUES
+        |  (1, 'tenant0', 'tenant0$clerk0'),
+        |  (2, 'tenant1', 'tenant1$clerk1'),
+        |  (3, '', 'tenant2$clerk2'),
+        |  (4, '', 'ghost$nobody'),
+        |  (5, 'tenant1', 'tenant1$missing'),
+        |  (6, 'tenant2', 'tenant1$clerk1'),
+        |  (7, 'tenant9', 'tenant9$clerk9'))""".stripMargin),
+
+    // RevokeSecret ladder mirror: preExecute permission gate before the
+    // store probe; remove-if-exists.
+    "q_revoke_secret" -> O.withCtes(
+      """SELECT r.req_id, r.access_id, r.caller,
+        |  CASE WHEN r.caller <> coalesce(c.user_principal, r.access_id)
+        |      AND r.caller <> 'om-admin' THEN 'ACCESS_DENIED'
+        |    WHEN s.access_id IS NULL THEN 'S3_SECRET_NOT_FOUND'
+        |    ELSE 'REVOKED' END AS decision
+        |FROM rs_reqs r
+        |LEFT JOIN owner_cat c USING (access_id)
+        |LEFT JOIN secret_store s ON r.access_id = s.access_id
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects,
+      """owner_cat AS (
+        |  SELECT 'tenant' || substr(volume, 4, 10) || '$' || owner
+        |      AS access_id, owner AS user_principal
+        |  FROM (SELECT DISTINCT volume, owner FROM objects)
+        |  UNION ALL SELECT 'no-such-but-hasids$ghost', 'ghost'
+        |  UNION ALL SELECT 'orphan$ghost2', 'ghost2')""".stripMargin,
+      """secret_store AS (
+        |  SELECT 'tenant' || substr(volume, 4, 10) || '$' || owner
+        |      AS access_id
+        |  FROM (SELECT DISTINCT volume, owner FROM objects))""".stripMargin,
+      """rs_reqs(req_id, access_id, caller) AS (VALUES
+        |  (1, 'tenant1$clerk1', 'clerk1'),
+        |  (2, 'tenant1$clerk1', 'clerk2'),
+        |  (3, 'tenant2$clerk2', 'om-admin'),
+        |  (4, 'hdfs', 'hdfs'),
+        |  (5, 'hdfs', 'yarn'),
+        |  (6, 'ghost$nobody', 'om-admin'))""".stripMargin),
+
     // SetSecret ladder mirror: accessId probe first, then secret rules.
     "q_set_secret" -> O.withCtes(
       """SELECT r.req_id, r.access_id,
@@ -3991,6 +4086,87 @@ object SparkEntry {
         |    coalesce(l.rv0, r.volume) AS rv,
         |    coalesce(l.rb0, r.bucket) AS rb, l.status
         |  FROM reqs r LEFT JOIN linkres l
+        |    ON r.volume = l.volume AND r.bucket = l.bucket)""".stripMargin),
+
+    // DeleteSnapshot ladder mirror: name re-validated first (legacy
+    // chain names refuse), link resolution, owner/admin gate, non-active
+    // refused FILE_NOT_FOUND with a split reason.
+    "q_snapshot_delete" -> O.withCtes(
+      """SELECT s.req_id, s.snapshot_name,
+        |  s.rv AS resolved_volume, s.rb AS resolved_bucket,
+        |  CASE WHEN NOT (length(s.snapshot_name) BETWEEN 3 AND 63
+        |      AND regexp_matches(s.snapshot_name, '^[a-z0-9.-]+$')
+        |      AND instr(s.snapshot_name, '..') = 0
+        |      AND instr(s.snapshot_name, '-.') = 0
+        |      AND instr(s.snapshot_name, '.-') = 0
+        |      AND NOT regexp_matches(s.snapshot_name, '^[0-9.]+$')
+        |      AND substr(s.snapshot_name, 1, 1) NOT IN ('.', '-')
+        |      AND substr(s.snapshot_name, length(s.snapshot_name), 1)
+        |        NOT IN ('.', '-'))
+        |      THEN 'INVALID_SNAPSHOT_NAME'
+        |    WHEN s.status = 'CYCLE' THEN 'LINK_LOOP'
+        |    WHEN s.status = 'DANGLING' OR b.volume IS NULL
+        |      THEN 'BUCKET_NOT_FOUND'
+        |    WHEN s.principal <> v.owner AND s.principal <> 'om-admin'
+        |      THEN 'PERMISSION_DENIED'
+        |    WHEN sn.name IS NULL THEN 'FILE_NOT_FOUND'
+        |    WHEN sn.status <> 'SNAPSHOT_ACTIVE' THEN 'FILE_NOT_FOUND'
+        |    ELSE 'DELETED' END AS decision,
+        |  CASE WHEN NOT (length(s.snapshot_name) BETWEEN 3 AND 63
+        |      AND regexp_matches(s.snapshot_name, '^[a-z0-9.-]+$')
+        |      AND instr(s.snapshot_name, '..') = 0
+        |      AND instr(s.snapshot_name, '-.') = 0
+        |      AND instr(s.snapshot_name, '.-') = 0
+        |      AND NOT regexp_matches(s.snapshot_name, '^[0-9.]+$')
+        |      AND substr(s.snapshot_name, 1, 1) NOT IN ('.', '-')
+        |      AND substr(s.snapshot_name, length(s.snapshot_name), 1)
+        |        NOT IN ('.', '-'))
+        |      THEN ''
+        |    WHEN s.status = 'CYCLE' OR s.status = 'DANGLING'
+        |      OR b.volume IS NULL THEN ''
+        |    WHEN s.principal <> v.owner AND s.principal <> 'om-admin'
+        |      THEN ''
+        |    WHEN sn.name IS NULL THEN 'NOT_FOUND'
+        |    WHEN sn.status = 'SNAPSHOT_DELETED' THEN 'ALREADY_DELETED'
+        |    WHEN sn.status <> 'SNAPSHOT_ACTIVE' THEN 'NOT_ACTIVE'
+        |    ELSE '' END AS reason
+        |FROM staged s
+        |LEFT JOIN buckets b ON s.rv = b.volume AND s.rb = b.bucket
+        |LEFT JOIN volumes v ON s.rv = v.volume
+        |LEFT JOIN snapsliv sn ON s.rv = sn.volume AND s.rb = sn.bucket
+        |  AND s.snapshot_name = sn.name
+        |ORDER BY s.req_id""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """linkres(volume, bucket, rv0, rb0, status) AS (VALUES
+        |  ('vol1', 'link-a', 'vol0', 'bucket0', 'OK'),
+        |  ('vol2', 'link-b', 'vol0', 'bucket0', 'OK'),
+        |  ('vol3', 'link-broken', 'vol0', 'no-such-bucket', 'DANGLING'),
+        |  ('vol0', 'link-cycle1', 'vol0', 'link-cycle1', 'CYCLE'),
+        |  ('vol0', 'link-cycle2', 'vol0', 'link-cycle2', 'CYCLE'))""".stripMargin,
+      """snapsliv(volume, bucket, name, status) AS (VALUES
+        |  ('vol0', 'bucket0', 's1', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 's2', 'SNAPSHOT_ACTIVE'),
+        |  ('vol2', 'bucket5', 'snap-golden', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 'snap-gone', 'SNAPSHOT_DELETED'),
+        |  ('vol0', 'bucket0', 'snap-live', 'SNAPSHOT_ACTIVE'))""".stripMargin,
+      """sd_reqs(req_id, volume, bucket, snapshot_name, principal) AS
+        |  (VALUES
+        |  (1, 'vol2', 'bucket5', 'snap-golden', 'admin2'),
+        |  (2, 'vol0', 'bucket0', 's1', 'admin0'),
+        |  (3, 'vol0', 'bucket0', 'snap-gone', 'admin0'),
+        |  (4, 'vol0', 'bucket0', 'snap-nope', 'admin0'),
+        |  (5, 'vol1', 'link-a', 'snap-live', 'admin0'),
+        |  (6, 'vol3', 'link-broken', 'snap-live', 'admin0'),
+        |  (7, 'vol0', 'link-cycle1', 'snap-live', 'admin0'),
+        |  (8, 'vol0', 'bucket0', 'snap-live', 'clerk1'),
+        |  (9, 'vol2', 'nobucket', 'snap-live', 'admin2'),
+        |  (10, 'vol0', 'bucket0', 'Bad..Name', 'admin0'),
+        |  (11, 'vol0', 'bucket0', 'snap-live', 'om-admin'))""".stripMargin,
+      """staged AS (
+        |  SELECT r.req_id, r.snapshot_name, r.principal,
+        |    coalesce(l.rv0, r.volume) AS rv,
+        |    coalesce(l.rb0, r.bucket) AS rb, l.status
+        |  FROM sd_reqs r LEFT JOIN linkres l
         |    ON r.volume = l.volume AND r.bucket = l.bucket)""".stripMargin),
 
     // SetBucketOwner ladder mirror (bucket owner = volume owner).

@@ -1053,6 +1053,76 @@ object Tables {
       .toDF("req_id", "tenant_id", "access_id", "delegated")
   }
 
+  /** revoke_admin_requests: OMTenantRevokeAdminRequest branches — the
+    * assign mirror: a real admin revoked (was_admin=true), a non-admin
+    * revoked (idempotent, was_admin=false), tenant inferred through the
+    * accessId, unassigned-accessId inference, missing accessId, wrong
+    * tenant, unknown explicit tenant. */
+  def revokeAdminRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "tenant0", "tenant0$clerk0"),
+      (2L, "tenant1", "tenant1$clerk1"),
+      (3L, "", "tenant2$clerk2"),
+      (4L, "", "ghost$nobody"),
+      (5L, "tenant1", "tenant1$missing"),
+      (6L, "tenant2", "tenant1$clerk1"),
+      (7L, "tenant9", "tenant9$clerk9"))
+      .toDF("req_id", "tenant_id", "access_id")
+  }
+
+  /** revoke_secret_requests: S3RevokeSecretRequest branches — owner
+    * revokes, non-owner refused (the permission gate runs in preExecute,
+    * BEFORE the store probe — probed by an unauthorized revoke of a
+    * missing secret), S3-admin override, and revokes of accessIds with
+    * no stored secret (plain Kerberos id and an unknown tenant id). */
+  def revokeSecretRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "tenant1$clerk1", "clerk1"),
+      (2L, "tenant1$clerk1", "clerk2"),
+      (3L, "tenant2$clerk2", "om-admin"),
+      (4L, "hdfs", "hdfs"),
+      (5L, "hdfs", "yarn"),
+      (6L, "ghost$nobody", "om-admin"))
+      .toDF("req_id", "access_id", "caller")
+  }
+
+  /** snapshot_catalog_live: [[snapshotCatalogExt]] plus one ACTIVE
+    * snapshot with a STRICT-VALID name on vol0/bucket0 (the legacy chain
+    * names s1/s2 fail OmUtils.validateSnapshotName, so the delete
+    * ladder's link-resolved / permission / happy-path rungs need a
+    * deletable target there). */
+  def snapshotCatalogLive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    snapshotCatalogExt(spark, dir).unionByName(
+      Seq(("vol0", "bucket0", "snap-live", "SNAPSHOT_ACTIVE"))
+        .toDF("volume", "bucket", "name", "status"))
+  }
+
+  /** snapshot_delete_requests: every OMSnapshotDeleteRequest branch —
+    * happy delete, name validation on the LEGACY chain name (truthful
+    * artifact: preExecute re-validates, so s1 can't be deleted by name),
+    * already-deleted pending reclamation, plain missing, delete THROUGH
+    * a link (lands on the source bucket), dangling link, link loop,
+    * non-owner principal, unknown bucket, invalid name. */
+  def snapshotDeleteRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol2", "bucket5", "snap-golden", "admin2"),
+      (2L, "vol0", "bucket0", "s1", "admin0"),
+      (3L, "vol0", "bucket0", "snap-gone", "admin0"),
+      (4L, "vol0", "bucket0", "snap-nope", "admin0"),
+      (5L, "vol1", "link-a", "snap-live", "admin0"),
+      (6L, "vol3", "link-broken", "snap-live", "admin0"),
+      (7L, "vol0", "link-cycle1", "snap-live", "admin0"),
+      (8L, "vol0", "bucket0", "snap-live", "clerk1"),
+      (9L, "vol2", "nobucket", "snap-live", "admin2"),
+      (10L, "vol0", "bucket0", "Bad..Name", "admin0"),
+      (11L, "vol0", "bucket0", "snap-live", "om-admin"))
+      .toDF("req_id", "volume", "bucket", "snapshot_name", "principal")
+  }
+
   /** set_secret_requests: OMSetSecretRequest batch — the accessId probe
     * runs FIRST (ACCESS_ID_NOT_FOUND before any secret validation), then
     * empty secret, then the 8-char minimum (OzoneConsts

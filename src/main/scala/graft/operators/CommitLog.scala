@@ -507,6 +507,78 @@ object CommitLog {
   }
 
   /**
+   * DeleteSnapshot validation ladder (OMSnapshotDeleteRequest.java):
+   * preExecute validates the name FIRST (:82 validateSnapshotName — the
+   * legacy chain names s1/s2 fail the strict rules on deletion too, a
+   * truthful artifact shared with the create/rename ladders) → bucket
+   * link resolution (:88-90, the delete lands on the SOURCE bucket;
+   * dangling = missing bucket, loop refuses) → owner-or-admin permission
+   * (:94-101 PERMISSION_DENIED) → then validateAndUpdateCache: snapshot
+   * absent → FILE_NOT_FOUND (:166), SNAPSHOT_DELETED "already deleted,
+   * pending reclamation" → FILE_NOT_FOUND (:170-172), any other
+   * non-active state → FILE_NOT_FOUND (:174-178), SNAPSHOT_ACTIVE →
+   * DELETED (status flip + deletion timestamp). The reason column splits
+   * the three FILE_NOT_FOUND rungs.
+   *
+   * Scale shape: identical to [[snapshotCreateDecisions]] — every probe
+   * is a control-plane dimension broadcast into the request batch.
+   */
+  def snapshotDeleteDecisions(requests: DataFrame, buckets: DataFrame,
+                              links: DataFrame, volumes: DataFrame,
+                              snapshotsExt: DataFrame,
+                              admins: Seq[String] = Seq("om-admin"))
+      : DataFrame = {
+    val resolved = Links.resolveBucketLinks(links, buckets)
+      .select(col("volume"), col("bucket"),
+        col("resolved_volume").as("rv0"),
+        col("resolved_bucket").as("rb0"),
+        col("status").as("link_status"))
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumnRenamed("volume", "rv").withColumnRenamed("bucket", "rb")
+      .withColumn("bkt_exists", lit(true))
+    val ownerProbe = volumes.select(col("volume").as("rv"),
+      col("owner").as("vol_owner"))
+    val snapProbe = snapshotsExt.select(col("volume").as("rv"),
+      col("bucket").as("rb"), col("name").as("snapshot_name"),
+      col("status").as("snap_status"))
+    requests
+      .join(broadcast(resolved), Seq("volume", "bucket"), "left")
+      .withColumn("rv", when(col("link_status") === "CYCLE", col("volume"))
+        .otherwise(coalesce(col("rv0"), col("volume"))))
+      .withColumn("rb", when(col("link_status") === "CYCLE", col("bucket"))
+        .otherwise(coalesce(col("rb0"), col("bucket"))))
+      .join(broadcast(bktProbe), Seq("rv", "rb"), "left")
+      .join(broadcast(ownerProbe), Seq("rv"), "left")
+      .join(broadcast(snapProbe), Seq("rv", "rb", "snapshot_name"), "left")
+      .select(col("req_id"), col("snapshot_name"),
+        col("rv").as("resolved_volume"), col("rb").as("resolved_bucket"),
+        when(!BucketOps.nameValid(col("snapshot_name")),
+          lit("INVALID_SNAPSHOT_NAME"))
+          .when(col("link_status") === "CYCLE", lit("LINK_LOOP"))
+          .when(col("link_status") === "DANGLING" ||
+            col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("principal") =!= col("vol_owner") &&
+            !col("principal").isin(admins: _*), lit("PERMISSION_DENIED"))
+          .when(col("snap_status").isNull, lit("FILE_NOT_FOUND"))
+          .when(col("snap_status") =!= "SNAPSHOT_ACTIVE",
+            lit("FILE_NOT_FOUND"))
+          .otherwise(lit("DELETED")).as("decision"),
+        when(!BucketOps.nameValid(col("snapshot_name")) ||
+          col("link_status") === "CYCLE" ||
+          col("link_status") === "DANGLING" ||
+          col("bkt_exists").isNull, lit(""))
+          .when(col("principal") =!= col("vol_owner") &&
+            !col("principal").isin(admins: _*), lit(""))
+          .when(col("snap_status").isNull, lit("NOT_FOUND"))
+          .when(col("snap_status") === "SNAPSHOT_DELETED",
+            lit("ALREADY_DELETED"))
+          .when(col("snap_status") =!= "SNAPSHOT_ACTIVE",
+            lit("NOT_ACTIVE"))
+          .otherwise(lit("")).as("reason"))
+      .orderBy("req_id")
+  }
+
+  /**
    * SetSnapshotProperty ladder (OMSnapshotSetPropertyRequest
    * .validateAndUpdateCache:122-170): an IN-BATCH duplicate snapshot key
    * refuses with INVALID_REQUEST (:134-138, checked as each request is

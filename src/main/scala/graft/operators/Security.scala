@@ -84,4 +84,37 @@ object Security {
           .otherwise(lit("")).as("reason"))
       .orderBy("req_id")
   }
+
+  /**
+   * RevokeSecret ladder (S3RevokeSecretRequest.preExecute:52-61 +
+   * validateAndUpdateCache:90-110): the permission gate runs in
+   * preExecute, BEFORE the store probe — the caller must be the
+   * accessId's owning principal (for tenant access ids, the catalog's
+   * user principal, S3SecretRequestHelper.java:99-101; for plain
+   * Kerberos ids, the id itself, :120) or an S3 admin, so an
+   * unauthorized revoke of a NONEXISTENT secret still reports
+   * ACCESS_DENIED. Then remove-if-exists: stored secret → REVOKED,
+   * absent → S3_SECRET_NOT_FOUND (a non-error status, :107).
+   *
+   * Scale shape: two broadcast control-plane probes (access catalog,
+   * secret store) into a protocol-sized batch — zero shuffles.
+   */
+  def revokeSecretDecisions(requests: DataFrame, secrets: DataFrame,
+                            accessCatalog: DataFrame,
+                            s3Admins: Seq[String] = Seq("om-admin"))
+      : DataFrame = {
+    val ownerProbe = accessCatalog.select(col("access_id"),
+      col("user_principal").as("__owner"))
+    val secretProbe = secrets.select(col("access_id"),
+      lit(true).as("__has_secret"))
+    requests
+      .join(broadcast(ownerProbe), Seq("access_id"), "left")
+      .join(broadcast(secretProbe), Seq("access_id"), "left")
+      .select(col("req_id"), col("access_id"), col("caller"),
+        when(col("caller") =!= coalesce(col("__owner"), col("access_id"))
+          && !col("caller").isin(s3Admins: _*), lit("ACCESS_DENIED"))
+          .when(col("__has_secret").isNull, lit("S3_SECRET_NOT_FOUND"))
+          .otherwise(lit("REVOKED")).as("decision"))
+      .orderBy("req_id")
+  }
 }

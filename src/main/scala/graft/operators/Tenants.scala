@@ -203,6 +203,49 @@ object Tenants {
   }
 
   /**
+   * TenantRevokeAdmin ladder (OMTenantRevokeAdminRequest.preExecute:71-111)
+   * — the exact mirror of [[assignAdminDecisions]]: empty tenant inferred
+   * through the accessId (unassigned anywhere → TENANT_NOT_FOUND :83-90),
+   * explicit-tenant existence (:94), accessId membership (:99-104),
+   * wrong-tenant INVALID_TENANT_ID (:107-111). The apply phase
+   * unconditionally clears BOTH admin flags (:183-190
+   * setIsAdmin(false).setIsDelegatedAdmin(false)) — revoking a non-admin
+   * accessId still succeeds (idempotent), so `was_admin` reports whether
+   * the grant existed rather than gating the decision.
+   *
+   * Scale shape: identical to assign — two broadcast control-plane
+   * probes into a protocol-sized batch, no shuffle.
+   */
+  def revokeAdminDecisions(requests: DataFrame, tenantState: DataFrame,
+                           accessCatalog: DataFrame): DataFrame = {
+    val idProbe = accessCatalog.select(col("access_id"),
+      col("tenant_id").as("__id_tenant"),
+      col("is_admin").as("__is_admin"), lit(true).as("__id_exists"))
+    val tenants = tenantState.select(col("tenant_id").as("__eff_tenant"))
+      .distinct().withColumn("__tenant_exists", lit(true))
+    requests
+      .join(broadcast(idProbe), Seq("access_id"), "left")
+      .withColumn("__eff_tenant",
+        when(col("tenant_id") === "", col("__id_tenant"))
+          .otherwise(col("tenant_id")))
+      .join(broadcast(tenants), Seq("__eff_tenant"), "left")
+      .withColumn("decision",
+        when(col("tenant_id") === "" && col("__id_exists").isNull,
+          lit("TENANT_NOT_FOUND")) // inference found no assignment
+          .when(col("__tenant_exists").isNull, lit("TENANT_NOT_FOUND"))
+          .when(col("__id_exists").isNull, lit("ACCESS_ID_NOT_FOUND"))
+          .when(col("__id_tenant") =!= col("__eff_tenant"),
+            lit("INVALID_TENANT_ID"))
+          .otherwise(lit("REVOKED")))
+      .select(col("req_id"),
+        coalesce(col("__eff_tenant"), lit("")).as("tenant_id"),
+        col("access_id"), col("decision"),
+        (col("decision") === "REVOKED" &&
+          coalesce(col("__is_admin"), lit(false))).as("was_admin"))
+      .orderBy("req_id")
+  }
+
+  /**
    * SetSecret ladder (OMSetSecretRequest.preExecute:57-88, reference
    * order): the accessId existence probe runs FIRST (:73
    * ACCESS_ID_NOT_FOUND — even an invalid secret on an unknown accessId

@@ -525,4 +525,60 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(got === Map(1L -> "VOLUME_ALREADY_EXISTS", 2L -> "CREATED",
       3L -> "INVALID_VOLUME_NAME"))
   }
+
+  test("revokeAdminDecisions: assign's rungs; idempotent on non-admins") {
+    val got = Tenants.revokeAdminDecisions(
+      T.revokeAdminRequests(spark, sf), T.tenantState(spark, sf),
+      T.tenantAccessCatalog(spark, sf))
+      .as[(Long, String, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    // a real admin (clerk0) loses the grant — was_admin records it
+    assert(got(1L) === (("REVOKED", true)))
+    // revoking a NON-admin still succeeds (the reference clears both
+    // flags unconditionally) — was_admin false
+    assert(got(2L) === (("REVOKED", false)))
+    assert(got(3L) === (("REVOKED", false))) // tenant inferred
+    assert(got(4L) === (("TENANT_NOT_FOUND", false))) // inference miss
+    assert(got(5L) === (("ACCESS_ID_NOT_FOUND", false)))
+    assert(got(6L) === (("INVALID_TENANT_ID", false)))
+    assert(got(7L) === (("TENANT_NOT_FOUND", false))) // explicit miss
+  }
+
+  test("revokeSecretDecisions: permission gate precedes the store probe") {
+    val got = graft.operators.Security.revokeSecretDecisions(
+      T.revokeSecretRequests(spark, sf), T.s3Secrets(spark, sf),
+      T.tenantAccessCatalog(spark, sf))
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(1L) === "REVOKED")              // owner revokes own secret
+    assert(got(2L) === "ACCESS_DENIED")        // non-owner refused
+    assert(got(3L) === "REVOKED")              // S3 admin override
+    assert(got(4L) === "S3_SECRET_NOT_FOUND")  // no stored secret
+    // the preExecute permission check fires BEFORE the store probe: an
+    // unauthorized revoke of a MISSING secret reports ACCESS_DENIED
+    assert(got(5L) === "ACCESS_DENIED")
+    assert(got(6L) === "S3_SECRET_NOT_FOUND")  // admin, unknown tenant id
+  }
+
+  test("snapshotDeleteDecisions: name gate, links, non-active refusals") {
+    val got = graft.operators.CommitLog.snapshotDeleteDecisions(
+      T.snapshotDeleteRequests(spark, sf), T.buckets(spark, sf),
+      T.bucketLinks(spark, sf), T.volumes(spark, sf),
+      T.snapshotCatalogLive(spark, sf))
+      .as[(Long, String, String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._5, r._6))).toMap
+    assert(got(1L) === (("DELETED", "")))
+    // preExecute re-validates the name: the legacy chain name s1 cannot
+    // be deleted by name (truthful artifact shared with create/rename)
+    assert(got(2L) === (("INVALID_SNAPSHOT_NAME", "")))
+    assert(got(3L) === (("FILE_NOT_FOUND", "ALREADY_DELETED")))
+    assert(got(4L) === (("FILE_NOT_FOUND", "NOT_FOUND")))
+    assert(got(5L) === (("DELETED", "")))      // through the link
+    assert(got(6L) === (("BUCKET_NOT_FOUND", "")))
+    assert(got(7L) === (("LINK_LOOP", "")))
+    assert(got(8L) === (("PERMISSION_DENIED", "")))
+    assert(got(9L) === (("BUCKET_NOT_FOUND", "")))
+    assert(got(10L) === (("INVALID_SNAPSHOT_NAME", "")))
+    assert(got(11L) === (("DELETED", "")))     // om-admin override
+  }
 }
