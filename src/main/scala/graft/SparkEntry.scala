@@ -150,6 +150,12 @@ object SparkEntry {
     "q_rename_keys" -> ((s, d) =>
       CommitLog.renameKeysDecisions(T.renameRequests(s, d),
         T.objects(s, d))),
+    // Batch DeleteKeys ladder (OMKeysDeleteRequest): count-mismatch and
+    // missing-bucket fail the whole batch, per-key KEY_NOT_FOUND /
+    // UPDATE_ID_NOT_MATCH / ACCESS_DENIED, PARTIAL_DELETE rollup.
+    "q_delete_keys_batch" -> ((s, d) =>
+      CommitLog.keysDeleteBatchDecisions(T.keysDeleteRequests(s, d),
+        T.objects(s, d), T.buckets(s, d))),
     // FSO DeleteKey ladder: bucket → path resolve → dir emptiness. The
     // dir-path set derives in one ancestor explode (no iterative resolve:
     // the probe needs paths, not ids)
@@ -474,6 +480,23 @@ object SparkEntry {
     "q_put_bucket_tagging" -> ((s, d) =>
       S3Ops.putBucketTagging(T.bucketTagRequests(s, d),
         T.bucketTagEntries(s, d), T.buckets(s, d))),
+    // DeleteObjectTagging / DeleteBucketTagging: OM probes only, the
+    // clear is unconditional (untagged target = AWS 204 success);
+    // had_tags probes the PUT ladder's APPLIED outcomes.
+    "q_delete_object_tagging" -> ((s, d) =>
+      S3Ops.deleteObjectTagging(T.tagRequests(s, d).drop("cls"),
+        T.buckets(s, d), T.objects(s, d),
+        S3Ops.putObjectTagging(T.tagRequests(s, d), T.tagEntries(s, d),
+          T.buckets(s, d), T.objects(s, d))
+          .filter(col("decision") === "APPLIED")
+          .select("volume", "bucket", "key"))),
+    "q_delete_bucket_tagging" -> ((s, d) =>
+      S3Ops.deleteBucketTagging(T.bucketTagRequests(s, d).drop("cls"),
+        T.buckets(s, d),
+        S3Ops.putBucketTagging(T.bucketTagRequests(s, d),
+          T.bucketTagEntries(s, d), T.buckets(s, d))
+          .filter(col("decision") === "APPLIED")
+          .select("volume", "bucket"))),
     // PutBucketLifecycleConfiguration: the full OmLifecycleConfiguration/
     // OmLCRule/OmLCExpiration/OmLCFilter validation ladder in reference
     // branch order, first-failing rule decides.
@@ -489,6 +512,12 @@ object SparkEntry {
           T.lcRuleEntries(s, d), T.buckets(s, d))
           .filter(col("decision") === "SET")
           .select("volume", "bucket"))),
+    // InitiateMultipartUpload ladder: link resolution, FSO file-in-path
+    // guard (the key itself existing is FINE — AWS parity), replication
+    // preference request > bucket default > server default.
+    "q_mpu_initiate" -> ((s, d) =>
+      Lifecycle.mpuInitiateDecisions(T.mpuInitiateRequests(s, d),
+        T.buckets(s, d), T.bucketLinks(s, d), T.objects(s, d))),
     // CommitPart / AbortMultipartUpload write ladders — completes the MPU
     // protocol surface (initiate→commit→complete/abort→list).
     "q_mpu_commit_part" -> ((s, d) =>
@@ -895,6 +924,64 @@ object SparkEntry {
         |      AND r.to_key = t.k)
         |ORDER BY volume, bucket, from_key, to_key""".stripMargin,
       O.objects, O.renameRequests),
+
+    // Batch DeleteKeys ladder mirror: batch-level gates then per-key
+    // rungs, PARTIAL_DELETE rollup.
+    "q_delete_keys_batch" -> O.withCtes(
+      """SELECT p.req_id, p.volume, p.bucket, p.key, p.key_decision,
+        |  st.request_status
+        |FROM perkey p
+        |JOIN (
+        |  SELECT req_id,
+        |    CASE WHEN bool_or(ids_mismatch) THEN 'INVALID_REQUEST'
+        |      WHEN bool_or(nobkt) THEN 'BUCKET_NOT_FOUND'
+        |      WHEN bool_or(key_decision <> 'DELETED')
+        |        THEN 'PARTIAL_DELETE'
+        |      ELSE 'OK' END AS request_status
+        |  FROM perkey GROUP BY req_id) st USING (req_id)
+        |ORDER BY p.req_id, p.key""".stripMargin,
+      O.objects,
+      """kd_reqs AS (
+        |  SELECT req_id0 AS req_id, volume,
+        |    CASE WHEN req_id0 % 19 = 4 THEN 'no-such-bucket'
+        |         ELSE bucket END AS bucket,
+        |    CASE WHEN cls = 1 THEN key || '.nope' ELSE key END AS key,
+        |    CASE WHEN cls = 2 THEN uid + 999
+        |         WHEN cls = 1 OR cls >= 3 THEN -1 ELSE uid END
+        |      AS presented_update_id,
+        |    CASE WHEN CAST(substr(volume, 4, 10) AS BIGINT) % 2 = 0
+        |         THEN 'admin' || substr(volume, 4, 10)
+        |         ELSE 'clerk1' END AS caller,
+        |    req_id0 % 17 = 7 AS ids_mismatch
+        |  FROM (
+        |    SELECT volume, bucket, key, max(version) AS uid,
+        |      (min(object_id) // 1070) % 5 AS cls,
+        |      CAST(substr(volume, 4, 10) AS BIGINT) * 10 +
+        |        CAST(substr(bucket, 7, 10) AS BIGINT) AS req_id0
+        |    FROM objects WHERE object_id % 107 = 0
+        |    GROUP BY volume, bucket, key))""".stripMargin,
+      """stored AS (
+        |  SELECT volume, bucket, key, max(version) AS uid,
+        |    min(owner) AS key_owner
+        |  FROM objects GROUP BY 1, 2, 3)""".stripMargin,
+      """perkey AS (
+        |  SELECT r.req_id, r.volume, r.bucket, r.key, r.ids_mismatch,
+        |    b.bucket IS NULL AS nobkt,
+        |    CASE WHEN r.ids_mismatch THEN 'INTERNAL_ERROR'
+        |      WHEN b.bucket IS NULL THEN 'INTERNAL_ERROR'
+        |      WHEN s.key IS NULL THEN 'KEY_NOT_FOUND'
+        |      WHEN r.presented_update_id <> -1
+        |        AND r.presented_update_id <> s.uid
+        |        THEN 'UPDATE_ID_NOT_MATCH'
+        |      WHEN r.caller <> s.key_owner
+        |        AND r.caller <> 'admin' || substr(r.volume, 4, 10)
+        |        THEN 'ACCESS_DENIED'
+        |      ELSE 'DELETED' END AS key_decision
+        |  FROM kd_reqs r
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket FROM objects) b
+        |    ON r.volume = b.volume AND r.bucket = b.bucket
+        |  LEFT JOIN stored s ON r.volume = s.volume
+        |    AND r.bucket = s.bucket AND r.key = s.key)""".stripMargin),
 
     // DeleteKey ladder: bucket probe → dir/file path resolve → computed
     // dir emptiness (never assumed from catalog shape)
@@ -2351,6 +2438,66 @@ object SparkEntry {
         |        THEN 'DUPLICATE_KEY' END) AS eff_err
         |  FROM tag_entries)""".stripMargin),
 
+    // DeleteObjectTagging mirror: OM probes only, unconditional clear;
+    // had_tags = the put ladder APPLIED to the same key (cls 0, clean
+    // probes).
+    "q_delete_object_tagging" -> O.withCtes(
+      """SELECT r.req_id, r.volume, r.bucket, r.key,
+        |  CASE WHEN b.bucket IS NULL THEN 'NO_SUCH_BUCKET'
+        |       WHEN o.key IS NULL THEN 'NO_SUCH_KEY'
+        |       ELSE 'DELETED' END AS decision,
+        |  (b.bucket IS NOT NULL AND o.key IS NOT NULL
+        |    AND t.key IS NOT NULL) AS had_tags
+        |FROM dot_reqs r
+        |LEFT JOIN (SELECT DISTINCT volume, bucket FROM objects) b
+        |  ON r.volume = b.volume AND r.bucket = b.bucket
+        |LEFT JOIN (SELECT DISTINCT volume, bucket, key FROM objects) o
+        |  ON r.volume = o.volume AND r.bucket = o.bucket
+        |    AND r.key = o.key
+        |LEFT JOIN (SELECT volume, bucket, key FROM dot_reqs
+        |           WHERE cls = 0 AND probe % 13 <> 3 AND probe % 7 <> 2) t
+        |  ON r.volume = t.volume AND r.bucket = t.bucket
+        |    AND r.key = t.key
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects,
+      """dot_reqs AS (
+        |  SELECT req_id, (req_id // 1010) % 10 AS cls,
+        |    (req_id // 101) AS probe, volume,
+        |    CASE WHEN (req_id // 101) % 13 = 3 THEN 'no-such-bucket'
+        |         ELSE split_part(bk, '|', 1) END AS bucket,
+        |    CASE WHEN (req_id // 101) % 7 = 2
+        |         THEN split_part(bk, '|', 2) || '.nope'
+        |         ELSE split_part(bk, '|', 2) END AS key
+        |  FROM (
+        |    SELECT object_id AS req_id, min(volume) AS volume,
+        |      min(bucket || '|' || key) AS bk
+        |    FROM objects WHERE object_id % 101 = 0 GROUP BY 1))""".stripMargin),
+
+    // DeleteBucketTagging mirror: bucket probe only; had_tags = the put
+    // ladder APPLIED (cls 0 or the 50-tag boundary pass, real bucket).
+    "q_delete_bucket_tagging" -> O.withCtes(
+      """SELECT r.req_id, r.volume, r.bucket,
+        |  CASE WHEN b.bucket IS NULL THEN 'NO_SUCH_BUCKET'
+        |       ELSE 'DELETED' END AS decision,
+        |  (b.bucket IS NOT NULL AND t.bucket IS NOT NULL) AS had_tags
+        |FROM dbt_reqs r
+        |LEFT JOIN (SELECT DISTINCT volume, bucket FROM objects) b
+        |  ON r.volume = b.volume AND r.bucket = b.bucket
+        |LEFT JOIN (SELECT volume, bucket FROM dbt_reqs
+        |           WHERE cls IN (0, 4) AND req_id < 9000) t
+        |  ON r.volume = t.volume AND r.bucket = t.bucket
+        |ORDER BY r.req_id""".stripMargin,
+      O.objects, O.buckets,
+      """dbt_reqs AS (
+        |  SELECT CAST(substr(volume, 4, 10) AS BIGINT) * 100 +
+        |      CAST(substr(bucket, 7, 10) AS BIGINT) AS req_id,
+        |    (CAST(substr(volume, 4, 10) AS BIGINT) +
+        |      CAST(substr(bucket, 7, 10) AS BIGINT)) % 6 AS cls,
+        |    volume, bucket
+        |  FROM buckets
+        |  UNION ALL SELECT 9001, 0, 'vol0', 'no-such-bucket'
+        |  UNION ALL SELECT 9002, 1, 'vol9', 'bucket0')""".stripMargin),
+
     // PutBucketTagging: same per-tag ladder, 50-tag bucket cap, bucket
     // existence only.
     "q_put_bucket_tagging" -> O.withCtes(
@@ -2575,6 +2722,80 @@ object SparkEntry {
         |  JOIN lc_reqs q USING (req_id)
         |  LEFT JOIN buckets b ON q.volume = b.volume
         |    AND q.bucket = b.bucket)""".stripMargin),
+
+    // InitiateMPU ladder mirror: link staging, FSO ancestor-file guard,
+    // replication preference chain.
+    "q_mpu_initiate" -> O.withCtes(
+      """SELECT req_id, resolved_volume, resolved_bucket, key, decision,
+        |  CASE WHEN decision <> 'INITIATED' THEN ''
+        |    WHEN requested_repl <> '' THEN requested_repl
+        |    WHEN bucket_default <> '' THEN bucket_default
+        |    ELSE 'RATIS/THREE' END AS effective_replication,
+        |  CASE WHEN decision = 'INITIATED'
+        |    THEN md5(resolved_volume || '|' || resolved_bucket || '|'
+        |      || key || '|' || CAST(req_id AS VARCHAR))
+        |    ELSE '' END AS upload_id
+        |FROM (
+        |  SELECT s.req_id, s.rv AS resolved_volume,
+        |    s.rb AS resolved_bucket, s.key, s.requested_repl,
+        |    coalesce(bx.bucket_default, '') AS bucket_default,
+        |    CASE WHEN s.status = 'CYCLE' THEN 'LINK_LOOP'
+        |      WHEN s.status = 'DANGLING' OR bx.rb IS NULL
+        |        THEN 'BUCKET_NOT_FOUND'
+        |      WHEN bx.layout = 'FSO' AND af.req_id IS NOT NULL
+        |        THEN 'NOT_A_FILE'
+        |      ELSE 'INITIATED' END AS decision
+        |  FROM staged s
+        |  LEFT JOIN bkt_ext bx ON s.rv = bx.rv AND s.rb = bx.rb
+        |  LEFT JOIN anc_hits af ON s.req_id = af.req_id)
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets,
+      """mi_base AS (
+        |  SELECT req_id, (req_id // 1030) % 7 AS cls, volume0,
+        |    split_part(bk, '|', 1) AS bucket0,
+        |    split_part(bk, '|', 2) AS key0
+        |  FROM (
+        |    SELECT object_id AS req_id, min(volume) AS volume0,
+        |      min(bucket || '|' || key) AS bk
+        |    FROM objects WHERE object_id % 103 = 0 GROUP BY 1))""".stripMargin,
+      """mi_reqs AS (
+        |  SELECT req_id,
+        |    CASE WHEN cls = 4 THEN 'vol1' WHEN cls = 5 THEN 'vol3'
+        |         WHEN cls = 6 THEN 'vol0' ELSE volume0 END AS volume,
+        |    CASE WHEN cls = 3 THEN 'no-such-bucket'
+        |         WHEN cls = 4 THEN 'link-a'
+        |         WHEN cls = 5 THEN 'link-broken'
+        |         WHEN cls = 6 THEN 'link-cycle1'
+        |         ELSE bucket0 END AS bucket,
+        |    CASE WHEN cls = 2 THEN key0 || '/part.0' ELSE key0 END AS key,
+        |    CASE WHEN cls = 1 THEN 'EC/rs-3-2-1024k' ELSE '' END
+        |      AS requested_repl
+        |  FROM mi_base)""".stripMargin,
+      """linkres(volume, bucket, rv0, rb0, status) AS (VALUES
+        |  ('vol1', 'link-a', 'vol0', 'bucket0', 'OK'),
+        |  ('vol2', 'link-b', 'vol0', 'bucket0', 'OK'),
+        |  ('vol3', 'link-broken', 'vol0', 'no-such-bucket', 'DANGLING'),
+        |  ('vol0', 'link-cycle1', 'vol0', 'link-cycle1', 'CYCLE'),
+        |  ('vol0', 'link-cycle2', 'vol0', 'link-cycle2', 'CYCLE'))""".stripMargin,
+      """staged AS (
+        |  SELECT r.req_id, r.key, r.requested_repl,
+        |    coalesce(l.rv0, r.volume) AS rv,
+        |    coalesce(l.rb0, r.bucket) AS rb, l.status
+        |  FROM mi_reqs r LEFT JOIN linkres l
+        |    ON r.volume = l.volume AND r.bucket = l.bucket)""".stripMargin,
+      """bkt_ext AS (
+        |  SELECT volume AS rv, bucket AS rb, layout,
+        |    CASE CAST(substr(bucket, 7, 10) AS BIGINT) % 3
+        |      WHEN 0 THEN 'RATIS/THREE'
+        |      WHEN 1 THEN 'EC/rs-3-2-1024k'
+        |      ELSE '' END AS bucket_default
+        |  FROM buckets)""".stripMargin,
+      """anc_hits AS (
+        |  SELECT DISTINCT s.req_id
+        |  FROM staged s
+        |  JOIN (SELECT DISTINCT volume, bucket, key FROM objects) o
+        |    ON o.volume = s.rv AND o.bucket = s.rb
+        |    AND s.key LIKE o.key || '/%')""".stripMargin),
 
     // CommitPart ladder: bucket → open-key(clientID) → multipartInfo →
     // blank-ETag → COMMITTED(+replaced_previous).

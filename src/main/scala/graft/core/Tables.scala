@@ -801,6 +801,77 @@ object Tables {
         (col("req_id") % 9 === 1).as("open_lease_recovery"),
         (col("req_id") % 2 === 0).as("committed_has_hsync_writer"))
 
+  /** keys_delete_requests: OMKeysDeleteRequest batches — one request per
+    * (volume, bucket), req_id = vol_idx*10 + bucket_idx, keys sampled
+    * object_id % 107 == 0. Per-key cls = (object_id DIV 1070) % 5:
+    *   0 plain delete with the matching updateID, 1 missing key
+    *   (updateID not presented), 2 updateID mismatch, 3/4 plain delete
+    *   with updateID absent (-1). Batch dimensions: req_id % 17 == 7 →
+    *   updateIDs-count mismatch (whole batch INVALID_REQUEST);
+    *   req_id % 19 == 4 → the batch targets a missing bucket. Callers:
+    *   even volumes send their admin (all ACLs pass), odd volumes send
+    *   clerk1 (non-clerk1-owned keys → ACCESS_DENIED). */
+  def keysDeleteRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 107 === 0)
+      .groupBy(col("volume"), col("bucket"), col("key"))
+      .agg(max("version").as("__uid"), min(col("object_id")).as("__oid"))
+      .withColumn("req_id",
+        expr("CAST(substr(volume, 4, 10) AS BIGINT)") * 10 +
+          expr("CAST(substr(bucket, 7, 10) AS BIGINT)"))
+      .withColumn("cls", expr("__oid DIV 1070") % 5)
+      .withColumn("ids_mismatch", col("req_id") % 17 === 7)
+      .withColumn("bucket",
+        when(col("req_id") % 19 === 4, lit("no-such-bucket"))
+          .otherwise(col("bucket")))
+      .withColumn("key",
+        when(col("cls") === 1, concat(col("key"), lit(".nope")))
+          .otherwise(col("key")))
+      .withColumn("presented_update_id",
+        when(col("cls") === 2, col("__uid") + 999L)
+          .when(col("cls") === 1 || col("cls") >= 3, lit(-1L))
+          .otherwise(col("__uid")))
+      .withColumn("caller",
+        when(expr("CAST(substr(volume, 4, 10) AS BIGINT)") % 2 === 0,
+          concat(lit("admin"), substring(col("volume"), 4, 10)))
+          .otherwise(lit("clerk1")))
+      .select("req_id", "volume", "bucket", "key",
+        "presented_update_id", "caller", "ids_mismatch")
+
+  /** mpu_initiate_requests: an S3InitiateMultipartUploadRequest batch,
+    * data-derived like [[keyCommitRequests]] (object_id % 103 == 0,
+    * canonicalized). cls = (req_id DIV 1030) % 7:
+    *   0 plain initiate on an existing key (allowed — AWS parity),
+    *   1 request-supplied EC replication (beats the bucket default),
+    *   2 key nested UNDER an existing file (NOT_A_FILE on FSO buckets;
+    *     OBS layouts skip the path check and initiate),
+    *   3 missing bucket, 4 through link-a (lands on vol0/bucket0),
+    *   5 dangling link, 6 link loop. */
+  def mpuInitiateRequests(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .filter(col("object_id") % 103 === 0)
+      .groupBy(col("object_id").as("req_id"))
+      .agg(min(col("volume")).as("volume0"),
+        min(concat(col("bucket"), lit("|"), col("key"))).as("bk"))
+      .select(col("req_id"), (expr("req_id DIV 1030") % 7).as("cls"),
+        col("volume0"),
+        substring_index(col("bk"), "|", 1).as("bucket0"),
+        substring_index(col("bk"), "|", -1).as("key0"))
+      .select(col("req_id"),
+        when(col("cls") === 4, lit("vol1"))
+          .when(col("cls") === 5, lit("vol3"))
+          .when(col("cls") === 6, lit("vol0"))
+          .otherwise(col("volume0")).as("volume"),
+        when(col("cls") === 3, lit("no-such-bucket"))
+          .when(col("cls") === 4, lit("link-a"))
+          .when(col("cls") === 5, lit("link-broken"))
+          .when(col("cls") === 6, lit("link-cycle1"))
+          .otherwise(col("bucket0")).as("bucket"),
+        when(col("cls") === 2, concat(col("key0"), lit("/part.0")))
+          .otherwise(col("key0")).as("key"),
+        when(col("cls") === 1, lit("EC/rs-3-2-1024k"))
+          .otherwise(lit("")).as("requested_repl"))
+
   /** fso_mkdir_requests: an OMDirectoryCreateRequest batch, data-derived
     * like [[fsoRenameRequests]] (object_id % 151 == 0). cls = second
     * digit of probe:

@@ -507,6 +507,70 @@ object CommitLog {
   }
 
   /**
+   * Batch DeleteKeys ladder (OMKeysDeleteRequest.java — the multi-key
+   * OBS/LEGACY delete, one request per bucket):
+   *   1. presented updateIDs count != keys count → the whole request
+   *      throws INVALID_REQUEST BEFORE any bucket work (:166-170); the
+   *      catch then files EVERY key as INTERNAL_ERROR (:277-281)
+   *   2. bucket/volume validation after link resolve (:173-184) — a
+   *      missing bucket likewise fails the whole batch, per-key
+   *      INTERNAL_ERROR with the request status carrying the real code
+   *   3. per key, visited in request order: absent → KEY_NOT_FOUND
+   *      (:195-201), presented updateID null-or-mismatch →
+   *      UPDATE_ID_NOT_MATCH (:204-215, only when updateIDs were
+   *      presented at all), DELETE-ACL failure → ACCESS_DENIED
+   *      (:222-235), else DELETED
+   *   4. request status: every key deleted → OK, else PARTIAL_DELETE
+   *      (:286 deleteStatus → Status.PARTIAL_DELETE).
+   * The ACL model matches the engine's other key ladders: the caller
+   * must be the key's owner or the volume admin.
+   *
+   * Scale shape: the stored-key probe left-semi-restricts the namespace
+   * scan to the batch's keys before any join; the per-request status
+   * rollup is batch-sized and broadcast back — the big side never
+   * shuffles.
+   */
+  def keysDeleteBatchDecisions(requestKeys: DataFrame, objects: DataFrame,
+                               buckets: DataFrame): DataFrame = {
+    val stored = objects
+      .join(broadcast(requestKeys.select("volume", "bucket", "key")
+        .distinct()), Seq("volume", "bucket", "key"), "left_semi")
+      .groupBy("volume", "bucket", "key")
+      .agg(max("version").as("__stored_uid"),
+        min("owner").as("__key_owner"))
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumn("bkt_exists", lit(true))
+    val perKey = requestKeys
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(stored), Seq("volume", "bucket", "key"), "left")
+      .withColumn("__is_admin", col("caller") ===
+        concat(lit("admin"), substring(col("volume"), 4, 10)))
+      .withColumn("key_decision",
+        when(col("ids_mismatch"), lit("INTERNAL_ERROR"))
+          .when(col("bkt_exists").isNull, lit("INTERNAL_ERROR"))
+          .when(col("__stored_uid").isNull, lit("KEY_NOT_FOUND"))
+          .when(col("presented_update_id") =!= -1L &&
+            col("presented_update_id") =!= col("__stored_uid"),
+            lit("UPDATE_ID_NOT_MATCH"))
+          .when(col("caller") =!= col("__key_owner") &&
+            !col("__is_admin"), lit("ACCESS_DENIED"))
+          .otherwise(lit("DELETED")))
+    val status = perKey.groupBy("req_id")
+      .agg(max(col("ids_mismatch")).as("__mis"),
+        max(col("bkt_exists").isNull).as("__nobkt"),
+        max(col("key_decision") =!= "DELETED").as("__any_fail"))
+      .select(col("req_id"),
+        when(col("__mis"), lit("INVALID_REQUEST"))
+          .when(col("__nobkt"), lit("BUCKET_NOT_FOUND"))
+          .when(col("__any_fail"), lit("PARTIAL_DELETE"))
+          .otherwise(lit("OK")).as("request_status"))
+    perKey.join(broadcast(status), Seq("req_id"))
+      .select(col("req_id"), col("volume"), col("bucket"), col("key"),
+        col("key_decision"), col("request_status"))
+      .orderBy("req_id", "key")
+  }
+
+  /**
    * DeleteSnapshot validation ladder (OMSnapshotDeleteRequest.java):
    * preExecute validates the name FIRST (:82 validateSnapshotName — the
    * legacy chain names s1/s2 fail the strict rules on deletion too, a

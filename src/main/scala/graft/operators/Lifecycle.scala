@@ -535,6 +535,92 @@ object Lifecycle {
    * requested keys, so the big sides never shuffle and all decision
    * logic runs on request-sized frames.
    */
+  /**
+   * InitiateMultipartUpload ladder (S3InitiateMultipartUploadRequest
+   * .java): preExecute resolves the bucket link (:101-103
+   * resolveBucketAndCheckKeyAcls — a dangling chain is a missing bucket,
+   * a loop refuses) → validateAndUpdateCache: validateBucketAndVolume
+   * (:154) → for path-normalizing layouts (FSO) verifyFilesInPath over
+   * the key's parent chain (:184-189 — an existing FILE ancestor refuses
+   * NOT_A_FILE; the key ITSELF already existing is FINE, :176-182 AWS
+   * parity, resolved at complete time) → replication preference
+   * resolution (:190-196 OzoneConfigUtil
+   * .resolveReplicationConfigPreference: request > bucket default >
+   * server default) → INITIATED, minting the uploadId; the open-key and
+   * multipartInfo entries are keyed (key, uploadId) so concurrent
+   * uploads of one key coexist (:157-177).
+   *
+   * Bucket default replication is derived bucket_idx % 3
+   * (0 RATIS/THREE, 1 EC, 2 unset) — the preference chain's middle rung
+   * stays observable. upload_id is a deterministic digest stand-in for
+   * OMMultipartUploadUtils.getMultipartUploadId.
+   *
+   * Scale shape: link/bucket probes broadcast; the ancestor-file probe
+   * explodes the request batch's parent chains and left-semi-restricts
+   * the namespace scan to them — the big side never shuffles.
+   */
+  def mpuInitiateDecisions(requests: DataFrame, buckets: DataFrame,
+                           links: DataFrame, objects: DataFrame,
+                           serverDefaultRepl: String = "RATIS/THREE")
+      : DataFrame = {
+    val resolved = Links.resolveBucketLinks(links, buckets)
+      .select(col("volume"), col("bucket"),
+        col("resolved_volume").as("rv0"),
+        col("resolved_bucket").as("rb0"),
+        col("status").as("link_status"))
+    val bktProbe = buckets
+      .withColumn("__bidx", substring(col("bucket"), 7, 10).cast("long"))
+      .select(col("volume").as("rv"), col("bucket").as("rb"),
+        col("layout").as("__layout"),
+        when(col("__bidx") % 3 === 0, lit("RATIS/THREE"))
+          .when(col("__bidx") % 3 === 1, lit("EC/rs-3-2-1024k"))
+          .otherwise(lit("")).as("__bucket_default"),
+        lit(true).as("bkt_exists"))
+    val staged = requests
+      .join(broadcast(resolved), Seq("volume", "bucket"), "left")
+      .withColumn("rv", when(col("link_status") === "CYCLE", col("volume"))
+        .otherwise(coalesce(col("rv0"), col("volume"))))
+      .withColumn("rb", when(col("link_status") === "CYCLE", col("bucket"))
+        .otherwise(coalesce(col("rb0"), col("bucket"))))
+    val anc = staged
+      .withColumn("__parent", Aggregates.parentDirOf("key"))
+      .filter(col("__parent") =!= "")
+      .select(col("req_id"), col("rv"), col("rb"),
+        explode(Aggregates.dirAndAncestors("__parent")).as("pfx"))
+    val pfxKeys = anc.select(col("rv").as("volume"),
+      col("rb").as("bucket"), col("pfx").as("key")).distinct()
+    val fileHits = objects
+      .join(broadcast(pfxKeys), Seq("volume", "bucket", "key"), "left_semi")
+      .select(col("volume").as("rv"), col("bucket").as("rb"),
+        col("key").as("pfx")).distinct()
+      .withColumn("__is_file", lit(true))
+    val ancFlags = anc
+      .join(broadcast(fileHits), Seq("rv", "rb", "pfx"), "left")
+      .groupBy("req_id")
+      .agg(max(coalesce(col("__is_file"), lit(false))).as("__anc_file"))
+    staged
+      .join(broadcast(bktProbe), Seq("rv", "rb"), "left")
+      .join(broadcast(ancFlags), Seq("req_id"), "left")
+      .withColumn("decision",
+        when(col("link_status") === "CYCLE", lit("LINK_LOOP"))
+          .when(col("link_status") === "DANGLING" ||
+            col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("__layout") === "FSO" &&
+            coalesce(col("__anc_file"), lit(false)), lit("NOT_A_FILE"))
+          .otherwise(lit("INITIATED")))
+      .select(col("req_id"),
+        col("rv").as("resolved_volume"), col("rb").as("resolved_bucket"),
+        col("key"), col("decision"),
+        when(col("decision") =!= "INITIATED", lit(""))
+          .when(col("requested_repl") =!= "", col("requested_repl"))
+          .when(col("__bucket_default") =!= "", col("__bucket_default"))
+          .otherwise(lit(serverDefaultRepl)).as("effective_replication"),
+        when(col("decision") === "INITIATED",
+          md5(concat_ws("|", col("rv"), col("rb"), col("key"),
+            col("req_id")))).otherwise(lit("")).as("upload_id"))
+      .orderBy("req_id")
+  }
+
   def mpuCommitPart(requests: DataFrame, openParts: DataFrame,
                     mpuInfo: DataFrame, parts: DataFrame,
                     buckets: DataFrame): DataFrame = {

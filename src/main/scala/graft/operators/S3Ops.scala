@@ -246,4 +246,69 @@ object S3Ops {
           lit("APPLIED")).as("decision"))
       .orderBy("req_id")
   }
+
+  /**
+   * DeleteObjectTagging (S3DeleteObjectTaggingRequest.java:119-127 via
+   * ObjectEndpoint DELETE ?tagging): no gateway tag validation — only
+   * the OM probes (validateBucketAndVolume :119, key lookup :122-127
+   * KEY_NOT_FOUND → NoSuchKey), then an UNCONDITIONAL tag-map clear.
+   * Deleting tags from an untagged key is NOT an error (AWS 204 parity)
+   * — `had_tags` reports whether the put plane had APPLIED a tag set to
+   * the key, the delete ladder probing the put ladder's outcomes the way
+   * lifecycleDeleteDecisions probes lifecycleSetDecisions.
+   *
+   * Scale shape: identical to [[putObjectTagging]] — the only corpus
+   * touch is the left-semi key probe; everything else broadcasts.
+   */
+  def deleteObjectTagging(requests: DataFrame, buckets: DataFrame,
+                          objects: DataFrame,
+                          taggedKeys: DataFrame): DataFrame = {
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists")).distinct()
+    val keyProbe = objects
+      .join(broadcast(requests.select("volume", "bucket", "key")),
+        Seq("volume", "bucket", "key"), "left_semi")
+      .select(col("volume"), col("bucket"), col("key"),
+        lit(true).as("key_exists")).distinct()
+    val tagProbe = taggedKeys
+      .select(col("volume"), col("bucket"), col("key"),
+        lit(true).as("has_tags")).distinct()
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(keyProbe), Seq("volume", "bucket", "key"), "left")
+      .join(broadcast(tagProbe), Seq("volume", "bucket", "key"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("NO_SUCH_BUCKET"))
+          .when(col("key_exists").isNull, lit("NO_SUCH_KEY"))
+          .otherwise(lit("DELETED")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("key"),
+        col("decision"),
+        (col("decision") === "DELETED" &&
+          coalesce(col("has_tags"), lit(false))).as("had_tags"))
+      .orderBy("req_id")
+  }
+
+  /**
+   * DeleteBucketTagging (S3DeleteBucketTaggingRequest): the bucket twin
+   * — bucket probe only, unconditional clear, untagged is a success.
+   */
+  def deleteBucketTagging(requests: DataFrame, buckets: DataFrame,
+                          taggedBuckets: DataFrame): DataFrame = {
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists")).distinct()
+    val tagProbe = taggedBuckets
+      .select(col("volume"), col("bucket"), lit(true).as("has_tags"))
+      .distinct()
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(tagProbe), Seq("volume", "bucket"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("NO_SUCH_BUCKET"))
+          .otherwise(lit("DELETED")))
+      .select(col("req_id"), col("volume"), col("bucket"),
+        col("decision"),
+        (col("decision") === "DELETED" &&
+          coalesce(col("has_tags"), lit(false))).as("had_tags"))
+      .orderBy("req_id")
+  }
 }

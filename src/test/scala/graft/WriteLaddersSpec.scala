@@ -526,6 +526,98 @@ class WriteLaddersSpec extends SparkSpecBase {
       3L -> "INVALID_VOLUME_NAME"))
   }
 
+  test("mpuInitiateDecisions: FSO/OBS path split, replication chain") {
+    val reqs = Seq(
+      // b-fso (idx 1): ancestor file a/f.dat → NOT_A_FILE
+      (1L, "v", "bucket1", "a/f.dat/part.0", ""),
+      // same shape on the OBS bucket (idx 2): no path check → INITIATED
+      (2L, "v", "bucket2", "a/f.dat/part.0", ""),
+      // key itself exists → still INITIATED (AWS parity)
+      (3L, "v", "bucket1", "a/f.dat", ""),
+      // request replication beats the bucket default
+      (4L, "v", "bucket1", "a/new.bin", "EC/rs-6-3-1024k"),
+      // bucket default (idx 1 % 3 = 1 → EC) beats the server default
+      (5L, "v", "bucket1", "a/new2.bin", ""),
+      // idx 2 % 3 = 2 → unset bucket default → server default
+      (6L, "v", "bucket2", "a/new3.bin", ""),
+      (7L, "v", "no-such", "a/x.bin", ""))
+      .toDF("req_id", "volume", "bucket", "key", "requested_repl")
+    val bkts = Seq(("v", "bucket1", "FSO"), ("v", "bucket2", "OBS"))
+      .toDF("volume", "bucket", "layout")
+    val objs = Seq(("v", "bucket1", "a/f.dat"), ("v", "bucket2", "a/f.dat"))
+      .toDF("volume", "bucket", "key")
+    val links = Seq.empty[(String, String, String, String)]
+      .toDF("volume", "bucket", "source_volume", "source_bucket")
+    val got = Lifecycle.mpuInitiateDecisions(reqs, bkts, links, objs)
+      .select("req_id", "decision", "effective_replication")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("NOT_A_FILE", "")))
+    assert(got(2L)._1 === "INITIATED")
+    assert(got(3L)._1 === "INITIATED")
+    assert(got(4L) === (("INITIATED", "EC/rs-6-3-1024k")))
+    assert(got(5L) === (("INITIATED", "EC/rs-3-2-1024k")))
+    assert(got(6L) === (("INITIATED", "RATIS/THREE")))
+    assert(got(7L) === (("BUCKET_NOT_FOUND", "")))
+  }
+
+  test("keysDeleteBatchDecisions: batch gates, per-key rungs, rollup") {
+    val reqs = Seq(
+      // batch 1: all pass → OK
+      (1L, "vol0", "b", "k1", -1L, "admin0", false),
+      (1L, "vol0", "b", "k2", 5L, "admin0", false),
+      // batch 2: one missing key → PARTIAL_DELETE
+      (2L, "vol0", "b", "k1", -1L, "admin0", false),
+      (2L, "vol0", "b", "nope", -1L, "admin0", false),
+      // batch 3: updateID mismatch + ACL denial
+      (3L, "vol1", "b", "k3", 9L, "clerk1", false),
+      (3L, "vol1", "b", "k4", -1L, "clerk1", false),
+      (3L, "vol1", "b", "k5", -1L, "clerk1", false),
+      // batch 4: ids-count mismatch fails the WHOLE batch, even keys
+      // that would have deleted cleanly
+      (4L, "vol0", "b", "k1", -1L, "admin0", true),
+      // batch 5: missing bucket → INTERNAL_ERROR keys, BUCKET_NOT_FOUND
+      (5L, "vol0", "nob", "k1", -1L, "admin0", false))
+      .toDF("req_id", "volume", "bucket", "key", "presented_update_id",
+        "caller", "ids_mismatch")
+    val objs = Seq(
+      ("vol0", "b", "k1", 3L, "clerk2"), ("vol0", "b", "k2", 5L, "clerk2"),
+      ("vol1", "b", "k3", 7L, "clerk1"), ("vol1", "b", "k4", 2L, "clerk9"),
+      ("vol1", "b", "k5", 1L, "clerk1"))
+      .toDF("volume", "bucket", "key", "version", "owner")
+    val bkts = Seq(("vol0", "b"), ("vol1", "b")).toDF("volume", "bucket")
+    val got = graft.operators.CommitLog.keysDeleteBatchDecisions(
+      reqs, objs, bkts)
+      .as[(Long, String, String, String, String, String)].collect()
+      .map(r => (r._1, r._4) -> ((r._5, r._6))).toMap
+    assert(got((1L, "k1")) === (("DELETED", "OK")))
+    assert(got((1L, "k2")) === (("DELETED", "OK"))) // matching updateID
+    assert(got((2L, "nope")) === (("KEY_NOT_FOUND", "PARTIAL_DELETE")))
+    assert(got((2L, "k1")) === (("DELETED", "PARTIAL_DELETE")))
+    // updateID precedes the ACL check (owner clerk1 still refused)
+    assert(got((3L, "k3")) === (("UPDATE_ID_NOT_MATCH", "PARTIAL_DELETE")))
+    assert(got((3L, "k4")) === (("ACCESS_DENIED", "PARTIAL_DELETE")))
+    assert(got((3L, "k5")) === (("DELETED", "PARTIAL_DELETE")))
+    assert(got((4L, "k1")) === (("INTERNAL_ERROR", "INVALID_REQUEST")))
+    assert(got((5L, "k1")) === (("INTERNAL_ERROR", "BUCKET_NOT_FOUND")))
+  }
+
+  test("delete-tagging twins: probes only; had_tags from put outcomes") {
+    val dot = SparkEntry.queries("q_delete_object_tagging")(spark, sf)
+      .select("decision", "had_tags").as[(String, Boolean)].collect()
+    // every decision class present, and had_tags only rides DELETED
+    val classes = dot.map(_._1).toSet
+    assert(classes === Set("DELETED", "NO_SUCH_KEY", "NO_SUCH_BUCKET"))
+    assert(dot.forall { case (d, t) => !t || d == "DELETED" })
+    assert(dot.exists { case (d, t) => d == "DELETED" && t })
+    assert(dot.exists { case (d, t) => d == "DELETED" && !t })
+    val dbt = SparkEntry.queries("q_delete_bucket_tagging")(spark, sf)
+      .select("decision", "had_tags").as[(String, Boolean)].collect()
+    assert(dbt.count(_._1 == "NO_SUCH_BUCKET") === 2) // 9001 + vol9
+    assert(dbt.exists { case (d, t) => d == "DELETED" && t })
+    assert(dbt.exists { case (d, t) => d == "DELETED" && !t })
+  }
+
   test("revokeAdminDecisions: assign's rungs; idempotent on non-admins") {
     val got = Tenants.revokeAdminDecisions(
       T.revokeAdminRequests(spark, sf), T.tenantState(spark, sf),
