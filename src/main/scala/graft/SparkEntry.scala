@@ -480,6 +480,16 @@ object SparkEntry {
     "q_put_bucket_tagging" -> ((s, d) =>
       S3Ops.putBucketTagging(T.bucketTagRequests(s, d),
         T.bucketTagEntries(s, d), T.buckets(s, d))),
+    // PutBucketAcl: bucket → expected-owner → first-failing grant parse;
+    // APPLIED explodes the S3→Ozone translation (bucket DEFAULT+ACCESS,
+    // volume least-privilege ACCESS).
+    "q_put_bucket_acl" -> ((s, d) =>
+      S3Ops.putBucketAcl(T.putBucketAclRequests(s, d),
+        T.putBucketAclGrants(s, d), T.buckets(s, d), T.volumes(s, d))),
+    // GetBucketAcl: the Ozone→S3 reverse precedence chain; GROUP rows
+    // and unmappable sets are dropped.
+    "q_get_bucket_acl" -> ((s, d) =>
+      S3Ops.getBucketAcl(T.bucketAclCatalog(s, d))),
     // DeleteObjectTagging / DeleteBucketTagging: OM probes only, the
     // clear is unconditional (untagged target = AWS 204 success);
     // had_tags probes the PUT ladder's APPLIED outcomes.
@@ -2437,6 +2447,125 @@ object SparkEntry {
         |          PARTITION BY req_id, tag_key ORDER BY pos) > 1
         |        THEN 'DUPLICATE_KEY' END) AS eff_err
         |  FROM tag_entries)""".stripMargin),
+
+    // PutBucketAcl mirror: probe order, first-failing grant, and the
+    // two translation tables exploded over target/scope rows.
+    "q_put_bucket_acl" -> O.withCtes(
+      """SELECT req_id, volume, bucket, decision, pos, grantee,
+        |  target, scope, rights
+        |FROM (
+        |  SELECT d.req_id, d.volume, d.bucket, d.decision,
+        |    g.pos, g.grantee, t.target, t.scope,
+        |    CASE WHEN t.src = 'B' THEN
+        |      CASE g.s3_perm WHEN 'FULL_CONTROL' THEN 'ALL'
+        |        WHEN 'WRITE_ACP' THEN 'WRITE_ACL'
+        |        WHEN 'READ_ACP' THEN 'READ_ACL'
+        |        WHEN 'WRITE' THEN 'CREATE,DELETE,WRITE'
+        |        ELSE 'LIST,READ' END
+        |    ELSE
+        |      CASE g.s3_perm WHEN 'FULL_CONTROL'
+        |          THEN 'READ,READ_ACL,WRITE,WRITE_ACL'
+        |        WHEN 'WRITE_ACP' THEN 'READ,READ_ACL,WRITE_ACL'
+        |        WHEN 'READ_ACP' THEN 'READ,READ_ACL'
+        |        WHEN 'WRITE' THEN 'READ,WRITE'
+        |        ELSE 'READ' END END AS rights
+        |  FROM pba_decided d
+        |  JOIN pba_grants g USING (req_id)
+        |  CROSS JOIN (VALUES ('BUCKET', 'DEFAULT', 'B'),
+        |    ('BUCKET', 'ACCESS', 'B'), ('VOLUME', 'ACCESS', 'V'))
+        |    t(target, scope, src)
+        |  WHERE d.decision = 'APPLIED'
+        |  UNION ALL
+        |  SELECT req_id, volume, bucket, decision, 0, '', '', '', ''
+        |  FROM pba_decided WHERE decision <> 'APPLIED')
+        |ORDER BY req_id, pos, grantee, target, scope""".stripMargin,
+      O.objects, O.buckets, O.volumes,
+      """pba_reqs(req_id, volume, bucket, expected_owner) AS (VALUES
+        |  (1, 'vol0', 'bucket0', ''),
+        |  (2, 'vol0', 'bucket1', ''),
+        |  (3, 'vol0', 'no-such', ''),
+        |  (4, 'vol1', 'bucket3', 'admin0'),
+        |  (5, 'vol1', 'bucket3', 'admin1'),
+        |  (6, 'vol2', 'bucket5', ''),
+        |  (7, 'vol2', 'bucket4', ''),
+        |  (8, 'vol3', 'bucket7', ''),
+        |  (9, 'vol0', 'no-such', ''))""".stripMargin,
+      """pba_grants(req_id, pos, grantee_type, grantee, s3_perm,
+        |    malformed) AS (VALUES
+        |  (1, 1, 'id', 'clerk1', 'FULL_CONTROL', FALSE),
+        |  (1, 2, 'id', 'clerk2', 'READ', FALSE),
+        |  (2, 1, 'id', 'u1', 'READ', FALSE),
+        |  (2, 2, 'id', 'u2', 'WRITE', FALSE),
+        |  (2, 3, 'id', 'u1', 'WRITE_ACP', FALSE),
+        |  (2, 4, 'id', 'u3', 'READ_ACP', FALSE),
+        |  (4, 1, 'id', 'aud1', 'WRITE', FALSE),
+        |  (5, 1, 'id', 'aud1', 'WRITE', FALSE),
+        |  (6, 1, 'id', 'x', 'READ', TRUE),
+        |  (7, 1, 'emailAddress', 'y', 'READ', FALSE),
+        |  (8, 1, 'id', 'ok', 'READ', FALSE),
+        |  (8, 2, 'id', 'bad', 'READ', TRUE),
+        |  (8, 3, 'emailAddress', 'z', 'READ', FALSE),
+        |  (9, 1, 'id', 'w', 'READ', TRUE))""".stripMargin,
+      """pba_decided AS (
+        |  SELECT r.req_id, r.volume, r.bucket,
+        |    CASE WHEN b.bucket IS NULL THEN 'NO_SUCH_BUCKET'
+        |      WHEN r.expected_owner <> '' AND r.expected_owner <> v.owner
+        |        THEN 'ACCESS_DENIED'
+        |      ELSE coalesce(f.err, 'APPLIED') END AS decision
+        |  FROM pba_reqs r
+        |  LEFT JOIN buckets b ON r.volume = b.volume
+        |    AND r.bucket = b.bucket
+        |  LEFT JOIN volumes v ON r.volume = v.volume
+        |  LEFT JOIN (
+        |    SELECT req_id, arg_min(
+        |      CASE WHEN malformed THEN 'INVALID_ARGUMENT'
+        |        ELSE 'NOT_IMPLEMENTED' END, pos) AS err
+        |    FROM pba_grants
+        |    WHERE malformed OR grantee_type <> 'id'
+        |    GROUP BY 1) f USING (req_id))""".stripMargin),
+
+    // GetBucketAcl mirror: USER-only, first precedence match, bare READ
+    // dropped.
+    "q_get_bucket_acl" -> O.withCtes(
+      """SELECT volume, bucket, name AS grantee, permission
+        |FROM (
+        |  SELECT volume, bucket, name,
+        |    CASE WHEN list_contains(string_split(rights, ','), 'ALL')
+        |        THEN 'FULL_CONTROL'
+        |      WHEN list_contains(string_split(rights, ','), 'WRITE_ACL')
+        |        THEN 'WRITE_ACP'
+        |      WHEN list_contains(string_split(rights, ','), 'READ_ACL')
+        |        THEN 'READ_ACP'
+        |      WHEN list_contains(string_split(rights, ','), 'WRITE')
+        |        AND list_contains(string_split(rights, ','), 'DELETE')
+        |        AND list_contains(string_split(rights, ','), 'CREATE')
+        |        THEN 'WRITE'
+        |      WHEN list_contains(string_split(rights, ','), 'READ')
+        |        AND list_contains(string_split(rights, ','), 'LIST')
+        |        THEN 'READ' END AS permission
+        |  FROM bacl_cat WHERE type = 'USER')
+        |WHERE permission IS NOT NULL
+        |ORDER BY volume, bucket, grantee, permission""".stripMargin,
+      O.objects, O.buckets,
+      """bacl_cat AS (
+        |  SELECT volume, bucket,
+        |    'admin' || substr(volume, 4, 10) AS name, 'USER' AS type,
+        |    'ALL' AS rights
+        |  FROM buckets
+        |  UNION ALL
+        |  SELECT volume, bucket, 'world', 'GROUP', 'LIST,READ'
+        |  FROM buckets
+        |  UNION ALL
+        |  SELECT volume, bucket,
+        |    'auditor' || (CAST(substr(bucket, 7, 10) AS BIGINT) % 3),
+        |    'USER',
+        |    CASE CAST(substr(bucket, 7, 10) AS BIGINT) % 5
+        |      WHEN 0 THEN 'READ,WRITE_ACL'
+        |      WHEN 1 THEN 'READ,READ_ACL'
+        |      WHEN 2 THEN 'CREATE,DELETE,WRITE'
+        |      WHEN 3 THEN 'LIST,READ'
+        |      ELSE 'READ' END
+        |  FROM buckets)""".stripMargin),
 
     // DeleteObjectTagging mirror: OM probes only, unconditional clear;
     // had_tags = the put ladder APPLIED to the same key (cls 0, clean

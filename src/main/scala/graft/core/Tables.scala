@@ -801,6 +801,75 @@ object Tables {
         (col("req_id") % 9 === 1).as("open_lease_recovery"),
         (col("req_id") % 2 === 0).as("committed_has_hsync_writer"))
 
+  /** put_bucket_acl_requests: s3gateway PutBucketAcl branches — body
+    * grants, multi-user header grants, missing bucket (checked BEFORE
+    * grant parsing — probed by req 9's malformed grants), expected-owner
+    * precondition mismatch + match, malformed `k=v` part, unsupported
+    * grantee type, and the first-failing-grant order probe. */
+  def putBucketAclRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", ""),
+      (2L, "vol0", "bucket1", ""),
+      (3L, "vol0", "no-such", ""),
+      (4L, "vol1", "bucket3", "admin0"),
+      (5L, "vol1", "bucket3", "admin1"),
+      (6L, "vol2", "bucket5", ""),
+      (7L, "vol2", "bucket4", ""),
+      (8L, "vol3", "bucket7", ""),
+      (9L, "vol0", "no-such", ""))
+      .toDF("req_id", "volume", "bucket", "expected_owner")
+  }
+
+  /** put_bucket_acl_grants: the ordered grant list per request (header
+    * order / body list order). Every S3 permission class appears so the
+    * full bucket AND volume translation tables are exercised. */
+  def putBucketAclGrants(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 1, "id", "clerk1", "FULL_CONTROL", false),
+      (1L, 2, "id", "clerk2", "READ", false),
+      (2L, 1, "id", "u1", "READ", false),
+      (2L, 2, "id", "u2", "WRITE", false),
+      (2L, 3, "id", "u1", "WRITE_ACP", false),
+      (2L, 4, "id", "u3", "READ_ACP", false),
+      (4L, 1, "id", "aud1", "WRITE", false),
+      (5L, 1, "id", "aud1", "WRITE", false),
+      (6L, 1, "id", "x", "READ", true),
+      (7L, 1, "emailAddress", "y", "READ", false),
+      (8L, 1, "id", "ok", "READ", false),
+      (8L, 2, "id", "bad", "READ", true),
+      (8L, 3, "emailAddress", "z", "READ", false),
+      (9L, 1, "id", "w", "READ", true))
+      .toDF("req_id", "pos", "grantee_type", "grantee", "s3_perm",
+        "malformed")
+  }
+
+  /** bucket_acl_catalog: per-bucket Ozone ACL rows for the GetBucketAcl
+    * reverse mapping — the owner holds ALL, a world GROUP row must be
+    * SKIPPED (only USER translates), and the auditor row's rights cycle
+    * through every precedence rung including the unmappable bare READ
+    * (bucket_idx % 5 == 4) the reference silently drops. */
+  def bucketAclCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val b = buckets(spark, dir)
+      .withColumn("bidx", substring(col("bucket"), 7, 10).cast("long"))
+    val owner = b.select(col("volume"), col("bucket"),
+      concat(lit("admin"), substring(col("volume"), 4, 10)).as("name"),
+      lit("USER").as("type"), lit("ALL").as("rights"))
+    val world = b.select(col("volume"), col("bucket"),
+      lit("world").as("name"), lit("GROUP").as("type"),
+      lit("LIST,READ").as("rights"))
+    val auditor = b.select(col("volume"), col("bucket"),
+      concat(lit("auditor"), (col("bidx") % 3).cast("string")).as("name"),
+      lit("USER").as("type"),
+      when(col("bidx") % 5 === 0, lit("READ,WRITE_ACL"))
+        .when(col("bidx") % 5 === 1, lit("READ,READ_ACL"))
+        .when(col("bidx") % 5 === 2, lit("CREATE,DELETE,WRITE"))
+        .when(col("bidx") % 5 === 3, lit("LIST,READ"))
+        .otherwise(lit("READ")).as("rights"))
+    owner.unionByName(world).unionByName(auditor)
+  }
+
   /** keys_delete_requests: OMKeysDeleteRequest batches — one request per
     * (volume, bucket), req_id = vol_idx*10 + bucket_idx, keys sampled
     * object_id % 107 == 0. Per-key cls = (object_id DIV 1070) % 5:

@@ -289,6 +289,109 @@ object S3Ops {
   }
 
   /**
+   * PutBucketAcl (s3gateway BucketAclHandler.putAcl:125-207 + S3Acl
+   * .java): bucket lookup FIRST (NoSuchBucket), then the
+   * expected-bucket-owner precondition (S3Owner
+   * .verifyBucketOwnerCondition → ACCESS_DENIED), then the grants parse
+   * in header order / body list order — a malformed `k=v` part refuses
+   * INVALID_ARGUMENT (:231), a grantee type other than the canonical
+   * `id` refuses NOT_IMPLEMENTED (:236-239, emailAddress/uri
+   * unsupported) — first failing grant decides. APPLIED requests emit
+   * the full Ozone ACL translation (S3Acl
+   * .getOzoneAclOnBucketFromS3Permission / ...OnVolumeFromS3Permission):
+   * per grantee, BUCKET scope DEFAULT + ACCESS with the bucket mapping
+   * (FULL_CONTROL→ALL, WRITE_ACP→WRITE_ACL, READ_ACP→READ_ACL,
+   * WRITE→CREATE+DELETE+WRITE, READ→LIST+READ) and VOLUME scope ACCESS
+   * with the least-privilege volume mapping (:283-320).
+   *
+   * Scale shape: requests and grants are protocol-sized; the bucket and
+   * volume-owner probes broadcast — no shuffle.
+   */
+  def putBucketAcl(requests: DataFrame, grants: DataFrame,
+                   buckets: DataFrame, volumes: DataFrame): DataFrame = {
+    val bktProbe = buckets.select(col("volume"), col("bucket"),
+      lit(true).as("bkt_exists")).distinct()
+    val ownerProbe = volumes.select(col("volume"),
+      col("owner").as("vol_owner"))
+    val perGrant = grants
+      .withColumn("grant_err",
+        when(col("malformed"), lit("INVALID_ARGUMENT"))
+          .when(col("grantee_type") =!= "id", lit("NOT_IMPLEMENTED")))
+    val firstErr = perGrant.where(col("grant_err").isNotNull)
+      .groupBy("req_id")
+      .agg(min_by(col("grant_err"), col("pos")).as("first_grant_err"))
+    val decided = requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(ownerProbe), Seq("volume"), "left")
+      .join(broadcast(firstErr), Seq("req_id"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("NO_SUCH_BUCKET"))
+          .when(col("expected_owner") =!= "" &&
+            col("expected_owner") =!= col("vol_owner"),
+            lit("ACCESS_DENIED"))
+          .otherwise(coalesce(col("first_grant_err"), lit("APPLIED"))))
+    val bucketRights = when(col("s3_perm") === "FULL_CONTROL", lit("ALL"))
+      .when(col("s3_perm") === "WRITE_ACP", lit("WRITE_ACL"))
+      .when(col("s3_perm") === "READ_ACP", lit("READ_ACL"))
+      .when(col("s3_perm") === "WRITE", lit("CREATE,DELETE,WRITE"))
+      .otherwise(lit("LIST,READ"))
+    val volumeRights = when(col("s3_perm") === "FULL_CONTROL",
+      lit("READ,READ_ACL,WRITE,WRITE_ACL"))
+      .when(col("s3_perm") === "WRITE_ACP", lit("READ,READ_ACL,WRITE_ACL"))
+      .when(col("s3_perm") === "READ_ACP", lit("READ,READ_ACL"))
+      .when(col("s3_perm") === "WRITE", lit("READ,WRITE"))
+      .otherwise(lit("READ"))
+    val applied = decided.filter(col("decision") === "APPLIED")
+      .select(col("req_id"), col("volume"), col("bucket"),
+        col("decision"))
+      .join(broadcast(grants), Seq("req_id"))
+      .select(col("req_id"), col("volume"), col("bucket"),
+        col("decision"), col("pos"), col("grantee"),
+        explode(array(
+          struct(lit("BUCKET").as("target"), lit("DEFAULT").as("scope"),
+            bucketRights.as("rights")),
+          struct(lit("BUCKET").as("target"), lit("ACCESS").as("scope"),
+            bucketRights.as("rights")),
+          struct(lit("VOLUME").as("target"), lit("ACCESS").as("scope"),
+            volumeRights.as("rights")))).as("g"))
+      .select(col("req_id"), col("volume"), col("bucket"),
+        col("decision"), col("pos"), col("grantee"),
+        col("g.target"), col("g.scope"), col("g.rights"))
+    val failed = decided.filter(col("decision") =!= "APPLIED")
+      .select(col("req_id"), col("volume"), col("bucket"),
+        col("decision"), lit(0L).as("pos"), lit("").as("grantee"),
+        lit("").as("target"), lit("").as("scope"), lit("").as("rights"))
+    applied.unionByName(failed)
+      .orderBy("req_id", "pos", "grantee", "target", "scope")
+  }
+
+  /**
+   * GetBucketAcl (S3Acl.ozoneNativeAclToS3Acl:161-208): only USER acls
+   * translate (GROUP/world rows are skipped), and the S3 permission is
+   * the FIRST match of a precedence chain over the Ozone acl set:
+   * ALL → FULL_CONTROL, WRITE_ACL → WRITE_ACP, READ_ACL → READ_ACP,
+   * {WRITE,DELETE,CREATE} → WRITE, {READ,LIST} → READ — an acl set
+   * matching none (e.g. a bare READ with no LIST) emits NOTHING (the
+   * reference logs "cannot find a good mapping" and drops it).
+   */
+  def getBucketAcl(bucketAcls: DataFrame): DataFrame = {
+    def has(n: String) = array_contains(split(col("rights"), ","), n)
+    bucketAcls
+      .filter(col("type") === "USER")
+      .withColumn("permission",
+        when(has("ALL"), lit("FULL_CONTROL"))
+          .when(has("WRITE_ACL"), lit("WRITE_ACP"))
+          .when(has("READ_ACL"), lit("READ_ACP"))
+          .when(has("WRITE") && has("DELETE") && has("CREATE"),
+            lit("WRITE"))
+          .when(has("READ") && has("LIST"), lit("READ")))
+      .filter(col("permission").isNotNull)
+      .select(col("volume"), col("bucket"), col("name").as("grantee"),
+        col("permission"))
+      .orderBy("volume", "bucket", "grantee", "permission")
+  }
+
+  /**
    * DeleteBucketTagging (S3DeleteBucketTaggingRequest): the bucket twin
    * — bucket probe only, unconditional clear, untagged is a success.
    */

@@ -45,4 +45,51 @@ class S3OpsSpec extends SparkSpecBase {
       ("a/ghost", false, "DELETED"),
       ("a/k2", true, "ACCESS_DENIED")))
   }
+
+  test("putBucketAcl: probe order, first-failing grant, translations") {
+    val T = graft.core.Tables
+    val sf = "/root/testdata/sf0.001"
+    val rows = S3Ops.putBucketAcl(T.putBucketAclRequests(spark, sf),
+      T.putBucketAclGrants(spark, sf), T.buckets(spark, sf),
+      T.volumes(spark, sf)).collect()
+    val byReq = rows.groupBy(_.getLong(0))
+    def dec(r: Long) = byReq(r).head.getString(3)
+    assert(dec(3L) === "NO_SUCH_BUCKET")
+    assert(dec(4L) === "ACCESS_DENIED")  // expected-owner mismatch
+    assert(dec(5L) === "APPLIED")        // matching expected owner
+    assert(dec(6L) === "INVALID_ARGUMENT")
+    assert(dec(7L) === "NOT_IMPLEMENTED")
+    // first failing grant decides: malformed pos2 beats emailAddress pos3
+    assert(dec(8L) === "INVALID_ARGUMENT")
+    // bucket lookup precedes grant parsing: malformed grants on a
+    // missing bucket still report NO_SUCH_BUCKET
+    assert(dec(9L) === "NO_SUCH_BUCKET")
+    // an APPLIED grant explodes to exactly 3 rows (bucket DEFAULT +
+    // ACCESS, volume ACCESS) with the FULL_CONTROL translations
+    val g1 = byReq(1L).filter(_.getString(5) == "clerk1")
+      .map(r => (r.getString(6), r.getString(7), r.getString(8))).toSet
+    assert(g1 === Set(
+      ("BUCKET", "DEFAULT", "ALL"), ("BUCKET", "ACCESS", "ALL"),
+      ("VOLUME", "ACCESS", "READ,READ_ACL,WRITE,WRITE_ACL")))
+    // least-privilege volume mapping for WRITE
+    val g2 = byReq(2L).filter(r => r.getString(5) == "u2" &&
+      r.getString(6) == "VOLUME").map(_.getString(8)).toSet
+    assert(g2 === Set("READ,WRITE"))
+  }
+
+  test("getBucketAcl: precedence chain, GROUP and bare READ dropped") {
+    val acls = Seq(
+      ("v", "b", "alice", "USER", "ALL"),
+      ("v", "b", "bob", "USER", "READ,WRITE_ACL"),   // WRITE_ACP wins
+      ("v", "b", "carol", "USER", "CREATE,DELETE,WRITE"),
+      ("v", "b", "dan", "USER", "LIST,READ"),
+      ("v", "b", "eve", "USER", "READ"),             // unmappable: drop
+      ("v", "b", "world", "GROUP", "LIST,READ"))     // non-USER: drop
+      .toDF("volume", "bucket", "name", "type", "rights")
+    val got = S3Ops.getBucketAcl(acls)
+      .as[(String, String, String, String)].collect()
+      .map(r => r._3 -> r._4).toMap
+    assert(got === Map("alice" -> "FULL_CONTROL", "bob" -> "WRITE_ACP",
+      "carol" -> "WRITE", "dan" -> "READ"))
+  }
 }
