@@ -330,6 +330,12 @@ object Api {
           explode(Aggregates.dirAndAncestors("pdir")).as("path"))
         .distinct())
 
+  /** ListOpenFiles page (db-key order, strictly-greater token). */
+  def listOpenFiles(s: SparkSession, d: String, pathPrefix: String,
+                    maxKeys: Int, contToken: String = ""): DataFrame =
+    Lifecycle.listOpenFiles(T.openKeys(s, d), pathPrefix, maxKeys,
+      contToken)
+
   /** TenantRevokeAdmin decisions (assign's mirror; idempotent). */
   def revokeTenantAdmins(s: SparkSession, d: String,
                          requests: DataFrame): DataFrame =

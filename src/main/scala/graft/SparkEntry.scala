@@ -228,6 +228,10 @@ object SparkEntry {
     // Recon open-keys insight: per-bucket count, hsync split, size totals.
     "q_open_keys_insight" -> ((s, d) =>
       Lifecycle.openKeysInsight(T.openKeys(s, d))),
+    // ListOpenFiles RPC: db-key-ordered page over the open-key table
+    // (volume/bucket/key/clientId), strictly-greater token resume.
+    "q_list_open_files" -> ((s, d) =>
+      Lifecycle.listOpenFiles(T.openKeys(s, d), "vol1/bucket3/", 50)),
     "q_open_key_expiry" -> ((s, d) =>
       Lifecycle.openKeyExpiry(T.openKeys(s, d), 896659200000L)),
     "q_open_key_cleanup" -> ((s, d) =>
@@ -1391,6 +1395,25 @@ object SparkEntry {
         |FROM open_keys WHERE creation_time < 896659200000
         |GROUP BY 1, 2 ORDER BY volume, bucket""".stripMargin,
       O.objects, O.openKeys),
+
+    // ListOpenFiles mirror: db-key order, maxKeys+1 page.
+    "q_list_open_files" -> O.withCtes(
+      """SELECT db_key, volume, bucket, key, client_id, hsync,
+        |  min(data_size) AS data_size
+        |FROM (
+        |  SELECT
+        |    volume || '/' || bucket || '/' || key || '/' ||
+        |      CAST(client_id AS VARCHAR) AS db_key,
+        |    volume, bucket, key, client_id,
+        |    client_id % 3 = 0 AS hsync, data_size
+        |  FROM (
+        |    SELECT volume, bucket, key,
+        |      object_id * 7 % 100000 AS client_id, data_size
+        |    FROM objects WHERE version % 5 = 0))
+        |WHERE db_key LIKE 'vol1/bucket3/%'
+        |GROUP BY db_key, volume, bucket, key, client_id, hsync
+        |ORDER BY db_key LIMIT 51""".stripMargin,
+      O.objects),
 
     "q_open_keys_insight" -> O.withCtes(
       """SELECT volume, bucket, count(*) AS open_count,

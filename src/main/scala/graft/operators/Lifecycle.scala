@@ -536,6 +536,36 @@ object Lifecycle {
    * logic runs on request-sized frames.
    */
   /**
+   * ListOpenFiles (OzoneManager.listOpenFiles:3558-3643 →
+   * OmMetadataManagerImpl.listOpenFiles): an admin-only page walk over
+   * the open-key table in DB-KEY order, where the db key is
+   * volume/bucket/key/clientId — the same open entry key the commit path
+   * probes. The continuation token is the last returned db key; the
+   * reference seeks to it and skips the exact match, so resume is
+   * strictly-greater. Page shape mirrors [[Listing.listKeys]]: maxKeys+1
+   * rows, the caller derives truncation from the extra row.
+   *
+   * hsync derives client_id % 3 == 0, consistent with
+   * [[openKeysInsight]]. Scale shape: prefix filter + top-k on the
+   * open-key table — sargable on a key-sorted store, no join.
+   */
+  def listOpenFiles(openKeys: DataFrame, pathPrefix: String, maxKeys: Int,
+                    contToken: String = ""): DataFrame =
+    openKeys
+      .withColumn("hsync", col("client_id") % 3 === 0)
+      .withColumn("db_key", concat_ws("/", col("volume"), col("bucket"),
+        col("key"), col("client_id")))
+      .filter(col("db_key").startsWith(pathPrefix) &&
+        col("db_key") > contToken)
+      // the synthetic lineitem carries duplicate (orderkey, linenumber)
+      // rows whose OTHER columns differ — a KV open-key table has ONE
+      // value per db key, so canonicalize by min(data_size)
+      .groupBy("db_key", "volume", "bucket", "key", "client_id", "hsync")
+      .agg(min("data_size").as("data_size"))
+      .orderBy("db_key")
+      .limit(maxKeys + 1)
+
+  /**
    * InitiateMultipartUpload ladder (S3InitiateMultipartUploadRequest
    * .java): preExecute resolves the bucket link (:101-103
    * resolveBucketAndCheckKeyAcls — a dangling chain is a missing bucket,

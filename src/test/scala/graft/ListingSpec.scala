@@ -356,4 +356,29 @@ class ListingSpec extends SparkSpecBase {
     val expected = sorted.collect().count(_.getAs[String]("key").startsWith("warehouse/N/"))
     assert(q.count() === expected)
   }
+
+  test("listOpenFiles: token walk concatenates to the unpaged listing") {
+    val T = graft.core.Tables
+    val sf = "/root/testdata/sf0.001"
+    val ok = T.openKeys(spark, sf)
+    val all = graft.operators.Lifecycle
+      .listOpenFiles(ok, "vol1/", 1000000)
+      .select("db_key").as[String].collect().toSeq
+    assert(all.nonEmpty && all === all.sorted)
+    // walk in pages of 7: token = last db key of the previous page, the
+    // resume is STRICTLY greater (the reference seeks + skips the exact
+    // match), so pages concatenate with no dup and no gap
+    var token = ""
+    var walked = Seq.empty[String]
+    var done = false
+    while (!done) {
+      val page = graft.operators.Lifecycle
+        .listOpenFiles(ok, "vol1/", 7, token)
+        .select("db_key").as[String].collect().toSeq
+      val kept = page.take(7)
+      walked ++= kept
+      if (page.size <= 7) done = true else token = kept.last
+    }
+    assert(walked === all)
+  }
 }
