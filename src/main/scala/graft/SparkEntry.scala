@@ -377,6 +377,16 @@ object SparkEntry {
       Nested.prefixAclProbe(T.objectsNested(s, d), T.prefixAcls(s, d),
         "auditor2")),
     "q_acl_apply" -> ((s, d) => Nested.applyAclOps(T.aclOps(s, d))),
+    // Prefix-ACL write ladder: trailing-slash gate, STATEFUL
+    // PREFIX_NOT_FOUND (a remove that empties DELETES the entry, the
+    // next remove refuses), SET boundary.
+    "q_prefix_acl_ops" -> ((s, d) =>
+      Nested.prefixAclOpsDecisions(T.prefixAclWriteOps(s, d),
+        T.prefixAclBits(s, d))),
+    // Final prefixTable state after the op log (emptied entries gone).
+    "q_prefix_acl_fold" -> ((s, d) =>
+      Nested.prefixAclFold(T.prefixAclWriteOps(s, d),
+        T.prefixAclBits(s, d))),
     // ---- multi-tenancy catalog (SURVEY §2.11 tenant RPCs) ----
     "q_list_tenants" -> ((s, d) => Tenants.listTenants(T.tenantState(s, d))),
     "q_tenant_user_info" -> ((s, d) =>
@@ -2026,6 +2036,115 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
       O.objects, O.aclOpsCte),
+
+    // Prefix-ACL write ladder mirror: exact existence-before-op via the
+    // bit-event model (stored = seq-0 ADDs, SET = boundary).
+    "q_prefix_acl_ops" -> O.withCtes(
+      """SELECT o.seq, o.volume, o.bucket, o.prefix, o.op, o.pname,
+        |  CASE WHEN o.prefix NOT LIKE '%/'
+        |      THEN 'INVALID_PATH_IN_ACL_REQUEST'
+        |    WHEN o.op = 'REMOVE' AND p.on_bits IS NULL
+        |      THEN 'PREFIX_NOT_FOUND'
+        |    ELSE 'APPLIED' END AS decision
+        |FROM pao_ops o
+        |LEFT JOIN pon p ON o.volume = p.volume AND o.bucket = p.bucket
+        |  AND o.prefix = p.prefix AND o.seq = p.k
+        |ORDER BY o.volume, o.bucket, o.prefix, o.seq""".stripMargin,
+      O.objects, O.buckets,
+      """pao_ops(seq, volume, bucket, prefix, op, pname, bits) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 'warehouse/', 'REMOVE', 'auditor2', 2),
+        |  (2, 'vol0', 'bucket0', 'warehouse/', 'REMOVE', 'auditor2', 1),
+        |  (3, 'vol0', 'bucket0', 'warehouse/', 'ADD', 'alice', 3),
+        |  (4, 'vol0', 'bucket0', 'warehouse/', 'REMOVE', 'alice', 1),
+        |  (5, 'vol0', 'bucket0', 'staging/', 'REMOVE', 'bob', 1),
+        |  (6, 'vol0', 'bucket0', 'staging/', 'ADD', 'bob', 7),
+        |  (7, 'vol0', 'bucket0', 'staging/', 'SET', 'carol', 1),
+        |  (8, 'vol0', 'bucket0', 'staging/', 'REMOVE', 'bob', 4),
+        |  (9, 'vol0', 'bucket1', 'no-slash', 'ADD', 'dave', 1),
+        |  (10, 'vol0', 'bucket1', 'warehouse/A/', 'REMOVE', 'auditor2',
+        |    1))""".stripMargin,
+      """stored_bits AS (
+        |  SELECT volume, bucket, 'warehouse/' AS prefix,
+        |    'auditor2' AS name, 2 AS bits FROM buckets
+        |  UNION ALL
+        |  SELECT volume, bucket, 'warehouse/A/', 'auditor2', 1
+        |  FROM buckets)""".stripMargin,
+      """pev AS (
+        |  SELECT e.volume, e.bucket, e.prefix, e.seq, e.op, e.pname,
+        |    t.b AS bit
+        |  FROM (
+        |    SELECT seq, volume, bucket, prefix, op, pname, bits
+        |    FROM pao_ops WHERE prefix LIKE '%/'
+        |    UNION ALL
+        |    SELECT 0, volume, bucket, prefix, 'ADD', name, bits
+        |    FROM stored_bits) e
+        |  CROSS JOIN range(0, 8) t(b)
+        |  WHERE ((e.bits >> t.b) & 1) = 1)""".stripMargin,
+      """pbound AS (
+        |  SELECT o.volume, o.bucket, o.prefix, o.seq AS k,
+        |    coalesce(max(s.seq) FILTER (WHERE s.seq < o.seq), 0)
+        |      AS boundary
+        |  FROM pao_ops o
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket, prefix, seq
+        |             FROM pev WHERE op = 'SET') s
+        |    ON o.volume = s.volume AND o.bucket = s.bucket
+        |      AND o.prefix = s.prefix
+        |  GROUP BY 1, 2, 3, 4)""".stripMargin,
+      """pon AS (
+        |  SELECT volume, bucket, prefix, k, count(*) AS on_bits
+        |  FROM (
+        |    SELECT b.volume, b.bucket, b.prefix, b.k, e.pname, e.bit,
+        |      arg_max(e.op, e.seq) AS last_op
+        |    FROM pbound b
+        |    JOIN pev e ON b.volume = e.volume AND b.bucket = e.bucket
+        |      AND b.prefix = e.prefix
+        |    WHERE e.seq < b.k AND e.seq >= b.boundary
+        |    GROUP BY 1, 2, 3, 4, 5, 6)
+        |  WHERE last_op <> 'REMOVE'
+        |  GROUP BY 1, 2, 3, 4)""".stripMargin),
+
+    // Final prefixTable state mirror: the applyAclOps bit fold, emptied
+    // entries dropped.
+    "q_prefix_acl_fold" -> O.withCtes(
+      """SELECT volume, bucket, prefix, pname,
+        |  CAST(sum(1 << bit) AS BIGINT) AS rights_mask
+        |FROM (
+        |  SELECT e.volume, e.bucket, e.prefix, e.pname, t.b AS bit,
+        |    arg_max(e.op, e.seq) AS last_op
+        |  FROM pf_events e
+        |  LEFT JOIN (SELECT volume, bucket, prefix, max(seq) AS set_seq
+        |             FROM pf_events WHERE op = 'SET' GROUP BY 1, 2, 3) s
+        |    ON e.volume = s.volume AND e.bucket = s.bucket
+        |      AND e.prefix = s.prefix
+        |  CROSS JOIN range(0, 8) t(b)
+        |  WHERE e.seq >= coalesce(s.set_seq, 0)
+        |    AND ((e.bits >> t.b) & 1) = 1
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |WHERE last_op <> 'REMOVE'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+      O.objects, O.buckets,
+      """pao_ops(seq, volume, bucket, prefix, op, pname, bits) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 'warehouse/', 'REMOVE', 'auditor2', 2),
+        |  (2, 'vol0', 'bucket0', 'warehouse/', 'REMOVE', 'auditor2', 1),
+        |  (3, 'vol0', 'bucket0', 'warehouse/', 'ADD', 'alice', 3),
+        |  (4, 'vol0', 'bucket0', 'warehouse/', 'REMOVE', 'alice', 1),
+        |  (5, 'vol0', 'bucket0', 'staging/', 'REMOVE', 'bob', 1),
+        |  (6, 'vol0', 'bucket0', 'staging/', 'ADD', 'bob', 7),
+        |  (7, 'vol0', 'bucket0', 'staging/', 'SET', 'carol', 1),
+        |  (8, 'vol0', 'bucket0', 'staging/', 'REMOVE', 'bob', 4),
+        |  (9, 'vol0', 'bucket1', 'no-slash', 'ADD', 'dave', 1),
+        |  (10, 'vol0', 'bucket1', 'warehouse/A/', 'REMOVE', 'auditor2',
+        |    1))""".stripMargin,
+      """pf_events AS (
+        |  SELECT seq, volume, bucket, prefix, op, pname, bits
+        |  FROM pao_ops WHERE prefix LIKE '%/'
+        |  UNION ALL
+        |  SELECT 0, volume, bucket, 'warehouse/', 'ADD', 'auditor2', 2
+        |  FROM buckets
+        |  UNION ALL
+        |  SELECT 0, volume, bucket, 'warehouse/A/', 'ADD', 'auditor2', 1
+        |  FROM buckets)""".stripMargin),
 
     "q_prefix_acl" -> O.withCtes(
       """SELECT volume, bucket, key, 'auditor2' AS principal,

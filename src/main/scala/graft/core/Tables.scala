@@ -801,6 +801,38 @@ object Tables {
         (col("req_id") % 9 === 1).as("open_lease_recovery"),
         (col("req_id") % 2 === 0).as("committed_has_hsync_writer"))
 
+  /** prefix_acls with numeric right-bits (r=1, w=2, x=4) — the stored
+    * prefixTable state the write fold starts from. */
+  def prefixAclBits(spark: SparkSession, dir: String): DataFrame =
+    prefixAcls(spark, dir)
+      .withColumn("bits",
+        when(col("rights").contains("r"), 1L).otherwise(0L) +
+          when(col("rights").contains("w"), 2L).otherwise(0L) +
+          when(col("rights").contains("x"), 4L).otherwise(0L))
+
+  /** prefix_acl_write_ops: the OMPrefixAddAcl/SetAcl/RemoveAcl op log —
+    * remove-empties-then-remove (the second refuses PREFIX_NOT_FOUND:
+    * the emptied entry was DELETED), recreate-after-empty, SET boundary
+    * voiding an earlier ADD, remove of a voided principal on a live
+    * entry (APPLIED — the entry exists through another principal),
+    * remove on a never-created prefix, and the trailing-slash
+    * validation. Seqs are globally unique; stored entries are seq 0. */
+  def prefixAclWriteOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "warehouse/", "REMOVE", "auditor2", 2L),
+      (2L, "vol0", "bucket0", "warehouse/", "REMOVE", "auditor2", 1L),
+      (3L, "vol0", "bucket0", "warehouse/", "ADD", "alice", 3L),
+      (4L, "vol0", "bucket0", "warehouse/", "REMOVE", "alice", 1L),
+      (5L, "vol0", "bucket0", "staging/", "REMOVE", "bob", 1L),
+      (6L, "vol0", "bucket0", "staging/", "ADD", "bob", 7L),
+      (7L, "vol0", "bucket0", "staging/", "SET", "carol", 1L),
+      (8L, "vol0", "bucket0", "staging/", "REMOVE", "bob", 4L),
+      (9L, "vol0", "bucket1", "no-slash", "ADD", "dave", 1L),
+      (10L, "vol0", "bucket1", "warehouse/A/", "REMOVE", "auditor2", 1L))
+      .toDF("seq", "volume", "bucket", "prefix", "op", "pname", "bits")
+  }
+
   /** put_bucket_acl_requests: s3gateway PutBucketAcl branches — body
     * grants, multi-user header grants, missing bucket (checked BEFORE
     * grant parsing — probed by req 9's malformed grants), expected-owner

@@ -140,6 +140,88 @@ object Nested {
       .orderBy("volume", "bucket", "key", "ptype", "pname", "scope")
   }
 
+  /**
+   * Prefix-ACL write ladder (OMPrefixAclRequest.validateAndUpdateCache
+   * :54-123 + PrefixManagerImpl.validateOzoneObj:207-230): the prefix
+   * path must end with '/' → INVALID_PATH_IN_ACL_REQUEST (:227-229,
+   * thrown before any table work); AddAcl/SetAcl create the prefixTable
+   * entry if absent; RemoveAcl on an ABSENT entry → PREFIX_NOT_FOUND
+   * (:110-113) — and "absent" is STATEFUL: a remove that empties the
+   * acl list DELETES the entry (:116-121), so a later remove on the same
+   * prefix refuses. SetAcl replaces the entry's whole list (the
+   * boundary voids every earlier grant on the prefix).
+   *
+   * Existence before op k is computed exactly: events = stored entries
+   * (seq 0) ∪ valid ops, exploded per right-bit; an entry exists iff
+   * some (principal, bit) whose latest event in [lastSET, k) is a grant.
+   *
+   * Scale shape: ops and the prefix table are control-plane-sized; the
+   * op×event join is within-prefix over a protocol-sized batch.
+   */
+  def prefixAclOpsDecisions(ops: DataFrame,
+                            storedBits: DataFrame): DataFrame = {
+    val pCols = Seq("volume", "bucket", "prefix")
+    val valid = ops.filter(col("prefix").endsWith("/"))
+    val events = valid
+      .select(col("volume"), col("bucket"), col("prefix"), col("seq"),
+        col("op"), col("pname"), col("bits"))
+      .unionByName(storedBits
+        .select(col("volume"), col("bucket"), col("prefix"),
+          lit(0L).as("seq"), lit("ADD").as("op"), col("name").as("pname"),
+          col("bits")))
+      .withColumn("bit", explode(expr(
+        "filter(sequence(0, 7), b -> (shiftright(bits, b) % 2) = 1)")))
+    val opsK = ops.select(pCols.map(col) :+ col("seq").as("k"): _*)
+    val bounds = opsK
+      .join(events.filter(col("op") === "SET")
+        .select(pCols.map(col) :+ col("seq").as("set_seq"): _*).distinct(),
+        pCols, "left")
+      .filter(col("set_seq") < col("k"))
+      .groupBy(pCols.map(col) :+ col("k"): _*)
+      .agg(max("set_seq").as("boundary"))
+    val onBits = opsK
+      .join(broadcast(bounds), pCols :+ "k", "left")
+      .withColumn("boundary", coalesce(col("boundary"), lit(0L)))
+      .join(events, pCols)
+      .filter(col("seq") < col("k") && col("seq") >= col("boundary"))
+      .groupBy(col("volume"), col("bucket"), col("prefix"), col("k"),
+        col("pname"), col("bit"))
+      .agg(max_by(col("op"), col("seq")).as("last_op"))
+      .filter(col("last_op") =!= "REMOVE")
+      .groupBy(pCols.map(col) :+ col("k"): _*)
+      .agg(count(lit(1)).as("on_bits"))
+    ops
+      .join(broadcast(onBits.withColumnRenamed("k", "seq")),
+        pCols :+ "seq", "left")
+      .select(col("seq"), col("volume"), col("bucket"), col("prefix"),
+        col("op"), col("pname"),
+        when(!col("prefix").endsWith("/"),
+          lit("INVALID_PATH_IN_ACL_REQUEST"))
+          .when(col("op") === "REMOVE" && col("on_bits").isNull,
+            lit("PREFIX_NOT_FOUND"))
+          .otherwise(lit("APPLIED")).as("decision"))
+      .orderBy("volume", "bucket", "prefix", "seq")
+  }
+
+  /** Final prefix-ACL state after the op log: the [[applyAclOps]] bit
+    * fold over stored (seq 0) + valid ops; entries whose mask empties
+    * disappear (the reference deletes them from prefixTable). */
+  def prefixAclFold(ops: DataFrame, storedBits: DataFrame): DataFrame = {
+    val events = ops.filter(col("prefix").endsWith("/"))
+      .select(col("volume"), col("bucket"), col("prefix").as("key"),
+        col("seq"), col("op"), lit("USER").as("ptype"),
+        col("pname"), lit("ACCESS").as("scope"), col("bits"))
+      .unionByName(storedBits
+        .select(col("volume"), col("bucket"), col("prefix").as("key"),
+          lit(0L).as("seq"), lit("ADD").as("op"), lit("USER").as("ptype"),
+          col("name").as("pname"), lit("ACCESS").as("scope"),
+          col("bits")))
+    applyAclOps(events)
+      .select(col("volume"), col("bucket"), col("key").as("prefix"),
+        col("pname"), col("rights_mask"))
+      .orderBy("volume", "bucket", "prefix", "pname")
+  }
+
   /** Explode the per-key block location list — one row per block with its
     * byte range (the lookupKey → block-list resolution of the reference). */
   def locationsExplode(objectsNested: DataFrame): DataFrame =

@@ -618,6 +618,39 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(dbt.exists { case (d, t) => d == "DELETED" && !t })
   }
 
+  test("prefixAclOps: stateful PREFIX_NOT_FOUND + empty-entry deletion") {
+    val got = graft.operators.Nested.prefixAclOpsDecisions(
+      T.prefixAclWriteOps(spark, sf), T.prefixAclBits(spark, sf))
+      .select("seq", "decision").as[(Long, String)].collect().toMap
+    assert(got(1L) === "APPLIED")          // stored entry exists
+    // op 1 emptied warehouse/ — the entry was DELETED, so the next
+    // remove refuses (the reference's prefixInfo == null branch)
+    assert(got(2L) === "PREFIX_NOT_FOUND")
+    assert(got(3L) === "APPLIED")          // ADD recreates the entry
+    assert(got(4L) === "APPLIED")
+    assert(got(5L) === "PREFIX_NOT_FOUND") // never-created prefix
+    assert(got(6L) === "APPLIED")
+    assert(got(7L) === "APPLIED")          // SET boundary
+    // bob was voided by the SET, but the entry LIVES through carol —
+    // remove of an absent principal on a live entry is not an error
+    assert(got(8L) === "APPLIED")
+    assert(got(9L) === "INVALID_PATH_IN_ACL_REQUEST")
+    assert(got(10L) === "APPLIED")
+    // final state: alice keeps w on warehouse/, carol's SET owns
+    // staging/, bucket1's warehouse/A/ emptied away
+    val fold = graft.operators.Nested.prefixAclFold(
+      T.prefixAclWriteOps(spark, sf), T.prefixAclBits(spark, sf))
+      .filter(col("volume") === "vol0" &&
+        col("bucket").isin("bucket0", "bucket1"))
+      .select("bucket", "prefix", "pname", "rights_mask")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(fold === Set(
+      ("bucket0", "warehouse/", "alice", 2L),
+      ("bucket0", "staging/", "carol", 1L),
+      ("bucket0", "warehouse/A/", "auditor2", 1L),
+      ("bucket1", "warehouse/", "auditor2", 2L)))
+  }
+
   test("revokeAdminDecisions: assign's rungs; idempotent on non-admins") {
     val got = Tenants.revokeAdminDecisions(
       T.revokeAdminRequests(spark, sf), T.tenantState(spark, sf),
