@@ -232,6 +232,10 @@ object SparkEntry {
     // (volume/bucket/key/clientId), strictly-greater token resume.
     "q_list_open_files" -> ((s, d) =>
       Lifecycle.listOpenFiles(T.openKeys(s, d), "vol1/bucket3/", 50)),
+    // Recon deleted-keys insight: per-bucket pending-delete version
+    // count + unreplicated/replicated byte totals.
+    "q_deleted_keys_insight" -> ((s, d) =>
+      Lifecycle.deletedKeysInsight(T.objects(s, d))),
     "q_open_key_expiry" -> ((s, d) =>
       Lifecycle.openKeyExpiry(T.openKeys(s, d), 896659200000L)),
     "q_open_key_cleanup" -> ((s, d) =>
@@ -270,6 +274,13 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(T.documents(s, d).select("doc_id"),
         verifiedPairsCached(s, d))),
+    // keep/drop per duplicate cluster: winner = highest quality, ties →
+    // min doc_id; DROPs carry kept_doc_id for provenance
+    "q_dedup_keep" -> ((s, d) =>
+      Dedup.keepOneSelection(
+        Dedup.dupClusters(T.documents(s, d).select("doc_id"),
+          verifiedPairsCached(s, d)),
+        TextAnalysis.qualityScore(T.documents(s, d)))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
     // SQ8 serving prep: per-vector affine code params + error bound
     "q_embed_quantize" -> ((s, d) =>
@@ -1406,6 +1417,17 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY volume, bucket""".stripMargin,
       O.objects, O.openKeys),
 
+    // Deleted-keys insight mirror: the log's DELETE branch per bucket.
+    "q_deleted_keys_insight" -> O.withCtes(
+      """SELECT volume, bucket, count(*) AS deleted_count,
+        |  CAST(sum(data_size) AS BIGINT) AS unreplicated_bytes,
+        |  CAST(sum(replicated_size) AS BIGINT) AS replicated_bytes
+        |FROM objects
+        |WHERE version IN (4, 5) AND (object_id // 10) % 10 = 0
+        |GROUP BY volume, bucket
+        |ORDER BY volume, bucket""".stripMargin,
+      O.objects),
+
     // ListOpenFiles mirror: db-key order, maxKeys+1 page.
     "q_list_open_files" -> O.withCtes(
       """SELECT db_key, volume, bucket, key, client_id, hsync,
@@ -1578,30 +1600,22 @@ object SparkEntry {
 
     // connected components via a recursive closure: every doc reachable
     // over verified pairs shares min(doc_id) as its cluster id
-    "q_dedup_clusters" -> O.withCtesRecursive(
-      """SELECT a.doc_id, a.cluster_id, c.cluster_size
-        |FROM asg a JOIN (SELECT cluster_id, count(*) AS cluster_size
-        |                 FROM asg GROUP BY 1) c USING (cluster_id)
-        |ORDER BY a.doc_id""".stripMargin,
-      (Seq(O.docWords, O.shingle2, O.shingleHash, O.minhashSigs,
-        O.minhashBandsCte, candCte, bgCte, szCte, interCte) ++ Seq(
-        """jpairs AS (
-          |  SELECT doc_a, doc_b FROM inter
-          |  JOIN (SELECT doc_id, n AS na FROM sz) sa ON doc_a = sa.doc_id
-          |  JOIN (SELECT doc_id, n AS nb FROM sz) sb ON doc_b = sb.doc_id
-          |  WHERE inter_count * 1000 // (na + nb - inter_count) >= 100
-          |)""".stripMargin,
-        """edges AS (
-          |  SELECT doc_a AS u, doc_b AS v FROM jpairs
-          |  UNION ALL
-          |  SELECT doc_b, doc_a FROM jpairs
-          |)""".stripMargin,
-        """reach(doc_id, lab) AS (
-          |  SELECT doc_id, doc_id FROM documents
-          |  UNION
-          |  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.doc_id
-          |)""".stripMargin,
-        "asg AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)")): _*),
+    "q_dedup_clusters" -> dedupClustersOracle,
+
+    // Keep-one selection: winner per cluster by quality (ties → min
+    // doc_id), nesting the clusters + quality oracles verbatim.
+    "q_dedup_keep" ->
+      ("WITH clus_t AS (\n" + dedupClustersOracle +
+        "\n), qual_t AS (\n" + qualityScoreOracle + "\n)\n" +
+        """SELECT doc_id, cluster_id, cluster_size, kept_doc_id,
+          |  CASE WHEN doc_id = kept_doc_id THEN 'KEEP'
+          |       ELSE 'DROP' END AS decision
+          |FROM (
+          |  SELECT c.doc_id, c.cluster_id, c.cluster_size,
+          |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+          |      ORDER BY q.quality_x1000 DESC, c.doc_id) AS kept_doc_id
+          |  FROM clus_t c JOIN qual_t q USING (doc_id))
+          |ORDER BY doc_id""".stripMargin),
 
     "q_embed_clusters" -> O.withCtesRecursive(
       """SELECT a.vec_id, a.cluster_id, c.cluster_size
@@ -5382,6 +5396,31 @@ object SparkEntry {
 
   /** Lang-ID oracle generated from the same marker constants as the Spark
     * implementation (TextAnalysis.LangMarkers) so they cannot drift. */
+  private def dedupClustersOracle: String = O.withCtesRecursive(
+    """SELECT a.doc_id, a.cluster_id, c.cluster_size
+      |FROM asg a JOIN (SELECT cluster_id, count(*) AS cluster_size
+      |                 FROM asg GROUP BY 1) c USING (cluster_id)
+      |ORDER BY a.doc_id""".stripMargin,
+    (Seq(O.docWords, O.shingle2, O.shingleHash, O.minhashSigs,
+      O.minhashBandsCte, candCte, bgCte, szCte, interCte) ++ Seq(
+      """jpairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN (SELECT doc_id, n AS na FROM sz) sa ON doc_a = sa.doc_id
+        |  JOIN (SELECT doc_id, n AS nb FROM sz) sb ON doc_b = sb.doc_id
+        |  WHERE inter_count * 1000 // (na + nb - inter_count) >= 100
+        |)""".stripMargin,
+      """edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM jpairs
+        |)""".stripMargin,
+      """reach(doc_id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.doc_id
+        |)""".stripMargin,
+      "asg AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1)")): _*)
+
   private def qualityScoreOracle: String = O.withCtes(
     s"""SELECT doc_id, n_tokens, n_stop, n_uniq, stop_x1000, uniq_x1000,
        |  least(n_tokens, 100) * 10 + (1000 - stop_x1000) // 2

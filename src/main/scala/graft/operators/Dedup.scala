@@ -279,6 +279,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /**
+   * Canonical-document selection per duplicate cluster — the keep/drop
+   * decision a dedup pipeline feeds the training mix: each cluster KEEPs
+   * its highest-quality member (quality_x1000, ties → smallest doc_id,
+   * so the choice is deterministic under any execution order); every
+   * other member DROPs, carrying kept_doc_id for provenance.
+   *
+   * Scale shape: one equi-join on doc_id + a map-side-combinable winner
+   * aggregate on cluster_id (max_by over a (quality, -doc_id) struct) —
+   * no window over the corpus, singleton clusters keep themselves for
+   * free.
+   */
+  def keepOneSelection(clusters: DataFrame,
+                       quality: DataFrame): DataFrame = {
+    val scored = clusters
+      .join(quality.select("doc_id", "quality_x1000"), "doc_id")
+    val winners = scored.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_x1000"), -col("doc_id"))).as("kept_doc_id"))
+    scored
+      .join(winners, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("kept_doc_id"),
+        when(col("doc_id") === col("kept_doc_id"), lit("KEEP"))
+          .otherwise(lit("DROP")).as("decision"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-document selection — the dedup pipeline's final decision:
     * within each duplicate cluster keep exactly the highest-quality member
     * (doc_id tiebreak), drop the rest. One window partitioned by

@@ -253,4 +253,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val top = rows(Similarity.annTopK(e, numQueries = 1, k = 1))
     assert(top.head(0) === 0L && top.head(1) === 5L) // query 0's best = its twin
   }
+
+  test("keepOneSelection: quality winner, min-id tie-break, provenance") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), // cluster of 3
+      (4L, 4L, 2L), (5L, 4L, 2L),               // quality tie → min id
+      (9L, 9L, 1L))                             // singleton keeps itself
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    val quality = Seq(
+      (1L, 100L), (2L, 900L), (3L, 500L),
+      (4L, 700L), (5L, 700L), (9L, 1L))
+      .toDF("doc_id", "quality_x1000")
+    val got = graft.operators.Dedup.keepOneSelection(clusters, quality)
+      .select("doc_id", "kept_doc_id", "decision")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, "DROP"), (2L, 2L, "KEEP"), (3L, 2L, "DROP"),
+      (4L, 4L, "KEEP"), (5L, 4L, "DROP"),
+      (9L, 9L, "KEEP")))
+  }
 }
