@@ -625,6 +625,12 @@ object SparkEntry {
       CommitLog.snapshotDeleteDecisions(T.snapshotDeleteRequests(s, d),
         T.buckets(s, d), T.bucketLinks(s, d), T.volumes(s, d),
         T.snapshotCatalogLive(s, d))),
+    // SnapshotPurge chain relink: adjacent purges splice transitively
+    // (survivor's prev = nearest non-purged ancestor in BOTH chains);
+    // the unknown target 'ghost' is a WARN no-op.
+    "q_snapshot_purge" -> ((s, d) =>
+      CommitLog.snapshotPurgeRelink(T.snapshotChainGlobal(s, d),
+        Seq("s2", "snap-gone", "ghost"))),
     // SetSnapshotProperty ladder: in-batch dup beats missing-key; deleted
     // snapshots still accept property writes.
     "q_snapshot_set_property" -> ((s, d) =>
@@ -4692,6 +4698,29 @@ object SparkEntry {
         |  (3, 'vol0', 'no-such', 'clerk1'),
         |  (4, 'vol2', 'bucket5', 'admin2'),
         |  (5, 'vol1', 'bucket3', 'bob'))""".stripMargin),
+
+    // SnapshotPurge relink mirror: survivor windows over both chains.
+    "q_snapshot_purge" -> O.withCtes(
+      """SELECT name, volume, bucket, global_idx, status,
+        |  new_global_prev, new_path_prev
+        |FROM (
+        |  SELECT name, volume, bucket, global_idx,
+        |    'RETAINED' AS status,
+        |    coalesce(lag(name) OVER (ORDER BY global_idx), '')
+        |      AS new_global_prev,
+        |    coalesce(lag(name) OVER (PARTITION BY volume, bucket
+        |      ORDER BY global_idx), '') AS new_path_prev
+        |  FROM sp_chain WHERE name NOT IN ('s2', 'snap-gone', 'ghost')
+        |  UNION ALL
+        |  SELECT name, volume, bucket, global_idx, 'PURGED', '', ''
+        |  FROM sp_chain WHERE name IN ('s2', 'snap-gone', 'ghost'))
+        |ORDER BY global_idx""".stripMargin,
+      """sp_chain(global_idx, name, volume, bucket) AS (VALUES
+        |  (1, 's1', 'vol0', 'bucket0'),
+        |  (2, 's2', 'vol0', 'bucket0'),
+        |  (3, 'snap-gone', 'vol0', 'bucket0'),
+        |  (4, 'snap-golden', 'vol2', 'bucket5'),
+        |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin),
 
     // SetSnapshotProperty ladder mirror: dup window beats existence.
     "q_snapshot_set_property" -> O.withCtes(

@@ -1225,6 +1225,20 @@ object Tables {
       .toDF("req_id", "tenant_id", "access_id", "delegated")
   }
 
+  /** snapshot_chain_global: the snapshot catalog with a GLOBAL creation
+    * order (chain index) — both chains (global, per-bucket path) derive
+    * from it; the purge ladder splices entries out of both. */
+  def snapshotChainGlobal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "s1", "vol0", "bucket0"),
+      (2L, "s2", "vol0", "bucket0"),
+      (3L, "snap-gone", "vol0", "bucket0"),
+      (4L, "snap-golden", "vol2", "bucket5"),
+      (5L, "snap-live", "vol0", "bucket0"))
+      .toDF("global_idx", "name", "volume", "bucket")
+  }
+
   /** revoke_admin_requests: OMTenantRevokeAdminRequest branches — the
     * assign mirror: a real admin revoked (was_admin=true), a non-admin
     * revoked (idempotent, was_admin=false), tenant inferred through the

@@ -673,6 +673,43 @@ object CommitLog {
       .orderBy("req_id")
   }
 
+  /**
+   * SnapshotPurge chain relink (OMSnapshotPurgeRequest:97-140 +
+   * SnapshotChainManager.deleteSnapshot:375-379): purging a snapshot
+   * splices it out of BOTH chains — the next global snapshot inherits
+   * the purged one's globalPreviousSnapshotId (:240) and the next
+   * path-chain (bucket) snapshot inherits its pathPreviousSnapshotId
+   * (:230). Purges apply IN SEQUENCE inside one batch (:66-68), so
+   * purging adjacent snapshots relinks TRANSITIVELY: the survivor's new
+   * previous is its nearest non-purged ancestor — which in chain order
+   * is simply the previous surviving element. A purge naming an unknown
+   * / already-purged snapshot is a WARN no-op (:109-111), changing
+   * nothing.
+   *
+   * Scale shape: the snapshot chain is control-plane-sized (one row per
+   * snapshot); the survivor windows run on that tiny frame.
+   */
+  def snapshotPurgeRelink(chain: DataFrame,
+                          purgeNames: Seq[String]): DataFrame = {
+    val marked = chain.withColumn("purged",
+      col("name").isin(purgeNames: _*))
+    val wG = Window.partitionBy(lit(0)).orderBy("global_idx")
+    val wP = Window.partitionBy("volume", "bucket").orderBy("global_idx")
+    val survivors = marked.filter(!col("purged"))
+      .withColumn("new_global_prev",
+        coalesce(lag("name", 1).over(wG), lit("")))
+      .withColumn("new_path_prev",
+        coalesce(lag("name", 1).over(wP), lit("")))
+      .select(col("name"), col("volume"), col("bucket"),
+        col("global_idx"), lit("RETAINED").as("status"),
+        col("new_global_prev"), col("new_path_prev"))
+    val purged = marked.filter(col("purged"))
+      .select(col("name"), col("volume"), col("bucket"),
+        col("global_idx"), lit("PURGED").as("status"),
+        lit("").as("new_global_prev"), lit("").as("new_path_prev"))
+    survivors.unionByName(purged).orderBy("global_idx")
+  }
+
   /** deletedTable view (ref OMDBDefinition deletedTable, RepeatedOmKeyInfo:
     * a key can accumulate SEVERAL deleted versions): every key with DELETE
     * events in the log, with version count + reclaimable bytes. */

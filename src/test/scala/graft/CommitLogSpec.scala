@@ -165,4 +165,26 @@ class CommitLogSpec extends SparkSpecBase {
     assert(got(("b1", "ghost")) === "KEY_NOT_FOUND")
     assert(got(("nob", "a/f1.dat")) === "BUCKET_NOT_FOUND")
   }
+
+  test("snapshotPurgeRelink: transitive splice, both chains, no-op ghost") {
+    import spark.implicits._
+    val chain = graft.core.Tables.snapshotChainGlobal(
+      spark, "/root/testdata/sf0.001")
+    val got = graft.operators.CommitLog
+      .snapshotPurgeRelink(chain, Seq("s2", "snap-gone", "ghost"))
+      .select("name", "status", "new_global_prev", "new_path_prev")
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // purging the ADJACENT s2 + snap-gone relinks snap-live all the way
+    // back to s1 in the path chain (transitive splice)
+    assert(got("snap-live") === (("RETAINED", "snap-golden", "s1")))
+    // the global chain skips the purged pair too: snap-golden's global
+    // prev falls back to s1
+    assert(got("snap-golden") === (("RETAINED", "s1", "")))
+    assert(got("s1") === (("RETAINED", "", "")))
+    assert(got("s2")._1 === "PURGED")
+    assert(got("snap-gone")._1 === "PURGED")
+    // 'ghost' names nothing — a WARN no-op, absent from the output
+    assert(!got.contains("ghost") && got.size === 5)
+  }
 }
