@@ -772,6 +772,11 @@ object SparkEntry {
     "q_decommission" -> ((s, d) =>
       ClusterHealth.decommissionReadiness(T.replicas(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    // ReplicationManager queue: dead replicas gone, out-of-service
+    // copies weigh a fixed 5 so real under-replication drains first.
+    "q_replication_queue" -> ((s, d) =>
+      ClusterHealth.replicationQueue(T.replicas(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
     // rack-aware placement picks for under-replicated containers
     "q_replica_placement" -> ((s, d) =>
       ClusterHealth.replicaPlacement(T.replicas(s, d),
@@ -4912,6 +4917,46 @@ object SparkEntry {
         |        r.remaining DESC, r.uuid) AS rn2
         |  FROM ranked r JOIN pick1 p ON r.container_id = p.container_id
         |  WHERE r.needed >= 2 AND r.uuid <> p.uuid)""".stripMargin),
+
+    // ReplicationManager queue mirror: dead excluded, OOS weight 5,
+    // (weighted, container_id) priority order.
+    "q_replication_queue" -> O.withCtes(
+      """SELECT row_number() OVER (
+        |    ORDER BY weighted_redundancy, container_id) AS queue_pos,
+        |  container_id, replication_factor, available, out_of_service,
+        |  remaining_redundancy, due_to_out_of_service,
+        |  weighted_redundancy
+        |FROM (
+        |  SELECT c.container_id, c.replication_factor,
+        |    coalesce(n.available, 0) AS available,
+        |    coalesce(n.out_of_service, 0) AS out_of_service,
+        |    greatest(coalesce(n.available, 0)
+        |      + coalesce(n.out_of_service, 0) - 1, 0)
+        |      AS remaining_redundancy,
+        |    coalesce(n.available, 0) + coalesce(n.out_of_service, 0)
+        |      >= c.replication_factor AS due_to_out_of_service,
+        |    CASE WHEN coalesce(n.available, 0)
+        |        + coalesce(n.out_of_service, 0) >= c.replication_factor
+        |      THEN 5
+        |      ELSE greatest(coalesce(n.available, 0)
+        |        + coalesce(n.out_of_service, 0) - 1, 0) END
+        |      AS weighted_redundancy
+        |  FROM containers_scm c
+        |  LEFT JOIN (
+        |    SELECT r.container_id,
+        |      sum(CASE WHEN d.op_state = 'IN_SERVICE' THEN 1 ELSE 0 END)
+        |        AS available,
+        |      sum(CASE WHEN d.op_state <> 'IN_SERVICE' THEN 1 ELSE 0 END)
+        |        AS out_of_service
+        |    FROM replicas r
+        |    JOIN datanodes d ON r.datanode = d.uuid
+        |    WHERE d.state <> 'DEAD' AND r.replica_state = 'CLOSED'
+        |    GROUP BY 1) n USING (container_id)
+        |  WHERE c.state <> 'DELETED')
+        |WHERE available < replication_factor
+        |  AND available + out_of_service > 0
+        |ORDER BY queue_pos""".stripMargin,
+      O.containersScm, O.replicas, O.datanodes),
 
     "q_decommission" -> O.withCtes(
       """SELECT l.datanode AS uuid, l.op_state,

@@ -681,4 +681,62 @@ object ClusterHealth {
     v.crossJoin(b).crossJoin(k).crossJoin(c).crossJoin(m).crossJoin(p)
       .crossJoin(d).crossJoin(dd)
   }
+
+  /**
+   * ReplicationManager under-replication queue (ReplicationQueue.java
+   * :38-43 PriorityQueue ordering + ContainerHealthResult
+   * .getWeightedRedundancy:148-156 + RatisContainerReplicaCount
+   * .getRemainingRedundancy:641-646): a DEAD node's replicas are gone
+   * (DeadNodeHandler removes them); CLOSED replicas on live IN_SERVICE
+   * nodes are `available`, on DECOMMISSIONING / IN_MAINTENANCE nodes
+   * `out_of_service`. A container queues when available < factor and
+   * some copy survives somewhere; `due_to_out_of_service` when the
+   * out-of-service copies would make it whole — those weigh a fixed
+   * OUT_OF_SERVICE_REDUNDANCY = 5 (:94) so real under-replication always
+   * drains first. remaining_redundancy = max(0, available+oos-1); the
+   * fresh-build queue orders by (weighted, container_id) — requeueCount
+   * is 0 for every entry, so the id tie-break is the deterministic stand
+   * -in for arrival order.
+   *
+   * Scale shape: one broadcast of the 20-node catalog into the replica
+   * scan, one count agg per container; the queue window runs on the
+   * under-replicated survivors only (control-plane-sized).
+   */
+  def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
+                       containersScm: DataFrame): DataFrame = {
+    val dn = datanodes.select(col("uuid").as("datanode"), col("state"),
+      col("op_state"))
+    val counts = replicas
+      .join(broadcast(dn), Seq("datanode"))
+      .filter(col("state") =!= "DEAD" && col("replica_state") === "CLOSED")
+      .groupBy("container_id")
+      .agg(
+        sum(when(col("op_state") === "IN_SERVICE", 1L).otherwise(0L))
+          .as("available"),
+        sum(when(col("op_state") =!= "IN_SERVICE", 1L).otherwise(0L))
+          .as("out_of_service"))
+    val under = containersScm
+      .filter(col("state") =!= "DELETED")
+      .join(counts, Seq("container_id"), "left")
+      .withColumn("available", coalesce(col("available"), lit(0L)))
+      .withColumn("out_of_service", coalesce(col("out_of_service"), lit(0L)))
+      .filter(col("available") < col("replication_factor") &&
+        col("available") + col("out_of_service") > 0)
+      .withColumn("remaining_redundancy",
+        greatest(col("available") + col("out_of_service") - 1, lit(0L)))
+      .withColumn("due_to_out_of_service",
+        col("available") + col("out_of_service") >=
+          col("replication_factor"))
+      .withColumn("weighted_redundancy",
+        when(col("due_to_out_of_service"), lit(5L))
+          .otherwise(col("remaining_redundancy")))
+    under
+      .withColumn("queue_pos", row_number().over(
+        Window.partitionBy(lit(0))
+          .orderBy(col("weighted_redundancy"), col("container_id"))))
+      .select("queue_pos", "container_id", "replication_factor",
+        "available", "out_of_service", "remaining_redundancy",
+        "due_to_out_of_service", "weighted_redundancy")
+      .orderBy("queue_pos")
+  }
 }

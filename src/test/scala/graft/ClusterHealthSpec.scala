@@ -390,4 +390,38 @@ class ClusterHealthSpec extends SparkSpecBase {
       assert(r.getAs[Long]("pending_bytes") == naive.getLong(1), r.getString(2))
     }
   }
+
+  test("replicationQueue: dead gone, OOS weight 5, priority order") {
+    import spark.implicits._
+    val dns = Seq(
+      ("dn0", "HEALTHY", "IN_SERVICE"),
+      ("dn1", "HEALTHY", "IN_SERVICE"),
+      ("dn2", "HEALTHY", "DECOMMISSIONING"),
+      ("dn3", "DEAD", "IN_SERVICE"),
+      ("dn4", "STALE", "IN_SERVICE"))
+      .toDF("uuid", "state", "op_state")
+    val reps = Seq(
+      // c1: one live copy (one DEAD) → remaining 0, worst priority
+      (1L, "dn0", "CLOSED"), (1L, "dn3", "CLOSED"),
+      // c2: two live in-service → remaining 1
+      (2L, "dn0", "CLOSED"), (2L, "dn1", "CLOSED"),
+      // c3: 2 in-service + 1 decommissioning = whole → OOS, weight 5
+      (3L, "dn0", "CLOSED"), (3L, "dn1", "CLOSED"), (3L, "dn2", "CLOSED"),
+      // c4: STALE still counts as available → NOT queued (3 available)
+      (4L, "dn0", "CLOSED"), (4L, "dn1", "CLOSED"), (4L, "dn4", "CLOSED"),
+      // c5: all copies dead → nothing left, a MISSING case, not queued
+      (5L, "dn3", "CLOSED"))
+      .toDF("container_id", "datanode", "replica_state")
+    val ctrs = Seq((1L, 3L, "CLOSED"), (2L, 3L, "CLOSED"),
+      (3L, 3L, "CLOSED"), (4L, 3L, "CLOSED"), (5L, 3L, "CLOSED"))
+      .toDF("container_id", "replication_factor", "state")
+    val got = graft.operators.ClusterHealth
+      .replicationQueue(reps, dns, ctrs)
+      .select("queue_pos", "container_id", "weighted_redundancy",
+        "due_to_out_of_service")
+      .as[(Int, Long, Long, Boolean)].collect().toList
+    // order: c1 (weight 0) < c2 (weight 1) < c3 (OOS weight 5)
+    assert(got === List((1, 1L, 0L, false), (2, 2L, 1L, false),
+      (3, 3L, 5L, true)))
+  }
 }
