@@ -777,6 +777,10 @@ object SparkEntry {
     "q_replication_queue" -> ((s, d) =>
       ClusterHealth.replicationQueue(T.replicas(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    // SCM report ingest: full reports REPLACE a node's replica set (the
+    // FCR boundary), incremental reports upsert/remove single replicas.
+    "q_container_report_fold" -> ((s, d) =>
+      ClusterHealth.containerReportFold(T.containerReportEvents(s, d))),
     // rack-aware placement picks for under-replicated containers
     "q_replica_placement" -> ((s, d) =>
       ClusterHealth.replicaPlacement(T.replicas(s, d),
@@ -4917,6 +4921,42 @@ object SparkEntry {
         |        r.remaining DESC, r.uuid) AS rn2
         |  FROM ranked r JOIN pick1 p ON r.container_id = p.container_id
         |  WHERE r.needed >= 2 AND r.uuid <> p.uuid)""".stripMargin),
+
+    // Report-fold mirror: FCR boundary per node, latest event wins,
+    // DELETED drops.
+    "q_container_report_fold" -> O.withCtes(
+      """SELECT datanode, container_id, last_state AS replica_state
+        |FROM (
+        |  SELECT e.datanode, e.container_id,
+        |    arg_max(e.replica_state, e.seq) AS last_state
+        |  FROM cre e
+        |  LEFT JOIN (SELECT datanode, max(seq) AS fcr_seq
+        |             FROM cre WHERE kind = 'FCR' GROUP BY 1) b
+        |    ON e.datanode = b.datanode
+        |  WHERE e.seq >= coalesce(b.fcr_seq, 0)
+        |  GROUP BY 1, 2)
+        |WHERE last_state <> 'DELETED'
+        |ORDER BY datanode, container_id""".stripMargin,
+      O.containersScm, O.replicas,
+      """cre AS (
+        |  SELECT 1 AS seq, datanode, 'FCR' AS kind, container_id,
+        |    replica_state
+        |  FROM replicas
+        |  UNION ALL
+        |  SELECT 2, datanode, 'ICR', container_id, 'DELETED'
+        |  FROM (SELECT container_id, min(datanode) AS datanode
+        |        FROM replicas WHERE container_id % 7 = 1 GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 3, 'dn19', 'ICR', container_id, 'CLOSED'
+        |  FROM (SELECT DISTINCT container_id FROM replicas
+        |        WHERE container_id % 11 = 3)
+        |  UNION ALL
+        |  SELECT 4, datanode, 'FCR', container_id, 'QUASI_CLOSED'
+        |  FROM replicas WHERE datanode = 'dn0' AND container_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 5, datanode, 'ICR', container_id, 'CLOSED'
+        |  FROM replicas WHERE datanode = 'dn0' AND container_id % 2 = 1
+        |    AND container_id % 3 = 0)""".stripMargin),
 
     // ReplicationManager queue mirror: dead excluded, OOS weight 5,
     // (weighted, container_id) priority order.

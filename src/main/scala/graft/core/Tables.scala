@@ -1225,6 +1225,40 @@ object Tables {
       .toDF("req_id", "tenant_id", "access_id", "delegated")
   }
 
+  /** container_report_events: the SCM report stream — seq 1 a full
+    * report per node (the current replica map), seq 2 ICR deletes
+    * (container_id % 7 == 1 on its first-listed node), seq 3 ICR
+    * additions onto dn19 (container_id % 11 == 3), seq 4 a SECOND full
+    * report for dn0 carrying only its even containers as QUASI_CLOSED
+    * (the FCR boundary drops dn0's odd replicas AND voids the earlier
+    * ICRs there), seq 5 post-boundary ICR re-adds on dn0 (odd multiples
+    * of 3). */
+  def containerReportEvents(spark: SparkSession, dir: String): DataFrame = {
+    val base = replicas(spark, dir)
+    val fcr1 = base.select(lit(1L).as("seq"), col("datanode"),
+      lit("FCR").as("kind"), col("container_id"), col("replica_state"))
+    val icrDel = base.filter(col("container_id") % 7 === 1)
+      .groupBy("container_id").agg(min("datanode").as("datanode"))
+      .select(lit(2L).as("seq"), col("datanode"), lit("ICR").as("kind"),
+        col("container_id"), lit("DELETED").as("replica_state"))
+    val icrAdd = base.select("container_id").distinct()
+      .filter(col("container_id") % 11 === 3)
+      .select(lit(3L).as("seq"), lit("dn19").as("datanode"),
+        lit("ICR").as("kind"), col("container_id"),
+        lit("CLOSED").as("replica_state"))
+    val fcr2 = base
+      .filter(col("datanode") === "dn0" && col("container_id") % 2 === 0)
+      .select(lit(4L).as("seq"), col("datanode"), lit("FCR").as("kind"),
+        col("container_id"), lit("QUASI_CLOSED").as("replica_state"))
+    val icrReadd = base
+      .filter(col("datanode") === "dn0" && col("container_id") % 2 === 1 &&
+        col("container_id") % 3 === 0)
+      .select(lit(5L).as("seq"), col("datanode"), lit("ICR").as("kind"),
+        col("container_id"), lit("CLOSED").as("replica_state"))
+    fcr1.unionByName(icrDel).unionByName(icrAdd).unionByName(fcr2)
+      .unionByName(icrReadd)
+  }
+
   /** snapshot_chain_global: the snapshot catalog with a GLOBAL creation
     * order (chain index) — both chains (global, per-bucket path) derive
     * from it; the purge ladder splices entries out of both. */

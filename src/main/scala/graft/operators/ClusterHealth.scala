@@ -683,6 +683,36 @@ object ClusterHealth {
   }
 
   /**
+   * SCM container-report ingest fold (ContainerReportHandler:108-192 +
+   * IncrementalContainerReportHandler:59-108): a FULL report REPLACES
+   * the datanode's replica set — anything the node previously held that
+   * is absent from the report is now missing there and is removed
+   * (:189-192 expectedContainersInDatanode leftovers); an INCREMENTAL
+   * report upserts single replicas, with state DELETED meaning remove
+   * (:99-100). So the fold is last-FCR-boundary + latest-event-wins per
+   * (datanode, container) — the same shape as the ACL/prefix folds:
+   * events before the node's last FCR are void, the survivors resolve
+   * by seq, DELETED losers drop.
+   *
+   * Scale shape: one broadcast of the per-node FCR boundary into the
+   * event scan + one hash agg on (datanode, container) — the natural
+   * SCM ingest partitioning; no window over the report volume.
+   */
+  def containerReportFold(events: DataFrame): DataFrame = {
+    val boundary = events.filter(col("kind") === "FCR")
+      .groupBy("datanode").agg(max("seq").as("__fcr_seq"))
+    events
+      .join(broadcast(boundary), Seq("datanode"), "left")
+      .filter(col("seq") >= coalesce(col("__fcr_seq"), lit(0L)))
+      .groupBy("datanode", "container_id")
+      .agg(max_by(col("replica_state"), col("seq")).as("__last"))
+      .filter(col("__last") =!= "DELETED")
+      .select(col("datanode"), col("container_id"),
+        col("__last").as("replica_state"))
+      .orderBy("datanode", "container_id")
+  }
+
+  /**
    * ReplicationManager under-replication queue (ReplicationQueue.java
    * :38-43 PriorityQueue ordering + ContainerHealthResult
    * .getWeightedRedundancy:148-156 + RatisContainerReplicaCount

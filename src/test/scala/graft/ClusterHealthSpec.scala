@@ -424,4 +424,24 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got === List((1, 1L, 0L, false), (2, 2L, 1L, false),
       (3, 3L, 5L, true)))
   }
+
+  test("containerReportFold: FCR boundary replaces, ICR upserts/removes") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "dnA", "FCR", 1L, "CLOSED"),
+      (1L, "dnA", "FCR", 2L, "CLOSED"),
+      (2L, "dnA", "ICR", 3L, "CLOSED"),    // voided by the later FCR
+      (3L, "dnA", "ICR", 1L, "DELETED"),   // voided by the later FCR
+      (4L, "dnA", "FCR", 1L, "QUASI_CLOSED"), // FULL report: only c1 now
+      (5L, "dnA", "ICR", 4L, "CLOSED"),    // post-boundary add survives
+      (1L, "dnB", "FCR", 9L, "CLOSED"),
+      (2L, "dnB", "ICR", 9L, "DELETED"))   // post-boundary remove
+      .toDF("seq", "datanode", "kind", "container_id", "replica_state")
+    val got = graft.operators.ClusterHealth.containerReportFold(ev)
+      .as[(String, Long, String)].collect().toSet
+    // dnA: c2 and c3 vanished with the second FCR (not in the report);
+    // the pre-boundary DELETE of c1 is void — c1 lives as QUASI_CLOSED
+    assert(got === Set(
+      ("dnA", 1L, "QUASI_CLOSED"), ("dnA", 4L, "CLOSED")))
+  }
 }
