@@ -407,6 +407,11 @@ object SparkEntry {
     "q_token_cancel" -> ((s, d) =>
       graft.operators.Security.cancelTokenDecisions(
         T.cancelTokenRequests(s, d), T.dTokens(s, d))),
+    // GetDelegationToken mint ladder: auth-method gate (TOKEN callers
+    // can't mint), manager-down = success with an empty response.
+    "q_token_mint" -> ((s, d) =>
+      graft.operators.Security.getTokenDecisions(
+        T.getTokenRequests(s, d))),
     // object-ACL grants and prefix-ACL grants DISAGREE by construction:
     // auditor2 reads even-version keys via object acls, and warehouse/A/
     // keys via the longest-prefix rule (the shorter warehouse/ rule denies)
@@ -653,6 +658,14 @@ object SparkEntry {
     "q_snapshot_purge" -> ((s, d) =>
       CommitLog.snapshotPurgeRelink(T.snapshotChainGlobal(s, d),
         Seq("s2", "snap-gone", "ghost"))),
+    // SnapshotMoveTableKeys ladder: the snapshot-GC move of buffered
+    // deleted/renamed/deleted-dir entries to the next path snapshot (or
+    // AOS) — from-snapshot probe first, per-table prefix/dup walk with
+    // silent list filtering, not-ACTIVE next refused at apply time.
+    "q_snapshot_move_keys" -> ((s, d) =>
+      CommitLog.snapshotMoveTableKeys(T.moveTableKeysRequests(s, d),
+        T.moveTableKeysEntries(s, d), T.snapshotChainGlobal(s, d),
+        T.snapshotCatalogLive(s, d), T.fsoBucketIds(s, d))),
     // SetSnapshotProperty ladder: in-batch dup beats missing-key; deleted
     // snapshots still accept property writes.
     "q_snapshot_set_property" -> ((s, d) =>
@@ -2062,6 +2075,36 @@ object SparkEntry {
         |    (4, 'ghost', 'ghost', 'om', 'ghost'),
         |    (5, 'clerk5', '', 'om', 'om'))
         |    v(req_id, token_owner, presented_owner, renewer, caller))""".stripMargin),
+
+    // GetDelegationToken mint mirror: auth gate → manager probe → mint.
+    "q_token_mint" -> O.withCtes(
+      """SELECT req_id, caller, renewer, decision,
+        |  CASE WHEN decision = 'MINTED' THEN caller ELSE '' END AS owner,
+        |  CASE WHEN decision = 'MINTED' THEN real_user ELSE '' END
+        |    AS real_user,
+        |  CASE WHEN decision = 'MINTED'
+        |    THEN 799286400000 + 86400000 ELSE 0 END AS renew_by_ms,
+        |  CASE WHEN decision = 'MINTED'
+        |    THEN 799286400000 + 604800000 ELSE 0 END AS max_date_ms
+        |FROM (
+        |  SELECT req_id, caller, renewer, real_user,
+        |    CASE WHEN security_on AND auth_method NOT IN
+        |        ('KERBEROS', 'KERBEROS_SSL', 'CERTIFICATE')
+        |      THEN 'INVALID_AUTH_METHOD'
+        |      WHEN NOT mgr_running THEN 'NO_TOKEN'
+        |      ELSE 'MINTED' END AS decision
+        |  FROM gt_reqs)
+        |ORDER BY req_id""".stripMargin,
+      """gt_reqs(req_id, caller, auth_method, renewer, real_user,
+        |    security_on, mgr_running) AS (VALUES
+        |  (1, 'clerk1', 'KERBEROS', 'om', '', true, true),
+        |  (2, 'clerk2', 'TOKEN', 'om', '', true, true),
+        |  (3, 'clerk3', 'SIMPLE', 'om', '', true, true),
+        |  (4, 'clerk4', 'KERBEROS', 'om', '', true, false),
+        |  (5, 'clerk5', 'SIMPLE', 'om', '', false, true),
+        |  (6, 'svc-hive', 'CERTIFICATE', 'om', 'oozie', true, true),
+        |  (7, 'clerk7', 'KERBEROS_SSL', '', '', true, true),
+        |  (8, 'clerk8', 'TOKEN', 'om', '', true, false))""".stripMargin),
 
     // auditor2 = 'auditor' || (object_id % 3) with object-read iff version
     // even (objectsNested synthesis); prefix grant iff under warehouse/A/
@@ -4752,6 +4795,143 @@ object SparkEntry {
         |  (3, 'snap-gone', 'vol0', 'bucket0'),
         |  (4, 'snap-golden', 'vol2', 'bucket5'),
         |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin),
+
+    // SnapshotMoveTableKeys mirror: from-probe first, filtered lists,
+    // prefix-then-dup walk in table order, chain-next ACTIVE gate.
+    "q_snapshot_move_keys" -> O.withCtes(
+      """SELECT req_id, volume, bucket, from_name, decision,
+        |  CASE WHEN decision = 'MOVED' THEN coalesce(next_name, 'AOS')
+        |    ELSE '' END AS destination,
+        |  CASE WHEN decision = 'MOVED' THEN coalesce(n_deleted, 0)
+        |    ELSE 0 END AS moved_deleted,
+        |  CASE WHEN decision = 'MOVED' THEN coalesce(n_renamed, 0)
+        |    ELSE 0 END AS moved_renamed,
+        |  CASE WHEN decision = 'MOVED' THEN coalesce(n_dirs, 0)
+        |    ELSE 0 END AS moved_dirs
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket, r.from_name, cn.next_name,
+        |    co.n_deleted, co.n_renamed, co.n_dirs,
+        |    CASE WHEN cn.from_name IS NULL THEN 'FILE_NOT_FOUND'
+        |      WHEN fe.first_err IS NOT NULL THEN fe.first_err
+        |      WHEN cn.next_name IS NOT NULL
+        |        AND cn.next_status <> 'SNAPSHOT_ACTIVE'
+        |        THEN 'INVALID_SNAPSHOT_ERROR'
+        |      ELSE 'MOVED' END AS decision
+        |  FROM mtk_reqs r
+        |  LEFT JOIN mtk_chain_next cn ON r.volume = cn.volume
+        |    AND r.bucket = cn.bucket AND r.from_name = cn.from_name
+        |  LEFT JOIN mtk_first_err fe ON r.req_id = fe.req_id
+        |  LEFT JOIN mtk_counts co ON r.req_id = co.req_id)
+        |ORDER BY req_id""".stripMargin,
+      """mtk_ids(volume, bucket, vol_id, bucket_id) AS (VALUES
+        |  ('vol0', 'bucket0', 101, 201),
+        |  ('vol2', 'bucket5', 102, 205))""".stripMargin,
+      """mtk_chain(global_idx, name, volume, bucket) AS (VALUES
+        |  (1, 's1', 'vol0', 'bucket0'),
+        |  (2, 's2', 'vol0', 'bucket0'),
+        |  (3, 'snap-gone', 'vol0', 'bucket0'),
+        |  (4, 'snap-golden', 'vol2', 'bucket5'),
+        |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin,
+      """mtk_cat(volume, bucket, name, status) AS (VALUES
+        |  ('vol0', 'bucket0', 's1', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 's2', 'SNAPSHOT_ACTIVE'),
+        |  ('vol2', 'bucket5', 'snap-golden', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 'snap-gone', 'SNAPSHOT_DELETED'),
+        |  ('vol0', 'bucket0', 'snap-live', 'SNAPSHOT_ACTIVE'))"""
+        .stripMargin,
+      """mtk_reqs(req_id, volume, bucket, from_name) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 's1'),
+        |  (2, 'vol0', 'bucket0', 's2'),
+        |  (3, 'vol0', 'bucket0', 'snap-gone'),
+        |  (4, 'vol0', 'bucket0', 'snap-live'),
+        |  (5, 'vol2', 'bucket5', 'snap-golden'),
+        |  (6, 'vol0', 'bucket0', 'ghost'),
+        |  (7, 'vol0', 'bucket0', 's1'),
+        |  (8, 'vol0', 'bucket0', 's1'),
+        |  (9, 'vol0', 'bucket0', 's1'),
+        |  (10, 'vol0', 'bucket0', 's1'),
+        |  (11, 'vol0', 'bucket0', 's1'),
+        |  (12, 'vol0', 'bucket0', 's2'),
+        |  (13, 'vol0', 'bucket0', 's1'))""".stripMargin,
+      """mtk_entries(req_id, tbl, pos, db_key, n_infos, has_value) AS
+        |(VALUES
+        |  (1, 'DELETED', 1, '/vol0/bucket0/a', 2, false),
+        |  (1, 'DELETED', 2, '/vol0/bucket0/b', 1, false),
+        |  (1, 'RENAMED', 1, '/vol0/bucket0/r1', 0, true),
+        |  (1, 'DELETED_DIR', 1, '/101/201/d1', 1, false),
+        |  (2, 'DELETED', 1, '/vol0/bucket0/c', 1, false),
+        |  (3, 'DELETED', 1, '/vol0/bucket0/x', 0, false),
+        |  (3, 'DELETED', 2, '/vol0/bucket0/y', 3, false),
+        |  (3, 'RENAMED', 1, '/vol0/bucket0/r2', 0, false),
+        |  (3, 'RENAMED', 2, '/vol0/bucket0/r3', 0, true),
+        |  (3, 'DELETED_DIR', 1, '/101/201/d2', 2, false),
+        |  (3, 'DELETED_DIR', 2, '/101/201/d3', 1, false),
+        |  (4, 'DELETED', 1, '/vol0/bucket0/z', 1, false),
+        |  (6, 'DELETED', 1, '/wrong/prefix/k', 1, false),
+        |  (7, 'DELETED', 1, '/vol0/bucket0/ok', 1, false),
+        |  (7, 'DELETED', 2, '/vol9/bucketX/bad', 1, false),
+        |  (8, 'DELETED', 1, '/vol0/bucket0/k1', 1, false),
+        |  (8, 'DELETED', 2, '/vol0/bucket0/k2', 1, false),
+        |  (8, 'DELETED', 3, '/vol0/bucket0/k1', 1, false),
+        |  (9, 'DELETED', 1, '/vol0/bucket0/k3', 1, false),
+        |  (9, 'RENAMED', 1, '/volX/bucket0/r4', 0, true),
+        |  (9, 'DELETED_DIR', 1, '/101/201/d4', 1, false),
+        |  (9, 'DELETED_DIR', 2, '/101/201/d4', 1, false),
+        |  (10, 'RENAMED', 1, '/bad/prefix/r5', 0, false),
+        |  (10, 'DELETED_DIR', 1, '/999/999/dd', 2, false),
+        |  (10, 'DELETED_DIR', 2, '/101/201/d5', 1, false),
+        |  (10, 'DELETED_DIR', 3, '/101/201/d5', 1, false),
+        |  (11, 'DELETED', 1, '/vol0/bucket0/k1', 1, false),
+        |  (11, 'DELETED', 2, '/vol0/bucket0/k1', 0, false),
+        |  (11, 'DELETED', 3, '/vol0/bucket0/k2', 1, false),
+        |  (12, 'DELETED', 1, '/oops/bucket0/q', 1, false),
+        |  (13, 'RENAMED', 1, '/vol0/bucket0/r6', 0, true),
+        |  (13, 'RENAMED', 2, '/vol0/bucket0/r6', 0, true))""".stripMargin,
+      """mtk_graded AS (
+        |  SELECT c.req_id, c.tbl, c.tbl_order, c.pos,
+        |    CASE WHEN NOT starts_with(c.db_key,
+        |        CASE WHEN c.tbl = 'DELETED_DIR'
+        |          THEN '/' || i.vol_id || '/' || i.bucket_id || '/'
+        |          ELSE '/' || c.volume || '/' || c.bucket || '/' END)
+        |      THEN 'INVALID_KEY_NAME'
+        |      WHEN row_number() OVER (PARTITION BY c.req_id, c.tbl,
+        |        c.db_key ORDER BY c.pos) > 1 THEN 'INVALID_REQUEST'
+        |      END AS err
+        |  FROM (
+        |    SELECT e.*, r.volume, r.bucket,
+        |      CASE e.tbl WHEN 'DELETED' THEN 1 WHEN 'RENAMED' THEN 2
+        |        ELSE 3 END AS tbl_order
+        |    FROM mtk_entries e JOIN mtk_reqs r ON e.req_id = r.req_id
+        |    WHERE (e.tbl = 'DELETED' AND e.n_infos > 0)
+        |      OR (e.tbl = 'RENAMED' AND e.has_value)
+        |      OR (e.tbl = 'DELETED_DIR' AND e.n_infos = 1)) c
+        |  LEFT JOIN mtk_ids i ON c.volume = i.volume
+        |    AND c.bucket = i.bucket)""".stripMargin,
+      """mtk_first_err AS (
+        |  SELECT req_id, arg_min(err, tbl_order * 1000000 + pos)
+        |    AS first_err
+        |  FROM mtk_graded WHERE err IS NOT NULL GROUP BY req_id)"""
+        .stripMargin,
+      """mtk_counts AS (
+        |  SELECT req_id,
+        |    CAST(count(*) FILTER (tbl = 'DELETED') AS BIGINT)
+        |      AS n_deleted,
+        |    CAST(count(*) FILTER (tbl = 'RENAMED') AS BIGINT)
+        |      AS n_renamed,
+        |    CAST(count(*) FILTER (tbl = 'DELETED_DIR') AS BIGINT)
+        |      AS n_dirs
+        |  FROM mtk_graded GROUP BY req_id)""".stripMargin,
+      """mtk_chain_next AS (
+        |  SELECT ch.volume, ch.bucket, ch.name AS from_name,
+        |    ch.next_name, ct.status AS next_status
+        |  FROM (
+        |    SELECT volume, bucket, name, global_idx,
+        |      lead(name) OVER (PARTITION BY volume, bucket
+        |        ORDER BY global_idx) AS next_name
+        |    FROM mtk_chain) ch
+        |  LEFT JOIN mtk_cat ct ON ch.volume = ct.volume
+        |    AND ch.bucket = ct.bucket AND ch.next_name = ct.name)"""
+        .stripMargin),
 
     // SetSnapshotProperty ladder mirror: dup window beats existence.
     "q_snapshot_set_property" -> O.withCtes(

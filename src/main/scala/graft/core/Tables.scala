@@ -1359,6 +1359,94 @@ object Tables {
       .toDF("req_id", "access_id", "secret")
   }
 
+  /** fso_bucket_ids: the FSO (volume, bucket) → (volumeId, bucketId)
+    * mapping the deleted-dir table keys are built from
+    * (OmMetadataManagerImpl.getBucketKeyPrefixFSO — dir db keys are
+    * `/volId/bucketId/...`, unlike the name-keyed deleted/renamed
+    * tables). */
+  def fsoBucketIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("vol0", "bucket0", 101L, 201L),
+      ("vol2", "bucket5", 102L, 205L))
+      .toDF("volume", "bucket", "vol_id", "bucket_id")
+  }
+
+  /** move_table_keys_requests: OMSnapshotMoveTableKeysRequest batch —
+    * the snapshot-GC move of buffered deleted/renamed/deleted-dir
+    * entries to the next path snapshot (or AOS). Branches: clean move to
+    * an ACTIVE next snapshot, next-in-chain DELETED
+    * (INVALID_SNAPSHOT_ERROR), the real GC case (from a DELETED
+    * snapshot), end-of-chain → AOS, empty request → AOS, missing from
+    * snapshot (probed FIRST, even over bad entries), prefix violations
+    * and in-list duplicates per table, and preExecute-validation-beats-
+    * the-apply-stage ordering (a bad entry on a request whose next
+    * snapshot is also not active). */
+  def moveTableKeysRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "s1"),
+      (2L, "vol0", "bucket0", "s2"),
+      (3L, "vol0", "bucket0", "snap-gone"),
+      (4L, "vol0", "bucket0", "snap-live"),
+      (5L, "vol2", "bucket5", "snap-golden"),
+      (6L, "vol0", "bucket0", "ghost"),
+      (7L, "vol0", "bucket0", "s1"),
+      (8L, "vol0", "bucket0", "s1"),
+      (9L, "vol0", "bucket0", "s1"),
+      (10L, "vol0", "bucket0", "s1"),
+      (11L, "vol0", "bucket0", "s1"),
+      (12L, "vol0", "bucket0", "s2"),
+      (13L, "vol0", "bucket0", "s1"))
+      .toDF("req_id", "volume", "bucket", "from_name")
+  }
+
+  /** move_table_keys_entries: the per-request table-key lists, one row
+    * per entry. tbl ∈ DELETED | RENAMED | DELETED_DIR, walked in that
+    * order (the reference validates list by list). n_infos models the
+    * keyInfos count (deleted entries with none are silently dropped;
+    * dirs must carry EXACTLY one); has_value models the renamed-table
+    * KeyValue (value-less pairs are silently dropped). Filtered-out
+    * rows deliberately carry bad prefixes / duplicate keys to probe
+    * that dropped entries are never validated. */
+  def moveTableKeysEntries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "DELETED", 1, "/vol0/bucket0/a", 2, false),
+      (1L, "DELETED", 2, "/vol0/bucket0/b", 1, false),
+      (1L, "RENAMED", 1, "/vol0/bucket0/r1", 0, true),
+      (1L, "DELETED_DIR", 1, "/101/201/d1", 1, false),
+      (2L, "DELETED", 1, "/vol0/bucket0/c", 1, false),
+      (3L, "DELETED", 1, "/vol0/bucket0/x", 0, false),
+      (3L, "DELETED", 2, "/vol0/bucket0/y", 3, false),
+      (3L, "RENAMED", 1, "/vol0/bucket0/r2", 0, false),
+      (3L, "RENAMED", 2, "/vol0/bucket0/r3", 0, true),
+      (3L, "DELETED_DIR", 1, "/101/201/d2", 2, false),
+      (3L, "DELETED_DIR", 2, "/101/201/d3", 1, false),
+      (4L, "DELETED", 1, "/vol0/bucket0/z", 1, false),
+      (6L, "DELETED", 1, "/wrong/prefix/k", 1, false),
+      (7L, "DELETED", 1, "/vol0/bucket0/ok", 1, false),
+      (7L, "DELETED", 2, "/vol9/bucketX/bad", 1, false),
+      (8L, "DELETED", 1, "/vol0/bucket0/k1", 1, false),
+      (8L, "DELETED", 2, "/vol0/bucket0/k2", 1, false),
+      (8L, "DELETED", 3, "/vol0/bucket0/k1", 1, false),
+      (9L, "DELETED", 1, "/vol0/bucket0/k3", 1, false),
+      (9L, "RENAMED", 1, "/volX/bucket0/r4", 0, true),
+      (9L, "DELETED_DIR", 1, "/101/201/d4", 1, false),
+      (9L, "DELETED_DIR", 2, "/101/201/d4", 1, false),
+      (10L, "RENAMED", 1, "/bad/prefix/r5", 0, false),
+      (10L, "DELETED_DIR", 1, "/999/999/dd", 2, false),
+      (10L, "DELETED_DIR", 2, "/101/201/d5", 1, false),
+      (10L, "DELETED_DIR", 3, "/101/201/d5", 1, false),
+      (11L, "DELETED", 1, "/vol0/bucket0/k1", 1, false),
+      (11L, "DELETED", 2, "/vol0/bucket0/k1", 0, false),
+      (11L, "DELETED", 3, "/vol0/bucket0/k2", 1, false),
+      (12L, "DELETED", 1, "/oops/bucket0/q", 1, false),
+      (13L, "RENAMED", 1, "/vol0/bucket0/r6", 0, true),
+      (13L, "RENAMED", 2, "/vol0/bucket0/r6", 0, true))
+      .toDF("req_id", "tbl", "pos", "db_key", "n_infos", "has_value")
+  }
+
   /** bucket_set_owner_requests: OMBucketSetOwnerRequest branches —
     * missing bucket, same-owner no-op (success=false, not an error), and
     * plain transfers. Bucket owner is modeled as the volume owner
@@ -1588,6 +1676,27 @@ object Tables {
         "caller")
       .withColumn("token_id",
         md5(concat(lit("token"), col("token_owner"))))
+  }
+
+  /** get_token_requests: GetDelegationToken mint branches — kerberos
+    * mint, TOKEN-authenticated caller refused (a DT can't mint another),
+    * SIMPLE auth refused with security on but ADMITTED with security
+    * off, secret manager down (success with an empty response), a
+    * CERTIFICATE proxy caller carrying realUser, and the
+    * auth-gate-beats-manager-probe ordering probe. */
+  def getTokenRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "clerk1", "KERBEROS", "om", "", true, true),
+      (2L, "clerk2", "TOKEN", "om", "", true, true),
+      (3L, "clerk3", "SIMPLE", "om", "", true, true),
+      (4L, "clerk4", "KERBEROS", "om", "", true, false),
+      (5L, "clerk5", "SIMPLE", "om", "", false, true),
+      (6L, "svc-hive", "CERTIFICATE", "om", "oozie", true, true),
+      (7L, "clerk7", "KERBEROS_SSL", "", "", true, true),
+      (8L, "clerk8", "TOKEN", "om", "", true, false))
+      .toDF("req_id", "caller", "auth_method", "renewer", "real_user",
+        "security_on", "mgr_running")
   }
 
   /** prefix_acls (ref OMDBDefinition.java:186-191 prefixTable): per bucket,

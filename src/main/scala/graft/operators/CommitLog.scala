@@ -868,4 +868,102 @@ object CommitLog {
       .orderBy("key")
       .limit(maxKeys + 1)
   }
+
+  /**
+   * SnapshotMoveTableKeys ladder — the snapshot-GC request that moves a
+   * purged/deep-cleaned snapshot's buffered deletedTable / renamedTable /
+   * deletedDirTable entries to the next path snapshot, or to the active
+   * object store when the chain ends
+   * (ozone-manager/.../request/snapshot/OMSnapshotMoveTableKeysRequest.java:76-186
+   * preExecute, :190-230 validateAndUpdateCache;
+   * snapshot/SnapshotUtils.java:154-177 getNextSnapshot).
+   *
+   * Decision order, as in the reference: the from-snapshot store probe
+   * runs FIRST (preExecute getSnapshotInfo → FILE_NOT_FOUND), then the
+   * three lists are walked in table order — deleted, renamed, deleted
+   * dirs — each entry checked prefix-then-duplicate (INVALID_KEY_NAME /
+   * INVALID_REQUEST); list filtering precedes validation (deleted
+   * entries without keyInfos, value-less renamed pairs and dirs without
+   * exactly one keyInfo are silently dropped, never validated). Only a
+   * request that survives preExecute reaches the apply-stage chain walk:
+   * a next-in-chain snapshot that is not ACTIVE refuses the move
+   * (INVALID_SNAPSHOT_ERROR); a missing next moves to "AOS". Deleted /
+   * renamed keys are name-prefixed `/volume/bucket/`; deleted dirs are
+   * FSO-id-prefixed `/volId/bucketId/` (OmMetadataManagerImpl
+   * .getTableBucketPrefix:2027-2049).
+   *
+   * Scale shape: one row_number window + one groupBy on req_id over the
+   * entry lists (narrow rows), request/chain/id dims broadcast — no
+   * shuffle touches anything corpus-sized.
+   */
+  def snapshotMoveTableKeys(requests: DataFrame, entries: DataFrame,
+                            chain: DataFrame, catalog: DataFrame,
+                            bucketIds: DataFrame): DataFrame = {
+    val considered = entries
+      .withColumn("tbl_order",
+        when(col("tbl") === "DELETED", lit(1))
+          .when(col("tbl") === "RENAMED", lit(2)).otherwise(lit(3)))
+      .filter(
+        when(col("tbl") === "DELETED", col("n_infos") > 0)
+          .when(col("tbl") === "RENAMED", col("has_value"))
+          .otherwise(col("n_infos") === 1))
+      .join(broadcast(requests.select("req_id", "volume", "bucket")),
+        Seq("req_id"))
+      .join(broadcast(bucketIds), Seq("volume", "bucket"), "left")
+    val expectedPrefix = when(col("tbl") === "DELETED_DIR",
+        concat(lit("/"), col("vol_id"), lit("/"), col("bucket_id"),
+          lit("/")))
+      .otherwise(concat(lit("/"), col("volume"), lit("/"), col("bucket"),
+        lit("/")))
+    val graded = considered
+      .withColumn("occurrence", row_number().over(
+        Window.partitionBy("req_id", "tbl", "db_key").orderBy("pos")))
+      .withColumn("err",
+        when(!col("db_key").startsWith(expectedPrefix),
+          lit("INVALID_KEY_NAME"))
+          .when(col("occurrence") > 1, lit("INVALID_REQUEST")))
+    val perReq = graded.groupBy("req_id").agg(
+      min_by(col("err"),
+        when(col("err").isNotNull,
+          col("tbl_order") * 1000000L + col("pos"))).as("first_err"),
+      sum(when(col("tbl") === "DELETED", 1L).otherwise(0L))
+        .as("n_deleted"),
+      sum(when(col("tbl") === "RENAMED", 1L).otherwise(0L))
+        .as("n_renamed"),
+      sum(when(col("tbl") === "DELETED_DIR", 1L).otherwise(0L))
+        .as("n_dirs"))
+    // min_by keeps null-ordering quirks out by scoring only error rows;
+    // a request whose entries are all clean gets first_err null.
+    val chainNext = chain
+      .withColumn("next_name", lead("name", 1).over(
+        Window.partitionBy("volume", "bucket").orderBy("global_idx")))
+      .join(catalog.select(col("volume"), col("bucket"),
+          col("name").as("next_name"), col("status").as("next_status")),
+        Seq("volume", "bucket", "next_name"), "left")
+      .select(col("volume"), col("bucket"), col("name").as("from_name"),
+        lit(true).as("from_exists"), col("next_name"), col("next_status"))
+    val decided = requests
+      .join(broadcast(chainNext), Seq("volume", "bucket", "from_name"),
+        "left")
+      .join(broadcast(perReq), Seq("req_id"), "left")
+      .withColumn("decision",
+        when(col("from_exists").isNull, lit("FILE_NOT_FOUND"))
+          .when(col("first_err").isNotNull, col("first_err"))
+          .when(col("next_name").isNotNull &&
+            col("next_status") =!= "SNAPSHOT_ACTIVE",
+            lit("INVALID_SNAPSHOT_ERROR"))
+          .otherwise(lit("MOVED")))
+    decided.select(col("req_id"), col("volume"), col("bucket"),
+        col("from_name"), col("decision"),
+        when(col("decision") === "MOVED",
+          coalesce(col("next_name"), lit("AOS"))).otherwise(lit(""))
+          .as("destination"),
+        when(col("decision") === "MOVED", coalesce(col("n_deleted"),
+          lit(0L))).otherwise(lit(0L)).as("moved_deleted"),
+        when(col("decision") === "MOVED", coalesce(col("n_renamed"),
+          lit(0L))).otherwise(lit(0L)).as("moved_renamed"),
+        when(col("decision") === "MOVED", coalesce(col("n_dirs"),
+          lit(0L))).otherwise(lit(0L)).as("moved_dirs"))
+      .orderBy("req_id")
+  }
 }

@@ -117,4 +117,51 @@ object Security {
           .otherwise(lit("REVOKED")).as("decision"))
       .orderBy("req_id")
   }
+
+  /** The token-mint plane's max lifetime (the 7-day Hadoop DT default
+    * the reference inherits via tokenMaxLifetime). */
+  val TokenMaxLifetimeMs = 604800000L
+
+  /**
+   * GetDelegationToken mint ladder (OzoneManager.getDelegationToken
+   * :4416-4445 + OzoneDelegationTokenSecretManager.createToken:199-222,
+   * updateIdentifierDetails:241-250; the leader mints in preExecute and
+   * replicates the result, OMGetDelegationTokenRequest.java:66-130):
+   *   1. isAllowedDelegationTokenOp — with security on, only KERBEROS /
+   *      KERBEROS_SSL / CERTIFICATE connections may be issued a token;
+   *      TOKEN-authenticated callers are refused INVALID_AUTH_METHOD (a
+   *      delegation token cannot mint another), but a security-OFF
+   *      deployment bypasses the gate entirely
+   *   2. no running secret manager → WARN + null token; the RPC still
+   *      SUCCEEDS with an empty response (NO_TOKEN, not an error)
+   *   3. MINTED: owner = the caller UGI, realUser rides along for proxy
+   *      callers, renew-by = issue + renewInterval, maxDate = issue +
+   *      maxLifetime.
+   *
+   * Scale shape: a pure projection over the request batch — no joins,
+   * no shuffles.
+   */
+  def getTokenDecisions(requests: DataFrame): DataFrame = {
+    val decision =
+      when(col("security_on") &&
+        !col("auth_method").isin("KERBEROS", "KERBEROS_SSL",
+          "CERTIFICATE"), lit("INVALID_AUTH_METHOD"))
+        .when(!col("mgr_running"), lit("NO_TOKEN"))
+        .otherwise(lit("MINTED"))
+    requests
+      .withColumn("decision", decision)
+      .select(col("req_id"), col("caller"), col("renewer"),
+        col("decision"),
+        when(col("decision") === "MINTED", col("caller")).otherwise(lit(""))
+          .as("owner"),
+        when(col("decision") === "MINTED", col("real_user"))
+          .otherwise(lit("")).as("real_user"),
+        when(col("decision") === "MINTED",
+          lit(TokenNowMs + TokenRenewIntervalMs)).otherwise(lit(0L))
+          .as("renew_by_ms"),
+        when(col("decision") === "MINTED",
+          lit(TokenNowMs + TokenMaxLifetimeMs)).otherwise(lit(0L))
+          .as("max_date_ms"))
+      .orderBy("req_id")
+  }
 }

@@ -187,4 +187,40 @@ class CommitLogSpec extends SparkSpecBase {
     // 'ghost' names nothing — a WARN no-op, absent from the output
     assert(!got.contains("ghost") && got.size === 5)
   }
+
+  test("snapshotMoveTableKeys: probe order, list filtering, chain gate") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val got = graft.operators.CommitLog
+      .snapshotMoveTableKeys(T.moveTableKeysRequests(spark, d),
+        T.moveTableKeysEntries(spark, d), T.snapshotChainGlobal(spark, d),
+        T.snapshotCatalogLive(spark, d), T.fsoBucketIds(spark, d))
+      .select("req_id", "decision", "destination", "moved_deleted",
+        "moved_renamed", "moved_dirs")
+      .as[(Long, String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, (r._4, r._5, r._6)))).toMap
+    assert(got(1L) === (("MOVED", "s2", (2L, 1L, 1L))))
+    // next in chain (snap-gone) is SNAPSHOT_DELETED → refuse the move
+    assert(got(2L) === (("INVALID_SNAPSHOT_ERROR", "", (0L, 0L, 0L))))
+    // the real GC case: FROM a deleted snapshot, into the next ACTIVE;
+    // the no-keyInfo / value-less / two-info rows were filtered out
+    // BEFORE validation so their bad shapes never error
+    assert(got(3L) === (("MOVED", "snap-live", (1L, 1L, 1L))))
+    assert(got(4L) === (("MOVED", "AOS", (1L, 0L, 0L))))
+    assert(got(5L) === (("MOVED", "AOS", (0L, 0L, 0L))))
+    // the from-snapshot store probe runs FIRST, even over a bad entry
+    assert(got(6L)._1 === "FILE_NOT_FOUND")
+    assert(got(7L)._1 === "INVALID_KEY_NAME")
+    assert(got(8L)._1 === "INVALID_REQUEST")
+    // the renamed-table prefix violation is reached before the dir dup
+    assert(got(9L)._1 === "INVALID_KEY_NAME")
+    // filtered dir rows don't shield the real dup behind them
+    assert(got(10L)._1 === "INVALID_REQUEST")
+    // a no-keyInfo duplicate is dropped, not a dup — the move proceeds
+    assert(got(11L) === (("MOVED", "s2", (2L, 0L, 0L))))
+    // preExecute entry validation beats the apply-stage chain gate
+    assert(got(12L)._1 === "INVALID_KEY_NAME")
+    assert(got(13L)._1 === "INVALID_REQUEST")
+  }
 }

@@ -449,6 +449,30 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(cancel(5L) === (("INVALID_TOKEN", "NO_OWNER")))
   }
 
+  test("getTokenDecisions: auth gate, manager-down success, proxy mint") {
+    import graft.operators.Security
+    val got = Security.getTokenDecisions(T.getTokenRequests(spark, sf))
+      .as[(Long, String, String, String, String, String, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(got(1L) === (("MINTED", "clerk1", "",
+      Security.TokenNowMs + Security.TokenRenewIntervalMs,
+      Security.TokenNowMs + Security.TokenMaxLifetimeMs)))
+    // a delegation token can't mint another token
+    assert(got(2L)._1 === "INVALID_AUTH_METHOD")
+    assert(got(3L)._1 === "INVALID_AUTH_METHOD")
+    // manager down: the RPC SUCCEEDS with an empty response
+    assert(got(4L)._1 === "NO_TOKEN")
+    // security off bypasses the auth-method gate entirely
+    assert(got(5L)._1 === "MINTED")
+    // proxy caller: realUser rides on the identifier
+    assert(got(6L)._2 === "svc-hive" && got(6L)._3 === "oozie")
+    // an empty renewer is fine at MINT time (only renew refuses it)
+    assert(got(7L)._1 === "MINTED")
+    // the auth gate precedes the manager probe
+    assert(got(8L)._1 === "INVALID_AUTH_METHOD")
+  }
+
   test("lifecycleDeleteDecisions: derived config state, links, owners") {
     val lcConfigs = Lifecycle.lifecycleSetDecisions(
       T.lcSetRequests(spark, sf), T.lcRuleEntries(spark, sf),
