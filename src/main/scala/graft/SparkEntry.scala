@@ -700,6 +700,13 @@ object SparkEntry {
       ClusterHealth.clusterState(T.volumes(s, d), T.buckets(s, d),
         T.objects(s, d), T.containersScm(s, d), T.replicas(s, d),
         T.datanodes(s, d), T.pipelines(s, d), T.deletedDirs(s, d))),
+    // Recon storage-distribution report: one-row composite — datanode
+    // storage sums + open/MPU replicated bytes + pending deleted
+    // key/dir (NSSummary-resolved) bytes + finalized bytes + key count.
+    "q_storage_distribution" -> ((s, d) =>
+      ClusterHealth.storageDistribution(T.datanodes(s, d), T.objects(s, d),
+        T.objectsMixed(s, d), T.openKeys(s, d), T.multipartParts(s, d),
+        T.deletedDirs(s, d))),
     // CreateDirectory ladder: root guard, file-in-path guards (self and
     // ancestor), idempotent DIR_EXISTS, minted-parents count.
     // the ancestor set IS the memoized dir warehouse (strict key
@@ -3797,6 +3804,59 @@ object SparkEntry {
         |  (SELECT count(*) FROM deleted_dirs) AS deleted_dirs""".stripMargin,
       O.objects, O.objectsMixed, O.buckets, O.volumes, O.containersScm,
       O.replicas, O.datanodes, O.pipelines, O.deletedDirs),
+
+    // Storage-distribution one-row composite: datanode sums + replicated
+    // open/MPU/pending/finalized bytes; pending dirs resolve through the
+    // NSSummary rollup (nested deleted dirs double-count, as in the ref).
+    "q_storage_distribution" -> O.withCtes(
+      s"""SELECT s.total_capacity, s.total_used, s.total_remaining,
+         |  s.total_committed, s.total_reserved, s.total_min_free,
+         |  k.pending_key_bytes, k.finalized_key_bytes, k.total_keys,
+         |  o.open_key_bytes, m.open_mpu_bytes, dd.pending_dir_bytes,
+         |  dd.pending_dir_bytes + k.pending_key_bytes + o.open_key_bytes
+         |    + k.finalized_key_bytes AS total_used_namespace
+         |FROM
+         |  (SELECT CAST(sum(capacity) AS BIGINT) AS total_capacity,
+         |    CAST(sum(used) AS BIGINT) AS total_used,
+         |    CAST(sum(remaining) AS BIGINT) AS total_remaining,
+         |    CAST(sum(committed) AS BIGINT) AS total_committed,
+         |    CAST(sum(capacity // 100 * 5) AS BIGINT) AS total_reserved,
+         |    CAST(sum(capacity // 200) AS BIGINT) AS total_min_free
+         |   FROM datanodes) s,
+         |  (SELECT
+         |    CAST(coalesce(sum(CASE WHEN version IN (4, 5)
+         |      AND (object_id // 10) % 10 = 0 THEN replicated_size END),
+         |      0) AS BIGINT) AS pending_key_bytes,
+         |    CAST(coalesce(sum(CASE WHEN NOT (version IN (4, 5)
+         |      AND (object_id // 10) % 10 = 0) THEN replicated_size END),
+         |      0) AS BIGINT) AS finalized_key_bytes,
+         |    CAST(count(*) FILTER (NOT (version IN (4, 5)
+         |      AND (object_id // 10) % 10 = 0)) AS BIGINT) AS total_keys
+         |   FROM objects) k,
+         |  (SELECT CAST(coalesce(sum(replicated_size), 0) AS BIGINT)
+         |    AS open_key_bytes FROM open_keys) o,
+         |  (SELECT CAST(coalesce(sum(size), 0) * 3 AS BIGINT)
+         |    AS open_mpu_bytes FROM multipart_parts) m,
+         |  (SELECT CAST(coalesce(sum(r.replicated_size), 0) AS BIGINT)
+         |    AS pending_dir_bytes
+         |   FROM (
+         |    SELECT volume, bucket, dir,
+         |      sum(replicated_size) AS replicated_size
+         |    FROM (
+         |      SELECT volume, bucket, replicated_size,
+         |        array_to_string(list_slice(string_split(key, '/'), 1, d),
+         |          '/') AS dir
+         |      FROM (
+         |        SELECT *, unnest(generate_series(1,
+         |          least(len(string_split(key, '/')) - 1,
+         |                ${Aggregates.MaxAncestorDepth}))) AS d
+         |        FROM objects_mixed))
+         |    GROUP BY 1, 2, 3) r
+         |   JOIN deleted_dirs dd2 ON r.volume = dd2.volume
+         |    AND r.bucket = dd2.bucket AND r.dir = dd2.dir) dd"""
+        .stripMargin,
+      O.objects, O.objectsMixed, O.openKeys, O.multipartParts,
+      O.datanodes, O.deletedDirs),
 
     // CreateDirectory ladder — prefix explode per request, file/dir
     // probes per prefix, minted = missing prefixes.

@@ -683,6 +683,71 @@ object ClusterHealth {
   }
 
   /**
+   * Recon storage-distribution report — the one-row composite the
+   * /storageDistribution endpoint serves
+   * (recon/.../api/StorageDistributionEndpoint.java:105-167
+   * getStorageDistribution + calculateGlobalStorageReport:...,
+   * calculateNamespaceMetrics:288-311, calculateOpenKeySizes;
+   * ReconGlobalMetricsService.java:71-154 open/MPU summaries,
+   * :218-247 calculatePendingSizes):
+   *   - global storage = sums of every datanode's storage report
+   *     (capacity/used/remaining/committed + the reserved and
+   *     minimum-free floors, modeled as the fixture's 5%-of-capacity
+   *     reserve and a 0.5% min-free floor);
+   *   - open_key_bytes / open_mpu_bytes = REPLICATED sizes of the open
+   *     key+file tables and the in-flight MPU parts (the fixture's MPUs
+   *     are RATIS/THREE, so ×3);
+   *   - pending_key_bytes = replicated bytes buffered in the
+   *     deletedTable (the [[Lifecycle.deletedKeysInsight]] population);
+   *   - pending_dir_bytes = Σ over deletedDirTable entries of the dir's
+   *     SUBTREE replicated size — the reference resolves each deleted
+   *     dir through its NSSummary (fetchSizeForDeletedDirectory), so
+   *     this joins the [[Aggregates.nsSummary]] rollup to the
+   *     deleted-dir dim (nested deleted dirs double-count, as there);
+   *   - total_used_namespace = pendingDir + pendingKey + openKey +
+   *     finalized, totalKeys = keyTable + fileTable counts.
+   *
+   * Scale shape: every input aggregates DOWN to a 1-row frame before the
+   * final crossJoin of six singletons; the only data-plane shuffles are
+   * the per-table hash aggs and the nsSummary rollup (two-stage,
+   * per-dir explode), with the deleted-dir dim broadcast into it.
+   */
+  def storageDistribution(datanodes: DataFrame, objects: DataFrame,
+                          objectsMixed: DataFrame, openKeys: DataFrame,
+                          multipartParts: DataFrame,
+                          deletedDirs: DataFrame): DataFrame = {
+    val storage = datanodes.agg(
+      sum("capacity").as("total_capacity"),
+      sum("used").as("total_used"),
+      sum("remaining").as("total_remaining"),
+      sum("committed").as("total_committed"),
+      sum(expr("capacity DIV 100 * 5")).as("total_reserved"),
+      sum(expr("capacity DIV 200")).as("total_min_free"))
+    val delPred = (col("version") === 4 || col("version") === 5) &&
+      expr("(object_id DIV 10) % 10") === 0
+    val keys = objects.agg(
+      coalesce(sum(when(delPred, col("replicated_size"))), lit(0L))
+        .as("pending_key_bytes"),
+      coalesce(sum(when(!delPred, col("replicated_size"))), lit(0L))
+        .as("finalized_key_bytes"),
+      sum(when(!delPred, 1L).otherwise(0L)).as("total_keys"))
+    val open = openKeys.agg(
+      coalesce(sum("replicated_size"), lit(0L)).as("open_key_bytes"))
+    val mpu = multipartParts.agg(
+      (coalesce(sum("size"), lit(0L)) * 3).as("open_mpu_bytes"))
+    val pendingDir = Aggregates.nsSummary(objectsMixed)
+      .join(broadcast(deletedDirs.select("volume", "bucket", "dir")),
+        Seq("volume", "bucket", "dir"))
+      .agg(coalesce(sum("replicated_size"), lit(0L))
+        .as("pending_dir_bytes"))
+    storage.crossJoin(keys).crossJoin(open).crossJoin(mpu)
+      .crossJoin(pendingDir)
+      .withColumn("total_used_namespace",
+        col("pending_dir_bytes") + col("pending_key_bytes") +
+          col("open_key_bytes") + col("finalized_key_bytes"))
+  }
+
+  /**
    * SCM container-report ingest fold (ContainerReportHandler:108-192 +
    * IncrementalContainerReportHandler:59-108): a FULL report REPLACES
    * the datanode's replica set — anything the node previously held that

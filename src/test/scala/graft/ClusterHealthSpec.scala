@@ -444,4 +444,28 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got === Set(
       ("dnA", 1L, "QUASI_CLOSED"), ("dnA", 4L, "CLOSED")))
   }
+
+  test("storageDistribution: one-row composite, identities hold") {
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val row = graft.operators.ClusterHealth.storageDistribution(
+      T.datanodes(spark, d), T.objects(spark, d), T.objectsMixed(spark, d),
+      T.openKeys(spark, d), T.multipartParts(spark, d),
+      T.deletedDirs(spark, d)).collect().head
+    def g(c: String): Long = row.getAs[Long](c)
+    // the namespace identity the endpoint publishes
+    assert(g("total_used_namespace") ===
+      g("pending_dir_bytes") + g("pending_key_bytes") +
+        g("open_key_bytes") + g("finalized_key_bytes"))
+    // the fixture's storage identity: remaining = capacity - used - 5%
+    assert(g("total_remaining") ===
+      g("total_capacity") - g("total_used") - g("total_reserved"))
+    // pending+finalized partition the objects table's replicated bytes
+    val allRepl = T.objects(spark, d)
+      .agg(org.apache.spark.sql.functions.sum("replicated_size"))
+      .collect().head.getLong(0)
+    assert(g("pending_key_bytes") + g("finalized_key_bytes") === allRepl)
+    assert(g("total_keys") > 0 && g("open_key_bytes") > 0 &&
+      g("open_mpu_bytes") > 0 && g("pending_dir_bytes") > 0)
+  }
 }
