@@ -589,6 +589,14 @@ object SparkEntry {
     "q_mpu_abort" -> ((s, d) =>
       Lifecycle.mpuAbort(T.mpuAbortRequests(s, d), T.multipartInfo(s, d),
         T.multipartParts(s, d), T.buckets(s, d))),
+    // CompleteMultipartUpload ladder: dir-collision beats the store
+    // probe, whole-list order scan beats the per-part walk, per part
+    // ETag beats the (non-last) 5 MiB floor; subsets complete fine.
+    "q_mpu_complete" -> ((s, d) =>
+      Lifecycle.mpuComplete(T.mpuCompleteRequestsC(s, d),
+        T.mpuCompleteReqParts(s, d), T.mpuCompleteStore(s, d),
+        T.mpuCompleteStoreParts(s, d), T.mpuCompleteDirs(s, d),
+        T.buckets(s, d))),
     // Tenant admin write ladders: create / delete (not-empty checked
     // before existence, the reference's preExecute order) / revoke.
     "q_tenant_create" -> ((s, d) =>
@@ -3270,6 +3278,111 @@ object SparkEntry {
         |         ELSE md5('upload' || order_key) END AS upload_id
         |  FROM (SELECT order_key, (order_key // 50) % 3 AS cls
         |        FROM multipart_parts GROUP BY order_key))""".stripMargin),
+
+    // CompleteMPU mirror: bucket → dir collision → store → empty list →
+    // no stored parts → order scan → per-part walk (etag then size).
+    "q_mpu_complete" -> O.withCtes(
+      """SELECT req_id, volume, bucket, key, upload_id, decision,
+        |  CASE WHEN decision = 'COMPLETED' THEN data_size_sum
+        |    ELSE 0 END AS data_size,
+        |  CASE WHEN decision = 'COMPLETED' THEN etag_of_etags
+        |    ELSE '' END AS etag
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket, r.key, r.upload_id,
+        |    a.data_size_sum, a.etag_of_etags,
+        |    CASE WHEN b.bucket IS NULL THEN 'BUCKET_NOT_FOUND'
+        |      WHEN d.dir IS NOT NULL THEN 'NOT_A_FILE'
+        |      WHEN s.upload_id IS NULL
+        |        THEN 'NO_SUCH_MULTIPART_UPLOAD_ERROR'
+        |      WHEN a.req_id IS NULL THEN 'INVALID_REQUEST'
+        |      WHEN coalesce(c.stored_parts, 0) = 0 THEN 'INVALID_PART'
+        |      WHEN a.order_err_pos IS NOT NULL THEN 'INVALID_PART_ORDER'
+        |      WHEN a.walk_err IS NOT NULL THEN a.walk_err
+        |      ELSE 'COMPLETED' END AS decision
+        |  FROM mc_reqs r
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket FROM buckets) b
+        |    ON r.volume = b.volume AND r.bucket = b.bucket
+        |  LEFT JOIN mc_dirs d ON r.volume = d.volume
+        |    AND r.bucket = d.bucket AND r.key = d.dir
+        |  LEFT JOIN mc_store s ON r.volume = s.volume
+        |    AND r.bucket = s.bucket AND r.key = s.key
+        |    AND r.upload_id = s.upload_id
+        |  LEFT JOIN mc_counts c ON r.upload_id = c.upload_id
+        |  LEFT JOIN mc_agg a ON r.req_id = a.req_id)
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets,
+      """mc_store(volume, bucket, key, upload_id) AS (VALUES
+        |  ('vol0', 'bucket0', 'mpu/a.bin', 'up-A'),
+        |  ('vol0', 'bucket0', 'mpu/b.bin', 'up-B'),
+        |  ('vol0', 'bucket0', 'mpu/c.bin', 'up-C'),
+        |  ('vol0', 'bucket0', 'dircol/d.bin', 'up-D'))""".stripMargin,
+      """mc_store_parts(upload_id, part_number, etag, size) AS (VALUES
+        |  ('up-A', 1, 'eA1', 5242880),
+        |  ('up-A', 2, 'eA2', 6291456),
+        |  ('up-A', 3, 'eA3', 1024),
+        |  ('up-C', 1, 'eC1', 1024),
+        |  ('up-C', 2, 'eC2', 6291456),
+        |  ('up-D', 1, 'eD1', 6291456))""".stripMargin,
+      """mc_reqs(req_id, volume, bucket, key, upload_id) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A'),
+        |  (2, 'vol0', 'bucket0', 'mpu/x.bin', 'up-X'),
+        |  (3, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A'),
+        |  (4, 'vol0', 'bucket0', 'mpu/b.bin', 'up-B'),
+        |  (5, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A'),
+        |  (6, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A'),
+        |  (7, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A'),
+        |  (8, 'vol0', 'bucket0', 'mpu/c.bin', 'up-C'),
+        |  (9, 'vol0', 'bucket0', 'dircol/d.bin', 'up-ghost'),
+        |  (10, 'vol0', 'no-such', 'mpu/a.bin', 'up-A'),
+        |  (11, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A'),
+        |  (12, 'vol0', 'bucket0', 'mpu/c.bin', 'up-C'),
+        |  (13, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A'),
+        |  (14, 'vol0', 'bucket0', 'mpu/c.bin', 'up-C'))""".stripMargin,
+      """mc_req_parts(req_id, pos, part_number, etag) AS (VALUES
+        |  (1, 1, 1, 'eA1'), (1, 2, 2, 'eA2'), (1, 3, 3, 'eA3'),
+        |  (2, 1, 1, 'eX1'),
+        |  (4, 1, 1, 'eB1'),
+        |  (5, 1, 1, 'eA1'), (5, 2, 3, 'eA3'), (5, 3, 2, 'eA2'),
+        |  (6, 1, 1, 'eA1'), (6, 2, 2, 'WRONG'), (6, 3, 3, 'eA3'),
+        |  (7, 1, 1, 'eA1'), (7, 2, 4, 'eA4'),
+        |  (8, 1, 1, 'eC1'), (8, 2, 2, 'eC2'),
+        |  (9, 1, 1, 'eD1'),
+        |  (10, 1, 1, 'eA1'),
+        |  (11, 1, 2, 'WRONG'), (11, 2, 1, 'eA1'),
+        |  (12, 1, 1, 'WRONG'), (12, 2, 2, 'eC2'),
+        |  (13, 1, 2, 'eA2'), (13, 2, 3, 'eA3'),
+        |  (14, 1, 2, 'eC2'))""".stripMargin,
+      """mc_dirs(volume, bucket, dir) AS (VALUES
+        |  ('vol0', 'bucket0', 'dircol/d.bin'))""".stripMargin,
+      """mc_walk AS (
+        |  SELECT p.req_id, p.pos, p.part_number, p.etag,
+        |    lag(p.part_number) OVER (PARTITION BY p.req_id ORDER BY p.pos)
+        |      AS prev_part,
+        |    sp.etag AS om_etag, sp.size AS om_size,
+        |    max(p.pos) OVER (PARTITION BY p.req_id) AS max_pos
+        |  FROM mc_req_parts p
+        |  JOIN mc_reqs r ON p.req_id = r.req_id
+        |  LEFT JOIN mc_store_parts sp ON r.upload_id = sp.upload_id
+        |    AND p.part_number = sp.part_number)""".stripMargin,
+      """mc_agg AS (
+        |  SELECT req_id, count(*) AS n_req_parts,
+        |    min(CASE WHEN prev_part IS NOT NULL
+        |      AND prev_part >= part_number THEN pos END) AS order_err_pos,
+        |    arg_min(
+        |      CASE WHEN om_etag IS NULL OR om_etag <> etag
+        |        THEN 'INVALID_PART'
+        |        WHEN pos <> max_pos AND om_size < 5242880
+        |        THEN 'ENTITY_TOO_SMALL' END,
+        |      CASE WHEN om_etag IS NULL OR om_etag <> etag
+        |        OR (pos <> max_pos AND om_size < 5242880)
+        |        THEN pos END) AS walk_err,
+        |    CAST(sum(om_size) AS BIGINT) AS data_size_sum,
+        |    md5(string_agg(etag, '' ORDER BY pos)) || '-' || count(*)
+        |      AS etag_of_etags
+        |  FROM mc_walk GROUP BY req_id)""".stripMargin,
+      """mc_counts AS (
+        |  SELECT upload_id, count(*) AS stored_parts
+        |  FROM mc_store_parts GROUP BY 1)""".stripMargin),
 
     // CreateTenant ladder: '$' delimiter → tenant-exists → volume name →
     // volume-exists (force skips) → CREATED.

@@ -2016,6 +2016,90 @@ object Tables {
         .distinct()
     }
 
+  /** mpu_complete_store: the multipartInfoTable slice the Complete
+    * ladder probes — four in-flight uploads; up-B deliberately has NO
+    * stored parts, up-D's key collides with a directory. */
+  def mpuCompleteStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("vol0", "bucket0", "mpu/a.bin", "up-A"),
+      ("vol0", "bucket0", "mpu/b.bin", "up-B"),
+      ("vol0", "bucket0", "mpu/c.bin", "up-C"),
+      ("vol0", "bucket0", "dircol/d.bin", "up-D"))
+      .toDF("volume", "bucket", "key", "upload_id")
+  }
+
+  /** mpu_complete_store_parts: committed parts per upload. up-A part 1
+    * sits EXACTLY on the 5 MiB floor (boundary passes), part 3 is a
+    * small LAST part; up-C part 1 is undersized (the ENTITY_TOO_SMALL
+    * probe when referenced as a non-last part). */
+  def mpuCompleteStoreParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("up-A", 1, "eA1", 5242880L),
+      ("up-A", 2, "eA2", 6291456L),
+      ("up-A", 3, "eA3", 1024L),
+      ("up-C", 1, "eC1", 1024L),
+      ("up-C", 2, "eC2", 6291456L),
+      ("up-D", 1, "eD1", 6291456L))
+      .toDF("upload_id", "part_number", "etag", "size")
+  }
+
+  /** mpu_complete_requests: every S3MultipartUploadCompleteRequest
+    * branch — happy multi-part, unknown upload, empty part list, upload
+    * with no stored parts, out-of-order list, ETag mismatch, absent part
+    * number, undersized non-last part, dir-collision-beats-store-probe,
+    * missing bucket, order-beats-etag, etag-beats-size, subset
+    * completion, and single-part completion of an upload whose OTHER
+    * stored part is undersized. */
+  def mpuCompleteRequestsC(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "mpu/a.bin", "up-A"),
+      (2L, "vol0", "bucket0", "mpu/x.bin", "up-X"),
+      (3L, "vol0", "bucket0", "mpu/a.bin", "up-A"),
+      (4L, "vol0", "bucket0", "mpu/b.bin", "up-B"),
+      (5L, "vol0", "bucket0", "mpu/a.bin", "up-A"),
+      (6L, "vol0", "bucket0", "mpu/a.bin", "up-A"),
+      (7L, "vol0", "bucket0", "mpu/a.bin", "up-A"),
+      (8L, "vol0", "bucket0", "mpu/c.bin", "up-C"),
+      (9L, "vol0", "bucket0", "dircol/d.bin", "up-ghost"),
+      (10L, "vol0", "no-such", "mpu/a.bin", "up-A"),
+      (11L, "vol0", "bucket0", "mpu/a.bin", "up-A"),
+      (12L, "vol0", "bucket0", "mpu/c.bin", "up-C"),
+      (13L, "vol0", "bucket0", "mpu/a.bin", "up-A"),
+      (14L, "vol0", "bucket0", "mpu/c.bin", "up-C"))
+      .toDF("req_id", "volume", "bucket", "key", "upload_id")
+  }
+
+  /** mpu_complete_req_parts: the client part lists, one row per entry
+    * in list order. */
+  def mpuCompleteReqParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 1, 1, "eA1"), (1L, 2, 2, "eA2"), (1L, 3, 3, "eA3"),
+      (2L, 1, 1, "eX1"),
+      (4L, 1, 1, "eB1"),
+      (5L, 1, 1, "eA1"), (5L, 2, 3, "eA3"), (5L, 3, 2, "eA2"),
+      (6L, 1, 1, "eA1"), (6L, 2, 2, "WRONG"), (6L, 3, 3, "eA3"),
+      (7L, 1, 1, "eA1"), (7L, 2, 4, "eA4"),
+      (8L, 1, 1, "eC1"), (8L, 2, 2, "eC2"),
+      (9L, 1, 1, "eD1"),
+      (10L, 1, 1, "eA1"),
+      (11L, 1, 2, "WRONG"), (11L, 2, 1, "eA1"),
+      (12L, 1, 1, "WRONG"), (12L, 2, 2, "eC2"),
+      (13L, 1, 2, "eA2"), (13L, 2, 3, "eA3"),
+      (14L, 1, 2, "eC2"))
+      .toDF("req_id", "pos", "part_number", "etag")
+  }
+
+  /** mpu_complete_dirs: the directory that collides with up-D's key —
+    * the checkDirectoryAlreadyExists probe. */
+  def mpuCompleteDirs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(("vol0", "bucket0", "dircol/d.bin")).toDF("volume", "bucket", "dir")
+  }
+
   /** mpu_commit_requests: a CommitPart batch over the open-part set —
     * cls picks the probe: 0 commit (replaced iff the part is already in
     * the parts table), 1 clientID mismatch, 2 unknown uploadId, 3 blank

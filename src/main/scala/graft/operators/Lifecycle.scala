@@ -753,6 +753,105 @@ object Lifecycle {
       .orderBy("req_id")
   }
 
+  /** The reference's multipart minimum part size
+    * (OzoneConsts.OM_MULTIPART_MIN_SIZE = 5 MiB, OzoneConsts.java:357) —
+    * every part but the LAST in the request list must meet it. */
+  val MinMpuPartSize = 5L * 1024 * 1024
+
+  /**
+   * CompleteMultipartUpload ladder — the S3 write path's final step
+   * (S3MultipartUploadCompleteRequest.java, reference decision order):
+   *   1. bucket/volume probe (validateBucketAndVolume)
+   *   2. checkDirectoryAlreadyExists (:263,:425-436) — a directory at
+   *      the key path refuses NOT_A_FILE, and this runs BEFORE the
+   *      multipartInfoTable probe (probed with an unknown uploadId on a
+   *      colliding key)
+   *   3. multipartInfoTable miss → NO_SUCH_MULTIPART_UPLOAD_ERROR (:266)
+   *   4. empty client part list → INVALID_REQUEST (:376-379)
+   *   5. upload with NO parts in OM → INVALID_PART (:290-295)
+   *   6. the WHOLE list's order scan (getPartsListSize:614-637):
+   *      prev >= current at any index → INVALID_PART_ORDER — this scan
+   *      completes BEFORE any per-part validation
+   *   7. the per-part walk in list order (getMultipartDataSize:640-694):
+   *      per part, the stored-part lookup + ETag match first
+   *      (INVALID_PART), then — for every part but the request's LAST —
+   *      the stored size against the 5 MiB floor (ENTITY_TOO_SMALL);
+   *      the earliest failing part decides
+   *   8. COMPLETED: data_size = Σ referenced stored sizes, ETag-of-ETags
+   *      = md5(concat of part ETags in list order) + "-" + partCount.
+   *      A SUBSET of stored parts completes fine (AWS parity — the
+   *      unreferenced parts are discarded).
+   *
+   * Scale shape: request/store dims broadcast; the part-list walk is one
+   * lag window + one groupBy on req_id over protocol-sized lists.
+   */
+  def mpuComplete(requests: DataFrame, reqParts: DataFrame,
+                  store: DataFrame, storeParts: DataFrame,
+                  dirs: DataFrame, buckets: DataFrame): DataFrame = {
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumn("bkt_exists", lit(true))
+    val dirProbe = dirs.select(col("volume"), col("bucket"),
+      col("dir").as("key"), lit(true).as("dir_collides"))
+    val storeProbe = store.select(col("volume"), col("bucket"),
+      col("key"), col("upload_id"), lit(true).as("mpu_exists"))
+    val storedCount = storeParts.groupBy("upload_id")
+      .agg(count(lit(1)).as("stored_parts"))
+    // the per-request part walk: order scan + stored-part lookup
+    val walked = reqParts
+      .join(broadcast(requests.select("req_id", "upload_id")),
+        Seq("req_id"))
+      .withColumn("prev_part", lag("part_number", 1).over(
+        Window.partitionBy("req_id").orderBy("pos")))
+      .join(broadcast(storeParts.select(col("upload_id"),
+          col("part_number"), col("etag").as("om_etag"),
+          col("size").as("om_size"))),
+        Seq("upload_id", "part_number"), "left")
+      .withColumn("max_pos",
+        max("pos").over(Window.partitionBy("req_id")))
+    val perReq = walked.groupBy("req_id").agg(
+      count(lit(1)).as("n_req_parts"),
+      min(when(col("prev_part").isNotNull &&
+        col("prev_part") >= col("part_number"), col("pos")))
+        .as("order_err_pos"),
+      // per part: lookup/etag first, then (non-last) the size floor
+      min(when(col("om_etag").isNull || col("om_etag") =!= col("etag"),
+        struct(col("pos"), lit("INVALID_PART").as("e")))
+        .when(col("pos") =!= col("max_pos") &&
+          col("om_size") < MinMpuPartSize,
+          struct(col("pos"), lit("ENTITY_TOO_SMALL").as("e"))))
+        .as("walk_err"),
+      sum("om_size").as("data_size_sum"),
+      concat(
+        md5(concat_ws("", sort_array(
+          collect_list(struct(col("pos"), col("etag")))).getField("etag"))),
+        lit("-"), count(lit(1)).cast("string")).as("etag_of_etags"))
+    requests
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(dirProbe), Seq("volume", "bucket", "key"), "left")
+      .join(broadcast(storeProbe),
+        Seq("volume", "bucket", "key", "upload_id"), "left")
+      .join(broadcast(storedCount), Seq("upload_id"), "left")
+      .join(broadcast(perReq), Seq("req_id"), "left")
+      .withColumn("decision",
+        when(col("bkt_exists").isNull, lit("BUCKET_NOT_FOUND"))
+          .when(col("dir_collides").isNotNull, lit("NOT_A_FILE"))
+          .when(col("mpu_exists").isNull,
+            lit("NO_SUCH_MULTIPART_UPLOAD_ERROR"))
+          .when(col("n_req_parts").isNull, lit("INVALID_REQUEST"))
+          .when(coalesce(col("stored_parts"), lit(0L)) === 0L,
+            lit("INVALID_PART"))
+          .when(col("order_err_pos").isNotNull, lit("INVALID_PART_ORDER"))
+          .when(col("walk_err").isNotNull, col("walk_err.e"))
+          .otherwise(lit("COMPLETED")))
+      .select(col("req_id"), col("volume"), col("bucket"), col("key"),
+        col("upload_id"), col("decision"),
+        when(col("decision") === "COMPLETED", col("data_size_sum"))
+          .otherwise(lit(0L)).as("data_size"),
+        when(col("decision") === "COMPLETED", col("etag_of_etags"))
+          .otherwise(lit("")).as("etag"))
+      .orderBy("req_id")
+  }
+
   /**
    * SetTimes ladder (OMKeySetTimesRequest): mtime < -1 rejected in
    * preExecute (:211-212, BEFORE any lookup) → INVALID_REQUEST; bucket

@@ -473,6 +473,41 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(got(8L)._1 === "INVALID_AUTH_METHOD")
   }
 
+  test("mpuComplete: probe order, part walk precedence, subsets") {
+    import graft.operators.Lifecycle
+    val got = Lifecycle.mpuComplete(T.mpuCompleteRequestsC(spark, sf),
+      T.mpuCompleteReqParts(spark, sf), T.mpuCompleteStore(spark, sf),
+      T.mpuCompleteStoreParts(spark, sf), T.mpuCompleteDirs(spark, sf),
+      T.buckets(spark, sf))
+      .select("req_id", "decision", "data_size", "etag")
+      .as[(Long, String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // happy path: part 1 sits EXACTLY on the 5 MiB floor (boundary
+    // passes), part 3 is a small LAST part (allowed)
+    assert(got(1L)._1 === "COMPLETED")
+    assert(got(1L)._2 === 5242880L + 6291456L + 1024L)
+    assert(got(1L)._3.endsWith("-3"))
+    assert(got(2L)._1 === "NO_SUCH_MULTIPART_UPLOAD_ERROR")
+    assert(got(3L)._1 === "INVALID_REQUEST") // empty part list
+    assert(got(4L)._1 === "INVALID_PART")    // upload has no parts in OM
+    assert(got(5L)._1 === "INVALID_PART_ORDER")
+    assert(got(6L)._1 === "INVALID_PART")    // ETag mismatch
+    assert(got(7L)._1 === "INVALID_PART")    // absent part number
+    assert(got(8L)._1 === "ENTITY_TOO_SMALL")
+    // the directory collision refuses BEFORE the store probe misses
+    assert(got(9L)._1 === "NOT_A_FILE")
+    assert(got(10L)._1 === "BUCKET_NOT_FOUND")
+    // the whole-list order scan completes before any per-part check
+    assert(got(11L)._1 === "INVALID_PART_ORDER")
+    // within the walk, part 1's ETag beats part 1's size floor
+    assert(got(12L)._1 === "INVALID_PART")
+    // a SUBSET of stored parts completes (AWS parity)
+    assert(got(13L) === (("COMPLETED", 6291456L + 1024L,
+      got(13L)._3)) && got(13L)._3.endsWith("-2"))
+    // single-part complete: the unreferenced undersized part is moot
+    assert(got(14L)._1 === "COMPLETED" && got(14L)._2 === 6291456L)
+  }
+
   test("lifecycleDeleteDecisions: derived config state, links, owners") {
     val lcConfigs = Lifecycle.lifecycleSetDecisions(
       T.lcSetRequests(spark, sf), T.lcRuleEntries(spark, sf),
