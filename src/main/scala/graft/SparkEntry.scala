@@ -335,6 +335,9 @@ object SparkEntry {
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(T.documents(s, d))),
     "q_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(T.documents(s, d))),
+    // Gopher rule cascade: first failing rule named, published order.
+    "q_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(T.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(T.documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(T.documents(s, d))),
@@ -527,6 +530,13 @@ object SparkEntry {
     // against current key state — request batches broadcast into the scan
     "q_copy_object" -> ((s, d) =>
       S3Ops.copyObjects(T.objects(s, d), T.copyRequests(s, d))),
+    // UploadPartCopy ladder: target bucket → source header parse/decode
+    // → source probes → range → time preconditions (future dates
+    // ignored) → the OM upload probe LAST.
+    "q_copy_part" -> ((s, d) =>
+      S3Ops.uploadPartCopy(T.copyPartRequests(s, d),
+        T.copyPartSources(s, d), T.mpuCompleteStore(s, d),
+        T.buckets(s, d))),
     // PutObjectTagging: gateway tag-set validation (first failing tag in
     // list order) ahead of the OM bucket/key probes — branch order per
     // EndpointBase.validateAndGetTagging + S3PutObjectTaggingRequest.
@@ -1832,6 +1842,34 @@ object SparkEntry {
 
     "q_quality_score" -> qualityScoreOracle,
 
+    // Gopher cascade mirror: integer basis points, first failing rule.
+    "q_gopher_rules" -> O.withCtes(
+      """SELECT doc_id, n_tokens, mean_wlen_x100, sym_ratio_x1000,
+        |  alpha_frac_x1000, n_req_stop,
+        |  CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 'WORD_COUNT'
+        |    WHEN mean_wlen_x100 < 300 OR mean_wlen_x100 > 1000
+        |      THEN 'MEAN_WORD_LENGTH'
+        |    WHEN sym_ratio_x1000 > 100 THEN 'SYMBOL_RATIO'
+        |    WHEN alpha_frac_x1000 < 800 THEN 'ALPHA_FRACTION'
+        |    WHEN n_req_stop < 2 THEN 'STOPWORDS'
+        |    ELSE 'KEEP' END AS verdict
+        |FROM (
+        |  SELECT doc_id, len(ws) AS n_tokens,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(list_sum([len(x) for x in ws]) AS BIGINT) * 100
+        |        // len(ws) ELSE 0 END AS mean_wlen_x100,
+        |    CAST(len([x for x in ws
+        |      if contains(x, '#') OR contains(x, '...')]) AS BIGINT)
+        |      * 1000 // len(ws) AS sym_ratio_x1000,
+        |    CAST(len([x for x in ws
+        |      if regexp_matches(x, '[a-z]')]) AS BIGINT) * 1000
+        |      // len(ws) AS alpha_frac_x1000,
+        |    CAST(len([x for x in list_distinct(ws)
+        |      if list_contains(['the', 'be', 'to', 'of', 'and', 'that',
+        |        'have', 'with'], x)]) AS BIGINT) AS n_req_stop
+        |  FROM doc_words)
+        |ORDER BY doc_id""".stripMargin, O.docWords),
+
     "q_lang_id" -> langIdOracle,
 
     "q_doc_fingerprint" -> O.withCtes(
@@ -2601,6 +2639,116 @@ object SparkEntry {
     // CopyObject decision table: source looked up FIRST (missing source
     // wins over self-copy checks), self-copy w/o metadata change illegal,
     // storage-class self-copy allowed, copies carry the source ETag.
+    // UploadPartCopy mirror: header parse → source probes → range →
+    // time preconditions → upload probe.
+    "q_copy_part" -> O.withCtes(
+      """SELECT req_id, bucket, key, upload_id, part_number, decision,
+        |  CAST(CASE WHEN decision = 'COPIED' THEN
+        |    CASE WHEN r_start IS NOT NULL THEN r_end - r_start + 1
+        |      ELSE src_size END ELSE 0 END AS BIGINT) AS copied_length,
+        |  CASE WHEN decision = 'COPIED'
+        |    THEN md5(src_etag || '-p' || part_number)
+        |    ELSE '' END AS part_etag
+        |FROM (
+        |  SELECT p.req_id, p.bucket, p.key, p.upload_id, p.part_number,
+        |    p.r_start, p.r_end, s.size AS src_size, s.etag AS src_etag,
+        |    CASE WHEN b.bucket IS NULL THEN 'NO_SUCH_BUCKET'
+        |      WHEN p.slash_pos = 0 THEN 'INVALID_ARGUMENT'
+        |      WHEN sb.src_bucket IS NULL THEN 'NO_SUCH_BUCKET'
+        |      WHEN s.etag IS NULL THEN 'NO_SUCH_KEY'
+        |      WHEN p.range_bad THEN 'INVALID_ARGUMENT'
+        |      WHEN p.r_start IS NOT NULL AND (p.r_start > p.r_end
+        |        OR p.r_end >= s.size) THEN 'INVALID_RANGE'
+        |      WHEN NOT (p.ifmod_eff <= s.mtime_ms
+        |        AND s.mtime_ms <= p.ifunmod_eff) THEN 'PRECOND_FAILED'
+        |      WHEN u.upload_id IS NULL THEN 'NO_SUCH_UPLOAD'
+        |      ELSE 'COPIED' END AS decision
+        |  FROM cp_parsed p
+        |  LEFT JOIN (SELECT DISTINCT volume, bucket FROM buckets) b
+        |    ON p.volume = b.volume AND p.bucket = b.bucket
+        |  LEFT JOIN (SELECT DISTINCT bucket AS src_bucket FROM cp_src) sb
+        |    ON p.src_bucket = sb.src_bucket
+        |  LEFT JOIN cp_src s ON p.src_bucket = s.bucket
+        |    AND p.src_key = s.key
+        |  LEFT JOIN cp_store u ON p.volume = u.volume
+        |    AND p.bucket = u.bucket AND p.key = u.key
+        |    AND p.upload_id = u.upload_id)
+        |ORDER BY req_id""".stripMargin,
+      O.objects, O.buckets,
+      """cp_src(bucket, key, size, mtime_ms, etag) AS (VALUES
+        |  ('srcb', 'data/one.dat', 1000, 1700000000000, 's-e1'),
+        |  ('srcb', 'sp ace.dat', 500, 1690000000000, 's-e2'),
+        |  ('srcb', 'big.dat', 10000, 1699999999999, 's-e3'))"""
+        .stripMargin,
+      """cp_store(volume, bucket, key, upload_id) AS (VALUES
+        |  ('vol0', 'bucket0', 'mpu/a.bin', 'up-A'),
+        |  ('vol0', 'bucket0', 'mpu/b.bin', 'up-B'),
+        |  ('vol0', 'bucket0', 'mpu/c.bin', 'up-C'),
+        |  ('vol0', 'bucket0', 'dircol/d.bin', 'up-D'))""".stripMargin,
+      """cp_reqs(req_id, volume, bucket, key, upload_id, part_number,
+        |    copy_header, range_header, ifmod_ms, ifunmod_ms) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 1,
+        |    'srcb/data/one.dat', '', -1, -1),
+        |  (2, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 2,
+        |    'srcb/data/one.dat', 'bytes=0-99', -1, -1),
+        |  (3, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 3,
+        |    'nobucketnoslash', '', -1, -1),
+        |  (4, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 4,
+        |    '/srcb/data/one.dat', '', -1, -1),
+        |  (5, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 5,
+        |    '/srcb/sp%20ace.dat', '', -1, -1),
+        |  (6, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 6,
+        |    'ghostb/data/one.dat', '', -1, -1),
+        |  (7, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 7,
+        |    'srcb/ghost.dat', '', -1, -1),
+        |  (8, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 8,
+        |    'srcb/data/one.dat', 'bytes=5-', -1, -1),
+        |  (9, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 9,
+        |    'srcb/data/one.dat', 'bytes=50-40', -1, -1),
+        |  (10, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 10,
+        |    'srcb/data/one.dat', 'bytes=0-1000', -1, -1),
+        |  (11, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 11,
+        |    'srcb/sp%20ace.dat', '', 1695000000000, -1),
+        |  (12, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 12,
+        |    'srcb/sp%20ace.dat', '', -1, 1680000000000),
+        |  (13, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 13,
+        |    'srcb/data/one.dat', '', 1800000000000, -1),
+        |  (14, 'vol0', 'bucket0', 'mpu/a.bin', 'up-ghost', 14,
+        |    'srcb/data/one.dat', '', -1, -1),
+        |  (15, 'vol0', 'no-such', 'mpu/a.bin', 'up-A', 15,
+        |    'noslash', '', -1, -1),
+        |  (16, 'vol0', 'bucket0', 'mpu/a.bin', 'up-A', 16,
+        |    'srcb/big.dat', 'bytes=9000-9999', -1, -1))""".stripMargin,
+      """cp_parsed AS (
+        |  SELECT req_id, volume, bucket, key, upload_id, part_number,
+        |    hdr, instr(hdr, '/') AS slash_pos,
+        |    CASE WHEN instr(hdr, '/') > 0
+        |      THEN substr(hdr, 1, instr(hdr, '/') - 1) ELSE '' END
+        |      AS src_bucket,
+        |    CASE WHEN instr(hdr, '/') > 0
+        |      THEN replace(substr(hdr, instr(hdr, '/') + 1), '%20', ' ')
+        |      ELSE '' END AS src_key,
+        |    range_header <> '' AND
+        |      regexp_extract(range_header, '^bytes=(\d+)-(\d+)$', 1) = ''
+        |      AS range_bad,
+        |    CASE WHEN regexp_extract(range_header,
+        |        '^bytes=(\d+)-(\d+)$', 1) <> ''
+        |      THEN CAST(regexp_extract(range_header,
+        |        '^bytes=(\d+)-(\d+)$', 1) AS BIGINT) END AS r_start,
+        |    CASE WHEN regexp_extract(range_header,
+        |        '^bytes=(\d+)-(\d+)$', 2) <> ''
+        |      THEN CAST(regexp_extract(range_header,
+        |        '^bytes=(\d+)-(\d+)$', 2) AS BIGINT) END AS r_end,
+        |    CASE WHEN ifmod_ms >= 0 AND ifmod_ms <= 1700000000000
+        |      THEN ifmod_ms ELSE -9223372036854775807 END AS ifmod_eff,
+        |    CASE WHEN ifunmod_ms >= 0 AND ifunmod_ms <= 1700000000000
+        |      THEN ifunmod_ms ELSE 9223372036854775807 END
+        |      AS ifunmod_eff
+        |  FROM (
+        |    SELECT *, CASE WHEN starts_with(copy_header, '/')
+        |      THEN substr(copy_header, 2) ELSE copy_header END AS hdr
+        |    FROM cp_reqs))""".stripMargin),
+
     "q_copy_object" -> O.withCtes(
       """SELECT volume, bucket, src_key, dst_key, status,
         |  CASE WHEN status LIKE 'COPIED%' THEN src_etag ELSE '' END AS etag,

@@ -2100,6 +2100,65 @@ object Tables {
     Seq(("vol0", "bucket0", "dircol/d.bin")).toDF("volume", "bucket", "dir")
   }
 
+  /** copy_part_sources: the source-object catalog the UploadPartCopy
+    * ladder reads (all on vol0): one key carrying a space (the
+    * url-decode probe), one sized for range boundary probes. */
+  def copyPartSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("srcb", "data/one.dat", 1000L, 1700000000000L, "s-e1"),
+      ("srcb", "sp ace.dat", 500L, 1690000000000L, "s-e2"),
+      ("srcb", "big.dat", 10000L, 1699999999999L, "s-e3"))
+      .toDF("bucket", "key", "size", "mtime_ms", "etag")
+  }
+
+  /** copy_part_requests: every UploadPartCopy branch — full and ranged
+    * copies, slash-less header, leading-slash and url-encoded sources,
+    * missing source bucket/key, malformed and out-of-bounds ranges,
+    * both copy-source time preconditions (and the future-date-ignored
+    * rung), unknown target upload (probed AFTER source validation), and
+    * target-bucket-first ordering. ifmod/ifunmod = -1 means the header
+    * is absent. */
+  def copyPartRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "mpu/a.bin", "up-A", 1,
+        "srcb/data/one.dat", "", -1L, -1L),
+      (2L, "vol0", "bucket0", "mpu/a.bin", "up-A", 2,
+        "srcb/data/one.dat", "bytes=0-99", -1L, -1L),
+      (3L, "vol0", "bucket0", "mpu/a.bin", "up-A", 3,
+        "nobucketnoslash", "", -1L, -1L),
+      (4L, "vol0", "bucket0", "mpu/a.bin", "up-A", 4,
+        "/srcb/data/one.dat", "", -1L, -1L),
+      (5L, "vol0", "bucket0", "mpu/a.bin", "up-A", 5,
+        "/srcb/sp%20ace.dat", "", -1L, -1L),
+      (6L, "vol0", "bucket0", "mpu/a.bin", "up-A", 6,
+        "ghostb/data/one.dat", "", -1L, -1L),
+      (7L, "vol0", "bucket0", "mpu/a.bin", "up-A", 7,
+        "srcb/ghost.dat", "", -1L, -1L),
+      (8L, "vol0", "bucket0", "mpu/a.bin", "up-A", 8,
+        "srcb/data/one.dat", "bytes=5-", -1L, -1L),
+      (9L, "vol0", "bucket0", "mpu/a.bin", "up-A", 9,
+        "srcb/data/one.dat", "bytes=50-40", -1L, -1L),
+      (10L, "vol0", "bucket0", "mpu/a.bin", "up-A", 10,
+        "srcb/data/one.dat", "bytes=0-1000", -1L, -1L),
+      (11L, "vol0", "bucket0", "mpu/a.bin", "up-A", 11,
+        "srcb/sp%20ace.dat", "", 1695000000000L, -1L),
+      (12L, "vol0", "bucket0", "mpu/a.bin", "up-A", 12,
+        "srcb/sp%20ace.dat", "", -1L, 1680000000000L),
+      (13L, "vol0", "bucket0", "mpu/a.bin", "up-A", 13,
+        "srcb/data/one.dat", "", 1800000000000L, -1L),
+      (14L, "vol0", "bucket0", "mpu/a.bin", "up-ghost", 14,
+        "srcb/data/one.dat", "", -1L, -1L),
+      (15L, "vol0", "no-such", "mpu/a.bin", "up-A", 15,
+        "noslash", "", -1L, -1L),
+      (16L, "vol0", "bucket0", "mpu/a.bin", "up-A", 16,
+        "srcb/big.dat", "bytes=9000-9999", -1L, -1L))
+      .toDF("req_id", "volume", "bucket", "key", "upload_id",
+        "part_number", "copy_header", "range_header", "ifmod_ms",
+        "ifunmod_ms")
+  }
+
   /** mpu_commit_requests: a CommitPart batch over the open-part set —
     * cls picks the probe: 0 commit (replaced iff the part is already in
     * the parts table), 1 clientID mismatch, 2 unknown uploadId, 3 blank

@@ -414,4 +414,105 @@ object S3Ops {
           coalesce(col("has_tags"), lit(false))).as("had_tags"))
       .orderBy("req_id")
   }
+
+  /** The copy-precondition plane's "now" — future If-*-Since dates are
+    * ignored (S3ConditionalRequest.parseAndValidatePastOrPresentDate). */
+  val CopyNowMs = 1700000000000L
+
+  /**
+   * UploadPartCopy ladder (ObjectEndpoint.createMultipartKey's
+   * copy-header branch, ObjectEndpoint.java:956-1075 +
+   * EndpointBase.parseSourceHeader + S3ConditionalRequest
+   * .checkCopySourceModificationTime:134-153), reference order:
+   *   1. target bucket resolution (NO_SUCH_BUCKET — probed first)
+   *   2. parseSourceHeader: strip one leading '/', must contain a
+   *      bucket/key split → INVALID_ARGUMENT; the key part url-decodes
+   *   3. source bucket / source key lookups (NO_SUCH_BUCKET /
+   *      NO_SUCH_KEY)
+   *   4. x-amz-copy-source-range: strict `bytes=<start>-<end>` with
+   *      BOTH bounds present → INVALID_ARGUMENT; start > end or
+   *      end >= source size → INVALID_RANGE; a ranged copy's length is
+   *      end - start + 1, else the full source size
+   *   5. copy-source If-Modified/Unmodified-Since: pass iff
+   *      ifModified <= mtime <= ifUnmodified, with absent AND
+   *      future-dated headers ignored → PRECOND_FAILED
+   *   6. the OM createMultipartKey probe — an unknown target upload
+   *      fails only AFTER all source validation (NO_SUCH_UPLOAD)
+   *   7. COPIED: copied_length per the range, a deterministic part ETag
+   *      minted from the source ETag + part number.
+   *
+   * Scale shape: a pure projection over the request batch with four
+   * broadcast control-plane probes — zero shuffles.
+   */
+  def uploadPartCopy(requests: DataFrame, sources: DataFrame,
+                     mpuStore: DataFrame, buckets: DataFrame): DataFrame = {
+    val bktProbe = buckets.select("volume", "bucket").distinct()
+      .withColumn("tgt_bkt_ok", lit(true))
+    val srcBkts = sources.select(col("bucket").as("src_bucket")).distinct()
+      .withColumn("src_bkt_ok", lit(true))
+    val srcProbe = sources.select(col("bucket").as("src_bucket"),
+      col("key").as("src_key"), col("size").as("src_size"),
+      col("mtime_ms").as("src_mtime"), col("etag").as("src_etag"))
+    val uploadProbe = mpuStore.select(col("volume"), col("bucket"),
+      col("key"), col("upload_id"), lit(true).as("upload_ok"))
+    val parsed = requests
+      .withColumn("hdr",
+        when(col("copy_header").startsWith("/"),
+          expr("substring(copy_header, 2)")).otherwise(col("copy_header")))
+      .withColumn("slash_pos", instr(col("hdr"), "/"))
+      .withColumn("src_bucket",
+        when(col("slash_pos") > 0,
+          expr("substring(hdr, 1, slash_pos - 1)")).otherwise(lit("")))
+      .withColumn("src_key",
+        when(col("slash_pos") > 0,
+          expr("url_decode(substring(hdr, slash_pos + 1))"))
+          .otherwise(lit("")))
+      .withColumn("r_start_s",
+        regexp_extract(col("range_header"), "^bytes=(\\d+)-(\\d+)$", 1))
+      .withColumn("r_end_s",
+        regexp_extract(col("range_header"), "^bytes=(\\d+)-(\\d+)$", 2))
+      .withColumn("range_bad",
+        col("range_header") =!= "" && col("r_start_s") === "")
+      .withColumn("r_start", when(col("r_start_s") =!= "",
+        col("r_start_s").cast("long")))
+      .withColumn("r_end", when(col("r_end_s") =!= "",
+        col("r_end_s").cast("long")))
+    val ifmodEff = when(col("ifmod_ms") >= 0 &&
+      col("ifmod_ms") <= CopyNowMs, col("ifmod_ms"))
+      .otherwise(lit(Long.MinValue))
+    val ifunmodEff = when(col("ifunmod_ms") >= 0 &&
+      col("ifunmod_ms") <= CopyNowMs, col("ifunmod_ms"))
+      .otherwise(lit(Long.MaxValue))
+    parsed
+      .join(broadcast(bktProbe), Seq("volume", "bucket"), "left")
+      .join(broadcast(srcBkts), Seq("src_bucket"), "left")
+      .join(broadcast(srcProbe), Seq("src_bucket", "src_key"), "left")
+      .join(broadcast(uploadProbe),
+        Seq("volume", "bucket", "key", "upload_id"), "left")
+      .withColumn("decision",
+        when(col("tgt_bkt_ok").isNull, lit("NO_SUCH_BUCKET"))
+          .when(col("slash_pos") === 0, lit("INVALID_ARGUMENT"))
+          .when(col("src_bkt_ok").isNull, lit("NO_SUCH_BUCKET"))
+          .when(col("src_etag").isNull, lit("NO_SUCH_KEY"))
+          .when(col("range_bad"), lit("INVALID_ARGUMENT"))
+          .when(col("r_start").isNotNull &&
+            (col("r_start") > col("r_end") ||
+              col("r_end") >= col("src_size")), lit("INVALID_RANGE"))
+          .when(!(ifmodEff <= col("src_mtime") &&
+            col("src_mtime") <= ifunmodEff), lit("PRECOND_FAILED"))
+          .when(col("upload_ok").isNull, lit("NO_SUCH_UPLOAD"))
+          .otherwise(lit("COPIED")))
+      .select(col("req_id"), col("bucket"), col("key"), col("upload_id"),
+        col("part_number"), col("decision"),
+        when(col("decision") === "COPIED",
+          when(col("r_start").isNotNull,
+            col("r_end") - col("r_start") + 1)
+            .otherwise(col("src_size"))).otherwise(lit(0L))
+          .as("copied_length"),
+        when(col("decision") === "COPIED",
+          md5(concat(col("src_etag"), lit("-p"),
+            col("part_number").cast("string")))).otherwise(lit(""))
+          .as("part_etag"))
+      .orderBy("req_id")
+  }
 }

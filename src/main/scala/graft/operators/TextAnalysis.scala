@@ -63,6 +63,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The Gopher rule cascade's required stopword set (the canonical
+    * eight from the Gopher quality filters; a document must contain at
+    * least two of them). */
+  val GopherReqStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style quality-rule CASCADE — the named-reason filter shape
+   * production corpora use (Gopher §A / Dolma / FineWeb): unlike the
+   * blended [[qualityScore]], each document reports the FIRST failing
+   * rule, in the published order:
+   *   1. word count in [50, 100 000]            → WORD_COUNT
+   *   2. mean word length in [3, 10] chars      → MEAN_WORD_LENGTH
+   *   3. symbol-to-word ratio ('#'/'...') ≤ 0.1 → SYMBOL_RATIO
+   *   4. words with an alphabetic char ≥ 0.80   → ALPHA_FRACTION
+   *   5. ≥ 2 of the required stopwords          → STOPWORDS
+   * All thresholds are integer basis points — deterministic across
+   * engines. Scale shape: a pure codegen'd projection, no shuffle.
+   */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stopList = GopherReqStops.map(s => s"'$s'").mkString(", ")
+    docs
+      .withColumn("ws", split(normText(col("text")), " "))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(ws, 0L, (a, x) -> a + length(x))"))
+      .withColumn("mean_wlen_x100",
+        expr("CASE WHEN n_tokens > 0 THEN sum_len * 100 DIV n_tokens " +
+          "ELSE 0L END"))
+      .withColumn("sym_ratio_x1000",
+        expr("size(filter(ws, x -> contains(x, '#') OR " +
+          "contains(x, '...'))) * 1000 DIV n_tokens"))
+      .withColumn("alpha_frac_x1000",
+        expr("size(filter(ws, x -> x rlike '[a-z]')) * 1000 " +
+          "DIV n_tokens"))
+      .withColumn("n_req_stop",
+        expr(s"size(filter(array_distinct(ws), x -> x IN ($stopList)))")
+          .cast("long"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 50 || col("n_tokens") > 100000,
+          lit("WORD_COUNT"))
+          .when(col("mean_wlen_x100") < 300 ||
+            col("mean_wlen_x100") > 1000, lit("MEAN_WORD_LENGTH"))
+          .when(col("sym_ratio_x1000") > 100, lit("SYMBOL_RATIO"))
+          .when(col("alpha_frac_x1000") < 800, lit("ALPHA_FRACTION"))
+          .when(col("n_req_stop") < 2, lit("STOPWORDS"))
+          .otherwise(lit("KEEP")))
+      .select("doc_id", "n_tokens", "mean_wlen_x100", "sym_ratio_x1000",
+        "alpha_frac_x1000", "n_req_stop", "verdict")
+      .orderBy("doc_id")
+  }
+
   /** Marker-occurrence language ID: per-language integer scores via
     * occurrence counting (length delta / marker length), argmax with a fixed
     * priority order. Emits scores + prediction + agreement with the label. */

@@ -92,4 +92,33 @@ class S3OpsSpec extends SparkSpecBase {
     assert(got === Map("alice" -> "FULL_CONTROL", "bob" -> "WRITE_ACP",
       "carol" -> "WRITE", "dan" -> "READ"))
   }
+
+  test("uploadPartCopy: header parse, range, preconditions, probe order") {
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val got = graft.operators.S3Ops.uploadPartCopy(
+      T.copyPartRequests(spark, d), T.copyPartSources(spark, d),
+      T.mpuCompleteStore(spark, d), T.buckets(spark, d))
+      .select("req_id", "decision", "copied_length")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("COPIED", 1000L)))   // full source size
+    assert(got(2L) === (("COPIED", 100L)))    // ranged
+    assert(got(3L)._1 === "INVALID_ARGUMENT") // no bucket/key split
+    assert(got(4L) === (("COPIED", 1000L)))   // leading slash stripped
+    assert(got(5L) === (("COPIED", 500L)))    // %20 decodes
+    assert(got(6L)._1 === "NO_SUCH_BUCKET")
+    assert(got(7L)._1 === "NO_SUCH_KEY")
+    assert(got(8L)._1 === "INVALID_ARGUMENT") // open-ended range
+    assert(got(9L)._1 === "INVALID_RANGE")    // start > end
+    assert(got(10L)._1 === "INVALID_RANGE")   // end == size
+    assert(got(11L)._1 === "PRECOND_FAILED")  // modified-since after mtime
+    assert(got(12L)._1 === "PRECOND_FAILED")  // unmodified-since before
+    assert(got(13L)._1 === "COPIED")          // future date ignored
+    // the unknown upload fails only AFTER source validation
+    assert(got(14L)._1 === "NO_SUCH_UPLOAD")
+    // the target bucket probe beats the malformed header
+    assert(got(15L)._1 === "NO_SUCH_BUCKET")
+    assert(got(16L) === (("COPIED", 1000L)))  // end == size-1 boundary
+  }
 }

@@ -90,4 +90,28 @@ class TextRankSpec extends SparkSpecBase {
     assert(merges === Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
       ("l", "o"), ("lo", "w")))
   }
+
+  test("gopherRules: first failing rule named, cascade order holds") {
+    import spark.implicits._
+    val docs = Seq(
+      // 60 in-vocab words incl. 2 required stops → KEEP
+      (1L, (Seq.fill(29)("the data") :+ "of be").mkString(" ")),
+      (2L, "too short to keep"), // WORD_COUNT
+      // 60 single-char words → mean length 100 < 300; word count passes
+      (3L, Seq.fill(60)("a").mkString(" ")), // MEAN_WORD_LENGTH
+      // hash-heavy: 15/115 symbol words = 13% > 10%, mean length in range
+      (4L, (Seq.fill(50)("the data") ++ Seq.fill(15)("####"))
+        .mkString(" ")), // SYMBOL_RATIO
+      // 25/105 numeric words → alpha 761 < 800, everything above passes
+      (5L, (Seq.fill(40)("the data") ++ Seq.fill(25)("1234"))
+        .mkString(" ")), // ALPHA_FRACTION
+      // clean text but only ONE required stopword
+      (6L, Seq.fill(60)("the data").mkString(" "))) // STOPWORDS (only 'the')
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "KEEP", 2L -> "WORD_COUNT",
+      3L -> "MEAN_WORD_LENGTH", 4L -> "SYMBOL_RATIO",
+      5L -> "ALPHA_FRACTION", 6L -> "STOPWORDS"))
+  }
 }
