@@ -235,6 +235,11 @@ object SparkEntry {
     // ---- join/diff family (SURVEY §2.3/2.7) ----
     "q_container_key_join" -> ((s, d) =>
       Joins.containerKeyJoin(T.objects(s, d), T.containersScm(s, d))),
+    // Recon /containers/{id}/keys page: db-key-ordered walk of one
+    // container's inverted-index slice, versions deduped per key,
+    // total index count alongside.
+    "q_container_keys_page" -> ((s, d) =>
+      Joins.containerKeysPage(T.objects(s, d), 42L, 25)),
     "q_om_scm_mismatch" -> ((s, d) =>
       Joins.omScmMismatch(T.containersOm(s, d), T.containersScm(s, d))),
     "q_replica_health" -> ((s, d) =>
@@ -723,8 +728,8 @@ object SparkEntry {
     // key/dir (NSSummary-resolved) bytes + finalized bytes + key count.
     "q_storage_distribution" -> ((s, d) =>
       ClusterHealth.storageDistribution(T.datanodes(s, d), T.objects(s, d),
-        T.objectsMixed(s, d), T.openKeys(s, d), T.multipartParts(s, d),
-        T.deletedDirs(s, d))),
+        Aggregates.nsSummarySorted(T.objectsMixedSorted(s, d)),
+        T.openKeys(s, d), T.multipartParts(s, d), T.deletedDirs(s, d))),
     // CreateDirectory ladder: root guard, file-in-path guards (self and
     // ancestor), idempotent DIR_EXISTS, minted-parents count.
     // the ancestor set IS the memoized dir warehouse (strict key
@@ -1360,6 +1365,29 @@ object SparkEntry {
         |  FROM objects GROUP BY 1) t
         |JOIN containers_scm c USING (container_id)
         |ORDER BY container_id""".stripMargin, O.objects, O.containersScm),
+
+    // /containers/{id}/keys page mirror: db-key order, version dedup,
+    // total index-entry count on every row.
+    "q_container_keys_page" -> O.withCtes(
+      """SELECT p.db_key, p.volume, p.bucket, p.key, p.data_size,
+        |  p.versions_csv, p.n_versions, t.total_count
+        |FROM (
+        |  SELECT db_key, volume, bucket, key,
+        |    CAST(max(data_size) AS BIGINT) AS data_size,
+        |    array_to_string(list_sort(list(DISTINCT version)), ',')
+        |      AS versions_csv,
+        |    CAST(count(DISTINCT version) AS BIGINT) AS n_versions
+        |  FROM ckp_idx WHERE db_key > ''
+        |  GROUP BY db_key, volume, bucket, key
+        |  ORDER BY db_key LIMIT 25) p,
+        |  (SELECT CAST(count(*) AS BIGINT) AS total_count
+        |   FROM (SELECT DISTINCT db_key, version FROM ckp_idx)) t
+        |ORDER BY db_key""".stripMargin,
+      O.objects,
+      """ckp_idx AS (
+        |  SELECT '/' || volume || '/' || bucket || '/' || key AS db_key,
+        |    volume, bucket, key, version, data_size
+        |  FROM objects WHERE container_id = 42)""".stripMargin),
 
     "q_om_scm_mismatch" -> O.withCtes(
       """SELECT container_id, 'OM_ONLY' AS side FROM containers_om

@@ -102,7 +102,15 @@ object Tables {
   }
 
   /** buckets (ref OmBucketInfo.java:52-114): usage rollup + deterministic quotas. */
-  def buckets(spark: SparkSession, dir: String): DataFrame = {
+  // The bucket catalog is a 40-row dim derived by aggregating the whole
+  // objects table — and nearly every write ladder probes it (often more
+  // than once per query plan). Materialize it once per JVM like the FSO
+  // tables so a ladder pays a 40-row parquet read, not a corpus shuffle
+  // per reference.
+  def buckets(spark: SparkSession, dir: String): DataFrame =
+    memoPersist(spark, "buckets", dir) { bucketsUncached(spark, dir) }
+
+  private def bucketsUncached(spark: SparkSession, dir: String): DataFrame = {
     objects(spark, dir)
       .groupBy("volume", "bucket")
       .agg(

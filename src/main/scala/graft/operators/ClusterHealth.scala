@@ -713,7 +713,7 @@ object ClusterHealth {
    * per-dir explode), with the deleted-dir dim broadcast into it.
    */
   def storageDistribution(datanodes: DataFrame, objects: DataFrame,
-                          objectsMixed: DataFrame, openKeys: DataFrame,
+                          dirRollup: DataFrame, openKeys: DataFrame,
                           multipartParts: DataFrame,
                           deletedDirs: DataFrame): DataFrame = {
     val storage = datanodes.agg(
@@ -735,7 +735,11 @@ object ClusterHealth {
       coalesce(sum("replicated_size"), lit(0L)).as("open_key_bytes"))
     val mpu = multipartParts.agg(
       (coalesce(sum("size"), lit(0L)) * 3).as("open_mpu_bytes"))
-    val pendingDir = Aggregates.nsSummary(objectsMixed)
+    // dirRollup is the NSSummary view (the caller passes the SORTED
+    // zero-shuffle fold, [[Aggregates.nsSummarySorted]], exactly what
+    // the reference's fetchSizeForDeletedDirectory reads); the deleted
+    // dirs resolve through it with one broadcast semi-probe
+    val pendingDir = dirRollup
       .join(broadcast(deletedDirs.select("volume", "bucket", "dir")),
         Seq("volume", "bucket", "dir"))
       .agg(coalesce(sum("replicated_size"), lit(0L))

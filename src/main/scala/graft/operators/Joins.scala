@@ -29,6 +29,39 @@ object Joins {
         Seq("container_id"), "inner")
       .orderBy("container_id")
 
+  /**
+   * Recon GET /containers/{id}/keys page (ContainerEndpoint
+   * .getKeysForContainer:235-330): walk ONE container's slice of the
+   * container→key inverted index in ozone-db-key order from a
+   * strictly-greater prevKeyPrefix token, up to `limit` DISTINCT keys —
+   * versions of one key aggregate into a versions list exactly as the
+   * endpoint's LinkedHashMap dedup does — alongside the container's
+   * TOTAL index-entry count (getKeyCountForContainer) on every row.
+   *
+   * Scale shape: the container_id equality pushes into the scan, the
+   * page is a top-k sort over one container's slice, and the total
+   * count is a pushdown-filtered distinct agg — nothing touches other
+   * containers.
+   */
+  def containerKeysPage(objects: DataFrame, containerId: Long,
+                        limit: Int, prevKey: String = ""): DataFrame = {
+    val idx = objects.filter(col("container_id") === containerId)
+      .withColumn("db_key", concat_ws("/", lit(""), col("volume"),
+        col("bucket"), col("key")))
+    val total = idx.select("db_key", "version").distinct()
+      .groupBy().agg(count(lit(1)).as("total_count"))
+    idx.filter(col("db_key") > prevKey)
+      .groupBy("db_key", "volume", "bucket", "key")
+      .agg(max("data_size").as("data_size"),
+        sort_array(collect_set("version")).as("vs"))
+      .withColumn("versions_csv",
+        array_join(col("vs").cast("array<string>"), ","))
+      .withColumn("n_versions", size(col("vs")).cast("long"))
+      .drop("vs")
+      .orderBy("db_key").limit(limit)
+      .crossJoin(broadcast(total))
+  }
+
   /** OM∖SCM and SCM∖OM container mismatches as anti-joins — the reference
     * walks two sorted iterators in lockstep (ContainerEndpoint.java:800-851);
     * here each direction is a single anti-join (broadcastable dim). */

@@ -449,7 +449,9 @@ class ClusterHealthSpec extends SparkSpecBase {
     val d = "/root/testdata/sf0.001"
     val T = graft.core.Tables
     val row = graft.operators.ClusterHealth.storageDistribution(
-      T.datanodes(spark, d), T.objects(spark, d), T.objectsMixed(spark, d),
+      T.datanodes(spark, d), T.objects(spark, d),
+      graft.operators.Aggregates.nsSummarySorted(
+        T.objectsMixedSorted(spark, d)),
       T.openKeys(spark, d), T.multipartParts(spark, d),
       T.deletedDirs(spark, d)).collect().head
     def g(c: String): Long = row.getAs[Long](c)

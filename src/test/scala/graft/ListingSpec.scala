@@ -381,4 +381,29 @@ class ListingSpec extends SparkSpecBase {
     }
     assert(walked === all)
   }
+
+  test("containerKeysPage: paged walk == unpaged, versions deduped") {
+    val T = graft.core.Tables
+    val sf = "/root/testdata/sf0.001"
+    val objs = T.objects(spark, sf)
+    val all = graft.operators.Joins
+      .containerKeysPage(objs, 42L, 1000000)
+      .select("db_key", "versions_csv", "total_count")
+      .as[(String, String, Long)].collect().toSeq
+    assert(all.nonEmpty && all.map(_._1) === all.map(_._1).sorted)
+    // the total index-entry count ≥ distinct keys (multi-version keys)
+    assert(all.head._3 >= all.size)
+    // strictly-greater token walk in pages of 3 concatenates exactly
+    var token = ""
+    var walked = Seq.empty[String]
+    var done = false
+    while (!done) {
+      val page = graft.operators.Joins
+        .containerKeysPage(objs, 42L, 3, token)
+        .select("db_key").as[String].collect().toSeq
+      walked ++= page
+      if (page.size < 3) done = true else token = page.last
+    }
+    assert(walked === all.map(_._1))
+  }
 }
