@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.col
   * success. The JSON line goes to stdout AND `bench_out.json` (file first,
   * so a truncated stdout capture can never lose the per-query map). */
 object Bench {
-  private def cloneDir(src: String): String = {
+  private[graft] def cloneDir(src: String): String = {
     import java.nio.file._
     val dst = java.nio.file.Paths.get(graft.core.TempDirs.create("graft_steady_"))
     val s = Files.walk(Paths.get(src))
@@ -91,10 +91,12 @@ object Bench {
       java.nio.file.Paths.get(steadyWork, "ckpt"))
     val delta = objects
       .orderBy("volume", "bucket", "key", "version", "data_size").limit(1000)
-    // steady state means REPEATED batches: apply three and report the
-    // median, so the first batch's one-off codegen/plan warmup doesn't
-    // masquerade as per-batch cost
-    val steadyTimes = (0 until 3).map { i =>
+    // steady state means REPEATED batches: apply five and report the
+    // median — the first batch's one-off codegen/plan warmup AND the
+    // occasional GC-landing batch (a 3× spike in isolated SteadyProbe
+    // runs) both fall out of a 5-rep median where a 3-rep one could
+    // report the spike
+    val steadyTimes = (0 until 5).map { i =>
       val deltaBatch = graft.streaming.ChangeLog.events(delta)
         .withColumn("seq", col("seq") + 10000000L * (i + 1))
         .persist()
