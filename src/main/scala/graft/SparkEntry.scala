@@ -420,6 +420,10 @@ object SparkEntry {
     "q_token_mint" -> ((s, d) =>
       graft.operators.Security.getTokenDecisions(
         T.getTokenRequests(s, d))),
+    // Prepare-gate fold: admin check before the gate moves, writes
+    // fenced while prepared, re-prepare allowed, idempotent cancel.
+    "q_prepare_gate" -> ((s, d) =>
+      graft.operators.Security.prepareGateFold(T.prepareOps(s, d))),
     // object-ACL grants and prefix-ACL grants DISAGREE by construction:
     // auditor2 reads even-version keys via object acls, and warehouse/A/
     // keys via the longest-prefix rule (the shorter warehouse/ rule denies)
@@ -2186,6 +2190,47 @@ object SparkEntry {
         |  (6, 'svc-hive', 'CERTIFICATE', 'om', 'oozie', true, true),
         |  (7, 'clerk7', 'KERBEROS_SSL', '', '', true, true),
         |  (8, 'clerk8', 'TOKEN', 'om', '', true, false))""".stripMargin),
+
+    // Prepare-gate mirror: last-non-null state fold via a correlated
+    // most-recent-state-change probe (the op log is control-plane tiny).
+    "q_prepare_gate" -> O.withCtes(
+      """SELECT o.seq, o.op_type, o.caller,
+        |  coalesce((SELECT o2.sc FROM pg_ops o2
+        |    WHERE o2.seq < o.seq AND o2.sc IS NOT NULL
+        |    ORDER BY o2.seq DESC LIMIT 1) = 1, false) AS gate_on,
+        |  CASE WHEN o.op_type = 'PREPARE' THEN
+        |      CASE WHEN o.caller <> 'om-admin' THEN 'ACCESS_DENIED'
+        |        ELSE 'PREPARED' END
+        |    WHEN o.op_type = 'CANCEL_PREPARE' THEN
+        |      CASE WHEN o.caller <> 'om-admin' THEN 'ACCESS_DENIED'
+        |        ELSE 'CANCELLED' END
+        |    WHEN coalesce((SELECT o2.sc FROM pg_ops o2
+        |      WHERE o2.seq < o.seq AND o2.sc IS NOT NULL
+        |      ORDER BY o2.seq DESC LIMIT 1) = 1, false)
+        |      THEN 'NOT_SUPPORTED_OPERATION_WHEN_PREPARED'
+        |    ELSE 'APPLIED' END AS decision,
+        |  CASE WHEN o.op_type = 'PREPARE' AND o.caller = 'om-admin'
+        |    THEN o.seq ELSE -1 END AS prepare_index
+        |FROM pg_ops o
+        |ORDER BY o.seq""".stripMargin,
+      """pg_ops AS (
+        |  SELECT seq, op_type, caller,
+        |    CASE WHEN op_type = 'PREPARE' AND caller = 'om-admin' THEN 1
+        |      WHEN op_type = 'CANCEL_PREPARE' AND caller = 'om-admin'
+        |      THEN 0 END AS sc
+        |  FROM (VALUES
+        |    (1, 'WRITE', 'clerk1'),
+        |    (2, 'PREPARE', 'clerk1'),
+        |    (3, 'WRITE', 'clerk1'),
+        |    (4, 'PREPARE', 'om-admin'),
+        |    (5, 'WRITE', 'clerk1'),
+        |    (6, 'PREPARE', 'om-admin'),
+        |    (7, 'CANCEL_PREPARE', 'clerk1'),
+        |    (8, 'WRITE', 'om-admin'),
+        |    (9, 'CANCEL_PREPARE', 'om-admin'),
+        |    (10, 'WRITE', 'clerk1'),
+        |    (11, 'CANCEL_PREPARE', 'om-admin'))
+        |    v(seq, op_type, caller))""".stripMargin),
 
     // auditor2 = 'auditor' || (object_id % 3) with object-read iff version
     // even (objectsNested synthesis); prefix grant iff under warehouse/A/

@@ -1686,6 +1686,27 @@ object Tables {
         md5(concat(lit("token"), col("token_owner"))))
   }
 
+  /** prepare_ops: an OM op log through a prepare/cancel cycle — writes
+    * before/inside/after the fence, non-admin prepare AND cancel refused
+    * (the gate state unmoved), re-prepare while prepared, admin writes
+    * fenced like any other, idempotent cancel with the gate off. */
+  def prepareOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "WRITE", "clerk1"),
+      (2L, "PREPARE", "clerk1"),
+      (3L, "WRITE", "clerk1"),
+      (4L, "PREPARE", "om-admin"),
+      (5L, "WRITE", "clerk1"),
+      (6L, "PREPARE", "om-admin"),
+      (7L, "CANCEL_PREPARE", "clerk1"),
+      (8L, "WRITE", "om-admin"),
+      (9L, "CANCEL_PREPARE", "om-admin"),
+      (10L, "WRITE", "clerk1"),
+      (11L, "CANCEL_PREPARE", "om-admin"))
+      .toDF("seq", "op_type", "caller")
+  }
+
   /** get_token_requests: GetDelegationToken mint branches — kerberos
     * mint, TOKEN-authenticated caller refused (a DT can't mint another),
     * SIMPLE auth refused with security on but ADMITTED with security

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -116,6 +117,59 @@ object Security {
           .when(col("__has_secret").isNull, lit("S3_SECRET_NOT_FOUND"))
           .otherwise(lit("REVOKED")).as("decision"))
       .orderBy("req_id")
+  }
+
+  /**
+   * Prepare-gate fold — OM write fencing for upgrades/downgrades
+   * (OzoneManagerStateMachine.preAppendTransaction:398-440 +
+   * OzoneManagerPrepareState.requestAllowed:226-235,
+   * OMPrepareRequest / OMCancelPrepareRequest admin gates):
+   *   - Prepare: the superuser check runs BEFORE the gate is enabled —
+   *     a non-admin Prepare is ACCESS_DENIED and moves nothing; an
+   *     admin Prepare enables the gate and records its own log index
+   *     as the prepare marker (re-prepare while prepared is allowed —
+   *     requestAllowed lets Prepare through the gate)
+   *   - CancelPrepare: passes the gate unconditionally, then the same
+   *     admin check; an admin cancel disables the gate (idempotent with
+   *     the gate already off), a non-admin cancel is refused with the
+   *     gate UNMOVED
+   *   - every other write: fenced while the gate is on —
+   *     NOT_SUPPORTED_OPERATION_WHEN_PREPARED (admins fence too; the
+   *     gate is type-based, not principal-based).
+   *
+   * Gate state before op i = the most recent successful Prepare/Cancel
+   * before i — a last-non-null running fold over the op log, exactly the
+   * prefix-ACL fold's shape. Scale: the prepare log is control-plane
+   * sized (a handful of ops per upgrade); the single-sequence window is
+   * bounded by it, never by data-plane volume.
+   */
+  def prepareGateFold(ops: DataFrame,
+                      admins: Seq[String] = Seq("om-admin")): DataFrame = {
+    val isAdmin = col("caller").isin(admins: _*)
+    val stateChange =
+      when(col("op_type") === "PREPARE" && isAdmin, lit(1))
+        .when(col("op_type") === "CANCEL_PREPARE" && isAdmin, lit(0))
+    val wPrev = Window.orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ops
+      .withColumn("sc", stateChange)
+      .withColumn("gate_on",
+        coalesce(last("sc", ignoreNulls = true).over(wPrev) === 1,
+          lit(false)))
+      .withColumn("decision",
+        when(col("op_type") === "PREPARE",
+          when(!isAdmin, lit("ACCESS_DENIED")).otherwise(lit("PREPARED")))
+          .when(col("op_type") === "CANCEL_PREPARE",
+            when(!isAdmin, lit("ACCESS_DENIED"))
+              .otherwise(lit("CANCELLED")))
+          .when(col("gate_on"),
+            lit("NOT_SUPPORTED_OPERATION_WHEN_PREPARED"))
+          .otherwise(lit("APPLIED")))
+      .select(col("seq"), col("op_type"), col("caller"), col("gate_on"),
+        col("decision"),
+        when(col("decision") === "PREPARED", col("seq")).otherwise(lit(-1L))
+          .as("prepare_index"))
+      .orderBy("seq")
   }
 
   /** The token-mint plane's max lifetime (the 7-day Hadoop DT default

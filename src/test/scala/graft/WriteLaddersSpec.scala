@@ -473,6 +473,30 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(got(8L)._1 === "INVALID_AUTH_METHOD")
   }
 
+  test("prepareGateFold: fence state moves only on admin prepare/cancel") {
+    import graft.operators.Security
+    val got = Security.prepareGateFold(T.prepareOps(spark, sf))
+      .select("seq", "gate_on", "decision")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((false, "APPLIED")))
+    // non-admin prepare refused AND the gate stays off
+    assert(got(2L) === ((false, "ACCESS_DENIED")))
+    assert(got(3L) === ((false, "APPLIED")))
+    assert(got(4L) === ((false, "PREPARED")))
+    assert(got(5L) === ((true, "NOT_SUPPORTED_OPERATION_WHEN_PREPARED")))
+    // re-prepare passes the gate (requestAllowed lets Prepare through)
+    assert(got(6L) === ((true, "PREPARED")))
+    // non-admin cancel refused, gate unmoved
+    assert(got(7L) === ((true, "ACCESS_DENIED")))
+    // the fence is type-based: admins' writes fence too
+    assert(got(8L) === ((true, "NOT_SUPPORTED_OPERATION_WHEN_PREPARED")))
+    assert(got(9L) === ((true, "CANCELLED")))
+    assert(got(10L) === ((false, "APPLIED")))
+    // idempotent cancel with the gate already off
+    assert(got(11L) === ((false, "CANCELLED")))
+  }
+
   test("mpuComplete: probe order, part walk precedence, subsets") {
     import graft.operators.Lifecycle
     val got = Lifecycle.mpuComplete(T.mpuCompleteRequestsC(spark, sf),
