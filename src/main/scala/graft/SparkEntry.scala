@@ -424,6 +424,16 @@ object SparkEntry {
     // fenced while prepared, re-prepare allowed, idempotent cancel.
     "q_prepare_gate" -> ((s, d) =>
       graft.operators.Security.prepareGateFold(T.prepareOps(s, d))),
+    // Iceberg rewrite-table-path copy plan, incremental v2(excl)→v4:
+    // staged metadata rewrites + verbatim data/stats copies, the data
+    // inventory touched by one broadcast semi-probe.
+    "q_iceberg_rewrite" -> ((s, d) =>
+      graft.operators.IcebergOps.rewritePathCopyPlan(
+        T.icebergVersions(s, d), T.icebergSnapshots(s, d),
+        T.icebergManifests(s, d), T.icebergDataFiles(s, d),
+        T.icebergStats(s, d), startIdx = 2L, endIdx = 4L,
+        srcPrefix = T.IcebergSrc, tgtPrefix = "o3://vol9/backup/wh/",
+        stagingDir = "o3://vol0/bucket0/staging/")),
     // object-ACL grants and prefix-ACL grants DISAGREE by construction:
     // auditor2 reads even-version keys via object acls, and warehouse/A/
     // keys via the longest-prefix rule (the shorter warehouse/ rule denies)
@@ -2190,6 +2200,64 @@ object SparkEntry {
         |  (6, 'svc-hive', 'CERTIFICATE', 'om', 'oozie', true, true),
         |  (7, 'clerk7', 'KERBEROS_SSL', '', '', true, true),
         |  (8, 'clerk8', 'TOKEN', 'om', '', true, false))""".stripMargin),
+
+    // Iceberg rewrite mirror: version/snapshot/manifest scope in
+    // (start, end], data files via the delta snapshot set.
+    "q_iceberg_rewrite" -> O.withCtes(
+      """SELECT file_type, path, copy_src, dst_path FROM (
+        |  SELECT 'VERSION_FILE' AS file_type, path,
+        |    'o3://vol0/bucket0/staging/' || substr(path, 22) AS copy_src,
+        |    'o3://vol9/backup/wh/' || substr(path, 22) AS dst_path
+        |  FROM ib_versions WHERE version_idx > 2 AND version_idx <= 4
+        |  UNION ALL
+        |  SELECT 'STATS_FILE', stats_path, stats_path,
+        |    'o3://vol9/backup/wh/' || substr(stats_path, 22)
+        |  FROM ib_stats WHERE version_idx > 2 AND version_idx <= 4
+        |  UNION ALL
+        |  SELECT 'MANIFEST_LIST', manifest_list,
+        |    'o3://vol0/bucket0/staging/' || substr(manifest_list, 22),
+        |    'o3://vol9/backup/wh/' || substr(manifest_list, 22)
+        |  FROM ib_snaps WHERE added_in_version > 2 AND added_in_version <= 4
+        |  UNION ALL
+        |  SELECT 'MANIFEST', manifest_path,
+        |    'o3://vol0/bucket0/staging/' || substr(manifest_path, 22),
+        |    'o3://vol9/backup/wh/' || substr(manifest_path, 22)
+        |  FROM ib_manifests WHERE snapshot_id IN (
+        |    SELECT snapshot_id FROM ib_snaps
+        |    WHERE added_in_version > 2 AND added_in_version <= 4)
+        |  UNION ALL
+        |  SELECT 'DATA_FILE', data_path, data_path,
+        |    'o3://vol9/backup/wh/' || substr(data_path, 22)
+        |  FROM ib_data WHERE added_snapshot_id IN (
+        |    SELECT snapshot_id FROM ib_snaps
+        |    WHERE added_in_version > 2 AND added_in_version <= 4))
+        |ORDER BY file_type, path""".stripMargin,
+      O.objects,
+      """ib_versions AS (
+        |  SELECT i AS version_idx,
+        |    'o3://vol0/bucket0/wh/metadata/v' || i || '.metadata.json'
+        |      AS path
+        |  FROM range(1, 6) t(i))""".stripMargin,
+      """ib_snaps AS (
+        |  SELECT i + 100 AS snapshot_id,
+        |    'o3://vol0/bucket0/wh/metadata/snap-' || (i + 100) || '.avro'
+        |      AS manifest_list,
+        |    i // 2 + 1 AS added_in_version
+        |  FROM range(8) t(i))""".stripMargin,
+      """ib_manifests AS (
+        |  SELECT 'o3://vol0/bucket0/wh/metadata/m-' || (j // 2 + 100)
+        |      || '-' || (j % 2) || '.avro' AS manifest_path,
+        |    j // 2 + 100 AS snapshot_id
+        |  FROM range(16) t(j))""".stripMargin,
+      """ib_data AS (
+        |  SELECT DISTINCT 'o3://vol0/bucket0/wh/data/' || key AS data_path,
+        |    object_id % 8 + 100 AS added_snapshot_id
+        |  FROM objects)""".stripMargin,
+      """ib_stats AS (
+        |  SELECT i AS version_idx,
+        |    'o3://vol0/bucket0/wh/metadata/stats-v' || i || '.puffin'
+        |      AS stats_path
+        |  FROM range(1, 6) t(i) WHERE i % 2 = 0)""".stripMargin),
 
     // Prepare-gate mirror: last-non-null state fold via a correlated
     // most-recent-state-change probe (the op log is control-plane tiny).

@@ -1686,6 +1686,53 @@ object Tables {
         md5(concat(lit("token"), col("token_owner"))))
   }
 
+  /** The Iceberg rewrite fixture's source prefix (the table's current
+    * Ozone location) — shared by all iceberg_* fixtures. */
+  val IcebergSrc = "o3://vol0/bucket0/wh/"
+
+  /** iceberg_versions: the metadata log — five version files. */
+  def icebergVersions(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1, 6).toDF("version_idx")
+      .select(col("version_idx"),
+        concat(lit(IcebergSrc), lit("metadata/v"), col("version_idx"),
+          lit(".metadata.json")).as("path"))
+
+  /** iceberg_snapshots: eight snapshots, two added per version 1..4
+    * (version 5 is a metadata-only change adding none). */
+  def icebergSnapshots(spark: SparkSession, dir: String): DataFrame =
+    spark.range(8).toDF("i")
+      .select((col("i") + 100L).as("snapshot_id"),
+        concat(lit(IcebergSrc), lit("metadata/snap-"), col("i") + 100,
+          lit(".avro")).as("manifest_list"),
+        (expr("i DIV 2") + 1L).as("added_in_version"))
+
+  /** iceberg_manifests: two manifests per snapshot, addedSnapshotId =
+    * their snapshot (the field manifestsToRewrite filters on). */
+  def icebergManifests(spark: SparkSession, dir: String): DataFrame =
+    spark.range(16).toDF("j")
+      .select(
+        concat(lit(IcebergSrc), lit("metadata/m-"), expr("j DIV 2") + 100,
+          lit("-"), col("j") % 2, lit(".avro")).as("manifest_path"),
+        (expr("j DIV 2") + 100L).as("snapshot_id"))
+
+  /** iceberg_data_files: the corpus AS the table's data-file inventory —
+    * every object key becomes a data file attributed to a snapshot by
+    * object_id (the big side of the copy plan comes from the data). */
+  def icebergDataFiles(spark: SparkSession, dir: String): DataFrame =
+    objects(spark, dir)
+      .select(
+        concat(lit(IcebergSrc), lit("data/"), col("key")).as("data_path"),
+        (col("object_id") % 8 + 100L).as("added_snapshot_id"))
+      .distinct()
+
+  /** iceberg_stats: a statistics file on the even versions. */
+  def icebergStats(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1, 6).toDF("version_idx")
+      .filter(col("version_idx") % 2 === 0)
+      .select(col("version_idx"),
+        concat(lit(IcebergSrc), lit("metadata/stats-v"), col("version_idx"),
+          lit(".puffin")).as("stats_path"))
+
   /** prepare_ops: an OM op log through a prepare/cancel cycle — writes
     * before/inside/after the fence, non-admin prepare AND cancel refused
     * (the gate state unmoved), re-prepare while prepared, admin writes

@@ -121,4 +121,43 @@ class S3OpsSpec extends SparkSpecBase {
     assert(got(15L)._1 === "NO_SUCH_BUCKET")
     assert(got(16L) === (("COPIED", 1000L)))  // end == size-1 boundary
   }
+
+  test("iceberg rewritePathCopyPlan: incremental scope + staging split") {
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    def plan(start: Long, end: Long) =
+      graft.operators.IcebergOps.rewritePathCopyPlan(
+        T.icebergVersions(spark, d), T.icebergSnapshots(spark, d),
+        T.icebergManifests(spark, d), T.icebergDataFiles(spark, d),
+        T.icebergStats(spark, d), start, end, T.IcebergSrc,
+        "o3://vol9/backup/wh/", "o3://vol0/bucket0/staging/")
+    val inc = plan(2L, 4L)
+      .select("file_type", "path", "copy_src", "dst_path")
+      .as[(String, String, String, String)].collect()
+    val byType = inc.groupBy(_._1).view.mapValues(_.length).toMap
+    // versions 3,4; stats v4; snapshots 104..107 → 4 lists, 8 manifests
+    assert(byType("VERSION_FILE") === 2 && byType("STATS_FILE") === 1)
+    assert(byType("MANIFEST_LIST") === 4 && byType("MANIFEST") === 8)
+    // half the inventory (snapshots 104..107 of 100..107)
+    val nData = T.icebergDataFiles(spark, d).count()
+    assert(math.abs(byType("DATA_FILE") - nData / 2) < nData / 5)
+    // metadata-bearing types copy FROM staging; data/stats verbatim
+    inc.foreach { case (t, p, src, dst) =>
+      assert(dst.startsWith("o3://vol9/backup/wh/"))
+      if (t == "DATA_FILE" || t == "STATS_FILE") assert(src === p)
+      else assert(src.startsWith("o3://vol0/bucket0/staging/"))
+    }
+    // the full rewrite (no start) covers the whole inventory
+    assert(plan(0L, 5L).filter(
+      org.apache.spark.sql.functions.col("file_type") === "DATA_FILE")
+      .count() === nData)
+    // prefix equality refused, as in validateInputs
+    intercept[IllegalArgumentException] {
+      graft.operators.IcebergOps.rewritePathCopyPlan(
+        T.icebergVersions(spark, d), T.icebergSnapshots(spark, d),
+        T.icebergManifests(spark, d), T.icebergDataFiles(spark, d),
+        T.icebergStats(spark, d), 0L, 5L, T.IcebergSrc, T.IcebergSrc,
+        "o3://vol0/bucket0/staging/")
+    }
+  }
 }
