@@ -453,6 +453,12 @@ object SparkEntry {
         T.prefixAclBits(s, d))),
     // ---- multi-tenancy catalog (SURVEY §2.11 tenant RPCs) ----
     "q_list_tenants" -> ((s, d) => Tenants.listTenants(T.tenantState(s, d))),
+    // Ranger BG-sync reconcile: OM DB is source of truth — policies per
+    // tenant STATE (even empty tenants), roles only for tenants with
+    // members; PUSH on member drift either way, Ranger-only → DELETE.
+    "q_ranger_sync" -> ((s, d) =>
+      Tenants.rangerSync(T.tenantStateExt(s, d), T.tenantAccessCatalog(s, d),
+        T.rangerPolicies(s, d), T.rangerRoles(s, d))),
     "q_tenant_user_info" -> ((s, d) =>
       Tenants.tenantUserInfo(T.tenantAccessIds(s, d), "clerk1")),
     "q_tenant_assign" -> ((s, d) =>
@@ -2442,6 +2448,85 @@ object SparkEntry {
         |WHERE (object_id % 3 = 2 AND version % 2 = 0)
         |   OR key LIKE 'warehouse/A/%'
         |ORDER BY volume, bucket, key, granted_via""".stripMargin, O.objects),
+
+    // Ranger sync mirror: full-outer policy/role diffs, member csv sets.
+    "q_ranger_sync" -> O.withCtes(
+      """SELECT kind, name, decision, om_users, ranger_users FROM (
+        |  SELECT 'POLICY' AS kind,
+        |    coalesce(e.name, r.policy_name) AS name,
+        |    CASE WHEN r.policy_name IS NULL THEN 'CREATE'
+        |      WHEN e.name IS NULL THEN 'DELETE'
+        |      ELSE 'IN_SYNC' END AS decision,
+        |    '' AS om_users, '' AS ranger_users
+        |  FROM rs_expected_policies e
+        |  FULL OUTER JOIN rs_rpolicies r ON e.name = r.policy_name
+        |  UNION ALL
+        |  SELECT 'ROLE',
+        |    coalesce(o.role_name, g.role_name),
+        |    CASE WHEN g.role_name IS NULL THEN 'CREATE_AND_PUSH'
+        |      WHEN o.role_name IS NULL THEN 'DELETE'
+        |      WHEN o.om_set <> g.ranger_set THEN 'PUSH'
+        |      ELSE 'IN_SYNC' END,
+        |    coalesce(array_to_string(o.om_set, ','), ''),
+        |    coalesce(array_to_string(g.ranger_set, ','), '')
+        |  FROM rs_om_roles o
+        |  FULL OUTER JOIN rs_rroles g ON o.role_name = g.role_name)
+        |ORDER BY kind, name""".stripMargin,
+      O.objects,
+      """rs_tenants AS (
+        |  SELECT DISTINCT 'tenant' || substr(volume, 4, 10) AS tenant_id
+        |  FROM objects
+        |  UNION ALL SELECT 'tenant-empty')""".stripMargin,
+      """rs_members AS (
+        |  SELECT DISTINCT 'tenant' || substr(volume, 4, 10) AS tenant_id,
+        |    owner AS user_principal, owner = 'clerk0' AS is_admin
+        |  FROM objects)""".stripMargin,
+      """rs_expected_policies AS (
+        |  SELECT tenant_id || s AS name
+        |  FROM rs_tenants, (VALUES ('-VolumeAccess'), ('-BucketAccess'))
+        |    v(s))""".stripMargin,
+      """rs_rpolicies(policy_name) AS (VALUES
+        |  ('tenant0-VolumeAccess'), ('tenant0-BucketAccess'),
+        |  ('tenant1-VolumeAccess'), ('tenant1-BucketAccess'),
+        |  ('tenant2-VolumeAccess'),
+        |  ('tenant3-VolumeAccess'), ('tenant3-BucketAccess'),
+        |  ('tenant-empty-VolumeAccess'),
+        |  ('tenant-gone-VolumeAccess'))""".stripMargin,
+      """rs_om_roles AS (
+        |  SELECT s.role_name,
+        |    coalesce(m.om_set, CAST([] AS VARCHAR[])) AS om_set
+        |  FROM (
+        |    SELECT tenant_id || r AS role_name
+        |    FROM (SELECT DISTINCT tenant_id FROM rs_members),
+        |      (VALUES ('-UserRole'), ('-AdminRole')) v(r)) s
+        |  LEFT JOIN (
+        |    SELECT role_name,
+        |      list_sort(list(DISTINCT user_principal)) AS om_set
+        |    FROM (
+        |      SELECT tenant_id || '-UserRole' AS role_name, user_principal
+        |      FROM rs_members
+        |      UNION ALL
+        |      SELECT tenant_id || '-AdminRole', user_principal
+        |      FROM rs_members WHERE is_admin)
+        |    GROUP BY 1) m ON s.role_name = m.role_name)""".stripMargin,
+      """rs_rroles AS (
+        |  SELECT role_name,
+        |    list_sort(list(DISTINCT user_principal)) AS ranger_set
+        |  FROM (
+        |    SELECT 'tenant0-UserRole' AS role_name,
+        |      'clerk' || i AS user_principal FROM range(7) t(i)
+        |    UNION ALL SELECT 'tenant1-UserRole', 'clerk' || i
+        |    FROM range(7) t(i) WHERE i <> 3
+        |    UNION ALL SELECT 'tenant3-UserRole', 'clerk' || i
+        |    FROM range(7) t(i)
+        |    UNION ALL SELECT * FROM (VALUES
+        |      ('tenant0-AdminRole', 'clerk0'),
+        |      ('tenant1-AdminRole', 'clerk0'),
+        |      ('tenant1-AdminRole', 'intruder'),
+        |      ('tenant3-AdminRole', 'clerk0'),
+        |      ('tenant-gone-UserRole', 'ghost')) w(role_name,
+        |      user_principal))
+        |  GROUP BY 1)""".stripMargin),
 
     "q_list_tenants" -> O.withCtes(
       """SELECT 'tenant' || substr(volume, 4, 10) AS tenant_id, volume,

@@ -508,6 +508,37 @@ object Tables {
         .toDF("tenant_id", "volume", "bucket_count", "used_bytes"))
   }
 
+  /** ranger_policies: the Ranger-side ozone-tenant policy catalog, with
+    * deliberate drift — tenant2's and tenant-empty's bucket policies
+    * missing (CREATE), one stale policy for a gone tenant (DELETE). */
+  def rangerPolicies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      "tenant0-VolumeAccess", "tenant0-BucketAccess",
+      "tenant1-VolumeAccess", "tenant1-BucketAccess",
+      "tenant2-VolumeAccess",
+      "tenant3-VolumeAccess", "tenant3-BucketAccess",
+      "tenant-empty-VolumeAccess",
+      "tenant-gone-VolumeAccess")
+      .toDF("policy_name")
+  }
+
+  /** ranger_roles: the Ranger-side role → member map, with drift —
+    * tenant1's user role misses clerk3, tenant1's admin role carries an
+    * intruder, tenant2's roles are absent entirely, one stale role. */
+  def rangerRoles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t0u = (0 to 6).map(i => ("tenant0-UserRole", s"clerk$i"))
+    val t1u = (0 to 6).filter(_ != 3).map(i => ("tenant1-UserRole", s"clerk$i"))
+    val t3u = (0 to 6).map(i => ("tenant3-UserRole", s"clerk$i"))
+    (t0u ++ Seq(("tenant0-AdminRole", "clerk0")) ++
+      t1u ++ Seq(("tenant1-AdminRole", "clerk0"),
+        ("tenant1-AdminRole", "intruder")) ++
+      t3u ++ Seq(("tenant3-AdminRole", "clerk0"),
+        ("tenant-gone-UserRole", "ghost")))
+      .toDF("role_name", "user_principal")
+  }
+
   /** tenant_create_requests: every OMTenantCreateRequest branch — the
     * '$' delimiter check, tenant-exists, volume-name rules, volume-exists
     * (with the force override), plus branch-order probes. */

@@ -271,4 +271,83 @@ object Tenants {
           .otherwise(lit("")).as("reason"))
       .orderBy("req_id")
   }
+
+  /**
+   * Ranger background-sync reconcile — OMRangerBGSyncService's
+   * OM-DB-is-source-of-truth diff against the Ranger policy/role state
+   * (ozone-manager/.../service/OMRangerBGSyncService.java:508-556
+   * processAllPoliciesFromOMDB + :453-466 mtRangerPoliciesOpHelper,
+   * :604-668 loadAllRolesFromDB, :678-757 processAllRolesFromOMDB):
+   *
+   *   POLICY rows — every tenant STATE expects its two default policies
+   *   (volume + bucket access; even a tenant with no members, the state
+   *   iteration drives it): expected-but-missing → CREATE (the service
+   *   recreates the default policy), present both sides → IN_SYNC,
+   *   Ranger-only → DELETE.
+   *
+   *   ROLE rows — OM roles exist only for tenants with ≥1 accessId (the
+   *   accessId iteration creates both the user and admin role entries,
+   *   so an admin role with no admins still exists EMPTY; accessIds
+   *   whose tenant state is gone are skipped, :649-652): user role =
+   *   every tenant member, admin role = the isAdmin subset. Missing in
+   *   Ranger → CREATE_AND_PUSH; member sets differing in EITHER
+   *   direction → PUSH (OM's list overwrites); equal → IN_SYNC;
+   *   Ranger-only → DELETE (applied in reverse name order so a user
+   *   role drops before its admin role, :737-741).
+   *
+   * Scale shape: tenant catalogs are control-plane dims — two
+   * broadcast full-outer diffs, csv member lists via map-side
+   * collect_set; nothing data-plane-sized is touched.
+   */
+  def rangerSync(tenantStates: DataFrame, accessCatalog: DataFrame,
+                 rangerPolicies: DataFrame,
+                 rangerRoles: DataFrame): DataFrame = {
+    val tenants = tenantStates.select("tenant_id").distinct()
+    val expectedPolicies = tenants
+      .select(explode(array(
+        concat(col("tenant_id"), lit("-VolumeAccess")),
+        concat(col("tenant_id"), lit("-BucketAccess")))).as("name"))
+      .withColumn("om_side", lit(true))
+    val policies = expectedPolicies
+      .join(rangerPolicies.select(col("policy_name").as("name"))
+        .withColumn("ranger_side", lit(true)), Seq("name"), "full_outer")
+      .select(lit("POLICY").as("kind"), col("name"),
+        when(col("ranger_side").isNull, lit("CREATE"))
+          .when(col("om_side").isNull, lit("DELETE"))
+          .otherwise(lit("IN_SYNC")).as("decision"),
+        lit("").as("om_users"), lit("").as("ranger_users"))
+    // OM roles: only tenants with >= 1 accessId; both roles per tenant
+    val members = accessCatalog
+      .join(broadcast(tenants), Seq("tenant_id"), "left_semi")
+    val roleShells = members.select("tenant_id").distinct()
+      .select(explode(array(
+        concat(col("tenant_id"), lit("-UserRole")),
+        concat(col("tenant_id"), lit("-AdminRole")))).as("role_name"))
+    val omRoleMembers = members
+      .select(concat(col("tenant_id"), lit("-UserRole")).as("role_name"),
+        col("user_principal"))
+      .unionByName(members.filter(col("is_admin"))
+        .select(concat(col("tenant_id"), lit("-AdminRole")).as("role_name"),
+          col("user_principal")))
+    val omRoles = roleShells
+      .join(omRoleMembers.groupBy("role_name")
+          .agg(sort_array(collect_set("user_principal")).as("om_set")),
+        Seq("role_name"), "left")
+      .select(col("role_name"),
+        coalesce(col("om_set"), array().cast("array<string>")).as("om_set"),
+        lit(true).as("om_side"))
+    val rgRoles = rangerRoles.groupBy("role_name")
+      .agg(sort_array(collect_set("user_principal")).as("ranger_set"))
+      .withColumn("ranger_side", lit(true))
+    val roles = omRoles.join(rgRoles, Seq("role_name"), "full_outer")
+      .select(lit("ROLE").as("kind"), col("role_name").as("name"),
+        when(col("ranger_side").isNull, lit("CREATE_AND_PUSH"))
+          .when(col("om_side").isNull, lit("DELETE"))
+          .when(col("om_set") =!= col("ranger_set"), lit("PUSH"))
+          .otherwise(lit("IN_SYNC")).as("decision"),
+        coalesce(array_join(col("om_set"), ","), lit("")).as("om_users"),
+        coalesce(array_join(col("ranger_set"), ","), lit(""))
+          .as("ranger_users"))
+    policies.unionByName(roles).orderBy("kind", "name")
+  }
 }

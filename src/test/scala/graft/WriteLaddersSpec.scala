@@ -473,6 +473,30 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(got(8L)._1 === "INVALID_AUTH_METHOD")
   }
 
+  test("rangerSync: OM-source-of-truth diff over policies and roles") {
+    import graft.operators.Tenants
+    val got = Tenants.rangerSync(T.tenantStateExt(spark, sf),
+      T.tenantAccessCatalog(spark, sf), T.rangerPolicies(spark, sf),
+      T.rangerRoles(spark, sf))
+      .select("kind", "name", "decision")
+      .as[(String, String, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // an EMPTY tenant still expects its policies (state-driven)...
+    assert(got(("POLICY", "tenant-empty-BucketAccess")) === "CREATE")
+    assert(got(("POLICY", "tenant-empty-VolumeAccess")) === "IN_SYNC")
+    // ...but gets NO roles (the accessId iteration drives those)
+    assert(!got.contains(("ROLE", "tenant-empty-UserRole")))
+    assert(got(("POLICY", "tenant-gone-VolumeAccess")) === "DELETE")
+    assert(got(("POLICY", "tenant2-BucketAccess")) === "CREATE")
+    // drift in EITHER direction pushes OM's member list
+    assert(got(("ROLE", "tenant1-UserRole")) === "PUSH")   // missing clerk3
+    assert(got(("ROLE", "tenant1-AdminRole")) === "PUSH")  // intruder
+    assert(got(("ROLE", "tenant2-UserRole")) === "CREATE_AND_PUSH")
+    assert(got(("ROLE", "tenant2-AdminRole")) === "CREATE_AND_PUSH")
+    assert(got(("ROLE", "tenant0-UserRole")) === "IN_SYNC")
+    assert(got(("ROLE", "tenant-gone-UserRole")) === "DELETE")
+  }
+
   test("prepareGateFold: fence state moves only on admin prepare/cancel") {
     import graft.operators.Security
     val got = Security.prepareGateFold(T.prepareOps(spark, sf))
