@@ -282,6 +282,48 @@ class ClusterHealthSpec extends SparkSpecBase {
       s"delete-key probes must all broadcast:\n$dkPlan")
   }
 
+  test("round-7 additions keep data-plane joins broadcast (plan quality)") {
+    val d = sf
+    // iceberg: the corpus-sized data-file inventory must be touched by a
+    // broadcast semi-probe, never a shuffle join
+    val ib = graft.operators.IcebergOps.rewritePathCopyPlan(
+      T.icebergVersions(spark, d), T.icebergSnapshots(spark, d),
+      T.icebergManifests(spark, d), T.icebergDataFiles(spark, d),
+      T.icebergStats(spark, d), 2L, 4L, T.IcebergSrc,
+      "o3://vol9/backup/wh/", "o3://vol0/bucket0/staging/")
+    ib.collect()
+    val ibPlan = ib.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(ibPlan.contains("BroadcastExchange") &&
+      !ibPlan.contains("SortMergeJoin"),
+      s"iceberg data-file probe must broadcast:\n$ibPlan")
+    // storage distribution: six 1-row aggregates composed — no
+    // cartesian product over anything data-sized, no shuffle join
+    val sd = ClusterHealth.storageDistribution(
+      T.datanodes(spark, d), T.objects(spark, d),
+      graft.operators.Aggregates.nsSummarySorted(
+        T.objectsMixedSorted(spark, d)),
+      T.openKeys(spark, d), T.multipartParts(spark, d),
+      T.deletedDirs(spark, d))
+    sd.collect()
+    val sdPlan = sd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!sdPlan.contains("SortMergeJoin") &&
+      !sdPlan.contains("CartesianProduct"),
+      s"storage distribution must stay broadcast-composed:\n$sdPlan")
+    // container keys page: the page must be a TOP-K over one
+    // container's slice (TakeOrderedAndProject), never a global sort,
+    // and the total-count side must not shuffle-join the page side
+    val ck = graft.operators.Joins.containerKeysPage(
+      T.objects(spark, d), 42L, 25)
+    ck.collect()
+    val ckPlan = ck.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(ckPlan.contains("TakeOrderedAndProject") &&
+      !ckPlan.contains("SortMergeJoin"),
+      s"container page must be top-k + broadcast:\n$ckPlan")
+  }
+
   test("merkle reconciliation flags exactly the diverging replicas") {
     val sfd = sf
     val out = ClusterHealth.merkleReconcile(
