@@ -424,6 +424,11 @@ object SparkEntry {
     // fenced while prepared, re-prepare allowed, idempotent cancel.
     "q_prepare_gate" -> ((s, d) =>
       graft.operators.Security.prepareGateFold(T.prepareOps(s, d))),
+    // FinalizeUpgrade gate fold: feature-version fencing before the
+    // finalize, admin-only finalize advancing MLV, idempotent repeat.
+    "q_finalize_gate" -> ((s, d) =>
+      graft.operators.Security.finalizeGateFold(T.upgradeOps(s, d),
+        T.omLayoutFeatures(s, d))),
     // Iceberg rewrite-table-path copy plan, incremental v2(excl)→v4:
     // staged metadata rewrites + verbatim data/stats copies, the data
     // inventory touched by one broadcast semi-probe.
@@ -2264,6 +2269,60 @@ object SparkEntry {
         |    'o3://vol0/bucket0/wh/metadata/stats-v' || i || '.puffin'
         |      AS stats_path
         |  FROM range(1, 6) t(i) WHERE i % 2 = 0)""".stripMargin),
+
+    // Finalize-gate mirror: same correlated last-state-change fold.
+    "q_finalize_gate" -> O.withCtes(
+      """SELECT o.seq, o.op_type, o.feature, o.caller,
+        |  CASE WHEN coalesce((SELECT o2.sc FROM fg_ops o2
+        |      WHERE o2.seq < o.seq AND o2.sc IS NOT NULL
+        |      ORDER BY o2.seq DESC LIMIT 1) = 1, false)
+        |    THEN CAST(11 AS BIGINT) ELSE CAST(4 AS BIGINT) END
+        |    AS mlv_before,
+        |  CASE WHEN o.op_type = 'FINALIZE' THEN
+        |      CASE WHEN o.caller <> 'om-admin' THEN 'ACCESS_DENIED'
+        |        WHEN coalesce((SELECT o2.sc FROM fg_ops o2
+        |          WHERE o2.seq < o.seq AND o2.sc IS NOT NULL
+        |          ORDER BY o2.seq DESC LIMIT 1) = 1, false)
+        |          THEN 'ALREADY_FINALIZED'
+        |        ELSE 'FINALIZATION_DONE' END
+        |    WHEN f.version <= CASE WHEN coalesce((SELECT o2.sc
+        |        FROM fg_ops o2 WHERE o2.seq < o.seq AND o2.sc IS NOT NULL
+        |        ORDER BY o2.seq DESC LIMIT 1) = 1, false)
+        |      THEN 11 ELSE 4 END THEN 'ALLOWED'
+        |    ELSE 'NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION' END
+        |    AS decision,
+        |  CASE WHEN o.op_type = 'FINALIZE' AND o.caller = 'om-admin'
+        |      AND NOT coalesce((SELECT o2.sc FROM fg_ops o2
+        |        WHERE o2.seq < o.seq AND o2.sc IS NOT NULL
+        |        ORDER BY o2.seq DESC LIMIT 1) = 1, false)
+        |    THEN CAST(7 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |    AS features_run
+        |FROM fg_ops o
+        |LEFT JOIN fg_features f ON o.feature = f.feature
+        |ORDER BY o.seq""".stripMargin,
+      """fg_features(feature, version) AS (VALUES
+        |  ('INITIAL_VERSION', 0), ('ERASURE_CODED_STORAGE_SUPPORT', 1),
+        |  ('BUCKET_LAYOUT_SUPPORT', 2), ('MULTITENANCY_SCHEMA', 3),
+        |  ('HSYNC', 4), ('FILESYSTEM_SNAPSHOT', 5), ('QUOTA', 6),
+        |  ('HBASE_SUPPORT', 7), ('DELEGATION_TOKEN_SYMMETRIC_SIGN', 8),
+        |  ('SNAPSHOT_DEFRAG', 9), ('S3_LIFECYCLE_SUPPORT', 10),
+        |  ('MPU_PARTS_TABLE_SPLIT', 11))""".stripMargin,
+      """fg_ops AS (
+        |  SELECT seq, op_type, feature, caller,
+        |    CASE WHEN op_type = 'FINALIZE' AND caller = 'om-admin'
+        |      THEN 1 END AS sc
+        |  FROM (VALUES
+        |    (1, 'REQUEST', 'HSYNC', 'clerk1'),
+        |    (2, 'REQUEST', 'FILESYSTEM_SNAPSHOT', 'clerk1'),
+        |    (3, 'REQUEST', 'S3_LIFECYCLE_SUPPORT', 'clerk1'),
+        |    (4, 'FINALIZE', '', 'clerk1'),
+        |    (5, 'REQUEST', 'FILESYSTEM_SNAPSHOT', 'clerk1'),
+        |    (6, 'FINALIZE', '', 'om-admin'),
+        |    (7, 'REQUEST', 'FILESYSTEM_SNAPSHOT', 'clerk1'),
+        |    (8, 'REQUEST', 'MPU_PARTS_TABLE_SPLIT', 'clerk1'),
+        |    (9, 'FINALIZE', '', 'om-admin'),
+        |    (10, 'REQUEST', 'ERASURE_CODED_STORAGE_SUPPORT', 'clerk1'))
+        |    v(seq, op_type, feature, caller))""".stripMargin),
 
     // Prepare-gate mirror: last-non-null state fold via a correlated
     // most-recent-state-change probe (the op log is control-plane tiny).

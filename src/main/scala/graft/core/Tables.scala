@@ -1785,6 +1785,45 @@ object Tables {
       .toDF("seq", "op_type", "caller")
   }
 
+  /** om_layout_features: the public OMLayoutFeature catalog slice the
+    * upgrade-gate fixture references (OMLayoutFeature.java:28-49). */
+  def omLayoutFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("INITIAL_VERSION", 0L),
+      ("ERASURE_CODED_STORAGE_SUPPORT", 1L),
+      ("BUCKET_LAYOUT_SUPPORT", 2L),
+      ("MULTITENANCY_SCHEMA", 3L),
+      ("HSYNC", 4L),
+      ("FILESYSTEM_SNAPSHOT", 5L),
+      ("QUOTA", 6L),
+      ("HBASE_SUPPORT", 7L),
+      ("DELEGATION_TOKEN_SYMMETRIC_SIGN", 8L),
+      ("SNAPSHOT_DEFRAG", 9L),
+      ("S3_LIFECYCLE_SUPPORT", 10L),
+      ("MPU_PARTS_TABLE_SPLIT", 11L))
+      .toDF("feature", "version")
+  }
+
+  /** upgrade_ops: an op log across a finalization — feature-gated
+    * requests before/after, a non-admin finalize (moves nothing), the
+    * finalize, and the idempotent re-finalize. */
+  def upgradeOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "REQUEST", "HSYNC", "clerk1"),
+      (2L, "REQUEST", "FILESYSTEM_SNAPSHOT", "clerk1"),
+      (3L, "REQUEST", "S3_LIFECYCLE_SUPPORT", "clerk1"),
+      (4L, "FINALIZE", "", "clerk1"),
+      (5L, "REQUEST", "FILESYSTEM_SNAPSHOT", "clerk1"),
+      (6L, "FINALIZE", "", "om-admin"),
+      (7L, "REQUEST", "FILESYSTEM_SNAPSHOT", "clerk1"),
+      (8L, "REQUEST", "MPU_PARTS_TABLE_SPLIT", "clerk1"),
+      (9L, "FINALIZE", "", "om-admin"),
+      (10L, "REQUEST", "ERASURE_CODED_STORAGE_SUPPORT", "clerk1"))
+      .toDF("seq", "op_type", "feature", "caller")
+  }
+
   /** get_token_requests: GetDelegationToken mint branches — kerberos
     * mint, TOKEN-authenticated caller refused (a DT can't mint another),
     * SIMPLE auth refused with security on but ADMITTED with security

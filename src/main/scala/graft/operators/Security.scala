@@ -172,6 +172,54 @@ object Security {
       .orderBy("seq")
   }
 
+  /**
+   * FinalizeUpgrade gate fold — layout-version fencing
+   * (upgrade/OMLayoutFeatureAspect.checkLayoutFeature: a request
+   * annotated @DisallowedUntilLayoutVersion(F) is refused
+   * NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION while the metadata
+   * layout version sits below F's version; OMLayoutFeature.java:28-49
+   * is the version catalog; FinalizeUpgrade — admin-only, like prepare
+   * — walks every un-finalized feature's upgrade actions in version
+   * order and advances MLV to the software layout version, a second
+   * finalize reporting ALREADY_FINALIZED):
+   *   - REQUEST: feature version ≤ MLV-before → ALLOWED, else refused
+   *   - FINALIZE by a non-admin → ACCESS_DENIED, MLV unmoved
+   *   - FINALIZE by an admin → FINALIZATION_DONE with features_run =
+   *     slv − MLV-before (the contiguous catalog makes the count the
+   *     version gap); at MLV == slv → ALREADY_FINALIZED, 0 run.
+   * Same last-non-null fold shape as [[prepareGateFold]]; the upgrade
+   * log is control-plane sized.
+   */
+  def finalizeGateFold(ops: DataFrame, features: DataFrame,
+                       startMlv: Long = 4L, slv: Long = 11L,
+                       admins: Seq[String] = Seq("om-admin")): DataFrame = {
+    val isAdmin = col("caller").isin(admins: _*)
+    val wPrev = Window.orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ops
+      .withColumn("sc",
+        when(col("op_type") === "FINALIZE" && isAdmin, lit(1)))
+      .withColumn("mlv_before",
+        when(last("sc", ignoreNulls = true).over(wPrev) === 1, lit(slv))
+          .otherwise(lit(startMlv)))
+      .join(broadcast(features.select(col("feature"),
+        col("version").as("feature_version"))), Seq("feature"), "left")
+      .withColumn("decision",
+        when(col("op_type") === "FINALIZE",
+          when(!isAdmin, lit("ACCESS_DENIED"))
+            .when(col("mlv_before") === slv, lit("ALREADY_FINALIZED"))
+            .otherwise(lit("FINALIZATION_DONE")))
+          .when(col("feature_version") <= col("mlv_before"),
+            lit("ALLOWED"))
+          .otherwise(lit("NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION")))
+      .select(col("seq"), col("op_type"), col("feature"), col("caller"),
+        col("mlv_before"), col("decision"),
+        when(col("decision") === "FINALIZATION_DONE",
+          lit(slv) - col("mlv_before")).otherwise(lit(0L))
+          .as("features_run"))
+      .orderBy("seq")
+  }
+
   /** The token-mint plane's max lifetime (the 7-day Hadoop DT default
     * the reference inherits via tokenMaxLifetime). */
   val TokenMaxLifetimeMs = 604800000L

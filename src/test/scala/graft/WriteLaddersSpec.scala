@@ -497,6 +497,27 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(got(("ROLE", "tenant-gone-UserRole")) === "DELETE")
   }
 
+  test("finalizeGateFold: feature fencing lifts only on admin finalize") {
+    import graft.operators.Security
+    val got = Security.finalizeGateFold(T.upgradeOps(spark, sf),
+      T.omLayoutFeatures(spark, sf))
+      .select("seq", "mlv_before", "decision", "features_run")
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, "ALLOWED", 0L)))  // HSYNC == MLV passes
+    assert(got(2L)._2 === "NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION")
+    assert(got(3L)._2 === "NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION")
+    assert(got(4L)._2 === "ACCESS_DENIED")     // non-admin finalize
+    // the denied finalize moved nothing
+    assert(got(5L)._2 === "NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION")
+    // 7 features run: versions 5..11 over the contiguous catalog
+    assert(got(6L) === ((4L, "FINALIZATION_DONE", 7L)))
+    assert(got(7L) === ((11L, "ALLOWED", 0L)))
+    assert(got(8L) === ((11L, "ALLOWED", 0L)))
+    assert(got(9L) === ((11L, "ALREADY_FINALIZED", 0L)))
+    assert(got(10L)._2 === "ALLOWED")
+  }
+
   test("prepareGateFold: fence state moves only on admin prepare/cancel") {
     import graft.operators.Security
     val got = Security.prepareGateFold(T.prepareOps(spark, sf))
