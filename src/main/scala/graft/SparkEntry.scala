@@ -706,6 +706,14 @@ object SparkEntry {
     "q_snapshot_purge" -> ((s, d) =>
       CommitLog.snapshotPurgeRelink(T.snapshotChainGlobal(s, d),
         Seq("s2", "snap-gone", "ghost"))),
+    // KeyPurge apply ladder: snapshot probe → expected-previous chain
+    // validation (path prev / latest global; old-format requests skip
+    // the rung, not the probe) → empty-list error → PURGED with bucket
+    // refunds gated on live-bucket id match.
+    "q_key_purge" -> ((s, d) =>
+      CommitLog.keyPurgeDecisions(T.keyPurgeRequests(s, d),
+        T.keyPurgeBucketSizes(s, d), T.snapshotChainGlobal(s, d),
+        T.buckets(s, d))),
     // SnapshotMoveTableKeys ladder: the snapshot-GC move of buffered
     // deleted/renamed/deleted-dir entries to the next path snapshot (or
     // AOS) — from-snapshot probe first, per-table prefix/dup walk with
@@ -5401,6 +5409,89 @@ object SparkEntry {
         |  (3, 'snap-gone', 'vol0', 'bucket0'),
         |  (4, 'snap-golden', 'vol2', 'bucket5'),
         |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin),
+
+    // KeyPurge mirror: chain-prev window + latest-global scalar, bucket
+    // refunds through the live catalog's minted oids.
+    "q_key_purge" -> O.withCtes(
+      """SELECT req_id, from_snapshot, decision,
+        |  CASE WHEN decision = 'PURGED' THEN n_deleted ELSE 0 END
+        |    AS purged_keys,
+        |  CASE WHEN decision = 'PURGED' THEN n_renamed ELSE 0 END
+        |    AS purged_renames,
+        |  CASE WHEN decision = 'PURGED' THEN coalesce(buckets_updated, 0)
+        |    ELSE 0 END AS buckets_updated,
+        |  CASE WHEN decision = 'PURGED' THEN coalesce(bytes_refunded, 0)
+        |    ELSE 0 END AS bytes_refunded
+        |FROM (
+        |  SELECT r.req_id, r.from_snapshot, r.n_deleted, r.n_renamed,
+        |    u.buckets_updated, u.bytes_refunded,
+        |    CASE
+        |      WHEN r.from_snapshot <> '' AND cp.path_prev IS NULL
+        |        THEN 'FILE_NOT_FOUND'
+        |      WHEN r.has_expected AND r.expected_prev <>
+        |        (CASE WHEN r.from_snapshot = '' THEN l.latest_global
+        |           ELSE cp.path_prev END)
+        |        THEN 'INVALID_REQUEST'
+        |      WHEN r.n_deleted + r.n_renamed = 0 THEN 'KEY_DELETION_ERROR'
+        |      ELSE 'PURGED' END AS decision
+        |  FROM kp_reqs r
+        |  CROSS JOIN latest l
+        |  LEFT JOIN chain_prev cp ON cp.name = r.from_snapshot
+        |  LEFT JOIN kp_upd u ON u.req_id = r.req_id)
+        |ORDER BY req_id""".stripMargin,
+      """kp_reqs(req_id, from_snapshot, has_expected, expected_prev,
+        |  n_deleted, n_renamed) AS (VALUES
+        |  (1, '', true, 'snap-live', 3, 1),
+        |  (2, '', true, 's2', 2, 0),
+        |  (3, 'snap-live', true, 'snap-gone', 1, 0),
+        |  (4, 'snap-live', true, 's2', 4, 0),
+        |  (5, 'ghost', true, '', 1, 0),
+        |  (6, '', true, 'snap-live', 0, 0),
+        |  (7, 'snap-golden', true, '', 2, 1),
+        |  (8, 's1', true, 'snap-live', 1, 0),
+        |  (9, '', false, '', 2, 0),
+        |  (10, 'ghost', false, '', 1, 0))""".stripMargin,
+      """kp_chain(global_idx, name, volume, bucket) AS (VALUES
+        |  (1, 's1', 'vol0', 'bucket0'),
+        |  (2, 's2', 'vol0', 'bucket0'),
+        |  (3, 'snap-gone', 'vol0', 'bucket0'),
+        |  (4, 'snap-golden', 'vol2', 'bucket5'),
+        |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin,
+      """kp_sizes(req_id, volume, bucket, bucket_id, purged_bytes,
+        |  purged_namespace) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 10, 1000, 3),
+        |  (1, 'vol0', 'no-such', 77, 500, 1),
+        |  (1, 'vol0', 'bucket1', 99, 200, 1),
+        |  (2, 'vol0', 'bucket0', 10, 900, 2),
+        |  (3, 'vol0', 'bucket0', 10, 400, 1),
+        |  (7, 'vol2', 'bucket5', 215, 300, 2),
+        |  (7, 'vol2', 'bucket5', 215, 250, 1),
+        |  (9, 'vol1', 'bucket3', 113, 700, 2))""".stripMargin,
+      """chain_prev AS (
+        |  SELECT name, coalesce(lag(name) OVER (PARTITION BY volume, bucket
+        |    ORDER BY global_idx), '') AS path_prev
+        |  FROM kp_chain)""".stripMargin,
+      """latest AS (
+        |  SELECT name AS latest_global FROM kp_chain
+        |  ORDER BY global_idx DESC LIMIT 1)""".stripMargin,
+      O.objects, O.buckets,
+      """kp_cat AS (
+        |  SELECT volume, bucket,
+        |    CAST(substr(volume, 4, 10) AS BIGINT) * 100 +
+        |    CAST(substr(bucket, 7, 10) AS BIGINT) + 10 AS bucket_oid
+        |  FROM buckets)""".stripMargin,
+      """kp_upd AS (
+        |  SELECT s.req_id,
+        |    count(DISTINCT CASE WHEN c.bucket_oid IS NOT NULL
+        |      AND s.bucket_id = c.bucket_oid
+        |      THEN s.volume || '/' || s.bucket END) AS buckets_updated,
+        |    coalesce(sum(CASE WHEN c.bucket_oid IS NOT NULL
+        |      AND s.bucket_id = c.bucket_oid
+        |      THEN s.purged_bytes ELSE 0 END), 0) AS bytes_refunded
+        |  FROM kp_sizes s
+        |  LEFT JOIN kp_cat c
+        |    ON c.volume = s.volume AND c.bucket = s.bucket
+        |  GROUP BY s.req_id)""".stripMargin),
 
     // SnapshotMoveTableKeys mirror: from-probe first, filtered lists,
     // prefix-then-dup walk in table order, chain-next ACTIVE gate.

@@ -1312,6 +1312,53 @@ object Tables {
       .toDF("global_idx", "name", "volume", "bucket")
   }
 
+  /** key_purge_requests: OMKeyPurgeRequest branches — AOS purges with a
+    * matching / mismatched expectedPreviousSnapshotID (latest-global
+    * probe), snapshot purges against the PATH-chain predecessor (match,
+    * mismatch, first-in-chain with a null prev), a missing fromSnapshot
+    * (probed with and without the expected field — the catalog probe
+    * precedes and survives the old-format skip), an empty purge list,
+    * and an old-format request whose stale expected value must be
+    * IGNORED (has_expected=false). */
+  def keyPurgeRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "", true, "snap-live", 3L, 1L),
+      (2L, "", true, "s2", 2L, 0L),
+      (3L, "snap-live", true, "snap-gone", 1L, 0L),
+      (4L, "snap-live", true, "s2", 4L, 0L),
+      (5L, "ghost", true, "", 1L, 0L),
+      (6L, "", true, "snap-live", 0L, 0L),
+      (7L, "snap-golden", true, "", 2L, 1L),
+      (8L, "s1", true, "snap-live", 1L, 0L),
+      (9L, "", false, "", 2L, 0L),
+      (10L, "ghost", false, "", 1L, 0L))
+      .toDF("req_id", "from_snapshot", "has_expected", "expected_prev",
+        "n_deleted", "n_renamed")
+  }
+
+  /** key_purge_bucket_sizes: the BucketPurgeKeysSize refund entries of
+    * [[keyPurgeRequests]] — a live bucket with the captured objectID
+    * (applied), a deleted bucket (skipped), a recreated bucket whose id
+    * no longer matches (skipped), two entries refunding the SAME bucket
+    * (one bucket updated, bytes summed), and a refund on a request the
+    * ladder refuses (masked to zero). Bucket oid mint: vol_idx*100 +
+    * bucket_idx + 10, mirrored in the oracle. */
+  def keyPurgeBucketSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", 10L, 1000L, 3L),
+      (1L, "vol0", "no-such", 77L, 500L, 1L),
+      (1L, "vol0", "bucket1", 99L, 200L, 1L),
+      (2L, "vol0", "bucket0", 10L, 900L, 2L),
+      (3L, "vol0", "bucket0", 10L, 400L, 1L),
+      (7L, "vol2", "bucket5", 215L, 300L, 2L),
+      (7L, "vol2", "bucket5", 215L, 250L, 1L),
+      (9L, "vol1", "bucket3", 113L, 700L, 2L))
+      .toDF("req_id", "volume", "bucket", "bucket_id", "purged_bytes",
+        "purged_namespace")
+  }
+
   /** revoke_admin_requests: OMTenantRevokeAdminRequest branches — the
     * assign mirror: a real admin revoked (was_admin=true), a non-admin
     * revoked (idempotent, was_admin=false), tenant inferred through the

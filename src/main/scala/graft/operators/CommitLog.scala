@@ -966,4 +966,86 @@ object CommitLog {
           lit(0L))).otherwise(lit(0L)).as("moved_dirs"))
       .orderBy("req_id")
   }
+
+  /**
+   * KeyPurge apply ladder — OMKeyPurgeRequest.validateAndUpdateCache
+   * (ozone-manager/.../request/key/OMKeyPurgeRequest.java:79-166), the
+   * KeyDeletingService's batch that finally drops deletedTable tombstones.
+   * Reference decision order, one pass per request:
+   *   1. fromSnapshot set → snapshot-catalog probe
+   *      (SnapshotUtils.getSnapshotInfo) → missing ⇒ FILE_NOT_FOUND;
+   *   2. requests carrying expectedPreviousSnapshotID re-validate the
+   *      chain (SnapshotUtils.validatePreviousSnapshotId:273-283): the
+   *      ACTUAL previous is the PATH-chain predecessor of fromSnapshot —
+   *      or the LATEST GLOBAL snapshot when purging for AOS — and any
+   *      mismatch ⇒ INVALID_REQUEST (a snapshot created mid-purge would
+   *      make the tombstones visible to it; the txn must be skipped).
+   *      Old-format requests without the field skip this rung entirely
+   *      (but not the probe above);
+   *   3. an empty purge list (no deleted keys AND no renamed keys) ⇒
+   *      KEY_DELETION_ERROR;
+   *   4. else PURGED, and the per-bucket usedBytes/usedNamespace
+   *      givebacks apply ONLY where the bucket still exists AND the
+   *      request's captured bucketId equals the live bucket objectID
+   *      (OMKeyPurgeRequest.updateBucketSize:186-213 — a deleted or
+   *      recreated bucket silently skips its refund).
+   *
+   * Scale shape: the chain and the request batch are control-plane-tiny —
+   * two broadcast joins against them; the bucket catalog probe is one
+   * broadcast of the (volume,bucket,oid) projection. No shuffle beyond
+   * the output sort.
+   */
+  def keyPurgeDecisions(requests: DataFrame, bucketSizes: DataFrame,
+                        chain: DataFrame, buckets: DataFrame): DataFrame = {
+    // Path-chain predecessor per snapshot; '' = no predecessor (the
+    // reference's null UUID).
+    val wP = Window.partitionBy("volume", "bucket").orderBy("global_idx")
+    val withPrev = chain
+      .withColumn("path_prev", coalesce(lag("name", 1).over(wP), lit("")))
+      .select(col("name").as("from_snapshot"), col("path_prev"))
+    val latestGlobal = chain
+      .agg(max_by(col("name"), col("global_idx")).as("latest_global"))
+    // Live bucket object ids (deterministic mint mirrored in the oracle).
+    val cat = buckets.select(col("volume"), col("bucket"),
+      (substring(col("volume"), 4, 10).cast("long") * 100 +
+        substring(col("bucket"), 7, 10).cast("long") + 10).as("bucket_oid"))
+    val refunds = bucketSizes
+      .join(broadcast(cat), Seq("volume", "bucket"), "left")
+      .withColumn("applied",
+        col("bucket_oid").isNotNull && col("bucket_id") === col("bucket_oid"))
+      .groupBy("req_id")
+      .agg(
+        count_distinct(when(col("applied"),
+          concat_ws("/", col("volume"), col("bucket")))).as("buckets_updated"),
+        sum(when(col("applied"), col("purged_bytes")).otherwise(0L))
+          .as("bytes_refunded"))
+    requests
+      .join(broadcast(withPrev), Seq("from_snapshot"), "left")
+      .crossJoin(broadcast(latestGlobal))
+      .join(broadcast(refunds), Seq("req_id"), "left")
+      .withColumn("actual_prev",
+        when(col("from_snapshot") === "", col("latest_global"))
+          .otherwise(col("path_prev")))
+      .withColumn("decision",
+        when(col("from_snapshot") =!= "" && col("path_prev").isNull,
+          lit("FILE_NOT_FOUND"))
+          .when(col("has_expected") &&
+            col("expected_prev") =!= col("actual_prev"),
+            lit("INVALID_REQUEST"))
+          .when(col("n_deleted") + col("n_renamed") === 0,
+            lit("KEY_DELETION_ERROR"))
+          .otherwise(lit("PURGED")))
+      .select(col("req_id"), col("from_snapshot"), col("decision"),
+        when(col("decision") === "PURGED", col("n_deleted"))
+          .otherwise(lit(0L)).as("purged_keys"),
+        when(col("decision") === "PURGED", col("n_renamed"))
+          .otherwise(lit(0L)).as("purged_renames"),
+        when(col("decision") === "PURGED",
+          coalesce(col("buckets_updated"), lit(0L)))
+          .otherwise(lit(0L)).as("buckets_updated"),
+        when(col("decision") === "PURGED",
+          coalesce(col("bytes_refunded"), lit(0L)))
+          .otherwise(lit(0L)).as("bytes_refunded"))
+      .orderBy("req_id")
+  }
 }

@@ -223,4 +223,34 @@ class CommitLogSpec extends SparkSpecBase {
     assert(got(12L)._1 === "INVALID_KEY_NAME")
     assert(got(13L)._1 === "INVALID_REQUEST")
   }
+
+  test("keyPurgeDecisions: chain validation, probe order, refund gating") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val got = graft.operators.CommitLog
+      .keyPurgeDecisions(T.keyPurgeRequests(spark, d),
+        T.keyPurgeBucketSizes(spark, d), T.snapshotChainGlobal(spark, d),
+        T.buckets(spark, d))
+      .as[(Long, String, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // AOS purge validated against the LATEST GLOBAL snapshot; refunds:
+    // live-id entry applies, deleted bucket and stale-id entry skip
+    assert(got(1L) === (("PURGED", 3L, 1L, 1L, 1000L)))
+    assert(got(2L) === (("INVALID_REQUEST", 0L, 0L, 0L, 0L)))
+    // snapshot purge validated against the PATH-chain predecessor
+    assert(got(3L) === (("PURGED", 1L, 0L, 1L, 400L)))
+    assert(got(4L) === (("INVALID_REQUEST", 0L, 0L, 0L, 0L)))
+    // the catalog probe precedes chain validation
+    assert(got(5L) === (("FILE_NOT_FOUND", 0L, 0L, 0L, 0L)))
+    assert(got(6L) === (("KEY_DELETION_ERROR", 0L, 0L, 0L, 0L)))
+    // first-in-chain: the null predecessor matches the null expected;
+    // two refunds on ONE bucket = one bucket updated, bytes summed
+    assert(got(7L) === (("PURGED", 2L, 1L, 1L, 550L)))
+    assert(got(8L) === (("INVALID_REQUEST", 0L, 0L, 0L, 0L)))
+    // old-format request: the stale expected value is IGNORED...
+    assert(got(9L) === (("PURGED", 2L, 0L, 1L, 700L)))
+    // ...but the snapshot probe still runs
+    assert(got(10L) === (("FILE_NOT_FOUND", 0L, 0L, 0L, 0L)))
+  }
 }
