@@ -269,8 +269,12 @@ object SparkEntry {
       Lifecycle.deletedKeysInsight(T.objects(s, d))),
     "q_open_key_expiry" -> ((s, d) =>
       Lifecycle.openKeyExpiry(T.openKeys(s, d), 896659200000L)),
+    // getExpiredOpenKeys selection (MPU exclusion, creation vs lease
+    // thresholds, hsync markers) chained into the OMOpenKeysDeleteRequest
+    // apply fences (concurrent commit, newer updateID).
     "q_open_key_cleanup" -> ((s, d) =>
-      Lifecycle.openKeyCleanup(T.openKeys(s, d), 896659200000L)),
+      Lifecycle.openKeyCleanup(T.openKeys(s, d), 833587200000L,
+        883612800000L)),
     "q_multipart_validate" -> ((s, d) =>
       Lifecycle.multipartValidate(T.multipartParts(s, d))),
     "q_multipart_etag" -> ((s, d) =>
@@ -1536,13 +1540,29 @@ object SparkEntry {
         |ORDER BY volume, bucket, key, data_size, modification_time""".stripMargin, O.objects),
 
     "q_open_key_cleanup" -> O.withCtes(
-      """SELECT volume, bucket, key, client_id,
-        |  (object_id // 10) % 3 = 0 AS hsynced,
-        |  CASE WHEN creation_time >= 896659200000 THEN 'RETAIN'
-        |       WHEN (object_id // 10) % 3 = 0 THEN 'COMMIT'
-        |       ELSE 'DELETE' END AS action,
+      """SELECT volume, bucket, key, client_id, hsynced, selection,
+        |  CASE WHEN selection <> 'DELETE' THEN selection
+        |       WHEN f % 23 = 0 THEN 'SKIP_COMMITTED'
+        |       WHEN f % 29 = 0 THEN 'SKIP_NEWER_UPDATE'
+        |       ELSE 'DELETED' END AS outcome,
         |  data_size
-        |FROM open_keys
+        |FROM (
+        |  SELECT *,
+        |    CASE WHEN f % 11 = 0 THEN 'SKIP_MPU'
+        |         WHEN NOT creation_expired AND NOT lease_expired
+        |           THEN 'RETAIN'
+        |         WHEN (NOT hsynced AND creation_expired)
+        |           OR f % 13 = 0 OR f % 17 = 0 THEN 'DELETE'
+        |         WHEN hsynced AND lease_expired AND f % 19 <> 0
+        |           THEN 'COMMIT'
+        |         ELSE 'RETAIN' END AS selection
+        |  FROM (
+        |    SELECT volume, bucket, key, client_id, data_size,
+        |      object_id // 10 AS f,
+        |      client_id % 3 = 0 AS hsynced,
+        |      creation_time <= 833587200000 AS creation_expired,
+        |      modification_time <= 883612800000 AS lease_expired
+        |    FROM open_keys))
         |ORDER BY volume, bucket, key, client_id, data_size""".stripMargin,
       O.objects, O.openKeys),
 

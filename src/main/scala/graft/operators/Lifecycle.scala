@@ -73,26 +73,58 @@ object Lifecycle {
       .orderBy("volume", "bucket")
 
   /**
-   * Open-key cleanup decisions — OpenKeyCleanupService.java:183-235: the
-   * expired open keys (creation older than the threshold) split into the
-   * two submit paths: non-hsync'd entries batch into open-key DELETEs,
-   * hsync'd entries have durable data and are COMMITTED instead; entries
-   * inside the threshold are retained. The hsync flag derives from the
-   * order key (f % 3 == 0 — writes through ofs/o3fs hsync, the S3 path
-   * never does).
+   * Open-key cleanup — the full getExpiredOpenKeys selection
+   * (OmMetadataManagerImpl.java:1446-1520) chained into the
+   * OMOpenKeysDeleteRequest apply ladder
+   * (OMOpenKeysDeleteRequest.java:168-225). Selection, in reference
+   * order over every open-key entry:
+   *   1. open MPU keys are never cleaned (isOpenMultipartKey:1404-1423 —
+   *      multipart flag or a live multipartInfo entry) ⇒ SKIP_MPU;
+   *   2. neither creation-expired (service expire threshold) nor
+   *      lease-expired (modification vs lease threshold) ⇒ RETAIN;
+   *   3. (!hsync && creation-expired) OR a DELETED_HSYNC_KEY /
+   *      OVERWRITTEN_HSYNC_KEY marker ⇒ submit for DELETE — the data
+   *      never got a commit, or the keyTable row is already gone;
+   *   4. else hsync && lease-expired && !LEASE_RECOVERY ⇒ submit for
+   *      COMMIT (hsync'd data is durable; the service recovers it via a
+   *      CommitKey built from the keyTable row, :1494-1516);
+   *   5. everything else (hsync under recovery, hsync creation-expired
+   *      but lease-live, non-hsync lease-expired-only) ⇒ RETAIN — the
+   *      subtle rung: a lease-expired NON-hsync key whose creation is
+   *      still fresh is NOT deleted.
+   * Apply, per DELETE-submitted key: a concurrent commit removed the
+   * open entry ⇒ SKIP_COMMITTED (:189-191); a newer updateID fences the
+   * stale batch ⇒ SKIP_NEWER_UPDATE (:193-198); else DELETED. The hsync
+   * flag reads the db key's clientId against HSYNC_CLIENT_ID metadata
+   * (client_id % 3, as in [[openKeysInsight]]); markers/fences derive
+   * from the order key f = object_id DIV 10.
    *
    * Scale shape: a pure row decision over the open-key table — no join,
    * no shuffle beyond the output sort.
    */
-  def openKeyCleanup(openKeys: DataFrame, cutoffMs: Long): DataFrame =
+  def openKeyCleanup(openKeys: DataFrame, creationCutoffMs: Long,
+                     leaseCutoffMs: Long): DataFrame =
     openKeys
-      .withColumn("hsynced", expr("(object_id DIV 10) % 3 = 0"))
-      .withColumn("action",
-        when(col("creation_time") >= cutoffMs, lit("RETAIN"))
-          .when(col("hsynced"), lit("COMMIT"))
-          .otherwise(lit("DELETE")))
-      .select("volume", "bucket", "key", "client_id", "hsynced", "action",
-        "data_size")
+      .withColumn("f", expr("object_id DIV 10"))
+      .withColumn("hsynced", col("client_id") % 3 === 0)
+      .withColumn("creation_expired", col("creation_time") <= creationCutoffMs)
+      .withColumn("lease_expired", col("modification_time") <= leaseCutoffMs)
+      .withColumn("selection",
+        when(col("f") % 11 === 0, lit("SKIP_MPU"))
+          .when(!col("creation_expired") && !col("lease_expired"),
+            lit("RETAIN"))
+          .when((!col("hsynced") && col("creation_expired")) ||
+            col("f") % 13 === 0 || col("f") % 17 === 0, lit("DELETE"))
+          .when(col("hsynced") && col("lease_expired") &&
+            col("f") % 19 =!= 0, lit("COMMIT"))
+          .otherwise(lit("RETAIN")))
+      .withColumn("outcome",
+        when(col("selection") =!= "DELETE", col("selection"))
+          .when(col("f") % 23 === 0, lit("SKIP_COMMITTED"))
+          .when(col("f") % 29 === 0, lit("SKIP_NEWER_UPDATE"))
+          .otherwise(lit("DELETED")))
+      .select("volume", "bucket", "key", "client_id", "hsynced",
+        "selection", "outcome", "data_size")
       .orderBy("volume", "bucket", "key", "client_id", "data_size")
 
   /** NOW / soft-limit constants for [[recoverLeases]] (mirrored in the

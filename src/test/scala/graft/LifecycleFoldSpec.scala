@@ -80,4 +80,27 @@ class LifecycleFoldSpec extends SparkSpecBase {
       Seq("v", "b", "a/b/1", "a/b/1/x.dat", 3L, 90L),
       Seq("v", "b", "a/b/2", "a/b/2/x.dat", 1L, 7L)))
   }
+
+  test("openKeyCleanup: every reference rung populated, fences re-derived") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val rows = Lifecycle.openKeyCleanup(
+      graft.core.Tables.openKeys(spark, d), 833587200000L, 883612800000L)
+      .select("client_id", "hsynced", "selection", "outcome")
+      .as[(Long, Boolean, String, String)].collect()
+    val bySel = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    // all five selection classes exist in the corpus split
+    assert(Set("SKIP_MPU", "RETAIN", "DELETE", "COMMIT")
+      .subsetOf(bySel.keySet))
+    // DELETE rows fan into the three apply outcomes
+    val delOut = rows.filter(_._3 == "DELETE").map(_._4).toSet
+    assert(delOut === Set("SKIP_COMMITTED", "SKIP_NEWER_UPDATE", "DELETED"))
+    // non-DELETE selections pass through unchanged
+    assert(rows.filter(_._3 != "DELETE").forall(r => r._4 == r._3))
+    // COMMIT only ever fires for hsync'd entries
+    assert(rows.filter(_._3 == "COMMIT").forall(_._2))
+    // the subtle rung: lease-expired NON-hsync keys with fresh creation
+    // are RETAINED, so retained rows include non-hsync entries
+    assert(rows.exists(r => r._3 == "RETAIN" && !r._2))
+  }
 }
