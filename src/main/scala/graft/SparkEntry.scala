@@ -882,6 +882,12 @@ object SparkEntry {
         T.deletedDirs(s, d))),
     "q_block_deletion" -> ((s, d) =>
       ClusterHealth.blockDeletionBacklog(T.objects(s, d))),
+    // Recon /blocks/deletePending page: txID-ordered walk, strictly-
+    // greater prevKey resume, the whole walk stops when ONE container
+    // state's list fills the limit (single txID watermark).
+    "q_blocks_pending_page" -> ((s, d) =>
+      ClusterHealth.blocksPendingDeletionPage(T.objects(s, d),
+        T.containersScm(s, d), prevTxn = 20000L, limit = 40)),
     "q_safemode" -> ((s, d) =>
       ClusterHealth.safemodeStatus(T.datanodes(s, d), T.pipelines(s, d),
         T.pipelineMembers(s, d), T.containersScm(s, d), T.replicas(s, d))),
@@ -6062,6 +6068,46 @@ object SparkEntry {
          |FROM objects
          |WHERE (version = 4 OR version = 5) AND (object_id // 10) % 10 = 0
          |GROUP BY 1 ORDER BY 1""".stripMargin, O.objects),
+
+    // /blocks/deletePending mirror: KV-canonical txns, per-state
+    // row_number, scalar watermark cutoff.
+    "q_blocks_pending_page" -> O.withCtes(
+      s"""SELECT state, txn_id, container_id, local_id_count
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY state
+         |    ORDER BY txn_id) AS rn
+         |  FROM (
+         |    SELECT c.state, t.txn_id, t.container_id,
+         |      (t.data_size - 1) // ${graft.core.Tables.LocChunkBytes} + 1
+         |        AS local_id_count
+         |    FROM (
+         |      SELECT object_id AS txn_id,
+         |        CAST(max(data_size) AS BIGINT) AS data_size,
+         |        (object_id // 10) % 1000 AS container_id
+         |      FROM objects
+         |      WHERE (version = 4 OR version = 5)
+         |        AND (object_id // 10) % 10 = 0
+         |      GROUP BY object_id) t
+         |    JOIN containers_scm c ON c.container_id = t.container_id
+         |    WHERE t.txn_id > 20000)) r
+         |WHERE txn_id <= coalesce(
+         |  (SELECT min(CASE WHEN rn = 40 THEN txn_id END)
+         |   FROM (
+         |     SELECT row_number() OVER (PARTITION BY state
+         |       ORDER BY txn_id) AS rn, txn_id
+         |     FROM (
+         |       SELECT c.state, t.txn_id
+         |       FROM (
+         |         SELECT object_id AS txn_id,
+         |           (object_id // 10) % 1000 AS container_id
+         |         FROM objects
+         |         WHERE (version = 4 OR version = 5)
+         |           AND (object_id // 10) % 10 = 0
+         |         GROUP BY object_id) t
+         |       JOIN containers_scm c ON c.container_id = t.container_id
+         |       WHERE t.txn_id > 20000))), 9223372036854775807)
+         |ORDER BY txn_id""".stripMargin,
+      O.objects, O.containersScm),
 
     "q_safemode" -> O.withCtes(
       """SELECT * FROM (

@@ -132,6 +132,45 @@ object ClusterHealth {
       .orderBy("container_id")
 
   /**
+   * Recon /blocks/deletePending page — BlocksEndPoint.getBlocksPendingDeletion
+   * (recon/.../api/BlocksEndPoint.java:89-155): walk the SCM deletedBlocks
+   * table in txID order with a prevKey resume (seek + skip-exact ⇒ strictly
+   * greater), tag each transaction with its container's CURRENT state, and
+   * stop the WHOLE walk once any one state's list reaches the limit (the
+   * reference breaks out of the iterator, so later txns of OTHER states are
+   * cut too — the page boundary is a single txID watermark, not a per-state
+   * top-N). Synthetic duplicate txn rows canonicalize to one value per txID
+   * (a KV table has one row per key), like listOpenFiles.
+   *
+   * Scale shape: the backlog table is bounded by the deletion queue, and
+   * the page is limit-bounded; one row_number window partitioned by state
+   * (≤ a handful of container states) + a scalar cutoff broadcast. The
+   * container-state tag is a broadcast of the SCM container catalog
+   * projection.
+   */
+  def blocksPendingDeletionPage(objects: DataFrame, containersScm: DataFrame,
+                                prevTxn: Long, limit: Int): DataFrame = {
+    val txns = CommitLog.synthesizeLog(objects)
+      .filter(col("op") === "DELETE")
+      .groupBy(col("object_id").as("txn_id"))
+      .agg(max("data_size").as("data_size"))
+      .withColumn("container_id", expr("(txn_id DIV 10) % 1000"))
+      .withColumn("local_id_count",
+        expr(s"(data_size - 1) DIV ${graft.core.Tables.LocChunkBytes} + 1"))
+      .join(broadcast(containersScm.select("container_id", "state")),
+        Seq("container_id"))
+      .filter(col("txn_id") > prevTxn)
+    val ranked = txns.withColumn("rn",
+      row_number().over(Window.partitionBy("state").orderBy("txn_id")))
+    val cutoff = ranked
+      .agg(min(when(col("rn") === limit, col("txn_id"))).as("cut"))
+    ranked.crossJoin(broadcast(cutoff))
+      .filter(col("txn_id") <= coalesce(col("cut"), lit(Long.MaxValue)))
+      .select("state", "txn_id", "container_id", "local_id_count")
+      .orderBy("txn_id")
+  }
+
+  /**
    * Decommission / maintenance readiness — the admin monitor's per-node
    * container walk (DatanodeAdminMonitorImpl.java:406-470
    * checkContainersReplicatedOnNode): every container holding a replica on

@@ -512,4 +512,36 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(g("total_keys") > 0 && g("open_key_bytes") > 0 &&
       g("open_mpu_bytes") > 0 && g("pending_dir_bytes") > 0)
   }
+
+  test("blocksPendingDeletionPage: stitched pages cover the full walk") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    def page(prev: Long, limit: Int) =
+      graft.operators.ClusterHealth.blocksPendingDeletionPage(
+        T.objects(spark, d), T.containersScm(spark, d), prev, limit)
+        .as[(String, Long, Long, Long)].collect()
+    val all = page(0L, Int.MaxValue)
+    assert(all.nonEmpty && all.map(_._1).distinct.sorted ===
+      Array("CLOSED", "DELETED"))
+    // txIDs are unique after KV canonicalization (resume token is sound)
+    assert(all.map(_._2).distinct.length === all.length)
+    // walk limit=7 pages to exhaustion; every page obeys the per-state
+    // cap and the watermark cut, and the stitched walk equals the full
+    var prev = 0L
+    var seen = Vector.empty[(String, Long, Long, Long)]
+    var done = false
+    while (!done) {
+      val p = page(prev, 7)
+      if (p.isEmpty) done = true
+      else {
+        assert(p.groupBy(_._1).values.forall(_.length <= 7))
+        // the page ends exactly where one state filled its cap (or the
+        // table ended): nothing beyond the max txn was emitted
+        prev = p.map(_._2).max
+        seen ++= p
+      }
+    }
+    assert(seen.sortBy(_._2) === all.sortBy(_._2).toVector)
+  }
 }
