@@ -710,6 +710,12 @@ object SparkEntry {
     "q_snapshot_purge" -> ((s, d) =>
       CommitLog.snapshotPurgeRelink(T.snapshotChainGlobal(s, d),
         Seq("s2", "snap-gone", "ghost"))),
+    // KeyLifecycleService control fold: scan-state cursor saves +
+    // suspend/resume toggles; finalization gate precedes the admin
+    // check, suspension doesn't fence cursor writes.
+    "q_lifecycle_service" -> ((s, d) =>
+      Lifecycle.lifecycleServiceFold(T.lifecycleServiceOps(s, d),
+        finalizedSeq = 5L)),
     // KeyPurge apply ladder: snapshot probe → expected-previous chain
     // validation (path prev / latest global; old-format requests skip
     // the rung, not the probe) → empty-list error → PURGED with bucket
@@ -5435,6 +5441,42 @@ object SparkEntry {
         |  (3, 'snap-gone', 'vol0', 'bucket0'),
         |  (4, 'snap-golden', 'vol2', 'bucket5'),
         |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin),
+
+    // Lifecycle-service mirror: running last-applied toggle + prior-save
+    // count per bucket cursor.
+    "q_lifecycle_service" -> O.withCtes(
+      """SELECT seq, op_type, caller, bucket_key, decision,
+        |  coalesce(last_value(CASE WHEN decision = 'SUSPENDED' THEN true
+        |      WHEN decision = 'RESUMED' THEN false END IGNORE NULLS)
+        |    OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW), false) AS suspended_after,
+        |  decision = 'SAVED' AND
+        |    count(CASE WHEN decision = 'SAVED' THEN 1 END)
+        |      OVER (PARTITION BY bucket_key ORDER BY seq
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0
+        |    AS replaced_prior
+        |FROM (
+        |  SELECT *,
+        |    CASE
+        |      WHEN op_type = 'STATUS' AND seq < 5
+        |        THEN 'NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION'
+        |      WHEN caller <> 'om-admin' THEN 'ACCESS_DENIED'
+        |      WHEN op_type = 'SAVE' THEN 'SAVED'
+        |      WHEN suspend THEN 'SUSPENDED'
+        |      ELSE 'RESUMED' END AS decision
+        |  FROM ls_ops)
+        |ORDER BY seq""".stripMargin,
+      """ls_ops(seq, op_type, caller, bucket_key, suspend) AS (VALUES
+        |  (1, 'STATUS', 'om-admin', '', true),
+        |  (2, 'SAVE', 'clerk1', '/vol0/bucket0', false),
+        |  (3, 'SAVE', 'om-admin', '/vol0/bucket0', false),
+        |  (4, 'STATUS', 'clerk2', '', true),
+        |  (6, 'STATUS', 'clerk2', '', true),
+        |  (7, 'STATUS', 'om-admin', '', true),
+        |  (8, 'SAVE', 'om-admin', '/vol0/bucket0', false),
+        |  (9, 'SAVE', 'om-admin', '/vol1/bucket3', false),
+        |  (10, 'STATUS', 'om-admin', '', false),
+        |  (11, 'STATUS', 'om-admin', '', false))""".stripMargin),
 
     // KeyPurge mirror: chain-prev window + latest-global scalar, bucket
     // refunds through the live catalog's minted oids.

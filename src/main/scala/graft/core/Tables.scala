@@ -1312,6 +1312,29 @@ object Tables {
       .toDF("global_idx", "name", "volume", "bucket")
   }
 
+  /** lifecycle_service_ops: the KeyLifecycleService control stream —
+    * SAVE (scan-state cursor upserts) and STATUS (suspend/resume) ops.
+    * Probes: a pre-finalization suspend (both admin and NON-admin — the
+    * finalization validator fires before the admin check), non-admin
+    * saves/toggles, cursor replacement on a re-saved bucket, an
+    * idempotent resume, and a SAVE while suspended (not fenced). The
+    * S3_LIFECYCLE_SUPPORT feature finalizes at seq 5. */
+  def lifecycleServiceOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "STATUS", "om-admin", "", true),
+      (2L, "SAVE", "clerk1", "/vol0/bucket0", false),
+      (3L, "SAVE", "om-admin", "/vol0/bucket0", false),
+      (4L, "STATUS", "clerk2", "", true),
+      (6L, "STATUS", "clerk2", "", true),
+      (7L, "STATUS", "om-admin", "", true),
+      (8L, "SAVE", "om-admin", "/vol0/bucket0", false),
+      (9L, "SAVE", "om-admin", "/vol1/bucket3", false),
+      (10L, "STATUS", "om-admin", "", false),
+      (11L, "STATUS", "om-admin", "", false))
+      .toDF("seq", "op_type", "caller", "bucket_key", "suspend")
+  }
+
   /** key_purge_requests: OMKeyPurgeRequest branches — AOS purges with a
     * matching / mismatched expectedPreviousSnapshotID (latest-global
     * probe), snapshot purges against the PATH-chain predecessor (match,

@@ -834,4 +834,26 @@ class WriteLaddersSpec extends SparkSpecBase {
     assert(got(10L) === (("INVALID_SNAPSHOT_NAME", "")))
     assert(got(11L) === (("DELETED", "")))     // om-admin override
   }
+
+  test("lifecycleServiceFold: gate order, toggle fold, cursor replace") {
+    val got = graft.operators.Lifecycle.lifecycleServiceFold(
+      T.lifecycleServiceOps(spark, sf), finalizedSeq = 5L)
+      .as[(Long, String, String, String, String, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._5, r._6, r._7))).toMap
+    // finalization validator fires before the admin check — admin AND
+    // non-admin pre-finalization suspends refuse identically
+    assert(got(1L)._1 === "NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION")
+    assert(got(4L)._1 === "NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION")
+    assert(got(2L)._1 === "ACCESS_DENIED")     // non-admin save
+    assert(got(6L)._1 === "ACCESS_DENIED")     // post-finalization toggle
+    assert(got(3L) === (("SAVED", false, false)))
+    assert(got(7L) === (("SUSPENDED", true, false)))
+    // suspension stops the scanner, not the RPC plane: the save lands,
+    // and it REPLACES the bucket's earlier cursor
+    assert(got(8L) === (("SAVED", true, true)))
+    assert(got(9L) === (("SAVED", true, false)))
+    assert(got(10L) === (("RESUMED", false, false)))
+    // idempotent resume: stays resumed
+    assert(got(11L) === (("RESUMED", false, false)))
+  }
 }
