@@ -894,6 +894,10 @@ object SparkEntry {
     "q_blocks_pending_page" -> ((s, d) =>
       ClusterHealth.blocksPendingDeletionPage(T.objects(s, d),
         T.containersScm(s, d), prevTxn = 20000L, limit = 40)),
+    // Deleted-block txn ACK fold: purge only on replica-superset commit;
+    // under-replicated containers pin their txns, stale-dn quorums wait.
+    "q_block_ack_fold" -> ((s, d) =>
+      ClusterHealth.blockAckFold(T.objects(s, d), T.replicas(s, d))),
     "q_safemode" -> ((s, d) =>
       ClusterHealth.safemodeStatus(T.datanodes(s, d), T.pipelines(s, d),
         T.pipelineMembers(s, d), T.containersScm(s, d), T.replicas(s, d))),
@@ -6150,6 +6154,40 @@ object SparkEntry {
          |       WHERE t.txn_id > 20000))), 9223372036854775807)
          |ORDER BY txn_id""".stripMargin,
       O.objects, O.containersScm),
+
+    // ACK-fold mirror: per-(txn, replica) ack flags → one hash agg.
+    "q_block_ack_fold" -> O.withCtes(
+      """SELECT txn_id, container_id, n_replicas, n_committed, n_missing,
+        |  CASE WHEN least(n_replicas, n_committed) >= 3 THEN
+        |    CASE WHEN n_missing = 0 THEN 'PURGED'
+        |         ELSE 'WAITING_ALL_REPLICAS' END
+        |  ELSE 'PENDING' END AS status
+        |FROM (
+        |  SELECT txn_id, container_id,
+        |    count(*) AS n_replicas,
+        |    sum(CASE WHEN success THEN 1 ELSE 0 END) +
+        |      CASE WHEN txn_id % 7 = 0 THEN 1 ELSE 0 END AS n_committed,
+        |    sum(CASE WHEN success THEN 0 ELSE 1 END) AS n_missing
+        |  FROM (
+        |    SELECT t.txn_id, t.container_id, r.datanode,
+        |      NOT (t.txn_id % 3 = 1 AND r.datanode = b.max_dn)
+        |        AND NOT (t.txn_id % 3 = 2 AND r.datanode = b.min_dn)
+        |        AS success
+        |    FROM (
+        |      SELECT object_id AS txn_id,
+        |        (object_id // 10) % 1000 AS container_id
+        |      FROM objects
+        |      WHERE (version = 4 OR version = 5)
+        |        AND (object_id // 10) % 10 = 0
+        |      GROUP BY object_id) t
+        |    JOIN replicas r ON r.container_id = t.container_id
+        |    JOIN (SELECT container_id, max(datanode) AS max_dn,
+        |            min(datanode) AS min_dn
+        |          FROM replicas GROUP BY container_id) b
+        |      ON b.container_id = t.container_id)
+        |  GROUP BY txn_id, container_id)
+        |ORDER BY txn_id""".stripMargin,
+      O.objects, O.containersScm, O.replicas),
 
     "q_safemode" -> O.withCtes(
       """SELECT * FROM (

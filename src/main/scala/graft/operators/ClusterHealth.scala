@@ -148,13 +148,20 @@ object ClusterHealth {
    * container-state tag is a broadcast of the SCM container catalog
    * projection.
    */
-  def blocksPendingDeletionPage(objects: DataFrame, containersScm: DataFrame,
-                                prevTxn: Long, limit: Int): DataFrame = {
-    val txns = CommitLog.synthesizeLog(objects)
+  /** SCM deletedBlocks transactions — the commit log's DELETE branch as
+    * the txn table (txID = the deleted key's object_id), KV-canonical:
+    * one row per txID. Shared by the pending-deletion page and the ack
+    * fold. */
+  private def deletedBlockTxns(objects: DataFrame): DataFrame =
+    CommitLog.synthesizeLog(objects)
       .filter(col("op") === "DELETE")
       .groupBy(col("object_id").as("txn_id"))
       .agg(max("data_size").as("data_size"))
       .withColumn("container_id", expr("(txn_id DIV 10) % 1000"))
+
+  def blocksPendingDeletionPage(objects: DataFrame, containersScm: DataFrame,
+                                prevTxn: Long, limit: Int): DataFrame = {
+    val txns = deletedBlockTxns(objects)
       .withColumn("local_id_count",
         expr(s"(data_size - 1) DIV ${graft.core.Tables.LocChunkBytes} + 1"))
       .join(broadcast(containersScm.select("container_id", "state")),
@@ -167,6 +174,57 @@ object ClusterHealth {
     ranked.crossJoin(broadcast(cutoff))
       .filter(col("txn_id") <= coalesce(col("cut"), lit(Long.MaxValue)))
       .select("state", "txn_id", "container_id", "local_id_count")
+      .orderBy("txn_id")
+  }
+
+  /**
+   * Deleted-block txn ACK fold — SCMDeletedBlockTransactionStatusManager
+   * .commitTransactions (server-scm/.../block/
+   * SCMDeletedBlockTransactionStatusManager.java:541-608): datanodes ack
+   * each txn's block deletions; failed acks are counted and skipped, and
+   * a txn is PURGED from the log only when
+   *   min(|current replicas|, |acked datanodes|) >= requiredNodes AND
+   *   the acked set CONTAINS every current replica's datanode (:576-588)
+   * — so an under-replicated container (|replicas| < required) can never
+   * purge its txns until re-replication, and an ack set that counts to
+   * quorum through a STALE datanode (one no longer holding a replica)
+   * waits for the real replica set (WAITING_ALL_REPLICAS here). Ack
+   * synthesis per txn over its container's replica set: txn%3==1 misses
+   * the lexicographically-last datanode's ack, txn%3==2 has the first
+   * datanode FAIL its ack, txn%7==0 adds a foreign dn99 ack (a moved
+   * replica's late response — counts toward quorum, never toward the
+   * superset).
+   *
+   * Scale shape: the replica catalog broadcasts into the txn scan; one
+   * hash aggregation keyed by txn. No window, no driver loop.
+   */
+  def blockAckFold(objects: DataFrame, replicas: DataFrame,
+                   requiredNodes: Int = 3): DataFrame = {
+    val rdns = replicas.select("container_id", "datanode")
+    val bounds = rdns.groupBy("container_id")
+      .agg(max("datanode").as("max_dn"), min("datanode").as("min_dn"))
+    val perReplica = deletedBlockTxns(objects)
+      .join(broadcast(rdns), Seq("container_id"))
+      .join(broadcast(bounds), Seq("container_id"))
+      .withColumn("acked",
+        !(col("txn_id") % 3 === 1 && col("datanode") === col("max_dn")))
+      .withColumn("success",
+        col("acked") &&
+          !(col("txn_id") % 3 === 2 && col("datanode") === col("min_dn")))
+    perReplica.groupBy("txn_id", "container_id")
+      .agg(count(lit(1)).as("n_replicas"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("n_replica_acks"),
+        sum(when(!col("success"), 1L).otherwise(0L)).as("n_missing"))
+      .withColumn("n_committed",
+        col("n_replica_acks") +
+          when(col("txn_id") % 7 === 0, 1L).otherwise(0L))
+      .withColumn("status",
+        when(least(col("n_replicas"), col("n_committed")) >= requiredNodes,
+          when(col("n_missing") === 0, lit("PURGED"))
+            .otherwise(lit("WAITING_ALL_REPLICAS")))
+          .otherwise(lit("PENDING")))
+      .select("txn_id", "container_id", "n_replicas", "n_committed",
+        "n_missing", "status")
       .orderBy("txn_id")
   }
 

@@ -544,4 +544,26 @@ class ClusterHealthSpec extends SparkSpecBase {
     }
     assert(seen.sortBy(_._2) === all.sortBy(_._2).toVector)
   }
+
+  test("blockAckFold: superset purge rule, under-replication pins txns") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val rows = graft.operators.ClusterHealth.blockAckFold(
+      T.objects(spark, d), T.replicas(spark, d))
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.map(_._6).toSet ===
+      Set("PURGED", "WAITING_ALL_REPLICAS", "PENDING"))
+    rows.foreach { case (txn, cid, nRep, nComm, nMiss, status) =>
+      // purge REQUIRES the full current replica set acked
+      if (status == "PURGED") assert(nMiss === 0L && nComm >= 3L)
+      // an under-replicated container can never purge its txns
+      if (nRep < 3) assert(status === "PENDING")
+      // fully-acked txns on healthy containers always purge
+      if (nMiss == 0 && nRep >= 3) assert(status === "PURGED")
+      // a quorum reached only through the stale/foreign ack waits
+      if (nComm >= 3 && nMiss > 0 && nRep >= 3)
+        assert(status === "WAITING_ALL_REPLICAS")
+    }
+  }
 }
