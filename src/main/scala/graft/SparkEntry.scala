@@ -898,6 +898,12 @@ object SparkEntry {
     // under-replicated containers pin their txns, stale-dn quorums wait.
     "q_block_ack_fold" -> ((s, d) =>
       ClusterHealth.blockAckFold(T.objects(s, d), T.replicas(s, d))),
+    // Ratis over-replication delete plan: node-health filter → re-verify
+    // → op-state eligibility → quasi-closed unique-origin saves →
+    // mismatched-first deletes → placement-safe excess deletes.
+    "q_over_replication" -> ((s, d) =>
+      ClusterHealth.overReplicationPlan(T.replicas(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
     "q_safemode" -> ((s, d) =>
       ClusterHealth.safemodeStatus(T.datanodes(s, d), T.pipelines(s, d),
         T.pipelineMembers(s, d), T.containersScm(s, d), T.replicas(s, d))),
@@ -6154,6 +6160,100 @@ object SparkEntry {
          |       WHERE t.txn_id > 20000))), 9223372036854775807)
          |ORDER BY txn_id""".stripMargin,
       O.objects, O.containersScm),
+
+    // Over-replication mirror: the same staged windows in SQL — origin
+    // ranks, mismatch positions, surviving-set rack counts.
+    "q_over_replication" -> O.withCtes(
+      """SELECT container_id, datanode, container_state, replica_state,
+        |  CASE
+        |    WHEN NOT node_healthy THEN 'FILTERED_NODE'
+        |    WHEN excess <= 0 THEN 'NOT_OVER'
+        |    WHEN op_state <> 'IN_SERVICE' THEN 'NOT_ELIGIBLE_OP_STATE'
+        |    WHEN saved THEN 'SAVED_UNIQUE_ORIGIN'
+        |    WHEN del_mismatch THEN 'DELETE_MISMATCH'
+        |    WHEN rack_safe AND excess_pos <= rem_excess
+        |      THEN 'DELETE_EXCESS'
+        |    ELSE 'KEEP' END AS verdict
+        |FROM (
+        |  SELECT s.*, rc.rack_n, rt.rc,
+        |    s.surviving AND NOT s.mismatched AND (
+        |      (rt.rc >= 3 AND rt.rc -
+        |        (CASE WHEN rc.rack_n = 1 THEN 1 ELSE 0 END) >= 3)
+        |      OR (rt.rc < 3 AND rc.rack_n >= 2)) AS rack_safe,
+        |    sum(CASE WHEN s.surviving AND NOT s.mismatched AND (
+        |        (rt.rc >= 3 AND rt.rc -
+        |          (CASE WHEN rc.rack_n = 1 THEN 1 ELSE 0 END) >= 3)
+        |        OR (rt.rc < 3 AND rc.rack_n >= 2)) THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY s.container_id ORDER BY s.datanode
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS excess_pos
+        |  FROM orp_staged s
+        |  LEFT JOIN (SELECT container_id, rack, count(*) AS rack_n
+        |    FROM orp_staged WHERE surviving GROUP BY 1, 2) rc
+        |    ON rc.container_id = s.container_id AND rc.rack = s.rack
+        |  LEFT JOIN (SELECT container_id, count(DISTINCT rack) AS rc
+        |    FROM orp_staged WHERE surviving GROUP BY 1) rt
+        |    ON rt.container_id = s.container_id)
+        |ORDER BY container_id, datanode""".stripMargin,
+      O.containersScm, O.replicas, O.datanodes,
+      """orp_base AS (
+        |  SELECT r.container_id, r.datanode, r.rack, r.replica_state,
+        |    d.state AS node_state, d.op_state,
+        |    d.state = 'HEALTHY' AS node_healthy,
+        |    CASE WHEN c.container_id % 119 = 0 THEN 'QUASI_CLOSED'
+        |      ELSE 'CLOSED' END AS container_state,
+        |    c.replication_factor,
+        |    count(*) OVER w AS n_replicas,
+        |    sum(CASE WHEN d.state = 'HEALTHY' THEN 1 ELSE 0 END)
+        |      OVER w AS n_healthy,
+        |    min(r.datanode) OVER w AS min_dn,
+        |    max(r.datanode) OVER w AS max_dn
+        |  FROM replicas r
+        |  JOIN datanodes d ON d.uuid = r.datanode
+        |  JOIN containers_scm c ON c.container_id = r.container_id
+        |    AND c.state <> 'DELETED'
+        |  WINDOW w AS (PARTITION BY r.container_id))""".stripMargin,
+      """orp_elig AS (
+        |  SELECT *,
+        |    n_healthy - replication_factor AS excess,
+        |    CASE WHEN container_state = 'QUASI_CLOSED'
+        |      AND datanode = max_dn THEN min_dn ELSE datanode END
+        |      AS origin_dn,
+        |    node_healthy AND op_state = 'IN_SERVICE'
+        |      AND n_healthy - replication_factor > 0 AS eligible,
+        |    replica_state <> container_state AS mismatched
+        |  FROM orp_base WHERE n_replicas > replication_factor)""".stripMargin,
+      """orp_ranked AS (
+        |  SELECT *,
+        |    sum(CASE WHEN eligible THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY container_id, origin_dn
+        |      ORDER BY CASE WHEN replica_state = 'UNHEALTHY' THEN 1
+        |        ELSE 0 END, datanode
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS origin_rank
+        |  FROM orp_elig)""".stripMargin,
+      """orp_saved AS (
+        |  SELECT *,
+        |    eligible AND container_state <> 'CLOSED' AND origin_rank = 1
+        |      AS saved,
+        |    eligible AND NOT (eligible AND container_state <> 'CLOSED'
+        |      AND origin_rank = 1) AS is_cand
+        |  FROM orp_ranked)""".stripMargin,
+      """orp_staged AS (
+        |  SELECT *,
+        |    is_cand AND mismatched AND mis_pos <= excess AS del_mismatch,
+        |    greatest(excess - sum(CASE WHEN is_cand AND mismatched
+        |      AND mis_pos <= excess THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY container_id), 0) AS rem_excess,
+        |    is_cand AND NOT (is_cand AND mismatched AND mis_pos <= excess)
+        |      AS surviving
+        |  FROM (
+        |    SELECT *,
+        |      sum(CASE WHEN is_cand AND mismatched THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY container_id ORDER BY datanode
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS mis_pos
+        |    FROM orp_saved))""".stripMargin),
 
     // ACK-fold mirror: per-(txn, replica) ack flags → one hash agg.
     "q_block_ack_fold" -> O.withCtes(

@@ -229,6 +229,134 @@ object ClusterHealth {
   }
 
   /**
+   * Ratis over-replication delete plan — RatisOverReplicationHandler
+   * .processAndSendCommands (server-scm/.../replication/
+   * RatisOverReplicationHandler.java:72-328), per candidate container
+   * (more replicas than the factor), in reference order:
+   *   1. replicas on non-HEALTHY nodes are filtered FIRST (:87-96 — a
+   *      stale node's replica may vanish on its own; deleting a healthy
+   *      copy alongside would lose both) ⇒ FILTERED_NODE;
+   *   2. re-verify over-replication on the filtered count (:103-106):
+   *      excess = healthy-node replicas − factor; ≤ 0 ⇒ NOT_OVER;
+   *   3. replicas on non-IN_SERVICE nodes are never delete candidates
+   *      (:173-177) ⇒ NOT_ELIGIBLE_OP_STATE;
+   *   4. non-CLOSED (quasi-closed) containers save ONE replica per unique
+   *      origin datanode, preferring healthy replica states
+   *      (:179-185, saveReplicasWithUniqueOrigins) ⇒ SAVED_UNIQUE_ORIGIN
+   *      — the quasi-closed-stuck guard: every origin's last copy is
+   *      pinned;
+   *   5. state-MISMATCHED candidates delete first, in deterministic sort
+   *      order, up to excess (:254-279) ⇒ DELETE_MISMATCH;
+   *   6. then matched candidates whose removal keeps the placement
+   *      status equal (:287-316 + AbstractOverReplicationHandler:48-99:
+   *      satisfied→still-satisfied, or unsatisfied→same rack count;
+   *      requiredRacks = min(factor, cluster racks)) ⇒ DELETE_EXCESS;
+   *   7. everything else ⇒ KEEP — leftover excess requeues rather than
+   *      break placement.
+   * Deterministic sort = datanode name (the reference sorts by
+   * ContainerReplica hashCode — an arbitrary-but-stable order; name order
+   * is this engine's stable equivalent). Container states derive
+   * QUASI_CLOSED on container_id % 119 == 0 (the fixture's stuck set);
+   * on those, the max-name replica re-registered from the min-name
+   * origin (a moved copy ⇒ duplicate origin). Multi-excess rack deletion
+   * is sequential in the reference; with factor-3 and ≤4 replicas,
+   * excess ≤ 1 and the single-step plan is exact.
+   *
+   * Scale shape: one window pass partitioned by container + one
+   * per-container aggregate broadcast back; node and container dims
+   * broadcast. No driver loop.
+   */
+  def overReplicationPlan(replicas: DataFrame, datanodes: DataFrame,
+                          containersScm: DataFrame,
+                          requiredRacks: Int = 3): DataFrame = {
+    val dn = datanodes.select(col("uuid").as("datanode"),
+      col("state").as("node_state"), col("op_state"))
+    val cont = containersScm.filter(col("state") =!= "DELETED")
+      .withColumn("container_state",
+        when(col("container_id") % 119 === 0, lit("QUASI_CLOSED"))
+          .otherwise(lit("CLOSED")))
+      .select("container_id", "container_state", "replication_factor")
+    val wC = Window.partitionBy("container_id")
+    val base = replicas
+      .join(broadcast(dn), Seq("datanode"))
+      .join(broadcast(cont), Seq("container_id"))
+      .withColumn("node_healthy", col("node_state") === "HEALTHY")
+      .withColumn("n_replicas", count(lit(1)).over(wC))
+      .filter(col("n_replicas") > col("replication_factor"))
+      .withColumn("n_healthy",
+        sum(when(col("node_healthy"), 1L).otherwise(0L)).over(wC))
+      .withColumn("excess",
+        col("n_healthy") - col("replication_factor"))
+      .withColumn("min_dn", min("datanode").over(wC))
+      .withColumn("max_dn", max("datanode").over(wC))
+      .withColumn("origin_dn",
+        when(col("container_state") === "QUASI_CLOSED" &&
+          col("datanode") === col("max_dn"), col("min_dn"))
+          .otherwise(col("datanode")))
+      .withColumn("eligible",
+        col("node_healthy") && col("op_state") === "IN_SERVICE" &&
+          col("excess") > 0)
+      .withColumn("mismatched",
+        col("replica_state") =!= col("container_state"))
+    // unique-origin save (non-CLOSED containers): rank eligible replicas
+    // within each origin group, healthy replica states first
+    val wO = Window.partitionBy("container_id", "origin_dn")
+      .orderBy((col("replica_state") === "UNHEALTHY").cast("int"),
+        col("datanode"))
+    val wSeq = Window.partitionBy("container_id").orderBy("datanode")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = base
+      .withColumn("origin_rank",
+        sum(when(col("eligible"), 1L).otherwise(0L)).over(
+          wO.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("saved",
+        col("eligible") && col("container_state") =!= "CLOSED" &&
+          col("origin_rank") === 1)
+      .withColumn("is_cand", col("eligible") && !col("saved"))
+      .withColumn("mis_pos",
+        sum(when(col("is_cand") && col("mismatched"), 1L).otherwise(0L))
+          .over(wSeq))
+      .withColumn("del_mismatch",
+        col("is_cand") && col("mismatched") &&
+          col("mis_pos") <= col("excess"))
+      .withColumn("n_mis_del",
+        sum(when(col("del_mismatch"), 1L).otherwise(0L)).over(wC))
+      .withColumn("rem_excess",
+        greatest(col("excess") - col("n_mis_del"), lit(0L)))
+      .withColumn("surviving", col("is_cand") && !col("del_mismatch"))
+    // placement status over the surviving candidate set, per container
+    val rackCnt = staged.filter(col("surviving"))
+      .groupBy("container_id", "rack")
+      .agg(count(lit(1)).as("rack_n"))
+    val rackTot = rackCnt.groupBy("container_id")
+      .agg(count(lit(1)).as("rc"))
+    staged
+      .join(broadcast(rackCnt), Seq("container_id", "rack"), "left")
+      .join(broadcast(rackTot), Seq("container_id"), "left")
+      .withColumn("rack_safe",
+        col("surviving") && !col("mismatched") && (
+          (col("rc") >= requiredRacks &&
+            col("rc") - when(col("rack_n") === 1, 1L).otherwise(0L) >=
+              requiredRacks) ||
+          (col("rc") < requiredRacks && col("rack_n") >= 2)))
+      .withColumn("excess_pos",
+        sum(when(col("rack_safe"), 1L).otherwise(0L)).over(wSeq))
+      .withColumn("verdict",
+        when(!col("node_healthy"), lit("FILTERED_NODE"))
+          .when(col("excess") <= 0, lit("NOT_OVER"))
+          .when(col("op_state") =!= "IN_SERVICE",
+            lit("NOT_ELIGIBLE_OP_STATE"))
+          .when(col("saved"), lit("SAVED_UNIQUE_ORIGIN"))
+          .when(col("del_mismatch"), lit("DELETE_MISMATCH"))
+          .when(col("rack_safe") && col("excess_pos") <= col("rem_excess"),
+            lit("DELETE_EXCESS"))
+          .otherwise(lit("KEEP")))
+      .select("container_id", "datanode", "container_state",
+        "replica_state", "verdict")
+      .orderBy("container_id", "datanode")
+  }
+
+  /**
    * Decommission / maintenance readiness — the admin monitor's per-node
    * container walk (DatanodeAdminMonitorImpl.java:406-470
    * checkContainersReplicatedOnNode): every container holding a replica on

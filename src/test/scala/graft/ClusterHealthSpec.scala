@@ -566,4 +566,41 @@ class ClusterHealthSpec extends SparkSpecBase {
         assert(status === "WAITING_ALL_REPLICAS")
     }
   }
+
+  test("overReplicationPlan: handler rungs re-derived on fixture math") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val rows = graft.operators.ClusterHealth.overReplicationPlan(
+      T.replicas(spark, d), T.datanodes(spark, d),
+      T.containersScm(spark, d))
+      .as[(Long, String, String, String, String)].collect()
+    val v = rows.map(r => (r._1, r._2) -> r._5).toMap
+    // cid 238 is QUASI_CLOSED with a duplicate origin (dn19 re-registered
+    // from dn0): one replica per unique origin is SAVED, the non-unique
+    // dn19 is state-mismatched and deletes first
+    assert(v((238L, "dn0")) === "SAVED_UNIQUE_ORIGIN")
+    assert(v((238L, "dn1")) === "SAVED_UNIQUE_ORIGIN")
+    assert(v((238L, "dn18")) === "SAVED_UNIQUE_ORIGIN")
+    assert(v((238L, "dn19")) === "DELETE_MISMATCH")
+    // cid 578/918: four matched replicas on four racks — removing one
+    // keeps placement satisfied; the first in sort order deletes
+    assert(v((578L, "dn0")) === "DELETE_EXCESS")
+    assert(v((918L, "dn0")) === "DELETE_EXCESS")
+    assert(v((578L, "dn18")) === "KEEP" && v((578L, "dn19")) === "KEEP")
+    // cid 459: dn2 is DECOMMISSIONING → not eligible; the 3 surviving
+    // candidates sit on 3 distinct racks, so ANY removal would break
+    // placement — everything keeps, the excess requeues
+    assert(v((459L, "dn2")) === "NOT_ELIGIBLE_OP_STATE")
+    assert(v((459L, "dn0")) === "KEEP" && v((459L, "dn1")) === "KEEP" &&
+      v((459L, "dn19")) === "KEEP")
+    // a container that loses a replica to a stale/dead node is NOT
+    // over-replicated after the health filter
+    assert(rows.exists(r => r._5 == "FILTERED_NODE") &&
+      rows.exists(r => r._5 == "NOT_OVER"))
+    // never delete more than one replica per container (excess ≤ 1)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.count(_._5.startsWith("DELETE")) <= 1)
+    }
+  }
 }
