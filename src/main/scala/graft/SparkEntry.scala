@@ -898,6 +898,12 @@ object SparkEntry {
     // under-replicated containers pin their txns, stale-dn quorums wait.
     "q_block_ack_fold" -> ((s, d) =>
       ClusterHealth.blockAckFold(T.objects(s, d), T.replicas(s, d))),
+    // Pipeline-creation placement: viable filter (health/op/space/
+    // pipeline-limit) → least-engaged anchor → different-rack second →
+    // anchor-rack-preferring third with fallbacks.
+    "q_pipeline_create" -> ((s, d) =>
+      ClusterHealth.pipelineCreatePlan(T.datanodes(s, d),
+        T.pipelines(s, d), T.pipelineMembers(s, d))),
     // Ratis over-replication delete plan: node-health filter → re-verify
     // → op-state eligibility → quasi-closed unique-origin saves →
     // mismatched-first deletes → placement-safe excess deletes.
@@ -6160,6 +6166,62 @@ object SparkEntry {
          |       WHERE t.txn_id > 20000))), 9223372036854775807)
          |ORDER BY txn_id""".stripMargin,
       O.objects, O.containersScm),
+
+    // Pipeline-create mirror: viable CTE + three ORDER-BY-LIMIT-1 picks.
+    "q_pipeline_create" -> O.withCtes(
+      """SELECT n.uuid, n.rack, n.pcount, n.remaining,
+        |  coalesce(p.role,
+        |    CASE WHEN n.verdict0 = 'VIABLE' THEN 'VIABLE_UNUSED'
+        |      ELSE n.verdict0 END) AS verdict
+        |FROM ppc_nodes n
+        |LEFT JOIN (
+        |  SELECT a_uuid AS uuid, 'ANCHOR' AS role FROM ppc_anchor
+        |  UNION ALL
+        |  SELECT n_uuid, 'SECOND_DIFF_RACK' FROM ppc_second
+        |  UNION ALL
+        |  SELECT t_uuid, t_role FROM ppc_third) p ON p.uuid = n.uuid
+        |ORDER BY n.uuid""".stripMargin,
+      O.datanodes, O.pipelines, O.pipelineMembers,
+      """ppc_counts AS (
+        |  SELECT m.datanode, count(*) AS pcount
+        |  FROM pipeline_members m
+        |  JOIN pipelines pl ON pl.pipeline_id = m.pipeline_id
+        |    AND pl.replication = 'RATIS/THREE' AND pl.state <> 'CLOSED'
+        |  GROUP BY m.datanode)""".stripMargin,
+      """ppc_nodes AS (
+        |  SELECT d.uuid, d.rack, coalesce(c.pcount, 0) AS pcount,
+        |    d.remaining,
+        |    CASE
+        |      WHEN d.state <> 'HEALTHY' THEN 'EXCLUDED_HEALTH'
+        |      WHEN d.op_state <> 'IN_SERVICE' THEN 'EXCLUDED_OP_STATE'
+        |      WHEN d.remaining < 701000000000 THEN 'EXCLUDED_SPACE'
+        |      WHEN coalesce(c.pcount, 0) >= 2
+        |        THEN 'EXCLUDED_PIPELINE_LIMIT'
+        |      ELSE 'VIABLE' END AS verdict0
+        |  FROM datanodes d
+        |  LEFT JOIN ppc_counts c ON c.datanode = d.uuid)""".stripMargin,
+      """ppc_viable AS (
+        |  SELECT uuid, rack, pcount FROM ppc_nodes
+        |  WHERE verdict0 = 'VIABLE')""".stripMargin,
+      """ppc_anchor AS (
+        |  SELECT uuid AS a_uuid, rack AS a_rack FROM ppc_viable
+        |  ORDER BY pcount, uuid LIMIT 1)""".stripMargin,
+      """ppc_second AS (
+        |  SELECT v.uuid AS n_uuid, v.rack AS n_rack
+        |  FROM ppc_viable v CROSS JOIN ppc_anchor a
+        |  WHERE v.rack <> a.a_rack
+        |  ORDER BY v.pcount, v.uuid LIMIT 1)""".stripMargin,
+      """ppc_third AS (
+        |  SELECT v.uuid AS t_uuid,
+        |    CASE WHEN v.rack = a.a_rack THEN 'THIRD_ANCHOR_RACK'
+        |         WHEN v.rack = s.n_rack THEN 'THIRD_NEXT_RACK'
+        |         ELSE 'THIRD_FALLBACK' END AS t_role
+        |  FROM ppc_viable v CROSS JOIN ppc_anchor a
+        |  CROSS JOIN ppc_second s
+        |  WHERE v.uuid <> a.a_uuid AND v.uuid <> s.n_uuid
+        |  ORDER BY CASE WHEN v.rack = a.a_rack THEN 0
+        |    WHEN v.rack = s.n_rack THEN 1 ELSE 2 END, v.pcount, v.uuid
+        |  LIMIT 1)""".stripMargin),
 
     // Over-replication mirror: the same staged windows in SQL — origin
     // ranks, mismatch positions, surviving-set rack counts.

@@ -229,6 +229,82 @@ object ClusterHealth {
   }
 
   /**
+   * Ratis/THREE pipeline-creation placement — PipelinePlacementPolicy
+   * (server-scm/.../pipeline/PipelinePlacementPolicy.java:103-380):
+   * viable nodes are HEALTHY, IN_SERVICE, have space for the Raft
+   * metadata + one container's data, and sit under the per-node
+   * non-closed Ratis/THREE pipeline limit (:103-113 filterPipelineLimit,
+   * sorted ASCENDING by that count — least-engaged first); then the
+   * topology walk (:295-380): the least-engaged viable node anchors, the
+   * second comes from a DIFFERENT rack (rack-awareness), and the third
+   * prefers the anchor's rack, falls back to the second node's rack, and
+   * finally to any viable node. Per-node verdict output; the pick order
+   * ties break by node name after pipeline count (the reference's
+   * SortedList insertion order made stable).
+   *
+   * Scale shape: the node catalog and pipeline map are control-plane
+   * dims; counts are one broadcast hash agg, each pick an orderBy-limit-1
+   * over the viable set, stitched back with one broadcast join.
+   */
+  def pipelineCreatePlan(datanodes: DataFrame, pipelines: DataFrame,
+                         pipelineMembers: DataFrame,
+                         metaBytes: Long = 1000000000L,
+                         dataBytes: Long = 700000000000L,
+                         pipelineLimit: Int = 2): DataFrame = {
+    val counts = pipelineMembers
+      .join(broadcast(pipelines
+        .filter(col("replication") === "RATIS/THREE" &&
+          col("state") =!= "CLOSED")
+        .select("pipeline_id")), Seq("pipeline_id"))
+      .groupBy("datanode").agg(count(lit(1)).as("pcount"))
+    val nodes = datanodes
+      .join(broadcast(counts), col("uuid") === col("datanode"), "left")
+      .drop("datanode")
+      .withColumn("pcount", coalesce(col("pcount"), lit(0L)))
+      .withColumn("verdict0",
+        when(col("state") =!= "HEALTHY", lit("EXCLUDED_HEALTH"))
+          .when(col("op_state") =!= "IN_SERVICE", lit("EXCLUDED_OP_STATE"))
+          .when(col("remaining") < metaBytes + dataBytes,
+            lit("EXCLUDED_SPACE"))
+          .when(col("pcount") >= pipelineLimit,
+            lit("EXCLUDED_PIPELINE_LIMIT"))
+          .otherwise(lit("VIABLE")))
+    val viable = nodes.filter(col("verdict0") === "VIABLE")
+      .select("uuid", "rack", "pcount")
+    val anchor = viable.orderBy("pcount", "uuid").limit(1)
+      .select(col("uuid").as("a_uuid"), col("rack").as("a_rack"))
+    val second = viable.crossJoin(broadcast(anchor))
+      .filter(col("rack") =!= col("a_rack"))
+      .orderBy("pcount", "uuid").limit(1)
+      .select(col("uuid").as("n_uuid"), col("rack").as("n_rack"))
+    val third = viable.crossJoin(broadcast(anchor))
+      .crossJoin(broadcast(second))
+      .filter(col("uuid") =!= col("a_uuid") &&
+        col("uuid") =!= col("n_uuid"))
+      .withColumn("pref",
+        when(col("rack") === col("a_rack"), 0)
+          .when(col("rack") === col("n_rack"), 1).otherwise(2))
+      .orderBy("pref", "pcount", "uuid").limit(1)
+      .select(col("uuid").as("t_uuid"),
+        when(col("pref") === 0, lit("THIRD_ANCHOR_RACK"))
+          .when(col("pref") === 1, lit("THIRD_NEXT_RACK"))
+          .otherwise(lit("THIRD_FALLBACK")).as("t_role"))
+    val picks = anchor.select(col("a_uuid").as("uuid"),
+        lit("ANCHOR").as("role"))
+      .unionByName(second.select(col("n_uuid").as("uuid"),
+        lit("SECOND_DIFF_RACK").as("role")))
+      .unionByName(third.select(col("t_uuid").as("uuid"),
+        col("t_role").as("role")))
+    nodes.join(broadcast(picks), Seq("uuid"), "left")
+      .withColumn("verdict",
+        coalesce(col("role"),
+          when(col("verdict0") === "VIABLE", lit("VIABLE_UNUSED"))
+            .otherwise(col("verdict0"))))
+      .select("uuid", "rack", "pcount", "remaining", "verdict")
+      .orderBy("uuid")
+  }
+
+  /**
    * Ratis over-replication delete plan — RatisOverReplicationHandler
    * .processAndSendCommands (server-scm/.../replication/
    * RatisOverReplicationHandler.java:72-328), per candidate container

@@ -603,4 +603,46 @@ class ClusterHealthSpec extends SparkSpecBase {
       assert(g.count(_._5.startsWith("DELETE")) <= 1)
     }
   }
+
+  test("pipelineCreatePlan: viable filter, anchor/rack walk, fallbacks") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val v = graft.operators.ClusterHealth.pipelineCreatePlan(
+      T.datanodes(spark, d), T.pipelines(spark, d),
+      T.pipelineMembers(spark, d))
+      .as[(String, String, Long, Long, String)].collect()
+      .map(r => r._1 -> r._5).toMap
+    // dn0 carries two live Ratis/THREE pipelines — at the limit
+    assert(v("dn0") === "EXCLUDED_PIPELINE_LIMIT")
+    assert(v("dn3") === "EXCLUDED_HEALTH")     // stale beats its limit
+    assert(v("dn2") === "EXCLUDED_OP_STATE")   // decommissioning
+    assert(v("dn15") === "EXCLUDED_SPACE")     // 600G < 701G required
+    // least-engaged viable node anchors; ties break by name
+    assert(v("dn1") === "ANCHOR")
+    assert(v("dn18") === "SECOND_DIFF_RACK")
+    // no viable node shares the anchor's or second's rack → fallback
+    assert(v("dn19") === "THIRD_FALLBACK")
+    assert(v("dn7") === "VIABLE_UNUSED" && v("dn9") === "VIABLE_UNUSED")
+
+    // micro-fixture: a spare node on the ANCHOR's rack is preferred for
+    // the third slot (the reference's bCheckNodeInAnchorRack branch)
+    val dns = Seq(
+      ("dnA", "rack0", "HEALTHY", "IN_SERVICE", 900000000000L),
+      ("dnB", "rack1", "HEALTHY", "IN_SERVICE", 900000000000L),
+      ("dnC", "rack0", "HEALTHY", "IN_SERVICE", 900000000000L),
+      ("dnD", "rack2", "HEALTHY", "IN_SERVICE", 900000000000L))
+      .toDF("uuid", "rack", "state", "op_state", "remaining")
+    val noPipes = Seq.empty[(String, String, String)]
+      .toDF("pipeline_id", "replication", "state")
+    val noMembers = Seq.empty[(String, String)]
+      .toDF("pipeline_id", "datanode")
+    val micro = graft.operators.ClusterHealth.pipelineCreatePlan(
+      dns, noPipes, noMembers)
+      .select("uuid", "verdict").as[(String, String)].collect().toMap
+    assert(micro("dnA") === "ANCHOR")
+    assert(micro("dnB") === "SECOND_DIFF_RACK")
+    assert(micro("dnC") === "THIRD_ANCHOR_RACK")
+    assert(micro("dnD") === "VIABLE_UNUSED")
+  }
 }
