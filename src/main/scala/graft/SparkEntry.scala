@@ -898,6 +898,11 @@ object SparkEntry {
     // under-replicated containers pin their txns, stale-dn quorums wait.
     "q_block_ack_fold" -> ((s, d) =>
       ClusterHealth.blockAckFold(T.objects(s, d), T.replicas(s, d))),
+    // Quasi-closed-stuck accounting: per-ORIGIN targets (best-BCSID
+    // origins 2, others 1, single-origin 3), maintenance floors.
+    "q_qcs_replicas" -> ((s, d) =>
+      ClusterHealth.quasiClosedStuckCount(T.replicas(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -6166,6 +6171,69 @@ object SparkEntry {
          |       WHERE t.txn_id > 20000))), 9223372036854775807)
          |ORDER BY txn_id""".stripMargin,
       O.objects, O.containersScm),
+
+    // QCS mirror: per-origin groupBy with a per-container origin count.
+    "q_qcs_replicas" -> O.withCtes(
+      """SELECT container_id, origin, n_replicas, n_in_service,
+        |  n_maintenance, is_best, target,
+        |  CASE WHEN under_delta > 0 THEN 'UNDER_REPLICATED'
+        |       WHEN over_delta > 0 THEN 'OVER_REPLICATED'
+        |       ELSE 'OK' END AS status,
+        |  under_delta, over_delta
+        |FROM (
+        |  SELECT *,
+        |    CASE WHEN n_origins = 1 THEN
+        |      CASE WHEN n_maintenance > 0
+        |        THEN greatest(2 - n_in_service, 0)
+        |        ELSE greatest(3 - n_in_service, 0) END
+        |    ELSE CASE WHEN n_in_service < target THEN
+        |      CASE WHEN n_maintenance > 0 THEN
+        |        CASE WHEN n_in_service = 0 THEN 1 ELSE 0 END
+        |      ELSE target - n_in_service END
+        |    ELSE 0 END END AS under_delta,
+        |    greatest(n_in_service -
+        |      CASE WHEN n_origins = 1 THEN 3 ELSE target END, 0)
+        |      AS over_delta
+        |  FROM (
+        |    SELECT *,
+        |      count(*) OVER (PARTITION BY container_id) AS n_origins,
+        |      CASE WHEN n_origins_pre = 1 THEN 3
+        |        WHEN is_best THEN 2 ELSE 1 END AS target
+        |    FROM (
+        |      SELECT container_id, origin,
+        |        count(*) AS n_replicas,
+        |        sum(CASE WHEN in_service THEN 1 ELSE 0 END)
+        |          AS n_in_service,
+        |        sum(CASE WHEN maint THEN 1 ELSE 0 END) AS n_maintenance,
+        |        max(CASE WHEN healthy AND seq = max_healthy_seq
+        |          THEN 1 ELSE 0 END) = 1 AS is_best,
+        |        count(*) OVER (PARTITION BY container_id) AS n_origins_pre
+        |      FROM qcs_base
+        |      GROUP BY container_id, origin)))
+        |ORDER BY container_id, origin""".stripMargin,
+      O.containersScm, O.replicas, O.datanodes,
+      """qcs_base AS (
+        |  SELECT *,
+        |    max(CASE WHEN healthy THEN seq END)
+        |      OVER (PARTITION BY container_id) AS max_healthy_seq
+        |  FROM (
+        |    SELECT r.container_id, r.datanode, r.replica_state,
+        |      r.container_id * 100 +
+        |        CAST(substr(r.datanode, 3, 10) AS BIGINT) AS seq,
+        |      CASE WHEN r.container_id % 3 = 0
+        |          THEN min(r.datanode) OVER w
+        |        WHEN r.datanode = max(r.datanode) OVER w
+        |          THEN min(r.datanode) OVER w
+        |        ELSE r.datanode END AS origin,
+        |      r.replica_state <> 'UNHEALTHY' AS healthy,
+        |      d.op_state = 'IN_SERVICE' AS in_service,
+        |      d.op_state IN ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+        |        AS maint
+        |    FROM replicas r
+        |    JOIN containers_scm c ON c.container_id = r.container_id
+        |      AND c.state <> 'DELETED' AND c.container_id % 119 = 0
+        |    JOIN datanodes d ON d.uuid = r.datanode
+        |    WINDOW w AS (PARTITION BY r.container_id)))""".stripMargin),
 
     // Pipeline-create mirror: viable CTE + three ORDER-BY-LIMIT-1 picks.
     "q_pipeline_create" -> O.withCtes(

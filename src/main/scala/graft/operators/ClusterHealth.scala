@@ -305,6 +305,95 @@ object ClusterHealth {
   }
 
   /**
+   * Quasi-closed-stuck replica accounting — QuasiClosedStuckReplicaCount
+   * (server-scm/.../replication/QuasiClosedStuckReplicaCount.java:30-245):
+   * a quasi-closed container that cannot close keeps data from several
+   * origin datanodes; replication targets are PER ORIGIN, not per
+   * container. Origins whose healthy replicas carry the cluster-wide
+   * maximum BCSID (sequence id) are "best" and target bestOriginCopies
+   * (2); every other origin targets otherOriginCopies (1). A
+   * SINGLE-origin container targets 3 plain copies. Maintenance rules:
+   * multi-origin origins with maintenance copies only need ONE in-service
+   * copy (:169-176); single-origin containers need
+   * minHealthyForMaintenance (:154-158). Over-replication ignores
+   * maintenance copies entirely (:190-218). In-service counting uses the
+   * node's persisted op state; health uses the replica state.
+   *
+   * Fixture derivations (mirrored in the oracle): the stuck set is
+   * container_id % 119 == 0; BCSID = container_id*100 + datanode number;
+   * the max-name replica re-registered from the min-name origin, and
+   * %3==0 containers collapsed to a single origin.
+   *
+   * Scale shape: one broadcast of the node dim, one groupBy
+   * (container, origin) over the stuck subset, a count window per
+   * container. No driver loop.
+   */
+  def quasiClosedStuckCount(replicas: DataFrame, datanodes: DataFrame,
+                            containersScm: DataFrame,
+                            bestCopies: Int = 2, otherCopies: Int = 1,
+                            minHealthyForMaintenance: Int = 2): DataFrame = {
+    val dn = datanodes.select(col("uuid").as("datanode"), col("op_state"))
+    val stuck = containersScm
+      .filter(col("state") =!= "DELETED" && col("container_id") % 119 === 0)
+      .select("container_id")
+    val wC = Window.partitionBy("container_id")
+    val base = replicas
+      .join(broadcast(stuck), Seq("container_id"))
+      .join(broadcast(dn), Seq("datanode"))
+      .withColumn("seq",
+        col("container_id") * 100 + substring(col("datanode"), 3, 10)
+          .cast("long"))
+      .withColumn("min_dn", min("datanode").over(wC))
+      .withColumn("max_dn", max("datanode").over(wC))
+      .withColumn("origin",
+        when(col("container_id") % 3 === 0, col("min_dn"))
+          .when(col("datanode") === col("max_dn"), col("min_dn"))
+          .otherwise(col("datanode")))
+      .withColumn("healthy", col("replica_state") =!= "UNHEALTHY")
+      .withColumn("in_service", col("op_state") === "IN_SERVICE")
+      .withColumn("maint",
+        col("op_state").isin("IN_MAINTENANCE", "ENTERING_MAINTENANCE"))
+      .withColumn("max_healthy_seq",
+        max(when(col("healthy"), col("seq"))).over(wC))
+    val perOrigin = base.groupBy("container_id", "origin")
+      .agg(count(lit(1)).as("n_replicas"),
+        sum(when(col("in_service"), 1L).otherwise(0L)).as("n_in_service"),
+        sum(when(col("maint"), 1L).otherwise(0L)).as("n_maintenance"),
+        max(when(col("healthy") && col("seq") === col("max_healthy_seq"),
+          1L).otherwise(0L)).as("is_best_raw"))
+      .withColumn("n_origins", count(lit(1)).over(wC))
+      .withColumn("is_best", col("is_best_raw") === 1L)
+      .withColumn("target",
+        when(col("n_origins") === 1, lit(3))
+          .when(col("is_best"), lit(bestCopies)).otherwise(lit(otherCopies)))
+    perOrigin
+      .withColumn("under_delta",
+        when(col("n_origins") === 1,
+          when(col("n_maintenance") > 0,
+            greatest(lit(minHealthyForMaintenance) - col("n_in_service"),
+              lit(0L)))
+            .otherwise(greatest(lit(3) - col("n_in_service"), lit(0L))))
+          .otherwise(
+            when(col("n_in_service") < col("target"),
+              when(col("n_maintenance") > 0,
+                when(col("n_in_service") === 0, lit(1L)).otherwise(lit(0L)))
+                .otherwise(col("target") - col("n_in_service")))
+              .otherwise(lit(0L))))
+      .withColumn("over_delta",
+        greatest(col("n_in_service") -
+          when(col("n_origins") === 1, lit(3)).otherwise(col("target")),
+          lit(0L)))
+      .withColumn("status",
+        when(col("under_delta") > 0, lit("UNDER_REPLICATED"))
+          .when(col("over_delta") > 0, lit("OVER_REPLICATED"))
+          .otherwise(lit("OK")))
+      .select("container_id", "origin", "n_replicas", "n_in_service",
+        "n_maintenance", "is_best", "target", "status", "under_delta",
+        "over_delta")
+      .orderBy("container_id", "origin")
+  }
+
+  /**
    * Ratis over-replication delete plan — RatisOverReplicationHandler
    * .processAndSendCommands (server-scm/.../replication/
    * RatisOverReplicationHandler.java:72-328), per candidate container

@@ -645,4 +645,55 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(micro("dnC") === "THIRD_ANCHOR_RACK")
     assert(micro("dnD") === "VIABLE_UNUSED")
   }
+
+  test("quasiClosedStuckCount: per-origin targets, maintenance floors") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val rows = graft.operators.ClusterHealth.quasiClosedStuckCount(
+      T.replicas(spark, d), T.datanodes(spark, d),
+      T.containersScm(spark, d))
+      .select("container_id", "origin", "is_best", "target", "status",
+        "under_delta")
+      .as[(Long, String, Boolean, Int, String, Long)].collect()
+    val v = rows.map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // cid 119: dn19 holds the max BCSID → best origin, target 2, but it
+    // has a single in-service copy → UNDER by 1; other origins target 1
+    assert(v((119L, "dn19")) === ((true, 2, "UNDER_REPLICATED", 1L)))
+    assert(v((119L, "dn1")) === ((false, 1, "OK", 0L)))
+    // cid 476: origin dn17's only copy is on a maintenance node → the
+    // one-online floor trips
+    assert(v((476L, "dn17")) === ((false, 1, "UNDER_REPLICATED", 1L)))
+    // cid 357: single-origin (%3==0) with a maintenance copy — the
+    // minHealthyForMaintenance floor (2) is met by 3 in-service copies
+    val c357 = rows.filter(_._1 == 357L)
+    assert(c357.length === 1 && c357.head._4 === 3 &&
+      c357.head._5 === "OK")
+    // cid 952: origin dn14 sits on a DECOMMISSIONING node (not
+    // maintenance) → plain under-replication against target 1
+    assert(v((952L, "dn14")) === ((false, 1, "UNDER_REPLICATED", 1L)))
+
+    // micro-fixture: UNHEALTHY replicas never define the best origin
+    val reps = Seq(
+      (119L, "dn1", "rackA", "CLOSED"),
+      (119L, "dn2", "rackB", "CLOSED"),
+      (119L, "dn3", "rackC", "UNHEALTHY"),
+      (119L, "dn4", "rackD", "CLOSED"))
+      .toDF("container_id", "datanode", "rack", "replica_state")
+    val dns = Seq(("dn1", "IN_SERVICE"), ("dn2", "IN_SERVICE"),
+      ("dn3", "IN_SERVICE"), ("dn4", "IN_SERVICE"))
+      .toDF("uuid", "op_state")
+    val conts = Seq((119L, "QUASI_CLOSED", 3))
+      .toDF("container_id", "state", "replication_factor")
+    val micro = graft.operators.ClusterHealth.quasiClosedStuckCount(
+      reps, dns, conts)
+      .select("origin", "is_best", "status")
+      .as[(String, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    // dn4 re-registered from origin dn1 (max name → min origin): its
+    // BCSID is the healthy max, so origin dn1 is best with 2 in-service
+    // copies; dn3's UNHEALTHY copy outranks dn2's BCSID but can't be best
+    assert(micro("dn1")._2 === true)
+    assert(micro("dn3")._2 === false)
+    assert(micro("dn1")._3 === "OK")
+  }
 }
