@@ -468,6 +468,10 @@ object SparkEntry {
     "q_ranger_sync" -> ((s, d) =>
       Tenants.rangerSync(T.tenantStateExt(s, d), T.tenantAccessCatalog(s, d),
         T.rangerPolicies(s, d), T.rangerRoles(s, d))),
+    // Ranger version fence: the MAX_ATTEMPT-bounded version chase, with
+    // the observed (not computed) version persisted each attempt.
+    "q_ranger_version" -> ((s, d) =>
+      Tenants.rangerSyncVersionFold(T.rangerSyncRuns(s, d))),
     "q_tenant_user_info" -> ((s, d) =>
       Tenants.tenantUserInfo(T.tenantAccessIds(s, d), "clerk1")),
     "q_tenant_assign" -> ((s, d) =>
@@ -5462,6 +5466,24 @@ object SparkEntry {
         |  (3, 'snap-gone', 'vol0', 'bucket0'),
         |  (4, 'snap-golden', 'vol2', 'bucket5'),
         |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin),
+
+    // Ranger version-fence mirror: the same closed form.
+    "q_ranger_version" -> O.withCtes(
+      """SELECT run_id, db_version,
+        |  CASE WHEN db_version = v0 THEN 0
+        |       WHEN v1 = v0 THEN 1 ELSE 2 END AS attempts,
+        |  CASE WHEN db_version = v0 THEN db_version
+        |       WHEN v1 = v0 THEN v0 ELSE v1 END AS final_db_version,
+        |  CASE WHEN db_version = v0 THEN 'IN_SYNC'
+        |       WHEN v1 = v0 THEN 'SYNCED'
+        |       WHEN v2 = v1 THEN 'SYNCED'
+        |       ELSE 'ABORTED_MAX_ATTEMPT' END AS outcome
+        |FROM rsv_runs ORDER BY run_id""".stripMargin,
+      """rsv_runs(run_id, db_version, v0, v1, v2) AS (VALUES
+        |  (1, 5, 5, 5, 5),
+        |  (2, 4, 5, 5, 5),
+        |  (3, 4, 5, 6, 6),
+        |  (4, 4, 5, 6, 7))""".stripMargin),
 
     // Lifecycle-service mirror: running last-applied toggle + prior-save
     // count per bucket cursor.

@@ -1312,6 +1312,21 @@ object Tables {
       .toDF("global_idx", "name", "volume", "bucket")
   }
 
+  /** ranger_sync_runs: OMRangerBGSyncService version-fence runs — the
+    * in-sync no-op, the common one-attempt sync (the recheck sees the
+    * version just written), a mid-sync bump absorbed on the second
+    * attempt, and a hot Ranger that outruns MAX_ATTEMPT. v0..v2 are the
+    * Ranger versions observed before each check. */
+  def rangerSyncRuns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 5L, 5L, 5L, 5L),
+      (2L, 4L, 5L, 5L, 5L),
+      (3L, 4L, 5L, 6L, 6L),
+      (4L, 4L, 5L, 6L, 7L))
+      .toDF("run_id", "db_version", "v0", "v1", "v2")
+  }
+
   /** lifecycle_service_ops: the KeyLifecycleService control stream —
     * SAVE (scan-state cursor upserts) and STATUS (suspend/resume) ops.
     * Probes: a pre-finalization suspend (both admin and NON-admin — the

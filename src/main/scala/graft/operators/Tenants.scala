@@ -350,4 +350,42 @@ object Tenants {
           .as("ranger_users"))
     policies.unionByName(roles).orderBy("kind", "name")
   }
+
+  /**
+   * Ranger service-version fence — OMRangerBGSyncService
+   * .triggerRangerSyncOnce (ozone-manager/.../multitenant/
+   * OMRangerBGSyncService.java:214-266) + OMSetRangerServiceVersionRequest
+   * (the Ratis write that persists the observed version, :49-73): a sync
+   * run loops while the OM-DB version differs from Ranger's, pushing the
+   * OM-DB state and then persisting the OBSERVED Ranger version — so a
+   * version bumped mid-sync (by tenant requests or a manual Ranger edit)
+   * re-enters the loop, and MAX_ATTEMPT (2) bounds the chase. Closed-form
+   * over the per-run observation sequence v0,v1,v2 (Ranger's version
+   * before each check):
+   *   db == v0            → IN_SYNC, 0 attempts;
+   *   v1 == v0            → SYNCED after 1 (the common case: the second
+   *                          check sees the version the run just wrote);
+   *   v2 == v1            → SYNCED after 2;
+   *   else                → ABORTED_MAX_ATTEMPT with db left at v1.
+   *
+   * Scale shape: a pure projection over the (control-plane) run batch.
+   */
+  def rangerSyncVersionFold(runs: DataFrame): DataFrame =
+    runs
+      .withColumn("attempts",
+        when(col("db_version") === col("v0"), lit(0L))
+          .when(col("v1") === col("v0"), lit(1L))
+          .otherwise(lit(2L)))
+      .withColumn("final_db_version",
+        when(col("db_version") === col("v0"), col("db_version"))
+          .when(col("v1") === col("v0"), col("v0"))
+          .otherwise(col("v1")))
+      .withColumn("outcome",
+        when(col("db_version") === col("v0"), lit("IN_SYNC"))
+          .when(col("v1") === col("v0"), lit("SYNCED"))
+          .when(col("v2") === col("v1"), lit("SYNCED"))
+          .otherwise(lit("ABORTED_MAX_ATTEMPT")))
+      .select("run_id", "db_version", "attempts", "final_db_version",
+        "outcome")
+      .orderBy("run_id")
 }

@@ -856,4 +856,19 @@ class WriteLaddersSpec extends SparkSpecBase {
     // idempotent resume: stays resumed
     assert(got(11L) === (("RESUMED", false, false)))
   }
+
+  test("rangerSyncVersionFold: bounded version chase") {
+    val got = graft.operators.Tenants.rangerSyncVersionFold(
+      T.rangerSyncRuns(spark, sf))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((0L, 5L, "IN_SYNC")))
+    // the recheck sees the version the run just wrote → one attempt
+    assert(got(2L) === ((1L, 5L, "SYNCED")))
+    // a mid-sync bump absorbed by the second attempt
+    assert(got(3L) === ((2L, 6L, "SYNCED")))
+    // a hot Ranger outruns MAX_ATTEMPT: db left at the LAST OBSERVED
+    // version, not the latest one
+    assert(got(4L) === ((2L, 6L, "ABORTED_MAX_ATTEMPT")))
+  }
 }
