@@ -275,6 +275,11 @@ object SparkEntry {
     "q_open_key_cleanup" -> ((s, d) =>
       Lifecycle.openKeyCleanup(T.openKeys(s, d), 833587200000L,
         883612800000L)),
+    // S3 conditional writes: header parse errors before the store probe,
+    // If-None-Match:* create-if-absent, comma-list/quoted/star If-Match.
+    "q_conditional_write" -> ((s, d) =>
+      graft.operators.Conditional.conditionalWrites(
+        T.conditionalWriteRequests(s, d), T.objects(s, d))),
     "q_multipart_validate" -> ((s, d) =>
       Lifecycle.multipartValidate(T.multipartParts(s, d))),
     "q_multipart_etag" -> ((s, d) =>
@@ -5466,6 +5471,70 @@ object SparkEntry {
         |  (3, 'snap-gone', 'vol0', 'bucket0'),
         |  (4, 'snap-golden', 'vol2', 'bucket5'),
         |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin),
+
+    // Conditional-write mirror: list-normalized ETag candidates.
+    "q_conditional_write" -> O.withCtes(
+      """SELECT req_id, op,
+        |  CASE
+        |    WHEN has_inm AND trim(inm_value) = '' THEN 'INVALID_EMPTY_INM'
+        |    WHEN has_im AND trim(im_value) = '' THEN 'INVALID_EMPTY_IM'
+        |    WHEN op = 'PUT' AND has_inm AND has_im THEN 'INVALID_BOTH'
+        |    WHEN op = 'PUT' AND has_inm AND inm_norm <> '*'
+        |      THEN 'INVALID_INM_NOT_STAR'
+        |    WHEN has_inm AND inm_norm = '*' AND key_exists IS NOT NULL
+        |      THEN 'PRECONDITION_FAILED'
+        |    WHEN has_im AND NOT im_match THEN 'PRECONDITION_FAILED'
+        |    WHEN op = 'PUT' THEN 'WRITTEN'
+        |    ELSE 'DELETED' END AS decision
+        |FROM (
+        |  SELECT q.*, s.cur_etag, s.key_exists,
+        |    regexp_replace(trim(q.inm_value), '^"|"$', '', 'g')
+        |      AS inm_norm,
+        |    CASE WHEN NOT q.has_im THEN false ELSE
+        |      len(list_filter(
+        |        list_transform(string_split(q.im_value, ','),
+        |          x -> regexp_replace(trim(x), '^"|"$', '', 'g')),
+        |        x -> (x = '*' AND s.key_exists IS NOT NULL)
+        |          OR (s.cur_etag IS NOT NULL AND x = s.cur_etag))) > 0
+        |      END AS im_match
+        |  FROM cwr_reqs q
+        |  LEFT JOIN cwr_state s ON s.key = q.key)
+        |ORDER BY req_id""".stripMargin,
+      O.objects,
+      """cwr_target AS (
+        |  SELECT min(key) AS t_key FROM objects
+        |  WHERE volume = 'vol0' AND bucket = 'bucket0')""".stripMargin,
+      """cwr_rows(req_id, op, has_inm, inm_value, has_im, im_kind,
+        |  ghost) AS (VALUES
+        |  (1, 'PUT', true, '', false, '', false),
+        |  (2, 'PUT', false, '', true, ' ', false),
+        |  (3, 'PUT', true, '*', true, 'ETAG', false),
+        |  (4, 'PUT', true, 'abc', false, '', false),
+        |  (5, 'PUT', true, '*', false, '', false),
+        |  (6, 'PUT', true, '*', false, '', true),
+        |  (7, 'PUT', false, '', true, 'QETAG', false),
+        |  (8, 'PUT', false, '', true, 'LIST', false),
+        |  (9, 'PUT', false, '', true, '*', false),
+        |  (10, 'PUT', false, '', true, 'zzz', false),
+        |  (11, 'PUT', false, '', true, 'ETAG', true),
+        |  (12, 'PUT', false, '', false, '', false),
+        |  (13, 'DELETE', false, '', true, 'ETAG', false),
+        |  (14, 'DELETE', false, '', true, 'zzz', false),
+        |  (15, 'DELETE', false, '', true, ' ', false),
+        |  (16, 'DELETE', false, '', false, '', false))""".stripMargin,
+      """cwr_reqs AS (
+        |  SELECT r.req_id, r.op,
+        |    CASE WHEN r.ghost THEN 'no/such/key' ELSE t.t_key END AS key,
+        |    r.has_inm, r.inm_value, r.has_im,
+        |    CASE WHEN r.im_kind = 'ETAG' THEN md5(t.t_key)
+        |      WHEN r.im_kind = 'QETAG' THEN '"' || md5(t.t_key) || '"'
+        |      WHEN r.im_kind = 'LIST' THEN 'aaa, "' || md5(t.t_key) || '"'
+        |      ELSE r.im_kind END AS im_value
+        |  FROM cwr_rows r CROSS JOIN cwr_target t)""".stripMargin,
+      """cwr_state AS (
+        |  SELECT key, max(etag) AS cur_etag, true AS key_exists
+        |  FROM objects WHERE volume = 'vol0' AND bucket = 'bucket0'
+        |  GROUP BY key)""".stripMargin),
 
     // Ranger version-fence mirror: the same closed form.
     "q_ranger_version" -> O.withCtes(

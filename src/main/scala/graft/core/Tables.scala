@@ -1312,6 +1312,54 @@ object Tables {
       .toDF("global_idx", "name", "volume", "bucket")
   }
 
+  /** conditional_write_requests: the S3 conditional PUT/DELETE batch —
+    * header parse errors (blank If-None-Match / If-Match, both together,
+    * If-None-Match other than `*`), create-if-absent probes against an
+    * existing and a ghost key, quoted / comma-list / `*` If-Match
+    * candidates, and the DELETE If-Match family. The target is the
+    * corpus's min key in vol0/bucket0 (sf-portable); its ETag is the
+    * md5-of-key mint the objects table uses. */
+  def conditionalWriteRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = objects(spark, dir)
+      .filter(col("volume") === "vol0" && col("bucket") === "bucket0")
+      .agg(min("key").as("t_key"))
+      .withColumn("t_etag", md5(col("t_key")))
+    val rows = Seq(
+      (1L, "PUT", true, "", false, "", false),
+      (2L, "PUT", false, "", true, " ", false),
+      (3L, "PUT", true, "*", true, "ETAG", false),
+      (4L, "PUT", true, "abc", false, "", false),
+      (5L, "PUT", true, "*", false, "", false),
+      (6L, "PUT", true, "*", false, "", true),
+      (7L, "PUT", false, "", true, "QETAG", false),
+      (8L, "PUT", false, "", true, "LIST", false),
+      (9L, "PUT", false, "", true, "*", false),
+      (10L, "PUT", false, "", true, "zzz", false),
+      (11L, "PUT", false, "", true, "ETAG", true),
+      (12L, "PUT", false, "", false, "", false),
+      (13L, "DELETE", false, "", true, "ETAG", false),
+      (14L, "DELETE", false, "", true, "zzz", false),
+      (15L, "DELETE", false, "", true, " ", false),
+      (16L, "DELETE", false, "", false, "", false))
+      .toDF("req_id", "op", "has_inm", "inm_value", "has_im", "im_kind",
+        "ghost")
+    rows.crossJoin(broadcast(target))
+      .withColumn("volume", lit("vol0"))
+      .withColumn("bucket", lit("bucket0"))
+      .withColumn("key",
+        when(col("ghost"), lit("no/such/key")).otherwise(col("t_key")))
+      .withColumn("im_value",
+        when(col("im_kind") === "ETAG", col("t_etag"))
+          .when(col("im_kind") === "QETAG",
+            concat(lit("\""), col("t_etag"), lit("\"")))
+          .when(col("im_kind") === "LIST",
+            concat(lit("aaa, \""), col("t_etag"), lit("\"")))
+          .otherwise(col("im_kind")))
+      .select("req_id", "op", "volume", "bucket", "key", "has_inm",
+        "inm_value", "has_im", "im_value")
+  }
+
   /** ranger_sync_runs: OMRangerBGSyncService version-fence runs — the
     * in-sync no-op, the common one-attempt sync (the recheck sees the
     * version just written), a mid-sync bump absorbed on the second

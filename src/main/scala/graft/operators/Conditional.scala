@@ -46,4 +46,67 @@ object Conditional {
       .withColumn("status", statusCol(conds))
       .select("volume", "bucket", "key", "etag", "modification_time", "status")
       .orderBy("volume", "bucket", "key", "modification_time")
+
+  /**
+   * Conditional-WRITE ladder — S3ConditionalRequest.parseWriteConditions /
+   * parseDeleteCondition + the PUT/DELETE evaluation (s3gateway/.../endpoint/
+   * S3ConditionalRequest.java:155-214, eTagMatches:212-228). Header parse
+   * errors fire BEFORE any store probe, in reference order:
+   *   1. If-None-Match present but BLANK        → INVALID_EMPTY_INM;
+   *   2. If-Match present but BLANK             → INVALID_EMPTY_IM;
+   *   3. both headers together on a PUT         → INVALID_BOTH;
+   *   4. If-None-Match other than `*` on a PUT  → INVALID_INM_NOT_STAR
+   *      (S3 conditional put supports only create-if-absent);
+   * then the probe against current key state:
+   *   5. If-None-Match:* and the key EXISTS     → PRECONDITION_FAILED;
+   *   6. If-Match and no candidate matches the current ETag (a MISSING
+   *      key matches nothing; the header is a comma list of
+   *      optionally-quoted ETags, `*` matches any existing)
+   *                                             → PRECONDITION_FAILED;
+   *   7. else WRITTEN / DELETED.
+   * DELETE accepts only If-Match (:193-202). ETag candidates are
+   * normalized by trimming and stripping one pair of double quotes, as
+   * parseETag does.
+   *
+   * Scale shape: the request batch broadcasts into one probe join against
+   * the key state; the ladder is a codegen'd CASE projection.
+   */
+  def conditionalWrites(requests: DataFrame, objects: DataFrame): DataFrame = {
+    // probe pushdown: only the requested keys' state is aggregated — the
+    // namespace scan is semi-filtered by the (tiny) request batch
+    val state = objects
+      .join(broadcast(requests.select("volume", "bucket", "key").distinct()),
+        Seq("volume", "bucket", "key"), "left_semi")
+      .groupBy("volume", "bucket", "key")
+      .agg(max("etag").as("cur_etag"))
+      .withColumn("key_exists", lit(true))
+    val normalize = (c: Column) =>
+      regexp_replace(trim(c), "^\"|\"$", "")
+    requests
+      .join(state, Seq("volume", "bucket", "key"), "left")
+      .withColumn("inm_norm", normalize(col("inm_value")))
+      .withColumn("im_match",
+        when(!col("has_im"), lit(false)).otherwise(
+          exists(transform(split(col("im_value"), ","),
+            x => regexp_replace(trim(x), "^\"|\"$", "")),
+            x => x === "*" && col("key_exists").isNotNull ||
+              col("cur_etag").isNotNull && x === col("cur_etag"))))
+      .withColumn("decision",
+        when(col("has_inm") && trim(col("inm_value")) === "",
+          lit("INVALID_EMPTY_INM"))
+          .when(col("has_im") && trim(col("im_value")) === "",
+            lit("INVALID_EMPTY_IM"))
+          .when(col("op") === "PUT" && col("has_inm") && col("has_im"),
+            lit("INVALID_BOTH"))
+          .when(col("op") === "PUT" && col("has_inm") &&
+            col("inm_norm") =!= "*", lit("INVALID_INM_NOT_STAR"))
+          .when(col("has_inm") && col("inm_norm") === "*" &&
+            col("key_exists").isNotNull, lit("PRECONDITION_FAILED"))
+          .when(col("has_im") && !col("im_match"),
+            lit("PRECONDITION_FAILED"))
+          .when(col("op") === "PUT", lit("WRITTEN"))
+          .otherwise(lit("DELETED")))
+      .select("req_id", "op", "decision")
+      .orderBy("req_id")
+  }
 }

@@ -106,4 +106,30 @@ class ConditionalFilterSpec extends SparkSpecBase {
     assert(decisions.contains("KEY_NOT_FOUND"))
     assert(decisions.contains("KEY_ALREADY_CLOSED"))
   }
+
+  test("conditionalWrites: parse errors first, create-if-absent, IM lists") {
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val got = graft.operators.Conditional.conditionalWrites(
+      T.conditionalWriteRequests(spark, d), T.objects(spark, d))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) === "INVALID_EMPTY_INM")
+    assert(got(2L) === "INVALID_EMPTY_IM")
+    assert(got(3L) === "INVALID_BOTH")
+    // only If-None-Match: * is supported for conditional put
+    assert(got(4L) === "INVALID_INM_NOT_STAR")
+    // create-if-absent: existing target refuses, ghost target writes
+    assert(got(5L) === "PRECONDITION_FAILED")
+    assert(got(6L) === "WRITTEN")
+    // quoted / comma-list / star candidates all match the current ETag
+    assert(got(7L) === "WRITTEN" && got(8L) === "WRITTEN" &&
+      got(9L) === "WRITTEN")
+    assert(got(10L) === "PRECONDITION_FAILED")
+    // If-Match against a MISSING key matches nothing — 412, not created
+    assert(got(11L) === "PRECONDITION_FAILED")
+    assert(got(12L) === "WRITTEN")
+    assert(got(13L) === "DELETED" && got(16L) === "DELETED")
+    assert(got(14L) === "PRECONDITION_FAILED")
+    assert(got(15L) === "INVALID_EMPTY_IM")
+  }
 }
