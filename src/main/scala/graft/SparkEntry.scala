@@ -275,6 +275,12 @@ object SparkEntry {
     "q_open_key_cleanup" -> ((s, d) =>
       Lifecycle.openKeyCleanup(T.openKeys(s, d), 833587200000L,
         883612800000L)),
+    // Trash emptier cycle: expired checkpoints deleted, Current rotated
+    // into a now-stamped checkpoint, strays warned and kept.
+    "q_trash_rotation" -> ((s, d) =>
+      graft.operators.Reclaim.trashCheckpointRotation(
+        T.trashEntries(s, d), nowMs = 1755172800000L,
+        deletionIntervalMs = 2592000000L)),
     // S3 conditional writes: header parse errors before the store probe,
     // If-None-Match:* create-if-absent, comma-list/quoted/star If-Match.
     "q_conditional_write" -> ((s, d) =>
@@ -5471,6 +5477,30 @@ object SparkEntry {
         |  (3, 'snap-gone', 'vol0', 'bucket0'),
         |  (4, 'snap-golden', 'vol2', 'bucket5'),
         |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin),
+
+    // Trash-rotation mirror: strptime parse + the same cutoffs.
+    "q_trash_rotation" -> O.withCtes(
+      """SELECT trash_root, name,
+        |  CASE
+        |    WHEN name = 'Current' THEN 'CHECKPOINTED'
+        |    WHEN NOT regexp_matches(regexp_replace(name, '-\d+$', ''),
+        |      '^\d{12}$') THEN 'IGNORED_UNPARSEABLE'
+        |    WHEN epoch_ms(strptime(regexp_replace(name, '-\d+$', ''),
+        |      '%y%m%d%H%M%S')) < 1755172800000 - 2592000000
+        |      THEN 'DELETED'
+        |    ELSE 'KEPT' END AS action,
+        |  CASE WHEN name = 'Current' THEN '250814120000' ELSE '' END
+        |    AS new_name
+        |FROM tr_entries
+        |ORDER BY trash_root, name""".stripMargin,
+      """tr_entries(trash_root, name) AS (VALUES
+        |  ('/vol0/bucket0/.Trash/clerk1', 'Current'),
+        |  ('/vol0/bucket0/.Trash/clerk1', '240101120000'),
+        |  ('/vol0/bucket0/.Trash/clerk1', '250801120000'),
+        |  ('/vol0/bucket0/.Trash/clerk1', '240615063000-1'),
+        |  ('/vol0/bucket0/.Trash/clerk1', 'stray-dir'),
+        |  ('/vol1/bucket3/.Trash/clerk2', '250601000000'),
+        |  ('/vol2/bucket5/.Trash/clerk3', 'Current'))""".stripMargin),
 
     // Conditional-write mirror: list-normalized ETag candidates.
     "q_conditional_write" -> O.withCtes(

@@ -1312,6 +1312,24 @@ object Tables {
       .toDF("global_idx", "name", "volume", "bucket")
   }
 
+  /** trash_entries: per-trash-root listings for the emptier cycle — a
+    * root with Current + an expired checkpoint + a fresh one + a
+    * collision-suffixed old one + an unparseable stray; a root with no
+    * Current (nothing to rename); a root with only Current. NOW is
+    * 2025-08-14 12:00:00 UTC; the deletion interval 30 days. */
+  def trashEntries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("/vol0/bucket0/.Trash/clerk1", "Current"),
+      ("/vol0/bucket0/.Trash/clerk1", "240101120000"),
+      ("/vol0/bucket0/.Trash/clerk1", "250801120000"),
+      ("/vol0/bucket0/.Trash/clerk1", "240615063000-1"),
+      ("/vol0/bucket0/.Trash/clerk1", "stray-dir"),
+      ("/vol1/bucket3/.Trash/clerk2", "250601000000"),
+      ("/vol2/bucket5/.Trash/clerk3", "Current"))
+      .toDF("trash_root", "name")
+  }
+
   /** conditional_write_requests: the S3 conditional PUT/DELETE batch —
     * header parse errors (blank If-None-Match / If-Match, both together,
     * If-None-Match other than `*`), create-if-absent probes against an

@@ -269,37 +269,53 @@ object ClusterHealth {
           .when(col("pcount") >= pipelineLimit,
             lit("EXCLUDED_PIPELINE_LIMIT"))
           .otherwise(lit("VIABLE")))
-    val viable = nodes.filter(col("verdict0") === "VIABLE")
-      .select("uuid", "rack", "pcount")
-    val anchor = viable.orderBy("pcount", "uuid").limit(1)
-      .select(col("uuid").as("a_uuid"), col("rack").as("a_rack"))
-    val second = viable.crossJoin(broadcast(anchor))
-      .filter(col("rack") =!= col("a_rack"))
-      .orderBy("pcount", "uuid").limit(1)
-      .select(col("uuid").as("n_uuid"), col("rack").as("n_rack"))
-    val third = viable.crossJoin(broadcast(anchor))
-      .crossJoin(broadcast(second))
-      .filter(col("uuid") =!= col("a_uuid") &&
-        col("uuid") =!= col("n_uuid"))
+    // The three picks in ONE window pass (the node catalog is a
+    // control-plane dim — whole-frame windows are the cheap path here;
+    // the earlier orderBy().limit(1) chain re-evaluated the viable set
+    // four times and cost ~3 s of pure stage scheduling at any SF):
+    // cumulative-count-of-qualifying-rows == 1 selects the first row of
+    // each pick's order without re-scanning.
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPick = Window.partitionBy(lit(1)).orderBy("pcount", "uuid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = nodes
+      .withColumn("viab", col("verdict0") === "VIABLE")
+      .withColumn("vrk",
+        sum(when(col("viab"), 1L).otherwise(0L)).over(wPick))
+      .withColumn("is_anchor", col("viab") && col("vrk") === 1)
+      .withColumn("a_uuid", max(when(col("is_anchor"), col("uuid")))
+        .over(wAll))
+      .withColumn("a_rack", max(when(col("is_anchor"), col("rack")))
+        .over(wAll))
+      .withColumn("sec_q", col("viab") && col("rack") =!= col("a_rack"))
+      .withColumn("srk",
+        sum(when(col("sec_q"), 1L).otherwise(0L)).over(wPick))
+      .withColumn("is_second", col("sec_q") && col("srk") === 1)
+      .withColumn("n_rack", max(when(col("is_second"), col("rack")))
+        .over(wAll))
       .withColumn("pref",
         when(col("rack") === col("a_rack"), 0)
           .when(col("rack") === col("n_rack"), 1).otherwise(2))
-      .orderBy("pref", "pcount", "uuid").limit(1)
-      .select(col("uuid").as("t_uuid"),
-        when(col("pref") === 0, lit("THIRD_ANCHOR_RACK"))
-          .when(col("pref") === 1, lit("THIRD_NEXT_RACK"))
-          .otherwise(lit("THIRD_FALLBACK")).as("t_role"))
-    val picks = anchor.select(col("a_uuid").as("uuid"),
-        lit("ANCHOR").as("role"))
-      .unionByName(second.select(col("n_uuid").as("uuid"),
-        lit("SECOND_DIFF_RACK").as("role")))
-      .unionByName(third.select(col("t_uuid").as("uuid"),
-        col("t_role").as("role")))
-    nodes.join(broadcast(picks), Seq("uuid"), "left")
+      .withColumn("t_q",
+        col("viab") && col("uuid") =!= col("a_uuid") && !col("is_second"))
+    val wThird = Window.partitionBy(lit(1))
+      .orderBy("pref", "pcount", "uuid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn("trk",
+        sum(when(col("t_q"), 1L).otherwise(0L)).over(wThird))
+      .withColumn("is_third", col("t_q") && col("trk") === 1)
       .withColumn("verdict",
-        coalesce(col("role"),
-          when(col("verdict0") === "VIABLE", lit("VIABLE_UNUSED"))
-            .otherwise(col("verdict0"))))
+        when(col("is_anchor"), lit("ANCHOR"))
+          .when(col("is_second"), lit("SECOND_DIFF_RACK"))
+          .when(col("is_third") && col("pref") === 0,
+            lit("THIRD_ANCHOR_RACK"))
+          .when(col("is_third") && col("pref") === 1,
+            lit("THIRD_NEXT_RACK"))
+          .when(col("is_third"), lit("THIRD_FALLBACK"))
+          .when(col("viab"), lit("VIABLE_UNUSED"))
+          .otherwise(col("verdict0")))
       .select("uuid", "rack", "pcount", "remaining", "verdict")
       .orderBy("uuid")
   }

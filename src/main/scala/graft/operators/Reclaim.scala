@@ -248,4 +248,40 @@ object Reclaim {
       .unionByName(decide("AOS", spark.read.parquet(s"$wh/state_s2")))
       .orderBy("owner", "volume", "bucket", "orig_key", "object_id")
   }
+
+  /**
+   * FS trash checkpoint rotation — TrashPolicyOzone.deleteCheckpoint /
+   * createCheckpoint (ozone-manager/.../om/TrashPolicyOzone.java:196-310):
+   * each emptier cycle walks every trash root, deletes checkpoints older
+   * than the deletion interval, and renames `Current` into a fresh
+   * checkpoint named yyMMddHHmmss-of-now. Per entry:
+   *   - `Current` → CHECKPOINTED with the new name (createCheckpoint
+   *     no-ops for roots without a Current — nothing to rename);
+   *   - an unparseable name (neither yyMMddHHmmss nor the same with a
+   *     `-N` collision suffix, :292-310) → IGNORED_UNPARSEABLE, warned
+   *     and left in place;
+   *   - checkpoint time older than (now − deletionInterval) → DELETED;
+   *   - else KEPT.
+   *
+   * Scale shape: a pure projection over the trash-root listing (FS
+   * control plane); the only window-free pass rides the scan.
+   */
+  def trashCheckpointRotation(entries: DataFrame, nowMs: Long,
+                              deletionIntervalMs: Long): DataFrame = {
+    val base = regexp_replace(col("name"), "-\\d+$", "")
+    val parseable = base.rlike("^\\d{12}$")
+    val ts = unix_millis(to_timestamp(base, "yyMMddHHmmss"))
+    val newName = date_format(
+      to_timestamp(lit(nowMs / 1000)), "yyMMddHHmmss")
+    entries
+      .withColumn("action",
+        when(col("name") === "Current", lit("CHECKPOINTED"))
+          .when(!parseable, lit("IGNORED_UNPARSEABLE"))
+          .when(ts < nowMs - deletionIntervalMs, lit("DELETED"))
+          .otherwise(lit("KEPT")))
+      .withColumn("new_name",
+        when(col("name") === "Current", newName).otherwise(lit("")))
+      .select("trash_root", "name", "action", "new_name")
+      .orderBy("trash_root", "name")
+  }
 }

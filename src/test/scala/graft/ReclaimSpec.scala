@@ -172,4 +172,26 @@ class ReclaimSpec extends SparkSpecBase {
     assert(viaQuery === direct)
     assert(viaQuery.map(_.head) === Seq("s1", "s2"))
   }
+
+  test("trashCheckpointRotation: expiry cutoff, Current rename, strays") {
+    val got = graft.operators.Reclaim.trashCheckpointRotation(
+      graft.core.Tables.trashEntries(spark, sf),
+      nowMs = 1755172800000L, deletionIntervalMs = 2592000000L)
+      .as[(String, String, String, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val r1 = "/vol0/bucket0/.Trash/clerk1"
+    // Current rotates into the now-stamped checkpoint name
+    assert(got((r1, "Current")) === (("CHECKPOINTED", "250814120000")))
+    assert(got((r1, "240101120000"))._1 === "DELETED")
+    // inside the 30-day window → kept
+    assert(got((r1, "250801120000"))._1 === "KEPT")
+    // a collision-suffixed checkpoint parses through the -N suffix
+    assert(got((r1, "240615063000-1"))._1 === "DELETED")
+    assert(got((r1, "stray-dir"))._1 === "IGNORED_UNPARSEABLE")
+    // a root with no Current still expires its checkpoints
+    assert(got(("/vol1/bucket3/.Trash/clerk2", "250601000000"))._1 ===
+      "DELETED")
+    assert(got(("/vol2/bucket5/.Trash/clerk3", "Current"))._1 ===
+      "CHECKPOINTED")
+  }
 }
