@@ -913,6 +913,11 @@ object SparkEntry {
     // under-replicated containers pin their txns, stale-dn quorums wait.
     "q_block_ack_fold" -> ((s, d) =>
       ClusterHealth.blockAckFold(T.objects(s, d), T.replicas(s, d))),
+    // Mis-replication copy plan: stability gates, rack-scatter walk,
+    // source-eligibility with surfaced shortfalls.
+    "q_mis_replication" -> ((s, d) =>
+      ClusterHealth.misReplicationPlan(T.replicas(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
     // Quasi-closed-stuck accounting: per-ORIGIN targets (best-BCSID
     // origins 2, others 1, single-origin 3), maintenance floors.
     "q_qcs_replicas" -> ((s, d) =>
@@ -6292,6 +6297,52 @@ object SparkEntry {
          |       WHERE t.txn_id > 20000))), 9223372036854775807)
          |ORDER BY txn_id""".stripMargin,
       O.objects, O.containersScm),
+
+    // Mis-replication mirror: rack aggregates joined back + source ranks.
+    "q_mis_replication" -> O.withCtes(
+      """SELECT container_id, datanode, rack,
+        |  CASE
+        |    WHEN container_id % 46 = 0 THEN 'SKIP_PENDING'
+        |    WHEN n_total <> replication_factor THEN 'SKIP_NOT_STABLE'
+        |    WHEN n_racks >= least(5, n_total) THEN 'NOT_MISREPLICATED'
+        |    WHEN source_ok AND src_rank <= rack_n - 1 THEN 'COPY'
+        |    ELSE 'STAY' END AS verdict,
+        |  CASE WHEN container_id % 46 <> 0
+        |    AND n_total = replication_factor
+        |    AND n_racks < least(5, n_total)
+        |    THEN shortfall ELSE 0 END AS shortfall
+        |FROM (
+        |  SELECT b.*, rs.rack_n, rs.rack_sources, cs.n_racks, cs.n_total,
+        |    cs.shortfall,
+        |    sum(CASE WHEN b.source_ok THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY b.container_id, b.rack ORDER BY b.datanode
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS src_rank
+        |  FROM mrp_base b
+        |  JOIN mrp_racks rs ON rs.container_id = b.container_id
+        |    AND rs.rack = b.rack
+        |  JOIN mrp_conts cs ON cs.container_id = b.container_id)
+        |ORDER BY container_id, datanode""".stripMargin,
+      O.containersScm, O.replicas, O.datanodes,
+      """mrp_base AS (
+        |  SELECT r.container_id, r.datanode, r.rack, c.replication_factor,
+        |    r.replica_state IN ('CLOSED', 'QUASI_CLOSED')
+        |      AND d.state = 'HEALTHY' AND d.op_state = 'IN_SERVICE'
+        |      AS source_ok
+        |  FROM replicas r
+        |  JOIN containers_scm c ON c.container_id = r.container_id
+        |    AND c.state <> 'DELETED'
+        |  JOIN datanodes d ON d.uuid = r.datanode)""".stripMargin,
+      """mrp_racks AS (
+        |  SELECT container_id, rack, count(*) AS rack_n,
+        |    sum(CASE WHEN source_ok THEN 1 ELSE 0 END) AS rack_sources
+        |  FROM mrp_base GROUP BY 1, 2)""".stripMargin,
+      """mrp_conts AS (
+        |  SELECT container_id, count(*) AS n_racks,
+        |    sum(rack_n) AS n_total,
+        |    sum(greatest(rack_n - 1, 0) -
+        |      least(greatest(rack_n - 1, 0), rack_sources)) AS shortfall
+        |  FROM mrp_racks GROUP BY 1)""".stripMargin),
 
     // QCS mirror: per-origin groupBy with a per-container origin count.
     "q_qcs_replicas" -> O.withCtes(

@@ -321,6 +321,80 @@ object ClusterHealth {
   }
 
   /**
+   * Mis-replication copy plan — MisReplicationHandler.processAndSendCommands
+   * (server-scm/.../replication/MisReplicationHandler.java:106-160) +
+   * SCMCommonPlacementPolicy.replicasToCopyToFixMisreplication (:558-599)
+   * under the rack-scatter policy (required racks = min(cluster racks,
+   * replicas), max per rack = n/r + min(n%r, 1)):
+   *   1. containers with pending replica ops are skipped whole
+   *      (:112-117) ⇒ SKIP_PENDING (pending minted on %46 ids);
+   *   2. a container must be exactly stable — neither under- nor
+   *      over-replicated — before fixing placement (:122-133)
+   *      ⇒ SKIP_NOT_STABLE;
+   *   3. placement already satisfied ⇒ NOT_MISREPLICATED;
+   *   4. else the copy walk: rack groups sorted largest-first, each kept
+   *      rack sheds (size − maxPerRack) replicas, chosen from
+   *      SOURCE-ELIGIBLE replicas only (CLOSED/QUASI_CLOSED state,
+   *      healthy node, IN_SERVICE — filterSources :81-99) in name order
+   *      ⇒ COPY; the rest ⇒ STAY. Racks short on copyable replicas
+   *      surface the deficit in `shortfall` (:586-594 WARN) — a stale or
+   *      decommissioning node can leave a violation unfixable this pass.
+   * For stable factor-3 containers the recurrence collapses: with
+   * required = 3 the per-rack cap is always 1, so each rack sheds
+   * (rack size − 1).
+   *
+   * Scale shape: node and container dims broadcast; one (container,rack)
+   * aggregate joined back; ranks windowed per (container, rack).
+   */
+  def misReplicationPlan(replicas: DataFrame, datanodes: DataFrame,
+                         containersScm: DataFrame,
+                         clusterRacks: Int = 5): DataFrame = {
+    val dn = datanodes.select(col("uuid").as("datanode"),
+      col("state").as("node_state"), col("op_state"))
+    val base = replicas
+      .join(broadcast(containersScm.filter(col("state") =!= "DELETED")
+        .select("container_id", "replication_factor")),
+        Seq("container_id"))
+      .join(broadcast(dn), Seq("datanode"))
+      .withColumn("source_ok",
+        col("replica_state").isin("CLOSED", "QUASI_CLOSED") &&
+          col("node_state") === "HEALTHY" &&
+          col("op_state") === "IN_SERVICE")
+    val rackStats = base.groupBy("container_id", "rack")
+      .agg(count(lit(1)).as("rack_n"),
+        sum(when(col("source_ok"), 1L).otherwise(0L)).as("rack_sources"))
+    val contStats = rackStats.groupBy("container_id")
+      .agg(count(lit(1)).as("n_racks"), sum("rack_n").as("n_total"),
+        sum(greatest(col("rack_n") - 1, lit(0L)) -
+          least(greatest(col("rack_n") - 1, lit(0L)), col("rack_sources")))
+          .as("shortfall"))
+    val wSrc = Window.partitionBy("container_id", "rack")
+      .orderBy("datanode")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(rackStats), Seq("container_id", "rack"))
+      .join(broadcast(contStats), Seq("container_id"))
+      .withColumn("required",
+        least(lit(clusterRacks), col("n_total")))
+      .withColumn("src_rank",
+        sum(when(col("source_ok"), 1L).otherwise(0L)).over(wSrc))
+      .withColumn("verdict",
+        when(col("container_id") % 46 === 0, lit("SKIP_PENDING"))
+          .when(col("n_total") =!= col("replication_factor"),
+            lit("SKIP_NOT_STABLE"))
+          .when(col("n_racks") >= col("required"),
+            lit("NOT_MISREPLICATED"))
+          .when(col("source_ok") &&
+            col("src_rank") <= col("rack_n") - 1, lit("COPY"))
+          .otherwise(lit("STAY")))
+      .withColumn("shortfall",
+        when(col("verdict").isin("COPY", "STAY"), col("shortfall"))
+          .otherwise(lit(0L)))
+      .select("container_id", "datanode", "rack", "verdict", "shortfall")
+      .orderBy("container_id", "datanode")
+  }
+
+  /**
    * Quasi-closed-stuck replica accounting — QuasiClosedStuckReplicaCount
    * (server-scm/.../replication/QuasiClosedStuckReplicaCount.java:30-245):
    * a quasi-closed container that cannot close keeps data from several

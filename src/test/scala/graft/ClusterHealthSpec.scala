@@ -696,4 +696,32 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(micro("dn3")._2 === false)
     assert(micro("dn1")._3 === "OK")
   }
+
+  test("misReplicationPlan: stability gates, rack walk, shortfalls") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val rows = graft.operators.ClusterHealth.misReplicationPlan(
+      T.replicas(spark, d), T.datanodes(spark, d),
+      T.containersScm(spark, d))
+      .as[(Long, String, String, String, Long)].collect()
+    val v = rows.map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    // cid 23: all three replicas on one rack (the %23 skew), but dn3 is
+    // STALE, dn8 DECOMMISSIONING, dn13 DEAD — zero copyable sources, the
+    // violation is unfixable this pass (shortfall 2)
+    assert(v((23L, "dn3")) === (("STAY", 2L)))
+    assert(v((23L, "dn8")) === (("STAY", 2L)))
+    assert(v((23L, "dn13")) === (("STAY", 2L)))
+    // cid 69: dns 9/14/19 share rack4; dn14 is DECOMMISSIONING so the
+    // name-ordered sources dn19, dn9 → first two copy... sources are
+    // dn19 and dn9: ranks by name dn19 < dn9 — both copy, dn14 stays
+    assert(v((69L, "dn19")) === (("COPY", 0L)))
+    assert(v((69L, "dn9")) === (("COPY", 0L)))
+    assert(v((69L, "dn14")) === (("STAY", 0L)))
+    // pending ops skip the whole container; unstable counts skip too
+    assert(rows.filter(_._1 == 46L).forall(_._4 == "SKIP_PENDING"))
+    assert(rows.filter(_._1 == 299L).forall(_._4 == "SKIP_NOT_STABLE"))
+    // a well-spread container is not touched
+    assert(rows.filter(_._1 == 1L).forall(_._4 == "NOT_MISREPLICATED"))
+  }
 }
