@@ -226,6 +226,17 @@ object Api {
   def tenantGetUserInfo(s: SparkSession, d: String, principal: String): DataFrame =
     Tenants.tenantUserInfo(T.tenantAccessIds(s, d), principal)
 
+  /** TenantListUser: the accessId roster of one tenant. */
+  def tenantListUsers(s: SparkSession, d: String, tenantId: String): DataFrame =
+    T.tenantAccessCatalog(s, d)
+      .filter(col("tenant_id") === tenantId)
+      .orderBy("access_id")
+
+  /** GetS3VolumeContext: per-request S3 volume + principal resolution. */
+  def getS3VolumeContext(s: SparkSession, d: String): DataFrame =
+    Tenants.s3VolumeContext(T.s3ContextRequests(s, d),
+      T.tenantAccessCatalog(s, d), T.tenantStateExt(s, d))
+
   /** DBUpdates(seq): the typed change stream since a sequence number. */
   def dbUpdates(s: SparkSession, d: String, sinceSeq: Long): DataFrame =
     graft.streaming.ChangeLog.events(T.objects(s, d))

@@ -485,6 +485,11 @@ object SparkEntry {
       Tenants.rangerSyncVersionFold(T.rangerSyncRuns(s, d))),
     "q_tenant_user_info" -> ((s, d) =>
       Tenants.tenantUserInfo(T.tenantAccessIds(s, d), "clerk1")),
+    // GetS3VolumeContext: the per-request S3 volume + principal resolve
+    // (default-volume fallbacks, removed-tenant refusal).
+    "q_s3_volume_context" -> ((s, d) =>
+      Tenants.s3VolumeContext(T.s3ContextRequests(s, d),
+        T.tenantAccessCatalog(s, d), T.tenantStateExt(s, d))),
     "q_tenant_assign" -> ((s, d) =>
       Tenants.assignAccessIdDecisions(T.assignRequests(s, d),
         T.tenantState(s, d), T.tenantAccessIds(s, d))),
@@ -5570,6 +5575,48 @@ object SparkEntry {
         |  SELECT key, max(etag) AS cur_etag, true AS key_exists
         |  FROM objects WHERE volume = 'vol0' AND bucket = 'bucket0'
         |  GROUP BY key)""".stripMargin),
+
+    // S3-volume-context mirror: catalog + state probes from objects.
+    "q_s3_volume_context" -> O.withCtes(
+      """SELECT req_id,
+        |  CASE WHEN NOT has_auth THEN 'OK'
+        |       WHEN cat_tenant IS NULL THEN 'OK'
+        |       WHEN tenant_volume IS NULL THEN 'TENANT_NOT_FOUND'
+        |       ELSE 'OK' END AS status,
+        |  CASE WHEN has_auth AND cat_tenant IS NOT NULL
+        |      AND tenant_volume IS NULL THEN ''
+        |    WHEN NOT has_auth OR cat_tenant IS NULL THEN 's3v'
+        |    ELSE tenant_volume END AS s3_volume,
+        |  CASE WHEN has_auth AND cat_tenant IS NOT NULL
+        |      AND tenant_volume IS NULL THEN ''
+        |    WHEN NOT has_auth THEN remote_user
+        |    WHEN cat_tenant IS NULL THEN r.access_id
+        |    ELSE split_part(r.access_id, '$', 2) END AS user_principal
+        |FROM svc_reqs r
+        |LEFT JOIN svc_catalog c ON c.access_id = r.access_id
+        |LEFT JOIN svc_state s ON s.tenant_id = c.cat_tenant
+        |ORDER BY req_id""".stripMargin,
+      O.objects,
+      """svc_reqs(req_id, has_auth, access_id, remote_user) AS (VALUES
+        |  (1, false, '', 'alice'),
+        |  (2, true, 'hdfs', ''),
+        |  (3, true, 'tenant1$clerk1', ''),
+        |  (4, true, 'no-such-but-hasids$ghost', ''),
+        |  (5, true, 'tenant0$clerk3', ''),
+        |  (6, true, 'orphan$ghost2', ''))""".stripMargin,
+      """svc_catalog AS (
+        |  SELECT DISTINCT
+        |    'tenant' || substr(volume, 4, 10) || '$' || owner AS access_id,
+        |    'tenant' || substr(volume, 4, 10) AS cat_tenant
+        |  FROM objects
+        |  UNION ALL SELECT 'no-such-but-hasids$ghost',
+        |    'no-such-but-hasids'
+        |  UNION ALL SELECT 'orphan$ghost2', NULL)""".stripMargin,
+      """svc_state AS (
+        |  SELECT DISTINCT 'tenant' || substr(volume, 4, 10) AS tenant_id,
+        |    volume AS tenant_volume
+        |  FROM objects
+        |  UNION ALL SELECT 'tenant-empty', 'vol-empty')""".stripMargin),
 
     // Ranger version-fence mirror: the same closed form.
     "q_ranger_version" -> O.withCtes(

@@ -1312,6 +1312,23 @@ object Tables {
       .toDF("global_idx", "name", "volume", "bucket")
   }
 
+  /** s3_context_requests: GetS3VolumeContext probes — an auth-less old
+    * gateway, a plain unassigned accessId, a tenant-assigned id, the
+    * removed-tenant inconsistency (no-such-but-hasids$ghost is in the
+    * access catalog but its tenant has no state row), a second tenant's
+    * id, and the null-tenant orphan catalog row. */
+  def s3ContextRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, false, "", "alice"),
+      (2L, true, "hdfs", ""),
+      (3L, true, "tenant1$clerk1", ""),
+      (4L, true, "no-such-but-hasids$ghost", ""),
+      (5L, true, "tenant0$clerk3", ""),
+      (6L, true, "orphan$ghost2", ""))
+      .toDF("req_id", "has_auth", "access_id", "remote_user")
+  }
+
   /** trash_entries: per-trash-root listings for the emptier cycle — a
     * root with Current + an expired checkpoint + a fresh one + a
     * collision-suffixed old one + an unparseable stray; a root with no

@@ -370,6 +370,54 @@ object Tenants {
    *
    * Scale shape: a pure projection over the (control-plane) run batch.
    */
+  /**
+   * GetS3VolumeContext — OzoneManager.getS3VolumeContext
+   * (ozone-manager/.../om/OzoneManager.java:3958-4040), the resolution
+   * every S3 request pays before touching a bucket:
+   *   1. no S3 auth attached (an old gateway) → the DEFAULT s3 volume,
+   *      principal = the remote user's short name;
+   *   2. an accessId with no tenant assignment (plain `ozone s3
+   *      getsecret` ids — including catalog rows whose tenant_id is
+   *      null) → the default volume, principal = the accessId's short
+   *      name (auth_to_local of a plain id is itself);
+   *   3. an assigned accessId whose tenant has NO state row →
+   *      TENANT_NOT_FOUND (the tenant was removed mid-flight, or the DB
+   *      is inconsistent — the reference refuses rather than fall back);
+   *   4. else the tenant's bucket-namespace volume, principal =
+   *      accessIdToUserPrincipal (the part after the `$` delimiter).
+   *
+   * Scale shape: two broadcast probes (access catalog, tenant state)
+   * into the request batch.
+   */
+  def s3VolumeContext(requests: DataFrame, accessCatalog: DataFrame,
+                      tenantState: DataFrame,
+                      defaultVolume: String = "s3v"): DataFrame = {
+    val cat = accessCatalog.select(col("access_id"),
+      col("tenant_id").as("cat_tenant"))
+    val st = tenantState.select(col("tenant_id").as("cat_tenant"),
+      col("volume").as("tenant_volume"))
+    requests
+      .join(broadcast(cat), Seq("access_id"), "left")
+      .join(broadcast(st), Seq("cat_tenant"), "left")
+      .withColumn("status",
+        when(!col("has_auth"), lit("OK"))
+          .when(col("cat_tenant").isNull, lit("OK"))
+          .when(col("tenant_volume").isNull, lit("TENANT_NOT_FOUND"))
+          .otherwise(lit("OK")))
+      .withColumn("s3_volume",
+        when(col("status") =!= "OK", lit(""))
+          .when(!col("has_auth") || col("cat_tenant").isNull,
+            lit(defaultVolume))
+          .otherwise(col("tenant_volume")))
+      .withColumn("user_principal",
+        when(col("status") =!= "OK", lit(""))
+          .when(!col("has_auth"), col("remote_user"))
+          .when(col("cat_tenant").isNull, col("access_id"))
+          .otherwise(substring_index(col("access_id"), "$", -1)))
+      .select("req_id", "status", "s3_volume", "user_principal")
+      .orderBy("req_id")
+  }
+
   def rangerSyncVersionFold(runs: DataFrame): DataFrame =
     runs
       .withColumn("attempts",

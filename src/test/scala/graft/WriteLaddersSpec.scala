@@ -871,4 +871,23 @@ class WriteLaddersSpec extends SparkSpecBase {
     // version, not the latest one
     assert(got(4L) === ((2L, 6L, "ABORTED_MAX_ATTEMPT")))
   }
+
+  test("s3VolumeContext: default fallbacks, tenant routing, removed tenant") {
+    val got = graft.operators.Tenants.s3VolumeContext(
+      T.s3ContextRequests(spark, sf), T.tenantAccessCatalog(spark, sf),
+      T.tenantStateExt(spark, sf))
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // no auth → default volume, remote short name
+    assert(got(1L) === (("OK", "s3v", "alice")))
+    // unassigned plain accessId → default volume, id as principal
+    assert(got(2L) === (("OK", "s3v", "hdfs")))
+    // tenant-assigned ids route to the tenant volume, principal after '$'
+    assert(got(3L) === (("OK", "vol1", "clerk1")))
+    assert(got(5L) === (("OK", "vol0", "clerk3")))
+    // assigned to a REMOVED tenant → refused, never falls back
+    assert(got(4L) === (("TENANT_NOT_FOUND", "", "")))
+    // a null-tenant orphan catalog row behaves as unassigned
+    assert(got(6L) === (("OK", "s3v", "orphan$ghost2")))
+  }
 }
