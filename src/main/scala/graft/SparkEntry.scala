@@ -918,6 +918,11 @@ object SparkEntry {
     // under-replicated containers pin their txns, stale-dn quorums wait.
     "q_block_ack_fold" -> ((s, d) =>
       ClusterHealth.blockAckFold(T.objects(s, d), T.replicas(s, d))),
+    // DN container dispatch: state gate, BCSID replay fence with a
+    // running per-container BCSID, read-side BCSID probes.
+    "q_dn_dispatch" -> ((s, d) =>
+      ClusterHealth.dnDispatchLadder(T.dnOps(s, d),
+        T.dnContainers(s, d))),
     // Mis-replication copy plan: stability gates, rack-scatter walk,
     // source-eligibility with surfaced shortfalls.
     "q_mis_replication" -> ((s, d) =>
@@ -6344,6 +6349,66 @@ object SparkEntry {
          |       WHERE t.txn_id > 20000))), 9223372036854775807)
          |ORDER BY txn_id""".stripMargin,
       O.objects, O.containersScm),
+
+    // DN-dispatch mirror: the cumulative put-max window in SQL.
+    "q_dn_dispatch" -> O.withCtes(
+      """SELECT seq, container_id, op,
+        |  CASE
+        |    WHEN op IN ('WRITE_CHUNK', 'PUT_BLOCK') AND NOT gate_ok THEN
+        |      CASE WHEN cstate IN ('QUASI_CLOSED', 'CLOSED')
+        |          THEN 'CLOSED_CONTAINER_IO'
+        |        WHEN cstate = 'UNHEALTHY' THEN 'CONTAINER_UNHEALTHY'
+        |        WHEN cstate = 'INVALID' THEN 'INVALID_CONTAINER_STATE'
+        |        ELSE 'CONTAINER_INTERNAL_ERROR' END
+        |    WHEN op = 'DELETE_BLOCK' THEN 'UNSUPPORTED_OP'
+        |    WHEN op = 'PUT_BLOCK' AND bcsid <> 0 AND bcsid <= bcs_before
+        |      THEN 'REPLAY_IGNORED'
+        |    WHEN op IN ('WRITE_CHUNK', 'PUT_BLOCK') THEN 'APPLIED'
+        |    WHEN bcsid > bcs_before THEN 'UNKNOWN_BCSID'
+        |    WHEN NOT block_exists THEN 'NO_SUCH_BLOCK'
+        |    WHEN stored_bcsid < bcsid THEN 'BCSID_MISMATCH'
+        |    ELSE 'OK' END AS decision,
+        |  CASE WHEN put_cand THEN greatest(bcs_before, bcsid)
+        |    ELSE bcs_before END AS bcs_after
+        |FROM (
+        |  SELECT o.*, c.cstate,
+        |    c.cstate IN ('OPEN', 'CLOSING', 'RECOVERING') AS gate_ok,
+        |    o.op = 'PUT_BLOCK'
+        |      AND c.cstate IN ('OPEN', 'CLOSING', 'RECOVERING')
+        |      AND o.bcsid <> 0 AS put_cand,
+        |    greatest(c.initial_bcsid, coalesce(
+        |      max(CASE WHEN o.op = 'PUT_BLOCK'
+        |        AND c.cstate IN ('OPEN', 'CLOSING', 'RECOVERING')
+        |        AND o.bcsid <> 0 THEN o.bcsid END)
+        |      OVER (PARTITION BY o.container_id ORDER BY o.seq
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      AS bcs_before
+        |  FROM dn_ops o JOIN dn_containers c
+        |    ON c.container_id = o.container_id)
+        |ORDER BY seq""".stripMargin,
+      """dn_containers(container_id, cstate, initial_bcsid) AS (VALUES
+        |  (1, 'OPEN', 10), (2, 'CLOSED', 50), (3, 'UNHEALTHY', 5),
+        |  (4, 'INVALID', 0), (5, 'CLOSING', 7), (6, 'RECOVERING', 0),
+        |  (7, 'QUASI_CLOSED', 20), (8, 'OPEN', 0))""".stripMargin,
+      """dn_ops(seq, container_id, op, bcsid, block_exists,
+        |  stored_bcsid) AS (VALUES
+        |  (1, 1, 'PUT_BLOCK', 11, true, 0),
+        |  (2, 1, 'PUT_BLOCK', 11, true, 0),
+        |  (3, 1, 'PUT_BLOCK', 9, true, 0),
+        |  (4, 1, 'GET_BLOCK', 11, true, 11),
+        |  (5, 1, 'GET_BLOCK', 12, true, 11),
+        |  (6, 1, 'GET_BLOCK', 5, false, 0),
+        |  (7, 1, 'GET_BLOCK', 8, true, 6),
+        |  (8, 2, 'WRITE_CHUNK', 0, true, 0),
+        |  (9, 2, 'GET_BLOCK', 30, true, 30),
+        |  (10, 3, 'PUT_BLOCK', 6, true, 0),
+        |  (11, 4, 'WRITE_CHUNK', 0, true, 0),
+        |  (12, 5, 'WRITE_CHUNK', 0, true, 0),
+        |  (13, 6, 'PUT_BLOCK', 1, true, 0),
+        |  (14, 7, 'PUT_BLOCK', 21, true, 0),
+        |  (15, 1, 'DELETE_BLOCK', 0, true, 0),
+        |  (16, 8, 'PUT_BLOCK', 0, true, 0),
+        |  (17, 2, 'GET_BLOCK', 60, true, 60))""".stripMargin),
 
     // Mis-replication mirror: rack aggregates joined back + source ranks.
     "q_mis_replication" -> O.withCtes(

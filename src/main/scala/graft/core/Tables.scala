@@ -1312,6 +1312,47 @@ object Tables {
       .toDF("global_idx", "name", "volume", "bucket")
   }
 
+  /** dn_containers: one datanode-local container per lifecycle state,
+    * with the on-disk BCSID the dispatch ladder fences against. */
+  def dnContainers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "OPEN", 10L), (2L, "CLOSED", 50L), (3L, "UNHEALTHY", 5L),
+      (4L, "INVALID", 0L), (5L, "CLOSING", 7L), (6L, "RECOVERING", 0L),
+      (7L, "QUASI_CLOSED", 20L), (8L, "OPEN", 0L))
+      .toDF("container_id", "cstate", "initial_bcsid")
+  }
+
+  /** dn_ops: the DN dispatch stream — an applied put, its Ratis replay,
+    * a stale put, reads at/above/below the running BCSID, a missing
+    * block, a stale stored block, writes against every refusing state,
+    * writable CLOSING/RECOVERING containers, a read on a CLOSED
+    * container (legal), a non-Ratis bcsId-0 put (fence skipped), and
+    * the unsupported DeleteBlock. */
+  def dnOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, "PUT_BLOCK", 11L, true, 0L),
+      (2L, 1L, "PUT_BLOCK", 11L, true, 0L),
+      (3L, 1L, "PUT_BLOCK", 9L, true, 0L),
+      (4L, 1L, "GET_BLOCK", 11L, true, 11L),
+      (5L, 1L, "GET_BLOCK", 12L, true, 11L),
+      (6L, 1L, "GET_BLOCK", 5L, false, 0L),
+      (7L, 1L, "GET_BLOCK", 8L, true, 6L),
+      (8L, 2L, "WRITE_CHUNK", 0L, true, 0L),
+      (9L, 2L, "GET_BLOCK", 30L, true, 30L),
+      (10L, 3L, "PUT_BLOCK", 6L, true, 0L),
+      (11L, 4L, "WRITE_CHUNK", 0L, true, 0L),
+      (12L, 5L, "WRITE_CHUNK", 0L, true, 0L),
+      (13L, 6L, "PUT_BLOCK", 1L, true, 0L),
+      (14L, 7L, "PUT_BLOCK", 21L, true, 0L),
+      (15L, 1L, "DELETE_BLOCK", 0L, true, 0L),
+      (16L, 8L, "PUT_BLOCK", 0L, true, 0L),
+      (17L, 2L, "GET_BLOCK", 60L, true, 60L))
+      .toDF("seq", "container_id", "op", "bcsid", "block_exists",
+        "stored_bcsid")
+  }
+
   /** s3_context_requests: GetS3VolumeContext probes — an auth-less old
     * gateway, a plain unassigned accessId, a tenant-assigned id, the
     * removed-tenant inconsistency (no-such-but-hasids$ghost is in the

@@ -321,6 +321,74 @@ object ClusterHealth {
   }
 
   /**
+   * Datanode container dispatch ladder — KeyValueHandler
+   * (container-service/.../keyvalue/KeyValueHandler.java) over an op
+   * stream with a RUNNING per-container BCSID:
+   *   - write ops (WriteChunk/PutBlock) pass checkContainerOpen
+   *     (:1357-1394): OPEN/CLOSING/RECOVERING proceed (closing followers
+   *     still apply leader transactions), QUASI_CLOSED/CLOSED ⇒
+   *     CLOSED_CONTAINER_IO, UNHEALTHY ⇒ CONTAINER_UNHEALTHY, INVALID ⇒
+   *     INVALID_CONTAINER_STATE;
+   *   - PutBlock replays are fenced by the container BCSID
+   *     (BlockManagerImpl.java:190-206): a non-zero bcsId ≤ the
+   *     container's ⇒ REPLAY_IGNORED (a Ratis log reapply after
+   *     restart); bcsId 0 (a non-Ratis put) skips the fence; applied
+   *     puts ADVANCE the container BCSID — later ops see it;
+   *   - GetBlock (reads are legal on closed containers): requested
+   *     bcsId above the container's ⇒ UNKNOWN_BCSID
+   *     (BlockUtils.verifyBCSId:221-234), a missing block ⇒
+   *     NO_SUCH_BLOCK, a stored block older than the requested bcsId ⇒
+   *     BCSID_MISMATCH (BlockManagerImpl.getBlock:176-187);
+   *   - DeleteBlock ⇒ UNSUPPORTED_OP — datanodes delete blocks only via
+   *     the BlockDeletingService (:972-979).
+   * The running BCSID needs no fold recursion: an ignored put is by
+   * definition ≤ the running max, so max(applied) == max(all gated put
+   * bcsIds) and one cumulative window computes it.
+   *
+   * Scale shape: the container state dim broadcasts; one cumulative
+   * window per container over the op stream.
+   */
+  def dnDispatchLadder(ops: DataFrame, dnContainers: DataFrame): DataFrame = {
+    val writeOps = Seq("WRITE_CHUNK", "PUT_BLOCK")
+    val wPrev = Window.partitionBy("container_id").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gated = ops
+      .join(broadcast(dnContainers), Seq("container_id"))
+      .withColumn("gate_ok",
+        col("cstate").isin("OPEN", "CLOSING", "RECOVERING"))
+      .withColumn("put_cand",
+        col("op") === "PUT_BLOCK" && col("gate_ok") && col("bcsid") =!= 0)
+    gated
+      .withColumn("bcs_before",
+        greatest(col("initial_bcsid"),
+          coalesce(max(when(col("put_cand"), col("bcsid"))).over(wPrev),
+            lit(0L))))
+      .withColumn("decision",
+        when(col("op").isin(writeOps: _*) && !col("gate_ok"),
+          when(col("cstate").isin("QUASI_CLOSED", "CLOSED"),
+            lit("CLOSED_CONTAINER_IO"))
+            .when(col("cstate") === "UNHEALTHY",
+              lit("CONTAINER_UNHEALTHY"))
+            .when(col("cstate") === "INVALID",
+              lit("INVALID_CONTAINER_STATE"))
+            .otherwise(lit("CONTAINER_INTERNAL_ERROR")))
+          .when(col("op") === "DELETE_BLOCK", lit("UNSUPPORTED_OP"))
+          .when(col("op") === "PUT_BLOCK" && col("bcsid") =!= 0 &&
+            col("bcsid") <= col("bcs_before"), lit("REPLAY_IGNORED"))
+          .when(col("op").isin(writeOps: _*), lit("APPLIED"))
+          .when(col("bcsid") > col("bcs_before"), lit("UNKNOWN_BCSID"))
+          .when(!col("block_exists"), lit("NO_SUCH_BLOCK"))
+          .when(col("stored_bcsid") < col("bcsid"),
+            lit("BCSID_MISMATCH"))
+          .otherwise(lit("OK")))
+      .withColumn("bcs_after",
+        when(col("put_cand"), greatest(col("bcs_before"), col("bcsid")))
+          .otherwise(col("bcs_before")))
+      .select("seq", "container_id", "op", "decision", "bcs_after")
+      .orderBy("seq")
+  }
+
+  /**
    * Mis-replication copy plan — MisReplicationHandler.processAndSendCommands
    * (server-scm/.../replication/MisReplicationHandler.java:106-160) +
    * SCMCommonPlacementPolicy.replicasToCopyToFixMisreplication (:558-599)

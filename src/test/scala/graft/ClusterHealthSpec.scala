@@ -724,4 +724,36 @@ class ClusterHealthSpec extends SparkSpecBase {
     // a well-spread container is not touched
     assert(rows.filter(_._1 == 1L).forall(_._4 == "NOT_MISREPLICATED"))
   }
+
+  test("dnDispatchLadder: state gate, running BCSID fence, read probes") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val got = graft.operators.ClusterHealth.dnDispatchLadder(
+      T.dnOps(spark, d), T.dnContainers(spark, d))
+      .as[(Long, Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    // put advances the container BCSID; its Ratis replay is fenced
+    assert(got(1L) === (("APPLIED", 11L)))
+    assert(got(2L) === (("REPLAY_IGNORED", 11L)))
+    assert(got(3L) === (("REPLAY_IGNORED", 11L)))
+    // reads: at the BCSID ok, above it unknown, missing block, stale
+    // stored block
+    assert(got(4L) === (("OK", 11L)))
+    assert(got(5L) === (("UNKNOWN_BCSID", 11L)))
+    assert(got(6L) === (("NO_SUCH_BLOCK", 11L)))
+    assert(got(7L) === (("BCSID_MISMATCH", 11L)))
+    // write gate by container state; reads stay legal on CLOSED
+    assert(got(8L)._1 === "CLOSED_CONTAINER_IO")
+    assert(got(9L) === (("OK", 50L)))
+    assert(got(10L)._1 === "CONTAINER_UNHEALTHY")
+    assert(got(11L)._1 === "INVALID_CONTAINER_STATE")
+    assert(got(12L)._1 === "APPLIED")  // CLOSING followers still apply
+    assert(got(13L) === (("APPLIED", 1L)))
+    assert(got(14L)._1 === "CLOSED_CONTAINER_IO")
+    assert(got(15L)._1 === "UNSUPPORTED_OP")
+    // a bcsId-0 put (non-Ratis) skips the replay fence
+    assert(got(16L) === (("APPLIED", 0L)))
+    assert(got(17L)._1 === "UNKNOWN_BCSID")
+  }
 }
