@@ -918,6 +918,11 @@ object SparkEntry {
     // under-replicated containers pin their txns, stale-dn quorums wait.
     "q_block_ack_fold" -> ((s, d) =>
       ClusterHealth.blockAckFold(T.objects(s, d), T.replicas(s, d))),
+    // Container lifecycle fold: the SCM state machine with idempotent
+    // replays and ignored invalid transitions.
+    "q_container_lifecycle" -> ((s, d) =>
+      ClusterHealth.containerLifecycleFold(
+        T.containerLifecycleEvents(s, d))),
     // DN container dispatch: state gate, BCSID replay fence with a
     // running per-container BCSID, read-side BCSID probes.
     "q_dn_dispatch" -> ((s, d) =>
@@ -6349,6 +6354,69 @@ object SparkEntry {
          |       WHERE t.txn_id > 20000))), 9223372036854775807)
          |ORDER BY txn_id""".stripMargin,
       O.objects, O.containersScm),
+
+    // Lifecycle-fold mirror: list_reduce prefix folds over ordered
+    // per-container event lists.
+    "q_container_lifecycle" -> O.withCtes(
+      """SELECT container_id, i AS seq, evs[i] AS event,
+        |  state_before,
+        |  CASE
+        |    WHEN evs[i] = 'FINALIZE' AND state_before = 'OPEN'
+        |      THEN 'CLOSING'
+        |    WHEN evs[i] = 'QUASI_CLOSE' AND state_before = 'CLOSING'
+        |      THEN 'QUASI_CLOSED'
+        |    WHEN evs[i] = 'CLOSE' AND state_before = 'CLOSING'
+        |      THEN 'CLOSED'
+        |    WHEN evs[i] = 'FORCE_CLOSE' AND state_before = 'QUASI_CLOSED'
+        |      THEN 'CLOSED'
+        |    WHEN evs[i] = 'DELETE'
+        |      AND state_before IN ('QUASI_CLOSED', 'CLOSED')
+        |      THEN 'DELETING'
+        |    WHEN evs[i] = 'CLEANUP' AND state_before = 'DELETING'
+        |      THEN 'DELETED'
+        |    ELSE state_before END AS state_after,
+        |  CASE
+        |    WHEN state_after <> state_before THEN 'TRANSITIONED'
+        |    WHEN (evs[i] = 'FINALIZE' AND state_before IN ('CLOSING',
+        |        'QUASI_CLOSED', 'CLOSED', 'DELETING', 'DELETED'))
+        |      OR (evs[i] = 'QUASI_CLOSE' AND state_before IN
+        |        ('QUASI_CLOSED', 'CLOSED', 'DELETING', 'DELETED'))
+        |      OR (evs[i] IN ('CLOSE', 'FORCE_CLOSE') AND state_before
+        |        IN ('CLOSED', 'DELETING', 'DELETED'))
+        |      OR (evs[i] = 'DELETE' AND state_before IN
+        |        ('DELETING', 'DELETED'))
+        |      OR (evs[i] = 'CLEANUP' AND state_before = 'DELETED')
+        |      THEN 'IDEMPOTENT_NOOP'
+        |    ELSE 'INVALID_IGNORED' END AS outcome
+        |FROM (
+        |  SELECT container_id, evs, i,
+        |    list_reduce(list_prepend('OPEN', evs[1:i-1]), (s, e) ->
+        |      CASE
+        |        WHEN e = 'FINALIZE' AND s = 'OPEN' THEN 'CLOSING'
+        |        WHEN e = 'QUASI_CLOSE' AND s = 'CLOSING'
+        |          THEN 'QUASI_CLOSED'
+        |        WHEN e = 'CLOSE' AND s = 'CLOSING' THEN 'CLOSED'
+        |        WHEN e = 'FORCE_CLOSE' AND s = 'QUASI_CLOSED'
+        |          THEN 'CLOSED'
+        |        WHEN e = 'DELETE' AND s IN ('QUASI_CLOSED', 'CLOSED')
+        |          THEN 'DELETING'
+        |        WHEN e = 'CLEANUP' AND s = 'DELETING' THEN 'DELETED'
+        |        ELSE s END) AS state_before
+        |  FROM (
+        |    SELECT container_id, list(event ORDER BY seq) AS evs
+        |    FROM cl_events GROUP BY container_id),
+        |    UNNEST(generate_series(1, len(evs))) AS u(i))
+        |ORDER BY container_id, seq""".stripMargin,
+      """cl_events(container_id, seq, event) AS (VALUES
+        |  (1, 1, 'FINALIZE'), (1, 2, 'CLOSE'), (1, 3, 'DELETE'),
+        |  (1, 4, 'CLEANUP'), (1, 5, 'CLEANUP'),
+        |  (2, 1, 'FINALIZE'), (2, 2, 'QUASI_CLOSE'), (2, 3, 'CLOSE'),
+        |  (2, 4, 'FORCE_CLOSE'), (2, 5, 'DELETE'), (2, 6, 'CLEANUP'),
+        |  (3, 1, 'CLOSE'), (3, 2, 'FINALIZE'), (3, 3, 'FINALIZE'),
+        |  (3, 4, 'QUASI_CLOSE'), (3, 5, 'DELETE'), (3, 6, 'CLEANUP'),
+        |  (4, 1, 'DELETE'), (4, 2, 'CLEANUP'), (4, 3, 'FINALIZE'),
+        |  (5, 1, 'FINALIZE'), (5, 2, 'CLOSE'), (5, 3, 'QUASI_CLOSE'),
+        |  (5, 4, 'FORCE_CLOSE'))""".stripMargin),
 
     // DN-dispatch mirror: the cumulative put-max window in SQL.
     "q_dn_dispatch" -> O.withCtes(

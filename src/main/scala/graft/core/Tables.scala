@@ -1312,6 +1312,26 @@ object Tables {
       .toDF("global_idx", "name", "volume", "bucket")
   }
 
+  /** lifecycle_events: SCM container lifecycle streams — the CLOSE
+    * happy path, the quasi-close path with the CLOSE-at-QUASI_CLOSED
+    * invalid nuance, replayed idempotent events, and invalid events
+    * ignored mid-stream (the stream continues from the unchanged
+    * state). Seqs are dense per container. */
+  def containerLifecycleEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, "FINALIZE"), (1L, 2L, "CLOSE"), (1L, 3L, "DELETE"),
+      (1L, 4L, "CLEANUP"), (1L, 5L, "CLEANUP"),
+      (2L, 1L, "FINALIZE"), (2L, 2L, "QUASI_CLOSE"), (2L, 3L, "CLOSE"),
+      (2L, 4L, "FORCE_CLOSE"), (2L, 5L, "DELETE"), (2L, 6L, "CLEANUP"),
+      (3L, 1L, "CLOSE"), (3L, 2L, "FINALIZE"), (3L, 3L, "FINALIZE"),
+      (3L, 4L, "QUASI_CLOSE"), (3L, 5L, "DELETE"), (3L, 6L, "CLEANUP"),
+      (4L, 1L, "DELETE"), (4L, 2L, "CLEANUP"), (4L, 3L, "FINALIZE"),
+      (5L, 1L, "FINALIZE"), (5L, 2L, "CLOSE"), (5L, 3L, "QUASI_CLOSE"),
+      (5L, 4L, "FORCE_CLOSE"))
+      .toDF("container_id", "seq", "event")
+  }
+
   /** dn_containers: one datanode-local container per lifecycle state,
     * with the on-disk BCSID the dispatch ladder fences against. */
   def dnContainers(spark: SparkSession, dir: String): DataFrame = {

@@ -321,6 +321,68 @@ object ClusterHealth {
   }
 
   /**
+   * Container lifecycle state-machine fold — ContainerStateManagerImpl
+   * (server-scm/.../container/ContainerStateManagerImpl.java:174-217):
+   * the SCM lifecycle DAG OPEN →FINALIZE→ CLOSING →{QUASI_CLOSE→
+   * QUASI_CLOSED | CLOSE→ CLOSED}, QUASI_CLOSED →FORCE_CLOSE→ CLOSED,
+   * {QUASI_CLOSED, CLOSED} →DELETE→ DELETING →CLEANUP→ DELETED, plus the
+   * explicit idempotent self-loops (:193-206 — a replayed FINALIZE at any
+   * later state is a no-op, etc.). Any other (state, event) pair throws
+   * InvalidStateTransitionException, which updateContainerState logs and
+   * IGNORES (:428-431) — the stream continues from the unchanged state.
+   * The nuance worth probing: CLOSE is NOT legal at QUASI_CLOSED (only
+   * FORCE_CLOSE closes a quasi-closed container), yet CLOSE IS an
+   * idempotent no-op at CLOSED.
+   *
+   * Scale shape: per-container event lists are protocol-short; one
+   * groupBy collects them and a codegen'd higher-order `aggregate`
+   * prefix-fold derives each event's pre-state — no window recursion, no
+   * driver loop.
+   */
+  def containerLifecycleFold(events: DataFrame): DataFrame = {
+    val step = (s: String, e: String) =>
+      s"""CASE
+         |  WHEN $e = 'FINALIZE' AND $s = 'OPEN' THEN 'CLOSING'
+         |  WHEN $e = 'QUASI_CLOSE' AND $s = 'CLOSING'
+         |    THEN 'QUASI_CLOSED'
+         |  WHEN $e = 'CLOSE' AND $s = 'CLOSING' THEN 'CLOSED'
+         |  WHEN $e = 'FORCE_CLOSE' AND $s = 'QUASI_CLOSED' THEN 'CLOSED'
+         |  WHEN $e = 'DELETE' AND $s IN ('QUASI_CLOSED', 'CLOSED')
+         |    THEN 'DELETING'
+         |  WHEN $e = 'CLEANUP' AND $s = 'DELETING' THEN 'DELETED'
+         |  ELSE $s END""".stripMargin
+    val idempotent =
+      (col("event") === "FINALIZE" && col("state_before").isin(
+        "CLOSING", "QUASI_CLOSED", "CLOSED", "DELETING", "DELETED")) ||
+      (col("event") === "QUASI_CLOSE" && col("state_before").isin(
+        "QUASI_CLOSED", "CLOSED", "DELETING", "DELETED")) ||
+      (col("event").isin("CLOSE", "FORCE_CLOSE") &&
+        col("state_before").isin("CLOSED", "DELETING", "DELETED")) ||
+      (col("event") === "DELETE" && col("state_before").isin(
+        "DELETING", "DELETED")) ||
+      (col("event") === "CLEANUP" && col("state_before") === "DELETED")
+    events.groupBy("container_id")
+      .agg(expr("sort_array(collect_list(struct(seq, event)))").as("evs"))
+      .select(col("container_id"), col("evs"),
+        posexplode(col("evs")).as(Seq("pos", "ev")))
+      .withColumn("seq", col("ev.seq"))
+      .withColumn("event", col("ev.event"))
+      .withColumn("state_before", expr(
+        "aggregate(transform(slice(evs, 1, pos), x -> x.event), " +
+          s"'OPEN', (s, e) -> ${step("s", "e")})"))
+      .withColumn("state_after",
+        expr(step("state_before", "event")))
+      .withColumn("outcome",
+        when(col("state_after") =!= col("state_before"),
+          lit("TRANSITIONED"))
+          .when(idempotent, lit("IDEMPOTENT_NOOP"))
+          .otherwise(lit("INVALID_IGNORED")))
+      .select("container_id", "seq", "event", "state_before",
+        "state_after", "outcome")
+      .orderBy("container_id", "seq")
+  }
+
+  /**
    * Datanode container dispatch ladder — KeyValueHandler
    * (container-service/.../keyvalue/KeyValueHandler.java) over an op
    * stream with a RUNNING per-container BCSID:

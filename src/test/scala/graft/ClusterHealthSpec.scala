@@ -756,4 +756,31 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got(16L) === (("APPLIED", 0L)))
     assert(got(17L)._1 === "UNKNOWN_BCSID")
   }
+
+  test("containerLifecycleFold: DAG walk, idempotent replays, invalids") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.ClusterHealth.containerLifecycleFold(
+      graft.core.Tables.containerLifecycleEvents(spark, d))
+      .as[(Long, Long, String, String, String, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5, r._6))).toMap
+    // happy path; a replayed CLEANUP is idempotent
+    assert(got((1L, 4L)) === (("DELETING", "DELETED", "TRANSITIONED")))
+    assert(got((1L, 5L)) === (("DELETED", "DELETED", "IDEMPOTENT_NOOP")))
+    // CLOSE at QUASI_CLOSED is INVALID — only FORCE_CLOSE closes it
+    assert(got((2L, 3L)) ===
+      (("QUASI_CLOSED", "QUASI_CLOSED", "INVALID_IGNORED")))
+    assert(got((2L, 4L)) === (("QUASI_CLOSED", "CLOSED", "TRANSITIONED")))
+    // invalid events don't derail the stream; replays are no-ops
+    assert(got((3L, 1L)) === (("OPEN", "OPEN", "INVALID_IGNORED")))
+    assert(got((3L, 3L)) === (("CLOSING", "CLOSING", "IDEMPOTENT_NOOP")))
+    assert(got((3L, 6L)) === (("DELETING", "DELETED", "TRANSITIONED")))
+    // DELETE/CLEANUP can't jump the DAG from OPEN
+    assert(got((4L, 1L))._3 === "INVALID_IGNORED")
+    assert(got((4L, 2L))._3 === "INVALID_IGNORED")
+    assert(got((4L, 3L)) === (("OPEN", "CLOSING", "TRANSITIONED")))
+    // QUASI_CLOSE and FORCE_CLOSE are no-ops once CLOSED
+    assert(got((5L, 3L)) === (("CLOSED", "CLOSED", "IDEMPOTENT_NOOP")))
+    assert(got((5L, 4L)) === (("CLOSED", "CLOSED", "IDEMPOTENT_NOOP")))
+  }
 }
