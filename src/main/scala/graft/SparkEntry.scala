@@ -918,6 +918,11 @@ object SparkEntry {
     // under-replicated containers pin their txns, stale-dn quorums wait.
     "q_block_ack_fold" -> ((s, d) =>
       ClusterHealth.blockAckFold(T.objects(s, d), T.replicas(s, d))),
+    // Pipeline scrubber: stuck-ALLOCATED close+delete, expired-CLOSED
+    // delete, OPEN-with-unregistered-nodes close (the EC case).
+    "q_pipeline_scrub" -> ((s, d) =>
+      ClusterHealth.pipelineScrub(T.pipelines(s, d),
+        T.pipelineMembers(s, d), T.datanodes(s, d))),
     // Container lifecycle fold: the SCM state machine with idempotent
     // replays and ignored invalid transitions.
     "q_container_lifecycle" -> ((s, d) =>
@@ -6354,6 +6359,33 @@ object SparkEntry {
          |       WHERE t.txn_id > 20000))), 9223372036854775807)
          |ORDER BY txn_id""".stripMargin,
       O.objects, O.containersScm),
+
+    // Pipeline-scrub mirror: the same mints + a dead-member any().
+    "q_pipeline_scrub" -> O.withCtes(
+      """SELECT p.pipeline_id,
+        |  CASE WHEN p.pipeline_idx % 5 = 3 THEN 'ALLOCATED'
+        |    ELSE p.state END AS scrub_state,
+        |  p.replication,
+        |  CASE
+        |    WHEN p.pipeline_idx % 5 = 3
+        |      AND p.pipeline_idx * 3600000 >= 18000000
+        |      THEN 'CLOSE_AND_DELETE'
+        |    WHEN p.pipeline_idx % 5 <> 3 AND p.state = 'CLOSED'
+        |      AND p.pipeline_idx * 3600000 - 600000 >= 14400000
+        |      THEN 'DELETE'
+        |    WHEN p.pipeline_idx % 5 <> 3 AND p.state = 'OPEN'
+        |      AND coalesce(u.has_unregistered, 0) = 1 THEN 'CLOSE'
+        |    ELSE 'RETAIN' END AS verdict
+        |FROM pipelines p
+        |LEFT JOIN (
+        |  SELECT m.pipeline_id,
+        |    max(CASE WHEN d.state = 'DEAD' THEN 1 ELSE 0 END)
+        |      AS has_unregistered
+        |  FROM pipeline_members m
+        |  JOIN datanodes d ON d.uuid = m.datanode
+        |  GROUP BY m.pipeline_id) u ON u.pipeline_id = p.pipeline_id
+        |ORDER BY p.pipeline_id""".stripMargin,
+      O.datanodes, O.pipelines, O.pipelineMembers),
 
     // Lifecycle-fold mirror: list_reduce prefix folds over ordered
     // per-container event lists.

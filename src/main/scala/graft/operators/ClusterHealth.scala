@@ -321,6 +321,57 @@ object ClusterHealth {
   }
 
   /**
+   * Pipeline scrubber — PipelineManagerImpl.scrubPipelines
+   * (server-scm/.../pipeline/PipelineManagerImpl.java:623-671):
+   *   1. pipelines stuck ALLOCATED past the allocation timeout never got
+   *      their Ratis ring up ⇒ CLOSE_AND_DELETE;
+   *   2. CLOSED pipelines past the destroy timeout are garbage ⇒ DELETE;
+   *   3. OPEN pipelines holding UNREGISTERED nodes ⇒ CLOSE
+   *      (isOpenWithUnregisteredNodes:678-689 — a stopped datanode plus
+   *      an SCM restart; Ratis rings self-close when surviving members
+   *      re-register, EC rings never would, so the scrubber must) —
+   *      modeled as a DEAD member node (gone from the node manager);
+   *   4. else RETAIN.
+   * Scrub-view mints (mirrored in the oracle): pipeline_idx % 5 == 3 is
+   * the ALLOCATED band; creation = NOW − idx·1h, state-enter =
+   * creation + 10 min.
+   *
+   * Scale shape: the pipeline map and node dim are control-plane —
+   * one broadcast member probe + a per-pipeline any() aggregate.
+   */
+  def pipelineScrub(pipelines: DataFrame, pipelineMembers: DataFrame,
+                    datanodes: DataFrame, nowMs: Long = 1700000000000L,
+                    allocTimeoutMs: Long = 18000000L,
+                    deleteTimeoutMs: Long = 14400000L): DataFrame = {
+    val unreg = pipelineMembers
+      .join(broadcast(datanodes.select(col("uuid").as("datanode"),
+        col("state").as("node_state"))), Seq("datanode"))
+      .groupBy("pipeline_id")
+      .agg(max(when(col("node_state") === "DEAD", 1L).otherwise(0L))
+        .as("has_unregistered"))
+    pipelines
+      .withColumn("scrub_state",
+        when(col("pipeline_idx") % 5 === 3, lit("ALLOCATED"))
+          .otherwise(col("state")))
+      .withColumn("creation_ms", lit(nowMs) - col("pipeline_idx") * 3600000L)
+      .withColumn("state_enter_ms", col("creation_ms") + 600000L)
+      .join(broadcast(unreg), Seq("pipeline_id"), "left")
+      .withColumn("verdict",
+        when(col("scrub_state") === "ALLOCATED" &&
+          lit(nowMs) - col("creation_ms") >= allocTimeoutMs,
+          lit("CLOSE_AND_DELETE"))
+          .when(col("scrub_state") === "CLOSED" &&
+            lit(nowMs) - col("state_enter_ms") >= deleteTimeoutMs,
+            lit("DELETE"))
+          .when(col("scrub_state") === "OPEN" &&
+            coalesce(col("has_unregistered"), lit(0L)) === 1L,
+            lit("CLOSE"))
+          .otherwise(lit("RETAIN")))
+      .select("pipeline_id", "scrub_state", "replication", "verdict")
+      .orderBy("pipeline_id")
+  }
+
+  /**
    * Container lifecycle state-machine fold — ContainerStateManagerImpl
    * (server-scm/.../container/ContainerStateManagerImpl.java:174-217):
    * the SCM lifecycle DAG OPEN →FINALIZE→ CLOSING →{QUASI_CLOSE→

@@ -783,4 +783,27 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got((5L, 3L)) === (("CLOSED", "CLOSED", "IDEMPOTENT_NOOP")))
     assert(got((5L, 4L)) === (("CLOSED", "CLOSED", "IDEMPOTENT_NOOP")))
   }
+
+  test("pipelineScrub: allocated/closed timeouts, unregistered closes") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val v = graft.operators.ClusterHealth.pipelineScrub(
+      T.pipelines(spark, d), T.pipelineMembers(spark, d),
+      T.datanodes(spark, d))
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    // young ALLOCATED retained, stale ALLOCATED scrubbed
+    assert(v("pipeline-3") === (("ALLOCATED", "RETAIN")))
+    assert(v("pipeline-8") === (("ALLOCATED", "CLOSE_AND_DELETE")))
+    // young CLOSED retained, expired CLOSED deleted
+    assert(v("pipeline-2") === (("CLOSED", "RETAIN")))
+    assert(v("pipeline-7") === (("CLOSED", "DELETE")))
+    // OPEN Ratis ring with dead (unregistered) members closes — and so
+    // does the EC ring the datanodes would never self-close
+    assert(v("pipeline-6") === (("OPEN", "CLOSE")))
+    assert(v("pipeline-5") === (("OPEN", "CLOSE")))
+    assert(v("pipeline-0") === (("OPEN", "RETAIN")))
+    assert(v("pipeline-11") === (("OPEN", "RETAIN")))
+  }
 }
