@@ -328,6 +328,10 @@ object SparkEntry {
           verifiedPairsCached(s, d)),
         TextAnalysis.qualityScore(T.documents(s, d)))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
+    // Matryoshka retrieval: rank on the 16-dim prefix (1/4 the FLOPs),
+    // report the full-dim cosine of every truncated-rank finalist.
+    "q_ann_matryoshka" -> ((s, d) =>
+      Similarity.annMatryoshka(T.embeddings(s, d))),
     // SQ8 serving prep: per-vector affine code params + error bound
     "q_embed_quantize" -> ((s, d) =>
       Similarity.quantizeStats(T.embeddings(s, d))),
@@ -1894,6 +1898,27 @@ object SparkEntry {
          |    FROM emb_n c JOIN emb_n s
          |      ON s.vec_id < 20 AND c.vec_id <> s.vec_id))
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin, O.embQuant),
+
+    // Matryoshka mirror: prefix-slice dots + full-dim re-score.
+    "q_ann_matryoshka" -> O.withCtes(
+      s"""SELECT query_id, neighbor_id, rank, cos_trunc_x1e6,
+         |  ${O.cosSql("list_sum([cv[i] * sv[i] for i in generate_series(1, 64)])", "nrm_a", "nrm_b")} AS cos_full_x1e6
+         |FROM (
+         |  SELECT query_id, neighbor_id, cos_trunc_x1e6, cv, sv,
+         |    nrm_a, nrm_b,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_trunc_x1e6 DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ${O.cosSql("list_sum([c.qv[i] * s.qv[i] for i in generate_series(1, 16)])",
+      "list_sum([c.qv[i] * c.qv[i] for i in generate_series(1, 16)])",
+      "list_sum([s.qv[i] * s.qv[i] for i in generate_series(1, 16)])")}
+         |        AS cos_trunc_x1e6,
+         |      c.qv AS cv, s.qv AS sv, c.nrm AS nrm_a, s.nrm AS nrm_b
+         |    FROM emb_n c JOIN emb_n s
+         |      ON s.vec_id < 20 AND c.vec_id <> s.vec_id))
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      O.embQuant),
 
     "q_ann_pq" -> O.withCtes(
       s"""SELECT query_id, neighbor_id, rank, cos_x1e6 FROM (

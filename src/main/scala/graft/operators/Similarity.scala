@@ -122,6 +122,50 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /**
+   * Matryoshka-truncated retrieval — the MRL serving pattern (Kusupati et
+   * al., "Matryoshka Representation Learning", NeurIPS 2022): rank with
+   * only the FIRST `mdim` dimensions of the embedding (a prefix of an
+   * MRL-trained vector is itself a valid lower-capacity embedding),
+   * paying 1/4 of the dot-product FLOPs and index bytes, then report the
+   * full-dimension cosine of each truncated-rank neighbor so the quality
+   * gap is visible in the result (the recall spec gates it). Same
+   * deterministic integer pipeline as [[annTopK]]; the truncated vector
+   * renormalizes over its own prefix norm.
+   *
+   * Scale shape: identical to the brute-force baseline — the bounded
+   * query batch broadcasts into one corpus scan; at index scale the
+   * truncated prefix is what an IVF/HNSW would store, and the full
+   * vector is only touched for the k re-scored finalists.
+   */
+  def annMatryoshka(embeddings: DataFrame, numQueries: Int = 20,
+                    k: Int = 5, mdim: Int = 16): DataFrame = {
+    val base = quantized(embeddings)
+      .withColumn("tv", expr(s"slice(qv, 1, $mdim)"))
+      .withColumn("tnrm", expr("graft_dot_long(tv, tv)"))
+    val corpus = base.select(col("vec_id").as("neighbor_id"),
+      col("qv").as("cv"), col("tv").as("ctv"),
+      col("nrm").as("nrm_a"), col("tnrm").as("tnrm_a"))
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("sv"),
+        col("tv").as("stv"), col("nrm").as("nrm_b"),
+        col("tnrm").as("tnrm_b"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_trunc_x1e6").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .withColumn("tdot", expr("graft_dot_long(ctv, stv)"))
+      .withColumn("cos_trunc_x1e6", expr(
+        "CAST(floor(CAST(tdot AS DOUBLE) / sqrt(CAST(tnrm_a AS DOUBLE) " +
+          "* CAST(tnrm_b AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("dot", expr("graft_dot_long(cv, sv)"))
+      .withColumn("cos_full_x1e6", expr(cosExpr))
+      .select("query_id", "neighbor_id", "rank", "cos_trunc_x1e6",
+        "cos_full_x1e6")
+      .orderBy("query_id", "rank")
+  }
+
   val NumPlanes = 16
   val BandBits = 8 // 2 OR-ed hash tables of 8 sign bits ⇒ 256 buckets/band
 

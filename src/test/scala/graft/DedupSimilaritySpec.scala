@@ -272,4 +272,45 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (4L, 4L, "KEEP"), (5L, 4L, "DROP"),
       (9L, 9L, "KEEP")))
   }
+
+  test("annMatryoshka: exact on MRL-structured vectors, honest gap else") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    // structural invariants on the corpus run: dense ranks, both scores
+    val rows = graft.operators.Similarity.annMatryoshka(
+      graft.core.Tables.embeddings(spark, d))
+      .as[(Long, Long, Int, Long, Long)].collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    }
+    assert(rows.forall(r => math.abs(r._4) <= 1000000L &&
+      math.abs(r._5) <= 1000000L))
+    // the approximation never beats exact retrieval on the full metric:
+    // the best full-dim cosine among matryoshka finalists is ≤ the true
+    // rank-1 cosine, per query
+    val trueTop = graft.operators.Similarity.annTopK(
+      graft.core.Tables.embeddings(spark, d))
+      .as[(Long, Long, Int, Long)].collect()
+      .filter(_._3 == 1).map(r => r._1 -> r._4).toMap
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._5).max <= trueTop(q))
+    }
+    // micro MRL fixture: all signal in the first 16 dims, zero tail —
+    // the truncated ranking must equal the full ranking exactly
+    val vecs = (0L until 6L).map { i =>
+      val head = Array.tabulate(16)(j =>
+        math.sin(i * 17 + j * 3).toFloat)
+      (i, (head ++ Array.fill(48)(0.0f)).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val mrl = graft.operators.Similarity.annMatryoshka(
+      vecs, numQueries = 6, k = 3)
+      .as[(Long, Long, Int, Long, Long)].collect()
+    val fullMicro = graft.operators.Similarity.annTopK(
+      vecs, numQueries = 6, k = 3)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(mrl.map(r => (r._1, r._2, r._3)).toSet ===
+      fullMicro.map(r => (r._1, r._2, r._3)).toSet)
+    // and the two scores agree when the tail carries nothing
+    assert(mrl.forall(r => r._4 == r._5))
+  }
 }
