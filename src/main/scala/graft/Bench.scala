@@ -226,7 +226,16 @@ object Bench {
         // data-plane tree build: chunk leaves scale 10× with the namespace
         "q_merkle_reconcile" -> (() =>
           graft.operators.ClusterHealth.merkleReconcile(
-            T.nestedFrom(sorted10), T.replicas(spark, sfDir)).count()))
+            T.nestedFrom(sorted10), T.replicas(spark, sfDir)).count()),
+        // deletion-plane folds: the txn population (the commit log's
+        // DELETE branch) scales 10× with the namespace; the replica /
+        // container dims stay broadcast
+        "q_block_ack_fold" -> (() =>
+          graft.operators.ClusterHealth.blockAckFold(sorted10,
+            T.replicas(spark, sfDir)).count()),
+        "q_blocks_pending_page" -> (() =>
+          graft.operators.ClusterHealth.blocksPendingDeletionPage(sorted10,
+            T.containersScm(spark, sfDir), 20000L, 40).count()))
       // three reps, report the best: the fresh probe JVM starts with a
       // cold JIT, and the per-row fold kernels (ns-summary, winner fold)
       // run 5-10× slower uncompiled — the warm rep is the plan's real

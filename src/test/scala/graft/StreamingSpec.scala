@@ -259,4 +259,50 @@ class StreamingSpec extends SparkSpecBase {
     graft.streaming.ChangeStream.deleteRecursively(
       java.nio.file.Paths.get(work))
   }
+
+  test("ack stream: incremental txn status equals the batch ACK fold") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_acks_")
+      .toString
+    val d = "/root/testdata/sf0.001"
+    val T = Tables
+    // the batch fold's truth
+    val want = graft.operators.ClusterHealth.blockAckFold(
+      T.objects(spark, d), T.replicas(spark, d))
+      .select("txn_id", "status")
+    // re-derive the SAME ack events the fold synthesizes, as a stream:
+    // per (txn, replica dn) an ack unless txn%3==1 drops the max-name
+    // dn; it fails when txn%3==2 hits the min-name dn; txn%7==0 adds a
+    // foreign dn99 ack
+    val reps = T.replicas(spark, d).select("container_id", "datanode")
+    val bounds = reps.groupBy("container_id")
+      .agg(org.apache.spark.sql.functions.max("datanode").as("max_dn"),
+        org.apache.spark.sql.functions.min("datanode").as("min_dn"))
+    val txns = graft.operators.CommitLog.synthesizeLog(T.objects(spark, d))
+      .filter(col("op") === "DELETE")
+      .select(col("object_id").as("txn_id")).distinct()
+      .withColumn("container_id", expr("(txn_id DIV 10) % 1000"))
+    val replicaAcks = txns.join(reps, Seq("container_id"))
+      .join(bounds, Seq("container_id"))
+      .filter(!(col("txn_id") % 3 === 1 && col("datanode") === col("max_dn")))
+      .withColumn("success",
+        !(col("txn_id") % 3 === 2 && col("datanode") === col("min_dn")))
+      .select("txn_id", "datanode", "success")
+    val foreignAcks = txns.filter(col("txn_id") % 7 === 0)
+      .select(col("txn_id"), lit("dn99").as("datanode"),
+        lit(true).as("success"))
+    replicaAcks.unionByName(foreignAcks)
+      .repartitionByRange(4, col("txn_id"))
+      .write.parquet(s"$work/src")
+    val replicaMap = reps.as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    graft.streaming.AckStream.ackStatusStream(spark, s"$work/src",
+      s"$work/out", s"$work/ckpt", replicaMap)
+    val got = graft.streaming.AckStream.ackStatusView(spark, s"$work/out")
+      .select("txn_id", "status")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    graft.streaming.ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(work))
+  }
 }
