@@ -332,6 +332,10 @@ object SparkEntry {
     // report the full-dim cosine of every truncated-rank finalist.
     "q_ann_matryoshka" -> ((s, d) =>
       Similarity.annMatryoshka(T.embeddings(s, d))),
+    // Hard-negative mining: top-k different-label neighbors per query
+    // with the margin to the best same-label positive.
+    "q_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(T.embeddings(s, d))),
     // SQ8 serving prep: per-vector affine code params + error bound
     "q_embed_quantize" -> ((s, d) =>
       Similarity.quantizeStats(T.embeddings(s, d))),
@@ -1898,6 +1902,30 @@ object SparkEntry {
          |    FROM emb_n c JOIN emb_n s
          |      ON s.vec_id < 20 AND c.vec_id <> s.vec_id))
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin, O.embQuant),
+
+    // Hard-negative mirror: different-label rank + positive margin.
+    "q_hard_negatives" -> O.withCtes(
+      s"""SELECT query_id, neighbor_id, rank, cos_x1e6,
+         |  coalesce(best_pos_cos, 0) - cos_x1e6 AS margin_x1e6
+         |FROM (
+         |  SELECT *,
+         |    max(CASE WHEN n_label = q_label THEN cos_x1e6 END)
+         |      OVER (PARTITION BY query_id) AS best_pos_cos,
+         |    sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY query_id
+         |        ORDER BY cos_x1e6 DESC, neighbor_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS rank,
+         |    n_label <> q_label AS is_neg
+         |  FROM (
+         |    SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      c.label AS n_label, s.label AS q_label,
+         |      ${O.cosSql("list_sum([c.qv[i] * s.qv[i] for i in generate_series(1, 64)])", "c.nrm", "s.nrm")} AS cos_x1e6
+         |    FROM emb_n c JOIN emb_n s
+         |      ON s.vec_id < 20 AND c.vec_id <> s.vec_id))
+         |WHERE is_neg AND rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+      O.embQuant),
 
     // Matryoshka mirror: prefix-slice dots + full-dim re-score.
     "q_ann_matryoshka" -> O.withCtes(

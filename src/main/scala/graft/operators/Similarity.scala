@@ -166,6 +166,51 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /**
+   * Hard-negative mining — the contrastive-training data op (the
+   * in-batch-negatives regime of DPR/SimCSE-style training needs mined
+   * HARD negatives: the most similar corpus items with a DIFFERENT
+   * label): per query vector, the top-k highest-cosine neighbors whose
+   * label differs, plus the margin to the best SAME-label positive — a
+   * pair below-margin is the informative triplet a trainer keeps.
+   * Deterministic integer cosine as everywhere in this module.
+   *
+   * Scale shape: the bounded query batch broadcasts into one corpus
+   * scan (at index scale the candidate set comes from the ANN index and
+   * the label filter rides the posting lists); one window per query.
+   */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 20,
+                    k: Int = 3): DataFrame = {
+    val base = quantized(embeddings)
+    val corpus = base.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"), col("qv").as("cv"),
+      col("nrm").as("nrm_a"))
+    val queries = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("sv"), col("nrm").as("nrm_b"))
+    val scored = corpus
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", expr("graft_dot_long(cv, sv)"))
+      .withColumn("cos_x1e6", expr(cosExpr))
+    val wAll = Window.partitionBy("query_id")
+    val wNeg = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("best_pos_cos",
+        max(when(col("n_label") === col("q_label"), col("cos_x1e6")))
+          .over(wAll))
+      .withColumn("neg_rank",
+        sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L))
+          .over(wNeg))
+      .filter(col("n_label") =!= col("q_label") && col("neg_rank") <= k)
+      .withColumn("margin_x1e6",
+        coalesce(col("best_pos_cos"), lit(0L)) - col("cos_x1e6"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("neg_rank").as("rank"), col("cos_x1e6"), col("margin_x1e6"))
+      .orderBy("query_id", "rank")
+  }
+
   val NumPlanes = 16
   val BandBits = 8 // 2 OR-ed hash tables of 8 sign bits ⇒ 256 buckets/band
 

@@ -313,4 +313,28 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // and the two scores agree when the tail carries nothing
     assert(mrl.forall(r => r._4 == r._5))
   }
+
+  test("hardNegatives: different-label only, margin vs best positive") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val labels = T.embeddings(spark, d).select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val rows = graft.operators.Similarity.hardNegatives(
+      T.embeddings(spark, d))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // every mined negative carries a label different from its query's
+    rows.foreach { case (q, n, _, _, _) =>
+      assert(labels(n) != labels(q))
+    }
+    // dense ranks 1..3 per query
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+    // the rank-1 negative is the HARDEST: margins grow with rank
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._3).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
