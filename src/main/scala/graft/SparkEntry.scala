@@ -156,6 +156,10 @@ object SparkEntry {
     "q_list_buckets" -> ((s, d) =>
       Listing.listBuckets(T.buckets(s, d), "vol1", "bucket2", 5)),
     "q_list_volumes" -> ((s, d) => Listing.listVolumes(T.volumes(s, d))),
+    // ListDirectoryBuckets: FSO-only page, skipped OBS buckets never
+    // count, strictly-after token resume, extra-row truncation probe.
+    "q_list_dir_buckets" -> ((s, d) =>
+      Listing.listDirectoryBuckets(T.buckets(s, d), "vol0/bucket3", 5)),
     // ---- link buckets (OmBucketInfo.isLink chase) + MPU listing ----
     "q_link_resolve" -> ((s, d) =>
       Links.resolveBucketLinks(T.bucketLinks(s, d), T.buckets(s, d))),
@@ -1091,6 +1095,33 @@ object SparkEntry {
       """SELECT * FROM buckets
         |WHERE volume = 'vol1' AND bucket > 'bucket2'
         |ORDER BY bucket LIMIT 6""".stripMargin, O.objects, O.buckets),
+
+    // Directory-buckets mirror: FSO filter + the extra-row probe.
+    "q_list_dir_buckets" -> O.withCtes(
+      """SELECT volume, bucket, pos,
+        |  mx > 5 AS is_truncated,
+        |  CASE WHEN mx > 5 THEN le ELSE '' END AS next_token
+        |FROM (
+        |  SELECT p.*, s.mx, s.le FROM (
+        |    SELECT volume, bucket,
+        |      row_number() OVER (ORDER BY volume, bucket) AS pos
+        |    FROM buckets
+        |    WHERE layout = 'FSO'
+        |      AND volume || '/' || bucket > 'vol0/bucket3') p
+        |  CROSS JOIN (
+        |    SELECT max(pos) AS mx,
+        |      max(CASE WHEN pos <= 5 THEN volume || '/' || bucket END)
+        |        AS le
+        |    FROM (
+        |      SELECT volume, bucket,
+        |        row_number() OVER (ORDER BY volume, bucket) AS pos
+        |      FROM buckets
+        |      WHERE layout = 'FSO'
+        |        AND volume || '/' || bucket > 'vol0/bucket3') q
+        |    WHERE pos <= 6) s
+        |  WHERE p.pos <= 5)
+        |ORDER BY pos""".stripMargin,
+      O.objects, O.buckets),
 
     "q_list_volumes" -> O.withCtes(
       "SELECT * FROM volumes ORDER BY volume",

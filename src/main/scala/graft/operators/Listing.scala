@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -249,4 +250,39 @@ object Listing {
   /** listVolumes ordered with aggregates. */
   def listVolumes(volumes: DataFrame): DataFrame =
     volumes.orderBy("volume")
+
+  /**
+   * ListDirectoryBuckets — the S3 Express surface
+   * (s3gateway/.../endpoint/RootEndpoint.java:85-135): list only
+   * FSO-layout ("directory") buckets, name-ordered across the S3 view,
+   * resuming STRICTLY AFTER the continuation token's last bucket;
+   * non-FSO buckets are skipped WITHOUT counting toward
+   * maxDirectoryBuckets (the `continue` before `count++`), and the page
+   * truncates when the cap fills with more FSO buckets behind it —
+   * next_token = the last EMITTED bucket. One extra-row probe answers
+   * is_truncated without a second scan, like [[listKeys]].
+   *
+   * Scale shape: the bucket catalog is control-plane-sized; the filter +
+   * order + limit ride one broadcastable scan.
+   */
+  def listDirectoryBuckets(buckets: DataFrame, afterToken: String,
+                           maxBuckets: Int): DataFrame = {
+    val page = buckets
+      .filter(col("layout") === "FSO" &&
+        concat_ws("/", col("volume"), col("bucket")) > afterToken)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("volume"), col("bucket"))))
+      .filter(col("pos") <= maxBuckets + 1)
+    val probe = page.agg(
+      max(col("pos")).as("max_pos"),
+      max(when(col("pos") <= maxBuckets,
+        concat_ws("/", col("volume"), col("bucket")))).as("last_emitted"))
+    page.crossJoin(broadcast(probe))
+      .filter(col("pos") <= maxBuckets)
+      .withColumn("is_truncated", col("max_pos") > maxBuckets)
+      .withColumn("next_token",
+        when(col("is_truncated"), col("last_emitted")).otherwise(lit("")))
+      .select("volume", "bucket", "pos", "is_truncated", "next_token")
+      .orderBy("pos")
+  }
 }

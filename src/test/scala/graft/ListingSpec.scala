@@ -406,4 +406,34 @@ class ListingSpec extends SparkSpecBase {
     }
     assert(walked === all.map(_._1))
   }
+
+  test("listDirectoryBuckets: FSO-only pages stitch to the full FSO set") {
+    import spark.implicits._
+    val buckets = graft.core.Tables.buckets(spark,
+      "/root/testdata/sf0.001")
+    val allFso = buckets.filter(col("layout") === "FSO")
+      .select(concat_ws("/", col("volume"), col("bucket")).as("n"))
+      .orderBy("n").as[String].collect().toSeq
+    var token = ""
+    var walked = Vector.empty[String]
+    var done = false
+    while (!done) {
+      val page = Listing.listDirectoryBuckets(buckets, token, 5)
+        .select(concat_ws("/", col("volume"), col("bucket")),
+          col("is_truncated"), col("next_token"))
+        .as[(String, Boolean, String)].collect()
+      if (page.isEmpty) done = true
+      else {
+        walked ++= page.map(_._1)
+        // the token is the last EMITTED bucket, only when truncated
+        if (page.head._2) {
+          assert(page.head._3 === page.last._1)
+          token = page.head._3
+        } else done = true
+      }
+    }
+    assert(walked === allFso)
+    // OBS buckets never surface
+    assert(walked.forall(n => allFso.contains(n)))
+  }
 }
