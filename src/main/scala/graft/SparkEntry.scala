@@ -502,6 +502,9 @@ object SparkEntry {
     "q_s3_volume_context" -> ((s, d) =>
       Tenants.s3VolumeContext(T.s3ContextRequests(s, d),
         T.tenantAccessCatalog(s, d), T.tenantStateExt(s, d))),
+    // TenantListUser: one tenant's accessId roster.
+    "q_tenant_list_users" -> ((s, d) =>
+      graft.Api.tenantListUsers(s, d, "tenant1")),
     "q_tenant_assign" -> ((s, d) =>
       Tenants.assignAccessIdDecisions(T.assignRequests(s, d),
         T.tenantState(s, d), T.tenantAccessIds(s, d))),
@@ -1969,10 +1972,14 @@ object SparkEntry {
          |      ORDER BY cos_trunc_x1e6 DESC, neighbor_id) AS rank
          |  FROM (
          |    SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      ${O.cosSql("list_sum([c.qv[i] * s.qv[i] for i in generate_series(1, 16)])",
+         |      CASE WHEN list_sum([c.qv[i] * c.qv[i]
+         |          for i in generate_series(1, 16)]) = 0
+         |        OR list_sum([s.qv[i] * s.qv[i]
+         |          for i in generate_series(1, 16)]) = 0 THEN 0
+         |      ELSE ${O.cosSql("list_sum([c.qv[i] * s.qv[i] for i in generate_series(1, 16)])",
       "list_sum([c.qv[i] * c.qv[i] for i in generate_series(1, 16)])",
       "list_sum([s.qv[i] * s.qv[i] for i in generate_series(1, 16)])")}
-         |        AS cos_trunc_x1e6,
+         |      END AS cos_trunc_x1e6,
          |      c.qv AS cv, s.qv AS sv, c.nrm AS nrm_a, s.nrm AS nrm_b
          |    FROM emb_n c JOIN emb_n s
          |      ON s.vec_id < 20 AND c.vec_id <> s.vec_id))
@@ -5675,6 +5682,15 @@ object SparkEntry {
         |  FROM objects WHERE volume = 'vol0' AND bucket = 'bucket0'
         |  GROUP BY key)""".stripMargin),
 
+    // Tenant-roster mirror: the catalog's tenant1 slice.
+    "q_tenant_list_users" -> O.withCtes(
+      """SELECT 'tenant1' AS tenant_id, owner AS user_principal,
+        |  'tenant1$' || owner AS access_id,
+        |  owner = 'clerk0' AS is_admin
+        |FROM (SELECT DISTINCT owner FROM objects WHERE volume = 'vol1')
+        |ORDER BY access_id""".stripMargin,
+      O.objects),
+
     // S3-volume-context mirror: catalog + state probes from objects.
     "q_s3_volume_context" -> O.withCtes(
       """SELECT req_id,
@@ -6747,13 +6763,16 @@ object SparkEntry {
         |  FROM ppc_viable v CROSS JOIN ppc_anchor a
         |  WHERE v.rack <> a.a_rack
         |  ORDER BY v.pcount, v.uuid LIMIT 1)""".stripMargin,
+      """ppc_second1 AS (
+        |  SELECT coalesce((SELECT n_uuid FROM ppc_second), '') AS n_uuid,
+        |    coalesce((SELECT n_rack FROM ppc_second), '') AS n_rack)""".stripMargin,
       """ppc_third AS (
         |  SELECT v.uuid AS t_uuid,
         |    CASE WHEN v.rack = a.a_rack THEN 'THIRD_ANCHOR_RACK'
         |         WHEN v.rack = s.n_rack THEN 'THIRD_NEXT_RACK'
         |         ELSE 'THIRD_FALLBACK' END AS t_role
         |  FROM ppc_viable v CROSS JOIN ppc_anchor a
-        |  CROSS JOIN ppc_second s
+        |  CROSS JOIN ppc_second1 s
         |  WHERE v.uuid <> a.a_uuid AND v.uuid <> s.n_uuid
         |  ORDER BY CASE WHEN v.rack = a.a_rack THEN 0
         |    WHEN v.rack = s.n_rack THEN 1 ELSE 2 END, v.pcount, v.uuid

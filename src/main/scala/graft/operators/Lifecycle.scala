@@ -1092,57 +1092,6 @@ object Lifecycle {
    * Scale shape: all probes (links, buckets, volume owners, config
    * catalog) broadcast into the protocol-sized batch.
    */
-  /**
-   * KeyLifecycleService control plane — two request families folded over
-   * one op stream:
-   *   - OMLifecycleSaveScanStateRequest
-   *     (ozone-manager/.../request/lifecycle/OMLifecycleSaveScanStateRequest.java:45-72):
-   *     admin-only (ACCESS_DENIED in preExecute), then an UNCONDITIONAL
-   *     lifecycleScanStateTable upsert keyed by bucketKey — the service's
-   *     resumable scan cursor; a later save REPLACES the bucket's state;
-   *   - OMLifecycleSetServiceStatusRequest (:59-108 plus the
-   *     CLUSTER_NEEDS_FINALIZATION validator :112-127): the PRE_PROCESS
-   *     finalization gate fires BEFORE the preExecute admin check
-   *     (probed by a pre-finalization non-admin suspend), then
-   *     suspend()/resume() toggles the service — an idempotent toggle,
-   *     and suspension does NOT fence SAVE writes (it stops the scanner,
-   *     not the RPC plane).
-   * Emits per op the decision, the running suspended flag after the op,
-   * and whether an applied SAVE replaced a prior cursor.
-   *
-   * Scale shape: control-plane fold — two windows over a protocol-sized
-   * stream.
-   */
-  def lifecycleServiceFold(ops: DataFrame,
-                           admins: Seq[String] = Seq("om-admin"),
-                           finalizedSeq: Long = 0L): DataFrame = {
-    val isAdmin = col("caller").isin(admins: _*)
-    val decided = ops.withColumn("decision",
-      when(col("op_type") === "STATUS" && col("seq") < finalizedSeq,
-        lit("NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION"))
-        .when(!isAdmin, lit("ACCESS_DENIED"))
-        .when(col("op_type") === "SAVE", lit("SAVED"))
-        .when(col("suspend"), lit("SUSPENDED"))
-        .otherwise(lit("RESUMED")))
-    val wSeq = Window.orderBy("seq")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wBucketPrev = Window.partitionBy("bucket_key").orderBy("seq")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    decided
-      .withColumn("suspended_after",
-        coalesce(last(
-          when(col("decision") === "SUSPENDED", lit(true))
-            .when(col("decision") === "RESUMED", lit(false)),
-          ignoreNulls = true).over(wSeq), lit(false)))
-      .withColumn("replaced_prior",
-        col("decision") === "SAVED" &&
-          count(when(col("decision") === "SAVED", lit(1)))
-            .over(wBucketPrev) > 0)
-      .select("seq", "op_type", "caller", "bucket_key", "decision",
-        "suspended_after", "replaced_prior")
-      .orderBy("seq")
-  }
-
   def lifecycleDeleteDecisions(requests: DataFrame, buckets: DataFrame,
                                links: DataFrame, volumes: DataFrame,
                                lcConfigs: DataFrame,
@@ -1255,5 +1204,56 @@ object Lifecycle {
           col("first_rule_err"),
           lit("SET")).as("decision"))
       .orderBy("req_id")
+  }
+
+  /**
+   * KeyLifecycleService control plane — two request families folded over
+   * one op stream:
+   *   - OMLifecycleSaveScanStateRequest
+   *     (ozone-manager/.../request/lifecycle/OMLifecycleSaveScanStateRequest.java:45-72):
+   *     admin-only (ACCESS_DENIED in preExecute), then an UNCONDITIONAL
+   *     lifecycleScanStateTable upsert keyed by bucketKey — the service's
+   *     resumable scan cursor; a later save REPLACES the bucket's state;
+   *   - OMLifecycleSetServiceStatusRequest (:59-108 plus the
+   *     CLUSTER_NEEDS_FINALIZATION validator :112-127): the PRE_PROCESS
+   *     finalization gate fires BEFORE the preExecute admin check
+   *     (probed by a pre-finalization non-admin suspend), then
+   *     suspend()/resume() toggles the service — an idempotent toggle,
+   *     and suspension does NOT fence SAVE writes (it stops the scanner,
+   *     not the RPC plane).
+   * Emits per op the decision, the running suspended flag after the op,
+   * and whether an applied SAVE replaced a prior cursor.
+   *
+   * Scale shape: control-plane fold — two windows over a protocol-sized
+   * stream.
+   */
+  def lifecycleServiceFold(ops: DataFrame,
+                           admins: Seq[String] = Seq("om-admin"),
+                           finalizedSeq: Long = 0L): DataFrame = {
+    val isAdmin = col("caller").isin(admins: _*)
+    val decided = ops.withColumn("decision",
+      when(col("op_type") === "STATUS" && col("seq") < finalizedSeq,
+        lit("NOT_SUPPORTED_OPERATION_PRIOR_FINALIZATION"))
+        .when(!isAdmin, lit("ACCESS_DENIED"))
+        .when(col("op_type") === "SAVE", lit("SAVED"))
+        .when(col("suspend"), lit("SUSPENDED"))
+        .otherwise(lit("RESUMED")))
+    val wSeq = Window.orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBucketPrev = Window.partitionBy("bucket_key").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    decided
+      .withColumn("suspended_after",
+        coalesce(last(
+          when(col("decision") === "SUSPENDED", lit(true))
+            .when(col("decision") === "RESUMED", lit(false)),
+          ignoreNulls = true).over(wSeq), lit(false)))
+      .withColumn("replaced_prior",
+        col("decision") === "SAVED" &&
+          count(when(col("decision") === "SAVED", lit(1)))
+            .over(wBucketPrev) > 0)
+      .select("seq", "op_type", "caller", "bucket_key", "decision",
+        "suspended_after", "replaced_prior")
+      .orderBy("seq")
   }
 }

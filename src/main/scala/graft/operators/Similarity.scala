@@ -154,9 +154,14 @@ object Similarity {
       .orderBy(col("cos_trunc_x1e6").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
       .withColumn("tdot", expr("graft_dot_long(ctv, stv)"))
+      // zero-prefix guard: a vector whose first mdim components all
+      // quantize to 0 has tnrm 0; its truncated cosine is defined as 0
+      // (Spark would CAST NaN→0 silently, DuckDB would refuse the cast)
       .withColumn("cos_trunc_x1e6", expr(
-        "CAST(floor(CAST(tdot AS DOUBLE) / sqrt(CAST(tnrm_a AS DOUBLE) " +
-          "* CAST(tnrm_b AS DOUBLE)) * 1000000) AS BIGINT)"))
+        "CASE WHEN tnrm_a = 0 OR tnrm_b = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(floor(CAST(tdot AS DOUBLE) / " +
+          "sqrt(CAST(tnrm_a AS DOUBLE) * CAST(tnrm_b AS DOUBLE)) " +
+          "* 1000000) AS BIGINT) END"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("dot", expr("graft_dot_long(cv, sv)"))

@@ -352,25 +352,6 @@ object Tenants {
   }
 
   /**
-   * Ranger service-version fence — OMRangerBGSyncService
-   * .triggerRangerSyncOnce (ozone-manager/.../multitenant/
-   * OMRangerBGSyncService.java:214-266) + OMSetRangerServiceVersionRequest
-   * (the Ratis write that persists the observed version, :49-73): a sync
-   * run loops while the OM-DB version differs from Ranger's, pushing the
-   * OM-DB state and then persisting the OBSERVED Ranger version — so a
-   * version bumped mid-sync (by tenant requests or a manual Ranger edit)
-   * re-enters the loop, and MAX_ATTEMPT (2) bounds the chase. Closed-form
-   * over the per-run observation sequence v0,v1,v2 (Ranger's version
-   * before each check):
-   *   db == v0            → IN_SYNC, 0 attempts;
-   *   v1 == v0            → SYNCED after 1 (the common case: the second
-   *                          check sees the version the run just wrote);
-   *   v2 == v1            → SYNCED after 2;
-   *   else                → ABORTED_MAX_ATTEMPT with db left at v1.
-   *
-   * Scale shape: a pure projection over the (control-plane) run batch.
-   */
-  /**
    * GetS3VolumeContext — OzoneManager.getS3VolumeContext
    * (ozone-manager/.../om/OzoneManager.java:3958-4040), the resolution
    * every S3 request pays before touching a bucket:
@@ -418,6 +399,25 @@ object Tenants {
       .orderBy("req_id")
   }
 
+  /**
+   * Ranger service-version fence — OMRangerBGSyncService
+   * .triggerRangerSyncOnce (ozone-manager/.../multitenant/
+   * OMRangerBGSyncService.java:214-266) + OMSetRangerServiceVersionRequest
+   * (the Ratis write that persists the observed version, :49-73): a sync
+   * run loops while the OM-DB version differs from Ranger's, pushing the
+   * OM-DB state and then persisting the OBSERVED Ranger version — so a
+   * version bumped mid-sync (by tenant requests or a manual Ranger edit)
+   * re-enters the loop, and MAX_ATTEMPT (2) bounds the chase. Closed-form
+   * over the per-run observation sequence v0,v1,v2 (Ranger's version
+   * before each check):
+   *   db == v0            → IN_SYNC, 0 attempts;
+   *   v1 == v0            → SYNCED after 1 (the common case: the second
+   *                          check sees the version the run just wrote);
+   *   v2 == v1            → SYNCED after 2;
+   *   else                → ABORTED_MAX_ATTEMPT with db left at v1.
+   *
+   * Scale shape: a pure projection over the (control-plane) run batch.
+   */
   def rangerSyncVersionFold(runs: DataFrame): DataFrame =
     runs
       .withColumn("attempts",

@@ -644,6 +644,21 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(micro("dnB") === "SECOND_DIFF_RACK")
     assert(micro("dnC") === "THIRD_ANCHOR_RACK")
     assert(micro("dnD") === "VIABLE_UNUSED")
+
+    // single-rack cluster: no SECOND pick exists, but the walk still
+    // mints a third from the anchor's rack (the reference's fallback
+    // path keeps picking; only rack-awareness is off)
+    val oneRack = Seq(
+      ("dnA", "rack0", "HEALTHY", "IN_SERVICE", 900000000000L),
+      ("dnB", "rack0", "HEALTHY", "IN_SERVICE", 900000000000L),
+      ("dnC", "rack0", "HEALTHY", "IN_SERVICE", 900000000000L))
+      .toDF("uuid", "rack", "state", "op_state", "remaining")
+    val got1 = graft.operators.ClusterHealth.pipelineCreatePlan(
+      oneRack, noPipes, noMembers)
+      .select("uuid", "verdict").as[(String, String)].collect().toMap
+    assert(got1("dnA") === "ANCHOR")
+    assert(got1("dnB") === "THIRD_ANCHOR_RACK")
+    assert(got1("dnC") === "VIABLE_UNUSED")
   }
 
   test("quasiClosedStuckCount: per-origin targets, maintenance floors") {

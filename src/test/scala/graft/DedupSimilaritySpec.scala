@@ -312,6 +312,22 @@ class DedupSimilaritySpec extends SparkSpecBase {
       fullMicro.map(r => (r._1, r._2, r._3)).toSet)
     // and the two scores agree when the tail carries nothing
     assert(mrl.forall(r => r._4 == r._5))
+
+    // degenerate prefix: a vector whose first 16 dims quantize to zero
+    // must not crash the truncated cosine — it scores 0 there while the
+    // full-dim cosine still ranks it
+    val tailOnly = ((0L, Seq.fill(64)(0.5f), 0) +:
+      (1L until 4L).map(i => (i,
+        (Array.fill(16)(0.0f) ++ Array.fill(48)(i * 0.1f)).toSeq, 0)))
+      .toDF("vec_id", "embedding", "label")
+    val deg = graft.operators.Similarity.annMatryoshka(
+      tailOnly, numQueries = 4, k = 2)
+      .as[(Long, Long, Int, Long, Long)].collect()
+    assert(deg.nonEmpty)
+    // every pair involving a zero-prefix vector scores cos_trunc == 0
+    deg.filter(r => r._1 >= 1 || r._2 >= 1).foreach { r =>
+      assert(r._4 === 0L)
+    }
   }
 
   test("hardNegatives: different-label only, margin vs best positive") {
