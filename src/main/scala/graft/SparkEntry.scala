@@ -980,6 +980,11 @@ object SparkEntry {
     "q_snapshot_read" -> ((s, d) =>
       CommitLog.snapshotPathList(s, T.objects(s, d), d, "vol2", "bucket5",
         ".snapshot/s1/warehouse/N/", maxKeys = 100)),
+    // filesystem view of a snapshot: immediate children + dir rollups
+    // over the checkpoint state, not the live table
+    "q_snapshot_list_status" -> ((s, d) =>
+      CommitLog.snapshotPathListStatus(s, T.objects(s, d), d, "vol2",
+        "bucket5", ".snapshot/s1/warehouse/N")),
     // ---- training-data sampling: exact quotas + token budgets ----
     "q_sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(T.documents(s, d), "lang", quota = 40)),
@@ -6959,6 +6964,27 @@ object SparkEntry {
         |    AND key LIKE 'warehouse/N/%'
         |  GROUP BY 1, 2)
         |ORDER BY key LIMIT 101""".stripMargin, O.objects),
+
+    // snapshot listStatus mirror: key-dedup state → child rollup.
+    "q_snapshot_list_status" -> O.withCtes(
+      """SELECT child, max(slash) > 0 AS is_dir,
+        |  count(*) AS num_files,
+        |  CAST(sum(data_size) AS BIGINT) AS total_size
+        |FROM (
+        |  SELECT CASE WHEN slash > 0 THEN substr(rest, 1, slash - 1)
+        |    ELSE rest END AS child, slash, data_size
+        |  FROM (
+        |    SELECT substr(key, len('warehouse/N/') + 1) AS rest,
+        |      instr(substr(key, len('warehouse/N/') + 1), '/') AS slash,
+        |      data_size
+        |    FROM (
+        |      SELECT key, max(data_size) AS data_size
+        |      FROM objects
+        |      WHERE volume = 'vol2' AND bucket = 'bucket5'
+        |        AND key LIKE 'warehouse/N/%'
+        |      GROUP BY key)))
+        |GROUP BY child
+        |ORDER BY child""".stripMargin, O.objects),
 
     "q_sample_stratified" -> (
       """SELECT doc_id, lang, sample_rank FROM (

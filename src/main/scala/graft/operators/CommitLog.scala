@@ -870,6 +870,47 @@ object CommitLog {
   }
 
   /**
+   * listStatus through a `bucket/.snapshot/<name>/<dir>` path — the
+   * filesystem view of a snapshot (OmSnapshotManager's path routing +
+   * the KeyManagerImpl.java:1910-1936 immediate-child/fake-dir synthesis
+   * applied to the CHECKPOINT state instead of the live table): one row
+   * per immediate child of the directory as it existed at the snapshot,
+   * dirs carrying their recursive file count and size. The name resolves
+   * through the live chain (unknown ⇒ loud failure, the reference's
+   * FILE_NOT_FOUND).
+   *
+   * Scale shape: a pushdown-filtered scan of the materialized checkpoint
+   * + one hash agg on the child segment — same plan as the live
+   * listStatus.
+   */
+  def snapshotPathListStatus(spark: SparkSession, objects: DataFrame,
+                             dir: String, volume: String, bucket: String,
+                             path: String): DataFrame = {
+    val ind = ".snapshot/"
+    require(path.startsWith(ind), s"not a snapshot path: $path")
+    val rest0 = path.substring(ind.length)
+    val name = rest0.takeWhile(_ != '/')
+    val dirPath = rest0.drop(name.length).stripPrefix("/")
+    require(snapshotChain.exists(_._1 == name), s"no such snapshot: $name")
+    val prefix = if (dirPath.endsWith("/")) dirPath else dirPath + "/"
+    val p = prefix.length
+    val wh = snapshotWarehouse(spark, objects, dir)
+    spark.read.parquet(s"$wh/state_$name")
+      .filter(col("volume") === volume && col("bucket") === bucket &&
+        col("key").startsWith(prefix))
+      .withColumn("rest", expr(s"substring(key, ${p + 1})"))
+      .withColumn("slash", instr(col("rest"), "/"))
+      .withColumn("child",
+        when(col("slash") > 0, expr("substring(rest, 1, slash - 1)"))
+          .otherwise(col("rest")))
+      .groupBy("child")
+      .agg((max(col("slash")) > 0).as("is_dir"),
+        count(lit(1)).as("num_files"),
+        sum("data_size").as("total_size"))
+      .orderBy("child")
+  }
+
+  /**
    * SnapshotMoveTableKeys ladder — the snapshot-GC request that moves a
    * purged/deep-cleaned snapshot's buffered deletedTable / renamedTable /
    * deletedDirTable entries to the next path snapshot, or to the active

@@ -2,6 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.operators.CommitLog
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Write-path invariants: the log-slice delta diff must equal the
   * full-state fold diff, and the snapshot catalog folds its op stream. */
@@ -252,5 +253,38 @@ class CommitLogSpec extends SparkSpecBase {
     assert(got(9L) === (("PURGED", 2L, 0L, 1L, 700L)))
     // ...but the snapshot probe still runs
     assert(got(10L) === (("FILE_NOT_FOUND", 0L, 0L, 0L, 0L)))
+  }
+
+  test("snapshotPathListStatus: snapshot children differ from live") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val obj = Tables.objects(spark, d)
+    val snap = CommitLog.snapshotPathListStatus(spark, obj, d,
+      "vol2", "bucket5", ".snapshot/s1/warehouse/N")
+      .as[(String, Boolean, Long, Long)].collect()
+    assert(snap.nonEmpty && snap.forall(_._2))  // orderkey children: dirs
+    // s1 is PRE-CHURN: the snapshot view must carry creation-time sizes,
+    // so it differs from the APPLIED (post-churn) filesystem view on
+    // churned children (vol2 is inside the churn scope: overwrites
+    // doubled sizes, deletes dropped keys, renames minted .mv files)
+    val live = CommitLog.appliedState(obj)
+      .filter(col("volume") === "vol2" && col("bucket") === "bucket5" &&
+        col("key").startsWith("warehouse/N/"))
+      .withColumn("child", expr(
+        "substring(key, length('warehouse/N/') + 1, " +
+          "instr(substring(key, length('warehouse/N/') + 1), '/') - 1)"))
+      .groupBy("child")
+      .agg(org.apache.spark.sql.functions.sum("data_size")
+        .as("total_size"))
+      .as[(String, Long)].collect().toMap
+    val snapMap = snap.map(r => r._1 -> r._4).toMap
+    val common = snapMap.keySet intersect live.keySet
+    assert(common.nonEmpty &&
+      common.exists(c => snapMap(c) != live(c)))
+    // unknown snapshot fails loudly
+    intercept[IllegalArgumentException] {
+      CommitLog.snapshotPathListStatus(spark, obj, d, "vol2", "bucket5",
+        ".snapshot/ghost/warehouse/N")
+    }
   }
 }
