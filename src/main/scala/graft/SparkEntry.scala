@@ -1112,7 +1112,7 @@ object SparkEntry {
         |FROM (
         |  SELECT p.*, s.mx, s.le FROM (
         |    SELECT volume, bucket,
-        |      row_number() OVER (ORDER BY volume, bucket) AS pos
+        |      row_number() OVER (ORDER BY volume || '/' || bucket) AS pos
         |    FROM buckets
         |    WHERE layout = 'FSO'
         |      AND volume || '/' || bucket > 'vol0/bucket3') p
@@ -1122,7 +1122,7 @@ object SparkEntry {
         |        AS le
         |    FROM (
         |      SELECT volume, bucket,
-        |        row_number() OVER (ORDER BY volume, bucket) AS pos
+        |        row_number() OVER (ORDER BY volume || '/' || bucket) AS pos
         |      FROM buckets
         |      WHERE layout = 'FSO'
         |        AND volume || '/' || bucket > 'vol0/bucket3') q
@@ -5627,12 +5627,14 @@ object SparkEntry {
     "q_conditional_write" -> O.withCtes(
       """SELECT req_id, op,
         |  CASE
-        |    WHEN has_inm AND trim(inm_value) = '' THEN 'INVALID_EMPTY_INM'
+        |    WHEN op = 'PUT' AND has_inm AND trim(inm_value) = ''
+        |      THEN 'INVALID_EMPTY_INM'
         |    WHEN has_im AND trim(im_value) = '' THEN 'INVALID_EMPTY_IM'
         |    WHEN op = 'PUT' AND has_inm AND has_im THEN 'INVALID_BOTH'
         |    WHEN op = 'PUT' AND has_inm AND inm_norm <> '*'
         |      THEN 'INVALID_INM_NOT_STAR'
-        |    WHEN has_inm AND inm_norm = '*' AND key_exists IS NOT NULL
+        |    WHEN op = 'PUT' AND has_inm AND inm_norm = '*'
+        |      AND key_exists IS NOT NULL
         |      THEN 'PRECONDITION_FAILED'
         |    WHEN has_im AND NOT im_match THEN 'PRECONDITION_FAILED'
         |    WHEN op = 'PUT' THEN 'WRITTEN'
@@ -5672,7 +5674,9 @@ object SparkEntry {
         |  (13, 'DELETE', false, '', true, 'ETAG', false),
         |  (14, 'DELETE', false, '', true, 'zzz', false),
         |  (15, 'DELETE', false, '', true, ' ', false),
-        |  (16, 'DELETE', false, '', false, '', false))""".stripMargin,
+        |  (16, 'DELETE', false, '', false, '', false),
+        |  (17, 'DELETE', true, '*', false, '', false),
+        |  (18, 'DELETE', true, ' ', false, '', false))""".stripMargin,
       """cwr_reqs AS (
         |  SELECT r.req_id, r.op,
         |    CASE WHEN r.ghost THEN 'no/such/key' ELSE t.t_key END AS key,
@@ -6467,29 +6471,30 @@ object SparkEntry {
 
     // Pipeline-scrub mirror: the same mints + a dead-member any().
     "q_pipeline_scrub" -> O.withCtes(
-      """SELECT p.pipeline_id,
-        |  CASE WHEN p.pipeline_idx % 5 = 3 THEN 'ALLOCATED'
-        |    ELSE p.state END AS scrub_state,
-        |  p.replication,
+      """SELECT pipeline_id, scrub_state, replication,
         |  CASE
-        |    WHEN p.pipeline_idx % 5 = 3
-        |      AND p.pipeline_idx * 3600000 >= 18000000
+        |    WHEN scrub_state = 'ALLOCATED'
+        |      AND pipeline_idx * 3600000 >= 18000000
         |      THEN 'CLOSE_AND_DELETE'
-        |    WHEN p.pipeline_idx % 5 <> 3 AND p.state = 'CLOSED'
-        |      AND p.pipeline_idx * 3600000 - 600000 >= 14400000
+        |    WHEN scrub_state = 'CLOSED'
+        |      AND pipeline_idx * 3600000 - 600000 >= 14400000
         |      THEN 'DELETE'
-        |    WHEN p.pipeline_idx % 5 <> 3 AND p.state = 'OPEN'
-        |      AND coalesce(u.has_unregistered, 0) = 1 THEN 'CLOSE'
+        |    WHEN scrub_state = 'OPEN'
+        |      AND coalesce(has_unregistered, 0) = 1 THEN 'CLOSE'
         |    ELSE 'RETAIN' END AS verdict
-        |FROM pipelines p
+        |FROM (
+        |  SELECT p.*, u.has_unregistered,
+        |    CASE WHEN p.pipeline_idx % 5 = 3 THEN 'ALLOCATED'
+        |      ELSE p.state END AS scrub_state
+        |  FROM pipelines p
         |LEFT JOIN (
         |  SELECT m.pipeline_id,
         |    max(CASE WHEN d.state = 'DEAD' THEN 1 ELSE 0 END)
         |      AS has_unregistered
         |  FROM pipeline_members m
         |  JOIN datanodes d ON d.uuid = m.datanode
-        |  GROUP BY m.pipeline_id) u ON u.pipeline_id = p.pipeline_id
-        |ORDER BY p.pipeline_id""".stripMargin,
+        |  GROUP BY m.pipeline_id) u ON u.pipeline_id = p.pipeline_id)
+        |ORDER BY pipeline_id""".stripMargin,
       O.datanodes, O.pipelines, O.pipelineMembers),
 
     // Lifecycle-fold mirror: list_reduce prefix folds over ordered
@@ -6680,9 +6685,7 @@ object SparkEntry {
         |        CASE WHEN n_in_service = 0 THEN 1 ELSE 0 END
         |      ELSE target - n_in_service END
         |    ELSE 0 END END AS under_delta,
-        |    greatest(n_in_service -
-        |      CASE WHEN n_origins = 1 THEN 3 ELSE target END, 0)
-        |      AS over_delta
+        |    greatest(n_in_service - target, 0) AS over_delta
         |  FROM (
         |    SELECT *,
         |      count(*) OVER (PARTITION BY container_id) AS n_origins,

@@ -1437,7 +1437,9 @@ object Tables {
       (13L, "DELETE", false, "", true, "ETAG", false),
       (14L, "DELETE", false, "", true, "zzz", false),
       (15L, "DELETE", false, "", true, " ", false),
-      (16L, "DELETE", false, "", false, "", false))
+      (16L, "DELETE", false, "", false, "", false),
+      (17L, "DELETE", true, "*", false, "", false),
+      (18L, "DELETE", true, " ", false, "", false))
       .toDF("req_id", "op", "has_inm", "inm_value", "has_im", "im_kind",
         "ghost")
     rows.crossJoin(broadcast(target))

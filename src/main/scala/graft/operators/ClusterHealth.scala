@@ -651,9 +651,7 @@ object ClusterHealth {
                 .otherwise(col("target") - col("n_in_service")))
               .otherwise(lit(0L))))
       .withColumn("over_delta",
-        greatest(col("n_in_service") -
-          when(col("n_origins") === 1, lit(3)).otherwise(col("target")),
-          lit(0L)))
+        greatest(col("n_in_service") - col("target"), lit(0L)))
       .withColumn("status",
         when(col("under_delta") > 0, lit("UNDER_REPLICATED"))
           .when(col("over_delta") > 0, lit("OVER_REPLICATED"))

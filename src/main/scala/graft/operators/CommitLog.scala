@@ -892,7 +892,12 @@ object CommitLog {
     val name = rest0.takeWhile(_ != '/')
     val dirPath = rest0.drop(name.length).stripPrefix("/")
     require(snapshotChain.exists(_._1 == name), s"no such snapshot: $name")
-    val prefix = if (dirPath.endsWith("/")) dirPath else dirPath + "/"
+    // an empty residual path lists the snapshot ROOT — its prefix is ""
+    // (a bare "/" would silently match nothing: keys carry no leading
+    // slash)
+    val prefix =
+      if (dirPath.isEmpty || dirPath == "/") ""
+      else if (dirPath.endsWith("/")) dirPath else dirPath + "/"
     val p = prefix.length
     val wh = snapshotWarehouse(spark, objects, dir)
     spark.read.parquet(s"$wh/state_$name")

@@ -92,16 +92,20 @@ object Conditional {
             x => x === "*" && col("key_exists").isNotNull ||
               col("cur_etag").isNotNull && x === col("cur_etag"))))
       .withColumn("decision",
-        when(col("has_inm") && trim(col("inm_value")) === "",
-          lit("INVALID_EMPTY_INM"))
+        // parseDeleteCondition reads ONLY If-Match (:193-202) — every
+        // If-None-Match rung, including the blank-header check, is
+        // PUT-only; a DELETE carrying the header silently ignores it
+        when(col("op") === "PUT" && col("has_inm") &&
+          trim(col("inm_value")) === "", lit("INVALID_EMPTY_INM"))
           .when(col("has_im") && trim(col("im_value")) === "",
             lit("INVALID_EMPTY_IM"))
           .when(col("op") === "PUT" && col("has_inm") && col("has_im"),
             lit("INVALID_BOTH"))
           .when(col("op") === "PUT" && col("has_inm") &&
             col("inm_norm") =!= "*", lit("INVALID_INM_NOT_STAR"))
-          .when(col("has_inm") && col("inm_norm") === "*" &&
-            col("key_exists").isNotNull, lit("PRECONDITION_FAILED"))
+          .when(col("op") === "PUT" && col("has_inm") &&
+            col("inm_norm") === "*" && col("key_exists").isNotNull,
+            lit("PRECONDITION_FAILED"))
           .when(col("has_im") && !col("im_match"),
             lit("PRECONDITION_FAILED"))
           .when(col("op") === "PUT", lit("WRITTEN"))

@@ -267,11 +267,14 @@ object Listing {
    */
   def listDirectoryBuckets(buckets: DataFrame, afterToken: String,
                            maxBuckets: Int): DataFrame = {
+    // rank by the SAME key the token comparison uses: the concatenated
+    // name — tuple order (volume, bucket) disagrees with string order
+    // for legal names ('-' and '.' sort before '/'), which would skip
+    // buckets across page boundaries
+    val name = concat_ws("/", col("volume"), col("bucket"))
     val page = buckets
-      .filter(col("layout") === "FSO" &&
-        concat_ws("/", col("volume"), col("bucket")) > afterToken)
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("volume"), col("bucket"))))
+      .filter(col("layout") === "FSO" && name > afterToken)
+      .withColumn("pos", row_number().over(Window.orderBy(name)))
       .filter(col("pos") <= maxBuckets + 1)
     val probe = page.agg(
       max(col("pos")).as("max_pos"),

@@ -131,5 +131,9 @@ class ConditionalFilterSpec extends SparkSpecBase {
     assert(got(13L) === "DELETED" && got(16L) === "DELETED")
     assert(got(14L) === "PRECONDITION_FAILED")
     assert(got(15L) === "INVALID_EMPTY_IM")
+    // parseDeleteCondition reads only If-Match: a DELETE carrying
+    // If-None-Match (star or blank) silently ignores it
+    assert(got(17L) === "DELETED")
+    assert(got(18L) === "DELETED")
   }
 }
