@@ -197,4 +197,44 @@ class PropertySpec extends SparkSpecBase {
     assert(viaState.exceptAll(base).count() === 0)
     assert(base.exceptAll(viaState).count() === 0)
   }
+
+  test("container lifecycle fold == reference walk over random event streams") {
+    val rnd = new Random(7)
+    val events = Seq("FINALIZE", "QUASI_CLOSE", "CLOSE", "FORCE_CLOSE",
+      "DELETE", "CLEANUP")
+    // the reference transition function, ported literally
+    def step(s: String, e: String): String = (s, e) match {
+      case ("OPEN", "FINALIZE") => "CLOSING"
+      case ("CLOSING", "QUASI_CLOSE") => "QUASI_CLOSED"
+      case ("CLOSING", "CLOSE") => "CLOSED"
+      case ("QUASI_CLOSED", "FORCE_CLOSE") => "CLOSED"
+      case ("QUASI_CLOSED", "DELETE") | ("CLOSED", "DELETE") => "DELETING"
+      case ("DELETING", "CLEANUP") => "DELETED"
+      case _ => s
+    }
+    val order = Map("OPEN" -> 0, "CLOSING" -> 1, "QUASI_CLOSED" -> 2,
+      "CLOSED" -> 2, "DELETING" -> 3, "DELETED" -> 4)
+    val streams = (0 until 40).map { c =>
+      c.toLong -> (1 to rnd.nextInt(8) + 1)
+        .map(i => (i.toLong, events(rnd.nextInt(events.size))))
+    }
+    val df = streams.flatMap { case (c, evs) =>
+      evs.map { case (seq, e) => (c, seq, e) }
+    }.toDF("container_id", "seq", "event")
+    val got = graft.operators.ClusterHealth.containerLifecycleFold(df)
+      .select("container_id", "seq", "state_before", "state_after")
+      .as[(Long, Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    streams.foreach { case (c, evs) =>
+      var s = "OPEN"
+      evs.foreach { case (seq, e) =>
+        val (gb, ga) = got((c, seq))
+        assert(gb === s, s"pre-state c=$c seq=$seq")
+        s = step(s, e)
+        assert(ga === s, s"post-state c=$c seq=$seq")
+        // the DAG never walks backwards
+        assert(order(gb) <= order(ga))
+      }
+    }
+  }
 }
