@@ -364,4 +364,9 @@ object Api {
                       requests: DataFrame): DataFrame =
     CommitLog.snapshotDeleteDecisions(requests, T.buckets(s, d),
       T.bucketLinks(s, d), T.volumes(s, d), T.snapshotCatalogLive(s, d))
+
+  /** Node heartbeat-health replay (NodeStateManager tick log). */
+  def nodeHealthLog(s: SparkSession, d: String): DataFrame =
+    graft.operators.ClusterHealth.nodeHealthFold(
+      T.nodeHealthEvents(s, d), T.nodeHealthChecks(s, d))
 }

@@ -943,6 +943,11 @@ object SparkEntry {
     "q_container_lifecycle" -> ((s, d) =>
       ClusterHealth.containerLifecycleFold(
         T.containerLifecycleEvents(s, d))),
+    // Node heartbeat health fold: HEALTHY/HEALTHY_READONLY/STALE/DEAD
+    // with layout gating, restore/resurrect hysteresis, skip guard.
+    "q_node_health" -> ((s, d) =>
+      ClusterHealth.nodeHealthFold(T.nodeHealthEvents(s, d),
+        T.nodeHealthChecks(s, d))),
     // DN container dispatch: state gate, BCSID replay fence with a
     // running per-container BCSID, read-side BCSID probes.
     "q_dn_dispatch" -> ((s, d) =>
@@ -6559,6 +6564,123 @@ object SparkEntry {
         |  (4, 1, 'DELETE'), (4, 2, 'CLEANUP'), (4, 3, 'FINALIZE'),
         |  (5, 1, 'FINALIZE'), (5, 2, 'CLOSE'), (5, 3, 'QUASI_CLOSE'),
         |  (5, 4, 'FORCE_CLOSE'))""".stripMargin),
+
+    // Node-health mirror: the same fold as a recursive per-node walk.
+    "q_node_health" -> O.withCtesRecursive(
+      """SELECT e.uuid, e.ts AS check_ms,
+        |  CASE WHEN e.ts - p.last_chk >= 300000 THEN 1 ELSE 0 END
+        |    AS skipped,
+        |  p.state AS state_before, c.state AS state_after,
+        |  p.last_hb AS last_hb_ms,
+        |  CASE
+        |    WHEN e.ts - p.last_chk >= 300000 THEN ''
+        |    WHEN p.state = 'HEALTHY' THEN CASE
+        |      WHEN p.mlv <> 3 AND p.last_hb < e.ts - 300000
+        |        THEN 'HEALTHY_READONLY_NODE,STALE_NODE'
+        |      WHEN p.mlv <> 3 THEN 'HEALTHY_READONLY_NODE'
+        |      WHEN p.last_hb < e.ts - 300000 THEN 'STALE_NODE'
+        |      ELSE '' END
+        |    WHEN p.state = 'HEALTHY_READONLY' THEN CASE
+        |      WHEN p.mlv = 3 AND p.last_hb < e.ts - 300000
+        |        THEN 'HEALTHY_READONLY_TO_HEALTHY_NODE,STALE_NODE'
+        |      WHEN p.mlv = 3 THEN 'HEALTHY_READONLY_TO_HEALTHY_NODE'
+        |      WHEN p.last_hb < e.ts - 300000 THEN 'STALE_NODE'
+        |      ELSE '' END
+        |    WHEN p.state = 'STALE' THEN CASE
+        |      WHEN p.last_hb < e.ts - 600000 THEN 'DEAD_NODE'
+        |      WHEN p.last_hb >= e.ts - 300000
+        |        THEN 'HEALTHY_READONLY_NODE'
+        |      ELSE '' END
+        |    ELSE CASE
+        |      WHEN p.last_hb >= e.ts - 300000
+        |        THEN 'HEALTHY_READONLY_NODE'
+        |      ELSE '' END
+        |  END AS fired
+        |FROM nh_sev e
+        |JOIN nh_walk p ON p.uuid = e.uuid AND p.i = e.i - 1
+        |JOIN nh_walk c ON c.uuid = e.uuid AND c.i = e.i
+        |WHERE e.kind = 'CHECK' AND p.state <> ''
+        |ORDER BY e.uuid, check_ms""".stripMargin,
+      """nh_reg(uuid, ts, mlv) AS (VALUES
+        |  ('dn1', 0, 3), ('dn2', 0, 3), ('dn3', 0, 3), ('dn4', 0, 3),
+        |  ('dn5', 0, 2), ('dn6', 0, 3), ('dn7', 0, 3), ('dn8', 0, 2),
+        |  ('dn9', 500000, 3))""".stripMargin,
+      """nh_hb(uuid, ts, mlv) AS (VALUES
+        |  ('dn1', 150000, 3), ('dn1', 350000, 3), ('dn1', 550000, 3),
+        |  ('dn1', 750000, 3), ('dn1', 950000, 3), ('dn1', 1150000, 3),
+        |  ('dn1', 1350000, 3), ('dn1', 1550000, 3), ('dn1', 1750000, 3),
+        |  ('dn1', 1850000, 3),
+        |  ('dn2', 150000, 3), ('dn2', 300000, 3),
+        |  ('dn3', 150000, 3), ('dn3', 700000, 3), ('dn3', 760000, 3),
+        |  ('dn3', 940000, 3), ('dn3', 1400000, 3), ('dn3', 1700000, 3),
+        |  ('dn3', 1900000, 3),
+        |  ('dn4', 100000, 3), ('dn4', 1600000, 3), ('dn4', 1730000, 3),
+        |  ('dn4', 1900000, 3),
+        |  ('dn5', 150000, 2), ('dn5', 350000, 2), ('dn5', 560000, 2),
+        |  ('dn5', 750000, 2), ('dn5', 950000, 3), ('dn5', 1150000, 3),
+        |  ('dn5', 1450000, 3), ('dn5', 1650000, 3), ('dn5', 1850000, 3),
+        |  ('dn6', 200000, 3), ('dn6', 400000, 3), ('dn6', 500000, 2),
+        |  ('dn7', 200000, 3), ('dn7', 400000, 3), ('dn7', 620000, 3),
+        |  ('dn7', 800000, 3), ('dn7', 900000, 3), ('dn7', 1000000, 2),
+        |  ('dn8', 200000, 2), ('dn8', 410000, 2), ('dn8', 610000, 2),
+        |  ('dn8', 810000, 2), ('dn8', 955000, 2), ('dn8', 1005000, 3),
+        |  ('dn9', 650000, 3), ('dn9', 800000, 3), ('dn9', 945000, 3),
+        |  ('dn9', 1100000, 3), ('dn9', 1250000, 3), ('dn9', 1405000, 3),
+        |  ('dn9', 1555000, 3), ('dn9', 1705000, 3),
+        |  ('dn9', 1905000, 3))""".stripMargin,
+      """nh_chk(ts) AS (VALUES (60000), (240000), (420000), (600000),
+        |  (780000), (960000), (1500000), (1560000), (1740000),
+        |  (1920000))""".stripMargin,
+      """nh_ev AS (
+        |  SELECT uuid, ts, 'REGISTER' AS kind, mlv FROM nh_reg
+        |  UNION ALL SELECT uuid, ts, 'HB', mlv FROM nh_hb
+        |  UNION ALL SELECT r.uuid, c.ts, 'CHECK', -1
+        |    FROM nh_reg r, nh_chk c)""".stripMargin,
+      """nh_sev AS (
+        |  SELECT uuid, ts, kind, mlv,
+        |    row_number() OVER (PARTITION BY uuid ORDER BY ts) AS i
+        |  FROM nh_ev)""".stripMargin,
+      """nh_walk(uuid, i, state, last_hb, last_chk, mlv) AS (
+        |  SELECT uuid, 0, '', CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(-1 AS BIGINT)
+        |  FROM nh_reg
+        |  UNION ALL
+        |  SELECT w.uuid, w.i + 1,
+        |    CASE
+        |      WHEN e.kind = 'REGISTER' THEN
+        |        CASE WHEN e.mlv <> 3 THEN 'HEALTHY_READONLY'
+        |          ELSE 'HEALTHY' END
+        |      WHEN e.kind = 'HB' THEN w.state
+        |      WHEN w.state = '' OR e.ts - w.last_chk >= 300000
+        |        THEN w.state
+        |      ELSE CASE w.state
+        |        WHEN 'HEALTHY' THEN CASE
+        |          WHEN w.last_hb < e.ts - 300000 THEN 'STALE'
+        |          WHEN w.mlv <> 3 THEN 'HEALTHY_READONLY'
+        |          ELSE 'HEALTHY' END
+        |        WHEN 'HEALTHY_READONLY' THEN CASE
+        |          WHEN w.last_hb < e.ts - 300000 THEN 'STALE'
+        |          WHEN w.mlv = 3 THEN 'HEALTHY'
+        |          ELSE 'HEALTHY_READONLY' END
+        |        WHEN 'STALE' THEN CASE
+        |          WHEN w.last_hb < e.ts - 600000 THEN 'DEAD'
+        |          WHEN w.last_hb >= e.ts - 300000
+        |            THEN 'HEALTHY_READONLY'
+        |          ELSE 'STALE' END
+        |        ELSE CASE
+        |          WHEN w.last_hb >= e.ts - 300000
+        |            THEN 'HEALTHY_READONLY'
+        |          ELSE 'DEAD' END
+        |      END
+        |    END,
+        |    CASE WHEN e.kind IN ('REGISTER', 'HB') THEN CAST(e.ts AS
+        |      BIGINT) ELSE w.last_hb END,
+        |    CASE WHEN e.kind = 'CHECK' THEN CAST(e.ts AS BIGINT)
+        |      ELSE w.last_chk END,
+        |    CASE WHEN e.kind IN ('REGISTER', 'HB') THEN CAST(e.mlv AS
+        |      BIGINT) ELSE w.mlv END
+        |  FROM nh_walk w
+        |  JOIN nh_sev e ON e.uuid = w.uuid AND e.i = w.i + 1)""".stripMargin),
 
     // DN-dispatch mirror: the cumulative put-max window in SQL.
     "q_dn_dispatch" -> O.withCtes(

@@ -1373,6 +1373,59 @@ object Tables {
         "stored_bcsid")
   }
 
+  /** node_health_events: the SCM heartbeat plane NodeStateManager folds —
+    * per-node REGISTER (carries the registration layout version; a
+    * mismatched registrant STARTS HEALTHY_READONLY, NodeStateManager
+    * .newNodeStatus:333-347) and HB rows (each heartbeat refreshes
+    * lastHeartbeatTime AND the last-known layout version). Bands:
+    * dn1 steady-healthy; dn2 dies (boundary-exact lastHb == deadline at
+    * one check, then STALE → DEAD); dn3 flaps (restore goes through
+    * HEALTHY_READONLY, never straight to HEALTHY); dn4 the in-between
+    * stale window (neither dead nor restorable) then DEAD → resurrect;
+    * dn5 registers layout-behind and upgrades mid-stream; dn6 a restarted
+    * node reporting an OLDER layout from HEALTHY; dn7/dn8 the double-fire
+    * checks (layout event + timeout at the SAME tick, from HEALTHY and
+    * HEALTHY_READONLY); dn9 registers mid-stream (no rows before). */
+  def nodeHealthEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reg = Seq(
+      ("dn1", 0L, 3L), ("dn2", 0L, 3L), ("dn3", 0L, 3L),
+      ("dn4", 0L, 3L), ("dn5", 0L, 2L), ("dn6", 0L, 3L),
+      ("dn7", 0L, 3L), ("dn8", 0L, 2L), ("dn9", 500000L, 3L))
+      .map { case (u, t, m) => (u, t, "REGISTER", m) }
+    val hb = Seq(
+      ("dn1", Seq(150000L -> 3L, 350000L -> 3L, 550000L -> 3L,
+        750000L -> 3L, 950000L -> 3L, 1150000L -> 3L, 1350000L -> 3L,
+        1550000L -> 3L, 1750000L -> 3L, 1850000L -> 3L)),
+      ("dn2", Seq(150000L -> 3L, 300000L -> 3L)),
+      ("dn3", Seq(150000L -> 3L, 700000L -> 3L, 760000L -> 3L,
+        940000L -> 3L, 1400000L -> 3L, 1700000L -> 3L, 1900000L -> 3L)),
+      ("dn4", Seq(100000L -> 3L, 1600000L -> 3L, 1730000L -> 3L,
+        1900000L -> 3L)),
+      ("dn5", Seq(150000L -> 2L, 350000L -> 2L, 560000L -> 2L,
+        750000L -> 2L, 950000L -> 3L, 1150000L -> 3L, 1450000L -> 3L,
+        1650000L -> 3L, 1850000L -> 3L)),
+      ("dn6", Seq(200000L -> 3L, 400000L -> 3L, 500000L -> 2L)),
+      ("dn7", Seq(200000L -> 3L, 400000L -> 3L, 620000L -> 3L,
+        800000L -> 3L, 900000L -> 3L, 1000000L -> 2L)),
+      ("dn8", Seq(200000L -> 2L, 410000L -> 2L, 610000L -> 2L,
+        810000L -> 2L, 955000L -> 2L, 1005000L -> 3L)),
+      ("dn9", Seq(650000L -> 3L, 800000L -> 3L, 945000L -> 3L,
+        1100000L -> 3L, 1250000L -> 3L, 1405000L -> 3L, 1555000L -> 3L,
+        1705000L -> 3L, 1905000L -> 3L)))
+      .flatMap { case (u, ts) => ts.map { case (t, m) => (u, t, "HB", m) } }
+    (reg ++ hb).toDF("uuid", "ts_ms", "kind", "mlv")
+  }
+
+  /** node_health_checks: the global checkNodesHealth tick schedule. One
+    * deliberate 540 s gap (c6→c7) ≥ min(stale, dead) interval trips the
+    * shouldSkipCheck JVM-pause guard — c7 must transition NOTHING. */
+  def nodeHealthChecks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(60000L, 240000L, 420000L, 600000L, 780000L, 960000L,
+      1500000L, 1560000L, 1740000L, 1920000L).toDF("check_ms")
+  }
+
   /** s3_context_requests: GetS3VolumeContext probes — an auth-less old
     * gateway, a plain unassigned accessId, a tenant-assigned id, the
     * removed-tenant inconsistency (no-such-but-hasids$ghost is in the

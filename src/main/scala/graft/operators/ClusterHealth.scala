@@ -434,6 +434,148 @@ object ClusterHealth {
   }
 
   /**
+   * Datanode heartbeat health fold — NodeStateManager
+   * (server-scm/.../node/NodeStateManager.java:700-1000): the SCM's
+   * health plane replayed as a per-node prefix fold over an interleaved
+   * stream of REGISTER / HB events and the global checkNodesHealth
+   * ticks (:806-880).
+   *
+   * Reference semantics carried exactly:
+   *   - registration seeds lastHeartbeat AND the health state — a
+   *     layout-mismatched registrant starts HEALTHY_READONLY
+   *     (newNodeStatus:333-347);
+   *   - each tick computes healthyDeadline = T − staleMs and
+   *     staleDeadline = T − deadMs (:827-840) and walks the DAG
+   *     (:241-281): HEALTHY —TIMEOUT→ STALE —TIMEOUT→ DEAD;
+   *     HEALTHY ⇄ HEALTHY_READONLY on LAYOUT_MISMATCH / LAYOUT_MATCH
+   *     (mismatch additionally gated on the finalization checkpoint,
+   *     :213-216); RESTORE and RESURRECT both land on HEALTHY_READONLY
+   *     — never straight on HEALTHY (the hysteresis: promotion needs a
+   *     LATER tick to observe the layout match);
+   *   - within one tick the two updates run SEQUENTIALLY against the
+   *     status captured at tick start (:846-876), so a HEALTHY node
+   *     that is both layout-mismatched and stale fires
+   *     HEALTHY_READONLY_NODE then STALE_NODE and nets STALE — same
+   *     for HEALTHY_READONLY with match+timeout;
+   *   - a tick arriving ≥ min(staleMs, deadMs) after the previous tick
+   *     is SKIPPED wholesale (shouldSkipCheck:934-940 — a JVM pause
+   *     makes heartbeat age unreliable), but still advances
+   *     lastHealthCheck (scheduleNextHealthCheck:923-930 runs either
+   *     way);
+   *   - a DEAD node whose last heartbeat falls in the stale window
+   *     stays DEAD (RESURRECT needs the healthy window);
+   *   - fired events follow state2EventMap (:228-236): STALE_NODE,
+   *     DEAD_NODE, HEALTHY_READONLY_NODE,
+   *     HEALTHY_READONLY_TO_HEALTHY_NODE.
+   *
+   * Emits one row per (node, applied-or-skipped tick) after the node's
+   * registration.
+   *
+   * Scale shape: the node dim is control-plane and the tick schedule is
+   * bounded by the replay window, so per-node event lists stay
+   * protocol-short; one groupBy per node and a codegen'd higher-order
+   * `aggregate` prefix-fold — no window recursion, no driver loop.
+   */
+  def nodeHealthFold(nodeEvents: DataFrame, checks: DataFrame,
+                     scmMlv: Long = 3L, staleMs: Long = 300000L,
+                     deadMs: Long = 600000L,
+                     finalizationGate: Boolean = true): DataFrame = {
+    val minChk = math.min(staleMs, deadMs)
+    val gate = if (finalizationGate) "TRUE" else "FALSE"
+    // Net state of one applied tick, from the pre-tick accumulator `s`
+    // at tick time `t` (the two sequential captured-status updates of
+    // checkNodesHealth collapse to this: timeout wins over the layout
+    // move because the second update keys the SM on the CAPTURED state).
+    def net(s: String, t: String): String =
+      s"""CASE $s.state
+         |  WHEN 'HEALTHY' THEN CASE
+         |    WHEN $s.last_hb < $t - ${staleMs}L THEN 'STALE'
+         |    WHEN $gate AND $s.mlv <> ${scmMlv}L THEN 'HEALTHY_READONLY'
+         |    ELSE 'HEALTHY' END
+         |  WHEN 'HEALTHY_READONLY' THEN CASE
+         |    WHEN $s.last_hb < $t - ${staleMs}L THEN 'STALE'
+         |    WHEN $s.mlv = ${scmMlv}L THEN 'HEALTHY'
+         |    ELSE 'HEALTHY_READONLY' END
+         |  WHEN 'STALE' THEN CASE
+         |    WHEN $s.last_hb < $t - ${deadMs}L THEN 'DEAD'
+         |    WHEN $s.last_hb >= $t - ${staleMs}L THEN 'HEALTHY_READONLY'
+         |    ELSE 'STALE' END
+         |  ELSE CASE
+         |    WHEN $s.last_hb >= $t - ${staleMs}L THEN 'HEALTHY_READONLY'
+         |    ELSE 'DEAD' END
+         |END""".stripMargin
+    def pack(st: String, hb: String, chk: String, mlv: String): String =
+      s"named_struct('state', $st, 'last_hb', $hb, 'last_chk', $chk, " +
+        s"'mlv', $mlv)"
+    val step = (s: String, e: String) =>
+      s"""CASE
+         |  WHEN $e.kind = 'REGISTER' THEN ${pack(
+        s"CASE WHEN $gate AND $e.mlv <> ${scmMlv}L " +
+          s"THEN 'HEALTHY_READONLY' ELSE 'HEALTHY' END",
+        s"$e.ts_ms", s"$s.last_chk", s"$e.mlv")}
+         |  WHEN $e.kind = 'HB' THEN ${pack(
+        s"$s.state", s"$e.ts_ms", s"$s.last_chk", s"$e.mlv")}
+         |  WHEN $s.state = '' OR $e.ts_ms - $s.last_chk >= ${minChk}L
+         |    THEN ${pack(s"$s.state", s"$s.last_hb", s"$e.ts_ms",
+        s"$s.mlv")}
+         |  ELSE ${pack(net(s, s"$e.ts_ms"), s"$s.last_hb", s"$e.ts_ms",
+        s"$s.mlv")}
+         |END""".stripMargin
+    val zero = "named_struct('state', '', 'last_hb', -1L, " +
+      "'last_chk', 0L, 'mlv', -1L)"
+    val roster = nodeEvents.filter(col("kind") === "REGISTER")
+      .select("uuid").distinct()
+    val all = nodeEvents.select("uuid", "ts_ms", "kind", "mlv")
+      .unionByName(roster.crossJoin(checks.select(
+        col("check_ms").as("ts_ms")))
+        .withColumn("kind", lit("CHECK"))
+        .withColumn("mlv", lit(-1L))
+        .select("uuid", "ts_ms", "kind", "mlv"))
+    val stale = col("pre.last_hb") < col("ts_ms") - staleMs
+    val dead = col("pre.last_hb") < col("ts_ms") - deadMs
+    val mism = lit(finalizationGate) && col("pre.mlv") =!= scmMlv
+    val matched = col("pre.mlv") === scmMlv
+    all.groupBy("uuid")
+      .agg(expr("sort_array(collect_list(struct(ts_ms, kind, mlv)))")
+        .as("evs"))
+      .select(col("uuid"), col("evs"),
+        posexplode(col("evs")).as(Seq("pos", "ev")))
+      .filter(col("ev.kind") === "CHECK")
+      .withColumn("ts_ms", col("ev.ts_ms"))
+      .withColumn("pre", expr(
+        s"aggregate(slice(evs, 1, pos), $zero, " +
+          s"(s, e) -> ${step("s", "e")})"))
+      .filter(col("pre.state") =!= "")
+      .withColumn("skipped",
+        (col("ts_ms") - col("pre.last_chk") >= minChk).cast("int"))
+      .withColumn("state_before", col("pre.state"))
+      .withColumn("state_after", when(col("skipped") === 1,
+        col("state_before")).otherwise(expr(net("pre", "ts_ms"))))
+      .withColumn("fired", when(col("skipped") === 1, lit(""))
+        .otherwise(
+          when(col("state_before") === "HEALTHY",
+            when(mism && stale,
+              lit("HEALTHY_READONLY_NODE,STALE_NODE"))
+              .when(mism, lit("HEALTHY_READONLY_NODE"))
+              .when(stale, lit("STALE_NODE")).otherwise(lit("")))
+            .when(col("state_before") === "HEALTHY_READONLY",
+              when(matched && stale,
+                lit("HEALTHY_READONLY_TO_HEALTHY_NODE,STALE_NODE"))
+                .when(matched, lit("HEALTHY_READONLY_TO_HEALTHY_NODE"))
+                .when(stale, lit("STALE_NODE")).otherwise(lit("")))
+            .when(col("state_before") === "STALE",
+              when(dead, lit("DEAD_NODE"))
+                .when(!stale, lit("HEALTHY_READONLY_NODE"))
+                .otherwise(lit("")))
+            .otherwise(when(!stale, lit("HEALTHY_READONLY_NODE"))
+              .otherwise(lit("")))))
+      .select(col("uuid"), col("ts_ms").as("check_ms"), col("skipped"),
+        col("state_before"), col("state_after"),
+        col("pre.last_hb").as("last_hb_ms"), col("fired"))
+      .orderBy("uuid", "check_ms")
+  }
+
+  /**
    * Datanode container dispatch ladder — KeyValueHandler
    * (container-service/.../keyvalue/KeyValueHandler.java) over an op
    * stream with a RUNNING per-container BCSID:

@@ -821,4 +821,90 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(v("pipeline-0") === (("OPEN", "RETAIN")))
     assert(v("pipeline-11") === (("OPEN", "RETAIN")))
   }
+
+  test("node health fold == a literal NodeStateManager walk (captured-" +
+    "status double updates, skip guard, hysteresis)") {
+    // Imperative re-derivation of NodeStateManager.checkNodesHealth:
+    // the two updates run SEQUENTIALLY against the status captured at
+    // tick start, each consulting the state machine from that captured
+    // state — exactly the Java shape, not the fold's netted CASE. If
+    // the netting in nodeHealthFold is wrong anywhere, this diverges.
+    val staleMs = 300000L; val deadMs = 600000L; val scmMlv = 3L
+    val sm = Map[(String, String), String](
+      ("HEALTHY", "TIMEOUT") -> "STALE",
+      ("HEALTHY", "LAYOUT_MISMATCH") -> "HEALTHY_READONLY",
+      ("HEALTHY_READONLY", "LAYOUT_MATCH") -> "HEALTHY",
+      ("HEALTHY_READONLY", "TIMEOUT") -> "STALE",
+      ("STALE", "TIMEOUT") -> "DEAD",
+      ("STALE", "RESTORE") -> "HEALTHY_READONLY",
+      ("DEAD", "RESURRECT") -> "HEALTHY_READONLY")
+    val ev2state = Map("STALE" -> "STALE_NODE", "DEAD" -> "DEAD_NODE",
+      "HEALTHY" -> "HEALTHY_READONLY_TO_HEALTHY_NODE",
+      "HEALTHY_READONLY" -> "HEALTHY_READONLY_NODE")
+    val nodeEvs = T.nodeHealthEvents(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getLong(3)))
+    val checks = T.nodeHealthChecks(spark, sf)
+      .collect().map(_.getLong(0)).sorted
+    val expected = nodeEvs.map(_._1).distinct.sorted.flatMap { u =>
+      val evs = (nodeEvs.filter(_._1 == u)
+        .map(e => (e._2, e._3, e._4)) ++
+        checks.map(t => (t, "CHECK", -1L))).sortBy(_._1)
+      var state = ""; var lastHb = -1L; var lastChk = 0L; var mlv = -1L
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Int, String, String, Long, String)]
+      for ((ts, kind, m) <- evs) kind match {
+        case "REGISTER" =>
+          state = if (m != scmMlv) "HEALTHY_READONLY" else "HEALTHY"
+          lastHb = ts; mlv = m
+        case "HB" => lastHb = ts; mlv = m
+        case "CHECK" =>
+          val skipped = ts - lastChk >= math.min(staleMs, deadMs)
+          lastChk = ts
+          if (state.nonEmpty) {
+            val before = state
+            val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+            if (!skipped) {
+              // captured status: every updateNodeState in one tick keys
+              // the SM on `before`, while writes land on `state`
+              def update(cond: Boolean, event: String): Unit =
+                if (cond) sm.get((before, event)).foreach { next =>
+                  state = next; ev2state.get(next).foreach(fired += _)
+                }
+              val staleC = lastHb < ts - staleMs
+              val deadC = lastHb < ts - deadMs
+              val healthyC = lastHb >= ts - staleMs
+              before match {
+                case "HEALTHY" =>
+                  update(mlv != scmMlv, "LAYOUT_MISMATCH")
+                  update(staleC, "TIMEOUT")
+                case "HEALTHY_READONLY" =>
+                  update(mlv == scmMlv, "LAYOUT_MATCH")
+                  update(staleC, "TIMEOUT")
+                case "STALE" =>
+                  update(deadC, "TIMEOUT")
+                  update(healthyC, "RESTORE")
+                case "DEAD" =>
+                  update(healthyC, "RESURRECT")
+              }
+            }
+            rows += ((u, ts, if (skipped) 1 else 0, before, state,
+              lastHb, fired.mkString(",")))
+          }
+      }
+      rows
+    }
+    val got = ClusterHealth.nodeHealthFold(
+      T.nodeHealthEvents(spark, sf), T.nodeHealthChecks(spark, sf))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getString(3), r.getString(4), r.getLong(5), r.getString(6)))
+    assert(got.toSeq === expected.toSeq)
+    // the fixture actually exercises the interesting bands
+    val allFired = got.flatMap(_._7.split(",")).filter(_.nonEmpty)
+    assert(allFired.toSet === Set("STALE_NODE", "DEAD_NODE",
+      "HEALTHY_READONLY_NODE", "HEALTHY_READONLY_TO_HEALTHY_NODE"))
+    assert(got.exists(r => r._7.contains(",")), "a double-fire tick")
+    assert(got.exists(_._3 == 1), "a skipped tick")
+    assert(got.count(_._1 == "dn9") == 7, "dn9 joins mid-stream")
+  }
 }
