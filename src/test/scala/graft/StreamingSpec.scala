@@ -228,6 +228,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() >= batch.count() / 2)
   }
 
+  test("streamed node-health ticks == batch nodeHealthFold rows") {
+    val work = java.nio.file.Files.createTempDirectory("graft_hb_")
+      .toString
+    val nodeEvs = Tables.nodeHealthEvents(spark, sf)
+    val checks = Tables.nodeHealthChecks(spark, sf)
+    // the stream consumes the SAME per-node interleaved event rows the
+    // batch fold builds internally (CHECK ticks crossed onto the roster)
+    val all = nodeEvs.unionByName(
+      nodeEvs.filter(col("kind") === "REGISTER").select("uuid").distinct()
+        .crossJoin(checks.select(col("check_ms").as("ts_ms")))
+        .withColumn("kind", lit("CHECK")).withColumn("mlv", lit(-1L))
+        .select("uuid", "ts_ms", "kind", "mlv"))
+    // time-sliced files written sequentially (distinct mtimes): the file
+    // source drains micro-batches in event-time order — the heartbeat
+    // plane is a seq-ordered WAL, this is the §2.9 ordered-replay contract
+    val Seq(mn, mx) = all.agg(min("ts_ms"), max("ts_ms")).head.toSeq
+      .map(_.asInstanceOf[Long])
+    val step = (mx - mn) / 4 + 1
+    (0 until 4).foreach { i =>
+      all.filter(col("ts_ms") >= mn + i * step &&
+        col("ts_ms") < mn + (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+      Thread.sleep(50)
+    }
+    graft.streaming.HeartbeatStream.nodeHealthStream(spark,
+      s"$work/src", s"$work/out", s"$work/ckpt")
+    val got = spark.read.parquet(s"$work/out")
+      .select("uuid", "check_ms", "skipped", "state_before",
+        "state_after", "last_hb_ms", "fired")
+    val want = graft.operators.ClusterHealth.nodeHealthFold(
+      nodeEvs, checks)
+      .select("uuid", "check_ms", "skipped", "state_before",
+        "state_after", "last_hb_ms", "fired")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the carried state actually crossed micro-batch boundaries: dn2's
+    // death and dn4's resurrection happen in different time slices
+    assert(got.filter(col("uuid") === "dn2" &&
+      col("state_after") === "DEAD").count() > 0)
+    assert(got.filter(col("uuid") === "dn4" &&
+      col("fired") === "HEALTHY_READONLY_NODE").count() > 0)
+    graft.streaming.ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(work))
+  }
+
   test("event log is seq-dense and typed") {
     val ev = ChangeLog.events(Tables.objects(spark, sf))
     val n = ev.count()
