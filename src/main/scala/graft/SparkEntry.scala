@@ -975,6 +975,18 @@ object SparkEntry {
     "q_over_replication" -> ((s, d) =>
       ClusterHealth.overReplicationPlan(T.replicas(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    // Ratis under-replication repair plan: empty-QC skip → vulnerable
+    // UNHEALTHY rescue → verify ladder → max-seq source selection →
+    // additionalReplicaNeeded commands.
+    "q_under_replication" -> ((s, d) =>
+      ClusterHealth.underReplicationPlan(T.datanodes(s, d),
+        T.containersScm(s, d))),
+    // Empty-container check: CLOSED all-empty deletes (RATIS BCSID
+    // fence), QUASI_CLOSED empties with the BCSID bump and stable-state
+    // delete targeting, zero-replica closing-stuck EMPTYs.
+    "q_empty_container" -> ((s, d) =>
+      ClusterHealth.emptyContainerCheck(T.datanodes(s, d),
+        T.containersScm(s, d), T.containersOm(s, d))),
     "q_safemode" -> ((s, d) =>
       ClusterHealth.safemodeStatus(T.datanodes(s, d), T.pipelines(s, d),
         T.pipelineMembers(s, d), T.containersScm(s, d), T.replicas(s, d))),
@@ -6907,6 +6919,230 @@ object SparkEntry {
         |  ORDER BY CASE WHEN v.rack = a.a_rack THEN 0
         |    WHEN v.rack = s.n_rack THEN 1 ELSE 2 END, v.pcount, v.uuid
         |  LIMIT 1)""".stripMargin),
+
+    // Empty-container mirror: the shared repair synthesis, per-container
+    // emptiness aggregate, the RATIS BCSID fence and QC BCSID bump.
+    "q_empty_container" -> O.withCtes(
+      """SELECT c.container_id, c.container_state, c.repl_type,
+        |  CASE
+        |    WHEN c.container_state = 'CLOSED'
+        |      AND coalesce(a.n_replicas, 0) > 0
+        |      AND coalesce(a.all_closed_state, 0) = 1
+        |      AND coalesce(a.all_empty, 0) = 1 THEN 'EMPTY_CLOSED'
+        |    WHEN c.container_state = 'QUASI_CLOSED'
+        |      AND coalesce(a.n_replicas, 0) > 0
+        |      AND coalesce(a.all_empty, 0) = 1 THEN 'EMPTY_QUASI_CLOSED'
+        |    WHEN c.container_state = 'CLOSED'
+        |      AND coalesce(k.num_keys, 0) = 0
+        |      AND coalesce(a.n_replicas, 0) = 0
+        |      THEN 'EMPTY_NO_REPLICAS'
+        |    ELSE 'NOT_EMPTY' END AS verdict,
+        |  CAST(CASE
+        |    WHEN c.container_state = 'CLOSED'
+        |      AND coalesce(a.n_replicas, 0) > 0
+        |      AND coalesce(a.all_closed_state, 0) = 1
+        |      AND coalesce(a.all_empty, 0) = 1
+        |      THEN coalesce(a.n_replicas, 0)
+        |    WHEN c.container_state = 'QUASI_CLOSED'
+        |      AND coalesce(a.n_replicas, 0) > 0
+        |      AND coalesce(a.all_empty, 0) = 1
+        |      THEN coalesce(a.n_stable, 0)
+        |    ELSE 0 END AS BIGINT) AS n_delete_cmds,
+        |  CASE
+        |    WHEN c.container_state = 'CLOSED'
+        |      AND coalesce(a.n_replicas, 0) > 0
+        |      AND coalesce(a.all_closed_state, 0) = 1
+        |      AND coalesce(a.all_empty, 0) = 1
+        |      AND (c.repl_type <> 'RATIS'
+        |        OR coalesce(a.any_seq_match, 0) = 1) THEN 'DELETE'
+        |    WHEN c.container_state = 'QUASI_CLOSED'
+        |      AND coalesce(a.n_replicas, 0) > 0
+        |      AND coalesce(a.all_empty, 0) = 1 THEN 'DELETE'
+        |    ELSE 'NONE' END AS transition,
+        |  CAST(CASE
+        |    WHEN c.container_state = 'QUASI_CLOSED'
+        |      AND coalesce(a.n_replicas, 0) > 0
+        |      AND coalesce(a.all_empty, 0) = 1
+        |      THEN GREATEST(coalesce(a.max_replica_seq, c.c_seq), c.c_seq)
+        |    ELSE c.c_seq END AS BIGINT) AS new_bcs
+        |FROM urp_cont c
+        |LEFT JOIN ecc_agg a USING (container_id)
+        |LEFT JOIN containers_om k USING (container_id)
+        |ORDER BY c.container_id""".stripMargin,
+      O.objects, O.containersOm, O.datanodes, O.urpCont, O.urpReps,
+      """ecc_agg AS (
+        |  SELECT container_id, count(*) AS n_replicas,
+        |    min(CASE WHEN is_empty THEN 1 ELSE 0 END) AS all_empty,
+        |    min(CASE WHEN replica_state = 'CLOSED' THEN 1 ELSE 0 END)
+        |      AS all_closed_state,
+        |    sum(CASE WHEN replica_state IN ('CLOSED', 'QUASI_CLOSED')
+        |      THEN 1 ELSE 0 END) AS n_stable,
+        |    max(CASE WHEN seq = c_seq THEN 1 ELSE 0 END)
+        |      AS any_seq_match,
+        |    max(seq) AS max_replica_seq
+        |  FROM urp_rep2 GROUP BY 1)""".stripMargin),
+
+    // Under-replication mirror: the same synthesized replica/pending
+    // dimensions, two-mode RatisContainerReplicaCount math, the verify
+    // ladder and max-seq source selection in SQL.
+    "q_under_replication" -> O.withCtes(
+      """SELECT container_id, container_state, verdict,
+        |  CAST(CASE WHEN verdict IN ('REPLICATE', 'NO_SOURCES')
+        |    THEN needed ELSE 0 END AS BIGINT) AS needed,
+        |  CAST(n_vulnerable AS BIGINT) AS n_vulnerable,
+        |  CAST(CASE WHEN verdict IN ('REPLICATE', 'NO_SOURCES')
+        |    THEN n_sources ELSE 0 END AS BIGINT) AS n_sources,
+        |  CASE WHEN verdict = 'REPLICATE' THEN src_dns ELSE '' END
+        |    AS src_dns,
+        |  CAST(CASE WHEN verdict = 'REPLICATE_VULNERABLE'
+        |      THEN n_vulnerable
+        |    WHEN verdict = 'REPLICATE' THEN needed
+        |    ELSE 0 END AS BIGINT) AS n_commands
+        |FROM (
+        |  SELECT s.*, coalesce(src.n_sources, 0) AS n_sources,
+        |    coalesce(src.src_dns, '') AS src_dns,
+        |    CASE
+        |      WHEN s.n_replicas > 0 AND s.all_empty = 1
+        |        AND s.container_state = 'QUASI_CLOSED'
+        |        THEN 'SKIP_EMPTY_QC'
+        |      WHEN s.n_vulnerable > 0 AND s.n_add >= s.n_vulnerable
+        |        THEN 'SKIP_VULNERABLE_PENDING'
+        |      WHEN s.n_vulnerable > 0 THEN 'REPLICATE_VULNERABLE'
+        |      WHEN s.suff_without_noadd THEN 'NOT_UNDER'
+        |      WHEN s.suff_without_add THEN 'PENDING_FIX'
+        |      WHEN s.n_replicas = 0 THEN 'UNRECOVERABLE'
+        |      WHEN s.suff_with_add AND s.healthy_count = 0
+        |        THEN 'PENDING_UNHEALTHY_FIX'
+        |      WHEN coalesce(src.n_sources, 0) = 0 THEN 'NO_SOURCES'
+        |      ELSE 'REPLICATE' END AS verdict
+        |  FROM urp_calc2 s
+        |  LEFT JOIN urp_src src USING (container_id))
+        |ORDER BY container_id""".stripMargin,
+      O.datanodes, O.urpCont, O.urpReps,
+      """urp_rep2x AS (
+        |  SELECT *,
+        |    (replica_state = 'UNHEALTHY'
+        |      OR (replica_state = 'QUASI_CLOSED'
+        |        AND container_state = 'CLOSED' AND seq <> c_seq)) AS tu,
+        |    op_state IN ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+        |      AS mnt,
+        |    op_state IN ('DECOMMISSIONING', 'DECOMMISSIONED') AS dcm
+        |  FROM urp_rep2)""".stripMargin,
+      """urp_pend AS (
+        |  SELECT container_id,
+        |    CASE WHEN container_id % 31 = 0 OR container_id % 116 = 0
+        |      OR container_id % 118 = 0 THEN 1 ELSE 0 END AS n_add,
+        |    CASE WHEN container_id % 37 = 0
+        |      THEN 'dn' || (container_id % 20) ELSE '' END AS del_dn
+        |  FROM urp_cont)""".stripMargin,
+      """urp_counts AS (
+        |  SELECT container_id, count(*) AS n_replicas,
+        |    min(CASE WHEN is_empty THEN 1 ELSE 0 END) AS all_empty,
+        |    max(CASE WHEN replica_state = 'CLOSED' THEN 1 ELSE 0 END)
+        |      AS has_closed,
+        |    max(CASE WHEN replica_state <> 'UNHEALTHY' THEN 1 ELSE 0
+        |      END) AS any_healthy_state,
+        |    sum(CASE WHEN NOT tu AND NOT mnt AND NOT dcm THEN 1 ELSE 0
+        |      END) AS healthy_is,
+        |    sum(CASE WHEN tu AND NOT mnt AND NOT dcm THEN 1 ELSE 0 END)
+        |      AS unhealthy_is,
+        |    sum(CASE WHEN NOT tu AND mnt THEN 1 ELSE 0 END) AS maint_h,
+        |    sum(CASE WHEN tu AND mnt THEN 1 ELSE 0 END) AS maint_u,
+        |    sum(CASE WHEN NOT tu AND dcm THEN 1 ELSE 0 END) AS decom_h,
+        |    sum(CASE WHEN tu AND dcm THEN 1 ELSE 0 END) AS decom_u
+        |  FROM urp_rep2x GROUP BY 1)""".stripMargin,
+      """urp_vuln AS (
+        |  SELECT r.container_id, count(*) AS n_vuln_raw
+        |  FROM urp_rep2x r
+        |  WHERE r.replica_state = 'UNHEALTHY' AND r.seq = r.c_seq
+        |    AND NOT r.is_empty AND r.node_state = 'HEALTHY'
+        |    AND NOT EXISTS (SELECT 1 FROM urp_rep2x o
+        |      WHERE o.container_id = r.container_id
+        |        AND o.op_state = 'IN_SERVICE'
+        |        AND o.node_state = 'HEALTHY' AND o.seq = o.c_seq
+        |        AND o.origin = r.origin)
+        |  GROUP BY 1)""".stripMargin,
+      """urp_del AS (
+        |  SELECT p.container_id, p.n_add, p.del_dn,
+        |    max(CASE WHEN r.datanode IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS del_on_unhealthy
+        |  FROM urp_pend p
+        |  LEFT JOIN urp_rep2x r ON r.container_id = p.container_id
+        |    AND r.datanode = p.del_dn AND r.tu
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      """urp_calc AS (
+        |  SELECT c.container_id, c.container_state,
+        |    coalesce(k.n_replicas, 0) AS n_replicas,
+        |    coalesce(k.all_empty, 0) AS all_empty,
+        |    coalesce(k.has_closed, 0) AS has_closed,
+        |    d.n_add, d.del_dn,
+        |    CASE WHEN c.container_state = 'QUASI_CLOSED'
+        |      AND coalesce(k.any_healthy_state, 0) = 1
+        |      THEN coalesce(v.n_vuln_raw, 0) ELSE 0 END AS n_vulnerable,
+        |    coalesce(k.healthy_is, 0) + coalesce(k.maint_h, 0)
+        |      + coalesce(k.decom_h, 0) AS healthy_count,
+        |    CASE WHEN d.del_dn <> '' AND d.del_on_unhealthy = 0 THEN 1
+        |      ELSE 0 END AS n_del_without,
+        |    CASE WHEN d.del_dn <> '' THEN 1 ELSE 0 END AS n_del_with,
+        |    CASE WHEN 3 - coalesce(k.healthy_is, 0) < 0
+        |        THEN 3 - coalesce(k.healthy_is, 0)
+        |      WHEN 3 - coalesce(k.healthy_is, 0) > 0
+        |        THEN GREATEST(
+        |          GREATEST(3 - coalesce(k.healthy_is, 0)
+        |            - coalesce(k.maint_h, 0), 0),
+        |          GREATEST(2 - coalesce(k.healthy_is, 0), 0))
+        |      ELSE 0 END AS miss_without,
+        |    CASE WHEN 3 - coalesce(k.healthy_is, 0)
+        |        - coalesce(k.unhealthy_is, 0) < 0
+        |        THEN 3 - coalesce(k.healthy_is, 0)
+        |          - coalesce(k.unhealthy_is, 0)
+        |      WHEN 3 - coalesce(k.healthy_is, 0)
+        |        - coalesce(k.unhealthy_is, 0) > 0
+        |        THEN GREATEST(
+        |          GREATEST(3 - coalesce(k.healthy_is, 0)
+        |            - coalesce(k.unhealthy_is, 0)
+        |            - coalesce(k.maint_h, 0) - coalesce(k.maint_u, 0),
+        |            0),
+        |          GREATEST(2 - coalesce(k.healthy_is, 0)
+        |            - coalesce(k.unhealthy_is, 0), 0))
+        |      ELSE 0 END AS miss_with
+        |  FROM urp_cont c
+        |  LEFT JOIN urp_counts k USING (container_id)
+        |  LEFT JOIN urp_vuln v USING (container_id)
+        |  JOIN urp_del d USING (container_id))""".stripMargin,
+      """urp_calc2 AS (
+        |  SELECT *,
+        |    miss_without + n_del_without <= 0 AS suff_without_noadd,
+        |    miss_without + n_del_without - n_add <= 0
+        |      AS suff_without_add,
+        |    miss_with + n_del_with - n_add <= 0 AS suff_with_add,
+        |    CASE WHEN healthy_count = 0 THEN
+        |      CASE WHEN miss_with < 0 THEN miss_with + n_del_with
+        |        ELSE GREATEST(0, miss_with - n_add + n_del_with) END
+        |    ELSE
+        |      CASE WHEN miss_without < 0
+        |        THEN miss_without + n_del_without
+        |        ELSE GREATEST(0, miss_without - n_add + n_del_without)
+        |        END
+        |    END AS needed
+        |  FROM urp_calc)""".stripMargin,
+      """urp_src AS (
+        |  SELECT container_id, count(*) AS n_sources,
+        |    string_agg(datanode, ',' ORDER BY datanode) AS src_dns
+        |  FROM (
+        |    SELECT r.container_id, r.datanode, r.seq,
+        |      max(r.seq) OVER (PARTITION BY r.container_id) AS max_seq
+        |    FROM urp_rep2x r
+        |    JOIN urp_calc s USING (container_id)
+        |    WHERE (r.replica_state = 'CLOSED'
+        |        OR (r.replica_state = 'QUASI_CLOSED'
+        |          AND (s.has_closed = 0
+        |            OR r.container_state = 'QUASI_CLOSED'))
+        |        OR (r.replica_state = 'UNHEALTHY'
+        |          AND s.healthy_count = 0))
+        |      AND r.node_state = 'HEALTHY'
+        |      AND (s.del_dn = '' OR r.datanode <> s.del_dn))
+        |  WHERE seq = max_seq GROUP BY 1)""".stripMargin),
 
     // Over-replication mirror: the same staged windows in SQL — origin
     // ranks, mismatch positions, surviving-set rack counts.

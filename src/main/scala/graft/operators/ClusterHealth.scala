@@ -1602,6 +1602,379 @@ object ClusterHealth {
    * scan, one count agg per container; the queue window runs on the
    * under-replicated survivors only (control-plane-sized).
    */
+  /**
+   * Ratis under-replication repair plan — the decision core of
+   * `RatisUnderReplicationHandler.processAndSendCommands`
+   * (`hadoop-hdds/server-scm/.../replication/RatisUnderReplicationHandler.java:84-167`)
+   * with the exact counting semantics of `RatisContainerReplicaCount`
+   * (`RatisContainerReplicaCount.java:141-180` countReplicas,
+   * `:356-374` missingReplicas with the maintenance discount and the
+   * `minHealthyForMaintenance = min(rf, 2)` floor, `:608-618`
+   * redundancyDelta, `:536-540` isSufficientlyReplicated(pendingAdd)).
+   * One verdict row per live container:
+   *
+   *   1. all replicas empty on a QUASI_CLOSED container ⇒ SKIP_EMPTY_QC
+   *      (EmptyContainerHandler owns deletion, :93-98);
+   *   2. vulnerable UNHEALTHY replicas (QUASI_CLOSED container with a
+   *      healthy/unhealthy mix; UNHEALTHY, non-empty, sequence-matched
+   *      replicas on healthy-but-LEAVING nodes whose origin has no other
+   *      sequence-matched copy on an IN_SERVICE node,
+   *      `RatisContainerReplicaCount.getVulnerableUnhealthyReplicas`
+   *      :466-523) ⇒ each is replicated off the leaving node
+   *      (REPLICATE_VULNERABLE, one command per source :176-207), unless
+   *      pending adds already cover them ⇒ SKIP_VULNERABLE_PENDING
+   *      (:196-200);
+   *   3. verifyUnderReplication (:316-357) in reference order:
+   *      NOT_UNDER (sufficient without unhealthy), PENDING_FIX
+   *      (sufficient once pending adds land), UNRECOVERABLE (zero
+   *      replicas), PENDING_UNHEALTHY_FIX (only-UNHEALTHY copies
+   *      sufficient after pending adds); the surviving counting mode is
+   *      withoutUnhealthy when any healthy copy exists, else
+   *      withUnhealthy (:352-356);
+   *   4. sources (:370-443): CLOSED replicas, plus QUASI_CLOSED when no
+   *      CLOSED copy exists or the container itself is QUASI_CLOSED,
+   *      plus UNHEALTHY when there are no healthy copies at all; the
+   *      node must be HEALTHY and not pending replica deletion; only the
+   *      max-sequence-id sources survive (stale copies are never
+   *      sources). none ⇒ NO_SOURCES (:127-131);
+   *   5. else REPLICATE with additionalReplicaNeeded commands (:149-166;
+   *      target choice itself is q_replica_placement's rack-aware walk).
+   *
+   * Pending-op bookkeeping mirrors :120-136: a pending DELETE on a DN
+   * whose replica is UNHEALTHY is only counted when unhealthy copies are
+   * being considered.
+   *
+   * Fixture: the shared replica synthesis (Tables.replicas) re-derived
+   * with its ordinal kept and extended deterministically — %53 empty
+   * QUASI_CLOSED, %58 (⊂ %29) QUASI_CLOSED with the UNHEALTHY copy, %119
+   * QUASI_CLOSED, %59 all-UNHEALTHY, %61 zero replicas, %67 CLOSING
+   * (mismatched-but-healthy), %43 stale first copy (seq-1), pending ADD
+   * on %31/%116/%118, pending DELETE of the first copy on %37.
+   *
+   * Scale shape: two hash aggregates over the replica map (counts, then
+   * source selection) re-joined through the broadcast container spine; the
+   * node dim broadcasts; no windows over data-plane rows.
+   */
+  /** Shared container spine for the replication-repair fixtures:
+    * %53/%58/%119 QUASI_CLOSED, BCSID = id*100, EC type on %188. */
+  private def urpContainers(containersScm: DataFrame): DataFrame =
+    containersScm.filter(col("state") =!= "DELETED")
+      .withColumn("container_state",
+        when(col("container_id") % 53 === 0 ||
+          col("container_id") % 58 === 0 ||
+          col("container_id") % 119 === 0, lit("QUASI_CLOSED"))
+          .otherwise(lit("CLOSED")))
+      .withColumn("c_seq", col("container_id") * 100L)
+      .withColumn("repl_type",
+        when(col("container_id") % 188 === 0, lit("EC"))
+          .otherwise(lit("RATIS")))
+      .select("container_id", "container_state", "replication_factor",
+        "c_seq", "repl_type")
+
+  /** Shared replica synthesis for the replication-repair fixtures:
+    * Tables.replicas re-derived with its ordinal kept, extended with the
+    * repair dimensions — %59 all-UNHEALTHY, %29 one UNHEALTHY, %67/%106
+    * CLOSING, %61/%89 zero replicas, %43 stale first copy, %94 all
+    * stale, %212 one copy AHEAD of the container BCSID, %53/%47 all
+    * empty, per-replica origin, node dim joined. */
+  private def urpReplicas(cont: DataFrame, datanodes: DataFrame)
+      : DataFrame = {
+    val spark = datanodes.sparkSession
+    val dn = datanodes.select(col("uuid").as("datanode"),
+      col("state").as("node_state"), col("op_state"))
+    val c = col("container_id")
+    cont.crossJoin(spark.range(4).toDF("r"))
+      .filter(
+        (col("r") <= 2 && !(c % 13 === 0 && col("r") === 2)) ||
+          (col("r") === 3 && c % 17 === 0))
+      .filter(c % 61 =!= 0 && c % 89 =!= 0)
+      .withColumn("dn_num",
+        (c + when(c % 23 === 0, col("r") * 5).otherwise(col("r"))) % 20)
+      .withColumn("datanode", concat(lit("dn"), col("dn_num").cast("string")))
+      .withColumn("replica_state",
+        when(c % 59 === 0, lit("UNHEALTHY"))
+          .when(c % 29 === 0 && col("r") === 1, lit("UNHEALTHY"))
+          .when(c % 67 === 0 || c % 106 === 0, lit("CLOSING"))
+          .when(col("container_state") === "QUASI_CLOSED",
+            lit("QUASI_CLOSED"))
+          .otherwise(lit("CLOSED")))
+      .withColumn("seq",
+        col("c_seq") - when((col("r") === 0 && c % 43 === 0) ||
+          c % 94 === 0, 1L).otherwise(0L) +
+          when(col("r") === 1 && c % 212 === 0, 2L).otherwise(0L))
+      .withColumn("is_empty",
+        (c % 53 === 0 || c % 47 === 0).cast("boolean"))
+      .withColumn("origin",
+        concat(lit("dn"), ((c + col("r")) % 20).cast("string")))
+      .join(broadcast(dn), Seq("datanode"))
+  }
+
+  def underReplicationPlan(datanodes: DataFrame,
+                           containersScm: DataFrame): DataFrame = {
+    val minHealthyForMaintenance = 2
+    val cont = urpContainers(containersScm)
+    val c = col("container_id")
+    val reps = urpReplicas(cont, datanodes)
+    // pending ops (ContainerReplicaOp): ADD %31/%116/%118, DELETE of the
+    // first copy on %37
+    val pendingDelDn = concat(lit("dn"), (c % 20).cast("string"))
+    val pend = cont.select(col("container_id"),
+      when(c % 31 === 0 || c % 116 === 0 || c % 118 === 0, 1L)
+        .otherwise(0L).as("n_add"),
+      when(c % 37 === 0, pendingDelDn).otherwise(lit("")).as("del_dn"))
+    // the UNHEALTHY-replica DNs (delete-count gating, :106-118)
+    val unhealthyFlag = col("replica_state") === "UNHEALTHY"
+    // QC-replica-on-CLOSED-container with a stale sequence is treated
+    // unhealthy too (RatisContainerReplicaCount.java:146-153)
+    val treatedUnhealthy = unhealthyFlag ||
+      (col("replica_state") === "QUASI_CLOSED" &&
+        col("container_state") === "CLOSED" && col("seq") =!= col("c_seq"))
+    val isLeaving = col("op_state") =!= "IN_SERVICE"
+    val isMaint = col("op_state").isin("IN_MAINTENANCE",
+      "ENTERING_MAINTENANCE")
+    val isDecom = col("op_state").isin("DECOMMISSIONING", "DECOMMISSIONED")
+    val counts = reps.groupBy("container_id")
+      .agg(
+        count(lit(1)).as("n_replicas"),
+        min(col("is_empty").cast("int")).as("all_empty"),
+        max((col("replica_state") === "CLOSED").cast("int"))
+          .as("has_closed"),
+        max((col("replica_state") =!= "UNHEALTHY").cast("int"))
+          .as("any_healthy_state"),
+        sum(when(!treatedUnhealthy && !isMaint && !isDecom, 1L)
+          .otherwise(0L)).as("healthy_is"),
+        sum(when(treatedUnhealthy && !isMaint && !isDecom, 1L)
+          .otherwise(0L)).as("unhealthy_is"),
+        sum(when(!treatedUnhealthy && isMaint, 1L).otherwise(0L))
+          .as("maint_h"),
+        sum(when(treatedUnhealthy && isMaint, 1L).otherwise(0L))
+          .as("maint_u"),
+        sum(when(!treatedUnhealthy && isDecom, 1L).otherwise(0L))
+          .as("decom_h"),
+        sum(when(treatedUnhealthy && isDecom, 1L).otherwise(0L))
+          .as("decom_u"),
+        // pending-delete targets holding an UNHEALTHY replica
+        collect_set(when(treatedUnhealthy, col("datanode")))
+          .as("unhealthy_dns"),
+        // origins with a sequence-matched copy on an IN_SERVICE healthy
+        // node (the vulnerable-origin probe, :513-521)
+        collect_set(when(col("op_state") === "IN_SERVICE" &&
+          col("node_state") === "HEALTHY" && col("seq") === col("c_seq"),
+          col("origin"))).as("inservice_origins"))
+    val vulnerable = reps
+      .join(counts.select("container_id", "inservice_origins"),
+        Seq("container_id"))
+      .filter(unhealthyFlag && col("seq") === col("c_seq") &&
+        !col("is_empty") && col("node_state") === "HEALTHY" &&
+        !array_contains(col("inservice_origins"), col("origin")))
+      .groupBy("container_id")
+      .agg(count(lit(1)).as("n_vuln_raw"))
+    // per-container scalar plan inputs
+    val base = cont
+      .join(counts.drop("inservice_origins"), Seq("container_id"), "left")
+      .join(broadcast(vulnerable), Seq("container_id"), "left")
+      .join(broadcast(pend), Seq("container_id"), "left")
+      .na.fill(0L, Seq("n_replicas", "all_empty", "has_closed",
+        "any_healthy_state", "healthy_is", "unhealthy_is", "maint_h",
+        "maint_u", "decom_h", "decom_u", "n_vuln_raw", "n_add"))
+      .withColumn("del_on_unhealthy",
+        col("del_dn") =!= "" &&
+          coalesce(array_contains(col("unhealthy_dns"), col("del_dn")),
+            lit(false)))
+      .withColumn("n_del_without",
+        when(col("del_dn") =!= "" && !col("del_on_unhealthy"), 1L)
+          .otherwise(0L))
+      .withColumn("n_del_with",
+        when(col("del_dn") =!= "", 1L).otherwise(0L))
+      // mixed healthy/unhealthy gate for the vulnerable path (:472-489;
+      // foundHealthy keys on replica STATE, not node classification)
+      .withColumn("n_vulnerable",
+        when(col("container_state") === "QUASI_CLOSED" &&
+          col("any_healthy_state") === 1, col("n_vuln_raw"))
+          .otherwise(0L))
+    def missing(avail: Column, maint: Column): Column = {
+      val delta = col("replication_factor") - avail
+      when(delta < 0, delta).otherwise(
+        when(delta > 0,
+          greatest(greatest(delta - maint, lit(0L)),
+            greatest(lit(minHealthyForMaintenance.toLong) - avail,
+              lit(0L))))
+          .otherwise(lit(0L)))
+    }
+    val availWithout = col("healthy_is")
+    val availWith = col("healthy_is") + col("unhealthy_is")
+    val maintWithout = col("maint_h")
+    val maintWith = col("maint_h") + col("maint_u")
+    val staged = base
+      .withColumn("miss_without", missing(availWithout, maintWithout))
+      .withColumn("miss_with", missing(availWith, maintWith))
+      // healthy count (in-service + decommission + maintenance,
+      // unhealthy never counted, :192-195) — identical in both modes
+      .withColumn("healthy_count",
+        col("healthy_is") + col("maint_h") + col("decom_h"))
+      // redundancyDelta(includeDel=true, includeAdd)
+      .withColumn("suff_without_noadd",
+        col("miss_without") + col("n_del_without") <= 0)
+      .withColumn("suff_without_add",
+        col("miss_without") + col("n_del_without") - col("n_add") <= 0)
+      .withColumn("suff_with_add",
+        col("miss_with") + col("n_del_with") - col("n_add") <= 0)
+      .withColumn("use_with", col("healthy_count") === 0)
+      .withColumn("needed",
+        when(col("use_with"),
+          when(col("miss_with") < 0, col("miss_with") + col("n_del_with"))
+            .otherwise(greatest(lit(0L),
+              col("miss_with") - col("n_add") + col("n_del_with"))))
+          .otherwise(
+            when(col("miss_without") < 0,
+              col("miss_without") + col("n_del_without"))
+              .otherwise(greatest(lit(0L),
+                col("miss_without") - col("n_add") +
+                  col("n_del_without")))))
+    // source selection (:370-443) over the replica rows
+    val srcPred = (col("replica_state") === "CLOSED") ||
+      (col("replica_state") === "QUASI_CLOSED" &&
+        (col("has_closed") === 0 ||
+          col("container_state") === "QUASI_CLOSED")) ||
+      (col("replica_state") === "UNHEALTHY" && col("healthy_count") === 0)
+    val sources = reps
+      .join(staged.select("container_id", "has_closed", "healthy_count"),
+        Seq("container_id"))
+      .join(broadcast(pend.select("container_id", "del_dn")),
+        Seq("container_id"), "left")
+      .filter(srcPred && col("node_state") === "HEALTHY" &&
+        (col("del_dn").isNull || col("datanode") =!= col("del_dn")))
+      .withColumn("max_seq",
+        max("seq").over(Window.partitionBy("container_id")))
+      .filter(col("seq") === col("max_seq"))
+      .groupBy("container_id")
+      .agg(count(lit(1)).as("n_sources"),
+        concat_ws(",", sort_array(collect_list(col("datanode"))))
+          .as("src_dns"))
+    staged
+      .join(broadcast(sources), Seq("container_id"), "left")
+      .na.fill(0L, Seq("n_sources")).na.fill("", Seq("src_dns"))
+      .withColumn("verdict",
+        when(col("n_replicas") > 0 && col("all_empty") === 1 &&
+          col("container_state") === "QUASI_CLOSED",
+          lit("SKIP_EMPTY_QC"))
+          .when(col("n_vulnerable") > 0 &&
+            col("n_add") >= col("n_vulnerable"),
+            lit("SKIP_VULNERABLE_PENDING"))
+          .when(col("n_vulnerable") > 0, lit("REPLICATE_VULNERABLE"))
+          .when(col("suff_without_noadd"), lit("NOT_UNDER"))
+          .when(col("suff_without_add"), lit("PENDING_FIX"))
+          .when(col("n_replicas") === 0, lit("UNRECOVERABLE"))
+          .when(col("suff_with_add") && col("healthy_count") === 0,
+            lit("PENDING_UNHEALTHY_FIX"))
+          .when(col("n_sources") === 0, lit("NO_SOURCES"))
+          .otherwise(lit("REPLICATE")))
+      .withColumn("n_commands",
+        when(col("verdict") === "REPLICATE_VULNERABLE",
+          col("n_vulnerable"))
+          .when(col("verdict") === "REPLICATE", col("needed"))
+          .otherwise(lit(0L)))
+      .withColumn("needed",
+        when(col("verdict").isin("REPLICATE", "NO_SOURCES"), col("needed"))
+          .otherwise(lit(0L)))
+      .withColumn("src_dns",
+        when(col("verdict") === "REPLICATE", col("src_dns"))
+          .otherwise(lit("")))
+      .withColumn("n_sources",
+        when(col("verdict").isin("REPLICATE", "NO_SOURCES"),
+          col("n_sources")).otherwise(lit(0L)))
+      .select("container_id", "container_state", "verdict", "needed",
+        "n_vulnerable", "n_sources", "src_dns", "n_commands")
+      .orderBy("container_id")
+  }
+
+  /**
+   * Empty-container health check — `EmptyContainerHandler.handle`
+   * (`hadoop-hdds/server-scm/.../replication/health/EmptyContainerHandler.java:55-126`):
+   *
+   *   - CLOSED container whose replicas are ALL state-CLOSED and empty
+   *     (`isContainerEmptyAndClosed:139-146` — key count is NOT consulted,
+   *     usedBytes can carry orphaned chunks) ⇒ EMPTY_CLOSED: every
+   *     replica gets a delete command, and the container transitions
+   *     DELETE — unless it is RATIS and NO replica BCSID matches the
+   *     container's (:67-73, resurrection fencing): replicas are still
+   *     deleted but the state stays (transition NONE; EC containers skip
+   *     the fence);
+   *   - QUASI_CLOSED container with ALL replicas empty in ANY state
+   *     (`isContainerEmptyAndQuasiClosed:157-163`) ⇒ EMPTY_QUASI_CLOSED:
+   *     the container BCSID is first bumped to the max replica BCSID if
+   *     that is higher (:76-87, so resurrection sees the right fence),
+   *     the DELETE transition fires, and delete commands go only to
+   *     replicas in stable QUASI_CLOSED/CLOSED states (:175-185 —
+   *     OPEN/CLOSING/UNHEALTHY copies are retried later);
+   *   - CLOSED container with zero keys and zero replicas (:109-122, a
+   *     closing-stuck container that never materialized) ⇒
+   *     EMPTY_NO_REPLICAS: reported EMPTY, no commands, state kept;
+   *   - anything else ⇒ NOT_EMPTY.
+   *
+   * Fixture: the shared repair synthesis — %47 empty CLOSED, %94 all
+   * replicas stale (RATIS fence holds), %188 (⊂ %94) EC (fence
+   * skipped), %53 empty QUASI_CLOSED, %106 (⊂ %53) CLOSING copies
+   * (deletes deferred), %89 zero replicas with the OM key rollup
+   * (containersOm drops %89 ⇒ zero keys).
+   *
+   * Scale shape: one hash aggregate over the replica map joined through
+   * the broadcast container spine + the broadcast OM key rollup.
+   */
+  def emptyContainerCheck(datanodes: DataFrame, containersScm: DataFrame,
+                          containersOm: DataFrame): DataFrame = {
+    val cont = urpContainers(containersScm)
+    val reps = urpReplicas(cont, datanodes)
+    val agg = reps.groupBy("container_id")
+      .agg(
+        count(lit(1)).as("n_replicas"),
+        min(col("is_empty").cast("int")).as("all_empty"),
+        min((col("replica_state") === "CLOSED").cast("int"))
+          .as("all_closed_state"),
+        sum(when(col("replica_state").isin("CLOSED", "QUASI_CLOSED"), 1L)
+          .otherwise(0L)).as("n_stable"),
+        max(when(col("seq") === col("c_seq"), 1).otherwise(0))
+          .as("any_seq_match"),
+        max("seq").as("max_replica_seq"))
+    val keys = containersOm.select(col("container_id"),
+      col("num_keys"))
+    cont
+      .join(broadcast(agg), Seq("container_id"), "left")
+      .join(broadcast(keys), Seq("container_id"), "left")
+      .na.fill(0L, Seq("n_replicas", "all_empty", "all_closed_state",
+        "n_stable", "any_seq_match", "num_keys"))
+      .withColumn("empty_closed",
+        col("container_state") === "CLOSED" && col("n_replicas") > 0 &&
+          col("all_closed_state") === 1 && col("all_empty") === 1)
+      .withColumn("empty_qc",
+        col("container_state") === "QUASI_CLOSED" &&
+          col("n_replicas") > 0 && col("all_empty") === 1)
+      .withColumn("verdict",
+        when(col("empty_closed"), lit("EMPTY_CLOSED"))
+          .when(col("empty_qc"), lit("EMPTY_QUASI_CLOSED"))
+          .when(col("container_state") === "CLOSED" &&
+            col("num_keys") === 0 && col("n_replicas") === 0,
+            lit("EMPTY_NO_REPLICAS"))
+          .otherwise(lit("NOT_EMPTY")))
+      .withColumn("n_delete_cmds",
+        when(col("empty_closed"), col("n_replicas"))
+          .when(col("empty_qc"), col("n_stable"))
+          .otherwise(lit(0L)))
+      .withColumn("transition",
+        when(col("empty_closed") &&
+          (col("repl_type") =!= "RATIS" || col("any_seq_match") === 1),
+          lit("DELETE"))
+          .when(col("empty_qc"), lit("DELETE"))
+          .otherwise(lit("NONE")))
+      .withColumn("new_bcs",
+        when(col("empty_qc"),
+          greatest(col("max_replica_seq"), col("c_seq")))
+          .otherwise(col("c_seq")))
+      .select("container_id", "container_state", "repl_type", "verdict",
+        "n_delete_cmds", "transition", "new_bcs")
+      .orderBy("container_id")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),

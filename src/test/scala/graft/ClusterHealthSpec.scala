@@ -907,4 +907,88 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got.exists(_._3 == 1), "a skipped tick")
     assert(got.count(_._1 == "dn9") == 7, "dn9 joins mid-stream")
   }
+
+  test("underReplicationPlan: handler rungs hand-derived on fixture math") {
+    val plan = ClusterHealth.underReplicationPlan(
+      T.datanodes(spark, sf), T.containersScm(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") -> r).toMap
+    def v(c: Long) = plan(c).getAs[String]("verdict")
+    // 290 = 58*5: QUASI_CLOSED, its UNHEALTHY copy sits on dn11
+    // (IN_MAINTENANCE, healthy) with a unique origin → vulnerable rescue
+    assert(v(290) === "REPLICATE_VULNERABLE")
+    assert(plan(290).getAs[Long]("n_commands") === 1L)
+    // 464 = 58*8 ∩ 116*4: same shape but a pending add covers it
+    assert(v(464) === "SKIP_VULNERABLE_PENDING")
+    // 58 itself: the UNHEALTHY copy is on an IN_SERVICE healthy node →
+    // its own origin is safe → plain under-replication of the QC pair
+    assert(v(58) === "REPLICATE")
+    assert(plan(58).getAs[Long]("needed") === 1L)
+    // 106 = 2*53: QUASI_CLOSED with every replica empty → the
+    // EmptyContainerHandler owns it
+    assert(v(106) === "SKIP_EMPTY_QC")
+    // 403 = 13*31: one copy short but a pending add lands
+    assert(v(403) === "PENDING_FIX")
+    // 122 = 2*61: zero replicas
+    assert(v(122) === "UNRECOVERABLE")
+    // 59: all three copies UNHEALTHY — already "sufficient" counting them
+    assert(v(59) === "PENDING_UNHEALTHY_FIX")
+    // 767 = 13*59: two UNHEALTHY copies only → UNHEALTHY sources allowed
+    assert(v(767) === "REPLICATE")
+    assert(plan(767).getAs[Long]("n_sources") === 2L)
+    // 871 = 13*67: two CLOSING copies — healthy but never sources
+    assert(v(871) === "NO_SOURCES")
+    // 559 = 13*43: the first copy is a stale BCSID → only dn0 sources
+    assert(v(559) === "REPLICATE")
+    assert(plan(559).getAs[String]("src_dns") === "dn0")
+    // 481 = 13*37: pending delete of dn1 excludes it from sources AND
+    // raises the needed count (delete assumed to complete)
+    assert(v(481) === "REPLICATE")
+    assert(plan(481).getAs[String]("src_dns") === "dn2")
+    assert(plan(481).getAs[Long]("needed") === 3L)
+    // fully replicated containers fall through to NOT_UNDER; copies on
+    // DECOMMISSIONING nodes get NO availability discount (maintenance
+    // does, missingReplicas :360-368), so the decom nodes' containers
+    // legitimately re-replicate — both classes are populous
+    assert(plan.values.count(
+      _.getAs[String]("verdict") == "NOT_UNDER") > 400)
+    assert(plan.values.count(
+      _.getAs[String]("verdict") == "REPLICATE") > 300)
+  }
+
+  test("emptyContainerCheck: fences, bumps and stable-state targeting") {
+    val got = ClusterHealth.emptyContainerCheck(T.datanodes(spark, sf),
+      T.containersScm(spark, sf), T.containersOm(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") -> r).toMap
+    def v(c: Long) = got(c).getAs[String]("verdict")
+    // 47: CLOSED, all copies CLOSED+empty, BCSIDs match → full delete
+    assert(v(47) === "EMPTY_CLOSED")
+    assert(got(47).getAs[String]("transition") === "DELETE")
+    assert(got(47).getAs[Long]("n_delete_cmds") === 3L)
+    // 94 = 2*47: every BCSID is stale → RATIS resurrection fence holds:
+    // replicas deleted, container state kept
+    assert(v(94) === "EMPTY_CLOSED")
+    assert(got(94).getAs[String]("transition") === "NONE")
+    assert(got(94).getAs[Long]("n_delete_cmds") === 3L)
+    // 188 = 4*47 ⊂ 94: same stale BCSIDs but EC skips the fence
+    assert(v(188) === "EMPTY_CLOSED")
+    assert(got(188).getAs[String]("transition") === "DELETE")
+    // 53: QUASI_CLOSED all-empty → delete with stable-state targets
+    assert(v(53) === "EMPTY_QUASI_CLOSED")
+    assert(got(53).getAs[Long]("n_delete_cmds") === 3L)
+    assert(got(53).getAs[Long]("new_bcs") === 5300L)
+    // 106 = 2*53: copies still CLOSING → deletes deferred, DELETE fires
+    assert(v(106) === "EMPTY_QUASI_CLOSED")
+    assert(got(106).getAs[Long]("n_delete_cmds") === 0L)
+    assert(got(106).getAs[String]("transition") === "DELETE")
+    // 212 = 4*53: one replica BCSID is AHEAD → container BCSID bumped
+    assert(v(212) === "EMPTY_QUASI_CLOSED")
+    assert(got(212).getAs[Long]("new_bcs") === 21202L)
+    // 89: zero replicas and zero OM keys — closing-stuck EMPTY, kept
+    assert(v(89) === "EMPTY_NO_REPLICAS")
+    assert(got(89).getAs[String]("transition") === "NONE")
+    assert(got(89).getAs[Long]("n_delete_cmds") === 0L)
+    // the bulk is NOT_EMPTY
+    assert(got.values.count(
+      _.getAs[String]("verdict") == "NOT_EMPTY") > 800)
+  }
 }
