@@ -963,6 +963,16 @@ object SparkEntry {
     "q_qcs_replicas" -> ((s, d) =>
       ClusterHealth.quasiClosedStuckCount(T.replicas(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    // QCS under-replication handler: empty skip → pending-add park →
+    // per-origin deltas summed into the command count.
+    "q_qcs_under_replication" -> ((s, d) =>
+      ClusterHealth.qcsUnderReplicationPlan(T.replicas(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
+    // QCS over-replication handler: pending-delete park → node-health
+    // filter → per-origin excess → dn-ordered delete picks.
+    "q_qcs_over_replication" -> ((s, d) =>
+      ClusterHealth.qcsOverReplicationPlan(T.replicas(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -6860,6 +6870,79 @@ object SparkEntry {
         |      AND c.state <> 'DELETED' AND c.container_id % 119 = 0
         |    JOIN datanodes d ON d.uuid = r.datanode
         |    WINDOW w AS (PARTITION BY r.container_id)))""".stripMargin),
+
+    // QCS under-replication handler mirror: per-origin deltas folded,
+    // empty/pending parks in reference order.
+    "q_qcs_under_replication" -> O.withCtes(
+      """SELECT container_id,
+        |  CASE WHEN container_id % 238 = 0 THEN 'SKIP_EMPTY'
+        |    WHEN container_id % 357 = 0 THEN 'SKIP_PENDING_ADD'
+        |    WHEN req = 0 THEN 'NOT_UNDER'
+        |    ELSE 'REPLICATE' END AS verdict,
+        |  CAST(CASE WHEN container_id % 238 = 0
+        |    OR container_id % 357 = 0 OR req = 0
+        |    THEN 0 ELSE req END AS BIGINT) AS n_required,
+        |  CAST(CASE WHEN container_id % 238 = 0
+        |    OR container_id % 357 = 0 OR req = 0
+        |    THEN 0 ELSE n_under END AS BIGINT) AS n_origins_under
+        |FROM (
+        |  SELECT container_id, sum(under_delta) AS req,
+        |    sum(CASE WHEN under_delta > 0 THEN 1 ELSE 0 END) AS n_under
+        |  FROM qcsu_po GROUP BY 1)
+        |ORDER BY container_id""".stripMargin,
+      O.containersScm, O.replicas, O.datanodes, O.qcsRows,
+      O.qcsPerOriginSql("qcsu_po", "qcs_rows")),
+
+    // QCS over-replication handler mirror: injected moved copy, the
+    // node-health filter, filtered per-origin excess, dn-ordered picks.
+    "q_qcs_over_replication" -> O.withCtes(
+      """SELECT c.container_id,
+        |  CASE WHEN c.container_id % 357 = 0 THEN 'SKIP_PENDING_DELETE'
+        |    WHEN coalesce(p.n_commands, 0) > 0 THEN 'DELETE'
+        |    ELSE 'NOT_OVER' END AS verdict,
+        |  CAST(CASE WHEN c.container_id % 357 = 0 THEN 0
+        |    ELSE coalesce(p.n_commands, 0) END AS BIGINT) AS n_commands,
+        |  CASE WHEN c.container_id % 357 = 0 THEN ''
+        |    ELSE coalesce(p.del_dns, '') END AS del_dns
+        |FROM containers_scm c
+        |LEFT JOIN qcso_picks p USING (container_id)
+        |WHERE c.state <> 'DELETED' AND c.container_id % 119 = 0
+        |ORDER BY c.container_id""".stripMargin,
+      O.containersScm, O.replicas, O.datanodes, O.qcsRows,
+      """qcso_dup AS (
+        |  SELECT 'dn' || ((container_id + 9) % 20) AS datanode,
+        |    container_id, replica_state, seq - 50 AS seq, origin,
+        |    healthy
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY container_id
+        |      ORDER BY datanode) AS rk FROM qcs_rows)
+        |  WHERE rk = 2 AND container_id % 238 = 0)""".stripMargin,
+      """qcso_all AS (
+        |  SELECT container_id, datanode, seq, origin, healthy,
+        |    in_service, maint, node_state
+        |  FROM qcs_rows
+        |  UNION ALL
+        |  SELECT p.container_id, p.datanode, p.seq, p.origin, p.healthy,
+        |    d.op_state = 'IN_SERVICE' AS in_service,
+        |    d.op_state IN ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+        |      AS maint,
+        |    d.state AS node_state
+        |  FROM qcso_dup p JOIN datanodes d ON d.uuid = p.datanode)""".stripMargin,
+      """qcso_filt AS (
+        |  SELECT * FROM qcso_all WHERE node_state = 'HEALTHY')""".stripMargin,
+      O.qcsPerOriginSql("qcso_po", "qcso_filt"),
+      """qcso_picks AS (
+        |  SELECT container_id, count(*) AS n_commands,
+        |    string_agg(datanode, ',' ORDER BY datanode) AS del_dns
+        |  FROM (
+        |    SELECT f.container_id, f.datanode,
+        |      row_number() OVER (PARTITION BY f.container_id, f.origin
+        |        ORDER BY f.datanode) AS rk,
+        |      o.over_delta
+        |    FROM qcso_filt f
+        |    JOIN qcso_po o ON o.container_id = f.container_id
+        |      AND o.origin = f.origin AND o.over_delta > 0
+        |    WHERE f.in_service)
+        |  WHERE rk <= over_delta GROUP BY 1)""".stripMargin),
 
     // Pipeline-create mirror: viable CTE + three ORDER-BY-LIMIT-1 picks.
     "q_pipeline_create" -> O.withCtes(

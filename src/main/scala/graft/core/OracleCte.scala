@@ -427,6 +427,64 @@ object OracleCte {
   // ---- cluster-health mirrors (datanodes / pipelines / deleted dirs) ----
 
   /** datanodes (mirror of Tables.datanodes). */
+  /** QCS stuck-replica rows (mirror of ClusterHealth.qcsBase): %119
+    * stuck subset, per-dn BCSIDs, moved-copy origins, node classes. */
+  val qcsRows: String =
+    """qcs_rows AS (
+      |  SELECT r.container_id, r.datanode, r.replica_state,
+      |    r.container_id * 100 +
+      |      CAST(substr(r.datanode, 3, 10) AS BIGINT) AS seq,
+      |    CASE WHEN r.container_id % 3 = 0
+      |        THEN min(r.datanode) OVER w
+      |      WHEN r.datanode = max(r.datanode) OVER w
+      |        THEN min(r.datanode) OVER w
+      |      ELSE r.datanode END AS origin,
+      |    r.replica_state <> 'UNHEALTHY' AS healthy,
+      |    d.op_state = 'IN_SERVICE' AS in_service,
+      |    d.op_state IN ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+      |      AS maint,
+      |    d.state AS node_state
+      |  FROM replicas r
+      |  JOIN containers_scm c ON c.container_id = r.container_id
+      |    AND c.state <> 'DELETED' AND c.container_id % 119 = 0
+      |  JOIN datanodes d ON d.uuid = r.datanode
+      |  WINDOW w AS (PARTITION BY r.container_id))""".stripMargin
+
+  /** Per-(container, origin) QCS accounting over a rows CTE (mirror of
+    * ClusterHealth.qcsPerOrigin with best=2/other=1/minMaint=2). */
+  def qcsPerOriginSql(cteName: String, src: String): String =
+    s"""$cteName AS (
+       |  SELECT *,
+       |    CASE WHEN n_origins = 1 THEN
+       |      CASE WHEN n_maintenance > 0
+       |        THEN greatest(2 - n_in_service, 0)
+       |        ELSE greatest(3 - n_in_service, 0) END
+       |    ELSE CASE WHEN n_in_service < target THEN
+       |      CASE WHEN n_maintenance > 0 THEN
+       |        CASE WHEN n_in_service = 0 THEN 1 ELSE 0 END
+       |      ELSE target - n_in_service END
+       |    ELSE 0 END END AS under_delta,
+       |    greatest(n_in_service - target, 0) AS over_delta
+       |  FROM (
+       |    SELECT *,
+       |      count(*) OVER (PARTITION BY container_id) AS n_origins,
+       |      CASE WHEN n_origins_pre = 1 THEN 3
+       |        WHEN is_best THEN 2 ELSE 1 END AS target
+       |    FROM (
+       |      SELECT container_id, origin, count(*) AS n_replicas,
+       |        sum(CASE WHEN in_service THEN 1 ELSE 0 END)
+       |          AS n_in_service,
+       |        sum(CASE WHEN maint THEN 1 ELSE 0 END) AS n_maintenance,
+       |        max(CASE WHEN healthy AND seq = max_healthy_seq
+       |          THEN 1 ELSE 0 END) = 1 AS is_best,
+       |        count(*) OVER (PARTITION BY container_id)
+       |          AS n_origins_pre
+       |      FROM (
+       |        SELECT *, max(CASE WHEN healthy THEN seq END)
+       |          OVER (PARTITION BY container_id) AS max_healthy_seq
+       |        FROM $src)
+       |      GROUP BY container_id, origin)))""".stripMargin
+
   /** Shared replication-repair container spine (mirror of
     * ClusterHealth.urpContainers). */
   val urpCont: String =

@@ -741,16 +741,20 @@ object ClusterHealth {
    * (container, origin) over the stuck subset, a count window per
    * container. No driver loop.
    */
-  def quasiClosedStuckCount(replicas: DataFrame, datanodes: DataFrame,
-                            containersScm: DataFrame,
-                            bestCopies: Int = 2, otherCopies: Int = 1,
-                            minHealthyForMaintenance: Int = 2): DataFrame = {
-    val dn = datanodes.select(col("uuid").as("datanode"), col("op_state"))
+  /** The quasi-closed-stuck replica rows: stuck subset (%119), synthetic
+    * per-dn BCSIDs, the moved-copy origin mapping, node classifications.
+    * `max_healthy_seq` is NOT attached here — best-origin designation is
+    * computed by the consumer over whatever replica subset it works on
+    * (the over-handler recomputes it after its node-health filter). */
+  private def qcsBase(replicas: DataFrame, datanodes: DataFrame,
+                      containersScm: DataFrame): DataFrame = {
+    val dn = datanodes.select(col("uuid").as("datanode"), col("op_state"),
+      col("state").as("node_state"))
     val stuck = containersScm
       .filter(col("state") =!= "DELETED" && col("container_id") % 119 === 0)
       .select("container_id")
     val wC = Window.partitionBy("container_id")
-    val base = replicas
+    replicas
       .join(broadcast(stuck), Seq("container_id"))
       .join(broadcast(dn), Seq("datanode"))
       .withColumn("seq",
@@ -766,8 +770,16 @@ object ClusterHealth {
       .withColumn("in_service", col("op_state") === "IN_SERVICE")
       .withColumn("maint",
         col("op_state").isin("IN_MAINTENANCE", "ENTERING_MAINTENANCE"))
-      .withColumn("max_healthy_seq",
-        max(when(col("healthy"), col("seq"))).over(wC))
+  }
+
+  /** Per-(container, origin) QCS accounting over prepared base rows —
+    * the under/over deltas of QuasiClosedStuckReplicaCount. */
+  private def qcsPerOrigin(baseRows: DataFrame, bestCopies: Int,
+                           otherCopies: Int,
+                           minHealthyForMaintenance: Int): DataFrame = {
+    val wC = Window.partitionBy("container_id")
+    val base = baseRows.withColumn("max_healthy_seq",
+      max(when(col("healthy"), col("seq"))).over(wC))
     val perOrigin = base.groupBy("container_id", "origin")
       .agg(count(lit(1)).as("n_replicas"),
         sum(when(col("in_service"), 1L).otherwise(0L)).as("n_in_service"),
@@ -801,7 +813,136 @@ object ClusterHealth {
       .select("container_id", "origin", "n_replicas", "n_in_service",
         "n_maintenance", "is_best", "target", "status", "under_delta",
         "over_delta")
+  }
+
+  def quasiClosedStuckCount(replicas: DataFrame, datanodes: DataFrame,
+                            containersScm: DataFrame,
+                            bestCopies: Int = 2, otherCopies: Int = 1,
+                            minHealthyForMaintenance: Int = 2): DataFrame =
+    qcsPerOrigin(qcsBase(replicas, datanodes, containersScm), bestCopies,
+      otherCopies, minHealthyForMaintenance)
       .orderBy("container_id", "origin")
+
+  /**
+   * Quasi-closed-stuck under-replication handler —
+   * `QuasiClosedStuckUnderReplicationHandler.processAndSendCommands`
+   * (`server-scm/.../replication/QuasiClosedStuckUnderReplicationHandler.java:59-148`),
+   * folded per stuck container in reference order:
+   *   1. all replicas empty ⇒ SKIP_EMPTY (EmptyContainerHandler owns it,
+   *      :66-72; the stuck set is all QUASI_CLOSED);
+   *   2. ANY pending add ⇒ SKIP_PENDING_ADD (:74-86 — unlike the plain
+   *      Ratis handler, a single in-flight add parks the whole
+   *      container until it lands);
+   *   3. no under-replicated origins ⇒ NOT_UNDER (:93-97);
+   *   4. else REPLICATE: each mis-replicated origin contributes
+   *      replicaDelta commands, its in-service copies are the sources
+   *      (:100-133) — n_required = Σ deltas.
+   * Fixture: the QCS base (%119 stuck); even stuck ids (%238) are all
+   * empty; %357 carry a pending add.
+   */
+  def qcsUnderReplicationPlan(replicas: DataFrame, datanodes: DataFrame,
+                              containersScm: DataFrame): DataFrame = {
+    val base = qcsBase(replicas, datanodes, containersScm)
+    val perOrigin = qcsPerOrigin(base, 2, 1, 2)
+    val folded = perOrigin.groupBy("container_id")
+      .agg(
+        sum("under_delta").as("n_required"),
+        sum(when(col("under_delta") > 0, 1L).otherwise(0L))
+          .as("n_origins_under"))
+      .withColumn("all_empty",
+        (col("container_id") % 238 === 0).cast("int"))
+      .withColumn("n_add",
+        when(col("container_id") % 357 === 0, 1L).otherwise(0L))
+    folded
+      .withColumn("verdict",
+        when(col("all_empty") === 1, lit("SKIP_EMPTY"))
+          .when(col("n_add") > 0, lit("SKIP_PENDING_ADD"))
+          .when(col("n_required") === 0, lit("NOT_UNDER"))
+          .otherwise(lit("REPLICATE")))
+      .withColumn("n_required",
+        when(col("verdict") === "REPLICATE", col("n_required"))
+          .otherwise(lit(0L)))
+      .withColumn("n_origins_under",
+        when(col("verdict") === "REPLICATE", col("n_origins_under"))
+          .otherwise(lit(0L)))
+      .select("container_id", "verdict", "n_required", "n_origins_under")
+      .orderBy("container_id")
+  }
+
+  /**
+   * Quasi-closed-stuck over-replication handler —
+   * `QuasiClosedStuckOverReplicationHandler.processAndSendCommands`
+   * (`server-scm/.../replication/QuasiClosedStuckOverReplicationHandler.java:49-120`):
+   *   1. ANY pending delete ⇒ SKIP_PENDING_DELETE (:54-64);
+   *   2. replicas on non-HEALTHY nodes are dropped BEFORE counting
+   *      (:66-77 — a stale node's copy may vanish on its own; removing
+   *      a healthy copy alongside could under-replicate);
+   *   3. per-origin accounting over the filtered set
+   *      (`getOverReplicatedOrigins`, QuasiClosedStuckReplicaCount
+   *      .java:190-218 — over-replication ignores maintenance copies);
+   *      no over origins ⇒ NOT_OVER;
+   *   4. else DELETE: per origin the first replicaDelta copies in
+   *      deterministic replica order (:94-107; dn-name order is this
+   *      engine's stable equivalent of the hashCode sort).
+   * Fixture: the QCS base; even stuck ids (%238) re-register a copy of
+   * their second-lowest datanode's replica onto dn(c+9 mod 20) with the
+   * same origin and a lower BCSID — a duplicated non-best origin.
+   */
+  def qcsOverReplicationPlan(replicas: DataFrame, datanodes: DataFrame,
+                             containersScm: DataFrame): DataFrame = {
+    val base = qcsBase(replicas, datanodes, containersScm)
+    // the injected duplicate: the second-lowest dn's replica re-homed on
+    // dn(c+9 mod 20) — same origin, lower BCSID, the NEW node's states
+    val wC = Window.partitionBy("container_id")
+    val newDn = datanodes.select(col("uuid").as("datanode"),
+      col("state").as("node_state"),
+      (col("op_state") === "IN_SERVICE").as("in_service"),
+      col("op_state").isin("IN_MAINTENANCE", "ENTERING_MAINTENANCE")
+        .as("maint"))
+    val second = base
+      .withColumn("rk", row_number().over(wC.orderBy("datanode")))
+      .filter(col("rk") === 2 && col("container_id") % 238 === 0)
+      .drop("rk", "node_state", "in_service", "maint")
+      .withColumn("datanode",
+        concat(lit("dn"), ((col("container_id") + 9) % 20).cast("string")))
+      .withColumn("seq", col("seq") - 50L)
+      .join(broadcast(newDn), Seq("datanode"))
+    val withDup = base.unionByName(
+      second.select(base.columns.map(col): _*))
+    // the handler's node-health filter precedes all counting
+    val filtered = withDup.filter(col("node_state") === "HEALTHY")
+    val perOrigin = qcsPerOrigin(filtered, 2, 1, 2)
+    // per over origin: first over_delta copies in dn order are deleted
+    val delPicks = filtered
+      .join(perOrigin.filter(col("over_delta") > 0)
+        .select("container_id", "origin", "over_delta"),
+        Seq("container_id", "origin"))
+      .filter(col("in_service"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("container_id", "origin").orderBy("datanode")))
+      .filter(col("rk") <= col("over_delta"))
+      .groupBy("container_id")
+      .agg(count(lit(1)).as("n_commands"),
+        concat_ws(",", sort_array(collect_list(col("datanode"))))
+          .as("del_dns"))
+    val spine = containersScm
+      .filter(col("state") =!= "DELETED" && col("container_id") % 119 === 0)
+      .select("container_id")
+    spine
+      .join(broadcast(delPicks), Seq("container_id"), "left")
+      .na.fill(0L, Seq("n_commands")).na.fill("", Seq("del_dns"))
+      .withColumn("verdict",
+        when(col("container_id") % 357 === 0, lit("SKIP_PENDING_DELETE"))
+          .when(col("n_commands") > 0, lit("DELETE"))
+          .otherwise(lit("NOT_OVER")))
+      .withColumn("n_commands",
+        when(col("verdict") === "DELETE", col("n_commands"))
+          .otherwise(lit(0L)))
+      .withColumn("del_dns",
+        when(col("verdict") === "DELETE", col("del_dns"))
+          .otherwise(lit("")))
+      .select("container_id", "verdict", "n_commands", "del_dns")
+      .orderBy("container_id")
   }
 
   /**

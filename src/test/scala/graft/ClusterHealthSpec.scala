@@ -991,4 +991,31 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got.values.count(
       _.getAs[String]("verdict") == "NOT_EMPTY") > 800)
   }
+
+  test("QCS under/over handlers: parks, origin deltas, dn-ordered picks") {
+    val under = ClusterHealth.qcsUnderReplicationPlan(
+      T.replicas(spark, sf), T.datanodes(spark, sf),
+      T.containersScm(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("n_required"))).toMap
+    // even stuck ids are all-empty; %357 parks on the pending add;
+    // 119's best origin (dn19, max BCSID) holds 1 of its 2 target copies
+    assert(under(238L) === (("SKIP_EMPTY", 0L)))
+    assert(under(357L) === (("SKIP_PENDING_ADD", 0L)))
+    assert(under(119L) === (("REPLICATE", 1L)))
+    assert(under.size === 8)
+    val over = ClusterHealth.qcsOverReplicationPlan(
+      T.replicas(spark, sf), T.datanodes(spark, sf),
+      T.containersScm(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        (r.getAs[String]("verdict"), r.getAs[String]("del_dns"))).toMap
+    // 238's injected moved copy duplicates non-best origin dn1 → the
+    // dn-name-first copy of that origin is deleted
+    assert(over(238L) === (("DELETE", "dn1")))
+    assert(over(357L) === (("SKIP_PENDING_DELETE", "")))
+    // 476's duplicate lands on an IN_MAINTENANCE node and 952's source
+    // replica sits on a DEAD node — neither creates in-service excess
+    assert(over(476L) === (("NOT_OVER", "")))
+    assert(over(952L) === (("NOT_OVER", "")))
+  }
 }
