@@ -973,6 +973,11 @@ object SparkEntry {
     "q_qcs_over_replication" -> ((s, d) =>
       ClusterHealth.qcsOverReplicationPlan(T.replicas(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    // EC over-replication handler: health+service filter before any
+    // counting, pending-delete correction, rack-shed removal picks.
+    "q_ec_over_replication" -> ((s, d) =>
+      ClusterHealth.ecOverReplicationPlan(T.ecShards(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -6943,6 +6948,74 @@ object SparkEntry {
         |      AND o.origin = f.origin AND o.over_delta > 0
         |    WHERE f.in_service)
         |  WHERE rk <= over_delta GROUP BY 1)""".stripMargin),
+
+    // EC over-replication mirror: dup family, good-node filter, index
+    // counts with/without pending deletes, rack-shed picks.
+    "q_ec_over_replication" -> O.withCtes(
+      """SELECT c.container_id,
+        |  CASE WHEN coalesce(f.over_nodel, 0) = 0 THEN 'NOT_OVER'
+        |    WHEN coalesce(f.over_del, 0) = 0 THEN 'PENDING_FIX'
+        |    WHEN coalesce(p.n_commands, 0) = 0 THEN 'NO_CANDIDATES'
+        |    ELSE 'DELETE' END AS verdict,
+        |  CAST(CASE WHEN coalesce(f.over_nodel, 0) = 1
+        |      AND coalesce(f.over_del, 0) = 1
+        |      AND coalesce(p.n_commands, 0) > 0
+        |    THEN p.n_commands ELSE 0 END AS BIGINT) AS n_commands,
+        |  CASE WHEN coalesce(f.over_nodel, 0) = 1
+        |      AND coalesce(f.over_del, 0) = 1
+        |      AND coalesce(p.n_commands, 0) > 0
+        |    THEN p.del_dns ELSE '' END AS del_dns
+        |FROM containers_scm c
+        |LEFT JOIN eco_flags f USING (container_id)
+        |LEFT JOIN eco_picks p USING (container_id)
+        |WHERE c.state <> 'DELETED' AND (c.container_id % 12) % 3 = 2
+        |ORDER BY c.container_id""".stripMargin,
+      O.containersScm, O.datanodes, O.ecShards,
+      """eco_all AS (
+        |  SELECT s.container_id, s.replica_index, s.datanode,
+        |    s.shard_state, d.rack,
+        |    d.state = 'HEALTHY' AND d.op_state = 'IN_SERVICE' AS good,
+        |    s.container_id = 533 AND s.datanode =
+        |      'dn' || ((s.container_id + 16) % 20) AS pending_del
+        |  FROM (
+        |    SELECT * FROM ec_shards
+        |    UNION ALL
+        |    SELECT container_id, replica_index,
+        |      'dn' || ((container_id + 16) % 20) AS datanode, shard_state
+        |    FROM ec_shards
+        |    WHERE container_id % 41 = 0 AND replica_index = 1) s
+        |  JOIN datanodes d ON d.uuid = s.datanode)""".stripMargin,
+      """eco_counted AS (
+        |  SELECT *,
+        |    count(*) OVER wi AS cnt_nodel,
+        |    sum(CASE WHEN NOT pending_del THEN 1 ELSE 0 END) OVER wi
+        |      AS cnt_del
+        |  FROM eco_all WHERE good
+        |  WINDOW wi AS (PARTITION BY container_id, replica_index))""".stripMargin,
+      """eco_flags AS (
+        |  SELECT container_id,
+        |    max(CASE WHEN cnt_nodel > 1 THEN 1 ELSE 0 END)
+        |      AS over_nodel,
+        |    max(CASE WHEN cnt_del > 1 THEN 1 ELSE 0 END) AS over_del
+        |  FROM eco_counted GROUP BY 1)""".stripMargin,
+      """eco_cands AS (
+        |  SELECT *,
+        |    count(*) OVER (PARTITION BY container_id, rack) AS rack_cnt
+        |  FROM eco_counted
+        |  WHERE NOT pending_del AND shard_state = 'CLOSED')""".stripMargin,
+      """eco_picks AS (
+        |  SELECT container_id, count(*) AS n_commands,
+        |    string_agg(datanode, ',' ORDER BY datanode) AS del_dns
+        |  FROM (
+        |    SELECT *,
+        |      row_number() OVER (
+        |        PARTITION BY container_id, replica_index
+        |        ORDER BY rack_cnt DESC, rack, datanode) AS rk,
+        |      count(*) OVER (PARTITION BY container_id, replica_index)
+        |        AS n_cand_idx
+        |    FROM eco_cands WHERE cnt_del > 1)
+        |  WHERE rk <= cnt_del - 1 AND n_cand_idx >= 2
+        |  GROUP BY 1)""".stripMargin),
 
     // Pipeline-create mirror: viable CTE + three ORDER-BY-LIMIT-1 picks.
     "q_pipeline_create" -> O.withCtes(

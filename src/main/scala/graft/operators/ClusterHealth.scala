@@ -946,6 +946,106 @@ object ClusterHealth {
   }
 
   /**
+   * EC over-replication delete plan — `ECOverReplicationHandler
+   * .processAndSendCommands` (`server-scm/.../replication/
+   * ECOverReplicationHandler.java:66-190`):
+   *   1. replicas on non-HEALTHY or non-IN_SERVICE nodes are filtered
+   *      BEFORE any counting (:85-97 — a stale node's copy may vanish
+   *      on its own; EcContainerReplicaCount ignores out-of-service
+   *      nodes for over-replication anyway);
+   *   2. isOverReplicated(false) — pending deletes added back
+   *      (ECContainerReplicaCount.java:405-459: an index with >1 copy)
+   *      — false ⇒ NOT_OVER;
+   *   3. isOverReplicated(true) — pending deletes assumed to complete —
+   *      false ⇒ PENDING_FIX (:109-113, "corrected by the pending
+   *      delete");
+   *   4. candidates = filtered copies not pending delete and
+   *      state-CLOSED (:131-136); the removal set comes from
+   *      `SCMCommonPlacementPolicy.replicasToRemoveToFixOverreplication`
+   *      (:630-688): per over-replicated index (largest count first),
+   *      repeatedly shed from the rack currently holding the most
+   *      candidate copies; no candidates ⇒ NO_CANDIDATES;
+   *   5. the index-count sanity guard (:152-163) refuses a removal that
+   *      would drop an index to zero copies.
+   * Determinism: the reference polls ties out of a PriorityQueue and
+   * `findFirst()` on a HashSet — arbitrary-but-stable; this engine's
+   * stable equivalent is (rack count desc, rack name, datanode name).
+   * Fixture: ecShards + a second moved-copy family — index 1 of %41 EC
+   * containers duplicated on dn(c+16 mod 20) — and a pending delete of
+   * that copy on container 533 (the %13∩%41 EC container).
+   *
+   * Scale shape: per-(container,index) and per-(container,rack) hash
+   * aggregates over the shard map; node dim broadcast; no driver loop.
+   */
+  def ecOverReplicationPlan(ecShards: DataFrame, datanodes: DataFrame,
+                            containersScm: DataFrame): DataFrame = {
+    val c = col("container_id")
+    val dn = datanodes.select(col("uuid").as("datanode"),
+      (col("state") === "HEALTHY" && col("op_state") === "IN_SERVICE")
+        .as("good"), col("rack"))
+    val dup = ecShards.filter(c % 41 === 0 && col("replica_index") === 1)
+      .withColumn("datanode",
+        concat(lit("dn"), ((c + 16) % 20).cast("string")))
+    val all = ecShards.unionByName(dup)
+      .join(broadcast(dn), Seq("datanode"))
+      .withColumn("pending_del",
+        c === 533 && col("datanode") ===
+          concat(lit("dn"), ((c + 16) % 20).cast("string")))
+    val healthy = all.filter(col("good"))
+    val wIdx = Window.partitionBy("container_id", "replica_index")
+    val wC = Window.partitionBy("container_id")
+    val counted = healthy
+      .withColumn("cnt_nodel", count(lit(1)).over(wIdx))
+      .withColumn("cnt_del",
+        sum(when(!col("pending_del"), 1L).otherwise(0L)).over(wIdx))
+      .withColumn("over_nodel",
+        max(when(col("cnt_nodel") > 1, 1).otherwise(0)).over(wC))
+      .withColumn("over_del",
+        max(when(col("cnt_del") > 1, 1).otherwise(0)).over(wC))
+    // candidates + rack loading (every candidate copy counts toward its
+    // rack, matching placementGroupCntMap)
+    val cands = counted
+      .filter(!col("pending_del") && col("shard_state") === "CLOSED")
+      .withColumn("rack_cnt", count(lit(1)).over(
+        Window.partitionBy("container_id", "rack")))
+    // per over index: shed from the most-loaded rack, name-ordered
+    val picks = cands
+      .filter(col("cnt_del") > 1)
+      .withColumn("rk", row_number().over(
+        wIdx.orderBy(col("rack_cnt").desc, col("rack"), col("datanode"))))
+      .withColumn("n_cand_idx", count(lit(1)).over(wIdx))
+      .filter(col("rk") <= col("cnt_del") - 1 && col("n_cand_idx") >= 2)
+      .groupBy("container_id")
+      .agg(count(lit(1)).as("n_commands"),
+        concat_ws(",", sort_array(collect_list(col("datanode"))))
+          .as("del_dns"))
+    val flags = counted.groupBy("container_id")
+      .agg(max("over_nodel").as("over_nodel"),
+        max("over_del").as("over_del"))
+    val spine = containersScm
+      .filter(col("state") =!= "DELETED" && (c % 12) % 3 === 2)
+      .select("container_id")
+    spine
+      .join(broadcast(flags), Seq("container_id"), "left")
+      .join(broadcast(picks), Seq("container_id"), "left")
+      .na.fill(0, Seq("over_nodel", "over_del", "n_commands"))
+      .na.fill("", Seq("del_dns"))
+      .withColumn("verdict",
+        when(col("over_nodel") === 0, lit("NOT_OVER"))
+          .when(col("over_del") === 0, lit("PENDING_FIX"))
+          .when(col("n_commands") === 0, lit("NO_CANDIDATES"))
+          .otherwise(lit("DELETE")))
+      .withColumn("n_commands",
+        when(col("verdict") === "DELETE", col("n_commands"))
+          .otherwise(lit(0L)))
+      .withColumn("del_dns",
+        when(col("verdict") === "DELETE", col("del_dns"))
+          .otherwise(lit("")))
+      .select("container_id", "verdict", "n_commands", "del_dns")
+      .orderBy("container_id")
+  }
+
+  /**
    * Ratis over-replication delete plan — RatisOverReplicationHandler
    * .processAndSendCommands (server-scm/.../replication/
    * RatisOverReplicationHandler.java:72-328), per candidate container

@@ -1018,4 +1018,21 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(over(476L) === (("NOT_OVER", "")))
     assert(over(952L) === (("NOT_OVER", "")))
   }
+
+  test("ecOverReplicationPlan: good-node filter, pending fix, rack shed") {
+    val got = ClusterHealth.ecOverReplicationPlan(T.ecShards(spark, sf),
+      T.datanodes(spark, sf), T.containersScm(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("n_commands"),
+          r.getAs[String]("del_dns"))).toMap
+    // 902: index-1 copies on dn9/dn18 both survive the good-node filter
+    // → over by one; rack3{dn18} vs rack4{dn9} tie breaks on rack name
+    assert(got(902L) === (("DELETE", 1L, "dn18")))
+    // 533: same shape but its duplicate is pending delete → corrected
+    assert(got(533L) === (("PENDING_FIX", 0L, "")))
+    // 41: the original index-1 copy is on a DECOMMISSIONING node — the
+    // pre-count filter drops it, one surviving copy is not excess
+    assert(got(41L) === (("NOT_OVER", 0L, "")))
+    assert(got.size === 330)
+  }
 }
