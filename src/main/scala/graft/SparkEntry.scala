@@ -978,6 +978,12 @@ object SparkEntry {
     "q_ec_over_replication" -> ((s, d) =>
       ClusterHealth.ecOverReplicationPlan(T.ecShards(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    // EC under-replication handler: sufficiency probes, one
+    // reconstruction command per container, decom 1:1 copies,
+    // maintenance redundancy top-up.
+    "q_ec_under_replication" -> ((s, d) =>
+      ClusterHealth.ecUnderReplicationPlan(T.ecShards(s, d),
+        T.datanodes(s, d), T.containersScm(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -7016,6 +7022,85 @@ object SparkEntry {
         |    FROM eco_cands WHERE cnt_del > 1)
         |  WHERE rk <= cnt_del - 1 AND n_cand_idx >= 2
         |  GROUP BY 1)""".stripMargin),
+
+    // EC under-replication mirror: (container, index) spine accounting,
+    // the two sufficiency probes, reconstruction/decom/maintenance
+    // command math.
+    "q_ec_under_replication" -> O.withCtes(
+      """SELECT container_id,
+        |  CASE WHEN suff_noadd THEN 'NOT_UNDER'
+        |    WHEN suff_add THEN 'PENDING_FIX'
+        |    ELSE 'REPAIR' END AS verdict,
+        |  CAST(CASE WHEN suff_noadd OR suff_add THEN 0
+        |    ELSE n_missing END AS BIGINT) AS n_missing,
+        |  CASE WHEN suff_noadd OR suff_add OR n_missing = 0 THEN ''
+        |    WHEN n_src_idx >= 3 THEN 'RECONSTRUCT'
+        |    ELSE 'NO_SOURCES' END AS reconstruct,
+        |  CAST(CASE WHEN suff_noadd OR suff_add THEN 0
+        |    ELSE n_decom_src END AS BIGINT) AS n_decom_cmds,
+        |  CAST(CASE WHEN suff_noadd OR suff_add THEN 0
+        |    ELSE least(addl_maint, n_maint_src) END AS BIGINT)
+        |    AS n_maint_cmds,
+        |  CAST(CASE WHEN suff_noadd OR suff_add THEN 0
+        |    ELSE (CASE WHEN n_missing > 0 AND n_src_idx >= 3
+        |      THEN 1 ELSE 0 END) + n_decom_src +
+        |      least(addl_maint, n_maint_src) END AS BIGINT) AS n_commands
+        |FROM eu_fold
+        |ORDER BY container_id""".stripMargin,
+      O.containersScm, O.datanodes, O.ecShards,
+      """eu_ann AS (
+        |  SELECT s.container_id, s.replica_index, s.datanode,
+        |    s.shard_state, d.state AS node_state, d.op_state,
+        |    s.container_id % 86 = 0 AND s.replica_index = 1
+        |      AND s.datanode = 'dn' || ((s.container_id + 7) % 20)
+        |      AS pend_del,
+        |    s.shard_state = 'UNHEALTHY' AS unhealthy
+        |  FROM ec_shards s JOIN datanodes d ON d.uuid = s.datanode)""".stripMargin,
+      """eu_raw AS (
+        |  SELECT container_id, replica_index,
+        |    sum(CASE WHEN NOT unhealthy AND op_state = 'IN_SERVICE'
+        |      AND NOT pend_del THEN 1 ELSE 0 END) AS hq,
+        |    sum(CASE WHEN NOT unhealthy AND op_state IN
+        |      ('DECOMMISSIONING', 'DECOMMISSIONED') THEN 1 ELSE 0 END)
+        |      AS dq,
+        |    sum(CASE WHEN NOT unhealthy AND op_state IN
+        |      ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+        |      THEN 1 ELSE 0 END) AS mq,
+        |    max(CASE WHEN shard_state = 'CLOSED' AND NOT pend_del
+        |      AND node_state = 'HEALTHY' THEN 1 ELSE 0 END) AS src
+        |  FROM eu_ann GROUP BY 1, 2)""".stripMargin,
+      """eu_peridx AS (
+        |  SELECT sp.container_id, sp.replica_index,
+        |    coalesce(r.hq, 0) AS hq, coalesce(r.dq, 0) AS dq,
+        |    coalesce(r.mq, 0) AS mq, coalesce(r.src, 0) AS src,
+        |    CASE WHEN sp.container_id % 62 = 0 AND sp.replica_index = 2
+        |      THEN 1 ELSE 0 END AS pa
+        |  FROM (
+        |    SELECT c.container_id, i.idx AS replica_index
+        |    FROM containers_scm c CROSS JOIN range(1, 6) i(idx)
+        |    WHERE c.state <> 'DELETED'
+        |      AND (c.container_id % 12) % 3 = 2) sp
+        |  LEFT JOIN eu_raw r USING (container_id, replica_index))""".stripMargin,
+      """eu_fold AS (
+        |  SELECT container_id,
+        |    min(CASE WHEN hq >= 1 THEN 1 ELSE 0 END) = 1
+        |      OR (min(CASE WHEN hq + mq >= 1 THEN 1 ELSE 0 END) = 1
+        |        AND sum(CASE WHEN hq >= 1 THEN 1 ELSE 0 END) >= 4)
+        |      AS suff_noadd,
+        |    min(CASE WHEN hq + pa >= 1 THEN 1 ELSE 0 END) = 1
+        |      OR (min(CASE WHEN hq + pa + mq >= 1 THEN 1 ELSE 0 END) = 1
+        |        AND sum(CASE WHEN hq + pa >= 1 THEN 1 ELSE 0 END) >= 4)
+        |      AS suff_add,
+        |    sum(CASE WHEN hq = 0 AND pa = 0 AND mq = 0 AND dq = 0
+        |      THEN 1 ELSE 0 END) AS n_missing,
+        |    sum(src) AS n_src_idx,
+        |    sum(CASE WHEN dq > 0 AND hq = 0 AND pa = 0 AND src = 1
+        |      THEN 1 ELSE 0 END) AS n_decom_src,
+        |    sum(CASE WHEN mq > 0 AND hq = 0 AND pa = 0 AND src = 1
+        |      THEN 1 ELSE 0 END) AS n_maint_src,
+        |    greatest(sum(CASE WHEN mq > 0 AND hq = 0 AND pa = 0
+        |      THEN 1 ELSE 0 END) - 1, 0) AS addl_maint
+        |  FROM eu_peridx GROUP BY 1)""".stripMargin),
 
     // Pipeline-create mirror: viable CTE + three ORDER-BY-LIMIT-1 picks.
     "q_pipeline_create" -> O.withCtes(

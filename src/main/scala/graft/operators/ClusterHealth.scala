@@ -1046,6 +1046,146 @@ object ClusterHealth {
   }
 
   /**
+   * EC under-replication repair plan — `ECUnderReplicationHandler
+   * .processAndSendCommands` (`server-scm/.../replication/
+   * ECUnderReplicationHandler.java:104-230`) with
+   * `ECContainerReplicaCount` accounting (ECContainerReplicaCount.java:
+   * 84-157 constructor classification — UNHEALTHY copies never count,
+   * pending deletes reduce the healthy index counts; :474-492
+   * isSufficientlyReplicated — full healthy(+pending-add) index set, or
+   * full set with maintenance copies AND ≥ data+remainingMaintenance
+   * Redundancy online indexes; :350-377 unavailableIndexes — no healthy
+   * copy, not pending add, no maintenance or decommission copy either;
+   * :249-302 decommissioning/maintenanceOnlyIndexes — on the leaving map
+   * and absent from healthy, minus pending adds; :386-389,594-596
+   * additionalMaintenanceCopiesNeeded = maintOnly − (parity −
+   * remainingMaintenanceRedundancy)). rs-3-2, rmr = 1. Per container:
+   *   - NOT_UNDER / PENDING_FIX from the two sufficiency probes
+   *     (:115-125);
+   *   - missing indexes: ONE reconstruction command when ≥ data source
+   *     indexes exist (:282-292, filterSources :232-266 — CLOSED copies
+   *     on healthy nodes not pending delete, one per index), else
+   *     NO_SOURCES (:404-410 — the unrecoverable log path);
+   *   - decommissioning-only indexes each get a 1:1 copy when their
+   *     source survived the filter (:422-470, source==null skips);
+   *   - maintenance-only indexes get additionalMaintenanceCopiesNeeded
+   *     copies, capped by how many have sources (:509-570 — the loop
+   *     decrements only when a command is actually sent).
+   * Fixture: ecShards (%31 one missing index, %37 three missing — below
+   * the data threshold, %29 an UNHEALTHY copy, decom/maint dns from the
+   * node ring) + pending add of index 2 on %62 (⊂ %31) and pending
+   * delete of index 1 on %86 EC containers.
+   *
+   * Scale shape: one (container, index) spine aggregate over the shard
+   * map, one container fold; node dim broadcast; no driver loop.
+   */
+  def ecUnderReplicationPlan(ecShards: DataFrame, datanodes: DataFrame,
+                             containersScm: DataFrame,
+                             dataShards: Int = 3, parity: Int = 2,
+                             remainingMaintenanceRedundancy: Int = 1)
+      : DataFrame = {
+    val c = col("container_id")
+    val spark = datanodes.sparkSession
+    val dn = datanodes.select(col("uuid").as("datanode"),
+      col("state").as("node_state"), col("op_state"))
+    val required = dataShards + parity
+    val maxMaint = math.max(0, parity - remainingMaintenanceRedundancy)
+    val contSpine = containersScm
+      .filter(col("state") =!= "DELETED" && (c % 12) % 3 === 2)
+      .select("container_id")
+    val idxSpine = contSpine
+      .crossJoin(spark.range(1, required + 1).toDF("replica_index"))
+    val annotated = ecShards
+      .join(broadcast(dn), Seq("datanode"))
+      .withColumn("pend_del",
+        c % 86 === 0 && col("replica_index") === 1 &&
+          col("datanode") === concat(lit("dn"), ((c + 7) % 20)
+            .cast("string")))
+      .withColumn("unhealthy", col("shard_state") === "UNHEALTHY")
+      .withColumn("decom",
+        !col("unhealthy") &&
+          col("op_state").isin("DECOMMISSIONING", "DECOMMISSIONED"))
+      .withColumn("maint",
+        !col("unhealthy") &&
+          col("op_state").isin("IN_MAINTENANCE", "ENTERING_MAINTENANCE"))
+      .withColumn("inservice",
+        !col("unhealthy") && col("op_state") === "IN_SERVICE")
+    val perIdxRaw = annotated.groupBy("container_id", "replica_index")
+      .agg(
+        sum(when(col("inservice") && !col("pend_del"), 1L).otherwise(0L))
+          .as("h"),
+        sum(when(col("decom"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("maint"), 1L).otherwise(0L)).as("m"),
+        max(when(col("shard_state") === "CLOSED" && !col("pend_del") &&
+          col("node_state") === "HEALTHY", 1).otherwise(0)).as("src"))
+    val perIdx = idxSpine
+      .join(perIdxRaw, Seq("container_id", "replica_index"), "left")
+      .na.fill(0L, Seq("h", "d", "m", "src"))
+      .withColumn("pa",
+        when(c % 62 === 0 && col("replica_index") === 2, 1L)
+          .otherwise(0L))
+    val folded = perIdx.groupBy("container_id")
+      .agg(
+        min(when(col("h") >= 1, 1).otherwise(0)).as("full_h"),
+        min(when(col("h") + col("pa") >= 1, 1).otherwise(0))
+          .as("full_ha"),
+        min(when(col("h") + col("m") >= 1, 1).otherwise(0))
+          .as("full_hm"),
+        min(when(col("h") + col("pa") + col("m") >= 1, 1).otherwise(0))
+          .as("full_ham"),
+        sum(when(col("h") >= 1, 1L).otherwise(0L)).as("n_h_idx"),
+        sum(when(col("h") + col("pa") >= 1, 1L).otherwise(0L))
+          .as("n_ha_idx"),
+        sum(when(col("h") === 0 && col("pa") === 0 && col("m") === 0 &&
+          col("d") === 0, 1L).otherwise(0L)).as("n_missing"),
+        sum(col("src")).as("n_src_idx"),
+        sum(when(col("d") > 0 && col("h") === 0 && col("pa") === 0, 1L)
+          .otherwise(0L)).as("n_decom_only"),
+        sum(when(col("d") > 0 && col("h") === 0 && col("pa") === 0 &&
+          col("src") === 1, 1L).otherwise(0L)).as("n_decom_src"),
+        sum(when(col("m") > 0 && col("h") === 0 && col("pa") === 0, 1L)
+          .otherwise(0L)).as("n_maint_only"),
+        sum(when(col("m") > 0 && col("h") === 0 && col("pa") === 0 &&
+          col("src") === 1, 1L).otherwise(0L)).as("n_maint_src"))
+      .withColumn("suff_noadd",
+        col("full_h") === 1 ||
+          (col("full_hm") === 1 &&
+            col("n_h_idx") >= dataShards + remainingMaintenanceRedundancy))
+      .withColumn("suff_add",
+        col("full_ha") === 1 ||
+          (col("full_ham") === 1 &&
+            col("n_ha_idx") >= dataShards + remainingMaintenanceRedundancy))
+      .withColumn("addl_maint",
+        greatest(col("n_maint_only") - maxMaint, lit(0L)))
+    folded
+      .withColumn("verdict",
+        when(col("suff_noadd"), lit("NOT_UNDER"))
+          .when(col("suff_add"), lit("PENDING_FIX"))
+          .otherwise(lit("REPAIR")))
+      .withColumn("reconstruct",
+        when(col("verdict") =!= "REPAIR" || col("n_missing") === 0,
+          lit(""))
+          .when(col("n_src_idx") >= dataShards, lit("RECONSTRUCT"))
+          .otherwise(lit("NO_SOURCES")))
+      .withColumn("n_missing",
+        when(col("verdict") === "REPAIR", col("n_missing"))
+          .otherwise(lit(0L)))
+      .withColumn("n_decom_cmds",
+        when(col("verdict") === "REPAIR", col("n_decom_src"))
+          .otherwise(lit(0L)))
+      .withColumn("n_maint_cmds",
+        when(col("verdict") === "REPAIR",
+          least(col("addl_maint"), col("n_maint_src")))
+          .otherwise(lit(0L)))
+      .withColumn("n_commands",
+        when(col("reconstruct") === "RECONSTRUCT", 1L).otherwise(0L) +
+          col("n_decom_cmds") + col("n_maint_cmds"))
+      .select("container_id", "verdict", "n_missing", "reconstruct",
+        "n_decom_cmds", "n_maint_cmds", "n_commands")
+      .orderBy("container_id")
+  }
+
+  /**
    * Ratis over-replication delete plan — RatisOverReplicationHandler
    * .processAndSendCommands (server-scm/.../replication/
    * RatisOverReplicationHandler.java:72-328), per candidate container

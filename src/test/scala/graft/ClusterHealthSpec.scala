@@ -1035,4 +1035,29 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got(41L) === (("NOT_OVER", 0L, "")))
     assert(got.size === 330)
   }
+
+  test("ecUnderReplicationPlan: probes, reconstruction, decom/maint copies") {
+    val got = ClusterHealth.ecUnderReplicationPlan(T.ecShards(spark, sf),
+      T.datanodes(spark, sf), T.containersScm(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") -> r).toMap
+    def v(c: Long) = got(c).getAs[String]("verdict")
+    // 62 = 2*31: misses index 2 but its pending add covers the set
+    assert(v(62) === "PENDING_FIX")
+    // 86: pending delete of index 1 empties that index → reconstruction
+    // (4 source indexes ≥ data 3); its decom-only index adds a 1:1 copy
+    assert(v(86) === "REPAIR")
+    assert(got(86).getAs[String]("reconstruct") === "RECONSTRUCT")
+    assert(got(86).getAs[Long]("n_commands") === 2L)
+    // 407 = 11*37: three indexes gone — only 2 remain < data → the
+    // reconstruction is refused for lack of sources (unrecoverable log)
+    assert(v(407) === "REPAIR")
+    assert(got(407).getAs[String]("reconstruct") === "NO_SOURCES")
+    assert(got(407).getAs[Long]("n_missing") === 3L)
+    // maintenance-only indexes above the redundancy floor get top-ups
+    assert(got.values.count(_.getAs[Long]("n_maint_cmds") > 0) > 50)
+    // decommission-only indexes get 1:1 copies
+    assert(got.values.count(_.getAs[Long]("n_decom_cmds") > 0) > 100)
+    assert(got.values.count(
+      _.getAs[String]("verdict") == "NOT_UNDER") > 80)
+  }
 }
