@@ -984,6 +984,12 @@ object SparkEntry {
     "q_ec_under_replication" -> ((s, d) =>
       ClusterHealth.ecUnderReplicationPlan(T.ecShards(s, d),
         T.datanodes(s, d), T.containersScm(s, d))),
+    // The ReplicationManager health-check chain: first-handling rung per
+    // container, with the QC force-close and mismatch-close side rungs.
+    "q_health_check_chain" -> ((s, d) =>
+      ClusterHealth.containerHealthChain(T.datanodes(s, d),
+        T.containersScm(s, d), T.containersOm(s, d),
+        T.pipelineMembers(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -7101,6 +7107,292 @@ object SparkEntry {
         |    greatest(sum(CASE WHEN mq > 0 AND hq = 0 AND pa = 0
         |      THEN 1 ELSE 0 END) - 1, 0) AS addl_maint
         |  FROM eu_peridx GROUP BY 1)""".stripMargin),
+
+    // Health-check chain mirror: the chain spine, the stuck-QC families,
+    // the counting scalars, and the first-true rung ladder in SQL.
+    "q_health_check_chain" -> O.withCtes(
+      """SELECT container_id, chain_state, handled_by, detail,
+        |  qc_force_close,
+        |  CAST(n_mismatch_close AS BIGINT) AS n_mismatch_close
+        |FROM (
+        |  SELECT s.*,
+        |  CASE
+        |    WHEN chain_state = 'OPEN' THEN 'OPEN'
+        |    WHEN chain_state = 'CLOSING' THEN 'CLOSING'
+        |    WHEN chain_state IN ('DELETED', 'DELETING') THEN 'DELETING'
+        |    WHEN chain_state = 'CLOSED' AND n_replicas > 0
+        |      AND all_closed_empty = 1 THEN 'EMPTY'
+        |    WHEN chain_state = 'QUASI_CLOSED' AND n_replicas > 0
+        |      AND all_empty = 1 THEN 'EMPTY'
+        |    WHEN chain_state = 'CLOSED' AND num_keys = 0
+        |      AND n_replicas = 0 THEN 'EMPTY'
+        |    WHEN qcs_stuck AND n_replicas = 0 THEN 'QCS_CHECK'
+        |    WHEN qcs_stuck AND any_healthy_state = 1
+        |      AND (qcs_under = 1 OR qcs_over = 1) THEN 'QCS_CHECK'
+        |    WHEN NOT qcs_stuck AND NOT suff_without AND n_replicas = 0
+        |      THEN 'RATIS_CHECK'
+        |    WHEN NOT qcs_stuck AND NOT suff_without
+        |      AND healthy_count > 0 THEN 'RATIS_CHECK'
+        |    WHEN NOT qcs_stuck AND suff_without AND (over_without
+        |      OR (over_with AND (chain_state = 'CLOSED'
+        |        OR deletable_unh))) THEN 'RATIS_CHECK'
+        |    WHEN NOT qcs_stuck AND suff_without AND NOT over_without
+        |      AND NOT (over_with AND (chain_state = 'CLOSED'
+        |        OR deletable_unh))
+        |      AND n_racks < least(replication_factor, 5)
+        |      THEN 'RATIS_CHECK'
+        |    WHEN healthy_count = 0 AND n_unh > 0
+        |      AND NOT suff_with_unh THEN 'UNHEALTHY_CHECK'
+        |    WHEN healthy_count = 0 AND n_unh > 0 AND over_with_del
+        |      THEN 'UNHEALTHY_CHECK'
+        |    WHEN n_vulnerable > 0 THEN 'VULNERABLE'
+        |    ELSE 'NONE' END AS handled_by
+        |  FROM chh_stage s)
+        |CROSS JOIN LATERAL (SELECT
+        |  CASE
+        |    WHEN handled_by = 'OPEN' THEN
+        |      CASE WHEN bad_member = 1 THEN 'OPEN_WITHOUT_PIPELINE'
+        |        WHEN all_match_state = 0 THEN 'OPEN_UNHEALTHY'
+        |        ELSE 'OPEN_OK' END
+        |    WHEN handled_by = 'CLOSING' THEN
+        |      CASE WHEN n_replicas = 0 THEN 'CLOSING_MISSING'
+        |        WHEN n_nonunh = 0 THEN 'CLOSING_ALL_UNHEALTHY'
+        |        ELSE 'CLOSING_CLOSE' END
+        |    WHEN handled_by = 'DELETING' THEN chain_state
+        |    WHEN handled_by = 'EMPTY' THEN
+        |      CASE WHEN chain_state = 'QUASI_CLOSED'
+        |          THEN 'EMPTY_QUASI_CLOSED'
+        |        WHEN n_replicas = 0 THEN 'EMPTY_NO_REPLICAS'
+        |        ELSE 'EMPTY_CLOSED' END
+        |    WHEN handled_by = 'QCS_CHECK' THEN
+        |      CASE WHEN n_replicas = 0 THEN 'QCS_MISSING'
+        |        WHEN qcs_under = 1 THEN 'QCS_UNDER'
+        |        ELSE 'QCS_OVER' END
+        |    WHEN handled_by = 'RATIS_CHECK' THEN
+        |      CASE WHEN NOT suff_without AND n_replicas = 0
+        |          THEN 'MISSING'
+        |        WHEN NOT suff_without THEN 'UNDER_REPLICATED'
+        |        WHEN over_without OR over_with THEN 'OVER_REPLICATED'
+        |        ELSE 'MIS_REPLICATED' END
+        |    WHEN handled_by = 'UNHEALTHY_CHECK' THEN
+        |      CASE WHEN NOT suff_with_unh THEN 'UNHEALTHY_UNDER'
+        |        ELSE 'UNHEALTHY_OVER' END
+        |    WHEN handled_by = 'VULNERABLE' THEN 'UNHEALTHY_VULNERABLE'
+        |    ELSE CASE WHEN n_unh > 0 THEN 'UNHEALTHY'
+        |      ELSE 'HEALTHY' END
+        |    END AS detail)
+        |ORDER BY container_id""".stripMargin,
+      O.datanodes, O.objects, O.containersOm, O.pipelines,
+      O.pipelineMembers,
+      """chh_cont AS (
+        |  SELECT r AS container_id,
+        |    CASE WHEN r % 97 = 0 THEN 'DELETED'
+        |      WHEN r % 151 = 0 THEN 'OPEN'
+        |      WHEN r % 157 = 0 THEN 'CLOSING'
+        |      WHEN r % 163 = 0 THEN 'DELETING'
+        |      WHEN r % 53 = 0 OR r % 58 = 0 OR r % 119 = 0
+        |        OR r % 173 = 0 OR r % 187 = 0 THEN 'QUASI_CLOSED'
+        |      ELSE 'CLOSED' END AS chain_state,
+        |    CASE WHEN r % 53 = 0 OR r % 58 = 0 OR r % 119 = 0
+        |      THEN 'QUASI_CLOSED' ELSE 'CLOSED' END AS container_state,
+        |    3 AS replication_factor, r * 100 AS c_seq
+        |  FROM range(1000) t(r))""".stripMargin,
+      O.urpRepsSql("chh_reps0", "chh_cont"),
+      """chh_reps1 AS (
+        |  SELECT * REPLACE(
+        |    CASE WHEN container_id % 173 = 0 OR container_id % 187 = 0
+        |      THEN CASE WHEN r = 1 THEN 'UNHEALTHY'
+        |        ELSE 'QUASI_CLOSED' END
+        |      ELSE replica_state END AS replica_state,
+        |    CASE WHEN container_id % 173 = 0 AND r = 1 THEN c_seq + 5
+        |      WHEN container_id % 346 = 0 AND r = 0 THEN c_seq + 1
+        |      ELSE seq END AS seq)
+        |  FROM chh_reps0)""".stripMargin,
+      """chh_dups AS (
+        |  SELECT p.container_id, p.chain_state, p.container_state,
+        |    p.replication_factor, p.c_seq, p.r,
+        |    (p.container_id + o.off) % 20 AS dn_num,
+        |    'dn' || ((p.container_id + o.off) % 20) AS datanode,
+        |    p.replica_state, p.seq, p.is_empty, p.origin,
+        |    d.state AS node_state, d.op_state
+        |  FROM chh_reps1 p
+        |  JOIN (VALUES (0, 3), (2, 7), (2, 9)) o(rr, off) ON p.r = o.rr
+        |  JOIN datanodes d
+        |    ON d.uuid = 'dn' || ((p.container_id + o.off) % 20)
+        |  WHERE p.container_id % 346 = 0)""".stripMargin,
+      """chh_all AS (
+        |  SELECT * FROM chh_reps1
+        |  UNION ALL BY NAME SELECT * FROM chh_dups)""".stripMargin,
+      """chh_rows AS (
+        |  SELECT *,
+        |    (replica_state = 'UNHEALTHY'
+        |      OR (replica_state = 'QUASI_CLOSED'
+        |        AND chain_state = 'CLOSED' AND seq <> c_seq)) AS tu,
+        |    op_state IN ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+        |      AS mnt,
+        |    op_state IN ('DECOMMISSIONING', 'DECOMMISSIONED') AS dcm
+        |  FROM chh_all)""".stripMargin,
+      """chh_counts AS (
+        |  SELECT container_id, count(*) AS n_replicas,
+        |    min(CASE WHEN is_empty THEN 1 ELSE 0 END) AS all_empty,
+        |    min(CASE WHEN replica_state = 'CLOSED' AND is_empty
+        |      THEN 1 ELSE 0 END) AS all_closed_empty,
+        |    max(CASE WHEN replica_state <> 'UNHEALTHY' THEN 1 ELSE 0
+        |      END) AS any_healthy_state,
+        |    sum(CASE WHEN NOT tu AND NOT mnt AND NOT dcm THEN 1 ELSE 0
+        |      END) AS healthy_is,
+        |    sum(CASE WHEN tu AND NOT mnt AND NOT dcm THEN 1 ELSE 0 END)
+        |      AS unhealthy_is,
+        |    sum(CASE WHEN NOT tu AND mnt THEN 1 ELSE 0 END) AS maint_h,
+        |    sum(CASE WHEN tu AND mnt THEN 1 ELSE 0 END) AS maint_u,
+        |    sum(CASE WHEN NOT tu AND dcm THEN 1 ELSE 0 END) AS decom_h,
+        |    sum(CASE WHEN tu AND dcm THEN 1 ELSE 0 END) AS decom_u,
+        |    coalesce(max(CASE WHEN replica_state = 'QUASI_CLOSED'
+        |      THEN seq END), -1) AS max_qc_seq,
+        |    coalesce(max(CASE WHEN replica_state = 'UNHEALTHY'
+        |      THEN seq END), -1) AS max_unh_seq,
+        |    count(DISTINCT CASE WHEN replica_state IN
+        |      ('QUASI_CLOSED', 'UNHEALTHY') THEN origin END)
+        |      AS n_qcunh_origins,
+        |    count(DISTINCT CASE WHEN replica_state IN
+        |      ('QUASI_CLOSED', 'OPEN') THEN origin END)
+        |      AS n_open_origins,
+        |    count(DISTINCT origin) AS n_origins,
+        |    count(DISTINCT dn_num % 5) AS n_racks,
+        |    sum(CASE WHEN replica_state <> 'UNHEALTHY'
+        |      AND replica_state <> chain_state
+        |      AND chain_state IN ('CLOSED', 'QUASI_CLOSED')
+        |      THEN 1 ELSE 0 END) AS n_mismatch_close,
+        |    sum(CASE WHEN replica_state <> 'UNHEALTHY' THEN 1 ELSE 0
+        |      END) AS n_nonunh,
+        |    min(CASE WHEN replica_state = chain_state THEN 1 ELSE 0
+        |      END) AS all_match_state
+        |  FROM chh_rows GROUP BY 1)""".stripMargin,
+      """chh_vuln AS (
+        |  SELECT r.container_id, count(*) AS n_vuln_raw
+        |  FROM chh_rows r
+        |  WHERE r.replica_state = 'UNHEALTHY' AND r.seq = r.c_seq
+        |    AND NOT r.is_empty AND r.node_state = 'HEALTHY'
+        |    AND NOT EXISTS (SELECT 1 FROM chh_rows o
+        |      WHERE o.container_id = r.container_id
+        |        AND o.op_state = 'IN_SERVICE'
+        |        AND o.node_state = 'HEALTHY' AND o.seq = o.c_seq
+        |        AND o.origin = r.origin)
+        |  GROUP BY 1)""".stripMargin,
+      """chh_qcsrows AS (
+        |  SELECT container_id, origin, seq,
+        |    replica_state <> 'UNHEALTHY' AS healthy,
+        |    op_state = 'IN_SERVICE' AS in_service,
+        |    op_state IN ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+        |      AS maint
+        |  FROM chh_all)""".stripMargin,
+      O.qcsPerOriginSql("chh_qcspo", "chh_qcsrows"),
+      """chh_qcs AS (
+        |  SELECT container_id,
+        |    max(CASE WHEN under_delta > 0 THEN 1 ELSE 0 END)
+        |      AS qcs_under,
+        |    max(CASE WHEN over_delta > 0 THEN 1 ELSE 0 END) AS qcs_over
+        |  FROM chh_qcspo GROUP BY 1)""".stripMargin,
+      """chh_pend AS (
+        |  SELECT container_id,
+        |    CASE WHEN container_id % 31 = 0 OR container_id % 116 = 0
+        |      OR container_id % 118 = 0 THEN 1 ELSE 0 END AS n_add,
+        |    CASE WHEN container_id % 37 = 0
+        |      THEN 'dn' || (container_id % 20) ELSE '' END AS del_dn
+        |  FROM chh_cont)""".stripMargin,
+      """chh_del AS (
+        |  SELECT p.container_id, p.n_add, p.del_dn,
+        |    max(CASE WHEN r.datanode IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS del_on_unhealthy
+        |  FROM chh_pend p
+        |  LEFT JOIN chh_rows r ON r.container_id = p.container_id
+        |    AND r.datanode = p.del_dn AND r.tu
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      """chh_pipebad AS (
+        |  SELECT m.pipeline_id,
+        |    max(CASE WHEN d.state <> 'HEALTHY' THEN 1 ELSE 0 END)
+        |      AS bad_member
+        |  FROM pipeline_members m
+        |  JOIN datanodes d ON d.uuid = m.datanode
+        |  GROUP BY 1)""".stripMargin,
+      """chh_stage AS (
+        |  SELECT c.container_id, c.chain_state, c.replication_factor,
+        |    coalesce(k.n_replicas, 0) AS n_replicas,
+        |    coalesce(k.all_empty, 0) AS all_empty,
+        |    coalesce(k.all_closed_empty, 0) AS all_closed_empty,
+        |    coalesce(k.any_healthy_state, 0) AS any_healthy_state,
+        |    coalesce(k.n_racks, 0) AS n_racks,
+        |    coalesce(k.n_mismatch_close, 0) AS n_mismatch_close,
+        |    coalesce(k.n_nonunh, 0) AS n_nonunh,
+        |    coalesce(k.all_match_state, 0) AS all_match_state,
+        |    coalesce(k.unhealthy_is, 0) + coalesce(k.maint_u, 0)
+        |      + coalesce(k.decom_u, 0) AS n_unh,
+        |    coalesce(k.healthy_is, 0) + coalesce(k.maint_h, 0)
+        |      + coalesce(k.decom_h, 0) AS healthy_count,
+        |    coalesce(om.num_keys, 0) AS num_keys,
+        |    coalesce(pb.bad_member, 0) AS bad_member,
+        |    coalesce(q.qcs_under, 0) AS qcs_under,
+        |    coalesce(q.qcs_over, 0) AS qcs_over,
+        |    CASE WHEN c.chain_state = 'QUASI_CLOSED'
+        |      AND coalesce(k.max_qc_seq, -1) > -1
+        |      AND coalesce(k.max_qc_seq, -1)
+        |        >= coalesce(k.max_unh_seq, -1)
+        |      AND coalesce(k.n_qcunh_origins, 0)
+        |        >= c.replication_factor THEN 1 ELSE 0 END
+        |      AS qc_force_close,
+        |    c.chain_state = 'QUASI_CLOSED'
+        |      AND NOT (coalesce(k.max_qc_seq, -1) > -1
+        |        AND coalesce(k.max_qc_seq, -1)
+        |          >= coalesce(k.max_unh_seq, -1)
+        |        AND coalesce(k.n_qcunh_origins, 0)
+        |          >= c.replication_factor)
+        |      AND coalesce(k.n_origins, 0) > 1
+        |      AND coalesce(k.n_open_origins, 0) < c.replication_factor
+        |      AS qcs_stuck,
+        |    coalesce(k.unhealthy_is, 0) + coalesce(k.maint_u, 0)
+        |      + coalesce(k.decom_u, 0) > 0
+        |      AND coalesce(k.n_origins, 0) < coalesce(k.n_replicas, 0)
+        |      AS deletable_unh,
+        |    m.miss_without + CASE WHEN d.del_dn <> ''
+        |      AND d.del_on_unhealthy = 0 THEN 1 ELSE 0 END <= 0
+        |      AS suff_without,
+        |    m.miss_without < 0 AS over_without,
+        |    m.miss_with < 0 AS over_with,
+        |    m.miss_with + CASE WHEN d.del_dn <> '' THEN 1 ELSE 0 END
+        |      <= 0 AS suff_with_unh,
+        |    m.miss_with + CASE WHEN d.del_dn <> '' THEN 1 ELSE 0 END
+        |      < 0 AS over_with_del,
+        |    CASE WHEN c.chain_state = 'QUASI_CLOSED'
+        |      AND coalesce(k.any_healthy_state, 0) = 1
+        |      THEN coalesce(v.n_vuln_raw, 0) ELSE 0 END AS n_vulnerable
+        |  FROM chh_cont c
+        |  LEFT JOIN chh_counts k USING (container_id)
+        |  LEFT JOIN chh_vuln v USING (container_id)
+        |  LEFT JOIN chh_qcs q USING (container_id)
+        |  LEFT JOIN containers_om om USING (container_id)
+        |  LEFT JOIN chh_pipebad pb
+        |    ON pb.pipeline_id = 'pipeline-' || (c.container_id % 12)
+        |  JOIN chh_del d USING (container_id)
+        |  CROSS JOIN LATERAL (SELECT
+        |    CASE WHEN 3 - coalesce(k.healthy_is, 0) < 0
+        |        THEN 3 - coalesce(k.healthy_is, 0)
+        |      WHEN 3 - coalesce(k.healthy_is, 0) > 0
+        |        THEN GREATEST(GREATEST(3 - coalesce(k.healthy_is, 0)
+        |          - coalesce(k.maint_h, 0), 0),
+        |          GREATEST(2 - coalesce(k.healthy_is, 0), 0))
+        |      ELSE 0 END AS miss_without,
+        |    CASE WHEN 3 - coalesce(k.healthy_is, 0)
+        |        - coalesce(k.unhealthy_is, 0) < 0
+        |        THEN 3 - coalesce(k.healthy_is, 0)
+        |          - coalesce(k.unhealthy_is, 0)
+        |      WHEN 3 - coalesce(k.healthy_is, 0)
+        |        - coalesce(k.unhealthy_is, 0) > 0
+        |        THEN GREATEST(GREATEST(3 - coalesce(k.healthy_is, 0)
+        |          - coalesce(k.unhealthy_is, 0) - coalesce(k.maint_h, 0)
+        |          - coalesce(k.maint_u, 0), 0),
+        |          GREATEST(2 - coalesce(k.healthy_is, 0)
+        |            - coalesce(k.unhealthy_is, 0), 0))
+        |      ELSE 0 END AS miss_with) m)""".stripMargin),
 
     // Pipeline-create mirror: viable CTE + three ORDER-BY-LIMIT-1 picks.
     "q_pipeline_create" -> O.withCtes(

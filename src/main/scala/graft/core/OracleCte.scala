@@ -497,37 +497,39 @@ object OracleCte {
       |  FROM range(1000) t(r) WHERE r % 97 <> 0)""".stripMargin
 
   /** Shared replication-repair replica synthesis (mirror of
-    * ClusterHealth.urpReplicas); tu/mnt/dcm are the
-    * RatisContainerReplicaCount row classifications. */
-  val urpReps: String =
-    """urp_rep2 AS (
-      |  SELECT u.*, 'dn' || u.dn_num AS datanode,
-      |    CASE WHEN u.container_id % 59 = 0 THEN 'UNHEALTHY'
-      |      WHEN u.container_id % 29 = 0 AND u.r = 1 THEN 'UNHEALTHY'
-      |      WHEN u.container_id % 67 = 0 OR u.container_id % 106 = 0
-      |        THEN 'CLOSING'
-      |      WHEN u.container_state = 'QUASI_CLOSED'
-      |        THEN 'QUASI_CLOSED'
-      |      ELSE 'CLOSED' END AS replica_state,
-      |    u.c_seq - CASE WHEN (u.r = 0 AND u.container_id % 43 = 0)
-      |      OR u.container_id % 94 = 0 THEN 1 ELSE 0 END
-      |      + CASE WHEN u.r = 1 AND u.container_id % 212 = 0
-      |        THEN 2 ELSE 0 END AS seq,
-      |    (u.container_id % 53 = 0 OR u.container_id % 47 = 0)
-      |      AS is_empty,
-      |    'dn' || ((u.container_id + u.r) % 20) AS origin,
-      |    d.state AS node_state, d.op_state
-      |  FROM (
-      |    SELECT c.*, r.r,
-      |      (c.container_id + CASE WHEN c.container_id % 23 = 0
-      |        THEN r.r * 5 ELSE r.r END) % 20 AS dn_num
-      |    FROM urp_cont c CROSS JOIN range(4) r(r)
-      |    WHERE ((r.r <= 2 AND NOT (c.container_id % 13 = 0
-      |        AND r.r = 2))
-      |       OR (r.r = 3 AND c.container_id % 17 = 0))
-      |      AND c.container_id % 61 <> 0
-      |      AND c.container_id % 89 <> 0) u
-      |  JOIN datanodes d ON d.uuid = 'dn' || u.dn_num)""".stripMargin
+    * ClusterHealth.urpReplicas), parameterized by the CTE name and the
+    * container-spine CTE it draws from. */
+  def urpRepsSql(cteName: String, contCte: String): String =
+    s"""$cteName AS (
+       |  SELECT u.*, 'dn' || u.dn_num AS datanode,
+       |    CASE WHEN u.container_id % 59 = 0 THEN 'UNHEALTHY'
+       |      WHEN u.container_id % 29 = 0 AND u.r = 1 THEN 'UNHEALTHY'
+       |      WHEN u.container_id % 67 = 0 OR u.container_id % 106 = 0
+       |        THEN 'CLOSING'
+       |      WHEN u.container_state = 'QUASI_CLOSED'
+       |        THEN 'QUASI_CLOSED'
+       |      ELSE 'CLOSED' END AS replica_state,
+       |    u.c_seq - CASE WHEN (u.r = 0 AND u.container_id % 43 = 0)
+       |      OR u.container_id % 94 = 0 THEN 1 ELSE 0 END
+       |      + CASE WHEN u.r = 1 AND u.container_id % 212 = 0
+       |        THEN 2 ELSE 0 END AS seq,
+       |    (u.container_id % 53 = 0 OR u.container_id % 47 = 0)
+       |      AS is_empty,
+       |    'dn' || ((u.container_id + u.r) % 20) AS origin,
+       |    d.state AS node_state, d.op_state
+       |  FROM (
+       |    SELECT c.*, r.r,
+       |      (c.container_id + CASE WHEN c.container_id % 23 = 0
+       |        THEN r.r * 5 ELSE r.r END) % 20 AS dn_num
+       |    FROM $contCte c CROSS JOIN range(4) r(r)
+       |    WHERE ((r.r <= 2 AND NOT (c.container_id % 13 = 0
+       |        AND r.r = 2))
+       |       OR (r.r = 3 AND c.container_id % 17 = 0))
+       |      AND c.container_id % 61 <> 0
+       |      AND c.container_id % 89 <> 0) u
+       |  JOIN datanodes d ON d.uuid = 'dn' || u.dn_num)""".stripMargin
+
+  val urpReps: String = urpRepsSql("urp_rep2", "urp_cont")
 
   val datanodes: String =
     """datanodes AS (

@@ -2356,6 +2356,339 @@ object ClusterHealth {
       .orderBy("container_id")
   }
 
+  /**
+   * ReplicationManager container health-check chain — the handler chain
+   * built at `ReplicationManager.java:264-277`, folded per container to
+   * the FIRST handler that handles it (`HealthCheck.handleChain`
+   * semantics), RATIS plane (the EC rungs type-guard false; their repair
+   * planes live in q_ec_under/over_replication):
+   *
+   *   1. OpenContainerHandler (:50-79): OPEN containers are ALWAYS
+   *      handled; an unhealthy pipeline member or any state-mismatched
+   *      replica triggers a close event (OPEN_WITHOUT_PIPELINE /
+   *      OPEN_UNHEALTHY / OPEN_OK);
+   *   2. ClosingContainerHandler (:59-133): CLOSING always handled —
+   *      close commands to every non-UNHEALTHY replica; all-unhealthy
+   *      flips the container QUASI_CLOSED; no replicas ⇒ MISSING;
+   *   3. QuasiClosedContainerHandler (:58-136, side rung — NEVER
+   *      handles): QUASI_CLOSED containers force-close when the max
+   *      QUASI_CLOSED BCSID ≥ the max UNHEALTHY BCSID and the unique
+   *      QC/UNHEALTHY origins reach the factor; else QUASI_CLOSED_STUCK
+   *      (qc_force_close column);
+   *   4. MismatchedReplicasHandler (:59-89, side rung — never handles):
+   *      close commands to state-mismatched replicas of CLOSED/QC
+   *      containers (n_mismatch_close);
+   *   5. EmptyContainerHandler — the emptyContainerCheck rungs;
+   *   6. DeletingContainerHandler (:56-76): DELETED and DELETING handled;
+   *   7. QuasiClosedStuckReplicationCheck (:50-133): stuck QC containers
+   *      with >1 origin, healthy copies and no full open-origin set —
+   *      missing ⇒ QCS_MISSING, per-origin under ⇒ QCS_UNDER, over ⇒
+   *      QCS_OVER, else unhandled;
+   *   8. RatisReplicationCheckHandler (:78-166, checkHealth :188-280):
+   *      under (unrecoverable ⇒ MISSING; recoverable-without-healthy
+   *      defers to the unhealthy rung), over without unhealthy, over
+   *      with unhealthy (CLOSED directly; QC only when a deletable
+   *      duplicate-origin UNHEALTHY exists), MIS_REPLICATED placement
+   *      (< min(rf, racks) racks), else healthy/unhealthy unhandled;
+   *   9. RatisUnhealthyReplicationCheckHandler (:50-114): only-UNHEALTHY
+   *      containers re-checked counting them — UNHEALTHY_UNDER /
+   *      UNHEALTHY_OVER handled, plain UNHEALTHY reported but unhandled;
+   *  10. VulnerableUnhealthyReplicasHandler (:59-95): QC containers with
+   *      sequence-matched UNHEALTHY copies stranded on leaving nodes;
+   *  11. fall-through NONE (HEALTHY / UNHEALTHY detail).
+   *
+   * Fixture: the shared repair synthesis + chain states layered on the
+   * container spine (%151 OPEN, %157 CLOSING, %163 DELETING, DELETED
+   * from the base catalog) and two stuck-QC families — %173 (UNHEALTHY
+   * copy BCSID ahead ⇒ stuck, single-copy best origins ⇒ QCS_UNDER) and
+   * %346 ⊂ %173 (duplicated origins ⇒ QCS_OVER); %187 QC mixes a
+   * vulnerable UNHEALTHY copy on a leaving node into a sufficient set.
+   *
+   * Scale shape: one pass of per-container hash aggregates over the
+   * replica map + a per-(container, origin) sub-aggregate on the stuck
+   * subset; container/node/pipeline dims broadcast.
+   */
+  def containerHealthChain(datanodes: DataFrame, containersScm: DataFrame,
+                           containersOm: DataFrame,
+                           pipelineMembers: DataFrame): DataFrame = {
+    val c = col("container_id")
+    val isQcBase = c % 53 === 0 || c % 58 === 0 || c % 119 === 0
+    val isQcExtra = c % 173 === 0 || c % 187 === 0
+    val chainCont = containersScm
+      .withColumn("chain_state",
+        when(col("state") === "DELETED", lit("DELETED"))
+          .when(c % 151 === 0, lit("OPEN"))
+          .when(c % 157 === 0, lit("CLOSING"))
+          .when(c % 163 === 0, lit("DELETING"))
+          .when(isQcBase || isQcExtra, lit("QUASI_CLOSED"))
+          .otherwise(lit("CLOSED")))
+      .withColumn("container_state",
+        when(isQcBase, lit("QUASI_CLOSED")).otherwise(lit("CLOSED")))
+      .withColumn("c_seq", c * 100L)
+      .select("container_id", "chain_state", "container_state",
+        "replication_factor", "c_seq")
+    // replica synthesis (the shared repair rows) + the chain's stuck-QC
+    // families; DELETED containers keep their rows — rung 6 fires first
+    val baseReps = urpReplicas(chainCont, datanodes)
+      .withColumn("replica_state",
+        when(c % 173 === 0 || c % 187 === 0,
+          when(col("r") === 1, lit("UNHEALTHY"))
+            .otherwise(lit("QUASI_CLOSED")))
+          .otherwise(col("replica_state")))
+      .withColumn("seq",
+        when(c % 173 === 0 && col("r") === 1, col("c_seq") + 5L)
+          .when(c % 346 === 0 && col("r") === 0, col("c_seq") + 1L)
+          .otherwise(col("seq")))
+    // %346 moved copies: the best origin (r0, BCSID+1) duplicated once,
+    // the non-best r2 origin duplicated twice (its own node is
+    // decommissioning) — a pure per-origin excess
+    val newDn = datanodes.select(col("uuid").as("datanode"),
+      col("state").as("node_state"), col("op_state"))
+    val dups = baseReps.filter(c % 346 === 0 && col("r").isin(0L, 2L))
+      .withColumn("off", explode(when(col("r") === 0, array(lit(3L)))
+        .otherwise(array(lit(7L), lit(9L)))))
+      .withColumn("dn_num", (c + col("off")) % 20)
+      .withColumn("datanode",
+        concat(lit("dn"), col("dn_num").cast("string")))
+      .drop("node_state", "op_state", "off")
+      .join(broadcast(newDn), Seq("datanode"))
+    val reps = baseReps.unionByName(dups.select(baseReps.columns.map(col): _*))
+    val pend = chainCont.select(col("container_id"),
+      when(c % 31 === 0 || c % 116 === 0 || c % 118 === 0, 1L)
+        .otherwise(0L).as("n_add"),
+      when(c % 37 === 0, concat(lit("dn"), (c % 20).cast("string")))
+        .otherwise(lit("")).as("del_dn"))
+    val treatedUnhealthy = col("replica_state") === "UNHEALTHY" ||
+      (col("replica_state") === "QUASI_CLOSED" &&
+        col("chain_state") === "CLOSED" && col("seq") =!= col("c_seq"))
+    val isMaint = col("op_state").isin("IN_MAINTENANCE",
+      "ENTERING_MAINTENANCE")
+    val isDecom = col("op_state").isin("DECOMMISSIONING", "DECOMMISSIONED")
+    val mismatched = col("replica_state") =!= "UNHEALTHY" &&
+      col("replica_state") =!= col("chain_state")
+    val counts = reps.groupBy("container_id")
+      .agg(
+        count(lit(1)).as("n_replicas"),
+        min(col("is_empty").cast("int")).as("all_empty"),
+        min((col("replica_state") === "CLOSED" && col("is_empty"))
+          .cast("int")).as("all_closed_empty"),
+        max((col("replica_state") =!= "UNHEALTHY").cast("int"))
+          .as("any_healthy_state"),
+        sum(when(!treatedUnhealthy && !isMaint && !isDecom, 1L)
+          .otherwise(0L)).as("healthy_is"),
+        sum(when(treatedUnhealthy && !isMaint && !isDecom, 1L)
+          .otherwise(0L)).as("unhealthy_is"),
+        sum(when(!treatedUnhealthy && isMaint, 1L).otherwise(0L))
+          .as("maint_h"),
+        sum(when(treatedUnhealthy && isMaint, 1L).otherwise(0L))
+          .as("maint_u"),
+        sum(when(!treatedUnhealthy && isDecom, 1L).otherwise(0L))
+          .as("decom_h"),
+        sum(when(treatedUnhealthy && isDecom, 1L).otherwise(0L))
+          .as("decom_u"),
+        collect_set(when(treatedUnhealthy, col("datanode")))
+          .as("unhealthy_dns"),
+        coalesce(max(when(col("replica_state") === "QUASI_CLOSED",
+          col("seq"))), lit(-1L)).as("max_qc_seq"),
+        coalesce(max(when(col("replica_state") === "UNHEALTHY",
+          col("seq"))), lit(-1L)).as("max_unh_seq"),
+        countDistinct(when(col("replica_state")
+          .isin("QUASI_CLOSED", "UNHEALTHY"), col("origin")))
+          .as("n_qcunh_origins"),
+        countDistinct(when(col("replica_state")
+          .isin("QUASI_CLOSED", "OPEN"), col("origin")))
+          .as("n_open_origins"),
+        countDistinct(col("origin")).as("n_origins"),
+        countDistinct(col("dn_num") % 5).as("n_racks"),
+        sum(when(mismatched &&
+          (col("chain_state") === "CLOSED" ||
+            col("chain_state") === "QUASI_CLOSED"), 1L).otherwise(0L))
+          .as("n_mismatch_close"),
+        sum(when(col("replica_state") =!= "UNHEALTHY", 1L).otherwise(0L))
+          .as("n_nonunh"),
+        // replica states all match an OPEN container? (rung 1)
+        min((col("replica_state") === col("chain_state")).cast("int"))
+          .as("all_match_state"),
+        collect_set(when(col("op_state") === "IN_SERVICE" &&
+          col("node_state") === "HEALTHY" && col("seq") === col("c_seq"),
+          col("origin"))).as("inservice_origins"),
+        // a deletable excess UNHEALTHY: duplicated origin (rung 8 QC-over)
+        max(when(col("replica_state") === "UNHEALTHY", col("origin")))
+          .as("any_unh_origin"))
+    val vulnerable = reps
+      .join(counts.select("container_id", "inservice_origins"),
+        Seq("container_id"))
+      .filter(col("replica_state") === "UNHEALTHY" &&
+        col("seq") === col("c_seq") && !col("is_empty") &&
+        col("node_state") === "HEALTHY" &&
+        !array_contains(col("inservice_origins"), col("origin")))
+      .groupBy("container_id").agg(count(lit(1)).as("n_vuln_raw"))
+    // per-origin QCS accounting on the stuck-QC candidates
+    val qcsFold = qcsPerOrigin(
+      reps.withColumn("healthy", col("replica_state") =!= "UNHEALTHY")
+        .withColumn("in_service", col("op_state") === "IN_SERVICE")
+        .withColumn("maint", isMaint),
+      2, 1, 2)
+      .groupBy("container_id")
+      .agg(max(when(col("under_delta") > 0, 1).otherwise(0))
+        .as("qcs_under"),
+        max(when(col("over_delta") > 0, 1).otherwise(0)).as("qcs_over"))
+    // pipeline health for the OPEN rung: container -> pipeline (c % 12)
+    val pipeBad = pipelineMembers
+      .join(broadcast(datanodes.select(col("uuid").as("datanode"),
+        col("state").as("node_state"))), Seq("datanode"))
+      .groupBy("pipeline_id")
+      .agg(max(when(col("node_state") =!= "HEALTHY", 1).otherwise(0))
+        .as("bad_member"))
+    val staged = chainCont
+      .join(counts.drop("inservice_origins"), Seq("container_id"), "left")
+      .join(broadcast(vulnerable), Seq("container_id"), "left")
+      .join(broadcast(qcsFold), Seq("container_id"), "left")
+      .join(broadcast(pend), Seq("container_id"), "left")
+      .join(broadcast(containersOm.select(col("container_id"),
+        col("num_keys"))), Seq("container_id"), "left")
+      .withColumn("pipeline_id",
+        concat(lit("pipeline-"), (c % 12).cast("string")))
+      .join(broadcast(pipeBad), Seq("pipeline_id"), "left")
+      .na.fill(0L, Seq("n_replicas", "all_empty", "all_closed_empty",
+        "any_healthy_state", "healthy_is", "unhealthy_is", "maint_h",
+        "maint_u", "decom_h", "decom_u", "n_qcunh_origins",
+        "n_open_origins", "n_origins", "n_racks", "n_mismatch_close",
+        "n_nonunh", "all_match_state", "n_vuln_raw", "qcs_under",
+        "qcs_over", "n_add", "num_keys", "bad_member"))
+      .na.fill("", Seq("del_dn"))
+      .withColumn("del_on_unhealthy",
+        col("del_dn") =!= "" &&
+          coalesce(array_contains(col("unhealthy_dns"), col("del_dn")),
+            lit(false)))
+      .withColumn("n_del_without",
+        when(col("del_dn") =!= "" && !col("del_on_unhealthy"), 1L)
+          .otherwise(0L))
+      .withColumn("n_del_with",
+        when(col("del_dn") =!= "", 1L).otherwise(0L))
+      .withColumn("healthy_count",
+        col("healthy_is") + col("maint_h") + col("decom_h"))
+      .withColumn("n_vulnerable",
+        when(col("chain_state") === "QUASI_CLOSED" &&
+          col("any_healthy_state") === 1, col("n_vuln_raw"))
+          .otherwise(0L))
+    def miss(avail: Column, maintC: Column): Column = {
+      val delta = col("replication_factor") - avail
+      when(delta < 0, delta).otherwise(
+        when(delta > 0, greatest(greatest(delta - maintC, lit(0L)),
+          greatest(lit(2L) - avail, lit(0L)))).otherwise(lit(0L)))
+    }
+    val missW = miss(col("healthy_is"), col("maint_h"))
+    val missU = miss(col("healthy_is") + col("unhealthy_is"),
+      col("maint_h") + col("maint_u"))
+    val calc = staged
+      .withColumn("miss_without", missW)
+      .withColumn("miss_with", missU)
+      .withColumn("suff_without",
+        col("miss_without") + col("n_del_without") <= 0)
+      .withColumn("over_without", col("miss_without") < 0)
+      .withColumn("over_with", col("miss_with") < 0)
+      .withColumn("suff_with_unh",
+        col("miss_with") + col("n_del_with") <= 0)
+      .withColumn("over_with_del",
+        col("miss_with") + col("n_del_with") < 0)
+      .withColumn("qc_force_close",
+        when(col("chain_state") === "QUASI_CLOSED" &&
+          col("max_qc_seq") > -1L &&
+          col("max_qc_seq") >= col("max_unh_seq") &&
+          col("n_qcunh_origins") >= col("replication_factor"), 1)
+          .otherwise(0))
+      .withColumn("qcs_stuck",
+        col("chain_state") === "QUASI_CLOSED" &&
+          col("qc_force_close") === 0 && col("n_origins") > 1 &&
+          col("n_open_origins") < col("replication_factor"))
+      // rung-8 QC over-with-unhealthy deletable probe: an UNHEALTHY
+      // copy whose origin is duplicated among the replicas
+      .withColumn("deletable_unh", col("unhealthy_is") + col("maint_u") +
+        col("decom_u") > 0 && col("n_origins") < col("n_replicas"))
+    calc
+      .withColumn("handled_by",
+        when(col("chain_state") === "OPEN", lit("OPEN"))
+          .when(col("chain_state") === "CLOSING", lit("CLOSING"))
+          .when(col("chain_state").isin("DELETED", "DELETING"),
+            lit("DELETING"))
+          .when(col("chain_state") === "CLOSED" &&
+            col("n_replicas") > 0 && col("all_closed_empty") === 1,
+            lit("EMPTY"))
+          .when(col("chain_state") === "QUASI_CLOSED" &&
+            col("n_replicas") > 0 && col("all_empty") === 1,
+            lit("EMPTY"))
+          .when(col("chain_state") === "CLOSED" &&
+            col("num_keys") === 0 && col("n_replicas") === 0,
+            lit("EMPTY"))
+          .when(col("qcs_stuck") && col("n_replicas") === 0,
+            lit("QCS_CHECK"))
+          .when(col("qcs_stuck") && col("any_healthy_state") === 1 &&
+            (col("qcs_under") === 1 || col("qcs_over") === 1),
+            lit("QCS_CHECK"))
+          .when(!col("qcs_stuck") && !col("suff_without") &&
+            col("n_replicas") === 0, lit("RATIS_CHECK"))
+          .when(!col("qcs_stuck") && !col("suff_without") &&
+            col("healthy_count") > 0, lit("RATIS_CHECK"))
+          .when(!col("qcs_stuck") && col("suff_without") &&
+            (col("over_without") ||
+              (col("over_with") && (col("chain_state") === "CLOSED" ||
+                col("deletable_unh")))), lit("RATIS_CHECK"))
+          .when(!col("qcs_stuck") && col("suff_without") &&
+            !col("over_without") && !(col("over_with") &&
+              (col("chain_state") === "CLOSED" || col("deletable_unh")))
+            && col("n_racks") <
+              least(col("replication_factor"), lit(5L)),
+            lit("RATIS_CHECK"))
+          .when(col("healthy_count") === 0 &&
+            col("unhealthy_is") + col("maint_u") + col("decom_u") > 0 &&
+            !col("suff_with_unh"), lit("UNHEALTHY_CHECK"))
+          .when(col("healthy_count") === 0 &&
+            col("unhealthy_is") + col("maint_u") + col("decom_u") > 0 &&
+            col("over_with_del"), lit("UNHEALTHY_CHECK"))
+          .when(col("n_vulnerable") > 0, lit("VULNERABLE"))
+          .otherwise(lit("NONE")))
+      .withColumn("detail",
+        when(col("handled_by") === "OPEN",
+          when(col("bad_member") === 1, lit("OPEN_WITHOUT_PIPELINE"))
+            .when(col("all_match_state") === 0, lit("OPEN_UNHEALTHY"))
+            .otherwise(lit("OPEN_OK")))
+          .when(col("handled_by") === "CLOSING",
+            when(col("n_replicas") === 0, lit("CLOSING_MISSING"))
+              .when(col("n_nonunh") === 0,
+                lit("CLOSING_ALL_UNHEALTHY"))
+              .otherwise(lit("CLOSING_CLOSE")))
+          .when(col("handled_by") === "DELETING", col("chain_state"))
+          .when(col("handled_by") === "EMPTY",
+            when(col("chain_state") === "QUASI_CLOSED",
+              lit("EMPTY_QUASI_CLOSED"))
+              .when(col("n_replicas") === 0, lit("EMPTY_NO_REPLICAS"))
+              .otherwise(lit("EMPTY_CLOSED")))
+          .when(col("handled_by") === "QCS_CHECK",
+            when(col("n_replicas") === 0, lit("QCS_MISSING"))
+              .when(col("qcs_under") === 1, lit("QCS_UNDER"))
+              .otherwise(lit("QCS_OVER")))
+          .when(col("handled_by") === "RATIS_CHECK",
+            when(!col("suff_without") && col("n_replicas") === 0,
+              lit("MISSING"))
+              .when(!col("suff_without"), lit("UNDER_REPLICATED"))
+              .when(col("over_without") || col("over_with"),
+                lit("OVER_REPLICATED"))
+              .otherwise(lit("MIS_REPLICATED")))
+          .when(col("handled_by") === "UNHEALTHY_CHECK",
+            when(!col("suff_with_unh"), lit("UNHEALTHY_UNDER"))
+              .otherwise(lit("UNHEALTHY_OVER")))
+          .when(col("handled_by") === "VULNERABLE",
+            lit("UNHEALTHY_VULNERABLE"))
+          .otherwise(
+            when(col("unhealthy_is") + col("maint_u") + col("decom_u")
+              > 0, lit("UNHEALTHY")).otherwise(lit("HEALTHY"))))
+      .select(col("container_id"), col("chain_state"), col("handled_by"),
+        col("detail"), col("qc_force_close"),
+        col("n_mismatch_close").cast("long").as("n_mismatch_close"))
+      .orderBy("container_id")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),

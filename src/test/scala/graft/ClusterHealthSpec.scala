@@ -1060,4 +1060,49 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got.values.count(
       _.getAs[String]("verdict") == "NOT_UNDER") > 80)
   }
+
+  test("containerHealthChain: first-true rung per container, all rungs") {
+    val got = ClusterHealth.containerHealthChain(T.datanodes(spark, sf),
+      T.containersScm(spark, sf), T.containersOm(spark, sf),
+      T.pipelineMembers(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") -> r).toMap
+    def hd(c: Long) = (got(c).getAs[String]("handled_by"),
+      got(c).getAs[String]("detail"))
+    assert(hd(151) === (("OPEN", "OPEN_UNHEALTHY")))
+    assert(hd(157) === (("CLOSING", "CLOSING_CLOSE")))
+    assert(hd(163) === (("DELETING", "DELETING")))
+    assert(hd(97) === (("DELETING", "DELETED")))
+    assert(hd(47) === (("EMPTY", "EMPTY_CLOSED")))
+    assert(hd(53) === (("EMPTY", "EMPTY_QUASI_CLOSED")))
+    assert(hd(89) === (("EMPTY", "EMPTY_NO_REPLICAS")))
+    // 173: UNHEALTHY copy's BCSID is AHEAD of every QC copy → stuck,
+    // single-copy best origins are short of their 2-copy target
+    assert(hd(173) === (("QCS_CHECK", "QCS_UNDER")))
+    assert(got(173).getAs[Int]("qc_force_close") === 0)
+    // 346: the non-best origin holds two moved copies → per-origin excess
+    assert(hd(346) === (("QCS_CHECK", "QCS_OVER")))
+    // 58: force-closeable (max QC BCSID >= max UNHEALTHY, full origins) —
+    // the side rung closes it and the chain continues to under-replication
+    assert(got(58).getAs[Int]("qc_force_close") === 1)
+    assert(hd(58) === (("RATIS_CHECK", "UNDER_REPLICATED")))
+    assert(hd(13) === (("RATIS_CHECK", "UNDER_REPLICATED")))
+    assert(hd(61) === (("RATIS_CHECK", "MISSING")))
+    // 23 itself has a copy on a DECOMMISSIONING node → re-replication
+    // wins before placement is even consulted; 230's single-rack copies
+    // are all in-service → MIS_REPLICATED
+    assert(hd(23) === (("RATIS_CHECK", "UNDER_REPLICATED")))
+    assert(hd(230) === (("RATIS_CHECK", "MIS_REPLICATED")))
+    // 59: all-UNHEALTHY but sufficiently replicated counting them —
+    // reported UNHEALTHY, never handled
+    assert(hd(59) === (("NONE", "UNHEALTHY")))
+    // 767 = 13*59: all-UNHEALTHY and short a copy
+    assert(hd(767) === (("UNHEALTHY_CHECK", "UNHEALTHY_UNDER")))
+    // 187: sufficient QC set whose UNHEALTHY copy sits on a leaving node
+    assert(hd(187) === (("VULNERABLE", "UNHEALTHY_VULNERABLE")))
+    // mismatch side rung: CLOSING-state replicas on a CLOSED container
+    assert(got(67L).getAs[Long]("n_mismatch_close") === 3L)
+    assert(got.size === 1000)
+    assert(got.values.count(
+      _.getAs[String]("handled_by") == "NONE") > 350)
+  }
 }
