@@ -990,6 +990,12 @@ object SparkEntry {
       ClusterHealth.containerHealthChain(T.datanodes(s, d),
         T.containersScm(s, d), T.containersOm(s, d),
         T.pipelineMembers(s, d))),
+    // ozone admin container report: per-state counts with 100-capped
+    // id samples in chain-visit order, the side-rung reports included.
+    "q_replication_report" -> ((s, d) =>
+      ClusterHealth.replicationReport(T.datanodes(s, d),
+        T.containersScm(s, d), T.containersOm(s, d),
+        T.pipelineMembers(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -1084,7 +1090,152 @@ object SparkEntry {
   /** Query-term set for q_keyword_search (mirrored in its oracle). */
   val SearchTerms = Seq("table", "spark", "query", "zebra")
 
-  def oracleSql: Map[String, String] = Map(
+  /** The health-check-chain SELECT (shared by q_health_check_chain and,
+    * as a CTE, by q_replication_report's increment re-derivation). */
+  private val chhSelect: String =
+    """SELECT container_id, chain_state, handled_by, detail,
+      |  qc_force_close,
+      |  CAST(n_mismatch_close AS BIGINT) AS n_mismatch_close
+      |FROM (
+      |  SELECT s.*,
+      |  CASE
+      |    WHEN chain_state = 'OPEN' THEN 'OPEN'
+      |    WHEN chain_state = 'CLOSING' THEN 'CLOSING'
+      |    WHEN chain_state IN ('DELETED', 'DELETING') THEN 'DELETING'
+      |    WHEN chain_state = 'CLOSED' AND n_replicas > 0
+      |      AND all_closed_empty = 1 THEN 'EMPTY'
+      |    WHEN chain_state = 'QUASI_CLOSED' AND n_replicas > 0
+      |      AND all_empty = 1 THEN 'EMPTY'
+      |    WHEN chain_state = 'CLOSED' AND num_keys = 0
+      |      AND n_replicas = 0 THEN 'EMPTY'
+      |    WHEN qcs_stuck AND n_replicas = 0 THEN 'QCS_CHECK'
+      |    WHEN qcs_stuck AND any_healthy_state = 1
+      |      AND (qcs_under = 1 OR qcs_over = 1) THEN 'QCS_CHECK'
+      |    WHEN NOT qcs_stuck AND NOT suff_without AND n_replicas = 0
+      |      THEN 'RATIS_CHECK'
+      |    WHEN NOT qcs_stuck AND NOT suff_without
+      |      AND healthy_count > 0 THEN 'RATIS_CHECK'
+      |    WHEN NOT qcs_stuck AND suff_without AND (over_without
+      |      OR (over_with AND (chain_state = 'CLOSED'
+      |        OR deletable_unh))) THEN 'RATIS_CHECK'
+      |    WHEN NOT qcs_stuck AND suff_without AND NOT over_without
+      |      AND NOT (over_with AND (chain_state = 'CLOSED'
+      |        OR deletable_unh))
+      |      AND n_racks < least(replication_factor, 5)
+      |      THEN 'RATIS_CHECK'
+      |    WHEN healthy_count = 0 AND n_unh > 0
+      |      AND NOT suff_with_unh THEN 'UNHEALTHY_CHECK'
+      |    WHEN healthy_count = 0 AND n_unh > 0 AND over_with_del
+      |      THEN 'UNHEALTHY_CHECK'
+      |    WHEN n_vulnerable > 0 THEN 'VULNERABLE'
+      |    ELSE 'NONE' END AS handled_by
+      |  FROM chh_stage s)
+      |CROSS JOIN LATERAL (SELECT
+      |  CASE
+      |    WHEN handled_by = 'OPEN' THEN
+      |      CASE WHEN bad_member = 1 THEN 'OPEN_WITHOUT_PIPELINE'
+      |        WHEN all_match_state = 0 THEN 'OPEN_UNHEALTHY'
+      |        ELSE 'OPEN_OK' END
+      |    WHEN handled_by = 'CLOSING' THEN
+      |      CASE WHEN n_replicas = 0 THEN 'CLOSING_MISSING'
+      |        WHEN n_nonunh = 0 THEN 'CLOSING_ALL_UNHEALTHY'
+      |        ELSE 'CLOSING_CLOSE' END
+      |    WHEN handled_by = 'DELETING' THEN chain_state
+      |    WHEN handled_by = 'EMPTY' THEN
+      |      CASE WHEN chain_state = 'QUASI_CLOSED'
+      |          THEN 'EMPTY_QUASI_CLOSED'
+      |        WHEN n_replicas = 0 THEN 'EMPTY_NO_REPLICAS'
+      |        ELSE 'EMPTY_CLOSED' END
+      |    WHEN handled_by = 'QCS_CHECK' THEN
+      |      CASE WHEN n_replicas = 0 THEN 'QCS_MISSING'
+      |        WHEN qcs_under = 1 THEN 'QCS_UNDER'
+      |        ELSE 'QCS_OVER' END
+      |    WHEN handled_by = 'RATIS_CHECK' THEN
+      |      CASE WHEN NOT suff_without AND n_replicas = 0
+      |          THEN 'MISSING'
+      |        WHEN NOT suff_without THEN 'UNDER_REPLICATED'
+      |        WHEN over_without OR over_with THEN 'OVER_REPLICATED'
+      |        ELSE 'MIS_REPLICATED' END
+      |    WHEN handled_by = 'UNHEALTHY_CHECK' THEN
+      |      CASE WHEN NOT suff_with_unh THEN 'UNHEALTHY_UNDER'
+      |        ELSE 'UNHEALTHY_OVER' END
+      |    WHEN handled_by = 'VULNERABLE' THEN 'UNHEALTHY_VULNERABLE'
+      |    ELSE CASE WHEN n_unh > 0 THEN 'UNHEALTHY'
+      |      ELSE 'HEALTHY' END
+      |    END AS detail)""".stripMargin
+
+  def oracleSql: Map[String, String] =
+    oracleBase + ("q_replication_report" -> replicationReportOracle)
+
+  /** ReplicationManagerReport mirror: the whole chain oracle re-used as
+    * a CTE (string surgery on the q_health_check_chain entry so the two
+    * can never drift), increments re-derived per rung, 100-cap sample
+    * slices in ascending (visit) order, the pre-populated stat spine. */
+  private def replicationReportOracle: String = {
+    val chain = oracleBase("q_health_check_chain")
+    val ctesOnly = chain.stripSuffix("\nORDER BY container_id")
+      .stripSuffix(chhSelect).stripSuffix("\n")
+    ctesOnly + ",\nchh_chain AS (\n" + chhSelect + "\n)\n" +
+      """SELECT s.stat, CAST(coalesce(a.cnt, 0) AS BIGINT) AS cnt,
+        |  coalesce(a.sample_ids, '') AS sample_ids
+        |FROM (VALUES ('OPEN'), ('CLOSING'), ('QUASI_CLOSED'),
+        |  ('CLOSED'), ('DELETING'), ('DELETED'), ('HEALTHY'),
+        |  ('UNDER_REPLICATED'), ('MIS_REPLICATED'), ('OVER_REPLICATED'),
+        |  ('MISSING'), ('UNHEALTHY'), ('EMPTY'), ('OPEN_UNHEALTHY'),
+        |  ('QUASI_CLOSED_STUCK'), ('OPEN_WITHOUT_PIPELINE'),
+        |  ('UNHEALTHY_UNDER_REPLICATED'), ('UNHEALTHY_OVER_REPLICATED'),
+        |  ('MISSING_UNDER_REPLICATED'),
+        |  ('QUASI_CLOSED_STUCK_UNDER_REPLICATED'),
+        |  ('QUASI_CLOSED_STUCK_OVER_REPLICATED'),
+        |  ('QUASI_CLOSED_STUCK_MISSING')) s(stat)
+        |LEFT JOIN (
+        |  SELECT stat, count(*) AS cnt,
+        |    array_to_string((list(container_id ORDER BY container_id)
+        |      FILTER (WHERE sampled))[1:100], ',') AS sample_ids
+        |  FROM (
+        |    SELECT chain_state AS stat, container_id, false AS sampled
+        |    FROM chh_chain
+        |    UNION ALL
+        |    SELECT h.stat, h.container_id, true AS sampled FROM (
+        |      SELECT container_id,
+        |        CASE
+        |          WHEN detail = 'OPEN_WITHOUT_PIPELINE'
+        |            THEN 'OPEN_WITHOUT_PIPELINE'
+        |          WHEN detail = 'OPEN_UNHEALTHY' THEN 'OPEN_UNHEALTHY'
+        |          WHEN detail = 'CLOSING_MISSING' THEN 'MISSING'
+        |          WHEN handled_by = 'EMPTY' THEN 'EMPTY'
+        |          WHEN detail = 'QCS_MISSING'
+        |            THEN 'QUASI_CLOSED_STUCK_MISSING'
+        |          WHEN detail = 'QCS_UNDER'
+        |            THEN 'QUASI_CLOSED_STUCK_UNDER_REPLICATED'
+        |          WHEN detail = 'QCS_OVER'
+        |            THEN 'QUASI_CLOSED_STUCK_OVER_REPLICATED'
+        |          WHEN detail = 'MISSING' THEN 'MISSING'
+        |          WHEN detail = 'UNDER_REPLICATED'
+        |            THEN 'UNDER_REPLICATED'
+        |          WHEN detail = 'OVER_REPLICATED'
+        |            THEN 'OVER_REPLICATED'
+        |          WHEN detail = 'MIS_REPLICATED' THEN 'MIS_REPLICATED'
+        |          WHEN detail = 'UNHEALTHY_UNDER'
+        |            THEN 'UNHEALTHY_UNDER_REPLICATED'
+        |          WHEN detail = 'UNHEALTHY_OVER'
+        |            THEN 'UNHEALTHY_OVER_REPLICATED'
+        |          WHEN detail = 'UNHEALTHY_VULNERABLE'
+        |            THEN 'UNHEALTHY_UNDER_REPLICATED'
+        |          WHEN handled_by = 'NONE' AND detail = 'UNHEALTHY'
+        |            THEN 'UNHEALTHY'
+        |        END AS stat
+        |      FROM chh_chain) h WHERE h.stat IS NOT NULL
+        |    UNION ALL
+        |    SELECT 'QUASI_CLOSED_STUCK' AS stat, container_id,
+        |      true AS sampled
+        |    FROM chh_chain
+        |    WHERE chain_state = 'QUASI_CLOSED' AND qc_force_close = 0)
+        |  GROUP BY 1) a ON a.stat = s.stat
+        |ORDER BY s.stat""".stripMargin
+  }
+
+  private def oracleBase: Map[String, String] = Map(
     "q_list_keys" -> O.withCtes(
       """SELECT key, data_size, replicated_size, replication_type,
         |  creation_time, owner, etag
@@ -7111,77 +7262,7 @@ object SparkEntry {
     // Health-check chain mirror: the chain spine, the stuck-QC families,
     // the counting scalars, and the first-true rung ladder in SQL.
     "q_health_check_chain" -> O.withCtes(
-      """SELECT container_id, chain_state, handled_by, detail,
-        |  qc_force_close,
-        |  CAST(n_mismatch_close AS BIGINT) AS n_mismatch_close
-        |FROM (
-        |  SELECT s.*,
-        |  CASE
-        |    WHEN chain_state = 'OPEN' THEN 'OPEN'
-        |    WHEN chain_state = 'CLOSING' THEN 'CLOSING'
-        |    WHEN chain_state IN ('DELETED', 'DELETING') THEN 'DELETING'
-        |    WHEN chain_state = 'CLOSED' AND n_replicas > 0
-        |      AND all_closed_empty = 1 THEN 'EMPTY'
-        |    WHEN chain_state = 'QUASI_CLOSED' AND n_replicas > 0
-        |      AND all_empty = 1 THEN 'EMPTY'
-        |    WHEN chain_state = 'CLOSED' AND num_keys = 0
-        |      AND n_replicas = 0 THEN 'EMPTY'
-        |    WHEN qcs_stuck AND n_replicas = 0 THEN 'QCS_CHECK'
-        |    WHEN qcs_stuck AND any_healthy_state = 1
-        |      AND (qcs_under = 1 OR qcs_over = 1) THEN 'QCS_CHECK'
-        |    WHEN NOT qcs_stuck AND NOT suff_without AND n_replicas = 0
-        |      THEN 'RATIS_CHECK'
-        |    WHEN NOT qcs_stuck AND NOT suff_without
-        |      AND healthy_count > 0 THEN 'RATIS_CHECK'
-        |    WHEN NOT qcs_stuck AND suff_without AND (over_without
-        |      OR (over_with AND (chain_state = 'CLOSED'
-        |        OR deletable_unh))) THEN 'RATIS_CHECK'
-        |    WHEN NOT qcs_stuck AND suff_without AND NOT over_without
-        |      AND NOT (over_with AND (chain_state = 'CLOSED'
-        |        OR deletable_unh))
-        |      AND n_racks < least(replication_factor, 5)
-        |      THEN 'RATIS_CHECK'
-        |    WHEN healthy_count = 0 AND n_unh > 0
-        |      AND NOT suff_with_unh THEN 'UNHEALTHY_CHECK'
-        |    WHEN healthy_count = 0 AND n_unh > 0 AND over_with_del
-        |      THEN 'UNHEALTHY_CHECK'
-        |    WHEN n_vulnerable > 0 THEN 'VULNERABLE'
-        |    ELSE 'NONE' END AS handled_by
-        |  FROM chh_stage s)
-        |CROSS JOIN LATERAL (SELECT
-        |  CASE
-        |    WHEN handled_by = 'OPEN' THEN
-        |      CASE WHEN bad_member = 1 THEN 'OPEN_WITHOUT_PIPELINE'
-        |        WHEN all_match_state = 0 THEN 'OPEN_UNHEALTHY'
-        |        ELSE 'OPEN_OK' END
-        |    WHEN handled_by = 'CLOSING' THEN
-        |      CASE WHEN n_replicas = 0 THEN 'CLOSING_MISSING'
-        |        WHEN n_nonunh = 0 THEN 'CLOSING_ALL_UNHEALTHY'
-        |        ELSE 'CLOSING_CLOSE' END
-        |    WHEN handled_by = 'DELETING' THEN chain_state
-        |    WHEN handled_by = 'EMPTY' THEN
-        |      CASE WHEN chain_state = 'QUASI_CLOSED'
-        |          THEN 'EMPTY_QUASI_CLOSED'
-        |        WHEN n_replicas = 0 THEN 'EMPTY_NO_REPLICAS'
-        |        ELSE 'EMPTY_CLOSED' END
-        |    WHEN handled_by = 'QCS_CHECK' THEN
-        |      CASE WHEN n_replicas = 0 THEN 'QCS_MISSING'
-        |        WHEN qcs_under = 1 THEN 'QCS_UNDER'
-        |        ELSE 'QCS_OVER' END
-        |    WHEN handled_by = 'RATIS_CHECK' THEN
-        |      CASE WHEN NOT suff_without AND n_replicas = 0
-        |          THEN 'MISSING'
-        |        WHEN NOT suff_without THEN 'UNDER_REPLICATED'
-        |        WHEN over_without OR over_with THEN 'OVER_REPLICATED'
-        |        ELSE 'MIS_REPLICATED' END
-        |    WHEN handled_by = 'UNHEALTHY_CHECK' THEN
-        |      CASE WHEN NOT suff_with_unh THEN 'UNHEALTHY_UNDER'
-        |        ELSE 'UNHEALTHY_OVER' END
-        |    WHEN handled_by = 'VULNERABLE' THEN 'UNHEALTHY_VULNERABLE'
-        |    ELSE CASE WHEN n_unh > 0 THEN 'UNHEALTHY'
-        |      ELSE 'HEALTHY' END
-        |    END AS detail)
-        |ORDER BY container_id""".stripMargin,
+      chhSelect + "\nORDER BY container_id",
       O.datanodes, O.objects, O.containersOm, O.pipelines,
       O.pipelineMembers,
       """chh_cont AS (

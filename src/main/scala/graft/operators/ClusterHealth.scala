@@ -2689,6 +2689,95 @@ object ClusterHealth {
       .orderBy("container_id")
   }
 
+  /**
+   * ReplicationManager report — the `ozone admin container report`
+   * surface (`ReplicationManagerReport.java:50-251`): a pre-populated
+   * stat per LifeCycleState and per ContainerHealthState, each health
+   * stat carrying up to `sampleLimit` (100) sampled container ids in
+   * chain-visit order (`incrementAndSample:225-234` caps the list, the
+   * RM loop visits containers in id order; `ReplicationManager.java:1005`
+   * counts every container's lifecycle state). Health increments are
+   * re-derived from the chain fold's outputs — including the SIDE-rung
+   * reports (QUASI_CLOSED_STUCK from the never-handling force-close
+   * probe, MISSING from an empty CLOSING set, plain UNHEALTHY from the
+   * only-UNHEALTHY recheck that reports without handling).
+   *
+   * Scale shape: one explode of ≤3 stat rows per container + one hash
+   * agg over ~22 stat groups; the sample slice caps driver-bound data
+   * at 100 ids per stat.
+   */
+  def replicationReport(datanodes: DataFrame, containersScm: DataFrame,
+                        containersOm: DataFrame,
+                        pipelineMembers: DataFrame,
+                        sampleLimit: Int = 100): DataFrame = {
+    val spark = datanodes.sparkSession
+    import spark.implicits._
+    // the chain's expression tree is deep (13 rungs of CASE over a
+    // dozen aggregates); localCheckpoint truncates the lineage so the
+    // three increment projections below don't re-optimize it 3× (the
+    // materialized chain is container-dim-sized)
+    val chain = containerHealthChain(datanodes, containersScm,
+      containersOm, pipelineMembers).localCheckpoint()
+    val lifecycle = chain.select(col("chain_state").as("stat"),
+      col("container_id"), lit(false).as("sampled"))
+    val health = chain
+      .withColumn("stat",
+        when(col("detail") === "OPEN_WITHOUT_PIPELINE",
+          lit("OPEN_WITHOUT_PIPELINE"))
+          .when(col("detail") === "OPEN_UNHEALTHY", lit("OPEN_UNHEALTHY"))
+          .when(col("detail") === "CLOSING_MISSING", lit("MISSING"))
+          .when(col("handled_by") === "EMPTY", lit("EMPTY"))
+          .when(col("detail") === "QCS_MISSING",
+            lit("QUASI_CLOSED_STUCK_MISSING"))
+          .when(col("detail") === "QCS_UNDER",
+            lit("QUASI_CLOSED_STUCK_UNDER_REPLICATED"))
+          .when(col("detail") === "QCS_OVER",
+            lit("QUASI_CLOSED_STUCK_OVER_REPLICATED"))
+          .when(col("detail") === "MISSING", lit("MISSING"))
+          .when(col("detail") === "UNDER_REPLICATED",
+            lit("UNDER_REPLICATED"))
+          .when(col("detail") === "OVER_REPLICATED",
+            lit("OVER_REPLICATED"))
+          .when(col("detail") === "MIS_REPLICATED",
+            lit("MIS_REPLICATED"))
+          .when(col("detail") === "UNHEALTHY_UNDER",
+            lit("UNHEALTHY_UNDER_REPLICATED"))
+          .when(col("detail") === "UNHEALTHY_OVER",
+            lit("UNHEALTHY_OVER_REPLICATED"))
+          .when(col("detail") === "UNHEALTHY_VULNERABLE",
+            lit("UNHEALTHY_UNDER_REPLICATED"))
+          .when(col("handled_by") === "NONE" &&
+            col("detail") === "UNHEALTHY", lit("UNHEALTHY")))
+      .filter(col("stat").isNotNull)
+      .select(col("stat"), col("container_id"), lit(true).as("sampled"))
+    // the QC force-close side rung reports stuck containers even when a
+    // later rung handles them
+    val stuck = chain
+      .filter(col("chain_state") === "QUASI_CLOSED" &&
+        col("qc_force_close") === 0)
+      .select(lit("QUASI_CLOSED_STUCK").as("stat"), col("container_id"),
+        lit(true).as("sampled"))
+    val statSpine = (Seq("OPEN", "CLOSING", "QUASI_CLOSED", "CLOSED",
+      "DELETING", "DELETED") ++ Seq("HEALTHY", "UNDER_REPLICATED",
+      "MIS_REPLICATED", "OVER_REPLICATED", "MISSING", "UNHEALTHY",
+      "EMPTY", "OPEN_UNHEALTHY", "QUASI_CLOSED_STUCK",
+      "OPEN_WITHOUT_PIPELINE", "UNHEALTHY_UNDER_REPLICATED",
+      "UNHEALTHY_OVER_REPLICATED", "MISSING_UNDER_REPLICATED",
+      "QUASI_CLOSED_STUCK_UNDER_REPLICATED",
+      "QUASI_CLOSED_STUCK_OVER_REPLICATED",
+      "QUASI_CLOSED_STUCK_MISSING")).toDF("stat")
+    val agg = lifecycle.unionByName(health).unionByName(stuck)
+      .groupBy("stat")
+      .agg(count(lit(1)).as("cnt"),
+        concat_ws(",", transform(slice(sort_array(collect_list(
+          when(col("sampled"), col("container_id")))), 1, sampleLimit),
+          _.cast("string"))).as("sample_ids"))
+    statSpine.join(agg, Seq("stat"), "left")
+      .na.fill(0L, Seq("cnt")).na.fill("", Seq("sample_ids"))
+      .select("stat", "cnt", "sample_ids")
+      .orderBy("stat")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),

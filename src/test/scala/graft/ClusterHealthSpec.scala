@@ -1105,4 +1105,31 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got.values.count(
       _.getAs[String]("handled_by") == "NONE") > 350)
   }
+
+  test("replicationReport: pre-populated stats, capped visit-order samples") {
+    val rep = ClusterHealth.replicationReport(T.datanodes(spark, sf),
+      T.containersScm(spark, sf), T.containersOm(spark, sf),
+      T.pipelineMembers(spark, sf))
+      .collect().map(r => r.getAs[String]("stat") ->
+        (r.getAs[Long]("cnt"), r.getAs[String]("sample_ids"))).toMap
+    assert(rep.size === 22, "every enum stat pre-populated")
+    // zero stats still present
+    assert(rep("MISSING_UNDER_REPLICATED") === ((0L, "")))
+    // lifecycle counts cover all containers, no samples
+    assert(rep("CLOSED")._1 + rep("QUASI_CLOSED")._1 + rep("OPEN")._1 +
+      rep("CLOSING")._1 + rep("DELETING")._1 + rep("DELETED")._1
+      === 1000L)
+    assert(rep("CLOSED")._2 === "")
+    // the sample cap: UNDER_REPLICATED exceeds 100 — sample holds 100
+    assert(rep("UNDER_REPLICATED")._1 > 100L)
+    assert(rep("UNDER_REPLICATED")._2.split(",").length === 100)
+    // the vulnerable handler reports into UNHEALTHY_UNDER_REPLICATED
+    // alongside the only-UNHEALTHY recheck
+    assert(rep("UNHEALTHY_UNDER_REPLICATED")._2.split(",")
+      .contains("187"))
+    assert(rep("UNHEALTHY_UNDER_REPLICATED")._2.split(",")
+      .contains("767"))
+    // side-rung stuck reports include containers later handled EMPTY
+    assert(rep("QUASI_CLOSED_STUCK")._2.split(",").contains("106"))
+  }
 }
