@@ -996,6 +996,11 @@ object SparkEntry {
       ClusterHealth.replicationReport(T.datanodes(s, d),
         T.containersScm(s, d), T.containersOm(s, d),
         T.pipelineMembers(s, d))),
+    // ozone admin datanode decommission/maintenance/recommission:
+    // host resolution, whole-batch capacity pre-checks, per-node rungs.
+    "q_decommission_admin" -> ((s, d) =>
+      ClusterHealth.decommissionAdmin(T.datanodes(s, d),
+        T.containersScm(s, d), T.replicas(s, d), T.ecShards(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -7595,6 +7600,102 @@ object SparkEntry {
         |      AS any_seq_match,
         |    max(seq) AS max_replica_seq
         |  FROM urp_rep2 GROUP BY 1)""".stripMargin),
+
+    // Decommission-admin mirror: the VALUES request batch, host
+    // resolution, capacity walks, per-node rung CASE.
+    "q_decommission_admin" -> O.withCtes(
+      """SELECT CAST(r.batch_id AS BIGINT) AS batch_id, r.op, r.force,
+        |  r.host,
+        |  CASE
+        |    WHEN r.datanode IS NULL THEN 'HOST_NOT_FOUND'
+        |    WHEN f.batch_id IS NOT NULL AND NOT r.force
+        |      THEN 'BATCH_INSUFFICIENT_NODES'
+        |    WHEN r.op = 'DECOMMISSION' THEN
+        |      CASE WHEN r.op_state = 'IN_SERVICE'
+        |          THEN 'DECOMMISSIONING_STARTED'
+        |        WHEN r.op_state IN ('DECOMMISSIONING', 'DECOMMISSIONED')
+        |          THEN 'NOOP_ALREADY'
+        |        ELSE 'INVALID_STATE' END
+        |    WHEN r.op = 'MAINTENANCE' THEN
+        |      CASE WHEN r.op_state = 'IN_SERVICE'
+        |          THEN 'ENTERING_MAINTENANCE'
+        |        WHEN r.op_state IN
+        |          ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+        |          THEN 'NOOP_ALREADY'
+        |        ELSE 'INVALID_STATE' END
+        |    ELSE CASE WHEN r.op_state <> 'IN_SERVICE'
+        |        THEN 'QUEUED_RECOMMISSION'
+        |      ELSE 'NOOP_ALREADY' END
+        |    END AS verdict
+        |FROM decadm_resolved r
+        |LEFT JOIN decadm_fail f USING (batch_id)
+        |ORDER BY r.batch_id, r.host""".stripMargin,
+      O.containersScm, O.replicas, O.datanodes, O.ecShards,
+      """decadm_reqs AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 'DECOMMISSION', false, 'host1.rack1'),
+        |    (1, 'DECOMMISSION', false, 'host2.rack2'),
+        |    (1, 'DECOMMISSION', false, 'host5.rack0'),
+        |    (1, 'DECOMMISSION', false, 'ghost.example'),
+        |    (1, 'DECOMMISSION', false, 'host3.rack3'),
+        |    (2, 'DECOMMISSION', false, 'host0.rack0'),
+        |    (2, 'DECOMMISSION', false, 'host1.rack1'),
+        |    (2, 'DECOMMISSION', false, 'host4.rack4'),
+        |    (2, 'DECOMMISSION', false, 'host7.rack2'),
+        |    (2, 'DECOMMISSION', false, 'host9.rack4'),
+        |    (2, 'DECOMMISSION', false, 'host12.rack2'),
+        |    (2, 'DECOMMISSION', false, 'host15.rack0'),
+        |    (3, 'MAINTENANCE', false, 'host4.rack4'),
+        |    (3, 'MAINTENANCE', false, 'host11.rack1'),
+        |    (3, 'MAINTENANCE', false, 'host6.rack1'),
+        |    (4, 'MAINTENANCE', false, 'host0.rack0'),
+        |    (4, 'MAINTENANCE', false, 'host1.rack1'),
+        |    (4, 'MAINTENANCE', false, 'host4.rack4'),
+        |    (4, 'MAINTENANCE', false, 'host7.rack2'),
+        |    (4, 'MAINTENANCE', false, 'host9.rack4'),
+        |    (4, 'MAINTENANCE', false, 'host12.rack2'),
+        |    (4, 'MAINTENANCE', false, 'host15.rack0'),
+        |    (5, 'MAINTENANCE', true, 'host16.rack1'),
+        |    (5, 'MAINTENANCE', true, 'host2.rack2'),
+        |    (5, 'MAINTENANCE', true, 'host18.rack3'),
+        |    (6, 'RECOMMISSION', false, 'host2.rack2'),
+        |    (6, 'RECOMMISSION', false, 'host0.rack0'),
+        |    (6, 'RECOMMISSION', false, 'nosuch.host'))
+        |    t(batch_id, op, force, host))""".stripMargin,
+      """decadm_resolved AS (
+        |  SELECT q.*, d.uuid AS datanode, d.op_state, d.state
+        |  FROM decadm_reqs q
+        |  LEFT JOIN datanodes d ON d.hostname = q.host)""".stripMargin,
+      """decadm_counts AS (
+        |  SELECT batch_id,
+        |    sum(CASE WHEN datanode IS NOT NULL
+        |      AND op_state = 'IN_SERVICE' THEN 1 ELSE 0 END)
+        |      AS num_valid
+        |  FROM decadm_resolved GROUP BY 1)""".stripMargin,
+      """decadm_nc AS (
+        |  SELECT n.datanode, n.container_id,
+        |    CASE WHEN (c.container_id % 12) % 3 = 2 THEN 5 ELSE 3 END
+        |      AS req_nodes,
+        |    CASE WHEN (c.container_id % 12) % 3 = 2 THEN 4 ELSE 2 END
+        |      AS min_in_service
+        |  FROM (
+        |    SELECT datanode, container_id FROM replicas
+        |    UNION ALL SELECT datanode, container_id FROM ec_shards) n
+        |  JOIN containers_scm c ON c.container_id = n.container_id
+        |    AND c.state <> 'DELETED')""".stripMargin,
+      """decadm_fail AS (
+        |  SELECT DISTINCT r.batch_id
+        |  FROM decadm_resolved r
+        |  JOIN decadm_counts k USING (batch_id)
+        |  JOIN decadm_nc nc ON nc.datanode = r.datanode
+        |  CROSS JOIN (SELECT count(*) AS ist FROM datanodes
+        |    WHERE op_state = 'IN_SERVICE' AND state = 'HEALTHY') t
+        |  WHERE r.datanode IS NOT NULL AND r.op_state = 'IN_SERVICE'
+        |    AND NOT r.force
+        |    AND ((r.op = 'DECOMMISSION'
+        |        AND t.ist - k.num_valid < nc.req_nodes)
+        |      OR (r.op = 'MAINTENANCE'
+        |        AND t.ist - k.num_valid < nc.min_in_service)))""".stripMargin),
 
     // Under-replication mirror: the same synthesized replica/pending
     // dimensions, two-mode RatisContainerReplicaCount math, the verify

@@ -2778,6 +2778,141 @@ object ClusterHealth {
       .orderBy("stat")
   }
 
+  /**
+   * Datanode admin ladder — `NodeDecommissionManager`
+   * (`server-scm/.../node/NodeDecommissionManager.java`):
+   *   - host resolution first (`mapHostnamesToDatanodes:118-147`):
+   *     unknown hosts error per-request (HOST_NOT_FOUND) and drop out
+   *     of every later step;
+   *   - non-forced DECOMMISSION batches run
+   *     `checkIfDecommissionPossible:381-438` BEFORE any state change:
+   *     numDecom counts only resolved IN_SERVICE nodes, and the batch
+   *     FAILS WHOLE if any live (non-DELETED/DELETING) container on a
+   *     valid node needs more than `inServiceHealthy − numDecom` nodes
+   *     (requiredNodes: RATIS 3, EC rs-3-2 5) ⇒ every request verdicts
+   *     BATCH_INSUFFICIENT_NODES, nothing starts;
+   *   - non-forced MAINTENANCE batches run the same walk with
+   *     `minInService` = maintenanceReplicaMinimum (2) for RATIS and
+   *     min(data + remainingRedundancy, requiredNodes) = 4 for EC
+   *     (:538-604); `--force` skips the walk (:483-492);
+   *   - per node then: startDecommission (:362-379) IN_SERVICE →
+   *     DECOMMISSIONING_STARTED, already-decommissioning → NOOP_ALREADY,
+   *     else INVALID_STATE; startMaintenance (:513-536) IN_SERVICE →
+   *     ENTERING_MAINTENANCE, already-maintenance → NOOP_ALREADY, else
+   *     INVALID_STATE; recommission (:463-476) non-IN_SERVICE →
+   *     QUEUED_RECOMMISSION, IN_SERVICE → NOOP_ALREADY.
+   * Node HEALTH is irrelevant to the per-node rungs (op state only);
+   * it only feeds the inServiceHealthy total.
+   *
+   * Fixture: a 6-batch request table over the node dim's hostnames —
+   * single-node transitions in every op state, an unknown host per
+   * family, one possible and one insufficient batch per check.
+   *
+   * Scale shape: the request batch and node dim broadcast; the only
+   * data-plane touch is one semi-probe of the container maps under the
+   * failing batches' nodes.
+   */
+  def decommissionAdmin(datanodes: DataFrame, containersScm: DataFrame,
+                        replicas: DataFrame,
+                        ecShards: DataFrame): DataFrame = {
+    val spark = datanodes.sparkSession
+    import spark.implicits._
+    val reqs = Seq(
+      (1L, "DECOMMISSION", false, "host1.rack1"),
+      (1L, "DECOMMISSION", false, "host2.rack2"),
+      (1L, "DECOMMISSION", false, "host5.rack0"),
+      (1L, "DECOMMISSION", false, "ghost.example"),
+      (1L, "DECOMMISSION", false, "host3.rack3"),
+      (2L, "DECOMMISSION", false, "host0.rack0"),
+      (2L, "DECOMMISSION", false, "host1.rack1"),
+      (2L, "DECOMMISSION", false, "host4.rack4"),
+      (2L, "DECOMMISSION", false, "host7.rack2"),
+      (2L, "DECOMMISSION", false, "host9.rack4"),
+      (2L, "DECOMMISSION", false, "host12.rack2"),
+      (2L, "DECOMMISSION", false, "host15.rack0"),
+      (3L, "MAINTENANCE", false, "host4.rack4"),
+      (3L, "MAINTENANCE", false, "host11.rack1"),
+      (3L, "MAINTENANCE", false, "host6.rack1"),
+      (4L, "MAINTENANCE", false, "host0.rack0"),
+      (4L, "MAINTENANCE", false, "host1.rack1"),
+      (4L, "MAINTENANCE", false, "host4.rack4"),
+      (4L, "MAINTENANCE", false, "host7.rack2"),
+      (4L, "MAINTENANCE", false, "host9.rack4"),
+      (4L, "MAINTENANCE", false, "host12.rack2"),
+      (4L, "MAINTENANCE", false, "host15.rack0"),
+      (5L, "MAINTENANCE", true, "host16.rack1"),
+      (5L, "MAINTENANCE", true, "host2.rack2"),
+      (5L, "MAINTENANCE", true, "host18.rack3"),
+      (6L, "RECOMMISSION", false, "host2.rack2"),
+      (6L, "RECOMMISSION", false, "host0.rack0"),
+      (6L, "RECOMMISSION", false, "nosuch.host"))
+      .toDF("batch_id", "op", "force", "host")
+    val dn = datanodes.select(col("hostname").as("host"),
+      col("uuid").as("datanode"), col("op_state"), col("state"))
+    val resolved = reqs.join(broadcast(dn), Seq("host"), "left")
+    val ist = datanodes
+      .filter(col("op_state") === "IN_SERVICE" &&
+        col("state") === "HEALTHY")
+      .agg(count(lit(1)).as("in_service_total"))
+    // per-batch valid-IN_SERVICE count
+    val batchCounts = resolved.groupBy("batch_id")
+      .agg(sum(when(col("datanode").isNotNull &&
+        col("op_state") === "IN_SERVICE", 1L).otherwise(0L))
+        .as("num_valid"))
+    // the container walk: live containers on each node with thresholds
+    val contDim = containersScm.filter(col("state") =!= "DELETED")
+      .withColumn("is_ec", (col("container_id") % 12) % 3 === 2)
+      .select("container_id", "is_ec")
+    val nodeContainers = replicas.select("datanode", "container_id")
+      .unionByName(ecShards.select("datanode", "container_id"))
+      .join(broadcast(contDim), Seq("container_id"))
+      .withColumn("req_nodes", when(col("is_ec"), 5L).otherwise(3L))
+      .withColumn("min_in_service", when(col("is_ec"), 4L)
+        .otherwise(2L))
+    val probeBase = resolved
+      .filter(col("datanode").isNotNull &&
+        col("op_state") === "IN_SERVICE" && !col("force"))
+      .select("batch_id", "op", "datanode")
+      .join(broadcast(batchCounts), Seq("batch_id"))
+      .crossJoin(broadcast(ist))
+      .join(nodeContainers, Seq("datanode"))
+    val batchFail = probeBase
+      .filter(
+        (col("op") === "DECOMMISSION" &&
+          col("in_service_total") - col("num_valid") <
+            col("req_nodes")) ||
+          (col("op") === "MAINTENANCE" &&
+            col("in_service_total") - col("num_valid") <
+              col("min_in_service")))
+      .select("batch_id").distinct()
+      .withColumn("batch_failed", lit(true))
+    resolved
+      .join(broadcast(batchFail), Seq("batch_id"), "left")
+      .na.fill(false, Seq("batch_failed"))
+      .withColumn("verdict",
+        when(col("datanode").isNull, lit("HOST_NOT_FOUND"))
+          .when(col("batch_failed") && !col("force"),
+            lit("BATCH_INSUFFICIENT_NODES"))
+          .when(col("op") === "DECOMMISSION",
+            when(col("op_state") === "IN_SERVICE",
+              lit("DECOMMISSIONING_STARTED"))
+              .when(col("op_state").isin("DECOMMISSIONING",
+                "DECOMMISSIONED"), lit("NOOP_ALREADY"))
+              .otherwise(lit("INVALID_STATE")))
+          .when(col("op") === "MAINTENANCE",
+            when(col("op_state") === "IN_SERVICE",
+              lit("ENTERING_MAINTENANCE"))
+              .when(col("op_state").isin("IN_MAINTENANCE",
+                "ENTERING_MAINTENANCE"), lit("NOOP_ALREADY"))
+              .otherwise(lit("INVALID_STATE")))
+          .otherwise(
+            when(col("op_state") =!= "IN_SERVICE",
+              lit("QUEUED_RECOMMISSION"))
+              .otherwise(lit("NOOP_ALREADY"))))
+      .select("batch_id", "op", "force", "host", "verdict")
+      .orderBy("batch_id", "host")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),

@@ -698,6 +698,7 @@ class ClusterHealthSpec extends SparkSpecBase {
     val dns = Seq(("dn1", "IN_SERVICE"), ("dn2", "IN_SERVICE"),
       ("dn3", "IN_SERVICE"), ("dn4", "IN_SERVICE"))
       .toDF("uuid", "op_state")
+      .withColumn("state", lit("HEALTHY"))
     val conts = Seq((119L, "QUASI_CLOSED", 3))
       .toDF("container_id", "state", "replication_factor")
     val micro = graft.operators.ClusterHealth.quasiClosedStuckCount(
@@ -1131,5 +1132,27 @@ class ClusterHealthSpec extends SparkSpecBase {
       .contains("767"))
     // side-rung stuck reports include containers later handled EMPTY
     assert(rep("QUASI_CLOSED_STUCK")._2.split(",").contains("106"))
+  }
+
+  test("decommissionAdmin: host resolution, batch pre-checks, rungs") {
+    val got = ClusterHealth.decommissionAdmin(T.datanodes(spark, sf),
+      T.containersScm(spark, sf), T.replicas(spark, sf),
+      T.ecShards(spark, sf))
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("host")) -> r.getAs[String]("verdict")).toMap
+    assert(got((1L, "ghost.example")) === "HOST_NOT_FOUND")
+    assert(got((1L, "host1.rack1")) === "DECOMMISSIONING_STARTED")
+    assert(got((1L, "host2.rack2")) === "NOOP_ALREADY")
+    assert(got((1L, "host5.rack0")) === "INVALID_STATE")
+    // 7-node batch leaves 3 in-service < the EC requirement of 5 —
+    // the WHOLE batch refuses before any state change
+    assert(got((2L, "host0.rack0")) === "BATCH_INSUFFICIENT_NODES")
+    // maintenance floor is 4 for EC — the same 7-node batch refuses
+    assert(got((4L, "host4.rack4")) === "BATCH_INSUFFICIENT_NODES")
+    // --force skips the capacity walk but not the per-node state rung
+    assert(got((5L, "host16.rack1")) === "ENTERING_MAINTENANCE")
+    assert(got((5L, "host2.rack2")) === "INVALID_STATE")
+    assert(got((6L, "host2.rack2")) === "QUEUED_RECOMMISSION")
+    assert(got.size === 28)
   }
 }
