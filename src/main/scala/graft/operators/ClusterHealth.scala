@@ -2713,11 +2713,11 @@ object ClusterHealth {
     val spark = datanodes.sparkSession
     import spark.implicits._
     // the chain's expression tree is deep (13 rungs of CASE over a
-    // dozen aggregates); localCheckpoint truncates the lineage so the
-    // three increment projections below don't re-optimize it 3× (the
-    // materialized chain is container-dim-sized)
+    // dozen aggregates); persist it so the three increment projections
+    // below scan one InMemoryRelation instead of re-optimizing and
+    // re-executing the whole tree 3× (container-dim-sized)
     val chain = containerHealthChain(datanodes, containersScm,
-      containersOm, pipelineMembers).localCheckpoint()
+      containersOm, pipelineMembers).persist()
     val lifecycle = chain.select(col("chain_state").as("stat"),
       col("container_id"), lit(false).as("sampled"))
     val health = chain
