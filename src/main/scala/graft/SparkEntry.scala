@@ -1001,6 +1001,10 @@ object SparkEntry {
     "q_decommission_admin" -> ((s, d) =>
       ClusterHealth.decommissionAdmin(T.datanodes(s, d),
         T.containersScm(s, d), T.replicas(s, d), T.ecShards(s, d))),
+    // aws-chunked upload verification: frame parse, final-chunk probe,
+    // size checks, the HMAC signature chain re-derived natively.
+    "q_sigv4_chunked" -> ((s, d) =>
+      S3Ops.signedChunksVerify(T.chunkedUploads(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -2503,6 +2507,27 @@ object SparkEntry {
         |  SELECT DISTINCT
         |    'tenant' || substr(volume, 4, 10) || '$' || owner AS access_id
         |  FROM objects)""".stripMargin),
+
+    // Chunked-upload mirror: the planted corruption classes decide the
+    // verdicts; chunk counts re-derived from the document bodies — the
+    // Spark side must parse the frames and re-run the HMAC chain to
+    // reach the same rows.
+    "q_sigv4_chunked" ->
+      """SELECT doc_id AS upload_id,
+        |  CAST(n AS BIGINT) AS n_chunks,
+        |  CASE doc_id % 4 WHEN 3 THEN 'MISSING_FINAL_CHUNK'
+        |    WHEN 2 THEN 'SIZE_MISMATCH'
+        |    WHEN 1 THEN 'BAD_CHUNK_SIG'
+        |    ELSE 'VALID' END AS verdict,
+        |  CAST(CASE doc_id % 4 WHEN 2 THEN 0
+        |    WHEN 1 THEN least(1, n - 1)
+        |    ELSE -1 END AS BIGINT) AS bad_index
+        |FROM (
+        |  SELECT doc_id,
+        |    (length(substr(replace(text, chr(13), ''), 1, 800)) + 199)
+        |      // 200 AS n
+        |  FROM documents WHERE doc_id % 23 = 0)
+        |ORDER BY upload_id""".stripMargin,
 
     "q_dtoken_expiry" -> O.withCtes(
       """SELECT md5('token' || owner) AS token_id, owner, 'om' AS renewer,

@@ -1950,6 +1950,76 @@ object Tables {
         col("str_to_sign"), md5(col("access_id")).as("signature")))
   }
 
+  /**
+   * chunked_uploads: aws-chunked (STREAMING-AWS4-HMAC-SHA256-PAYLOAD)
+   * upload frames — the wire format `SignedChunksInputStream`
+   * (s3gateway/.../SignedChunksInputStream.java:30-56) parses:
+   * `hex-size;chunk-signature=sig\r\npayload\r\n` per chunk plus the
+   * mandatory final zero-byte chunk header. The gateway itself never
+   * verifies chunk signatures (:56-58, documented); this fixture signs
+   * the chain with an INDEPENDENT javax.crypto signer following the AWS
+   * sigv4-streaming spec (chunk string-to-sign =
+   * "AWS4-HMAC-SHA256-PAYLOAD" + datetime + scope + previous signature
+   * + sha256("") + sha256(chunk)), so the engine's native graft_hmac
+   * re-derivation is gated by a second implementation. Corruption
+   * classes by upload: %4==0 valid, ==1 one chunk signature corrupted,
+   * ==2 a declared size off by one, ==3 the final zero chunk missing.
+   */
+  def chunkedUploads(spark: SparkSession, dir: String): DataFrame = {
+    val emptySha =
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    val build = udf((secret: String, seed: String, text: String,
+                     cls: Int) => {
+      def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+        val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+        mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+        mac.doFinal(msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+      def sha(s: String) = hex(java.security.MessageDigest
+        .getInstance("SHA-256")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val kDate = hmac(("AWS4" + secret)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8), "20240101")
+      val kSigning = hmac(hmac(hmac(kDate, "us-east-1"), "s3"),
+        "aws4_request")
+      val body = text.replace("\r", "").take(800)
+      val chunks = body.grouped(200).toSeq
+      var prev = seed
+      val sigs = (chunks :+ "").map { ch =>
+        val sts = "AWS4-HMAC-SHA256-PAYLOAD\n20240101T000000Z\n" +
+          "20240101/us-east-1/s3/aws4_request\n" + prev + "\n" +
+          emptySha + "\n" + sha(ch)
+        prev = hex(hmac(kSigning, sts))
+        prev
+      }
+      val badIdx = math.min(1, chunks.size - 1)
+      val lines = chunks.zipWithIndex.map { case (ch, i) =>
+        val sig = if (cls == 1 && i == badIdx)
+          hex(java.security.MessageDigest.getInstance("MD5")
+            .digest(sigs(i).getBytes)) else sigs(i)
+        val declared = if (cls == 2 && i == 0) ch.length + 1
+          else ch.length
+        declared.toHexString + ";chunk-signature=" + sig + "\r\n" +
+          ch + "\r\n"
+      }
+      val finalLine =
+        if (cls == 3) "" else "0;chunk-signature=" + sigs.last
+      lines.mkString + finalLine
+    })
+    documents(spark, dir)
+      .filter(col("doc_id") % 23 === 0)
+      .withColumn("upload_id", col("doc_id"))
+      .withColumn("secret", concat(lit("secret-"),
+        col("doc_id").cast("string")))
+      .withColumn("seed_sig",
+        sha2(concat(lit("seed-"), col("doc_id").cast("string")), 256))
+      .withColumn("cls", (col("doc_id") % 4).cast("int"))
+      .withColumn("frame", build(col("secret"), col("seed_sig"),
+        col("text"), col("cls")))
+      .select("upload_id", "secret", "seed_sig", "frame")
+  }
+
   /** d_token_table (ref OMDBDefinition.java:162-168 dTokenTable): one
     * delegation token per key-writing principal; expiry staggers by the
     * principal's index so expiry scans discriminate. */

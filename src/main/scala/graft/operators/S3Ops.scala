@@ -130,6 +130,94 @@ object S3Ops {
       .select("access_id", "verdict")
       .orderBy("access_id", "verdict")
 
+  /**
+   * aws-chunked upload verification — the server-side dual of
+   * `SignedChunksInputStream` (s3gateway/.../SignedChunksInputStream
+   * .java:30-140: hex-size headers, `\r\n` framing, the mandatory final
+   * zero-byte chunk; the reference parses WITHOUT verifying — :56-58 —
+   * so this operator implements the AWS sigv4-streaming spec the class
+   * documents as its contract). Per upload, in order:
+   *   1. the frame must end in a `0;chunk-signature=` header (every
+   *      chunked upload carries the final zero chunk, :88-94) ⇒ else
+   *      MISSING_FINAL_CHUNK;
+   *   2. every declared hex size must equal its payload's length
+   *      (readContentLengthFromHeader) ⇒ first offender SIZE_MISMATCH;
+   *   3. the signature chain re-derives with the native graft_hmac:
+   *      sig_i = HMAC(kSigning, "AWS4-HMAC-SHA256-PAYLOAD" ⧺ datetime ⧺
+   *      scope ⧺ sig_{i-1} ⧺ sha256("") ⧺ sha256(chunk_i)), seeded by
+   *      the request signature, final chunk hashed as the empty string
+   *      ⇒ first mismatch BAD_CHUNK_SIG, else VALID.
+   * The fold is a higher-order aggregate over the parsed chunk array —
+   * a per-upload sequential chain (non-associative), zero shuffles.
+   */
+  def signedChunksVerify(uploads: DataFrame): DataFrame = {
+    val emptySha =
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    uploads
+      .withColumn("lines", split(col("frame"), "\r\n"))
+      .withColumn("n_lines", size(col("lines")))
+      .withColumn("final_ok",
+        col("n_lines") % 2 === 1 &&
+          element_at(col("lines"), -1)
+            .rlike("^0;chunk-signature=[0-9a-f]+$"))
+      .withColumn("n_chunks", expr("(n_lines - 1) DIV 2"))
+      .withColumn("chunks", expr(
+        """transform(array_remove(sequence(0, n_chunks), n_chunks),
+          |  i -> named_struct(
+          |  'declared', conv(substring_index(
+          |     element_at(lines, CAST(2 * i + 1 AS INT)), ';', 1),
+          |     16, 10),
+          |  'payload', element_at(lines, CAST(2 * i + 2 AS INT)),
+          |  'sig', regexp_extract(
+          |     element_at(lines, CAST(2 * i + 1 AS INT)),
+          |     'chunk-signature=([0-9a-f]+)', 1)))""".stripMargin))
+      .withColumn("size_bad_idx", expr(
+        """aggregate(chunks, named_struct('bad', -1, 'i', 0),
+          |  (acc, c) -> named_struct(
+          |    'bad', CASE WHEN acc.bad >= 0 THEN acc.bad
+          |      WHEN CAST(c.declared AS BIGINT) <> length(c.payload)
+          |        THEN acc.i ELSE -1 END,
+          |    'i', acc.i + 1),
+          |  acc -> acc.bad)""".stripMargin))
+      .withColumn("k_date",
+        expr("graft_hmac(cast(concat('AWS4', secret) AS BINARY), " +
+          "'20240101')"))
+      .withColumn("k_signing", expr(
+        "graft_hmac(graft_hmac(graft_hmac(k_date, 'us-east-1'), 's3')," +
+          " 'aws4_request')"))
+      .withColumn("sig_bad_idx", expr(
+        s"""aggregate(
+           |  concat(chunks, array(named_struct(
+           |    'declared', '0', 'payload', '',
+           |    'sig', regexp_extract(element_at(lines, -1),
+           |      'chunk-signature=([0-9a-f]+)', 1)))),
+           |  named_struct('prev', seed_sig, 'bad', -1, 'i', 0),
+           |  (acc, c) -> named_struct(
+           |    'prev', c.sig,
+           |    'bad', CASE WHEN acc.bad >= 0 THEN acc.bad
+           |      WHEN lower(hex(graft_hmac(k_signing, concat(
+           |        'AWS4-HMAC-SHA256-PAYLOAD\\n20240101T000000Z\\n',
+           |        '20240101/us-east-1/s3/aws4_request\\n',
+           |        acc.prev, '\\n', '$emptySha', '\\n',
+           |        sha2(c.payload, 256))))) <> c.sig THEN acc.i
+           |      ELSE -1 END,
+           |    'i', acc.i + 1),
+           |  acc -> acc.bad)""".stripMargin))
+      .withColumn("verdict",
+        when(!col("final_ok"), lit("MISSING_FINAL_CHUNK"))
+          .when(col("size_bad_idx") >= 0, lit("SIZE_MISMATCH"))
+          .when(col("sig_bad_idx") >= 0, lit("BAD_CHUNK_SIG"))
+          .otherwise(lit("VALID")))
+      .withColumn("bad_index",
+        when(col("verdict") === "SIZE_MISMATCH", col("size_bad_idx"))
+          .when(col("verdict") === "BAD_CHUNK_SIG", col("sig_bad_idx"))
+          .otherwise(lit(-1)))
+      .select(col("upload_id"), col("n_chunks").cast("long")
+        .as("n_chunks"), col("verdict"), col("bad_index").cast("long")
+        .as("bad_index"))
+      .orderBy("upload_id")
+  }
+
   /** S3 tag charset (ASCII model of the reference's
     * `^[\p{L}\p{Z}\p{N}_.:/=+\-]*$`, S3Consts.java:101 — the fixture is
     * ASCII-only so the Unicode general categories reduce to this). */

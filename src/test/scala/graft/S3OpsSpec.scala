@@ -160,4 +160,22 @@ class S3OpsSpec extends SparkSpecBase {
         "o3://vol0/bucket0/staging/")
     }
   }
+
+  test("signedChunksVerify: graft_hmac chain matches the javax signer") {
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val got = graft.operators.S3Ops.signedChunksVerify(
+      T.chunkedUploads(spark, d))
+      .collect().map(r => r.getAs[Long]("upload_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("bad_index"))).toMap
+    // classes cycle with doc_id % 4 over the %23 sample
+    assert(got(0L) === (("VALID", -1L)))
+    assert(got(23L) === (("MISSING_FINAL_CHUNK", -1L)))
+    assert(got(46L) === (("SIZE_MISMATCH", 0L)))
+    assert(got(69L)._1 === "BAD_CHUNK_SIG")
+    // every corruption class present, and nothing leaks into VALID:
+    // the chain must reproduce the independent signer bit-for-bit
+    assert(got.values.map(_._1).toSet === Set("VALID",
+      "MISSING_FINAL_CHUNK", "SIZE_MISMATCH", "BAD_CHUNK_SIG"))
+  }
 }
