@@ -1005,6 +1005,10 @@ object SparkEntry {
     // size checks, the HMAC signature chain re-derived natively.
     "q_sigv4_chunked" -> ((s, d) =>
       S3Ops.signedChunksVerify(T.chunkedUploads(s, d))),
+    // OM atomic rewrite: CREATE_IF_ABSENT / generation / ETag fences
+    // against the latest updateID.
+    "q_atomic_rewrite" -> ((s, d) =>
+      Conditional.atomicRewrite(T.objects(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -2507,6 +2511,57 @@ object SparkEntry {
         |  SELECT DISTINCT
         |    'tenant' || substr(volume, 4, 10) || '$' || owner AS access_id
         |  FROM objects)""".stripMargin),
+
+    // Atomic-rewrite mirror: md5-sampled store, nibble classes, the
+    // same fence CASE.
+    "q_atomic_rewrite" -> O.withCtes(
+      """SELECT r.volume, r.bucket, r.key,
+        |  CASE
+        |    WHEN r.expected_gen = -1 AND s.stored_gen IS NOT NULL
+        |      THEN 'KEY_ALREADY_EXISTS'
+        |    WHEN r.expected_gen = -1 THEN 'CREATED'
+        |    WHEN r.expected_gen IS NOT NULL AND s.stored_gen IS NULL
+        |      THEN 'KEY_NOT_FOUND'
+        |    WHEN r.expected_gen IS NOT NULL
+        |      AND r.expected_gen <> s.stored_gen
+        |      THEN 'GENERATION_MISMATCH'
+        |    WHEN r.expected_gen IS NOT NULL THEN 'REWRITTEN'
+        |    WHEN r.expected_etag = s.etag THEN 'ETAG_TO_GEN'
+        |    ELSE 'ETAG_MISMATCH' END AS verdict,
+        |  CAST(CASE
+        |    WHEN r.expected_gen IS NOT NULL AND r.expected_gen <> -1
+        |      AND s.stored_gen IS NOT NULL
+        |      AND r.expected_gen = s.stored_gen THEN s.stored_gen
+        |    WHEN r.expected_gen IS NULL AND r.expected_etag = s.etag
+        |      THEN s.stored_gen
+        |    WHEN r.expected_gen = -1 AND s.stored_gen IS NULL THEN 0
+        |    ELSE -1 END AS BIGINT) AS effective_gen
+        |FROM arw_reqs r
+        |LEFT JOIN arw_store s USING (volume, bucket, key)
+        |ORDER BY r.volume, r.bucket, r.key, verdict""".stripMargin,
+      O.objects,
+      """arw_store AS (
+        |  SELECT volume, bucket, key, max(version) AS stored_gen,
+        |    min(mk) AS mk, md5(key) AS etag
+        |  FROM (
+        |    SELECT *, md5(volume || '/' || bucket || '/' || key) AS mk
+        |    FROM objects)
+        |  WHERE substr(mk, 1, 1) = '0'
+        |  GROUP BY 1, 2, 3)""".stripMargin,
+      """arw_reqs AS (
+        |  SELECT volume, bucket,
+        |    CASE WHEN cls IN (2, 4) THEN key || '#nx' ELSE key END
+        |      AS key,
+        |    CASE WHEN cls IN (1, 2) THEN -1
+        |      WHEN cls = 0 THEN stored_gen
+        |      WHEN cls = 3 THEN stored_gen + 7
+        |      WHEN cls = 4 THEN 1
+        |      ELSE NULL END AS expected_gen,
+        |    CASE WHEN cls = 5 THEN md5(key)
+        |      WHEN cls = 6 THEN md5(key || 'x')
+        |      ELSE NULL END AS expected_etag
+        |  FROM (SELECT *, ascii(substr(mk, 2, 1)) % 7 AS cls
+        |    FROM arw_store))""".stripMargin),
 
     // Chunked-upload mirror: the planted corruption classes decide the
     // verdicts; chunk counts re-derived from the document bodies — the

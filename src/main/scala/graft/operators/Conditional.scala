@@ -71,6 +71,87 @@ object Conditional {
    * Scale shape: the request batch broadcasts into one probe join against
    * the key state; the ladder is a codegen'd CASE projection.
    */
+  /**
+   * Atomic key-rewrite generation fencing — `OMKeyRequest
+   * .validateAtomicRewrite` (`ozone-manager/.../request/key/
+   * OMKeyRequest.java:1358-1379`) plus the If-Match-ETag-to-generation
+   * conversion (`:1396-1424`): the OM-side fences behind S3 conditional
+   * writes on the two-phase CreateKey→CommitKey path.
+   *
+   * Per request against the key's LATEST generation (updateID):
+   *   1. expectedGen = CREATE_IF_ABSENT and the key exists
+   *      ⇒ KEY_ALREADY_EXISTS (:1363-1367);
+   *   2. CREATE_IF_ABSENT and absent ⇒ CREATED;
+   *   3. a concrete expectedGen and the key absent ⇒ KEY_NOT_FOUND
+   *      (:1370-1373);
+   *   4. expectedGen ≠ stored updateID ⇒ GENERATION_MISMATCH — the
+   *      reference deliberately reports KEY_NOT_FOUND for both so a
+   *      racer can't distinguish, the reason column splits them
+   *      (:1374-1377);
+   *   5. an expected ETag that matches converts to a generation fence
+   *      (ETAG_TO_GEN with the stored generation, :1414-1424);
+   *      a mismatch ⇒ ETAG_MISMATCH (:1408-1410);
+   *   6. else REWRITTEN.
+   *
+   * Fixture: the md5-sampled key population (1/16 of distinct keys),
+   * request class from the second md5 nibble; stored state = the
+   * max-version winner per key (the engine's updateID stand-in), ETag
+   * = the catalog's md5(key).
+   *
+   * Scale shape: the store aggregates only the sampled keys (semi-join
+   * pruned); one broadcast probe, one CASE projection.
+   */
+  def atomicRewrite(objects: DataFrame): DataFrame = {
+    val CreateIfAbsent = -1L
+    val fullKey = concat_ws("/", col("volume"), col("bucket"), col("key"))
+    val store = objects
+      .withColumn("mk", md5(fullKey))
+      .filter(substring(col("mk"), 1, 1) === "0")
+      .groupBy("volume", "bucket", "key")
+      .agg(max("version").as("stored_gen"),
+        first(col("mk")).as("mk"))
+      .withColumn("etag", md5(col("key")))
+    val reqs = store
+      .withColumn("cls", ascii(substring(col("mk"), 2, 1)) % 7)
+      .select(col("volume"), col("bucket"),
+        when(col("cls").isin(2, 4), concat(col("key"), lit("#nx")))
+          .otherwise(col("key")).as("key"),
+        when(col("cls").isin(1, 2), lit(CreateIfAbsent))
+          .when(col("cls") === 0, col("stored_gen").cast("long"))
+          .when(col("cls") === 3, col("stored_gen") + 7L)
+          .when(col("cls") === 4, lit(1L))
+          .otherwise(lit(null).cast("long")).as("expected_gen"),
+        when(col("cls") === 5, md5(col("key")))
+          .when(col("cls") === 6, md5(concat(col("key"), lit("x"))))
+          .otherwise(lit(null).cast("string")).as("expected_etag"),
+        col("cls"))
+    reqs
+      .join(broadcast(store.select(col("volume"), col("bucket"),
+        col("key"), col("stored_gen"), col("etag"))),
+        Seq("volume", "bucket", "key"), "left")
+      .withColumn("exists", col("stored_gen").isNotNull)
+      .withColumn("verdict",
+        when(col("expected_gen") === CreateIfAbsent && col("exists"),
+          lit("KEY_ALREADY_EXISTS"))
+          .when(col("expected_gen") === CreateIfAbsent, lit("CREATED"))
+          .when(col("expected_gen").isNotNull && !col("exists"),
+            lit("KEY_NOT_FOUND"))
+          .when(col("expected_gen").isNotNull &&
+            col("expected_gen") =!= col("stored_gen"),
+            lit("GENERATION_MISMATCH"))
+          .when(col("expected_gen").isNotNull, lit("REWRITTEN"))
+          .when(col("expected_etag") === col("etag"),
+            lit("ETAG_TO_GEN"))
+          .otherwise(lit("ETAG_MISMATCH")))
+      .withColumn("effective_gen",
+        when(col("verdict").isin("REWRITTEN", "ETAG_TO_GEN"),
+          col("stored_gen").cast("long"))
+          .when(col("verdict") === "CREATED", lit(0L))
+          .otherwise(lit(-1L)))
+      .select("volume", "bucket", "key", "verdict", "effective_gen")
+      .orderBy("volume", "bucket", "key", "verdict")
+  }
+
   def conditionalWrites(requests: DataFrame, objects: DataFrame): DataFrame = {
     // probe pushdown: only the requested keys' state is aggregated — the
     // namespace scan is semi-filtered by the (tiny) request batch
