@@ -369,4 +369,21 @@ object Api {
   def nodeHealthLog(s: SparkSession, d: String): DataFrame =
     graft.operators.ClusterHealth.nodeHealthFold(
       T.nodeHealthEvents(s, d), T.nodeHealthChecks(s, d))
+
+  /** `ozone admin container report` — the ReplicationManager rollup. */
+  def containerReport(s: SparkSession, d: String): DataFrame =
+    graft.operators.ClusterHealth.replicationReport(T.datanodes(s, d),
+      T.containersScm(s, d), T.containersOm(s, d),
+      T.pipelineMembers(s, d))
+
+  /** Per-container health-check chain verdicts (the RM processAll). */
+  def containerHealthChecks(s: SparkSession, d: String): DataFrame =
+    graft.operators.ClusterHealth.containerHealthChain(T.datanodes(s, d),
+      T.containersScm(s, d), T.containersOm(s, d),
+      T.pipelineMembers(s, d))
+
+  /** `ozone admin datanode decommission|maintenance|recommission`. */
+  def datanodeAdmin(s: SparkSession, d: String): DataFrame =
+    graft.operators.ClusterHealth.decommissionAdmin(T.datanodes(s, d),
+      T.containersScm(s, d), T.replicas(s, d), T.ecShards(s, d))
 }
