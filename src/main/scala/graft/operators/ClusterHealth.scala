@@ -2092,7 +2092,6 @@ object ClusterHealth {
 
   def underReplicationPlan(datanodes: DataFrame,
                            containersScm: DataFrame): DataFrame = {
-    val minHealthyForMaintenance = 2
     val cont = urpContainers(containersScm)
     val c = col("container_id")
     val reps = urpReplicas(cont, datanodes)
@@ -2103,6 +2102,18 @@ object ClusterHealth {
       when(c % 31 === 0 || c % 116 === 0 || c % 118 === 0, 1L)
         .otherwise(0L).as("n_add"),
       when(c % 37 === 0, pendingDelDn).otherwise(lit("")).as("del_dn"))
+    underReplicationDecide(cont, reps, pend)
+  }
+
+  /** The decision core of [[underReplicationPlan]], over any prepared
+    * (container, replica, pending-op) inputs — kept injectable so the
+    * property spec can drive it with randomized cluster states. `reps`
+    * must carry the joined container columns (container_state, c_seq)
+    * plus (datanode, replica_state, seq, is_empty, origin, node_state,
+    * op_state). */
+  private[graft] def underReplicationDecide(
+      cont: DataFrame, reps: DataFrame, pend: DataFrame): DataFrame = {
+    val minHealthyForMaintenance = 2
     // the UNHEALTHY-replica DNs (delete-count gating, :106-118)
     val unhealthyFlag = col("replica_state") === "UNHEALTHY"
     // QC-replica-on-CLOSED-container with a stale sequence is treated

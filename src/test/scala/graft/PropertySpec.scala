@@ -237,4 +237,140 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("under-replication decide == a literal RatisContainerReplicaCount" +
+    " walk over random cluster states") {
+    // Random containers/replicas/pending-ops; expectations computed by an
+    // independent Scala walk of RatisUnderReplicationHandler:84-167 and
+    // RatisContainerReplicaCount:141-618 (countReplicas, missingReplicas
+    // with the maintenance discount and the min(rf,2) floor,
+    // redundancyDelta, verify ladder, source selection with max-BCSID).
+    val rnd = new Random(1234)
+    case class Rep(dn: String, state: String, seq: Long, empty: Boolean,
+                   origin: String, nodeHealthy: Boolean, op: String)
+    case class Cont(id: Long, qc: Boolean, cSeq: Long, reps: Seq[Rep],
+                    nAdd: Long, delDn: String)
+    val states = Seq("CLOSED", "QUASI_CLOSED", "UNHEALTHY", "CLOSING")
+    val ops = Seq("IN_SERVICE", "IN_SERVICE", "IN_SERVICE",
+      "DECOMMISSIONING", "IN_MAINTENANCE", "ENTERING_MAINTENANCE",
+      "DECOMMISSIONED")
+    val conts = (0L until 400L).map { id =>
+      val qc = rnd.nextBoolean()
+      val cSeq = id * 100
+      val n = rnd.nextInt(6) // 0..5 replicas
+      val reps = (0 until n).map { r =>
+        Rep("dn" + r, states(rnd.nextInt(states.length)),
+          cSeq - rnd.nextInt(3) + (if (rnd.nextInt(10) == 0) 2 else 0),
+          rnd.nextInt(5) == 0,
+          "o" + rnd.nextInt(math.max(n - 1, 1)),
+          rnd.nextInt(4) != 0, ops(rnd.nextInt(ops.length)))
+      }
+      Cont(id, qc, cSeq, reps, if (rnd.nextBoolean()) 1L else 0L,
+        if (rnd.nextInt(3) == 0 && n > 0) reps(rnd.nextInt(n)).dn else "")
+    }
+    // ---- the literal walk ----
+    def expected(ct: Cont): (String, Long, Long) = {
+      val contState = if (ct.qc) "QUASI_CLOSED" else "CLOSED"
+      def treatedUnh(r: Rep) = r.state == "UNHEALTHY" ||
+        (r.state == "QUASI_CLOSED" && !ct.qc && r.seq != ct.cSeq)
+      def isMaint(r: Rep) =
+        r.op == "IN_MAINTENANCE" || r.op == "ENTERING_MAINTENANCE"
+      def isDecom(r: Rep) =
+        r.op == "DECOMMISSIONING" || r.op == "DECOMMISSIONED"
+      val healthyIs = ct.reps.count(r =>
+        !treatedUnh(r) && !isMaint(r) && !isDecom(r))
+      val unhIs = ct.reps.count(r =>
+        treatedUnh(r) && !isMaint(r) && !isDecom(r))
+      val maintH = ct.reps.count(r => !treatedUnh(r) && isMaint(r))
+      val maintU = ct.reps.count(r => treatedUnh(r) && isMaint(r))
+      val decomH = ct.reps.count(r => !treatedUnh(r) && isDecom(r))
+      val healthyCount = healthyIs + maintH + decomH
+      val delOnUnh = ct.delDn.nonEmpty &&
+        ct.reps.exists(r => r.dn == ct.delDn && treatedUnh(r))
+      val delWithout = if (ct.delDn.nonEmpty && !delOnUnh) 1 else 0
+      val delWith = if (ct.delDn.nonEmpty) 1 else 0
+      def missing(avail: Int, maint: Int): Int = {
+        val delta = 3 - avail
+        if (delta < 0) delta
+        else if (delta > 0)
+          math.max(math.max(delta - maint, 0), math.max(2 - avail, 0))
+        else 0
+      }
+      val missW = missing(healthyIs, maintH)
+      val missU = missing(healthyIs + unhIs, maintH + maintU)
+      // vulnerable (getVulnerableUnhealthyReplicas)
+      val inSvcOrigins = ct.reps.filter(r => r.op == "IN_SERVICE" &&
+        r.nodeHealthy && r.seq == ct.cSeq).map(_.origin).toSet
+      val vuln = if (ct.qc && ct.reps.exists(_.state != "UNHEALTHY"))
+        ct.reps.count(r => r.state == "UNHEALTHY" && r.seq == ct.cSeq &&
+          !r.empty && r.nodeHealthy && !inSvcOrigins.contains(r.origin))
+      else 0
+      // ladder
+      if (ct.reps.nonEmpty && ct.reps.forall(_.empty) && ct.qc)
+        return ("SKIP_EMPTY_QC", 0L, 0L)
+      if (vuln > 0 && ct.nAdd >= vuln)
+        return ("SKIP_VULNERABLE_PENDING", 0L, vuln.toLong)
+      if (vuln > 0) return ("REPLICATE_VULNERABLE", 0L, vuln.toLong)
+      if (missW + delWithout <= 0) return ("NOT_UNDER", 0L, 0L)
+      if (missW + delWithout - ct.nAdd <= 0) return ("PENDING_FIX", 0L, 0L)
+      if (ct.reps.isEmpty) return ("UNRECOVERABLE", 0L, 0L)
+      if (missU + delWith - ct.nAdd <= 0 && healthyCount == 0)
+        return ("PENDING_UNHEALTHY_FIX", 0L, 0L)
+      // sources
+      val hasClosed = ct.reps.exists(_.state == "CLOSED")
+      val srcCand = ct.reps.filter { r =>
+        (r.state == "CLOSED" ||
+          (r.state == "QUASI_CLOSED" && (!hasClosed || ct.qc)) ||
+          (r.state == "UNHEALTHY" && healthyCount == 0)) &&
+          r.nodeHealthy && r.dn != ct.delDn
+      }
+      val maxSeq = if (srcCand.nonEmpty) srcCand.map(_.seq).max else -1L
+      val sources = srcCand.filter(_.seq == maxSeq)
+      val needed =
+        if (healthyCount == 0) {
+          if (missU < 0) missU + delWith
+          else math.max(0, missU - ct.nAdd.toInt + delWith)
+        } else {
+          if (missW < 0) missW + delWithout
+          else math.max(0, missW - ct.nAdd.toInt + delWithout)
+        }
+      if (sources.isEmpty) return ("NO_SOURCES", needed.toLong, 0L)
+      ("REPLICATE", needed.toLong, 0L)
+    }
+    // ---- drive the engine's decide over the same inputs ----
+    val contDf = conts.map(ct => (ct.id,
+      if (ct.qc) "QUASI_CLOSED" else "CLOSED", 3, ct.cSeq))
+      .toDF("container_id", "container_state", "replication_factor",
+        "c_seq")
+    val repDf = conts.flatMap(ct => ct.reps.map(r => (ct.id,
+      if (ct.qc) "QUASI_CLOSED" else "CLOSED", ct.cSeq, r.dn, r.state,
+      r.seq, r.empty, r.origin,
+      if (r.nodeHealthy) "HEALTHY" else "STALE", r.op)))
+      .toDF("container_id", "container_state", "c_seq", "datanode",
+        "replica_state", "seq", "is_empty", "origin", "node_state",
+        "op_state")
+    val pendDf = conts.map(ct => (ct.id, ct.nAdd, ct.delDn))
+      .toDF("container_id", "n_add", "del_dn")
+    val got = graft.operators.ClusterHealth
+      .underReplicationDecide(contDf, repDf, pendDf)
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("needed"),
+          r.getAs[Long]("n_vulnerable"))).toMap
+    conts.foreach { ct =>
+      val (v, needed, vuln) = expected(ct)
+      val g = got(ct.id)
+      assert(g._1 === v, s"verdict c=${ct.id} ${ct}")
+      if (v == "REPLICATE" || v == "NO_SOURCES")
+        assert(g._2 === needed, s"needed c=${ct.id} ${ct}")
+      if (v.startsWith("REPLICATE_VULNERABLE") ||
+        v == "SKIP_VULNERABLE_PENDING")
+        assert(g._3 === vuln, s"vuln c=${ct.id}")
+    }
+    // the random space actually reaches the interesting rungs
+    val verdicts = conts.map(expected(_)._1).toSet
+    assert(verdicts.contains("REPLICATE"))
+    assert(verdicts.contains("NO_SOURCES"))
+    assert(verdicts.contains("UNRECOVERABLE"))
+    assert(verdicts.contains("PENDING_UNHEALTHY_FIX"))
+  }
 }
