@@ -1009,6 +1009,10 @@ object SparkEntry {
     // against the latest updateID.
     "q_atomic_rewrite" -> ((s, d) =>
       Conditional.atomicRewrite(T.objects(s, d))),
+    // Training order: seeded per-epoch shuffle + closed-form
+    // domain-interleaved curriculum slots (no global window).
+    "q_train_order" -> ((s, d) =>
+      Sampling.trainOrder(T.documents(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8267,6 +8271,26 @@ object SparkEntry {
         |      % 1000 AS bucket_pm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // training order: seeded epoch shuffle + closed-form interleave
+    "q_train_order" ->
+      """SELECT CAST(r.epoch AS BIGINT) AS epoch,
+        |  CAST((r.rank - 1) * t.n_domains + x.domain_idx AS BIGINT)
+        |    AS slot,
+        |  r.domain, CAST(r.rank AS BIGINT) AS rank, r.doc_id
+        |FROM (
+        |  SELECT e.epoch, d.doc_id, d.source AS domain,
+        |    row_number() OVER (PARTITION BY e.epoch, d.source
+        |      ORDER BY md5(e.epoch || ':' || d.doc_id)) AS rank
+        |  FROM documents d CROSS JOIN (VALUES (0), (1)) e(epoch)) r
+        |JOIN (
+        |  SELECT domain,
+        |    row_number() OVER (ORDER BY domain) - 1 AS domain_idx
+        |  FROM (SELECT DISTINCT source AS domain FROM documents)) x
+        |  USING (domain)
+        |CROSS JOIN (SELECT count(DISTINCT source) AS n_domains
+        |  FROM documents) t
+        |ORDER BY epoch, slot""".stripMargin,
 
     // packing diagnostics: fold of the seq-pack layout per shard
     "q_pack_stats" -> O.withCtes(

@@ -141,4 +141,42 @@ object Sampling {
           .otherwise(lit("train")))
       .select(col("doc_id"), col("source"), col("bucket_pm"), col("split"))
       .orderBy("doc_id")
+
+  /**
+   * Deterministic training order: a seeded per-epoch shuffle with
+   * domain-interleaved curriculum slots — the data-loader ordering step
+   * of a training pipeline. Each epoch re-shuffles every document by
+   * `md5(epoch:doc_id)` (a different but reproducible permutation per
+   * epoch, the standard seeded-epoch-shuffle contract); documents are
+   * then dealt round-robin across domains by assigning the k-th
+   * document of domain d to slot `(k-1)·|domains| + idx(d)` — a CLOSED
+   * FORM, so the global order needs no single-partition window: the
+   * only shuffle is the per-(epoch, domain) rank, which partitions
+   * cleanly at any scale. Unequal domain sizes leave empty slots at the
+   * tail exactly like a round-robin batch sampler that exhausts small
+   * domains.
+   */
+  def trainOrder(docs: DataFrame, domain: String = "source",
+                 epochs: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    val ep = spark.range(epochs).toDF("epoch")
+    val dDim = docs.select(col(domain).as("domain")).distinct()
+      .withColumn("domain_idx",
+        row_number().over(Window.orderBy("domain")).cast("long") - 1L)
+    val dCount = dDim.agg(count(lit(1)).as("n_domains"))
+    docs.select(col("doc_id"), col(domain).as("domain"))
+      .crossJoin(broadcast(ep))
+      .withColumn("shuffle_key",
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("epoch", "domain").orderBy("shuffle_key"))
+        .cast("long"))
+      .join(broadcast(dDim), Seq("domain"))
+      .crossJoin(broadcast(dCount))
+      .withColumn("slot",
+        (col("rank") - 1L) * col("n_domains") + col("domain_idx"))
+      .select("epoch", "slot", "domain", "rank", "doc_id")
+      .orderBy("epoch", "slot")
+  }
 }

@@ -125,4 +125,36 @@ class SamplingSpec extends SparkSpecBase {
       .filter(col("split") =!= col("split_full")).isEmpty)
     split.unpersist()
   }
+
+  test("trainOrder: per-epoch permutations, round-robin domain slots") {
+    val T = graft.core.Tables
+    val rows = graft.operators.Sampling.trainOrder(
+      T.documents(spark, sf)).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("slot"),
+        r.getAs[String]("domain"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id")))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L))
+    // every epoch covers the whole corpus exactly once
+    val docs = rows.map(_._5).toSet
+    byEpoch.values.foreach(e => assert(e.map(_._5).toSet === docs))
+    // the two epochs are DIFFERENT permutations (seeded reshuffle)
+    val order0 = byEpoch(0L).sortBy(_._2).map(_._5).toSeq
+    val order1 = byEpoch(1L).sortBy(_._2).map(_._5).toSeq
+    assert(order0 !== order1)
+    // slots are unique per epoch and rotate domains round-robin:
+    // slot mod |domains| identifies the domain for every row
+    val nDomains = rows.map(_._3).distinct.length
+    byEpoch.values.foreach { e =>
+      assert(e.map(_._2).distinct.length === e.length)
+      val domainOfIdx = e.map(r => (r._2 % nDomains) -> r._3).toMap
+      e.foreach(r => assert(domainOfIdx(r._2 % nDomains) === r._3))
+    }
+    // deterministic: a second run reproduces the exact order
+    val again = graft.operators.Sampling.trainOrder(
+      T.documents(spark, sf)).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("slot"),
+        r.getAs[Long]("doc_id")))
+    assert(again.toSeq === rows.map(r => (r._1, r._2, r._5)).toSeq)
+  }
 }
