@@ -1013,6 +1013,10 @@ object SparkEntry {
     // domain-interleaved curriculum slots (no global window).
     "q_train_order" -> ((s, d) =>
       Sampling.trainOrder(T.documents(s, d))),
+    // Balancer start validation: RPC parameter rungs, eligibility and
+    // state gates, config-vs-container-size checks.
+    "q_balancer_admin" -> ((s, d) =>
+      ClusterHealth.balancerAdmin(T.datanodes(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8271,6 +8275,85 @@ object SparkEntry {
         |      % 1000 AS bucket_pm
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // balancer-admin mirror: the same VALUES batch + rung CASE
+    "q_balancer_admin" ->
+      """SELECT CAST(req_id AS BIGINT) AS req_id,
+        |  CASE
+        |    WHEN thr IS NOT NULL AND (thr < 0.0 OR thr >= 100.0)
+        |      THEN 'THRESHOLD_RANGE'
+        |    WHEN move_gb IS NOT NULL AND move_gb <= 0
+        |      THEN 'MOVE_SIZE_NOT_POSITIVE'
+        |    WHEN dn_pct IS NOT NULL AND (dn_pct <= 0 OR dn_pct > 100)
+        |      THEN 'DN_PERCENT_RANGE'
+        |    WHEN iter IS NOT NULL AND (iter < -1 OR iter = 0)
+        |      THEN 'ITERATIONS_INVALID'
+        |    WHEN ent_gb IS NOT NULL AND ent_gb <= 0
+        |      THEN 'ENTERING_NOT_POSITIVE'
+        |    WHEN lv_gb IS NOT NULL AND lv_gb <= 0
+        |      THEN 'LEAVING_NOT_POSITIVE'
+        |    WHEN intv IS NOT NULL AND intv <= 0
+        |      THEN 'INTERVAL_NOT_POSITIVE'
+        |    WHEN mv_to IS NOT NULL AND mv_to <= 0
+        |      THEN 'MOVE_TIMEOUT_NOT_POSITIVE'
+        |    WHEN rp_to IS NOT NULL AND rp_to <= 0
+        |      THEN 'REPL_TIMEOUT_NOT_POSITIVE'
+        |    WHEN NOT leader THEN 'NOT_LEADER_READY'
+        |    WHEN safemode THEN 'IN_SAFE_MODE'
+        |    WHEN running THEN 'ALREADY_RUNNING'
+        |    WHEN coalesce(ent_gb, 26) <= 5
+        |      THEN 'ENTERING_LE_CONTAINER_SIZE'
+        |    WHEN coalesce(lv_gb, 26) <= 5
+        |      THEN 'LEAVING_LE_CONTAINER_SIZE'
+        |    WHEN coalesce(ent_gb, 26) > coalesce(move_gb, 500)
+        |      THEN 'ENTERING_GT_MAX_MOVE'
+        |    WHEN coalesce(lv_gb, 26) > coalesce(move_gb, 500)
+        |      THEN 'LEAVING_GT_MAX_MOVE'
+        |    ELSE 'STARTED' END AS verdict
+        |FROM (VALUES
+        |  (1, 10.0, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (2, 100.0, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (3, -0.1, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (4, NULL, 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (5, NULL, NULL, 101, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (6, NULL, NULL, NULL, 0, NULL, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (7, NULL, NULL, NULL, -1, NULL, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (8, NULL, NULL, NULL, NULL, 0, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (9, NULL, NULL, NULL, NULL, NULL, -3, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (10, NULL, NULL, NULL, NULL, NULL, NULL, 0, NULL, NULL,
+        |    true, false, false),
+        |  (11, NULL, NULL, NULL, NULL, NULL, NULL, NULL, -1, NULL,
+        |    true, false, false),
+        |  (12, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 0,
+        |    true, false, false),
+        |  (13, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    false, false, false),
+        |  (14, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    true, true, false),
+        |  (15, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |    true, false, true),
+        |  (16, NULL, NULL, NULL, NULL, 5, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (17, NULL, NULL, NULL, NULL, NULL, 4, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (18, NULL, 20, NULL, NULL, 30, NULL, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (19, NULL, 20, NULL, NULL, 10, 25, NULL, NULL, NULL,
+        |    true, false, false),
+        |  (20, 15.0, 600, 50, 3, 40, 40, 60, 30, 30,
+        |    true, false, false))
+        |  t(req_id, thr, move_gb, dn_pct, iter, ent_gb, lv_gb, intv,
+        |    mv_to, rp_to, leader, safemode, running)
+        |ORDER BY req_id""".stripMargin,
 
     // training order: seeded epoch shuffle + closed-form interleave
     "q_train_order" ->

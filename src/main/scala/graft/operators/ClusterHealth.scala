@@ -2924,6 +2924,116 @@ object ClusterHealth {
       .orderBy("batch_id", "host")
   }
 
+  /**
+   * Balancer start validation ladder — the RPC parameter rungs of
+   * `SCMClientProtocolServer.startContainerBalancer` (:1197-1310, in
+   * exact parameter order: threshold ∈ [0,100), positive move size,
+   * datanode percentage ∈ (0,100], iterations ≥ 1 or -1, positive
+   * entering/leaving sizes, positive interval/move/replication
+   * timeouts) followed by `ContainerBalancer.startBalancer`
+   * (:298-315): leader-readiness and safe-mode eligibility (:340-352),
+   * the not-running state gate (:361-374), then
+   * `validateConfiguration` (:458-505) against the 5 GB container
+   * size — entering/leaving must exceed the container size and fit
+   * within maxSizeToMovePerIteration. Unset parameters take the
+   * ContainerBalancerConfiguration defaults (move 500 GB, entering
+   * 26 GB, leaving 26 GB).
+   *
+   * Scale shape: a broadcast request dim and one CASE projection.
+   */
+  def balancerAdmin(datanodes: DataFrame): DataFrame = {
+    val spark = datanodes.sparkSession
+    import spark.implicits._
+    val reqs = Seq(
+      // req, thr, moveGb, dnPct, iter, entGb, leaveGb, intv, mvTo, rpTo,
+      // leader, safemode, running
+      (1L, Some(10.0), None, None, None, None, None, None, None, None,
+        true, false, false),
+      (2L, Some(100.0), None, None, None, None, None, None, None, None,
+        true, false, false),
+      (3L, Some(-0.1), None, None, None, None, None, None, None, None,
+        true, false, false),
+      (4L, None, Some(0L), None, None, None, None, None, None, None,
+        true, false, false),
+      (5L, None, None, Some(101), None, None, None, None, None, None,
+        true, false, false),
+      (6L, None, None, None, Some(0), None, None, None, None, None,
+        true, false, false),
+      (7L, None, None, None, Some(-1), None, None, None, None, None,
+        true, false, false),
+      (8L, None, None, None, None, Some(0L), None, None, None, None,
+        true, false, false),
+      (9L, None, None, None, None, None, Some(-3L), None, None, None,
+        true, false, false),
+      (10L, None, None, None, None, None, None, Some(0), None, None,
+        true, false, false),
+      (11L, None, None, None, None, None, None, None, Some(-1), None,
+        true, false, false),
+      (12L, None, None, None, None, None, None, None, None, Some(0),
+        true, false, false),
+      (13L, None, None, None, None, None, None, None, None, None,
+        false, false, false),
+      (14L, None, None, None, None, None, None, None, None, None,
+        true, true, false),
+      (15L, None, None, None, None, None, None, None, None, None,
+        true, false, true),
+      (16L, None, None, None, None, Some(5L), None, None, None, None,
+        true, false, false),
+      (17L, None, None, None, None, None, Some(4L), None, None, None,
+        true, false, false),
+      (18L, None, Some(20L), None, None, Some(30L), None, None, None,
+        None, true, false, false),
+      (19L, None, Some(20L), None, None, Some(10L), Some(25L), None,
+        None, None, true, false, false),
+      (20L, Some(15.0), Some(600L), Some(50), Some(3), Some(40L),
+        Some(40L), Some(60), Some(30), Some(30), true, false, false))
+      .toDF("req_id", "threshold", "move_gb", "dn_pct", "iterations",
+        "entering_gb", "leaving_gb", "interval_min", "move_to",
+        "repl_to", "leader", "safemode", "running")
+    val containerGb = 5L
+    val eff = reqs
+      .withColumn("e_move", coalesce(col("move_gb"), lit(500L)))
+      .withColumn("e_enter", coalesce(col("entering_gb"), lit(26L)))
+      .withColumn("e_leave", coalesce(col("leaving_gb"), lit(26L)))
+    eff
+      .withColumn("verdict",
+        when(col("threshold").isNotNull &&
+          (col("threshold") < 0.0 || col("threshold") >= 100.0),
+          lit("THRESHOLD_RANGE"))
+          .when(col("move_gb").isNotNull && col("move_gb") <= 0,
+            lit("MOVE_SIZE_NOT_POSITIVE"))
+          .when(col("dn_pct").isNotNull &&
+            (col("dn_pct") <= 0 || col("dn_pct") > 100),
+            lit("DN_PERCENT_RANGE"))
+          .when(col("iterations").isNotNull &&
+            (col("iterations") < -1 || col("iterations") === 0),
+            lit("ITERATIONS_INVALID"))
+          .when(col("entering_gb").isNotNull && col("entering_gb") <= 0,
+            lit("ENTERING_NOT_POSITIVE"))
+          .when(col("leaving_gb").isNotNull && col("leaving_gb") <= 0,
+            lit("LEAVING_NOT_POSITIVE"))
+          .when(col("interval_min").isNotNull &&
+            col("interval_min") <= 0, lit("INTERVAL_NOT_POSITIVE"))
+          .when(col("move_to").isNotNull && col("move_to") <= 0,
+            lit("MOVE_TIMEOUT_NOT_POSITIVE"))
+          .when(col("repl_to").isNotNull && col("repl_to") <= 0,
+            lit("REPL_TIMEOUT_NOT_POSITIVE"))
+          .when(!col("leader"), lit("NOT_LEADER_READY"))
+          .when(col("safemode"), lit("IN_SAFE_MODE"))
+          .when(col("running"), lit("ALREADY_RUNNING"))
+          .when(col("e_enter") <= containerGb,
+            lit("ENTERING_LE_CONTAINER_SIZE"))
+          .when(col("e_leave") <= containerGb,
+            lit("LEAVING_LE_CONTAINER_SIZE"))
+          .when(col("e_enter") > col("e_move"),
+            lit("ENTERING_GT_MAX_MOVE"))
+          .when(col("e_leave") > col("e_move"),
+            lit("LEAVING_GT_MAX_MOVE"))
+          .otherwise(lit("STARTED")))
+      .select("req_id", "verdict")
+      .orderBy("req_id")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),
