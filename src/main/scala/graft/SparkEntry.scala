@@ -1017,6 +1017,10 @@ object SparkEntry {
     // state gates, config-vs-container-size checks.
     "q_balancer_admin" -> ((s, d) =>
       ClusterHealth.balancerAdmin(T.datanodes(s, d))),
+    // DN replication supervisor: queue-full before dedup, deadline and
+    // stale-term drops, per-task outcomes.
+    "q_replication_supervisor" -> ((s, d) =>
+      ClusterHealth.replicationSupervisorFold(T.containersScm(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8354,6 +8358,53 @@ object SparkEntry {
         |  t(req_id, thr, move_gb, dn_pct, iter, ent_gb, lv_gb, intv,
         |    mv_to, rp_to, leader, safemode, running)
         |ORDER BY req_id""".stripMargin,
+
+    // replication-supervisor mirror: the same burst, admission window,
+    // run rungs
+    "q_replication_supervisor" -> O.withCtes(
+      """SELECT seq, kind, container_id,
+        |  CASE
+        |    WHEN cum_uniques - first_occ >= 100 THEN 'QUEUE_FULL'
+        |    WHEN first_occ = 0 THEN 'DEDUPED'
+        |    WHEN container_id % 11 = 0 THEN 'TIMEOUT'
+        |    WHEN container_id % 13 = 0 THEN 'STALE_TERM'
+        |    WHEN ascii(substr(md5(CAST(container_id AS VARCHAR)), 1, 1))
+        |      % 5 = 0 THEN 'FAILED'
+        |    WHEN ascii(substr(md5(CAST(container_id AS VARCHAR)), 1, 1))
+        |      % 5 = 1 THEN 'SKIPPED'
+        |    ELSE 'DONE' END AS verdict
+        |FROM (
+        |  SELECT *,
+        |    sum(first_occ) OVER (ORDER BY seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_uniques
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN row_number() OVER (
+        |        PARTITION BY kind, container_id ORDER BY seq) = 1
+        |        THEN 1 ELSE 0 END AS first_occ
+        |    FROM rsup_events))
+        |ORDER BY seq""".stripMargin,
+      O.containersScm,
+      """rsup_events AS (
+        |  SELECT container_id, kind, seq FROM (
+        |    SELECT container_id,
+        |      CASE WHEN container_id % 3 = 0 THEN 'REPLICATE'
+        |        WHEN container_id % 3 = 1 THEN 'RECONSTRUCT'
+        |        ELSE 'DELETE' END AS kind,
+        |      container_id * 2 AS seq
+        |    FROM containers_scm
+        |    WHERE state <> 'DELETED' AND container_id % 7 = 0)
+        |  UNION ALL
+        |  SELECT container_id, kind, seq + 1 AS seq FROM (
+        |    SELECT container_id,
+        |      CASE WHEN container_id % 3 = 0 THEN 'REPLICATE'
+        |        WHEN container_id % 3 = 1 THEN 'RECONSTRUCT'
+        |        ELSE 'DELETE' END AS kind,
+        |      container_id * 2 AS seq
+        |    FROM containers_scm
+        |    WHERE state <> 'DELETED' AND container_id % 7 = 0
+        |      AND container_id % 5 = 0))""".stripMargin),
 
     // training order: seeded epoch shuffle + closed-form interleave
     "q_train_order" ->

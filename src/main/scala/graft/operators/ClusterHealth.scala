@@ -3034,6 +3034,74 @@ object ClusterHealth {
       .orderBy("req_id")
   }
 
+  /**
+   * DN replication-supervisor admission + run fold —
+   * `ReplicationSupervisor` (`container-service/.../replication/
+   * ReplicationSupervisor.java`): a command burst processed in arrival
+   * order under the worst case (nothing completes mid-burst):
+   *   1. `queueHasRoomFor` runs FIRST (:270-286): once the in-flight
+   *      set reaches maxQueueSize (100), every later command — even a
+   *      duplicate of an admitted task — is QUEUE_FULL;
+   *   2. the `inFlight` identity set dedups (class, container) (:100-105,
+   *      :306-309): a re-issued command for a queued task is silently
+   *      dropped ⇒ DEDUPED;
+   *   3. TaskRunner.run (:535-580): an expired deadline ⇒ TIMEOUT
+   *      (:541-547); a task term behind the current SCM leader term ⇒
+   *      STALE_TERM (:549-557); otherwise the task outcome —
+   *      DONE / FAILED / SKIPPED — feeds the per-metric counters.
+   * Fixture: one command per %7 container (kind by %3: replicate /
+   * EC-reconstruct / delete), every 5th re-issued right after its
+   * original (DEDUPED while the queue has room, QUEUE_FULL once it
+   * doesn't — the reference's check order), deadlines
+   * expired on %11, stale terms on %13, outcomes cycling by an md5
+   * nibble. The admission window is a single ordered pass over the
+   * burst — the DN command queue is control-plane-sized by definition
+   * (maxQueueSize bounds it).
+   */
+  def replicationSupervisorFold(containersScm: DataFrame,
+                                maxQueueSize: Int = 100,
+                                currentTerm: Long = 5L): DataFrame = {
+    val c = col("container_id")
+    val base = containersScm.filter(col("state") =!= "DELETED" &&
+      c % 7 === 0)
+      .withColumn("kind",
+        when(c % 3 === 0, lit("REPLICATE"))
+          .when(c % 3 === 1, lit("RECONSTRUCT"))
+          .otherwise(lit("DELETE")))
+      .withColumn("seq", c * 2)
+    val dups = base.filter(c % 5 === 0)
+      .withColumn("seq", c * 2 + 1)
+    val events = base.unionByName(dups)
+      .withColumn("deadline_passed", c % 11 === 0)
+      .withColumn("task_term",
+        when(c % 13 === 0, currentTerm - 1).otherwise(currentTerm))
+      .withColumn("outcome",
+        when(ascii(substring(md5(c.cast("string")), 1, 1)) % 5 === 0,
+          lit("FAILED"))
+          .when(ascii(substring(md5(c.cast("string")), 1, 1)) % 5 === 1,
+            lit("SKIPPED"))
+          .otherwise(lit("DONE")))
+    val wSeq = Window.orderBy("seq")
+    val wTask = Window.partitionBy("kind", "container_id")
+      .orderBy("seq")
+    events
+      .withColumn("first_occ",
+        when(row_number().over(wTask) === 1, 1).otherwise(0))
+      .withColumn("cum_uniques",
+        sum("first_occ").over(
+          wSeq.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .withColumn("prior_uniques", col("cum_uniques") - col("first_occ"))
+      .withColumn("verdict",
+        when(col("prior_uniques") >= maxQueueSize, lit("QUEUE_FULL"))
+          .when(col("first_occ") === 0, lit("DEDUPED"))
+          .when(col("deadline_passed"), lit("TIMEOUT"))
+          .when(col("task_term") < currentTerm, lit("STALE_TERM"))
+          .otherwise(col("outcome")))
+      .select("seq", "kind", "container_id", "verdict")
+      .orderBy("seq")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),
