@@ -1021,6 +1021,9 @@ object SparkEntry {
     // stale-term drops, per-task outcomes.
     "q_replication_supervisor" -> ((s, d) =>
       ClusterHealth.replicationSupervisorFold(T.containersScm(s, d))),
+    // Snapshot-diff job lifecycle: report dispatch by job status,
+    // cancel ladder (only IN_PROGRESS cancels).
+    "q_snapdiff_jobs" -> ((s, d) => Joins.snapshotDiffJobs(s)),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8357,6 +8360,47 @@ object SparkEntry {
         |    true, false, false))
         |  t(req_id, thr, move_gb, dn_pct, iter, ent_gb, lv_gb, intv,
         |    mv_to, rp_to, leader, safemode, running)
+        |ORDER BY req_id""".stripMargin,
+
+    // snapdiff-jobs mirror: the same literal dims + dispatch CASE
+    "q_snapdiff_jobs" ->
+      """SELECT CAST(r.req_id AS BIGINT) AS req_id, r.op, r.from_snap,
+        |  r.to_snap,
+        |  CASE
+        |    WHEN f.snap IS NULL OR t.snap IS NULL
+        |      THEN 'SNAPSHOT_NOT_FOUND'
+        |    WHEN r.op = 'DIFF' THEN
+        |      CASE WHEN j.status IS NULL OR j.status = 'QUEUED'
+        |        THEN 'NEW_SUBMITTED' ELSE j.status END
+        |    WHEN j.status IS NULL THEN 'CANCEL_JOB_NOT_EXIST'
+        |    WHEN j.status = 'IN_PROGRESS' THEN 'CANCEL_SUCCEEDED'
+        |    WHEN j.status = 'DONE' THEN 'CANCEL_ALREADY_DONE'
+        |    WHEN j.status = 'CANCELLED' THEN 'CANCEL_ALREADY_CANCELLED'
+        |    WHEN j.status = 'FAILED' THEN 'CANCEL_ALREADY_FAILED'
+        |    ELSE 'CANCEL_NON_CANCELLABLE' END AS verdict,
+        |  CAST(CASE WHEN r.op = 'DIFF' AND f.snap IS NOT NULL
+        |      AND t.snap IS NOT NULL AND j.status = 'IN_PROGRESS'
+        |    THEN j.pct ELSE 0 END AS INT) AS pct
+        |FROM (VALUES
+        |  (1, 'DIFF', 's1', 's2'), (2, 'DIFF', 's1', 's3'),
+        |  (3, 'DIFF', 's2', 's3'), (4, 'DIFF', 's1', 's4'),
+        |  (5, 'DIFF', 's2', 's4'), (6, 'DIFF', 's3', 's4'),
+        |  (7, 'DIFF', 's4', 's5'), (8, 'DIFF', 's1', 's9'),
+        |  (11, 'CANCEL', 's1', 's2'), (12, 'CANCEL', 's1', 's3'),
+        |  (13, 'CANCEL', 's2', 's3'), (14, 'CANCEL', 's1', 's4'),
+        |  (15, 'CANCEL', 's2', 's4'), (16, 'CANCEL', 's3', 's4'),
+        |  (17, 'CANCEL', 's4', 's5'), (18, 'CANCEL', 's9', 's2'))
+        |  r(req_id, op, from_snap, to_snap)
+        |LEFT JOIN (VALUES ('s1'), ('s2'), ('s3'), ('s4'), ('s5'))
+        |  f(snap) ON f.snap = r.from_snap
+        |LEFT JOIN (VALUES ('s1'), ('s2'), ('s3'), ('s4'), ('s5'))
+        |  t(snap) ON t.snap = r.to_snap
+        |LEFT JOIN (VALUES
+        |  ('s1', 's2', 'IN_PROGRESS', 37), ('s1', 's3', 'DONE', 100),
+        |  ('s2', 's3', 'FAILED', 0), ('s1', 's4', 'CANCELLED', 0),
+        |  ('s2', 's4', 'REJECTED', 0), ('s3', 's4', 'QUEUED', 0))
+        |  j(from_snap, to_snap, status, pct)
+        |  ON j.from_snap = r.from_snap AND j.to_snap = r.to_snap
         |ORDER BY req_id""".stripMargin,
 
     // replication-supervisor mirror: the same burst, admission window,

@@ -218,4 +218,77 @@ object Joins {
       .agg(count(lit(1)).as("num_keys"), sum("data_size").as("total_size"))
       .orderBy("layout")
   }
+
+  /**
+   * Snapshot-diff job lifecycle — `SnapshotDiffManager` job-table
+   * dispatch (`ozone-manager/.../snapshot/SnapshotDiffManager.java`):
+   *
+   * getSnapshotDiffReport (:496-560): both snapshots must resolve
+   * (SNAPSHOT_NOT_FOUND otherwise); a missing job is minted QUEUED and
+   * submitted (NEW_SUBMITTED); an existing job answers by status —
+   * IN_PROGRESS with the progress percent (:525-532), FAILED with the
+   * cleanup-interval retry hint (:533-542), DONE serves the report page
+   * (:543-547), REJECTED and CANCELLED echo their state (:548-560).
+   *
+   * cancelSnapshotDiff (:397-441): unknown job ⇒ CANCEL_JOB_NOT_EXIST;
+   * only IN_PROGRESS cancels (CANCEL_SUCCEEDED); DONE / CANCELLED /
+   * FAILED report their terminal state; anything else (QUEUED —
+   * submission is atomic with queueing) is NON_CANCELLABLE.
+   *
+   * Fixture: a literal job table covering every status plus unknown
+   * snapshots and job-less known pairs, probed by one DIFF and one
+   * CANCEL request each.
+   */
+  def snapshotDiffJobs(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import spark.implicits._
+    val snaps = Seq("s1", "s2", "s3", "s4", "s5").toDF("snap")
+    val jobs = Seq(
+      ("s1", "s2", "IN_PROGRESS", 37),
+      ("s1", "s3", "DONE", 100),
+      ("s2", "s3", "FAILED", 0),
+      ("s1", "s4", "CANCELLED", 0),
+      ("s2", "s4", "REJECTED", 0),
+      ("s3", "s4", "QUEUED", 0))
+      .toDF("from_snap", "to_snap", "status", "pct")
+    val reqs = Seq(
+      (1L, "DIFF", "s1", "s2"), (2L, "DIFF", "s1", "s3"),
+      (3L, "DIFF", "s2", "s3"), (4L, "DIFF", "s1", "s4"),
+      (5L, "DIFF", "s2", "s4"), (6L, "DIFF", "s3", "s4"),
+      (7L, "DIFF", "s4", "s5"), (8L, "DIFF", "s1", "s9"),
+      (11L, "CANCEL", "s1", "s2"), (12L, "CANCEL", "s1", "s3"),
+      (13L, "CANCEL", "s2", "s3"), (14L, "CANCEL", "s1", "s4"),
+      (15L, "CANCEL", "s2", "s4"), (16L, "CANCEL", "s3", "s4"),
+      (17L, "CANCEL", "s4", "s5"), (18L, "CANCEL", "s9", "s2"))
+      .toDF("req_id", "op", "from_snap", "to_snap")
+    reqs
+      .join(broadcast(snaps.select(col("snap").as("from_snap"),
+        lit(1).as("from_ok"))), Seq("from_snap"), "left")
+      .join(broadcast(snaps.select(col("snap").as("to_snap"),
+        lit(1).as("to_ok"))), Seq("to_snap"), "left")
+      .join(broadcast(jobs), Seq("from_snap", "to_snap"), "left")
+      .withColumn("verdict",
+        when(col("from_ok").isNull || col("to_ok").isNull,
+          lit("SNAPSHOT_NOT_FOUND"))
+          .when(col("op") === "DIFF",
+            when(col("status").isNull || col("status") === "QUEUED",
+              lit("NEW_SUBMITTED"))
+              .otherwise(col("status")))
+          .otherwise(
+            when(col("status").isNull, lit("CANCEL_JOB_NOT_EXIST"))
+              .when(col("status") === "IN_PROGRESS",
+                lit("CANCEL_SUCCEEDED"))
+              .when(col("status") === "DONE",
+                lit("CANCEL_ALREADY_DONE"))
+              .when(col("status") === "CANCELLED",
+                lit("CANCEL_ALREADY_CANCELLED"))
+              .when(col("status") === "FAILED",
+                lit("CANCEL_ALREADY_FAILED"))
+              .otherwise(lit("CANCEL_NON_CANCELLABLE"))))
+      .withColumn("pct",
+        when(col("op") === "DIFF" && col("verdict") === "IN_PROGRESS",
+          col("pct")).otherwise(lit(0)))
+      .select("req_id", "op", "from_snap", "to_snap", "verdict", "pct")
+      .orderBy("req_id")
+  }
 }
