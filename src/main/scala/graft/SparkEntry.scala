@@ -1024,6 +1024,10 @@ object SparkEntry {
     // Snapshot-diff job lifecycle: report dispatch by job status,
     // cancel ladder (only IN_PROGRESS cancels).
     "q_snapdiff_jobs" -> ((s, d) => Joins.snapshotDiffJobs(s)),
+    // EC rack-scatter placement validation with the over-replication
+    // allowance and rack-deficit-first reason.
+    "q_ec_placement_validate" -> ((s, d) =>
+      ClusterHealth.ecPlacementValidate(T.ecShards(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8361,6 +8365,43 @@ object SparkEntry {
         |  t(req_id, thr, move_gb, dn_pct, iter, ent_gb, lv_gb, intv,
         |    mv_to, rp_to, leader, safemode, running)
         |ORDER BY req_id""".stripMargin,
+
+    // EC placement-validation mirror: rack counts, the 1-per-rack base
+    // plus over-replication allowance, deficit-first reason
+    "q_ec_placement_validate" -> O.withCtes(
+      """SELECT t.container_id,
+        |  CAST(t.n_copies AS BIGINT) AS n_copies,
+        |  CAST(t.n_racks AS BIGINT) AS n_racks,
+        |  CAST(1 + greatest(t.n_copies - 5, 0) AS BIGINT)
+        |    AS max_per_rack,
+        |  t.n_racks >= 5 AND t.max_rack_cnt
+        |    <= 1 + greatest(t.n_copies - 5, 0) AS satisfied,
+        |  CAST(CASE WHEN t.n_racks >= 5 AND t.max_rack_cnt
+        |      <= 1 + greatest(t.n_copies - 5, 0) THEN 0
+        |    ELSE greatest(5 - t.n_racks, e.excess) END AS BIGINT)
+        |    AS mis_count,
+        |  CASE WHEN t.n_racks >= 5 AND t.max_rack_cnt
+        |      <= 1 + greatest(t.n_copies - 5, 0) THEN 'SATISFIED'
+        |    WHEN t.n_racks < 5 THEN 'TOO_FEW_RACKS'
+        |    ELSE 'RACK_OVERLOADED' END AS reason
+        |FROM epv_tot t JOIN epv_ex e USING (container_id)
+        |ORDER BY t.container_id""".stripMargin,
+      O.containersScm, O.ecShards,
+      """epv_rc AS (
+        |  SELECT container_id,
+        |    CAST(substr(datanode, 3, 10) AS INT) % 5 AS rack,
+        |    count(*) AS cnt
+        |  FROM ec_shards GROUP BY 1, 2)""".stripMargin,
+      """epv_tot AS (
+        |  SELECT container_id, sum(cnt) AS n_copies,
+        |    count(*) AS n_racks, max(cnt) AS max_rack_cnt
+        |  FROM epv_rc GROUP BY 1)""".stripMargin,
+      """epv_ex AS (
+        |  SELECT r.container_id,
+        |    sum(greatest(r.cnt - (1 + greatest(t.n_copies - 5, 0)), 0))
+        |      AS excess
+        |  FROM epv_rc r JOIN epv_tot t USING (container_id)
+        |  GROUP BY 1)""".stripMargin),
 
     // snapdiff-jobs mirror: the same literal dims + dispatch CASE
     "q_snapdiff_jobs" ->

@@ -3102,6 +3102,61 @@ object ClusterHealth {
       .orderBy("seq")
   }
 
+  /**
+   * EC placement validation — `SCMCommonPlacementPolicy
+   * .validateContainerPlacement` (:441-510) with the rack-scatter
+   * required-rack override (`SCMContainerPlacementRackScatter
+   * .getRequiredRackCount:541-550` = min(cluster racks, requiredNodes))
+   * and `ContainerPlacementStatusDefault` (:55-94):
+   *   - requiredRacks = min(5 racks, 5 shards) for rs-3-2;
+   *   - maxReplicasPerRack = ⌈replicas / requiredRacks⌉ PLUS the
+   *     over-replication allowance max(0, copies − replicas)
+   *     (:498-506 — excess copies from decommission/maintenance must
+   *     not read as mis-replication until over-replication is fixed;
+   *     under this allowance a same-rack duplicate can never overload
+   *     a full-rack-spread container, by construction);
+   *   - satisfied ⟺ racks-spanned ≥ min(total, required) AND every
+   *     rack count ≤ maxReplicasPerRack;
+   *   - misReplicationCount = max(rack deficit, Σ per-rack excess);
+   *     the reason reports the rack deficit FIRST (:63-74).
+   */
+  def ecPlacementValidate(ecShards: DataFrame,
+                          clusterRacks: Int = 5,
+                          requiredNodes: Int = 5): DataFrame = {
+    val requiredRacks = math.min(clusterRacks, requiredNodes)
+    val basePerRack = requiredNodes / requiredRacks +
+      math.min(requiredNodes % requiredRacks, 1)
+    val rackCnt = ecShards
+      .withColumn("rack",
+        substring(col("datanode"), 3, 10).cast("int") % 5)
+      .groupBy("container_id", "rack")
+      .agg(count(lit(1)).as("cnt"))
+    rackCnt.groupBy("container_id")
+      .agg(sum("cnt").as("n_copies"),
+        count(lit(1)).as("n_racks"),
+        max("cnt").as("max_rack_cnt"),
+        collect_list("cnt").as("cnts"))
+      .withColumn("max_per_rack",
+        lit(basePerRack.toLong) +
+          greatest(col("n_copies") - requiredNodes, lit(0L)))
+      .withColumn("satisfied",
+        col("n_racks") >= requiredRacks &&
+          col("max_rack_cnt") <= col("max_per_rack"))
+      .withColumn("mis_count",
+        when(col("satisfied"), lit(0L)).otherwise(
+          greatest(lit(requiredRacks.toLong) - col("n_racks"),
+            aggregate(col("cnts"), lit(0L),
+              (acc, c) => acc +
+                greatest(c - col("max_per_rack"), lit(0L))))))
+      .withColumn("reason",
+        when(col("satisfied"), lit("SATISFIED"))
+          .when(col("n_racks") < requiredRacks, lit("TOO_FEW_RACKS"))
+          .otherwise(lit("RACK_OVERLOADED")))
+      .select("container_id", "n_copies", "n_racks", "max_per_rack",
+        "satisfied", "mis_count", "reason")
+      .orderBy("container_id")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),
