@@ -1028,6 +1028,10 @@ object SparkEntry {
     // allowance and rack-deficit-first reason.
     "q_ec_placement_validate" -> ((s, d) =>
       ClusterHealth.ecPlacementValidate(T.ecShards(s, d))),
+    // DN volume checker: failed-volume removal, min-gap throttle keyed
+    // on completion, timeout/failure folds.
+    "q_volume_check" -> ((s, d) =>
+      ClusterHealth.volumeCheckFold(s)),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8365,6 +8369,50 @@ object SparkEntry {
         |  t(req_id, thr, move_gb, dn_pct, iter, ent_gb, lv_gb, intv,
         |    mv_to, rp_to, leader, safemode, running)
         |ORDER BY req_id""".stripMargin,
+
+    // volume-check mirror: the same packed-string prefix fold replayed
+    // with list_reduce
+    "q_volume_check" -> O.withCtes(
+      """SELECT volume,
+        |  CAST(string_split(ev, '|')[1] AS BIGINT) AS ts,
+        |  CASE
+        |    WHEN string_split(pre, '|')[2] = '1'
+        |      THEN 'NOT_CHECKED_FAILED_VOLUME'
+        |    WHEN CAST(string_split(ev, '|')[1] AS BIGINT) -
+        |      CAST(string_split(pre, '|')[1] AS BIGINT) < 10000
+        |      THEN 'SKIPPED_MIN_GAP'
+        |    WHEN CAST(string_split(ev, '|')[2] AS BIGINT) > 20000
+        |      THEN 'TIMED_OUT'
+        |    WHEN string_split(ev, '|')[3] = 'FAILED' THEN 'FAILED'
+        |    ELSE 'HEALTHY' END AS verdict
+        |FROM (
+        |  SELECT volume, sevs[j] AS ev,
+        |    list_reduce(list_prepend('-999999|0', sevs[1:j-1]),
+        |      (s, e) -> CASE
+        |        WHEN string_split(s, '|')[2] = '1' THEN s
+        |        WHEN CAST(string_split(e, '|')[1] AS BIGINT) -
+        |          CAST(string_split(s, '|')[1] AS BIGINT) < 10000
+        |          THEN s
+        |        WHEN CAST(string_split(e, '|')[2] AS BIGINT) > 20000
+        |          THEN string_split(s, '|')[1] || '|1'
+        |        WHEN string_split(e, '|')[3] = 'FAILED'
+        |          THEN string_split(s, '|')[1] || '|1'
+        |        ELSE CAST(CAST(string_split(e, '|')[1] AS BIGINT) +
+        |          CAST(string_split(e, '|')[2] AS BIGINT) AS VARCHAR)
+        |          || '|0' END) AS pre
+        |  FROM (
+        |    SELECT volume,
+        |      list(ts || '|' || dur || '|' || res ORDER BY ts) AS sevs
+        |    FROM vc_events GROUP BY 1),
+        |    generate_series(1, 6) g(j))
+        |ORDER BY volume, ts""".stripMargin,
+      """vc_events AS (
+        |  SELECT 'vol-' || v AS volume,
+        |    k * 9000 + (v * 531) % 3000 AS ts,
+        |    ((v * 7 + k * 13) % 9) * 3000 AS dur,
+        |    CASE WHEN (v + k) % 11 = 0 THEN 'FAILED' ELSE 'HEALTHY' END
+        |      AS res
+        |  FROM range(12) t(v) CROSS JOIN range(6) u(k))""".stripMargin),
 
     // EC placement-validation mirror: rack counts, the 1-per-rack base
     // plus over-replication allowance, deficit-first reason

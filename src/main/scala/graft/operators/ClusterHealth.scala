@@ -3157,6 +3157,78 @@ object ClusterHealth {
       .orderBy("container_id")
   }
 
+  /**
+   * DN volume-checker fold — `StorageVolumeChecker` + the throttled
+   * async checker (`container-service/.../volume/StorageVolumeChecker
+   * .java:80-201`): per-volume check ticks folded in time order:
+   *   1. a volume that has already failed left the volume set — later
+   *      ticks never check it (NOT_CHECKED_FAILED_VOLUME;
+   *      MutableVolumeSet#handleVolumeFailures removes it);
+   *   2. a tick inside minDiskCheckGap of the last COMPLETED check is
+   *      throttled (:168-177, SKIPPED_MIN_GAP — the gap keys on
+   *      completion, and the skip does not advance it);
+   *   3. a check running past maxAllowedTimeForCheck times out
+   *      (TIMED_OUT ⇒ volume failed);
+   *   4. a FAILED result fails the volume; otherwise HEALTHY and the
+   *      completion time (tick + duration) re-arms the gap.
+   * The per-volume state is a packed string folded over the event
+   * prefix — the exact shape the DuckDB oracle replays with
+   * list_reduce (same-type accumulator), so the two folds cannot
+   * diverge structurally. Fixture: 12 volumes × 6 ticks with jittered
+   * gaps, durations crossing the timeout, and (v+k) % 11 failures.
+   */
+  def volumeCheckFold(spark: org.apache.spark.sql.SparkSession,
+                      minGapMs: Long = 10000L,
+                      maxAllowedMs: Long = 20000L): DataFrame = {
+    import spark.implicits._
+    val events = (0 until 12).flatMap { v =>
+      (0 until 6).map { k =>
+        val ts = k * 9000L + (v * 531) % 3000
+        val dur = ((v * 7 + k * 13) % 9) * 3000L
+        val res = if ((v + k) % 11 == 0) "FAILED" else "HEALTHY"
+        (s"vol-$v", ts, dur, res)
+      }
+    }.toDF("volume", "ts", "dur", "res")
+    val step =
+      s"""CASE
+         |  WHEN split(s, '\\\\|')[1] = '1' THEN s
+         |  WHEN CAST(split(e, '\\\\|')[0] AS BIGINT) -
+         |    CAST(split(s, '\\\\|')[0] AS BIGINT) < $minGapMs THEN s
+         |  WHEN CAST(split(e, '\\\\|')[1] AS BIGINT) > $maxAllowedMs
+         |    THEN concat(split(s, '\\\\|')[0], '|1')
+         |  WHEN split(e, '\\\\|')[2] = 'FAILED'
+         |    THEN concat(split(s, '\\\\|')[0], '|1')
+         |  ELSE concat(CAST(CAST(split(e, '\\\\|')[0] AS BIGINT) +
+         |    CAST(split(e, '\\\\|')[1] AS BIGINT) AS STRING), '|0')
+         |  END""".stripMargin
+    events
+      .groupBy("volume")
+      .agg(sort_array(collect_list(struct(col("ts"), col("dur"),
+        col("res")))).as("evs"))
+      .withColumn("sevs", expr(
+        "transform(evs, x -> concat(x.ts, '|', x.dur, '|', x.res))"))
+      .select(col("volume"), col("sevs").as("sevs_all"),
+        posexplode(col("sevs")).as(Seq("i", "ev")))
+      .withColumn("pre", expr(
+        s"""aggregate(slice(sevs_all, 1, i), '-999999|0',
+           |  (s, e) -> $step)""".stripMargin))
+      .select("volume", "i", "ev", "pre")
+      .withColumn("verdict", expr(
+        s"""CASE
+           |  WHEN split(pre, '\\\\|')[1] = '1'
+           |    THEN 'NOT_CHECKED_FAILED_VOLUME'
+           |  WHEN CAST(split(ev, '\\\\|')[0] AS BIGINT) -
+           |    CAST(split(pre, '\\\\|')[0] AS BIGINT) < $minGapMs
+           |    THEN 'SKIPPED_MIN_GAP'
+           |  WHEN CAST(split(ev, '\\\\|')[1] AS BIGINT) > $maxAllowedMs
+           |    THEN 'TIMED_OUT'
+           |  WHEN split(ev, '\\\\|')[2] = 'FAILED' THEN 'FAILED'
+           |  ELSE 'HEALTHY' END""".stripMargin))
+      .withColumn("ts", expr("CAST(split(ev, '\\\\|')[0] AS BIGINT)"))
+      .select(col("volume"), col("ts"), col("verdict"))
+      .orderBy("volume", "ts")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),
