@@ -1032,6 +1032,12 @@ object SparkEntry {
     // on completion, timeout/failure folds.
     "q_volume_check" -> ((s, d) =>
       ClusterHealth.volumeCheckFold(s)),
+    // EC-plane health checks: the chain legs the Ratis chain
+    // type-guards away — EC check, closed-with-unhealthy deletes,
+    // EC mis-replication.
+    "q_ec_health_check" -> ((s, d) =>
+      ClusterHealth.ecHealthCheck(T.ecShards(s, d), T.datanodes(s, d),
+        T.containersScm(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8369,6 +8375,108 @@ object SparkEntry {
         |  t(req_id, thr, move_gb, dn_pct, iter, ent_gb, lv_gb, intv,
         |    mv_to, rp_to, leader, safemode, running)
         |ORDER BY req_id""".stripMargin,
+
+    // EC health-check mirror: shaped shard families, per-index counts,
+    // the rung CASE + placement satisfaction
+    "q_ec_health_check" -> O.withCtes(
+      """SELECT f.container_id,
+        |  CASE
+        |    WHEN NOT f.suff THEN 'EC_CHECK'
+        |    WHEN f.any_over = 1 THEN 'EC_CHECK'
+        |    WHEN f.n_unh_copies > 0 AND f.unh_without_closed = 0
+        |      THEN 'CLOSED_UNHEALTHY'
+        |    WHEN NOT coalesce(p.satisfied, true) THEN 'EC_MIS_CHECK'
+        |    ELSE 'NONE' END AS handled_by,
+        |  CASE
+        |    WHEN NOT f.suff THEN
+        |      CASE WHEN NOT f.unrecoverable THEN 'UNDER_REPLICATED'
+        |        WHEN f.has_offline AND f.is_missing
+        |          THEN 'MISSING_UNDER_REPLICATED'
+        |        WHEN f.has_offline THEN 'UNHEALTHY_UNDER_REPLICATED'
+        |        WHEN f.is_missing THEN 'MISSING'
+        |        ELSE 'UNHEALTHY' END
+        |    WHEN f.any_over = 1 THEN 'OVER_REPLICATED'
+        |    WHEN f.n_unh_copies > 0 AND f.unh_without_closed = 0
+        |      THEN 'UNHEALTHY_OVER_REPLICATED'
+        |    WHEN NOT coalesce(p.satisfied, true) THEN 'MIS_REPLICATED'
+        |    ELSE 'HEALTHY' END AS detail,
+        |  CAST(CASE WHEN f.suff AND f.any_over = 0
+        |      AND f.n_unh_copies > 0 AND f.unh_without_closed = 0
+        |    THEN f.n_unh_copies ELSE 0 END AS BIGINT) AS n_delete_cmds
+        |FROM ech_fold f
+        |LEFT JOIN ech_place p USING (container_id)
+        |ORDER BY f.container_id""".stripMargin,
+      O.containersScm, O.datanodes, O.ecShards,
+      """ech_all AS (
+        |  SELECT container_id, replica_index,
+        |    CASE WHEN container_id % 43 = 0
+        |      THEN 'dn' || ((container_id + replica_index * 5) % 20)
+        |      ELSE datanode END AS datanode,
+        |    CASE WHEN container_id % 47 = 0 THEN 'UNHEALTHY'
+        |      ELSE shard_state END AS shard_state
+        |  FROM ec_shards
+        |  UNION ALL
+        |  SELECT container_id, replica_index,
+        |    'dn' || ((container_id + 11) % 20) AS datanode,
+        |    'UNHEALTHY' AS shard_state
+        |  FROM ec_shards
+        |  WHERE container_id % 53 = 0 AND replica_index = 2)""".stripMargin,
+      """ech_idx AS (
+        |  SELECT container_id, replica_index,
+        |    sum(CASE WHEN NOT unh AND op_state = 'IN_SERVICE'
+        |      THEN 1 ELSE 0 END) AS hq,
+        |    sum(CASE WHEN NOT unh AND op_state IN
+        |      ('DECOMMISSIONING', 'DECOMMISSIONED') THEN 1 ELSE 0 END)
+        |      AS dq,
+        |    sum(CASE WHEN NOT unh AND op_state IN
+        |      ('IN_MAINTENANCE', 'ENTERING_MAINTENANCE')
+        |      THEN 1 ELSE 0 END) AS mq,
+        |    sum(CASE WHEN unh THEN 1 ELSE 0 END) AS uq,
+        |    max(CASE WHEN shard_state = 'CLOSED' THEN 1 ELSE 0 END)
+        |      AS has_closed
+        |  FROM (
+        |    SELECT a.*, d.op_state,
+        |      a.shard_state = 'UNHEALTHY' AS unh
+        |    FROM ech_all a JOIN datanodes d ON d.uuid = a.datanode)
+        |  GROUP BY 1, 2)""".stripMargin,
+      """ech_fold AS (
+        |  SELECT container_id,
+        |    min(CASE WHEN hq >= 1 THEN 1 ELSE 0 END) = 1
+        |      OR (min(CASE WHEN hq + mq >= 1 THEN 1 ELSE 0 END) = 1
+        |        AND sum(CASE WHEN hq >= 1 THEN 1 ELSE 0 END) >= 4)
+        |      AS suff,
+        |    sum(CASE WHEN hq + dq + mq >= 1 THEN 1 ELSE 0 END) < 3
+        |      AS unrecoverable,
+        |    sum(CASE WHEN hq + dq + mq + uq >= 1 THEN 1 ELSE 0 END) < 3
+        |      AS is_missing,
+        |    max(CASE WHEN hq > 1 THEN 1 ELSE 0 END) AS any_over,
+        |    sum(CASE WHEN (dq > 0 OR mq > 0) AND hq = 0
+        |      THEN 1 ELSE 0 END) > 0 AS has_offline,
+        |    sum(uq) AS n_unh_copies,
+        |    max(CASE WHEN uq > 0 AND has_closed = 0 THEN 1 ELSE 0 END)
+        |      AS unh_without_closed
+        |  FROM (
+        |    SELECT sp.container_id, sp.replica_index,
+        |      coalesce(i.hq, 0) AS hq, coalesce(i.dq, 0) AS dq,
+        |      coalesce(i.mq, 0) AS mq, coalesce(i.uq, 0) AS uq,
+        |      coalesce(i.has_closed, 0) AS has_closed
+        |    FROM (
+        |      SELECT c.container_id, g.idx AS replica_index
+        |      FROM containers_scm c CROSS JOIN range(1, 6) g(idx)
+        |      WHERE c.state <> 'DELETED'
+        |        AND (c.container_id % 12) % 3 = 2) sp
+        |    LEFT JOIN ech_idx i USING (container_id, replica_index))
+        |  GROUP BY 1)""".stripMargin,
+      """ech_place AS (
+        |  SELECT container_id,
+        |    count(*) >= 5 AND max(cnt)
+        |      <= 1 + greatest(sum(cnt) - 5, 0) AS satisfied
+        |  FROM (
+        |    SELECT container_id,
+        |      CAST(substr(datanode, 3, 10) AS INT) % 5 AS rack,
+        |      count(*) AS cnt
+        |    FROM ech_all GROUP BY 1, 2)
+        |  GROUP BY 1)""".stripMargin),
 
     // volume-check mirror: the same packed-string prefix fold replayed
     // with list_reduce

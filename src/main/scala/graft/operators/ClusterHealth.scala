@@ -3229,6 +3229,138 @@ object ClusterHealth {
       .orderBy("volume", "ts")
   }
 
+  /**
+   * EC-plane health checks — the EC legs the Ratis chain type-guards
+   * away, in chain order (`ReplicationManager.java:272,274-275`):
+   *
+   *   1. `ECReplicationCheckHandler` (:47-175): under-replication
+   *      classified by `ECContainerReplicaCount` — recoverable ⇒
+   *      UNDER_REPLICATED; unrecoverable (< data healthy indexes) splits
+   *      on unreplicated offline indexes and `isMissing` (healthy +
+   *      UNHEALTHY indexes < data) into MISSING /
+   *      MISSING_UNDER_REPLICATED / UNHEALTHY /
+   *      UNHEALTHY_UNDER_REPLICATED (:66-91); else any index with more
+   *      than one in-service copy ⇒ OVER_REPLICATED;
+   *   2. `ClosedWithUnhealthyReplicasHandler` (:71-116): CLOSED EC
+   *      containers delete UNHEALTHY copies, but ONLY when every
+   *      unhealthy index also has a CLOSED copy (an index without one is
+   *      under-replicated and defers) ⇒ UNHEALTHY_OVER_REPLICATED with
+   *      one delete per unhealthy copy;
+   *   3. `ECMisReplicationCheckHandler` (:56-83): the rack-scatter
+   *      placement validation of [[ecPlacementValidate]] ⇒
+   *      MIS_REPLICATED;
+   *   4. fall-through HEALTHY.
+   *
+   * Fixture: ecShards with two chain-only families — %47 EC containers
+   * all-UNHEALTHY (unrecoverable but not missing), %53 EC containers
+   * with an extra UNHEALTHY copy of index 2 (deletable), and %43 EC
+   * containers collapsed onto one rack (dn = c + 5·idx — mis-replicated
+   * with a full index set). remainingMaintenanceRedundancy = 1.
+   */
+  def ecHealthCheck(ecShards: DataFrame, datanodes: DataFrame,
+                    containersScm: DataFrame,
+                    dataShards: Int = 3, parity: Int = 2): DataFrame = {
+    val c = col("container_id")
+    val required = dataShards + parity
+    val spark = datanodes.sparkSession
+    val dn = datanodes.select(col("uuid").as("datanode"), col("op_state"))
+    val shaped = ecShards
+      .withColumn("datanode",
+        when(c % 43 === 0, concat(lit("dn"),
+          ((c + col("replica_index") * 5) % 20).cast("string")))
+          .otherwise(col("datanode")))
+      .withColumn("shard_state",
+        when(c % 47 === 0, lit("UNHEALTHY"))
+          .otherwise(col("shard_state")))
+    val extraUnh = ecShards.filter(c % 53 === 0 &&
+      col("replica_index") === 2)
+      .withColumn("datanode",
+        concat(lit("dn"), ((c + 11) % 20).cast("string")))
+      .withColumn("shard_state", lit("UNHEALTHY"))
+    val all = shaped.unionByName(extraUnh)
+      .join(broadcast(dn), Seq("datanode"))
+      .withColumn("unhealthy", col("shard_state") === "UNHEALTHY")
+      .withColumn("decom", !col("unhealthy") &&
+        col("op_state").isin("DECOMMISSIONING", "DECOMMISSIONED"))
+      .withColumn("maint", !col("unhealthy") &&
+        col("op_state").isin("IN_MAINTENANCE", "ENTERING_MAINTENANCE"))
+      .withColumn("inservice", !col("unhealthy") &&
+        col("op_state") === "IN_SERVICE")
+    val perIdxRaw = all.groupBy("container_id", "replica_index")
+      .agg(sum(when(col("inservice"), 1L).otherwise(0L)).as("h"),
+        sum(when(col("decom"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("maint"), 1L).otherwise(0L)).as("m"),
+        sum(when(col("unhealthy"), 1L).otherwise(0L)).as("u"),
+        max(when(col("shard_state") === "CLOSED", 1).otherwise(0))
+          .as("has_closed"))
+    val spine = containersScm
+      .filter(col("state") =!= "DELETED" && (c % 12) % 3 === 2)
+      .select("container_id")
+      .crossJoin(spark.range(1, required + 1).toDF("replica_index"))
+    val folded = spine
+      .join(perIdxRaw, Seq("container_id", "replica_index"), "left")
+      .na.fill(0L, Seq("h", "d", "m", "u", "has_closed"))
+      .groupBy("container_id")
+      .agg(
+        min(when(col("h") >= 1, 1).otherwise(0)).as("full_h"),
+        min(when(col("h") + col("m") >= 1, 1).otherwise(0))
+          .as("full_hm"),
+        sum(when(col("h") >= 1, 1L).otherwise(0L)).as("n_h_idx"),
+        sum(when(col("h") + col("d") + col("m") >= 1, 1L).otherwise(0L))
+          .as("n_avail_idx"),
+        sum(when(col("h") + col("d") + col("m") + col("u") >= 1, 1L)
+          .otherwise(0L)).as("n_any_idx"),
+        max(when(col("h") > 1, 1).otherwise(0)).as("any_over"),
+        sum(when(col("d") > 0 && col("h") === 0, 1L).otherwise(0L))
+          .as("n_decom_only"),
+        sum(when(col("m") > 0 && col("h") === 0, 1L).otherwise(0L))
+          .as("n_maint_only"),
+        sum(col("u")).as("n_unh_copies"),
+        max(when(col("u") > 0 && col("has_closed") === 0, 1)
+          .otherwise(0)).as("unh_without_closed"))
+      .withColumn("suff",
+        col("full_h") === 1 ||
+          (col("full_hm") === 1 && col("n_h_idx") >= dataShards + 1))
+      .withColumn("unrecoverable", col("n_avail_idx") < dataShards)
+      .withColumn("is_missing", col("n_any_idx") < dataShards)
+      .withColumn("has_offline",
+        col("n_decom_only") + col("n_maint_only") > 0)
+    val placement = ecPlacementValidate(
+      shaped.unionByName(extraUnh), 5, required)
+      .select(col("container_id"), col("satisfied"))
+    folded
+      .join(broadcast(placement), Seq("container_id"), "left")
+      .na.fill(true, Seq("satisfied"))
+      .withColumn("handled_by",
+        when(!col("suff"), lit("EC_CHECK"))
+          .when(col("any_over") === 1, lit("EC_CHECK"))
+          .when(col("n_unh_copies") > 0 &&
+            col("unh_without_closed") === 0, lit("CLOSED_UNHEALTHY"))
+          .when(!col("satisfied"), lit("EC_MIS_CHECK"))
+          .otherwise(lit("NONE")))
+      .withColumn("detail",
+        when(col("handled_by") === "EC_CHECK" && !col("suff"),
+          when(!col("unrecoverable"), lit("UNDER_REPLICATED"))
+            .when(col("has_offline") && col("is_missing"),
+              lit("MISSING_UNDER_REPLICATED"))
+            .when(col("has_offline"),
+              lit("UNHEALTHY_UNDER_REPLICATED"))
+            .when(col("is_missing"), lit("MISSING"))
+            .otherwise(lit("UNHEALTHY")))
+          .when(col("handled_by") === "EC_CHECK",
+            lit("OVER_REPLICATED"))
+          .when(col("handled_by") === "CLOSED_UNHEALTHY",
+            lit("UNHEALTHY_OVER_REPLICATED"))
+          .when(col("handled_by") === "EC_MIS_CHECK",
+            lit("MIS_REPLICATED"))
+          .otherwise(lit("HEALTHY")))
+      .withColumn("n_delete_cmds",
+        when(col("handled_by") === "CLOSED_UNHEALTHY",
+          col("n_unh_copies")).otherwise(lit(0L)))
+      .select("container_id", "handled_by", "detail", "n_delete_cmds")
+      .orderBy("container_id")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),
