@@ -1134,6 +1134,41 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(rep("QUASI_CLOSED_STUCK")._2.split(",").contains("106"))
   }
 
+  test("ecHealthCheck + volumeCheckFold + supervisor: EC chain legs and" +
+    " DN folds") {
+    val ec = ClusterHealth.ecHealthCheck(T.ecShards(spark, sf),
+      T.datanodes(spark, sf), T.containersScm(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        (r.getAs[String]("handled_by"), r.getAs[String]("detail"),
+          r.getAs[Long]("n_delete_cmds"))).toMap
+    // 212: extra UNHEALTHY copy of index 2, which also has a CLOSED
+    // copy on a good node → the closed-with-unhealthy rung deletes it
+    // (53 itself parks on a DECOM node first and defers to under-rep)
+    assert(ec(212L) === (("CLOSED_UNHEALTHY",
+      "UNHEALTHY_OVER_REPLICATED", 1L)))
+    assert(ec(53L)._1 === "EC_CHECK")
+    // 215 = 5*43: full index set collapsed onto one rack
+    assert(ec(215L) === (("EC_MIS_CHECK", "MIS_REPLICATED", 0L)))
+    // 47: every copy UNHEALTHY — unrecoverable but NOT missing (five
+    // unhealthy indexes remain readable for forensics)
+    assert(ec(47L)._2 === "UNHEALTHY")
+    val vols = ClusterHealth.volumeCheckFold(spark).collect()
+      .map(r => (r.getAs[String]("volume"), r.getAs[Long]("ts")) ->
+        r.getAs[String]("verdict")).toMap
+    // vol-0 fails its very first check and leaves the volume set
+    assert(vols(("vol-0", 0L)) === "FAILED")
+    assert(vols(("vol-0", 9000L)) === "NOT_CHECKED_FAILED_VOLUME")
+    // the gap throttle keys on COMPLETION: a long check pushes the
+    // next tick inside the min gap
+    assert(vols.values.toSet.contains("SKIPPED_MIN_GAP"))
+    assert(vols.values.toSet.contains("TIMED_OUT"))
+    val sup = ClusterHealth.replicationSupervisorFold(
+      T.containersScm(spark, sf)).collect()
+      .map(r => r.getAs[String]("verdict"))
+    assert(sup.toSet === Set("DEDUPED", "QUEUE_FULL", "TIMEOUT",
+      "STALE_TERM", "DONE", "FAILED", "SKIPPED"))
+  }
+
   test("decommissionAdmin: host resolution, batch pre-checks, rungs") {
     val got = ClusterHealth.decommissionAdmin(T.datanodes(spark, sf),
       T.containersScm(spark, sf), T.replicas(spark, sf),
