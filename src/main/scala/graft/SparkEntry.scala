@@ -1038,6 +1038,9 @@ object SparkEntry {
     "q_ec_health_check" -> ((s, d) =>
       ClusterHealth.ecHealthCheck(T.ecShards(s, d), T.datanodes(s, d),
         T.containersScm(s, d))),
+    // DN container-import admission: dedup/exists/checksum/space rungs.
+    "q_container_import" -> ((s, d) =>
+      ClusterHealth.containerImportCheck(T.containersScm(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8375,6 +8378,27 @@ object SparkEntry {
         |  t(req_id, thr, move_gb, dn_pct, iter, ent_gb, lv_gb, intv,
         |    mv_to, rp_to, leader, safemode, running)
         |ORDER BY req_id""".stripMargin,
+
+    // container-import mirror: the same classes over the volume dim
+    "q_container_import" -> O.withCtes(
+      """SELECT container_id,
+        |  CASE
+        |    WHEN container_id % 10 = 2 THEN 'IMPORT_IN_PROGRESS'
+        |    WHEN container_id % 10 = 1 THEN 'CONTAINER_EXISTS'
+        |    WHEN container_id % 10 = 3 THEN 'CHECKSUM_MISMATCH'
+        |    WHEN 12000000000 < (CASE WHEN container_id % 10 = 4
+        |      THEN 20000000000 ELSE 5000000000 END) * 2
+        |      THEN 'NO_VOLUME_SPACE'
+        |    ELSE 'IMPORTED' END AS verdict,
+        |  CASE
+        |    WHEN container_id % 10 NOT IN (1, 2, 3)
+        |      AND 12000000000 >= (CASE WHEN container_id % 10 = 4
+        |        THEN 20000000000 ELSE 5000000000 END) * 2
+        |      THEN 'vol-5' ELSE '' END AS target_volume
+        |FROM containers_scm
+        |WHERE state <> 'DELETED' AND container_id % 59 = 0
+        |ORDER BY container_id""".stripMargin,
+      O.containersScm),
 
     // EC health-check mirror: shaped shard families, per-index counts,
     // the rung CASE + placement satisfaction

@@ -3361,6 +3361,51 @@ object ClusterHealth {
       .orderBy("container_id")
   }
 
+  /**
+   * DN container-import admission — `ContainerImporter`
+   * (`container-service/.../replication/ContainerImporter.java:85-130,
+   * 149-206`): per tarball, in reference order — a concurrent import of
+   * the same container refuses CONTAINER_EXISTS (:93-99, the
+   * importContainerProgress set), an already-present container refuses
+   * CONTAINER_EXISTS (:102-107), the descriptor checksum must verify
+   * (:117), and a volume must hold 2× the container size (tmp + dest,
+   * `requiredReplicationSpace` :177-189) — none ⇒ NO_VOLUME_SPACE,
+   * else the import lands on the most-spacious eligible volume (the
+   * deterministic stand-in for the capacity-weighted random choice).
+   * Fixture: %59 containers with admission classes by %10 over 6
+   * volumes of (v+1)·2 GB available; 5 GB container size except the
+   * 20 GB oversize class. One-shot admission-time view (no depletion).
+   */
+  def containerImportCheck(containersScm: DataFrame): DataFrame = {
+    val spark = containersScm.sparkSession
+    import spark.implicits._
+    val gb = 1000000000L
+    val volumes = (0 until 6).map(v => (s"vol-$v", (v + 1) * 2 * gb))
+      .toDF("volume", "available")
+    val reqs = containersScm
+      .filter(col("state") =!= "DELETED" && col("container_id") % 59 === 0)
+      .withColumn("cls", col("container_id") % 10)
+      .withColumn("size_bytes",
+        when(col("cls") === 4, 20L * gb).otherwise(5L * gb))
+      .withColumn("required", col("size_bytes") * 2)
+    val best = volumes.orderBy(col("available").desc, col("volume"))
+      .limit(1).select(col("volume").as("best_volume"),
+        col("available").as("best_avail"))
+    reqs.crossJoin(broadcast(best))
+      .withColumn("verdict",
+        when(col("cls") === 2, lit("IMPORT_IN_PROGRESS"))
+          .when(col("cls") === 1, lit("CONTAINER_EXISTS"))
+          .when(col("cls") === 3, lit("CHECKSUM_MISMATCH"))
+          .when(col("best_avail") < col("required"),
+            lit("NO_VOLUME_SPACE"))
+          .otherwise(lit("IMPORTED")))
+      .withColumn("target_volume",
+        when(col("verdict") === "IMPORTED", col("best_volume"))
+          .otherwise(lit("")))
+      .select("container_id", "verdict", "target_volume")
+      .orderBy("container_id")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),
