@@ -1124,6 +1124,16 @@ object ClusterHealth {
       .withColumn("pa",
         when(c % 62 === 0 && col("replica_index") === 2, 1L)
           .otherwise(0L))
+    ecUnderDecide(perIdx, dataShards, remainingMaintenanceRedundancy,
+      maxMaint)
+  }
+
+  /** The per-index decision stage of [[ecUnderReplicationPlan]] — kept
+    * injectable so the property spec can drive it with randomized
+    * (h, d, m, src, pa) index states. */
+  private[graft] def ecUnderDecide(perIdx: DataFrame, dataShards: Int,
+                                   remainingMaintenanceRedundancy: Int,
+                                   maxMaint: Int): DataFrame = {
     val folded = perIdx.groupBy("container_id")
       .agg(
         min(when(col("h") >= 1, 1).otherwise(0)).as("full_h"),

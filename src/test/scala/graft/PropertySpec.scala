@@ -373,4 +373,65 @@ class PropertySpec extends SparkSpecBase {
     assert(verdicts.contains("UNRECOVERABLE"))
     assert(verdicts.contains("PENDING_UNHEALTHY_FIX"))
   }
+
+  test("EC under-replication decide == a literal ECContainerReplicaCount" +
+    " walk over random index states") {
+    // Random (h, d, m, src, pa) per index; expectations from an
+    // independent walk of ECContainerReplicaCount:474-492 sufficiency,
+    // :350-377 unavailableIndexes, :249-302 offline-only indexes,
+    // :386-389 additionalMaintenanceCopiesNeeded, and the
+    // ECUnderReplicationHandler command math (rs-3-2, rmr = 1).
+    val rnd = new Random(777)
+    case class Idx(h: Long, d: Long, m: Long, src: Long, pa: Long)
+    val conts = (0L until 300L).map { id =>
+      id -> (1 to 5).map { _ =>
+        Idx(rnd.nextInt(3).toLong,
+          if (rnd.nextInt(3) == 0) 1L else 0L,
+          if (rnd.nextInt(3) == 0) 1L else 0L,
+          rnd.nextInt(2).toLong,
+          if (rnd.nextInt(8) == 0) 1L else 0L)
+      }
+    }
+    def expected(idxs: Seq[Idx]): (String, Long, String, Long, Long) = {
+      val suffNo = idxs.forall(_.h >= 1) ||
+        (idxs.forall(i => i.h + i.m >= 1) && idxs.count(_.h >= 1) >= 4)
+      val suffAdd = idxs.forall(i => i.h + i.pa >= 1) ||
+        (idxs.forall(i => i.h + i.pa + i.m >= 1) &&
+          idxs.count(i => i.h + i.pa >= 1) >= 4)
+      if (suffNo) return ("NOT_UNDER", 0L, "", 0L, 0L)
+      if (suffAdd) return ("PENDING_FIX", 0L, "", 0L, 0L)
+      val missing = idxs.count(i =>
+        i.h == 0 && i.pa == 0 && i.m == 0 && i.d == 0)
+      val nSrc = idxs.map(_.src).sum
+      val rec = if (missing == 0) ""
+        else if (nSrc >= 3) "RECONSTRUCT" else "NO_SOURCES"
+      val decomCmds = idxs.count(i =>
+        i.d > 0 && i.h == 0 && i.pa == 0 && i.src == 1).toLong
+      val maintOnly = idxs.count(i => i.m > 0 && i.h == 0 && i.pa == 0)
+      val addl = math.max(0, maintOnly - 1).toLong
+      val maintSrc = idxs.count(i =>
+        i.m > 0 && i.h == 0 && i.pa == 0 && i.src == 1).toLong
+      val maintCmds = math.min(addl, maintSrc)
+      ("REPAIR", missing.toLong, rec, decomCmds, maintCmds)
+    }
+    val perIdx = conts.flatMap { case (id, idxs) =>
+      idxs.zipWithIndex.map { case (x, i) =>
+        (id, (i + 1).toLong, x.h, x.d, x.m, x.src.toInt, x.pa)
+      }
+    }.toDF("container_id", "replica_index", "h", "d", "m", "src", "pa")
+    val got = graft.operators.ClusterHealth
+      .ecUnderDecide(perIdx, 3, 1, 1)
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("n_missing"),
+          r.getAs[String]("reconstruct"),
+          r.getAs[Long]("n_decom_cmds"),
+          r.getAs[Long]("n_maint_cmds"))).toMap
+    conts.foreach { case (id, idxs) =>
+      assert(got(id) === expected(idxs), s"container $id $idxs")
+    }
+    val vs = conts.map(c => expected(c._2)).toSet
+    assert(vs.exists(_._3 == "RECONSTRUCT"))
+    assert(vs.exists(_._3 == "NO_SOURCES"))
+    assert(vs.exists(_._5 > 0), "maintenance top-ups reached")
+  }
 }
