@@ -774,7 +774,7 @@ object ClusterHealth {
 
   /** Per-(container, origin) QCS accounting over prepared base rows —
     * the under/over deltas of QuasiClosedStuckReplicaCount. */
-  private def qcsPerOrigin(baseRows: DataFrame, bestCopies: Int,
+  private[graft] def qcsPerOrigin(baseRows: DataFrame, bestCopies: Int,
                            otherCopies: Int,
                            minHealthyForMaintenance: Int): DataFrame = {
     val wC = Window.partitionBy("container_id")

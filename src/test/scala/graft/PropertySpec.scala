@@ -434,4 +434,65 @@ class PropertySpec extends SparkSpecBase {
     assert(vs.exists(_._3 == "NO_SOURCES"))
     assert(vs.exists(_._5 > 0), "maintenance top-ups reached")
   }
+
+  test("QCS per-origin accounting == a literal QuasiClosedStuckReplica" +
+    "Count walk over random origin maps") {
+    // Random (origin, seq, healthy, in-service, maintenance) replica
+    // sets; expectations from a direct walk of
+    // QuasiClosedStuckReplicaCount:142-220 — single-origin targets 3
+    // (with the minHealthyForMaintenance floor), multi-origin best
+    // origins (max HEALTHY BCSID) target 2 and others 1, maintenance
+    // origins only need one online copy, over-replication counts
+    // in-service copies only.
+    val rnd = new Random(4242)
+    case class R(origin: String, seq: Long, healthy: Boolean,
+                 inService: Boolean, maint: Boolean)
+    val conts = (0L until 300L).map { id =>
+      val nOrigins = rnd.nextInt(3) + 1
+      id -> (0 until (rnd.nextInt(4) + 1)).map { _ =>
+        val op = rnd.nextInt(3)
+        R("o" + rnd.nextInt(nOrigins), id * 10 + rnd.nextInt(3),
+          rnd.nextInt(4) != 0, op == 0, op == 1)
+      }
+    }
+    def expected(reps: Seq[R]): Map[String, (Boolean, Int, Long, Long)] = {
+      val byOrigin = reps.groupBy(_.origin)
+      val maxHealthy = reps.filter(_.healthy).map(_.seq)
+        .reduceOption(_ max _)
+      byOrigin.map { case (o, rs) =>
+        val isBest = maxHealthy.exists(mx =>
+          rs.exists(r => r.healthy && r.seq == mx))
+        val target = if (byOrigin.size == 1) 3
+          else if (isBest) 2 else 1
+        val inSvc = rs.count(_.inService).toLong
+        val nMaint = rs.count(_.maint).toLong
+        val under =
+          if (byOrigin.size == 1) {
+            if (nMaint > 0) math.max(2 - inSvc, 0L)
+            else math.max(3 - inSvc, 0L)
+          } else if (inSvc < target) {
+            if (nMaint > 0) { if (inSvc == 0) 1L else 0L }
+            else target - inSvc
+          } else 0L
+        val over = math.max(inSvc - target, 0L)
+        o -> ((isBest, target, under, over))
+      }
+    }
+    val rows = conts.flatMap { case (id, reps) =>
+      reps.map(r => (id, r.origin, r.seq, r.healthy, r.inService,
+        r.maint))
+    }.toDF("container_id", "origin", "seq", "healthy", "in_service",
+      "maint")
+    val got = graft.operators.ClusterHealth.qcsPerOrigin(rows, 2, 1, 2)
+      .collect().map(r => (r.getAs[Long]("container_id"),
+        r.getAs[String]("origin")) ->
+        ((r.getAs[Boolean]("is_best"), r.getAs[Int]("target"),
+          r.getAs[Long]("under_delta"), r.getAs[Long]("over_delta"))))
+      .toMap
+    conts.foreach { case (id, reps) =>
+      expected(reps).foreach { case (o, want) =>
+        assert(got((id, o)) === want, s"container $id origin $o $reps")
+      }
+    }
+  }
 }
