@@ -273,6 +273,57 @@ class StreamingSpec extends SparkSpecBase {
       java.nio.file.Paths.get(work))
   }
 
+  test("streamed supervisor admission == batch replicationSupervisorFold") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sup_")
+      .toString
+    // the same command burst the batch fold synthesizes
+    val c = col("container_id")
+    val base = Tables.containersScm(spark, sf)
+      .filter(col("state") =!= "DELETED" && c % 7 === 0)
+      .withColumn("kind",
+        when(c % 3 === 0, lit("REPLICATE"))
+          .when(c % 3 === 1, lit("RECONSTRUCT"))
+          .otherwise(lit("DELETE")))
+      .withColumn("seq", c * 2)
+    val events = base.unionByName(
+      base.filter(c % 5 === 0).withColumn("seq", c * 2 + 1))
+      .withColumn("deadline_passed", c % 11 === 0)
+      .withColumn("task_term", when(c % 13 === 0, lit(4L))
+        .otherwise(lit(5L)))
+      .withColumn("outcome",
+        when(ascii(substring(md5(c.cast("string")), 1, 1)) % 5 === 0,
+          lit("FAILED"))
+          .when(ascii(substring(md5(c.cast("string")), 1, 1)) % 5 === 1,
+            lit("SKIPPED"))
+          .otherwise(lit("DONE")))
+      .select("seq", "kind", "container_id", "deadline_passed",
+        "task_term", "outcome")
+    // three seq-sliced files so the admission state (the in-flight set
+    // filling to the cap) must cross micro-batch boundaries
+    val Seq(mn, mx) = events.agg(min("seq"), max("seq")).head.toSeq
+      .map(_.asInstanceOf[Long])
+    val step = (mx - mn) / 3 + 1
+    (0 until 3).foreach { i =>
+      events.filter(col("seq") >= mn + i * step &&
+        col("seq") < mn + (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(s"$work/src")
+      Thread.sleep(50)
+    }
+    graft.streaming.SupervisorStream.supervisorStream(spark,
+      s"$work/src", s"$work/out", s"$work/ckpt")
+    val got = spark.read.parquet(s"$work/out")
+      .select("seq", "kind", "container_id", "verdict")
+    val want = graft.operators.ClusterHealth.replicationSupervisorFold(
+      Tables.containersScm(spark, sf))
+      .select("seq", "kind", "container_id", "verdict")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the queue actually filled across batch boundaries
+    assert(got.filter(col("verdict") === "QUEUE_FULL").count() > 0)
+    graft.streaming.ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(work))
+  }
+
   test("event log is seq-dense and typed") {
     val ev = ChangeLog.events(Tables.objects(spark, sf))
     val n = ev.count()
