@@ -59,6 +59,8 @@ object Bench {
     graft.core.Tables.filesFsoDeep(spark, sfDir).count()
     graft.core.Tables.deletedDirs(spark, sfDir).count()
     graft.core.Tables.sstNamespaceFiles(spark, sfDir).count()
+    graft.core.Tables.snapshotV1(spark, sfDir).count()
+    graft.core.Tables.snapshotV2(spark, sfDir).count()
     SparkEntry.queries.get("q_global_counts").foreach(_(spark, sfDir).count())
     // index/verification artifacts (minhash bands, verified pairs, IVF
     // centroids, PQ codebooks, embedding pairs) are ingest-time builds

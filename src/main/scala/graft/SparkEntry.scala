@@ -102,7 +102,19 @@ object SparkEntry {
     ivfCentroidsCached(s, d).count()
     pqCodebooksCached(s, d).count()
     embedPairsCached(s, d).count()
+    // stored-state fixtures whose derivation is ingest cost: the tag
+    // store (a full put-ladder run) and the synthesized CDC log head —
+    // without prewarm their build lands on whichever query runs first
+    taggedKeysCached(s, d).count()
+    changeLogCached(s, d).count()
   }
+
+  // The synthesized CDC log is an ingest-time artifact (the real system
+  // RECEIVES it); materialized once so consumers pay a scan, not the
+  // synthesis.
+  private def changeLogCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "chlog", d)(
+      graft.streaming.ChangeLog.events(T.objects(s, d)))
 
   // DuckDB CTE chain for the verified-pair derivation, shared by the
   // jaccard-verify and cluster-assignment oracles so they cannot drift.
@@ -140,6 +152,10 @@ object SparkEntry {
     "q_list_keys" -> ((s, d) =>
       Listing.listKeys(T.objectsSorted(s, d), "vol1", "bucket3", "warehouse/N/",
         "warehouse/N/2", 100)),
+    // OMPerformanceMetrics listKeys gauges: per-call pagination keyCount
+    // + truncation, with the batch gauge numerators.
+    "q_om_metrics" -> ((s, d) =>
+      Listing.omListMetrics(T.objectsSorted(s, d))),
     "q_list_objects_v2" -> ((s, d) =>
       Listing.listObjectsV2(T.objectsSorted(s, d), "vol0", "bucket0",
         "warehouse/N/", "", 1000)),
@@ -839,6 +855,12 @@ object SparkEntry {
       CompactionDag.sstDiff(
         T.sstLive(s, d, 6300), T.sstLive(s, d, 3500), T.sstEdges(s, d),
         destGen = 3500, lo = "000600", hi = "001200")),
+    // Delta-source selection: forceFullDiff/native-lib gates → DAG walk
+    // vs full diff, with the non-native tombstone workaround sizing.
+    "q_snapdiff_source" -> ((s, d) =>
+      CompactionDag.snapdiffSourceSelect(
+        T.sstLive(s, d, 6300), T.sstLive(s, d, 3500), T.sstEdges(s, d),
+        destGen = 3500, lo = "000600", hi = "001200")),
     // ---- FSO parent-pointer hierarchy (SURVEY §2.3 row FSO-resolve) ----
     // namespace depth is a config (keys here are 4 segments ⇒ 3 dir levels)
     "q_fso_resolve" -> ((s, d) =>
@@ -953,6 +975,10 @@ object SparkEntry {
     "q_dn_dispatch" -> ((s, d) =>
       ClusterHealth.dnDispatchLadder(T.dnOps(s, d),
         T.dnContainers(s, d))),
+    // Background container metadata scan: gate (failed volume / scan
+    // gap) → first-failing fastCheck rung → unhealthy-marking outcome.
+    "q_container_meta_scan" -> ((s, d) =>
+      ClusterHealth.containerMetaScan(T.metaScanContainers(s, d))),
     // Mis-replication copy plan: stability gates, rack-scatter walk,
     // source-eligibility with surfaced shortfalls.
     "q_mis_replication" -> ((s, d) =>
@@ -1044,8 +1070,7 @@ object SparkEntry {
     // Recon /taskstatus: per-task checkpoints against the real
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
-      ClusterHealth.reconTaskStatus(
-        graft.streaming.ChangeLog.events(T.objects(s, d)))),
+      ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -1293,6 +1318,34 @@ object SparkEntry {
         |WHERE volume = 'vol1' AND bucket = 'bucket3'
         |  AND key LIKE 'warehouse/N/%' AND key > 'warehouse/N/2'
         |ORDER BY key, data_size, creation_time LIMIT 101""".stripMargin, O.objects),
+
+    "q_om_metrics" -> O.withCtes(
+      """SELECT b.req_id, b.volume, b.bucket, b.prefix,
+        |  CAST(b.max_keys AS BIGINT) AS max_keys,
+        |  CAST(b.matching AS BIGINT) AS matching,
+        |  CAST(least(b.matching, b.max_keys) AS BIGINT) AS key_count,
+        |  b.matching > b.max_keys AS truncated,
+        |  (SELECT CAST(sum(least(matching, max_keys)) AS BIGINT)
+        |     FROM omm_base) AS total_key_count,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM omm_base) AS n_calls
+        |FROM omm_base b ORDER BY b.req_id""".stripMargin,
+      O.objects,
+      """omm_reqs(req_id, volume, bucket, prefix, max_keys) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 'warehouse/A/', 5),
+        |  (2, 'vol0', 'bucket0', 'warehouse/', 100000),
+        |  (3, 'vol1', 'bucket3', 'warehouse/N/', 50),
+        |  (4, 'vol2', 'bucket5', 'warehouse/R', 10),
+        |  (5, 'vol0', 'bucket0', 'nonexistent/', 10))""".stripMargin,
+      """omm_m AS (
+        |  SELECT r.req_id, count(*) AS matching
+        |  FROM omm_reqs r JOIN objects o
+        |    ON o.volume = r.volume AND o.bucket = r.bucket
+        |    AND o.key LIKE r.prefix || '%'
+        |  GROUP BY 1)""".stripMargin,
+      """omm_base AS (
+        |  SELECT r.req_id, r.volume, r.bucket, r.prefix, r.max_keys,
+        |    coalesce(m.matching, 0) AS matching
+        |  FROM omm_reqs r LEFT JOIN omm_m m USING (req_id))""".stripMargin),
 
     "q_list_objects_v2" -> O.withCtes(
       """SELECT entry, max(slash) > 0 AS is_common_prefix,
@@ -5229,6 +5282,89 @@ object SparkEntry {
         |    AND NOT EXISTS (SELECT 1 FROM dest_live d WHERE d.file = r.file)
         |)""".stripMargin),
 
+    // Source-selection mirror: same recursive walk, counted, crossed into
+    // the literal job/flag dim.
+    "q_snapdiff_source" -> O.withCtesRecursive(
+      """SELECT job_id,
+        |  (cfg_force_full OR req_force_full) AS use_full_diff,
+        |  (cfg_disable_native OR req_disable_native OR NOT native_loaded)
+        |    AS non_native,
+        |  CASE WHEN NOT (cfg_force_full OR req_force_full) AND dag_ok
+        |    THEN 'SST_FILE_DELTA_DAG_WALK'
+        |    ELSE 'SST_FILE_DELTA_FULL_DIFF' END AS delta_source,
+        |  CASE WHEN (cfg_disable_native OR req_disable_native
+        |      OR NOT native_loaded)
+        |    THEN 'KEY_STREAM' ELSE 'KEY_STREAM_WITH_TOMBSTONE' END
+        |    AS read_mode,
+        |  CASE WHEN NOT (cfg_force_full OR req_force_full) AND dag_ok
+        |    THEN (SELECT dag_n FROM diff_n)
+        |    ELSE (SELECT full_n FROM full_n) END AS n_delta_files,
+        |  CASE WHEN (cfg_disable_native OR req_disable_native
+        |      OR NOT native_loaded)
+        |    THEN (SELECT from_n FROM from_n) ELSE 0 END
+        |    AS n_from_files_added,
+        |  (CASE WHEN NOT (cfg_force_full OR req_force_full) AND dag_ok
+        |    THEN (SELECT dag_n FROM diff_n)
+        |    ELSE (SELECT full_n FROM full_n) END)
+        |  + (CASE WHEN (cfg_disable_native OR req_disable_native
+        |      OR NOT native_loaded)
+        |    THEN (SELECT from_n FROM from_n) ELSE 0 END) AS n_read_files
+        |FROM sds_jobs ORDER BY job_id""".stripMargin,
+      O.sstCatalog, O.sstEdges,
+      """nodes AS (
+        |  SELECT file, MIN(seq) AS gen FROM (
+        |    SELECT output_file AS file, seq FROM sst_edges
+        |    UNION ALL SELECT input_file, seq FROM sst_edges)
+        |  GROUP BY file
+        |)""".stripMargin,
+      """src_live AS (
+        |  SELECT file FROM sst_catalog
+        |  WHERE created_gen <= 6300
+        |    AND (consumed_gen IS NULL OR consumed_gen > 6300)
+        |    AND end_key >= '000600' AND start_key <= '001200'
+        |)""".stripMargin,
+      """dest_live AS (
+        |  SELECT file FROM sst_catalog
+        |  WHERE created_gen <= 3500
+        |    AND (consumed_gen IS NULL OR consumed_gen > 3500)
+        |    AND end_key >= '000600' AND start_key <= '001200'
+        |)""".stripMargin,
+      """reach AS (
+        |  SELECT file FROM src_live
+        |  UNION
+        |  SELECT e.input_file AS file
+        |  FROM reach r
+        |  JOIN nodes n ON n.file = r.file
+        |  JOIN sst_edges e ON e.output_file = r.file
+        |  WHERE n.gen >= 3500
+        |    AND NOT EXISTS (SELECT 1 FROM dest_live d WHERE d.file = r.file)
+        |)""".stripMargin,
+      """diff_n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS dag_n FROM reach r
+        |  WHERE NOT EXISTS (SELECT 1 FROM dest_live d WHERE d.file = r.file)
+        |    AND (NOT EXISTS (SELECT 1 FROM nodes n WHERE n.file = r.file)
+        |      OR (SELECT n.gen FROM nodes n WHERE n.file = r.file) < 3500
+        |      OR NOT EXISTS (SELECT 1 FROM sst_edges e
+        |           WHERE e.output_file = r.file))
+        |)""".stripMargin,
+      """full_n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS full_n FROM src_live
+        |)""".stripMargin,
+      """from_n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS from_n FROM dest_live
+        |)""".stripMargin,
+      """sds_jobs(job_id, req_force_full, req_disable_native,
+        |  cfg_force_full, cfg_disable_native, native_loaded, dag_ok)
+        |AS (VALUES
+        |  (1, false, false, false, false, true, true),
+        |  (2, true, false, false, false, true, true),
+        |  (3, false, false, true, false, true, true),
+        |  (4, false, false, false, false, false, true),
+        |  (5, false, true, false, false, true, true),
+        |  (6, false, false, false, false, true, false),
+        |  (7, false, false, false, true, true, false),
+        |  (8, true, false, false, false, false, true))""".stripMargin),
+
     // FSO resolve must round-trip to the original flat keys — the oracle is
     // simply the objects table re-read as (volume, bucket, path, size).
     "q_fso_resolve" -> O.withCtes(
@@ -6608,8 +6744,8 @@ object SparkEntry {
         |         ELSE 'SUFFICIENTLY_REPLICATED' END AS class
         |  FROM (
         |    SELECT a.container_id,
-        |      any_value(a.state) AS state,
-        |      any_value(a.replication_factor) AS rf,
+        |      max(a.state) AS state,
+        |      max(a.replication_factor) AS rf,
         |      sum(CASE WHEN a.op_state = 'IN_SERVICE'
         |        AND a.replica_state <> 'UNHEALTHY' THEN 1 ELSE 0 END)
         |        AS healthy,
@@ -6995,6 +7131,68 @@ object SparkEntry {
         |  JOIN nh_sev e ON e.uuid = w.uuid AND e.i = w.i + 1)""".stripMargin),
 
     // DN-dispatch mirror: the cumulative put-max window in SQL.
+    // Metadata-scan mirror: the same gate → rung → outcome CASE ladder
+    // over the literal container fixture.
+    "q_container_meta_scan" -> O.withCtes(
+      """SELECT container_id, action, first_error,
+        |  CAST(n_errors AS BIGINT) AS n_errors,
+        |  (action = 'SCANNED' AND n_errors > 0) AS mark_attempted,
+        |  (action = 'SCANNED' AND n_errors > 0 AND NOT already_unhealthy)
+        |    AS unhealthy_inc,
+        |  (action = 'SCANNED' AND n_errors > 0 AND NOT already_unhealthy)
+        |    AS volume_scan_triggered,
+        |  (action = 'SCANNED') AS scanned_inc
+        |FROM msc_act ORDER BY container_id""".stripMargin,
+      """msc(container_id, volume_failed, last_scan_ago_ms, dir_exists,
+        |  meta_dir_exists, file_status, file_check_errors,
+        |  chunks_dir_exists, deleted_during_scan, transient_fd_errors,
+        |  already_unhealthy) AS (VALUES
+        |  (1, false, -1, true, true, 'OK', 0, true, false, false, false),
+        |  (2, true, -1, true, true, 'OK', 0, true, false, false, false),
+        |  (3, false, 60000, true, true, 'OK', 0, true, false, false, false),
+        |  (4, false, 3600000, true, true, 'OK', 0, true, false, false, false),
+        |  (5, false, -1, false, true, 'OK', 0, true, false, false, false),
+        |  (6, false, -1, true, false, 'OK', 0, true, false, false, false),
+        |  (7, false, -1, true, true, 'MISSING', 0, true, false, false, false),
+        |  (8, false, -1, true, true, 'CORRUPT', 0, true, false, false, false),
+        |  (9, false, -1, true, true, 'OK', 2, true, false, false, false),
+        |  (10, false, -1, true, true, 'OK', 0, false, false, false, false),
+        |  (11, false, -1, false, true, 'OK', 0, true, true, false, false),
+        |  (12, false, -1, true, true, 'OK', 1, false, false, true, false),
+        |  (13, false, -1, true, true, 'CORRUPT', 0, true, false, false, true))""".stripMargin,
+      """msc_base AS (
+        |  SELECT *,
+        |    CASE WHEN NOT dir_exists THEN 'MISSING_CONTAINER_DIR'
+        |         WHEN NOT meta_dir_exists THEN 'MISSING_METADATA_DIR'
+        |         WHEN file_status = 'MISSING' THEN 'MISSING_CONTAINER_FILE'
+        |         WHEN file_status = 'CORRUPT' THEN 'CORRUPT_CONTAINER_FILE'
+        |         END AS fatal,
+        |    CASE WHEN volume_failed THEN 'SKIP_VOLUME_FAILED'
+        |         WHEN last_scan_ago_ms >= 0 AND last_scan_ago_ms < 900000
+        |           THEN 'SKIP_RECENTLY_SCANNED'
+        |         ELSE 'SCAN' END AS gate
+        |  FROM msc)""".stripMargin,
+      """msc_err AS (
+        |  SELECT *,
+        |    CASE WHEN gate <> 'SCAN' OR deleted_during_scan THEN ''
+        |         WHEN fatal IS NOT NULL THEN fatal
+        |         WHEN file_check_errors > 0 THEN 'CORRUPT_CONTAINER_FILE'
+        |         WHEN NOT chunks_dir_exists THEN 'MISSING_CHUNKS_DIR'
+        |         ELSE '' END AS first_error,
+        |    CASE WHEN gate <> 'SCAN' OR deleted_during_scan THEN 0
+        |         WHEN fatal IS NOT NULL THEN 1
+        |         ELSE file_check_errors +
+        |           CASE WHEN chunks_dir_exists THEN 0 ELSE 1 END
+        |         END AS n_errors
+        |  FROM msc_base)""".stripMargin,
+      """msc_act AS (
+        |  SELECT *,
+        |    CASE WHEN gate <> 'SCAN' THEN gate
+        |         WHEN deleted_during_scan THEN 'DELETED'
+        |         WHEN transient_fd_errors AND n_errors > 0 THEN 'INCOMPLETE'
+        |         ELSE 'SCANNED' END AS action
+        |  FROM msc_err)""".stripMargin),
+
     "q_dn_dispatch" -> O.withCtes(
       """SELECT seq, container_id, op,
         |  CASE

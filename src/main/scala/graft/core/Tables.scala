@@ -227,19 +227,25 @@ object Tables {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  // Memoized (memoPersist): three declared queries (diff / page / summary)
+  // consume both snapshots in one sweep, and each dedup is a full
+  // row_number window over the namespace — checkpoint cost, paid once per
+  // JVM, exactly like the reference's persisted snapshot checkpoints.
   def snapshotV1(spark: SparkSession, dir: String): DataFrame =
-    dedupByObjectId(objects(spark, dir).filter(col("creation_time") <= SnapCut1Ms))
+    memoPersist(spark, "snapv1", dir)(
+      dedupByObjectId(objects(spark, dir).filter(col("creation_time") <= SnapCut1Ms)))
 
-  def snapshotV2(spark: SparkSession, dir: String): DataFrame = {
-    val o = objects(spark, dir).filter(col("creation_time") > SnapCut0Ms)
-    dedupByObjectId(
-      o.withColumn("key",
-          when(col("version") === 2, concat(col("key"), lit(".renamed")))
-            .otherwise(col("key")))
-        .withColumn("data_size",
-          when(col("version") === 3, col("data_size") + 1)
-            .otherwise(col("data_size"))))
-  }
+  def snapshotV2(spark: SparkSession, dir: String): DataFrame =
+    memoPersist(spark, "snapv2", dir) {
+      val o = objects(spark, dir).filter(col("creation_time") > SnapCut0Ms)
+      dedupByObjectId(
+        o.withColumn("key",
+            when(col("version") === 2, concat(col("key"), lit(".renamed")))
+              .otherwise(col("key")))
+          .withColumn("data_size",
+            when(col("version") === 3, col("data_size") + 1)
+              .otherwise(col("data_size"))))
+    }
 
   /** Block/chunk size of the nested location lists (small so the synthetic
     * objects span several blocks; the reference default is 4 MB chunks). */
@@ -1341,6 +1347,35 @@ object Tables {
       (4L, "INVALID", 0L), (5L, "CLOSING", 7L), (6L, "RECOVERING", 0L),
       (7L, "QUASI_CLOSED", 20L), (8L, "OPEN", 0L))
       .toDF("container_id", "cstate", "initial_bcsid")
+  }
+
+  /** meta_scan_containers: one row per metadata-scan rung of
+    * ContainerScanHelper/KeyValueContainerCheck — gate skips (failed
+    * volume, recently scanned), each first-failing fastCheck rung, the
+    * non-fatal chunks-dir rung, deleted-during-scan, transient FD
+    * exhaustion, and the already-unhealthy re-mark. last_scan_ago_ms
+    * -1 = never scanned. */
+  def metaScanContainers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // id, vol_failed, last_ago, dir, meta, file,   chkErr, chunks, deleted, transient, alreadyUnh
+      (1L, false, -1L, true, true, "OK", 0L, true, false, false, false),
+      (2L, true, -1L, true, true, "OK", 0L, true, false, false, false),
+      (3L, false, 60000L, true, true, "OK", 0L, true, false, false, false),
+      (4L, false, 3600000L, true, true, "OK", 0L, true, false, false, false),
+      (5L, false, -1L, false, true, "OK", 0L, true, false, false, false),
+      (6L, false, -1L, true, false, "OK", 0L, true, false, false, false),
+      (7L, false, -1L, true, true, "MISSING", 0L, true, false, false, false),
+      (8L, false, -1L, true, true, "CORRUPT", 0L, true, false, false, false),
+      (9L, false, -1L, true, true, "OK", 2L, true, false, false, false),
+      (10L, false, -1L, true, true, "OK", 0L, false, false, false, false),
+      (11L, false, -1L, false, true, "OK", 0L, true, true, false, false),
+      (12L, false, -1L, true, true, "OK", 1L, false, false, true, false),
+      (13L, false, -1L, true, true, "CORRUPT", 0L, true, false, false, true))
+      .toDF("container_id", "volume_failed", "last_scan_ago_ms",
+        "dir_exists", "meta_dir_exists", "file_status",
+        "file_check_errors", "chunks_dir_exists", "deleted_during_scan",
+        "transient_fd_errors", "already_unhealthy")
   }
 
   /** dn_ops: the DN dispatch stream — an applied put, its Ratis replay,

@@ -1372,8 +1372,12 @@ object ClusterHealth {
         Seq("container_id"), "left_semi")
       .groupBy("container_id")
       .agg(
-        first("state").as("state"),
-        first("replication_factor").as("rf"),
+        // constant per container_id (both ride the containers_scm dim
+        // join) — max() not first(): first() is partition-order-dependent
+        // by contract, and in a gate whose only failure mode is a hash
+        // mismatch, no order-dependent aggregate belongs in main source.
+        max("state").as("state"),
+        max("replication_factor").as("rf"),
         sum(when(col("op_state") === "IN_SERVICE" && healthyRep, 1L)
           .otherwise(0L)).as("healthy"),
         sum(when(col("op_state")
@@ -3487,5 +3491,82 @@ object ClusterHealth {
         "available", "out_of_service", "remaining_redundancy",
         "due_to_out_of_service", "weighted_redundancy")
       .orderBy("queue_pos")
+  }
+
+  /**
+   * Background container METADATA scan — the data scan's cheap dual
+   * (container-service/.../ozoneimpl/BackgroundContainerMetadataScanner
+   * .java:49-59 iterates every container through
+   * ContainerScanHelper.scanMetadata):
+   *
+   *  - gate (ContainerScanHelper.java:185-218 shouldScanMetadata /
+   *    recentlyScanned): failed volume skips; a container whose last
+   *    data-scan timestamp is within `minScanGapMs` (15 min default,
+   *    ContainerScannerConfiguration.CONTAINER_SCAN_MIN_GAP_DEFAULT)
+   *    skips; never-scanned containers always scan.
+   *  - rungs (KeyValueContainerCheck.java:104-168 fastCheck/scanMetadata,
+   *    first failure stops the walk): container dir → metadata dir →
+   *    .container file missing/corrupt → file content checks; a missing
+   *    chunks dir is recorded but does NOT stop the scan.
+   *  - outcomes (ContainerScanHelper.java:101-131 scanMetadata): deleted
+   *    container → quiet return (no metrics, no marking); transient
+   *    FD-exhaustion errors → scan incomplete, no UNHEALTHY marking;
+   *    real errors → markContainerUnhealthy (counter + volume scan only
+   *    when the container wasn't already unhealthy,
+   *    handleUnhealthyScanResult:135-164); a completed metadata scan
+   *    does NOT advance the data-scan timestamp (:123-125).
+   *
+   * Scale shape: a single projection over the container catalog (a
+   * control-plane dim) — no joins, no shuffles; at fleet scale this is
+   * one map over DN container reports.
+   */
+  def containerMetaScan(containers: DataFrame,
+                        minScanGapMs: Long = 900000L): DataFrame = {
+    val gate =
+      when(col("volume_failed"), lit("SKIP_VOLUME_FAILED"))
+        .when(col("last_scan_ago_ms") >= 0 &&
+          col("last_scan_ago_ms") < minScanGapMs,
+          lit("SKIP_RECENTLY_SCANNED"))
+        .otherwise(lit("SCAN"))
+    // first-failing-rung walk; chunks-dir is the one non-fatal rung
+    val firstFatal =
+      when(!col("dir_exists"), lit("MISSING_CONTAINER_DIR"))
+        .when(!col("meta_dir_exists"), lit("MISSING_METADATA_DIR"))
+        .when(col("file_status") === "MISSING", lit("MISSING_CONTAINER_FILE"))
+        .when(col("file_status") === "CORRUPT", lit("CORRUPT_CONTAINER_FILE"))
+    val firstError =
+      coalesce(firstFatal,
+        when(col("file_check_errors") > 0, lit("CORRUPT_CONTAINER_FILE"))
+          .when(!col("chunks_dir_exists"), lit("MISSING_CHUNKS_DIR"))
+          .otherwise(lit("")))
+    val nErrors =
+      when(firstFatal.isNotNull, lit(1L))
+        .otherwise(col("file_check_errors").cast("long") +
+          when(col("chunks_dir_exists"), 0L).otherwise(1L))
+    containers
+      .withColumn("gate", gate)
+      .withColumn("first_error",
+        when(col("gate") =!= "SCAN" || col("deleted_during_scan"), lit(""))
+          .otherwise(firstError))
+      .withColumn("n_errors",
+        when(col("gate") =!= "SCAN" || col("deleted_during_scan"), lit(0L))
+          .otherwise(nErrors))
+      .withColumn("transient",
+        col("transient_fd_errors") && col("n_errors") > 0)
+      .withColumn("action",
+        when(col("gate") =!= "SCAN", col("gate"))
+          .when(col("deleted_during_scan"), lit("DELETED"))
+          .when(col("transient"), lit("INCOMPLETE"))
+          .otherwise(lit("SCANNED")))
+      .withColumn("mark_attempted",
+        col("action") === "SCANNED" && col("n_errors") > 0)
+      .withColumn("unhealthy_inc",
+        col("mark_attempted") && !col("already_unhealthy"))
+      .withColumn("volume_scan_triggered", col("unhealthy_inc"))
+      .withColumn("scanned_inc", col("action") === "SCANNED")
+      .select("container_id", "action", "first_error", "n_errors",
+        "mark_attempted", "unhealthy_inc", "volume_scan_triggered",
+        "scanned_inc")
+      .orderBy("container_id")
   }
 }

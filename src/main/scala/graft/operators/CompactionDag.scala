@@ -175,4 +175,81 @@ object CompactionDag {
     (same.map(f => (f, "SAME")) ++ diff.map(f => (f, "DIFFERENT")))
       .toSeq.toDF("file", "cls").orderBy("cls", "file")
   }
+
+  /**
+   * Delta-source selection for a snapshot-diff job — the decision the
+   * reference takes before any keys are read
+   * (ozone-manager/.../snapshot/SnapshotDiffManager.java:1020-1021:
+   * `useFullDiff = snapshotForceFullDiff || forceFullDiff`,
+   * `performNonNativeDiff = diffDisableNativeLibs || disableNativeDiff ||
+   * !isNativeLibsLoaded`; consumed by
+   * snapshot/diff/delta/CompositeDeltaDiffComputer.java:73-117: the DAG
+   * differ exists only when !useFullDiff, any differ failure falls back to
+   * the full-diff computer, and a non-native job ADDS the from-snapshot's
+   * whole SST set to the read list — the tombstone workaround — while
+   * addToObjectIdMap (SnapshotDiffManager.java:1266-1269) picks the plain
+   * key stream instead of the tombstone-aware one).
+   *
+   * Per job: the chosen source (`SST_FILE_DELTA_DAG_WALK` /
+   * `SST_FILE_DELTA_FULL_DIFF` — the reference's SubStatus names), the
+   * key-stream mode, and the resulting read-set sizes, sized against the
+   * same range-pruned SST catalog + compaction DAG the q_sst_diff walk
+   * reads (full diff = the TO snapshot's pruned file set,
+   * FullDiffComputer.getSSTFileSetForSnapshot).
+   *
+   * Scale shape: three scalar aggregates over SST METADATA (one row per
+   * file) broadcast-crossed into a literal job dim — no per-key work at
+   * all; the decision is control-plane sized, exactly like the reference.
+   */
+  def snapdiffSourceSelect(srcLive: DataFrame, destLive: DataFrame,
+                           edges: DataFrame, destGen: Long,
+                           lo: String, hi: String): DataFrame = {
+    val spark = srcLive.sparkSession
+    import spark.implicits._
+    // (job_id, req_force_full, req_disable_native, cfg_force_full,
+    //  cfg_disable_native, native_loaded, dag_ok) — every gate of
+    // :1020-1021 plus the differ-failure fallback path, each exercised
+    val jobs = Seq(
+      (1L, false, false, false, false, true, true),
+      (2L, true, false, false, false, true, true),
+      (3L, false, false, true, false, true, true),
+      (4L, false, false, false, false, false, true),
+      (5L, false, true, false, false, true, true),
+      (6L, false, false, false, false, true, false),
+      (7L, false, false, false, true, true, false),
+      (8L, true, false, false, false, false, true)
+    ).toDF("job_id", "req_force_full", "req_disable_native",
+      "cfg_force_full", "cfg_disable_native", "native_loaded", "dag_ok")
+    val dagN = sstDiff(srcLive, destLive, edges, destGen, lo, hi)
+      .filter(col("cls") === "DIFFERENT")
+      .agg(count(lit(1)).as("dag_n"))
+    val fullN = pruneByRange(srcLive, lo, hi).agg(count(lit(1)).as("full_n"))
+    val fromN = pruneByRange(destLive, lo, hi).agg(count(lit(1)).as("from_n"))
+    jobs
+      .crossJoin(broadcast(dagN))
+      .crossJoin(broadcast(fullN))
+      .crossJoin(broadcast(fromN))
+      .withColumn("use_full_diff",
+        col("cfg_force_full") || col("req_force_full"))
+      .withColumn("non_native",
+        col("cfg_disable_native") || col("req_disable_native") ||
+          !col("native_loaded"))
+      .withColumn("delta_source",
+        when(!col("use_full_diff") && col("dag_ok"),
+          lit("SST_FILE_DELTA_DAG_WALK"))
+          .otherwise(lit("SST_FILE_DELTA_FULL_DIFF")))
+      .withColumn("read_mode",
+        when(col("non_native"), lit("KEY_STREAM"))
+          .otherwise(lit("KEY_STREAM_WITH_TOMBSTONE")))
+      .withColumn("n_delta_files",
+        when(col("delta_source") === "SST_FILE_DELTA_DAG_WALK",
+          col("dag_n")).otherwise(col("full_n")))
+      .withColumn("n_from_files_added",
+        when(col("non_native"), col("from_n")).otherwise(lit(0L)))
+      .withColumn("n_read_files",
+        col("n_delta_files") + col("n_from_files_added"))
+      .select("job_id", "use_full_diff", "non_native", "delta_source",
+        "read_mode", "n_delta_files", "n_from_files_added", "n_read_files")
+      .orderBy("job_id")
+  }
 }

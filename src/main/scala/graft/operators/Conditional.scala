@@ -109,7 +109,7 @@ object Conditional {
       .filter(substring(col("mk"), 1, 1) === "0")
       .groupBy("volume", "bucket", "key")
       .agg(max("version").as("stored_gen"),
-        first(col("mk")).as("mk"))
+        max(col("mk")).as("mk"))  // constant per (v,b,key): md5 of the key
       .withColumn("etag", md5(col("key")))
     val reqs = store
       .withColumn("cls", ascii(substring(col("mk"), 2, 1)) % 7)

@@ -288,4 +288,49 @@ object Listing {
       .select("volume", "bucket", "pos", "is_truncated", "next_token")
       .orderBy("pos")
   }
+
+  /**
+   * OM listKeys self-metrics rollup — the OMPerformanceMetrics surface the
+   * listing path feeds per call (OmMetadataManagerImpl.java:1176-1188:
+   * `keyCount = isTruncated ? maxKeys : resultSize` →
+   * setListKeysAveragePagination; the ops/sec and RocksDB-latency gauges
+   * are wall-clock observability, deliberately out of scope for a
+   * deterministic rollup — we report the batch pagination numerators the
+   * gauge is computed from instead of a timed rate).
+   *
+   * One row per listKeys call in the batch: the matching-key population,
+   * the pagination keyCount the metric records, the truncation flag, plus
+   * the batch-constant gauge inputs (total keyCount, number of calls).
+   *
+   * Scale shape: the request batch is a literal dim broadcast into ONE
+   * pruned scan of the namespace (volume+bucket partition pruning, prefix
+   * row-group skip); the gauge is a single scalar aggregate crossed back —
+   * no windows over the corpus, no per-request scans.
+   */
+  def omListMetrics(objects: DataFrame): DataFrame = {
+    val spark = objects.sparkSession
+    import spark.implicits._
+    val reqs = Seq(
+      (1L, "vol0", "bucket0", "warehouse/A/", 5L),
+      (2L, "vol0", "bucket0", "warehouse/", 100000L),
+      (3L, "vol1", "bucket3", "warehouse/N/", 50L),
+      (4L, "vol2", "bucket5", "warehouse/R", 10L),
+      (5L, "vol0", "bucket0", "nonexistent/", 10L)
+    ).toDF("req_id", "volume", "bucket", "prefix", "max_keys")
+    val matches = objects.select("volume", "bucket", "key")
+      .join(broadcast(reqs), Seq("volume", "bucket"))
+      .filter(col("key").startsWith(col("prefix")))
+      .groupBy("req_id").agg(count(lit(1)).as("matching"))
+    val base = reqs.join(matches, Seq("req_id"), "left")
+      .withColumn("matching", coalesce(col("matching"), lit(0L)))
+      .withColumn("truncated", col("matching") > col("max_keys"))
+      .withColumn("key_count", least(col("matching"), col("max_keys")))
+    val gauge = base.agg(
+      sum("key_count").cast("long").as("total_key_count"),
+      count(lit(1)).as("n_calls"))
+    base.crossJoin(broadcast(gauge))
+      .select("req_id", "volume", "bucket", "prefix", "max_keys",
+        "matching", "key_count", "truncated", "total_key_count", "n_calls")
+      .orderBy("req_id")
+  }
 }

@@ -29,6 +29,7 @@ if not skip_verify:
         if "[verify]" in line:
             print(line)
 
+print(f"duckdb={duckdb.__version__}")
 con = duckdb.connect()
 for t in TABLES:
     p = f"{SF}/{t}.parquet"
@@ -36,6 +37,10 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+try:
+    scala_hashes = json.load(open(f"{OUT}/HASHES.json"))
+except Exception:
+    scala_hashes = {}
 
 def canon(v):
     if v is None: return "NULL"
@@ -89,6 +94,12 @@ for name in names:
         fail += 1; continue
     print(f"OK       {name} ({len(srows)} rows)")
     ok += 1
+    # cross-check graft.Verify's Scala canon hash against ours: a
+    # divergence here means HASHES.json wouldn't expose a driver-side
+    # mismatch faithfully for this query (float/temporal canon drift).
+    want = scala_hashes.get(name)
+    if want is not None and want != f"{len(srows)}:{hs}":
+        print(f"  CANON-DRIFT {name}: scala={want} py={len(srows)}:{hs}")
 
 print(f"\n{ok} ok, {fail} failed / {len(names)} checked")
 sys.exit(1 if fail else 0)
