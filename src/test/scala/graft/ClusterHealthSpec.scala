@@ -1190,4 +1190,38 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got((6L, "host2.rack2")) === "QUEUED_RECOMMISSION")
     assert(got.size === 28)
   }
+
+  test("containerMetaScan: every gate, rung, and outcome fires") {
+    val got = graft.operators.ClusterHealth.containerMetaScan(
+      graft.core.Tables.metaScanContainers(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        ((r.getAs[String]("action"), r.getAs[String]("first_error"),
+          r.getAs[Long]("n_errors"), r.getAs[Boolean]("mark_attempted"),
+          r.getAs[Boolean]("unhealthy_inc"),
+          r.getAs[Boolean]("scanned_inc")))).toMap
+    assert(got(1L) === (("SCANNED", "", 0L, false, false, true)))
+    assert(got(2L) === (("SKIP_VOLUME_FAILED", "", 0L, false, false, false)))
+    assert(got(3L) ===
+      (("SKIP_RECENTLY_SCANNED", "", 0L, false, false, false)))
+    // 1 h since last scan clears the 15 min gap
+    assert(got(4L) === (("SCANNED", "", 0L, false, false, true)))
+    assert(got(5L) ===
+      (("SCANNED", "MISSING_CONTAINER_DIR", 1L, true, true, true)))
+    assert(got(6L)._2 === "MISSING_METADATA_DIR")
+    assert(got(7L)._2 === "MISSING_CONTAINER_FILE")
+    assert(got(8L)._2 === "CORRUPT_CONTAINER_FILE")
+    // content-check errors keep their count; chunks-dir is non-fatal
+    assert(got(9L) ===
+      (("SCANNED", "CORRUPT_CONTAINER_FILE", 2L, true, true, true)))
+    assert(got(10L) ===
+      (("SCANNED", "MISSING_CHUNKS_DIR", 1L, true, true, true)))
+    // deleted during scan: quiet return, no metrics, no marking
+    assert(got(11L) === (("DELETED", "", 0L, false, false, false)))
+    // transient FD exhaustion: incomplete, no marking, not counted
+    assert(got(12L)._1 === "INCOMPLETE")
+    assert(got(12L)._4 === false && got(12L)._6 === false)
+    // already-unhealthy containers re-mark without incrementing
+    assert(got(13L)._4 === true && got(13L)._5 === false)
+    assert(got.size === 13)
+  }
 }

@@ -119,4 +119,40 @@ class CompactionDagSpec extends SparkSpecBase {
       assert(worstKept < n / 2, s"pruning too weak: kept $worstKept of $n")
     } finally got.unpersist()
   }
+
+  test("snapdiffSourceSelect: gates pick the source; sizes tie to the" +
+    " sstDiff walk") {
+    val diffN = CompactionDag.sstDiff(
+      Tables.sstLive(spark, sf, 6300), Tables.sstLive(spark, sf, 3500),
+      Tables.sstEdges(spark, sf), 3500, "000600", "001200")
+      .filter(col("cls") === "DIFFERENT").count()
+    val fullN = CompactionDag.pruneByRange(
+      Tables.sstLive(spark, sf, 6300), "000600", "001200").count()
+    val fromN = CompactionDag.pruneByRange(
+      Tables.sstLive(spark, sf, 3500), "000600", "001200").count()
+    val got = CompactionDag.snapdiffSourceSelect(
+      Tables.sstLive(spark, sf, 6300), Tables.sstLive(spark, sf, 3500),
+      Tables.sstEdges(spark, sf), 3500, "000600", "001200")
+      .collect().map(r => r.getAs[Long]("job_id") ->
+        ((r.getAs[String]("delta_source"), r.getAs[String]("read_mode"),
+          r.getAs[Long]("n_delta_files"),
+          r.getAs[Long]("n_from_files_added")))).toMap
+    // default flags: DAG walk, tombstone-aware stream, no extra files
+    assert(got(1L) ===
+      (("SST_FILE_DELTA_DAG_WALK", "KEY_STREAM_WITH_TOMBSTONE", diffN, 0L)))
+    // request/config force-full-diff read the full TO set
+    assert(got(2L)._1 === "SST_FILE_DELTA_FULL_DIFF" && got(2L)._3 === fullN)
+    assert(got(3L)._1 === "SST_FILE_DELTA_FULL_DIFF")
+    // native libs absent: DAG walk still runs, but plain key stream +
+    // the FROM snapshot's files are added (tombstone workaround)
+    assert(got(4L) ===
+      (("SST_FILE_DELTA_DAG_WALK", "KEY_STREAM", diffN, fromN)))
+    assert(got(5L)._2 === "KEY_STREAM" && got(5L)._4 === fromN)
+    // differ failure falls back to full diff, read mode unaffected
+    assert(got(6L) ===
+      (("SST_FILE_DELTA_FULL_DIFF", "KEY_STREAM_WITH_TOMBSTONE", fullN, 0L)))
+    assert(got(7L)._1 === "SST_FILE_DELTA_FULL_DIFF" && got(7L)._2 === "KEY_STREAM")
+    assert(got(8L) ===
+      (("SST_FILE_DELTA_FULL_DIFF", "KEY_STREAM", fullN, fromN)))
+  }
 }

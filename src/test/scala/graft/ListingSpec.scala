@@ -436,4 +436,31 @@ class ListingSpec extends SparkSpecBase {
     // OBS buckets never surface
     assert(walked.forall(n => allFso.contains(n)))
   }
+
+  test("omListMetrics: pagination keyCounts against direct counts") {
+    val sf = "/root/testdata/sf0.001"
+    val sorted = graft.core.Tables.objectsSorted(spark, sf)
+    def direct(v: String, b: String, p: String): Long =
+      sorted.filter(col("volume") === v && col("bucket") === b &&
+        col("key").startsWith(p)).count()
+    val got = graft.operators.Listing.omListMetrics(sorted)
+      .collect().map(r => r.getAs[Long]("req_id") ->
+        ((r.getAs[Long]("matching"), r.getAs[Long]("key_count"),
+          r.getAs[Boolean]("truncated"),
+          r.getAs[Long]("total_key_count"), r.getAs[Long]("n_calls"))))
+      .toMap
+    val m1 = direct("vol0", "bucket0", "warehouse/A/")
+    assert(got(1L)._1 === m1)
+    assert(got(1L)._2 === math.min(m1, 5L))
+    assert(got(1L)._3 === (m1 > 5L))
+    // an un-truncated call records its full result size
+    val m2 = direct("vol0", "bucket0", "warehouse/")
+    assert(got(2L) ===
+      ((m2, m2, false, got(2L)._4, 5L)))
+    // a prefix with no matches still counts as a call of keyCount 0
+    assert(got(5L)._1 === 0L && got(5L)._2 === 0L && !got(5L)._3)
+    // the gauge numerator is the sum of per-call keyCounts
+    assert(got(1L)._4 === got.values.map(_._2).sum)
+    assert(got.size === 5)
+  }
 }
