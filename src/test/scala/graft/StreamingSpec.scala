@@ -401,4 +401,37 @@ class StreamingSpec extends SparkSpecBase {
     graft.streaming.ChangeStream.deleteRecursively(
       java.nio.file.Paths.get(work))
   }
+
+  test("bootstrapViews state == a full replay() drain of the same log") {
+    val objects = Tables.objects(spark, sf)
+    val logSrc = java.nio.file.Files
+      .createTempDirectory("graft_test_boot_").toString
+    ChangeLog.write(objects, s"$logSrc/log", numFiles = 4)
+    val viaReplay = java.nio.file.Files
+      .createTempDirectory("graft_test_boot_r_").toString
+    ChangeStream.replay(spark, s"$logSrc/log", viaReplay, filesPerBatch = 2)
+    val viaBatch = java.nio.file.Files
+      .createTempDirectory("graft_test_boot_b_").toString
+    ChangeStream.bootstrapViews(spark, s"$logSrc/log", viaBatch)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      rows(df).map(_.map(String.valueOf)).sortBy(_.mkString("\u0001"))
+    assert(sortedRows(ChangeStream.fileSizeView(spark, viaBatch)) ===
+      sortedRows(ChangeStream.fileSizeView(spark, viaReplay)))
+    assert(sortedRows(ChangeStream.countsView(spark, viaBatch)) ===
+      sortedRows(ChangeStream.countsView(spark, viaReplay)))
+    assert(sortedRows(ChangeStream.nsSummaryView(spark, viaBatch)) ===
+      sortedRows(ChangeStream.nsSummaryView(spark, viaReplay)))
+    // and steady-state maintenance continues identically on both
+    val delta = ChangeLog.events(objects
+      .orderBy("volume", "bucket", "key", "version", "data_size").limit(50))
+      .withColumn("seq", col("seq") + 1000000L)
+    ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(viaReplay, "ckpt"))
+    ChangeStream.applyDeltaBatch(spark, viaReplay, delta)
+    ChangeStream.applyDeltaBatch(spark, viaBatch, delta)
+    assert(sortedRows(ChangeStream.fileSizeView(spark, viaBatch)) ===
+      sortedRows(ChangeStream.fileSizeView(spark, viaReplay)))
+    assert(sortedRows(ChangeStream.nsSummaryView(spark, viaBatch)) ===
+      sortedRows(ChangeStream.nsSummaryView(spark, viaReplay)))
+  }
 }
