@@ -352,9 +352,21 @@ object OracleCte {
     ivfAsgSql("cents2", "ivf_cells", "", 1),
     ivfAsgSql("cents2", "ivf_probe", " WHERE n.vec_id < 20", 2))
 
-  /** Engine-identical integer cosine (see Similarity.cosExpr). */
-  def cosSql(dot: String, na: String, nb: String): String =
-    s"CAST(floor(CAST($dot AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) * 1000000) AS BIGINT)"
+  /** Engine-identical integer-EXACT cosine — the DuckDB mirror of
+    * Similarity.cosIntSql: exact isqrt (double seed, ±1 correction) and
+    * sign-split truncating division implementing floor, so no BIGINT
+    * output depends on a float rounding chain (only the corrected seed
+    * touches FP). `//` is non-negative on both branches, where every
+    * engine's integer division agrees. */
+  def cosSql(dot: String, na: String, nb: String,
+             scale: Long = 1000000L): String = {
+    val x = s"(CAST(($na) AS BIGINT) * CAST(($nb) AS BIGINT))"
+    val s0 = s"CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)"
+    val s = s"(CASE WHEN $s0 * $s0 > $x THEN $s0 - 1 " +
+      s"WHEN ($s0 + 1) * ($s0 + 1) <= $x THEN $s0 + 1 ELSE $s0 END)"
+    s"(CASE WHEN ($dot) >= 0 THEN (CAST(($dot) AS BIGINT) * $scale) // $s " +
+      s"ELSE -((-CAST(($dot) AS BIGINT) * $scale + $s - 1) // $s) END)"
+  }
 
   /** PQ mirrors (Similarity.pqSubvectors/pqCodebooks/pqCodes with M=4
     * subspaces × 16 dims, K=8 codewords, one Lloyd pass, floor-mean
@@ -371,11 +383,10 @@ object OracleCte {
        |)""".stripMargin
 
   val pqCtes: Seq[String] = Seq(
-    """pq_sub AS (
+    s"""pq_sub AS (
       |  SELECT vec_id, m,
       |    [CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
-      |          ELSE CAST(floor(CAST(qv[m * 16 + i] AS DOUBLE)
-      |                 / sqrt(CAST(nrm AS DOUBLE)) * 1024) AS BIGINT) END
+      |          ELSE ${cosSql("qv[m * 16 + i]", "nrm", "1", 1024L)} END
       |     for i in generate_series(1, 16)] AS sv
       |  FROM emb_n CROSS JOIN range(4) t(m)
       |)""".stripMargin,

@@ -199,11 +199,18 @@ object ClusterHealth {
    * hash aggregation keyed by txn. No window, no driver loop.
    */
   def blockAckFold(objects: DataFrame, replicas: DataFrame,
-                   requiredNodes: Int = 3): DataFrame = {
+                   requiredNodes: Int = 3): DataFrame =
+    blockAckDecide(deletedBlockTxns(objects), replicas, requiredNodes)
+
+  /** The ACK-fold decision core over an explicit txn set — injectable so
+    * the property spec can drive it with randomized txn/replica states
+    * (same refactor shape as underReplicationDecide). */
+  private[graft] def blockAckDecide(txns: DataFrame, replicas: DataFrame,
+                                    requiredNodes: Int): DataFrame = {
     val rdns = replicas.select("container_id", "datanode")
     val bounds = rdns.groupBy("container_id")
       .agg(max("datanode").as("max_dn"), min("datanode").as("min_dn"))
-    val perReplica = deletedBlockTxns(objects)
+    val perReplica = txns
       .join(broadcast(rdns), Seq("container_id"))
       .join(broadcast(bounds), Seq("container_id"))
       .withColumn("acked",

@@ -36,8 +36,29 @@ object Similarity {
         expr("graft_dot_long(qv, qv)"))
       .select("vec_id", "label", "qv", "nrm")
 
-  private val cosExpr =
-    "CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nrm_a AS DOUBLE) * CAST(nrm_b AS DOUBLE)) * 1000000) AS BIGINT)"
+  /**
+   * Integer-EXACT cosine ×scale: floor(dot·scale ÷ isqrt(na·nb)) where
+   * isqrt is the exact integer square root (double-sqrt seed with ±1
+   * correction against BIGINT squares) and the division is sign-split so
+   * both engines' truncating integer division implements floor. The old
+   * float chain (`dot / sqrt(na·nb) · 1e6` then floor) was IEEE-
+   * deterministic only if neither engine build contracts the multiply
+   * chain (FMA) and both use correctly-rounded sqrt — a 1-ulp divergence
+   * flips the floor and changes a BIGINT output. Here no step after the
+   * corrected seed depends on FP rounding at all. Domain: na·nb of the
+   * unit-scale quantized vectors ≤ ~1e12, so every product fits BIGINT.
+   */
+  private[graft] def cosIntSql(dot: String, na: String, nb: String,
+                               scale: Long = 1000000L): String = {
+    val x = s"(CAST(($na) AS BIGINT) * CAST(($nb) AS BIGINT))"
+    val s0 = s"CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)"
+    val s = s"(CASE WHEN $s0 * $s0 > $x THEN $s0 - 1 " +
+      s"WHEN ($s0 + 1) * ($s0 + 1) <= $x THEN $s0 + 1 ELSE $s0 END)"
+    s"(CASE WHEN ($dot) >= 0 THEN (CAST(($dot) AS BIGINT) * ${scale}L) DIV $s " +
+      s"ELSE -((-CAST(($dot) AS BIGINT) * ${scale}L + $s - 1) DIV $s) END)"
+  }
+
+  private val cosExpr = cosIntSql("dot", "nrm_a", "nrm_b")
 
   /**
    * Per-vector int8 affine quantization stats — the scalar-quantizer (SQ8)
@@ -159,9 +180,7 @@ object Similarity {
       // (Spark would CAST NaN→0 silently, DuckDB would refuse the cast)
       .withColumn("cos_trunc_x1e6", expr(
         "CASE WHEN tnrm_a = 0 OR tnrm_b = 0 THEN CAST(0 AS BIGINT) " +
-          "ELSE CAST(floor(CAST(tdot AS DOUBLE) / " +
-          "sqrt(CAST(tnrm_a AS DOUBLE) * CAST(tnrm_b AS DOUBLE)) " +
-          "* 1000000) AS BIGINT) END"))
+          s"ELSE ${cosIntSql("tdot", "tnrm_a", "tnrm_b")} END"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("dot", expr("graft_dot_long(cv, sv)"))
@@ -310,8 +329,7 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  private val centCosExpr =
-    "CAST(floor(CAST(cdot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) * 1000000) AS BIGINT)"
+  private val centCosExpr = cosIntSql("cdot", "nrm", "cnrm")
 
   /** Rank every (vector, centroid) pair by integer cosine; keep ranks ≤
     * `keep` (1 = hard assignment, >1 = multi-probe). Input cents:
@@ -393,8 +411,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("dot",
         expr("graft_dot_long(cv, sv)"))
-      .withColumn("cos_x1e6",
-        expr("CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nrm_a AS DOUBLE) * CAST(snrm AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("cos_x1e6", expr(cosIntSql("dot", "nrm_a", "snrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cell_id", "rank", "cos_x1e6")
@@ -408,14 +425,14 @@ object Similarity {
   val PqDim = 16 // dims per subspace (PqM · PqDim = 64)
 
   /** One row per (vector, subspace): the 16-dim integer subvector of the
-    * UNIT-NORMALIZED vector (floor(qv/‖qv‖·1024) — divide/sqrt/multiply on
-    * exact integers are correctly-rounded IEEE doubles, identical in both
-    * engines). Normalizing first makes PQ's squared L2 monotone with
+    * UNIT-NORMALIZED vector — floor(qv·1024 ÷ isqrt(‖qv‖²)) via the same
+    * integer-exact kernel as the cosine (cosIntSql with nb = 1, scale
+    * 1024). Normalizing first makes PQ's squared L2 monotone with
     * cosine, the metric every other ANN query here ranks by. */
   private def pqSubvectors(q: DataFrame): DataFrame =
     q.withColumn("nv",
         expr("transform(qv, v -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT) " +
-          "ELSE CAST(floor(CAST(v AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) * 1024) AS BIGINT) END)"))
+          s"ELSE ${cosIntSql("v", "nrm", "1", 1024L)} END)"))
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${PqM - 1}), " +
           s"m -> struct(m AS m, slice(nv, m * $PqDim + 1, $PqDim) AS sv))"))

@@ -322,4 +322,105 @@ class RedFamilyPropertySpec extends SparkSpecBase {
     val statuses = expected.values.map(_._6).toSet
     assert(statuses === Set("UNDER_REPLICATED", "OVER_REPLICATED", "OK"))
   }
+
+  test("blockAckDecide == a literal ACK-quorum walk over random" +
+    " txn/replica states") {
+    // DeletedBlockLog ACK fold: per (txn, container) the replica set's
+    // ack/success classes (the %3 ack fixture rules), the %7 stale-dn
+    // commit top-up, then the quorum ladder: enough commits and no
+    // missing ⇒ PURGED; enough commits but missing replicas ⇒
+    // WAITING_ALL_REPLICAS; else PENDING.
+    val rnd = new Random(31337)
+    val conts = (1L to 40L).map(id =>
+      id -> rnd.shuffle((0 until 8).map(i => s"dn$i"))
+        .take(rnd.nextInt(5) + 1).sorted)
+    val txns = (1L to 300L).map(t =>
+      (t, conts(rnd.nextInt(conts.size).toInt.max(0))._1))
+      .map { case (t, c) => (t, conts((t % conts.size).toInt)._1) }
+      .distinct
+    val expected = txns.map { case (t, c) =>
+      val dns = conts.find(_._1 == c).get._2
+      val maxDn = dns.max; val minDn = dns.min
+      val classes = dns.map { dn =>
+        val acked = !(t % 3 == 1 && dn == maxDn)
+        val success = acked && !(t % 3 == 2 && dn == minDn)
+        success
+      }
+      val nAcks = classes.count(identity).toLong
+      val nMissing = classes.size - nAcks
+      val nCommitted = nAcks + (if (t % 7 == 0) 1L else 0L)
+      val status =
+        if (math.min(dns.size.toLong, nCommitted) >= 3L) {
+          if (nMissing == 0) "PURGED" else "WAITING_ALL_REPLICAS"
+        } else "PENDING"
+      (t, c) -> ((dns.size.toLong, nCommitted, nMissing.toLong, status))
+    }.toMap
+    val got = graft.operators.ClusterHealth.blockAckDecide(
+        txns.toDF("txn_id", "container_id"),
+        conts.flatMap { case (c, dns) => dns.map(dn => (c, dn)) }
+          .toDF("container_id", "datanode"),
+        requiredNodes = 3)
+      .collect().map(r => (r.getAs[Long]("txn_id"),
+        r.getAs[Long]("container_id")) ->
+        ((r.getAs[Long]("n_replicas"), r.getAs[Long]("n_committed"),
+          r.getAs[Long]("n_missing"), r.getAs[String]("status")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, want) =>
+      assert(got(k) === want, s"txn $k")
+    }
+    val statuses = expected.values.map(_._4).toSet
+    assert(statuses === Set("PURGED", "WAITING_ALL_REPLICAS", "PENDING"))
+  }
+
+  test("hardNegatives == an exact brute-force walk over the real" +
+    " embedding corpus") {
+    // Independent of the DuckDB oracle: integer-exact cosines recomputed
+    // in plain Scala (BigInt isqrt, floor division), top-3 different-
+    // label neighbors per query with the (cos desc, id) tie-break and
+    // the best-positive margin.
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv")
+      .collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)),
+        r.getSeq[Long](2).toArray))
+    def isqrt(x: BigInt): BigInt = {
+      if (x == 0) return BigInt(0)
+      var s = BigInt(math.sqrt(x.toDouble).toLong)
+      while (s * s > x) s -= 1
+      while ((s + 1) * (s + 1) <= x) s += 1
+      s
+    }
+    def cos(a: Array[Long], b: Array[Long]): Long = {
+      val dot = BigInt(a.zip(b).map { case (x, y) => x * y }.sum)
+      val na = a.map(v => v * v).sum; val nb = b.map(v => v * v).sum
+      val s = isqrt(BigInt(na) * BigInt(nb))
+      val num = dot * 1000000
+      // floor division (BigInt / truncates toward zero)
+      val q = num / s
+      (if (num.sign < 0 && q * s != num) q - 1 else q).toLong
+    }
+    val expected = emb.filter(_._1 < 20).flatMap { case (qid, qlab, qv) =>
+      val scored = emb.filter(_._1 != qid)
+        .map { case (nid, nlab, nv) => (nid, nlab, cos(nv, qv)) }
+      val bestPos = scored.filter(_._2 == qlab).map(_._3)
+        .reduceOption(_ max _).getOrElse(0L)
+      scored.filter(_._2 != qlab)
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(3).zipWithIndex
+        .map { case ((nid, _, c), i) =>
+          (qid, nid) -> ((i + 1L, c, bestPos - c))
+        }
+    }.toMap
+    val got = graft.operators.Similarity.hardNegatives(
+        graft.core.Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")) ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("cos_x1e6"),
+          r.getAs[Long]("margin_x1e6")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, want) =>
+      assert(got(k) === want, s"pair $k")
+    }
+  }
 }
