@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.core.{OracleCte => O, Tables => T}
 import graft.operators._
 
@@ -861,6 +861,23 @@ object SparkEntry {
       CompactionDag.snapdiffSourceSelect(
         T.sstLive(s, d, 6300), T.sstLive(s, d, 3500), T.sstEdges(s, d),
         destGen = 3500, lo = "000600", hi = "001200")),
+    // Snapshot-diff cleanup: report purge for prior-run moves, then the
+    // capped age/terminal-status job walk.
+    "q_snapdiff_cleanup" -> ((s, d) =>
+      Joins.snapdiffCleanupPlan(T.snapdiffCleanupJobs(s, d),
+        maxAgeMs = 604800000L, maxPurgePerTask = 3)),
+    // Snapshot-defrag service: budgeted global-chain walk, full vs
+    // incremental mode by path position, version switch + cleanup.
+    "q_snapshot_defrag" -> ((s, d) => {
+      val c = T.defragChain(s, d)
+      Reclaim.snapshotDefragPlan(c, limitPerTask = 2,
+          nativeAvailable = true)
+        .withColumn("run_id", lit(1L))
+        .unionByName(Reclaim.snapshotDefragPlan(c, limitPerTask = 2,
+            nativeAvailable = false)
+          .withColumn("run_id", lit(2L)))
+        .orderBy("run_id", "global_idx")
+    }),
     // ---- FSO parent-pointer hierarchy (SURVEY §2.3 row FSO-resolve) ----
     // namespace depth is a config (keys here are 4 segments ⇒ 3 dir levels)
     "q_fso_resolve" -> ((s, d) =>
@@ -979,6 +996,20 @@ object SparkEntry {
     // gap) → first-failing fastCheck rung → unhealthy-marking outcome.
     "q_container_meta_scan" -> ((s, d) =>
       ClusterHealth.containerMetaScan(T.metaScanContainers(s, d))),
+    // Stale RECOVERING-container scrub: deadline enqueue, exec-time
+    // re-read (extension skip / missing skip), UNHEALTHY marking.
+    "q_stale_recovering" -> ((s, d) =>
+      ClusterHealth.staleRecoveringScrub(T.recoveringContainers(s, d),
+        nowMs = 1000000L)),
+    // DN disk balancer: per-volume utilization vs ideal±threshold,
+    // bytesToMove, density gauge, and the pair gate.
+    "q_disk_balancer_volumes" -> ((s, d) =>
+      ClusterHealth.diskBalancerVolumePlan(T.dnVolumes(s, d))),
+    // DN disk balancer move choice: highest-util source, first usable
+    // lower-util dest, chooseContainer rung walk to the first survivor.
+    "q_disk_balancer_move" -> ((s, d) =>
+      ClusterHealth.diskBalancerMove(T.dnVolumes(s, d),
+        T.dnBalancerContainers(s, d))),
     // Mis-replication copy plan: stability gates, rack-scatter walk,
     // source-eligibility with surfaced shortfalls.
     "q_mis_replication" -> ((s, d) =>
@@ -5282,6 +5313,94 @@ object SparkEntry {
         |    AND NOT EXISTS (SELECT 1 FROM dest_live d WHERE d.file = r.file)
         |)""".stripMargin),
 
+    // Cleanup mirror: purged-table phase UNION the capped running-sum
+    // job walk.
+    "q_snapdiff_cleanup" -> O.withCtes(
+      """SELECT job_key, status,
+        |  CASE WHEN purge_rank -
+        |      CASE WHEN purgeable THEN 1 ELSE 0 END >= 3
+        |      THEN 'NOT_REACHED'
+        |    WHEN purgeable THEN 'MOVED_TO_PURGE'
+        |    ELSE 'RETAINED' END AS action,
+        |  CAST(CASE WHEN purgeable AND purge_rank -
+        |      CASE WHEN purgeable THEN 1 ELSE 0 END < 3
+        |    THEN report_entries ELSE 0 END AS BIGINT) AS n_report_entries
+        |FROM sdc_act
+        |UNION ALL
+        |SELECT job_key, status, 'REPORT_PURGED',
+        |  CAST(report_entries AS BIGINT)
+        |FROM sdc_jobs WHERE in_purged_table
+        |ORDER BY job_key""".stripMargin,
+      """sdc_jobs(job_key, status, age_ms, in_purged_table,
+        |  report_entries) AS (VALUES
+        |  ('j01', 'DONE', 800000000, false, 120),
+        |  ('j02', 'FAILED', 1000, false, 30),
+        |  ('j03', 'DONE', 5000, false, 500),
+        |  ('j04', 'IN_PROGRESS', 700000000, false, 0),
+        |  ('j05', 'REJECTED', 2000, false, 0),
+        |  ('j06', 'CANCELLED', 1000, false, 10),
+        |  ('j07', 'QUEUED', 3000, false, 0),
+        |  ('j08', 'DONE', 900000000, false, 60),
+        |  ('j20', 'DONE', 950000000, true, 200),
+        |  ('j21', 'FAILED', 10000, true, 40))""".stripMargin,
+      """sdc_act AS (
+        |  SELECT *,
+        |    (age_ms > 604800000
+        |      OR status IN ('FAILED', 'REJECTED', 'CANCELLED'))
+        |      AS purgeable,
+        |    sum(CASE WHEN age_ms > 604800000
+        |        OR status IN ('FAILED', 'REJECTED', 'CANCELLED')
+        |      THEN 1 ELSE 0 END) OVER (ORDER BY job_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS purge_rank
+        |  FROM sdc_jobs WHERE NOT in_purged_table)""".stripMargin),
+
+    // Defrag-service mirror: path-lag + running-budget windows over the
+    // literal chain, crossed into the two-run (native on/off) dim.
+    "q_snapshot_defrag" -> O.withCtes(
+      """SELECT run_id, global_idx, name, volume, bucket, action,
+        |  CASE WHEN action IN ('FULL_DEFRAG', 'INCREMENTAL_DEFRAG')
+        |    THEN coalesce(path_prev, name) ELSE '' END
+        |    AS checkpoint_source,
+        |  CAST(CASE WHEN action = 'FULL_DEFRAG' THEN 3 ELSE 0 END
+        |    AS BIGINT) AS tables_compacted,
+        |  CAST(CASE WHEN action IN ('FULL_DEFRAG', 'INCREMENTAL_DEFRAG')
+        |    THEN version + 1 ELSE version END AS BIGINT) AS new_version,
+        |  CAST(CASE WHEN action IN ('FULL_DEFRAG', 'INCREMENTAL_DEFRAG')
+        |      THEN version - 1
+        |    WHEN action = 'SKIP_DEFRAGGED' AND version > 0
+        |      THEN version - 1
+        |    ELSE -1 END AS BIGINT) AS cleanup_below
+        |FROM dfg_act ORDER BY run_id, global_idx""".stripMargin,
+      """dfg_chain(global_idx, name, volume, bucket, needs_defrag,
+        |  version) AS (VALUES
+        |  (1, 'd1', 'vol0', 'bucket0', true, 0),
+        |  (2, 'd2', 'vol0', 'bucket0', false, 2),
+        |  (3, 'd3', 'vol2', 'bucket5', false, 0),
+        |  (4, 'd4', 'vol0', 'bucket0', true, 1),
+        |  (5, 'd5', 'vol2', 'bucket5', true, 0),
+        |  (6, 'd6', 'vol1', 'bucket3', false, 0))""".stripMargin,
+      """dfg_base AS (
+        |  SELECT *,
+        |    lag(name) OVER (PARTITION BY volume, bucket
+        |      ORDER BY global_idx) AS path_prev,
+        |    sum(CASE WHEN needs_defrag THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY global_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS defrag_rank
+        |  FROM dfg_chain)""".stripMargin,
+      """dfg_runs(run_id, native) AS (VALUES (1, true), (2, false))""",
+      """dfg_act AS (
+        |  SELECT r.run_id, b.*,
+        |    CASE WHEN NOT r.native THEN 'SKIPPED_NATIVE'
+        |      WHEN NOT (b.defrag_rank -
+        |        CASE WHEN b.needs_defrag THEN 1 ELSE 0 END < 2)
+        |        THEN 'NOT_REACHED'
+        |      WHEN NOT b.needs_defrag THEN 'SKIP_DEFRAGGED'
+        |      WHEN b.path_prev IS NULL THEN 'FULL_DEFRAG'
+        |      ELSE 'INCREMENTAL_DEFRAG' END AS action
+        |  FROM dfg_runs r CROSS JOIN dfg_base b)""".stripMargin),
+
     // Source-selection mirror: same recursive walk, counted, crossed into
     // the literal job/flag dim.
     "q_snapdiff_source" -> O.withCtesRecursive(
@@ -7131,6 +7250,142 @@ object SparkEntry {
         |  JOIN nh_sev e ON e.uuid = w.uuid AND e.i = w.i + 1)""".stripMargin),
 
     // DN-dispatch mirror: the cumulative put-max window in SQL.
+    "q_stale_recovering" -> O.withCtes(
+      """SELECT container_id,
+        |  CAST(deadline_ms AS BIGINT) AS deadline_ms,
+        |  CASE WHEN deadline_ms > 1000000 THEN 'NOT_DUE'
+        |    WHEN exec_deadline_ms > 1000000 THEN 'SKIP_EXTENDED'
+        |    WHEN NOT "exists" THEN 'SKIP_MISSING'
+        |    ELSE 'MARK_UNHEALTHY' END AS action
+        |FROM rcv ORDER BY container_id""".stripMargin,
+      """rcv(container_id, deadline_ms, exec_deadline_ms, "exists")
+        |AS (VALUES
+        |  (1, 2000000, -1, true),
+        |  (2, 500000, -1, true),
+        |  (3, 400000, 3000000, true),
+        |  (4, 300000, -1, false))""".stripMargin),
+
+    // Disk-balancer volume mirror: integer basis-point arithmetic over
+    // the literal volume dim.
+    "q_disk_balancer_volumes" -> O.withCtes(
+      """SELECT u.volume_id, u.capacity, u.effective_used,
+        |  u.utilization_bp, t.ideal_bp,
+        |  t.ideal_bp - 1000 AS lower_bp, t.ideal_bp + 1000 AS upper_bp,
+        |  CASE WHEN u.utilization_bp > t.ideal_bp + 1000
+        |      THEN 'ABOVE_THRESHOLD'
+        |    WHEN u.utilization_bp < t.ideal_bp - 1000
+        |      THEN 'BELOW_THRESHOLD'
+        |    ELSE 'WITHIN' END AS role,
+        |  CAST(greatest((u.utilization_bp - (t.ideal_bp + 1000))
+        |    * u.capacity, 0) // 10000 AS BIGINT) AS bytes_to_move,
+        |  (t.n_usable >= 2 AND NOT (t.max_util < t.ideal_bp + 1000
+        |    AND t.min_util > t.ideal_bp - 1000)) AS move_needed,
+        |  (SELECT CAST(CASE WHEN max(n_usable) <= 1 THEN 0
+        |     ELSE sum(abs(u2.utilization_bp - t2.ideal_bp)) END AS BIGINT)
+        |   FROM dbv_usable u2 CROSS JOIN dbv_tot t2) AS density_bp
+        |FROM dbv_usable u CROSS JOIN dbv_tot t
+        |UNION ALL
+        |SELECT volume_id, capacity, 0, 0, 0, 0, 0,
+        |  'SKIPPED_NO_CAPACITY', 0, false,
+        |  (SELECT CAST(CASE WHEN max(n_usable) <= 1 THEN 0
+        |     ELSE sum(abs(u2.utilization_bp - t2.ideal_bp)) END AS BIGINT)
+        |   FROM dbv_usable u2 CROSS JOIN dbv_tot t2)
+        |FROM dbv_vols WHERE capacity <= 0
+        |ORDER BY volume_id""".stripMargin,
+      """dbv_vols(volume_id, capacity, available, committed, spared)
+        |AS (VALUES
+        |  ('v1', 1000000, 150000, 50000, 10000),
+        |  ('v2', 1000000, 700000, 0, 10000),
+        |  ('v3', 1000000, 500000, 20000, 10000),
+        |  ('v9', 0, 0, 0, 0))""".stripMargin,
+      """dbv_usable AS (
+        |  SELECT volume_id, CAST(capacity AS BIGINT) AS capacity,
+        |    CAST(capacity - available + committed AS BIGINT)
+        |      AS effective_used,
+        |    CAST(CAST(capacity - available + committed AS BIGINT)
+        |      * 10000 // capacity AS BIGINT) AS utilization_bp
+        |  FROM dbv_vols WHERE capacity > 0)""".stripMargin,
+      """dbv_tot AS (
+        |  SELECT CAST(sum(effective_used) * 10000 // sum(capacity)
+        |      AS BIGINT) AS ideal_bp,
+        |    count(*) AS n_usable, max(utilization_bp) AS max_util,
+        |    min(utilization_bp) AS min_util
+        |  FROM dbv_usable)""".stripMargin),
+
+    // Move-choice mirror: source/dest picks + the rung scan with the
+    // first-survivor cutoff.
+    "q_disk_balancer_move" -> O.withCtes(
+      """SELECT c.container_id, s.src_volume, d.dst_volume,
+        |  CASE WHEN sum(CASE WHEN c2.verdict_raw = 'CHOSEN' THEN 1
+        |      ELSE 0 END) > 0 THEN 'NOT_SCANNED'
+        |    ELSE c.verdict_raw END AS verdict,
+        |  c.bytes_used
+        |FROM dbm_scan c
+        |CROSS JOIN dbm_src s CROSS JOIN dbm_dst d
+        |LEFT JOIN dbm_scan c2 ON c2.container_id < c.container_id
+        |GROUP BY c.container_id, s.src_volume, d.dst_volume,
+        |  c.verdict_raw, c.bytes_used
+        |ORDER BY c.container_id""".stripMargin,
+      """dbm_vols(volume_id, capacity, available, committed, spared)
+        |AS (VALUES
+        |  ('v1', 1000000, 150000, 50000, 10000),
+        |  ('v2', 1000000, 700000, 0, 10000),
+        |  ('v3', 1000000, 500000, 20000, 10000),
+        |  ('v9', 0, 0, 0, 0))""".stripMargin,
+      """dbm_conts(container_id, volume_id, bytes_used, state, in_set,
+        |  in_progress) AS (VALUES
+        |  (1, 'v1', 100000, 'CLOSED', false, false),
+        |  (2, 'v1', 100000, 'CLOSED', true, true),
+        |  (3, 'v1', 0, 'CLOSED', true, false),
+        |  (4, 'v1', 100000, 'OPEN', true, false),
+        |  (5, 'v1', 800000, 'CLOSED', true, false),
+        |  (6, 'v1', 400000, 'QUASI_CLOSED', true, false),
+        |  (7, 'v1', 120000, 'CLOSED', true, false),
+        |  (8, 'v1', 50000, 'CLOSED', true, false),
+        |  (9, 'v2', 60000, 'CLOSED', true, false))""".stripMargin,
+      """dbm_usable AS (
+        |  SELECT volume_id, CAST(capacity AS BIGINT) AS capacity,
+        |    CAST(available AS BIGINT) AS available,
+        |    CAST(committed AS BIGINT) AS committed,
+        |    CAST(CAST(capacity - available + committed AS BIGINT)
+        |      * 10000 // capacity AS BIGINT) AS utilization_bp,
+        |    CAST(available - committed - spared AS BIGINT)
+        |      AS usable_space
+        |  FROM dbm_vols WHERE capacity > 0)""".stripMargin,
+      """dbm_ideal AS (
+        |  SELECT CAST(sum(capacity - available + committed) * 10000
+        |    // sum(capacity) AS BIGINT) AS ideal_bp
+        |  FROM dbm_usable)""".stripMargin,
+      """dbm_src AS (
+        |  SELECT volume_id AS src_volume, utilization_bp AS src_util
+        |  FROM dbm_usable
+        |  ORDER BY utilization_bp DESC, volume_id DESC LIMIT 1)""".stripMargin,
+      """dbm_dst AS (
+        |  SELECT u.volume_id AS dst_volume, u.capacity AS dst_capacity,
+        |    u.available AS dst_available, u.committed AS dst_committed,
+        |    u.usable_space AS dst_usable
+        |  FROM dbm_usable u CROSS JOIN dbm_src s
+        |  WHERE u.utilization_bp < s.src_util AND u.usable_space > 0
+        |  ORDER BY u.utilization_bp, u.volume_id LIMIT 1)""".stripMargin,
+      """dbm_scan AS (
+        |  SELECT c.container_id, CAST(c.bytes_used AS BIGINT)
+        |      AS bytes_used,
+        |    CASE WHEN NOT c.in_set THEN 'SKIP_NOT_IN_SET'
+        |      WHEN c.in_progress THEN 'SKIP_IN_PROGRESS'
+        |      WHEN c.bytes_used <= 0 THEN 'SKIP_EMPTY'
+        |      WHEN c.state NOT IN ('CLOSED', 'QUASI_CLOSED')
+        |        THEN 'SKIP_STATE'
+        |      WHEN c.bytes_used >= d.dst_usable THEN 'SKIP_TOO_BIG'
+        |      WHEN (d.dst_capacity - d.dst_available + d.dst_committed
+        |          + c.bytes_used) * 10000 // d.dst_capacity
+        |          >= i.ideal_bp + 1000
+        |        THEN 'SKIP_WOULD_EXCEED'
+        |      ELSE 'CHOSEN' END AS verdict_raw
+        |  FROM dbm_conts c
+        |  CROSS JOIN dbm_src s CROSS JOIN dbm_dst d
+        |  CROSS JOIN dbm_ideal i
+        |  WHERE c.volume_id = s.src_volume)""".stripMargin),
+
     // Metadata-scan mirror: the same gate → rung → outcome CASE ladder
     // over the literal container fixture.
     "q_container_meta_scan" -> O.withCtes(

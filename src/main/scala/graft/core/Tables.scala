@@ -1349,6 +1349,95 @@ object Tables {
       .toDF("container_id", "cstate", "initial_bcsid")
   }
 
+  /** recovering_containers: the DN recovering map for the stale-scrub —
+    * one within deadline, one expired and marked, one expired but
+    * re-registered with an extended deadline before the task ran, one
+    * expired and vanished from the container set. exec_deadline_ms is
+    * the value the TASK re-reads (-1 = entry gone). */
+  def recoveringContainers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 2000000L, -1L, true),
+      (2L, 500000L, -1L, true),
+      (3L, 400000L, 3000000L, true),
+      (4L, 300000L, -1L, false))
+      .toDF("container_id", "deadline_ms", "exec_deadline_ms", "exists")
+  }
+
+  /** snapdiff_cleanup_jobs: the diff-job table state the cleanup walks —
+    * prior-run purged jobs awaiting report deletion, age-expired and
+    * terminal-status jobs (incl. a stale IN_PROGRESS past the window),
+    * live DONE/QUEUED jobs, and jobs past the per-task purge cap. */
+  def snapdiffCleanupJobs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("j01", "DONE", 800000000L, false, 120L),
+      ("j02", "FAILED", 1000L, false, 30L),
+      ("j03", "DONE", 5000L, false, 500L),
+      ("j04", "IN_PROGRESS", 700000000L, false, 0L),
+      ("j05", "REJECTED", 2000L, false, 0L),
+      ("j06", "CANCELLED", 1000L, false, 10L),
+      ("j07", "QUEUED", 3000L, false, 0L),
+      ("j08", "DONE", 900000000L, false, 60L),
+      ("j20", "DONE", 950000000L, true, 200L),
+      ("j21", "FAILED", 10000L, true, 40L))
+      .toDF("job_key", "status", "age_ms", "in_purged_table",
+        "report_entries")
+  }
+
+  /** dn_volumes: one DN's disk set for the disk balancer — an
+    * over-threshold source, an under-threshold destination, a within-
+    * band volume, and a zero-capacity (failed probe) volume the
+    * calculations must exclude. */
+  def dnVolumes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("v1", 1000000L, 150000L, 50000L, 10000L),
+      ("v2", 1000000L, 700000L, 0L, 10000L),
+      ("v3", 1000000L, 500000L, 20000L, 10000L),
+      ("v9", 0L, 0L, 0L, 0L))
+      .toDF("volume_id", "capacity", "available", "committed", "spared")
+  }
+
+  /** dn_balancer_containers: the source volume's container list, one
+    * row per chooseContainer rung (dropped-from-set, in-progress, empty,
+    * non-movable state, too big for dest, would exceed the upper
+    * threshold, the chosen survivor, a post-choice container) plus one
+    * on another volume that must not be scanned at all. */
+  def dnBalancerContainers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "v1", 100000L, "CLOSED", false, false),
+      (2L, "v1", 100000L, "CLOSED", true, true),
+      (3L, "v1", 0L, "CLOSED", true, false),
+      (4L, "v1", 100000L, "OPEN", true, false),
+      (5L, "v1", 800000L, "CLOSED", true, false),
+      (6L, "v1", 400000L, "QUASI_CLOSED", true, false),
+      (7L, "v1", 120000L, "CLOSED", true, false),
+      (8L, "v1", 50000L, "CLOSED", true, false),
+      (9L, "v2", 60000L, "CLOSED", true, false))
+      .toDF("container_id", "volume_id", "bytes_used", "state",
+        "in_set", "in_progress")
+  }
+
+  /** defrag_chain: the global snapshot chain the defrag service walks —
+    * a first-in-path defrag (full), an already-defragged entry with
+    * stale versions (cleanup), one without (no cleanup), an incremental
+    * defrag consuming the second budget slot, and entries past the
+    * budget on two paths (never visited). */
+  def defragChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "d1", "vol0", "bucket0", true, 0L),
+      (2L, "d2", "vol0", "bucket0", false, 2L),
+      (3L, "d3", "vol2", "bucket5", false, 0L),
+      (4L, "d4", "vol0", "bucket0", true, 1L),
+      (5L, "d5", "vol2", "bucket5", true, 0L),
+      (6L, "d6", "vol1", "bucket3", false, 0L))
+      .toDF("global_idx", "name", "volume", "bucket", "needs_defrag",
+        "version")
+  }
+
   /** meta_scan_containers: one row per metadata-scan rung of
     * ContainerScanHelper/KeyValueContainerCheck — gate skips (failed
     * volume, recently scanned), each first-failing fastCheck rung, the

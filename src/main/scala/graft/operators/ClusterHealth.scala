@@ -3576,4 +3576,173 @@ object ClusterHealth {
         "scanned_inc")
       .orderBy("container_id")
   }
+
+  /**
+   * Stale RECOVERING-container scrub — the EC-recovery timeout reaper
+   * (container-service/.../background/
+   * StaleRecoveringContainerScrubbingService.java:58-103): the service
+   * pass enqueues every recovering container whose deadline has passed
+   * (`currentTime >= deadline`, removing it from the recovering map);
+   * at task execution the deadline is RE-READ — a re-registered entry
+   * with an extended deadline skips the scrub (:90-94), a container no
+   * longer in the set is a no-op (:95-99), anything else is marked
+   * UNHEALTHY. Containers still inside their deadline are not enqueued
+   * at all.
+   *
+   * Scale shape: one projection over the DN's recovering map — a
+   * control-plane dim.
+   */
+  def staleRecoveringScrub(recovering: DataFrame, nowMs: Long): DataFrame =
+    recovering
+      .withColumn("action",
+        when(col("deadline_ms") > nowMs, lit("NOT_DUE"))
+          .when(col("exec_deadline_ms") > nowMs, lit("SKIP_EXTENDED"))
+          .when(!col("exists"), lit("SKIP_MISSING"))
+          .otherwise(lit("MARK_UNHEALTHY")))
+      .select("container_id", "deadline_ms", "action")
+      .orderBy("container_id")
+
+  /**
+   * DN disk-balancer volume plan — DiskBalancerService +
+   * DiskBalancerVolumeCalculation (container-service/.../diskbalancer/):
+   * effectiveUsed = capacity − available + committed (:154-156
+   * computeEffectiveUsage), utilization = effectiveUsed/capacity,
+   * idealUsage = Σeff/Σcap (:70-100), thresholds ideal ± threshold/100
+   * (DefaultContainerChoosingPolicy:96-99; default threshold 10% —
+   * DiskBalancerConfiguration:68), bytesToMove = Σ max(0,
+   * (util − upper)·capacity) (DiskBalancerService:772-800
+   * calculateBytesToMove), volumeDataDensity = Σ|util − ideal|
+   * (:113-141), and the pair gate: nothing moves while the highest
+   * volume sits below upper AND the lowest above lower (:109-113).
+   * Zero-capacity volumes are excluded from every calculation (:155).
+   *
+   * All ratios are basis points via integer floor division — the
+   * engine's deterministic definition of the reference's doubles (same
+   * decision structure; no FP in any comparison).
+   *
+   * Scale shape: per-DN volume sets are tiny dims; one scalar aggregate
+   * broadcast-crossed back. thresholdBp = threshold·100 (10% = 1000).
+   */
+  def diskBalancerVolumePlan(volumes: DataFrame,
+                             thresholdBp: Long = 1000L): DataFrame = {
+    val usable = volumes.filter(col("capacity") > 0)
+      .withColumn("effective_used",
+        col("capacity") - col("available") + col("committed"))
+      .withColumn("utilization_bp",
+        expr("effective_used * 10000 DIV capacity"))
+    val totals = usable.agg(
+      expr("sum(effective_used) * 10000 DIV sum(capacity)").as("ideal_bp"),
+      count(lit(1)).as("n_usable"),
+      max("utilization_bp").as("max_util"),
+      min("utilization_bp").as("min_util"))
+    val planned = usable.crossJoin(broadcast(totals))
+      .withColumn("upper_bp", col("ideal_bp") + thresholdBp)
+      .withColumn("lower_bp", col("ideal_bp") - thresholdBp)
+      .withColumn("role",
+        when(col("utilization_bp") > col("upper_bp"), lit("ABOVE_THRESHOLD"))
+          .when(col("utilization_bp") < col("lower_bp"),
+            lit("BELOW_THRESHOLD"))
+          .otherwise(lit("WITHIN")))
+      .withColumn("bytes_to_move", expr(
+        "greatest((utilization_bp - upper_bp) * capacity, 0L) DIV 10000"))
+      .withColumn("move_needed",
+        col("n_usable") >= 2 &&
+          !(col("max_util") < col("upper_bp") &&
+            col("min_util") > col("lower_bp")))
+    val density = planned.agg(
+      when(max(col("n_usable")) <= 1, 0L)
+        .otherwise(sum(abs(col("utilization_bp") - col("ideal_bp"))))
+        .cast("long").as("density_bp"))
+    val skipped = volumes.filter(col("capacity") <= 0)
+      .select(col("volume_id"), col("capacity"),
+        lit(0L).as("effective_used"), lit(0L).as("utilization_bp"),
+        lit(0L).as("ideal_bp"), lit(0L).as("lower_bp"),
+        lit(0L).as("upper_bp"), lit("SKIPPED_NO_CAPACITY").as("role"),
+        lit(0L).as("bytes_to_move"), lit(false).as("move_needed"))
+    planned
+      .select("volume_id", "capacity", "effective_used", "utilization_bp",
+        "ideal_bp", "lower_bp", "upper_bp", "role", "bytes_to_move",
+        "move_needed")
+      .unionByName(skipped)
+      .crossJoin(broadcast(density))
+      .orderBy("volume_id")
+  }
+
+  /**
+   * DN disk-balancer move choice — DefaultContainerChoosingPolicy
+   * (diskbalancer/policy/DefaultContainerChoosingPolicy.java:71-230):
+   * volumes sorted ascending by (utilization, storageID); the source is
+   * the LAST (highest) volume; the destination is the first
+   * lower-utilization volume with positive usable space (available −
+   * committed − spared, VolumeUsage:182-184); the source's containers
+   * are scanned in order against the rungs of chooseContainer:166-230 —
+   * dropped from the container set, move already in progress, zero
+   * bytes, state outside the movable set ({CLOSED, QUASI_CLOSED} —
+   * DiskBalancerConfiguration:52), container ≥ destination usable
+   * space, and the would-exceed-upper-threshold projection
+   * (computeUtilization with committed + container size) — the first
+   * survivor is CHOSEN and the scan stops (containers after it are
+   * NOT_SCANNED). Models the fresh-iterator first-destination pass; the
+   * reference's hour-long per-volume iterator cache makes later
+   * destinations see only the iterator's remainder
+   * (DefaultContainerChoosingPolicy:60-63).
+   *
+   * Scale shape: one windowed scan over the source volume's container
+   * list joined against two broadcast one-row dims (source pick, dest
+   * pick). Integer basis points throughout.
+   */
+  def diskBalancerMove(volumes: DataFrame, containers: DataFrame,
+                       thresholdBp: Long = 1000L): DataFrame = {
+    val usable = volumes.filter(col("capacity") > 0)
+      .withColumn("effective_used",
+        col("capacity") - col("available") + col("committed"))
+      .withColumn("utilization_bp",
+        expr("effective_used * 10000 DIV capacity"))
+      .withColumn("usable_space",
+        col("available") - col("committed") - col("spared"))
+    val ideal = usable.agg(
+      expr("sum(effective_used) * 10000 DIV sum(capacity)").as("ideal_bp"))
+    val src = usable
+      .orderBy(col("utilization_bp").desc, col("volume_id").desc)
+      .limit(1)
+      .select(col("volume_id").as("src_volume"),
+        col("utilization_bp").as("src_util"))
+    val dst = usable.crossJoin(broadcast(src))
+      .filter(col("utilization_bp") < col("src_util") &&
+        col("usable_space") > 0)
+      .orderBy(col("utilization_bp"), col("volume_id"))
+      .limit(1)
+      .select(col("volume_id").as("dst_volume"),
+        col("capacity").as("dst_capacity"),
+        col("available").as("dst_available"),
+        col("committed").as("dst_committed"),
+        col("usable_space").as("dst_usable"))
+    val verdictRaw =
+      when(!col("in_set"), lit("SKIP_NOT_IN_SET"))
+        .when(col("in_progress"), lit("SKIP_IN_PROGRESS"))
+        .when(col("bytes_used") <= 0, lit("SKIP_EMPTY"))
+        .when(!col("state").isin("CLOSED", "QUASI_CLOSED"),
+          lit("SKIP_STATE"))
+        .when(col("bytes_used") >= col("dst_usable"), lit("SKIP_TOO_BIG"))
+        .when(expr("(dst_capacity - dst_available + dst_committed + " +
+          "bytes_used) * 10000 DIV dst_capacity") >=
+          col("ideal_bp") + thresholdBp, lit("SKIP_WOULD_EXCEED"))
+        .otherwise(lit("CHOSEN"))
+    val wScan = Window.partitionBy(lit(0)).orderBy("container_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    containers.crossJoin(broadcast(src))
+      .filter(col("volume_id") === col("src_volume"))
+      .crossJoin(broadcast(dst))
+      .crossJoin(broadcast(ideal))
+      .withColumn("verdict_raw", verdictRaw)
+      .withColumn("chosen_before",
+        coalesce(sum(when(col("verdict_raw") === "CHOSEN", 1L)
+          .otherwise(0L)).over(wScan), lit(0L)))
+      .withColumn("verdict",
+        when(col("chosen_before") > 0, lit("NOT_SCANNED"))
+          .otherwise(col("verdict_raw")))
+      .select("container_id", "src_volume", "dst_volume", "verdict",
+        "bytes_used")
+      .orderBy("container_id")
+  }
 }

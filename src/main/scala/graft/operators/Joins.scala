@@ -291,4 +291,57 @@ object Joins {
       .select("req_id", "op", "from_snap", "to_snap", "verdict", "pct")
       .orderBy("req_id")
   }
+
+  /**
+   * Snapshot-diff cleanup plan — SnapshotDiffCleanupService
+   * (ozone-manager/.../service/SnapshotDiffCleanupService.java:115-131 +
+   * :155-209): two phases in a fixed order chosen so a concurrent diff
+   * request never sees a DONE job whose report is already gone —
+   *
+   *  1. removeOlderJobReport (:185-209): every job ALREADY in the purged
+   *    table (moved by a prior run) has its report rows range-deleted
+   *    and its purge-table entry dropped ⇒ REPORT_PURGED;
+   *  2. moveOldSnapDiffJobsToPurgeTable (:155-183): active jobs walked
+   *    in job-key order, cap `maxJobToPurgePerTask` (default 100,
+   *    OMConfigKeys:662) PURGED moves per run, `while (... &&
+   *    purgeCount < cap)` — so once the cap is hit the walk stops and
+   *    later jobs (purgeable or not) are untouched ⇒ NOT_REACHED; a
+   *    visited job moves iff it is older than `maxAllowedTime` (default
+   *    7 d, OMConfigKeys:668 — stale QUEUED/IN_PROGRESS from a crashed
+   *    leader purge too) OR its status is FAILED / REJECTED / CANCELLED
+   *    ⇒ MOVED_TO_PURGE (recording its totalDiffEntries), else
+   *    RETAINED.
+   *
+   * Scale shape: one running-sum window over the control-plane job
+   * table; no data-plane access.
+   */
+  def snapdiffCleanupPlan(jobs: DataFrame, maxAgeMs: Long,
+                          maxPurgePerTask: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("job_key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val active = jobs.filter(!col("in_purged_table"))
+      .withColumn("purgeable",
+        col("age_ms") > maxAgeMs ||
+          col("status").isin("FAILED", "REJECTED", "CANCELLED"))
+      .withColumn("purge_rank",
+        sum(when(col("purgeable"), 1L).otherwise(0L)).over(w))
+      .withColumn("prior_purges",
+        col("purge_rank") - when(col("purgeable"), 1L).otherwise(0L))
+      .withColumn("action",
+        when(col("prior_purges") >= maxPurgePerTask, lit("NOT_REACHED"))
+          .when(col("purgeable"), lit("MOVED_TO_PURGE"))
+          .otherwise(lit("RETAINED")))
+      .withColumn("n_report_entries",
+        when(col("action") === "MOVED_TO_PURGE", col("report_entries"))
+          .otherwise(lit(0L)))
+    val purged = jobs.filter(col("in_purged_table"))
+      .withColumn("action", lit("REPORT_PURGED"))
+      .withColumn("n_report_entries", col("report_entries"))
+    active.select("job_key", "status", "action", "n_report_entries")
+      .unionByName(
+        purged.select("job_key", "status", "action", "n_report_entries"))
+      .orderBy("job_key")
+  }
 }

@@ -266,6 +266,78 @@ object Reclaim {
    * Scale shape: a pure projection over the trash-root listing (FS
    * control plane); the only window-free pass rides the scan.
    */
+  /**
+   * Snapshot-defrag service plan — SnapshotDefragService
+   * (ozone-manager/.../snapshot/defrag/SnapshotDefragService.java):
+   *
+   *  - run gate (:813-827 triggerSnapshotDefragOnce): without the
+   *    rocks-tools native library the WHOLE run refuses — every chain
+   *    entry is untouched (SKIPPED_NATIVE);
+   *  - the task walks the GLOBAL snapshot chain forward with a
+   *    per-task budget (snapshotLimitPerTask, default 1 —
+   *    OMConfigKeys:497); iteration stops when the budget is spent, so
+   *    later entries — defrag-needing or not — are NOT_REACHED (:845-
+   *    858 `while (snapshotLimit > 0 && ...)`);
+   *  - an already-defragmented snapshot (needsDefragmentation=false,
+   *    :686-712) is skipped without consuming budget, and its stale
+   *    checkpoint version dirs below `version` are cleaned
+   *    (deleteSnapshotCheckpointDirectories(version-1)) when version>0;
+   *  - a defrag-needing snapshot checkpoints its PATH predecessor —
+   *    or itself when it is the first in its (volume,bucket) path chain
+   *    (:716-718) — and runs FULL defragmentation in that first-in-path
+   *    case (:734-744: per tracked column family {keyTable,
+   *    directoryTable, fileTable} delete ranges outside the bucket
+   *    prefix + force-compact ⇒ tables_compacted = 3), INCREMENTAL
+   *    otherwise (:746-756: delta SST files → spilled logical diff →
+   *    ingest); either way the snapshot DB atomically switches to
+   *    version+1 and checkpoint dirs ≤ version−1 are dropped
+   *    (:762-776, atomicSwitchSnapshotDB:512-540).
+   *
+   * Scale shape: the chain is control-plane-sized; two window passes
+   * (path lag + running budget) over a literal dim — no corpus access.
+   */
+  def snapshotDefragPlan(chain: DataFrame, limitPerTask: Int = 2,
+                         nativeAvailable: Boolean = true): DataFrame = {
+    val wPath = org.apache.spark.sql.expressions.Window
+      .partitionBy("volume", "bucket").orderBy("global_idx")
+    val wChain = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("global_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chain
+      .withColumn("path_prev", lag("name", 1).over(wPath))
+      .withColumn("defrag_rank",
+        sum(when(col("needs_defrag"), 1L).otherwise(0L)).over(wChain))
+      .withColumn("prior_defrags",
+        col("defrag_rank") - when(col("needs_defrag"), 1L).otherwise(0L))
+      .withColumn("visited",
+        lit(nativeAvailable) && col("prior_defrags") < limitPerTask)
+      .withColumn("action",
+        when(!lit(nativeAvailable), lit("SKIPPED_NATIVE"))
+          .when(!col("visited"), lit("NOT_REACHED"))
+          .when(!col("needs_defrag"), lit("SKIP_DEFRAGGED"))
+          .when(col("path_prev").isNull, lit("FULL_DEFRAG"))
+          .otherwise(lit("INCREMENTAL_DEFRAG")))
+      .withColumn("checkpoint_source",
+        when(col("action").isin("FULL_DEFRAG", "INCREMENTAL_DEFRAG"),
+          coalesce(col("path_prev"), col("name"))).otherwise(lit("")))
+      .withColumn("tables_compacted",
+        when(col("action") === "FULL_DEFRAG", lit(3L)).otherwise(lit(0L)))
+      .withColumn("new_version",
+        when(col("action").isin("FULL_DEFRAG", "INCREMENTAL_DEFRAG"),
+          col("version") + 1L).otherwise(col("version")))
+      .withColumn("cleanup_below",
+        when(col("action").isin("FULL_DEFRAG", "INCREMENTAL_DEFRAG"),
+          col("version") - 1L)
+          .when(col("action") === "SKIP_DEFRAGGED" && col("version") > 0,
+            col("version") - 1L)
+          .otherwise(lit(-1L)))
+      .select("global_idx", "name", "volume", "bucket", "action",
+        "checkpoint_source", "tables_compacted", "new_version",
+        "cleanup_below")
+      .orderBy("global_idx")
+  }
+
   def trashCheckpointRotation(entries: DataFrame, nowMs: Long,
                               deletionIntervalMs: Long): DataFrame = {
     val base = regexp_replace(col("name"), "-\\d+$", "")

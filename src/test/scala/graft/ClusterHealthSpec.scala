@@ -1224,4 +1224,34 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got(13L)._4 === true && got(13L)._5 === false)
     assert(got.size === 13)
   }
+
+  test("disk balancer: volume plan thresholds + move rung walk") {
+    val vols = graft.core.Tables.dnVolumes(spark, sf)
+    val plan = graft.operators.ClusterHealth.diskBalancerVolumePlan(vols)
+      .collect().map(r => r.getAs[String]("volume_id") ->
+        ((r.getAs[String]("role"), r.getAs[Long]("utilization_bp"),
+          r.getAs[Long]("bytes_to_move"), r.getAs[Long]("density_bp"),
+          r.getAs[Boolean]("move_needed")))).toMap
+    // ideal = 1720000*10000/3000000 = 5733 bp; upper 6733, lower 4733
+    assert(plan("v1") === (("ABOVE_THRESHOLD", 9000L, 226700L, 6533L, true)))
+    assert(plan("v2")._1 === "BELOW_THRESHOLD")
+    assert(plan("v3")._1 === "WITHIN")
+    assert(plan("v9")._1 === "SKIPPED_NO_CAPACITY")
+    val move = graft.operators.ClusterHealth.diskBalancerMove(vols,
+        graft.core.Tables.dnBalancerContainers(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[String]("src_volume"),
+          r.getAs[String]("dst_volume")))).toMap
+    assert(move(1L)._1 === "SKIP_NOT_IN_SET")
+    assert(move(2L)._1 === "SKIP_IN_PROGRESS")
+    assert(move(3L)._1 === "SKIP_EMPTY")
+    assert(move(4L)._1 === "SKIP_STATE")
+    assert(move(5L)._1 === "SKIP_TOO_BIG")
+    // (300000 + 400000) / 100 = 7000 bp >= 6733 upper
+    assert(move(6L)._1 === "SKIP_WOULD_EXCEED")
+    assert(move(7L) === (("CHOSEN", "v1", "v2")))
+    assert(move(8L)._1 === "NOT_SCANNED")
+    // the v2-resident container is not part of the source scan
+    assert(!move.contains(9L) && move.size === 8)
+  }
 }

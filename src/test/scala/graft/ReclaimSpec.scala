@@ -194,4 +194,31 @@ class ReclaimSpec extends SparkSpecBase {
     assert(got(("/vol2/bucket5/.Trash/clerk3", "Current"))._1 ===
       "CHECKPOINTED")
   }
+
+  test("snapshotDefragPlan: budget walk, modes, versions, cleanup") {
+    val chain = graft.core.Tables.defragChain(spark, sf)
+    val got = graft.operators.Reclaim.snapshotDefragPlan(chain)
+      .collect().map(r => r.getAs[String]("name") ->
+        ((r.getAs[String]("action"), r.getAs[String]("checkpoint_source"),
+          r.getAs[Long]("tables_compacted"), r.getAs[Long]("new_version"),
+          r.getAs[Long]("cleanup_below")))).toMap
+    // first in its path chain: FULL defrag checkpoints ITSELF,
+    // compacts the 3 tracked column families, bumps to version 1
+    assert(got("d1") === (("FULL_DEFRAG", "d1", 3L, 1L, -1L)))
+    // already defragged, version 2: stale checkpoint dirs <= 1 cleaned,
+    // budget untouched
+    assert(got("d2") === (("SKIP_DEFRAGGED", "", 0L, 2L, 1L)))
+    // already defragged at version 0: nothing to clean
+    assert(got("d3") === (("SKIP_DEFRAGGED", "", 0L, 0L, -1L)))
+    // second budget slot: INCREMENTAL against the path predecessor
+    assert(got("d4") === (("INCREMENTAL_DEFRAG", "d2", 0L, 2L, 0L)))
+    // budget spent: the walk stops, later entries untouched
+    assert(got("d5")._1 === "NOT_REACHED")
+    assert(got("d6")._1 === "NOT_REACHED")
+    // native lib missing: the whole run refuses
+    val off = graft.operators.Reclaim
+      .snapshotDefragPlan(chain, nativeAvailable = false)
+      .select("action").distinct().collect().map(_.getString(0)).toSeq
+    assert(off === Seq("SKIPPED_NATIVE"))
+  }
 }
