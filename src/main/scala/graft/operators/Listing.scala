@@ -321,7 +321,9 @@ object Listing {
       .join(broadcast(reqs), Seq("volume", "bucket"))
       .filter(col("key").startsWith(col("prefix")))
       .groupBy("req_id").agg(count(lit(1)).as("matching"))
-    val base = reqs.join(matches, Seq("req_id"), "left")
+    // matches is ≤ |reqs| rows post-aggregation — broadcast it or the
+    // planner SMJs two shuffles for a 5-row join
+    val base = reqs.join(broadcast(matches), Seq("req_id"), "left")
       .withColumn("matching", coalesce(col("matching"), lit(0L)))
       .withColumn("truncated", col("matching") > col("max_keys"))
       .withColumn("key_count", least(col("matching"), col("max_keys")))

@@ -495,4 +495,159 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("balancerMoves == a literal rank-paired budgeted-fill walk over" +
+    " random cluster states") {
+    // ContainerBalancer iteration shape: eligible-node utilizations vs
+    // avg±threshold, over/under sets rank-paired, per-pair budget =
+    // min(source shed, target headroom, maxSizeToMove), candidate
+    // containers (CLOSED, on source, absent from target) filled
+    // largest-first under the budget.
+    val rnd = new Random(60621)
+    val th = 1000L
+    val maxMove = 100L * 1024 * 1024 * 1024
+    val nodeStates = Seq("HEALTHY", "HEALTHY", "HEALTHY", "STALE")
+    val opStates = Seq("IN_SERVICE", "IN_SERVICE", "IN_SERVICE",
+      "DECOMMISSIONING")
+    val dns = (0 until 10).map { i =>
+      val cap = 1000000000L
+      (s"dn$i", "r" + (i % 3),
+        nodeStates(rnd.nextInt(nodeStates.length)),
+        opStates(rnd.nextInt(opStates.length)),
+        cap, (cap * (5 + rnd.nextInt(90)) / 100))
+    }
+    val contStates = Seq("CLOSED", "CLOSED", "OPEN", "DELETED")
+    val conts = (1L to 200L).map(id => (id,
+      contStates(rnd.nextInt(contStates.length)),
+      1000000L + rnd.nextInt(50000000).toLong))
+    val reps = conts.flatMap { case (id, _, _) =>
+      rnd.shuffle(dns.map(_._1)).take(rnd.nextInt(3) + 1).map(dn =>
+        (id, dn, "CLOSED"))
+    }
+    // ---- literal walk ----
+    val eligible = dns.filter(d => d._3 == "HEALTHY" && d._4 == "IN_SERVICE")
+      .map(d => (d._1, d._5, d._6, (d._5 - d._6) * 10000L / d._5))
+    val avg = (eligible.map(_._2).sum - eligible.map(_._3).sum) * 10000L /
+      eligible.map(_._2).sum
+    val over = eligible.filter(_._4 > avg + th)
+      .sortBy(e => (-e._4, e._1))
+      .map(e => (e._1, e._2 * (e._4 - (avg - th)) / 10000L))
+    val under = eligible.filter(_._4 < avg - th)
+      .sortBy(e => (e._4, e._1))
+      .map(e => (e._1, e._2 * ((avg + th) - e._4) / 10000L))
+    val contMap = conts.map(c => c._1 -> c).toMap
+    val repsByDn = reps.groupBy(_._2)
+    val holders = reps.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val expected = over.zip(under).flatMap {
+      case ((src, sb), (tgt, tb)) =>
+        val budget = Seq(sb, tb, maxMove).min
+        val cands = repsByDn.getOrElse(src, Seq.empty)
+          .map(_._1).distinct
+          .filter(id => contMap(id)._2 == "CLOSED" &&
+            !holders(id).contains(tgt))
+          .map(id => (id, contMap(id)._3))
+          .sortBy { case (id, used) => (-used, id) }
+        var cum = 0L
+        cands.flatMap { case (id, used) =>
+          cum += used
+          if (cum <= budget) Some((src, id) -> ((tgt, used, cum)))
+          else None
+        }
+    }.toMap
+    // ---- engine ----
+    val got = graft.operators.ClusterHealth.balancerMoves(
+        dns.toDF("uuid", "rack", "state", "op_state", "capacity",
+          "remaining"),
+        reps.toDF("container_id", "datanode", "replica_state"),
+        conts.toDF("container_id", "state", "used_bytes"))
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("container_id")) ->
+        ((r.getAs[String]("target"), r.getAs[Long]("used_bytes"),
+          r.getAs[Long]("cum_bytes")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, want) =>
+      assert(got(k) === want, s"move $k")
+    }
+    assert(expected.nonEmpty, "random space produced moves")
+  }
+
+  test("replicaPlacement == a literal rack-aware pick walk over random" +
+    " cluster states") {
+    // SCMContainerPlacementRackAware shape: under-replicated containers,
+    // eligible nodes (healthy, in-service, space for max(5GB, container)),
+    // first pick prefers uncovered racks then free space then uuid, the
+    // second pick additionally avoids the first pick's rack with the
+    // same fallbacks.
+    val rnd = new Random(90210)
+    val fiveGb = 5L * 1024 * 1024 * 1024
+    val nodeStates = Seq("HEALTHY", "HEALTHY", "HEALTHY", "STALE")
+    val opStates = Seq("IN_SERVICE", "IN_SERVICE", "IN_SERVICE",
+      "IN_MAINTENANCE")
+    val dns = (0 until 12).map { i =>
+      (s"dn$i", "r" + (i % 4),
+        nodeStates(rnd.nextInt(nodeStates.length)),
+        opStates(rnd.nextInt(opStates.length)),
+        // remaining straddles the 5 GB floor so the space rung fires
+        (3L + rnd.nextInt(6)) * 1024 * 1024 * 1024)
+    }
+    val repStates = Seq("CLOSED", "CLOSED", "CLOSED", "UNHEALTHY")
+    val conts = (1L to 250L).map(id => (id,
+      if (rnd.nextInt(15) == 0) "DELETED" else "CLOSED", 3,
+      (1L + rnd.nextInt(7)) * 1024 * 1024 * 1024))
+    val reps = conts.flatMap { case (id, _, _, _) =>
+      rnd.shuffle(dns.map(d => (d._1, d._2))).take(rnd.nextInt(3) + 1)
+        .map { case (dn, rack) =>
+          (id, dn, rack, repStates(rnd.nextInt(repStates.length))) }
+    }
+    // ---- literal walk ----
+    val dnMap = dns.map(d => d._1 -> d).toMap
+    val eligible = dns.filter(d => d._3 == "HEALTHY" && d._4 == "IN_SERVICE")
+    val expected = conts.filter(_._2 != "DELETED").flatMap {
+      case (id, _, rf, bytes) =>
+        val rs = reps.filter(_._1 == id)
+        if (rs.isEmpty) Seq.empty
+        else {
+          val healthy = rs.count(_._4 != "UNHEALTHY")
+          val needed = rf - healthy
+          if (needed <= 0) Seq.empty
+          else {
+            val heldNodes = rs.map(_._2).toSet
+            val heldRacks = rs.filter(_._4 != "UNHEALTHY").map(_._3).toSet
+            val cands = eligible
+              .filter(d => !heldNodes.contains(d._1) &&
+                d._5 >= math.max(fiveGb, bytes))
+              .map(d => (d._1, d._2, d._5, !heldRacks.contains(d._2)))
+            val sorted1 = cands.sortBy { case (u, _, rem, nr) =>
+              (!nr, -rem, u) }
+            sorted1.headOption.toSeq.flatMap { p1 =>
+              val first = (id, 1L) -> ((p1._1, p1._2, p1._4))
+              val second = if (needed >= 2) {
+                cands.filter(_._1 != p1._1)
+                  .sortBy { case (u, rk, rem, nr) =>
+                    (rk == p1._2, !nr, -rem, u) }
+                  .headOption.map(p2 => (id, 2L) -> ((p2._1, p2._2, p2._4)))
+              } else None
+              Seq(first) ++ second
+            }
+          }
+        }
+    }.toMap
+    // ---- engine ----
+    val got = graft.operators.ClusterHealth.replicaPlacement(
+        reps.toDF("container_id", "datanode", "rack", "replica_state"),
+        dns.toDF("uuid", "rack", "state", "op_state", "remaining"),
+        conts.toDF("container_id", "state", "replication_factor",
+          "used_bytes"))
+      .collect().map(r => (r.getAs[Long]("container_id"),
+        r.getAs[Long]("pick")) ->
+        ((r.getAs[String]("datanode"), r.getAs[String]("rack"),
+          r.getAs[Boolean]("new_rack")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, want) =>
+      assert(got(k) === want, s"pick $k")
+    }
+    // both pick orders and both rack outcomes reached
+    assert(expected.keys.exists(_._2 == 2L))
+    assert(expected.values.exists(_._3) && expected.values.exists(!_._3))
+  }
 }
