@@ -650,4 +650,45 @@ class PropertySpec extends SparkSpecBase {
     assert(expected.keys.exists(_._2 == 2L))
     assert(expected.values.exists(_._3) && expected.values.exists(!_._3))
   }
+
+  test("containerReportFold == a literal FCR/ICR replay over random" +
+    " report streams") {
+    // SCM report ingest: a full container report REPLACES the node's
+    // replica set (events before the last FCR boundary are dead), an
+    // incremental report upserts one replica, DELETED removes it.
+    val rnd = new Random(24601)
+    val states = Seq("OPEN", "CLOSED", "QUASI_CLOSED", "UNHEALTHY",
+      "DELETED")
+    val events = (0 until 12).flatMap { d =>
+      val dn = s"dn$d"
+      (1L to (3 + rnd.nextInt(8)).toLong).flatMap { seq =>
+        if (rnd.nextInt(4) == 0) {
+          // FCR: a fresh set of 0..4 distinct containers at this seq
+          rnd.shuffle((1L to 9L).toList).take(rnd.nextInt(5)).map(c =>
+            (dn, seq, "FCR", c, states(rnd.nextInt(4))))
+        } else {
+          Seq((dn, seq, "ICR", 1L + rnd.nextInt(9),
+            states(rnd.nextInt(states.length))))
+        }
+      }
+    }
+    // ---- literal walk ----
+    val expected = events.groupBy(_._1).flatMap { case (dn, evs) =>
+      val lastFcr = evs.filter(_._3 == "FCR").map(_._2)
+        .reduceOption(_ max _).getOrElse(0L)
+      evs.filter(_._2 >= lastFcr)
+        .groupBy(_._4)
+        .map { case (c, es) => (dn, c) -> es.maxBy(_._2)._5 }
+        .filter(_._2 != "DELETED")
+    }.toMap
+    // ---- engine ----
+    val got = graft.operators.ClusterHealth.containerReportFold(
+        events.toDF("datanode", "seq", "kind", "container_id",
+          "replica_state"))
+      .collect().map(r => (r.getAs[String]("datanode"),
+        r.getAs[Long]("container_id")) ->
+        r.getAs[String]("replica_state")).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
 }
