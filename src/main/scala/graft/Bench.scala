@@ -208,6 +208,20 @@ object Bench {
       val sorted10 = spark.read.parquet(wh10 + "/objects")
       val snap1 = spark.read.parquet(wh10 + "/snap1")
       val snap2 = spark.read.parquet(wh10 + "/snap2")
+      // 10× embedding corpus for the ANN probes (stored, like the
+      // namespace; untimed — the ingest metric keeps its r1-comparable
+      // namespace-only meaning). Centroids are an ingest-time index
+      // artifact, exactly like the base pass's ivfCentroidsCached.
+      T.embeddings(spark, sfDir)
+        .crossJoin(spark.range(10).toDF("rep"))
+        .withColumn("vec_id", F.col("vec_id") * 10 + F.col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(wh10 + "/emb")
+      val emb10 = spark.read.parquet(wh10 + "/emb")
+      graft.operators.Similarity.ivfCentroids(
+          graft.operators.Similarity.quantized(emb10))
+        .write.mode("overwrite").parquet(wh10 + "/cents")
+      val cents10 = spark.read.parquet(wh10 + "/cents")
       // probes read the MATERIALIZED 10× warehouse (sorted10), never the
       // lazy obj10 synthesis: re-deriving the crossJoin per probe made the
       // probe time synthesis-bound and heap-sensitive (observed 2.9s vs
@@ -242,7 +256,16 @@ object Bench {
             T.replicas(spark, sfDir)).count()),
         "q_blocks_pending_page" -> (() =>
           graft.operators.ClusterHealth.blocksPendingDeletionPage(sorted10,
-            T.containersScm(spark, sfDir), 20000L, 40).count()))
+            T.containersScm(spark, sfDir), 20000L, 40).count()),
+        // ANN at 10× corpus: brute-force top-k is the honest LINEAR
+        // baseline (O(corpus × queries), broadcast query side); the IVF
+        // probe shows the indexed path's constant advantage (per-cell
+        // probes over precomputed centroids)
+        "q_ann_topk" -> (() =>
+          graft.operators.Similarity.annTopK(emb10).count()),
+        "q_ann_ivf" -> (() =>
+          graft.operators.Similarity.annIvf(emb10,
+            precomputedCentroids = Some(cents10)).count()))
       // three reps, report the best: the fresh probe JVM starts with a
       // cold JIT, and the per-row fold kernels (ns-summary, winner fold)
       // run 5-10× slower uncompiled — the warm rep is the plan's real
