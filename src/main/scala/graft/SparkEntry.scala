@@ -363,6 +363,11 @@ object SparkEntry {
       Similarity.semanticDecon(T.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d),
       precomputedCentroids = Some(ivfCentroidsCached(s, d)))),
+    // Hard-negative mining routed through the IVF index — the scale
+    // path when the query side outgrows a broadcast.
+    "q_hard_negatives_ivf" -> ((s, d) =>
+      Similarity.hardNegativesIvf(T.embeddings(s, d),
+        precomputedCentroids = Some(ivfCentroidsCached(s, d)))),
     // PQ/ADC: the corpus side of the probe touches only 4 small codes per
     // vector (the compressed-index regime; codebooks are a built artifact)
     "q_ann_pq" -> ((s, d) => Similarity.annPq(T.embeddings(s, d),
@@ -2356,6 +2361,33 @@ object SparkEntry {
          |      ON c.cell_id = q.cell_id
          |     AND c.vec_id <> q.vec_id))
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      (O.embQuant +: O.ivfCtes): _*),
+
+    // IVF-routed mirror of q_hard_negatives: same margin/rank logic over
+    // the probed-cells candidate set instead of the full corpus.
+    "q_hard_negatives_ivf" -> O.withCtes(
+      s"""SELECT query_id, neighbor_id, rank, cos_x1e6,
+         |  coalesce(best_pos_cos, 0) - cos_x1e6 AS margin_x1e6
+         |FROM (
+         |  SELECT *,
+         |    max(CASE WHEN n_label = q_label THEN cos_x1e6 END)
+         |      OVER (PARTITION BY query_id) AS best_pos_cos,
+         |    sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY query_id
+         |        ORDER BY cos_x1e6 DESC, neighbor_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS rank,
+         |    n_label <> q_label AS is_neg
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      en.label AS n_label, eq.label AS q_label,
+         |      ${O.cosSql("list_sum([c.qv[i] * q.qv[i] for i in generate_series(1, 64)])", "c.nrm", "q.nrm")} AS cos_x1e6
+         |    FROM ivf_cells c JOIN ivf_probe q
+         |      ON c.cell_id = q.cell_id AND c.vec_id <> q.vec_id
+         |    JOIN emb_n en ON en.vec_id = c.vec_id
+         |    JOIN emb_n eq ON eq.vec_id = q.vec_id))
+         |WHERE is_neg AND rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
       (O.embQuant +: O.ivfCtes): _*),
 
     "q_token_classes" ->

@@ -343,7 +343,7 @@ object Similarity {
       .withColumn("ccos", expr(centCosExpr))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= keep)
-      .select("vec_id", "cell_id", "qv", "nrm", "rn")
+      .select("vec_id", "label", "cell_id", "qv", "nrm", "rn")
   }
 
   /**
@@ -415,6 +415,62 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cell_id", "rank", "cos_x1e6")
+      .orderBy("query_id", "rank")
+  }
+
+  /**
+   * IVF-routed hard-negative mining — the SCALE path of
+   * [[hardNegatives]]: the brute-force miner broadcasts the query side
+   * against the whole corpus (fine while queries ≪ corpus); at a growing
+   * query set or a 100 TB corpus the mining must ride the same inverted
+   * index as retrieval. Each query probes its `nprobe` nearest cells and
+   * mines top-k different-label neighbors (with the best same-label
+   * positive's margin) WITHIN the probed cells — the approximation a
+   * production miner makes (negatives come from the retrieval shortlist;
+   * FAISS-style IVF mining).
+   *
+   * Scale shape: the corpus stays partitioned by its precomputed cell
+   * assignment; only the tiny probe set broadcasts; per-query work is
+   * O(Σ probed-cell sizes), never O(corpus).
+   */
+  def hardNegativesIvf(embeddings: DataFrame, numQueries: Int = 20,
+                       k: Int = 3, nprobe: Int = 2, numCells: Int = 16,
+                       iters: Int = 2,
+                       precomputedCentroids: Option[DataFrame] = None)
+      : DataFrame = {
+    val q = quantized(embeddings)
+    val cents = precomputedCentroids
+      .getOrElse(ivfCentroids(q, numCells, iters))
+    val cells = rankCells(q, cents, keep = 1)
+    val probes = rankCells(q.filter(col("vec_id") < numQueries), cents,
+        nprobe)
+      .select(col("vec_id").as("query_id"), col("cell_id"),
+        col("qv").as("sv"), col("nrm").as("snrm"),
+        col("label").as("q_label"))
+    val scored = cells
+      .select(col("vec_id").as("neighbor_id"), col("cell_id"),
+        col("qv").as("cv"), col("nrm").as("nrm_a"),
+        col("label").as("n_label"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", expr("graft_dot_long(cv, sv)"))
+      .withColumn("cos_x1e6", expr(cosIntSql("dot", "nrm_a", "snrm")))
+    val wAll = Window.partitionBy("query_id")
+    val wNeg = Window.partitionBy("query_id")
+      .orderBy(col("cos_x1e6").desc, col("neighbor_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("best_pos_cos",
+        max(when(col("n_label") === col("q_label"), col("cos_x1e6")))
+          .over(wAll))
+      .withColumn("neg_rank",
+        sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L))
+          .over(wNeg))
+      .filter(col("n_label") =!= col("q_label") && col("neg_rank") <= k)
+      .withColumn("margin_x1e6",
+        coalesce(col("best_pos_cos"), lit(0L)) - col("cos_x1e6"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("neg_rank").as("rank"), col("cos_x1e6"), col("margin_x1e6"))
       .orderBy("query_id", "rank")
   }
 

@@ -353,4 +353,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("IVF hard negatives: probed-cell subset of the exact miner's " +
+    "candidate scores, contiguous monotone ranks") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val labels = emb.selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> String.valueOf(r.get(1))).toMap
+    val rows = graft.operators.Similarity.hardNegativesIvf(emb)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cos_x1e6")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._3)
+      // ranks contiguous from 1, cosine non-increasing along them
+      assert(sorted.map(_._3) === (1L to sorted.length).toSeq, s"q=$q")
+      assert(sorted.map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)), s"q=$q")
+      // every mined neighbor really is a different-label vector
+      g.foreach { case (_, n, _, _) =>
+        assert(labels(n) != labels(q), s"q=$q n=$n") }
+    }
+    // cosine values agree with the exact miner wherever both mined the
+    // same pair (same integer kernel, different candidate routing)
+    val brute = graft.operators.Similarity.hardNegatives(emb)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("cos_x1e6")).toMap
+    val overlap = rows.filter(r => brute.contains((r._1, r._2)))
+    assert(overlap.nonEmpty, "routing overlap expected on a small corpus")
+    overlap.foreach { r =>
+      assert(brute((r._1, r._2)) === r._4, s"pair ${(r._1, r._2)}") }
+  }
 }
