@@ -691,4 +691,173 @@ class PropertySpec extends SparkSpecBase {
     assert(got === expected)
     assert(expected.nonEmpty)
   }
+
+  test("nodeHealthFold == a literal NodeStateManager state machine over" +
+    " random heartbeat/check timelines") {
+    // HEALTHY/HEALTHY_READONLY/STALE/DEAD with the layout gate, the
+    // timeout-wins capture order, resurrection rules, and the
+    // long-pause skip guard; fired-event strings per transition.
+    val rnd = new Random(31415)
+    val scmMlv = 3L; val staleMs = 300000L; val deadMs = 600000L
+    val minChk = staleMs
+    val events = (0 until 10).flatMap { d =>
+      val uuid = s"dn$d"
+      var t = 2L + 2 * rnd.nextInt(50000)
+      val reg = (uuid, t, "REGISTER", 2L + rnd.nextInt(3))
+      val hbs = (0 until rnd.nextInt(12)).map { _ =>
+        t += 2 * (10000 + rnd.nextInt(250000))
+        (uuid, t, "HB", 2L + rnd.nextInt(3))
+      }
+      reg +: hbs
+    }
+    val checks = {
+      var t = 100001L
+      val b = scala.collection.mutable.ArrayBuffer[Long]()
+      while (t < 3200000L) { b += t; t += 2 * (40000 + rnd.nextInt(200000)) }
+      b.toSeq
+    }
+    // ---- literal walk ----
+    case class S(state: String, lastHb: Long, lastChk: Long, mlv: Long)
+    def net(s: S, t: Long): String = s.state match {
+      case "HEALTHY" =>
+        if (s.lastHb < t - staleMs) "STALE"
+        else if (s.mlv != scmMlv) "HEALTHY_READONLY" else "HEALTHY"
+      case "HEALTHY_READONLY" =>
+        if (s.lastHb < t - staleMs) "STALE"
+        else if (s.mlv == scmMlv) "HEALTHY" else "HEALTHY_READONLY"
+      case "STALE" =>
+        if (s.lastHb < t - deadMs) "DEAD"
+        else if (s.lastHb >= t - staleMs) "HEALTHY_READONLY" else "STALE"
+      case _ =>
+        if (s.lastHb >= t - staleMs) "HEALTHY_READONLY" else "DEAD"
+    }
+    val expected = events.map(_._1).distinct.flatMap { uuid =>
+      val merged = (events.filter(_._1 == uuid)
+        .map(e => (e._2, e._3, e._4)) ++
+        checks.map(c => (c, "CHECK", -1L)))
+        .sortBy(identity)
+      var s = S("", -1L, 0L, -1L)
+      merged.flatMap { case (t, kind, mlv) =>
+        kind match {
+          case "REGISTER" =>
+            s = S(if (mlv != scmMlv) "HEALTHY_READONLY" else "HEALTHY",
+              t, s.lastChk, mlv); None
+          case "HB" =>
+            s = S(s.state, t, s.lastChk, mlv); None
+          case _ =>
+            val pre = s
+            val skipped = pre.state == "" || t - pre.lastChk >= minChk
+            val after = if (skipped) pre.state else net(pre, t)
+            s = S(after, pre.lastHb, t, pre.mlv)
+            if (pre.state == "") None
+            else {
+              val stale = pre.lastHb < t - staleMs
+              val dead = pre.lastHb < t - deadMs
+              val mism = pre.mlv != scmMlv
+              val fired =
+                if (skipped) ""
+                else pre.state match {
+                  case "HEALTHY" =>
+                    if (mism && stale) "HEALTHY_READONLY_NODE,STALE_NODE"
+                    else if (mism) "HEALTHY_READONLY_NODE"
+                    else if (stale) "STALE_NODE" else ""
+                  case "HEALTHY_READONLY" =>
+                    if (!mism && stale)
+                      "HEALTHY_READONLY_TO_HEALTHY_NODE,STALE_NODE"
+                    else if (!mism) "HEALTHY_READONLY_TO_HEALTHY_NODE"
+                    else if (stale) "STALE_NODE" else ""
+                  case "STALE" =>
+                    if (dead) "DEAD_NODE"
+                    else if (!stale) "HEALTHY_READONLY_NODE" else ""
+                  case _ =>
+                    if (!stale) "HEALTHY_READONLY_NODE" else ""
+                }
+              Some((uuid, t) -> ((if (skipped) 1 else 0, pre.state, after,
+                pre.lastHb, fired)))
+            }
+        }
+      }
+    }.toMap
+    // ---- engine ----
+    val got = graft.operators.ClusterHealth.nodeHealthFold(
+        events.toDF("uuid", "ts_ms", "kind", "mlv"),
+        checks.toDF("check_ms"))
+      .collect().map(r => (r.getAs[String]("uuid"),
+        r.getAs[Long]("check_ms")) ->
+        ((r.getAs[Int]("skipped"), r.getAs[String]("state_before"),
+          r.getAs[String]("state_after"), r.getAs[Long]("last_hb_ms"),
+          r.getAs[String]("fired")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, want) =>
+      assert(got(k) === want, s"check $k")
+    }
+    val states = expected.values.map(_._3).toSet
+    assert(Set("HEALTHY", "HEALTHY_READONLY", "STALE", "DEAD")
+      .subsetOf(states), s"state space reached: $states")
+  }
+
+  test("dnDispatchLadder == a literal KeyValueHandler replay over random" +
+    " op streams") {
+    // state gate (refusal reason per container state), DELETE_BLOCK
+    // unsupported, the running per-container BCSID fence (replay
+    // ignored at or below the watermark), read-side UNKNOWN_BCSID /
+    // NO_SUCH_BLOCK / BCSID_MISMATCH probes.
+    val rnd = new Random(1729)
+    val cstates = Seq("OPEN", "CLOSING", "RECOVERING", "QUASI_CLOSED",
+      "CLOSED", "UNHEALTHY", "INVALID", "DELETING")
+    val conts = (1L to 12L).map(id =>
+      (id, cstates(rnd.nextInt(cstates.length)), rnd.nextInt(20).toLong))
+    val opKinds = Seq("PUT_BLOCK", "PUT_BLOCK", "WRITE_CHUNK",
+      "GET_BLOCK", "DELETE_BLOCK")
+    val ops = (1L to 400L).map { seq =>
+      (seq, conts(rnd.nextInt(conts.size))._1,
+        opKinds(rnd.nextInt(opKinds.length)),
+        rnd.nextInt(30).toLong, rnd.nextInt(4) != 0,
+        rnd.nextInt(30).toLong)
+    }
+    // ---- literal walk ----
+    val contMap = conts.map(c => c._1 -> c).toMap
+    val writeOps = Set("PUT_BLOCK", "WRITE_CHUNK")
+    val expected = ops.groupBy(_._2).flatMap { case (cid, cOps) =>
+      val (_, cstate, initBcs) = contMap(cid)
+      val gateOk = Set("OPEN", "CLOSING", "RECOVERING").contains(cstate)
+      var watermark = 0L
+      cOps.sortBy(_._1).map { case (seq, _, op, bcsid, exists, stored) =>
+        val before = math.max(initBcs, watermark)
+        val decision =
+          if (writeOps(op) && !gateOk) {
+            if (cstate == "QUASI_CLOSED" || cstate == "CLOSED")
+              "CLOSED_CONTAINER_IO"
+            else if (cstate == "UNHEALTHY") "CONTAINER_UNHEALTHY"
+            else if (cstate == "INVALID") "INVALID_CONTAINER_STATE"
+            else "CONTAINER_INTERNAL_ERROR"
+          } else if (op == "DELETE_BLOCK") "UNSUPPORTED_OP"
+          else if (op == "PUT_BLOCK" && bcsid != 0 && bcsid <= before)
+            "REPLAY_IGNORED"
+          else if (writeOps(op)) "APPLIED"
+          else if (bcsid > before) "UNKNOWN_BCSID"
+          else if (!exists) "NO_SUCH_BLOCK"
+          else if (stored < bcsid) "BCSID_MISMATCH"
+          else "OK"
+        if (op == "PUT_BLOCK" && gateOk && bcsid != 0)
+          watermark = math.max(watermark, bcsid)
+        seq -> ((cid, op, decision, math.max(initBcs, watermark)))
+      }
+    }.toMap
+    // ---- engine ----
+    val got = graft.operators.ClusterHealth.dnDispatchLadder(
+        ops.toDF("seq", "container_id", "op", "bcsid", "block_exists",
+          "stored_bcsid"),
+        conts.toDF("container_id", "cstate", "initial_bcsid"))
+      .collect().map(r => r.getAs[Long]("seq") ->
+        ((r.getAs[Long]("container_id"), r.getAs[String]("op"),
+          r.getAs[String]("decision"), r.getAs[Long]("bcs_after")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, want) =>
+      assert(got(k) === want, s"op $k")
+    }
+    val ds = expected.values.map(_._3).toSet
+    assert(ds.contains("REPLAY_IGNORED") && ds.contains("APPLIED") &&
+      ds.contains("UNKNOWN_BCSID"), s"rungs reached: $ds")
+  }
 }
