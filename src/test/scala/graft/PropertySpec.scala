@@ -860,4 +860,142 @@ class PropertySpec extends SparkSpecBase {
     assert(ds.contains("REPLAY_IGNORED") && ds.contains("APPLIED") &&
       ds.contains("UNKNOWN_BCSID"), s"rungs reached: $ds")
   }
+
+  test("pipelineCreatePlan == a literal topology walk over random node" +
+    " catalogs") {
+    // PipelinePlacementPolicy shape: viability rungs (health, op state,
+    // space for meta+data, per-node open-Ratis pipeline limit), then
+    // least-engaged anchor, a different-rack second, and a third that
+    // prefers the anchor's rack, then the second's, then any viable.
+    val rnd = new Random(8128)
+    val metaBytes = 1000000000L; val dataBytes = 700000000000L
+    val need = metaBytes + dataBytes
+    for (trial <- 0 until 30) {
+      val dns = (0 until 8).map { i =>
+        (s"dn$i", "r" + rnd.nextInt(3),
+          if (rnd.nextInt(5) == 0) "STALE" else "HEALTHY",
+          if (rnd.nextInt(5) == 0) "DECOMMISSIONING" else "IN_SERVICE",
+          if (rnd.nextInt(4) == 0) need / 2 else need + rnd.nextInt(1000))
+      }
+      val pipes = (1L to 6L).map(p => (p,
+        if (rnd.nextBoolean()) "RATIS/THREE" else "EC/rs-3-2-1024k",
+        if (rnd.nextInt(4) == 0) "CLOSED" else "OPEN"))
+      val members = pipes.flatMap { case (pid, _, _) =>
+        rnd.shuffle(dns.map(_._1)).take(3).map(dn => (pid, dn))
+      }
+      // ---- literal walk ----
+      val openRatis = pipes.filter(p =>
+        p._2 == "RATIS/THREE" && p._3 != "CLOSED").map(_._1).toSet
+      val pcount = members.filter(m => openRatis(m._1))
+        .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        .withDefaultValue(0L)
+      val staged = dns.map { case (u, rack, st, op, rem) =>
+        val v0 =
+          if (st != "HEALTHY") "EXCLUDED_HEALTH"
+          else if (op != "IN_SERVICE") "EXCLUDED_OP_STATE"
+          else if (rem < need) "EXCLUDED_SPACE"
+          else if (pcount(u) >= 2L) "EXCLUDED_PIPELINE_LIMIT"
+          else "VIABLE"
+        (u, rack, pcount(u), v0)
+      }
+      val viable = staged.filter(_._4 == "VIABLE")
+        .sortBy(s => (s._3, s._1))
+      val expected = scala.collection.mutable.Map[String, String]()
+      staged.foreach { s => expected(s._1) = s._4 }
+      viable.headOption.foreach { a =>
+        expected(a._1) = "ANCHOR"
+        val second = viable.tail.find(_._2 != a._2)
+        second.foreach { sn => expected(sn._1) = "SECOND_DIFF_RACK" }
+        val nRack = second.map(_._2)
+        val thirds = viable
+          .filter(v => v._1 != a._1 && !second.exists(_._1 == v._1))
+          .sortBy { v =>
+            val pref = if (v._2 == a._2) 0
+              else if (nRack.contains(v._2)) 1 else 2
+            (pref, v._3, v._1)
+          }
+        thirds.headOption.foreach { t =>
+          val pref = if (t._2 == a._2) "THIRD_ANCHOR_RACK"
+            else if (nRack.contains(t._2)) "THIRD_NEXT_RACK"
+            else "THIRD_FALLBACK"
+          expected(t._1) = pref
+        }
+        viable.foreach { v =>
+          if (expected(v._1) == "VIABLE") expected(v._1) = "VIABLE_UNUSED" }
+      }
+      // ---- engine ----
+      val got = graft.operators.ClusterHealth.pipelineCreatePlan(
+          dns.toDF("uuid", "rack", "state", "op_state", "remaining"),
+          pipes.toDF("pipeline_id", "replication", "state"),
+          members.toDF("pipeline_id", "datanode"))
+        .collect().map(r => r.getAs[String]("uuid") ->
+          r.getAs[String]("verdict")).toMap
+      assert(got === expected.toMap, s"trial $trial: $dns")
+    }
+  }
+
+  test("ecRecoveryPlan == a literal shard census over random shard maps") {
+    // ECContainerReplicaCount census: per-index online (healthy copy on
+    // an in-service node) vs offline-only; UNRECOVERABLE below the data
+    // shard count, missing-index reconstruction, per-index excess,
+    // offline-only re-copies.
+    val rnd = new Random(496)
+    val opStates = Seq("IN_SERVICE", "IN_SERVICE", "IN_SERVICE",
+      "DECOMMISSIONING", "IN_MAINTENANCE")
+    val dns = (0 until 10).map(i => (s"dn$i",
+      opStates(rnd.nextInt(opStates.length))))
+    val dnOp = dns.toMap
+    val shardStates = Seq("CLOSED", "CLOSED", "CLOSED", "UNHEALTHY")
+    val inSvc = dns.filter(_._2 == "IN_SERVICE").map(_._1)
+    val shards = (1L to 150L).flatMap { cid =>
+      (1 to 5).flatMap { idx =>
+        (0 until rnd.nextInt(3)).map { _ =>
+          (cid, idx, dns(rnd.nextInt(dns.size))._1,
+            shardStates(rnd.nextInt(shardStates.length)))
+        }
+      }
+    } ++ (1 to 5).map(idx => (900L, idx, inSvc.head, "CLOSED"))
+    // ---- literal walk ----
+    val expected = shards.groupBy(_._1).map { case (cid, ss) =>
+      val perIdx = (1 to 5).map { idx =>
+        val g = ss.filter(_._2 == idx)
+        val online = g.count(s => s._4 != "UNHEALTHY" &&
+          dnOp(s._3) == "IN_SERVICE").toLong
+        val offline = g.count(s => s._4 != "UNHEALTHY" &&
+          dnOp(s._3) != "IN_SERVICE").toLong
+        (online, offline)
+      }
+      val onlineIdx = perIdx.count(_._1 >= 1).toLong
+      val offlineOnly = perIdx.count(p => p._1 == 0 && p._2 >= 1).toLong
+      val maxCopies = perIdx.map(_._1).max
+      val avail = onlineIdx + offlineOnly
+      val missing = 5L - avail
+      val decision =
+        if (avail < 3) "UNRECOVERABLE"
+        else if (missing > 0) "UNDER_REPLICATED"
+        else if (maxCopies > 1) "OVER_REPLICATED"
+        else if (offlineOnly > 0) "OFFLINE_COPIES"
+        else "HEALTHY"
+      cid -> ((onlineIdx, offlineOnly, missing, maxCopies, decision,
+        if (decision == "UNDER_REPLICATED") missing else 0L))
+    }
+    // ---- engine ----
+    val got = graft.operators.ClusterHealth.ecRecoveryPlan(
+        shards.toDF("container_id", "replica_index", "datanode",
+          "shard_state"),
+        dns.toDF("uuid", "op_state"))
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        ((r.getAs[Long]("online_indexes"),
+          r.getAs[Long]("offline_only_indexes"),
+          r.getAs[Long]("missing_indexes"), r.getAs[Long]("max_copies"),
+          r.getAs[String]("decision"),
+          r.getAs[Long]("reconstruct_shards")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, want) =>
+      assert(got(k) === want, s"container $k")
+    }
+    val ds = expected.values.map(_._5).toSet
+    assert(ds === Set("UNRECOVERABLE", "UNDER_REPLICATED",
+      "OVER_REPLICATED", "OFFLINE_COPIES", "HEALTHY"))
+  }
 }
