@@ -866,6 +866,11 @@ object SparkEntry {
       CompactionDag.snapdiffSourceSelect(
         T.sstLive(s, d, 6300), T.sstLive(s, d, 3500), T.sstEdges(s, d),
         destGen = 3500, lo = "000600", hi = "001200")),
+    // Directory-deleting purge walk: budgeted subdir/subfile drains,
+    // reclaimability-gated file moves, both-listings-processed parent
+    // purge, empty-dir skips, budget-exhaustion cutoff.
+    "q_dir_delete_walk" -> ((s, d) =>
+      Reclaim.dirDeleteWalk(T.pendingDeletedDirs(s, d), budget = 10L)),
     // Snapshot-diff cleanup: report purge for prior-run moves, then the
     // capped age/terminal-status job walk.
     "q_snapdiff_cleanup" -> ((s, d) =>
@@ -5344,6 +5349,51 @@ object SparkEntry {
         |  WHERE n.gen >= 3500
         |    AND NOT EXISTS (SELECT 1 FROM dest_live d WHERE d.file = r.file)
         |)""".stripMargin),
+
+    // Purge-walk mirror: full-demand prefix sums over the literal
+    // pending-dir table.
+    "q_dir_delete_walk" -> O.withCtes(
+      """SELECT dir_id,
+        |  CASE WHEN budget_before <= 0 THEN 'NOT_REACHED'
+        |    WHEN base_demand <= budget_before THEN
+        |      CASE WHEN purge_dir THEN 'PURGED'
+        |        WHEN base_demand > 0 THEN 'MOVED'
+        |        ELSE 'SKIP_EMPTY' END
+        |    ELSE 'PARTIAL' END AS action,
+        |  CAST(CASE WHEN budget_before <= 0 THEN 0
+        |    ELSE least(n_subdirs, budget_before) END AS BIGINT)
+        |    AS subdirs_moved,
+        |  CAST(CASE WHEN budget_before <= 0 THEN 0
+        |    ELSE least(eligible_files, budget_before -
+        |      CASE WHEN budget_before <= 0 THEN 0
+        |        ELSE least(n_subdirs, budget_before) END) END AS BIGINT)
+        |    AS files_moved,
+        |  (budget_before > 0 AND base_demand <= budget_before
+        |    AND purge_dir) AS parent_purged,
+        |  CAST(budget_before AS BIGINT) AS budget_before
+        |FROM (
+        |  SELECT *,
+        |    10 - coalesce(sum(base_demand +
+        |        CASE WHEN purge_dir THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY dir_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS budget_before
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN purge_dir THEN n_subfiles
+        |        ELSE n_reclaimable_files END AS eligible_files,
+        |      n_subdirs + CASE WHEN purge_dir THEN n_subfiles
+        |        ELSE n_reclaimable_files END AS base_demand
+        |    FROM pdd))
+        |ORDER BY dir_id""".stripMargin,
+      """pdd(dir_id, n_subdirs, n_subfiles, n_reclaimable_files,
+        |  purge_dir) AS (VALUES
+        |  (1, 2, 3, 2, true),
+        |  (2, 0, 0, 0, false),
+        |  (3, 1, 5, 2, false),
+        |  (4, 3, 4, 4, true),
+        |  (5, 0, 1, 1, true),
+        |  (6, 2, 0, 0, false))""".stripMargin),
 
     // Cleanup mirror: purged-table phase UNION the capped running-sum
     // job walk.

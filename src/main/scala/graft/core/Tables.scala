@@ -1349,6 +1349,23 @@ object Tables {
       .toDF("container_id", "cstate", "initial_bcsid")
   }
 
+  /** pending_deleted_dirs: the deleted-dir table the purge walk drains —
+    * a fully-purged dir, an empty skip, a retained dir shedding only
+    * reclaimable files, a budget-truncated dir, and dirs past the spent
+    * budget. */
+  def pendingDeletedDirs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 2L, 3L, 2L, true),
+      (2L, 0L, 0L, 0L, false),
+      (3L, 1L, 5L, 2L, false),
+      (4L, 3L, 4L, 4L, true),
+      (5L, 0L, 1L, 1L, true),
+      (6L, 2L, 0L, 0L, false))
+      .toDF("dir_id", "n_subdirs", "n_subfiles", "n_reclaimable_files",
+        "purge_dir")
+  }
+
   /** recovering_containers: the DN recovering map for the stale-scrub —
     * one within deadline, one expired and marked, one expired but
     * re-registered with an extended deadline before the task ran, one

@@ -267,6 +267,68 @@ object Reclaim {
    * control plane); the only window-free pass rides the scan.
    */
   /**
+   * Directory-deleting-service purge walk — DirectoryDeletingService
+   * .prepareDeleteDirRequest (ozone-manager/.../service/
+   * DirectoryDeletingService.java:443-508) under the task's shared
+   * `remainNum` budget (:732-736 `while (remainNum.get() > 0)`):
+   * per pending deleted dir, IN TABLE ORDER —
+   *
+   *  - sub-directories move to the deleted-dir table first, capped by
+   *    the remaining budget (:454-462);
+   *  - then sub-FILES move to the deleted table, where a file is
+   *    eligible only if the parent dir itself purges OR the
+   *    reclaimable-file filter passes (:476-484 `purgeDir ||
+   *    reclaimableFileFilter.apply`) — a snapshot-referenced file under
+   *    a retained dir stays put;
+   *  - the PARENT dir purges only when BOTH listings were fully
+   *    processed (neither truncated by the budget, :495-498) and it is
+   *    itself reclaimable; the purge consumes one more budget unit
+   *    (:499-501, may drive the counter negative — the loop then
+   *    stops);
+   *  - a dir yielding nothing (no moves, no purge) is skipped without
+   *    consuming budget (:496-498 Optional.empty);
+   *  - once the budget is spent the walk stops — later dirs are
+   *    untouched this round.
+   *
+   * Scale shape: full-demand prefix sums over the (ordered) pending-dir
+   * table reproduce the sequential budget recurrence exactly — after
+   * the first truncated dir the running budget is ≤ 0, so every later
+   * dir reads NOT_REACHED; one window pass, no driver loop.
+   */
+  def dirDeleteWalk(dirs: DataFrame, budget: Long = 10L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("dir_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    dirs
+      .withColumn("eligible_files",
+        when(col("purge_dir"), col("n_subfiles"))
+          .otherwise(col("n_reclaimable_files")))
+      .withColumn("base_demand", col("n_subdirs") + col("eligible_files"))
+      .withColumn("full_consumed",
+        col("base_demand") + when(col("purge_dir"), 1L).otherwise(0L))
+      .withColumn("budget_before",
+        lit(budget) - coalesce(sum("full_consumed").over(w), lit(0L)))
+      .withColumn("action",
+        when(col("budget_before") <= 0, lit("NOT_REACHED"))
+          .when(col("base_demand") <= col("budget_before"),
+            when(col("purge_dir"), lit("PURGED"))
+              .when(col("base_demand") > 0, lit("MOVED"))
+              .otherwise(lit("SKIP_EMPTY")))
+          .otherwise(lit("PARTIAL")))
+      .withColumn("subdirs_moved",
+        when(col("action") === "NOT_REACHED", lit(0L))
+          .otherwise(least(col("n_subdirs"), col("budget_before"))))
+      .withColumn("files_moved",
+        when(col("action") === "NOT_REACHED", lit(0L))
+          .otherwise(least(col("eligible_files"),
+            col("budget_before") - col("subdirs_moved"))))
+      .withColumn("parent_purged", col("action") === "PURGED")
+      .select("dir_id", "action", "subdirs_moved", "files_moved",
+        "parent_purged", "budget_before")
+      .orderBy("dir_id")
+  }
+
+  /**
    * Snapshot-defrag service plan — SnapshotDefragService
    * (ozone-manager/.../snapshot/defrag/SnapshotDefragService.java):
    *

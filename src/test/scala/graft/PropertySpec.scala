@@ -998,4 +998,47 @@ class PropertySpec extends SparkSpecBase {
     assert(ds === Set("UNRECOVERABLE", "UNDER_REPLICATED",
       "OVER_REPLICATED", "OFFLINE_COPIES", "HEALTHY"))
   }
+
+  test("dirDeleteWalk prefix-sum plan == the sequential budget loop" +
+    " over random pending-dir tables") {
+    // The engine replaces DirectoryDeletingService's stateful
+    // remainNum loop with full-demand prefix sums; this walks the
+    // ACTUAL sequential loop and checks row-for-row equivalence,
+    // including the truncation boundary and post-budget cutoff.
+    val rnd = new Random(1024)
+    for (trial <- 0 until 20) {
+      val budget = 15L + rnd.nextInt(40)
+      val dirs = (1L to 60L).map { id =>
+        val files = rnd.nextInt(5).toLong
+        (id, rnd.nextInt(4).toLong, files,
+          if (files == 0) 0L else rnd.nextInt(files.toInt + 1).toLong,
+          rnd.nextBoolean())
+      }
+      var r = budget
+      val expected = dirs.map { case (id, sd, sf, rf, purge) =>
+        val eligible = if (purge) sf else rf
+        val base = sd + eligible
+        if (r <= 0) { id -> (("NOT_REACHED", 0L, 0L, false)) }
+        else if (base <= r) {
+          val action = if (purge) "PURGED"
+            else if (base > 0) "MOVED" else "SKIP_EMPTY"
+          r -= base + (if (purge) 1L else 0L)
+          id -> ((action, sd, eligible, purge))
+        } else {
+          val sdm = math.min(sd, r)
+          val fm = math.min(eligible, r - sdm)
+          r = 0
+          id -> (("PARTIAL", sdm, fm, false))
+        }
+      }.toMap
+      val got = graft.operators.Reclaim.dirDeleteWalk(
+          dirs.toDF("dir_id", "n_subdirs", "n_subfiles",
+            "n_reclaimable_files", "purge_dir"), budget)
+        .collect().map(row => row.getAs[Long]("dir_id") ->
+          ((row.getAs[String]("action"), row.getAs[Long]("subdirs_moved"),
+            row.getAs[Long]("files_moved"),
+            row.getAs[Boolean]("parent_purged")))).toMap
+      assert(got === expected, s"trial $trial budget $budget")
+    }
+  }
 }
