@@ -1112,6 +1112,14 @@ object SparkEntry {
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
       ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
+    // Recon /datanodes/remove ladder: not-found / non-DEAD refusal /
+    // open-container / open-pipeline pins / removed, with mid-walk
+    // node-manager mutation (a removed uuid re-reads NOT_FOUND).
+    "q_datanode_remove" -> ((s, d) =>
+      ClusterHealth.datanodeRemove(T.removeDnRequests(s, d),
+        T.removeDnNodes(s, d), T.removeDnContainerRefs(s, d),
+        T.removeDnContainerStates(s, d), T.removeDnPipelineRefs(s, d),
+        T.removeDnPipelineStates(s, d))),
     // Pipeline-creation placement: viable filter (health/op/space/
     // pipeline-limit) → least-engaged anchor → different-rack second →
     // anchor-rack-preferring third with fallbacks.
@@ -8943,6 +8951,67 @@ object SparkEntry {
         |  FROM objects) h
         |ORDER BY t.task_name""".stripMargin,
       O.objects),
+
+    // datanode-remove mirror: the same ladder over the VALUES catalog
+    "q_datanode_remove" -> O.withCtes(
+      """SELECT req_seq, uuid,
+        |  CASE WHEN occ > 1 AND base_verdict = 'REMOVED'
+        |    THEN 'NOT_FOUND' ELSE base_verdict END AS verdict,
+        |  CASE WHEN base_verdict <> 'FAILED' THEN ''
+        |    WHEN health <> 'DEAD'
+        |      THEN 'DataNode should be in DEAD node status.'
+        |    ELSE 'Open Containers/Pipelines' END AS error,
+        |  open_containers, open_pipelines
+        |FROM (
+        |  SELECT r.req_seq, r.uuid, n.health,
+        |    coalesce(oc.n, 0) AS open_containers,
+        |    coalesce(op.n, 0) AS open_pipelines,
+        |    CASE
+        |      WHEN n.health IS NULL THEN 'NOT_FOUND'
+        |      WHEN n.health <> 'DEAD' THEN 'FAILED'
+        |      WHEN coalesce(oc.n, 0) > 0 OR coalesce(op.n, 0) > 0
+        |        THEN 'FAILED'
+        |      ELSE 'REMOVED' END AS base_verdict,
+        |    row_number() OVER (PARTITION BY r.uuid ORDER BY r.req_seq)
+        |      AS occ
+        |  FROM rdn_requests r
+        |  LEFT JOIN rdn_nodes n ON n.uuid = r.uuid
+        |  LEFT JOIN (
+        |    SELECT cr.uuid, CAST(count(*) AS BIGINT) AS n
+        |    FROM rdn_container_refs cr
+        |    JOIN rdn_container_states cs
+        |      ON cs.container_id = cr.container_id
+        |    WHERE cs.cstate = 'OPEN' GROUP BY cr.uuid) oc
+        |    ON oc.uuid = r.uuid
+        |  LEFT JOIN (
+        |    SELECT pr.uuid, CAST(count(*) AS BIGINT) AS n
+        |    FROM rdn_pipeline_refs pr
+        |    JOIN rdn_pipeline_states ps
+        |      ON ps.pipeline_id = pr.pipeline_id
+        |    WHERE ps.pstate = 'OPEN' GROUP BY pr.uuid) op
+        |    ON op.uuid = r.uuid)
+        |ORDER BY req_seq""".stripMargin,
+      """rdn_requests(req_seq, uuid) AS (VALUES
+        |  (1, 'dnr-unknown'), (2, 'dnrH'), (3, 'dnrS'), (4, 'dnrD1'),
+        |  (5, 'dnrD2'), (6, 'dnrD3'), (7, 'dnrD4'), (8, 'dnrD3'),
+        |  (9, 'dnrD1'))""".stripMargin,
+      """rdn_nodes(uuid, health) AS (VALUES
+        |  ('dnrH', 'HEALTHY'), ('dnrS', 'STALE'), ('dnrD1', 'DEAD'),
+        |  ('dnrD2', 'DEAD'), ('dnrD3', 'DEAD'), ('dnrD4', 'DEAD'))""".stripMargin,
+      """rdn_container_refs(uuid, container_id) AS (VALUES
+        |  ('dnrD1', 101), ('dnrD1', 102), ('dnrD1', 103),
+        |  ('dnrD2', 101), ('dnrD2', 104),
+        |  ('dnrD3', 101), ('dnrD3', 105))""".stripMargin,
+      """rdn_container_states(container_id, cstate) AS (VALUES
+        |  (101, 'CLOSED'), (102, 'OPEN'), (104, 'QUASI_CLOSED'),
+        |  (106, 'OPEN'))""".stripMargin,
+      """rdn_pipeline_refs(uuid, pipeline_id) AS (VALUES
+        |  ('dnrD1', 'pr-open'), ('dnrD2', 'pr-open'),
+        |  ('dnrD2', 'pr-closed'), ('dnrD3', 'pr-closed'),
+        |  ('dnrD3', 'pr-gone'))""".stripMargin,
+      """rdn_pipeline_states(pipeline_id, pstate) AS (VALUES
+        |  ('pr-open', 'OPEN'), ('pr-closed', 'CLOSED'),
+        |  ('pr-dormant', 'DORMANT'))""".stripMargin),
 
     // container-import mirror: the same classes over the volume dim
     "q_container_import" -> O.withCtes(

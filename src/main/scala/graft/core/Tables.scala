@@ -1366,6 +1366,68 @@ object Tables {
         "purge_dir")
   }
 
+  /** remove_dn_requests: the Recon `/datanodes/remove` request list —
+    * an unknown uuid, non-DEAD refusals (HEALTHY and STALE), a DEAD node
+    * pinned by an OPEN container, one pinned only by an OPEN pipeline,
+    * two clean removals (one with CLOSED/unmanaged refs, one with no refs
+    * at all), then re-requests of a removed node (NOT_FOUND — the loop
+    * mutates the node manager as it walks) and of a failed one (still
+    * failed). Ref NodeEndpoint.java:204-236. */
+  def removeDnRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "dnr-unknown"), (2L, "dnrH"), (3L, "dnrS"), (4L, "dnrD1"),
+      (5L, "dnrD2"), (6L, "dnrD3"), (7L, "dnrD4"), (8L, "dnrD3"),
+      (9L, "dnrD1"))
+      .toDF("req_seq", "uuid")
+  }
+
+  /** The node-manager health view the remove ladder probes
+    * (NodeStatus.isDead — server-scm/.../NodeStatus.java:235). */
+  def removeDnNodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(("dnrH", "HEALTHY"), ("dnrS", "STALE"), ("dnrD1", "DEAD"),
+      ("dnrD2", "DEAD"), ("dnrD3", "DEAD"), ("dnrD4", "DEAD"))
+      .toDF("uuid", "health")
+  }
+
+  /** nodeManager.getContainers refs; ids 103/105 are NOT in the Recon
+    * container manager (skipped, NodeEndpoint.java:306-320). */
+  def removeDnContainerRefs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(("dnrD1", 101L), ("dnrD1", 102L), ("dnrD1", 103L),
+      ("dnrD2", 101L), ("dnrD2", 104L),
+      ("dnrD3", 101L), ("dnrD3", 105L))
+      .toDF("uuid", "container_id")
+  }
+
+  /** The Recon container manager's lifecycle states (only OPEN pins a
+    * removal; 106 is unreferenced). */
+  def removeDnContainerStates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq((101L, "CLOSED"), (102L, "OPEN"), (104L, "QUASI_CLOSED"),
+      (106L, "OPEN"))
+      .toDF("container_id", "cstate")
+  }
+
+  /** nodeManager.getPipelines refs; "pr-gone" is NOT in the pipeline
+    * manager (skipped, NodeEndpoint.java:292-305). */
+  def removeDnPipelineRefs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(("dnrD1", "pr-open"), ("dnrD2", "pr-open"), ("dnrD2", "pr-closed"),
+      ("dnrD3", "pr-closed"), ("dnrD3", "pr-gone"))
+      .toDF("uuid", "pipeline_id")
+  }
+
+  /** Pipeline-manager states (Pipeline.isOpen ⇔ OPEN,
+    * common/.../Pipeline.java:319-321). */
+  def removeDnPipelineStates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(("pr-open", "OPEN"), ("pr-closed", "CLOSED"),
+      ("pr-dormant", "DORMANT"))
+      .toDF("pipeline_id", "pstate")
+  }
+
   /** recovering_containers: the DN recovering map for the stale-scrub —
     * one within deadline, one expired and marked, one expired but
     * re-registered with an extended deadline before the task ran, one

@@ -3462,6 +3462,74 @@ object ClusterHealth {
       .orderBy("task_name")
   }
 
+  /**
+   * Recon datanode-remove ladder — NodeEndpoint.removeDatanodes
+   * (recon/.../api/NodeEndpoint.java:201-262) + preChecksSuccess
+   * (:264-290): per requested uuid, IN REQUEST ORDER —
+   *
+   *  - an unknown uuid → NOT_FOUND (the response row carries hostname ""
+   *    and a DEAD placeholder, :228-234);
+   *  - a known node whose health is anything but DEAD refuses with
+   *    "DataNode should be in DEAD node status." (NodeStatus.isDead ⇔
+   *    health == DEAD, server-scm/.../NodeStatus.java:235-237);
+   *  - a DEAD node with ANY container in LifeCycleState OPEN on the
+   *    Recon container manager refuses "Open Containers/Pipelines"
+   *    (:306-320 checkContainers; container ids the manager does not
+   *    track are SKIPPED);
+   *  - then the same error over its pipelines (Pipeline.isOpen ⇔ state
+   *    OPEN, common/.../Pipeline.java:319-321; unmanaged pipeline ids
+   *    skipped, :292-305);
+   *  - else REMOVED — nodeManager.removeNode runs mid-walk (:223), so a
+   *    LATER occurrence of the same uuid in the request list reads
+   *    NOT_FOUND, while re-requesting a FAILED node just fails again.
+   *
+   * open_containers / open_pipelines are diagnostic counts of the
+   * pinning refs (the reference logs them per ref); the verdict only
+   * needs existence. Scale shape: the request list and both manager
+   * catalogs are control-plane dims — everything broadcasts, two tiny
+   * hash aggs, one projection.
+   */
+  def datanodeRemove(requests: DataFrame, nodes: DataFrame,
+                     containerRefs: DataFrame, containerStates: DataFrame,
+                     pipelineRefs: DataFrame,
+                     pipelineStates: DataFrame): DataFrame = {
+    val openC = containerRefs
+      .join(broadcast(containerStates), Seq("container_id"))
+      .filter(col("cstate") === "OPEN")
+      .groupBy("uuid").agg(count(lit(1)).as("open_containers"))
+    val openP = pipelineRefs
+      .join(broadcast(pipelineStates), Seq("pipeline_id"))
+      .filter(col("pstate") === "OPEN")
+      .groupBy("uuid").agg(count(lit(1)).as("open_pipelines"))
+    val occ = Window.partitionBy("uuid").orderBy("req_seq")
+    requests
+      .join(broadcast(nodes), Seq("uuid"), "left")
+      .join(broadcast(openC), Seq("uuid"), "left")
+      .join(broadcast(openP), Seq("uuid"), "left")
+      .withColumn("open_containers",
+        coalesce(col("open_containers"), lit(0L)))
+      .withColumn("open_pipelines",
+        coalesce(col("open_pipelines"), lit(0L)))
+      .withColumn("base_verdict",
+        when(col("health").isNull, lit("NOT_FOUND"))
+          .when(col("health") =!= "DEAD", lit("FAILED"))
+          .when(col("open_containers") > 0 || col("open_pipelines") > 0,
+            lit("FAILED"))
+          .otherwise(lit("REMOVED")))
+      .withColumn("verdict",
+        when(row_number().over(occ) > 1 &&
+          col("base_verdict") === "REMOVED", lit("NOT_FOUND"))
+          .otherwise(col("base_verdict")))
+      .withColumn("error",
+        when(col("verdict") =!= "FAILED", lit(""))
+          .when(col("health") =!= "DEAD",
+            lit("DataNode should be in DEAD node status."))
+          .otherwise(lit("Open Containers/Pipelines")))
+      .select("req_seq", "uuid", "verdict", "error", "open_containers",
+        "open_pipelines")
+      .orderBy("req_seq")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),

@@ -1254,4 +1254,34 @@ class ClusterHealthSpec extends SparkSpecBase {
     // the v2-resident container is not part of the source scan
     assert(!move.contains(9L) && move.size === 8)
   }
+
+  test("datanodeRemove: not-found, non-DEAD, open pins, mid-walk removal") {
+    val T = graft.core.Tables
+    val got = graft.operators.ClusterHealth.datanodeRemove(
+      T.removeDnRequests(spark, sf), T.removeDnNodes(spark, sf),
+      T.removeDnContainerRefs(spark, sf),
+      T.removeDnContainerStates(spark, sf),
+      T.removeDnPipelineRefs(spark, sf),
+      T.removeDnPipelineStates(spark, sf))
+      .collect().map(r => r.getAs[Long]("req_seq") ->
+        ((r.getAs[String]("verdict"), r.getAs[String]("error"),
+          r.getAs[Long]("open_containers"),
+          r.getAs[Long]("open_pipelines")))).toMap
+    assert(got(1L) === (("NOT_FOUND", "", 0L, 0L)))
+    assert(got(2L) ===
+      (("FAILED", "DataNode should be in DEAD node status.", 0L, 0L)))
+    assert(got(3L)._1 === "FAILED") // STALE is not DEAD
+    // DEAD but pinned: container 102 OPEN (103 unmanaged is skipped)
+    assert(got(4L) === (("FAILED", "Open Containers/Pipelines", 1L, 1L)))
+    // containers fine, pipeline pr-open pins
+    assert(got(5L) === (("FAILED", "Open Containers/Pipelines", 0L, 1L)))
+    // CLOSED containers + unmanaged refs → removed; no refs → removed
+    assert(got(6L) === (("REMOVED", "", 0L, 0L)))
+    assert(got(7L) === (("REMOVED", "", 0L, 0L)))
+    // re-request of a removed node: the walk already removed it
+    assert(got(8L) === (("NOT_FOUND", "", 0L, 0L)))
+    // re-request of a failed node: fails again
+    assert(got(9L)._1 === "FAILED")
+    assert(got.size === 9)
+  }
 }
