@@ -878,6 +878,12 @@ object SparkEntry {
         maxAgeMs = 604800000L, maxPurgePerTask = 3)),
     // Snapshot-defrag service: budgeted global-chain walk, full vs
     // incremental mode by path position, version switch + cleanup.
+    // Snapshot-deleting-service walk: reverse global-chain order under
+    // the entry + snapshot budgets; skips free, moves drain
+    // keys→dirs→renames, empty snapshots purge-listed.
+    "q_snapshot_delete_walk" -> ((s, d) =>
+      Reclaim.snapshotDeleteWalk(T.snapDeleteChain(s, d),
+        keyLimit = 20L, snapLimit = 3L)),
     "q_snapshot_defrag" -> ((s, d) => {
       val c = T.defragChain(s, d)
       Reclaim.snapshotDefragPlan(c, limitPerTask = 2,
@@ -5444,6 +5450,73 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS purge_rank
         |  FROM sdc_jobs WHERE NOT in_purged_table)""".stripMargin),
+
+    // Deleting-service mirror: path-lead + reverse-walk full-demand
+    // prefix sums over the literal chain.
+    "q_snapshot_delete_walk" -> O.withCtes(
+      """SELECT global_seq, snap, action,
+        |  CAST(CASE WHEN action = 'MOVED'
+        |    THEN least(nk, budget_before) ELSE 0 END AS BIGINT)
+        |    AS keys_moved,
+        |  CAST(CASE WHEN action = 'MOVED'
+        |    THEN least(nd, budget_before - least(nk, budget_before))
+        |    ELSE 0 END AS BIGINT) AS dirs_moved,
+        |  CAST(CASE WHEN action = 'MOVED'
+        |    THEN least(nr, budget_before - least(nk, budget_before)
+        |      - least(nd, budget_before - least(nk, budget_before)))
+        |    ELSE 0 END AS BIGINT) AS renames_moved,
+        |  CASE WHEN action = 'MOVED' THEN coalesce(next_snap, 'AOS')
+        |    ELSE '' END AS dest,
+        |  CAST(budget_before AS BIGINT) AS budget_before,
+        |  CAST(snaps_before AS BIGINT) AS snaps_before
+        |FROM (
+        |  SELECT *,
+        |    CASE WHEN NOT (budget_before > 0 AND snaps_before > 0)
+        |      THEN 'NOT_REACHED'
+        |      WHEN skip_reason IS NOT NULL THEN skip_reason
+        |      WHEN total_entries = 0 THEN 'PURGE_LISTED'
+        |      ELSE 'MOVED' END AS action
+        |  FROM (
+        |    SELECT *,
+        |      20 - coalesce(sum(CASE WHEN skip_reason IS NULL
+        |          THEN total_entries ELSE 0 END) OVER (
+        |        ORDER BY global_seq DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS budget_before,
+        |      3 - coalesce(sum(CASE WHEN skip_reason IS NULL
+        |          THEN 1 ELSE 0 END) OVER (
+        |        ORDER BY global_seq DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS snaps_before
+        |    FROM (
+        |      SELECT *,
+        |        CASE WHEN status <> 'SNAPSHOT_DELETED'
+        |          THEN 'SKIP_ACTIVE'
+        |          WHEN NOT flushed THEN 'SKIP_NOT_FLUSHED'
+        |          WHEN next_snap IS NOT NULL
+        |            AND next_status <> 'SNAPSHOT_ACTIVE'
+        |          THEN 'SKIP_NEXT_NOT_ACTIVE' END AS skip_reason
+        |      FROM (
+        |        SELECT *,
+        |          lead(snap) OVER (PARTITION BY path_id
+        |            ORDER BY path_seq) AS next_snap,
+        |          lead(status) OVER (PARTITION BY path_id
+        |            ORDER BY path_seq) AS next_status,
+        |          nk + nd + nr AS total_entries
+        |        FROM sdel_chain))))
+        |ORDER BY global_seq""".stripMargin,
+      """sdel_chain(global_seq, snap, path_id, path_seq, status,
+        |  flushed, nk, nd, nr) AS (VALUES
+        |  (10, 's10', 'p2', 4, 'SNAPSHOT_ACTIVE', true, 0, 0, 0),
+        |  (9, 's9', 'p1', 4, 'SNAPSHOT_ACTIVE', true, 0, 0, 0),
+        |  (8, 's8', 'p1', 3, 'SNAPSHOT_DELETED', false, 2, 0, 0),
+        |  (7, 's7', 'p2', 3, 'SNAPSHOT_DELETED', true, 3, 2, 1),
+        |  (6, 's6', 'p4', 1, 'SNAPSHOT_DELETED', true, 0, 0, 0),
+        |  (5, 's5', 'p1', 2, 'SNAPSHOT_DELETED', true, 4, 0, 0),
+        |  (4, 's4', 'p2', 2, 'SNAPSHOT_DELETED', true, 2, 0, 0),
+        |  (3, 's3', 'p3', 1, 'SNAPSHOT_DELETED', true, 10, 5, 3),
+        |  (2, 's2', 'p2', 1, 'SNAPSHOT_DELETED', true, 1, 0, 0),
+        |  (1, 's1', 'p1', 1, 'SNAPSHOT_DELETED', true, 1, 0, 0))""".stripMargin),
 
     // Defrag-service mirror: path-lag + running-budget windows over the
     // literal chain, crossed into the two-run (native on/off) dim.

@@ -1366,6 +1366,29 @@ object Tables {
         "purge_dir")
   }
 
+  /** snap_delete_chain: the global snapshot chain the deleting service
+    * walks newest→oldest — ACTIVE skips, an un-flushed skip, two
+    * next-in-path-DELETED skips, a full move into a named next snapshot,
+    * an empty purge-listed snapshot, a budget-truncating move to AOS,
+    * and tail positions past the spent budgets. Ref
+    * SnapshotDeletingService.java:127-233. */
+  def snapDeleteChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (10L, "s10", "p2", 4L, "SNAPSHOT_ACTIVE", true, 0L, 0L, 0L),
+      (9L, "s9", "p1", 4L, "SNAPSHOT_ACTIVE", true, 0L, 0L, 0L),
+      (8L, "s8", "p1", 3L, "SNAPSHOT_DELETED", false, 2L, 0L, 0L),
+      (7L, "s7", "p2", 3L, "SNAPSHOT_DELETED", true, 3L, 2L, 1L),
+      (6L, "s6", "p4", 1L, "SNAPSHOT_DELETED", true, 0L, 0L, 0L),
+      (5L, "s5", "p1", 2L, "SNAPSHOT_DELETED", true, 4L, 0L, 0L),
+      (4L, "s4", "p2", 2L, "SNAPSHOT_DELETED", true, 2L, 0L, 0L),
+      (3L, "s3", "p3", 1L, "SNAPSHOT_DELETED", true, 10L, 5L, 3L),
+      (2L, "s2", "p2", 1L, "SNAPSHOT_DELETED", true, 1L, 0L, 0L),
+      (1L, "s1", "p1", 1L, "SNAPSHOT_DELETED", true, 1L, 0L, 0L))
+      .toDF("global_seq", "snap", "path_id", "path_seq", "status",
+        "flushed", "n_deleted_keys", "n_deleted_dirs", "n_renames")
+  }
+
   /** remove_dn_requests: the Recon `/datanodes/remove` request list —
     * an unknown uuid, non-DEAD refusals (HEALTHY and STALE), a DEAD node
     * pinned by an OPEN container, one pinned only by an OPEN pipeline,

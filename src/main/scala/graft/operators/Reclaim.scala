@@ -358,6 +358,91 @@ object Reclaim {
    * Scale shape: the chain is control-plane-sized; two window passes
    * (path lag + running budget) over a literal dim — no corpus access.
    */
+  /**
+   * Snapshot-deleting-service walk — SnapshotDeletingService.call
+   * (ozone-manager/.../service/SnapshotDeletingService.java:127-233):
+   * the GLOBAL chain iterated newest→oldest (`chainManager
+   * .iterator(true)` = reverse, SnapshotChainManager.java:407-432),
+   * under TWO shared budgets — keyLimitPerTask entries and
+   * snapshotDeletionPerTask processed snapshots. Per snapshot, in walk
+   * order:
+   *
+   *  - shouldIgnoreSnapshot (:446-450): status != SNAPSHOT_DELETED or
+   *    un-flushed DB changes → skipped FREE (neither budget moves);
+   *  - the next PATH snapshot (SnapshotUtils.getNextSnapshot:154-170)
+   *    not ACTIVE → skipped free too (:148-155 — moving entries into a
+   *    snapshot that is itself deleted would just be re-copied);
+   *  - else the snapshot's deleted-key entries drain first (capped by
+   *    the remaining entry budget), then deleted dirs, then renamed
+   *    entries (each capped by what the previous table left,
+   *    :176-190) — entries move to the next path snapshot, or to the
+   *    active object store when the path ends (dest AOS, :157-163);
+   *  - a snapshot yielding ZERO entries joins the purge batch instead
+   *    (:218-220 → submitSnapshotPurgeRequest) and consumes only a
+   *    snapshot-limit slot;
+   *  - when either budget hits zero the loop exits (:139) — later
+   *    chain positions (skips included) are untouched this run.
+   *
+   * Move submission is assumed to succeed (the reference retries a
+   * failed Ratis submit on the next run — a transport concern).
+   * Scale shape: the chain is control-plane-sized; one path-lead pass
+   * + full-demand prefix sums over the walk order reproduce the
+   * sequential two-budget recurrence (after any truncating row the
+   * running entry budget is ≤ 0, so every later row reads NOT_REACHED
+   * — same argument as [[dirDeleteWalk]]).
+   */
+  def snapshotDeleteWalk(chain: DataFrame, keyLimit: Long = 20L,
+                         snapLimit: Long = 3L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wPath = W.partitionBy("path_id").orderBy("path_seq")
+    val wWalk = W.partitionBy(lit(0)).orderBy(col("global_seq").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    chain
+      .withColumn("next_snap", lead("snap", 1).over(wPath))
+      .withColumn("next_status", lead("status", 1).over(wPath))
+      .withColumn("skip_reason",
+        when(col("status") =!= "SNAPSHOT_DELETED", lit("SKIP_ACTIVE"))
+          .when(!col("flushed"), lit("SKIP_NOT_FLUSHED"))
+          .when(col("next_snap").isNotNull &&
+            col("next_status") =!= "SNAPSHOT_ACTIVE",
+            lit("SKIP_NEXT_NOT_ACTIVE")))
+      .withColumn("total_entries",
+        col("n_deleted_keys") + col("n_deleted_dirs") + col("n_renames"))
+      .withColumn("budget_before",
+        lit(keyLimit) - coalesce(sum(when(col("skip_reason").isNotNull,
+          lit(0L)).otherwise(col("total_entries"))).over(wWalk), lit(0L)))
+      .withColumn("snaps_before",
+        lit(snapLimit) - coalesce(sum(when(col("skip_reason").isNotNull,
+          lit(0L)).otherwise(lit(1L))).over(wWalk), lit(0L)))
+      .withColumn("reached",
+        col("budget_before") > 0 && col("snaps_before") > 0)
+      .withColumn("action",
+        when(!col("reached"), lit("NOT_REACHED"))
+          .when(col("skip_reason").isNotNull, col("skip_reason"))
+          .when(col("total_entries") === 0, lit("PURGE_LISTED"))
+          .otherwise(lit("MOVED")))
+      .withColumn("keys_moved",
+        when(col("action") === "MOVED",
+          least(col("n_deleted_keys"), col("budget_before")))
+          .otherwise(lit(0L)))
+      .withColumn("dirs_moved",
+        when(col("action") === "MOVED",
+          least(col("n_deleted_dirs"),
+            col("budget_before") - col("keys_moved")))
+          .otherwise(lit(0L)))
+      .withColumn("renames_moved",
+        when(col("action") === "MOVED",
+          least(col("n_renames"), col("budget_before") -
+            col("keys_moved") - col("dirs_moved")))
+          .otherwise(lit(0L)))
+      .withColumn("dest",
+        when(col("action") === "MOVED",
+          coalesce(col("next_snap"), lit("AOS"))).otherwise(lit("")))
+      .select("global_seq", "snap", "action", "keys_moved", "dirs_moved",
+        "renames_moved", "dest", "budget_before", "snaps_before")
+      .orderBy("global_seq")
+  }
+
   def snapshotDefragPlan(chain: DataFrame, limitPerTask: Int = 2,
                          nativeAvailable: Boolean = true): DataFrame = {
     val wPath = org.apache.spark.sql.expressions.Window

@@ -999,6 +999,65 @@ class PropertySpec extends SparkSpecBase {
       "OVER_REPLICATED", "OFFLINE_COPIES", "HEALTHY"))
   }
 
+  test("snapshotDeleteWalk prefix-sum plan == the sequential two-budget" +
+    " loop over random chains") {
+    // SnapshotDeletingService.call walked literally: reverse global
+    // order, free skips, keys→dirs→renames drains, purge-listing,
+    // both budget cutoffs. Diagnostic budget columns are only compared
+    // on reached rows (past the stop the engine's full-demand prefix
+    // keeps falling while the loop's counter freezes — same verdicts).
+    val rnd = new Random(4096)
+    for (trial <- 0 until 20) {
+      val keyLimit = 5L + rnd.nextInt(21)
+      val snapLimit = 2L + rnd.nextInt(5)
+      val pathSeqs = collection.mutable.Map[String, Long]()
+      val rows = (1L to 40L).map { gs =>
+        val path = s"p${rnd.nextInt(4)}"
+        val seq = pathSeqs.getOrElse(path, 0L) + 1
+        pathSeqs(path) = seq
+        val status = if (rnd.nextInt(10) < 3) "SNAPSHOT_ACTIVE"
+          else "SNAPSHOT_DELETED"
+        (gs, s"s$gs", path, seq, status, rnd.nextInt(10) < 8,
+          rnd.nextInt(4).toLong, rnd.nextInt(3).toLong,
+          rnd.nextInt(2).toLong)
+      }
+      val nextOf = rows.groupBy(_._3).values.flatMap { ps =>
+        val sorted = ps.sortBy(_._4)
+        sorted.zip(sorted.drop(1)).map { case (a, b) =>
+          a._2 -> ((b._2, b._5)) }
+      }.toMap
+      var r = keyLimit; var sl = snapLimit
+      val expected = rows.sortBy(-_._1).map {
+        case (gs, snap, _, _, status, flushed, nk, nd, nr) =>
+          val next = nextOf.get(snap)
+          if (r <= 0 || sl <= 0) snap -> (("NOT_REACHED", 0L, 0L, 0L, ""))
+          else if (status != "SNAPSHOT_DELETED")
+            snap -> (("SKIP_ACTIVE", 0L, 0L, 0L, ""))
+          else if (!flushed) snap -> (("SKIP_NOT_FLUSHED", 0L, 0L, 0L, ""))
+          else if (next.exists(_._2 != "SNAPSHOT_ACTIVE"))
+            snap -> (("SKIP_NEXT_NOT_ACTIVE", 0L, 0L, 0L, ""))
+          else if (nk + nd + nr == 0) {
+            sl -= 1; snap -> (("PURGE_LISTED", 0L, 0L, 0L, ""))
+          } else {
+            val km = math.min(nk, r); val dm = math.min(nd, r - km)
+            val rm = math.min(nr, r - km - dm)
+            r -= km + dm + rm; sl -= 1
+            snap -> (("MOVED", km, dm, rm, next.map(_._1).getOrElse("AOS")))
+          }
+      }.toMap
+      val got = graft.operators.Reclaim.snapshotDeleteWalk(
+          rows.toDF("global_seq", "snap", "path_id", "path_seq",
+            "status", "flushed", "n_deleted_keys", "n_deleted_dirs",
+            "n_renames"), keyLimit, snapLimit)
+        .collect().map(row => row.getAs[String]("snap") ->
+          ((row.getAs[String]("action"), row.getAs[Long]("keys_moved"),
+            row.getAs[Long]("dirs_moved"),
+            row.getAs[Long]("renames_moved"),
+            row.getAs[String]("dest")))).toMap
+      assert(got === expected, s"trial $trial key=$keyLimit snap=$snapLimit")
+    }
+  }
+
   test("dirDeleteWalk prefix-sum plan == the sequential budget loop" +
     " over random pending-dir tables") {
     // The engine replaces DirectoryDeletingService's stateful
