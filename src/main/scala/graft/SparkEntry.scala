@@ -1118,6 +1118,15 @@ object SparkEntry {
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
       ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
+    // SCM block-allocation walk: OPEN-pipeline candidates with the
+    // exclusion wipe-out fallback, healthy-first pipeline order, the
+    // lastUsed cursor tail/head container walk, limit+space-gated
+    // pre-mints, the miss-path mint, CREATE_PIPELINE when dry.
+    "q_scm_block_allocate" -> ((s, d) =>
+      ClusterHealth.scmBlockAllocate(T.allocRequests(s, d),
+        T.allocPipelines(s, d), T.allocPipelineMembers(s, d),
+        T.allocDatanodes(s, d), T.allocContainers(s, d),
+        T.allocCursors(s, d))),
     // Recon /datanodes/remove ladder: not-found / non-DEAD refusal /
     // open-container / open-pipeline pins / removed, with mid-walk
     // node-manager mutation (a removed uuid re-reads NOT_FOUND).
@@ -9024,6 +9033,157 @@ object SparkEntry {
         |  FROM objects) h
         |ORDER BY t.task_name""".stripMargin,
       O.objects),
+
+    // block-allocation mirror: the same walk over the VALUES catalog
+    "q_scm_block_allocate" -> O.withCtes(
+      """SELECT r.req_id,
+        |  CASE WHEN w.picked IS NOT NULL THEN 'ALLOCATED'
+        |    ELSE 'CREATE_PIPELINE' END AS verdict,
+        |  coalesce(w.pipeline_id, '') AS pipeline_id,
+        |  CAST(coalesce(w.picked, 0) AS BIGINT) AS container_id,
+        |  coalesce(w.picked = w.mint_id, false) AS minted,
+        |  coalesce(w.ignored_exclusions, false) AS ignored_exclusions
+        |FROM alloc_req r
+        |LEFT JOIN (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY req_id
+        |      ORDER BY rnk) AS rn
+        |    FROM (
+        |      SELECT c.req_id, c.pipeline_id, c.rnk,
+        |        c.ignored_exclusions, c.mint_id,
+        |        coalesce(
+        |          CASE WHEN u.min_el IS NULL THEN NULL
+        |            WHEN h.tail_any = 0 THEN h.hit_full
+        |            WHEN h.hit_tail IS NOT NULL THEN h.hit_tail
+        |            ELSE h.hit_head END,
+        |          CASE WHEN c.mint_ok = 1 THEN c.mint_id END) AS picked
+        |      FROM alloc_cs c
+        |      LEFT JOIN alloc_cur u ON u.req_id = c.req_id
+        |        AND u.pipeline_id = c.pipeline_id
+        |      LEFT JOIN (
+        |        SELECT e.req_id, e.pipeline_id,
+        |          max(CASE WHEN e.container_id > u2.cursor
+        |            THEN 1 ELSE 0 END) AS tail_any,
+        |          min(CASE WHEN e.container_id > u2.cursor
+        |            AND e.used + u2.size <= 1000
+        |            THEN e.container_id END) AS hit_tail,
+        |          min(CASE WHEN e.used + u2.size <= 1000
+        |            THEN e.container_id END) AS hit_full,
+        |          min(CASE WHEN e.container_id <= u2.cursor
+        |            AND e.used + u2.size <= 1000
+        |            THEN e.container_id END) AS hit_head
+        |        FROM alloc_elig e
+        |        JOIN alloc_cur u2 ON u2.req_id = e.req_id
+        |          AND u2.pipeline_id = e.pipeline_id
+        |        GROUP BY 1, 2) h
+        |        ON h.req_id = c.req_id AND h.pipeline_id = c.pipeline_id)
+        |    WHERE picked IS NOT NULL)
+        |  WHERE rn = 1) w ON w.req_id = r.req_id
+        |ORDER BY r.req_id""".stripMargin,
+      """alloc_req(req_id, size, owner, rep_config, excl_dn,
+        |  excl_pipeline, excl_container) AS (VALUES
+        |  (1, 10, 'o1', 'RATIS/THREE', '', '', 0),
+        |  (2, 10, 'o1', 'RATIS/THREE', '', '', 103),
+        |  (3, 20, 'o1', 'RATIS/THREE', '', 'pl-a', 0),
+        |  (4, 10, 'o1', 'RATIS/THREE', 'dnX', '', 0),
+        |  (5, 10, 'o2', 'RATIS/ONE', '', '', 0),
+        |  (6, 10, 'o3', 'EC/rs-3-2-1024k', '', 'pl-h', 0),
+        |  (7, 10, 'o4', 'RATIS/THREE', '', '', 0),
+        |  (8, 10, 'o3', 'EC/rs-3-2-1024k', '', '', 0),
+        |  (9, 10, 'o5', 'RATIS/ONE', '', 'pl-d', 0))""".stripMargin,
+      """alloc_pipe(pipeline_id, rep_config, pstate, healthy) AS (VALUES
+        |  ('pl-a', 'RATIS/THREE', 'OPEN', true),
+        |  ('pl-b', 'RATIS/THREE', 'OPEN', false),
+        |  ('pl-c', 'RATIS/THREE', 'OPEN', true),
+        |  ('pl-d', 'RATIS/ONE', 'OPEN', true),
+        |  ('pl-e', 'EC/rs-3-2-1024k', 'OPEN', true),
+        |  ('pl-f', 'RATIS/THREE', 'ALLOCATED', true),
+        |  ('pl-h', 'EC/rs-3-2-1024k', 'OPEN', true),
+        |  ('pl-i', 'RATIS/ONE', 'OPEN', true))""".stripMargin,
+      """alloc_mem(pipeline_id, dn) AS (VALUES
+        |  ('pl-a', 'dnA'), ('pl-a', 'dnB'), ('pl-a', 'dnX'),
+        |  ('pl-b', 'dnC'), ('pl-b', 'dnD'), ('pl-b', 'dnX'),
+        |  ('pl-c', 'dnC'), ('pl-c', 'dnD'), ('pl-c', 'dnX'),
+        |  ('pl-d', 'dnC'),
+        |  ('pl-e', 'dnE'), ('pl-e', 'dnC'), ('pl-e', 'dnD'),
+        |  ('pl-f', 'dnA'), ('pl-f', 'dnB'), ('pl-f', 'dnC'),
+        |  ('pl-h', 'dnC'), ('pl-h', 'dnD'),
+        |  ('pl-i', 'dnF'))""".stripMargin,
+      """alloc_dn(dn, healthy_volumes, pipeline_limit, has_space)
+        |  AS (VALUES
+        |  ('dnA', 3, 3, true), ('dnB', 2, 2, true),
+        |  ('dnC', 4, 2, true), ('dnD', 4, 2, true),
+        |  ('dnE', 2, 2, false), ('dnX', 3, 3, true),
+        |  ('dnF', 1, 0, true))""".stripMargin,
+      """alloc_cont(container_id, pipeline_id, owner, used) AS (VALUES
+        |  (101, 'pl-a', 'o1', 100), (102, 'pl-a', 'o1', 990),
+        |  (103, 'pl-a', 'o1', 400),
+        |  (120, 'pl-a', 'o4', 995), (121, 'pl-a', 'o4', 998),
+        |  (130, 'pl-e', 'o3', 995), (131, 'pl-e', 'o3', 996),
+        |  (140, 'pl-a', 'o9', 10))""".stripMargin,
+      """alloc_lastused(owner, pipeline_id, last_used) AS (VALUES
+        |  ('o1', 'pl-a', 102))""".stripMargin,
+      """alloc_cand AS (
+        |  SELECT * FROM (
+        |    SELECT *,
+        |      row_number() OVER (PARTITION BY req_id
+        |        ORDER BY healthy DESC, pipeline_id) AS rnk,
+        |      (n_kept = 0) AS ignored_exclusions
+        |    FROM (
+        |      SELECT *, sum(CASE WHEN NOT excluded THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY req_id) AS n_kept
+        |      FROM (
+        |        SELECT r.req_id, r.size, r.owner, r.excl_container,
+        |          p.pipeline_id, p.healthy,
+        |          (r.excl_pipeline <> ''
+        |            AND p.pipeline_id = r.excl_pipeline)
+        |          OR EXISTS (SELECT 1 FROM alloc_mem m
+        |            WHERE m.pipeline_id = p.pipeline_id
+        |              AND m.dn = r.excl_dn) AS excluded
+        |        FROM alloc_req r
+        |        JOIN alloc_pipe p ON p.rep_config = r.rep_config
+        |          AND p.pstate = 'OPEN'))
+        |    WHERE NOT excluded OR n_kept = 0))""".stripMargin,
+      """alloc_cs AS (
+        |  SELECT c.*,
+        |    coalesce(ps.open_limit, 0) AS open_limit,
+        |    coalesce(ps.mint_ok, 0) AS mint_ok,
+        |    coalesce(oc.owned_count, 0) AS owned_count,
+        |    (coalesce(oc.owned_count, 0) < coalesce(ps.open_limit, 0)
+        |      AND coalesce(ps.mint_ok, 0) = 1) AS pre_mint,
+        |    9000 + c.req_id AS mint_id
+        |  FROM alloc_cand c
+        |  LEFT JOIN (
+        |    SELECT m.pipeline_id,
+        |      min(CASE WHEN d.pipeline_limit <= 0 THEN 0
+        |        ELSE 1 + (2 * d.healthy_volumes - 1)
+        |          // d.pipeline_limit END) AS open_limit,
+        |      min(CASE WHEN d.has_space THEN 1 ELSE 0 END) AS mint_ok
+        |    FROM alloc_mem m JOIN alloc_dn d ON d.dn = m.dn
+        |    GROUP BY 1) ps ON ps.pipeline_id = c.pipeline_id
+        |  LEFT JOIN (
+        |    SELECT pipeline_id, owner, count(*) AS owned_count
+        |    FROM alloc_cont GROUP BY 1, 2) oc
+        |    ON oc.pipeline_id = c.pipeline_id AND oc.owner = c.owner)""".stripMargin,
+      """alloc_elig AS (
+        |  SELECT c.req_id, c.pipeline_id, k.container_id, k.used
+        |  FROM alloc_cs c
+        |  JOIN alloc_cont k ON k.pipeline_id = c.pipeline_id
+        |    AND k.owner = c.owner
+        |  WHERE k.container_id <> c.excl_container
+        |  UNION ALL
+        |  SELECT req_id, pipeline_id, mint_id, 0 FROM alloc_cs
+        |  WHERE pre_mint)""".stripMargin,
+      """alloc_cur AS (
+        |  SELECT c.req_id, c.pipeline_id, c.size, me.min_el,
+        |    coalesce(a.last_used, me.min_el) AS cursor
+        |  FROM alloc_cs c
+        |  LEFT JOIN (
+        |    SELECT req_id, pipeline_id, min(container_id) AS min_el
+        |    FROM alloc_elig GROUP BY 1, 2) me
+        |    ON me.req_id = c.req_id AND me.pipeline_id = c.pipeline_id
+        |  LEFT JOIN alloc_lastused a ON a.owner = c.owner
+        |    AND a.pipeline_id = c.pipeline_id)""".stripMargin),
 
     // datanode-remove mirror: the same ladder over the VALUES catalog
     "q_datanode_remove" -> O.withCtes(

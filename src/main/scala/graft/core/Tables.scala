@@ -1366,6 +1366,97 @@ object Tables {
         "purge_dir")
   }
 
+  /** alloc_requests: SCM block-allocation requests (BlockManagerImpl →
+    * WritableRatisContainerProvider) — cursor tail hit, exclusion-forced
+    * wrap, pipeline-exclusion re-route with a pre-mint, dn-exclusion
+    * wipe-out falling back to the unfiltered pipeline set, an empty
+    * RATIS/ONE pipeline minting, a space-blocked EC CREATE_PIPELINE, a
+    * miss-path post-mint, the removed-pipeline loop, and the limit-0
+    * miss-path-mint artifact. '' = no exclusion. */
+  def allocRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, "o1", "RATIS/THREE", "", "", 0L),
+      (2L, 10L, "o1", "RATIS/THREE", "", "", 103L),
+      (3L, 20L, "o1", "RATIS/THREE", "", "pl-a", 0L),
+      (4L, 10L, "o1", "RATIS/THREE", "dnX", "", 0L),
+      (5L, 10L, "o2", "RATIS/ONE", "", "", 0L),
+      (6L, 10L, "o3", "EC/rs-3-2-1024k", "", "pl-h", 0L),
+      (7L, 10L, "o4", "RATIS/THREE", "", "", 0L),
+      (8L, 10L, "o3", "EC/rs-3-2-1024k", "", "", 0L),
+      (9L, 10L, "o5", "RATIS/ONE", "", "pl-d", 0L))
+      .toDF("req_id", "size", "owner", "rep_config", "excl_dn",
+        "excl_pipeline", "excl_container")
+  }
+
+  /** The SCM pipeline catalog for the allocation walk; pl-f is
+    * ALLOCATED (never a write candidate), pl-b is the unhealthy
+    * fallback. */
+  def allocPipelines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("pl-a", "RATIS/THREE", "OPEN", true),
+      ("pl-b", "RATIS/THREE", "OPEN", false),
+      ("pl-c", "RATIS/THREE", "OPEN", true),
+      ("pl-d", "RATIS/ONE", "OPEN", true),
+      ("pl-e", "EC/rs-3-2-1024k", "OPEN", true),
+      ("pl-f", "RATIS/THREE", "ALLOCATED", true),
+      ("pl-h", "EC/rs-3-2-1024k", "OPEN", true),
+      ("pl-i", "RATIS/ONE", "OPEN", true))
+      .toDF("pipeline_id", "rep_config", "pstate", "healthy")
+  }
+
+  /** Pipeline membership; dnX rides every RATIS/THREE pipeline so one
+    * dn exclusion can wipe the whole candidate set. */
+  def allocPipelineMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("pl-a", "dnA"), ("pl-a", "dnB"), ("pl-a", "dnX"),
+      ("pl-b", "dnC"), ("pl-b", "dnD"), ("pl-b", "dnX"),
+      ("pl-c", "dnC"), ("pl-c", "dnD"), ("pl-c", "dnX"),
+      ("pl-d", "dnC"),
+      ("pl-e", "dnE"), ("pl-e", "dnC"), ("pl-e", "dnD"),
+      ("pl-f", "dnA"), ("pl-f", "dnB"), ("pl-f", "dnC"),
+      ("pl-h", "dnC"), ("pl-h", "dnD"),
+      ("pl-i", "dnF"))
+      .toDF("pipeline_id", "dn")
+  }
+
+  /** Per-dn volume/pipeline-limit/space dims feeding openContainerLimit
+    * (SCMNodeManager.java:1661-1676) and the mint space gate
+    * (checkSpaceAndRecordAllocation). dnF's pipeline_limit 0 zeroes its
+    * pipeline's limit; dnE blocks minting. */
+  def allocDatanodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("dnA", 3L, 3L, true), ("dnB", 2L, 2L, true),
+      ("dnC", 4L, 2L, true), ("dnD", 4L, 2L, true),
+      ("dnE", 2L, 2L, false), ("dnX", 3L, 3L, true),
+      ("dnF", 1L, 0L, true))
+      .toDF("dn", "healthy_volumes", "pipeline_limit", "has_space")
+  }
+
+  /** Open containers per (pipeline, owner) with used bytes against the
+    * 1000-unit container size; 140 belongs to another owner (the owner
+    * filter drops it). */
+  def allocContainers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (101L, "pl-a", "o1", 100L), (102L, "pl-a", "o1", 990L),
+      (103L, "pl-a", "o1", 400L),
+      (120L, "pl-a", "o4", 995L), (121L, "pl-a", "o4", 998L),
+      (130L, "pl-e", "o3", 995L), (131L, "pl-e", "o3", 996L),
+      (140L, "pl-a", "o9", 10L))
+      .toDF("container_id", "pipeline_id", "owner", "used")
+  }
+
+  /** The lastUsedMap cursor (ContainerStateManagerImpl.java:501-503). */
+  def allocCursors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(("o1", "pl-a", 102L))
+      .toDF("owner", "pipeline_id", "last_used")
+  }
+
   /** snap_delete_chain: the global snapshot chain the deleting service
     * walks newest→oldest — ACTIVE skips, an un-flushed skip, two
     * next-in-path-DELETED skips, a full move into a named next snapshot,

@@ -3530,6 +3530,149 @@ object ClusterHealth {
       .orderBy("req_seq")
   }
 
+  /**
+   * SCM block-allocation walk — BlockManagerImpl.allocateBlock →
+   * WritableRatisContainerProvider.getContainer (server-scm/.../pipeline/
+   * WritableRatisContainerProvider.java:60-197):
+   *
+   *  - candidate pipelines = OPEN, matching the requested replication,
+   *    minus excluded pipeline ids and pipelines carrying an excluded
+   *    datanode; if the exclusions wipe the set out, the reference
+   *    RETRIES WITHOUT them (findPipelinesByState:165-178 — an
+   *    exhausted exclude list is advisory, not binding);
+   *  - pipelines are tried healthy-first (HealthyPipelineChoosePolicy:
+   *    the random sub-pick is determinized here to pipeline-id order,
+   *    the repo's usual stand-in), each miss REMOVING the pipeline
+   *    (selectContainer:176-196);
+   *  - per pipeline (ContainerManagerImpl.getMatchingContainer:358-384):
+   *    the owner's containers are counted BEFORE exclusions; if below
+   *    openContainerLimit — min over members of
+   *    1 + (numContainerPerVolume·healthyVolumes − 1) DIV pipelineLimit,
+   *    0 if any member's pipelineLimit ≤ 0 (SCMNodeManager.java:
+   *    1661-1676) — and every member has space, a fresh container is
+   *    minted FIRST and joins the eligible set;
+   *  - selection follows the lastUsedMap cursor
+   *    (ContainerStateManagerImpl.getMatchingContainer:493-532):
+   *    first container ABOVE the cursor with usedBytes + size ≤
+   *    containerSize; an empty tail set falls back to the whole set;
+   *    a tail set with no space-hit falls back to the head set
+   *    (cursor inclusive); cursor default = smallest eligible id;
+   *  - a miss still mints (:375-377) gated ONLY on member space — so
+   *    even a limit-0 pipeline mints on a miss, a truthful artifact;
+   *  - no pipeline yields → CREATE_PIPELINE (the create-and-wait path,
+   *    whose placement is [[pipelineCreatePlan]]).
+   *
+   * Each request is decided against the same catalog snapshot (batch
+   * semantics); mint ids are 9000+req (stand-in for the monotone
+   * sequenceIdGen — above every live id, so tail-set behavior matches).
+   * Scale shape: pipelines/members/cursors are control-plane dims and
+   * broadcast; the container catalog aggregates per (pipeline, owner)
+   * before any join.
+   */
+  def scmBlockAllocate(requests: DataFrame, pipelines: DataFrame,
+                       members: DataFrame, dns: DataFrame,
+                       containers: DataFrame, cursors: DataFrame,
+                       containerSize: Long = 1000L,
+                       numPerVolume: Long = 2L): DataFrame = {
+    val pipeStats = members
+      .join(broadcast(dns), Seq("dn"))
+      .groupBy("pipeline_id")
+      .agg(
+        min(when(col("pipeline_limit") <= 0, lit(0L))
+          .otherwise(lit(1L) + expr(
+            s"($numPerVolume * healthy_volumes - 1) DIV pipeline_limit")))
+          .as("open_limit"),
+        min(when(col("has_space"), 1L).otherwise(0L)).as("mint_ok"))
+    val exclDnPipes = requests.select("req_id", "excl_dn")
+      .filter(col("excl_dn") =!= "")
+      .join(broadcast(members), col("excl_dn") === col("dn"))
+      .select("req_id", "pipeline_id").distinct()
+      .withColumn("dn_hit", lit(true))
+    val wReq = Window.partitionBy("req_id")
+    val cand = requests
+      .join(broadcast(pipelines.filter(col("pstate") === "OPEN")
+        .select("pipeline_id", "rep_config", "healthy")), Seq("rep_config"))
+      .join(broadcast(exclDnPipes), Seq("req_id", "pipeline_id"), "left")
+      .withColumn("excluded",
+        coalesce(col("dn_hit"), lit(false)) ||
+          (col("excl_pipeline") =!= "" &&
+            col("pipeline_id") === col("excl_pipeline")))
+      .withColumn("n_kept",
+        sum(when(!col("excluded"), 1L).otherwise(0L)).over(wReq))
+      .filter(!col("excluded") || col("n_kept") === 0)
+      .withColumn("ignored_exclusions", col("n_kept") === 0)
+      .withColumn("rnk", row_number().over(Window.partitionBy("req_id")
+        .orderBy(col("healthy").desc, col("pipeline_id"))))
+    val ownedCnt = containers.groupBy("pipeline_id", "owner")
+      .agg(count(lit(1)).as("owned_count"))
+    val cs = cand
+      .join(broadcast(pipeStats), Seq("pipeline_id"), "left")
+      .join(broadcast(ownedCnt), Seq("pipeline_id", "owner"), "left")
+      .withColumn("owned_count", coalesce(col("owned_count"), lit(0L)))
+      .withColumn("open_limit", coalesce(col("open_limit"), lit(0L)))
+      .withColumn("mint_ok", coalesce(col("mint_ok"), lit(0L)))
+      .withColumn("pre_mint",
+        col("owned_count") < col("open_limit") && col("mint_ok") === 1)
+      .withColumn("mint_id", lit(9000L) + col("req_id"))
+    val elig = cs
+      .join(containers, Seq("pipeline_id", "owner"))
+      .filter(col("container_id") =!= col("excl_container"))
+      .select("req_id", "pipeline_id", "container_id", "used")
+      .unionByName(cs.filter(col("pre_mint"))
+        .select(col("req_id"), col("pipeline_id"),
+          col("mint_id").as("container_id"), lit(0L).as("used")))
+    val cur = cs.select("req_id", "pipeline_id", "owner", "size")
+      .join(broadcast(elig.groupBy("req_id", "pipeline_id")
+        .agg(min("container_id").as("min_el"))),
+        Seq("req_id", "pipeline_id"), "left")
+      .join(broadcast(cursors), Seq("owner", "pipeline_id"), "left")
+      .withColumn("cursor", coalesce(col("last_used"), col("min_el")))
+    val hits = elig
+      .join(broadcast(cur.select("req_id", "pipeline_id", "cursor",
+        "size")), Seq("req_id", "pipeline_id"))
+      .groupBy("req_id", "pipeline_id")
+      .agg(
+        max(when(col("container_id") > col("cursor"), 1L).otherwise(0L))
+          .as("tail_any"),
+        min(when(col("container_id") > col("cursor") &&
+          col("used") + col("size") <= containerSize,
+          col("container_id"))).as("hit_tail"),
+        min(when(col("used") + col("size") <= containerSize,
+          col("container_id"))).as("hit_full"),
+        min(when(col("container_id") <= col("cursor") &&
+          col("used") + col("size") <= containerSize,
+          col("container_id"))).as("hit_head"))
+    val outcome = cs
+      .join(broadcast(cur.select("req_id", "pipeline_id", "min_el")),
+        Seq("req_id", "pipeline_id"), "left")
+      .join(broadcast(hits), Seq("req_id", "pipeline_id"), "left")
+      .withColumn("hit",
+        when(col("min_el").isNull, lit(null).cast("long"))
+          .when(col("tail_any") === 0, col("hit_full"))
+          .when(col("hit_tail").isNotNull, col("hit_tail"))
+          .otherwise(col("hit_head")))
+      .withColumn("picked", coalesce(col("hit"),
+        when(col("mint_ok") === 1, col("mint_id"))))
+      .filter(col("picked").isNotNull)
+      .withColumn("minted", col("picked") === col("mint_id"))
+    val winner = outcome
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("req_id").orderBy("rnk")))
+      .filter(col("rn") === 1)
+      .select(col("req_id"), col("pipeline_id").as("win_pipeline"),
+        col("picked"), col("minted"), col("ignored_exclusions"))
+    requests.join(broadcast(winner), Seq("req_id"), "left")
+      .select(col("req_id"),
+        when(col("picked").isNotNull, lit("ALLOCATED"))
+          .otherwise(lit("CREATE_PIPELINE")).as("verdict"),
+        coalesce(col("win_pipeline"), lit("")).as("pipeline_id"),
+        coalesce(col("picked"), lit(0L)).as("container_id"),
+        coalesce(col("minted"), lit(false)).as("minted"),
+        coalesce(col("ignored_exclusions"), lit(false))
+          .as("ignored_exclusions"))
+      .orderBy("req_id")
+  }
+
   def replicationQueue(replicas: DataFrame, datanodes: DataFrame,
                        containersScm: DataFrame): DataFrame = {
     val dn = datanodes.select(col("uuid").as("datanode"), col("state"),

@@ -1255,6 +1255,37 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(!move.contains(9L) && move.size === 8)
   }
 
+  test("scmBlockAllocate: cursor walk, mints, exclusion fallback, dry") {
+    val T = graft.core.Tables
+    val got = graft.operators.ClusterHealth.scmBlockAllocate(
+      T.allocRequests(spark, sf), T.allocPipelines(spark, sf),
+      T.allocPipelineMembers(spark, sf), T.allocDatanodes(spark, sf),
+      T.allocContainers(spark, sf), T.allocCursors(spark, sf))
+      .collect().map(r => r.getAs[Long]("req_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[String]("pipeline_id"),
+          r.getAs[Long]("container_id"), r.getAs[Boolean]("minted"),
+          r.getAs[Boolean]("ignored_exclusions")))).toMap
+    // cursor 102 → tail set {103} has space
+    assert(got(1L) === (("ALLOCATED", "pl-a", 103L, false, false)))
+    // 103 excluded → empty tail falls back to the whole set → 101
+    assert(got(2L) === (("ALLOCATED", "pl-a", 101L, false, false)))
+    // pl-a excluded → healthy pl-c first → below-limit pre-mint
+    assert(got(3L) === (("ALLOCATED", "pl-c", 9003L, true, false)))
+    // dnX exclusion wipes every candidate → retried without exclusions
+    assert(got(4L) === (("ALLOCATED", "pl-a", 103L, false, true)))
+    // empty RATIS/ONE pipeline mints
+    assert(got(5L) === (("ALLOCATED", "pl-d", 9005L, true, false)))
+    // pl-e full + at limit + dnE blocks the miss-path mint → dry
+    assert(got(6L) === (("CREATE_PIPELINE", "", 0L, false, false)))
+    // o4's containers full at limit, members have space → miss-path mint
+    assert(got(7L) === (("ALLOCATED", "pl-a", 9007L, true, false)))
+    // pl-e misses → removed → pl-h pre-mints (the selectContainer loop)
+    assert(got(8L) === (("ALLOCATED", "pl-h", 9008L, true, false)))
+    // limit-0 pipeline still mints on a miss (space-gated only)
+    assert(got(9L) === (("ALLOCATED", "pl-i", 9009L, true, false)))
+    assert(got.size === 9)
+  }
+
   test("datanodeRemove: not-found, non-DEAD, open pins, mid-walk removal") {
     val T = graft.core.Tables
     val got = graft.operators.ClusterHealth.datanodeRemove(

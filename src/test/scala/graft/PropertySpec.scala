@@ -999,6 +999,48 @@ class PropertySpec extends SparkSpecBase {
       "OVER_REPLICATED", "OFFLINE_COPIES", "HEALTHY"))
   }
 
+  test("scmBlockAllocate cursor rule == the literal tail/head NavigableSet" +
+    " walk over random container sets") {
+    // ContainerStateManagerImpl.getMatchingContainer walked literally:
+    // tailSet(cursor, exclusive) first-with-space, empty tail → whole
+    // set, space-less tail → headSet(cursor, inclusive). Mints are
+    // disabled (limit-0 pipeline, space-less member) so a miss is
+    // observable as CREATE_PIPELINE.
+    val rnd = new Random(2048)
+    for (trial <- 0 until 15) {
+      val ids = (1 to 5 + rnd.nextInt(8)).map(_ => 100L + rnd.nextInt(40))
+        .distinct.sorted
+      val used = ids.map(id => id -> rnd.nextInt(1100).toLong).toMap
+      val size = 50L + rnd.nextInt(100)
+      val hasCursor = rnd.nextBoolean()
+      val cursor = if (hasCursor) ids(rnd.nextInt(ids.size)) else ids.min
+      val fits = (id: Long) => used(id) + size <= 1000L
+      val tail = ids.filter(_ > cursor)
+      val expected =
+        (if (tail.isEmpty) ids.find(fits)
+         else tail.find(fits).orElse(ids.filter(_ <= cursor).find(fits)))
+      import spark.implicits._
+      val got = graft.operators.ClusterHealth.scmBlockAllocate(
+        Seq((1L, size, "o", "R", "", "", 0L)).toDF("req_id", "size",
+          "owner", "rep_config", "excl_dn", "excl_pipeline",
+          "excl_container"),
+        Seq(("pl-x", "R", "OPEN", true)).toDF("pipeline_id",
+          "rep_config", "pstate", "healthy"),
+        Seq(("pl-x", "dnZ")).toDF("pipeline_id", "dn"),
+        Seq(("dnZ", 1L, 0L, false)).toDF("dn", "healthy_volumes",
+          "pipeline_limit", "has_space"),
+        ids.map(id => (id, "pl-x", "o", used(id)))
+          .toDF("container_id", "pipeline_id", "owner", "used"),
+        (if (hasCursor) Seq(("o", "pl-x", cursor)) else Seq.empty)
+          .toDF("owner", "pipeline_id", "last_used"))
+        .collect().head
+      val gotHit = if (got.getAs[String]("verdict") == "ALLOCATED")
+        Some(got.getAs[Long]("container_id")) else None
+      assert(gotHit === expected,
+        s"trial $trial ids=$ids cursor=$cursor size=$size used=$used")
+    }
+  }
+
   test("snapshotDeleteWalk prefix-sum plan == the sequential two-budget" +
     " loop over random chains") {
     // SnapshotDeletingService.call walked literally: reverse global
