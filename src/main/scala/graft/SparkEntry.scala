@@ -1118,6 +1118,11 @@ object SparkEntry {
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
       ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
+    // DN round-robin volume choice: circular scan from the persistent
+    // cursor, success-only advance, shrink-guard restart, committed
+    // accumulation, out-of-space/no-volumes refusals.
+    "q_volume_choose" -> ((s, d) =>
+      ClusterHealth.volumeChooseFold(T.dnVolumeOps(s, d))),
     // SCM block-allocation walk: OPEN-pipeline candidates with the
     // exclusion wipe-out fallback, healthy-first pipeline order, the
     // lastUsed cursor tail/head container walk, limit+space-gated
@@ -9033,6 +9038,55 @@ object SparkEntry {
         |  FROM objects) h
         |ORDER BY t.task_name""".stripMargin,
       O.objects),
+
+    // round-robin volume-choice mirror: the same packed-state fold
+    // replayed with list_reduce
+    "q_volume_choose" -> {
+      val entPre = "list_filter(string_split(string_split(pre, '#')[2]" +
+        ", '|'), x -> x <> '')"
+      val nPre = s"len($entPre)"
+      val nextPre = "CAST(string_split(pre, '#')[1] AS INT)"
+      val startPre =
+        s"(CASE WHEN $nextPre < $nPre THEN $nextPre ELSE 0 END)"
+      val szPre = "CAST(string_split(ev, ':')[2] AS BIGINT)"
+      val minrotPre = O.rrVolMinrot("pre", "ev")
+      val istarPre = s"(($minrotPre) + $startPre) % $nPre"
+      O.withCtes(
+        s"""SELECT CAST(seq AS BIGINT) AS seq, ev, action,
+           |  CASE WHEN string_split(ev, ':')[1] IN ('ADD', 'REMOVE')
+           |    THEN string_split(ev, ':')[2]
+           |  WHEN action = 'CHOSEN'
+           |    THEN string_split(($entPre)[($istarPre) + 1], ':')[1]
+           |  ELSE '' END AS vol,
+           |  CAST(CASE WHEN action = 'CHOSEN'
+           |    THEN CAST(string_split(($entPre)[($istarPre) + 1],
+           |      ':')[3] AS BIGINT) + $szPre
+           |  ELSE 0 END AS BIGINT) AS committed_after,
+           |  CAST(string_split(post, '#')[1] AS BIGINT) AS next_after
+           |FROM (
+           |  SELECT seq, ev, pre, ${O.rrVolStep("pre", "ev")} AS post,
+           |    CASE string_split(ev, ':')[1]
+           |    WHEN 'ADD' THEN 'ADDED'
+           |    WHEN 'REMOVE' THEN 'REMOVED'
+           |    ELSE CASE WHEN $nPre = 0 THEN 'NO_VOLUMES'
+           |      WHEN $minrotPre IS NULL THEN 'OUT_OF_SPACE'
+           |      ELSE 'CHOSEN' END
+           |    END AS action
+           |  FROM (
+           |    SELECT j AS seq, sevs[j] AS ev,
+           |      list_reduce(list_prepend('0#', sevs[1:j-1]),
+           |        (s, e) -> ${O.rrVolStep("s", "e")}) AS pre
+           |    FROM (SELECT list(op ORDER BY seq) AS sevs FROM rr_ops),
+           |      generate_series(1, 17) g(j)))
+           |ORDER BY seq""".stripMargin,
+        """rr_ops(seq, op) AS (VALUES
+          |  (1, 'ADD:v0:1000'), (2, 'ADD:v1:500'), (3, 'ADD:v2:800'),
+          |  (4, 'ALLOC:300'), (5, 'ALLOC:400'), (6, 'REMOVE:v0'),
+          |  (7, 'ALLOC:100'), (8, 'ALLOC:700'), (9, 'ALLOC:200'),
+          |  (10, 'ALLOC:100'), (11, 'REMOVE:v1'), (12, 'ALLOC:10'),
+          |  (13, 'REMOVE:v2'), (14, 'ALLOC:10'), (15, 'ADD:v3:100'),
+          |  (16, 'ALLOC:60'), (17, 'ALLOC:60'))""".stripMargin)
+    },
 
     // block-allocation mirror: the same walk over the VALUES catalog
     "q_scm_block_allocate" -> O.withCtes(

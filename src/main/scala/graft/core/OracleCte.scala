@@ -784,6 +784,59 @@ object OracleCte {
       |)""".stripMargin
 
   /** Compose a query over a chain of CTEs (dependencies first). */
+  /** DuckDB twin of ClusterHealth.rrStep (round-robin volume choice):
+    * the packed-state step over "nextIdx#vol:av:com|..." states,
+    * parametrized over the state/event variable names. DuckDB's
+    * lambda index is 1-based (Spark's is 0-based) and
+    * array_to_string of an empty list is NULL (coalesced). */
+  def rrVolStep(s: String, e: String): String = {
+    val ent = s"list_filter(string_split(string_split($s, '#')[2], " +
+      s"'|'), x -> x <> '')"
+    val n = s"len($ent)"
+    val nextIdx = s"CAST(string_split($s, '#')[1] AS INT)"
+    val start = s"(CASE WHEN $nextIdx < $n THEN $nextIdx ELSE 0 END)"
+    val sz = s"CAST(string_split($e, ':')[2] AS BIGINT)"
+    val minrot = rrVolMinrot(s, e)
+    val istar = s"(($minrot) + $start) % $n"
+    s"""CASE string_split($e, ':')[1]
+       |WHEN 'ADD' THEN string_split($s, '#')[1] || '#' ||
+       |  coalesce(array_to_string(list_concat($ent,
+       |    [string_split($e, ':')[2] || ':' ||
+       |     string_split($e, ':')[3] || ':0']), '|'), '')
+       |WHEN 'REMOVE' THEN string_split($s, '#')[1] || '#' ||
+       |  coalesce(array_to_string(list_filter($ent,
+       |    x -> string_split(x, ':')[1] <> string_split($e, ':')[2]),
+       |    '|'), '')
+       |ELSE CASE
+       |  WHEN $n = 0 THEN $s
+       |  WHEN $minrot IS NULL THEN $s
+       |  ELSE CAST((($istar) + 1) % $n AS VARCHAR) || '#' ||
+       |    coalesce(array_to_string(list_transform($ent, (x, i) ->
+       |      CASE WHEN i - 1 = $istar
+       |      THEN string_split(x, ':')[1] || ':' ||
+       |        string_split(x, ':')[2] || ':' ||
+       |        CAST(CAST(string_split(x, ':')[3] AS BIGINT) + $sz
+       |          AS VARCHAR)
+       |      ELSE x END), '|'), '')
+       |  END
+       |END""".stripMargin
+  }
+
+  /** The first-with-space rotation distance for [[rrVolStep]]. */
+  def rrVolMinrot(s: String, e: String): String = {
+    val ent = s"list_filter(string_split(string_split($s, '#')[2], " +
+      s"'|'), x -> x <> '')"
+    val n = s"len($ent)"
+    val nextIdx = s"CAST(string_split($s, '#')[1] AS INT)"
+    val start = s"(CASE WHEN $nextIdx < $n THEN $nextIdx ELSE 0 END)"
+    val sz = s"CAST(string_split($e, ':')[2] AS BIGINT)"
+    s"""list_min(list_filter(list_transform($ent, (x, i) ->
+       |  CASE WHEN CAST(string_split(x, ':')[2] AS BIGINT) -
+       |    CAST(string_split(x, ':')[3] AS BIGINT) >= $sz
+       |  THEN (i - 1 - $start + $n) % $n END),
+       |  y -> y IS NOT NULL))""".stripMargin
+  }
+
   def withCtes(sql: String, ctes: String*): String =
     "WITH " + ctes.mkString(",\n") + "\n" + sql
 

@@ -1366,6 +1366,23 @@ object Tables {
         "purge_dir")
   }
 
+  /** dn_volume_ops: the round-robin volume-choice op stream — three
+    * registrations, rotating allocations, a removal that strands the
+    * cursor out of bounds (restart-at-0 guard), full-circle
+    * out-of-space misses that leave the cursor parked, drain to an
+    * empty list (NO_VOLUMES), late re-registration. */
+  def dnVolumeOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "ADD:v0:1000"), (2L, "ADD:v1:500"), (3L, "ADD:v2:800"),
+      (4L, "ALLOC:300"), (5L, "ALLOC:400"), (6L, "REMOVE:v0"),
+      (7L, "ALLOC:100"), (8L, "ALLOC:700"), (9L, "ALLOC:200"),
+      (10L, "ALLOC:100"), (11L, "REMOVE:v1"), (12L, "ALLOC:10"),
+      (13L, "REMOVE:v2"), (14L, "ALLOC:10"), (15L, "ADD:v3:100"),
+      (16L, "ALLOC:60"), (17L, "ALLOC:60"))
+      .toDF("seq", "op")
+  }
+
   /** alloc_requests: SCM block-allocation requests (BlockManagerImpl →
     * WritableRatisContainerProvider) — cursor tail hit, exclusion-forced
     * wrap, pipeline-exclusion re-route with a pre-mint, dn-exclusion

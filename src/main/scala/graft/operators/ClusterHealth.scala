@@ -3530,6 +3530,114 @@ object ClusterHealth {
       .orderBy("req_seq")
   }
 
+  /** Packed-state step for [[volumeChooseFold]]: state =
+    * "nextIdx#vol:avail:committed|..." folded over op strings
+    * ADD:vol:avail / REMOVE:vol / ALLOC:size. Parametrized over the
+    * state/event variable names so the same SQL drives both the
+    * aggregate() prefix fold and the post-state projection. */
+  private def rrStep(s: String, e: String): String = {
+    val ent = s"filter(split(split($s, '#')[1], '\\\\|'), x -> x != '')"
+    val n = s"size($ent)"
+    val nextIdx = s"CAST(split($s, '#')[0] AS INT)"
+    val start = s"IF($nextIdx < $n, $nextIdx, 0)"
+    val sz = s"CAST(split($e, ':')[1] AS BIGINT)"
+    val minrot = s"""array_min(transform($ent, (x, i) ->
+      IF(CAST(split(x, ':')[1] AS BIGINT) -
+         CAST(split(x, ':')[2] AS BIGINT) >= $sz,
+        (i - $start + $n) % $n, CAST(NULL AS INT))))"""
+    val istar = s"(($minrot) + $start) % $n"
+    s"""CASE split($e, ':')[0]
+       |WHEN 'ADD' THEN concat(split($s, '#')[0], '#',
+       |  array_join(concat($ent, array(concat(split($e, ':')[1], ':',
+       |    split($e, ':')[2], ':0'))), '|'))
+       |WHEN 'REMOVE' THEN concat(split($s, '#')[0], '#',
+       |  array_join(filter($ent,
+       |    x -> split(x, ':')[0] != split($e, ':')[1]), '|'))
+       |ELSE CASE
+       |  WHEN $n = 0 THEN $s
+       |  WHEN $minrot IS NULL THEN $s
+       |  ELSE concat(CAST((($istar) + 1) % $n AS STRING), '#',
+       |    array_join(transform($ent, (x, i) -> IF(i = $istar,
+       |      concat(split(x, ':')[0], ':', split(x, ':')[1], ':',
+       |        CAST(CAST(split(x, ':')[2] AS BIGINT) + $sz AS STRING)),
+       |      x)), '|'))
+       |  END
+       |END""".stripMargin
+  }
+
+  /**
+   * DN round-robin volume choice — RoundRobinVolumeChoosingPolicy
+   * .chooseVolume (container-service/.../volume/
+   * RoundRobinVolumeChoosingPolicy.java:55-95): the datanode's volume
+   * list scanned CIRCULARLY from the persistent nextVolumeIndex,
+   * taking the first volume whose free space covers the container
+   * size (AvailableSpaceFilter); the cursor advances to chosen+1 mod n
+   * and the chosen volume's committedBytes grows by the container
+   * size (so back-to-back allocations see shrinking space). Nuances
+   * carried over exactly:
+   *
+   *  - the cursor only moves ON SUCCESS — a full circle throws
+   *    DiskOutOfSpaceException with the state untouched (:88-90);
+   *  - failed volumes leave the list; an out-of-bounds cursor (the
+   *    list shrank) restarts the scan at 0 (:68 `nextVolumeIndex <
+   *    volumes.size() ? nextVolumeIndex : 0`);
+   *  - an empty list refuses NO_VOLUMES (:60-62).
+   *
+   * Volume registration/failure ride the op stream as ADD/REMOVE; the
+   * fold is the same packed-string higher-order-aggregate shape as
+   * [[volumeCheckFold]] (ordered control-plane stream, one group per
+   * datanode — trivially parallel across datanodes at fleet scale).
+   */
+  def volumeChooseFold(ops: DataFrame): DataFrame = {
+    val step = rrStep("s", "e")
+    val pre = rrStep("pre", "ev")
+    val entPre = "filter(split(split(pre, '#')[1], '\\\\|'), x -> x != '')"
+    val nPre = s"size($entPre)"
+    val startPre = s"IF(CAST(split(pre, '#')[0] AS INT) < $nPre, " +
+      s"CAST(split(pre, '#')[0] AS INT), 0)"
+    val szPre = "CAST(split(ev, ':')[1] AS BIGINT)"
+    val minrotPre = s"""array_min(transform($entPre, (x, i) ->
+      IF(CAST(split(x, ':')[1] AS BIGINT) -
+         CAST(split(x, ':')[2] AS BIGINT) >= $szPre,
+        (i - $startPre + $nPre) % $nPre, CAST(NULL AS INT))))"""
+    val istarPre = s"(($minrotPre) + $startPre) % $nPre"
+    ops
+      .groupBy(lit(0).as("g"))
+      .agg(sort_array(collect_list(struct(col("seq"), col("op"))))
+        .as("evs"))
+      .withColumn("sevs", expr("transform(evs, x -> x.op)"))
+      .select(col("sevs").as("sevs_all"),
+        posexplode(col("sevs")).as(Seq("i", "ev")))
+      .withColumn("pre", expr(
+        s"aggregate(slice(sevs_all, 1, i), '0#', (s, e) -> $step)"))
+      .withColumn("post", expr(pre))
+      .withColumn("seq", col("i") + 1)
+      .withColumn("action", expr(
+        s"""CASE split(ev, ':')[0]
+           |WHEN 'ADD' THEN 'ADDED'
+           |WHEN 'REMOVE' THEN 'REMOVED'
+           |ELSE CASE WHEN $nPre = 0 THEN 'NO_VOLUMES'
+           |  WHEN $minrotPre IS NULL THEN 'OUT_OF_SPACE'
+           |  ELSE 'CHOSEN' END
+           |END""".stripMargin))
+      .withColumn("vol", expr(
+        s"""CASE WHEN split(ev, ':')[0] IN ('ADD', 'REMOVE')
+           |  THEN split(ev, ':')[1]
+           |WHEN action = 'CHOSEN'
+           |  THEN split(element_at($entPre, ($istarPre) + 1), ':')[0]
+           |ELSE '' END""".stripMargin))
+      .withColumn("committed_after", expr(
+        s"""CASE WHEN action = 'CHOSEN'
+           |  THEN CAST(split(element_at($entPre, ($istarPre) + 1),
+           |    ':')[2] AS BIGINT) + $szPre
+           |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("next_after",
+        expr("CAST(split(post, '#')[0] AS BIGINT)"))
+      .select("seq", "ev", "action", "vol", "committed_after",
+        "next_after")
+      .orderBy("seq")
+  }
+
   /**
    * SCM block-allocation walk — BlockManagerImpl.allocateBlock →
    * WritableRatisContainerProvider.getContainer (server-scm/.../pipeline/

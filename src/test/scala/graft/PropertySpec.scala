@@ -999,6 +999,74 @@ class PropertySpec extends SparkSpecBase {
       "OVER_REPLICATED", "OFFLINE_COPIES", "HEALTHY"))
   }
 
+  test("volumeChooseFold == the literal RoundRobinVolumeChoosingPolicy" +
+    " loop over random op streams") {
+    // RoundRobinVolumeChoosingPolicy.chooseVolume walked literally:
+    // circular scan from the persistent cursor, success-only cursor
+    // advance, committed accumulation, removals stranding the cursor,
+    // empty-list refusals.
+    val rnd = new Random(512)
+    for (trial <- 0 until 10) {
+      var volId = 0
+      val ops = collection.mutable.ArrayBuffer[(Long, String)]()
+      val pool = collection.mutable.ArrayBuffer[String]()
+      for (seqi <- 1 to 30) {
+        val r = rnd.nextInt(10)
+        if (r < 2 || pool.isEmpty) {
+          val v = s"v$volId"; volId += 1
+          ops += ((seqi.toLong, s"ADD:$v:${(rnd.nextInt(10) + 1) * 100}"))
+          pool += v
+        } else if (r < 3) {
+          val v = pool.remove(rnd.nextInt(pool.size))
+          ops += ((seqi.toLong, s"REMOVE:$v"))
+        } else {
+          ops += ((seqi.toLong, s"ALLOC:${(rnd.nextInt(8) + 1) * 50}"))
+        }
+      }
+      // literal policy walk
+      case class V(id: String, av: Long, var com: Long)
+      val vols = collection.mutable.ArrayBuffer[V]()
+      var next = 0
+      val expected = ops.map { case (seqi, op) =>
+        val f = op.split(":")
+        f(0) match {
+          case "ADD" =>
+            vols += V(f(1), f(2).toLong, 0L)
+            seqi -> (("ADDED", f(1), 0L, next.toLong))
+          case "REMOVE" =>
+            val i = vols.indexWhere(_.id == f(1))
+            if (i >= 0) vols.remove(i)
+            seqi -> (("REMOVED", f(1), 0L, next.toLong))
+          case _ =>
+            val sz = f(1).toLong
+            if (vols.isEmpty) seqi -> (("NO_VOLUMES", "", 0L, next.toLong))
+            else {
+              val start = if (next < vols.size) next else 0
+              val found = (0 until vols.size)
+                .map(k => (start + k) % vols.size)
+                .find(i => vols(i).av - vols(i).com >= sz)
+              found match {
+                case Some(i) =>
+                  vols(i).com += sz
+                  next = (i + 1) % vols.size
+                  seqi -> (("CHOSEN", vols(i).id, vols(i).com,
+                    next.toLong))
+                case None =>
+                  seqi -> (("OUT_OF_SPACE", "", 0L, next.toLong))
+              }
+            }
+        }
+      }.toMap
+      val got = graft.operators.ClusterHealth.volumeChooseFold(
+          ops.toSeq.toDF("seq", "op"))
+        .collect().map(r => r.getAs[Long]("seq") ->
+          ((r.getAs[String]("action"), r.getAs[String]("vol"),
+            r.getAs[Long]("committed_after"),
+            r.getAs[Long]("next_after")))).toMap
+      assert(got === expected, s"trial $trial ops=$ops")
+    }
+  }
+
   test("scmBlockAllocate cursor rule == the literal tail/head NavigableSet" +
     " walk over random container sets") {
     // ContainerStateManagerImpl.getMatchingContainer walked literally:
