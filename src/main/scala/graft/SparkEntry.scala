@@ -1118,6 +1118,11 @@ object SparkEntry {
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
       ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
+    // DN block-deleting selection: the eligibility ladder (pending /
+    // type / state / Ratis close-log fences) + TopN budgeted fill with
+    // the boundary PARTIAL.
+    "q_dn_block_delete" -> ((s, d) =>
+      ClusterHealth.dnBlockDeleteChoose(T.dnDeleteContainers(s, d))),
     // DN round-robin volume choice: circular scan from the persistent
     // cursor, success-only advance, shrink-guard restart, committed
     // accumulation, out-of-space/no-volumes refusals.
@@ -9038,6 +9043,79 @@ object SparkEntry {
         |  FROM objects) h
         |ORDER BY t.task_name""".stripMargin,
       O.objects),
+
+    // DN block-delete mirror: the same ladder + budgeted TopN window
+    "q_dn_block_delete" -> O.withCtes(
+      """SELECT c.container_id,
+        |  coalesce(e.verdict, c.skip_reason) AS verdict,
+        |  CAST(coalesce(e.blocks_to_delete, 0) AS BIGINT)
+        |    AS blocks_to_delete,
+        |  CAST(CASE WHEN coalesce(e.verdict, '') LIKE 'CHOSEN%'
+        |    THEN e.pick_rank ELSE 0 END AS BIGINT) AS pick_rank
+        |FROM (SELECT *,
+        |  CASE WHEN pending_blocks <= 0 THEN 'SKIP_NO_PENDING'
+        |    WHEN ctype <> 'KeyValueContainer' THEN 'SKIP_TYPE'
+        |    WHEN cstate NOT IN ('CLOSED', 'QUASI_CLOSED')
+        |      THEN 'SKIP_STATE'
+        |    WHEN origin_pipeline <> '' AND NOT pipeline_parseable
+        |      THEN 'SKIP_BAD_PIPELINE'
+        |    WHEN origin_pipeline <> '' AND ratis_group_exists
+        |      AND min_replicated_index < bcsid
+        |      THEN 'SKIP_LOG_NOT_REPLICATED' END AS skip_reason
+        |  FROM dn_del_containers) c
+        |LEFT JOIN (
+        |  SELECT container_id,
+        |    CASE WHEN blocks_to_delete = 0 THEN 'NOT_CHOSEN'
+        |      WHEN blocks_to_delete < pending_blocks
+        |        THEN 'CHOSEN_PARTIAL'
+        |      ELSE 'CHOSEN' END AS verdict,
+        |    blocks_to_delete, pick_rank
+        |  FROM (
+        |    SELECT *,
+        |      greatest(least(pending_blocks, 180 -
+        |        coalesce(sum(pending_blocks) OVER (
+        |          ORDER BY pending_blocks DESC, container_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0)), 0) AS blocks_to_delete,
+        |      row_number() OVER (
+        |        ORDER BY pending_blocks DESC, container_id)
+        |        AS pick_rank
+        |    FROM (SELECT * FROM dn_del_containers
+        |      WHERE NOT (pending_blocks <= 0
+        |        OR ctype <> 'KeyValueContainer'
+        |        OR cstate NOT IN ('CLOSED', 'QUASI_CLOSED')
+        |        OR (origin_pipeline <> '' AND NOT pipeline_parseable)
+        |        OR (origin_pipeline <> '' AND ratis_group_exists
+        |          AND min_replicated_index < bcsid))))) e
+        |  ON e.container_id = c.container_id
+        |ORDER BY c.container_id""".stripMargin,
+      """dn_del_containers(container_id, ctype, cstate, pending_blocks,
+        |  origin_pipeline, pipeline_parseable, ratis_group_exists,
+        |  min_replicated_index, bcsid) AS (VALUES
+        |  (1, 'KeyValueContainer', 'CLOSED', 40, 'p1', true, true,
+        |    100, 50),
+        |  (2, 'KeyValueContainer', 'CLOSED', 100, 'p2', true, true,
+        |    10, 50),
+        |  (3, 'KeyValueContainer', 'OPEN', 30, 'p3', true, true,
+        |    100, 50),
+        |  (4, 'KeyValueContainer', 'QUASI_CLOSED', 60, '', true, false,
+        |    0, 0),
+        |  (5, 'KeyValueContainer', 'CLOSED', 0, 'p5', true, true,
+        |    100, 50),
+        |  (6, 'OtherContainer', 'CLOSED', 20, 'p6', true, true,
+        |    100, 50),
+        |  (7, 'KeyValueContainer', 'CLOSED', 25, 'not-a-uuid', false,
+        |    true, 100, 50),
+        |  (8, 'KeyValueContainer', 'CLOSED', 50, 'p8', true, false,
+        |    0, 50),
+        |  (9, 'KeyValueContainer', 'CLOSED', 50, 'p9', true, true,
+        |    80, 80),
+        |  (10, 'KeyValueContainer', 'QUASI_CLOSED', 15, 'p10', true,
+        |    true, 90, 20),
+        |  (11, 'KeyValueContainer', 'CLOSED', 60, '', true, false,
+        |    0, 0),
+        |  (12, 'KeyValueContainer', 'CLOSED', 10, '', true, false,
+        |    0, 0))""".stripMargin),
 
     // round-robin volume-choice mirror: the same packed-state fold
     // replayed with list_reduce

@@ -1366,6 +1366,34 @@ object Tables {
         "purge_dir")
   }
 
+  /** dn_delete_containers: the DN block-deleting candidate set — every
+    * eligibility rung (no pending, wrong type, wrong state, unparseable
+    * origin pipeline, close-log not fully replicated) plus eligible
+    * containers via the empty-pipeline, gone-Ratis-group and
+    * fully-replicated paths; pendings sized so the TopN fill truncates
+    * mid-container. */
+  def dnDeleteContainers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "KeyValueContainer", "CLOSED", 40L, "p1", true, true, 100L, 50L),
+      (2L, "KeyValueContainer", "CLOSED", 100L, "p2", true, true, 10L, 50L),
+      (3L, "KeyValueContainer", "OPEN", 30L, "p3", true, true, 100L, 50L),
+      (4L, "KeyValueContainer", "QUASI_CLOSED", 60L, "", true, false, 0L, 0L),
+      (5L, "KeyValueContainer", "CLOSED", 0L, "p5", true, true, 100L, 50L),
+      (6L, "OtherContainer", "CLOSED", 20L, "p6", true, true, 100L, 50L),
+      (7L, "KeyValueContainer", "CLOSED", 25L, "not-a-uuid", false, true,
+        100L, 50L),
+      (8L, "KeyValueContainer", "CLOSED", 50L, "p8", true, false, 0L, 50L),
+      (9L, "KeyValueContainer", "CLOSED", 50L, "p9", true, true, 80L, 80L),
+      (10L, "KeyValueContainer", "QUASI_CLOSED", 15L, "p10", true, true,
+        90L, 20L),
+      (11L, "KeyValueContainer", "CLOSED", 60L, "", true, false, 0L, 0L),
+      (12L, "KeyValueContainer", "CLOSED", 10L, "", true, false, 0L, 0L))
+      .toDF("container_id", "ctype", "cstate", "pending_blocks",
+        "origin_pipeline", "pipeline_parseable", "ratis_group_exists",
+        "min_replicated_index", "bcsid")
+  }
+
   /** dn_volume_ops: the round-robin volume-choice op stream — three
     * registrations, rotating allocations, a removal that strands the
     * cursor out of bounds (restart-at-0 guard), full-circle

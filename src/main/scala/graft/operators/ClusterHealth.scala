@@ -3530,6 +3530,74 @@ object ClusterHealth {
       .orderBy("req_seq")
   }
 
+  /**
+   * DN block-deleting selection — BlockDeletingService.getTasks
+   * (container-service/.../background/BlockDeletingService.java:
+   * 171-306) + TopNOrderedContainerDeletionChoosingPolicy +
+   * ContainerDeletionChoosingPolicyTemplate:62-86. Per container,
+   * the eligibility ladder in reference order:
+   *
+   *  - pending deletion blocks must be > 0 (:240-242);
+   *  - container type must be valid for the policy (KeyValue only);
+   *  - only CLOSED / QUASI_CLOSED containers delete (:250-253);
+   *  - Ratis fences (:256-305): an EMPTY origin pipeline id allows
+   *    (the EC path), an unparseable id refuses, a GONE Ratis group
+   *    allows, and a live group refuses while minReplicatedIndex <
+   *    the container's BCSID (the close entry not yet replicated to
+   *    every peer — deleting blocks now could break replay);
+   *
+   * then the TopN fill: eligible containers ordered by pending blocks
+   * DESC (ties determinized by container id — the reference iterates a
+   * HashMap, so its tie order is incidental), each taking
+   * min(remaining, pending) off the per-interval block budget; the
+   * boundary container gets a PARTIAL count, later ones wait for the
+   * next interval. Scale shape: one projection + one control-plane
+   * sort — the per-DN container map is bounded (10^3-10^4).
+   */
+  def dnBlockDeleteChoose(containers: DataFrame,
+                          blockLimit: Long = 180L): DataFrame = {
+    val skip =
+      when(col("pending_blocks") <= 0, lit("SKIP_NO_PENDING"))
+        .when(col("ctype") =!= "KeyValueContainer", lit("SKIP_TYPE"))
+        .when(!col("cstate").isin("CLOSED", "QUASI_CLOSED"),
+          lit("SKIP_STATE"))
+        .when(col("origin_pipeline") =!= "" &&
+          !col("pipeline_parseable"), lit("SKIP_BAD_PIPELINE"))
+        .when(col("origin_pipeline") =!= "" &&
+          col("ratis_group_exists") &&
+          col("min_replicated_index") < col("bcsid"),
+          lit("SKIP_LOG_NOT_REPLICATED"))
+    val wTop = Window.partitionBy(lit(0))
+      .orderBy(col("pending_blocks").desc, col("container_id"))
+    val wPrev = wTop.rowsBetween(Window.unboundedPreceding, -1)
+    val eligible = containers
+      .withColumn("skip_reason", skip)
+      .filter(col("skip_reason").isNull)
+      .withColumn("pick_rank", row_number().over(wTop))
+      .withColumn("taken_before",
+        coalesce(sum("pending_blocks").over(wPrev), lit(0L)))
+      .withColumn("blocks_to_delete",
+        greatest(least(col("pending_blocks"),
+          lit(blockLimit) - col("taken_before")), lit(0L)))
+      .withColumn("verdict",
+        when(col("blocks_to_delete") === 0, lit("NOT_CHOSEN"))
+          .when(col("blocks_to_delete") < col("pending_blocks"),
+            lit("CHOSEN_PARTIAL"))
+          .otherwise(lit("CHOSEN")))
+    containers
+      .join(eligible.select("container_id", "verdict",
+        "blocks_to_delete", "pick_rank"), Seq("container_id"), "left")
+      .withColumn("verdict",
+        coalesce(col("verdict"), skip))
+      .withColumn("blocks_to_delete",
+        coalesce(col("blocks_to_delete"), lit(0L)))
+      .withColumn("pick_rank",
+        when(col("verdict").startsWith("CHOSEN"), col("pick_rank"))
+          .otherwise(lit(0)).cast("long"))
+      .select("container_id", "verdict", "blocks_to_delete", "pick_rank")
+      .orderBy("container_id")
+  }
+
   /** Packed-state step for [[volumeChooseFold]]: state =
     * "nextIdx#vol:avail:committed|..." folded over op strings
     * ADD:vol:avail / REMOVE:vol / ALLOC:size. Parametrized over the

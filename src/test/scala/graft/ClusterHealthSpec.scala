@@ -1255,6 +1255,28 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(!move.contains(9L) && move.size === 8)
   }
 
+  test("dnBlockDeleteChoose: eligibility rungs + TopN budgeted fill") {
+    val got = graft.operators.ClusterHealth.dnBlockDeleteChoose(
+      graft.core.Tables.dnDeleteContainers(spark, sf))
+      .collect().map(r => r.getAs[Long]("container_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("blocks_to_delete"),
+          r.getAs[Long]("pick_rank")))).toMap
+    assert(got(2L) === (("SKIP_LOG_NOT_REPLICATED", 0L, 0L)))
+    assert(got(3L) === (("SKIP_STATE", 0L, 0L)))
+    assert(got(5L) === (("SKIP_NO_PENDING", 0L, 0L)))
+    assert(got(6L) === (("SKIP_TYPE", 0L, 0L)))
+    assert(got(7L) === (("SKIP_BAD_PIPELINE", 0L, 0L)))
+    // fill order 4(60) 11(60) 8(50) → 9 takes the boundary partial
+    assert(got(4L) === (("CHOSEN", 60L, 1L)))
+    assert(got(11L) === (("CHOSEN", 60L, 2L)))
+    assert(got(8L) === (("CHOSEN", 50L, 3L)))
+    assert(got(9L) === (("CHOSEN_PARTIAL", 10L, 4L)))
+    // budget spent: later eligibles wait for the next interval
+    assert(got(1L) === (("NOT_CHOSEN", 0L, 0L)))
+    assert(got(10L) === (("NOT_CHOSEN", 0L, 0L)))
+    assert(got(12L) === (("NOT_CHOSEN", 0L, 0L)))
+  }
+
   test("scmBlockAllocate: cursor walk, mints, exclusion fallback, dry") {
     val T = graft.core.Tables
     val got = graft.operators.ClusterHealth.scmBlockAllocate(
