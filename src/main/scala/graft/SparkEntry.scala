@@ -1118,6 +1118,13 @@ object SparkEntry {
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
       ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
+    // SCM deleted-block dispatch: circular-resume txn walk under the
+    // global budget + per-dn caps, cleanup/open/inadequate rungs,
+    // per-replica duplication filtering.
+    "q_scm_block_dispatch" -> ((s, d) =>
+      ClusterHealth.scmBlockDispatch(T.sbdTxns(s, d),
+        T.sbdContainers(s, d), T.sbdReplicas(s, d),
+        T.sbdIncluded(s, d), T.sbdDups(s, d))),
     // DN block-deleting selection: the eligibility ladder (pending /
     // type / state / Ratis close-log fences) + TopN budgeted fill with
     // the boundary PARTIAL.
@@ -9043,6 +9050,130 @@ object SparkEntry {
         |  FROM objects) h
         |ORDER BY t.task_name""".stripMargin,
       O.objects),
+
+    // SCM dispatch mirror: the same packed-state fold replayed with
+    // nested list_reduce
+    "q_scm_block_dispatch" -> {
+      def ents(s: String) =
+        s"list_filter(string_split($s, '|'), x -> x <> '')"
+      def cnt(s: String, d: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(${ents(s)}, x ->
+           |    CASE WHEN string_split(x, ':')[1] = $d
+           |    THEN CAST(string_split(x, ':')[2] AS BIGINT)
+           |    ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)""".stripMargin
+      def glob(s: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(${ents(s)}, x ->
+           |    CAST(string_split(x, ':')[2] AS BIGINT))),
+           |  (a, b) -> a + b)""".stripMargin
+      def ndArr(e: String) =
+        s"list_filter(string_split(string_split($e, ';')[5], ','), " +
+          "x -> x <> '')"
+      def allArr(e: String) =
+        s"list_filter(string_split(string_split($e, ';')[4], ','), " +
+          "x -> x <> '')"
+      def blocksOf(e: String) =
+        s"CAST(string_split($e, ';')[2] AS BIGINT)"
+      def capBad(s: String, e: String) =
+        s"len(list_filter(${allArr(e)}, d -> (${cnt(s, "d")}) >= 50))"
+      def bump(s: String, e: String) =
+        s"""list_reduce(list_prepend($s, ${ndArr(e)}), (s2, d) ->
+           |  CASE WHEN len(list_filter(${ents("s2")},
+           |      x -> string_split(x, ':')[1] = d)) > 0
+           |  THEN array_to_string(list_transform(${ents("s2")}, x ->
+           |    CASE WHEN string_split(x, ':')[1] = d
+           |    THEN d || ':' ||
+           |      CAST(CAST(string_split(x, ':')[2] AS BIGINT) +
+           |        ${blocksOf(e)} AS VARCHAR)
+           |    ELSE x END), '|')
+           |  ELSE CASE WHEN s2 = ''
+           |    THEN d || ':' || CAST(${blocksOf(e)} AS VARCHAR)
+           |    ELSE s2 || '|' || d || ':' ||
+           |      CAST(${blocksOf(e)} AS VARCHAR) END END)""".stripMargin
+      def step(s: String, e: String) =
+        s"""CASE
+           |WHEN (${glob(s)}) >= 100 THEN $s
+           |WHEN string_split($e, ';')[3] <> 'OK' THEN $s
+           |WHEN (${capBad(s, e)}) > 0 THEN $s
+           |WHEN len(${ndArr(e)}) = 0 THEN $s
+           |ELSE ${bump(s, e)} END""".stripMargin
+      val verdict =
+        s"""CASE
+           |WHEN (${glob("pre")}) >= 100 THEN 'NOT_REACHED'
+           |WHEN string_split(ev, ';')[3] = 'CLEANUP'
+           |  THEN 'CLEANUP_COMPLETED'
+           |WHEN string_split(ev, ';')[3] = 'OPEN' THEN 'SKIP_OPEN'
+           |WHEN string_split(ev, ';')[3] = 'INADEQ'
+           |  THEN 'SKIP_INADEQUATE_REPLICA'
+           |WHEN (${capBad("pre", "ev")}) > 0 THEN 'SKIP_DN_CAP'
+           |WHEN len(${ndArr("ev")}) = 0 THEN 'SKIP_ALL_DUPLICATE'
+           |ELSE 'DISPATCHED' END""".stripMargin
+      O.withCtes(
+        s"""SELECT CAST(string_split(ev, ';')[1] AS BIGINT) AS txn_id,
+           |  CAST(j AS BIGINT) AS walk_pos, $verdict AS verdict,
+           |  CAST(CASE WHEN ($verdict) = 'DISPATCHED'
+           |    THEN len(${ndArr("ev")}) ELSE 0 END AS BIGINT)
+           |    AS dns_sent,
+           |  CAST(CASE WHEN ($verdict) = 'DISPATCHED'
+           |    THEN len(${ndArr("ev")}) * ${blocksOf("ev")}
+           |    ELSE 0 END AS BIGINT) AS blocks_added,
+           |  CAST(${glob("pre")} AS BIGINT) AS global_before
+           |FROM (
+           |  SELECT j, sevs[j] AS ev,
+           |    list_reduce(list_prepend('', sevs[1:j-1]),
+           |      (s, e) -> ${step("s", "e")}) AS pre
+           |  FROM sbd_walk, generate_series(1, 12) g(j))
+           |ORDER BY txn_id""".stripMargin,
+        """sbd_txns(txn_id, container_id, blocks) AS (VALUES
+          |  (1, 'c7', 10), (2, 'c2', 9), (3, 'c3', 5), (4, 'c4', 5),
+          |  (5, 'c5', 5), (6, 'c6', 5), (7, 'c1', 30), (8, 'c9', 4),
+          |  (9, 'c2', 25), (10, 'c8', 10), (11, 'c7', 6),
+          |  (12, 'c10', 8))""".stripMargin,
+        """sbd_containers(container_id, cstate, health_ok) AS (VALUES
+          |  ('c1', 'CLOSED', true), ('c2', 'CLOSED', true),
+          |  ('c3', 'DELETED', true), ('c4', 'OPEN', true),
+          |  ('c5', 'CLOSED', true), ('c6', 'CLOSED', false),
+          |  ('c7', 'CLOSED', true), ('c8', 'CLOSED', true),
+          |  ('c10', 'CLOSED', true))""".stripMargin,
+        """sbd_replicas(container_id, dn) AS (VALUES
+          |  ('c1', 'd1'), ('c1', 'd2'), ('c2', 'd1'), ('c2', 'd2'),
+          |  ('c3', 'd1'), ('c4', 'd2'), ('c4', 'd3'), ('c5', 'd3'),
+          |  ('c5', 'd9'), ('c6', 'd3'), ('c6', 'd4'), ('c7', 'd3'),
+          |  ('c7', 'd4'), ('c8', 'd1'), ('c8', 'd2'),
+          |  ('c10', 'd4'))""".stripMargin,
+        """sbd_included(dn) AS (VALUES ('d1'), ('d2'), ('d3'),
+          |  ('d4'))""".stripMargin,
+        """sbd_dups(dn, txn_id) AS (VALUES ('d2', 9), ('d3', 11),
+          |  ('d4', 11))""".stripMargin,
+        """sbd_evs AS (
+          |  SELECT t.txn_id,
+          |    CASE WHEN t.txn_id <= 2 THEN 1 ELSE 0 END AS rot,
+          |    CAST(t.txn_id AS VARCHAR) || ';' ||
+          |    CAST(t.blocks AS VARCHAR) || ';' ||
+          |    CASE WHEN c.container_id IS NULL OR c.cstate = 'DELETED'
+          |      THEN 'CLEANUP'
+          |    WHEN c.cstate = 'OPEN' THEN 'OPEN'
+          |    WHEN EXISTS (SELECT 1 FROM sbd_replicas r
+          |        WHERE r.container_id = t.container_id
+          |          AND r.dn NOT IN (SELECT dn FROM sbd_included))
+          |      OR NOT c.health_ok THEN 'INADEQ'
+          |    ELSE 'OK' END || ';' ||
+          |    coalesce((SELECT string_agg(r.dn, ',' ORDER BY r.dn)
+          |      FROM sbd_replicas r
+          |      WHERE r.container_id = t.container_id), '') || ';' ||
+          |    coalesce((SELECT string_agg(r.dn, ',' ORDER BY r.dn)
+          |      FROM sbd_replicas r
+          |      WHERE r.container_id = t.container_id
+          |        AND NOT EXISTS (SELECT 1 FROM sbd_dups u
+          |          WHERE u.dn = r.dn AND u.txn_id = t.txn_id)), '')
+          |      AS ev
+          |  FROM sbd_txns t LEFT JOIN sbd_containers c
+          |    ON c.container_id = t.container_id)""".stripMargin,
+        """sbd_walk AS (
+          |  SELECT list(ev ORDER BY rot, txn_id) AS sevs
+          |  FROM sbd_evs)""".stripMargin)
+    },
 
     // DN block-delete mirror: the same ladder + budgeted TopN window
     "q_dn_block_delete" -> O.withCtes(

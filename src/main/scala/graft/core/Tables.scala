@@ -1366,6 +1366,60 @@ object Tables {
         "purge_dir")
   }
 
+  /** sbd_txns + catalog: the SCM deleted-block dispatch round —
+    * cleanup (deleted + missing containers), OPEN skip, inadequate
+    * replicas (non-included dn / unhealthy replication), dispatches
+    * that fill the per-dn caps and the global budget, an all-duplicate
+    * no-op, the circular-resume order (lastProcessed=2 walks 3..12
+    * then 1, 2) and a NOT_REACHED tail. */
+  def sbdTxns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "c7", 10L), (2L, "c2", 9L), (3L, "c3", 5L), (4L, "c4", 5L),
+      (5L, "c5", 5L), (6L, "c6", 5L), (7L, "c1", 30L), (8L, "c9", 4L),
+      (9L, "c2", 25L), (10L, "c8", 10L), (11L, "c7", 6L),
+      (12L, "c10", 8L))
+      .toDF("txn_id", "container_id", "blocks")
+  }
+
+  /** Container states for the dispatch round; c9 is deliberately
+    * ABSENT (ContainerNotFoundException → txn cleanup). */
+  def sbdContainers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("c1", "CLOSED", true), ("c2", "CLOSED", true),
+      ("c3", "DELETED", true), ("c4", "OPEN", true),
+      ("c5", "CLOSED", true), ("c6", "CLOSED", false),
+      ("c7", "CLOSED", true), ("c8", "CLOSED", true),
+      ("c10", "CLOSED", true))
+      .toDF("container_id", "cstate", "health_ok")
+  }
+
+  /** Replica map; d9 is not in the included set (pins c5). */
+  def sbdReplicas(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("c1", "d1"), ("c1", "d2"), ("c2", "d1"), ("c2", "d2"),
+      ("c3", "d1"), ("c4", "d2"), ("c4", "d3"), ("c5", "d3"),
+      ("c5", "d9"), ("c6", "d3"), ("c6", "d4"), ("c7", "d3"),
+      ("c7", "d4"), ("c8", "d1"), ("c8", "d2"), ("c10", "d4"))
+      .toDF("container_id", "dn")
+  }
+
+  /** Healthy + in-service datanodes under the command limit
+    * (getDatanodesWithinCommandLimit). */
+  def sbdIncluded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq("d1", "d2", "d3", "d4").toDF("dn")
+  }
+
+  /** (dn, txn) pairs already holding the command (the status manager's
+    * duplication probe). */
+  def sbdDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(("d2", 9L), ("d3", 11L), ("d4", 11L)).toDF("dn", "txn_id")
+  }
+
   /** dn_delete_containers: the DN block-deleting candidate set — every
     * eligibility rung (no pending, wrong type, wrong state, unparseable
     * origin pipeline, close-log not fully replicated) plus eligible

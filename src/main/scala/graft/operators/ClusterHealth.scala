@@ -3598,6 +3598,148 @@ object ClusterHealth {
       .orderBy("container_id")
   }
 
+  /**
+   * SCM deleted-block DISPATCH fold — SCMBlockDeletingService's
+   * DeletedBlockTransactionScanner (server-scm/.../SCMBlockDeletingService
+   * .java:179-243) + DeletedBlockLogImpl.getTransactions (:339-459)
+   * with getTransaction (:270-296) and checkInadequateReplica
+   * (:298-328): the txn log walked in CIRCULAR order from
+   * lastProcessedTransactionId (strictly after it, wrapping, the
+   * cursor row itself examined LAST), under the per-interval global
+   * block budget (checked at loop top — once spent, later positions
+   * are NOT_REACHED) and the per-datanode cap maxDeleteBlocksPerDn =
+   * min(limit, limit DIV (includedDns DIV deletionFactorPerDatanode)):
+   *
+   *  - DELETED or missing containers complete + drop the txn (no
+   *    budget charge);
+   *  - OPEN containers skip;
+   *  - ANY replica on a non-included datanode, or a non-HEALTHY
+   *    replication-health verdict, skips (HDDS "all replicas get the
+   *    command together" rule);
+   *  - the txn dispatches only if EVERY replica datanode is still
+   *    under the per-DN cap; then each NON-duplicate datanode gets the
+   *    txn — the global counter grows by blocks × datanodes (replica
+   *    copies count separately, DatanodeDeletedBlockTransactions:39-41);
+   *  - all replica DNs already holding the txn (duplication) → nothing
+   *    sent, no charge.
+   *
+   * The packed fold state is the per-datanode dispatched-block map
+   * (the global counter is its sum). Scale shape: one control-plane
+   * fold per SCM; the stateless rungs precompute per txn with
+   * broadcast dims.
+   */
+  def scmBlockDispatch(txns: DataFrame, containers: DataFrame,
+                       replicas: DataFrame, included: DataFrame,
+                       dups: DataFrame, blockLimit: Long = 100L,
+                       deletionFactorPerDatanode: Long = 2L,
+                       lastProcessed: Long = 2L): DataFrame = {
+    val nDns = included.count()
+    val factor = nDns / deletionFactorPerDatanode
+    val maxPerDn =
+      if (factor > 0) math.min(blockLimit, blockLimit / factor)
+      else blockLimit
+    def ents(s: String) =
+      s"filter(split($s, '\\\\|'), x -> x != '')"
+    def cntOf(s: String, d: String) =
+      s"""aggregate(${ents(s)}, CAST(0 AS BIGINT), (a, x) ->
+         |  IF(split(x, ':')[0] = $d,
+         |    CAST(split(x, ':')[1] AS BIGINT), a))""".stripMargin
+    def globOf(s: String) =
+      s"""aggregate(${ents(s)}, CAST(0 AS BIGINT), (a, x) ->
+         |  a + CAST(split(x, ':')[1] AS BIGINT))""".stripMargin
+    def allArr(e: String) =
+      s"filter(split(split($e, ';')[3], ','), x -> x != '')"
+    def ndArr(e: String) =
+      s"filter(split(split($e, ';')[4], ','), x -> x != '')"
+    def blocksOf(e: String) = s"CAST(split($e, ';')[1] AS BIGINT)"
+    def capBad(s: String, e: String) =
+      s"size(filter(${allArr(e)}, d -> (${cntOf(s, "d")}) >= $maxPerDn))"
+    def bump(s: String, e: String) =
+      s"""aggregate(${ndArr(e)}, $s, (s2, d) ->
+         |  IF(size(filter(${ents("s2")},
+         |      x -> split(x, ':')[0] = d)) > 0,
+         |    array_join(transform(${ents("s2")}, x ->
+         |      IF(split(x, ':')[0] = d,
+         |        concat(d, ':', CAST(CAST(split(x, ':')[1] AS BIGINT) +
+         |          ${blocksOf(e)} AS STRING)), x)), '|'),
+         |    IF(s2 = '', concat(d, ':',
+         |        CAST(${blocksOf(e)} AS STRING)),
+         |      concat(s2, '|', d, ':',
+         |        CAST(${blocksOf(e)} AS STRING)))))""".stripMargin
+    def step(s: String, e: String) =
+      s"""CASE
+         |WHEN (${globOf(s)}) >= $blockLimit THEN $s
+         |WHEN split($e, ';')[2] != 'OK' THEN $s
+         |WHEN (${capBad(s, e)}) > 0 THEN $s
+         |WHEN size(${ndArr(e)}) = 0 THEN $s
+         |ELSE ${bump(s, e)} END""".stripMargin
+    val verdict =
+      s"""CASE
+         |WHEN (${globOf("pre")}) >= $blockLimit THEN 'NOT_REACHED'
+         |WHEN split(ev, ';')[2] = 'CLEANUP' THEN 'CLEANUP_COMPLETED'
+         |WHEN split(ev, ';')[2] = 'OPEN' THEN 'SKIP_OPEN'
+         |WHEN split(ev, ';')[2] = 'INADEQ'
+         |  THEN 'SKIP_INADEQUATE_REPLICA'
+         |WHEN (${capBad("pre", "ev")}) > 0 THEN 'SKIP_DN_CAP'
+         |WHEN size(${ndArr("ev")}) = 0 THEN 'SKIP_ALL_DUPLICATE'
+         |ELSE 'DISPATCHED' END""".stripMargin
+    val repAgg = replicas
+      .join(broadcast(included.withColumn("inc", lit(true))),
+        Seq("dn"), "left")
+      .groupBy("container_id")
+      .agg(array_join(sort_array(collect_list(col("dn"))), ",")
+        .as("all_csv"),
+        max(when(col("inc").isNull, 1).otherwise(0))
+          .as("any_not_included"))
+    val ndCsv = txns.select("txn_id", "container_id")
+      .join(replicas, Seq("container_id"))
+      .join(broadcast(dups.withColumn("dup", lit(true))),
+        Seq("dn", "txn_id"), "left")
+      .filter(col("dup").isNull)
+      .groupBy("txn_id")
+      .agg(array_join(sort_array(collect_list(col("dn"))), ",")
+        .as("nd_csv"))
+    txns
+      .join(broadcast(containers), Seq("container_id"), "left")
+      .join(broadcast(repAgg), Seq("container_id"), "left")
+      .join(broadcast(ndCsv), Seq("txn_id"), "left")
+      .withColumn("v0",
+        when(col("cstate").isNull || col("cstate") === "DELETED",
+          lit("CLEANUP"))
+          .when(col("cstate") === "OPEN", lit("OPEN"))
+          .when(coalesce(col("any_not_included"), lit(0)) === 1 ||
+            !col("health_ok"), lit("INADEQ"))
+          .otherwise(lit("OK")))
+      .withColumn("ev", concat_ws(";", col("txn_id"), col("blocks"),
+        col("v0"), coalesce(col("all_csv"), lit("")),
+        coalesce(col("nd_csv"), lit(""))))
+      .withColumn("rot",
+        when(col("txn_id") <= lastProcessed, 1).otherwise(0))
+      .groupBy(lit(0).as("g"))
+      .agg(sort_array(collect_list(struct(col("rot"), col("txn_id"),
+        col("ev")))).as("evs"))
+      .withColumn("sevs", expr("transform(evs, x -> x.ev)"))
+      .select(col("sevs").as("sevs_all"),
+        posexplode(col("sevs")).as(Seq("i", "ev")))
+      .withColumn("pre", expr(
+        s"aggregate(slice(sevs_all, 1, i), '', (s, e) -> ${step("s", "e")})"))
+      .withColumn("verdict", expr(verdict))
+      .withColumn("txn_id", expr("CAST(split(ev, ';')[0] AS BIGINT)"))
+      .withColumn("walk_pos", (col("i") + 1).cast("long"))
+      .withColumn("dns_sent", expr(
+        s"""CAST(IF(verdict = 'DISPATCHED',
+           |  size(${ndArr("ev")}), 0) AS BIGINT)""".stripMargin))
+      .withColumn("blocks_added", expr(
+        s"""CAST(IF(verdict = 'DISPATCHED',
+           |  size(${ndArr("ev")}) * ${blocksOf("ev")}, 0)
+           |  AS BIGINT)""".stripMargin))
+      .withColumn("global_before",
+        expr(s"CAST(${globOf("pre")} AS BIGINT)"))
+      .select("txn_id", "walk_pos", "verdict", "dns_sent",
+        "blocks_added", "global_before")
+      .orderBy("txn_id")
+  }
+
   /** Packed-state step for [[volumeChooseFold]]: state =
     * "nextIdx#vol:avail:committed|..." folded over op strings
     * ADD:vol:avail / REMOVE:vol / ALLOC:size. Parametrized over the

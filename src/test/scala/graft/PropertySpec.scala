@@ -999,6 +999,85 @@ class PropertySpec extends SparkSpecBase {
       "OVER_REPLICATED", "OFFLINE_COPIES", "HEALTHY"))
   }
 
+  test("scmBlockDispatch == the literal getTransactions loop over random" +
+    " txn logs") {
+    // DeletedBlockLogImpl.getTransactions walked literally: circular
+    // resume, budget at loop top, per-DN caps over ALL replicas,
+    // per-DN duplication filtering, replica-copy budget accounting.
+    val rnd = new Random(8192)
+    for (trial <- 0 until 12) {
+      val limit = 60L + rnd.nextInt(100)
+      val lastProcessed = rnd.nextInt(14).toLong
+      val dns = (1 to 5).map(i => s"d$i")
+      val included = dns.filter(_ => rnd.nextInt(10) < 8)
+      val factor = included.size / 2
+      val maxPerDn = if (factor > 0) math.min(limit, limit / factor)
+        else limit
+      val conts = (1 to 8).map { i =>
+        (s"c$i",
+          Seq("CLOSED", "CLOSED", "CLOSED", "DELETED", "OPEN")(
+            rnd.nextInt(5)),
+          rnd.nextInt(10) < 8)
+      }
+      val reps = conts.flatMap { case (c, _, _) =>
+        dns.filter(_ => rnd.nextInt(10) < 5).map(d => (c, d))
+      }
+      val txns = (1L to 12L).map { t =>
+        (t, s"c${1 + rnd.nextInt(9)}", 5L + rnd.nextInt(30))
+      } // c9 is absent from the container catalog
+      val dups = txns.flatMap { case (t, c, _) =>
+        reps.filter(_._1 == c).map(_._2).distinct
+          .filter(_ => rnd.nextInt(10) < 2).map(d => (d, t))
+      }
+      // literal walk
+      val contMap = conts.map(c => c._1 -> c).toMap
+      val repMap = reps.groupBy(_._1).map { case (c, l) =>
+        c -> l.map(_._2).distinct.sorted }
+      val perDn = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      var global = 0L
+      val order = txns.filter(_._1 > lastProcessed).sortBy(_._1) ++
+        txns.filter(_._1 <= lastProcessed).sortBy(_._1)
+      val expected = order.map { case (t, c, blocks) =>
+        if (global >= limit) t -> (("NOT_REACHED", 0L, 0L))
+        else contMap.get(c) match {
+          case None => t -> (("CLEANUP_COMPLETED", 0L, 0L))
+          case Some((_, "DELETED", _)) => t -> (("CLEANUP_COMPLETED", 0L, 0L))
+          case Some((_, "OPEN", _)) => t -> (("SKIP_OPEN", 0L, 0L))
+          case Some((_, _, healthOk)) =>
+            val rs = repMap.getOrElse(c, Seq.empty)
+            if (rs.exists(!included.contains(_)) || !healthOk)
+              t -> (("SKIP_INADEQUATE_REPLICA", 0L, 0L))
+            else if (rs.exists(d => perDn(d) >= maxPerDn))
+              t -> (("SKIP_DN_CAP", 0L, 0L))
+            else {
+              val nd = rs.filterNot(d => dups.contains((d, t)))
+              if (nd.isEmpty) t -> (("SKIP_ALL_DUPLICATE", 0L, 0L))
+              else {
+                nd.foreach(d => perDn(d) += blocks)
+                global += blocks * nd.size
+                t -> (("DISPATCHED", nd.size.toLong,
+                  blocks * nd.size))
+              }
+            }
+        }
+      }.toMap
+      import spark.implicits._
+      val got = graft.operators.ClusterHealth.scmBlockDispatch(
+          txns.toDF("txn_id", "container_id", "blocks"),
+          conts.toDF("container_id", "cstate", "health_ok"),
+          reps.distinct.toDF("container_id", "dn"),
+          included.toDF("dn"),
+          (if (dups.nonEmpty) dups.distinct else Seq(("dx", -1L)))
+            .toDF("dn", "txn_id"),
+          limit, 2L, lastProcessed)
+        .collect().map(r => r.getAs[Long]("txn_id") ->
+          ((r.getAs[String]("verdict"), r.getAs[Long]("dns_sent"),
+            r.getAs[Long]("blocks_added")))).toMap
+      assert(got === expected,
+        s"trial $trial limit=$limit lp=$lastProcessed inc=$included")
+    }
+  }
+
   test("volumeChooseFold == the literal RoundRobinVolumeChoosingPolicy" +
     " loop over random op streams") {
     // RoundRobinVolumeChoosingPolicy.chooseVolume walked literally:
