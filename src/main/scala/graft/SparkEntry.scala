@@ -1118,6 +1118,11 @@ object SparkEntry {
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
       ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
+    // SigV4 Authorization-header parse ladder: NOT_V4 fall-through,
+    // arity/algorithm rungs, the Credential 5/6 split with the
+    // Kerberos join, strict-date window, hex signature rules.
+    "q_sigv4_header_parse" -> ((s, d) =>
+      S3Ops.sigv4HeaderParse(T.sigv4Headers(s, d))),
     // SCM deleted-block dispatch: circular-resume txn walk under the
     // global budget + per-dn caps, cleanup/open/inadequate rungs,
     // per-replica duplication filtering.
@@ -9050,6 +9055,93 @@ object SparkEntry {
         |  FROM objects) h
         |ORDER BY t.task_name""".stripMargin,
       O.objects),
+
+    // V4-header mirror: the same ladder over the SHARED row literals
+    "q_sigv4_header_parse" -> {
+      val vals = T.sigv4HeaderRows.map { case (i, h) =>
+        s"($i, '${h.replace("'", "''")}')" }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT CAST(req_id AS BIGINT) AS req_id, verdict,
+          |  CASE WHEN verdict = 'OK' THEN trim(access_id)
+          |    ELSE '' END AS access_id,
+          |  CASE WHEN verdict = 'OK' THEN trim(cred_date) || '/' ||
+          |    trim(region) || '/' || trim(service) || '/' ||
+          |    trim(aws_req) ELSE '' END AS cred_scope,
+          |  CASE WHEN verdict = 'OK' THEN sh_body ELSE '' END
+          |    AS signed_headers,
+          |  CASE WHEN verdict = 'OK' THEN sig_body ELSE '' END
+          |    AS signature
+          |FROM (
+          |  SELECT *,
+          |    CASE
+          |    WHEN auth_header IS NULL
+          |      OR NOT starts_with(auth_header, 'AWS4') THEN 'NOT_V4'
+          |    WHEN sep = 0 THEN 'NO_SEPARATOR'
+          |    WHEN len(parts) <> 3 THEN 'BAD_PART_COUNT'
+          |    WHEN algo <> 'AWS4-HMAC-SHA256' THEN 'BAD_ALGORITHM'
+          |    WHEN NOT starts_with(parts[1], 'Credential=')
+          |      THEN 'NO_CREDENTIAL'
+          |    WHEN len(cred) NOT IN (5, 6)
+          |      THEN 'BAD_CREDENTIAL_FORMAT'
+          |    WHEN trim(access_id) = '' THEN 'EMPTY_ACCESS_ID'
+          |    WHEN trim(region) = '' THEN 'EMPTY_REGION'
+          |    WHEN trim(aws_req) <> 'aws4_request'
+          |      THEN 'BAD_AWS_REQUEST'
+          |    WHEN trim(service) = '' THEN 'EMPTY_SERVICE'
+          |    WHEN trim(cred_date) = '' THEN 'EMPTY_DATE'
+          |    WHEN NOT regexp_matches(trim(cred_date), '^[0-9]{8}$')
+          |      OR CAST(try_strptime(trim(cred_date), '%Y%m%d')
+          |        AS DATE) IS NULL THEN 'BAD_DATE_FORMAT'
+          |    WHEN CAST(try_strptime(trim(cred_date), '%Y%m%d')
+          |        AS DATE) < DATE '2023-05-24' - 1
+          |      OR CAST(try_strptime(trim(cred_date), '%Y%m%d')
+          |        AS DATE) > DATE '2023-05-24' + 1
+          |      THEN 'DATE_OUT_OF_RANGE'
+          |    WHEN NOT starts_with(parts[2], 'SignedHeaders=')
+          |      OR sh_count = 0 THEN 'NO_SIGNED_HEADERS'
+          |    WHEN NOT starts_with(parts[3], 'Signature=')
+          |      THEN 'NO_SIGNATURE'
+          |    WHEN sig_body = '' THEN 'EMPTY_SIGNATURE'
+          |    WHEN NOT regexp_matches(sig_body,
+          |      '^([0-9a-fA-F]{2})*$') THEN 'NON_HEX_SIGNATURE'
+          |    ELSE 'OK' END AS verdict
+          |  FROM (
+          |    SELECT *,
+          |      len(cred) AS credn,
+          |      CASE WHEN len(cred) = 6 THEN cred[1] || '/' || cred[2]
+          |        ELSE cred[1] END AS access_id,
+          |      CASE WHEN len(cred) = 6 THEN cred[3] ELSE cred[2] END
+          |        AS cred_date,
+          |      CASE WHEN len(cred) = 6 THEN cred[4] ELSE cred[3] END
+          |        AS region,
+          |      CASE WHEN len(cred) = 6 THEN cred[5] ELSE cred[4] END
+          |        AS service,
+          |      CASE WHEN len(cred) = 6 THEN cred[6] ELSE cred[5] END
+          |        AS aws_req,
+          |      len(list_filter(string_split(substring(parts[2],
+          |        length('SignedHeaders=') + 1), ';'),
+          |        x -> trim(x) <> '')) AS sh_count,
+          |      substring(parts[2], length('SignedHeaders=') + 1)
+          |        AS sh_body,
+          |      substring(parts[3], length('Signature=') + 1)
+          |        AS sig_body
+          |    FROM (
+          |      SELECT req_id, auth_header,
+          |        instr(auth_header, ' ') AS sep,
+          |        CASE WHEN instr(auth_header, ' ') > 0
+          |          THEN substring(auth_header, 1,
+          |            instr(auth_header, ' ') - 1)
+          |          ELSE '' END AS algo,
+          |        regexp_split_to_array(trim(substring(auth_header,
+          |          instr(auth_header, ' ') + 1)), ', *') AS parts,
+          |        string_split(substring(
+          |          regexp_split_to_array(trim(substring(auth_header,
+          |            instr(auth_header, ' ') + 1)), ', *')[1],
+          |          length('Credential=') + 1), '/') AS cred
+          |      FROM v4_req)))
+          |ORDER BY req_id""".stripMargin,
+        s"v4_req(req_id, auth_header) AS (VALUES\n  $vals)")
+    },
 
     // SCM dispatch mirror: the same packed-state fold replayed with
     // nested list_reduce

@@ -1366,6 +1366,75 @@ object Tables {
         "purge_dir")
   }
 
+  /** sigv4_headers: Authorization-header parse fixtures — every rung of
+    * AuthorizationV4HeaderParser (NOT_V4 fall-through, separator/part
+    * arity, algorithm, the Credential 5/6-arity split incl. the
+    * Kerberos join, each empty-field refusal, the request-before-
+    * service precedence probe, strict-date + range windows around the
+    * injected now=2023-05-24, signed-header and hex-signature rules
+    * incl. the odd-length refusal) plus three OK rows (Kerberos, base,
+    * both date boundaries). */
+  def sigv4Headers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sigv4HeaderRows.toDF("req_id", "auth_header")
+  }
+
+  /** Shared row literals — the oracle CTE is generated from the SAME
+    * Seq so the two sides cannot drift. */
+  val sigv4HeaderRows: Seq[(Long, String)] =
+    Seq(
+      (1L, ""),
+      (2L, "Basic dXNlcg=="),
+      (3L, "AWS4-HMAC-SHA256"),
+      (4L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host"),
+      (5L, "AWS4-HMAC-SHA999 Credential=AKIA/20230524/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (6L, "AWS4-HMAC-SHA256 Cred=AKIA/20230524/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (7L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1, " +
+        "SignedHeaders=host, Signature=ab12"),
+      (8L, "AWS4-HMAC-SHA256 Credential=testuser/om@EXAMPLE.COM/" +
+        "20230524/us-east-1/s3/aws4_request, " +
+        "SignedHeaders=host;x-amz-date, Signature=db81b057"),
+      (9L, "AWS4-HMAC-SHA256 Credential=/20230524/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (10L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524//s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (11L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1//" +
+        "aws4_req, SignedHeaders=host, Signature=ab12"),
+      (12L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1//" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (13L, "AWS4-HMAC-SHA256 Credential=AKIA//us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (14L, "AWS4-HMAC-SHA256 Credential=AKIA/2023AB24/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (15L, "AWS4-HMAC-SHA256 Credential=AKIA/20230229/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (16L, "AWS4-HMAC-SHA256 Credential=AKIA/20230520/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (17L, "AWS4-HMAC-SHA256 Credential=AKIA/20230526/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (18L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1/s3/" +
+        "aws4_request, Headers=host, Signature=ab12"),
+      (19L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=, Signature=ab12"),
+      (20L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Sig=ab12"),
+      (21L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature="),
+      (22L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=xyz9"),
+      (23L, "AWS4-HMAC-SHA256 Credential=AKIA/20230524/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=abc"),
+      (24L, "AWS4-HMAC-SHA256 Credential=AKIAEXAMPLE/20230524/" +
+        "us-east-1/s3/aws4_request, SignedHeaders=host;x-amz-date, " +
+        "Signature=db81b057"),
+      (25L, "AWS4-HMAC-SHA256 Credential=AKIA/20230523/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"),
+      (26L, "AWS4-HMAC-SHA256 Credential=AKIA/20230525/us-east-1/s3/" +
+        "aws4_request, SignedHeaders=host, Signature=ab12"))
+
   /** sbd_txns + catalog: the SCM deleted-block dispatch round —
     * cleanup (deleted + missing containers), OPEN skip, inadequate
     * replicas (non-included dn / unhealthy replication), dispatches

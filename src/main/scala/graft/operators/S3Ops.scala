@@ -603,4 +603,109 @@ object S3Ops {
           .as("part_etag"))
       .orderBy("req_id")
   }
+
+  /**
+   * SigV4 Authorization-HEADER parse ladder —
+   * AuthorizationV4HeaderParser.parseSignature (s3gateway/.../signature/
+   * AuthorizationV4HeaderParser.java:64-218) + Credential.parseCredential
+   * (Credential.java:53-77), in reference evaluation order:
+   *
+   *  - a header not starting "AWS4" returns null (NOT_V4 — the request
+   *    falls through to V2/anonymous auth, not an error);
+   *  - no space separator → malformed; the remainder splits on ", *"
+   *    and must give EXACTLY three parts;
+   *  - the algorithm token (before the first space) must be
+   *    AWS4-HMAC-SHA256 — checked BEFORE any credential content;
+   *  - Credential=: slash-split arity 5, or 6 for a Kerberos principal
+   *    (first two fragments re-join as the access id); then empty
+   *    access-id / empty region / AWS-REQUEST-before-SERVICE (an
+   *    invalid request token wins over an empty service — probed) /
+   *    empty service / empty date / unparseable yyyyMMdd (strict — a
+   *    nonexistent calendar day refuses) / outside [now-1day, now+1day];
+   *  - SignedHeaders= must carry a non-empty ';' list;
+   *  - Signature= must be non-empty, even-length hexadecimal
+   *    (commons-codec decodeHex refuses odd length).
+   *
+   * `now` is injected for determinism. Tokenization nuance carried
+   * over: Java's String.split drops TRAILING empty tokens while
+   * keeping interior ones — the fixture only exercises interior
+   * empties (e.g. "us-east-1//aws4_request"), where both behaviors
+   * agree. Scale shape: pure codegen'd projection over the request
+   * stream — the per-request auth path of every S3 call.
+   */
+  def sigv4HeaderParse(requests: DataFrame,
+                       now: String = "2023-05-24"): DataFrame = {
+    val header = col("auth_header")
+    val firstSep = instr(header, " ")
+    val algo = substring(header, lit(1), (firstSep - 1))
+    val rest = trim(expr("substring(auth_header, " +
+      "instr(auth_header, ' ') + 1)"))
+    val parts = split(rest, ", *")
+    val credPart = element_at(parts, 1)
+    val shPart = element_at(parts, 2)
+    val sigPart = element_at(parts, 3)
+    val credBody = expr("substring(element_at(split(trim(substring(" +
+      "auth_header, instr(auth_header, ' ') + 1)), ', *'), 1), " +
+      "length('Credential=') + 1)")
+    val cred = split(credBody, "/")
+    val credN = size(cred)
+    val accessId = when(credN === 6,
+      concat_ws("/", element_at(cred, 1), element_at(cred, 2)))
+      .otherwise(element_at(cred, 1))
+    val credDate = when(credN === 6, element_at(cred, 3))
+      .otherwise(element_at(cred, 2))
+    val region = when(credN === 6, element_at(cred, 4))
+      .otherwise(element_at(cred, 3))
+    val service = when(credN === 6, element_at(cred, 5))
+      .otherwise(element_at(cred, 4))
+    val awsReq = when(credN === 6, element_at(cred, 6))
+      .otherwise(element_at(cred, 5))
+    val parsedDate = try_to_date(credDate, "yyyyMMdd")
+    val shBody = expr("substring(element_at(split(trim(substring(" +
+      "auth_header, instr(auth_header, ' ') + 1)), ', *'), 2), " +
+      "length('SignedHeaders=') + 1)")
+    val shList = filter(split(shBody, ";"), x => trim(x) =!= "")
+    val sigBody = expr("substring(element_at(split(trim(substring(" +
+      "auth_header, instr(auth_header, ' ') + 1)), ', *'), 3), " +
+      "length('Signature=') + 1)")
+    val verdict =
+      when(header.isNull || !header.startsWith("AWS4"), lit("NOT_V4"))
+        .when(firstSep === 0, lit("NO_SEPARATOR"))
+        .when(size(parts) =!= 3, lit("BAD_PART_COUNT"))
+        .when(algo =!= "AWS4-HMAC-SHA256", lit("BAD_ALGORITHM"))
+        .when(!credPart.startsWith("Credential="), lit("NO_CREDENTIAL"))
+        .when(!credN.isin(5, 6), lit("BAD_CREDENTIAL_FORMAT"))
+        .when(trim(accessId) === "", lit("EMPTY_ACCESS_ID"))
+        .when(trim(region) === "", lit("EMPTY_REGION"))
+        .when(trim(awsReq) =!= "aws4_request", lit("BAD_AWS_REQUEST"))
+        .when(trim(service) === "", lit("EMPTY_SERVICE"))
+        .when(trim(credDate) === "", lit("EMPTY_DATE"))
+        .when(!trim(credDate).rlike("^[0-9]{8}$") || parsedDate.isNull,
+          lit("BAD_DATE_FORMAT"))
+        .when(parsedDate < date_sub(lit(now).cast("date"), 1) ||
+          parsedDate > date_add(lit(now).cast("date"), 1),
+          lit("DATE_OUT_OF_RANGE"))
+        .when(!shPart.startsWith("SignedHeaders=") || size(shList) === 0,
+          lit("NO_SIGNED_HEADERS"))
+        .when(!sigPart.startsWith("Signature="), lit("NO_SIGNATURE"))
+        .when(sigBody === "", lit("EMPTY_SIGNATURE"))
+        .when(!sigBody.rlike("^([0-9a-fA-F]{2})*$"),
+          lit("NON_HEX_SIGNATURE"))
+        .otherwise(lit("OK"))
+    requests
+      .withColumn("verdict", verdict)
+      .withColumn("access_id",
+        when(col("verdict") === "OK", trim(accessId)).otherwise(lit("")))
+      .withColumn("cred_scope",
+        when(col("verdict") === "OK", concat_ws("/", trim(credDate),
+          trim(region), trim(service), trim(awsReq)))
+          .otherwise(lit("")))
+      .withColumn("signed_headers",
+        when(col("verdict") === "OK", shBody).otherwise(lit("")))
+      .withColumn("signature",
+        when(col("verdict") === "OK", sigBody).otherwise(lit("")))
+      .select("req_id", "verdict", "access_id", "cred_scope",
+        "signed_headers", "signature")
+      .orderBy("req_id")
+  }
 }
