@@ -1118,6 +1118,10 @@ object SparkEntry {
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
       ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
+    // Presigned-URL query parse ladder: 403-vs-400 split, range-before-
+    // date-parse precedence, expiry window, credential/signature rungs.
+    "q_presigned_parse" -> ((s, d) =>
+      S3Ops.presignedQueryParse(T.presignedRequests(s, d))),
     // SigV4 Authorization-header parse ladder: NOT_V4 fall-through,
     // arity/algorithm rungs, the Credential 5/6 split with the
     // Kerberos join, strict-date window, hex signature rules.
@@ -9055,6 +9059,81 @@ object SparkEntry {
         |  FROM objects) h
         |ORDER BY t.task_name""".stripMargin,
       O.objects),
+
+    // presigned mirror: the same ladder over the SHARED row literals
+    "q_presigned_parse" -> {
+      def qlit(v: String) =
+        if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+      val vals = T.presignedRows.map { case (i, a, d, e, c, sh, sg) =>
+        s"($i, ${qlit(a)}, ${qlit(d)}, ${qlit(e)}, ${qlit(c)}, " +
+          s"${qlit(sh)}, ${qlit(sg)})" }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT CAST(req_id AS BIGINT) AS req_id, verdict,
+          |  CAST(CASE WHEN verdict = 'NOT_PRESIGNED' THEN 0
+          |    WHEN verdict IN ('EXPIRES_OUT_OF_RANGE', 'URL_EXPIRED')
+          |      THEN 403
+          |    WHEN verdict = 'OK' THEN 200 ELSE 400 END AS BIGINT)
+          |    AS http,
+          |  CASE WHEN verdict = 'OK' THEN trim(access_id) ELSE '' END
+          |    AS access_id,
+          |  CASE WHEN verdict = 'OK' THEN trim(cred_date) || '/' ||
+          |    trim(region) || '/' || trim(service) || '/' ||
+          |    trim(aws_req) ELSE '' END AS cred_scope
+          |FROM (
+          |  SELECT *,
+          |    CASE
+          |    WHEN signature IS NULL THEN 'NOT_PRESIGNED'
+          |    WHEN algorithm IS NULL THEN 'NO_ALGORITHM'
+          |    WHEN algorithm = '' OR algorithm <> 'AWS4-HMAC-SHA256'
+          |      THEN 'BAD_ALGORITHM'
+          |    WHEN amz_date IS NULL OR amz_date = ''
+          |      OR expires IS NULL OR expires = ''
+          |      THEN 'MISSING_DATE_OR_EXPIRES'
+          |    WHEN expl < 1 OR expl > 604800
+          |      THEN 'EXPIRES_OUT_OF_RANGE'
+          |    WHEN pts IS NULL THEN 'BAD_AMZ_DATE'
+          |    WHEN epoch(pts) + expl < 1684929600 THEN 'URL_EXPIRED'
+          |    WHEN len(cred) NOT IN (5, 6)
+          |      THEN 'BAD_CREDENTIAL_FORMAT'
+          |    WHEN trim(access_id) = '' THEN 'EMPTY_ACCESS_ID'
+          |    WHEN trim(region) = '' THEN 'EMPTY_REGION'
+          |    WHEN trim(aws_req) <> 'aws4_request'
+          |      THEN 'BAD_AWS_REQUEST'
+          |    WHEN trim(service) = '' THEN 'EMPTY_SERVICE'
+          |    WHEN trim(cred_date) = '' THEN 'EMPTY_CRED_DATE'
+          |    WHEN NOT regexp_matches(trim(cred_date), '^[0-9]{8}$')
+          |      OR CAST(try_strptime(trim(cred_date), '%Y%m%d')
+          |        AS DATE) IS NULL THEN 'BAD_CRED_DATE'
+          |    WHEN signed_headers IS NULL OR signed_headers = ''
+          |      THEN 'NO_SIGNED_HEADERS'
+          |    WHEN signature = '' THEN 'EMPTY_SIGNATURE'
+          |    WHEN NOT regexp_matches(signature,
+          |      '^([0-9a-fA-F]{2})*$') THEN 'NON_HEX_SIGNATURE'
+          |    ELSE 'OK' END AS verdict
+          |  FROM (
+          |    SELECT *,
+          |      CASE WHEN len(cred) = 6 THEN cred[1] || '/' || cred[2]
+          |        ELSE cred[1] END AS access_id,
+          |      CASE WHEN len(cred) = 6 THEN cred[3] ELSE cred[2] END
+          |        AS cred_date,
+          |      CASE WHEN len(cred) = 6 THEN cred[4] ELSE cred[3] END
+          |        AS region,
+          |      CASE WHEN len(cred) = 6 THEN cred[5] ELSE cred[4] END
+          |        AS service,
+          |      CASE WHEN len(cred) = 6 THEN cred[6] ELSE cred[5] END
+          |        AS aws_req
+          |    FROM (
+          |      SELECT *,
+          |        string_split(replace(replace(credential, '%2F',
+          |          '/'), '%40', '@'), '/') AS cred,
+          |        try_strptime(amz_date, '%Y%m%dT%H%M%SZ') AS pts,
+          |        TRY_CAST(expires AS BIGINT) AS expl
+          |      FROM ps_req)))
+          |ORDER BY req_id""".stripMargin,
+        s"""ps_req(req_id, algorithm, amz_date, expires, credential,
+           |  signed_headers, signature) AS (VALUES
+           |  $vals)""".stripMargin)
+    },
 
     // V4-header mirror: the same ladder over the SHARED row literals
     "q_sigv4_header_parse" -> {

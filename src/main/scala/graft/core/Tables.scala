@@ -1435,6 +1435,55 @@ object Tables {
       (26L, "AWS4-HMAC-SHA256 Credential=AKIA/20230525/us-east-1/s3/" +
         "aws4_request, SignedHeaders=host, Signature=ab12"))
 
+  /** presigned_requests: X-Amz-* query parameters for the presigned-URL
+    * parse ladder — the signature-presence gate, algorithm rungs,
+    * missing/empty date+expires, the 403 expires-range and expiry
+    * windows (range checked before date parse — probed), the
+    * url-decoded credential ladder, signed-header and signature rungs,
+    * boundary OKs (max expires, expiry == now). NULL = parameter
+    * absent, '' = present-but-empty — the reference distinguishes. */
+  val presignedRows: Seq[(Long, String, String, String, String, String,
+    String)] = {
+    val okc = "AKIA%2F20230524%2Fus-east-1%2Fs3%2Faws4_request"
+    val a = "AWS4-HMAC-SHA256"
+    val d = "20230524T110000Z"
+    Seq(
+      (1L, a, d, "7200", okc, "host", null),
+      (2L, null, d, "7200", okc, "host", "ab12"),
+      (3L, "AWS4-HMAC-SHA999", d, "7200", okc, "host", "ab12"),
+      (4L, a, null, "7200", okc, "host", "ab12"),
+      (5L, a, d, "", okc, "host", "ab12"),
+      (6L, a, d, "0", okc, "host", "ab12"),
+      (7L, a, d, "604801", okc, "host", "ab12"),
+      (8L, a, "20230524T1100Z", "7200", okc, "host", "ab12"),
+      (9L, a, "20230524T1100Z", "0", okc, "host", "ab12"),
+      (10L, a, "20230524T010000Z", "3600", okc, "host", "ab12"),
+      (11L, a, d, "7200", "AKIA%2F20230524%2Fus-east-1", "host", "ab12"),
+      (12L, a, d, "7200",
+        "%2F20230524%2Fus-east-1%2Fs3%2Faws4_request", "host", "ab12"),
+      (13L, a, d, "7200",
+        "AKIA%2F20230524%2Fus-east-1%2F%2Faws4_req", "host", "ab12"),
+      (14L, a, d, "7200",
+        "AKIA%2F2023AB24%2Fus-east-1%2Fs3%2Faws4_request", "host",
+        "ab12"),
+      (15L, a, d, "7200", okc, null, "ab12"),
+      (16L, a, d, "7200", okc, "host", ""),
+      (17L, a, d, "7200", okc, "host", "xyz"),
+      (18L, a, d, "7200",
+        "testuser%2Fom%40EXAMPLE.COM%2F20230524%2Fus-east-1%2Fs3%2F" +
+          "aws4_request", "host;x-amz-date", "db81b057"),
+      (19L, a, d, "604800", okc, "host", "ab12"),
+      (20L, a, d, "3600", okc, "host", "ab12"),
+      (21L, a, d, "7200", "AKIA/20230524/us-east-1/s3/aws4_request",
+        "host", "ab12"))
+  }
+
+  def presignedRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    presignedRows.toDF("req_id", "algorithm", "amz_date", "expires",
+      "credential", "signed_headers", "signature")
+  }
+
   /** sbd_txns + catalog: the SCM deleted-block dispatch round —
     * cleanup (deleted + missing containers), OPEN skip, inadequate
     * replicas (non-included dn / unhealthy replication), dispatches

@@ -708,4 +708,98 @@ object S3Ops {
         "signed_headers", "signature")
       .orderBy("req_id")
   }
+
+  /**
+   * Presigned-URL (query-string) SigV4 parse ladder —
+   * AuthorizationV4QueryParser.parseSignature (s3gateway/.../signature/
+   * AuthorizationV4QueryParser.java:56-97) + validateDateAndExpires
+   * (:123-151) + validateCredential/SignedHeaders/Signature
+   * (:153-211), in reference order:
+   *
+   *  - no X-Amz-Signature parameter at all -> NOT_PRESIGNED (the null
+   *    return; request falls through to header auth) -- NULL params are
+   *    ABSENT, '' is present-but-empty, and the reference distinguishes
+   *    (a missing algorithm is "Unspecified", an empty one
+   *    "Unsupported");
+   *  - X-Amz-Expires must be inside [1, 604800] -- rejected with 403
+   *    (AccessDenied), NOT 400, and the range check runs BEFORE the
+   *    X-Amz-Date parse (probed: bad date + bad range reads the range
+   *    error);
+   *  - X-Amz-Date parses strictly as yyyyMMdd'T'HHmmss'Z'; date +
+   *    expires before now -> 403 URL_EXPIRED (expiry exactly AT now is
+   *    still valid -- isBefore);
+   *  - the URL-decoded credential walks the same Credential ladder as
+   *    the header parser (5/6 arity, Kerberos join, field rungs;
+   *    credential-date FORMAT only -- no range here);
+   *  - SignedHeaders non-empty, Signature non-empty even-length hex.
+   *
+   * URL-decoding is modeled as the %2F/%40 replacement pair the S3
+   * credential alphabet actually uses (DuckDB 1.0 has no url_decode;
+   * both engines run the identical replacement chain). `nowEpoch` is
+   * injected for determinism. Scale shape: pure projection over the
+   * request stream.
+   */
+  def presignedQueryParse(requests: DataFrame,
+                          nowEpoch: Long = 1684929600L): DataFrame = {
+    val decoded = regexp_replace(
+      regexp_replace(col("credential"), "%2F", "/"), "%40", "@")
+    val cred = split(decoded, "/")
+    val credN = size(cred)
+    val accessId = when(credN === 6,
+      concat_ws("/", element_at(cred, 1), element_at(cred, 2)))
+      .otherwise(element_at(cred, 1))
+    val credDate = when(credN === 6, element_at(cred, 3))
+      .otherwise(element_at(cred, 2))
+    val region = when(credN === 6, element_at(cred, 4))
+      .otherwise(element_at(cred, 3))
+    val service = when(credN === 6, element_at(cred, 5))
+      .otherwise(element_at(cred, 4))
+    val awsReq = when(credN === 6, element_at(cred, 6))
+      .otherwise(element_at(cred, 5))
+    val pts = try_to_timestamp(col("amz_date"),
+      lit("yyyyMMdd'T'HHmmss'Z'"))
+    val expl = col("expires").cast("long")
+    val credParsed = try_to_date(credDate, "yyyyMMdd")
+    val verdict =
+      when(col("signature").isNull, lit("NOT_PRESIGNED"))
+        .when(col("algorithm").isNull, lit("NO_ALGORITHM"))
+        .when(col("algorithm") === "" ||
+          col("algorithm") =!= "AWS4-HMAC-SHA256", lit("BAD_ALGORITHM"))
+        .when(col("amz_date").isNull || col("amz_date") === "" ||
+          col("expires").isNull || col("expires") === "",
+          lit("MISSING_DATE_OR_EXPIRES"))
+        .when(expl < 1 || expl > 604800, lit("EXPIRES_OUT_OF_RANGE"))
+        .when(pts.isNull, lit("BAD_AMZ_DATE"))
+        .when(unix_timestamp(pts) + expl < nowEpoch, lit("URL_EXPIRED"))
+        .when(!credN.isin(5, 6), lit("BAD_CREDENTIAL_FORMAT"))
+        .when(trim(accessId) === "", lit("EMPTY_ACCESS_ID"))
+        .when(trim(region) === "", lit("EMPTY_REGION"))
+        .when(trim(awsReq) =!= "aws4_request", lit("BAD_AWS_REQUEST"))
+        .when(trim(service) === "", lit("EMPTY_SERVICE"))
+        .when(trim(credDate) === "", lit("EMPTY_CRED_DATE"))
+        .when(!trim(credDate).rlike("^[0-9]{8}$") || credParsed.isNull,
+          lit("BAD_CRED_DATE"))
+        .when(col("signed_headers").isNull ||
+          col("signed_headers") === "", lit("NO_SIGNED_HEADERS"))
+        .when(col("signature") === "", lit("EMPTY_SIGNATURE"))
+        .when(!col("signature").rlike("^([0-9a-fA-F]{2})*$"),
+          lit("NON_HEX_SIGNATURE"))
+        .otherwise(lit("OK"))
+    requests
+      .withColumn("verdict", verdict)
+      .withColumn("http",
+        when(col("verdict") === "NOT_PRESIGNED", lit(0L))
+          .when(col("verdict").isin("EXPIRES_OUT_OF_RANGE",
+            "URL_EXPIRED"), lit(403L))
+          .when(col("verdict") === "OK", lit(200L))
+          .otherwise(lit(400L)))
+      .withColumn("access_id",
+        when(col("verdict") === "OK", trim(accessId)).otherwise(lit("")))
+      .withColumn("cred_scope",
+        when(col("verdict") === "OK", concat_ws("/", trim(credDate),
+          trim(region), trim(service), trim(awsReq)))
+          .otherwise(lit("")))
+      .select("req_id", "verdict", "http", "access_id", "cred_scope")
+      .orderBy("req_id")
+  }
 }
