@@ -1118,6 +1118,10 @@ object SparkEntry {
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
       ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
+    // Canonical-request / string-to-sign builder: URI/query encoding,
+    // signed-header walk, host + x-amz coverage rules, payload hash.
+    "q_string_to_sign" -> ((s, d) =>
+      S3Ops.stringToSign(T.stringToSignRequests(s, d))),
     // Presigned-URL query parse ladder: 403-vs-400 split, range-before-
     // date-parse precedence, expiry window, credential/signature rungs.
     "q_presigned_parse" -> ((s, d) =>
@@ -9059,6 +9063,102 @@ object SparkEntry {
         |  FROM objects) h
         |ORDER BY t.task_name""".stripMargin,
       O.objects),
+
+    // string-to-sign mirror: the same construction over the SHARED rows
+    "q_string_to_sign" -> {
+      def qlit(v: Any): String = v match {
+        case null => "NULL"
+        case b: Boolean => if (b) "true" else "false"
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case x => x.toString
+      }
+      val vals = T.stringToSignRows.map { r =>
+        "(" + r.productIterator.map(qlit).mkString(", ") + ")"
+      }.mkString(",\n  ")
+      val enc = (x: String) =>
+        s"replace(replace(replace(replace($x, '+', '%2B'), ' ', " +
+          s"'%20'), '*', '%2A'), '/', '%2F')"
+      val hp = "list_filter(list_transform(string_split(headers_str," +
+        " '|'), kv -> {'k': string_split(kv, '=')[1], 'v': " +
+        "substring(kv, length(string_split(kv, '=')[1]) + 2)}), " +
+        "p -> p.k <> '')"
+      val look = (h: String) =>
+        s"list_reduce(list_prepend(CAST(NULL AS VARCHAR), " +
+          s"list_transform($hp, p -> CASE WHEN p.k = $h THEN p.v " +
+          s"END)), (a, b) -> coalesce(b, a))"
+      O.withCtes(
+        s"""SELECT CAST(req_id AS BIGINT) AS req_id, verdict,
+           |  CASE WHEN verdict = 'OK' THEN sha256(canon_req)
+           |    ELSE '' END AS canon_req_sha,
+           |  CASE WHEN verdict = 'OK' THEN sha256(algorithm ||
+           |    chr(10) || dt || chr(10) || scope || chr(10) ||
+           |    sha256(canon_req)) ELSE '' END AS str_to_sign_sha
+           |FROM (
+           |  SELECT *,
+           |    method || chr(10) || canon_uri || chr(10) || canon_q ||
+           |      chr(10) || hdr_block || chr(10) || signed_headers ||
+           |      chr(10) || payload AS canon_req
+           |  FROM (
+           |    SELECT *,
+           |      CASE
+           |      WHEN dt IS NULL THEN 'MISSING_DATETIME'
+           |      WHEN hdr_err IS NOT NULL THEN hdr_err
+           |      WHEN NOT contains(hdr_block, 'host:')
+           |        THEN 'MISSING_HOST'
+           |      WHEN n_unsigned_amz > 0 THEN 'UNSIGNED_XAMZ_HEADER'
+           |      WHEN sign_payload
+           |        AND (${look("'x-amz-content-sha256'")}) IS NULL
+           |        THEN 'MISSING_CONTENT_SHA'
+           |      ELSE 'OK' END AS verdict,
+           |      CASE WHEN NOT sign_payload THEN 'UNSIGNED-PAYLOAD'
+           |        ELSE coalesce(${look("'x-amz-content-sha256'")},
+           |          '') END AS payload
+           |    FROM (
+           |      SELECT *,
+           |        list_reduce(list_prepend(CAST(NULL AS VARCHAR),
+           |          list_transform(sh, h -> CASE
+           |          WHEN (${look("h")}) IS NULL
+           |            THEN 'MISSING_SIGNED_HEADER'
+           |          WHEN h = 'x-amz-date' AND (
+           |            epoch(try_strptime(${look("h")},
+           |              '%Y%m%dT%H%M%SZ')) < 1684929600 - 604800 OR
+           |            epoch(try_strptime(${look("h")},
+           |              '%Y%m%dT%H%M%SZ')) > 1684929600 + 604800)
+           |            THEN 'BAD_DATE_RANGE' END)),
+           |          (x, y) -> coalesce(x, y)) AS hdr_err,
+           |        array_to_string(list_transform(sh, h ->
+           |          lower(h) || ':' || coalesce(${look("h")}, '')
+           |          || chr(10)), '') AS hdr_block,
+           |        coalesce(array_to_string(list_transform(
+           |          list_sort(list_filter(qp,
+           |            p -> p.k <> 'X-Amz-Signature')),
+           |          p -> ${enc("p.k")} || '=' || ${enc("p.v")}),
+           |          '&'), '') AS canon_q,
+           |        array_to_string(list_transform(string_split(u,
+           |          '/'), s -> ${enc("s")}), '/') AS canon_uri,
+           |        len(list_filter($hp,
+           |          p -> starts_with(p.k, 'x-amz-')
+           |          AND p.k <> 'x-amz-content-sha256'
+           |          AND NOT list_contains(sh, p.k)))
+           |          AS n_unsigned_amz
+           |      FROM (
+           |        SELECT *,
+           |          string_split(signed_headers, ';') AS sh,
+           |          CASE WHEN uri IS NULL OR uri = '' THEN '/'
+           |            ELSE uri END AS u,
+           |          list_filter(list_transform(string_split(
+           |            query_str, '|'), kv ->
+           |            {'k': string_split(kv, '=')[1],
+           |             'v': substring(kv,
+           |               length(string_split(kv, '=')[1]) + 2)}),
+           |            p -> p.k <> '') AS qp
+           |        FROM sts_req))))
+           |ORDER BY req_id""".stripMargin,
+        s"""sts_req(req_id, method, uri, signed_headers, headers_str,
+           |  query_str, algorithm, dt, scope, sign_payload)
+           |  AS (VALUES
+           |  $vals)""".stripMargin)
+    },
 
     // presigned mirror: the same ladder over the SHARED row literals
     "q_presigned_parse" -> {

@@ -1435,6 +1435,53 @@ object Tables {
       (26L, "AWS4-HMAC-SHA256 Credential=AKIA/20230525/us-east-1/s3/" +
         "aws4_request, SignedHeaders=host, Signature=ab12"))
 
+
+  /** string_to_sign requests: raw request parts (method, uri, signed
+    * list, packed header/query maps, auth metadata) for the canonical-
+    * request builder — the OK shapes (header-auth, query-auth with the
+    * X-Amz-Signature exclusion, blank-uri rule, segment encoding,
+    * query sorting+encoding) and every refusal rung. NULL datetime =
+    * absent header. */
+  val stringToSignRows: Seq[(Long, String, String, String, String,
+    String, String, String, String, Boolean)] = {
+    val h = "host=s3g.internal|x-amz-date=20230524T110000Z|" +
+      "x-amz-content-sha256=UNSIGNED-PAYLOAD"
+    val h2 = "host=s3g.internal|x-amz-date=20230524T110000Z"
+    val a = "AWS4-HMAC-SHA256"
+    val dt = "20230524T110000Z"
+    val sc = "20230524/us-east-1/s3/aws4_request"
+    Seq(
+      (1L, "GET", "/bucket/key", "host;x-amz-content-sha256;x-amz-date",
+        h, "", a, dt, sc, true),
+      (2L, "GET", "/bucket", "host;x-amz-date", h2,
+        "X-Amz-Algorithm=AWS4-HMAC-SHA256|X-Amz-Signature=abcd|" +
+          "X-Amz-Expires=3600", a, dt, sc, false),
+      (3L, "GET", "/b", "host;x-amz-meta-k;x-amz-date", h, "", a, dt,
+        sc, true),
+      (4L, "GET", "/b", "host;x-amz-content-sha256;x-amz-date",
+        "host=s3g.internal|x-amz-date=20230401T000000Z|" +
+          "x-amz-content-sha256=UNSIGNED-PAYLOAD", "", a, dt, sc, true),
+      (5L, "GET", "/b", "x-amz-date", h, "", a, dt, sc, true),
+      (6L, "PUT", "/b/k", "host;x-amz-content-sha256;x-amz-date",
+        h + "|x-amz-acl=private", "", a, dt, sc, true),
+      (7L, "GET", "/b", "host;x-amz-date", h2, "", a, dt, sc, true),
+      (8L, "GET", "/b", "host;x-amz-content-sha256;x-amz-date", h, "",
+        a, null, sc, true),
+      (9L, "GET", "", "host;x-amz-content-sha256;x-amz-date", h, "",
+        a, dt, sc, true),
+      (10L, "GET", "/b/k with space+plus*x",
+        "host;x-amz-content-sha256;x-amz-date", h, "", a, dt, sc, true),
+      (11L, "GET", "/b", "host;x-amz-content-sha256;x-amz-date", h,
+        "prefix=a b|X-Amz-Signature=abcd|delimiter=/", a, dt, sc, true))
+  }
+
+  def stringToSignRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stringToSignRows.toDF("req_id", "method", "uri", "signed_headers",
+      "headers_str", "query_str", "algorithm", "dt", "scope",
+      "sign_payload")
+  }
+
   /** presigned_requests: X-Amz-* query parameters for the presigned-URL
     * parse ladder — the signature-presence gate, algorithm rungs,
     * missing/empty date+expires, the 403 expires-range and expiry

@@ -802,4 +802,107 @@ object S3Ops {
       .select("req_id", "verdict", "http", "access_id", "cred_scope")
       .orderBy("req_id")
   }
+
+  /**
+   * Canonical-request / string-to-sign construction —
+   * StringToSignProducer (s3gateway/.../signature/StringToSignProducer
+   * .java:93-384): the piece between header parsing and HMAC
+   * verification. Per request:
+   *
+   *  - a missing x-amz-date/dateTime refuses FIRST (:119-122);
+   *  - a blank URI reads "/" (:115-116); URI SEGMENTS url-encode with
+   *    the S3 variant (space->%20, '+'->%2B, '*'->%2A, '%7E'->'~' —
+   *    modeled as the replacement chain over the fixture alphabet,
+   *    :66-67,286-292) and forward slashes survive;
+   *  - the canonical query sorts parameters by name, EXCLUDES
+   *    X-Amz-Signature, and encodes both sides (:294-316);
+   *  - canonical headers walk the signed list IN GIVEN ORDER: a signed
+   *    header absent from the request refuses; a signed x-amz-date
+   *    outside now±604800s refuses (:319-345);
+   *  - the host header must be signed; every x-amz-* request header
+   *    must be signed EXCEPT x-amz-content-sha256 (:358-382);
+   *  - the payload hash is UNSIGNED-PAYLOAD for query-auth; header-auth
+   *    requires the x-amz-content-sha256 header and uses its value
+   *    verbatim (:217-251);
+   *  - canonicalRequest = method\nuri\nquery\nheaders\nsigned\n
+   *    payload; stringToSign = algorithm\ndateTime\nscope\n
+   *    sha256hex(canonicalRequest) (:100-141).
+   *
+   * Outputs are sha256 digests of the canonical request and the final
+   * string-to-sign (newline-free for the hash gate); gated against an
+   * INDEPENDENT python mirror of the reference at fixture-design time.
+   * Scale shape: pure projection over the request stream.
+   */
+  def stringToSign(requests: DataFrame,
+                   nowEpoch: Long = 1684929600L,
+                   windowSec: Long = 604800L): DataFrame = {
+    def enc(x: String) =
+      s"replace(replace(replace(replace($x, '+', '%2B'), ' ', '%20')," +
+        s" '*', '%2A'), '/', '%2F')"
+    val pairs = "filter(transform(split(headers_str, '\\\\|'), kv -> " +
+      "struct(split(kv, '=')[0] AS k, substring(kv, " +
+      "length(split(kv, '=')[0]) + 2) AS v)), p -> p.k != '')"
+    def look(h: String) =
+      s"aggregate($pairs, CAST(NULL AS STRING), (a, p) -> " +
+        s"IF(p.k = $h, p.v, a))"
+    val qpairs = "filter(transform(split(query_str, '\\\\|'), kv -> " +
+      "struct(split(kv, '=')[0] AS k, substring(kv, " +
+      "length(split(kv, '=')[0]) + 2) AS v)), p -> p.k != '')"
+    requests
+      .withColumn("sh", expr("split(signed_headers, ';')"))
+      .withColumn("u", expr(
+        "CASE WHEN uri IS NULL OR uri = '' THEN '/' ELSE uri END"))
+      .withColumn("hdr_err", expr(
+        s"""aggregate(transform(sh, h -> CASE
+           |  WHEN (${look("h")}) IS NULL THEN 'MISSING_SIGNED_HEADER'
+           |  WHEN h = 'x-amz-date' AND (
+           |    unix_timestamp(to_timestamp(${look("h")},
+           |      "yyyyMMdd'T'HHmmss'Z'")) < $nowEpoch - $windowSec OR
+           |    unix_timestamp(to_timestamp(${look("h")},
+           |      "yyyyMMdd'T'HHmmss'Z'")) > $nowEpoch + $windowSec)
+           |    THEN 'BAD_DATE_RANGE' END),
+           |  CAST(NULL AS STRING), (x, y) -> coalesce(x, y))""".stripMargin))
+      .withColumn("hdr_block", expr(
+        s"""array_join(transform(sh, h -> concat(lower(h), ':',
+           |  coalesce(${look("h")}, ''), '\n')), '')""".stripMargin))
+      .withColumn("canon_q", expr(
+        s"""coalesce(array_join(transform(
+           |  array_sort(filter($qpairs, p -> p.k != 'X-Amz-Signature')),
+           |  p -> concat(${enc("p.k")}, '=', ${enc("p.v")})), '&'),
+           |  '')""".stripMargin))
+      .withColumn("canon_uri", expr(
+        s"array_join(transform(split(u, '/'), s -> ${enc("s")}), '/')"))
+      .withColumn("n_unsigned_amz", expr(
+        s"""size(filter($pairs, p -> startswith(p.k, 'x-amz-')
+           |  AND p.k != 'x-amz-content-sha256'
+           |  AND NOT array_contains(sh, p.k)))""".stripMargin))
+      .withColumn("verdict", expr(
+        s"""CASE
+           |WHEN dt IS NULL THEN 'MISSING_DATETIME'
+           |WHEN hdr_err IS NOT NULL THEN hdr_err
+           |WHEN instr(hdr_block, 'host:') = 0 THEN 'MISSING_HOST'
+           |WHEN n_unsigned_amz > 0 THEN 'UNSIGNED_XAMZ_HEADER'
+           |WHEN sign_payload AND (${look("'x-amz-content-sha256'")})
+           |  IS NULL THEN 'MISSING_CONTENT_SHA'
+           |ELSE 'OK' END""".stripMargin))
+      .withColumn("payload", expr(
+        s"""CASE WHEN NOT sign_payload THEN 'UNSIGNED-PAYLOAD'
+           |ELSE coalesce(${look("'x-amz-content-sha256'")}, '')
+           |END""".stripMargin))
+      .withColumn("canon_req", expr(
+        """concat(method, '\n', canon_uri, '\n', canon_q, '\n',
+          |  hdr_block, '\n', signed_headers, '\n',
+          |  payload)""".stripMargin))
+      .withColumn("canon_req_sha",
+        when(col("verdict") === "OK", sha2(col("canon_req"), 256))
+          .otherwise(lit("")))
+      .withColumn("str_to_sign_sha",
+        when(col("verdict") === "OK",
+          sha2(concat(col("algorithm"), lit("\n"), col("dt"),
+            lit("\n"), col("scope"), lit("\n"),
+            sha2(col("canon_req"), 256)), 256))
+          .otherwise(lit("")))
+      .select("req_id", "verdict", "canon_req_sha", "str_to_sign_sha")
+      .orderBy("req_id")
+  }
 }
