@@ -1118,6 +1118,14 @@ object SparkEntry {
     // change-log head.
     "q_recon_task_status" -> ((s, d) =>
       ClusterHealth.reconTaskStatus(changeLogCached(s, d))),
+    // Auth dispatch + V2 ladder: V4-header > V4-query > V2 > anonymous,
+    // with the V2 arity/blank rungs and Java's trailing-split artifact.
+    "q_auth_dispatch" -> ((s, d) =>
+      S3Ops.authDispatch(T.authDispatchRequests(s, d))),
+    // Range-header parse: clamps, the asymmetric 416 rule, suffix
+    // semantics with the bytes=- artifact, syntax fall-through.
+    "q_range_header" -> ((s, d) =>
+      S3Ops.rangeHeaderParse(T.rangeHeaders(s, d))),
     // Canonical-request / string-to-sign builder: URI/query encoding,
     // signed-header walk, host + x-amz coverage rules, payload hash.
     "q_string_to_sign" -> ((s, d) =>
@@ -9063,6 +9071,89 @@ object SparkEntry {
         |  FROM objects) h
         |ORDER BY t.task_name""".stripMargin,
       O.objects),
+
+    // auth-dispatch mirror: the same chain over the SHARED rows
+    "q_auth_dispatch" -> {
+      def qlit(v: String) =
+        if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+      val vals = T.authDispatchRows.map { case (i, h, q) =>
+        s"($i, ${qlit(h)}, $q)" }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT CAST(req_id AS BIGINT) AS req_id, claimed_by,
+          |  CASE WHEN claimed_by IN ('V4_HEADER', 'V4_QUERY')
+          |    THEN 'DELEGATED'
+          |  WHEN claimed_by = 'NONE' THEN 'ANONYMOUS'
+          |  WHEN len(string_split(rtrim(auth_header, ' '), ' ')) <> 2
+          |    THEN 'MALFORMED'
+          |  WHEN len(frag) <> 2 THEN 'MALFORMED'
+          |  WHEN trim(frag[1]) = '' OR trim(frag[2]) = ''
+          |    THEN 'MALFORMED'
+          |  ELSE 'OK' END AS verdict,
+          |  CASE WHEN claimed_by = 'V2'
+          |      AND len(string_split(rtrim(auth_header, ' '), ' ')) = 2
+          |      AND len(frag) = 2 AND trim(frag[1]) <> ''
+          |      AND trim(frag[2]) <> ''
+          |    THEN frag[1] ELSE '' END AS access_id,
+          |  CASE WHEN claimed_by = 'V2'
+          |      AND len(string_split(rtrim(auth_header, ' '), ' ')) = 2
+          |      AND len(frag) = 2 AND trim(frag[1]) <> ''
+          |      AND trim(frag[2]) <> ''
+          |    THEN frag[2] ELSE '' END AS signature
+          |FROM (
+          |  SELECT *,
+          |    string_split(rtrim(substring(auth_header, 5), ':'), ':')
+          |      AS frag,
+          |    CASE
+          |    WHEN auth_header IS NOT NULL
+          |      AND starts_with(auth_header, 'AWS4') THEN 'V4_HEADER'
+          |    WHEN has_query_sig THEN 'V4_QUERY'
+          |    WHEN auth_header IS NOT NULL
+          |      AND starts_with(auth_header, 'AWS ') THEN 'V2'
+          |    ELSE 'NONE' END AS claimed_by
+          |  FROM auth_req)
+          |ORDER BY req_id""".stripMargin,
+        s"auth_req(req_id, auth_header, has_query_sig) AS (VALUES\n  $vals)")
+    },
+
+    // range-header mirror: the same decision table over the SHARED rows
+    "q_range_header" -> {
+      val vals = T.rangeHeaderRows.map { case (i, h) =>
+        s"($i, '${h.replace("'", "''")}')" }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT CAST(req_id AS BIGINT) AS req_id, range_header,
+          |  CAST(CASE WHEN NOT m THEN 0
+          |    WHEN nostart THEN
+          |      CASE WHEN e0 < 100 THEN 100 - e0 ELSE 0 END
+          |    WHEN s0 >= 100 THEN
+          |      CASE WHEN e0 >= 100 THEN s0 ELSE 0 END
+          |    ELSE s0 END AS BIGINT) AS "start",
+          |  CAST(CASE WHEN NOT m THEN 99
+          |    WHEN nostart THEN 99
+          |    WHEN s0 >= 100 THEN
+          |      CASE WHEN e0 >= 100 THEN e0 ELSE 99 END
+          |    WHEN e0 >= 100 THEN 99
+          |    ELSE e0 END AS BIGINT) AS "end",
+          |  (NOT m OR (NOT nostart AND s0 >= 100)) AS read_full,
+          |  (m AND NOT nostart AND s0 >= 100 AND e0 >= 100)
+          |    AS invalid_range
+          |FROM (
+          |  SELECT *,
+          |    regexp_matches(range_header, '^bytes=[0-9]*-[0-9]*$')
+          |      AS m,
+          |    regexp_extract(range_header,
+          |      '^bytes=([0-9]*)-([0-9]*)$', 1) = '' AS nostart,
+          |    CASE WHEN regexp_extract(range_header,
+          |        '^bytes=([0-9]*)-([0-9]*)$', 1) = '' THEN 0
+          |      ELSE CAST(regexp_extract(range_header,
+          |        '^bytes=([0-9]*)-([0-9]*)$', 1) AS BIGINT) END AS s0,
+          |    CASE WHEN regexp_extract(range_header,
+          |        '^bytes=([0-9]*)-([0-9]*)$', 2) = '' THEN 99
+          |      ELSE CAST(regexp_extract(range_header,
+          |        '^bytes=([0-9]*)-([0-9]*)$', 2) AS BIGINT) END AS e0
+          |  FROM range_req)
+          |ORDER BY req_id""".stripMargin,
+        s"range_req(req_id, range_header) AS (VALUES\n  $vals)")
+    },
 
     // string-to-sign mirror: the same construction over the SHARED rows
     "q_string_to_sign" -> {

@@ -1436,6 +1436,49 @@ object Tables {
         "aws4_request, SignedHeaders=host, Signature=ab12"))
 
 
+  /** auth_dispatch: the AWSSignatureProcessor parser chain — V4 header
+    * before V4 query before V2 (precedence probed with both present),
+    * the V2 rungs incl. Java's trailing-separator drop ('AWS ak:' is
+    * an ARITY failure, not blank-signature), anonymous fall-through.
+    * NULL = no Authorization header. */
+  val authDispatchRows: Seq[(Long, String, Boolean)] = Seq(
+    (1L, "AWS4-HMAC-SHA256 Credential=x, SignedHeaders=h, Signature=ab",
+      false),
+    (2L, null, true),
+    (3L, "AWS4-garbage", true),
+    (4L, "AWS ak:sig", false),
+    (5L, "AWS ak:sig extra", false),
+    (6L, "AWS ak", false),
+    (7L, "AWS ak:sig:x", false),
+    (8L, "AWS :sig", false),
+    (9L, "AWS ak:", false),
+    (10L, "Basic xyz", false),
+    (11L, "AWS4-HMAC-SHA256 Credential=x, SignedHeaders=h, Signature=ab",
+      true),
+    (12L, null, false),
+    (13L, "AWS  ak:sig", false))
+
+  def authDispatchRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    authDispatchRows.toDF("req_id", "auth_header", "has_query_sig")
+  }
+
+  /** range_headers: the S3 Range-header parse fixtures against a
+    * 100-byte object — bounded/suffix/open ranges, clamping, the
+    * 416 invalid combination with RAW offsets, the `bytes=-` and
+    * start>end artifacts, syntax fall-through to full reads. */
+  val rangeHeaderRows: Seq[(Long, String)] = Seq(
+    (1L, "bytes=0-49"), (2L, "bytes=10-"), (3L, "bytes=-30"),
+    (4L, "bytes=-150"), (5L, "bytes=-"), (6L, "bytes=150-"),
+    (7L, "bytes=150-200"), (8L, "bytes=150-80"), (9L, "bytes=0-150"),
+    (10L, "bytes=5-2"), (11L, "garbage"), (12L, "bytes=0-5,10-20"),
+    (13L, "bytes=99-99"), (14L, "bytes=100-100"))
+
+  def rangeHeaders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rangeHeaderRows.toDF("req_id", "range_header")
+  }
+
   /** string_to_sign requests: raw request parts (method, uri, signed
     * list, packed header/query maps, auth metadata) for the canonical-
     * request builder — the OK shapes (header-auth, query-auth with the

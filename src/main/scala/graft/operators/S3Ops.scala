@@ -905,4 +905,115 @@ object S3Ops {
       .select("req_id", "verdict", "canon_req_sha", "str_to_sign_sha")
       .orderBy("req_id")
   }
+
+  /**
+   * Auth-parser dispatch + the V2 header ladder —
+   * AWSSignatureProcessor (s3gateway/.../signature/
+   * AWSSignatureProcessor.java:72-77: V4 header, then V4 query, then
+   * V2; first non-null claims the request, a claimed-but-malformed
+   * header FAILS rather than falling through) +
+   * AuthorizationV2HeaderParser (:43-73):
+   *
+   *  - "AWS4…" headers belong to the V4 header parser even when both a
+   *    header and query-string signature are present (probed) — the
+   *    V4 ladders are [[sigv4HeaderParse]] / [[presignedQueryParse]],
+   *    so those rows read DELEGATED here;
+   *  - V2: "AWS " prefix, exactly two space-separated tokens, exactly
+   *    two ':'-separated fragments, neither blank. Java's String.split
+   *    drops TRAILING empty tokens, so "AWS ak:" fails the ARITY rung
+   *    (1 fragment), not blank-signature — emulated by rtrimming the
+   *    separator before splitting (equivalent for both arity and
+   *    extraction);
+   *  - no parser claims → anonymous access.
+   */
+  def authDispatch(requests: DataFrame): DataFrame = {
+    val h = col("auth_header")
+    val rest = expr("substring(auth_header, 5)")
+    val frag = split(rtrim(rest, ":"), ":")
+    val claimed =
+      when(h.isNotNull && h.startsWith("AWS4"), lit("V4_HEADER"))
+        .when(col("has_query_sig"), lit("V4_QUERY"))
+        .when(h.isNotNull && h.startsWith("AWS "), lit("V2"))
+        .otherwise(lit("NONE"))
+    requests
+      .withColumn("claimed_by", claimed)
+      .withColumn("verdict",
+        when(col("claimed_by").isin("V4_HEADER", "V4_QUERY"),
+          lit("DELEGATED"))
+          .when(col("claimed_by") === "NONE", lit("ANONYMOUS"))
+          .when(size(split(rtrim(h, " "), " ")) =!= 2,
+            lit("MALFORMED"))
+          .when(size(frag) =!= 2, lit("MALFORMED"))
+          .when(trim(element_at(frag, 1)) === "" ||
+            trim(element_at(frag, 2)) === "", lit("MALFORMED"))
+          .otherwise(lit("OK")))
+      .withColumn("access_id",
+        when(col("verdict") === "OK", element_at(frag, 1))
+          .otherwise(lit("")))
+      .withColumn("signature",
+        when(col("verdict") === "OK", element_at(frag, 2))
+          .otherwise(lit("")))
+      .select("req_id", "claimed_by", "verdict", "access_id",
+        "signature")
+      .orderBy("req_id")
+  }
+
+  /**
+   * S3 Range-header parse — RangeHeaderParserUtil.parseRangeHeader
+   * (s3gateway/.../util/RangeHeaderParserUtil.java:40-92) against
+   * `bytes=(\d*)-(\d*)` (S3Consts.java:68-69), carried over with its
+   * artifacts intact:
+   *
+   *  - non-matching syntax (units, multi-range lists, letters) falls
+   *    through to a FULL read, never an error;
+   *  - `bytes=A-B` clamps B to length-1; start past the end only 416s
+   *    when the END is past the end too — `bytes=150-80` on a 100-byte
+   *    object full-reads, `bytes=150-200` is RANGE_NOT_SATISFIABLE
+   *    and reports the RAW offsets;
+   *  - suffix `bytes=-N` reads the last N bytes, the whole object when
+   *    N ≥ length — and the degenerate `bytes=-` reads [1, length-1]
+   *    (end defaults to length-1 BEFORE the suffix arithmetic, a
+   *    truthful reference artifact);
+   *  - `bytes=5-2` emits start>end verbatim (no ordering check here —
+   *    the endpoint deals with it downstream).
+   *
+   * Scale shape: pure codegen'd projection on the request stream.
+   */
+  def rangeHeaderParse(requests: DataFrame,
+                       length: Long = 100L): DataFrame = {
+    val g1 = regexp_extract(col("range_header"),
+      "^bytes=([0-9]*)-([0-9]*)$", 1)
+    val g2 = regexp_extract(col("range_header"),
+      "^bytes=([0-9]*)-([0-9]*)$", 2)
+    val matches = col("range_header").rlike("^bytes=[0-9]*-[0-9]*$")
+    val noStart = g1 === ""
+    val s0 = when(noStart, lit(0L)).otherwise(g1.cast("long"))
+    val e0 = when(g2 === "", lit(length - 1)).otherwise(g2.cast("long"))
+    requests
+      .withColumn("read_full",
+        when(!matches, lit(true))
+          .when(noStart, lit(false))
+          .when(s0 >= length, lit(true))
+          .otherwise(lit(false)))
+      .withColumn("invalid_range",
+        when(matches && !noStart && s0 >= length && e0 >= length,
+          lit(true)).otherwise(lit(false)))
+      .withColumn("start",
+        when(!matches, lit(0L))
+          .when(noStart,
+            when(e0 < length, lit(length) - e0).otherwise(lit(0L)))
+          .when(s0 >= length,
+            when(e0 >= length, s0).otherwise(lit(0L)))
+          .otherwise(s0))
+      .withColumn("end",
+        when(!matches, lit(length - 1))
+          .when(noStart, lit(length - 1))
+          .when(s0 >= length,
+            when(e0 >= length, e0).otherwise(lit(length - 1)))
+          .when(e0 >= length, lit(length - 1))
+          .otherwise(e0))
+      .select("req_id", "range_header", "start", "end", "read_full",
+        "invalid_range")
+      .orderBy("req_id")
+  }
 }
