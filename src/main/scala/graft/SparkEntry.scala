@@ -407,6 +407,10 @@ object SparkEntry {
     // recon filters, edge serialization, media byte range ----
     "q_mpu_expiry" -> ((s, d) =>
       Lifecycle.mpuExpiry(T.multipartParts(s, d), 870000000000L)),
+    "q_mpu_cleanup_walk" -> ((s, d) =>
+      Lifecycle.mpuCleanupWalk(T.mpuCleanupStore(s, d),
+        T.mpuLiveBuckets(s, d), expiredBeforeMs = 801964800000L,
+        maxParts = 120L, trxnIndex = 5000L)),
     "q_replica_history" -> ((s, d) =>
       Lifecycle.replicaHistoryStats(T.replicaHistory(s, d))),
     "q_orphan_scan" -> ((s, d) =>
@@ -2603,6 +2607,55 @@ object SparkEntry {
         |  FROM multipart_parts GROUP BY 1)
         |WHERE initiated < 870000000000
         |ORDER BY upload_id""".stripMargin, O.multipartParts),
+
+    // MPU-cleanup mirror: prefix-sum budget walk over the sorted store,
+    // then the expired-abort ladder against the literal bucket slice.
+    "q_mpu_cleanup_walk" -> O.withCtes(
+      """SELECT mpu_key,
+        |  CASE WHEN budget_raw <= 0 THEN 'NOT_REACHED'
+        |    WHEN NOT expired THEN 'NOT_EXPIRED'
+        |    WHEN NOT bucket_live THEN 'SKIP_BUCKET_MISSING'
+        |    WHEN NOT present_at_apply THEN 'SKIP_GONE'
+        |    WHEN 5000 < update_id THEN 'SKIP_UPDATE_FENCE'
+        |    ELSE 'ABORTED' END AS decision,
+        |  num_parts,
+        |  CAST(CASE WHEN budget_raw <= 0 THEN
+        |      max(CASE WHEN budget_raw <= 0 THEN budget_raw END) OVER ()
+        |    ELSE budget_raw END AS BIGINT) AS budget_before,
+        |  CAST(CASE WHEN budget_raw > 0 AND expired AND bucket_live
+        |      AND present_at_apply AND update_id <= 5000
+        |    THEN num_parts ELSE 0 END AS BIGINT) AS parts_deleted
+        |FROM (
+        |  SELECT w.*,
+        |    EXISTS (SELECT 1 FROM mpu_live_buckets lb
+        |      WHERE lb.volume = w.volume AND lb.bucket = w.bucket)
+        |      AS bucket_live,
+        |    120 - coalesce(sum(CASE WHEN expired THEN num_parts
+        |        ELSE 0 END) OVER (ORDER BY mpu_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS budget_raw
+        |  FROM (
+        |    SELECT *,
+        |      '/' || volume || '/' || bucket || '/' || key || '/'
+        |        || upload_id AS mpu_key,
+        |      initiated_ms <= 801964800000 AS expired
+        |    FROM mpu_cleanup_store) w)
+        |ORDER BY mpu_key""".stripMargin,
+      O.multipartParts,
+      """mpu_cleanup_store AS (
+        |  SELECT 'vol' || (order_key % 4) AS volume,
+        |    'bucket' || ((order_key // 50) % 5) AS bucket,
+        |    'warehouse/mpu/' || order_key || '.bin' AS key,
+        |    upload_id, min(creation_time) AS initiated_ms,
+        |    count(*) AS num_parts,
+        |    (order_key * 7) % 6000 AS update_id,
+        |    ((order_key // 50) % 7) <> 6 AS present_at_apply
+        |  FROM multipart_parts
+        |  GROUP BY upload_id, order_key)""".stripMargin,
+      """mpu_live_buckets(volume, bucket) AS (
+        |  SELECT 'vol' || v.v, 'bucket' || b.b
+        |  FROM (VALUES (0), (1), (2), (3)) v(v),
+        |    (VALUES (0), (1), (2), (4)) b(b))""".stripMargin),
 
     "q_replica_history" -> O.withCtes(
       """SELECT container_id, datanode, count(*) AS n_reports,

@@ -3118,6 +3118,38 @@ object Tables {
           lit(".bin")).as("key"),
         col("upload_id"), col("initiated_ms"), col("num_parts"))
 
+  /** mpu_cleanup_store: the multipartInfoTable snapshot the MPU-cleanup
+    * budget walk scans (MultipartUploadCleanupService →
+    * OmMetadataManagerImpl.getExpiredMultipartUploads:1527-1578). Buckets
+    * widen to 5 via (order_key DIV 50) % 5 — the base synthesis lands
+    * every MPU in bucket0, which would starve the abort ladder's
+    * bucket-missing rung — and the apply-time columns derive from
+    * order_key: update_id (the Ratis-fence probe) and the
+    * completed-meanwhile flag (every 7th upload slot is gone by apply). */
+  def mpuCleanupStore(spark: SparkSession, dir: String): DataFrame =
+    multipartParts(spark, dir)
+      .groupBy("upload_id", "order_key")
+      .agg(min("creation_time").as("initiated_ms"),
+        count(lit(1)).as("num_parts"))
+      .select(
+        concat(lit("vol"), (col("order_key") % 4).cast("string"))
+          .as("volume"),
+        concat(lit("bucket"),
+          expr("(order_key DIV 50) % 5").cast("string")).as("bucket"),
+        concat(lit("warehouse/mpu/"), col("order_key").cast("string"),
+          lit(".bin")).as("key"),
+        col("upload_id"), col("initiated_ms"), col("num_parts"),
+        (col("order_key") * 7 % 6000).as("update_id"),
+        expr("(order_key DIV 50) % 7 <> 6").as("present_at_apply"))
+
+  /** mpu_live_buckets: the bucket-table slice the expired-abort apply
+    * probes — bucket3 is deliberately absent on every volume. */
+  def mpuLiveBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    (for (v <- 0 to 3; b <- Seq(0, 1, 2, 4))
+      yield (s"vol$v", s"bucket$b")).toDF("volume", "bucket")
+  }
+
   /** mpu_open_parts: one openKeyTable entry per in-flight (upload, part) —
     * what a CommitPart resolves by clientID. Derived WITHOUT the %6
     * committed-part gap filter (a part can be open but not yet committed);

@@ -442,6 +442,83 @@ object Lifecycle {
       .filter(col("initiated") < beforeMs)
       .orderBy("upload_id")
 
+  /**
+   * MPU-cleanup budget walk + expired-abort ladder — the full
+   * MultipartUploadCleanupService round:
+   *
+   * Selection (OmMetadataManagerImpl.getExpiredMultipartUploads:1527-1578):
+   * the multipartInfoTable is iterated in dbMultipartInfoKey order
+   * (/volume/bucket/key/uploadId) with the parts budget checked at LOOP
+   * TOP (`while (numParts < maxParts && hasNext)`), so
+   *  - an entry is reached iff the parts charged by EXPIRED entries
+   *    strictly before it are still < maxParts — the entry that crosses
+   *    the budget is itself fully included (boundary overrun), and the
+   *    FIRST loop-top at ≥ maxParts stops the walk: later entries,
+   *    expired or not, are NOT_REACHED;
+   *  - only expired entries (creationTime <= now − expireThreshold,
+   *    :1535-1536,1549) charge the budget; a non-expired entry is walked
+   *    free (NOT_EXPIRED). Both part-count schema versions reduce to the
+   *    upload's part count (:1563-1569 — SPLIT counts multipartPartsTable
+   *    rows, legacy reads the embedded partKeyInfoMap size), which is
+   *    `num_parts` here.
+   *
+   * Abort apply (S3ExpiredMultipartUploadsAbortRequest:196-290), per
+   * selected upload grouped by bucket:
+   *  - bucket gone from the bucket table → the whole bucket's batch is
+   *    skipped (:215-219 SKIP_BUCKET_MISSING);
+   *  - the MPU no longer in multipartInfoTable at apply time (completed /
+   *    client-aborted between selection and apply, :227-233) → SKIP_GONE;
+   *  - trxnLogIndex < the entry's updateID (:236-241) → SKIP_UPDATE_FENCE;
+   *  - else ABORTED: the open MPU key is removed and all parts move to
+   *    the delete table (parts_deleted).
+   *
+   * Scale shape: one prefix-sum window over the sorted store reproduces
+   * the sequential budget recurrence (same argument as
+   * Reclaim.dirDeleteWalk); the bucket probe is a broadcast of the
+   * control-plane bucket dim. The budget bounds the touched prefix — a
+   * production run would push a `limit` on the sorted scan first; the
+   * full-table classification here is the per-round decision table.
+   */
+  def mpuCleanupWalk(store: DataFrame, liveBuckets: DataFrame,
+                     expiredBeforeMs: Long, maxParts: Long,
+                     trxnIndex: Long): DataFrame = {
+    val w = Window.partitionBy(lit(0)).orderBy("mpu_key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    store
+      .withColumn("mpu_key",
+        concat(lit("/"), col("volume"), lit("/"), col("bucket"), lit("/"),
+          col("key"), lit("/"), col("upload_id")))
+      .withColumn("expired", col("initiated_ms") <= expiredBeforeMs)
+      .withColumn("parts_charge",
+        when(col("expired"), col("num_parts")).otherwise(lit(0L)))
+      .withColumn("budget_raw",
+        lit(maxParts) - coalesce(sum("parts_charge").over(w), lit(0L)))
+      // Past the stop the loop never runs, so nothing more charges: every
+      // NOT_REACHED row reads the exit budget — the raw prefix sum is
+      // monotone nonincreasing, so that is the max of its ≤0 values.
+      .withColumn("budget_before",
+        when(col("budget_raw") <= 0,
+          max(when(col("budget_raw") <= 0, col("budget_raw")))
+            .over(Window.partitionBy(lit(0))))
+          .otherwise(col("budget_raw")))
+      .join(broadcast(liveBuckets.select("volume", "bucket")
+        .withColumn("bucket_live", lit(true))),
+        Seq("volume", "bucket"), "left")
+      .withColumn("decision",
+        when(col("budget_before") <= 0, lit("NOT_REACHED"))
+          .when(!col("expired"), lit("NOT_EXPIRED"))
+          .when(col("bucket_live").isNull, lit("SKIP_BUCKET_MISSING"))
+          .when(!col("present_at_apply"), lit("SKIP_GONE"))
+          .when(lit(trxnIndex) < col("update_id"), lit("SKIP_UPDATE_FENCE"))
+          .otherwise(lit("ABORTED")))
+      .withColumn("parts_deleted",
+        when(col("decision") === "ABORTED", col("num_parts"))
+          .otherwise(lit(0L)))
+      .select("mpu_key", "decision", "num_parts", "budget_before",
+        "parts_deleted")
+      .orderBy("mpu_key")
+  }
+
   /** ListMultipartUploads: the in-flight uploads of ONE bucket, optional
     * key prefix, ordered by (key, upload_id) with keyset pagination — ref
     * OzoneManagerRequestHandler.java:253 walking multipartInfoTable

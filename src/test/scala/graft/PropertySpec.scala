@@ -1289,4 +1289,62 @@ class PropertySpec extends SparkSpecBase {
       assert(got === expected, s"trial $trial budget $budget")
     }
   }
+
+  test("mpuCleanupWalk prefix-sum plan == the sequential loop-top budget" +
+    " walk + abort ladder over random MPU stores") {
+    // getExpiredMultipartUploads checks `numParts < maxParts` at LOOP
+    // TOP, so the entry crossing the budget is fully included and only
+    // expired entries charge; the abort apply then runs the
+    // bucket-missing / gone-at-apply / updateID-fence ladder. This
+    // walks the actual sequential loop and checks row-for-row
+    // equivalence against the windowed plan.
+    val rnd = new Random(2718)
+    for (trial <- 0 until 20) {
+      val maxParts = 5L + rnd.nextInt(30)
+      val trxn = 500L
+      val live = (for (v <- 0 until 2; b <- 0 until 3
+                       if rnd.nextInt(5) != 0)
+        yield (s"v$v", s"b$b")).toSeq
+      val store = (1 to 50).map { i =>
+        (s"v${rnd.nextInt(2)}", s"b${rnd.nextInt(3)}",
+          f"k$i%03d", f"up${rnd.nextInt(1000)}%04d",
+          rnd.nextLong(2000L),          // initiated_ms; cutoff 1000
+          1L + rnd.nextInt(6),          // num_parts
+          rnd.nextLong(1000L),          // update_id
+          rnd.nextInt(4) != 0)          // present_at_apply
+      }
+      val liveSet = live.toSet
+      var used = 0L
+      val expected = store
+        .map { case (v, b, k, up, init, np, uid, present) =>
+          (s"/$v/$b/$k/$up", v, b, init, np, uid, present)
+        }
+        .sortBy(_._1)
+        .map { case (mk, v, b, init, np, uid, present) =>
+          val budgetBefore = maxParts - used
+          val decision =
+            if (budgetBefore <= 0) "NOT_REACHED"
+            else if (init > 1000L) "NOT_EXPIRED"
+            else {
+              used += np
+              if (!liveSet((v, b))) "SKIP_BUCKET_MISSING"
+              else if (!present) "SKIP_GONE"
+              else if (trxn < uid) "SKIP_UPDATE_FENCE"
+              else "ABORTED"
+            }
+          val deleted = if (decision == "ABORTED") np else 0L
+          mk -> ((decision, np, budgetBefore, deleted))
+        }.toMap
+      val got = graft.operators.Lifecycle.mpuCleanupWalk(
+          store.toDF("volume", "bucket", "key", "upload_id",
+            "initiated_ms", "num_parts", "update_id", "present_at_apply"),
+          live.toDF("volume", "bucket"),
+          expiredBeforeMs = 1000L, maxParts = maxParts, trxnIndex = trxn)
+        .collect().map(r => r.getAs[String]("mpu_key") ->
+          ((r.getAs[String]("decision"), r.getAs[Long]("num_parts"),
+            r.getAs[Long]("budget_before"),
+            r.getAs[Long]("parts_deleted")))).toMap
+      assert(got === expected, s"trial $trial maxParts $maxParts")
+    }
+  }
 }
