@@ -1204,6 +1204,9 @@ object SparkEntry {
     "q_safemode" -> ((s, d) =>
       ClusterHealth.safemodeStatus(T.datanodes(s, d), T.pipelines(s, d),
         T.pipelineMembers(s, d), T.containersScm(s, d), T.replicas(s, d))),
+    "q_safemode_ec" -> ((s, d) =>
+      ClusterHealth.safemodeEcRules(T.safemodeEcContainers(s, d),
+        T.safemodeEcReports(s, d), T.datanodes(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -8862,6 +8865,67 @@ object SparkEntry {
         |ORDER BY rule""".stripMargin,
       O.datanodes, O.pipelines, O.pipelineMembers, O.containersScm,
       O.replicas),
+
+    // EC-aware refinement: typed container rules + the EC datanode floor.
+    "q_safemode_ec" -> O.withCtes(
+      """SELECT * FROM (
+        |  WITH tracked AS (
+        |    SELECT container_id,
+        |      CASE WHEN rep_type = 'EC' THEN ec_data ELSE 1 END
+        |        AS min_replica, rep_type
+        |    FROM sm_ec_containers
+        |    WHERE state IN ('CLOSED', 'QUASI_CLOSED') AND num_keys > 0),
+        |  reporters AS (
+        |    SELECT container_id, count(DISTINCT datanode) AS n_reported
+        |    FROM sm_ec_reports GROUP BY 1),
+        |  counted AS (
+        |    SELECT rep_type, count(*) AS total,
+        |      sum(CASE WHEN coalesce(n_reported, 0) >= min_replica
+        |        THEN 1 ELSE 0 END) AS actual
+        |    FROM tracked LEFT JOIN reporters USING (container_id)
+        |    GROUP BY 1),
+        |  rules AS (
+        |    SELECT t.rep_type || '_CONTAINER' AS rule,
+        |      (coalesce(total, 0) * 9900 + 9999) // 10000 AS required,
+        |      coalesce(actual, 0) AS actual
+        |    FROM (VALUES ('RATIS'), ('EC')) t(rep_type)
+        |    LEFT JOIN counted ON counted.rep_type = t.rep_type
+        |    UNION ALL
+        |    SELECT 'EC_MIN_DATANODE', 5, count(*)
+        |    FROM datanodes
+        |    WHERE state = 'HEALTHY' AND op_state = 'IN_SERVICE')
+        |  SELECT rule, CAST(required AS BIGINT) AS required,
+        |    CAST(actual AS BIGINT) AS actual,
+        |    actual >= required AS satisfied
+        |  FROM rules
+        |  UNION ALL
+        |  SELECT 'EXIT_SAFEMODE', count(*),
+        |    CAST(sum(CASE WHEN actual >= required THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN actual >= required THEN 1 ELSE 0 END)
+        |      AS BIGINT) >= count(*)
+        |  FROM rules)
+        |ORDER BY rule""".stripMargin,
+      O.datanodes,
+      """sm_ec_containers AS (
+        |  SELECT container_id,
+        |    CASE WHEN container_id % 3 = 0 THEN 'EC' ELSE 'RATIS' END
+        |      AS rep_type,
+        |    CASE WHEN container_id % 3 = 0 THEN
+        |        CASE WHEN (container_id // 3) % 2 = 0 THEN 3 ELSE 6 END
+        |      ELSE 0 END AS ec_data,
+        |    CASE WHEN container_id % 97 = 0 THEN 'DELETED'
+        |      WHEN container_id % 13 = 5 THEN 'OPEN'
+        |      WHEN container_id % 13 = 9 THEN 'QUASI_CLOSED'
+        |      ELSE 'CLOSED' END AS state,
+        |    CASE WHEN container_id % 17 = 3 THEN 0
+        |      ELSE container_id % 50 + 1 END AS num_keys
+        |  FROM range(600) t(container_id))""".stripMargin,
+      """sm_ec_reports AS (
+        |  SELECT container_id,
+        |    'dn' || ((container_id + r * 3) % 20) AS datanode
+        |  FROM range(600) t(container_id), range(5) u(r)
+        |  WHERE r < (container_id // 3) % 6)""".stripMargin),
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold
     // with NONE of the churn (no doubling, no .mv keys, no deletes)

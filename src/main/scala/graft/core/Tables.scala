@@ -168,6 +168,46 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** safemode_ec_containers: the typed SCM container catalog the EC-aware
+    * safemode rules track — RATIS and EC (both rs-3-2 and rs-6-3 widths;
+    * the 6-wide stripe is deliberately unsatisfiable against the ≤5-reporter
+    * synthesis below), with OPEN/QUASI_CLOSED/DELETED states and empty
+    * containers (num_keys=0) probing every exclusion. */
+  def safemodeEcContainers(spark: SparkSession, dir: String): DataFrame =
+    spark.range(600).toDF("container_id")
+      .withColumn("rep_type",
+        when(col("container_id") % 3 === 0, lit("EC"))
+          .otherwise(lit("RATIS")))
+      .withColumn("ec_data",
+        when(col("rep_type") === "EC",
+          when(expr("(container_id DIV 3) % 2 = 0"), lit(3)).otherwise(lit(6)))
+          .otherwise(lit(0)))
+      .withColumn("ec_parity",
+        when(col("rep_type") === "EC",
+          when(col("ec_data") === 3, lit(2)).otherwise(lit(3)))
+          .otherwise(lit(0)))
+      .withColumn("state",
+        when(col("container_id") % 97 === 0, lit("DELETED"))
+          .when(col("container_id") % 13 === 5, lit("OPEN"))
+          .when(col("container_id") % 13 === 9, lit("QUASI_CLOSED"))
+          .otherwise(lit("CLOSED")))
+      .withColumn("num_keys",
+        when(col("container_id") % 17 === 3, lit(0L))
+          .otherwise(col("container_id") % 50 + 1))
+
+  /** safemode_ec_reports: registration-report replicas — container
+    * (id DIV 3) % 6 distinct reporting datanodes (0..5), so Ratis' ≥1 and
+    * the rs-3-2 EC ≥3 thresholds both split their populations (a plain
+    * id-mod count is anti-correlated with the EC width derivation and
+    * leaves the EC comparison untested). */
+  def safemodeEcReports(spark: SparkSession, dir: String): DataFrame =
+    spark.range(600).toDF("container_id")
+      .crossJoin(spark.range(5).toDF("r"))
+      .filter(col("r") < expr("(container_id DIV 3) % 6"))
+      .select(col("container_id"),
+        concat(lit("dn"), ((col("container_id") + col("r") * 3) % 20)
+          .cast("string")).as("datanode"))
+
   /** containers_om: rollup of object locations; ids %89==0 dropped to create
     * OM∖SCM mismatches (ref ContainerKeyMapperHelper). */
   def containersOm(spark: SparkSession, dir: String): DataFrame =

@@ -1726,6 +1726,78 @@ object ClusterHealth {
   }
 
   /**
+   * EC-aware container safemode rules — the typed refinement of the
+   * CONTAINER rule in [[safemodeStatus]] (the reference split it into
+   * per-replication-type rules) plus the EC datanode floor:
+   *   - RATIS_CONTAINER / EC_CONTAINER (AbstractContainerSafeModeRule
+   *     .java:76-99,135-152): each rule tracks its type's containers in
+   *     CLOSED/QUASI_CLOSED with numberOfKeys > 0 (:78-81 — OPEN/
+   *     CLOSING containers and empty containers never gate safemode);
+   *     DELETED containers drop out on refresh (:89-99). A tracked
+   *     container counts once `minimumNodes` distinct datanodes have
+   *     reported it — 1 for Ratis (RatisContainerSafeModeRule.java:48-56
+   *     asserts it), the DATA count for EC
+   *     (ECContainerSafeModeRule.java:51-63) — and the rule passes at
+   *     ceil(total × cutoff), default 99%;
+   *   - EC_MIN_DATANODE (ECMinDataNodeSafeModeRule.java:55-101): active
+   *     only when the cluster DEFAULT replication is EC; requires
+   *     data+parity healthy in-service datanodes (the fallback validate
+   *     path :97-100 — a fresh EC cluster cannot form a write pipeline
+   *     below the full stripe width);
+   *   - EXIT_SAFEMODE folds the three.
+   * Same exact-integer ceil as [[safemodeStatus]]; the reports side
+   * aggregates to distinct-reporter counts before the tracked join, so
+   * the corpus-sized report stream reduces map-side.
+   */
+  def safemodeEcRules(containers: DataFrame, reports: DataFrame,
+                      datanodes: DataFrame, cutoffBp: Long = 9900L,
+                      defaultEc: Option[(Int, Int)] = Some((3, 2)))
+  : DataFrame = {
+    val tracked = containers
+      .filter(col("state").isin("CLOSED", "QUASI_CLOSED") &&
+        col("num_keys") > 0)
+      .withColumn("min_replica",
+        when(col("rep_type") === "EC", col("ec_data")).otherwise(lit(1)))
+    val reporters = reports.groupBy("container_id")
+      .agg(countDistinct("datanode").as("n_reported"))
+    val counted = tracked
+      .join(reporters, Seq("container_id"), "left")
+      .groupBy("rep_type")
+      .agg(count(lit(1)).as("total"),
+        sum(when(coalesce(col("n_reported"), lit(0L)) >= col("min_replica"),
+          1L).otherwise(0L)).as("actual"))
+    val typeDim = containers.sparkSession.range(2).toDF("i")
+      .select(when(col("i") === 0, "RATIS").otherwise("EC").as("rep_type"))
+    val containerRules = typeDim
+      .join(counted, Seq("rep_type"), "left")
+      .select(
+        concat(col("rep_type"), lit("_CONTAINER")).as("rule"),
+        expr(s"(coalesce(total, 0) * $cutoffBp + 9999) DIV 10000")
+          .as("required"),
+        coalesce(col("actual"), lit(0L)).as("actual"))
+    val healthyInService = datanodes
+      .filter(col("state") === "HEALTHY" && col("op_state") === "IN_SERVICE")
+      .agg(count(lit(1)).as("actual"))
+    val ecDnRule = defaultEc match {
+      case Some((d, p)) => healthyInService
+        .select(lit("EC_MIN_DATANODE").as("rule"),
+          lit(d.toLong + p).as("required"), col("actual"))
+      case None => healthyInService
+        .select(lit("EC_MIN_DATANODE").as("rule"), lit(0L).as("required"),
+          col("actual"))
+    }
+    val rules = containerRules.unionByName(ecDnRule)
+      .withColumn("satisfied", col("actual") >= col("required"))
+    val exitRow = rules
+      .agg(count(lit(1)).as("required"),
+        sum(when(col("satisfied"), 1L).otherwise(0L)).as("actual"))
+      .select(lit("EXIT_SAFEMODE").as("rule"), col("required"),
+        col("actual"))
+      .withColumn("satisfied", col("actual") >= col("required"))
+    rules.unionByName(exitRow).orderBy("rule")
+  }
+
+  /**
    * SCM safemode exit-rule evaluation — one row per rule with its required
    * vs actual count and the verdict, plus the overall EXIT_SAFEMODE fold:
    *   - CONTAINER (AbstractContainerSafeModeRule.java:83-99): cutOff =

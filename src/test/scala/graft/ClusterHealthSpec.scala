@@ -1337,4 +1337,50 @@ class ClusterHealthSpec extends SparkSpecBase {
     assert(got(9L)._1 === "FAILED")
     assert(got.size === 9)
   }
+
+  test("safemodeEcRules: tracking exclusions, per-type thresholds, EC floor") {
+    import spark.implicits._
+    // containers: (id, type, ec_data, state, num_keys)
+    val conts = Seq(
+      (1L, "RATIS", 0, "CLOSED", 5L),        // tracked, reported → counts
+      (2L, "RATIS", 0, "CLOSED", 5L),        // tracked, unreported
+      (3L, "RATIS", 0, "OPEN", 5L),          // OPEN → never tracked
+      (4L, "RATIS", 0, "QUASI_CLOSED", 5L),  // tracked, reported
+      (5L, "RATIS", 0, "CLOSED", 0L),        // empty → never tracked
+      (6L, "RATIS", 0, "DELETED", 5L),       // refresh drops it
+      (7L, "EC", 3, "CLOSED", 5L),           // 3 reporters → counts
+      (8L, "EC", 3, "CLOSED", 5L),           // 2 reporters → short
+      (9L, "EC", 6, "CLOSED", 5L))           // 3 reporters < 6 → short
+      .toDF("container_id", "rep_type", "ec_data", "state", "num_keys")
+    val reports = Seq(
+      (1L, "dnA"), (4L, "dnA"), (4L, "dnB"),
+      (7L, "dnA"), (7L, "dnB"), (7L, "dnC"),
+      (8L, "dnA"), (8L, "dnB"), (8L, "dnA"), // dup reporter counts once
+      (9L, "dnA"), (9L, "dnB"), (9L, "dnC"),
+      (3L, "dnA"), (6L, "dnA"))              // reports on untracked ids
+      .toDF("container_id", "datanode")
+    val dns = Seq(
+      ("dnA", "HEALTHY", "IN_SERVICE"), ("dnB", "HEALTHY", "IN_SERVICE"),
+      ("dnC", "HEALTHY", "DECOMMISSIONING"), ("dnD", "STALE", "IN_SERVICE"))
+      .toDF("uuid", "state", "op_state")
+    val got = graft.operators.ClusterHealth
+      .safemodeEcRules(conts, reports, dns, cutoffBp = 9900L,
+        defaultEc = Some((2, 1)))
+      .collect().map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Long]("required"), r.getAs[Long]("actual"),
+          r.getAs[Boolean]("satisfied")))).toMap
+    // RATIS tracked = {1,2,4}: ceil(3·0.99)=3 required, 2 reported
+    assert(got("RATIS_CONTAINER") === ((3L, 2L, false)))
+    // EC tracked = {7,8,9}: only 7 reaches its data count
+    assert(got("EC_CONTAINER") === ((3L, 1L, false)))
+    // rs-2-1 floor = 3; healthy in-service = dnA,dnB
+    assert(got("EC_MIN_DATANODE") === ((3L, 2L, false)))
+    assert(got("EXIT_SAFEMODE") === ((3L, 0L, false)))
+    // non-EC default: the floor rule reads not-applicable (required 0)
+    val off = graft.operators.ClusterHealth
+      .safemodeEcRules(conts, reports, dns, defaultEc = None)
+      .collect().map(r => r.getAs[String]("rule") ->
+        r.getAs[Boolean]("satisfied")).toMap
+    assert(off("EC_MIN_DATANODE"))
+  }
 }
