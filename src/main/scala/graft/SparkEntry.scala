@@ -1207,6 +1207,12 @@ object SparkEntry {
     "q_safemode_ec" -> ((s, d) =>
       ClusterHealth.safemodeEcRules(T.safemodeEcContainers(s, d),
         T.safemodeEcReports(s, d), T.datanodes(s, d))),
+    "q_volume_space_filter" -> ((s, d) =>
+      ClusterHealth.volumeSpaceFilter(T.capacityVolumes(s, d), 100000L)),
+    "q_capacity_pairs" -> ((s, d) =>
+      ClusterHealth.capacityVolumePairs(T.capacityVolumes(s, d), 100000L)),
+    "q_pipeline_capacity_compare" -> ((s, d) =>
+      ClusterHealth.pipelineCapacityCompare(T.capacityPipeNodes(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -1347,6 +1353,25 @@ object SparkEntry {
       |    ELSE CASE WHEN n_unh > 0 THEN 'UNHEALTHY'
       |      ELSE 'HEALTHY' END
       |    END AS detail)""".stripMargin
+
+  /** Shared-literal mirrors of the capacity-policy fixtures. */
+  private lazy val capVolsCte: String = {
+    val vals = T.capacityVolumeRows.map { case (i, c, r, m, h, s) =>
+      s"(CAST($i AS BIGINT), CAST($c AS BIGINT), CAST($r AS BIGINT), " +
+        s"CAST($m AS BIGINT), CAST($h AS BIGINT), CAST($s AS BIGINT))"
+    }.mkString(",\n  ")
+    s"""cap_vols(vol_id, capacity, remaining, committed, hard_spare,
+       |  reported_spare) AS (VALUES
+       |  $vals)""".stripMargin
+  }
+
+  private lazy val pipeNodesCte: String = {
+    val vals = T.capacityPipeNodeRows.map { case (p, n, u, c) =>
+      s"('$p', '$n', CAST($u AS BIGINT), CAST($c AS BIGINT))"
+    }.mkString(",\n  ")
+    s"""pipe_nodes(pipeline_id, node, used, capacity) AS (VALUES
+       |  $vals)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] =
     oracleBase + ("q_replication_report" -> replicationReportOracle)
@@ -8926,6 +8951,97 @@ object SparkEntry {
         |    'dn' || ((container_id + r * 3) % 20) AS datanode
         |  FROM range(600) t(container_id), range(5) u(r)
         |  WHERE r < (container_id // 3) % 6)""".stripMargin),
+
+    // AvailableSpaceFilter ladder over the shared volume literals.
+    "q_volume_space_filter" -> {
+      O.withCtes(
+        """SELECT vol_id, available, usable_reported,
+          |  CASE WHEN available <= 100000 THEN 'REJECTED_HARD'
+          |    WHEN usable_reported <= 100000 THEN 'SOFT_BAND'
+          |    ELSE 'OK' END AS verdict,
+          |  max(available) OVER () AS most_available
+          |FROM (
+          |  SELECT vol_id,
+          |    remaining - committed - hard_spare AS available,
+          |    remaining - committed - reported_spare AS usable_reported
+          |  FROM cap_vols)
+          |ORDER BY vol_id""".stripMargin,
+        capVolsCte)
+    },
+
+    // Two-choices winner table: exact cross-multiplied freeSpaceRatio.
+    "q_capacity_pairs" -> {
+      O.withCtes(
+        """SELECT f.vol_id AS first_id, s.vol_id AS second_id,
+          |  CASE WHEN f.free_eff * s.cap_eff < s.free_eff * f.cap_eff
+          |    THEN s.vol_id ELSE f.vol_id END AS winner_id
+          |FROM elig f, elig s
+          |ORDER BY 1, 2""".stripMargin,
+        capVolsCte,
+        """elig AS (
+          |  SELECT vol_id,
+          |    CASE WHEN capacity <= 0 THEN 0
+          |      ELSE greatest(remaining - committed, 0) END AS free_eff,
+          |    greatest(capacity, 1) AS cap_eff
+          |  FROM cap_vols
+          |  WHERE remaining - committed - hard_spare > 100000)""".stripMargin)
+    },
+
+    // Capacity-pipeline comparator: ranked-stack pop walk, integer
+    // epsilon band, raw-used tiebreak, exhaustion/same-id → FIRST.
+    "q_pipeline_capacity_compare" -> {
+      O.withCtes(
+        """SELECT p.first_id, p.second_id,
+          |  CASE WHEN p.first_id = p.second_id THEN 'FIRST'
+          |    WHEN d.cmp IS NULL OR d.cmp <= 0 THEN 'FIRST'
+          |    ELSE 'SECOND' END AS winner,
+          |  CASE WHEN p.first_id = p.second_id OR d.cmp IS NULL
+          |      OR d.cmp <= 0 THEN p.first_id
+          |    ELSE p.second_id END AS winner_id,
+          |  CAST(CASE WHEN p.first_id = p.second_id THEN 0
+          |    ELSE coalesce(d.decided_round, 0) END AS BIGINT)
+          |    AS decided_round,
+          |  CASE WHEN p.first_id = p.second_id THEN 'SAME_ID'
+          |    ELSE coalesce(d.mode, 'EXHAUSTED') END AS mode
+          |FROM (SELECT a.pipeline_id AS first_id,
+          |        b.pipeline_id AS second_id
+          |      FROM (SELECT DISTINCT pipeline_id FROM pipe_nodes) a,
+          |        (SELECT DISTINCT pipeline_id FROM pipe_nodes) b) p
+          |LEFT JOIN (
+          |  SELECT first_id, second_id, min(rnk) AS decided_round,
+          |    min_by(cmp, rnk) AS cmp, min_by(mode, rnk) AS mode
+          |  FROM (
+          |    SELECT first_id, second_id, rnk,
+          |      CASE WHEN abs(crossv) * 1000000 > c1 * c2 THEN
+          |          CASE WHEN crossv > 0 THEN 1 ELSE -1 END
+          |        WHEN u1 <> u2 THEN
+          |          CASE WHEN u1 > u2 THEN 1 ELSE -1 END
+          |        ELSE 0 END AS cmp,
+          |      CASE WHEN abs(crossv) * 1000000 > c1 * c2 THEN 'WEIGHT'
+          |        WHEN u1 <> u2 THEN 'RAW_USED'
+          |        ELSE 'EQUAL' END AS mode
+          |    FROM (
+          |      SELECT a.pipeline_id AS first_id,
+          |        b.pipeline_id AS second_id, a.rnk,
+          |        a.used * b.cap_eff - b.used * a.cap_eff AS crossv,
+          |        a.used AS u1, b.used AS u2,
+          |        a.cap_eff AS c1, b.cap_eff AS c2
+          |      FROM ranked a JOIN ranked b ON a.rnk = b.rnk))
+          |  WHERE cmp <> 0
+          |  GROUP BY 1, 2) d
+          |  ON d.first_id = p.first_id AND d.second_id = p.second_id
+          |ORDER BY p.first_id, p.second_id""".stripMargin,
+        pipeNodesCte,
+        """ranked AS (
+          |  SELECT pipeline_id,
+          |    CAST(row_number() OVER (PARTITION BY pipeline_id
+          |      ORDER BY used * 1000000 //
+          |        (CASE WHEN capacity = 0 THEN 1 ELSE capacity END) DESC,
+          |        used DESC, node) AS BIGINT) AS rnk,
+          |    used,
+          |    CASE WHEN capacity = 0 THEN 1 ELSE capacity END AS cap_eff
+          |  FROM pipe_nodes)""".stripMargin)
+    },
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold
     // with NONE of the churn (no doubling, no .mv keys, no deletes)

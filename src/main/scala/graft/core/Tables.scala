@@ -168,6 +168,47 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** capacity_volumes: the DN volume pool the capacity choosing policy
+    * filters and compares — an OK pair with distinct ratios, a soft-band
+    * volume (usable-at-reported-spare exactly at the request), a
+    * hard-rejected one, a zero-capacity volume (ratio-0 guard), a
+    * committed-overrun volume (free clamps to 0), and vol7 whose free
+    * ratio EXACTLY ties vol2 (200000/10⁶ == 400000/2·10⁶ — the
+    * first-pick-wins tie probe). Request size is 100000. */
+  val capacityVolumeRows: Seq[(Long, Long, Long, Long, Long, Long)] = Seq(
+    (1L, 1000000L, 600000L, 100000L, 20000L, 40000L),
+    (2L, 1000000L, 300000L, 100000L, 20000L, 40000L),
+    (3L, 1000000L, 160000L, 20000L, 20000L, 40000L),
+    (4L, 1000000L, 130000L, 20000L, 20000L, 40000L),
+    (5L, 0L, 250000L, 10000L, 20000L, 40000L),
+    (6L, 500000L, 400000L, 450000L, 0L, 0L),
+    (7L, 2000000L, 500000L, 100000L, 50000L, 80000L))
+
+  def capacityVolumes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    capacityVolumeRows.toDF("vol_id", "capacity", "remaining", "committed",
+      "hard_spare", "reported_spare")
+  }
+
+  /** capacity_pipe_nodes: pipeline→member scmUsed/capacity stats for the
+    * capacity-pipeline comparator — p1/p2 share their two heaviest nodes
+    * exactly and split at round 3; p3 is p1's two-node prefix (stack
+    * exhaustion); p4's head node has p1's head WEIGHT (0.8) at half the
+    * raw bytes (the raw-used tiebreak probe). */
+  val capacityPipeNodeRows: Seq[(String, String, Long, Long)] = Seq(
+    ("p1", "n01", 800000L, 1000000L), ("p1", "n02", 500000L, 1000000L),
+    ("p1", "n03", 200000L, 1000000L),
+    ("p2", "n04", 800000L, 1000000L), ("p2", "n05", 500000L, 1000000L),
+    ("p2", "n06", 300000L, 1000000L),
+    ("p3", "n07", 800000L, 1000000L), ("p3", "n08", 500000L, 1000000L),
+    ("p4", "n09", 400000L, 500000L), ("p4", "n10", 500000L, 1000000L),
+    ("p4", "n11", 200000L, 1000000L))
+
+  def capacityPipeNodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    capacityPipeNodeRows.toDF("pipeline_id", "node", "used", "capacity")
+  }
+
   /** safemode_ec_containers: the typed SCM container catalog the EC-aware
     * safemode rules track — RATIS and EC (both rs-3-2 and rs-6-3 widths;
     * the 6-wide stripe is deliberately unsatisfiable against the ≤5-reporter

@@ -1798,6 +1798,134 @@ object ClusterHealth {
   }
 
   /**
+   * DN volume AvailableSpaceFilter ladder — the eligibility core of
+   * CapacityVolumeChoosingPolicy.chooseVolume (container-service/.../volume/
+   * CapacityVolumeChoosingPolicy.java:64-113, AvailableSpaceFilter.java:43-70):
+   * available = remaining − committed − hardSpare, a volume is eligible
+   * only when available is STRICTLY above the requested container size;
+   * an eligible volume whose reported-spare usable space is already at or
+   * below the request sits in the soft band (counted, still usable); the
+   * filter tracks the maximum available across ALL tested volumes — the
+   * number surfaced by throwDiskOutOfSpace when nothing is eligible.
+   */
+  def volumeSpaceFilter(volumes: DataFrame, requiredSpace: Long): DataFrame =
+    volumes
+      .withColumn("available",
+        col("remaining") - col("committed") - col("hard_spare"))
+      .withColumn("usable_reported",
+        col("remaining") - col("committed") - col("reported_spare"))
+      .withColumn("verdict",
+        when(col("available") <= requiredSpace, lit("REJECTED_HARD"))
+          .when(col("usable_reported") <= requiredSpace, lit("SOFT_BAND"))
+          .otherwise(lit("OK")))
+      .withColumn("most_available",
+        max("available").over(Window.partitionBy(lit(0))))
+      .select("vol_id", "available", "usable_reported", "verdict",
+        "most_available")
+      .orderBy("vol_id")
+
+  /**
+   * Capacity-volume two-choices winner table — the deterministic kernel of
+   * CapacityVolumeChoosingPolicy (:100-107): the random pick of two
+   * eligible volumes is transport; the DECISION is
+   * `firstRatio < secondRatio ? second : first` over freeSpaceRatio
+   * (:119-129 — max(0, remaining − committed)/capacity, 0 when
+   * capacity ≤ 0; the FIRST pick wins exact ties). Evaluated for every
+   * ordered pair of eligible volumes via exact cross-multiplication
+   * (free₁·cap₂ < free₂·cap₁ ⇔ ratio₁ < ratio₂ — no FP in either
+   * engine); the volume dim is control-plane-sized, so the pair square
+   * is too.
+   */
+  def capacityVolumePairs(volumes: DataFrame,
+                          requiredSpace: Long): DataFrame = {
+    val elig = volumes
+      .filter(col("remaining") - col("committed") - col("hard_spare") >
+        requiredSpace)
+      .withColumn("free_eff",
+        when(col("capacity") <= 0, lit(0L))
+          .otherwise(greatest(col("remaining") - col("committed"), lit(0L))))
+      .withColumn("cap_eff", greatest(col("capacity"), lit(1L)))
+      .select("vol_id", "free_eff", "cap_eff")
+    val fst = elig.select(col("vol_id").as("first_id"),
+      col("free_eff").as("f_free"), col("cap_eff").as("f_cap"))
+    val snd = elig.select(col("vol_id").as("second_id"),
+      col("free_eff").as("s_free"), col("cap_eff").as("s_cap"))
+    fst.crossJoin(snd)
+      .withColumn("winner_id",
+        when(col("f_free") * col("s_cap") < col("s_free") * col("f_cap"),
+          col("second_id")).otherwise(col("first_id")))
+      .select("first_id", "second_id", "winner_id")
+      .orderBy("first_id", "second_id")
+  }
+
+  /**
+   * Capacity-pipeline comparator walk — CapacityPipelineChoosePolicy
+   * (scm/pipeline/choose/algorithms/CapacityPipelineChoosePolicy.java:
+   * 69-79,107-133): each pipeline's member nodes sort DESCENDING by
+   * scmUsed weight and the two stacks pop pairwise until a round
+   * differs; `result <= 0` keeps the FIRST pick — so a same-id pair, an
+   * all-equal prefix with one stack exhausted, and a genuinely equal
+   * walk all resolve FIRST. A round compares SCMNodeMetric
+   * (SCMNodeMetric.java:60-81): weights used/capacity (capacity 0 → 1)
+   * decide when they differ by more than 1e-6, otherwise raw used bytes
+   * break the tie. Both the epsilon band and the sign are exact integer
+   * arithmetic here (|u₁c₂ − u₂c₁|·10⁶ > c₁c₂ — the reference's float
+   * path agrees except within ~1e-7 of the band edge, which the
+   * fixtures stay clear of); the per-pipeline sort uses the 10⁶-scaled
+   * weight with a raw-used tiebreak, which matches the comparator order
+   * for weights separated beyond the band.
+   */
+  def pipelineCapacityCompare(pipeNodes: DataFrame): DataFrame = {
+    val capEff = expr("CASE WHEN capacity = 0 THEN 1 ELSE capacity END")
+    val ranked = pipeNodes
+      .withColumn("cap_eff", capEff)
+      .withColumn("w_scaled", expr("used * 1000000 DIV cap_eff"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("pipeline_id")
+          .orderBy(col("w_scaled").desc, col("used").desc, col("node"))))
+      .select("pipeline_id", "rnk", "used", "cap_eff")
+    val dim = pipeNodes.select("pipeline_id").distinct()
+    val pairs = dim.select(col("pipeline_id").as("first_id"))
+      .crossJoin(dim.select(col("pipeline_id").as("second_id")))
+    val a = ranked.select(col("pipeline_id").as("first_id"),
+      col("rnk"), col("used").as("u1"), col("cap_eff").as("c1"))
+    val b = ranked.select(col("pipeline_id").as("second_id"),
+      col("rnk"), col("used").as("u2"), col("cap_eff").as("c2"))
+    val rounds = a.join(b, Seq("rnk"))
+      .withColumn("cross", col("u1") * col("c2") - col("u2") * col("c1"))
+      .withColumn("cmp",
+        when(abs(col("cross")) * 1000000L > col("c1") * col("c2"),
+          signum(col("cross")).cast("long"))
+          .when(col("u1") =!= col("u2"),
+            when(col("u1") > col("u2"), 1L).otherwise(-1L))
+          .otherwise(lit(0L)))
+      .withColumn("mode",
+        when(abs(col("cross")) * 1000000L > col("c1") * col("c2"),
+          lit("WEIGHT"))
+          .when(col("u1") =!= col("u2"), lit("RAW_USED"))
+          .otherwise(lit("EQUAL")))
+      .filter(col("cmp") =!= 0)
+    val decided = rounds.groupBy("first_id", "second_id")
+      .agg(min("rnk").as("decided_round"),
+        min_by(col("cmp"), col("rnk")).as("cmp"),
+        min_by(col("mode"), col("rnk")).as("mode"))
+    pairs.join(decided, Seq("first_id", "second_id"), "left")
+      .withColumn("same", col("first_id") === col("second_id"))
+      .select(col("first_id"), col("second_id"),
+        when(col("same"), lit("FIRST"))
+          .when(col("cmp").isNull || col("cmp") <= 0, lit("FIRST"))
+          .otherwise(lit("SECOND")).as("winner"),
+        when(col("same") || col("cmp").isNull || col("cmp") <= 0,
+          col("first_id")).otherwise(col("second_id")).as("winner_id"),
+        when(col("same"), lit(0L))
+          .otherwise(coalesce(col("decided_round"), lit(0L)))
+          .as("decided_round"),
+        when(col("same"), lit("SAME_ID"))
+          .otherwise(coalesce(col("mode"), lit("EXHAUSTED"))).as("mode"))
+      .orderBy("first_id", "second_id")
+  }
+
+  /**
    * SCM safemode exit-rule evaluation — one row per rule with its required
    * vs actual count and the verdict, plus the overall EXIT_SAFEMODE fold:
    *   - CONTAINER (AbstractContainerSafeModeRule.java:83-99): cutOff =

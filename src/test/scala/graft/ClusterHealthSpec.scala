@@ -1383,4 +1383,35 @@ class ClusterHealthSpec extends SparkSpecBase {
         r.getAs[Boolean]("satisfied")).toMap
     assert(off("EC_MIN_DATANODE"))
   }
+
+  test("capacity policies: space-filter ladder, ratio ties, stack walk") {
+    val vols = graft.core.Tables.capacityVolumes(spark, "")
+    val filt = graft.operators.ClusterHealth
+      .volumeSpaceFilter(vols, 100000L)
+      .collect().map(r => r.getAs[Long]("vol_id") ->
+        r.getAs[String]("verdict")).toMap
+    assert(filt === Map(1L -> "OK", 2L -> "OK", 3L -> "SOFT_BAND",
+      4L -> "REJECTED_HARD", 5L -> "OK", 6L -> "REJECTED_HARD",
+      7L -> "OK"))
+    val pairs = graft.operators.ClusterHealth
+      .capacityVolumePairs(vols, 100000L)
+      .collect().map(r => (r.getAs[Long]("first_id"),
+        r.getAs[Long]("second_id")) -> r.getAs[Long]("winner_id")).toMap
+    // higher free ratio wins; exact tie (vol2 vs vol7) keeps the first
+    assert(pairs((2L, 1L)) === 1L && pairs((1L, 2L)) === 1L)
+    assert(pairs((2L, 7L)) === 2L && pairs((7L, 2L)) === 7L)
+    // zero-capacity volume reads ratio 0: loses both orders to vol2
+    assert(pairs((5L, 2L)) === 2L && pairs((2L, 5L)) === 2L)
+    val cmp = graft.operators.ClusterHealth
+      .pipelineCapacityCompare(graft.core.Tables.capacityPipeNodes(spark, ""))
+      .collect().map(r => (r.getAs[String]("first_id"),
+        r.getAs[String]("second_id")) ->
+        ((r.getAs[String]("winner_id"), r.getAs[Long]("decided_round"),
+          r.getAs[String]("mode")))).toMap
+    assert(cmp(("p1", "p2")) === (("p1", 3L, "WEIGHT")))
+    assert(cmp(("p1", "p4")) === (("p4", 1L, "RAW_USED")))
+    assert(cmp(("p3", "p1")) === (("p3", 0L, "EXHAUSTED")))
+    assert(cmp(("p1", "p3")) === (("p1", 0L, "EXHAUSTED")))
+    assert(cmp(("p2", "p2")) === (("p2", 0L, "SAME_ID")))
+  }
 }
