@@ -1213,6 +1213,9 @@ object SparkEntry {
       ClusterHealth.capacityVolumePairs(T.capacityVolumes(s, d), 100000L)),
     "q_pipeline_capacity_compare" -> ((s, d) =>
       ClusterHealth.pipelineCapacityCompare(T.capacityPipeNodes(s, d))),
+    "q_finalization_walk" -> ((s, d) =>
+      Upgrade.finalizationWalk(T.finalizationComponents(s, d),
+        T.layoutFeatures(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9041,6 +9044,60 @@ object SparkEntry {
           |    used,
           |    CASE WHEN capacity = 0 THEN 1 ELSE capacity END AS cap_eff
           |  FROM pipe_nodes)""".stripMargin)
+    },
+
+    // Finalization checkpoints + initFinalize ladder + pending-feature
+    // walk over the shared component/feature literals.
+    "q_finalization_walk" -> {
+      val comps = T.finalizationComponentRows.map {
+        case (i, k, m, s, mk, st) =>
+          s"(CAST($i AS BIGINT), '$k', CAST($m AS BIGINT), " +
+            s"CAST($s AS BIGINT), $mk, '$st')"
+      }.mkString(",\n  ")
+      val feats = T.layoutFeatureRows.map { case (f, v) =>
+        s"('$f', CAST($v AS BIGINT))" }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT c.comp_id, c.kind,
+          |  CASE WHEN mlv > slv THEN 'INVALID_MLV_AHEAD'
+          |    WHEN NOT has_mark AND mlv < slv THEN 'FINALIZATION_REQUIRED'
+          |    WHEN has_mark AND mlv < slv THEN 'FINALIZATION_STARTED'
+          |    WHEN has_mark THEN 'MLV_EQUALS_SLV'
+          |    ELSE 'FINALIZATION_COMPLETE' END AS checkpoint,
+          |  CASE WHEN mlv > slv THEN 'ERROR'
+          |    WHEN NOT has_mark AND mlv < slv THEN 'FINALIZATION_REQUIRED'
+          |    WHEN has_mark THEN 'FINALIZATION_IN_PROGRESS'
+          |    ELSE 'FINALIZATION_DONE' END AS client_status,
+          |  iv AS init_verdict,
+          |  coalesce(p.n_features, 0) AS n_features,
+          |  coalesce(p.first_feature, '') AS first_feature,
+          |  CASE WHEN iv = 'PROCEED' THEN slv ELSE mlv END AS target_mlv
+          |FROM (
+          |  SELECT *,
+          |    CASE WHEN mlv > slv THEN 'ERR_MLV_AHEAD'
+          |      WHEN upgrade_state = 'STARTING_FINALIZATION'
+          |        THEN 'STARTING'
+          |      WHEN upgrade_state = 'FINALIZATION_IN_PROGRESS'
+          |        THEN 'IN_PROGRESS'
+          |      WHEN upgrade_state IN ('FINALIZATION_DONE',
+          |          'ALREADY_FINALIZED') THEN
+          |        CASE WHEN mlv < slv THEN 'ERR_INCONSISTENT_DONE'
+          |          ELSE 'FINALIZED' END
+          |      ELSE CASE WHEN mlv >= slv
+          |        THEN 'ERR_INCONSISTENT_REQUIRED'
+          |        ELSE 'PROCEED' END END AS iv
+          |  FROM fin_comps) c
+          |LEFT JOIN (
+          |  SELECT comp_id, count(*) AS n_features,
+          |    min_by(feature, version) AS first_feature
+          |  FROM fin_comps JOIN layout_features
+          |    ON version > mlv AND version <= slv
+          |  GROUP BY 1) p ON p.comp_id = c.comp_id
+          |ORDER BY c.comp_id""".stripMargin,
+        s"""fin_comps(comp_id, kind, mlv, slv, has_mark, upgrade_state)
+           |  AS (VALUES
+           |  $comps)""".stripMargin,
+        s"""layout_features(feature, version) AS (VALUES
+           |  $feats)""".stripMargin)
     },
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold

@@ -168,6 +168,44 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** layout_features: the HDDS layout-feature catalog
+    * (HDDSLayoutFeature.java:28-45) — consecutive layout versions 0..10. */
+  val layoutFeatureRows: Seq[(String, Long)] = Seq(
+    ("INITIAL_VERSION", 0L), ("DATANODE_SCHEMA_V2", 1L), ("SCM_HA", 2L),
+    ("ERASURE_CODED_STORAGE_SUPPORT", 3L), ("DATANODE_SCHEMA_V3", 4L),
+    ("RATIS_DATASTREAM_PORT_IN_DATANODEDETAILS", 5L),
+    ("WEBUI_PORTS_IN_DATANODEDETAILS", 6L),
+    ("HADOOP_PRC_PORTS_IN_DATANODEDETAILS", 7L), ("HBASE_SUPPORT", 8L),
+    ("WITNESSED_CONTAINER_DB_PROTO_VALUE", 9L),
+    ("STORAGE_SPACE_DISTRIBUTION", 10L))
+
+  def layoutFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    layoutFeatureRows.toDF("feature", "version")
+  }
+
+  /** finalization_components: per-component upgrade state probing every
+    * checkpoint combination, both inconsistent-state refusals, the
+    * MLV-ahead startup guard, and the zero-pending walk. */
+  val finalizationComponentRows
+  : Seq[(Long, String, Long, Long, Boolean, String)] = Seq(
+    (1L, "OM", 3L, 10L, false, "FINALIZATION_REQUIRED"),
+    (2L, "SCM", 5L, 10L, true, "FINALIZATION_IN_PROGRESS"),
+    (3L, "SCM", 10L, 10L, true, "FINALIZATION_IN_PROGRESS"),
+    (4L, "DN", 10L, 10L, false, "FINALIZATION_DONE"),
+    (5L, "OM", 8L, 10L, false, "FINALIZATION_DONE"),
+    (6L, "OM", 10L, 10L, false, "FINALIZATION_REQUIRED"),
+    (7L, "DN", 11L, 10L, false, "ALREADY_FINALIZED"),
+    (8L, "SCM", 0L, 10L, true, "STARTING_FINALIZATION"),
+    (9L, "DN", 10L, 10L, true, "ALREADY_FINALIZED"),
+    (10L, "OM", 0L, 0L, false, "ALREADY_FINALIZED"))
+
+  def finalizationComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    finalizationComponentRows.toDF("comp_id", "kind", "mlv", "slv",
+      "has_mark", "upgrade_state")
+  }
+
   /** capacity_volumes: the DN volume pool the capacity choosing policy
     * filters and compares — an OK pair with distinct ratios, a soft-band
     * volume (usable-at-reported-spare exactly at the request), a
