@@ -318,6 +318,8 @@ object SparkEntry {
       Lifecycle.rangeReadPlan(T.objects(s, d), 1000L, 50000L)),
     "q_checksums" -> ((s, d) =>
       Lifecycle.checksumColumns(T.objects(s, d))),
+    "q_file_checksum" -> ((s, d) =>
+      Lifecycle.compositeFileChecksum(T.mediaAssets(s, d))),
     // ---- LLM-pipeline: dedup / similarity / text / multimodal / events ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "q_substr_spans" -> ((s, d) =>
@@ -2210,6 +2212,17 @@ object SparkEntry {
       """SELECT key, etag, sha256(key) AS sha256_hex,
         |  (md5(key) = etag) AS etag_ok
         |FROM objects ORDER BY key""".stripMargin, O.objects),
+
+    // The CRC values themselves are oracle-exempt (DuckDB has no crc32);
+    // the oracle pins the block structure and the composition CONTRACT —
+    // compose_ok is the reference's invariant (composite == whole-stream
+    // CRC), and a composition bug flips it to false on the Spark side.
+    // The GF(2) math itself is JDK-gated in FunctionsSpec.
+    "q_file_checksum" ->
+      """SELECT doc_id AS media_id, 'COMPOSITE-CRC32' AS algorithm,
+        |  CAST(4 AS BIGINT) AS n_blocks, CAST(64 AS BIGINT) AS total_len,
+        |  true AS compose_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" -> O.withCtes(
       """SELECT doc_id, md5(norm) AS fingerprint,

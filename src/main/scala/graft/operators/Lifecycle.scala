@@ -428,6 +428,43 @@ object Lifecycle {
   def crc32Of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     crc32(c.cast("binary"))
 
+  /**
+   * Composite file checksum — the ozone client's getFileChecksum path
+   * (client/.../checksum/BaseFileChecksumHelper.java:381-398: per-block
+   * CRCs fold through a CrcComposer; CompositeCrcFileChecksum.java:32-56
+   * carries "COMPOSITE-CRC32C/CRC32"). The defining contract is that the
+   * composed value equals the CRC of the whole byte stream regardless of
+   * block boundaries — data never re-reads. Here each asset's payload
+   * splits into UNEQUAL block slices, each block CRCs independently
+   * (Spark's codegen'd crc32), and the blocks fold through the GF(2)
+   * composition ([[graft.functions.Crc32Combine]]); `compose_ok`
+   * cross-checks against the direct whole-payload CRC inside the query.
+   *
+   * Scale shape: per-row arithmetic only — block CRCs in one projection,
+   * the fold over the (small, per-file) block array in a UDF; no shuffle
+   * beyond the final presentation sort. At 100 TB the block CRCs arrive
+   * FROM the datanodes (the reference never reads data for a checksum
+   * call) — this models the OM-side composition over the block list.
+   */
+  def compositeFileChecksum(assets: DataFrame): DataFrame = {
+    val slices = Seq((1, 16), (17, 8), (25, 24), (49, 16))
+    val combineUdf = udf((crcs: Seq[Long], lens: Seq[Long]) =>
+      graft.functions.Crc32Combine.compose(crcs.zip(lens)))
+    val crcArr = array(slices.map { case (off, len) =>
+      crc32(expr(s"substring(payload, $off, $len)")) }: _*)
+    val lenArr = array(slices.map { case (_, len) => lit(len.toLong) }: _*)
+    assets
+      .withColumn("composite_crc", combineUdf(crcArr, lenArr))
+      .withColumn("direct_crc", crc32(col("payload")))
+      .select(
+        col("media_id"),
+        lit("COMPOSITE-CRC32").as("algorithm"),
+        lit(slices.size.toLong).as("n_blocks"),
+        lit(slices.map(_._2).sum.toLong).as("total_len"),
+        (col("composite_crc") === col("direct_crc")).as("compose_ok"))
+      .orderBy("media_id")
+  }
+
   /** Expired multipart uploads: uploads initiated before `beforeMs`, with
     * their reclaimable part totals — the MPU-expiry dual of openKeyExpiry
     * (ref ExpiredMultipartUploadsAbortRequest / OmMetadataManagerImpl

@@ -160,4 +160,27 @@ class FunctionsSpec extends SparkSpecBase {
     // QUOTA_RESET (-1) disables both checks regardless of usage
     assert(got(("nolimit", "k")) === "ALLOWED")
   }
+
+  test("Crc32Combine.combine == JDK CRC32 of concatenation over 300 " +
+    "random splits") {
+    import graft.functions.Crc32Combine
+    def jdk(bytes: Array[Byte]): Long = {
+      val c = new java.util.zip.CRC32(); c.update(bytes); c.getValue
+    }
+    val rnd = new scala.util.Random(424242)
+    for (_ <- 0 until 300) {
+      val whole = Array.fill(1 + rnd.nextInt(500))(rnd.nextInt.toByte)
+      // split into 1..6 ordered chunks at random cut points
+      val cuts = (Seq(0, whole.length) ++
+        Seq.fill(rnd.nextInt(5))(rnd.nextInt(whole.length + 1)))
+        .distinct.sorted
+      val chunks = cuts.zip(cuts.tail).map { case (a, b) =>
+        whole.slice(a, b) }
+      val composed = Crc32Combine.compose(
+        chunks.map(c => (jdk(c), c.length.toLong)))
+      assert(composed === jdk(whole), s"len ${whole.length} cuts $cuts")
+    }
+    // empty-suffix identity and zero-length guard
+    assert(Crc32Combine.combine(123456789L, 0L, 0L) === 123456789L)
+  }
 }
