@@ -1218,6 +1218,11 @@ object SparkEntry {
     "q_finalization_walk" -> ((s, d) =>
       Upgrade.finalizationWalk(T.finalizationComponents(s, d),
         T.layoutFeatures(s, d))),
+    "q_gdpr_scrub" -> ((s, d) =>
+      Nested.gdprDeleteScrub(T.gdprKeys(s, d), trxnIndex = 7777L)),
+    "q_chatbot_guard" -> ((s, d) =>
+      ChatbotGuard.toolCallGuard(T.chatbotCalls(s, d),
+        T.chatbotAllowlist(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9111,6 +9116,89 @@ object SparkEntry {
            |  $comps)""".stripMargin,
         s"""layout_features(feature, version) AS (VALUES
            |  $feats)""".stripMargin)
+    },
+
+    // GDPR scrub mirror from the flat shared literals (the Spark side
+    // does the real map_filter; kept keys sort alphabetically:
+    // algorithm < custom < gdprEnabled < secret).
+    "q_gdpr_scrub" -> {
+      def qs(v: String) = if (v == null) "NULL" else s"'$v'"
+      val vals = T.gdprKeyRows.map { case (k, f, sec, alg, x, enc) =>
+        s"('$k', ${qs(f)}, $sec, $alg, '$x', $enc)" }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT key_id, was_gdpr,
+          |  rtrim(
+          |    (CASE WHEN has_algorithm AND NOT was_gdpr
+          |       THEN 'algorithm,' ELSE '' END) ||
+          |    (CASE WHEN extra_meta <> '' THEN 'custom,' ELSE '' END) ||
+          |    (CASE WHEN gdpr_flag_raw IS NOT NULL AND NOT was_gdpr
+          |       THEN 'gdprEnabled,' ELSE '' END) ||
+          |    (CASE WHEN has_secret AND NOT was_gdpr
+          |       THEN 'secret,' ELSE '' END), ',') AS kept_meta,
+          |  has_enc_info AND NOT was_gdpr AS enc_kept,
+          |  CAST(7777 AS BIGINT) AS new_update_id
+          |FROM (
+          |  SELECT *,
+          |    lower(coalesce(gdpr_flag_raw, '')) = 'true' AS was_gdpr
+          |  FROM gdpr_keys)
+          |ORDER BY key_id""".stripMargin,
+        s"""gdpr_keys(key_id, gdpr_flag_raw, has_secret, has_algorithm,
+           |  extra_meta, has_enc_info) AS (VALUES
+           |  $vals)""".stripMargin)
+    },
+
+    // Chatbot guard mirror: allowlist probe, bucket-scope rungs, the
+    // limit-parse ladder (TRY_CAST + regex == Integer.parseInt incl. the
+    // parseable-but-≤0 throw), over the SHARED call/allowlist literals.
+    "q_chatbot_guard" -> {
+      def qs(v: String) = if (v == null) "NULL" else s"'$v'"
+      val calls = T.chatbotCallRows.map { case (i, tool, p, l, pk) =>
+        s"(CAST($i AS BIGINT), ${qs(tool)}, ${qs(p)}, ${qs(l)}, $pk)"
+      }.mkString(",\n  ")
+      val tools = T.chatbotAllowlistRows.map(t => s"('$t')")
+        .mkString(",\n  ")
+      O.withCtes(
+        """SELECT call_id, verdict,
+          |  CAST(CASE WHEN verdict = 'ALLOWED'
+          |    THEN least(coalesce(parsed, 1000), 1000)
+          |    ELSE 0 END AS BIGINT) AS effective_limit,
+          |  (verdict = 'ALLOWED' AND has_prev_key) AS prev_key_stripped
+          |FROM (
+          |  SELECT c.*,
+          |    CASE WHEN tool_name = '' THEN 'FALLBACK'
+          |      WHEN tool_name NOT IN (SELECT tool FROM chatbot_tools)
+          |        THEN 'BLOCKED_UNKNOWN_TOOL'
+          |      WHEN tool_name = 'api_v1_keys_listKeys' AND NOT (
+          |          start_prefix IS NOT NULL
+          |          AND trim(start_prefix) <> ''
+          |          AND trim(start_prefix) <> '/'
+          |          AND trim(start_prefix) LIKE '/%'
+          |          AND trim(start_prefix) NOT LIKE '%..%'
+          |          AND len(list_filter(
+          |            string_split(trim(start_prefix), '/'),
+          |            x -> x <> '')) >= 2)
+          |        THEN 'BLOCKED_UNSCOPED'
+          |      WHEN parseable AND parsed <= 0 THEN 'ERROR_BAD_LIMIT'
+          |      ELSE 'ALLOWED' END AS verdict
+          |  FROM (
+          |    SELECT *,
+          |      limit_raw IS NOT NULL AND trim(limit_raw) <> ''
+          |        AND regexp_matches(trim(limit_raw), '^[+-]?[0-9]+$')
+          |        AND TRY_CAST(trim(limit_raw) AS DECIMAL(38,0))
+          |          BETWEEN -2147483648 AND 2147483647 AS parseable,
+          |      CASE WHEN limit_raw IS NOT NULL
+          |          AND trim(limit_raw) <> ''
+          |          AND regexp_matches(trim(limit_raw), '^[+-]?[0-9]+$')
+          |          AND TRY_CAST(trim(limit_raw) AS DECIMAL(38,0))
+          |            BETWEEN -2147483648 AND 2147483647
+          |        THEN CAST(trim(limit_raw) AS BIGINT) END AS parsed
+          |    FROM chatbot_calls) c)
+          |ORDER BY call_id""".stripMargin,
+        s"""chatbot_calls(call_id, tool_name, start_prefix, limit_raw,
+           |  has_prev_key) AS (VALUES
+           |  $calls)""".stripMargin,
+        s"""chatbot_tools(tool) AS (VALUES
+           |  $tools)""".stripMargin)
     },
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold

@@ -168,6 +168,91 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** chatbot_allowlist: the EXACT Recon routes the chatbot may call
+    * (ReconApiAllowlist.java:32-62). */
+  val chatbotAllowlistRows: Seq[String] = Seq(
+    "api_v1_clusterState", "api_v1_datanodes", "api_v1_pipelines",
+    "api_v1_containers", "api_v1_containers_missing",
+    "api_v1_containers_unhealthy", "api_v1_containers_unhealthy_state",
+    "api_v1_containers_deleted", "api_v1_containers_mismatch",
+    "api_v1_containers_mismatch_deleted", "api_v1_containers_quasiClosed",
+    "api_v1_containers_unhealthy_export", "api_v1_keys_open",
+    "api_v1_keys_open_summary", "api_v1_keys_open_mpu_summary",
+    "api_v1_keys_deletePending_summary", "api_v1_keys_deletePending",
+    "api_v1_keys_deletePending_dirs",
+    "api_v1_keys_deletePending_dirs_summary", "api_v1_keys_listKeys",
+    "api_v1_volumes", "api_v1_buckets", "api_v1_task_status",
+    "api_v1_utilization_fileCount", "api_v1_utilization_containerCount",
+    "api_v1_namespace_summary", "api_v1_namespace_usage",
+    "api_v1_namespace_quota", "api_v1_namespace_dist")
+
+  def chatbotAllowlist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chatbotAllowlistRows.toDF("tool")
+  }
+
+  /** chatbot_calls: LLM tool-call fixtures probing every guard rung —
+    * the keys2-vs-keys exact-match probe, each bucket-scope refusal,
+    * the limit parse artifacts (blank/garbage/overflow → default, but a
+    * PARSEABLE ≤0 throws), clamp and trim, and the empty-tool fallback. */
+  val chatbotCallRows
+  : Seq[(Long, String, String, String, Boolean)] = Seq(
+    (1L, "api_v1_datanodes", null, null, false),
+    (2L, "api_v1_keys2", null, null, false),
+    (3L, "api_v1_keys_listKeys", "/vol1/bucket1", "50", false),
+    (4L, "api_v1_keys_listKeys", "/vol1", null, false),
+    (5L, "api_v1_keys_listKeys", "/", null, false),
+    (6L, "api_v1_keys_listKeys", "vol1/bucket1", null, false),
+    (7L, "api_v1_keys_listKeys", "/vol1/../b", null, false),
+    (8L, "api_v1_keys_listKeys", "  /v/b/deep/path  ", null, false),
+    (9L, "api_v1_containers", null, "5000", true),
+    (10L, "api_v1_containers", null, "abc", false),
+    (11L, "api_v1_containers", null, "0", false),
+    (12L, "api_v1_containers", null, "-7", false),
+    (13L, "api_v1_containers", null, "99999999999", false),
+    (14L, "api_v1_containers", null, "  250 ", false),
+    (15L, "api_v1_namespace_summary", "/x", null, false),
+    (16L, "", null, null, false),
+    (17L, "api_v1_containers", null, "   ", true),
+    (18L, "api_v1_keys_listKeys", null, "10", false),
+    (19L, "api_v1_containers", null, "+25", false))
+
+  def chatbotCalls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chatbotCallRows.toDF("call_id", "tool_name", "start_prefix",
+      "limit_raw", "has_prev_key")
+  }
+
+  /** gdpr_keys: metadata-map fixtures for the GDPR delete scrub — the
+    * case-insensitive "true" parse, the parseBoolean("yes")=false
+    * artifact, absent flags, and a custom entry that must survive the
+    * scrub. */
+  val gdprKeyRows: Seq[(String, String, Boolean, Boolean, String, Boolean)] =
+    Seq(
+      ("k1", "true", true, true, "a", true),
+      ("k2", "TRUE", true, false, "", true),
+      ("k3", "false", true, true, "b", true),
+      ("k4", null, false, false, "c", false),
+      ("k5", "yes", true, false, "", true),
+      ("k6", "true", false, false, "", false))
+
+  def gdprKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flat = gdprKeyRows.toDF("key_id", "gdpr_flag_raw", "has_secret",
+      "has_algorithm", "extra_meta", "has_enc_info")
+    val empty = typedLit(Map.empty[String, String])
+    flat.withColumn("metadata", map_concat(
+        when(col("gdpr_flag_raw").isNotNull,
+          map(lit("gdprEnabled"), col("gdpr_flag_raw"))).otherwise(empty),
+        when(col("has_secret"), map(lit("secret"), lit("s3cr3t")))
+          .otherwise(empty),
+        when(col("has_algorithm"), map(lit("algorithm"), lit("AES")))
+          .otherwise(empty),
+        when(col("extra_meta") =!= "", map(lit("custom"), col("extra_meta")))
+          .otherwise(empty)))
+      .select("key_id", "metadata", "has_enc_info")
+  }
+
   /** layout_features: the HDDS layout-feature catalog
     * (HDDSLayoutFeature.java:28-45) — consecutive layout versions 0..10. */
   val layoutFeatureRows: Seq[(String, Long)] = Seq(

@@ -240,4 +240,37 @@ object Nested {
       // range-shuffle of the exploded (≈7×) frame for presentation only —
       // at 100 TB that shuffle IS the query, so it stays out.
       .sortWithinPartitions("key", "data_size", "offset")
+
+  /**
+   * GDPR delete scrub — OmUtils.prepareKeyForDelete (ozone common
+   * OmUtils.java:673-694): before a key moves to the deleted table, a key
+   * whose metadata carries gdprEnabled parsed TRUE (Boolean.parseBoolean —
+   * case-insensitive "true"; anything else, including "yes" or an absent
+   * entry, is false) drops the gdprEnabled/secret/algorithm entries AND
+   * its file-encryption info, so the delete destroys the only material
+   * that can decrypt the data (the GDPR right-to-erasure mechanism);
+   * every other metadata entry survives, and the moved record's updateID
+   * becomes the delete transaction's index.
+   *
+   * Scale shape: a codegen'd per-row map_filter projection — no shuffle,
+   * no UDF.
+   */
+  def gdprDeleteScrub(keys: DataFrame, trxnIndex: Long): DataFrame =
+    keys
+      .withColumn("was_gdpr",
+        lower(coalesce(element_at(col("metadata"), "gdprEnabled"),
+          lit(""))) === "true")
+      .withColumn("scrubbed",
+        when(col("was_gdpr"),
+          map_filter(col("metadata"), (k, _) =>
+            !k.isin("gdprEnabled", "secret", "algorithm")))
+          .otherwise(col("metadata")))
+      .select(
+        col("key_id"),
+        col("was_gdpr"),
+        concat_ws(",", array_sort(map_keys(col("scrubbed"))))
+          .as("kept_meta"),
+        (col("has_enc_info") && !col("was_gdpr")).as("enc_kept"),
+        lit(trxnIndex).as("new_update_id"))
+      .orderBy("key_id")
 }
