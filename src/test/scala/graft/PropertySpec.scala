@@ -1347,4 +1347,101 @@ class PropertySpec extends SparkSpecBase {
       assert(got === expected, s"trial $trial maxParts $maxParts")
     }
   }
+
+  test("pipelineCapacityCompare == the literal SCMNodeMetric stack walk" +
+    " over random pipelines (float path included)") {
+    // The engine's integer epsilon band must agree with the reference's
+    // float comparator (SCMNodeMetric.isGreater/isLess) on every random
+    // pair — weights here are k/1000-grained, far from the 1e-6 band
+    // edge, which is the documented fixture-cleanliness contract.
+    val rnd = new Random(31337)
+    for (trial <- 0 until 15) {
+      val pipes = (0 until 6).map { p =>
+        val n = 1 + rnd.nextInt(4)
+        s"pp$p" -> (0 until n).map { i =>
+          val cap = (1 + rnd.nextInt(10)) * 100000L
+          val used = (rnd.nextInt(11).toLong * cap) / 10 // 0.0..1.0 steps
+          (s"pp${p}n$i", used, cap)
+        }
+      }
+      // literal comparator: float weights, 1e-6 band, raw-used tiebreak
+      def cmpNode(a: (String, Long, Long), b: (String, Long, Long)): Int = {
+        val wa = a._2 / (if (a._3 == 0) 1L else a._3).toFloat
+        val wb = b._2 / (if (b._3 == 0) 1L else b._3).toFloat
+        if (math.abs(wa - wb) > 0.000001) { if (wa > wb) 1 else -1 }
+        else if (a._2 != b._2) { if (a._2 > b._2) 1 else -1 }
+        else 0
+      }
+      def stack(nodes: Seq[(String, Long, Long)]) =
+        nodes.sortWith((x, y) => cmpNode(x, y) < 0).reverse
+      val expected = (for {
+        (p1, n1) <- pipes; (p2, n2) <- pipes
+      } yield {
+        val winner =
+          if (p1 == p2) p1
+          else {
+            val walk = stack(n1).zip(stack(n2))
+              .map { case (a, b) => cmpNode(a, b) }.find(_ != 0)
+            if (walk.getOrElse(0) <= 0) p1 else p2
+          }
+        (p1, p2) -> winner
+      }).toMap
+      val rows = pipes.flatMap { case (p, ns) =>
+        ns.map(n => (p, n._1, n._2, n._3)) }
+      val got = graft.operators.ClusterHealth.pipelineCapacityCompare(
+          rows.toDF("pipeline_id", "node", "used", "capacity"))
+        .collect().map(r => (r.getAs[String]("first_id"),
+          r.getAs[String]("second_id")) -> r.getAs[String]("winner_id"))
+        .toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("safemodeEcRules == a literal rule evaluation over random" +
+    " cluster states") {
+    val rnd = new Random(5150)
+    for (trial <- 0 until 15) {
+      val conts = (1L to 80L).map { id =>
+        val ec = rnd.nextBoolean()
+        (id, if (ec) "EC" else "RATIS", if (ec) 2 + rnd.nextInt(4) else 0,
+          Seq("CLOSED", "QUASI_CLOSED", "OPEN", "CLOSING",
+            "DELETED")(rnd.nextInt(5)),
+          rnd.nextInt(4).toLong)
+      }
+      val reports = conts.flatMap { case (id, _, _, _, _) =>
+        (0 until rnd.nextInt(5)).map(i => (id, s"dn${(id + i * 7) % 15}"))
+      }
+      val dns = (0 until 15).map(i => (s"dn$i",
+        if (rnd.nextInt(4) == 0) "STALE" else "HEALTHY",
+        if (rnd.nextInt(5) == 0) "DECOMMISSIONING" else "IN_SERVICE"))
+      // literal rules
+      val repMap = reports.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).distinct.size }
+      def rule(tp: String): (Long, Long) = {
+        val tracked = conts.filter(c => c._2 == tp &&
+          Set("CLOSED", "QUASI_CLOSED")(c._4) && c._5 > 0)
+        val actual = tracked.count(c =>
+          repMap.getOrElse(c._1, 0) >= (if (tp == "EC") c._3 else 1))
+        val total = tracked.size.toLong
+        ((total * 9900 + 9999) / 10000, actual.toLong)
+      }
+      val healthy = dns.count(d =>
+        d._2 == "HEALTHY" && d._3 == "IN_SERVICE").toLong
+      val expected = Map(
+        "RATIS_CONTAINER" -> rule("RATIS"),
+        "EC_CONTAINER" -> rule("EC"),
+        "EC_MIN_DATANODE" -> ((5L, healthy)))
+      val got = graft.operators.ClusterHealth.safemodeEcRules(
+          conts.toDF("container_id", "rep_type", "ec_data", "state",
+            "num_keys"),
+          reports.toDF("container_id", "datanode"),
+          dns.toDF("uuid", "state", "op_state"),
+          defaultEc = Some((3, 2)))
+        .collect().map(r => r.getAs[String]("rule") ->
+          ((r.getAs[Long]("required"), r.getAs[Long]("actual")))).toMap
+      expected.foreach { case (k, v) =>
+        assert(got(k) === v, s"trial $trial rule $k")
+      }
+    }
+  }
 }
