@@ -1223,6 +1223,9 @@ object SparkEntry {
     "q_chatbot_guard" -> ((s, d) =>
       ChatbotGuard.toolCallGuard(T.chatbotCalls(s, d),
         T.chatbotAllowlist(s, d))),
+    "q_ec_container_provider" -> ((s, d) =>
+      ClusterHealth.ecContainerProvider(T.ecProviderRequests(s, d),
+        T.ecProviderPipelines(s, d), T.ecProviderExcludes(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9199,6 +9202,102 @@ object SparkEntry {
            |  $calls)""".stripMargin,
         s"""chatbot_tools(tool) AS (VALUES
            |  $tools)""".stripMargin)
+    },
+
+    // EC writable-provider mirror over the shared scenario literals.
+    "q_ec_container_provider" -> {
+      val pipes = T.ecProviderPipelineRows.map { case (i, h, u) =>
+        s"(CAST($i AS BIGINT), $h, CAST($u AS BIGINT))" }.mkString(",\n  ")
+      val excl = T.ecProviderExcludeRows.map { case (s, p) =>
+        s"('$s', CAST($p AS BIGINT))" }.mkString(",\n  ")
+      val reqs = T.ecProviderRequestRows.map {
+        case (i, m, f, v, n, cf, s) =>
+          s"(CAST($i AS BIGINT), CAST($m AS BIGINT), CAST($f AS BIGINT), " +
+            s"CAST($v AS BIGINT), CAST($n AS BIGINT), $cf, '$s')"
+      }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT req_id, CAST(max0 AS BIGINT) AS max_pipelines, outcome,
+          |  CAST(CASE WHEN outcome = 'SELECTED' THEN selected
+          |    ELSE 0 END AS BIGINT) AS chosen_pipeline,
+          |  CAST(CASE WHEN outcome = 'NEW_ALLOC_PREMAX' THEN 0
+          |    WHEN outcome = 'SELECTED' THEN coalesce(closed_before, 0)
+          |    ELSE closed_all END AS BIGINT) AS n_closed,
+          |  CAST(CASE WHEN outcome = 'NEW_ALLOC_PREMAX' THEN 0
+          |    WHEN outcome = 'SELECTED' THEN coalesce(skipped_before, 0)
+          |    ELSE skipped_all END AS BIGINT) AS n_skipped,
+          |  CAST(CASE WHEN outcome IN ('NEW_ALLOC_FINAL', 'FAIL_CREATE',
+          |      'FAIL_LIMIT') THEN fmax ELSE max0 END AS BIGINT)
+          |    AS final_max
+          |FROM (
+          |  SELECT *,
+          |    CASE WHEN pre_gate AND NOT create_fails
+          |        THEN 'NEW_ALLOC_PREMAX'
+          |      WHEN selected IS NOT NULL THEN 'SELECTED'
+          |      WHEN open_after < fmax THEN
+          |        CASE WHEN create_fails THEN 'FAIL_CREATE'
+          |          ELSE 'NEW_ALLOC_FINAL' END
+          |      ELSE 'FAIL_LIMIT' END AS outcome
+          |  FROM (
+          |    SELECT r.*, w.selected, w.closed_all, w.skipped_all,
+          |      p.closed_before, p.skipped_before,
+          |      greatest((factor_bp * healthy_volumes) // 50000,
+          |        min_pipelines) AS max0,
+          |      (SELECT count(*) FROM ecp_pipes) <
+          |        greatest((factor_bp * healthy_volumes) // 50000,
+          |          min_pipelines) AS pre_gate,
+          |      (SELECT count(*) FROM ecp_pipes) - w.closed_all
+          |        AS open_after,
+          |      CASE WHEN (SELECT count(*) FROM ecp_pipes) - w.closed_all
+          |          >= greatest((factor_bp * healthy_volumes) // 50000,
+          |            min_pipelines)
+          |          AND node_count >
+          |            greatest((factor_bp * healthy_volumes) // 50000,
+          |              min_pipelines)
+          |        THEN node_count
+          |        ELSE greatest((factor_bp * healthy_volumes) // 50000,
+          |          min_pipelines) END AS fmax
+          |    FROM ecp_reqs r
+          |    JOIN (
+          |      SELECT req_id,
+          |        min(CASE WHEN rung = 'OK' THEN pipeline_id END)
+          |          AS selected,
+          |        sum(CASE WHEN rung = 'CLOSE' THEN 1 ELSE 0 END)
+          |          AS closed_all,
+          |        sum(CASE WHEN rung = 'SKIP' THEN 1 ELSE 0 END)
+          |          AS skipped_all
+          |      FROM cls GROUP BY 1) w ON w.req_id = r.req_id
+          |    LEFT JOIN (
+          |      SELECT c.req_id,
+          |        sum(CASE WHEN c.rung = 'CLOSE'
+          |          AND c.pipeline_id < w2.selected THEN 1 ELSE 0 END)
+          |          AS closed_before,
+          |        sum(CASE WHEN c.rung = 'SKIP'
+          |          AND c.pipeline_id < w2.selected THEN 1 ELSE 0 END)
+          |          AS skipped_before
+          |      FROM cls c JOIN (
+          |        SELECT req_id,
+          |          min(CASE WHEN rung = 'OK' THEN pipeline_id END)
+          |            AS selected
+          |        FROM cls GROUP BY 1) w2 ON w2.req_id = c.req_id
+          |      WHERE w2.selected IS NOT NULL
+          |      GROUP BY 1) p ON p.req_id = r.req_id))
+          |ORDER BY req_id""".stripMargin,
+        s"""ecp_pipes(pipeline_id, has_container, used_bytes) AS (VALUES
+           |  $pipes)""".stripMargin,
+        s"""ecp_excl(set_id, pipeline_id) AS (VALUES
+           |  $excl)""".stripMargin,
+        s"""ecp_reqs(req_id, min_pipelines, factor_bp, healthy_volumes,
+           |  node_count, create_fails, set_id) AS (VALUES
+           |  $reqs)""".stripMargin,
+        """cls AS (
+          |  SELECT r.req_id, p.pipeline_id,
+          |    CASE WHEN NOT p.has_container
+          |        OR p.used_bytes + 100000 > 1000000 THEN 'CLOSE'
+          |      WHEN EXISTS (SELECT 1 FROM ecp_excl e
+          |        WHERE e.set_id = r.set_id
+          |          AND e.pipeline_id = p.pipeline_id) THEN 'SKIP'
+          |      ELSE 'OK' END AS rung
+          |  FROM ecp_reqs r, ecp_pipes p)""".stripMargin)
     },
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold

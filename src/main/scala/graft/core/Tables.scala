@@ -168,6 +168,51 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** ec_provider_pipelines: the OPEN rs-3-2 pipelines the EC writable
+    * provider walks — a fresh one, a full one, a container-less one, a
+    * roomy one, an EXACT-boundary one (used+block == containerSize still
+    * fits), and a one-byte-over one. */
+  val ecProviderPipelineRows: Seq[(Long, Boolean, Long)] = Seq(
+    (1L, true, 100000L), (2L, true, 950000L), (3L, false, 0L),
+    (4L, true, 200000L), (5L, true, 900000L), (6L, true, 999999L))
+
+  def ecProviderPipelines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ecProviderPipelineRows.toDF("pipeline_id", "has_container",
+      "used_bytes")
+  }
+
+  /** ec_provider_excludes: per-scenario exclude sets (set B empty). */
+  val ecProviderExcludeRows: Seq[(String, Long)] = Seq(
+    ("A", 1L), ("A", 4L), ("C", 1L), ("C", 4L), ("C", 5L))
+
+  def ecProviderExcludes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ecProviderExcludeRows.toDF("set_id", "pipeline_id")
+  }
+
+  /** ec_provider_requests: allocation scenarios — pre-gate mint, pre-gate
+    * failure falling to the walk, skip/close walks, the final-attempt
+    * node-count raise, the FAIL_LIMIT boundary (raised limit == open
+    * count), the final-attempt create failure, and the volume-factor
+    * limit formula. */
+  val ecProviderRequestRows
+  : Seq[(Long, Long, Long, Long, Long, Boolean, String)] = Seq(
+    (1L, 10L, 0L, 0L, 10L, false, "B"),
+    (2L, 10L, 0L, 0L, 10L, true, "B"),
+    (3L, 2L, 0L, 0L, 10L, false, "A"),
+    (4L, 2L, 0L, 0L, 10L, false, "C"),
+    (5L, 2L, 0L, 0L, 3L, false, "C"),
+    (6L, 2L, 0L, 0L, 10L, true, "C"),
+    (7L, 2L, 20000L, 25L, 10L, false, "B"),
+    (8L, 6L, 0L, 0L, 10L, false, "B"))
+
+  def ecProviderRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ecProviderRequestRows.toDF("req_id", "min_pipelines", "factor_bp",
+      "healthy_volumes", "node_count", "create_fails", "set_id")
+  }
+
   /** chatbot_allowlist: the EXACT Recon routes the chatbot may call
     * (ReconApiAllowlist.java:32-62). */
   val chatbotAllowlistRows: Seq[String] = Seq(

@@ -1798,6 +1798,105 @@ object ClusterHealth {
   }
 
   /**
+   * EC writable-container provider walk — WritableECContainerProvider
+   * .getContainer (scm/pipeline/WritableECContainerProvider.java:93-186):
+   *
+   *  - maximumPipelines (:187-196) = max(floor(perVolumeFactor ×
+   *    healthyVolumes / requiredNodes), minimumPipelines);
+   *  - pre-gate (:98-110): while the open-pipeline count is below the
+   *    limit a NEW pipeline+container allocates immediately — existing
+   *    pipelines are never touched; an allocation failure falls through
+   *    to the walk;
+   *  - the walk tries open pipelines one at a time (the reference's try
+   *    order is the (randomized) choose policy's; the per-pipeline
+   *    DECISIONS are deterministic and modeled here in pipeline-id
+   *    order): a pipeline with no container or whose single container
+   *    cannot fit another full block (used + blockSize > containerSize,
+   *    inclusive boundary — :264-269) is removed AND CLOSED, decrementing
+   *    the open count (:138-145); a fitting pipeline that is excluded
+   *    (container, pipeline id, or any member datanode on the exclude
+   *    list, :219-246 — checked only AFTER the space rung) is removed
+   *    but stays open; the first surviving pipeline is SELECTED;
+   *  - final attempt (:162-181): when every pipeline was tried, the
+   *    limit is raised to the healthy in-service NODE count if that
+   *    exceeds it and the post-walk open count still has room — then a
+   *    new allocation is tried (its failure rethrows); otherwise the
+   *    request fails with "pipeline limit reached".
+   *
+   * Scale shape: requests × pipelines is a broadcast square of
+   * control-plane dims; one conditional aggregate per request.
+   */
+  def ecContainerProvider(requests: DataFrame, pipelines: DataFrame,
+                          excludes: DataFrame, blockSize: Long = 100000L,
+                          containerSize: Long = 1000000L): DataFrame = {
+    val open0 = pipelines.count()
+    val classified = requests
+      .crossJoin(broadcast(pipelines))
+      .join(broadcast(excludes.withColumn("excluded", lit(true))),
+        Seq("set_id", "pipeline_id"), "left")
+      .withColumn("rung",
+        when(!col("has_container") ||
+          col("used_bytes") + blockSize > containerSize, lit("CLOSE"))
+          .when(col("excluded").isNotNull, lit("SKIP"))
+          .otherwise(lit("OK")))
+    val walked = classified.groupBy("req_id")
+      .agg(
+        min(when(col("rung") === "OK", col("pipeline_id")))
+          .as("selected"),
+        sum(when(col("rung") === "CLOSE", 1L).otherwise(0L))
+          .as("closed_all"),
+        sum(when(col("rung") === "SKIP", 1L).otherwise(0L))
+          .as("skipped_all"))
+    val perSel = classified
+      .join(walked.select("req_id", "selected"), Seq("req_id"))
+      .filter(col("selected").isNotNull &&
+        col("pipeline_id") < col("selected"))
+      .groupBy("req_id")
+      .agg(
+        sum(when(col("rung") === "CLOSE", 1L).otherwise(0L))
+          .as("closed_before"),
+        sum(when(col("rung") === "SKIP", 1L).otherwise(0L))
+          .as("skipped_before"))
+    requests
+      .join(walked, Seq("req_id"))
+      .join(perSel, Seq("req_id"), "left")
+      .withColumn("max0",
+        greatest(expr("(factor_bp * healthy_volumes) DIV 50000"),
+          col("min_pipelines")))
+      .withColumn("pre_gate", lit(open0) < col("max0"))
+      .withColumn("open_after", lit(open0) - col("closed_all"))
+      .withColumn("final_max",
+        when(col("open_after") >= col("max0") &&
+          col("node_count") > col("max0"), col("node_count"))
+          .otherwise(col("max0")))
+      .withColumn("outcome",
+        when(col("pre_gate") && !col("create_fails"),
+          lit("NEW_ALLOC_PREMAX"))
+          .when(col("selected").isNotNull, lit("SELECTED"))
+          .when(col("open_after") < col("final_max"),
+            when(col("create_fails"), lit("FAIL_CREATE"))
+              .otherwise(lit("NEW_ALLOC_FINAL")))
+          .otherwise(lit("FAIL_LIMIT")))
+      .select(
+        col("req_id"), col("max0").as("max_pipelines"), col("outcome"),
+        when(col("outcome") === "SELECTED", col("selected"))
+          .otherwise(lit(0L)).as("chosen_pipeline"),
+        when(col("outcome") === "NEW_ALLOC_PREMAX", lit(0L))
+          .when(col("outcome") === "SELECTED",
+            coalesce(col("closed_before"), lit(0L)))
+          .otherwise(col("closed_all")).as("n_closed"),
+        when(col("outcome") === "NEW_ALLOC_PREMAX", lit(0L))
+          .when(col("outcome") === "SELECTED",
+            coalesce(col("skipped_before"), lit(0L)))
+          .otherwise(col("skipped_all")).as("n_skipped"),
+        // the node-count raise only ever happens at the final attempt
+        when(col("outcome").isin("NEW_ALLOC_FINAL", "FAIL_CREATE",
+          "FAIL_LIMIT"), col("final_max"))
+          .otherwise(col("max0")).as("final_max"))
+      .orderBy("req_id")
+  }
+
+  /**
    * DN volume AvailableSpaceFilter ladder — the eligibility core of
    * CapacityVolumeChoosingPolicy.chooseVolume (container-service/.../volume/
    * CapacityVolumeChoosingPolicy.java:64-113, AvailableSpaceFilter.java:43-70):

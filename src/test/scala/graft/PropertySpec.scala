@@ -1397,6 +1397,60 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("ecContainerProvider == the literal getContainer loop over random" +
+    " provider states") {
+    val rnd = new Random(8086)
+    for (trial <- 0 until 20) {
+      val nPipes = 3 + rnd.nextInt(8)
+      val pipes = (1L to nPipes).map(id =>
+        (id, rnd.nextInt(5) != 0, rnd.nextLong(1100000L)))
+      val excl = pipes.filter(_ => rnd.nextInt(3) == 0).map(p => ("X", p._1))
+      val reqs = (1L to 6L).map(id =>
+        (id, 1L + rnd.nextInt(12), 0L, 0L, 1L + rnd.nextInt(12),
+          rnd.nextBoolean(), "X"))
+      // ---- literal sequential loop ----
+      val exSet = excl.map(_._2).toSet
+      val expected = reqs.map { case (id, minP, _, _, nodeCnt, cf, _) =>
+        val max0 = minP
+        var open = nPipes.toLong
+        if (open < max0 && !cf) {
+          id -> (("NEW_ALLOC_PREMAX", 0L, 0L, 0L, max0))
+        } else {
+          var sel = 0L; var closed = 0L; var skipped = 0L
+          val it = pipes.iterator
+          while (sel == 0 && it.hasNext) {
+            val (pid, hasC, used) = it.next()
+            if (!hasC || used + 100000L > 1000000L) {
+              closed += 1; open -= 1
+            } else if (exSet(pid)) skipped += 1
+            else sel = pid
+          }
+          if (sel != 0) id -> (("SELECTED", sel, closed, skipped, max0))
+          else {
+            var maxF = max0
+            if (open >= maxF && nodeCnt > maxF) maxF = nodeCnt
+            val out =
+              if (open < maxF) { if (cf) "FAIL_CREATE"
+                else "NEW_ALLOC_FINAL" }
+              else "FAIL_LIMIT"
+            id -> ((out, 0L, closed, skipped, maxF))
+          }
+        }
+      }.toMap
+      val got = graft.operators.ClusterHealth.ecContainerProvider(
+          reqs.toDF("req_id", "min_pipelines", "factor_bp",
+            "healthy_volumes", "node_count", "create_fails", "set_id"),
+          pipes.toDF("pipeline_id", "has_container", "used_bytes"),
+          (("X", -1L) +: excl)
+            .toDF("set_id", "pipeline_id"))
+        .collect().map(r => r.getAs[Long]("req_id") ->
+          ((r.getAs[String]("outcome"), r.getAs[Long]("chosen_pipeline"),
+            r.getAs[Long]("n_closed"), r.getAs[Long]("n_skipped"),
+            r.getAs[Long]("final_max")))).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("safemodeEcRules == a literal rule evaluation over random" +
     " cluster states") {
     val rnd = new Random(5150)
