@@ -1226,6 +1226,9 @@ object SparkEntry {
     "q_ec_container_provider" -> ((s, d) =>
       ClusterHealth.ecContainerProvider(T.ecProviderRequests(s, d),
         T.ecProviderPipelines(s, d), T.ecProviderExcludes(s, d))),
+    "q_pipeline_creator" -> ((s, d) =>
+      ClusterHealth.pipelineCreatorConfigs(
+        T.pipelineCreatorScenarios(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9298,6 +9301,32 @@ object SparkEntry {
           |          AND e.pipeline_id = p.pipeline_id) THEN 'SKIP'
           |      ELSE 'OK' END AS rung
           |  FROM ecp_reqs r, ecp_pipes p)""".stripMargin)
+    },
+
+    // Pipeline-creator selection table over the shared scenario literals.
+    "q_pipeline_creator" -> {
+      val vals = T.pipelineCreatorScenarioRows.map {
+        case (i, t, a, c, l, s, cs) =>
+          s"(CAST($i AS BIGINT), '$t', $a, $c, $l, $s, $cs)"
+      }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT sc_id,
+          |  CASE WHEN default_type = 'EC' THEN
+          |      CASE WHEN create_ratis_three_for_ec THEN 'RATIS/THREE'
+          |        ELSE '' END
+          |    WHEN default_type = 'RATIS' THEN
+          |      CASE WHEN auto_factor_one THEN 'RATIS/ONE,RATIS/THREE'
+          |        ELSE 'RATIS/THREE' END
+          |    WHEN default_type = 'STAND_ALONE' THEN 'STANDALONE/ONE'
+          |    ELSE '' END AS configs,
+          |  leader_ready AND (NOT in_safemode OR create_in_safemode)
+          |    AS runs
+          |FROM pc_scenarios
+          |ORDER BY sc_id""".stripMargin,
+        s"""pc_scenarios(sc_id, default_type, auto_factor_one,
+           |  create_ratis_three_for_ec, leader_ready, in_safemode,
+           |  create_in_safemode) AS (VALUES
+           |  $vals)""".stripMargin)
     },
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold

@@ -168,6 +168,28 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** pipeline_creator_scenarios: (default_type, flags) combinations for
+    * the background creator's selection table and run gate. */
+  val pipelineCreatorScenarioRows
+  : Seq[(Long, String, Boolean, Boolean, Boolean, Boolean, Boolean)] = Seq(
+    (1L, "RATIS", false, false, true, false, false),
+    (2L, "RATIS", true, false, true, false, false),
+    (3L, "EC", false, true, true, false, false),
+    (4L, "EC", false, false, true, false, false),
+    (5L, "STAND_ALONE", false, false, true, false, false),
+    (6L, "INVALID", true, true, true, false, false),
+    (7L, "RATIS", false, false, false, false, false),
+    (8L, "RATIS", false, false, true, true, false),
+    (9L, "RATIS", false, false, true, true, true))
+
+  def pipelineCreatorScenarios(spark: SparkSession,
+                               dir: String): DataFrame = {
+    import spark.implicits._
+    pipelineCreatorScenarioRows.toDF("sc_id", "default_type",
+      "auto_factor_one", "create_ratis_three_for_ec", "leader_ready",
+      "in_safemode", "create_in_safemode")
+  }
+
   /** ec_provider_pipelines: the OPEN rs-3-2 pipelines the EC writable
     * provider walks — a fresh one, a full one, a container-less one, a
     * roomy one, an EXACT-boundary one (used+block == containerSize still

@@ -1798,6 +1798,40 @@ object ClusterHealth {
   }
 
   /**
+   * Background pipeline-creator config selection + run gate —
+   * BackgroundPipelineCreator (scm/pipeline/BackgroundPipelineCreator
+   * .java:197-285,291-301):
+   *  - an invalid default replication config selects NOTHING (no
+   *    guessing from raw values);
+   *  - an EC default selects only RATIS/THREE, and only when
+   *    ozone.scm.pipeline.create.ratis.three is on (EC pipelines
+   *    themselves are write-path-allocated, not background-created);
+   *  - a RATIS default walks the proto factor enum in declaration order
+   *    (ONE, THREE; ZERO ignored) with skipCreation dropping RATIS/ONE
+   *    unless auto-create-factor-one is on;
+   *  - a STANDALONE default keeps only factor ONE;
+   *  - the service runs only when the SCM is leader-ready AND (out of
+   *    safemode OR safemode creation is enabled) (:291-301).
+   */
+  def pipelineCreatorConfigs(scenarios: DataFrame): DataFrame =
+    scenarios
+      .withColumn("configs",
+        when(col("default_type") === "EC",
+          when(col("create_ratis_three_for_ec"), lit("RATIS/THREE"))
+            .otherwise(lit("")))
+          .when(col("default_type") === "RATIS",
+            when(col("auto_factor_one"), lit("RATIS/ONE,RATIS/THREE"))
+              .otherwise(lit("RATIS/THREE")))
+          .when(col("default_type") === "STAND_ALONE",
+            lit("STANDALONE/ONE"))
+          .otherwise(lit("")))
+      .withColumn("runs",
+        col("leader_ready") &&
+          (!col("in_safemode") || col("create_in_safemode")))
+      .select("sc_id", "configs", "runs")
+      .orderBy("sc_id")
+
+  /**
    * EC writable-container provider walk — WritableECContainerProvider
    * .getContainer (scm/pipeline/WritableECContainerProvider.java:93-186):
    *
