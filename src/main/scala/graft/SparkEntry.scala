@@ -1229,6 +1229,8 @@ object SparkEntry {
     "q_pipeline_creator" -> ((s, d) =>
       ClusterHealth.pipelineCreatorConfigs(
         T.pipelineCreatorScenarios(s, d))),
+    "q_close_container_event" -> ((s, d) =>
+      ClusterHealth.closeContainerEvents(T.closeContainerEvents(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9326,6 +9328,38 @@ object SparkEntry {
         s"""pc_scenarios(sc_id, default_type, auto_factor_one,
            |  create_ratis_three_for_ec, leader_ready, in_safemode,
            |  create_in_safemode) AS (VALUES
+           |  $vals)""".stripMargin)
+    },
+
+    // CLOSE_CONTAINER ladder over the shared event literals.
+    "q_close_container_event" -> {
+      val vals = T.closeContainerEventRows.map {
+        case (i, l, st, t, pe, np, nr, q) =>
+          s"(CAST($i AS BIGINT), $l, '$st', '$t', $pe, " +
+            s"CAST($np AS BIGINT), CAST($nr AS BIGINT), $q)"
+      }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT event_id, action, finalized,
+          |  CAST(CASE WHEN action IN ('SENT', 'SENT_FORCE') THEN
+          |      CASE WHEN pipeline_exists THEN n_pipeline_nodes
+          |        ELSE n_replica_nodes END
+          |    ELSE 0 END AS BIGINT) AS n_targets
+          |FROM (
+          |  SELECT *,
+          |    CASE WHEN NOT is_leader THEN 'SKIP_NOT_LEADER'
+          |      WHEN eff_state <> 'CLOSING' THEN 'NOOP'
+          |      WHEN already_queued THEN 'SKIP_QUEUED'
+          |      WHEN rep_type <> 'RATIS' THEN 'SENT_FORCE'
+          |      ELSE 'SENT' END AS action
+          |  FROM (
+          |    SELECT *,
+          |      is_leader AND state = 'OPEN' AS finalized,
+          |      CASE WHEN is_leader AND state = 'OPEN' THEN 'CLOSING'
+          |        ELSE state END AS eff_state
+          |    FROM cce))
+          |ORDER BY event_id""".stripMargin,
+        s"""cce(event_id, is_leader, state, rep_type, pipeline_exists,
+           |  n_pipeline_nodes, n_replica_nodes, already_queued) AS (VALUES
            |  $vals)""".stripMargin)
     },
 

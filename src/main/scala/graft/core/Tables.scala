@@ -168,6 +168,31 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** close_container_events: every rung of the CLOSE_CONTAINER ladder —
+    * non-leader, OPEN→FINALIZE, CLOSING direct, non-RATIS force, gone
+    * pipeline falling back to replica targets, queued skip, and the
+    * no-op states. */
+  val closeContainerEventRows
+  : Seq[(Long, Boolean, String, String, Boolean, Long, Long, Boolean)] =
+    Seq(
+      (1L, false, "OPEN", "RATIS", true, 3L, 3L, false),
+      (2L, true, "OPEN", "RATIS", true, 3L, 2L, false),
+      (3L, true, "CLOSING", "RATIS", true, 3L, 3L, false),
+      (4L, true, "CLOSING", "EC", true, 5L, 4L, false),
+      (5L, true, "CLOSING", "STAND_ALONE", false, 0L, 1L, false),
+      (6L, true, "CLOSING", "RATIS", false, 0L, 2L, false),
+      (7L, true, "CLOSING", "RATIS", true, 3L, 3L, true),
+      (8L, true, "CLOSED", "RATIS", true, 3L, 3L, false),
+      (9L, true, "QUASI_CLOSED", "RATIS", true, 3L, 3L, false),
+      (10L, true, "OPEN", "EC", true, 5L, 5L, false))
+
+  def closeContainerEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    closeContainerEventRows.toDF("event_id", "is_leader", "state",
+      "rep_type", "pipeline_exists", "n_pipeline_nodes", "n_replica_nodes",
+      "already_queued")
+  }
+
   /** pipeline_creator_scenarios: (default_type, flags) combinations for
     * the background creator's selection table and run gate. */
   val pipelineCreatorScenarioRows

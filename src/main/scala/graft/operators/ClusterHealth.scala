@@ -1798,6 +1798,36 @@ object ClusterHealth {
   }
 
   /**
+   * CLOSE_CONTAINER event ladder — CloseContainerEventHandler
+   * (scm/container/CloseContainerEventHandler.java:79-140,156-190):
+   * non-leader SCMs skip outright; an OPEN container FINALIZEs first
+   * (→ CLOSING); only a CLOSING container sends the close command —
+   * with force=true for any non-RATIS type (EC/STANDALONE must never
+   * pass through QUASI_CLOSED), targeted at the pipeline's nodes or,
+   * when the pipeline is already gone, at the known replica holders;
+   * a close already queued on the lease manager is skipped; every
+   * other state is a no-op.
+   */
+  def closeContainerEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("finalized", col("is_leader") && col("state") === "OPEN")
+      .withColumn("eff_state",
+        when(col("finalized"), lit("CLOSING")).otherwise(col("state")))
+      .withColumn("action",
+        when(!col("is_leader"), lit("SKIP_NOT_LEADER"))
+          .when(col("eff_state") =!= "CLOSING", lit("NOOP"))
+          .when(col("already_queued"), lit("SKIP_QUEUED"))
+          .when(col("rep_type") =!= "RATIS", lit("SENT_FORCE"))
+          .otherwise(lit("SENT")))
+      .withColumn("n_targets",
+        when(col("action").isin("SENT", "SENT_FORCE"),
+          when(col("pipeline_exists"), col("n_pipeline_nodes"))
+            .otherwise(col("n_replica_nodes")))
+          .otherwise(lit(0L)))
+      .select("event_id", "action", "finalized", "n_targets")
+      .orderBy("event_id")
+
+  /**
    * Background pipeline-creator config selection + run gate —
    * BackgroundPipelineCreator (scm/pipeline/BackgroundPipelineCreator
    * .java:197-285,291-301):
