@@ -1231,6 +1231,8 @@ object SparkEntry {
         T.pipelineCreatorScenarios(s, d))),
     "q_close_container_event" -> ((s, d) =>
       ClusterHealth.closeContainerEvents(T.closeContainerEvents(s, d))),
+    "q_dead_node_handler" -> ((s, d) =>
+      ClusterHealth.deadNodeHandler(T.deadNodeEvents(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9360,6 +9362,37 @@ object SparkEntry {
           |ORDER BY event_id""".stripMargin,
         s"""cce(event_id, is_leader, state, rep_type, pipeline_exists,
            |  n_pipeline_nodes, n_replica_nodes, already_queued) AS (VALUES
+           |  $vals)""".stripMargin)
+    },
+
+    // Dead-node ladder over the shared event literals.
+    "q_dead_node_handler" -> {
+      val vals = T.deadNodeEventRows.map {
+        case (i, he, m, np, nr, nc, ht, it) =>
+          s"(CAST($i AS BIGINT), '$he', $m, CAST($np AS BIGINT), " +
+            s"CAST($nr AS BIGINT), CAST($nc AS BIGINT), '$ht', $it)"
+      }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT node_id,
+          |  CASE WHEN health_at_event <> 'DEAD' THEN 'SKIP_NOT_DEAD'
+          |    ELSE 'HANDLED' END AS action,
+          |  CAST(CASE WHEN health_at_event = 'DEAD' THEN n_pipelines
+          |    ELSE 0 END AS BIGINT) AS pipelines_destroyed,
+          |  CAST(CASE WHEN health_at_event = 'DEAD' AND NOT in_maintenance
+          |    THEN n_replicas ELSE 0 END AS BIGINT) AS replicas_removed,
+          |  (health_at_event = 'DEAD' AND NOT in_maintenance)
+          |    AS rm_notified,
+          |  (health_at_event = 'DEAD' AND NOT in_maintenance)
+          |    AS dn_txns_purged,
+          |  CAST(CASE WHEN health_at_event = 'DEAD' THEN n_commands
+          |    ELSE 0 END AS BIGINT) AS commands_cleared,
+          |  (health_at_event = 'DEAD' AND health_at_topology = 'DEAD'
+          |    AND in_topology) AS topology_removed
+          |FROM dne
+          |ORDER BY node_id""".stripMargin,
+        s"""dne(node_id, health_at_event, in_maintenance, n_pipelines,
+           |  n_replicas, n_commands, health_at_topology, in_topology)
+           |  AS (VALUES
            |  $vals)""".stripMargin)
     },
 

@@ -168,6 +168,24 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** dead_node_events: resurrection races (at event, mid-handling),
+    * maintenance suppression, and the unconditional clears. */
+  val deadNodeEventRows
+  : Seq[(Long, String, Boolean, Long, Long, Long, String, Boolean)] = Seq(
+    (1L, "HEALTHY", false, 2L, 10L, 3L, "HEALTHY", true),
+    (2L, "DEAD", false, 2L, 10L, 3L, "DEAD", true),
+    (3L, "DEAD", true, 1L, 7L, 2L, "DEAD", true),
+    (4L, "DEAD", false, 0L, 4L, 0L, "HEALTHY_READONLY", true),
+    (5L, "DEAD", false, 3L, 5L, 1L, "DEAD", false),
+    (6L, "STALE", false, 2L, 6L, 2L, "DEAD", true))
+
+  def deadNodeEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    deadNodeEventRows.toDF("node_id", "health_at_event", "in_maintenance",
+      "n_pipelines", "n_replicas", "n_commands", "health_at_topology",
+      "in_topology")
+  }
+
   /** close_container_events: every rung of the CLOSE_CONTAINER ladder —
     * non-leader, OPEN→FINALIZE, CLOSING direct, non-RATIS force, gone
     * pipeline falling back to replica targets, queued skip, and the

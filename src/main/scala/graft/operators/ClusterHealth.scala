@@ -1798,6 +1798,38 @@ object ClusterHealth {
   }
 
   /**
+   * Dead-node event ladder — DeadNodeHandler (scm/node/DeadNodeHandler
+   * .java:76-157): the event re-reads the node's CURRENT health and
+   * skips when a heartbeat resurrected it before handling; a genuinely
+   * dead node closes its containers, destroys its pipelines, and clears
+   * its command queue unconditionally — but replica removal, the
+   * ReplicationManager notification, and the deleted-block-log purge are
+   * all suppressed while the node is IN_MAINTENANCE (its replicas still
+   * count); topology removal re-reads health a SECOND time, so a node
+   * resurrected mid-handling stays in the topology (removing it would
+   * leave it reachable but invisible to placement).
+   */
+  def deadNodeHandler(events: DataFrame): DataFrame =
+    events
+      .withColumn("action",
+        when(col("health_at_event") =!= "DEAD", lit("SKIP_NOT_DEAD"))
+          .otherwise(lit("HANDLED")))
+      .withColumn("handled", col("action") === "HANDLED")
+      .select(
+        col("node_id"), col("action"),
+        when(col("handled"), col("n_pipelines")).otherwise(lit(0L))
+          .as("pipelines_destroyed"),
+        when(col("handled") && !col("in_maintenance"), col("n_replicas"))
+          .otherwise(lit(0L)).as("replicas_removed"),
+        (col("handled") && !col("in_maintenance")).as("rm_notified"),
+        (col("handled") && !col("in_maintenance")).as("dn_txns_purged"),
+        when(col("handled"), col("n_commands")).otherwise(lit(0L))
+          .as("commands_cleared"),
+        (col("handled") && col("health_at_topology") === "DEAD" &&
+          col("in_topology")).as("topology_removed"))
+      .orderBy("node_id")
+
+  /**
    * CLOSE_CONTAINER event ladder — CloseContainerEventHandler
    * (scm/container/CloseContainerEventHandler.java:79-140,156-190):
    * non-leader SCMs skip outright; an OPEN container FINALIZEs first
