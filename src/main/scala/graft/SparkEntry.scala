@@ -1233,6 +1233,8 @@ object SparkEntry {
       ClusterHealth.closeContainerEvents(T.closeContainerEvents(s, d))),
     "q_dead_node_handler" -> ((s, d) =>
       ClusterHealth.deadNodeHandler(T.deadNodeEvents(s, d))),
+    "q_dn_close_command" -> ((s, d) =>
+      ClusterHealth.dnCloseCommands(T.dnCloseCommands(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9393,6 +9395,29 @@ object SparkEntry {
         s"""dne(node_id, health_at_event, in_maintenance, n_pipelines,
            |  n_replicas, n_commands, health_at_topology, in_topology)
            |  AS (VALUES
+           |  $vals)""".stripMargin)
+    },
+
+    // DN close-command ladder over the shared literals.
+    "q_dn_close_command" -> {
+      val vals = T.dnCloseCommandRows.map { case (i, p, st, ch, f) =>
+        s"(CAST($i AS BIGINT), $p, '$st', $ch, $f)" }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT cmd_id,
+          |  CASE WHEN NOT container_present THEN 'MISSING'
+          |    WHEN state IN ('OPEN', 'CLOSING') THEN
+          |      CASE WHEN pipeline_in_channel THEN 'CLOSE_VIA_RATIS'
+          |        WHEN force THEN 'CLOSED_DIRECT'
+          |        ELSE 'QUASI_CLOSED' END
+          |    WHEN state = 'QUASI_CLOSED' THEN
+          |      CASE WHEN force THEN 'CLOSED_DIRECT' ELSE 'NOOP' END
+          |    WHEN state = 'CLOSED' THEN 'NOOP'
+          |    ELSE 'NOOP_BAD_STATE' END AS action,
+          |  (container_present AND state = 'OPEN') AS marked_closing
+          |FROM dcc
+          |ORDER BY cmd_id""".stripMargin,
+        s"""dcc(cmd_id, container_present, state, pipeline_in_channel,
+           |  force) AS (VALUES
            |  $vals)""".stripMargin)
     },
 

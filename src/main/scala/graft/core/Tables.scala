@@ -168,6 +168,26 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** dn_close_commands: every rung of the DN close-command ladder. */
+  val dnCloseCommandRows
+  : Seq[(Long, Boolean, String, Boolean, Boolean)] = Seq(
+    (1L, false, "OPEN", true, false),
+    (2L, true, "OPEN", true, false),
+    (3L, true, "CLOSING", false, true),
+    (4L, true, "CLOSING", false, false),
+    (5L, true, "QUASI_CLOSED", false, true),
+    (6L, true, "QUASI_CLOSED", false, false),
+    (7L, true, "CLOSED", false, true),
+    (8L, true, "UNHEALTHY", false, true),
+    (9L, true, "OPEN", false, false),
+    (10L, true, "INVALID", true, false))
+
+  def dnCloseCommands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dnCloseCommandRows.toDF("cmd_id", "container_present", "state",
+      "pipeline_in_channel", "force")
+  }
+
   /** dead_node_events: resurrection races (at event, mid-handling),
     * maintenance suppression, and the unconditional clears. */
   val deadNodeEventRows

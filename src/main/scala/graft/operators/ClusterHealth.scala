@@ -1798,6 +1798,34 @@ object ClusterHealth {
   }
 
   /**
+   * DN close-container command ladder — CloseContainerCommandHandler
+   * (container-service/.../commandhandler/CloseContainerCommandHandler
+   * .java:95-152), the datanode-side dual of [[closeContainerEvents]]:
+   * a container the DN never created is a logged no-op; an OPEN
+   * container marks CLOSING first; OPEN/CLOSING close through the Ratis
+   * write channel when the command's pipeline still exists there,
+   * otherwise force-close directly (non-RATIS) or QUASI_CLOSE ("Ratis
+   * pipeline does not exist"); a QUASI_CLOSED container only moves to
+   * CLOSED under force; CLOSED/UNHEALTHY/INVALID are no-ops.
+   */
+  def dnCloseCommands(cmds: DataFrame): DataFrame =
+    cmds
+      .withColumn("marked_closing",
+        col("container_present") && col("state") === "OPEN")
+      .withColumn("action",
+        when(!col("container_present"), lit("MISSING"))
+          .when(col("state").isin("OPEN", "CLOSING"),
+            when(col("pipeline_in_channel"), lit("CLOSE_VIA_RATIS"))
+              .when(col("force"), lit("CLOSED_DIRECT"))
+              .otherwise(lit("QUASI_CLOSED")))
+          .when(col("state") === "QUASI_CLOSED",
+            when(col("force"), lit("CLOSED_DIRECT")).otherwise(lit("NOOP")))
+          .when(col("state") === "CLOSED", lit("NOOP"))
+          .otherwise(lit("NOOP_BAD_STATE")))
+      .select("cmd_id", "action", "marked_closing")
+      .orderBy("cmd_id")
+
+  /**
    * Dead-node event ladder — DeadNodeHandler (scm/node/DeadNodeHandler
    * .java:76-157): the event re-reads the node's CURRENT health and
    * skips when a heartbeat resurrected it before handling; a genuinely
