@@ -1235,6 +1235,8 @@ object SparkEntry {
       ClusterHealth.deadNodeHandler(T.deadNodeEvents(s, d))),
     "q_dn_close_command" -> ((s, d) =>
       ClusterHealth.dnCloseCommands(T.dnCloseCommands(s, d))),
+    "q_ec_degraded_read" -> ((s, d) =>
+      ErasureOps.degradedReadPlan(T.ecReadBlocks(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9418,6 +9420,46 @@ object SparkEntry {
           |ORDER BY cmd_id""".stripMargin,
         s"""dcc(cmd_id, container_present, state, pipeline_in_channel,
            |  force) AS (VALUES
+           |  $vals)""".stripMargin)
+    },
+
+    // EC degraded-read decision over the shared block literals.
+    "q_ec_degraded_read" -> {
+      val vals = T.ecReadBlockRows.map { case (i, d, p, c, l, a) =>
+        s"(CAST($i AS BIGINT), CAST($d AS BIGINT), CAST($p AS BIGINT), " +
+          s"CAST($c AS BIGINT), CAST($l AS BIGINT), '$a')"
+      }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT block_id, expected_data, available_data,
+          |  CASE WHEN available_data < expected_data
+          |    THEN 'RECONSTRUCTION' ELSE 'NORMAL' END AS reader,
+          |  CAST(CASE WHEN available_data < expected_data
+          |    THEN expected_data - available_data ELSE 0 END AS BIGINT)
+          |    AS n_missing,
+          |  n_parity_avail,
+          |  CASE WHEN available_data >= expected_data THEN 'OK'
+          |    WHEN expected_data - available_data <= n_parity_avail
+          |      THEN 'OK'
+          |    ELSE 'INSUFFICIENT' END AS verdict
+          |FROM (
+          |  SELECT block_id,
+          |    least((block_len + chunk_size - 1) // chunk_size, ec_data)
+          |      AS expected_data,
+          |    CAST(len(list_distinct(list_filter(
+          |      list_transform(string_split(avail, ','),
+          |        x -> CAST(x AS BIGINT)),
+          |      x -> x >= 1 AND x <= least(
+          |        (block_len + chunk_size - 1) // chunk_size, ec_data))))
+          |      AS BIGINT) AS available_data,
+          |    CAST(len(list_distinct(list_filter(
+          |      list_transform(string_split(avail, ','),
+          |        x -> CAST(x AS BIGINT)),
+          |      x -> x > ec_data AND x <= ec_data + ec_parity)))
+          |      AS BIGINT) AS n_parity_avail
+          |  FROM ecr)
+          |ORDER BY block_id""".stripMargin,
+        s"""ecr(block_id, ec_data, ec_parity, chunk_size, block_len,
+           |  avail) AS (VALUES
            |  $vals)""".stripMargin)
     },
 

@@ -168,6 +168,27 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** ec_read_blocks: degraded-read scenarios — full/short blocks, every
+    * reader transition, parity shortfall, both EC widths. Sizes in MiB
+    * units (chunk 1048576). */
+  val ecReadBlockRows
+  : Seq[(Long, Int, Int, Long, Long, String)] = Seq(
+    (1L, 3, 2, 1048576L, 3145728L, "1,2,3"),
+    (2L, 3, 2, 1048576L, 3145728L, "1,2,4"),
+    (3L, 3, 2, 1048576L, 3145728L, "1,4,5"),
+    (4L, 3, 2, 1048576L, 3145728L, "1,5"),
+    (5L, 3, 2, 1048576L, 1048576L, "2,4"),
+    (6L, 3, 2, 1048576L, 2621440L, "1,2,3,4,5"),
+    (7L, 3, 2, 1048576L, 524288L, "1"),
+    (8L, 6, 3, 1048576L, 6291456L, "1,2,3,7,8,9"),
+    (9L, 6, 3, 1048576L, 6291456L, "1,2,7,8"))
+
+  def ecReadBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ecReadBlockRows.toDF("block_id", "ec_data", "ec_parity", "chunk_size",
+      "block_len", "avail")
+  }
+
   /** dn_close_commands: every rung of the DN close-command ladder. */
   val dnCloseCommandRows
   : Seq[(Long, Boolean, String, Boolean, Boolean)] = Seq(

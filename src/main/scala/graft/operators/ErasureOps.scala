@@ -69,4 +69,56 @@ object ErasureOps {
     val survivors = striped.filter((s: Shard) => (s.media_id + s.shard_idx) % (k + m) != 0)
     reconstruct(survivors, k, m)
   }
+
+  /**
+   * EC degraded-read decision — the client read path's reader choice and
+   * source-selection feasibility (ECBlockInputStreamProxy.java:70-95,
+   * 117-124 + ECBlockReconstructedStripeInputStream.selectIndexes
+   * :773-819):
+   *  - expected data locations = min(ceil(blockLen / chunkSize), data) —
+   *    a block shorter than a full stripe legitimately has fewer
+   *    locations (the tail indexes are PADDING, never read, never
+   *    "missing");
+   *  - available = distinct replica indexes within [1, expected];
+   *    the reader goes RECONSTRUCTION exactly when available < expected;
+   *  - a reconstruction read keeps every surviving data index as a
+   *    direct input and needs (expected − |surviving data|) parity
+   *    sources from the surviving parity set (WHICH parities is
+   *    reference-random, shuffle at :544-547 — the COUNT and
+   *    feasibility are the decision); fewer surviving parities than
+   *    required ⇒ InsufficientLocationsException.
+   *
+   * Input `avail` is a comma-joined 1-based replica-index list. Pure
+   * per-row projection — no shuffle.
+   */
+  def degradedReadPlan(blocks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    blocks
+      .withColumn("expected_data",
+        least(expr("(block_len + chunk_size - 1) DIV chunk_size"),
+          col("ec_data")))
+      .withColumn("idxs",
+        transform(split(col("avail"), ","), x => x.cast("long")))
+      .withColumn("available_data",
+        size(array_distinct(filter(col("idxs"),
+          x => x >= 1 && x <= col("expected_data")))).cast("long"))
+      .withColumn("reader",
+        when(col("available_data") < col("expected_data"),
+          lit("RECONSTRUCTION")).otherwise(lit("NORMAL")))
+      .withColumn("n_missing",
+        when(col("reader") === "RECONSTRUCTION",
+          col("expected_data") - col("available_data"))
+          .otherwise(lit(0L)))
+      .withColumn("n_parity_avail",
+        size(array_distinct(filter(col("idxs"),
+          x => x > col("ec_data") &&
+            x <= col("ec_data") + col("ec_parity")))).cast("long"))
+      .withColumn("verdict",
+        when(col("reader") === "NORMAL", lit("OK"))
+          .when(col("n_missing") <= col("n_parity_avail"), lit("OK"))
+          .otherwise(lit("INSUFFICIENT")))
+      .select("block_id", "expected_data", "available_data", "reader",
+        "n_missing", "n_parity_avail", "verdict")
+      .orderBy("block_id")
+  }
 }
