@@ -1237,6 +1237,7 @@ object SparkEntry {
       ClusterHealth.dnCloseCommands(T.dnCloseCommands(s, d))),
     "q_ec_degraded_read" -> ((s, d) =>
       ErasureOps.degradedReadPlan(T.ecReadBlocks(s, d))),
+    "q_url_dedup" -> ((s, d) => Curation.urlDedup(T.docUrls(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9462,6 +9463,69 @@ object SparkEntry {
            |  avail) AS (VALUES
            |  $vals)""".stripMargin)
     },
+
+    // URL canonicalization + keep-min dedup; the synthesis CTE mirrors
+    // Tables.docUrls bit-for-bit.
+    "q_url_dedup" -> O.withCtes(
+      """SELECT doc_id, canonical,
+        |  count(*) OVER (PARTITION BY canonical) AS cluster_size,
+        |  count(*) OVER (PARTITION BY canonical) > 1 AS is_dup,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canonical) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || portkept || path ||
+        |      CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+        |      AS canonical
+        |  FROM (
+        |    SELECT doc_id,
+        |      lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |      lower(regexp_extract(regexp_extract(url,
+        |        '^[A-Za-z]+://([^/?#]+)', 1), '^([^:]+)', 1)) AS host,
+        |      CASE WHEN prt = ''
+        |          OR (lower(regexp_extract(url, '^([A-Za-z]+)://', 1))
+        |            = 'https' AND prt = '443')
+        |          OR (lower(regexp_extract(url, '^([A-Za-z]+)://', 1))
+        |            = 'http' AND prt = '80')
+        |        THEN '' ELSE ':' || prt END AS portkept,
+        |      CASE WHEN p0 = '' THEN '/'
+        |        ELSE regexp_replace(p0, '/index\.html$', '/') END AS path,
+        |      coalesce(array_to_string(list_sort(list_filter(
+        |        string_split(coalesce(
+        |          regexp_extract(url, '\?([^#]*)', 1), ''), '&'),
+        |        p -> NOT (starts_with(p, 'utm_')
+        |          OR starts_with(p, 'fbclid=')
+        |          OR starts_with(p, 'gclid=') OR p = ''))), '&'), '')
+        |        AS kept
+        |    FROM (
+        |      SELECT doc_id, url,
+        |        coalesce(regexp_extract(regexp_extract(url,
+        |          '^[A-Za-z]+://([^/?#]+)', 1), ':([0-9]+)$', 1), '')
+        |          AS prt,
+        |        regexp_replace(regexp_extract(url,
+        |          '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/{2,}', '/', 'g')
+        |          AS p0
+        |      FROM doc_urls)))
+        |ORDER BY doc_id""".stripMargin,
+      """doc_urls AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN 'Example.COM'
+        |        WHEN doc_id % 4 = 1 THEN 'example.com'
+        |        WHEN doc_id % 4 = 2 THEN 'cdn.example.com'
+        |        ELSE 'data.net' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+        |        WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+        |    || '/crawl//' || (doc_id // 7)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/index.html'
+        |        ELSE '/' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=1'
+        |        WHEN doc_id % 6 = 1 THEN '?ref=1&utm_source=mail'
+        |        WHEN doc_id % 6 = 2 THEN '?b=2&a=1'
+        |        WHEN doc_id % 6 = 3 THEN '?a=1&b=2' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END)
+        |      AS url
+        |  FROM documents)""".stripMargin),
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold
     // with NONE of the churn (no doubling, no .mv keys, no deletes)

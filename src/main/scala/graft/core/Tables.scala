@@ -168,6 +168,34 @@ object Tables {
       .withColumn("replication_factor", lit(3))
       .withColumn("used_bytes", (col("container_id") + 1) * 1000000L)
 
+  /** doc_urls: crawl URLs synthesized from documents with every
+    * canonicalization hazard — scheme/host case, explicit default vs
+    * real ports, duplicate slashes, index.html suffixes, tracking
+    * params, param order, fragments. doc_id DIV 7 groups collide after
+    * canonicalization exactly when the differing raw parts all fold. */
+  def docUrls(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 4 === 0, lit("Example.COM"))
+          .when(col("doc_id") % 4 === 1, lit("example.com"))
+          .when(col("doc_id") % 4 === 2, lit("cdn.example.com"))
+          .otherwise(lit("data.net")),
+        when(col("doc_id") % 5 === 0, lit(":443"))
+          .when(col("doc_id") % 5 === 1, lit(":8080")).otherwise(lit("")),
+        lit("/crawl//"), expr("doc_id DIV 7").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/index.html"))
+          .otherwise(lit("/")),
+        when(col("doc_id") % 6 === 0, lit("?utm_source=feed&ref=1"))
+          .when(col("doc_id") % 6 === 1, lit("?ref=1&utm_source=mail"))
+          .when(col("doc_id") % 6 === 2, lit("?b=2&a=1"))
+          .when(col("doc_id") % 6 === 3, lit("?a=1&b=2"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("#sec")).otherwise(lit("")))
+        .as("url"))
+
   /** ec_read_blocks: degraded-read scenarios — full/short blocks, every
     * reader transition, parity shortfall, both EC widths. Sizes in MiB
     * units (chunk 1048576). */

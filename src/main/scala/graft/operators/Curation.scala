@@ -270,4 +270,58 @@ object Curation {
       .select("shard", "n_docs", "total_tokens", "n_blocks", "tail_pad",
         "pad_pm", "split_docs", "boundary_cuts")
       .orderBy("shard")
+
+  /**
+   * URL canonicalization + URL-level dedup — the web-crawl curation step
+   * every large corpus pipeline runs before content dedup (the CCNet /
+   * RefinedWeb recipe: two fetches of the same resource differ only in
+   * scheme case, host case, default ports, tracking params, fragments,
+   * param order, and index-file suffixes):
+   *  - scheme and host lowercase; an explicit default port (http:80,
+   *    https:443) drops; other ports stay;
+   *  - the path collapses duplicate slashes and strips a trailing
+   *    /index.html to the bare directory;
+   *  - the fragment drops entirely; tracking params (utm_*, fbclid,
+   *    gclid) drop; surviving query params sort by full text so
+   *    param order never splits a URL group;
+   *  - doc groups sharing a canonical URL dedup keep-min-doc_id.
+   *
+   * Scale shape: canonicalization is a codegen'd per-row projection;
+   * the dedup is one groupBy on the canonical hash — the same shape as
+   * exact content dedup, a fraction of MinHash's cost, which is why
+   * pipelines run the URL pass first.
+   */
+  def urlDedup(urls: DataFrame): DataFrame = {
+    val hostport = regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]+)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+    val rawPath =
+      regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path0 = regexp_replace(rawPath, "/{2,}", "/")
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "/index\\.html$", "/"))
+    val rawQuery = regexp_extract(col("url"), "\\?([^#]*)", 1)
+    val keptParams = array_join(
+      array_sort(filter(split(rawQuery, "&"), p =>
+        !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+          p.startsWith("gclid=") || p === ""))), "&")
+    val portKept = when(
+      port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val canonical = concat(scheme, lit("://"), host, portKept, path,
+      when(keptParams === "", lit(""))
+        .otherwise(concat(lit("?"), keptParams)))
+    val w = Window.partitionBy("canonical")
+    urls
+      .withColumn("canonical", canonical)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("canonical"), col("cluster_size"),
+        (col("cluster_size") > 1).as("is_dup"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy("doc_id")
+  }
 }
