@@ -1238,6 +1238,9 @@ object SparkEntry {
     "q_ec_degraded_read" -> ((s, d) =>
       ErasureOps.degradedReadPlan(T.ecReadBlocks(s, d))),
     "q_url_dedup" -> ((s, d) => Curation.urlDedup(T.docUrls(s, d))),
+    "q_recon_unhealthy" -> ((s, d) =>
+      ClusterHealth.reconUnhealthyStates(T.containersScm(s, d),
+        T.containersOm(s, d), T.replicas(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9526,6 +9529,46 @@ object SparkEntry {
         |    || (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END)
         |      AS url
         |  FROM documents)""".stripMargin),
+
+    // Recon fsck classification mirror: lost-replica predicate + OM key
+    // counts + checksum distinct-count over the shared synth tables.
+    "q_recon_unhealthy" -> O.withCtes(
+      """SELECT c.container_id,
+        |  CASE WHEN coalesce(a.actual, 0) = 0 THEN
+        |      CASE WHEN coalesce(o.num_keys, 0) = 0
+        |        THEN 'EMPTY_MISSING' ELSE 'MISSING' END
+        |    WHEN a.actual < c.replication_factor
+        |      THEN 'UNDER_REPLICATED'
+        |    WHEN a.actual > c.replication_factor
+        |      THEN 'OVER_REPLICATED'
+        |    ELSE 'HEALTHY' END AS health_state,
+        |  CAST(c.replication_factor AS BIGINT) AS expected,
+        |  CAST(coalesce(a.actual, 0) AS BIGINT) AS actual,
+        |  (CASE WHEN c.container_id % 41 = 0 THEN -c.used_bytes
+        |    ELSE c.used_bytes END) < 0 AS negative_size,
+        |  coalesce(a.n_checksums, 0) > 1 AS replica_mismatch
+        |FROM containers_scm c
+        |LEFT JOIN containers_om o ON o.container_id = c.container_id
+        |LEFT JOIN (
+        |  SELECT container_id, count(*) AS actual,
+        |    count(DISTINCT data_checksum) AS n_checksums
+        |  FROM (
+        |    SELECT container_id, datanode,
+        |      CASE WHEN container_id % 37 = 0 THEN NULL
+        |        ELSE md5('c' || container_id ||
+        |          CASE WHEN container_id % 31 = 0
+        |            AND datanode = 'dn' || (container_id % 20)
+        |          THEN 'x' ELSE '' END) END AS data_checksum
+        |    FROM replicas
+        |    WHERE NOT (container_id % 43 = 0 OR container_id % 178 = 89))
+        |  GROUP BY 1) a ON a.container_id = c.container_id
+        |WHERE c.state <> 'DELETED'
+        |  AND (coalesce(a.actual, 0) <> c.replication_factor
+        |    OR (CASE WHEN c.container_id % 41 = 0 THEN -c.used_bytes
+        |      ELSE c.used_bytes END) < 0
+        |    OR coalesce(a.n_checksums, 0) > 1)
+        |ORDER BY c.container_id""".stripMargin,
+      O.objects, O.containersScm, O.containersOm, O.replicas),
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold
     // with NONE of the churn (no doubling, no .mv keys, no deletes)

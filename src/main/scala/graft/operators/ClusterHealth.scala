@@ -1798,6 +1798,73 @@ object ClusterHealth {
   }
 
   /**
+   * Recon unhealthy-container records — the fsck classification Recon
+   * persists beyond the SCM health chain (recon/fsck/
+   * ReconReplicationManager.java:431-532):
+   *  - a container with NO replicas splits on its key count: zero keys
+   *    ⇒ EMPTY_MISSING ("no replicas and no keys" — reclaimable, not
+   *    data loss), otherwise MISSING (:431-453, isEmptyMissing:507-509);
+   *  - replica-count deviations record UNDER/OVER_REPLICATED;
+   *  - NEGATIVE_SIZE is an ADD-ON record for a container reporting
+   *    usedBytes < 0 (:511-531) — it rides alongside whatever
+   *    replication state the container is in;
+   *  - REPLICA_MISMATCH fires when replicas report more than one
+   *    distinct non-null data checksum (:249-263 — all-null counts as
+   *    no mismatch).
+   * Output: one row per container holding any unhealthy record.
+   *
+   * Scale shape: one aggregation over the replica map (count +
+   * distinct-checksum count together), broadcast-joined to the
+   * control-plane catalogs.
+   */
+  def reconUnhealthyStates(containersScm: DataFrame,
+                           containersOm: DataFrame,
+                           replicas: DataFrame): DataFrame = {
+    val lost = expr("container_id % 43 = 0 OR container_id % 178 = 89")
+    val checksummed = replicas
+      .filter(!lost)
+      .withColumn("data_checksum",
+        when(col("container_id") % 37 === 0,
+          lit(null).cast("string"))
+          .otherwise(md5(concat(lit("c"),
+            col("container_id").cast("string"),
+            when(col("container_id") % 31 === 0 &&
+              col("datanode") === concat(lit("dn"),
+                (col("container_id") % 20).cast("string")), lit("x"))
+              .otherwise(lit(""))))))
+    val agg = checksummed.groupBy("container_id")
+      .agg(count(lit(1)).as("actual"),
+        countDistinct("data_checksum").as("n_checksums"))
+    containersScm.filter(col("state") =!= "DELETED")
+      .withColumn("used_eff",
+        when(col("container_id") % 41 === 0, -col("used_bytes"))
+          .otherwise(col("used_bytes")))
+      .join(containersOm.select("container_id", "num_keys"),
+        Seq("container_id"), "left")
+      .join(agg, Seq("container_id"), "left")
+      .withColumn("actual", coalesce(col("actual"), lit(0L)))
+      .withColumn("nk", coalesce(col("num_keys"), lit(0L)))
+      .withColumn("health_state",
+        when(col("actual") === 0,
+          when(col("nk") === 0, lit("EMPTY_MISSING"))
+            .otherwise(lit("MISSING")))
+          .when(col("actual") < col("replication_factor"),
+            lit("UNDER_REPLICATED"))
+          .when(col("actual") > col("replication_factor"),
+            lit("OVER_REPLICATED"))
+          .otherwise(lit("HEALTHY")))
+      .withColumn("negative_size", col("used_eff") < 0)
+      .withColumn("replica_mismatch",
+        coalesce(col("n_checksums"), lit(0L)) > 1)
+      .filter(col("health_state") =!= "HEALTHY" || col("negative_size") ||
+        col("replica_mismatch"))
+      .select(col("container_id"), col("health_state"),
+        col("replication_factor").cast("long").as("expected"),
+        col("actual"), col("negative_size"), col("replica_mismatch"))
+      .orderBy("container_id")
+  }
+
+  /**
    * DN close-container command ladder — CloseContainerCommandHandler
    * (container-service/.../commandhandler/CloseContainerCommandHandler
    * .java:95-152), the datanode-side dual of [[closeContainerEvents]]:
