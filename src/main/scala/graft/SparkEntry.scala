@@ -1241,6 +1241,8 @@ object SparkEntry {
     "q_recon_unhealthy" -> ((s, d) =>
       ClusterHealth.reconUnhealthyStates(T.containersScm(s, d),
         T.containersOm(s, d), T.replicas(s, d))),
+    "q_acl_parent_chain" -> ((s, d) =>
+      Security.aclParentChain(T.aclChainScenarios(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
     // vol2 is INSIDE the churn scope (orderkey%10==0 ⇒ vol∈{0,2}), so the
     // snapshot view provably differs from live: creation-time sizes, no
@@ -9569,6 +9571,40 @@ object SparkEntry {
         |    OR coalesce(a.n_checksums, 0) > 1)
         |ORDER BY c.container_id""".stripMargin,
       O.objects, O.containersScm, O.containersOm, O.replicas),
+
+    // ACL parent-chain routing over the shared scenario literals.
+    "q_acl_parent_chain" -> {
+      val vals = T.aclChainScenarioRows.map { case (i, r, a, o, n) =>
+        s"(CAST($i AS BIGINT), '$r', '$a', $o, $n)" }.mkString(",\n  ")
+      O.withCtes(
+        """SELECT sc_id,
+          |  CAST(CASE WHEN single THEN 1 ELSE 2 END AS BIGINT)
+          |    AS n_checks,
+          |  CASE WHEN single THEN res_type ELSE 'VOLUME' END AS first_res,
+          |  CASE WHEN single THEN acl_type
+          |    WHEN native_enabled AND res_type = 'BUCKET' THEN pna
+          |    ELSE 'READ' END AS first_right,
+          |  'volume' AS first_owner_ctx,
+          |  CASE WHEN single THEN '' ELSE acl_type END AS second_right,
+          |  CASE WHEN single THEN '' ELSE 'bucket' END
+          |    AS second_owner_ctx,
+          |  pna AS parent_native_acl
+          |FROM (
+          |  SELECT *,
+          |    res_type = 'VOLUME' OR is_vol_owner AS single,
+          |    CASE WHEN res_type = 'VOLUME' THEN 'NONE'
+          |      WHEN acl_type = 'CREATE' THEN 'WRITE'
+          |      WHEN res_type = 'BUCKET' THEN 'READ'
+          |      WHEN acl_type = 'WRITE' THEN 'WRITE'
+          |      WHEN acl_type IN ('DELETE', 'LIST', 'READ_ACL',
+          |        'WRITE_ACL') THEN 'READ'
+          |      ELSE acl_type END AS pna
+          |  FROM acs)
+          |ORDER BY sc_id""".stripMargin,
+        s"""acs(sc_id, res_type, acl_type, is_vol_owner, native_enabled)
+           |  AS (VALUES
+           |  $vals)""".stripMargin)
+    },
 
     // snapshot s1 = seq 1 = the create flood only: per-key max-size fold
     // with NONE of the churn (no doubling, no .mv keys, no deletes)

@@ -237,6 +237,33 @@ object Tables {
       "pipeline_in_channel", "force")
   }
 
+  /** acl_chain_scenarios: (resource, op, ownership, authorizer)
+    * combinations for the multi-level ACL routing — volume ops, the
+    * volume-owner bypass, native-vs-ranger bucket parents, and the full
+    * key/prefix parent mapping. */
+  val aclChainScenarioRows
+  : Seq[(Long, String, String, Boolean, Boolean)] = Seq(
+    (1L, "VOLUME", "READ", false, true),
+    (2L, "BUCKET", "CREATE", true, true),
+    (3L, "BUCKET", "CREATE", false, true),
+    (4L, "BUCKET", "CREATE", false, false),
+    (5L, "BUCKET", "DELETE", false, true),
+    (6L, "BUCKET", "WRITE", false, false),
+    (7L, "KEY", "WRITE", false, true),
+    (8L, "KEY", "DELETE", false, true),
+    (9L, "KEY", "READ", false, false),
+    (10L, "PREFIX", "LIST", false, true),
+    (11L, "KEY", "WRITE_ACL", false, true),
+    (12L, "KEY", "READ_ACL", false, true),
+    (13L, "PREFIX", "CREATE", false, true),
+    (14L, "KEY", "READ", true, true))
+
+  def aclChainScenarios(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    aclChainScenarioRows.toDF("sc_id", "res_type", "acl_type",
+      "is_vol_owner", "native_enabled")
+  }
+
   /** dead_node_events: resurrection races (at event, mid-handling),
     * maintenance suppression, and the unconditional clears. */
   val deadNodeEventRows

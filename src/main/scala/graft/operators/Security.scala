@@ -266,4 +266,55 @@ object Security {
           .as("max_date_ms"))
       .orderBy("req_id")
   }
+
+  /**
+   * Multi-level ACL check routing — OzoneAclUtils.checkAllAcls
+   * (ozone-manager/.../OzoneAclUtils.java:78-130) + getParentNativeAcl
+   * (:139-181):
+   *  - VOLUME access is a single check with the VOLUME owner as the
+   *    {OWNER} substitution;
+   *  - bucket/key/prefix access by the VOLUME OWNER short-circuits to a
+   *    single check (still volume-owner context);
+   *  - otherwise TWO checks run: the parent VOLUME check first — right
+   *    READ for the Ranger authorizer, but under the native authorizer a
+   *    BUCKET op derives its parent right (CREATE→WRITE, everything
+   *    else→READ) — then the resource check with the BUCKET owner as
+   *    {OWNER};
+   *  - the native authorizer's full parent table (the child→parent
+   *    mapping for key/prefix under their bucket: CREATE→WRITE,
+   *    WRITE→WRITE, DELETE/LIST/READ_ACL/WRITE_ACL→READ, READ→READ) is
+   *    surfaced as parent_native_acl for every scenario.
+   */
+  def aclParentChain(scenarios: DataFrame): DataFrame = {
+    val parentNative =
+      when(col("res_type") === "VOLUME", lit("NONE"))
+        .when(col("acl_type") === "CREATE", lit("WRITE"))
+        .when(col("res_type") === "BUCKET", lit("READ"))
+        .when(col("acl_type") === "WRITE", lit("WRITE"))
+        .when(col("acl_type").isin("DELETE", "LIST", "READ_ACL",
+          "WRITE_ACL"), lit("READ"))
+        .otherwise(col("acl_type"))
+    scenarios
+      .withColumn("parent_native_acl", parentNative)
+      .withColumn("single",
+        col("res_type") === "VOLUME" || col("is_vol_owner"))
+      .withColumn("n_checks",
+        when(col("single"), lit(1L)).otherwise(lit(2L)))
+      .withColumn("first_res",
+        when(col("single"), col("res_type")).otherwise(lit("VOLUME")))
+      .withColumn("first_right",
+        when(col("single"), col("acl_type"))
+          .when(col("native_enabled") && col("res_type") === "BUCKET",
+            col("parent_native_acl"))
+          .otherwise(lit("READ")))
+      .withColumn("first_owner_ctx", lit("volume"))
+      .withColumn("second_right",
+        when(col("single"), lit("")).otherwise(col("acl_type")))
+      .withColumn("second_owner_ctx",
+        when(col("single"), lit("")).otherwise(lit("bucket")))
+      .select("sc_id", "n_checks", "first_res", "first_right",
+        "first_owner_ctx", "second_right", "second_owner_ctx",
+        "parent_native_acl")
+      .orderBy("sc_id")
+  }
 }
