@@ -326,6 +326,9 @@ object SparkEntry {
       Dedup.duplicateSpans(T.documents(s, d), k = 8)),
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.lshPairsFromBands(minhashBandsCached(s, d))),
+    "q_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(T.documents(s, d),
+        Dedup.lshPairsFromBands(minhashBandsCached(s, d)))),
     // steady-state ingest: screen an incoming batch (doc_id % 7) against
     // the corpus's persisted band index — no corpus re-hash
     "q_dedup_incremental" -> ((s, d) => {
@@ -2289,6 +2292,27 @@ object SparkEntry {
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.docWords, O.shingle2, O.shingleHash, O.minhashSigs, O.minhashBandsCte),
+
+    // Cross-source overlap matrix from the SAME banded candidates.
+    "q_source_overlap" -> O.withCtes(
+      """SELECT source_a, source_b,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT least(sa.source, sb.source) AS source_a,
+        |    greatest(sa.source, sb.source) AS source_b,
+        |    unnest([p.doc_a, p.doc_b]) AS doc
+        |  FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM minhash_bands a JOIN minhash_bands b
+        |      ON a.band = b.band AND a.sig = b.sig
+        |        AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN documents sa ON sa.doc_id = p.doc_a
+        |  JOIN documents sb ON sb.doc_id = p.doc_b)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      O.docWords, O.shingle2, O.shingleHash, O.minhashSigs,
+      O.minhashBandsCte),
 
     // incremental dedup: new-batch bands probe the corpus index + each
     // other; DUP_CORPUS beats DUP_IN_BATCH

@@ -90,6 +90,36 @@ object Dedup {
     lshPairsFromBands(minhashBands(docs))
 
   /**
+   * Cross-source near-dup overlap matrix — the dataset-audit rollup over
+   * the banded LSH candidates: which sources duplicate INTO which
+   * (mirror-site detection, the same dump ingested twice, benchmark text
+   * leaking across providers). Diagonal cells are intra-source
+   * redundancy; off-diagonal cells are the cross-source leakage a mix
+   * designer needs before weighting sources independently.
+   *
+   * Scale shape: candidates come from the banded index (never O(n²));
+   * the source join is two broadcast-sized probes against the doc dim
+   * (doc→source is corpus-sized but column-pruned to two columns);
+   * output is |sources|² — control-plane sized.
+   */
+  def sourceOverlap(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select("doc_id", "source")
+    pairs
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), Seq("doc_a"))
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), Seq("doc_b"))
+      .withColumn("source_a", least(col("src_a"), col("src_b")))
+      .withColumn("source_b", greatest(col("src_a"), col("src_b")))
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("source_a", "source_b")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct("doc").as("n_docs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /**
    * Incremental dedup: screen an INCOMING batch against the corpus's
    * persisted LSH index without re-hashing the corpus — the steady-state
    * ingest path at 100 TB (the index is an artifact like the key-sorted
