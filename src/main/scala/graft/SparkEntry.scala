@@ -329,6 +329,8 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(T.documents(s, d),
         Dedup.lshPairsFromBands(minhashBandsCached(s, d)))),
+    "q_length_batches" -> ((s, d) =>
+      TextAnalysis.lengthBatches(T.documents(s, d))),
     // steady-state ingest: screen an incoming batch (doc_id % 7) against
     // the corpus's persisted band index — no corpus re-hash
     "q_dedup_incremental" -> ((s, d) => {
@@ -2292,6 +2294,27 @@ object SparkEntry {
         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.docWords, O.shingle2, O.shingleHash, O.minhashSigs, O.minhashBandsCte),
+
+    // Length-sorted batch cuts + padding accounting.
+    "q_length_batches" -> (
+      """SELECT batch_id, count(*) AS n_docs,
+        |  max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+        |    AS padding,
+        |  CAST(CASE WHEN count(*) * max(n_tokens) > 0
+        |    THEN (count(*) * max(n_tokens) - sum(n_tokens)) * 1000
+        |      // (count(*) * max(n_tokens))
+        |    ELSE 0 END AS BIGINT) AS pad_pm
+        |FROM (
+        |  SELECT (row_number() OVER (ORDER BY n_tokens, doc_id) - 1)
+        |    // 32 AS batch_id, n_tokens
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(regexp_extract_all(text, '\S+', 0)) AS BIGINT)
+        |        AS n_tokens
+        |    FROM documents))
+        |GROUP BY 1 ORDER BY 1""".stripMargin : String),
 
     // Cross-source overlap matrix from the SAME banded candidates.
     "q_source_overlap" -> O.withCtes(

@@ -45,6 +45,39 @@ object TextAnalysis {
         "non_space_chars", "avg_token_len_x100")
       .orderBy("doc_id")
 
+  /**
+   * Length-aware inference batching — sort the corpus by token count and
+   * cut fixed-size batches, the standard trick for transformer batch
+   * inference (every sequence in a batch pads to the batch max, so
+   * length-sorted batches cut padding FLOPs by an order of magnitude vs
+   * arrival order). Per batch: size, max/total tokens, padding waste in
+   * integer per-mille. Deterministic tie-break on doc_id.
+   *
+   * Scale shape: one global sort (a range shuffle — the same cost class
+   * as any total ordering of the corpus) then a per-batch aggregate;
+   * batch ids derive from the sort rank, so no second pass.
+   */
+  def lengthBatches(docs: DataFrame, batchSize: Int = 32): DataFrame =
+    docs
+      .withColumn("n_tokens",
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("batch_id", expr(s"(rk - 1) DIV $batchSize"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padding",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .withColumn("pad_pm",
+        expr("CASE WHEN n_docs * max_tokens > 0 " +
+          "THEN padding * 1000 DIV (n_docs * max_tokens) ELSE 0 END"))
+      .select("batch_id", "n_docs", "max_tokens", "sum_tokens", "padding",
+        "pad_pm")
+      .orderBy("batch_id")
+
   /** Quality score: integer blend of length, stopword ratio and vocabulary
     * diversity — the shape of a production quality filter, deterministic. */
   def qualityScore(docs: DataFrame): DataFrame = {
