@@ -858,13 +858,15 @@ object Tables {
     * the tenant's volume — accessId = "<tenant>$<principal>", the
     * reference's accessId convention. */
   def tenantAccessIds(spark: SparkSession, dir: String): DataFrame =
-    objects(spark, dir)
-      .select("volume", "owner").distinct()
-      .withColumn("tenant_id",
-        concat(lit("tenant"), substring(col("volume"), 4, 10)))
-      .select(col("tenant_id"),
-        col("owner").as("user_principal"),
-        concat(col("tenant_id"), lit("$"), col("owner")).as("access_id"))
+    memoPersist(spark, "tenantids", dir) {
+      objects(spark, dir)
+        .select("volume", "owner").distinct()
+        .withColumn("tenant_id",
+          concat(lit("tenant"), substring(col("volume"), 4, 10)))
+        .select(col("tenant_id"),
+          col("owner").as("user_principal"),
+          concat(col("tenant_id"), lit("$"), col("owner")).as("access_id"))
+    }
 
   /** bucket_tag_requests: one PutBucketTagging request per catalog
     * bucket, cls = (vol+idx)%6: 0 valid, 1 FIFTY-ONE tags (the bucket cap
