@@ -146,6 +146,37 @@ object SparkEntry {
     Lifecycle.LcRule("r2", "warehouse/A/", None, 852076800000L))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- driver-gate bisect probes (VERDICT r8 #1) ----
+    // Hypothesis under test: the 7 r7/r8 hash-only mismatches are exactly
+    // the oracles whose FINAL output contains an uncast DuckDB sum()
+    // (HUGEINT/int128) — the only exotic result type across all 288
+    // oracles, and the driver's gate renders HUGEINT differently from the
+    // Spark parquet BIGINT. The two *_hugeint probes keep the uncast sum
+    // (expected: driver hash-FAIL), the *_bigint twin casts it (expected:
+    // PASS); q_dbg_render_edges pins booleans/negatives/empty-string/NULL
+    // rendering (expected: PASS). Their 2x2 verdict in CORRECTNESS_r09
+    // localizes the divergence independently of the 7 production fixes.
+    "q_dbg_hugeint_sum" -> ((s, _) =>
+      s.range(100).selectExpr("id % 5 AS grp", "id AS r")
+        .groupBy("grp").agg(org.apache.spark.sql.functions.sum("r").as("s"))
+        .orderBy("grp")),
+    "q_dbg_hugeint_win" -> ((s, _) =>
+      s.range(20).selectExpr("id % 4 AS grp", "id AS r")
+        .selectExpr("grp", "r",
+          "sum(r) OVER (PARTITION BY grp ORDER BY r " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum")
+        .orderBy("grp", "r")),
+    "q_dbg_bigint_sum" -> ((s, _) =>
+      s.range(100).selectExpr("id % 5 AS grp", "id AS r")
+        .groupBy("grp").agg(org.apache.spark.sql.functions.sum("r").as("s"))
+        .orderBy("grp")),
+    "q_dbg_render_edges" -> ((s, _) =>
+      s.sql("""SELECT * FROM VALUES
+        (1L, true,  CAST(-5 AS BIGINT), ''),
+        (2L, false, CAST(0 AS BIGINT), 'a|b'),
+        (3L, CAST(NULL AS BOOLEAN), 9223372036854775807L,
+         CAST(NULL AS STRING))
+        AS t(id, flag, n, s) ORDER BY id""")),
     // ---- listing family (SURVEY §2.1/2.2/2.6) — reads the PERSISTED
     // key-sorted namespace so bucket partition pruning + key range
     // row-group skipping actually fire (see Tables.objectsSorted) ----
@@ -1480,6 +1511,26 @@ object SparkEntry {
   }
 
   private def oracleBase: Map[String, String] = Map(
+    // driver-gate bisect probes — see the q_dbg_* comment in `queries`
+    "q_dbg_hugeint_sum" ->
+      """SELECT r % 5 AS grp, sum(r) AS s
+        |FROM range(100) t(r) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dbg_hugeint_win" ->
+      """SELECT r % 4 AS grp, r,
+        |  sum(r) OVER (PARTITION BY r % 4 ORDER BY r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+        |FROM range(20) t(r) ORDER BY grp, r""".stripMargin,
+    "q_dbg_bigint_sum" ->
+      """SELECT r % 5 AS grp, CAST(sum(r) AS BIGINT) AS s
+        |FROM range(100) t(r) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dbg_render_edges" ->
+      """SELECT * FROM (VALUES
+        |  (1, true,  CAST(-5 AS BIGINT), ''),
+        |  (2, false, CAST(0 AS BIGINT), 'a|b'),
+        |  (3, CAST(NULL AS BOOLEAN), 9223372036854775807,
+        |   CAST(NULL AS VARCHAR))) t(id, flag, n, s)
+        |ORDER BY id""".stripMargin,
+
     "q_list_keys" -> O.withCtes(
       """SELECT key, data_size, replicated_size, replication_type,
         |  creation_time, owner, etag
@@ -2470,11 +2521,11 @@ object SparkEntry {
          |  SELECT *,
          |    max(CASE WHEN n_label = q_label THEN cos_x1e6 END)
          |      OVER (PARTITION BY query_id) AS best_pos_cos,
-         |    sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)
+         |    CAST(sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)
          |      OVER (PARTITION BY query_id
          |        ORDER BY cos_x1e6 DESC, neighbor_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      AS rank,
+         |      AS BIGINT) AS rank,
          |    n_label <> q_label AS is_neg
          |  FROM (
          |    SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2558,11 +2609,11 @@ object SparkEntry {
          |  SELECT *,
          |    max(CASE WHEN n_label = q_label THEN cos_x1e6 END)
          |      OVER (PARTITION BY query_id) AS best_pos_cos,
-         |    sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)
+         |    CAST(sum(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)
          |      OVER (PARTITION BY query_id
          |        ORDER BY cos_x1e6 DESC, neighbor_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      AS rank,
+         |      AS BIGINT) AS rank,
          |    n_label <> q_label AS is_neg
          |  FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -6822,9 +6873,10 @@ object SparkEntry {
         |    count(DISTINCT CASE WHEN c.bucket_oid IS NOT NULL
         |      AND s.bucket_id = c.bucket_oid
         |      THEN s.volume || '/' || s.bucket END) AS buckets_updated,
-        |    coalesce(sum(CASE WHEN c.bucket_oid IS NOT NULL
+        |    CAST(coalesce(sum(CASE WHEN c.bucket_oid IS NOT NULL
         |      AND s.bucket_id = c.bucket_oid
-        |      THEN s.purged_bytes ELSE 0 END), 0) AS bytes_refunded
+        |      THEN s.purged_bytes ELSE 0 END), 0) AS BIGINT)
+        |      AS bytes_refunded
         |  FROM kp_sizes s
         |  LEFT JOIN kp_cat c
         |    ON c.volume = s.volume AND c.bucket = s.bucket
@@ -7198,10 +7250,10 @@ object SparkEntry {
         |  FROM containers_scm c
         |  LEFT JOIN (
         |    SELECT r.container_id,
-        |      sum(CASE WHEN d.op_state = 'IN_SERVICE' THEN 1 ELSE 0 END)
-        |        AS available,
-        |      sum(CASE WHEN d.op_state <> 'IN_SERVICE' THEN 1 ELSE 0 END)
-        |        AS out_of_service
+        |      CAST(sum(CASE WHEN d.op_state = 'IN_SERVICE'
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS available,
+        |      CAST(sum(CASE WHEN d.op_state <> 'IN_SERVICE'
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS out_of_service
         |    FROM replicas r
         |    JOIN datanodes d ON r.datanode = d.uuid
         |    WHERE d.state <> 'DEAD' AND r.replica_state = 'CLOSED'
@@ -7927,9 +7979,10 @@ object SparkEntry {
         |  FROM mrp_base GROUP BY 1, 2)""".stripMargin,
       """mrp_conts AS (
         |  SELECT container_id, count(*) AS n_racks,
-        |    sum(rack_n) AS n_total,
-        |    sum(greatest(rack_n - 1, 0) -
-        |      least(greatest(rack_n - 1, 0), rack_sources)) AS shortfall
+        |    CAST(sum(rack_n) AS BIGINT) AS n_total,
+        |    CAST(sum(greatest(rack_n - 1, 0) -
+        |      least(greatest(rack_n - 1, 0), rack_sources)) AS BIGINT)
+        |      AS shortfall
         |  FROM mrp_racks GROUP BY 1)""".stripMargin),
 
     // QCS mirror: per-origin groupBy with a per-container origin count.
@@ -7960,9 +8013,10 @@ object SparkEntry {
         |    FROM (
         |      SELECT container_id, origin,
         |        count(*) AS n_replicas,
-        |        sum(CASE WHEN in_service THEN 1 ELSE 0 END)
-        |          AS n_in_service,
-        |        sum(CASE WHEN maint THEN 1 ELSE 0 END) AS n_maintenance,
+        |        CAST(sum(CASE WHEN in_service THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_in_service,
+        |        CAST(sum(CASE WHEN maint THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_maintenance,
         |        max(CASE WHEN healthy AND seq = max_healthy_seq
         |          THEN 1 ELSE 0 END) = 1 AS is_best,
         |        count(*) OVER (PARTITION BY container_id) AS n_origins_pre
@@ -8912,9 +8966,11 @@ object SparkEntry {
         |FROM (
         |  SELECT txn_id, container_id,
         |    count(*) AS n_replicas,
-        |    sum(CASE WHEN success THEN 1 ELSE 0 END) +
-        |      CASE WHEN txn_id % 7 = 0 THEN 1 ELSE 0 END AS n_committed,
-        |    sum(CASE WHEN success THEN 0 ELSE 1 END) AS n_missing
+        |    CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) +
+        |      CASE WHEN txn_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_committed,
+        |    CAST(sum(CASE WHEN success THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_missing
         |  FROM (
         |    SELECT t.txn_id, t.container_id, r.datanode,
         |      NOT (t.txn_id % 3 = 1 AND r.datanode = b.max_dn)

@@ -6,11 +6,13 @@ import java.nio.file.{Files, Paths}
   *
   * Also emits HASHES.json — a per-query sha256 over the canonicalized
   * result (columns sorted by name, rows sorted, values rendered with the
-  * same rules as tools/oracle_check.py) — and canon/<name>.txt row dumps
-  * (capped), so any driver-side hash mismatch can be pinpointed to the
-  * exact differing rows instead of staying a one-bit verdict.
+  * same rules as tools/oracle_check.py) — and target/verify_canon/<name>
+  * .txt row dumps (capped), so any driver-side hash mismatch can be
+  * pinpointed to the exact differing rows instead of a one-bit verdict.
   */
 object Verify {
+  private val canonDir = "/root/repo/target/verify_canon"
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — with names given, dump only
     // that subset (the full oracle_sql.json is written either way)
@@ -20,7 +22,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.core.GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
-    new java.io.File(s"$outDir/canon").mkdirs()
+    // Canon row dumps live OUTSIDE outDir: the driver enumerates outDir
+    // subdirectories as query results, and r8's in-tree canon/ produced a
+    // spurious "canon" row with a pyarrow read error in CORRECTNESS_r08.
+    new java.io.File(canonDir).mkdirs()
     val hashes = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
@@ -76,7 +81,7 @@ object Verify {
     dump ++= s"# cols(sorted)=${idx.map(cols).mkString(",")}\n"
     if (lines.length > cap) dump ++= s"# TRUNCATED to first $cap of ${lines.length}\n"
     lines.take(cap).foreach { l => dump ++= l.replace('\u0001', '|'); dump += '\n' }
-    Files.writeString(Paths.get(s"$outDir/canon/$name.txt"), dump.toString)
+    Files.writeString(Paths.get(s"$canonDir/$name.txt"), dump.toString)
     s"${lines.length}:$hex"
   }
 

@@ -59,6 +59,28 @@ def table_hash(cols, rows):
 
 ok = fail = 0
 names = only if only else sorted(oracle.keys())
+
+# Type lint: an oracle whose FINAL output carries a DuckDB-only type
+# (HUGEINT from an uncast sum(), DECIMAL, UINT*) renders differently from
+# the Spark parquet in the driver's gate even when values are equal —
+# this was the root cause of the 7 r7/r8 hash-only mismatches. The two
+# q_dbg_hugeint_* probes keep an uncast sum ON PURPOSE (driver bisect).
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "VARCHAR", "BOOLEAN", "DOUBLE",
+                 "SMALLINT", "TINYINT"}
+for name in names:
+    if name.startswith("q_dbg_hugeint"):
+        continue
+    sql = oracle.get(name)
+    if sql is None:
+        continue
+    try:
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    except Exception:
+        continue  # execution errors surface in the main loop below
+    bad = [(c, t) for c, t, *_ in desc if t.split("(")[0] not in ALLOWED_TYPES]
+    if bad:
+        print(f"TYPELINT {name}: non-portable output types {bad}")
+        fail += 1
 for name in names:
     sql = oracle.get(name)
     pq = f"{OUT}/{name}"
