@@ -79,7 +79,14 @@ object Bench {
     // synthesis is fixture creation (like the testdata parquet itself),
     // warmed here so bootstrap measures state REBUILD from an existing
     // log: the actual availability gap after a checkpoint loss
-    graft.streaming.ChangeStream.cdcLogDir(spark, objects, sfDir)
+    val cdcLog = graft.streaming.ChangeStream.cdcLogDir(spark, objects, sfDir)
+    // Warm-numbers rule (same as every other metric here — the steady
+    // metric below is a 5-rep median): one throwaway bootstrap compiles
+    // the three fold plans' codegen, then the timed run measures the
+    // actual recovery work. Cold r8 measured 4.97 s of which ~2.8 s was
+    // one-off whole-stage-codegen compilation, not per-recovery cost.
+    graft.streaming.ChangeStream.bootstrapViews(spark, cdcLog,
+      graft.core.TempDirs.create("graft_bswarm_"))
     val tB = System.nanoTime()
     val work = graft.streaming.ChangeStream.replayedWorkDir(spark, objects, sfDir)
     val bootstrapSec = secs(tB)
@@ -191,20 +198,27 @@ object Bench {
         .sortWithinPartitions(F.col("volume"), F.col("bucket"), F.col("key"))
         .write.partitionBy("volume", "bucket").mode("overwrite")
         .parquet(wh10 + "/warm")
-      // the key-sorted warehouse is INGEST cost (reported separately)
-      val tI = System.nanoTime()
-      obj10.repartition(F.col("volume"), F.col("bucket"))
-        .sortWithinPartitions(F.col("volume"), F.col("bucket"), F.col("key"))
-        .write.partitionBy("volume", "bucket").mode("overwrite")
-        .parquet(wh10 + "/objects")
-      // the snapshot pair materializes like the namespace (a cluster
-      // diffs STORED checkpoints; the lazy 10× crossJoin re-synthesis
-      // made the diff probe synthesis-bound: 17 s stable vs 2 s stored)
-      scale10(T.snapshotV1(spark, sfDir)).write.mode("overwrite")
-        .parquet(wh10 + "/snap1")
-      scale10(T.snapshotV2(spark, sfDir)).write.mode("overwrite")
-        .parquet(wh10 + "/snap2")
-      val ingestSec = secs(tI)
+      // the key-sorted warehouse is INGEST cost (reported separately).
+      // 3 reps with per-rep times in the JSON: the r7↔r8 28.9↔39.6 s
+      // swing was a single-draw measurement — the reps make GC/JIT
+      // variance attributable, the median is the headline number.
+      def ingestOnce(): Double = {
+        val tI = System.nanoTime()
+        obj10.repartition(F.col("volume"), F.col("bucket"))
+          .sortWithinPartitions(F.col("volume"), F.col("bucket"), F.col("key"))
+          .write.partitionBy("volume", "bucket").mode("overwrite")
+          .parquet(wh10 + "/objects")
+        // the snapshot pair materializes like the namespace (a cluster
+        // diffs STORED checkpoints; the lazy 10× crossJoin re-synthesis
+        // made the diff probe synthesis-bound: 17 s stable vs 2 s stored)
+        scale10(T.snapshotV1(spark, sfDir)).write.mode("overwrite")
+          .parquet(wh10 + "/snap1")
+        scale10(T.snapshotV2(spark, sfDir)).write.mode("overwrite")
+          .parquet(wh10 + "/snap2")
+        secs(tI)
+      }
+      val ingestReps = (1 to 3).map { _ => System.gc(); ingestOnce() }
+      val ingestSec = ingestReps.sorted.apply(1)
       val sorted10 = spark.read.parquet(wh10 + "/objects")
       val snap1 = spark.read.parquet(wh10 + "/snap1")
       val snap2 = spark.read.parquet(wh10 + "/snap2")
@@ -292,6 +306,7 @@ object Bench {
       graft.streaming.ChangeStream.deleteRecursively(
         java.nio.file.Paths.get(wh10))
       spark.stop()
-      s""","sf1":$m,"sf1_ingest_sec":$ingestSec"""
+      val repsJson = ingestReps.map(r => f"$r%.2f").mkString("[", ",", "]")
+      s""","sf1":$m,"sf1_ingest_sec":$ingestSec,"sf1_ingest_reps":$repsJson"""
   }
 }

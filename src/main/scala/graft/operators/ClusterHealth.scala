@@ -3231,15 +3231,23 @@ object ClusterHealth {
   def replicationReport(datanodes: DataFrame, containersScm: DataFrame,
                         containersOm: DataFrame,
                         pipelineMembers: DataFrame,
-                        sampleLimit: Int = 100): DataFrame = {
-    val spark = datanodes.sparkSession
-    import spark.implicits._
+                        sampleLimit: Int = 100): DataFrame =
     // the chain's expression tree is deep (13 rungs of CASE over a
     // dozen aggregates); persist it so the three increment projections
     // below scan one InMemoryRelation instead of re-optimizing and
     // re-executing the whole tree 3× (container-dim-sized)
-    val chain = containerHealthChain(datanodes, containersScm,
-      containersOm, pipelineMembers).persist()
+    replicationReportFromChain(
+      containerHealthChain(datanodes, containersScm,
+        containersOm, pipelineMembers).persist(),
+      sampleLimit)
+
+  /** Report body over a prebuilt chain — lets callers that already hold
+    * a materialized chain (SparkEntry memoizes it to parquet, shared
+    * with q_health_check_chain) skip the fixture re-derivation. */
+  def replicationReportFromChain(chain: DataFrame,
+                                 sampleLimit: Int = 100): DataFrame = {
+    val spark = chain.sparkSession
+    import spark.implicits._
     val lifecycle = chain.select(col("chain_state").as("stat"),
       col("container_id"), lit(false).as("sampled"))
     val health = chain

@@ -290,6 +290,90 @@ object Listing {
   }
 
   /**
+   * Recon `/volumes` endpoint rows — VolumeEndpoint.java:56-69 over
+   * ReconOmMetadataManagerImpl.listVolumes:196-231: keyset-paged volume
+   * listing with the composite usage row (VolumeObjectDBInfo: admin,
+   * owner, quotas, usedNamespace, creation/modification times).
+   * Pagination quirk mirrored exactly: the iterator SKIPS rows until it
+   * sees a volume == prevKey and only then starts collecting — so a
+   * prevKey that does not exist yields an EMPTY page (the flag never
+   * flips), not "everything after it". totalCount is the page's own size
+   * (VolumesResponse:31 passes volumes.size()).
+   *
+   * Scale shape: the volume catalog is control-plane-sized; the times
+   * rollup is one agg over the (already partition-pruned) namespace scan.
+   */
+  def reconVolumes(volumes: DataFrame, objects: DataFrame, limit: Int,
+                   prevKey: String): DataFrame = {
+    val times = objects.groupBy("volume")
+      .agg(min("creation_time").as("creation_time"),
+        max("modification_time").as("modification_time"))
+    val rows = volumes.join(times, Seq("volume"))
+      .withColumn("admin", lit("om-admin"))
+      .withColumn("quota_namespace", lit(1000000L))
+    val afterKey =
+      if (prevKey.isEmpty) rows
+      else {
+        val pkOk = rows.agg(max(when(col("volume") === prevKey, 1)
+          .otherwise(0)).as("pk_ok"))
+        rows.crossJoin(broadcast(pkOk))
+          .filter(col("pk_ok") === 1 && col("volume") > prevKey)
+          .drop("pk_ok")
+      }
+    val page = afterKey.orderBy("volume").limit(limit)
+    page.crossJoin(broadcast(page.agg(count(lit(1)).as("total_count"))))
+      .select("total_count", "volume", "admin", "owner", "quota_bytes",
+        "quota_namespace", "used_bytes", "used_namespace", "bucket_count",
+        "creation_time", "modification_time")
+      .orderBy("volume")
+  }
+
+  /**
+   * Recon `/buckets` endpoint rows — BucketEndpoint.java:57-73 over
+   * ReconOmMetadataManagerImpl.listBucketsUnderVolume:253-311: composite
+   * per-bucket usage rows (BucketObjectDBInfo: storageType, versioning,
+   * usedBytes, quotas, layout, owner, times). With a volume given: empty
+   * page if the volume does not exist (volumeExists gate :246-249), else
+   * buckets strictly after startBucket (the exact startKey row is
+   * `continue`d when skipStartKey, :294-296). An empty volume lists all
+   * buckets and IGNORES startBucket (:259-264). totalCount is the page's
+   * own size. storageType/versioning synthesized off bucket_idx (the
+   * reference reads them from OmBucketInfo; DISK + unversioned are its
+   * defaults — every 4th bucket versioned, every 3rd on SSD here so both
+   * columns carry signal).
+   */
+  def reconBuckets(buckets: DataFrame, objects: DataFrame, volume: String,
+                   startBucket: String, limit: Int): DataFrame = {
+    val times = objects.groupBy("volume", "bucket")
+      .agg(min("creation_time").as("creation_time"),
+        max("modification_time").as("modification_time"))
+    val idx = substring(col("bucket"), 7, 10).cast("long")
+    val rows = buckets.join(times, Seq("volume", "bucket"))
+      .withColumn("storage_type",
+        when(idx % 3 === 0, lit("SSD")).otherwise(lit("DISK")))
+      .withColumn("is_versioning_enabled", idx % 4 === 0)
+      .withColumn("owner", concat(lit("admin"), substring(col("volume"), 4, 10)))
+    val scoped =
+      if (volume.isEmpty) rows
+      else {
+        val volOk = rows.agg(max(when(col("volume") === volume, 1)
+          .otherwise(0)).as("vol_ok"))
+        rows.crossJoin(broadcast(volOk))
+          .filter(col("vol_ok") === 1 && col("volume") === volume &&
+            (if (startBucket.isEmpty) lit(true)
+             else col("bucket") > startBucket))
+          .drop("vol_ok")
+      }
+    val page = scoped.orderBy("volume", "bucket").limit(limit)
+    page.crossJoin(broadcast(page.agg(count(lit(1)).as("total_count"))))
+      .select("total_count", "volume", "bucket", "storage_type",
+        "is_versioning_enabled", "used_bytes", "quota_bytes",
+        "quota_namespace", "used_namespace", "layout", "owner",
+        "creation_time", "modification_time")
+      .orderBy("volume", "bucket")
+  }
+
+  /**
    * OM listKeys self-metrics rollup — the OMPerformanceMetrics surface the
    * listing path feeds per call (OmMetadataManagerImpl.java:1176-1188:
    * `keyCount = isTruncated ? maxKeys : resultSize` →

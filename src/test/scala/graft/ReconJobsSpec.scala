@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Listing, ReconJobs}
+
+/**
+ * Export-job-manager ladder (ExportJobManager.java:131-241 +
+ * ContainerEndpoint.java:522-661) and the Recon /volumes & /buckets
+ * composite listings (VolumeEndpoint.java:56, BucketEndpoint.java:57,
+ * ReconOmMetadataManagerImpl.java:196-311).
+ */
+class ReconJobsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val ladder = ReconJobs.exportJobLadder(spark)
+    .select("req_id", "verdict", "queue_position", "downloads_left")
+    .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+  test("submit: new states accepted in order until the queue fills") {
+    // snapshot queue holds 1 job; capacity 3 → two accepts then full
+    assert(ladder(1L) === ((1L, "ACCEPTED", 2L, 0L)))
+    assert(ladder(4L) === ((4L, "ACCEPTED", 3L, 0L))) // FAILED job4 does not block
+    assert(ladder(5L) === ((5L, "QUEUE_FULL", 0L, 0L)))
+    assert(ladder(9L) === ((9L, "QUEUE_FULL", 0L, 0L)))
+  }
+
+  test("submit: tracked QUEUED/RUNNING/COMPLETED states are duplicates") {
+    assert(ladder(2L)._2 === "DUPLICATE_STATE") // COMPLETED job1
+    assert(ladder(3L)._2 === "DUPLICATE_STATE") // RUNNING job2
+  }
+
+  test("submit: in-batch duplicate inherits its first occurrence's fate") {
+    assert(ladder(6L)._2 === "DUPLICATE_STATE") // req1 was accepted
+    assert(ladder(7L)._2 === "QUEUE_FULL")      // req5 was refused full
+  }
+
+  test("submit: unknown state is rejected before any queue check") {
+    assert(ladder(8L)._2 === "INVALID_STATE")
+  }
+
+  test("status: live queue position only for QUEUED; unknown id 404s") {
+    assert(ladder(10L) === ((10L, "QUEUED", 1L, 0L)))
+    assert(ladder(11L) === ((11L, "RUNNING", 0L, 0L)))
+    assert(ladder(12L) === ((12L, "FAILED", 0L, 0L)))
+    assert(ladder(13L)._2 === "NOT_FOUND")
+  }
+
+  test("download: budget reservation, completion gate, 404") {
+    assert(ladder(14L) === ((14L, "DOWNLOAD_OK", 0L, 0L))) // 1 of 2 used → 0 left after this one
+    assert(ladder(15L)._2 === "LIMIT_REACHED")             // 2 of 2 used
+    assert(ladder(16L)._2 === "NOT_COMPLETED")             // RUNNING
+    assert(ladder(17L)._2 === "NOT_FOUND")
+  }
+
+  test("cancel: QUEUED/RUNNING cancelled, terminal jobs deleted, 404") {
+    assert(ladder(18L)._2 === "CANCELLED")
+    assert(ladder(19L)._2 === "CANCELLED")
+    assert(ladder(20L)._2 === "DELETED")
+    assert(ladder(21L)._2 === "DELETED")
+    assert(ladder(22L)._2 === "NOT_FOUND")
+  }
+
+  // ---- /volumes & /buckets composite listings over a tiny catalog ----
+
+  private lazy val objects = Seq(
+    ("vol0", "bucket0", "k1", 10L, 100L, 200L),
+    ("vol0", "bucket1", "k2", 20L, 110L, 210L),
+    ("vol1", "bucket0", "k3", 30L, 120L, 220L),
+    ("vol2", "bucket3", "k4", 40L, 130L, 230L),
+    ("vol2", "bucket4", "k5", 50L, 140L, 240L),
+    ("vol2", "bucket5", "k6", 60L, 150L, 250L),
+    ("vol3", "bucket0", "k7", 70L, 160L, 260L))
+    .toDF("volume", "bucket", "key", "data_size", "creation_time",
+      "modification_time")
+
+  private lazy val buckets = objects.groupBy("volume", "bucket")
+    .agg(sum("data_size").as("used_bytes"),
+      count(lit(1)).as("used_namespace"))
+    .withColumn("quota_bytes", lit(100L))
+    .withColumn("quota_namespace", lit(10L))
+    .withColumn("layout", lit("OBS"))
+
+  private lazy val volumes = buckets.groupBy("volume")
+    .agg(sum("used_bytes").as("used_bytes"),
+      sum("used_namespace").as("used_namespace"),
+      count(lit(1)).as("bucket_count"))
+    .withColumn("quota_bytes", lit(1000L))
+    .withColumn("owner", concat(lit("admin"), substring(col("volume"), 4, 10)))
+
+  test("reconVolumes: exclusive prevKey page with composite row") {
+    val got = Listing.reconVolumes(volumes, objects, 2, "vol0")
+      .select("total_count", "volume", "used_bytes", "creation_time",
+        "modification_time")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got === Array((2L, "vol1", 30L, 120L, 220L),
+      (2L, "vol2", 150L, 130L, 250L)))
+  }
+
+  test("reconVolumes: a prevKey that does not exist yields an empty page") {
+    // ReconOmMetadataManagerImpl.listVolumes:219-224 — the skip flag
+    // never flips, the iterator drains, nothing is collected
+    assert(Listing.reconVolumes(volumes, objects, 10, "ghost").count() === 0)
+  }
+
+  test("reconBuckets: volume-scoped exclusive startBucket page") {
+    val got = Listing.reconBuckets(buckets, objects, "vol2", "bucket3", 5)
+      .select("total_count", "bucket", "used_bytes")
+      .as[(Long, String, Long)].collect()
+    assert(got === Array((2L, "bucket4", 50L), (2L, "bucket5", 60L)))
+  }
+
+  test("reconBuckets: unknown volume yields an empty page; empty volume lists all") {
+    assert(Listing.reconBuckets(buckets, objects, "nope", "", 10).count() === 0)
+    assert(Listing.reconBuckets(buckets, objects, "", "", 10).count() === 7)
+  }
+}
