@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 import graft.core.{OracleCte => O, Tables => T}
 import graft.operators._
 
@@ -397,6 +397,29 @@ object SparkEntry {
         Dedup.dupClusters(T.documents(s, d).select("doc_id"),
           verifiedPairsCached(s, d)),
         TextAnalysis.qualityScore(T.documents(s, d)))),
+    // End-to-end dedup funnel: URL-level exact dedup first (the cheap
+    // zero-shuffle pre-pass), then banded-LSH near-dup keep-one — each
+    // doc attributed to the FIRST stage that drops it, the dedup dual
+    // of q_curation_funnel.
+    "q_dedup_funnel" -> ((s, d) => {
+      val url = Curation.urlDedup(T.docUrls(s, d))
+        .select(col("doc_id"), col("keep").as("__url_keep"),
+          col("cluster_size").as("url_cluster_size"))
+      val keep = Dedup.keepOneSelection(
+          Dedup.dupClusters(T.documents(s, d).select("doc_id"),
+            verifiedPairsCached(s, d)),
+          TextAnalysis.qualityScore(T.documents(s, d)))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("kept_doc_id"), col("decision").as("__nd_decision"))
+      url.join(keep, Seq("doc_id"))
+        .withColumn("verdict",
+          when(!col("__url_keep"), lit("url"))
+            .when(col("__nd_decision") === "DROP", lit("near_dup"))
+            .otherwise(lit("keep")))
+        .select("doc_id", "url_cluster_size", "cluster_id",
+          "cluster_size", "kept_doc_id", "verdict")
+        .orderBy("doc_id")
+    }),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
     // Matryoshka retrieval: rank on the 16-dim prefix (1/4 the FLOPs),
     // report the full-dim cosine of every truncated-rank finalist.
@@ -1462,7 +1485,23 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] =
-    oracleBase + ("q_replication_report" -> replicationReportOracle)
+    oracleBase + ("q_replication_report" -> replicationReportOracle) +
+      ("q_dedup_funnel" -> dedupFunnelOracle)
+
+  /** Dedup-funnel mirror: the url-dedup and keep-one component oracles
+    * nested VERBATIM (string reuse of the oracleBase entries, so the
+    * funnel can never drift from its stages), first-dropping-stage
+    * attribution exactly like q_curation_funnel's CASE priority. */
+  private def dedupFunnelOracle: String =
+    "WITH url_t AS (\n" + oracleBase("q_url_dedup") +
+      "\n), keep_t AS (\n" + oracleBase("q_dedup_keep") + "\n)\n" +
+      """SELECT u.doc_id, u.cluster_size AS url_cluster_size,
+        |  k.cluster_id, k.cluster_size, k.kept_doc_id,
+        |  CASE WHEN NOT u.keep THEN 'url'
+        |    WHEN k.decision = 'DROP' THEN 'near_dup'
+        |    ELSE 'keep' END AS verdict
+        |FROM url_t u JOIN keep_t k USING (doc_id)
+        |ORDER BY u.doc_id""".stripMargin
 
   /** ReplicationManagerReport mirror: the whole chain oracle re-used as
     * a CTE (string surgery on the q_health_check_chain entry so the two

@@ -1498,4 +1498,92 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("scmBlockDispatch packed fold == the sequential circular-walk" +
+    " budget/cap/dup ladder over random txn logs") {
+    // DeletedBlockLogImpl.getTransactions: circular resume strictly
+    // after lastProcessed (cursor row examined LAST), global budget at
+    // loop top, per-DN cap = min(limit, limit DIV (nDns DIV factor)),
+    // CLEANUP/OPEN/INADEQUATE rungs charge nothing, a dispatch charges
+    // blocks × non-duplicate datanodes. 20 trials × ~16 txns, block
+    // sizes chosen so the budget boundary lands mid-walk.
+    val rnd = new Random(40961)
+    for (trial <- 0 until 20) {
+      val allDns = (0 until 3 + rnd.nextInt(4)).map(i => s"d$i")
+      val included = allDns.filter(_ => rnd.nextInt(6) != 0)
+      val nConts = 5 + rnd.nextInt(5)
+      val conts = (1 to nConts).flatMap { c =>
+        if (rnd.nextInt(8) == 0) None // missing from SCM → CLEANUP
+        else Some((s"c$c",
+          Seq("CLOSED", "CLOSED", "CLOSED", "OPEN", "DELETED")(
+            rnd.nextInt(5)),
+          rnd.nextInt(5) != 0))
+      }
+      val reps = (1 to nConts).flatMap { c =>
+        rnd.shuffle(allDns).take(1 + rnd.nextInt(3)).map(d => (s"c$c", d))
+      }.distinct
+      val nTxns = 12 + rnd.nextInt(8)
+      val txns = (1 to nTxns).map(t =>
+        (t.toLong, s"c${1 + rnd.nextInt(nConts)}", 1L + rnd.nextInt(30)))
+      val dups = txns.flatMap { case (t, c, _) =>
+        reps.filter(_._1 == c).filter(_ => rnd.nextInt(5) == 0)
+          .map { case (_, d) => (d, t) }
+      }.distinct
+      val blockLimit = 20L + rnd.nextInt(130)
+      val lastProcessed = rnd.nextInt(nTxns + 1).toLong
+      val factor = included.size.toLong / 2L
+      val maxPerDn =
+        if (factor > 0) math.min(blockLimit, blockLimit / factor)
+        else blockLimit
+      val contMap = conts.map(c => c._1 -> c).toMap
+      val repMap = reps.groupBy(_._1).map { case (c, rs) =>
+        c -> rs.map(_._2).sorted
+      }
+      val dupSet = dups.toSet
+      // the sequential reference walk
+      val state = scala.collection.mutable.Map.empty[String, Long]
+      val order = txns.map(_._1).sorted
+        .sortBy(t => if (t <= lastProcessed) 1 else 0)
+      val expected = order.zipWithIndex.map { case (t, i) =>
+        val (_, c, blocks) = txns(t.toInt - 1)
+        val globalBefore = state.values.sum
+        val all = repMap.getOrElse(c, Nil)
+        val nd = all.filterNot(d => dupSet((d, t)))
+        val verdict =
+          if (globalBefore >= blockLimit) "NOT_REACHED"
+          else contMap.get(c) match {
+            case None => "CLEANUP_COMPLETED"
+            case Some((_, "DELETED", _)) => "CLEANUP_COMPLETED"
+            case Some((_, "OPEN", _)) => "SKIP_OPEN"
+            case Some((_, _, ok))
+              if !ok || all.exists(!included.contains(_)) =>
+              "SKIP_INADEQUATE_REPLICA"
+            case _ =>
+              if (all.exists(d => state.getOrElse(d, 0L) >= maxPerDn))
+                "SKIP_DN_CAP"
+              else if (nd.isEmpty) "SKIP_ALL_DUPLICATE"
+              else {
+                nd.foreach(d => state(d) = state.getOrElse(d, 0L) + blocks)
+                "DISPATCHED"
+              }
+          }
+        val sent = if (verdict == "DISPATCHED") nd.size.toLong else 0L
+        t -> ((i + 1L, verdict, sent, sent * blocks, globalBefore))
+      }.toMap
+      val got = graft.operators.ClusterHealth.scmBlockDispatch(
+          txns.toDF("txn_id", "container_id", "blocks"),
+          conts.toDF("container_id", "cstate", "health_ok"),
+          reps.toDF("container_id", "dn"),
+          included.toDF("dn"),
+          if (dups.isEmpty) Seq(("", -1L)).toDF("dn", "txn_id")
+          else dups.toDF("dn", "txn_id"),
+          blockLimit = blockLimit, lastProcessed = lastProcessed)
+        .collect().map(r => r.getAs[Long]("txn_id") ->
+          ((r.getAs[Long]("walk_pos"), r.getAs[String]("verdict"),
+            r.getAs[Long]("dns_sent"), r.getAs[Long]("blocks_added"),
+            r.getAs[Long]("global_before")))).toMap
+      assert(got === expected,
+        s"trial $trial limit $blockLimit cursor $lastProcessed")
+    }
+  }
 }
