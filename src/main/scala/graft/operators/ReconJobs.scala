@@ -95,9 +95,16 @@ object ReconJobs {
 
   def exportJobLadder(spark: SparkSession,
                       maxQueueSize: Int = 3,
-                      maxDownloads: Int = 2): DataFrame = {
-    val tracked = trackedJobs(spark)
-    val reqs = requests(spark)
+                      maxDownloads: Int = 2): DataFrame =
+    exportJobLadderOver(trackedJobs(spark), requests(spark),
+      maxQueueSize, maxDownloads)
+
+  /** Ladder body over caller-supplied tracker snapshot + request batch —
+    * the property census drives this with randomized fixtures. */
+  def exportJobLadderOver(tracked: DataFrame, reqs: DataFrame,
+                          maxQueueSize: Int,
+                          maxDownloads: Int): DataFrame = {
+    val spark = tracked.sparkSession
     import spark.implicits._
     val valid = ValidStates.toDF("vstate")
 

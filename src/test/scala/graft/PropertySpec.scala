@@ -1586,4 +1586,94 @@ class PropertySpec extends SparkSpecBase {
         s"trial $trial limit $blockLimit cursor $lastProcessed")
     }
   }
+
+  test("exportJobLadder == the sequential ExportJobManager walk over" +
+    " random trackers and request batches") {
+    // submitJob:131-170 evaluated sequentially: duplicate-state check
+    // (QUEUED/RUNNING/COMPLETED tracked ∪ batch-accepted) BEFORE the
+    // QUEUED-only capacity check; refused submits are never tracked.
+    // STATUS/DOWNLOAD/CANCEL read the snapshot (one per job id, the
+    // batch shape the declared fixture uses — in-batch cancel eviction
+    // is out of the modeled snapshot semantics).
+    val states = Seq("MISSING", "EMPTY_MISSING", "UNDER_REPLICATED",
+      "OVER_REPLICATED", "MIS_REPLICATED", "ALL_REPLICAS_BAD",
+      "NEGATIVE_SIZE", "REPLICA_MISMATCH")
+    val rnd = new Random(77003)
+    for (trial <- 0 until 20) {
+      val maxQueue = 1 + rnd.nextInt(4)
+      val maxDl = 1 + rnd.nextInt(3)
+      val nTracked = rnd.nextInt(5)
+      val statuses = Seq("QUEUED", "RUNNING", "COMPLETED", "FAILED")
+      val tracked = rnd.shuffle(states).take(nTracked).zipWithIndex.map {
+        case (st, i) => ((i + 1).toLong, s"job${i + 1}", st,
+          statuses(rnd.nextInt(4)), rnd.nextInt(maxDl + 1).toLong)
+      }
+      val submits = (1 to 6 + rnd.nextInt(5)).map { i =>
+        (i.toLong, "SUBMIT",
+          if (rnd.nextInt(8) == 0) "BAD_STATE"
+          else states(rnd.nextInt(states.size)))
+      }
+      val others = {
+        val ids = tracked.map(_._2) ++ Seq("jobX")
+        val base = submits.size
+        rnd.shuffle(Seq("STATUS", "DOWNLOAD", "CANCEL").flatMap(op =>
+          rnd.shuffle(ids).take(1 + rnd.nextInt(ids.size))
+            .map(op -> _))).zipWithIndex
+          .map { case ((op, id), i) => ((base + i + 1).toLong, op, id) }
+      }
+      val reqs = submits ++ others
+      // sequential reference walk
+      val trackMap = tracked.map(t => t._2 -> t).toMap
+      val qpos = tracked.filter(_._4 == "QUEUED").map(_._2)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+      val active = tracked.filter(t =>
+        Set("QUEUED", "RUNNING", "COMPLETED")(t._4)).map(_._3).toSet
+      var acceptedStates = Set.empty[String]
+      var queued = qpos.size.toLong
+      val expected = reqs.map { case (rid, op, arg) =>
+        val r = op match {
+          case "SUBMIT" =>
+            if (!states.contains(arg)) ("INVALID_STATE", 0L, 0L)
+            else if (active(arg) || acceptedStates(arg))
+              ("DUPLICATE_STATE", 0L, 0L)
+            else if (queued >= maxQueue) ("QUEUE_FULL", 0L, 0L)
+            else {
+              acceptedStates += arg; queued += 1
+              ("ACCEPTED", queued, 0L)
+            }
+          case "STATUS" => trackMap.get(arg) match {
+            case None => ("NOT_FOUND", 0L, 0L)
+            case Some((_, _, _, st, _)) =>
+              (st, if (st == "QUEUED") qpos(arg) else 0L, 0L)
+          }
+          case "DOWNLOAD" => trackMap.get(arg) match {
+            case None => ("NOT_FOUND", 0L, 0L)
+            case Some((_, _, _, st, _)) if st != "COMPLETED" =>
+              ("NOT_COMPLETED", 0L, 0L)
+            case Some((_, _, _, _, dc)) if dc >= maxDl =>
+              ("LIMIT_REACHED", 0L, 0L)
+            case Some((_, _, _, _, dc)) =>
+              ("DOWNLOAD_OK", 0L, maxDl - dc - 1L)
+          }
+          case _ => trackMap.get(arg) match {
+            case None => ("NOT_FOUND", 0L, 0L)
+            case Some((_, _, _, st, _))
+              if st == "QUEUED" || st == "RUNNING" =>
+              ("CANCELLED", 0L, 0L)
+            case _ => ("DELETED", 0L, 0L)
+          }
+        }
+        rid -> r
+      }.toMap
+      val got = graft.operators.ReconJobs.exportJobLadderOver(
+          tracked.toDF("job_idx", "job_id", "state", "status",
+            "download_count"),
+          reqs.toDF("req_id", "op", "arg"),
+          maxQueueSize = maxQueue, maxDownloads = maxDl)
+        .collect().map(r => r.getAs[Long]("req_id") ->
+          ((r.getAs[String]("verdict"), r.getAs[Long]("queue_position"),
+            r.getAs[Long]("downloads_left")))).toMap
+      assert(got === expected, s"trial $trial queue $maxQueue dl $maxDl")
+    }
+  }
 }
