@@ -1322,6 +1322,13 @@ object SparkEntry {
     "q_recon_buckets" -> ((s, d) =>
       Listing.reconBuckets(T.buckets(s, d), T.objects(s, d), "vol2",
         "bucket3", 4)),
+    // Recon /pendingDeletion dispatch: component validation rungs, the
+    // dn per-datanode pending list under the ≥1 limit, the scm
+    // deleted-blocks summary triple, the om replicated-size pair.
+    "q_pending_deletion" -> ((s, d) =>
+      ReconJobs.pendingDeletionDispatch(T.objects(s, d),
+        T.objectsMixed(s, d), T.deletedDirs(s, d), T.replicas(s, d),
+        T.containersScm(s, d))),
     "q_acl_parent_chain" -> ((s, d) =>
       Security.aclParentChain(T.aclChainScenarios(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —
@@ -9859,6 +9866,119 @@ object SparkEntry {
         |  ORDER BY b.volume, b.bucket LIMIT 4)
         |ORDER BY volume, bucket""".stripMargin,
       O.objects, O.buckets),
+
+    // /pendingDeletion mirror: request dispatch over the same txn/dir/key
+    // rollups, every aggregate CAST BIGINT.
+    "q_pending_deletion" -> O.withCtes(
+      s"""SELECT req_id, verdict, entity, metric, value FROM (
+         |  SELECT req_id,
+         |    CASE WHEN comp = '' THEN 'MISSING_COMPONENT'
+         |      WHEN comp NOT IN ('dn', 'scm', 'om')
+         |        THEN 'INVALID_COMPONENT'
+         |      ELSE 'LIMIT_TOO_SMALL' END AS verdict,
+         |    '' AS entity, '' AS metric, CAST(0 AS BIGINT) AS value
+         |  FROM pd_reqs
+         |  WHERE comp = '' OR comp NOT IN ('dn', 'scm', 'om')
+         |    OR (comp = 'dn' AND lim = 0)
+         |  UNION ALL
+         |  SELECT r.req_id, 'DN_OK', p.dn, 'pending_blocks',
+         |    p.pending_blocks
+         |  FROM pd_reqs r CROSS JOIN (
+         |    SELECT dn, pending_blocks, row_number() OVER (
+         |      ORDER BY pending_blocks DESC, dn) AS rk FROM pd_dn) p
+         |  WHERE r.comp = 'dn' AND r.lim <> 0
+         |    AND (r.lim < 0 OR p.rk <= r.lim)
+         |  UNION ALL
+         |  SELECT r.req_id, 'DN_OK', '_summary', m.metric, m.value
+         |  FROM pd_reqs r CROSS JOIN (
+         |    SELECT 'total_pending_deletion' AS metric,
+         |      CAST(coalesce(sum(pending_blocks), 0) AS BIGINT) AS value
+         |    FROM pd_dn
+         |    UNION ALL
+         |    SELECT 'nodes_queried', CAST(count(*) AS BIGINT)
+         |    FROM pd_dn) m
+         |  WHERE r.comp = 'dn' AND r.lim <> 0
+         |  UNION ALL
+         |  SELECT r.req_id, 'SCM_OK', 'scm', m.metric, m.value
+         |  FROM pd_reqs r CROSS JOIN (
+         |    SELECT 'total_block_size' AS metric,
+         |      CAST(sum(data_size) AS BIGINT) AS value FROM pd_txns_live
+         |    UNION ALL
+         |    SELECT 'total_replicated_size',
+         |      CAST(sum(data_size * n_replicas) AS BIGINT)
+         |    FROM pd_txns_live
+         |    UNION ALL
+         |    SELECT 'total_count', CAST(sum(block_count) AS BIGINT)
+         |    FROM pd_txns_live) m
+         |  WHERE r.comp = 'scm'
+         |  UNION ALL
+         |  SELECT r.req_id, 'OM_OK', 'om', m.metric, m.value
+         |  FROM pd_reqs r CROSS JOIN (
+         |    SELECT 'pendingDirectorySize' AS metric,
+         |      (SELECT v FROM pd_dirsize) AS value
+         |    UNION ALL
+         |    SELECT 'pendingKeySize', (SELECT v FROM pd_keysize)
+         |    UNION ALL
+         |    SELECT 'totalSize', (SELECT v FROM pd_dirsize)
+         |      + (SELECT v FROM pd_keysize)) m
+         |  WHERE r.comp = 'om')
+         |ORDER BY req_id, metric, entity""".stripMargin,
+      O.objects, O.objectsMixed, O.deletedDirs, O.replicas,
+      O.containersScm,
+      """pd_reqs AS (
+        |  SELECT req_id, lower(trim(component)) AS comp, lim
+        |  FROM (VALUES
+        |    (1, '', -1), (2, 'xyz', -1), (3, ' DN ', 2), (4, 'dn', 0),
+        |    (5, 'dn', -1), (6, 'scm', -1), (7, 'om', -1), (8, 'OM ', 5))
+        |    t(req_id, component, lim))""".stripMargin,
+      s"""pd_txns_live AS (
+         |  SELECT t.txn_id, t.data_size, t.container_id,
+         |    (t.data_size - 1) // ${graft.core.Tables.LocChunkBytes} + 1
+         |      AS block_count,
+         |    CAST(coalesce(rc.n_replicas, 0) AS BIGINT) AS n_replicas
+         |  FROM (
+         |    SELECT object_id AS txn_id,
+         |      CAST(max(data_size) AS BIGINT) AS data_size,
+         |      (object_id // 10) % 1000 AS container_id
+         |    FROM objects
+         |    WHERE (version = 4 OR version = 5)
+         |      AND (object_id // 10) % 10 = 0
+         |    GROUP BY object_id) t
+         |  JOIN containers_scm c ON c.container_id = t.container_id
+         |    AND c.state <> 'DELETED'
+         |  LEFT JOIN (
+         |    SELECT container_id, CAST(count(*) AS BIGINT) AS n_replicas
+         |    FROM replicas GROUP BY 1) rc
+         |    ON rc.container_id = t.container_id)""".stripMargin,
+      """pd_dn AS (
+        |  SELECT rp.datanode AS dn,
+        |    CAST(sum(t.block_count) AS BIGINT) AS pending_blocks
+        |  FROM pd_txns_live t
+        |  JOIN replicas rp ON rp.container_id = t.container_id
+        |  GROUP BY 1)""".stripMargin,
+      s"""pd_dirsize AS (
+         |  SELECT CAST(coalesce(sum(n.rsz), 0) AS BIGINT) AS v
+         |  FROM (
+         |    SELECT volume, bucket, dir,
+         |      CAST(sum(replicated_size) AS BIGINT) AS rsz
+         |    FROM (
+         |      SELECT volume, bucket, replicated_size,
+         |        array_to_string(list_slice(string_split(key, '/'), 1, d),
+         |          '/') AS dir
+         |      FROM (
+         |        SELECT *, unnest(generate_series(1,
+         |          least(len(string_split(key, '/')) - 1,
+         |                ${graft.operators.Aggregates.MaxAncestorDepth})))
+         |          AS d
+         |        FROM objects_mixed))
+         |    GROUP BY 1, 2, 3) n
+         |  JOIN deleted_dirs dd ON n.volume = dd.volume
+         |    AND n.bucket = dd.bucket AND n.dir = dd.dir)""".stripMargin,
+      """pd_keysize AS (
+        |  SELECT CAST(coalesce(sum(replicated_size), 0) AS BIGINT) AS v
+        |  FROM objects
+        |  WHERE (version = 4 OR version = 5)
+        |    AND (object_id // 10) % 10 = 0)""".stripMargin),
 
     // Recon fsck classification mirror: lost-replica predicate + OM key
     // counts + checksum distinct-count over the shared synth tables.

@@ -196,4 +196,140 @@ object ReconJobs {
       .unionByName(cancelV.select(out.map(col): _*))
       .orderBy("req_id")
   }
+
+  /**
+   * Recon `/pendingDeletion` component dispatch —
+   * `recon/.../api/PendingDeletionEndpoint.java:57-121`: the component
+   * param is required (400 MISSING_COMPONENT), trim+lowercase
+   * normalized, and must be one of dn / scm / om (400
+   * INVALID_COMPONENT); the dn route additionally refuses a limit < 1
+   * (:84-87) and truncates its per-datanode list to `limit`
+   * (DataNodeMetricsService.getCollectedMetrics:311-322, limit absent →
+   * whole list) alongside the totalPendingDeletion rollup; the scm route
+   * reports the DeletedBlocksTransactionSummary triple (:98-112); the om
+   * route reports pendingDirectorySize / pendingKeySize / totalSize
+   * (ReconGlobalMetricsService.calculatePendingSizes:218-247 — both
+   * REPLICATED sizes; the -1 error legs are RPC-failure paths with no
+   * deterministic dual here, noted not modeled).
+   *
+   * Rollup synthesis rides the shared fixtures: the deleted-block txn
+   * log (the commit log's DELETE branch), the container replica map (a
+   * txn's blocks pend once per replica datanode), and the deleted-dir /
+   * deleted-key populations the insight queries already expose.
+   * The dn list orders by pending DESC then datanode (the reference
+   * returns collector order, which is not deterministic — the heaviest-
+   * first order is the view the UI sorts to anyway).
+   *
+   * Scale shape: one pass over the DELETE branch of the log + broadcast
+   * dims for replicas/containers; the dir plane reuses the
+   * leaf-pre-agg → ancestor-explode → broadcast-deleted-probe shape of
+   * [[ClusterHealth.deletedDirsInsight]].
+   */
+  def pendingDeletionDispatch(objects: DataFrame, objectsMixed: DataFrame,
+                              deletedDirs: DataFrame, replicas: DataFrame,
+                              containersScm: DataFrame): DataFrame = {
+    val spark = objects.sparkSession
+    import spark.implicits._
+    val reqs = Seq(
+      (1L, "", -1L), // null component
+      (2L, "xyz", -1L),
+      (3L, " DN ", 2L),
+      (4L, "dn", 0L),
+      (5L, "dn", -1L), // null limit → whole list
+      (6L, "scm", -1L),
+      (7L, "om", -1L),
+      (8L, "OM ", 5L)) // limit ignored off the dn route
+      .toDF("req_id", "component", "limit")
+      .withColumn("comp", lower(trim(col("component"))))
+
+    // deleted-block txn log + per-replica pending blocks
+    val txns = CommitLog.synthesizeLog(objects)
+      .filter(col("op") === "DELETE")
+      .groupBy(col("object_id").as("txn_id"))
+      .agg(max("data_size").as("data_size"))
+      .withColumn("container_id", expr("(txn_id DIV 10) % 1000"))
+      .withColumn("block_count", expr(
+        s"(data_size - 1) DIV ${graft.core.Tables.LocChunkBytes} + 1"))
+    val txnsLive = txns
+      .join(broadcast(containersScm.select("container_id", "state")),
+        Seq("container_id"))
+      .filter(col("state") =!= "DELETED")
+    val repCount = replicas.groupBy("container_id")
+      .agg(count(lit(1)).as("n_replicas"))
+    val scmRow = txnsLive
+      .join(broadcast(repCount), Seq("container_id"), "left")
+      .agg(sum("data_size").as("total_block_size"),
+        sum(col("data_size") * coalesce(col("n_replicas"), lit(0L)))
+          .as("total_replicated_size"),
+        sum("block_count").as("total_count"))
+    val dnPending = txnsLive
+      .join(replicas.select(col("container_id"),
+        col("datanode").as("dn")), Seq("container_id"))
+      .groupBy("dn")
+      .agg(sum("block_count").as("pending_blocks"))
+
+    // om sizes: replicated bytes of deleted keys + of files under
+    // deleted dirs
+    val keySize = objects
+      .filter((col("version") === 4 || col("version") === 5) &&
+        expr("(object_id DIV 10) % 10") === 0)
+      .agg(coalesce(sum("replicated_size"), lit(0L)).as("v"))
+    val dirSize = objectsMixed
+      .withColumn("leaf", Aggregates.parentDirOf("key"))
+      .filter(col("leaf") =!= "")
+      .groupBy("volume", "bucket", "leaf")
+      .agg(sum("replicated_size").as("rsz"))
+      .withColumn("dir", explode(Aggregates.dirAndAncestors("leaf")))
+      .join(broadcast(deletedDirs.select("volume", "bucket", "dir")),
+        Seq("volume", "bucket", "dir"))
+      .agg(coalesce(sum("rsz"), lit(0L)).as("v"))
+
+    val errRows = reqs
+      .withColumn("verdict",
+        when(col("comp") === "", lit("MISSING_COMPONENT"))
+          .when(!col("comp").isin("dn", "scm", "om"),
+            lit("INVALID_COMPONENT"))
+          .when(col("comp") === "dn" && col("limit") === 0,
+            lit("LIMIT_TOO_SMALL")))
+      .filter(col("verdict").isNotNull)
+      .select(col("req_id"), col("verdict"), lit("").as("entity"),
+        lit("").as("metric"), lit(0L).as("value"))
+    val dnReqs = reqs.filter(col("comp") === "dn" && col("limit") =!= 0)
+    val dnList = dnReqs.crossJoin(
+        dnPending.withColumn("rk", row_number().over(
+          Window.orderBy(col("pending_blocks").desc, col("dn")))))
+      .filter(col("limit") < 0 || col("rk") <= col("limit"))
+      .select(col("req_id"), lit("DN_OK").as("verdict"),
+        col("dn").as("entity"), lit("pending_blocks").as("metric"),
+        col("pending_blocks").as("value"))
+    val dnTotal = dnReqs.crossJoin(broadcast(
+        dnPending.agg(coalesce(sum("pending_blocks"), lit(0L)).as("total"),
+          count(lit(1)).as("nodes_queried"))))
+      .select(col("req_id"), lit("DN_OK").as("verdict"),
+        lit("_summary").as("entity"), col("total"), col("nodes_queried"))
+      .selectExpr("req_id", "verdict", "entity",
+        "stack(2, 'total_pending_deletion', total," +
+          " 'nodes_queried', nodes_queried) AS (metric, value)")
+    val scmRows = reqs.filter(col("comp") === "scm")
+      .crossJoin(broadcast(scmRow))
+      .selectExpr("req_id", "'SCM_OK' AS verdict", "'scm' AS entity",
+        "stack(3, 'total_block_size', total_block_size," +
+          " 'total_replicated_size', total_replicated_size," +
+          " 'total_count', total_count) AS (metric, value)")
+    val omRows = reqs.filter(col("comp") === "om")
+      .crossJoin(broadcast(dirSize.select(col("v").as("dirv"))))
+      .crossJoin(broadcast(keySize.select(col("v").as("keyv"))))
+      .selectExpr("req_id", "'OM_OK' AS verdict", "'om' AS entity",
+        "stack(3, 'pendingDirectorySize', dirv," +
+          " 'pendingKeySize', keyv," +
+          " 'totalSize', dirv + keyv) AS (metric, value)")
+    errRows.unionByName(dnList)
+      .unionByName(dnTotal.select("req_id", "verdict", "entity",
+        "metric", "value"))
+      .unionByName(scmRows.select("req_id", "verdict", "entity",
+        "metric", "value"))
+      .unionByName(omRows.select("req_id", "verdict", "entity",
+        "metric", "value"))
+      .orderBy("req_id", "metric", "entity")
+  }
 }

@@ -113,4 +113,45 @@ class ReconJobsSpec extends SparkSpecBase {
     assert(Listing.reconBuckets(buckets, objects, "nope", "", 10).count() === 0)
     assert(Listing.reconBuckets(buckets, objects, "", "", 10).count() === 7)
   }
+
+  // ---- /pendingDeletion dispatch over the shared synth fixtures ----
+
+  test("pendingDeletion: validation rungs, dn limit, om size additivity") {
+    val sf = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val rows = ReconJobs.pendingDeletionDispatch(T.objects(spark, sf),
+        T.objectsMixed(spark, sf), T.deletedDirs(spark, sf),
+        T.replicas(spark, sf), T.containersScm(spark, sf))
+      .collect()
+    def of(rid: Long) = rows.filter(_.getAs[Long]("req_id") == rid)
+    assert(of(1).map(_.getAs[String]("verdict")).toSeq ===
+      Seq("MISSING_COMPONENT"))
+    assert(of(2).map(_.getAs[String]("verdict")).toSeq ===
+      Seq("INVALID_COMPONENT"))
+    assert(of(4).map(_.getAs[String]("verdict")).toSeq ===
+      Seq("LIMIT_TOO_SMALL"))
+    // req3 (limit 2) lists exactly 2 datanodes + the 2 summary rows;
+    // req5 (no limit) lists every datanode with pending blocks
+    val r3 = of(3)
+    assert(r3.count(_.getAs[String]("metric") == "pending_blocks") === 2)
+    val r5list = of(5).filter(_.getAs[String]("metric") == "pending_blocks")
+    val r5total = of(5)
+      .find(_.getAs[String]("metric") == "total_pending_deletion").get
+      .getAs[Long]("value")
+    assert(r5list.map(_.getAs[Long]("value")).sum === r5total)
+    // the ' DN ' route normalizes and its page is a prefix of req5's list
+    val r3names = r3.filter(_.getAs[String]("metric") == "pending_blocks")
+      .map(_.getAs[String]("entity")).toSeq
+    val r5sorted = r5list.sortBy(r =>
+      (-r.getAs[Long]("value"), r.getAs[String]("entity")))
+      .map(_.getAs[String]("entity")).toSeq
+    assert(r3names.toSet === r5sorted.take(2).toSet)
+    // om: totalSize = pendingDirectorySize + pendingKeySize, both routes
+    // (req7 plain, req8 'OM ' with the limit ignored) identical
+    def om(rid: Long) = of(rid)
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(om(7)("totalSize") ===
+      om(7)("pendingDirectorySize") + om(7)("pendingKeySize"))
+    assert(om(7) === om(8))
+  }
 }
