@@ -1388,6 +1388,15 @@ object SparkEntry {
     "q_lm_familiarity" -> ((s, d) =>
       TextAnalysis.lmFamiliarity(T.documents(s, d),
         TextAnalysis.ngramCounts(T.documents(s, d), n = 3, minCount = 3))),
+    // CCNet head/middle/tail: per-source familiarity terciles (the
+    // perplexity-bucket pass training mixes sample by).
+    "q_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.ccnetBuckets(T.documents(s, d),
+        TextAnalysis.ngramCounts(T.documents(s, d), n = 3, minCount = 3))),
+    // CCNet paragraph-level exact dedup: global first-occurrence wins
+    // per paragraph hash, per-doc retained rollup.
+    "q_paragraph_dedup" -> ((s, d) =>
+      Dedup.paragraphDedup(T.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(T.documents(s, d))),
     // BPE merge-candidate ranking: adjacent char/</w> pair frequencies
@@ -1493,7 +1502,26 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     oracleBase + ("q_replication_report" -> replicationReportOracle) +
-      ("q_dedup_funnel" -> dedupFunnelOracle)
+      ("q_dedup_funnel" -> dedupFunnelOracle) +
+      ("q_ccnet_buckets" -> ccnetBucketsOracle)
+
+  /** CCNet-bucket mirror: the lm-familiarity component oracle nested
+    * VERBATIM (string reuse, no drift), per-source tercile windows. */
+  private def ccnetBucketsOracle: String =
+    "WITH fam_t AS (\n" + oracleBase("q_lm_familiarity") + "\n)\n" +
+      """SELECT doc_id, source, familiarity_pm, rank_in_source,
+        |  CASE WHEN rank_in_source <= n_in_source // 3 THEN 'head'
+        |    WHEN rank_in_source <= 2 * n_in_source // 3 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM (
+        |  SELECT f.doc_id, d.source, f.familiarity_pm,
+        |    CAST(row_number() OVER (PARTITION BY d.source
+        |      ORDER BY f.familiarity_pm DESC, f.doc_id) AS BIGINT)
+        |      AS rank_in_source,
+        |    CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT)
+        |      AS n_in_source
+        |  FROM fam_t f JOIN documents d USING (doc_id))
+        |ORDER BY doc_id""".stripMargin
 
   /** Dedup-funnel mirror: the url-dedup and keep-one component oracles
     * nested VERBATIM (string reuse of the oracleBase entries, so the
@@ -11544,6 +11572,33 @@ object SparkEntry {
         |    FROM doc_words WHERE len(ws) >= 3)
         |  GROUP BY 1 HAVING count(*) >= 3) lm ON dg.gram = lm.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+      O.docWords),
+
+    // Paragraph-dedup mirror: the same fixed-window units, 60-bit md5
+    // hash, packed first-occurrence winner, per-doc rollup.
+    "q_paragraph_dedup" -> O.withCtes(
+      """SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN packed = win THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_paras,
+        |  CAST(sum(CASE WHEN packed = win THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // count(*) AS retained_pm
+        |FROM (
+        |  SELECT doc_id, packed,
+        |    min(packed) OVER (PARTITION BY h) AS win
+        |  FROM (
+        |    SELECT doc_id,
+        |      ('0x' || substr(md5(para), 1, 15))::BIGINT AS h,
+        |      doc_id * 1000000 + p AS packed
+        |    FROM (
+        |      SELECT doc_id, p,
+        |        array_to_string(ws[p * 12 + 1 : p * 12 + 12], ' ')
+        |          AS para
+        |      FROM (
+        |        SELECT doc_id, ws,
+        |          unnest(generate_series(0, (len(ws) - 1) // 12)) AS p
+        |        FROM doc_words))
+        |    WHERE para <> ''))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       O.docWords),
 
     // Vocabulary induction: top-1024 word types by (count desc, word),

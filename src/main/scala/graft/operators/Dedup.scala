@@ -405,4 +405,41 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
       .orderBy("doc_id", "span_start")
   }
+
+  /**
+   * Paragraph-level exact dedup — the CCNet pre-pass (Wenzek et al.
+   * 2019, arXiv:1911.00359 §3.2: "remove duplicated paragraphs" by
+   * hashing each paragraph and keeping the FIRST occurrence corpus-wide).
+   * The synthetic corpus has no paragraph breaks, so the unit is a fixed
+   * non-overlapping `paraTokens`-token window (last window partial) —
+   * the structural analog; the dedup rule is CCNet's: per paragraph
+   * hash, the globally smallest (doc_id, window index) keeps, every
+   * other occurrence drops. Per-doc rollup reports the unit counts and
+   * the retained per-mille a curation funnel would gate on.
+   *
+   * Scale shape: the winner is min(packed doc_id·10⁶ + idx) per 60-bit
+   * paragraph hash — ONE hash-partitioned shuffle carrying (doc_id, idx,
+   * h) rows, never the text; the per-doc rollup re-shuffles only
+   * (doc_id, kept) pairs. Integer packing (not a struct min) keeps the
+   * winner rule bit-identical across engines.
+   */
+  def paragraphDedup(docs: DataFrame, paraTokens: Int = 12): DataFrame = {
+    val units = docs
+      .withColumn("ws", split(normText(col("text")), " "))
+      .withColumn("p",
+        explode(expr(s"sequence(0, (size(ws) - 1) DIV $paraTokens)")))
+      .withColumn("para",
+        expr(s"array_join(slice(ws, p * $paraTokens + 1, $paraTokens), ' ')"))
+      .filter(col("para") =!= "")
+      .withColumn("h", tokenHash60("para"))
+      .withColumn("packed", col("doc_id") * 1000000L + col("p"))
+    units
+      .withColumn("win", min("packed").over(Window.partitionBy("h")))
+      .withColumn("kept", col("packed") === col("win"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_paras"))
+      .withColumn("retained_pm", expr("kept_paras * 1000 DIV n_paras"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns._
 
@@ -322,6 +323,38 @@ object TextAnalysis {
       .withColumn("familiarity_pm",
         expr("known_grams * 1000 DIV n_grams"))
       .orderBy("doc_id")
+
+  /**
+   * CCNet head/middle/tail quality buckets (Wenzek et al. 2019,
+   * arXiv:1911.00359 §3.3: each language's documents are ranked by
+   * Wikipedia-LM perplexity and cut into three equal parts; training
+   * mixes then sample by bucket). The integer-exact stand-in for
+   * perplexity is [[lmFamiliarity]] (high familiarity = low perplexity
+   * = head), ranked per `source` domain with doc_id tiebreak, tercile
+   * cuts at n DIV 3 and 2n DIV 3.
+   *
+   * Scale shape: the familiarity rollup is the existing gram-join; the
+   * ranking is one window per source partition — domains are few and
+   * large, so the sort stays distributed (no global window).
+   */
+  def ccnetBuckets(docs: DataFrame, lm: DataFrame): DataFrame = {
+    val fam = lmFamiliarity(docs, lm).select("doc_id", "familiarity_pm")
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("familiarity_pm").desc, col("doc_id"))
+    docs.select("doc_id", "source").join(fam, Seq("doc_id"))
+      .withColumn("rank_in_source", row_number().over(wRank).cast("long"))
+      .withColumn("n_in_source",
+        count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("bucket",
+        when(col("rank_in_source") <= expr("n_in_source DIV 3"),
+          lit("head"))
+          .when(col("rank_in_source") <= expr("2 * n_in_source DIV 3"),
+            lit("middle"))
+          .otherwise(lit("tail")))
+      .select("doc_id", "source", "familiarity_pm", "rank_in_source",
+        "bucket")
+      .orderBy("doc_id")
+  }
 
   /** BM25 defaults: k1 = 1.2 (stored ×10), b = 0.75 (stored via the 250 /
     * 750 split in the length norm). */

@@ -385,4 +385,44 @@ class DedupSimilaritySpec extends SparkSpecBase {
     overlap.foreach { r =>
       assert(brute((r._1, r._2)) === r._4, s"pair ${(r._1, r._2)}") }
   }
+
+  test("paragraphDedup: global first occurrence keeps, per-doc rollup") {
+    // 4-token "paragraphs"; doc 1 repeats its own first window, doc 2
+    // copies doc 1's window, doc 3 is unique
+    val docs = Seq(
+      (1L, "a b c d a b c d"),
+      (2L, "a b c d x y z w"),
+      (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, paraTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("kept_paras"),
+          r.getAs[Long]("retained_pm")))).toMap
+    // doc 1: windows [abcd, abcd] — first keeps, second drops (500pm)
+    assert(got(1L) === ((2L, 1L, 500L)))
+    // doc 2: abcd lost to doc 1, xyzw kept
+    assert(got(2L) === ((2L, 1L, 500L)))
+    assert(got(3L) === ((1L, 1L, 1000L)))
+  }
+
+  test("ccnetBuckets: per-source terciles ranked by familiarity") {
+    // one source, 6 docs; familiarity is driven by how many of the doc's
+    // trigrams repeat corpus-wide >= 3 times
+    val docs = (1L to 6L).map { i =>
+      val common = "k v k v k v" // shared trigrams across all docs
+      val rare = s"u$i w$i x$i y$i z$i"
+      (i, s"$common ${rare.take((6 - i).toInt * 2)}", "srcA")
+    }.toDF("doc_id", "text", "source")
+    val lm = graft.operators.TextAnalysis.ngramCounts(docs, n = 3,
+      minCount = 3)
+    val rows = graft.operators.TextAnalysis.ccnetBuckets(docs, lm)
+      .collect()
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.length).toMap
+    assert(byBucket === Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    // ranks are a permutation of 1..6 and head ranks are 1..2
+    val headRanks = rows.filter(_.getAs[String]("bucket") == "head")
+      .map(_.getAs[Long]("rank_in_source")).sorted.toSeq
+    assert(headRanks === Seq(1L, 2L))
+  }
 }
