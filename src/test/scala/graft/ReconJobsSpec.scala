@@ -154,4 +154,66 @@ class ReconJobsSpec extends SparkSpecBase {
       om(7)("pendingDirectorySize") + om(7)("pendingKeySize"))
     assert(om(7) === om(8))
   }
+
+  test("reconVolumes/reconBuckets paging == the sequential iterator walks" +
+    " over random catalogs") {
+    // listVolumes:196-231 skip-until-match (absent prevKey drains the
+    // iterator → empty page); listBucketsUnderVolume:253-311 volumeExists
+    // gate + exact-startKey continue. 15 random catalogs × 3 random
+    // paging params each.
+    val rnd = new scala.util.Random(50411)
+    for (trial <- 0 until 15) {
+      val vols = rnd.shuffle((0 until 8).toList)
+        .take(2 + rnd.nextInt(5)).map(i => s"vol$i").sorted
+      val cat = vols.flatMap { v =>
+        rnd.shuffle((0 until 6).toList).take(1 + rnd.nextInt(4))
+          .map(b => (v, s"bucket$b"))
+      }
+      val objs = cat.zipWithIndex.map { case ((v, b), i) =>
+        (v, b, s"k$i", 10L + i, 100L + i, 200L + i)
+      }.toDF("volume", "bucket", "key", "data_size", "creation_time",
+        "modification_time")
+      val bks = objs.groupBy("volume", "bucket")
+        .agg(sum("data_size").as("used_bytes"),
+          count(lit(1)).as("used_namespace"))
+        .withColumn("quota_bytes", lit(9L))
+        .withColumn("quota_namespace", lit(9L))
+        .withColumn("layout", lit("OBS"))
+      val vls = bks.groupBy("volume")
+        .agg(sum("used_bytes").as("used_bytes"),
+          sum("used_namespace").as("used_namespace"),
+          count(lit(1)).as("bucket_count"))
+        .withColumn("quota_bytes", lit(9L))
+        .withColumn("owner", lit("o"))
+      for (_ <- 0 until 3) {
+        val prevKey = rnd.nextInt(4) match {
+          case 0 => ""
+          case 1 => "ghost"
+          case _ => vols(rnd.nextInt(vols.size))
+        }
+        val limit = 1 + rnd.nextInt(4)
+        val expVols =
+          if (prevKey.isEmpty) vols.take(limit)
+          else if (!vols.contains(prevKey)) Nil
+          else vols.dropWhile(_ != prevKey).drop(1).take(limit)
+        val gotVols = Listing.reconVolumes(vls, objs, limit, prevKey)
+          .select("volume").as[String].collect().toList
+        assert(gotVols === expVols, s"trial $trial prev $prevKey")
+        val vol = if (rnd.nextInt(5) == 0) "nope"
+          else vols(rnd.nextInt(vols.size))
+        val inVol = cat.filter(_._1 == vol).map(_._2).sorted
+        val startB = rnd.nextInt(3) match {
+          case 0 => ""
+          case 1 if inVol.nonEmpty => inVol(rnd.nextInt(inVol.size))
+          case _ => "bucket3"
+        }
+        val expBks =
+          if (!vols.contains(vol)) Nil
+          else inVol.filter(b => startB.isEmpty || b > startB).take(limit)
+        val gotBks = Listing.reconBuckets(bks, objs, vol, startB, limit)
+          .select("bucket").as[String].collect().toList
+        assert(gotBks === expBks, s"trial $trial vol $vol start $startB")
+      }
+    }
+  }
 }
