@@ -119,6 +119,8 @@ object SparkEntry {
     // the health-check chain fold is a container-dim fixture consumed by
     // two queries (chain + report) — its one-off derivation is ingest cost
     healthChainCached(s, d).count()
+    // the nested key-table attributes are stored value fields (OmKeyInfo)
+    T.objectsNested(s, d).count()
   }
 
   // The synthesized CDC log is an ingest-time artifact (the real system

@@ -670,8 +670,13 @@ object Tables {
    * All nested values derive deterministically from flat columns so oracle
    * queries have closed flat forms.
    */
+  // The nested attributes (tags map, acl array, chunk locations) are
+  // PERSISTED key-table value fields in the reference (OmKeyInfo), not a
+  // per-query derivation — memoize like the other stored tables so the
+  // five consumers (tag expiry, acl probes, locations, merkle) pay a
+  // parquet scan, not a per-row array/struct re-synthesis each.
   def objectsNested(spark: SparkSession, dir: String): DataFrame =
-    nestedFrom(objects(spark, dir))
+    memoPersist(spark, "nested", dir)(nestedFrom(objects(spark, dir)))
 
   /** The nested-column synthesis over ANY objects-shaped input (shared by
     * the catalog table and the 10× scale probe). */
