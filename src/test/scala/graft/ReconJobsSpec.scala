@@ -119,9 +119,10 @@ class ReconJobsSpec extends SparkSpecBase {
   test("pendingDeletion: validation rungs, dn limit, om size additivity") {
     val sf = "/root/testdata/sf0.001"
     val T = graft.core.Tables
-    val rows = ReconJobs.pendingDeletionDispatch(T.objects(spark, sf),
-        T.objectsMixed(spark, sf), T.deletedDirs(spark, sf),
-        T.replicas(spark, sf), T.containersScm(spark, sf))
+    val rows = ReconJobs.pendingDeletionDispatch(
+        ReconJobs.pendingDeletionRollups(T.objects(spark, sf),
+          T.objectsMixed(spark, sf), T.deletedDirs(spark, sf),
+          T.replicas(spark, sf), T.containersScm(spark, sf)))
       .collect()
     def of(rid: Long) = rows.filter(_.getAs[Long]("req_id") == rid)
     assert(of(1).map(_.getAs[String]("verdict")).toSeq ===
