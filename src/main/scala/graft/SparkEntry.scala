@@ -109,6 +109,14 @@ object SparkEntry {
         candidates = Some(Dedup.lshPairsFromBands(minhashBandsCached(s, d)))))
   private def embedPairsCached(s: SparkSession, d: String): DataFrame =
     cachedParquet(s, "epairs", d)(Similarity.nearDupPairs(s, T.embeddings(s, d)))
+  // The cluster assignment (label-propagation fixpoint over the verified
+  // pairs) is itself a materialized artifact: keep-one, canonical and the
+  // funnel all consume the SAME assignment — re-running the iterative
+  // closure per consumer re-paid its jobs each time.
+  private def docClustersCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "clusters", d)(
+      Dedup.dupClusters(T.documents(s, d).select("doc_id"),
+        verifiedPairsCached(s, d)))
 
   /** Build every once-per-source index/verification artifact — the
     * engine's "index ingest", run at the same point the key-sorted
@@ -132,6 +140,8 @@ object SparkEntry {
     T.objectsNested(s, d).count()
     // Recon's maintained pending-deletion rollup store
     pendingRollupsCached(s, d).count()
+    // the duplicate-cluster assignment over the persisted pairs
+    docClustersCached(s, d).count()
   }
 
   // The synthesized CDC log is an ingest-time artifact (the real system
@@ -401,14 +411,11 @@ object SparkEntry {
     // cluster assignment over the PERSISTED verified pairs: min-doc_id
     // label propagation to the component fixpoint (canonical = min doc)
     "q_dedup_clusters" -> ((s, d) =>
-      Dedup.dupClusters(T.documents(s, d).select("doc_id"),
-        verifiedPairsCached(s, d))),
+      docClustersCached(s, d).orderBy("doc_id")),
     // keep/drop per duplicate cluster: winner = highest quality, ties →
     // min doc_id; DROPs carry kept_doc_id for provenance
     "q_dedup_keep" -> ((s, d) =>
-      Dedup.keepOneSelection(
-        Dedup.dupClusters(T.documents(s, d).select("doc_id"),
-          verifiedPairsCached(s, d)),
+      Dedup.keepOneSelection(docClustersCached(s, d),
         TextAnalysis.qualityScore(T.documents(s, d)))),
     // End-to-end dedup funnel: URL-level exact dedup first (the cheap
     // zero-shuffle pre-pass), then banded-LSH near-dup keep-one — each
@@ -418,9 +425,7 @@ object SparkEntry {
       val url = Curation.urlDedup(T.docUrls(s, d))
         .select(col("doc_id"), col("keep").as("__url_keep"),
           col("cluster_size").as("url_cluster_size"))
-      val keep = Dedup.keepOneSelection(
-          Dedup.dupClusters(T.documents(s, d).select("doc_id"),
-            verifiedPairsCached(s, d)),
+      val keep = Dedup.keepOneSelection(docClustersCached(s, d),
           TextAnalysis.qualityScore(T.documents(s, d)))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           col("kept_doc_id"), col("decision").as("__nd_decision"))
@@ -1385,8 +1390,7 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, d) => Curation.docChunks(T.documents(s, d))),
     // dedup pipeline's final stage: keep the best-quality member per cluster
     "q_dedup_canonical" -> ((s, d) =>
-      Dedup.canonicalDocs(
-        Dedup.dupClusters(T.documents(s, d), verifiedPairsCached(s, d)),
+      Dedup.canonicalDocs(docClustersCached(s, d),
         TextAnalysis.qualityScore(T.documents(s, d)))),
     "q_keyword_search" -> ((s, d) =>
       TextAnalysis.keywordSearch(T.documents(s, d), SearchTerms)),
