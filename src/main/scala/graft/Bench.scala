@@ -238,21 +238,6 @@ object Bench {
           graft.operators.Similarity.quantized(emb10))
         .write.mode("overwrite").parquet(wh10 + "/cents")
       val cents10 = spark.read.parquet(wh10 + "/cents")
-      // 10× document corpus for the dedup probes: clones carry a per-rep
-      // token suffix so they are NEAR-dups of the original (high shingle
-      // overlap — the realistic LSH load), not byte-identical copies.
-      // MinHash bands are an ingest-time index (untimed, like centroids).
-      T.documents(spark, sfDir)
-        .crossJoin(spark.range(10).toDF("rep"))
-        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("rep"))
-        .withColumn("text", F.concat(F.col("text"), F.lit(" rep"),
-          F.col("rep").cast("string")))
-        .drop("rep")
-        .write.mode("overwrite").parquet(wh10 + "/docs")
-      val docs10 = spark.read.parquet(wh10 + "/docs")
-      graft.operators.Dedup.minhashBands(docs10)
-        .write.mode("overwrite").parquet(wh10 + "/bands")
-      val bands10 = spark.read.parquet(wh10 + "/bands")
       // probes read the MATERIALIZED 10× warehouse (sorted10), never the
       // lazy obj10 synthesis: re-deriving the crossJoin per probe made the
       // probe time synthesis-bound and heap-sensitive (observed 2.9s vs
@@ -296,17 +281,7 @@ object Bench {
           graft.operators.Similarity.annTopK(emb10).count()),
         "q_ann_ivf" -> (() =>
           graft.operators.Similarity.annIvf(emb10,
-            precomputedCentroids = Some(cents10)).count()),
-        // dedup at 10× documents: the banded-LSH candidate join over the
-        // prebuilt bands (Σ bucket², never n²), exact dedup's one hash
-        // shuffle, and paragraph dedup's id-only global shuffle — the
-        // three shapes the 100 TB question asks about
-        "q_dedup_minhash_lsh" -> (() =>
-          graft.operators.Dedup.lshPairsFromBands(bands10).count()),
-        "q_dedup_exact" -> (() =>
-          graft.operators.Dedup.exactDedup(docs10).count()),
-        "q_paragraph_dedup" -> (() =>
-          graft.operators.Dedup.paragraphDedup(docs10).count()))
+            precomputedCentroids = Some(cents10)).count()))
       // three reps, report the best: the fresh probe JVM starts with a
       // cold JIT, and the per-row fold kernels (ns-summary, winner fold)
       // run 5-10× slower uncompiled — the warm rep is the plan's real
@@ -314,19 +289,51 @@ object Bench {
       // A GC between probes keeps a previous probe's garbage from
       // stalling the next one mid-measurement (observed 1.2 s vs 19.5 s
       // for the SAME warm fold when a collection landed inside it).
-      val times = probes.map { case (name, run) =>
-        System.gc()
-        val reps = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          try run()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] sf1:$name FAILED: ${e.getMessage}")
-            spark.stop(); sys.exit(1)
+      def timeAll(ps: Seq[(String, () => Long)]): Seq[(String, Double)] =
+        ps.map { case (name, run) =>
+          System.gc()
+          val reps = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            try run()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1:$name FAILED: ${e.getMessage}")
+              spark.stop(); sys.exit(1)
+            }
+            secs(t0)
           }
-          secs(t0)
+          name -> reps.min
         }
-        name -> reps.min
-      }
+      val nsTimes = timeAll(probes)
+      // 10× document corpus for the dedup probes, built AFTER the
+      // namespace probes so its shingle-heavy synthesis can't dirty the
+      // heap the GC-sensitive folds above run in (observed q_ns_summary
+      // 0.84 → 2.47 s with the build placed before them). Clones carry a
+      // per-rep token suffix so they are NEAR-dups of the original (high
+      // shingle overlap — the realistic LSH load), not byte-identical
+      // copies; minhash bands are an ingest-time index (untimed, like
+      // the IVF centroids).
+      T.documents(spark, sfDir)
+        .crossJoin(spark.range(10).toDF("rep"))
+        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("rep"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" rep"),
+          F.col("rep").cast("string")))
+        .drop("rep")
+        .write.mode("overwrite").parquet(wh10 + "/docs")
+      val docs10 = spark.read.parquet(wh10 + "/docs")
+      graft.operators.Dedup.minhashBands(docs10)
+        .write.mode("overwrite").parquet(wh10 + "/bands")
+      val bands10 = spark.read.parquet(wh10 + "/bands")
+      // dedup at 10× documents: the banded-LSH candidate join over the
+      // prebuilt bands (Σ bucket², never n²), exact dedup's one hash
+      // shuffle, and paragraph dedup's id-only global shuffle — the
+      // three shapes the 100 TB question asks about
+      val times = nsTimes ++ timeAll(Seq(
+        "q_dedup_minhash_lsh" -> (() =>
+          graft.operators.Dedup.lshPairsFromBands(bands10).count()),
+        "q_dedup_exact" -> (() =>
+          graft.operators.Dedup.exactDedup(docs10).count()),
+        "q_paragraph_dedup" -> (() =>
+          graft.operators.Dedup.paragraphDedup(docs10).count())))
       val m = times.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       // the 10x warehouse is probe-only — reclaim it before reporting
