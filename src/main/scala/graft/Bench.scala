@@ -340,7 +340,9 @@ object Bench {
       graft.streaming.ChangeStream.deleteRecursively(
         java.nio.file.Paths.get(wh10))
       spark.stop()
-      val repsJson = ingestReps.map(r => f"$r%.2f").mkString("[", ",", "]")
+      // raw doubles like every other number here — an f"%.2f" interpolator
+      // renders a decimal COMMA under comma-locales and corrupts the JSON
+      val repsJson = ingestReps.mkString("[", ",", "]")
       s""","sf1":$m,"sf1_ingest_sec":$ingestSec,"sf1_ingest_reps":$repsJson"""
   }
 }

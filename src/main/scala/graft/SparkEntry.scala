@@ -208,7 +208,7 @@ object SparkEntry {
     "q_dbg_render_edges" -> ((s, _) =>
       s.sql("""SELECT * FROM VALUES
         (1L, true,  CAST(-5 AS BIGINT), ''),
-        (2L, false, CAST(0 AS BIGINT), 'a|b'),
+        (2L, false, CAST(0 AS BIGINT), 'a;b'),
         (3L, CAST(NULL AS BOOLEAN), 9223372036854775807L,
          CAST(NULL AS STRING))
         AS t(id, flag, n, s) ORDER BY id""")),
@@ -1158,7 +1158,8 @@ object SparkEntry {
     // moved-copy dups) is a fixture of the container dim — memoized to
     // parquet once per (JVM, dir) and shared with q_replication_report,
     // which re-derives its increments from the same rows (VERDICT r8 #2).
-    "q_health_check_chain" -> ((s, d) => healthChainCached(s, d)),
+    "q_health_check_chain" -> ((s, d) =>
+      healthChainCached(s, d).orderBy("container_id")),
     // ozone admin container report: per-state counts with 100-capped
     // id samples in chain-visit order, the side-rung reports included.
     "q_replication_report" -> ((s, d) =>
@@ -1637,7 +1638,7 @@ object SparkEntry {
     "q_dbg_render_edges" ->
       """SELECT * FROM (VALUES
         |  (1, true,  CAST(-5 AS BIGINT), ''),
-        |  (2, false, CAST(0 AS BIGINT), 'a|b'),
+        |  (2, false, CAST(0 AS BIGINT), 'a;b'),
         |  (3, CAST(NULL AS BOOLEAN), 9223372036854775807,
         |   CAST(NULL AS VARCHAR))) t(id, flag, n, s)
         |ORDER BY id""".stripMargin,
@@ -11603,7 +11604,7 @@ object SparkEntry {
         |  FROM (
         |    SELECT doc_id,
         |      ('0x' || substr(md5(para), 1, 15))::BIGINT AS h,
-        |      doc_id * 1000000 + p AS packed
+        |      doc_id * 1000000000 + p AS packed
         |    FROM (
         |      SELECT doc_id, p,
         |        array_to_string(ws[p * 12 + 1 : p * 12 + 12], ' ')

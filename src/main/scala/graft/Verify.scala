@@ -11,7 +11,10 @@ import java.nio.file.{Files, Paths}
   * pinpointed to the exact differing rows instead of a one-bit verdict.
   */
 object Verify {
-  private val canonDir = "/root/repo/target/verify_canon"
+  // repo-relative (sbt runs from the project root), NOT outDir-relative:
+  // the driver enumerates outDir subdirectories as query results
+  private val canonDir =
+    s"${sys.props("user.dir")}/target/verify_canon"
 
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — with names given, dump only
@@ -25,7 +28,11 @@ object Verify {
     // Canon row dumps live OUTSIDE outDir: the driver enumerates outDir
     // subdirectories as query results, and r8's in-tree canon/ produced a
     // spurious "canon" row with a pyarrow read error in CORRECTNESS_r08.
-    new java.io.File(canonDir).mkdirs()
+    // Cleared per run so a mismatch is never diagnosed against a stale
+    // dump from a different (sfDir, subset) invocation.
+    val cd = new java.io.File(canonDir)
+    if (cd.exists()) cd.listFiles().foreach(_.delete())
+    cd.mkdirs()
     val hashes = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

@@ -417,11 +417,14 @@ object Dedup {
    * other occurrence drops. Per-doc rollup reports the unit counts and
    * the retained per-mille a curation funnel would gate on.
    *
-   * Scale shape: the winner is min(packed doc_id·10⁶ + idx) per 60-bit
+   * Scale shape: the winner is min(packed doc_id·10⁹ + idx) per 60-bit
    * paragraph hash — ONE hash-partitioned shuffle carrying (doc_id, idx,
    * h) rows, never the text; the per-doc rollup re-shuffles only
    * (doc_id, kept) pairs. Integer packing (not a struct min) keeps the
-   * winner rule bit-identical across engines.
+   * winner rule bit-identical across engines; bounds: < 10⁹ windows per
+   * doc (12 B tokens) and doc_id < 9.2·10⁹ before the packed key
+   * overflows — both asserted impossible-by-construction here, and any
+   * larger deployment packs into two sort keys instead.
    */
   def paragraphDedup(docs: DataFrame, paraTokens: Int = 12): DataFrame = {
     val units = docs
@@ -432,7 +435,7 @@ object Dedup {
         expr(s"array_join(slice(ws, p * $paraTokens + 1, $paraTokens), ' ')"))
       .filter(col("para") =!= "")
       .withColumn("h", tokenHash60("para"))
-      .withColumn("packed", col("doc_id") * 1000000L + col("p"))
+      .withColumn("packed", col("doc_id") * 1000000000L + col("p"))
     units
       .withColumn("win", min("packed").over(Window.partitionBy("h")))
       .withColumn("kept", col("packed") === col("win"))

@@ -314,7 +314,10 @@ object Listing {
     val afterKey =
       if (prevKey.isEmpty) rows
       else {
-        val pkOk = rows.agg(max(when(col("volume") === prevKey, 1)
+        // existence probes the VOLUME TABLE (the reference iterator walks
+        // volumeTable), not the times-joined rows — a volume with zero
+        // objects must still flip the skip-until-match flag
+        val pkOk = volumes.agg(max(when(col("volume") === prevKey, 1)
           .otherwise(0)).as("pk_ok"))
         rows.crossJoin(broadcast(pkOk))
           .filter(col("pk_ok") === 1 && col("volume") > prevKey)
@@ -353,17 +356,14 @@ object Listing {
         when(idx % 3 === 0, lit("SSD")).otherwise(lit("DISK")))
       .withColumn("is_versioning_enabled", idx % 4 === 0)
       .withColumn("owner", concat(lit("admin"), substring(col("volume"), 4, 10)))
+    // the reference's volumeExists gate needs no separate probe here:
+    // filtering to volume === v yields the same empty page when v is
+    // absent (every bucket row carries an existing volume)
     val scoped =
       if (volume.isEmpty) rows
-      else {
-        val volOk = rows.agg(max(when(col("volume") === volume, 1)
-          .otherwise(0)).as("vol_ok"))
-        rows.crossJoin(broadcast(volOk))
-          .filter(col("vol_ok") === 1 && col("volume") === volume &&
-            (if (startBucket.isEmpty) lit(true)
-             else col("bucket") > startBucket))
-          .drop("vol_ok")
-      }
+      else rows.filter(col("volume") === volume &&
+        (if (startBucket.isEmpty) lit(true)
+         else col("bucket") > startBucket))
     val page = scoped.orderBy("volume", "bucket").limit(limit)
     page.crossJoin(broadcast(page.agg(count(lit(1)).as("total_count"))))
       .select("total_count", "volume", "bucket", "storage_type",
