@@ -102,6 +102,18 @@ class ReconJobsSpec extends SparkSpecBase {
     assert(Listing.reconVolumes(volumes, objects, 10, "ghost").count() === 0)
   }
 
+  test("reconVolumes: a zero-object volume still flips the skip flag") {
+    // the iterator walks the VOLUME TABLE — an empty volume is a real
+    // row there even though the times join drops it from the page
+    val withEmpty = volumes.unionByName(
+      Seq(("vol1a", 0L, 0L, 0L, 1000L, "adminx"))
+        .toDF("volume", "used_bytes", "used_namespace", "bucket_count",
+          "quota_bytes", "owner"))
+    val got = Listing.reconVolumes(withEmpty, objects, 10, "vol1a")
+      .select("volume").as[String].collect().toSeq
+    assert(got === Seq("vol2", "vol3"))
+  }
+
   test("reconBuckets: volume-scoped exclusive startBucket page") {
     val got = Listing.reconBuckets(buckets, objects, "vol2", "bucket3", 5)
       .select("total_count", "bucket", "used_bytes")
