@@ -142,6 +142,12 @@ object SparkEntry {
     pendingRollupsCached(s, d).count()
     // the duplicate-cluster assignment over the persisted pairs
     docClustersCached(s, d).count()
+    // raw `orders` is the one base table no memoized artifact reads —
+    // without a warmup scan its first-touch parquet footer + page-cache
+    // cost lands on whichever audit/heatmap query runs first in a bench
+    // session (r9 charged it to q_heatmap: 2.72× the r1 recording on an
+    // unchanged plan)
+    T.auditAccess(s, d).count()
   }
 
   // The synthesized CDC log is an ingest-time artifact (the real system
@@ -181,26 +187,15 @@ object SparkEntry {
     Lifecycle.LcRule("r2", "warehouse/A/", None, 852076800000L))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- driver-gate bisect probes (VERDICT r8 #1) ----
-    // Hypothesis under test: the 7 r7/r8 hash-only mismatches are exactly
-    // the oracles whose FINAL output contains an uncast DuckDB sum()
-    // (HUGEINT/int128) — the only exotic result type across all 288
-    // oracles, and the driver's gate renders HUGEINT differently from the
-    // Spark parquet BIGINT. The two *_hugeint probes keep the uncast sum
-    // (expected: driver hash-FAIL), the *_bigint twin casts it (expected:
-    // PASS); q_dbg_render_edges pins booleans/negatives/empty-string/NULL
-    // rendering (expected: PASS). Their 2x2 verdict in CORRECTNESS_r09
-    // localizes the divergence independently of the 7 production fixes.
-    "q_dbg_hugeint_sum" -> ((s, _) =>
-      s.range(100).selectExpr("id % 5 AS grp", "id AS r")
-        .groupBy("grp").agg(org.apache.spark.sql.functions.sum("r").as("s"))
-        .orderBy("grp")),
-    "q_dbg_hugeint_win" -> ((s, _) =>
-      s.range(20).selectExpr("id % 4 AS grp", "id AS r")
-        .selectExpr("grp", "r",
-          "sum(r) OVER (PARTITION BY grp ORDER BY r " +
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum")
-        .orderBy("grp", "r")),
+    // ---- driver-gate rendering pins (VERDICT r8 #1, closed r9) ----
+    // The r7/r8 hash-only mismatches were oracles whose FINAL output was
+    // an uncast DuckDB sum() (HUGEINT/int128), rendered differently from
+    // the Spark parquet BIGINT by the driver's gate. The 2x2 bisect
+    // probes recorded their expected-FAIL evidence in CORRECTNESS_r09 and
+    // were retired (VERDICT r9 #1); tools/oracle_check.py's TYPELINT now
+    // guards the whole class. The two green pins below stay as standing
+    // regression guards: q_dbg_bigint_sum pins cast-sum portability,
+    // q_dbg_render_edges pins boolean/negative/empty-string/NULL canon.
     "q_dbg_bigint_sum" -> ((s, _) =>
       s.range(100).selectExpr("id % 5 AS grp", "id AS r")
         .groupBy("grp").agg(org.apache.spark.sql.functions.sum("r").as("s"))
@@ -1623,15 +1618,7 @@ object SparkEntry {
   }
 
   private def oracleBase: Map[String, String] = Map(
-    // driver-gate bisect probes — see the q_dbg_* comment in `queries`
-    "q_dbg_hugeint_sum" ->
-      """SELECT r % 5 AS grp, sum(r) AS s
-        |FROM range(100) t(r) GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_dbg_hugeint_win" ->
-      """SELECT r % 4 AS grp, r,
-        |  sum(r) OVER (PARTITION BY r % 4 ORDER BY r
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
-        |FROM range(20) t(r) ORDER BY grp, r""".stripMargin,
+    // driver-gate rendering pins — see the q_dbg_* comment in `queries`
     "q_dbg_bigint_sum" ->
       """SELECT r % 5 AS grp, CAST(sum(r) AS BIGINT) AS s
         |FROM range(100) t(r) GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -59,17 +59,22 @@ def table_hash(cols, rows):
 
 ok = fail = 0
 names = only if only else sorted(oracle.keys())
+# Per-query verdicts, dumped to {OUT}/oracle_check_results.json so a
+# lint-only failure is captured in an artifact, not just stdout
+# (ADVICE r9: TYPELINT failures were invisible in the JSON verdict).
+results = {}
 
 # Type lint: an oracle whose FINAL output carries a DuckDB-only type
 # (HUGEINT from an uncast sum(), DECIMAL, UINT*) renders differently from
 # the Spark parquet in the driver's gate even when values are equal —
-# this was the root cause of the 7 r7/r8 hash-only mismatches. The two
-# q_dbg_hugeint_* probes keep an uncast sum ON PURPOSE (driver bisect).
+# this was the root cause of the 7 r7/r8 hash-only mismatches (bisected
+# and fixed in r9; the q_dbg_hugeint_* probes are retired). Extend
+# ALLOWED_TYPES deliberately as new output types appear — each addition
+# needs a rendering pin like q_dbg_render_edges proving Spark parquet
+# and DuckDB canon agree for that type.
 ALLOWED_TYPES = {"BIGINT", "INTEGER", "VARCHAR", "BOOLEAN", "DOUBLE",
                  "SMALLINT", "TINYINT"}
 for name in names:
-    if name.startswith("q_dbg_hugeint"):
-        continue
     sql = oracle.get(name)
     if sql is None:
         continue
@@ -80,24 +85,33 @@ for name in names:
     bad = [(c, t) for c, t, *_ in desc if t.split("(")[0] not in ALLOWED_TYPES]
     if bad:
         print(f"TYPELINT {name}: non-portable output types {bad}")
+        results[name] = {"status": "fail", "err": f"typelint: {bad}"}
         fail += 1
 for name in names:
     sql = oracle.get(name)
     pq = f"{OUT}/{name}"
     if not os.path.isdir(pq):
-        print(f"MISSING  {name} (no spark output)"); fail += 1; continue
+        print(f"MISSING  {name} (no spark output)")
+        results[name] = {"status": "fail", "err": "missing spark output"}
+        fail += 1; continue
     try:
         scols, srows = (lambda r: ([d[0] for d in r.description], r.fetchall()))(
             con.execute(f"SELECT * FROM '{pq}/*.parquet'"))
         dcols, drows = (lambda r: ([d[0] for d in r.description], r.fetchall()))(
             con.execute(sql))
     except Exception as e:
-        print(f"ERROR    {name}: {str(e).splitlines()[0]}"); fail += 1; continue
+        print(f"ERROR    {name}: {str(e).splitlines()[0]}")
+        results[name] = {"status": "fail",
+                         "err": str(e).splitlines()[0]}
+        fail += 1; continue
     if sorted(scols) != sorted(dcols):
         print(f"SCHEMA   {name}: spark={sorted(scols)} duck={sorted(dcols)}")
+        results[name] = {"status": "fail", "err": "schema mismatch"}
         fail += 1; continue
     if len(srows) != len(drows):
         print(f"ROWS     {name}: spark={len(srows)} duck={len(drows)}")
+        results[name] = {"status": "fail",
+                         "err": f"rows spark={len(srows)} duck={len(drows)}"}
         fail += 1; continue
     hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
     if hs != hd:
@@ -113,8 +127,12 @@ for name in names:
                 print(f"  spark: {a.split(chr(1))}")
                 print(f"  duck:  {b.split(chr(1))}")
                 break
+        results[name] = {"status": "fail", "err": "hash mismatch"}
         fail += 1; continue
     print(f"OK       {name} ({len(srows)} rows)")
+    # don't overwrite an earlier TYPELINT verdict with a value-level OK
+    if results.get(name, {}).get("status") != "fail":
+        results[name] = {"status": "ok", "rows": len(srows)}
     ok += 1
     # cross-check graft.Verify's Scala canon hash against ours: a
     # divergence here means HASHES.json wouldn't expose a driver-side
@@ -123,5 +141,7 @@ for name in names:
     if want is not None and want != f"{len(srows)}:{hs}":
         print(f"  CANON-DRIFT {name}: scala={want} py={len(srows)}:{hs}")
 
+with open(f"{OUT}/oracle_check_results.json", "w") as f:
+    json.dump(results, f, indent=1, sort_keys=True)
 print(f"\n{ok} ok, {fail} failed / {len(names)} checked")
 sys.exit(1 if fail else 0)
