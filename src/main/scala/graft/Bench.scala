@@ -199,9 +199,6 @@ object Bench {
         .write.partitionBy("volume", "bucket").mode("overwrite")
         .parquet(wh10 + "/warm")
       // the key-sorted warehouse is INGEST cost (reported separately).
-      // 3 reps with per-rep times in the JSON: the r7↔r8 28.9↔39.6 s
-      // swing was a single-draw measurement — the reps make GC/JIT
-      // variance attributable, the median is the headline number.
       def ingestOnce(): Double = {
         val tI = System.nanoTime()
         obj10.repartition(F.col("volume"), F.col("bucket"))
@@ -217,10 +214,14 @@ object Bench {
           .parquet(wh10 + "/snap2")
         secs(tI)
       }
-      // 5 reps: consecutive same-code runs still drew 18.6 vs 31.4 s
-      // 3-rep medians (page-cache/GC state), a 5-rep median damps that
-      val ingestReps = (1 to 5).map { _ => System.gc(); ingestOnce() }
-      val ingestSec = ingestReps.sorted.apply(2)
+      // ONE untimed materialize here — the probes need the stored 10×
+      // warehouse, but the TIMED 5-rep ingest block runs LAST (after all
+      // probes): r9 recorded the fold probes 3-4× slower on unchanged
+      // code after the ingest went 3→5 reps in front of them — two extra
+      // full 10× write passes of heap churn in the same JVM is exactly
+      // the contamination the probe-first design exists to avoid
+      // (VERDICT r9 #2).
+      ingestOnce()
       val sorted10 = spark.read.parquet(wh10 + "/objects")
       val snap1 = spark.read.parquet(wh10 + "/snap1")
       val snap2 = spark.read.parquet(wh10 + "/snap2")
@@ -289,7 +290,11 @@ object Bench {
       // A GC between probes keeps a previous probe's garbage from
       // stalling the next one mid-measurement (observed 1.2 s vs 19.5 s
       // for the SAME warm fold when a collection landed inside it).
-      def timeAll(ps: Seq[(String, () => Long)]): Seq[(String, Double)] =
+      // per-probe rep arrays ride into bench_out.json (sf1_reps) so a
+      // regressed headline is attributable to code cost vs a GC/JIT
+      // landing — the r9 fold-probe regression was undiagnosable from
+      // the min alone (VERDICT r9 #2).
+      def timeAll(ps: Seq[(String, () => Long)]): Seq[(String, Seq[Double])] =
         ps.map { case (name, run) =>
           System.gc()
           val reps = (1 to 3).map { _ =>
@@ -301,7 +306,7 @@ object Bench {
             }
             secs(t0)
           }
-          name -> reps.min
+          name -> reps
         }
       val nsTimes = timeAll(probes)
       // 10× document corpus for the dedup probes, built AFTER the
@@ -334,8 +339,18 @@ object Bench {
           graft.operators.Dedup.exactDedup(docs10).count()),
         "q_paragraph_dedup" -> (() =>
           graft.operators.Dedup.paragraphDedup(docs10).count())))
-      val m = times.map { case (k, v) => s"\"" + k + "\":" + v }
+      // timed ingest LAST: by now every probe has its number, so the
+      // write passes' heap churn can no longer contaminate anything.
+      // 5 reps (consecutive same-code runs drew 18.6 vs 31.4 s 3-rep
+      // medians from page-cache/GC state), median headline, raw reps in
+      // the JSON.
+      val ingestReps = (1 to 5).map { _ => System.gc(); ingestOnce() }
+      val ingestSec = ingestReps.sorted.apply(2)
+      val m = times.map { case (k, v) => s"\"" + k + "\":" + v.min }
         .mkString("{", ",", "}")
+      val mReps = times.map { case (k, v) =>
+        s"\"" + k + "\":" + v.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
       // the 10x warehouse is probe-only — reclaim it before reporting
       graft.streaming.ChangeStream.deleteRecursively(
         java.nio.file.Paths.get(wh10))
@@ -343,6 +358,7 @@ object Bench {
       // raw doubles like every other number here — an f"%.2f" interpolator
       // renders a decimal COMMA under comma-locales and corrupts the JSON
       val repsJson = ingestReps.mkString("[", ",", "]")
-      s""","sf1":$m,"sf1_ingest_sec":$ingestSec,"sf1_ingest_reps":$repsJson"""
+      s""","sf1":$m,"sf1_reps":$mReps,""" +
+        s""""sf1_ingest_sec":$ingestSec,"sf1_ingest_reps":$repsJson"""
   }
 }

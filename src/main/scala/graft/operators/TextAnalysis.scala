@@ -334,17 +334,62 @@ object TextAnalysis {
    * cuts at n DIV 3 and 2n DIV 3.
    *
    * Scale shape: the familiarity rollup is the existing gram-join; the
-   * ranking is one window per source partition — domains are few and
-   * large, so the sort stays distributed (no global window).
+   * per-source rank deliberately avoids `Window.partitionBy(source)` —
+   * sources are FEW and LARGE, so a per-source window is a per-source
+   * global sort through ONE reducer (the r9 scale defect). Instead the
+   * two-pass range-partition + prefix-offset idiom ([[Joins.snapshotDiffPage]],
+   * ChangeLog.events): range-partition on the full rank order (source,
+   * familiarity desc, doc_id) so partition boundaries respect it, count
+   * each source's rows per partition (a tiny numParts × n_sources matrix,
+   * prefix-summed on the driver), then stream exact ranks per partition.
+   * Every partition does bounded work regardless of source cardinality.
    */
   def ccnetBuckets(docs: DataFrame, lm: DataFrame): DataFrame = {
     val fam = lmFamiliarity(docs, lm).select("doc_id", "familiarity_pm")
-    val wRank = Window.partitionBy("source")
-      .orderBy(col("familiarity_pm").desc, col("doc_id"))
-    docs.select("doc_id", "source").join(fam, Seq("doc_id"))
-      .withColumn("rank_in_source", row_number().over(wRank).cast("long"))
-      .withColumn("n_in_source",
-        count(lit(1)).over(Window.partitionBy("source")))
+    val joined = docs.select("doc_id", "source").join(fam, Seq("doc_id"))
+    val ranked = joined
+      .repartitionByRange(8, col("source"), col("familiarity_pm").desc,
+        col("doc_id"))
+      .sortWithinPartitions(col("source"), col("familiarity_pm").desc,
+        col("doc_id"))
+    val rdd = ranked.rdd
+    val srcAt = ranked.schema.fieldIndex("source")
+    // pass 1: per-(partition, source) row counts — numParts × n_sources
+    // values, safely driver-sized (this is metadata, not data)
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val s = r.getString(srcAt); m.update(s, m.getOrElse(s, 0L) + 1L)
+      }
+      Iterator((i, m.toSeq))
+    }.collect().sortBy(_._1)
+    val totals = perPart.flatMap(_._2).groupBy(_._1)
+      .map { case (s, xs) => (s, xs.map(_._2).sum) }
+    val offsets = scala.collection.mutable.Map.empty[(Int, String), Long]
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    perPart.foreach { case (i, bySource) =>
+      bySource.foreach { case (s, n) =>
+        offsets((i, s)) = running.getOrElse(s, 0L)
+        running(s) = running.getOrElse(s, 0L) + n
+      }
+    }
+    val sess = ranked.sparkSession
+    val bOff = sess.sparkContext.broadcast(offsets.toMap)
+    val bTot = sess.sparkContext.broadcast(totals)
+    val schema = ranked.schema
+      .add("rank_in_source", "long").add("n_in_source", "long")
+    // pass 2: rows within a partition are already in rank order; the
+    // offset map turns local position into the exact global-in-source rank
+    val withRank = rdd.mapPartitionsWithIndex { (i, it) =>
+      val cur = scala.collection.mutable.Map.empty[String, Long]
+      it.map { r =>
+        val s = r.getString(srcAt)
+        val rank = cur.getOrElse(s, bOff.value.getOrElse((i, s), 0L)) + 1L
+        cur(s) = rank
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank :+ bTot.value(s))
+      }
+    }
+    sess.createDataFrame(withRank, schema)
       .withColumn("bucket",
         when(col("rank_in_source") <= expr("n_in_source DIV 3"),
           lit("head"))
