@@ -870,6 +870,15 @@ object SparkEntry {
       CommitLog.keyPurgeDecisions(T.keyPurgeRequests(s, d),
         T.keyPurgeBucketSizes(s, d), T.snapshotChainGlobal(s, d),
         T.buckets(s, d))),
+    // DirectoriesPurge apply ladder (FSO dual of q_key_purge): same
+    // snapshot probe + chain fence, then per-entry gated refunds —
+    // per-row ns/bytes givebacks, gate-independent hsync tagging,
+    // row-counted sub-files vs deduped sub-dirs minus deleted dirs,
+    // and NO empty-list error rung.
+    "q_dir_purge" -> ((s, d) =>
+      CommitLog.dirPurgeDecisions(T.dirPurgeRequests(s, d),
+        T.dirPurgeEntries(s, d), T.snapshotChainGlobal(s, d),
+        T.buckets(s, d))),
     // SnapshotMoveTableKeys ladder: the snapshot-GC move of buffered
     // deleted/renamed/deleted-dir entries to the next path snapshot (or
     // AOS) — from-snapshot probe first, per-table prefix/dup walk with
@@ -6980,6 +6989,133 @@ object SparkEntry {
         |  LEFT JOIN kp_cat c
         |    ON c.volume = s.volume AND c.bucket = s.bucket
         |  GROUP BY s.req_id)""".stripMargin),
+
+    // DirectoriesPurge mirror: same chain-prev/latest probe as key purge,
+    // per-row gated refunds, dedup'd sub-dirs minus deleted dirs,
+    // gate-independent hsync tagging, no empty-list rung.
+    "q_dir_purge" -> O.withCtes(
+      """SELECT req_id, from_snapshot, decision,
+        |  CASE WHEN decision = 'PURGED' THEN coalesce(dirs_deleted, 0)
+        |    ELSE 0 END AS dirs_deleted,
+        |  CASE WHEN decision = 'PURGED' THEN coalesce(subdirs_moved, 0)
+        |    ELSE 0 END AS subdirs_moved,
+        |  CASE WHEN decision = 'PURGED' THEN coalesce(subfiles_moved, 0)
+        |    ELSE 0 END AS subfiles_moved,
+        |  CASE WHEN decision = 'PURGED' THEN coalesce(ns_refunded, 0)
+        |    ELSE 0 END AS ns_refunded,
+        |  CASE WHEN decision = 'PURGED' THEN coalesce(bytes_refunded, 0)
+        |    ELSE 0 END AS bytes_refunded,
+        |  CASE WHEN decision = 'PURGED' THEN coalesce(snap_ns_purged, 0)
+        |    ELSE 0 END AS snap_ns_purged,
+        |  CASE WHEN decision = 'PURGED' THEN coalesce(opens_tagged, 0)
+        |    ELSE 0 END AS opens_tagged
+        |FROM (
+        |  SELECT r.req_id, r.from_snapshot, roll.dirs_deleted,
+        |    sm.subdirs_moved, roll.subfiles_moved, roll.ns_refunded,
+        |    roll.bytes_refunded, roll.snap_ns_purged, roll.opens_tagged,
+        |    CASE
+        |      WHEN r.from_snapshot <> '' AND cp.path_prev IS NULL
+        |        THEN 'FILE_NOT_FOUND'
+        |      WHEN r.has_expected AND r.expected_prev <>
+        |        (CASE WHEN r.from_snapshot = '' THEN l.latest_global
+        |           ELSE cp.path_prev END)
+        |        THEN 'INVALID_REQUEST'
+        |      ELSE 'PURGED' END AS decision
+        |  FROM dp_reqs r
+        |  CROSS JOIN latest l
+        |  LEFT JOIN chain_prev cp ON cp.name = r.from_snapshot
+        |  LEFT JOIN dp_roll roll ON roll.req_id = r.req_id
+        |  LEFT JOIN dp_sm sm ON sm.req_id = r.req_id)
+        |ORDER BY req_id""".stripMargin,
+      """dp_reqs(req_id, from_snapshot, has_expected, expected_prev) AS
+        |  (VALUES
+        |  (1, '', true, 'snap-live'),
+        |  (2, '', true, 's2'),
+        |  (3, 'snap-live', true, 'snap-gone'),
+        |  (4, 'snap-live', true, 's1'),
+        |  (5, 'ghost', true, ''),
+        |  (6, 's1', false, 'stale-ignored'),
+        |  (7, 'ghost', false, ''),
+        |  (8, 's2', true, 's1'))""".stripMargin,
+      """dp_entries(req_id, path_id, kind, volume, bucket, bucket_id,
+        |  object_id, size_bytes, hsync, open_exists) AS (VALUES
+        |  (1, 1, 'SUB_DIR', 'vol0', 'bucket0', 10, 501, 0, false, false),
+        |  (1, 1, 'SUB_DIR', 'vol0', 'bucket0', 10, 502, 0, false, false),
+        |  (1, 1, 'SUB_FILE', 'vol0', 'bucket0', 10, 601, 1000, false,
+        |    false),
+        |  (1, 1, 'SUB_FILE', 'vol0', 'bucket0', 10, 602, 500, true, true),
+        |  (1, 2, 'SUB_FILE', 'vol0', 'bucket0', 10, 602, 500, true, true),
+        |  (1, 2, 'SUB_FILE', 'vol0', 'no-such', 77, 603, 800, true,
+        |    false),
+        |  (1, 2, 'SUB_FILE', 'vol0', 'bucket1', 99, 604, 900, false,
+        |    false),
+        |  (1, 2, 'DELETED_DIR', 'vol0', 'bucket0', 10, 502, 0, false,
+        |    false),
+        |  (1, 2, 'DELETED_DIR', 'vol0', 'bucket1', 99, 510, 0, false,
+        |    false),
+        |  (2, 1, 'SUB_FILE', 'vol0', 'bucket0', 10, 611, 700, false,
+        |    false),
+        |  (2, 1, 'DELETED_DIR', 'vol0', 'bucket0', 10, 520, 0, false,
+        |    false),
+        |  (3, 1, 'SUB_DIR', 'vol0', 'bucket0', 10, 530, 0, false, false),
+        |  (3, 1, 'SUB_FILE', 'vol1', 'bucket3', 113, 620, 400, false,
+        |    false),
+        |  (4, 1, 'SUB_DIR', 'vol0', 'bucket0', 10, 540, 0, false, false),
+        |  (5, 1, 'DELETED_DIR', 'vol0', 'bucket0', 10, 550, 0, false,
+        |    false),
+        |  (6, 1, 'SUB_FILE', 'vol0', 'no-such', 77, 630, 900, true, true),
+        |  (6, 1, 'DELETED_DIR', 'vol2', 'bucket5', 215, 560, 0, false,
+        |    false))""".stripMargin,
+      """kp_chain(global_idx, name, volume, bucket) AS (VALUES
+        |  (1, 's1', 'vol0', 'bucket0'),
+        |  (2, 's2', 'vol0', 'bucket0'),
+        |  (3, 'snap-gone', 'vol0', 'bucket0'),
+        |  (4, 'snap-golden', 'vol2', 'bucket5'),
+        |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin,
+      """chain_prev AS (
+        |  SELECT name, coalesce(lag(name) OVER (PARTITION BY volume, bucket
+        |    ORDER BY global_idx), '') AS path_prev
+        |  FROM kp_chain)""".stripMargin,
+      """latest AS (
+        |  SELECT name AS latest_global FROM kp_chain
+        |  ORDER BY global_idx DESC LIMIT 1)""".stripMargin,
+      O.objects, O.buckets,
+      """kp_cat AS (
+        |  SELECT volume, bucket,
+        |    CAST(substr(volume, 4, 10) AS BIGINT) * 100 +
+        |    CAST(substr(bucket, 7, 10) AS BIGINT) + 10 AS bucket_oid
+        |  FROM buckets)""".stripMargin,
+      """dp_gated AS (
+        |  SELECT e.*, (c.bucket_oid IS NOT NULL
+        |    AND e.bucket_id = c.bucket_oid) AS gate
+        |  FROM dp_entries e
+        |  LEFT JOIN kp_cat c
+        |    ON c.volume = e.volume AND c.bucket = e.bucket)""".stripMargin,
+      """dp_dd AS (
+        |  SELECT DISTINCT req_id, object_id FROM dp_gated
+        |  WHERE kind = 'DELETED_DIR')""".stripMargin,
+      """dp_sm AS (
+        |  SELECT g.req_id, count(DISTINCT g.object_id) AS subdirs_moved
+        |  FROM dp_gated g
+        |  WHERE g.kind = 'SUB_DIR' AND NOT EXISTS (
+        |    SELECT 1 FROM dp_dd d
+        |    WHERE d.req_id = g.req_id AND d.object_id = g.object_id)
+        |  GROUP BY 1)""".stripMargin,
+      """dp_roll AS (
+        |  SELECT req_id,
+        |    CAST(sum(CASE WHEN kind = 'DELETED_DIR' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dirs_deleted,
+        |    CAST(sum(CASE WHEN kind = 'SUB_FILE' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS subfiles_moved,
+        |    CAST(sum(CASE WHEN gate AND kind IN ('SUB_DIR', 'SUB_FILE')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ns_refunded,
+        |    CAST(sum(CASE WHEN gate AND kind = 'SUB_FILE'
+        |      THEN size_bytes ELSE 0 END) AS BIGINT) AS bytes_refunded,
+        |    CAST(sum(CASE WHEN gate AND kind = 'DELETED_DIR'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS snap_ns_purged,
+        |    count(DISTINCT CASE WHEN kind = 'SUB_FILE' AND hsync
+        |      AND open_exists THEN object_id END) AS opens_tagged
+        |  FROM dp_gated GROUP BY 1)""".stripMargin),
 
     // SnapshotMoveTableKeys mirror: from-probe first, filtered lists,
     // prefix-then-dup walk in table order, chain-next ACTIVE gate.

@@ -2637,6 +2637,72 @@ object Tables {
         "purged_namespace")
   }
 
+  /** dir_purge_requests: OMDirectoriesPurgeRequestWithFSO branches — the
+    * FSO dual of [[keyPurgeRequests]] over the same snapshot chain: AOS
+    * purge with matching / mismatched expectedPreviousSnapshotID,
+    * snapshot purges against the path-chain predecessor (match,
+    * mismatch), missing fromSnapshot probed with AND without the
+    * expected field, an old-format request whose stale expected value is
+    * ignored, and req 8: an EMPTY purge list that still applies — the
+    * dir ladder has no KEY_DELETION_ERROR rung (divergence from keys). */
+  def dirPurgeRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "", true, "snap-live"),
+      (2L, "", true, "s2"),
+      (3L, "snap-live", true, "snap-gone"),
+      (4L, "snap-live", true, "s1"),
+      (5L, "ghost", true, ""),
+      (6L, "s1", false, "stale-ignored"),
+      (7L, "ghost", false, ""),
+      (8L, "s2", true, "s1"))
+      .toDF("req_id", "from_snapshot", "has_expected", "expected_prev")
+  }
+
+  /** dir_purge_entries: the PurgePathRequest rows of
+    * [[dirPurgeRequests]] — kind ∈ SUB_DIR (markDeletedSubDirs),
+    * SUB_FILE (deletedSubFiles), DELETED_DIR. Probes: per-row refunds on
+    * the live bucket (oid mint matches), a recreated bucket (captured 99
+    * vs live 11 — skipped), a missing bucket (skipped), a DUPLICATED
+    * sub-file row (refunds twice, open-key tag once), a sub-dir that is
+    * also the deleted dir (dropped from subdirs_moved), hsync tagging on
+    * a DEAD bucket (gate-independent), a deleted dir on a mismatched
+    * bucket (no snapshot-ns purge), and entries under refused requests
+    * (masked to zero). */
+  def dirPurgeEntries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, "SUB_DIR", "vol0", "bucket0", 10L, 501L, 0L, false, false),
+      (1L, 1L, "SUB_DIR", "vol0", "bucket0", 10L, 502L, 0L, false, false),
+      (1L, 1L, "SUB_FILE", "vol0", "bucket0", 10L, 601L, 1000L, false,
+        false),
+      (1L, 1L, "SUB_FILE", "vol0", "bucket0", 10L, 602L, 500L, true, true),
+      (1L, 2L, "SUB_FILE", "vol0", "bucket0", 10L, 602L, 500L, true, true),
+      (1L, 2L, "SUB_FILE", "vol0", "no-such", 77L, 603L, 800L, true,
+        false),
+      (1L, 2L, "SUB_FILE", "vol0", "bucket1", 99L, 604L, 900L, false,
+        false),
+      (1L, 2L, "DELETED_DIR", "vol0", "bucket0", 10L, 502L, 0L, false,
+        false),
+      (1L, 2L, "DELETED_DIR", "vol0", "bucket1", 99L, 510L, 0L, false,
+        false),
+      (2L, 1L, "SUB_FILE", "vol0", "bucket0", 10L, 611L, 700L, false,
+        false),
+      (2L, 1L, "DELETED_DIR", "vol0", "bucket0", 10L, 520L, 0L, false,
+        false),
+      (3L, 1L, "SUB_DIR", "vol0", "bucket0", 10L, 530L, 0L, false, false),
+      (3L, 1L, "SUB_FILE", "vol1", "bucket3", 113L, 620L, 400L, false,
+        false),
+      (4L, 1L, "SUB_DIR", "vol0", "bucket0", 10L, 540L, 0L, false, false),
+      (5L, 1L, "DELETED_DIR", "vol0", "bucket0", 10L, 550L, 0L, false,
+        false),
+      (6L, 1L, "SUB_FILE", "vol0", "no-such", 77L, 630L, 900L, true, true),
+      (6L, 1L, "DELETED_DIR", "vol2", "bucket5", 215L, 560L, 0L, false,
+        false))
+      .toDF("req_id", "path_id", "kind", "volume", "bucket", "bucket_id",
+        "object_id", "size_bytes", "hsync", "open_exists")
+  }
+
   /** revoke_admin_requests: OMTenantRevokeAdminRequest branches — the
     * assign mirror: a real admin revoked (was_admin=true), a non-admin
     * revoked (idempotent, was_admin=false), tenant inferred through the

@@ -1094,4 +1094,108 @@ object CommitLog {
           .otherwise(lit(0L)).as("bytes_refunded"))
       .orderBy("req_id")
   }
+
+  /**
+   * DirectoriesPurge apply ladder — the FSO *directory* dual of
+   * [[keyPurgeDecisions]]: OMDirectoriesPurgeRequestWithFSO
+   * .validateAndUpdateCache (ozone-manager/.../request/key/
+   * OMDirectoriesPurgeRequestWithFSO.java:84-270), the
+   * DirectoryDeletingService's apply batch. Shared rungs with key purge:
+   *   1. fromSnapshot set → catalog/chain probe; missing ⇒
+   *      FILE_NOT_FOUND (:106-107, getSnapshotInfo throws);
+   *   2. expectedPreviousSnapshotID present → validatePreviousSnapshotId
+   *      against the PATH-chain predecessor (or the latest GLOBAL
+   *      snapshot for AOS purges); mismatch ⇒ INVALID_REQUEST
+   *      (:109-119). Old-format requests skip the rung, NOT the probe.
+   * Divergences from the key ladder (each probed by the fixture):
+   *   - NO empty-list error rung: a purge request with zero paths
+   *     applies cleanly (:143 just iterates — contrast
+   *     OMKeyPurgeRequest's KEY_DELETION_ERROR);
+   *   - per-entry bucket refunds, not per-request aggregates: every
+   *     markDeletedSubDirs row refunds usedNamespace 1 and every
+   *     deletedSubFiles row refunds (usedBytes=Σblocks, usedNamespace 1)
+   *     — PER OCCURRENCE, a duplicated KeyInfo refunds twice — gated on
+   *     the bucket still existing AND its live objectID matching the
+   *     path's captured bucketId (:154, :191-192 — a deleted or
+   *     recreated bucket silently skips);
+   *   - hsync open-key tagging is gate-INDEPENDENT: a sub-file carrying
+   *     HSYNC_CLIENT_ID whose open entry exists gets DELETED_HSYNC_KEY
+   *     stamped before any bucket check (:169-182), deduped by the open
+   *     db key (one tag per file, however many paths list it);
+   *   - the deletedDir entry purges SNAPSHOT used-namespace (:211,
+   *     purgeSnapshotUsedNamespace) under the same gate;
+   *   - audit counters differ in kind: subFilesMoved counts ROWS
+   *     (:186), subDirsMoved counts the DISTINCT sub-dir delete-keys
+   *     MINUS the dirs actually deleted (:218-220, removeAll), and
+   *     dirsDeleted counts deletedDir entries (:214).
+   *
+   * Scale shape: requests/chain are control-plane-tiny broadcasts; the
+   * entry list is the only data-sized input and folds with one groupBy
+   * on req_id (map-side combinable) plus one anti-join against the
+   * deleted-dir set on the same key. No shuffle beyond the output sort.
+   */
+  def dirPurgeDecisions(requests: DataFrame, entries: DataFrame,
+                        chain: DataFrame, buckets: DataFrame): DataFrame = {
+    val wP = Window.partitionBy("volume", "bucket").orderBy("global_idx")
+    val withPrev = chain
+      .withColumn("path_prev", coalesce(lag("name", 1).over(wP), lit("")))
+      .select(col("name").as("from_snapshot"), col("path_prev"))
+    val latestGlobal = chain
+      .agg(max_by(col("name"), col("global_idx")).as("latest_global"))
+    // live bucket oid mint shared with keyPurgeDecisions (and the oracle)
+    val cat = buckets.select(col("volume"), col("bucket"),
+      (substring(col("volume"), 4, 10).cast("long") * 100 +
+        substring(col("bucket"), 7, 10).cast("long") + 10).as("bucket_oid"))
+    val gated = entries
+      .join(broadcast(cat), Seq("volume", "bucket"), "left")
+      .withColumn("gate",
+        col("bucket_oid").isNotNull && col("bucket_id") === col("bucket_oid"))
+    // removeAll(deletedDirNames): a sub-dir that is ALSO this request's
+    // deleted dir is counted deleted, not moved (delete-key ≡ object_id)
+    val deletedDirs = gated.filter(col("kind") === "DELETED_DIR")
+      .select(col("req_id"), col("object_id")).distinct()
+    val subdirsMoved = gated.filter(col("kind") === "SUB_DIR")
+      .join(deletedDirs, Seq("req_id", "object_id"), "left_anti")
+      .groupBy("req_id")
+      .agg(count_distinct(col("object_id")).as("subdirs_moved"))
+    val rollup = gated.groupBy("req_id").agg(
+      sum(when(col("kind") === "DELETED_DIR", 1L).otherwise(0L))
+        .as("dirs_deleted"),
+      sum(when(col("kind") === "SUB_FILE", 1L).otherwise(0L))
+        .as("subfiles_moved"),
+      sum(when(col("gate") &&
+        col("kind").isin("SUB_DIR", "SUB_FILE"), 1L).otherwise(0L))
+        .as("ns_refunded"),
+      sum(when(col("gate") && col("kind") === "SUB_FILE",
+        col("size_bytes")).otherwise(0L)).as("bytes_refunded"),
+      sum(when(col("gate") && col("kind") === "DELETED_DIR", 1L)
+        .otherwise(0L)).as("snap_ns_purged"),
+      count_distinct(when(col("kind") === "SUB_FILE" &&
+        col("hsync") && col("open_exists"), col("object_id")))
+        .as("opens_tagged"))
+    val counters = Seq("dirs_deleted", "subdirs_moved", "subfiles_moved",
+      "ns_refunded", "bytes_refunded", "snap_ns_purged", "opens_tagged")
+    val decided = requests
+      .join(broadcast(withPrev), Seq("from_snapshot"), "left")
+      .crossJoin(broadcast(latestGlobal))
+      .join(broadcast(rollup), Seq("req_id"), "left")
+      .join(broadcast(subdirsMoved), Seq("req_id"), "left")
+      .withColumn("actual_prev",
+        when(col("from_snapshot") === "", col("latest_global"))
+          .otherwise(col("path_prev")))
+      .withColumn("decision",
+        when(col("from_snapshot") =!= "" && col("path_prev").isNull,
+          lit("FILE_NOT_FOUND"))
+          .when(col("has_expected") &&
+            col("expected_prev") =!= col("actual_prev"),
+            lit("INVALID_REQUEST"))
+          .otherwise(lit("PURGED")))
+    counters.foldLeft(decided) { (df, c) =>
+      df.withColumn(c, when(col("decision") === "PURGED",
+        coalesce(col(c), lit(0L))).otherwise(lit(0L)))
+    }
+      .select((Seq("req_id", "from_snapshot", "decision") ++ counters)
+        .map(col): _*)
+      .orderBy("req_id")
+  }
 }

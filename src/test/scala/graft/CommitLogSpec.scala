@@ -255,6 +255,46 @@ class CommitLogSpec extends SparkSpecBase {
     assert(got(10L) === (("FILE_NOT_FOUND", 0L, 0L, 0L, 0L)))
   }
 
+  test("dirPurgeDecisions: FSO dual — per-row refunds, hsync tag, no " +
+    "empty-list rung") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val got = graft.operators.CommitLog
+      .dirPurgeDecisions(T.dirPurgeRequests(spark, d),
+        T.dirPurgeEntries(spark, d), T.snapshotChainGlobal(spark, d),
+        T.buckets(spark, d))
+      .as[(Long, String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._3, (r._4, r._5, r._6), (r._7, r._8), (r._9,
+        r._10)))).toMap
+    // the zoo request: dirs_deleted counts DELETED_DIR rows (2);
+    // subdirs_moved dedups and removes the also-deleted dir (501 only);
+    // subfiles_moved counts ROWS including the duplicate (5); ns_refunded
+    // per gated row (2 subdirs + 3 subfiles); bytes refund the dup twice
+    // (2000); snap-ns purge skips the mismatched bucket (1); the dup'd
+    // hsync file tags its open key ONCE
+    assert(got(1L) === (("PURGED", (2L, 1L, 5L), (5L, 2000L), (1L, 1L))))
+    assert(got(2L) === (("INVALID_REQUEST", (0L, 0L, 0L), (0L, 0L),
+      (0L, 0L))))
+    // path-chain predecessor match; refunds across two live buckets
+    assert(got(3L) === (("PURGED", (0L, 1L, 1L), (2L, 400L), (0L, 0L))))
+    assert(got(4L) === (("INVALID_REQUEST", (0L, 0L, 0L), (0L, 0L),
+      (0L, 0L))))
+    assert(got(5L) === (("FILE_NOT_FOUND", (0L, 0L, 0L), (0L, 0L),
+      (0L, 0L))))
+    // old-format: stale expected ignored; hsync tag fires on a DEAD
+    // bucket (gate-independent), refunds don't; snapshot-ns purge on the
+    // matching vol2 bucket applies
+    assert(got(6L) === (("PURGED", (1L, 0L, 1L), (0L, 0L), (1L, 1L))))
+    // ...but the snapshot probe still runs for old-format requests
+    assert(got(7L) === (("FILE_NOT_FOUND", (0L, 0L, 0L), (0L, 0L),
+      (0L, 0L))))
+    // EMPTY purge list still applies — no KEY_DELETION_ERROR rung in the
+    // directory ladder (divergence from q_key_purge's rung 3)
+    assert(got(8L) === (("PURGED", (0L, 0L, 0L), (0L, 0L), (0L, 0L))))
+  }
+
   test("snapshotPathListStatus: snapshot children differ from live") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
