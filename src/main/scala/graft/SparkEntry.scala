@@ -10039,13 +10039,13 @@ object SparkEntry {
     "q_pending_deletion" -> O.withCtes(
       s"""SELECT req_id, verdict, entity, metric, value FROM (
          |  SELECT req_id,
-         |    CASE WHEN comp = '' THEN 'MISSING_COMPONENT'
+         |    CASE WHEN component = '' THEN 'MISSING_COMPONENT'
          |      WHEN comp NOT IN ('dn', 'scm', 'om')
          |        THEN 'INVALID_COMPONENT'
          |      ELSE 'LIMIT_TOO_SMALL' END AS verdict,
          |    '' AS entity, '' AS metric, CAST(0 AS BIGINT) AS value
          |  FROM pd_reqs
-         |  WHERE comp = '' OR comp NOT IN ('dn', 'scm', 'om')
+         |  WHERE component = '' OR comp NOT IN ('dn', 'scm', 'om')
          |    OR (comp = 'dn' AND lim = 0)
          |  UNION ALL
          |  SELECT r.req_id, 'DN_OK', p.dn, 'pending_blocks',
@@ -10093,10 +10093,11 @@ object SparkEntry {
       O.objects, O.objectsMixed, O.deletedDirs, O.replicas,
       O.containersScm,
       """pd_reqs AS (
-        |  SELECT req_id, lower(trim(component)) AS comp, lim
+        |  SELECT req_id, component, lower(trim(component)) AS comp, lim
         |  FROM (VALUES
         |    (1, '', -1), (2, 'xyz', -1), (3, ' DN ', 2), (4, 'dn', 0),
-        |    (5, 'dn', -1), (6, 'scm', -1), (7, 'om', -1), (8, 'OM ', 5))
+        |    (5, 'dn', -1), (6, 'scm', -1), (7, 'om', -1), (8, 'OM ', 5),
+        |    (9, ' ', -1))
         |    t(req_id, component, lim))""".stripMargin,
       s"""pd_txns_live AS (
          |  SELECT t.txn_id, t.data_size, t.container_id,

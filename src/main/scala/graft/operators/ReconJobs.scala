@@ -311,7 +311,8 @@ object ReconJobs {
       (5L, "dn", -1L), // null limit → whole list
       (6L, "scm", -1L),
       (7L, "om", -1L),
-      (8L, "OM ", 5L)) // limit ignored off the dn route
+      (8L, "OM ", 5L), // limit ignored off the dn route
+      (9L, " ", -1L)) // whitespace-only: non-empty RAW, invalid after trim
       .toDF("req_id", "component", "limit")
       .withColumn("comp", lower(trim(col("component"))))
     val dnPending = rollups.filter(col("kind") === "dn")
@@ -323,7 +324,11 @@ object ReconJobs {
 
     val errRows = reqs
       .withColumn("verdict",
-        when(col("comp") === "", lit("MISSING_COMPONENT"))
+        // the required-param check fires on the RAW component BEFORE the
+        // trim (PendingDeletionEndpoint.java:64-68) — a whitespace-only
+        // value is "present" there and falls through to the switch
+        // default (INVALID_COMPONENT) via its trimmed-empty comp
+        when(col("component") === "", lit("MISSING_COMPONENT"))
           .when(!col("comp").isin("dn", "scm", "om"),
             lit("INVALID_COMPONENT"))
           .when(col("comp") === "dn" && col("limit") === 0,
