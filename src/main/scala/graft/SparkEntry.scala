@@ -1340,10 +1340,15 @@ object SparkEntry {
     // Recon /volumes + /buckets: keyset-paged composite usage rows
     // (quotas, used bytes/namespace, times) with the endpoints' paging
     // quirks (absent prevKey → empty page; exact startBucket skipped).
+    // The domain is the CATALOG tables (with planted zero-object rows:
+    // vol21 occupies a /volumes page slot, vol2/bucket41 displaces
+    // bucket7 from the /buckets page) — the reference walks
+    // volumeTable/bucketTable, never a usage-derived view.
     "q_recon_volumes" -> ((s, d) =>
-      Listing.reconVolumes(T.volumes(s, d), T.objects(s, d), 3, "vol1")),
+      Listing.reconVolumes(T.volumesCatalog(s, d), T.objects(s, d), 3,
+        "vol1")),
     "q_recon_buckets" -> ((s, d) =>
-      Listing.reconBuckets(T.buckets(s, d), T.objects(s, d), "vol2",
+      Listing.reconBuckets(T.bucketsCatalog(s, d), T.objects(s, d), "vol2",
         "bucket3", 4)),
     // Recon /pendingDeletion dispatch: component validation rungs, the
     // dn per-datanode pending list under the ≥1 limit, the scm
@@ -9987,8 +9992,10 @@ object SparkEntry {
         |  SELECT arg, accepted AS first_accepted
         |  FROM ej_subm3 WHERE is_cand)""".stripMargin),
 
-    // Recon /volumes mirror: volume catalog + per-volume time rollup,
-    // exists-gated exclusive prevKey page, totalCount = page size.
+    // Recon /volumes mirror: volume CATALOG (incl. the planted
+    // zero-object vol21) LEFT-joined to the per-volume time rollup with
+    // catalog-derived fallback times, exists-gated exclusive prevKey
+    // page, totalCount = page size.
     "q_recon_volumes" -> O.withCtes(
       """SELECT CAST(count(*) OVER () AS BIGINT) AS total_count,
         |  volume, 'om-admin' AS admin, owner, quota_bytes,
@@ -9996,21 +10003,30 @@ object SparkEntry {
         |  used_bytes, used_namespace, bucket_count,
         |  creation_time, modification_time
         |FROM (
-        |  SELECT v.*, t.creation_time, t.modification_time
-        |  FROM volumes v
-        |  JOIN (SELECT volume,
+        |  SELECT v.*,
+        |    COALESCE(t.creation_time, 1400000000000 +
+        |      CAST(substr(v.volume, 4, 10) AS BIGINT) * 86400000)
+        |      AS creation_time,
+        |    COALESCE(t.modification_time, 1400000000000 +
+        |      CAST(substr(v.volume, 4, 10) AS BIGINT) * 86400000
+        |      + 3600000) AS modification_time
+        |  FROM volumes_catalog v
+        |  LEFT JOIN (SELECT volume,
         |      CAST(min(creation_time) AS BIGINT) AS creation_time,
         |      CAST(max(modification_time) AS BIGINT) AS modification_time
         |    FROM objects GROUP BY volume) t USING (volume)
         |  WHERE v.volume > 'vol1'
-        |    AND EXISTS (SELECT 1 FROM volumes WHERE volume = 'vol1')
+        |    AND EXISTS (SELECT 1 FROM volumes_catalog WHERE volume = 'vol1')
         |  ORDER BY v.volume LIMIT 3)
         |ORDER BY volume""".stripMargin,
-      O.objects, O.buckets, O.volumes),
+      O.objects, O.buckets, O.volumes, O.volumesCatalog),
 
-    // Recon /buckets mirror: bucket catalog + per-bucket time rollup,
-    // volume-scoped exclusive startBucket page, synthesized
-    // storageType/versioning off bucket_idx, totalCount = page size.
+    // Recon /buckets mirror: bucket CATALOG (incl. the planted
+    // zero-object vol2/bucket41, which displaces bucket7 from the page)
+    // LEFT-joined to the per-bucket time rollup with catalog-derived
+    // fallback times, volume-scoped exclusive startBucket page,
+    // synthesized storageType/versioning off bucket_idx, totalCount =
+    // page size.
     "q_recon_buckets" -> O.withCtes(
       """SELECT CAST(count(*) OVER () AS BIGINT) AS total_count,
         |  volume, bucket,
@@ -10022,9 +10038,14 @@ object SparkEntry {
         |  creation_time, modification_time
         |FROM (
         |  SELECT b.*, CAST(substr(b.bucket, 7, 10) AS BIGINT) AS bucket_idx,
-        |    t.creation_time, t.modification_time
-        |  FROM buckets b
-        |  JOIN (SELECT volume, bucket,
+        |    COALESCE(t.creation_time, 1400000000000 +
+        |      CAST(substr(b.bucket, 7, 10) AS BIGINT) * 86400000)
+        |      AS creation_time,
+        |    COALESCE(t.modification_time, 1400000000000 +
+        |      CAST(substr(b.bucket, 7, 10) AS BIGINT) * 86400000
+        |      + 7200000) AS modification_time
+        |  FROM buckets_catalog b
+        |  LEFT JOIN (SELECT volume, bucket,
         |      CAST(min(creation_time) AS BIGINT) AS creation_time,
         |      CAST(max(modification_time) AS BIGINT) AS modification_time
         |    FROM objects GROUP BY volume, bucket) t
@@ -10032,7 +10053,7 @@ object SparkEntry {
         |  WHERE b.volume = 'vol2' AND b.bucket > 'bucket3'
         |  ORDER BY b.volume, b.bucket LIMIT 4)
         |ORDER BY volume, bucket""".stripMargin,
-      O.objects, O.buckets),
+      O.objects, O.buckets, O.bucketsCatalog),
 
     // /pendingDeletion mirror: request dispatch over the same txn/dir/key
     // rollups, every aggregate CAST BIGINT.

@@ -89,6 +89,27 @@ object OracleCte {
       |  FROM buckets GROUP BY volume
       |)""".stripMargin
 
+  /** Mirror of Tables.volumesCatalog: the OM volume TABLE the Recon
+    * listings walk — the derived dim plus the planted zero-object
+    * volume vol21. */
+  val volumesCatalog: String =
+    """volumes_catalog AS (
+      |  SELECT * FROM volumes
+      |  UNION ALL
+      |  SELECT 'vol21', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST(0 AS BIGINT), CAST(1000000000000 AS BIGINT), 'admin21'
+      |)""".stripMargin
+
+  /** Mirror of Tables.bucketsCatalog: bucket-table dual of
+    * [[volumesCatalog]] with the planted zero-object vol2/bucket41. */
+  val bucketsCatalog: String =
+    """buckets_catalog AS (
+      |  SELECT * FROM buckets
+      |  UNION ALL
+      |  SELECT 'vol2', 'bucket41', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST(4200000000 AS BIGINT), CAST(1000000 AS BIGINT), 'FSO'
+      |)""".stripMargin
+
   val containersScm: String =
     """containers_scm AS (
       |  SELECT r AS container_id,

@@ -159,6 +159,37 @@ object Tables {
       .withColumn("owner",
         concat(lit("admin"), substring(col("volume"), 4, 10)))
 
+  /**
+   * The OM volume/bucket CATALOG the Recon listing endpoints walk —
+   * ReconOmMetadataManagerImpl.java:196-311 iterates volumeTable /
+   * bucketTable directly, and a freshly-created volume or bucket has a
+   * catalog row BEFORE any key lands in it. The usage dims above are
+   * object-derived (so they structurally cannot hold a zero-object
+   * entry); these catalog views are the derived dims plus planted
+   * zero-object rows: volume `vol21` (sorts between vol2 and vol3, so
+   * it occupies a mid-page slot) and bucket `vol2/bucket41` (sorts
+   * between bucket4 and bucket5 — inside q_recon_buckets' 4-row page
+   * window, displacing bucket7). Quotas/layout follow the same
+   * idx-derived formulas as the derived rows (idx 41: quota 42·10⁸,
+   * FSO layout).
+   */
+  def volumesCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    volumes(spark, dir).unionByName(
+      Seq(("vol21", 0L, 0L, 0L, 1000000000000L, "admin21"))
+        .toDF("volume", "used_bytes", "used_namespace", "bucket_count",
+          "quota_bytes", "owner"))
+  }
+
+  /** Bucket-table dual of [[volumesCatalog]] — see its scaladoc. */
+  def bucketsCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buckets(spark, dir).unionByName(
+      Seq(("vol2", "bucket41", 0L, 0L, 4200000000L, 1000000L, "FSO"))
+        .toDF("volume", "bucket", "used_bytes", "used_namespace",
+          "quota_bytes", "quota_namespace", "layout"))
+  }
+
   /** containers_scm: ids 0..999 (ref ContainerEndpoint.java:792-796). */
   def containersScm(spark: SparkSession, dir: String): DataFrame =
     spark.range(1000).toDF("container_id")

@@ -300,6 +300,13 @@ object Listing {
    * flips), not "everything after it". totalCount is the page's own size
    * (VolumesResponse:31 passes volumes.size()).
    *
+   * The reference lists EVERY catalog row — a volume with zero keys
+   * still occupies a page slot (the iterator walks volumeTable; times
+   * come from OmVolumeArgs, not from keys) — so the times rollup joins
+   * LEFT and a key-less volume falls back to catalog-derived times
+   * (deterministic off the volume idx, the OmVolumeArgs creationTime
+   * stand-in).
+   *
    * Scale shape: the volume catalog is control-plane-sized; the times
    * rollup is one agg over the (already partition-pruned) namespace scan.
    */
@@ -308,7 +315,12 @@ object Listing {
     val times = objects.groupBy("volume")
       .agg(min("creation_time").as("creation_time"),
         max("modification_time").as("modification_time"))
-    val rows = volumes.join(times, Seq("volume"))
+    val vidx = substring(col("volume"), 4, 10).cast("long")
+    val rows = volumes.join(times, Seq("volume"), "left")
+      .withColumn("creation_time", coalesce(col("creation_time"),
+        lit(1400000000000L) + vidx * lit(86400000L)))
+      .withColumn("modification_time", coalesce(col("modification_time"),
+        lit(1400000000000L) + vidx * lit(86400000L) + lit(3600000L)))
       .withColumn("admin", lit("om-admin"))
       .withColumn("quota_namespace", lit(1000000L))
     val afterKey =
@@ -343,7 +355,11 @@ object Listing {
    * own size. storageType/versioning synthesized off bucket_idx (the
    * reference reads them from OmBucketInfo; DISK + unversioned are its
    * defaults — every 4th bucket versioned, every 3rd on SSD here so both
-   * columns carry signal).
+   * columns carry signal). Like [[reconVolumes]], the bucket CATALOG is
+   * the listing's domain — listBucketsUnderVolume walks bucketTable, so
+   * a zero-key bucket still fills a page slot; the times join is LEFT
+   * with a catalog-derived (idx-deterministic) fallback, the
+   * OmBucketInfo creationTime stand-in.
    */
   def reconBuckets(buckets: DataFrame, objects: DataFrame, volume: String,
                    startBucket: String, limit: Int): DataFrame = {
@@ -351,7 +367,11 @@ object Listing {
       .agg(min("creation_time").as("creation_time"),
         max("modification_time").as("modification_time"))
     val idx = substring(col("bucket"), 7, 10).cast("long")
-    val rows = buckets.join(times, Seq("volume", "bucket"))
+    val rows = buckets.join(times, Seq("volume", "bucket"), "left")
+      .withColumn("creation_time", coalesce(col("creation_time"),
+        lit(1400000000000L) + idx * lit(86400000L)))
+      .withColumn("modification_time", coalesce(col("modification_time"),
+        lit(1400000000000L) + idx * lit(86400000L) + lit(7200000L)))
       .withColumn("storage_type",
         when(idx % 3 === 0, lit("SSD")).otherwise(lit("DISK")))
       .withColumn("is_versioning_enabled", idx % 4 === 0)

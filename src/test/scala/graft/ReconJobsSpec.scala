@@ -126,6 +126,37 @@ class ReconJobsSpec extends SparkSpecBase {
     assert(Listing.reconBuckets(buckets, objects, "", "", 10).count() === 7)
   }
 
+  test("recon listings: zero-object catalog rows occupy page slots with" +
+    " catalog-derived times") {
+    // ReconOmMetadataManagerImpl.java:196-311 walks volumeTable /
+    // bucketTable — a freshly-created (key-less) volume or bucket is a
+    // real page row whose times come from OmVolumeArgs/OmBucketInfo,
+    // not from keys. vol21 must fill a slot; bucket41 must DISPLACE a
+    // later bucket from a full page.
+    val T = graft.core.Tables
+    val d = "/root/testdata/sf0.001"
+    val vols = Listing.reconVolumes(T.volumesCatalog(spark, d),
+        T.objects(spark, d), 3, "vol1")
+      .select("volume", "used_namespace", "bucket_count",
+        "creation_time", "modification_time")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(vols.map(_._1).toSeq === Seq("vol2", "vol21", "vol3"))
+    val v21 = vols.find(_._1 == "vol21").get
+    assert(v21._2 === 0L && v21._3 === 0L)
+    assert(v21._4 === 1400000000000L + 21L * 86400000L)
+    assert(v21._5 === v21._4 + 3600000L)
+    val bks = Listing.reconBuckets(T.bucketsCatalog(spark, d),
+        T.objects(spark, d), "vol2", "bucket3", 4)
+      .select("bucket", "used_namespace", "creation_time")
+      .as[(String, Long, Long)].collect()
+    // bucket41 sits between bucket4 and bucket5 and evicts bucket7
+    assert(bks.map(_._1).toSeq ===
+      Seq("bucket4", "bucket41", "bucket5", "bucket6"))
+    val b41 = bks.find(_._1 == "bucket41").get
+    assert(b41._2 === 0L)
+    assert(b41._3 === 1400000000000L + 41L * 86400000L)
+  }
+
   // ---- /pendingDeletion dispatch over the shared synth fixtures ----
 
   test("pendingDeletion: validation rungs, dn limit, om size additivity") {

@@ -87,13 +87,23 @@ for name in names:
         print(f"TYPELINT {name}: non-portable output types {bad}")
         results[name] = {"status": "fail", "err": f"typelint: {bad}"}
         fail += 1
+
+def mark_fail(name, err):
+    """One fail per query: merge value-level errors into an existing
+    (e.g. TYPELINT) verdict instead of overwriting/double-counting."""
+    global fail
+    if results.get(name, {}).get("status") == "fail":
+        results[name]["err"] += f"; {err}"
+    else:
+        results[name] = {"status": "fail", "err": err}
+        fail += 1
+
 for name in names:
     sql = oracle.get(name)
     pq = f"{OUT}/{name}"
     if not os.path.isdir(pq):
         print(f"MISSING  {name} (no spark output)")
-        results[name] = {"status": "fail", "err": "missing spark output"}
-        fail += 1; continue
+        mark_fail(name, "missing spark output"); continue
     try:
         scols, srows = (lambda r: ([d[0] for d in r.description], r.fetchall()))(
             con.execute(f"SELECT * FROM '{pq}/*.parquet'"))
@@ -101,18 +111,14 @@ for name in names:
             con.execute(sql))
     except Exception as e:
         print(f"ERROR    {name}: {str(e).splitlines()[0]}")
-        results[name] = {"status": "fail",
-                         "err": str(e).splitlines()[0]}
-        fail += 1; continue
+        mark_fail(name, str(e).splitlines()[0]); continue
     if sorted(scols) != sorted(dcols):
         print(f"SCHEMA   {name}: spark={sorted(scols)} duck={sorted(dcols)}")
-        results[name] = {"status": "fail", "err": "schema mismatch"}
-        fail += 1; continue
+        mark_fail(name, "schema mismatch"); continue
     if len(srows) != len(drows):
         print(f"ROWS     {name}: spark={len(srows)} duck={len(drows)}")
-        results[name] = {"status": "fail",
-                         "err": f"rows spark={len(srows)} duck={len(drows)}"}
-        fail += 1; continue
+        mark_fail(name, f"rows spark={len(srows)} duck={len(drows)}")
+        continue
     hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
     if hs != hd:
         print(f"HASH     {name}: spark={hs[:12]} duck={hd[:12]} ({len(srows)} rows)")
@@ -127,13 +133,15 @@ for name in names:
                 print(f"  spark: {a.split(chr(1))}")
                 print(f"  duck:  {b.split(chr(1))}")
                 break
-        results[name] = {"status": "fail", "err": "hash mismatch"}
-        fail += 1; continue
-    print(f"OK       {name} ({len(srows)} rows)")
-    # don't overwrite an earlier TYPELINT verdict with a value-level OK
-    if results.get(name, {}).get("status") != "fail":
+        mark_fail(name, "hash mismatch"); continue
+    # a TYPELINT-failed query that passes the value check stays a fail
+    # (and is not also counted ok) — the OK line annotates instead
+    if results.get(name, {}).get("status") == "fail":
+        print(f"OK-VALUES {name} ({len(srows)} rows; typelint verdict stands)")
+    else:
+        print(f"OK       {name} ({len(srows)} rows)")
         results[name] = {"status": "ok", "rows": len(srows)}
-    ok += 1
+        ok += 1
     # cross-check graft.Verify's Scala canon hash against ours: a
     # divergence here means HASHES.json wouldn't expose a driver-side
     # mismatch faithfully for this query (float/temporal canon drift).
