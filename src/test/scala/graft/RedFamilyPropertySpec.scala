@@ -423,4 +423,310 @@ class RedFamilyPropertySpec extends SparkSpecBase {
       assert(got(k) === want, s"pair $k")
     }
   }
+
+  test("dirPurgeDecisions == a literal OMDirectoriesPurgeRequestWithFSO" +
+    " walk over random entry lists") {
+    // OMDirectoriesPurgeRequestWithFSO.validateAndUpdateCache:84-270:
+    // snapshot probe + chain fence shared with key purge; then the
+    // FSO divergences — NO empty-list error, per-OCCURRENCE bucket
+    // refunds gated on the live-bucket oid, gate-independent hsync
+    // tagging deduped by open key, and the removeAll quirk (a sub-dir
+    // that is also this request's deleted dir counts deleted, not
+    // moved).
+    val rnd = new Random(4242)
+    val vols = Seq("vol0", "vol1", "vol2")
+    val bcks = Seq("bucket0", "bucket3", "bucket5")
+    val chain = (1L to 12L).map(i =>
+      (i, s"s$i", vols(rnd.nextInt(3)), bcks(rnd.nextInt(3))))
+    val names = chain.map(_._2)
+    val liveBuckets = for (v <- vols; b <- bcks
+                           if rnd.nextInt(4) != 0) yield (v, b)
+    def mint(v: String, b: String): Long =
+      v.substring(3).toLong * 100 + b.substring(6).toLong + 10
+    val kinds = Seq("SUB_DIR", "SUB_FILE", "DELETED_DIR")
+    val reqs = (1L to 150L).map { id =>
+      val from = rnd.nextInt(4) match {
+        case 0 => ""
+        case 1 => "ghost" + rnd.nextInt(3)
+        case _ => names(rnd.nextInt(names.length))
+      }
+      val hasExp = rnd.nextBoolean()
+      val exp = if (rnd.nextBoolean()) ""
+        else names(rnd.nextInt(names.length))
+      (id, from, hasExp, exp)
+    }
+    // entry lists: 0..6 rows per request (zero probes the no-error
+    // rung); object_id drawn from a SMALL range so duplicate rows and
+    // removeAll sub-dir/deleted-dir collisions actually occur
+    val entries = reqs.flatMap { case (id, _, _, _) =>
+      (0 until rnd.nextInt(7)).map { j =>
+        val v = vols(rnd.nextInt(3)); val b = bcks(rnd.nextInt(3))
+        val bid = if (rnd.nextBoolean()) mint(v, b) else 999L
+        (id, (j % 3).toLong + 1L, kinds(rnd.nextInt(3)), v, b, bid,
+          500L + rnd.nextInt(8), rnd.nextInt(1000).toLong + 1L,
+          rnd.nextBoolean(), rnd.nextBoolean())
+      }
+    }
+    // ---- literal walk ----
+    val prevOf = chain.groupBy(c => (c._3, c._4)).flatMap { case (_, cs) =>
+      val sorted = cs.sortBy(_._1)
+      sorted.zipWithIndex.map { case (c, i) =>
+        c._2 -> (if (i == 0) "" else sorted(i - 1)._2)
+      }
+    }
+    val latestGlobal = chain.maxBy(_._1)._2
+    val live = liveBuckets.toSet
+    val expected = reqs.map { case (id, from, hasExp, exp) =>
+      val decision =
+        if (from.nonEmpty && !prevOf.contains(from)) "FILE_NOT_FOUND"
+        else {
+          val actualPrev = if (from == "") latestGlobal else prevOf(from)
+          if (hasExp && exp != actualPrev) "INVALID_REQUEST"
+          else "PURGED"
+        }
+      if (decision != "PURGED")
+        id -> ((from, decision, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+      else {
+        var dirsDeleted = 0L; var subfilesMoved = 0L
+        var nsRefunded = 0L; var bytesRefunded = 0L; var snapNs = 0L
+        val subDirIds = scala.collection.mutable.Set.empty[Long]
+        val deletedDirIds = scala.collection.mutable.Set.empty[Long]
+        val opensTagged = scala.collection.mutable.Set.empty[Long]
+        entries.filter(_._1 == id).foreach {
+          case (_, _, kind, v, b, bid, oid, sz, hsync, openEx) =>
+            val gate = live((v, b)) && bid == mint(v, b)
+            kind match {
+              case "SUB_FILE" =>
+                subfilesMoved += 1
+                if (hsync && openEx) opensTagged += oid // gate-INDEPENDENT
+                if (gate) { nsRefunded += 1; bytesRefunded += sz }
+              case "SUB_DIR" =>
+                subDirIds += oid
+                if (gate) nsRefunded += 1
+              case "DELETED_DIR" =>
+                dirsDeleted += 1
+                deletedDirIds += oid
+                if (gate) snapNs += 1
+            }
+        }
+        subDirIds --= deletedDirIds // removeAll(deletedDirNames)
+        id -> ((from, decision, dirsDeleted, subDirIds.size.toLong,
+          subfilesMoved, nsRefunded, bytesRefunded, snapNs,
+          opensTagged.size.toLong))
+      }
+    }.toMap
+    // ---- engine ----
+    val got = graft.operators.CommitLog.dirPurgeDecisions(
+        reqs.toDF("req_id", "from_snapshot", "has_expected",
+          "expected_prev"),
+        entries.toDF("req_id", "path_id", "kind", "volume", "bucket",
+          "bucket_id", "object_id", "size_bytes", "hsync", "open_exists"),
+        chain.toDF("global_idx", "name", "volume", "bucket"),
+        liveBuckets.toDF("volume", "bucket"))
+      .collect().map(r => r.getAs[Long]("req_id") ->
+        ((r.getAs[String]("from_snapshot"), r.getAs[String]("decision"),
+          r.getAs[Long]("dirs_deleted"), r.getAs[Long]("subdirs_moved"),
+          r.getAs[Long]("subfiles_moved"), r.getAs[Long]("ns_refunded"),
+          r.getAs[Long]("bytes_refunded"), r.getAs[Long]("snap_ns_purged"),
+          r.getAs[Long]("opens_tagged")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, want) =>
+      assert(got(id) === want, s"req $id")
+    }
+    val ds = expected.values.map(_._2).toSet
+    assert(ds === Set("FILE_NOT_FOUND", "INVALID_REQUEST", "PURGED"))
+  }
+
+  test("paragraphDedup == a sequential first-occurrence walk over a" +
+    " planted near-dup corpus") {
+    // CCNet §3.2: paragraphs are consecutive 12-token windows; corpus-
+    // wide, the FIRST occurrence in (doc_id, window idx) order keeps
+    // and every later occurrence drops. The walk dedups by paragraph
+    // STRING; the engine dedups by its 60-bit hash + packed-min winner
+    // — agreement is independent evidence the hash/window path changes
+    // nothing. Corpus is lowercase single-spaced so normText is
+    // identity.
+    val rnd = new Random(31337)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    def words(n: Int): String =
+      Vector.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    // a shared 12-token block planted at window-0 of every even doc —
+    // exactly one keeper corpus-wide; odd docs are random lengths
+    // 0..49 tokens (0 probes the empty-text absence rung)
+    val shared = words(12)
+    val docs = (1L to 80L).map { i =>
+      val own = words(rnd.nextInt(50))
+      val text = if (i % 2 == 0) s"$shared $own".trim else own
+      (i, text)
+    }
+    // ---- literal walk ----
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = docs.sortBy(_._1).flatMap { case (id, text) =>
+      val ws = text.trim.replaceAll("\\s+", " ").split(" ", -1)
+      val paras = (0 to (ws.length - 1) / 12).map(p =>
+        ws.slice(p * 12, p * 12 + 12).mkString(" ")).filter(_ != "")
+      if (paras.isEmpty) None
+      else {
+        var kept = 0L
+        paras.foreach { p => if (!seen(p)) { seen += p; kept += 1 } }
+        Some(id -> ((paras.length.toLong, kept,
+          kept * 1000L / paras.length)))
+      }
+    }.toMap
+    // ---- engine ----
+    val got = graft.operators.Dedup.paragraphDedup(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("kept_paras"),
+          r.getAs[Long]("retained_pm")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, want) =>
+      assert(got(id) === want, s"doc $id")
+    }
+    // the planted block kept exactly once corpus-wide: doc 2 keeps it,
+    // docs 4,6,... do not
+    assert(expected(2L)._2 >= 1L)
+    val evens = (4L to 80L by 2).map(expected)
+    assert(evens.map(_._1).sum > evens.map(_._2).sum,
+      "later shared-block copies must drop")
+  }
+
+  test("pendingDeletionRollups == a literal endpoint fold over the sf" +
+    " fixtures") {
+    // The store behind /pendingDeletion, walked with plain loops:
+    // deleted-block txns are the log's DELETE branch (version 4/5 in
+    // the churn scope, one txn per object_id, max size), DELETED
+    // containers excluded, blocks = ceil-div by the chunk size, dn
+    // pending multiplies per replica, om sizes are REPLICATED bytes of
+    // deleted keys / of files under deleted dirs (every ancestor
+    // prefix probed).
+    val T = graft.core.Tables
+    val d = "/root/testdata/sf0.001"
+    val chunk = T.LocChunkBytes
+    def churn(oid: Long) = (oid / 10) % 10 == 0
+    def contOf(oid: Long) = (oid / 10) % 1000
+    val obj = T.objects(spark, d)
+      .select("object_id", "data_size", "replicated_size", "version")
+      .collect()
+    val delRows = obj.filter { r =>
+      val v = r.getAs[Long]("version")
+      (v == 4 || v == 5) && churn(r.getAs[Long]("object_id"))
+    }
+    val txns = delRows.groupBy(_.getAs[Long]("object_id"))
+      .map { case (oid, rs) =>
+        oid -> rs.map(_.getAs[Long]("data_size")).max
+      }
+    val liveTxns = txns.filter { case (oid, _) => contOf(oid) % 97 != 0 }
+    val reps = T.replicas(spark, d).select("container_id", "datanode")
+      .collect()
+      .map(r => (r.getAs[Long]("container_id"), r.getAs[String]("datanode")))
+    val repsByCont = reps.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+      .toMap
+    def blocks(ds: Long) = (ds - 1) / chunk + 1
+    val scmExp = Map(
+      "total_block_size" -> liveTxns.values.sum,
+      "total_replicated_size" -> liveTxns.map { case (oid, ds) =>
+        ds * repsByCont.getOrElse(contOf(oid), Seq()).size
+      }.sum,
+      "total_count" -> liveTxns.values.map(blocks).sum)
+    val dnExp = liveTxns.toSeq.flatMap { case (oid, ds) =>
+      repsByCont.getOrElse(contOf(oid), Seq()).map(_ -> blocks(ds))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val keyExp = delRows.map(_.getAs[Long]("replicated_size")).sum
+    val mixed = T.objectsMixed(spark, d)
+      .select("volume", "bucket", "key", "replicated_size").collect()
+    val deld = T.deletedDirs(spark, d).select("volume", "bucket", "dir")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    def parent(k: String) = {
+      val i = k.lastIndexOf('/'); if (i < 0) "" else k.substring(0, i)
+    }
+    val leaves = mixed.map(r => ((r.getString(0), r.getString(1),
+        parent(r.getAs[String]("key"))), r.getAs[Long]("replicated_size")))
+      .filter(_._1._3 != "")
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val dirExp = leaves.toSeq.map { case ((v, b, leaf), rsz) =>
+      val segs = leaf.split("/")
+      (1 to segs.length)
+        .count(dep => deld((v, b, segs.take(dep).mkString("/")))) * rsz
+    }.sum
+    // ---- engine ----
+    val got = graft.operators.ReconJobs.pendingDeletionRollups(
+        T.objects(spark, d), T.objectsMixed(spark, d),
+        T.deletedDirs(spark, d), T.replicas(spark, d),
+        T.containersScm(spark, d))
+      .collect().map(r => (r.getAs[String]("kind"),
+        r.getAs[String]("entity"), r.getAs[String]("metric")) ->
+        r.getAs[Long]("value")).toMap
+    scmExp.foreach { case (m, v) =>
+      assert(got(("scm", "scm", m)) === v, s"scm $m")
+    }
+    dnExp.foreach { case (dn, v) =>
+      assert(got(("dn", dn, "pending_blocks")) === v, dn)
+    }
+    assert(got.keys.count(_._1 == "dn") === dnExp.size)
+    assert(got(("om", "om", "pendingKeySize")) === keyExp)
+    assert(got(("om", "om", "pendingDirectorySize")) === dirExp)
+    assert(dnExp.nonEmpty && dirExp > 0L, "fixture must exercise both planes")
+  }
+
+  test("pendingDeletionDispatch == a literal PendingDeletionEndpoint" +
+    " walk over a random rollup store") {
+    // PendingDeletionEndpoint.java:57-121: required-param check on the
+    // RAW component, trim+lowercase normalize, dn limit ≥ 1 with
+    // truncation to `limit` (absent → whole list) + the summary pair,
+    // scm triple, om pair + additive totalSize.
+    val rnd = new Random(777)
+    val dnRows = (0 until 8).map { i =>
+      // two planted ties probe the dn-name tiebreak of the desc order
+      val pending = if (i == 3 || i == 5) 250L
+        else rnd.nextInt(500).toLong + 1L
+      ("dn", s"dn$i", "pending_blocks", pending)
+    }
+    val scm = Seq(
+      ("scm", "scm", "total_block_size", rnd.nextInt(100000).toLong),
+      ("scm", "scm", "total_replicated_size", rnd.nextInt(300000).toLong),
+      ("scm", "scm", "total_count", rnd.nextInt(5000).toLong))
+    val om = Seq(
+      ("om", "om", "pendingKeySize", rnd.nextInt(100000).toLong),
+      ("om", "om", "pendingDirectorySize", rnd.nextInt(100000).toLong))
+    // ---- literal walk over the dispatch's fixed probe ladder ----
+    val reqs = Seq((1L, "", -1L), (2L, "xyz", -1L), (3L, " DN ", 2L),
+      (4L, "dn", 0L), (5L, "dn", -1L), (6L, "scm", -1L), (7L, "om", -1L),
+      (8L, "OM ", 5L), (9L, " ", -1L))
+    val expected = scala.collection.mutable
+      .Set.empty[(Long, String, String, String, Long)]
+    for ((id, comp0, lim) <- reqs) {
+      val comp = comp0.trim.toLowerCase
+      if (comp0 == "") expected += ((id, "MISSING_COMPONENT", "", "", 0L))
+      else if (!Set("dn", "scm", "om")(comp))
+        expected += ((id, "INVALID_COMPONENT", "", "", 0L))
+      else if (comp == "dn" && lim == 0L)
+        expected += ((id, "LIMIT_TOO_SMALL", "", "", 0L))
+      else comp match {
+        case "dn" =>
+          val ordered = dnRows.sortBy(r => (-r._4, r._2))
+          val listed = if (lim < 0) ordered else ordered.take(lim.toInt)
+          listed.foreach(r =>
+            expected += ((id, "DN_OK", r._2, "pending_blocks", r._4)))
+          expected += ((id, "DN_OK", "_summary", "total_pending_deletion",
+            dnRows.map(_._4).sum))
+          expected += ((id, "DN_OK", "_summary", "nodes_queried",
+            dnRows.size.toLong))
+        case "scm" =>
+          scm.foreach(r => expected += ((id, "SCM_OK", "scm", r._3, r._4)))
+        case "om" =>
+          om.foreach(r => expected += ((id, "OM_OK", "om", r._3, r._4)))
+          expected += ((id, "OM_OK", "om", "totalSize", om.map(_._4).sum))
+      }
+    }
+    // ---- engine ----
+    val got = graft.operators.ReconJobs.pendingDeletionDispatch(
+        (dnRows ++ scm ++ om).toDF("kind", "entity", "metric", "value"))
+      .collect().map(r => (r.getAs[Long]("req_id"),
+        r.getAs[String]("verdict"), r.getAs[String]("entity"),
+        r.getAs[String]("metric"), r.getAs[Long]("value"))).toSet
+    assert(got === expected.toSet)
+  }
 }
