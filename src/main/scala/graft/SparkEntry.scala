@@ -887,6 +887,15 @@ object SparkEntry {
       CommitLog.snapshotMoveTableKeys(T.moveTableKeysRequests(s, d),
         T.moveTableKeysEntries(s, d), T.snapshotChainGlobal(s, d),
         T.snapshotCatalogLive(s, d), T.fsoBucketIds(s, d))),
+    // Legacy SnapshotMoveDeletedKeys ladder: same probe + chain walk as
+    // the modern request, but lists pass through VERBATIM (no prefix/
+    // dup/filter rungs) and the successor's status is never checked —
+    // a move lands in a SNAPSHOT_DELETED next where the modern ladder
+    // refuses.
+    "q_snapshot_move_deleted" -> ((s, d) =>
+      CommitLog.snapshotMoveDeletedKeys(T.moveDeletedKeysRequests(s, d),
+        T.moveDeletedKeysEntries(s, d), T.snapshotChainGlobal(s, d),
+        T.snapshotCatalogLive(s, d))),
     // SetSnapshotProperty ladder: in-batch dup beats missing-key; deleted
     // snapshots still accept property writes.
     "q_snapshot_set_property" -> ((s, d) =>
@@ -7124,6 +7133,85 @@ object SparkEntry {
 
     // SnapshotMoveTableKeys mirror: from-probe first, filtered lists,
     // prefix-then-dup walk in table order, chain-next ACTIVE gate.
+    // Legacy SnapshotMoveDeletedKeys mirror: existence-only probe,
+    // chain successor regardless of status, verbatim list counts.
+    "q_snapshot_move_deleted" -> O.withCtes(
+      """SELECT req_id, volume, bucket, from_name, decision,
+        |  CASE WHEN decision = 'MOVED' THEN coalesce(next_name, 'AOS')
+        |    ELSE '' END AS destination,
+        |  CASE WHEN decision = 'MOVED'
+        |    THEN CAST(substr(volume, 4, 10) AS BIGINT) * 100 +
+        |      CAST(substr(bucket, 7, 10) AS BIGINT) + 10
+        |    ELSE 0 END AS bucket_id,
+        |  CASE WHEN decision = 'MOVED' THEN coalesce(n_next_db, 0)
+        |    ELSE 0 END AS moved_next_db,
+        |  CASE WHEN decision = 'MOVED' THEN coalesce(n_reclaim, 0)
+        |    ELSE 0 END AS moved_reclaim,
+        |  CASE WHEN decision = 'MOVED' THEN coalesce(n_renamed, 0)
+        |    ELSE 0 END AS moved_renamed,
+        |  CASE WHEN decision = 'MOVED' THEN coalesce(n_dirs, 0)
+        |    ELSE 0 END AS moved_dirs
+        |FROM (
+        |  SELECT r.req_id, r.volume, r.bucket, r.from_name, cn.next_name,
+        |    co.n_next_db, co.n_reclaim, co.n_renamed, co.n_dirs,
+        |    CASE WHEN ca.name IS NULL THEN 'FILE_NOT_FOUND'
+        |      ELSE 'MOVED' END AS decision
+        |  FROM smd_reqs r
+        |  LEFT JOIN smd_cat ca ON r.volume = ca.volume
+        |    AND r.bucket = ca.bucket AND r.from_name = ca.name
+        |  LEFT JOIN smd_chain_next cn ON r.volume = cn.volume
+        |    AND r.bucket = cn.bucket AND r.from_name = cn.from_name
+        |  LEFT JOIN smd_counts co ON r.req_id = co.req_id)
+        |ORDER BY req_id""".stripMargin,
+      """smd_chain(global_idx, name, volume, bucket) AS (VALUES
+        |  (1, 's1', 'vol0', 'bucket0'),
+        |  (2, 's2', 'vol0', 'bucket0'),
+        |  (3, 'snap-gone', 'vol0', 'bucket0'),
+        |  (4, 'snap-golden', 'vol2', 'bucket5'),
+        |  (5, 'snap-live', 'vol0', 'bucket0'))""".stripMargin,
+      """smd_cat(volume, bucket, name, status) AS (VALUES
+        |  ('vol0', 'bucket0', 's1', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 's2', 'SNAPSHOT_ACTIVE'),
+        |  ('vol2', 'bucket5', 'snap-golden', 'SNAPSHOT_ACTIVE'),
+        |  ('vol0', 'bucket0', 'snap-gone', 'SNAPSHOT_DELETED'),
+        |  ('vol0', 'bucket0', 'snap-live', 'SNAPSHOT_ACTIVE'))"""
+        .stripMargin,
+      """smd_reqs(req_id, volume, bucket, from_name) AS (VALUES
+        |  (1, 'vol0', 'bucket0', 's1'),
+        |  (2, 'vol0', 'bucket0', 's2'),
+        |  (3, 'vol0', 'bucket0', 'snap-live'),
+        |  (4, 'vol0', 'bucket0', 'ghost'),
+        |  (5, 'vol2', 'bucket5', 'snap-golden'),
+        |  (6, 'vol0', 'bucket0', 'snap-gone'))""".stripMargin,
+      """smd_entries(req_id, tbl, pos, db_key) AS (VALUES
+        |  (1, 'NEXT_DB', 1, '/vol0/bucket0/a'),
+        |  (1, 'NEXT_DB', 2, '/vol0/bucket0/a'),
+        |  (1, 'NEXT_DB', 3, '/wrong/prefix/zzz'),
+        |  (1, 'RECLAIM', 1, '/vol0/bucket0/rc1'),
+        |  (1, 'RENAMED', 1, '/vol9/bucketX/r0'),
+        |  (1, 'MOVED_DIR', 1, '/999/999/djunk'),
+        |  (2, 'NEXT_DB', 1, '/vol0/bucket0/b'),
+        |  (3, 'RECLAIM', 1, '/vol0/bucket0/rc2'),
+        |  (3, 'MOVED_DIR', 1, '/101/201/d9'),
+        |  (4, 'NEXT_DB', 1, '/vol0/bucket0/never'),
+        |  (6, 'RENAMED', 1, '/vol0/bucket0/r7'))""".stripMargin,
+      """smd_chain_next AS (
+        |  SELECT volume, bucket, name AS from_name,
+        |    lead(name) OVER (PARTITION BY volume, bucket
+        |      ORDER BY global_idx) AS next_name
+        |  FROM smd_chain)""".stripMargin,
+      """smd_counts AS (
+        |  SELECT req_id,
+        |    CAST(sum(CASE WHEN tbl = 'NEXT_DB' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_next_db,
+        |    CAST(sum(CASE WHEN tbl = 'RECLAIM' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_reclaim,
+        |    CAST(sum(CASE WHEN tbl = 'RENAMED' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_renamed,
+        |    CAST(sum(CASE WHEN tbl = 'MOVED_DIR' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dirs
+        |  FROM smd_entries GROUP BY req_id)""".stripMargin),
+
     "q_snapshot_move_keys" -> O.withCtes(
       """SELECT req_id, volume, bucket, from_name, decision,
         |  CASE WHEN decision = 'MOVED' THEN coalesce(next_name, 'AOS')

@@ -2908,6 +2908,46 @@ object Tables {
       .toDF("req_id", "tbl", "pos", "db_key", "n_infos", "has_value")
   }
 
+  /** move_deleted_keys_requests: the LEGACY
+    * OMSnapshotMoveDeletedKeysRequest probe set — mid-chain move,
+    * move into a SNAPSHOT_DELETED successor (legacy has no ACTIVE
+    * fence), chain-end → AOS, missing from-snapshot, empty lists, and
+    * a DELETED from-snapshot that still proceeds (existence-only
+    * probe). */
+  def moveDeletedKeysRequests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "vol0", "bucket0", "s1"),
+      (2L, "vol0", "bucket0", "s2"),
+      (3L, "vol0", "bucket0", "snap-live"),
+      (4L, "vol0", "bucket0", "ghost"),
+      (5L, "vol2", "bucket5", "snap-golden"),
+      (6L, "vol0", "bucket0", "snap-gone"))
+      .toDF("req_id", "volume", "bucket", "from_name")
+  }
+
+  /** move_deleted_keys_entries: the legacy request's four verbatim
+    * lists — tbl ∈ NEXT_DB | RECLAIM | RENAMED | MOVED_DIR. Rows that
+    * the MODERN ladder would reject or silently drop (bad prefixes,
+    * duplicates) are planted here to prove the legacy ladder moves
+    * them untouched. */
+  def moveDeletedKeysEntries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "NEXT_DB", 1L, "/vol0/bucket0/a"),
+      (1L, "NEXT_DB", 2L, "/vol0/bucket0/a"), // duplicate: moved twice
+      (1L, "NEXT_DB", 3L, "/wrong/prefix/zzz"), // bad prefix: moved
+      (1L, "RECLAIM", 1L, "/vol0/bucket0/rc1"),
+      (1L, "RENAMED", 1L, "/vol9/bucketX/r0"), // bad prefix: moved
+      (1L, "MOVED_DIR", 1L, "/999/999/djunk"),
+      (2L, "NEXT_DB", 1L, "/vol0/bucket0/b"),
+      (3L, "RECLAIM", 1L, "/vol0/bucket0/rc2"),
+      (3L, "MOVED_DIR", 1L, "/101/201/d9"),
+      (4L, "NEXT_DB", 1L, "/vol0/bucket0/never"), // masked: req 4 missing
+      (6L, "RENAMED", 1L, "/vol0/bucket0/r7"))
+      .toDF("req_id", "tbl", "pos", "db_key")
+  }
+
   /** bucket_set_owner_requests: OMBucketSetOwnerRequest branches —
     * missing bucket, same-owner no-op (success=false, not an error), and
     * plain transfers. Bucket owner is modeled as the volume owner

@@ -1014,6 +1014,79 @@ object CommitLog {
   }
 
   /**
+   * Legacy SnapshotMoveDeletedKeys ladder — the PREDECESSOR of
+   * [[snapshotMoveTableKeys]] (ozone-manager/.../request/snapshot/
+   * OMSnapshotMoveDeletedKeysRequest.java:48-105): the same
+   * from-snapshot probe (SnapshotUtils.getSnapshotInfo →
+   * FILE_NOT_FOUND on a missing table row) and the same
+   * next-path-snapshot walk (SnapshotUtils.getNextSnapshot:154-177;
+   * no next → the keys move to the Active Object Store), but NONE of
+   * the modern request's validation — the divergences this ladder
+   * pins:
+   *   - the four lists (nextDBKeys, reclaimKeys, renamedKeys,
+   *     deletedDirsToMove) pass through VERBATIM (:81-93 hand the
+   *     protobuf lists straight to the response builder): no prefix
+   *     walk, no duplicate fence, no silent list filtering — the
+   *     legacy producer (SnapshotDeletingService) is trusted;
+   *   - the next snapshot's STATUS is never checked: a move lands in
+   *     a SNAPSHOT_DELETED successor where [[snapshotMoveTableKeys]]
+   *     refuses with INVALID_SNAPSHOT_ERROR; a DELETED from-snapshot
+   *     likewise proceeds (getSnapshotInfo probes existence only);
+   *   - the live bucket objectID is captured into the response
+   *     (:85-86 getBucketInfo, :97 setBucketId) for the response-side
+   *     size updates — surfaced as bucket_id (the shared oid mint).
+   *
+   * Scale shape: requests/chain/catalog are control-plane broadcasts;
+   * the entry lists fold with one map-side-combinable groupBy on
+   * req_id. No shuffle beyond the output sort.
+   */
+  def snapshotMoveDeletedKeys(requests: DataFrame, entries: DataFrame,
+                              chain: DataFrame,
+                              catalog: DataFrame): DataFrame = {
+    val counts = entries.groupBy("req_id").agg(
+      sum(when(col("tbl") === "NEXT_DB", 1L).otherwise(0L))
+        .as("n_next_db"),
+      sum(when(col("tbl") === "RECLAIM", 1L).otherwise(0L))
+        .as("n_reclaim"),
+      sum(when(col("tbl") === "RENAMED", 1L).otherwise(0L))
+        .as("n_renamed"),
+      sum(when(col("tbl") === "MOVED_DIR", 1L).otherwise(0L))
+        .as("n_dirs"))
+    val chainNext = chain
+      .withColumn("next_name", lead("name", 1).over(
+        Window.partitionBy("volume", "bucket").orderBy("global_idx")))
+      .select(col("volume"), col("bucket"), col("name").as("from_name"),
+        col("next_name"))
+    val decided = requests
+      .join(broadcast(catalog.select(col("volume"), col("bucket"),
+          col("name").as("from_name"), lit(true).as("in_catalog"))),
+        Seq("volume", "bucket", "from_name"), "left")
+      .join(broadcast(chainNext), Seq("volume", "bucket", "from_name"),
+        "left")
+      .join(broadcast(counts), Seq("req_id"), "left")
+      .withColumn("decision",
+        when(col("in_catalog").isNull, lit("FILE_NOT_FOUND"))
+          .otherwise(lit("MOVED")))
+    val moveCounters = Seq("n_next_db" -> "moved_next_db",
+      "n_reclaim" -> "moved_reclaim", "n_renamed" -> "moved_renamed",
+      "n_dirs" -> "moved_dirs")
+    decided.select(Seq(col("req_id"), col("volume"), col("bucket"),
+        col("from_name"), col("decision"),
+        when(col("decision") === "MOVED",
+          coalesce(col("next_name"), lit("AOS"))).otherwise(lit(""))
+          .as("destination"),
+        when(col("decision") === "MOVED",
+          substring(col("volume"), 4, 10).cast("long") * 100 +
+            substring(col("bucket"), 7, 10).cast("long") + 10)
+          .otherwise(lit(0L)).as("bucket_id")) ++
+      moveCounters.map { case (src, dst) =>
+        when(col("decision") === "MOVED", coalesce(col(src), lit(0L)))
+          .otherwise(lit(0L)).as(dst)
+      }: _*)
+      .orderBy("req_id")
+  }
+
+  /**
    * KeyPurge apply ladder — OMKeyPurgeRequest.validateAndUpdateCache
    * (ozone-manager/.../request/key/OMKeyPurgeRequest.java:79-166), the
    * KeyDeletingService's batch that finally drops deletedTable tombstones.

@@ -295,6 +295,37 @@ class CommitLogSpec extends SparkSpecBase {
     assert(got(8L) === (("PURGED", (0L, 0L, 0L), (0L, 0L), (0L, 0L))))
   }
 
+  test("snapshotMoveDeletedKeys: legacy dual — verbatim lists, no" +
+    " ACTIVE fence") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val T = graft.core.Tables
+    val got = graft.operators.CommitLog
+      .snapshotMoveDeletedKeys(T.moveDeletedKeysRequests(spark, d),
+        T.moveDeletedKeysEntries(spark, d),
+        T.snapshotChainGlobal(spark, d), T.snapshotCatalogLive(spark, d))
+      .collect()
+      .map(r => r.getAs[Long]("req_id") ->
+        ((r.getAs[String]("decision"), r.getAs[String]("destination"),
+          (r.getAs[Long]("moved_next_db"), r.getAs[Long]("moved_reclaim"),
+            r.getAs[Long]("moved_renamed"), r.getAs[Long]("moved_dirs")),
+          r.getAs[Long]("bucket_id")))).toMap
+    // duplicate + bad-prefix rows move VERBATIM (3 nextDB rows — the
+    // modern ladder would grade them INVALID_REQUEST/INVALID_KEY_NAME)
+    assert(got(1L) === (("MOVED", "s2", (3L, 1L, 1L, 1L), 10L)))
+    // the successor is SNAPSHOT_DELETED — legacy moves anyway (the
+    // modern ladder's INVALID_SNAPSHOT_ERROR divergence)
+    assert(got(2L) === (("MOVED", "snap-gone", (1L, 0L, 0L, 0L), 10L)))
+    // chain end → Active Object Store
+    assert(got(3L) === (("MOVED", "AOS", (0L, 1L, 0L, 1L), 10L)))
+    // missing from-snapshot masks its entries
+    assert(got(4L) === (("FILE_NOT_FOUND", "", (0L, 0L, 0L, 0L), 0L)))
+    // empty lists still move (counts 0); vol2/bucket5 oid mint = 215
+    assert(got(5L) === (("MOVED", "AOS", (0L, 0L, 0L, 0L), 215L)))
+    // a DELETED from-snapshot proceeds: the probe is existence-only
+    assert(got(6L) === (("MOVED", "snap-live", (0L, 0L, 1L, 0L), 10L)))
+  }
+
   test("snapshotPathListStatus: snapshot children differ from live") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"

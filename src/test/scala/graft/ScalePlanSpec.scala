@@ -5,8 +5,9 @@ package graft
  * CartesianProduct anywhere. Every cross join in the engine is against a
  * broadcast singleton/aggregate (BroadcastNestedLoopJoin with a one-row
  * build side) — an unhinted CartesianProduct is the one operator that is
- * always a scale bug at 100 TB, so a regression anywhere in the 255-query
- * surface fails here. Plan-only (no execution): the initial physical plan
+ * always a scale bug at 100 TB, so a regression anywhere in the declared
+ * query surface (every SparkEntry.queries entry, whatever its current
+ * count) fails here. Plan-only (no execution): the initial physical plan
  * already shows the join strategy.
  */
 class ScalePlanSpec extends SparkSpecBase {
