@@ -360,6 +360,71 @@ object Bench {
       // the JSON.
       val ingestReps = (1 to 5).map { _ => System.gc(); ingestOnce() }
       val ingestSec = ingestReps.sorted.apply(2)
+      // ---- 100× (sf10) block: one more measured decade for the three
+      // flagship shapes — the sorted ns-summary fold, the sorted
+      // winner-per-key fold, and the banded-LSH candidate join over a
+      // prebuilt index (VERDICT r10 #7: the 100 TB story extrapolated
+      // from 10×; this makes two decades of measured scaling). Runs
+      // LAST so its churn cannot contaminate any earlier number; build
+      // (warehouse write + band index) reported as sf10_build_sec, one
+      // untimed warm fold before the reps (the sf1 warm-pass rule), 3
+      // reps with inter-probe GC. Failures degrade to a JSON note —
+      // never the bench rc.
+      val sf10Json: String = try {
+        // the 100× warehouse derives from the ALREADY-SORTED 10× one —
+        // ×10 more replicas per read partition, then a SHUFFLE-FREE
+        // local re-sort (each dir-partitioned read task holds one
+        // (volume,bucket) slice; appending the second rep digit keeps
+        // rows nearly sorted, so the within-partition TimSort is cheap):
+        // 149 s (global repartition+sort of 60M rows) → ~60 s measured.
+        // object_id algebra: (id·10+r1)·10+r2 ≡ id·100 + (r1r2 ∈ 0..99).
+        val tB = System.nanoTime()
+        scale10(spark.read.parquet(wh10 + "/objects"))
+          .sortWithinPartitions(F.col("volume"), F.col("bucket"),
+            F.col("key"))
+          .write.partitionBy("volume", "bucket").mode("overwrite")
+          .parquet(wh10 + "/objects100")
+        val sorted100 = spark.read.parquet(wh10 + "/objects100")
+        // 100× near-dup document corpus + its ingest-time band index
+        T.documents(spark, sfDir)
+          .crossJoin(spark.range(100).toDF("rep"))
+          .withColumn("doc_id", F.col("doc_id") * 100 + F.col("rep"))
+          .withColumn("text", F.concat(F.col("text"), F.lit(" rep"),
+            F.col("rep").cast("string")))
+          .drop("rep")
+          .write.mode("overwrite").parquet(wh10 + "/docs100")
+        graft.operators.Dedup.minhashBands(
+            spark.read.parquet(wh10 + "/docs100"))
+          .write.mode("overwrite").parquet(wh10 + "/bands100")
+        val bands100 = spark.read.parquet(wh10 + "/bands100")
+        val buildSec = secs(tB)
+        graft.operators.Aggregates.nsSummarySorted(sorted100).count()
+        val probes100: Seq[(String, () => Long)] = Seq(
+          "q_ns_summary" -> (() =>
+            graft.operators.Aggregates.nsSummarySorted(sorted100).count()),
+          "q_latest_version" -> (() => graft.operators.Lifecycle
+            .latestVersionWinsSorted(sorted100).count()),
+          "q_dedup_minhash_lsh" -> (() =>
+            graft.operators.Dedup.lshPairsFromBands(bands100).count()))
+        // local rep loop (not timeAll): an sf10 failure must degrade,
+        // not sys.exit the bench
+        val t100 = probes100.map { case (name, run) =>
+          System.gc()
+          name -> (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); run(); secs(t0)
+          }
+        }
+        val m10 = t100.map { case (k, v) => s"\"" + k + "\":" + v.min }
+          .mkString("{", ",", "}")
+        val m10r = t100.map { case (k, v) =>
+          s"\"" + k + "\":" + v.mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        s""","sf10":$m10,"sf10_reps":$m10r,"sf10_build_sec":$buildSec"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sf10 block failed: ${e.getMessage}")
+          s""","sf10_error":"${e.getClass.getSimpleName}""""
+      }
       val m = times.map { case (k, v) => s"\"" + k + "\":" + v.min }
         .mkString("{", ",", "}")
       val mReps = times.map { case (k, v) =>
@@ -373,6 +438,7 @@ object Bench {
       // renders a decimal COMMA under comma-locales and corrupts the JSON
       val repsJson = ingestReps.mkString("[", ",", "]")
       s""","sf1":$m,"sf1_reps":$mReps,""" +
-        s""""sf1_ingest_sec":$ingestSec,"sf1_ingest_reps":$repsJson"""
+        s""""sf1_ingest_sec":$ingestSec,"sf1_ingest_reps":$repsJson""" +
+        sf10Json
   }
 }

@@ -289,9 +289,12 @@ object SparkEntry {
     "q_ns_summary" -> ((s, d) =>
       Aggregates.nsSummarySorted(T.objectsMixedSorted(s, d))),
     "q_du_topn" -> ((s, d) => Aggregates.duTopN(T.objects(s, d), "vol0", 10)),
+    // table COUNTS walk the catalog views (a zero-object volume/bucket
+    // is still a table row — GlobalStats counts rows); usage/quota
+    // ladders keep the usage dims
     "q_global_counts" -> ((s, d) =>
-      Aggregates.globalCounts(T.objects(s, d), T.buckets(s, d),
-        T.volumes(s, d), T.openKeys(s, d), T.containersScm(s, d))),
+      Aggregates.globalCounts(T.objects(s, d), T.bucketsCatalog(s, d),
+        T.volumesCatalog(s, d), T.openKeys(s, d), T.containersScm(s, d))),
     "q_quota_usage" -> ((s, d) => Aggregates.quotaUsage(T.buckets(s, d))),
     "q_quota_enforce" -> ((s, d) =>
       Aggregates.quotaEnforce(
@@ -927,9 +930,10 @@ object SparkEntry {
     // Recon ClusterStateEndpoint: one-row cluster summary (global counts,
     // container states + MISSING, pipelines, datanodes, capacity).
     "q_cluster_state" -> ((s, d) =>
-      ClusterHealth.clusterState(T.volumes(s, d), T.buckets(s, d),
-        T.objects(s, d), T.containersScm(s, d), T.replicas(s, d),
-        T.datanodes(s, d), T.pipelines(s, d), T.deletedDirs(s, d))),
+      ClusterHealth.clusterState(T.volumesCatalog(s, d),
+        T.bucketsCatalog(s, d), T.objects(s, d), T.containersScm(s, d),
+        T.replicas(s, d), T.datanodes(s, d), T.pipelines(s, d),
+        T.deletedDirs(s, d))),
     // Recon storage-distribution report: one-row composite — datanode
     // storage sums + open/MPU replicated bytes + pending deleted
     // key/dir (NSSummary-resolved) bytes + finalized bytes + key count.
@@ -2071,20 +2075,24 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY dir_size DESC, bucket, dir LIMIT 10""".stripMargin,
       O.objects),
 
+    // table COUNTS read the catalog views (GlobalStats counts table
+    // rows — a zero-object volume/bucket is a row), matching the recon
+    // listings; usage/quota ladders stay on the usage dims.
     "q_global_counts" -> O.withCtes(
       """SELECT * FROM (
         |  SELECT 'keys' AS entity, count(*) AS cnt,
         |    CAST(coalesce(sum(data_size), 0) AS BIGINT) AS total_bytes FROM objects
         |  UNION ALL
-        |  SELECT 'buckets', count(*), CAST(coalesce(sum(used_bytes), 0) AS BIGINT) FROM buckets
+        |  SELECT 'buckets', count(*), CAST(coalesce(sum(used_bytes), 0) AS BIGINT) FROM buckets_catalog
         |  UNION ALL
-        |  SELECT 'volumes', count(*), CAST(coalesce(sum(used_bytes), 0) AS BIGINT) FROM volumes
+        |  SELECT 'volumes', count(*), CAST(coalesce(sum(used_bytes), 0) AS BIGINT) FROM volumes_catalog
         |  UNION ALL
         |  SELECT 'open_keys', count(*), CAST(coalesce(sum(data_size), 0) AS BIGINT) FROM open_keys
         |  UNION ALL
         |  SELECT 'containers', count(*), CAST(coalesce(sum(used_bytes), 0) AS BIGINT) FROM containers_scm
         |) ORDER BY entity""".stripMargin,
-      O.objects, O.buckets, O.volumes, O.openKeys, O.containersScm),
+      O.objects, O.buckets, O.volumes, O.bucketsCatalog, O.volumesCatalog,
+      O.openKeys, O.containersScm),
 
     "q_quota_enforce" -> O.withCtes(
       """SELECT r.volume, r.bucket, r.key, r.allocate_bytes,
@@ -5360,8 +5368,8 @@ object SparkEntry {
     // ClusterStateEndpoint one-row summary via scalar subqueries.
     "q_cluster_state" -> O.withCtes(
       """SELECT
-        |  (SELECT count(*) FROM volumes) AS volumes,
-        |  (SELECT count(*) FROM buckets) AS buckets,
+        |  (SELECT count(*) FROM volumes_catalog) AS volumes,
+        |  (SELECT count(*) FROM buckets_catalog) AS buckets,
         |  (SELECT count(*) FROM objects) AS keys,
         |  (SELECT count(*) FROM containers_scm) AS containers_total,
         |  (SELECT CAST(sum(CASE WHEN state = 'OPEN' THEN 1 ELSE 0 END)
@@ -5386,8 +5394,9 @@ object SparkEntry {
         |  (SELECT CAST(sum(used) AS BIGINT) FROM datanodes)
         |    AS capacity_used,
         |  (SELECT count(*) FROM deleted_dirs) AS deleted_dirs""".stripMargin,
-      O.objects, O.objectsMixed, O.buckets, O.volumes, O.containersScm,
-      O.replicas, O.datanodes, O.pipelines, O.deletedDirs),
+      O.objects, O.objectsMixed, O.buckets, O.volumes, O.bucketsCatalog,
+      O.volumesCatalog, O.containersScm, O.replicas, O.datanodes,
+      O.pipelines, O.deletedDirs),
 
     // Storage-distribution one-row composite: datanode sums + replicated
     // open/MPU/pending/finalized bytes; pending dirs resolve through the
