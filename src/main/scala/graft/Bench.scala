@@ -371,15 +371,20 @@ object Bench {
       // reps with inter-probe GC. Failures degrade to a JSON note —
       // never the bench rc.
       val sf10Json: String = try {
-        // the 100× warehouse derives from the ALREADY-SORTED 10× one —
-        // ×10 more replicas per read partition, then a SHUFFLE-FREE
-        // local re-sort (each dir-partitioned read task holds one
-        // (volume,bucket) slice; appending the second rep digit keeps
-        // rows nearly sorted, so the within-partition TimSort is cheap):
-        // 149 s (global repartition+sort of 60M rows) → ~60 s measured.
+        // the 100× warehouse derives from the STORED 10× one (cheaper
+        // input than re-running the 4-scan synthesis) but keeps the
+        // ingest's repartition(volume,bucket) + local sort: ONE file
+        // per (volume,bucket) dir is what guarantees the read-back
+        // partitions hold sorted runs. (A shuffle-free variant was
+        // tried and rejected: per-task files of the same dir carry
+        // OVERLAPPING key ranges — appending the rep digit to segment
+        // 3 is not order-preserving across splits — and Spark's file
+        // packing can concatenate two same-dir files out of order in
+        // one partition, tripping the folds' sorted-input check.)
         // object_id algebra: (id·10+r1)·10+r2 ≡ id·100 + (r1r2 ∈ 0..99).
         val tB = System.nanoTime()
         scale10(spark.read.parquet(wh10 + "/objects"))
+          .repartition(F.col("volume"), F.col("bucket"))
           .sortWithinPartitions(F.col("volume"), F.col("bucket"),
             F.col("key"))
           .write.partitionBy("volume", "bucket").mode("overwrite")
@@ -421,7 +426,9 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","sf10":$m10,"sf10_reps":$m10r,"sf10_build_sec":$buildSec"""
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/VM error must crash the bench honestly,
+        // not emit JSON from a corrupted JVM
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] sf10 block failed: ${e.getMessage}")
           s""","sf10_error":"${e.getClass.getSimpleName}""""
       }

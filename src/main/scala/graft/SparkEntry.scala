@@ -10116,7 +10116,7 @@ object SparkEntry {
         |    AND EXISTS (SELECT 1 FROM volumes_catalog WHERE volume = 'vol1')
         |  ORDER BY v.volume LIMIT 3)
         |ORDER BY volume""".stripMargin,
-      O.objects, O.buckets, O.volumes, O.volumesCatalog),
+      O.objects, O.buckets, O.bucketsCatalog, O.volumesCatalog),
 
     // Recon /buckets mirror: bucket CATALOG (incl. the planted
     // zero-object vol2/bucket41, which displaces bucket7 from the page)

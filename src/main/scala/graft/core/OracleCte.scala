@@ -90,11 +90,17 @@ object OracleCte {
       |)""".stripMargin
 
   /** Mirror of Tables.volumesCatalog: the OM volume TABLE the Recon
-    * listings walk — the derived dim plus the planted zero-object
-    * volume vol21. */
+    * listings walk — rolled up from buckets_catalog (so vol2's
+    * bucket_count includes the planted bucket41) plus the planted
+    * zero-object volume vol21. Must be listed AFTER bucketsCatalog. */
   val volumesCatalog: String =
     """volumes_catalog AS (
-      |  SELECT * FROM volumes
+      |  SELECT volume, CAST(SUM(used_bytes) AS BIGINT) AS used_bytes,
+      |    CAST(SUM(used_namespace) AS BIGINT) AS used_namespace,
+      |    CAST(COUNT(*) AS BIGINT) AS bucket_count,
+      |    CAST(1000000000000 AS BIGINT) AS quota_bytes,
+      |    'admin' || substr(volume, 4, 10) AS owner
+      |  FROM buckets_catalog GROUP BY volume
       |  UNION ALL
       |  SELECT 'vol21', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
       |    CAST(0 AS BIGINT), CAST(1000000000000 AS BIGINT), 'admin21'

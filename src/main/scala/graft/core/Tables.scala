@@ -175,10 +175,22 @@ object Tables {
    */
   def volumesCatalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    volumes(spark, dir).unionByName(
-      Seq(("vol21", 0L, 0L, 0L, 1000000000000L, "admin21"))
-        .toDF("volume", "used_bytes", "used_namespace", "bucket_count",
-          "quota_bytes", "owner"))
+    // derived from bucketsCatalog (not the usage dim) so vol2's
+    // bucket_count includes the planted zero-object bucket41 — the
+    // reference walking bucketTable would count it
+    bucketsCatalog(spark, dir)
+      .groupBy("volume")
+      .agg(
+        sum("used_bytes").as("used_bytes"),
+        sum("used_namespace").as("used_namespace"),
+        count(lit(1)).as("bucket_count"))
+      .withColumn("quota_bytes", lit(1000000000000L))
+      .withColumn("owner",
+        concat(lit("admin"), substring(col("volume"), 4, 10)))
+      .unionByName(
+        Seq(("vol21", 0L, 0L, 0L, 1000000000000L, "admin21"))
+          .toDF("volume", "used_bytes", "used_namespace", "bucket_count",
+            "quota_bytes", "owner"))
   }
 
   /** Bucket-table dual of [[volumesCatalog]] — see its scaladoc. */

@@ -387,9 +387,13 @@ object TextAnalysis {
         col("doc_id"))
       // persisted so pass 2 reuses pass 1's shuffle AND sort (ADVICE
       // r10: unpersisting after createDataFrame would evict before the
-      // lazy consumer runs — the projection is 3 narrow columns, LRU
-      // eviction is lineage-safe, so it stays cached)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy consumer runs). MEMORY_ONLY deliberately: memory blocks
+      // are LRU-evicted so repeated invocations cannot leak (disk-tier
+      // blocks are NOT evicted until unpersist — MEMORY_AND_DISK would
+      // accumulate one corpus projection per call for the JVM's life);
+      // an evicted block degrades to the lineage recompute (the
+      // accept-the-double-sort fallback), never to a wrong answer.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val rdd = ranked.rdd
     val srcAt = ranked.schema.fieldIndex("source")
     // pass 1: per-(partition, source) row counts — numParts × n_sources

@@ -141,6 +141,9 @@ class ReconJobsSpec extends SparkSpecBase {
         "creation_time", "modification_time")
       .as[(String, Long, Long, Long, Long)].collect()
     assert(vols.map(_._1).toSeq === Seq("vol2", "vol21", "vol3"))
+    // vol2's bucket_count counts CATALOG rows — the planted zero-object
+    // bucket41 makes it 11, not the usage dim's 10
+    assert(vols.find(_._1 == "vol2").get._3 === 11L)
     val v21 = vols.find(_._1 == "vol21").get
     assert(v21._2 === 0L && v21._3 === 0L)
     assert(v21._4 === 1400000000000L + 21L * 86400000L)
