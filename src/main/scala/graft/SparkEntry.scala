@@ -230,13 +230,17 @@ object SparkEntry {
     "q_list_objects_pages" -> ((s, d) =>
       Listing.listObjectsV2Walk(T.objectsSorted(s, d), "vol0", "bucket0",
         "warehouse/N/", 397)),
+    // bucket/volume LISTINGS walk the catalog tables (a zero-object
+    // entry is a real row there), like the recon pair
     "q_list_buckets" -> ((s, d) =>
-      Listing.listBuckets(T.buckets(s, d), "vol1", "bucket2", 5)),
-    "q_list_volumes" -> ((s, d) => Listing.listVolumes(T.volumes(s, d))),
+      Listing.listBuckets(T.bucketsCatalog(s, d), "vol1", "bucket2", 5)),
+    "q_list_volumes" -> ((s, d) =>
+      Listing.listVolumes(T.volumesCatalog(s, d))),
     // ListDirectoryBuckets: FSO-only page, skipped OBS buckets never
     // count, strictly-after token resume, extra-row truncation probe.
     "q_list_dir_buckets" -> ((s, d) =>
-      Listing.listDirectoryBuckets(T.buckets(s, d), "vol0/bucket3", 5)),
+      Listing.listDirectoryBuckets(T.bucketsCatalog(s, d), "vol0/bucket3",
+        5)),
     // ---- link buckets (OmBucketInfo.isLink chase) + MPU listing ----
     "q_link_resolve" -> ((s, d) =>
       Links.resolveBucketLinks(T.bucketLinks(s, d), T.buckets(s, d))),
@@ -1744,9 +1748,10 @@ object SparkEntry {
         |GROUP BY entry ORDER BY entry""".stripMargin, O.objects),
 
     "q_list_buckets" -> O.withCtes(
-      """SELECT * FROM buckets
+      """SELECT * FROM buckets_catalog
         |WHERE volume = 'vol1' AND bucket > 'bucket2'
-        |ORDER BY bucket LIMIT 6""".stripMargin, O.objects, O.buckets),
+        |ORDER BY bucket LIMIT 6""".stripMargin, O.objects, O.buckets,
+      O.bucketsCatalog),
 
     // Directory-buckets mirror: FSO filter + the extra-row probe.
     "q_list_dir_buckets" -> O.withCtes(
@@ -1757,7 +1762,7 @@ object SparkEntry {
         |  SELECT p.*, s.mx, s.le FROM (
         |    SELECT volume, bucket,
         |      row_number() OVER (ORDER BY volume || '/' || bucket) AS pos
-        |    FROM buckets
+        |    FROM buckets_catalog
         |    WHERE layout = 'FSO'
         |      AND volume || '/' || bucket > 'vol0/bucket3') p
         |  CROSS JOIN (
@@ -1767,17 +1772,17 @@ object SparkEntry {
         |    FROM (
         |      SELECT volume, bucket,
         |        row_number() OVER (ORDER BY volume || '/' || bucket) AS pos
-        |      FROM buckets
+        |      FROM buckets_catalog
         |      WHERE layout = 'FSO'
         |        AND volume || '/' || bucket > 'vol0/bucket3') q
         |    WHERE pos <= 6) s
         |  WHERE p.pos <= 5)
         |ORDER BY pos""".stripMargin,
-      O.objects, O.buckets),
+      O.objects, O.buckets, O.bucketsCatalog),
 
     "q_list_volumes" -> O.withCtes(
-      "SELECT * FROM volumes ORDER BY volume",
-      O.objects, O.buckets, O.volumes),
+      "SELECT * FROM volumes_catalog ORDER BY volume",
+      O.objects, O.buckets, O.bucketsCatalog, O.volumesCatalog),
 
     // The link catalog is a 5-row static fixture, so its resolution has a
     // closed literal form derived by hand from the chase semantics
