@@ -82,14 +82,27 @@ object Bench {
     val cdcLog = graft.streaming.ChangeStream.cdcLogDir(spark, objects, sfDir)
     // Warm-numbers rule (same as every other metric here — the steady
     // metric below is a 5-rep median): one throwaway bootstrap compiles
-    // the three fold plans' codegen, then the timed run measures the
+    // the three fold plans' codegen, then the timed reps measure the
     // actual recovery work. Cold r8 measured 4.97 s of which ~2.8 s was
     // one-off whole-stage-codegen compilation, not per-recovery cost.
+    // 3 timed reps, min + rep array (the probes' discipline): a single
+    // shot drew 2.3↔3.6 s between identical-code runs — a GC landing
+    // inside the one rep owned the headline and faked a 4× bootstrap
+    // ratio against the 5-rep-median steady metric.
     graft.streaming.ChangeStream.bootstrapViews(spark, cdcLog,
       graft.core.TempDirs.create("graft_bswarm_"))
-    val tB = System.nanoTime()
+    val bootstrapReps = (1 to 3).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.streaming.ChangeStream.bootstrapViews(spark, cdcLog,
+        graft.core.TempDirs.create("graft_bsrep_"))
+      secs(t0)
+    }
+    val bootstrapSec = bootstrapReps.min
+    // the canonical memoized state the q_stream_* queries read (same
+    // bootstrapViews work, untimed here — the reps above already
+    // measured the rebuild)
     val work = graft.streaming.ChangeStream.replayedWorkDir(spark, objects, sfDir)
-    val bootstrapSec = secs(tB)
     // Steady-state incremental cost: ONE post-bootstrap delta batch driven
     // straight through the merge path (the same merges the stream's
     // foreachBatch runs) against a CLONE of the bootstrap state — the
@@ -161,6 +174,8 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""stream_bootstrap_sec":$bootstrapSec,""" +
+        s""""stream_bootstrap_reps":${
+          bootstrapReps.mkString("[", ",", "]")},""" +
         s""""stream_steady_batch_sec":$steadySec$sf1Json,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), json)
