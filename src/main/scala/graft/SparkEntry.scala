@@ -627,9 +627,12 @@ object SparkEntry {
       Tenants.assignAccessIdDecisions(T.assignRequests(s, d),
         T.tenantState(s, d), T.tenantAccessIds(s, d))),
     // FSO write path: the missing parent dirs a CreateFile batch mints
+    // the existence probe's (volume,bucket) scope becomes DIRECTORY
+    // partition pruning against the stored warehouse (the view scans
+    // the whole base table)
     "q_mkdir_parents" -> ((s, d) =>
       Hierarchy.mkdirMissingParents(T.mkdirRequests(s, d),
-        T.objects(s, d))),
+        T.objectsSorted(s, d))),
     // audit parser templates (ozone debug auditparser commands.properties)
     "q_audit_top_users" -> ((s, d) => Audit.topUsers(T.auditLog(s, d))),
     "q_audit_top_cmds" -> ((s, d) => Audit.topCmds(T.auditLog(s, d))),
