@@ -202,13 +202,13 @@ object Bench {
                     element_at(split(key, '/'), 4))"""))
         .withColumn("object_id", F.col("object_id") * 10 + F.col("rep"))
         .drop("rep")
-      val obj10 = scale10(T.objects(spark, sfDir))
+      val obj10 = scale10(T.objectsView(spark, sfDir))
       val wh10 = graft.core.TempDirs.create("graft_sf1_")
       // warm the synthesis + parquet-write JIT on the 1× table first
       // (untimed): the timed ingest below then measures the write plan,
       // not first-touch compilation (observed 23 s vs 115 s for the SAME
       // ingest depending on JIT state)
-      T.objects(spark, sfDir)
+      T.objectsView(spark, sfDir)
         .repartition(F.col("volume"), F.col("bucket"))
         .sortWithinPartitions(F.col("volume"), F.col("bucket"), F.col("key"))
         .write.partitionBy("volume", "bucket").mode("overwrite")

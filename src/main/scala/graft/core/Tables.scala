@@ -37,7 +37,29 @@ object Tables {
    * Keys are 3-level paths `warehouse/<flag>/<orderkey>/<linenumber>.dat` to
    * exercise delimiter grouping and fake-directory synthesis.
    */
-  def objects(spark: SparkSession, dir: String): DataFrame = {
+  /**
+   * The namespace every READ path consumes — backed by the PERSISTED
+   * key-sorted warehouse ([[objectsSorted]]), because the reference's
+   * read paths all hit the stored RocksDB table, never a re-derivation:
+   * a query against `objects` measures a stored-table scan (with real
+   * column pruning + (volume,bucket) directory pruning + key-range
+   * row-group stats), exactly like the sf1/sf10 probes. The synthesis
+   * VIEW behind it is [[objectsView]] — fixture creation (ingest), used
+   * only to build the warehouse and by Bench's ingest metric so that
+   * metric keeps measuring synthesize+sort+write.
+   */
+  def objects(spark: SparkSession, dir: String): DataFrame =
+    // re-select the view's canonical column ORDER: the partitioned read
+    // appends (volume, bucket) at the end, and positional consumers
+    // (union, tuple encoders) must see the historical layout
+    objectsSorted(spark, dir).select(
+      "volume", "bucket", "key", "object_id", "data_size",
+      "replicated_size", "replication_type", "creation_time",
+      "modification_time", "owner", "tag_flag", "container_id",
+      "version", "etag")
+
+  /** The synthesis view (ingest definition) — see [[objects]]. */
+  def objectsView(spark: SparkSession, dir: String): DataFrame = {
     val li = raw(spark, dir, "lineitem")
     val dataSize = floor(col("l_extendedprice")).cast("long")
     val repl = col("l_linenumber") % 3
@@ -87,7 +109,7 @@ object Tables {
   def objectsSorted(spark: SparkSession, dir: String): DataFrame = synchronized {
     val w = warehouses.getOrElseUpdate(dir, {
       val out = graft.core.TempDirs.create("graft_wh_")
-      objects(spark, dir)
+      objectsView(spark, dir)
         .repartition(col("volume"), col("bucket"))
         // sort includes the partition columns: the partitioned write's
         // required ordering is then already satisfied, so FileFormatWriter

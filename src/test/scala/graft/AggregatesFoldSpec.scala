@@ -41,8 +41,13 @@ class AggregatesFoldSpec extends SparkSpecBase {
   }
 
   test("fold REFUSES unsorted input (duplicate-final risk) instead of miscounting") {
+    // descending in-run sort: since `objects` became warehouse-backed a
+    // plain hash scramble arrives run-sorted per map block and never
+    // trips the check — force a guaranteed same-(volume,bucket) key
+    // regression instead
     val messy = graft.core.Tables.objectsMixed(spark, sf)
       .repartition(7, col("object_id"))
+      .sortWithinPartitions(col("volume"), col("bucket"), col("key").desc)
     val e = intercept[org.apache.spark.SparkException] {
       Aggregates.nsSummarySorted(messy).count()
     }

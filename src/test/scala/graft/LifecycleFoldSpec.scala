@@ -39,8 +39,13 @@ class LifecycleFoldSpec extends SparkSpecBase {
   }
 
   test("fold REFUSES unsorted input instead of emitting split-run winners") {
+    // descending in-run sort: since `objects` became warehouse-backed a
+    // plain hash scramble arrives run-sorted per map block and never
+    // trips the check — force a guaranteed same-(volume,bucket) key
+    // regression instead
     val messy = graft.core.Tables.objects(spark, sf)
       .repartition(7, col("object_id"))
+      .sortWithinPartitions(col("volume"), col("bucket"), col("key").desc)
     val e = intercept[org.apache.spark.SparkException] {
       Lifecycle.latestVersionWinsSorted(messy).count()
     }
