@@ -418,7 +418,6 @@ object Bench {
           .write.mode("overwrite").parquet(wh10 + "/bands100")
         val bands100 = spark.read.parquet(wh10 + "/bands100")
         val buildSec = secs(tB)
-        graft.operators.Aggregates.nsSummarySorted(sorted100).count()
         val probes100: Seq[(String, () => Long)] = Seq(
           "q_ns_summary" -> (() =>
             graft.operators.Aggregates.nsSummarySorted(sorted100).count()),
@@ -426,6 +425,13 @@ object Bench {
             .latestVersionWinsSorted(sorted100).count()),
           "q_dedup_minhash_lsh" -> (() =>
             graft.operators.Dedup.lshPairsFromBands(bands100).count()))
+        // EVERY probe plan gets an untimed warm pass (not just the
+        // first): the ~5 min build leaves 60M-row-inflation garbage in
+        // the heap and each fold kernel pays its own JIT — an unwarmed
+        // plan's rep-1 read 35 s for a 5 s fold. Two GCs first give the
+        // collector a chance to actually reclaim the build debris.
+        System.gc(); System.gc()
+        probes100.foreach { case (_, run) => run() }
         // local rep loop (not timeAll): an sf10 failure must degrade,
         // not sys.exit the bench
         val t100 = probes100.map { case (name, run) =>
