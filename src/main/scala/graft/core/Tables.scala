@@ -33,11 +33,6 @@ object Tables {
     unix_millis(c.cast("timestamp"))
 
   /**
-   * objects ≈ keyTable/fileTable union (ref OmKeyInfo.java:72-113).
-   * Keys are 3-level paths `warehouse/<flag>/<orderkey>/<linenumber>.dat` to
-   * exercise delimiter grouping and fake-directory synthesis.
-   */
-  /**
    * The namespace every READ path consumes — backed by the PERSISTED
    * key-sorted warehouse ([[objectsSorted]]), because the reference's
    * read paths all hit the stored RocksDB table, never a re-derivation:
@@ -58,7 +53,12 @@ object Tables {
       "modification_time", "owner", "tag_flag", "container_id",
       "version", "etag")
 
-  /** The synthesis view (ingest definition) — see [[objects]]. */
+  /**
+   * The synthesis view (ingest definition) — see [[objects]].
+   * objects ≈ keyTable/fileTable union (ref OmKeyInfo.java:72-113).
+   * Keys are 3-level paths `warehouse/<flag>/<orderkey>/<linenumber>.dat` to
+   * exercise delimiter grouping and fake-directory synthesis.
+   */
   def objectsView(spark: SparkSession, dir: String): DataFrame = {
     val li = raw(spark, dir, "lineitem")
     val dataSize = floor(col("l_extendedprice")).cast("long")
@@ -239,7 +239,13 @@ object Tables {
     * params, param order, fragments. doc_id DIV 7 groups collide after
     * canonicalization exactly when the differing raw parts all fold. */
   def docUrls(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(
+    docUrlsFrom(documents(spark, dir))
+
+  /** The URL synthesis over ANY documents-shaped input (pure doc_id
+    * arithmetic — shared by the catalog table and the 10×/100× scale
+    * probes, which need the funnel's URL stage over a cloned corpus). */
+  def docUrlsFrom(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       concat(
         when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),

@@ -729,4 +729,111 @@ class RedFamilyPropertySpec extends SparkSpecBase {
         r.getAs[String]("metric"), r.getAs[Long]("value"))).toSet
     assert(got === expected.toSet)
   }
+
+  test("snapshotMoveDeletedKeys == a literal OMSnapshotMoveDeleted" +
+    "KeysRequest walk over random request/entry lists") {
+    // OMSnapshotMoveDeletedKeysRequest.java:48-105 — the LEGACY move:
+    // getSnapshotInfo is an EXISTENCE probe on the snapshot info table
+    // (FILE_NOT_FOUND only; status is NEVER read — a SNAPSHOT_DELETED
+    // from proceeds, and chain membership alone does not save a row the
+    // info table lacks), getNextSnapshot walks the path chain (no
+    // successor, or not in the chain at all → Active Object Store), the
+    // four protobuf lists (nextDBKeys/reclaimKeys/renamedKeys/
+    // deletedDirsToMove) hand through VERBATIM — duplicates and junk
+    // prefixes the modern ladder filters all count — and the live
+    // bucket objectID is captured into the response (:85-97).
+    val rnd = new Random(777)
+    val vols = Seq("vol0", "vol1", "vol2")
+    val bcks = Seq("bucket0", "bucket3", "bucket5")
+    val statuses = Seq("SNAPSHOT_ACTIVE", "SNAPSHOT_DELETED")
+    val chain = (1L to 15L).map(i =>
+      (i, s"s$i", vols(rnd.nextInt(3)), bcks(rnd.nextInt(3))))
+    // info-table catalog: the chain rows MINUS a few (chain-only rows
+    // must still FILE_NOT_FOUND), random statuses (never consulted),
+    // PLUS catalog-only orphans (in the info table, not in the chain →
+    // destination falls back to AOS)
+    val chainOnly = chain.filter(_._1 % 7 == 0).map(_._2).toSet
+    val catalog = chain.filterNot(c => chainOnly(c._2))
+      .map(c => (c._3, c._4, c._2, statuses(rnd.nextInt(2)))) ++
+      (for (v <- vols; b <- bcks)
+        yield (v, b, s"orphan-$v-$b", statuses(rnd.nextInt(2))))
+    val tbls = Seq("NEXT_DB", "RECLAIM", "RENAMED", "MOVED_DIR")
+    val reqs = (1L to 150L).map { id =>
+      val v = vols(rnd.nextInt(3)); val b = bcks(rnd.nextInt(3))
+      val from = rnd.nextInt(5) match {
+        case 0 => "ghost" + rnd.nextInt(4)
+        case 1 => s"orphan-$v-$b"
+        case _ => chain(rnd.nextInt(chain.length))._2
+      }
+      (id, v, b, from)
+    }
+    // entry lists: 0..7 rows per request; duplicate keys and junk
+    // prefixes planted — the legacy ladder counts them all, untouched
+    val entries = reqs.flatMap { case (id, v, b, _) =>
+      (0 until rnd.nextInt(8)).map { j =>
+        val key = rnd.nextInt(4) match {
+          case 0 => s"/$v/$b/k${rnd.nextInt(3)}" // dup-prone
+          case 1 => "/wrong/prefix/z" + rnd.nextInt(9) // junk: moves
+          case _ => s"/$v/$b/u$id-$j"
+        }
+        (id, tbls(rnd.nextInt(4)), (j + 1).toLong, key)
+      }
+    }
+    // ---- literal walk ----
+    val catKeys = catalog.map(c => (c._1, c._2, c._3)).toSet
+    val nextOf = chain.groupBy(c => (c._3, c._4)).flatMap { case (_, cs) =>
+      val sorted = cs.sortBy(_._1)
+      sorted.zipWithIndex.map { case (c, i) =>
+        (c._3, c._4, c._2) ->
+          (if (i == sorted.length - 1) "AOS" else sorted(i + 1)._2)
+      }
+    }
+    def mint(v: String, b: String): Long =
+      v.substring(3).toLong * 100 + b.substring(6).toLong + 10
+    val expected = reqs.map { case (id, v, b, from) =>
+      if (!catKeys((v, b, from)))
+        id -> ((from, "FILE_NOT_FOUND", "", 0L, 0L, 0L, 0L, 0L))
+      else {
+        val dest = nextOf.getOrElse((v, b, from), "AOS")
+        val es = entries.filter(_._1 == id)
+        def n(t: String) = es.count(_._2 == t).toLong
+        id -> ((from, "MOVED", dest, mint(v, b), n("NEXT_DB"),
+          n("RECLAIM"), n("RENAMED"), n("MOVED_DIR")))
+      }
+    }.toMap
+    // ---- engine ----
+    val got = graft.operators.CommitLog.snapshotMoveDeletedKeys(
+        reqs.toDF("req_id", "volume", "bucket", "from_name"),
+        entries.toDF("req_id", "tbl", "pos", "db_key"),
+        chain.toDF("global_idx", "name", "volume", "bucket"),
+        catalog.toDF("volume", "bucket", "name", "status"))
+      .collect().map(r => r.getAs[Long]("req_id") ->
+        ((r.getAs[String]("from_name"), r.getAs[String]("decision"),
+          r.getAs[String]("destination"), r.getAs[Long]("bucket_id"),
+          r.getAs[Long]("moved_next_db"), r.getAs[Long]("moved_reclaim"),
+          r.getAs[Long]("moved_renamed"), r.getAs[Long]("moved_dirs"))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, want) =>
+      assert(got(id) === want, s"req $id")
+    }
+    // the census must actually exercise the legacy divergences: both
+    // decisions occur; at least one MOVED lands in (or departs from) a
+    // SNAPSHOT_DELETED row the modern ladder would refuse; at least one
+    // chain-only from FILE_NOT_FOUNDs despite having a chain successor
+    val ds = expected.values.map(_._2).toSet
+    assert(ds === Set("FILE_NOT_FOUND", "MOVED"))
+    val deletedNames = catalog.collect {
+      case (v, b, n, "SNAPSHOT_DELETED") => (v, b, n)
+    }.toSet
+    assert(reqs.exists { case (id, v, b, from) =>
+      expected(id)._2 == "MOVED" &&
+        (deletedNames((v, b, from)) ||
+          deletedNames((v, b, expected(id)._3)))
+    })
+    assert(reqs.exists { case (_, v, b, from) =>
+      chainOnly(from) && chain.exists(c => c._2 == from && c._3 == v &&
+        c._4 == b)
+    })
+  }
 }
