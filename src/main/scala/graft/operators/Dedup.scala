@@ -221,20 +221,34 @@ object Dedup {
                         candidates: Option[DataFrame] = None): DataFrame = {
     val cands = candidates.getOrElse(minhashLshPairs(docs))
       .select("doc_a", "doc_b")
-    val bg = withWords(docs)
+    // Per-doc DISTINCT shingle set attached as ONE array row: each
+    // candidate pair then rides through two narrow doc_id joins and a
+    // codegen'd array_intersect computes |A∩B| in place. The previous
+    // formulation exploded candidates × shingles into a shingle
+    // equi-join + a hash aggregate over every match — at the 100×
+    // clique-heavy probe that intermediate was ~3.7B rows and owned the
+    // verification build (525 s); the array plan moves |pairs| rows
+    // total and the same Σ shingle bytes exactly once. Shingles stay
+    // raw STRINGS — the oracle intersects un-hashed bigrams, so a
+    // hash-compaction shortcut would open a (tiny but real) collision
+    // divergence class.
+    val sets = withWords(docs)
       .filter(size(col("ws")) >= 2)
-      .withColumn("s", explode(shingleExpr("ws", 2)))
-      .select("doc_id", "s")
-      .distinct()
-    val sz = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(bg.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(bg.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter_count"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_id"), explode(shingleExpr("ws", 2)).as("s"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("ss"))
+      .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter_count",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // the explode-join emitted NO row for a zero-overlap pair (inner
+      // join on matching shingles) — preserved so a minJaccardX1000 = 0
+      // caller sees identical output
+      .filter(col("inter_count") > 0)
       .withColumn("union_count", col("na") + col("nb") - col("inter_count"))
       .withColumn("jacc_x1000", expr("inter_count * 1000 DIV union_count"))
       .filter(col("jacc_x1000") >= minJaccardX1000)
