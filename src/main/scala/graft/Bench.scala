@@ -527,6 +527,20 @@ object Bench {
           .write.mode("overwrite").parquet(wh10 + "/clusters100")
         val dedupBuildSec = secs(tD)
         val clusters100 = spark.read.parquet(wh10 + "/clusters100")
+        // 100× embedding corpus + IVF index (ingest artifacts, mirroring
+        // the sf1 block) — one more decade for the ANN pair: brute top-k
+        // is the honest linear baseline, IVF shows the indexed path's
+        // advantage compounding with corpus size
+        T.embeddings(spark, sfDir)
+          .crossJoin(spark.range(100).toDF("rep"))
+          .withColumn("vec_id", F.col("vec_id") * 100 + F.col("rep"))
+          .drop("rep")
+          .write.mode("overwrite").parquet(wh10 + "/emb100")
+        val emb100 = spark.read.parquet(wh10 + "/emb100")
+        graft.operators.Similarity.ivfCentroids(
+            graft.operators.Similarity.quantized(emb100))
+          .write.mode("overwrite").parquet(wh10 + "/cents100")
+        val cents100 = spark.read.parquet(wh10 + "/cents100")
         // q_dedup_funnel's exact body (SparkEntry) over the 100× corpus:
         // URL-stage exact dedup + keep-one over the persisted clusters
         def funnel100() = {
@@ -562,7 +576,19 @@ object Bench {
           "q_dedup_keep" -> (() =>
             graft.operators.Dedup.keepOneSelection(clusters100,
               graft.operators.TextAnalysis.qualityScore(docs100)).count()),
-          "q_dedup_funnel" -> (() => funnel100()))
+          "q_dedup_funnel" -> (() => funnel100()),
+          // the 100 TB ingest topology at 100×: a batch (1/7 of the
+          // corpus) probes the PERSISTED band index — hash(batch) +
+          // banded probe, never O(corpus)
+          "q_dedup_incremental" -> (() =>
+            graft.operators.Dedup.incrementalDedup(
+              bands100.filter(F.col("doc_id") % 7 === 0),
+              bands100.filter(F.col("doc_id") % 7 =!= 0)).count()),
+          "q_ann_topk" -> (() =>
+            graft.operators.Similarity.annTopK(emb100).count()),
+          "q_ann_ivf" -> (() =>
+            graft.operators.Similarity.annIvf(emb100,
+              precomputedCentroids = Some(cents100)).count()))
         // EVERY probe plan gets an untimed warm pass (not just the
         // first): the ~5 min build leaves 60M-row-inflation garbage in
         // the heap and each fold kernel pays its own JIT — an unwarmed
