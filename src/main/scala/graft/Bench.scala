@@ -541,24 +541,6 @@ object Bench {
             graft.operators.Similarity.quantized(emb100))
           .write.mode("overwrite").parquet(wh10 + "/cents100")
         val cents100 = spark.read.parquet(wh10 + "/cents100")
-        // q_dedup_funnel's exact body (SparkEntry) over the 100× corpus:
-        // URL-stage exact dedup + keep-one over the persisted clusters
-        def funnel100() = {
-          val url = graft.operators.Curation.urlDedup(T.docUrlsFrom(docs100))
-            .select(F.col("doc_id"), F.col("keep").as("__url_keep"),
-              F.col("cluster_size").as("url_cluster_size"))
-          val keep = graft.operators.Dedup.keepOneSelection(clusters100,
-              graft.operators.TextAnalysis.qualityScore(docs100))
-            .select(F.col("doc_id"), F.col("cluster_id"),
-              F.col("cluster_size"), F.col("kept_doc_id"),
-              F.col("decision").as("__nd_decision"))
-          url.join(keep, Seq("doc_id"))
-            .withColumn("verdict",
-              F.when(!F.col("__url_keep"), F.lit("url"))
-                .when(F.col("__nd_decision") === "DROP", F.lit("near_dup"))
-                .otherwise(F.lit("keep")))
-            .count()
-        }
         val probes100: Seq[(String, () => Long)] = Seq(
           "q_ns_summary" -> (() =>
             graft.operators.Aggregates.nsSummarySorted(sorted100).count()),
@@ -576,7 +558,10 @@ object Bench {
           "q_dedup_keep" -> (() =>
             graft.operators.Dedup.keepOneSelection(clusters100,
               graft.operators.TextAnalysis.qualityScore(docs100)).count()),
-          "q_dedup_funnel" -> (() => funnel100()),
+          // the declared query's own operator body over the 100× corpus
+          "q_dedup_funnel" -> (() => graft.operators.Dedup.dedupFunnel(
+            T.docUrlsFrom(docs100), clusters100,
+            graft.operators.TextAnalysis.qualityScore(docs100)).count()),
           // the 100 TB ingest topology at 100×: a batch (1/7 of the
           // corpus) probes the PERSISTED band index — hash(batch) +
           // banded probe, never O(corpus)

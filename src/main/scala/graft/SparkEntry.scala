@@ -434,23 +434,9 @@ object SparkEntry {
     // zero-shuffle pre-pass), then banded-LSH near-dup keep-one — each
     // doc attributed to the FIRST stage that drops it, the dedup dual
     // of q_curation_funnel.
-    "q_dedup_funnel" -> ((s, d) => {
-      val url = Curation.urlDedup(T.docUrls(s, d))
-        .select(col("doc_id"), col("keep").as("__url_keep"),
-          col("cluster_size").as("url_cluster_size"))
-      val keep = Dedup.keepOneSelection(docClustersCached(s, d),
-          TextAnalysis.qualityScore(T.documents(s, d)))
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-          col("kept_doc_id"), col("decision").as("__nd_decision"))
-      url.join(keep, Seq("doc_id"))
-        .withColumn("verdict",
-          when(!col("__url_keep"), lit("url"))
-            .when(col("__nd_decision") === "DROP", lit("near_dup"))
-            .otherwise(lit("keep")))
-        .select("doc_id", "url_cluster_size", "cluster_id",
-          "cluster_size", "kept_doc_id", "verdict")
-        .orderBy("doc_id")
-    }),
+    "q_dedup_funnel" -> ((s, d) =>
+      Dedup.dedupFunnel(T.docUrls(s, d), docClustersCached(s, d),
+        TextAnalysis.qualityScore(T.documents(s, d)))),
     "q_ann_topk" -> ((s, d) => Similarity.annTopK(T.embeddings(s, d))),
     // Matryoshka retrieval: rank on the 16-dim prefix (1/4 the FLOPs),
     // report the full-dim cosine of every truncated-rank finalist.

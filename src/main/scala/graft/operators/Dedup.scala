@@ -351,6 +351,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /**
+   * End-to-end dedup funnel: URL-level exact dedup first (the cheap
+   * zero-shuffle pre-pass), then banded-LSH near-dup keep-one — each doc
+   * attributed to the FIRST stage that drops it (the dedup dual of the
+   * curation funnel). One definition shared by the declared query and the
+   * 100× scale probe so the two can never measure different plans.
+   */
+  def dedupFunnel(docUrls: DataFrame, clusters: DataFrame,
+                  quality: DataFrame): DataFrame = {
+    val url = Curation.urlDedup(docUrls)
+      .select(col("doc_id"), col("keep").as("__url_keep"),
+        col("cluster_size").as("url_cluster_size"))
+    val keep = keepOneSelection(clusters, quality)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("kept_doc_id"), col("decision").as("__nd_decision"))
+    url.join(keep, Seq("doc_id"))
+      .withColumn("verdict",
+        when(!col("__url_keep"), lit("url"))
+          .when(col("__nd_decision") === "DROP", lit("near_dup"))
+          .otherwise(lit("keep")))
+      .select("doc_id", "url_cluster_size", "cluster_id",
+        "cluster_size", "kept_doc_id", "verdict")
+      .orderBy("doc_id")
+  }
+
   /** Canonical-document selection — the dedup pipeline's final decision:
     * within each duplicate cluster keep exactly the highest-quality member
     * (doc_id tiebreak), drop the rest. One window partitioned by
