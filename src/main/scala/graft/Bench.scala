@@ -436,6 +436,30 @@ object Bench {
           graft.operators.Dedup.exactDedup(docs10).count()),
         "q_paragraph_dedup" -> (() =>
           graft.operators.Dedup.paragraphDedup(docs10).count())))
+      // ---- streaming plane at 10×: bootstrap = full state rebuild from
+      // a STORED CDC log (the checkpoint-loss availability gap the base
+      // pass measures at 1× as stream_bootstrap_sec) — the last plane
+      // without a measured decade. The log synthesis is ingest (the real
+      // system RECEIVES the log; same rule as the 1× cdcLogDir fixture);
+      // source = the stored 10× flat warehouse (scale10 would truncate
+      // objectsMixed's 6-segment keys — state-rebuild cost scales with
+      // rows, not key depth). One throwaway warm rebuild, then 3 gc'd
+      // reps into fresh work dirs, each reclaimed after timing.
+      graft.streaming.ChangeLog.events(sorted10)
+        .write.mode("overwrite").parquet(wh10 + "/cdclog10")
+      graft.streaming.ChangeStream.bootstrapViews(spark,
+        wh10 + "/cdclog10", graft.core.TempDirs.create("graft_bs10w_"))
+      val bs10Reps = (1 to 3).map { _ =>
+        System.gc()
+        val work = graft.core.TempDirs.create("graft_bs10_")
+        val t0 = System.nanoTime()
+        graft.streaming.ChangeStream.bootstrapViews(spark,
+          wh10 + "/cdclog10", work)
+        val t = secs(t0)
+        graft.streaming.ChangeStream.deleteRecursively(
+          java.nio.file.Paths.get(work))
+        t
+      }
       // timed ingest LAST: by now every probe has its number, so the
       // write passes' heap churn can no longer contaminate anything.
       // 5 reps (consecutive same-code runs drew 18.6 vs 31.4 s 3-rep
@@ -618,7 +642,10 @@ object Bench {
       val repsJson = ingestReps.mkString("[", ",", "]")
       val frag = s""","sf1":$m,"sf1_reps":$mReps,""" +
         s""""sf1_ingest_sec":$ingestSec,"sf1_ingest_reps":$repsJson,""" +
-        s""""sf1_nested_build_sec":$nestedBuildSec""" +
+        s""""sf1_nested_build_sec":$nestedBuildSec,""" +
+        s""""sf1_stream_bootstrap_sec":${bs10Reps.min},""" +
+        s""""sf1_stream_bootstrap_reps":${
+          bs10Reps.mkString("[", ",", "]")}""" +
         sf10Json
       (frag, times.map { case (k, v) => k -> v.min }.toMap)
   }
