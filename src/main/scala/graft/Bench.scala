@@ -56,6 +56,14 @@ object Bench {
       println(json)
       return
     }
+    // crash hedge: the full run takes ~25-30 min (the 100× ingest builds
+    // dominate); snapshot the finished probe phase NOW so an external
+    // kill mid-sweep still leaves the scale evidence on disk — the final
+    // write below replaces this with the complete record
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"),
+      s"""{"metric":"partial-probe-phase","value":0,"unit":"sec",""" +
+        s""""queries":{}$sf1Json,"sf":"$sfDir"}""")
     val spark = graft.core.GraftSession.local(cpus)
     // Warmup: touch every input table + pay codegen/session startup once,
     // so the first measured query isn't charged ~5 s of JVM warmup; also
