@@ -184,17 +184,20 @@ object Bench {
     // max(3 s, 5×median) exactly to reach the 0.5-3 s band.
     val med = best.values.toSeq.sorted.apply(best.size / 2)
     val threshold = math.max(1.0, 3 * med)
-    for (n <- names if best(n) > threshold) {
+    // shared by the outlier pass and the sf1 gate below — only the bar
+    // differs (a genuinely-slow query can draw both, bounded at 4 runs)
+    def retimeAbove(n: String, bar: Double, label: String): Unit = {
       var tries = 0
-      while (best(n) > threshold && tries < 2) {
+      while (best(n) > bar && tries < 2) {
         System.gc()
         val t2 = timeQuery(n)
-        System.err.println(
-          f"[bench] re-timed outlier $n: ${best(n)}%.2f -> $t2%.2f")
+        System.err.println(f"[bench] $label $n: ${best(n)}%.2f -> $t2%.2f")
         best(n) = math.min(best(n), t2)
         tries += 1
       }
     }
+    for (n <- names if best(n) > threshold)
+      retimeAbove(n, threshold, "re-timed outlier")
     // Sweep-vs-probe consistency gate (VERDICT r11 #6): 1× data cannot
     // honestly cost more than 2× the warmed 10× probe of the SAME
     // operator. Anything over gets gc'd re-times too; a survivor is
@@ -204,15 +207,7 @@ object Bench {
     val flags = scala.collection.mutable.ListBuffer.empty[String]
     for ((n, p) <- sf1Min if best.contains(n)) {
       val bar = math.max(2 * p, 0.8)
-      var tries = 0
-      while (best(n) > bar && tries < 2) {
-        System.gc()
-        val t2 = timeQuery(n)
-        System.err.println(
-          f"[bench] sweep>2×sf1, re-timed $n: ${best(n)}%.2f -> $t2%.2f")
-        best(n) = math.min(best(n), t2)
-        tries += 1
-      }
+      retimeAbove(n, bar, "sweep>2×sf1, re-timed")
       if (best(n) > bar) flags += n
     }
     val results = names.map(n => n -> best(n))
@@ -243,11 +238,11 @@ object Bench {
     if (!spark.sparkContext.isStopped) spark.stop()
   }
 
-  /** The 10× scale-probe body, run FIRST in a pristine JVM (own session,
-    * stopped here before the base pass starts — see main's sf1Json
-    * comment). Returns the `,"sf1":{...},"sf1_ingest_sec":N` fragment. */
-  /** Returns the JSON fragment AND the per-query sf1 minima (the base
-    * sweep's consistency guard compares against them — VERDICT r11 #6). */
+  /** The 10×/100× scale-probe body, run FIRST in a pristine JVM (own
+    * session, stopped here before the base pass starts — see main's
+    * sf1Json comment). Returns the `,"sf1":{...},...` JSON fragment AND
+    * the per-query sf1 minima the base sweep's consistency guard
+    * compares against (VERDICT r11 #6). */
   private def scaleProbe(spark: org.apache.spark.sql.SparkSession,
                          sfDir: String): (String, Map[String, Double]) = {
       import org.apache.spark.sql.{functions => F}
@@ -319,10 +314,7 @@ object Bench {
       // namespace; untimed — the ingest metric keeps its r1-comparable
       // namespace-only meaning). Centroids are an ingest-time index
       // artifact, exactly like the base pass's ivfCentroidsCached.
-      T.embeddings(spark, sfDir)
-        .crossJoin(spark.range(10).toDF("rep"))
-        .withColumn("vec_id", F.col("vec_id") * 10 + F.col("rep"))
-        .drop("rep")
+      T.embScaled(T.embeddings(spark, sfDir), 10)
         .write.mode("overwrite").parquet(wh10 + "/emb")
       val emb10 = spark.read.parquet(wh10 + "/emb")
       graft.operators.Similarity.ivfCentroids(
@@ -414,20 +406,13 @@ object Bench {
       graft.operators.Aggregates.nsSummarySorted(sorted10).count()
       val nsTimes = timeAll(probes,
         n => if (n == "q_ns_summary") 5 else 3)
-      // 10× document corpus for the dedup probes, built AFTER the
-      // namespace probes so its shingle-heavy synthesis can't dirty the
-      // heap the GC-sensitive folds above run in (observed q_ns_summary
-      // 0.84 → 2.47 s with the build placed before them). Clones carry a
-      // per-rep token suffix so they are NEAR-dups of the original (high
-      // shingle overlap — the realistic LSH load), not byte-identical
-      // copies; minhash bands are an ingest-time index (untimed, like
-      // the IVF centroids).
-      T.documents(spark, sfDir)
-        .crossJoin(spark.range(10).toDF("rep"))
-        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("rep"))
-        .withColumn("text", F.concat(F.col("text"), F.lit(" rep"),
-          F.col("rep").cast("string")))
-        .drop("rep")
+      // 10× near-dup document corpus (T.docsScaled) for the dedup
+      // probes, built AFTER the namespace probes so its shingle-heavy
+      // synthesis can't dirty the heap the GC-sensitive folds above run
+      // in (observed q_ns_summary 0.84 → 2.47 s with the build placed
+      // before them); minhash bands are an ingest-time index (untimed,
+      // like the IVF centroids).
+      T.docsScaled(T.documents(spark, sfDir), 10)
         .write.mode("overwrite").parquet(wh10 + "/docs")
       val docs10 = spark.read.parquet(wh10 + "/docs")
       graft.operators.Dedup.minhashBands(docs10)
@@ -508,12 +493,7 @@ object Bench {
           .parquet(wh10 + "/objects100")
         val sorted100 = spark.read.parquet(wh10 + "/objects100")
         // 100× near-dup document corpus + its ingest-time band index
-        T.documents(spark, sfDir)
-          .crossJoin(spark.range(100).toDF("rep"))
-          .withColumn("doc_id", F.col("doc_id") * 100 + F.col("rep"))
-          .withColumn("text", F.concat(F.col("text"), F.lit(" rep"),
-            F.col("rep").cast("string")))
-          .drop("rep")
+        T.docsScaled(T.documents(spark, sfDir), 100)
           .write.mode("overwrite").parquet(wh10 + "/docs100")
         graft.operators.Dedup.minhashBands(
             spark.read.parquet(wh10 + "/docs100"))
@@ -527,10 +507,16 @@ object Bench {
         // pair rather than re-running the 1× synthesis ×100. Read the
         // dirs FRESH: the timed ingest reps just overwrote them, so the
         // earlier snap1/snap2 frames hold stale file listings.
+        // sf10_aux_build_sec covers the remaining 100× ingest artifacts
+        // (snapshot pair + embedding corpus + IVF centroids) so no build
+        // goes unreported — a regression in any of them must be visible
+        // in the published JSON, not silently absorbed.
+        val tAux1 = System.nanoTime()
         scale10(spark.read.parquet(wh10 + "/snap1"))
           .write.mode("overwrite").parquet(wh10 + "/snap1_100")
         scale10(spark.read.parquet(wh10 + "/snap2"))
           .write.mode("overwrite").parquet(wh10 + "/snap2_100")
+        var auxBuildSec = secs(tAux1)
         val snap1c = spark.read.parquet(wh10 + "/snap1_100")
         val snap2c = spark.read.parquet(wh10 + "/snap2_100")
         // nested attribute store at 100× (merkle's input; stored for the
@@ -563,16 +549,15 @@ object Bench {
         // the sf1 block) — one more decade for the ANN pair: brute top-k
         // is the honest linear baseline, IVF shows the indexed path's
         // advantage compounding with corpus size
-        T.embeddings(spark, sfDir)
-          .crossJoin(spark.range(100).toDF("rep"))
-          .withColumn("vec_id", F.col("vec_id") * 100 + F.col("rep"))
-          .drop("rep")
+        val tAux2 = System.nanoTime()
+        T.embScaled(T.embeddings(spark, sfDir), 100)
           .write.mode("overwrite").parquet(wh10 + "/emb100")
         val emb100 = spark.read.parquet(wh10 + "/emb100")
         graft.operators.Similarity.ivfCentroids(
             graft.operators.Similarity.quantized(emb100))
           .write.mode("overwrite").parquet(wh10 + "/cents100")
         val cents100 = spark.read.parquet(wh10 + "/cents100")
+        auxBuildSec += secs(tAux2)
         val probes100: Seq[(String, () => Long)] = Seq(
           "q_ns_summary" -> (() =>
             graft.operators.Aggregates.nsSummarySorted(sorted100).count()),
@@ -628,7 +613,8 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","sf10":$m10,"sf10_reps":$m10r,"sf10_build_sec":$buildSec,""" +
           s""""sf10_dedup_build_sec":$dedupBuildSec,""" +
-          s""""sf10_nested_build_sec":$nested100BuildSec"""
+          s""""sf10_nested_build_sec":$nested100BuildSec,""" +
+          s""""sf10_aux_build_sec":$auxBuildSec"""
       } catch {
         // NonFatal only: an OOM/VM error must crash the bench honestly,
         // not emit JSON from a corrupted JVM

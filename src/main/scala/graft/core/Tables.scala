@@ -267,6 +267,25 @@ object Tables {
         when(col("doc_id") % 11 === 0, lit("#sec")).otherwise(lit("")))
         .as("url"))
 
+  /** Near-dup scaled document corpus for the scale probes: every doc
+    * cloned `mult`× with a per-clone token suffix, so clones are
+    * NEAR-dups of the original (high shingle overlap — the realistic
+    * LSH load), not byte-identical copies. ONE definition shared by
+    * Bench's 10×/100× blocks and the standalone JaccProbe so the
+    * probes can never quietly measure different corpora. */
+  def docsScaled(docs: DataFrame, mult: Int): DataFrame =
+    docs.crossJoin(docs.sparkSession.range(mult).toDF("rep"))
+      .withColumn("doc_id", col("doc_id") * mult + col("rep"))
+      .withColumn("text", concat(col("text"), lit(" rep"),
+        col("rep").cast("string")))
+      .drop("rep")
+
+  /** Scaled embedding corpus (vec_id re-minted, vectors unchanged). */
+  def embScaled(emb: DataFrame, mult: Int): DataFrame =
+    emb.crossJoin(emb.sparkSession.range(mult).toDF("rep"))
+      .withColumn("vec_id", col("vec_id") * mult + col("rep"))
+      .drop("rep")
+
   /** ec_read_blocks: degraded-read scenarios — full/short blocks, every
     * reader transition, parity shortfall, both EC widths. Sizes in MiB
     * units (chunk 1048576). */

@@ -212,11 +212,15 @@ object Dedup {
   }
 
   /** Exact n-gram (word-bigram) Jaccard verification over MinHash-LSH
-    * candidate pairs — the candidates-then-verify topology: |A∩B| via a
-    * candidate-mediated shingle equi-join (touches only candidate docs),
-    * |A∪B| = |A|+|B|-|∩|, emitted as an integer x1000 ratio. Cost is
-    * linear in corpus (shingle sets) + Σ candidate work — never quadratic
-    * within a partition-key bucket. */
+    * candidate pairs — the candidates-then-verify topology: per-doc
+    * DISTINCT shingle sets attached as arrays, |A∩B| computed per pair
+    * in place, |A∪B| = |A|+|B|-|∩|, emitted as an integer x1000 ratio.
+    * Cost is linear in corpus (shingle sets) + Σ candidate-pair shingle
+    * bytes — never quadratic within a partition-key bucket.
+    *
+    * PRECONDITION: `candidates` rows must be DISTINCT (doc_a, doc_b)
+    * pairs ([[lshPairsFromBands]] groups, so its output qualifies) —
+    * a duplicated candidate row emits a duplicated output row. */
   def ngramJaccardPairs(docs: DataFrame, minJaccardX1000: Long = 100,
                         candidates: Option[DataFrame] = None): DataFrame = {
     val cands = candidates.getOrElse(minhashLshPairs(docs))

@@ -388,7 +388,11 @@ object TextAnalysis {
     // n_sources, still metadata-sized (defaultParallelism ≤ cluster
     // cores, n_sources is a domain enum)
     synchronized {
-      lastRanked.foreach(_.unpersist(false))
+      // the previous frame may belong to an already-stopped session
+      // (Bench runs probe + base sessions in one JVM) — dropping a dead
+      // session's entry is a no-op, not an error
+      lastRanked.filter(!_.sparkSession.sparkContext.isStopped)
+        .foreach(df => scala.util.Try(df.unpersist(false)))
       lastRanked = None
     }
     val numParts =

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{functions => F}
+
 
 /** Dev-only: time the 100× dedup verification-index build (LSH candidates
   * → exact jaccard verify → cluster fixpoint) in isolation — the r12
@@ -15,13 +15,8 @@ object JaccProbe {
     val T = graft.core.Tables
     def secs(t0: Long) = (System.nanoTime() - t0) / 1e9
     val wh = graft.core.TempDirs.create("graft_jaccp_")
-    // same corpus synthesis as Bench.scaleProbe's docs100
-    T.documents(spark, sfDir)
-      .crossJoin(spark.range(mult).toDF("rep"))
-      .withColumn("doc_id", F.col("doc_id") * mult + F.col("rep"))
-      .withColumn("text", F.concat(F.col("text"), F.lit(" rep"),
-        F.col("rep").cast("string")))
-      .drop("rep")
+    // the probes' shared corpus synthesis — same definition Bench uses
+    T.docsScaled(T.documents(spark, sfDir), mult)
       .write.mode("overwrite").parquet(wh + "/docs")
     val docs = spark.read.parquet(wh + "/docs")
     graft.operators.Dedup.minhashBands(docs)

@@ -832,8 +832,8 @@ class RedFamilyPropertySpec extends SparkSpecBase {
           deletedNames((v, b, expected(id)._3)))
     })
     assert(reqs.exists { case (_, v, b, from) =>
-      chainOnly(from) && chain.exists(c => c._2 == from && c._3 == v &&
-        c._4 == b)
+      chainOnly(from) &&
+        nextOf.get((v, b, from)).exists(_ != "AOS") // real successor
     })
   }
 }
