@@ -23,12 +23,16 @@ object TextFns {
   def permA(i: Int): Long = 101L + 37L * i
   def permB(i: Int): Long = 53L + 17L * i
 
-  /** 60-bit token hash from the md5 hex prefix (engine-portable). */
+  /** 60-bit token hash from the md5 hex prefix. Engine side: the native
+    * codegen'd [[Hash60]] (digest bytes → long, no hex-string
+    * round-trip); oracle side stays the portable SQL form
+    * `CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)` —
+    * Hash60Spec pins the two bit-identical. */
   def tokenHash60(c: Column): Column =
-    expr(s"CAST(conv(substring(md5(${c.toString()}), 1, 15), 16, 10) AS BIGINT)")
+    expr(s"graft_hash60(${c.toString()})")
 
   def tokenHash60(colName: String): Column =
-    expr(s"CAST(conv(substring(md5($colName), 1, 15), 16, 10) AS BIGINT)")
+    expr(s"graft_hash60($colName)")
 
   /** Whitespace-normalized lowercase text.
     * DuckDB: trim(regexp_replace(lower(text), '\s+', ' ', 'g')) */

@@ -62,6 +62,15 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.ArrayDotLong(children(0), children(1))
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hash60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_hash60 takes 1 argument, got ${children.length}")
+        graft.functions.Hash60(children.head)
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hmac"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.HmacSha256].getName, "graft_hmac"),

@@ -183,4 +183,44 @@ class FunctionsSpec extends SparkSpecBase {
     // empty-suffix identity and zero-length guard
     assert(Crc32Combine.combine(123456789L, 0L, 0L) === 123456789L)
   }
+
+  test("graft_hash60 == CAST(conv(substring(md5(x),1,15),16,10) AS " +
+    "BIGINT) bit-for-bit") {
+    // the native expression replaces the hex-prefix SQL chain on the
+    // engine side; the DuckDB oracles keep the SQL form — this pin is
+    // what makes that split safe. Inputs cover the hash's live domains:
+    // shingles, paragraphs, normalized docs, cast ids, unicode, empty,
+    // long strings, and 2000 random ASCII/unicode draws.
+    val rnd = new scala.util.Random(60)
+    val fixed = Seq("", "a", "warehouse/N/1/1.dat", "the quick brown fox",
+      "éü中文 — emoji 😀", "rep0 rep1 rep2", " leading space",
+      "x" * 5000, "\t\n mixed nul")
+    val random = (1 to 2000).map { _ =>
+      val n = rnd.nextInt(40)
+      (1 to n).map(_ => (if (rnd.nextBoolean()) rnd.nextPrintableChar()
+        else (0x4e00 + rnd.nextInt(100)).toChar)).mkString
+    }
+    val df = (fixed ++ random).toDF("s").select(col("s"),
+      expr("graft_hash60(s)").as("native"),
+      expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)")
+        .as("sql"))
+    assert(df.filter(col("native") =!= col("sql")).isEmpty)
+    // all values are non-negative 60-bit (the conv parse is unsigned)
+    assert(df.filter(col("native") < 0 ||
+      col("native") >= (1L << 60)).isEmpty)
+    // the object path (interpreted eval) agrees with an INDEPENDENT
+    // JVM derivation: md5 → hex string → parse 15 chars — the literal
+    // reading of the SQL chain, no Spark involved
+    fixed.foreach { s =>
+      val viaObj = graft.functions.Hash60.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15)
+      assert(viaObj === java.lang.Long.parseLong(hex, 16), s"input '$s'")
+    }
+    // NULL in → NULL out, same as the SQL chain
+    assert(Seq[Option[String]](None).toDF("s")
+      .selectExpr("graft_hash60(s)").head.isNullAt(0))
+  }
 }
