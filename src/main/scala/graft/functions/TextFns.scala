@@ -29,10 +29,12 @@ object TextFns {
     * `CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)` —
     * Hash60Spec pins the two bit-identical. */
   def tokenHash60(c: Column): Column =
-    expr(s"graft_hash60(${c.toString()})")
+    // call the registered function by name (public API) — no SQL-string
+    // round-trip, so ANY column expression (concat chains, casts) is
+    // safe input
+    call_function("graft_hash60", c)
 
-  def tokenHash60(colName: String): Column =
-    expr(s"graft_hash60($colName)")
+  def tokenHash60(colName: String): Column = tokenHash60(col(colName))
 
   /** Whitespace-normalized lowercase text.
     * DuckDB: trim(regexp_replace(lower(text), '\s+', ' ', 'g')) */

@@ -1678,10 +1678,13 @@ object ClusterHealth {
     // this model, so build the TWO variant trees per container in one
     // pass over the layout instead of fanning the chunk table out
     // ×replication (replicas then just pick their variant)
+    // the tree's hash kernel runs twice per CHUNK row (the engine's
+    // most-hashed table at 100×) — the native graft_hash60 (spec-pinned
+    // bit-identical to the hex-prefix SQL form the oracle keeps) skips
+    // the per-row hex-string round-trip
     def ck(salt: String) = expr(
-      s"""CAST(conv(substring(md5(concat_ws(':', container_id, local_id,
-         |  offset, length, '$salt')), 1, 15), 16, 10) AS BIGINT)"""
-        .stripMargin.replace("\n", " "))
+      s"""graft_hash60(concat_ws(':', container_id, local_id,
+         |  offset, length, '$salt'))""".stripMargin.replace("\n", " "))
     val blockLevel = chunks
       .withColumn("ck_ok", ck("ok"))
       .withColumn("ck_corrupt", ck("corrupt"))
@@ -1689,11 +1692,10 @@ object ClusterHealth {
       .agg(expr("bit_xor(ck_ok)").as("x_ok"),
         expr("bit_xor(ck_corrupt)").as("x_corrupt"))
       .select(col("container_id"), col("local_id"),
-        expr("CAST(conv(substring(md5(concat_ws(':', container_id, " +
-          "local_id, x_ok)), 1, 15), 16, 10) AS BIGINT)").as("block_ok"),
-        expr("CAST(conv(substring(md5(concat_ws(':', container_id, " +
-          "local_id, x_corrupt)), 1, 15), 16, 10) AS BIGINT)")
-          .as("block_corrupt"))
+        expr("graft_hash60(concat_ws(':', container_id, local_id, " +
+          "x_ok))").as("block_ok"),
+        expr("graft_hash60(concat_ws(':', container_id, local_id, " +
+          "x_corrupt))").as("block_corrupt"))
     val containerTrees = blockLevel
       .groupBy("container_id")
       .agg(expr("bit_xor(block_ok)").as("t_ok"),

@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
 object Hierarchy {
 
   /** Deterministic 60-bit id of a (volume, bucket, path) node — md5-prefix
-    * based so the DuckDB oracle derives identical ids. Root parent id = 0. */
+    * based so the DuckDB oracle derives identical ids (engine side runs
+    * the native graft_hash60, spec-pinned bit-identical to the hex-prefix
+    * form). Root parent id = 0. */
   def pathId(volume: Column, bucket: Column, path: Column): Column =
-    conv(substring(md5(concat(volume, lit(":"), bucket, lit(":"), path)), 1, 15),
-      16, 10).cast("long")
+    graft.functions.TextFns.tokenHash60(
+      concat(volume, lit(":"), bucket, lit(":"), path))
 
   /** Same id computed driver-side (for resolving a literal query path). */
   def pathIdOf(volume: String, bucket: String, path: String): Long = {

@@ -133,8 +133,7 @@ object Sampling {
                 testPm: Int = 10): DataFrame =
     docs
       .withColumn("bucket_pm",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), " +
-          "16, 10) AS BIGINT) % 1000"))
+        expr("graft_hash60(CAST(doc_id AS STRING)) % 1000"))
       .withColumn("split",
         when(col("bucket_pm") < testPm, lit("test"))
           .when(col("bucket_pm") < testPm + valPm, lit("val"))

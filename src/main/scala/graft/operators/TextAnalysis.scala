@@ -208,7 +208,7 @@ object TextAnalysis {
         expr("CASE WHEN size(ws) >= 2 THEN " +
           "transform(transform(sequence(0, size(ws) - 2), " +
           "i -> array_join(slice(ws, i + 1, 2), ' ')), " +
-          "s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)) " +
+          "s -> graft_hash60(s)) " +
           "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
       .withColumn("min_shingle_h", coalesce(array_min(col("sh")), lit(-1L)))
       .withColumn("max_shingle_h", coalesce(array_max(col("sh")), lit(-1L)))
