@@ -572,6 +572,13 @@ object Bench {
               T.replicas(spark, sfDir)).count()),
           "q_dedup_minhash_lsh" -> (() =>
             graft.operators.Dedup.lshPairsFromBands(bands100).count()),
+          // the other two 10×-proven dedup shuffle shapes, re-measured a
+          // decade up over the same stored corpus (no extra build): one
+          // 16-byte-hash shuffle / one id-only global shuffle
+          "q_dedup_exact" -> (() =>
+            graft.operators.Dedup.exactDedup(docs100).count()),
+          "q_paragraph_dedup" -> (() =>
+            graft.operators.Dedup.paragraphDedup(docs100).count()),
           "q_dedup_keep" -> (() =>
             graft.operators.Dedup.keepOneSelection(clusters100,
               graft.operators.TextAnalysis.qualityScore(docs100)).count()),

@@ -213,10 +213,12 @@ object Dedup {
 
   /** Exact n-gram (word-bigram) Jaccard verification over MinHash-LSH
     * candidate pairs — the candidates-then-verify topology: per-doc
-    * DISTINCT shingle sets attached as arrays, |A∩B| computed per pair
-    * in place, |A∪B| = |A|+|B|-|∩|, emitted as an integer x1000 ratio.
-    * Cost is linear in corpus (shingle sets) + Σ candidate-pair shingle
-    * bytes — never quadratic within a partition-key bucket.
+    * DISTINCT shingle sets, dictionary-encoded to sorted term-id arrays,
+    * attached per side; |A∩B| counted per pair in place by the native
+    * sorted-merge kernel, |A∪B| = |A|+|B|-|∩|, emitted as an integer
+    * x1000 ratio. Cost is linear in corpus (dict + sets) + Σ
+    * candidate-pair set bytes — never quadratic within a partition-key
+    * bucket.
     *
     * PRECONDITION: `candidates` rows must be DISTINCT (doc_a, doc_b)
     * pairs ([[lshPairsFromBands]] groups, so its output qualifies) —
@@ -225,22 +227,41 @@ object Dedup {
                         candidates: Option[DataFrame] = None): DataFrame = {
     val cands = candidates.getOrElse(minhashLshPairs(docs))
       .select("doc_a", "doc_b")
-    // Per-doc DISTINCT shingle set attached as ONE array row: each
-    // candidate pair then rides through two narrow doc_id joins and a
-    // codegen'd array_intersect computes |A∩B| in place. The previous
-    // formulation exploded candidates × shingles into a shingle
-    // equi-join + a hash aggregate over every match — at the 100×
-    // clique-heavy probe that intermediate was ~3.7B rows and owned the
-    // verification build (525 s); the array plan moves |pairs| rows
-    // total and the same Σ shingle bytes exactly once. Shingles stay
-    // raw STRINGS — the oracle intersects un-hashed bigrams, so a
-    // hash-compaction shortcut would open a (tiny but real) collision
-    // divergence class.
-    val sets = withWords(docs)
+    // Per-doc DISTINCT shingle set attached as ONE SORTED ARRAY<BIGINT>
+    // row of DICTIONARY term-ids: each candidate pair then rides through
+    // two narrow doc_id joins and the native graft_isect_sorted kernel
+    // counts |A∩B| in place with a single O(|A|+|B|) primitive-long
+    // merge — no per-pair hash set, no materialized intersection array.
+    //
+    // The dictionary (distinct shingle string → unique BIGINT) is what a
+    // term-id encoding buys at scale: the pair joins are the stage's
+    // dominant shuffle (|pairs| rows × two set payloads — ~27M pairs at
+    // the 100× clique-heavy probe), and an ~120-bigram STRING set is
+    // ~1.8 KB where the id set is ~1 KB less; the merge compares longs
+    // instead of byte strings. The encoding is INJECTIVE (ids minted per
+    // distinct string), so counts are EXACTLY the string-set counts —
+    // unlike a hash compaction, which would open a (tiny but real)
+    // collision divergence class against the oracle's un-hashed bigram
+    // intersects. The dict build is corpus-linear (one distinct over
+    // exploded shingles) and the id assignment is pinned by an eager
+    // localCheckpoint: monotonically_increasing_id is nondeterministic
+    // across RECOMPUTES, and the sets frame feeds both join sides — two
+    // divergent dict instantiations would silently zero the counts.
+    //
+    // Two earlier formulations and why they lost: exploding candidates ×
+    // shingles into a shingle equi-join + hash aggregate made a ~3.7B-row
+    // intermediate at the 100× probe (525 s); a string-array plan with
+    // size(array_intersect(...)) moved |pairs| rows but paid a hash-set
+    // build + result-array copy per pair on top of the string payload.
+    val shingles = withWords(docs)
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(shingleExpr("ws", 2)).as("s"))
+    val dict = shingles.select("s").distinct()
+      .withColumn("sid", monotonically_increasing_id())
+      .localCheckpoint()
+    val sets = shingles.join(dict, "s")
       .groupBy("doc_id")
-      .agg(collect_set(col("s")).as("ss"))
+      .agg(array_sort(collect_set(col("sid"))).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
@@ -248,7 +269,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
         col("n").as("nb")), "doc_b")
       .withColumn("inter_count",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        call_function("graft_isect_sorted", col("sa"), col("sb")))
       // the explode-join emitted NO row for a zero-overlap pair (inner
       // join on matching shingles) — preserved so a minJaccardX1000 = 0
       // caller sees identical output

@@ -71,6 +71,16 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Hash60(children.head)
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_isect_sorted"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.IntersectCountSorted].getName,
+        "graft_isect_sorted"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_isect_sorted takes 2 arguments, got ${children.length}")
+        graft.functions.IntersectCountSorted(children(0), children(1))
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hmac"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.HmacSha256].getName, "graft_hmac"),

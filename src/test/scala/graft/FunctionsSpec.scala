@@ -223,4 +223,101 @@ class FunctionsSpec extends SparkSpecBase {
     assert(Seq[Option[String]](None).toDF("s")
       .selectExpr("graft_hash60(s)").head.isNullAt(0))
   }
+
+  test("graft_isect_sorted == size(array_intersect(a,b)) on sorted " +
+    "distinct arrays, 500 random draws + edges") {
+    // the native sorted-merge count replaces size(array_intersect) in
+    // the jaccard verification; inputs there are array_sort(collect_set)
+    // products — sorted, distinct, non-null. The arrays are sorted by
+    // SPARK's order (array_sort) inside the query, not by JVM String
+    // order, so the pin exercises exactly the production byte ordering
+    // (they differ above U+D7FF).
+    val rnd = new scala.util.Random(1014)
+    def tok() = {
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(_ => (if (rnd.nextBoolean()) rnd.nextPrintableChar()
+        else (0x4e00 + rnd.nextInt(80)).toChar)).mkString
+    }
+    val rows = (1 to 500).map { i =>
+      val pool = (1 to 30).map(_ => tok()).distinct
+      val a = rnd.shuffle(pool).take(rnd.nextInt(pool.size + 1))
+      val b = rnd.shuffle(pool).take(rnd.nextInt(pool.size + 1))
+      (i, a, b)
+    } ++ Seq(
+      (1001, Seq.empty[String], Seq.empty[String]),      // empty -> 0
+      (1002, Seq("x"), Seq.empty[String]),               // one empty -> 0
+      (1003, Seq("a", "b"), Seq("c", "d")),              // disjoint -> 0
+      (1004, Seq("a", "b", "c"), Seq("a", "b", "c")),    // identical
+      (1005, Seq("b"), Seq("a", "b", "c")))              // subset
+    val df = rows.toDF("id", "ra", "rb")
+      .select(col("id"),
+        expr("array_sort(array_distinct(ra))").as("a"),
+        expr("array_sort(array_distinct(rb))").as("b"))
+      .select(
+        expr("graft_isect_sorted(a, b)").as("native"),
+        expr("CAST(size(array_intersect(a, b)) AS BIGINT)").as("builtin"))
+    assert(df.filter(col("native") =!= col("builtin")).isEmpty)
+    // NULL array -> NULL; a NULL element ENCOUNTERED by the merge ->
+    // NULL (defensive — engine sets never carry one); a trailing NULL
+    // past the shorter side's exhaustion is never inspected
+    val nulls = spark.sql(
+      """SELECT graft_isect_sorted(CAST(NULL AS ARRAY<STRING>),
+        |         array('a')) AS na,
+        |       graft_isect_sorted(array('a', CAST(NULL AS STRING)),
+        |         array('b')) AS ne,
+        |       graft_isect_sorted(array('a', CAST(NULL AS STRING)),
+        |         array('a')) AS nt""".stripMargin).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    assert(nulls.getLong(2) === 1L) // tail NULL unreached by design
+    // interpreted path (no codegen) agrees
+    val at = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType)
+    val interp = graft.functions.IntersectCountSorted(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a", "b", "d"), at),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("b", "c", "d", "e"), at)).eval(null)
+    assert(interp === 2L)
+  }
+
+  test("graft_isect_sorted ARRAY<BIGINT> form (the dict-encoded " +
+    "verification shape) == size(array_intersect), 500 random draws") {
+    // ngramJaccardPairs runs the kernel over dictionary term-id arrays;
+    // ids from monotonically_increasing_id are sparse 64-bit values, so
+    // draws cover full-range longs incl. negatives and Long.MinValue
+    val rnd = new scala.util.Random(2027)
+    val rows = (1 to 500).map { i =>
+      val pool = (1 to 40).map(_ => rnd.nextLong() >> rnd.nextInt(48))
+        .distinct
+      val a = rnd.shuffle(pool).take(rnd.nextInt(pool.size + 1))
+      val b = rnd.shuffle(pool).take(rnd.nextInt(pool.size + 1))
+      (i, a, b)
+    } ++ Seq(
+      (1001, Seq.empty[Long], Seq(1L, 2L)),
+      (1002, Seq(Long.MinValue, 0L, Long.MaxValue),
+        Seq(Long.MinValue, Long.MaxValue)))
+    val df = rows.toDF("id", "ra", "rb")
+      .select(col("id"),
+        expr("array_sort(array_distinct(ra))").as("a"),
+        expr("array_sort(array_distinct(rb))").as("b"))
+      .select(
+        expr("graft_isect_sorted(a, b)").as("native"),
+        expr("CAST(size(array_intersect(a, b)) AS BIGINT)").as("builtin"))
+    assert(df.filter(col("native") =!= col("builtin")).isEmpty)
+    // interpreted path
+    val at = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType)
+    val interp = graft.functions.IntersectCountSorted(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(-5L, 1L, 7L), at),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(-5L, 2L, 7L, 9L), at)).eval(null)
+    assert(interp === 2L)
+    // mixed element types refuse analysis
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_isect_sorted(array(1L), array('a'))")
+        .collect()
+    }
+    assert(err.getMessage.contains("graft_isect_sorted"))
+  }
 }

@@ -836,4 +836,56 @@ class RedFamilyPropertySpec extends SparkSpecBase {
         nextOf.get((v, b, from)).exists(_ != "AOS") // real successor
     })
   }
+
+  test("ngramJaccardPairs == a literal bigram-set walk over random " +
+    "corpora (dict-encoding exactness, hash-path independent)") {
+    // The verification stage dictionary-encodes shingle strings to
+    // term-ids and merges sorted id arrays; this census recomputes every
+    // pair with PLAIN JVM string sets — no hashes, no dictionary, no
+    // Spark — so an id-collision or a divergent dict instantiation
+    // between the two join sides would surface as a count mismatch.
+    // Candidates are ALL ordered pairs (the census gates the count math,
+    // not LSH recall, which DedupSimilaritySpec covers separately).
+    val rnd = new Random(31337)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "mu", "nu")
+    for (trial <- 1 to 5) {
+      val docs = (1L to 24L).map { id =>
+        // heavy vocab reuse → dense overlaps; a few near-clones
+        val base = (1 to (2 + rnd.nextInt(20)))
+          .map(_ => vocab(rnd.nextInt(vocab.size)))
+        val words =
+          if (id % 5 == 0) base ++ base.take(3) // planted near-dup tail
+          else base
+        (id, words.mkString(" "))
+      }
+      val allPairs = for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      } yield (a, b)
+      // ---- literal walk: lowercase/ws-normalize, bigram SETS ----
+      val sets: Map[Long, Set[String]] = docs.map { case (id, text) =>
+        val ws = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+        id -> (if (ws.length >= 2)
+          ws.sliding(2).map(_.mkString(" ")).toSet
+        else Set.empty[String])
+      }.toMap
+      val expected = allPairs.flatMap { case (a, b) =>
+        if (sets(a).isEmpty || sets(b).isEmpty) None
+        else {
+          val inter = (sets(a) & sets(b)).size.toLong
+          val union = sets(a).size + sets(b).size - inter
+          val jx = if (union == 0) 0L else inter * 1000L / union
+          if (inter > 0 && jx >= 100L)
+            Some(Seq(a, b, inter, union, jx))
+          else None
+        }
+      }.sortBy(r => (r(0), r(1)))
+      // ---- engine ----
+      val got = graft.operators.Dedup.ngramJaccardPairs(
+        docs.toDF("doc_id", "text"),
+        candidates = Some(allPairs.toDF("doc_a", "doc_b")))
+        .collect().map(_.toSeq.map(_.asInstanceOf[Long]).toSeq).toSeq
+      assert(got === expected, s"trial $trial")
+    }
+  }
 }
