@@ -220,9 +220,13 @@ object Dedup {
     * candidate-pair set bytes — never quadratic within a partition-key
     * bucket.
     *
-    * PRECONDITION: `candidates` rows must be DISTINCT (doc_a, doc_b)
-    * pairs ([[lshPairsFromBands]] groups, so its output qualifies) —
-    * a duplicated candidate row emits a duplicated output row. */
+    * PRECONDITIONS: `candidates` rows must be DISTINCT (doc_a, doc_b)
+    * pairs ([[lshPairsFromBands]] groups, so its output qualifies) — a
+    * duplicated candidate row emits a duplicated output row; `docs`
+    * must be DETERMINISTIC across re-evaluation (a stored table or
+    * fixture, not a sample()) — the term-id dictionary derives from one
+    * evaluation of the shingle frame and the set build inner-joins a
+    * second, so a shingle minted only by the second would be dropped. */
   def ngramJaccardPairs(docs: DataFrame, minJaccardX1000: Long = 100,
                         candidates: Option[DataFrame] = None): DataFrame = {
     val cands = candidates.getOrElse(minhashLshPairs(docs))
