@@ -226,7 +226,10 @@ object Dedup {
     * must be DETERMINISTIC across re-evaluation (a stored table or
     * fixture, not a sample()) — the term-id dictionary derives from one
     * evaluation of the shingle frame and the set build inner-joins a
-    * second, so a shingle minted only by the second would be dropped. */
+    * second, so a shingle minted only by the second would be dropped.
+    * NOTE: construction is EAGER (the dictionary checkpoint runs
+    * corpus-scale jobs before this returns), unlike the other builders
+    * here. */
   def ngramJaccardPairs(docs: DataFrame, minJaccardX1000: Long = 100,
                         candidates: Option[DataFrame] = None): DataFrame = {
     val cands = candidates.getOrElse(minhashLshPairs(docs))
@@ -257,6 +260,19 @@ object Dedup {
     // intermediate at the 100× probe (525 s); a string-array plan with
     // size(array_intersect(...)) moved |pairs| rows but paid a hash-set
     // build + result-array copy per pair on top of the string payload.
+    //
+    // The shingle explode is evaluated TWICE (dict derivation + set
+    // build) — deliberate: it is shuffle-free scan-bound work, and
+    // checkpointing the ~75M-row exploded string frame at 100× would pin
+    // comparable IO + executor storage to what the re-scan costs. The
+    // eager checkpoint makes CONSTRUCTING this frame run corpus-scale
+    // jobs (distinct + id mint) — the only Dedup builder besides the
+    // inherently iterative dupClusters with that side effect; its blocks
+    // are freed by the ContextCleaner once the returned frame is
+    // unreachable (Dataset.unpersist cannot free checkpoint blocks), so
+    // repeated calls hold at most the not-yet-GC'd tail of small
+    // per-corpus dictionaries — same lifecycle as dupClusters' iteration
+    // checkpoints.
     val shingles = withWords(docs)
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(shingleExpr("ws", 2)).as("s"))

@@ -28,19 +28,20 @@ object IsectBench {
       F.expr("array_sort(transform(sequence(id % 97 + 60, id % 97 + 179)," +
         " x -> concat('tok ', x)))").as("b"))
       .localCheckpoint() // materialize: time the kernels, not the synthesis
-    def time(label: String, c: String): Unit = {
+    def time(in: org.apache.spark.sql.DataFrame, label: String,
+             c: String): Unit = {
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        df.select(F.expr(c).as("n")).agg(F.sum("n")).head
+        in.select(F.expr(c).as("n")).agg(F.sum("n")).head
         secs(t0)
       }
       println(f"[ib] $label ${reps.min}%.2f s (reps ${
         reps.map(r => f"$r%.2f").mkString(", ")})")
     }
-    time("native graft_isect_sorted   ", "graft_isect_sorted(a, b)")
-    time("sql size(array_intersect)   ",
+    time(df, "native graft_isect_sorted   ", "graft_isect_sorted(a, b)")
+    time(df, "sql size(array_intersect)   ",
       "CAST(size(array_intersect(a, b)) AS BIGINT)")
-    time("native graft_isect_sorted   ", "graft_isect_sorted(a, b)")
+    time(df, "native graft_isect_sorted   ", "graft_isect_sorted(a, b)")
     // the production shape: dictionary term-id long arrays
     val dfL = spark.range(5000000L).select(
       F.expr("array_sort(transform(sequence(id % 97, id % 97 + 119), " +
@@ -48,17 +49,8 @@ object IsectBench {
       F.expr("array_sort(transform(sequence(id % 97 + 60, id % 97 + 179)," +
         " x -> x * 2654435761))").as("b"))
       .localCheckpoint()
-    def timeL(label: String, c: String): Unit = {
-      val reps = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        dfL.select(F.expr(c).as("n")).agg(F.sum("n")).head
-        secs(t0)
-      }
-      println(f"[ib] $label ${reps.min}%.2f s (reps ${
-        reps.map(r => f"$r%.2f").mkString(", ")})")
-    }
-    timeL("native long-array merge     ", "graft_isect_sorted(a, b)")
-    timeL("sql size(array_intersect) L ",
+    time(dfL, "native long-array merge     ", "graft_isect_sorted(a, b)")
+    time(dfL, "sql size(array_intersect) L ",
       "CAST(size(array_intersect(a, b)) AS BIGINT)")
     spark.stop()
   }

@@ -256,7 +256,9 @@ class FunctionsSpec extends SparkSpecBase {
       .select(
         expr("graft_isect_sorted(a, b)").as("native"),
         expr("CAST(size(array_intersect(a, b)) AS BIGINT)").as("builtin"))
-    assert(df.filter(col("native") =!= col("builtin")).isEmpty)
+    // null-safe inequality: a kernel regression that wrongly yields NULL
+    // must FAIL this gate, not slip through a null-swallowing =!=
+    assert(df.filter(!(col("native") <=> col("builtin"))).isEmpty)
     // NULL array -> NULL; a NULL element ENCOUNTERED by the merge ->
     // NULL (defensive — engine sets never carry one); a trailing NULL
     // past the shorter side's exhaustion is never inspected
@@ -303,7 +305,7 @@ class FunctionsSpec extends SparkSpecBase {
       .select(
         expr("graft_isect_sorted(a, b)").as("native"),
         expr("CAST(size(array_intersect(a, b)) AS BIGINT)").as("builtin"))
-    assert(df.filter(col("native") =!= col("builtin")).isEmpty)
+    assert(df.filter(!(col("native") <=> col("builtin"))).isEmpty)
     // interpreted path
     val at = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType)
