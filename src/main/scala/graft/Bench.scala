@@ -185,10 +185,15 @@ object Bench {
     val med = best.values.toSeq.sorted.apply(best.size / 2)
     val threshold = math.max(1.0, 3 * med)
     // shared by the outlier pass and the sf1 gate below — only the bar
-    // differs (a genuinely-slow query can draw both, bounded at 4 runs)
-    def retimeAbove(n: String, bar: Double, label: String): Unit = {
+    // differs (a genuinely-slow query can draw both, bounded at 4+3
+    // runs); the sf1 gate gets a third re-time because its flags are a
+    // published verdict and a marginal survivor (observed: 0.82 vs a
+    // 0.80 bar for a 0.23-0.37 s warm plan, all four draws landing on
+    // the same noisy window) needs evidence, not a looser bar
+    def retimeAbove(n: String, bar: Double, label: String,
+                    maxTries: Int = 2): Unit = {
       var tries = 0
-      while (best(n) > bar && tries < 2) {
+      while (best(n) > bar && tries < maxTries) {
         System.gc()
         val t2 = timeQuery(n)
         System.err.println(f"[bench] $label $n: ${best(n)}%.2f -> $t2%.2f")
@@ -207,7 +212,7 @@ object Bench {
     val flags = scala.collection.mutable.ListBuffer.empty[String]
     for ((n, p) <- sf1Min if best.contains(n)) {
       val bar = math.max(2 * p, 0.8)
-      retimeAbove(n, bar, "sweep>2×sf1, re-timed")
+      retimeAbove(n, bar, "sweep>2×sf1, re-timed", maxTries = 3)
       if (best(n) > bar) flags += n
     }
     val results = names.map(n => n -> best(n))
@@ -559,6 +564,14 @@ object Bench {
         val cents100 = spark.read.parquet(wh10 + "/cents100")
         auxBuildSec += secs(tAux2)
         val probes100: Seq[(String, () => Long)] = Seq(
+          // the two scan shapes whose 100 TB claim is O(page) / O(one
+          // pruned column): both read the stored 100× warehouse, no
+          // extra build — completing their measured decades
+          "q_list_keys" -> (() => graft.operators.Listing.listKeys(
+            sorted100, "vol1", "bucket3", "warehouse/N/", "warehouse/N/2",
+            100).count()),
+          "q_filesize_histogram" -> (() => graft.operators.Aggregates
+            .fileSizeHistogram(sorted100).count()),
           "q_ns_summary" -> (() =>
             graft.operators.Aggregates.nsSummarySorted(sorted100).count()),
           "q_latest_version" -> (() => graft.operators.Lifecycle

@@ -46,20 +46,20 @@ object Dedup {
       .select("doc_id", "fingerprint", "cluster_size", "is_dup")
       .orderBy("doc_id")
 
-  /** Word-bigram shingles, hashed and pre-reduced mod P. */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  /** MinHash signatures: k=16 permutation minima per doc, computed in
+    * ONE pass over the word array by the native graft_minhash16
+    * expression — no shingle explode, no aggregate (the previous
+    * explode + 16 min() form materialized a row PER SHINGLE, 75M+ at
+    * the 100× band-index ingest; the arithmetic is bit-identical and
+    * the DuckDB oracles keep the explode SQL — MinHash16's spec pins
+    * the two equal). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until NumPerms).map(i =>
+      element_at(col("mh"), i + 1).as(s"mh$i"))
     withWords(docs)
       .filter(size(col("ws")) >= 2)
-      .withColumn("s", explode(shingleExpr("ws", 2)))
-      .withColumn("hmod", tokenHash60("s") % P)
-
-  /** MinHash signatures: k=16 permutation minima per doc — a single groupBy
-    * with 16 min() aggregates (map-side combinable). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val mins = (0 until NumPerms).map { i =>
-      min(expr(s"(${permA(i)} * hmod + ${permB(i)}) % $P")).as(s"mh$i")
-    }
-    shingleHashes(docs).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .withColumn("mh", call_function("graft_minhash16", col("ws")))
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** Long-format LSH bands: (doc_id, band, sig=md5 of 4 signature minima). */

@@ -71,6 +71,15 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Hash60(children.head)
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash16"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinHash16].getName, "graft_minhash16"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_minhash16 takes 1 argument, got ${children.length}")
+        graft.functions.MinHash16(children.head)
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_isect_sorted"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.IntersectCountSorted].getName,

@@ -19,8 +19,10 @@ object JaccProbe {
     T.docsScaled(T.documents(spark, sfDir), mult)
       .write.mode("overwrite").parquet(wh + "/docs")
     val docs = spark.read.parquet(wh + "/docs")
+    val tBands = System.nanoTime()
     graft.operators.Dedup.minhashBands(docs)
       .write.mode("overwrite").parquet(wh + "/bands")
+    println(f"[probe] bands build ${secs(tBands)}%.2f s")
     val bands = spark.read.parquet(wh + "/bands")
     println(s"[probe] corpus ${docs.count()} docs")
     val tP = System.nanoTime()

@@ -322,4 +322,55 @@ class FunctionsSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("graft_isect_sorted"))
   }
+
+  test("graft_minhash16 == the explode + 16 min() SQL form bit-for-bit " +
+    "over random word arrays") {
+    // the native one-pass signature replaces the per-shingle explode on
+    // the engine side; the DuckDB oracles keep the SQL form — this pin
+    // is what makes that split safe. Inputs: random word arrays with
+    // heavy repeats (min over duplicate shingles must be idempotent),
+    // unicode words, 2-word minimum, long docs.
+    import graft.functions.TextFns.{P, permA, permB}
+    val rnd = new scala.util.Random(1616)
+    val vocab = Vector("alpha", "beta", "gamma", "δέλτα", "中文词",
+      "x", "longertoken999", "a b", "", "UPPER")
+    val rows = (1 to 300).map { i =>
+      val n = 2 + rnd.nextInt(60)
+      (i, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = rows.toDF("doc_id", "ws")
+    val sqlMins = (0 until 16).map(i =>
+      s"min((${permA(i)} * hmod + ${permB(i)}) % $P) AS mh$i").mkString(", ")
+    df.selectExpr("doc_id",
+        "explode(transform(sequence(0, size(ws) - 2), " +
+          "i -> array_join(slice(ws, i + 1, 2), ' '))) AS s")
+      .selectExpr("doc_id",
+        s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $P " +
+          "AS hmod")
+      .createOrReplaceTempView("sh")
+    val sqlSig = spark.sql(s"SELECT doc_id, $sqlMins FROM sh GROUP BY 1")
+    val nativeSig = df.selectExpr("doc_id" +: (0 until 16).map(i =>
+      s"element_at(graft_minhash16(ws), ${i + 1}) AS mh$i"): _*)
+    val joined = nativeSig.as("n").join(sqlSig.as("q"), "doc_id")
+    val mismatched = (0 until 16).map(i =>
+      joined.filter(!(col(s"n.mh$i") <=> col(s"q.mh$i"))).count()).sum
+    assert(mismatched === 0L)
+    // <2 words -> NULL (engine filters size >= 2 first; pinned anyway),
+    // NULL array -> NULL, NULL element -> NULL
+    val edge = spark.sql(
+      """SELECT graft_minhash16(array('solo')) AS one,
+        |       graft_minhash16(CAST(NULL AS ARRAY<STRING>)) AS na,
+        |       graft_minhash16(array('a', CAST(NULL AS STRING))) AS ne
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    // interpreted path agrees with the codegen'd one on a known doc
+    val viaObj = graft.functions.MinHash16.sig(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(org.apache.spark.unsafe.types.UTF8String.fromString("the"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("quick"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("fox"))))
+    val viaDf = Seq((1, Seq("the", "quick", "fox"))).toDF("id", "ws")
+      .selectExpr("graft_minhash16(ws) AS mh").head.getSeq[Long](0)
+    assert(viaObj.toLongArray().toSeq === viaDf)
+  }
 }
