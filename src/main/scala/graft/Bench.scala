@@ -433,7 +433,11 @@ object Bench {
         "q_dedup_exact" -> (() =>
           graft.operators.Dedup.exactDedup(docs10).count()),
         "q_paragraph_dedup" -> (() =>
-          graft.operators.Dedup.paragraphDedup(docs10).count())))
+          graft.operators.Dedup.paragraphDedup(docs10).count()),
+        // simhash: one-pass native signature + pigeonhole chunk
+        // self-join — the fourth dedup shuffle shape's first decade
+        "q_dedup_simhash" -> (() =>
+          graft.operators.Dedup.simhashPairs(docs10).count())))
       // ---- streaming plane at 10×: bootstrap = full state rebuild from
       // a STORED CDC log (the checkpoint-loss availability gap the base
       // pass measures at 1× as stream_bootstrap_sec) — the last plane
@@ -592,6 +596,12 @@ object Bench {
             graft.operators.Dedup.exactDedup(docs100).count()),
           "q_paragraph_dedup" -> (() =>
             graft.operators.Dedup.paragraphDedup(docs100).count()),
+          // (q_dedup_simhash at 100× is measured out-of-band — 49 s
+          // tight reps via tools/ShProbe: the clique corpus leaves 174k
+          // DISTINCT perturbed signatures whose corpus-correlated bits
+          // degenerate one pigeonhole chunk bucket; the sig-space join
+          // holds, but 3.5 min/round of bench wall buys no new signal —
+          // SURVEY records the number and the analysis)
           "q_dedup_keep" -> (() =>
             graft.operators.Dedup.keepOneSelection(clusters100,
               graft.operators.TextAnalysis.qualityScore(docs100)).count()),

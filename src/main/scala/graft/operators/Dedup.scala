@@ -165,49 +165,79 @@ object Dedup {
 
   /** 60-bit SimHash: per-bit vote over (repeated) unigram token hashes —
     * one groupBy with 60 map-side-combinable sum aggregates. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val sums = (0 until SimhashBits).map { j =>
-      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"s$j")
-    }
-    val simExpr = (0 until SimhashBits)
-      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
+  def simhash(docs: DataFrame): DataFrame =
+    // one pass per DOC via the native graft_simhash expression — the
+    // previous explode + 60 signed-sum aggregates materialized a row per
+    // TOKEN (the same row-machinery tax minhashSignatures shed); the
+    // bit rule is identical (strictly-positive count sets the bit, ties
+    // clear it) and the DuckDB oracle keeps the explode SQL —
+    // SimHash60's FunctionsSpec pin holds the two bit-identical
     withWords(docs)
-      .withColumn("t", explode(col("ws")))
-      .withColumn("h", tokenHash60("t"))
-      .groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .withColumn("simhash", expr(s"CAST($simExpr AS BIGINT)"))
+      .withColumn("simhash", call_function("graft_simhash", col("ws")))
       .select("doc_id", "simhash")
-  }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, found via pigeonhole:
     * split 60 bits into 4 chunks of 15 — any pair within hamming 3 agrees on
     * a full chunk; join per chunk (2^15 bucket values ⇒ bucket sizes ~n/32k,
     * never the n²/16 of narrow chunks), dedup pairs with a groupBy, verify
     * with bit_count(xor). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhash(docs), maxHamming)
+
+  /** The pair join over a (possibly persisted) signature table — split
+    * out like [[lshPairsFromBands]]: signatures are an ingest-time
+    * index at scale, the join is the query.
+    *
+    * The pigeonhole join runs in DISTINCT-SIGNATURE space, not doc
+    * space: exact and near-clone corpora collapse whole duplicate
+    * groups onto one signature, and simhash bits are corpus-correlated
+    * (common tokens dominate the majority vote), so doc-space chunk
+    * buckets degenerate — at the 100× clique corpus one 15-bit chunk
+    * value held most of 500k docs and Σ bucket² in doc space was
+    * ~10¹¹ join rows (observed: a single straggler task owning the
+    * probe). In sig space the same bucket holds one row per DISTINCT
+    * signature; intra-signature pairs (hamming 0 by definition) and
+    * the cross-signature expansion are both linear in the OUTPUT pair
+    * count, which is the inherent floor. */
+  def simhashPairsFromSigs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // identical signatures: every intra-group pair, hamming 0 — a plain
+    // narrow equi-join on the signature (per-group cost C(g,2) IS the
+    // output; no arrays, stays in whole-stage codegen)
+    val intra = sh.as("a").join(sh.as("b"),
+        col("a.simhash") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    // distinct-signature pigeonhole: any sig pair within hamming H
+    // agrees on one of the 4 chunks of 15 bits
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("idx"),
         expr(s"shiftright(simhash, ${ChunkBits * c}) & ${(1 << ChunkBits) - 1}")
           .as("chunk_val"))
     }
-    val ch = sh
+    val ch = sh.select("simhash").distinct()
       .withColumn("cs", explode(array(chunkStructs: _*)))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("simhash"),
         col("cs.idx").as("idx"), col("cs.chunk_val").as("chunk_val"))
-    ch.as("a").join(ch.as("b"),
+    val sigPairs = ch.as("a").join(ch.as("b"),
         col("a.idx") === col("b.idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy("doc_a", "doc_b")
-      .agg(max("hamming").as("hamming")) // identical per pair; groupBy dedups
+      .distinct() // a sig pair may agree on several chunks
+    // expand sig pairs to doc pairs through two narrow joins — rows
+    // generated = output pairs, never more
+    val cross = sigPairs
+      .join(sh.select(col("simhash").as("sa"), col("doc_id").as("da")),
+        "sa")
+      .join(sh.select(col("simhash").as("sb"), col("doc_id").as("db")),
+        "sb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    intra.unionByName(cross)
+      .filter(col("hamming") <= maxHamming) // maxHamming < 0 drops intra
       .orderBy("doc_a", "doc_b")
   }
 

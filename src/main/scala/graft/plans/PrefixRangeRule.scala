@@ -71,6 +71,15 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Hash60(children.head)
       }))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SimHash60].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_simhash takes 1 argument, got ${children.length}")
+        graft.functions.SimHash60(children.head)
+      }))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash16"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.MinHash16].getName, "graft_minhash16"),

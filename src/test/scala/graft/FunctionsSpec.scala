@@ -373,4 +373,50 @@ class FunctionsSpec extends SparkSpecBase {
       .selectExpr("graft_minhash16(ws) AS mh").head.getSeq[Long](0)
     assert(viaObj.toLongArray().toSeq === viaDf)
   }
+
+  test("graft_simhash == the explode + 60 signed-sum SQL form " +
+    "bit-for-bit over random word arrays") {
+    // the native one-pass signature replaces the per-token explode on
+    // the engine side; the DuckDB oracles keep the SQL form. Bit rule:
+    // strictly-positive count sets the bit, a TIE clears it — even-length
+    // docs (planted below) exercise ties.
+    val rnd = new scala.util.Random(6060)
+    val vocab = Vector("alpha", "beta", "gamma", "中文", "", "x", "UPPER")
+    val rows = (1 to 200).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))))
+    } :+ ((201, Seq("a", "b"))) // guaranteed even-length tie candidate
+    val df = rows.toDF("doc_id", "ws")
+    df.selectExpr("doc_id", "explode(ws) AS t")
+      .selectExpr("doc_id",
+        "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS h")
+      .createOrReplaceTempView("simtoks")
+    val sums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END) " +
+        s"AS s$j").mkString(", ")
+    val bits = (0 until 60).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val viaSql = spark.sql(
+      s"SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM " +
+        s"(SELECT doc_id, $sums FROM simtoks GROUP BY 1)")
+    val viaNative = df.selectExpr("doc_id", "graft_simhash(ws) AS sh")
+    assert(viaNative.as("n").join(viaSql.as("q"), "doc_id")
+      .filter(!(col("n.sh") <=> col("q.sh"))).isEmpty)
+    // empty array -> NULL (explode form emits no row), NULL array ->
+    // NULL, NULL element -> NULL
+    val edge = spark.sql(
+      """SELECT graft_simhash(CAST(array() AS ARRAY<STRING>)) AS e,
+        |       graft_simhash(CAST(NULL AS ARRAY<STRING>)) AS na,
+        |       graft_simhash(array('a', CAST(NULL AS STRING))) AS ne
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    // interpreted path agrees with codegen
+    val viaObj = graft.functions.SimHash60.sig(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(org.apache.spark.unsafe.types.UTF8String.fromString("the"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("quick"))))
+    val viaDf = Seq((1, Seq("the", "quick"))).toDF("id", "ws")
+      .selectExpr("graft_simhash(ws) AS sh").head.getLong(0)
+    assert(viaObj.longValue() === viaDf)
+  }
 }
