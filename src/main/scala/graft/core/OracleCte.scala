@@ -230,7 +230,11 @@ object OracleCte {
       |  FROM doc_words WHERE len(ws) >= 2
       |)""".stripMargin
 
-  /** Shingle hashes reduced mod P (mirror of Dedup.shingleHashes). */
+  /** Shingle hashes reduced mod P — the explode SQL form of the hashing
+    * step Dedup.minhashSignatures now runs inside the one-pass native
+    * graft_minhash16 expression (functions/MinHash16.scala); the oracle
+    * deliberately keeps the portable explode form, FunctionsSpec pins
+    * the two bit-identical. */
   val shingleHash: String =
     s"""shingle_hash AS (
        |  SELECT doc_id,

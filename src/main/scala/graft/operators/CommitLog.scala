@@ -125,6 +125,30 @@ object CommitLog {
     applyAt(synthesizeLog(objects), Snapshots.last._2)
       .orderBy("volume", "bucket", "key", "data_size")
 
+  /** Verification dual of [[appliedState]]: the same latest-op-wins fold
+    * expressed as a hash AGGREGATE (max_by keyed (seq, data_size) — the
+    * window dual's exact tie order) instead of the row_number window. The
+    * two plans resolve winners through disjoint execution paths
+    * (WindowGroupLimit sort-prune vs max_by aggregate buffers), so
+    * canon-equality against [[appliedState]] at the 10×/100× bench scales
+    * is evidence the ANSWER survives scale-up, not just the cost — an
+    * overflow / partition-boundary / tie-ambiguity class bug would have
+    * to hit both plans identically to pass. Spec-gated at fixture scale
+    * (CommitLogSpec); the bench invariant gate runs it per scale probe. */
+  def appliedStateAggDual(objects: DataFrame): DataFrame = {
+    val log = synthesizeLog(objects)
+    log.filter(col("seq") <= Snapshots.last._2)
+      .groupBy("volume", "bucket", "key")
+      .agg(max_by(
+        struct(col("op"), col("object_id"), col("data_size")),
+        struct(col("seq"), col("data_size"))).as("__w"))
+      .filter(col("__w.op") === "PUT")
+      .select(col("volume"), col("bucket"), col("key"),
+        col("__w.object_id").as("object_id"),
+        col("__w.data_size").as("data_size"))
+      .orderBy("volume", "bucket", "key", "data_size")
+  }
+
   /** One row per object_id (snapshot-read invariant; deterministic
     * representative: max size, then key) — same rule as Tables' snapshots.
     * row_number()=1 gets Spark's map-side WindowGroupLimit pruning. */

@@ -163,17 +163,19 @@ object Dedup {
   val SimhashBits = 60  // full width of the md5-derived token hash
   val ChunkBits = 15    // 4 chunks × 15 bits; 2^15 bucket values per chunk
 
-  /** 60-bit SimHash: per-bit vote over (repeated) unigram token hashes —
-    * one groupBy with 60 map-side-combinable sum aggregates. */
+  /** 60-bit SimHash: per-bit vote over (repeated) unigram token hashes,
+    * computed in ONE pass per doc by the native graft_simhash expression
+    * (60 counters in registers over the words array — no per-token row
+    * explode). The bit rule matches the explode + 60 signed-sum SQL form
+    * the DuckDB oracle keeps: a strictly-positive count sets the bit,
+    * ties clear it; FunctionsSpec pins the two forms bit-identical.
+    * NULL-text docs emit NO row (the explode form's semantics — an
+    * exploded NULL word array drops the doc), so the signature table
+    * compares row-for-row against the oracle CTE. */
   def simhash(docs: DataFrame): DataFrame =
-    // one pass per DOC via the native graft_simhash expression — the
-    // previous explode + 60 signed-sum aggregates materialized a row per
-    // TOKEN (the same row-machinery tax minhashSignatures shed); the
-    // bit rule is identical (strictly-positive count sets the bit, ties
-    // clear it) and the DuckDB oracle keeps the explode SQL —
-    // SimHash60's FunctionsSpec pin holds the two bit-identical
     withWords(docs)
       .withColumn("simhash", call_function("graft_simhash", col("ws")))
+      .filter(col("simhash").isNotNull)
       .select("doc_id", "simhash")
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, found via pigeonhole:
@@ -182,7 +184,13 @@ object Dedup {
     * never the n²/16 of narrow chunks), dedup pairs with a groupBy, verify
     * with bit_count(xor). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashPairsFromSigs(simhash(docs), maxHamming)
+    // the pair join references the signature frame ~5 times (intra
+    // self-join, distinct chunk frame, two expansion joins); an eager
+    // localCheckpoint materializes the signatures ONCE instead of
+    // re-running the doc scan + native signature pass per reference —
+    // scale callers with a PERSISTED signature table (ingest artifact)
+    // call simhashPairsFromSigs directly
+    simhashPairsFromSigs(simhash(docs).localCheckpoint(), maxHamming)
 
   /** The pair join over a (possibly persisted) signature table — split
     * out like [[lshPairsFromBands]]: signatures are an ingest-time
@@ -210,15 +218,7 @@ object Dedup {
         lit(0).as("hamming"))
     // distinct-signature pigeonhole: any sig pair within hamming H
     // agrees on one of the 4 chunks of 15 bits
-    val chunkStructs = (0 until 4).map { c =>
-      struct(lit(c).as("idx"),
-        expr(s"shiftright(simhash, ${ChunkBits * c}) & ${(1 << ChunkBits) - 1}")
-          .as("chunk_val"))
-    }
-    val ch = sh.select("simhash").distinct()
-      .withColumn("cs", explode(array(chunkStructs: _*)))
-      .select(col("simhash"),
-        col("cs.idx").as("idx"), col("cs.chunk_val").as("chunk_val"))
+    val ch = sigChunks(sh)
     val sigPairs = ch.as("a").join(ch.as("b"),
         col("a.idx") === col("b.idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
@@ -240,6 +240,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming) // maxHamming < 0 drops intra
       .orderBy("doc_a", "doc_b")
   }
+
+  /** One row per (DISTINCT signature, chunk idx): the 4 pigeonhole chunk
+    * values of each distinct 60-bit signature. */
+  private def sigChunks(sh: DataFrame): DataFrame = {
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("idx"),
+        expr(s"shiftright(simhash, ${ChunkBits * c}) & ${(1 << ChunkBits) - 1}")
+          .as("chunk_val"))
+    }
+    sh.select("simhash").distinct()
+      .withColumn("cs", explode(array(chunkStructs: _*)))
+      .select(col("simhash"),
+        col("cs.idx").as("idx"), col("cs.chunk_val").as("chunk_val"))
+  }
+
+  /** Pre-flight degeneracy probe for [[simhashPairsFromSigs]]: the
+    * DISTINCT-signature bucket size per (chunk idx, chunk value). The
+    * pigeonhole join generates exactly Σ_buckets C(n,2) raw signature
+    * pairs BEFORE the hamming filter (DedupSimilaritySpec pins the
+    * arithmetic), so this frame bounds the join's cost from the stored
+    * signature table alone — run it at ingest, before the pair join.
+    * Distinct-sig space collapses exact-duplicate cliques, but a corpus
+    * whose distinct signatures are themselves clustered (e.g. 174k
+    * PERTURBED clones of one doc at the 100× probe corpus share
+    * degenerate chunk values — simhash bits are corpus-correlated) can
+    * re-degenerate a bucket at another decade: when Σ C(n,2) grossly
+    * exceeds the expected OUTPUT pair count (say >10×), fall back to
+    * narrower chunks (more bands ⇒ smaller n per bucket; hamming ≤ H
+    * needs only H+1 chunks to pigeonhole, extra chunks only add recall
+    * passes) or a bit-sampled secondary bucket key on the high-entropy
+    * bit positions. */
+  def simhashChunkStats(sh: DataFrame): DataFrame =
+    sigChunks(sh)
+      .groupBy("idx", "chunk_val")
+      .agg(count(lit(1)).as("n_sigs"))
+      .orderBy("idx", "chunk_val")
 
   /** Exact n-gram (word-bigram) Jaccard verification over MinHash-LSH
     * candidate pairs — the candidates-then-verify topology: per-doc

@@ -142,6 +142,48 @@ object Joins {
       .orderBy("object_id")
   }
 
+  /** Verification dual of [[snapshotDiff]]: the same CREATE / DELETE /
+    * RENAME / MODIFY classification derived from two ANTI-joins + one
+    * INNER join instead of one full-outer join — disjoint join plans and
+    * null paths, so canon-equality against [[snapshotDiff]] at the
+    * 10×/100× bench scales guards the diff's ANSWER, not just its cost.
+    * Spec-gated at fixture scale (CommitLogSpec); the bench invariant
+    * gate runs it per scale probe. */
+  def snapshotDiffDual(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(
+      col("object_id"),
+      col("key").as("old_key"),
+      col("data_size").as("old_size"))
+    val b = v2.select(
+      col("object_id"),
+      col("key").as("new_key"),
+      col("data_size").as("new_size"))
+    val creates = b.join(a, Seq("object_id"), "left_anti")
+      .select(col("object_id"), lit(null).cast("string").as("old_key"),
+        lit(null).cast("long").as("old_size"),
+        col("new_key"), col("new_size"), lit("CREATE").as("diff_type"))
+    val deletes = a.join(b, Seq("object_id"), "left_anti")
+      .select(col("object_id"), col("old_key"), col("old_size"),
+        lit(null).cast("string").as("new_key"),
+        lit(null).cast("long").as("new_size"),
+        lit("DELETE").as("diff_type"))
+    val both = a.join(b, Seq("object_id"))
+      .withColumn("diff_type",
+        when(col("old_key") =!= col("new_key"), lit("RENAME"))
+          .when(col("old_size") =!= col("new_size"), lit("MODIFY"))
+          .otherwise(lit("UNCHANGED")))
+      .filter(col("diff_type") =!= "UNCHANGED")
+      .select(col("object_id"), col("old_key"), col("old_size"),
+        col("new_key"), col("new_size"), col("diff_type"))
+    creates.unionByName(deletes).unionByName(both)
+      // identical null-free rendering to snapshotDiff
+      .withColumn("old_key", coalesce(col("old_key"), lit("")))
+      .withColumn("new_key", coalesce(col("new_key"), lit("")))
+      .withColumn("old_size", coalesce(col("old_size"), lit(-1L)))
+      .withColumn("new_size", coalesce(col("new_size"), lit(-1L)))
+      .orderBy("object_id")
+  }
+
   /**
    * One page of the snapshot-diff REPORT — the reference persists the
    * computed report keyed by (jobId, index) and serves it in pages of

@@ -40,6 +40,22 @@ class CommitLogSpec extends SparkSpecBase {
     assert(info(1)(2) === s2.count())
   }
 
+  test("appliedState window plan equals the max_by aggregate dual") {
+    val o = Tables.objects(spark, sf)
+    val win = rows(CommitLog.appliedState(o))
+    val agg = rows(CommitLog.appliedStateAggDual(o))
+    assert(win.nonEmpty)
+    assert(agg === win)
+  }
+
+  test("snapshotDiff full-outer plan equals the anti/inner-join dual") {
+    val (v1, v2) = (Tables.snapshotV1(spark, sf), Tables.snapshotV2(spark, sf))
+    val full = rows(graft.operators.Joins.snapshotDiff(v1, v2))
+    val dual = rows(graft.operators.Joins.snapshotDiffDual(v1, v2))
+    assert(full.nonEmpty)
+    assert(dual === full) // object_id is unique per diff row → total order
+  }
+
   test("snapshot-diff report pages chain by token to the full report") {
     val (v1, v2) = (Tables.snapshotV1(spark, sf), Tables.snapshotV2(spark, sf))
     val full = rows(graft.operators.Joins.snapshotDiff(v1, v2))

@@ -78,6 +78,44 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(pairs === Seq(Seq(1L, 2L, 0)))
   }
 
+  test("simhash drops NULL-text docs (explode-form row semantics)") {
+    val d = docs(1L -> "alpha beta gamma", 3L -> "one two three")
+      .unionByName(Seq(Tuple1(2L)).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", lit(0)))
+    // the oracle's explode CTE emits no row for a NULL word array; the
+    // native one-pass form must match row-for-row, not keep a NULL sig
+    val sh = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(sh.keySet === Set(1L, 3L))
+  }
+
+  test("simhashChunkStats bucket sizes predict the raw pigeonhole join count") {
+    // clustered signatures: clones + perturbations force shared chunks
+    val d = docs((1L to 12L).map { i =>
+      i -> (if (i % 3 == 0) "aa bb cc dd ee ff gg hh"
+            else if (i % 3 == 1) "aa bb cc dd ee ff gg zz"
+            else s"unrelated words $i appear here now then")
+    }: _*)
+    val sh = Dedup.simhash(d).persist()
+    val stats = Dedup.simhashChunkStats(sh)
+      .as[(Int, Long, Long)].collect()
+    // Σ_buckets C(n,2) is EXACTLY the raw signature-pair count the
+    // pigeonhole join generates before the hamming filter — the fallback
+    // trigger arithmetic the scaladoc documents
+    val predicted = stats.map { case (_, _, n) => n * (n - 1) / 2 }.sum
+    val ch = sh.select("simhash").distinct()
+      .withColumn("idx", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("chunk_val", expr(
+        s"shiftright(simhash, ${Dedup.ChunkBits} * idx) & ${(1 << Dedup.ChunkBits) - 1}"))
+    val raw = ch.as("a").join(ch.as("b"),
+        col("a.idx") === col("b.idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.simhash") < col("b.simhash")).count()
+    sh.unpersist()
+    assert(predicted > 0 && predicted === raw)
+  }
+
   test("ngram Jaccard verifies MinHash candidates with exact x1000 ratios") {
     val d = docs(
       1L -> "a b c d e f g h",
