@@ -28,6 +28,63 @@ object Bench {
     dst.toString
   }
 
+  /** Thrown when a scale probe's ANSWER fails an invariant (rep-count
+    * drift, canon-dual mismatch, or a conservation identity) — escapes
+    * every degrade-to-JSON catch so the bench exits non-zero: a
+    * wrong-at-scale answer must never ship as a fast success
+    * (VERDICT r12 #1). */
+  private final class InvariantViolation(msg: String)
+    extends RuntimeException(msg)
+
+  /** Order-insensitive distributed canon signature of a result:
+    * "rows:sum64:xor64" over xxhash64 of the \u0001-joined name-sorted
+    * columns (cast to string, NULL → \u0000 sentinel). Both sides of a
+    * dual comparison render identically, so equality ⇔ same row multiset
+    * (up to 64-bit collisions). No collect — safe at 100×. */
+  private[graft] def canonSig(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.{functions => F}
+    val cols = df.columns.sorted.map(c =>
+      F.coalesce(F.col(c).cast("string"), F.lit("\u0000")))
+    val r = df
+      .select(F.xxhash64(F.concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("h").cast("decimal(38,0)")).as("s"),
+        F.expr("bit_xor(h)").as("x"))
+      .head()
+    val s = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString(16)
+    val x = if (r.isNullAt(2)) 0L else r.getLong(2)
+    s"${r.getLong(0)}:$s:${java.lang.Long.toHexString(x)}"
+  }
+
+  /** Machine-readable host-noise indicator (VERDICT r12 #2): fixed,
+    * constant work — a CPU-bound codegen fold + an 8-file parquet
+    * round-trip — timed ONCE per block (deliberately not min-of-N: the
+    * point is to MEASURE the window's noise, not absorb it). Quiet-host
+    * cost is documented in SURVEY §scale-matrix; a reader classifies any
+    * block as quiet/loaded from its calibration key alone. Call
+    * [[calibrationWarm]] once per JVM first so the timed run measures
+    * the host, not codegen compilation. */
+  private def calibration(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.{functions => F}
+    val t0 = System.nanoTime()
+    spark.range(400000000L)
+      .select(F.expr("bit_xor(xxhash64(id))").as("x")).head()
+    val dir = graft.core.TempDirs.create("graft_calib_")
+    spark.range(2000000L)
+      .select(F.col("id"), F.expr("xxhash64(id)").as("h"))
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    // decimal sum: a long sum of 2M xxhash64 draws overflows under ANSI
+    spark.read.parquet(dir).agg(F.sum(F.col("h").cast("decimal(38,0)"))).head()
+    graft.streaming.ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def calibrationWarm(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    calibration(spark); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -155,6 +212,11 @@ object Bench {
       t
     }
     val steadySec = steadyTimes.sorted.apply(1)
+    // host-noise indicator for the sweep window (VERDICT r12 #2): warm
+    // once (codegen), then ONE timed run — published so a reader can
+    // classify the sweep window as quiet/loaded without SURVEY prose
+    calibrationWarm(spark)
+    val sweepCalib = calibration(spark)
     def timeQuery(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -233,6 +295,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sweep_flags":$flagsJson,""" +
+        s""""sweep_calibration_sec":$sweepCalib,""" +
         s""""stream_bootstrap_sec":$bootstrapSec,""" +
         s""""stream_bootstrap_reps":${
           bootstrapReps.mkString("[", ",", "]")},""" +
@@ -253,6 +316,9 @@ object Bench {
       import org.apache.spark.sql.{functions => F}
       val T = graft.core.Tables
       def secs(t0: Long) = (System.nanoTime() - t0) / 1e9
+      // compile the calibration plans once per JVM — every later
+      // calibration() call then measures the host window, not codegen
+      calibrationWarm(spark)
       // 10 replicas; the orderkey path segment gains a replica digit so the
       // DIRECTORY population scales 10× too, not just files-per-dir
       def scale10(df: org.apache.spark.sql.DataFrame) = df
@@ -382,21 +448,36 @@ object Bench {
       // regressed headline is attributable to code cost vs a GC/JIT
       // landing — the r9 fold-probe regression was undiagnosable from
       // the min alone (VERDICT r9 #2).
+      // rows captured per rep and published (sf1_rows): a probe whose
+      // row count DRIFTS between reps of the same plan has a
+      // nondeterministic answer — that throws InvariantViolation and
+      // fails the bench (VERDICT r12 #1). When a rep spread exceeds 3×,
+      // up to 2 extra gc'd reps run (VERDICT r12 #2's auto-extension) —
+      // the raw arrays still publish every landing.
       def timeAll(ps: Seq[(String, () => Long)],
                   repsOf: String => Int = _ => 3)
-          : Seq[(String, Seq[Double])] =
+          : Seq[(String, Seq[Double], Long)] =
         ps.map { case (name, run) =>
           System.gc()
-          val reps = (1 to repsOf(name)).map { _ =>
+          val rowsSeen = scala.collection.mutable.ListBuffer.empty[Long]
+          def rep(): Double = {
             val t0 = System.nanoTime()
-            try run()
+            try rowsSeen += run()
             catch { case e: Throwable =>
               System.err.println(s"[bench] sf1:$name FAILED: ${e.getMessage}")
               spark.stop(); sys.exit(1)
             }
             secs(t0)
           }
-          name -> reps
+          var reps = (1 to repsOf(name)).map(_ => rep()).toVector
+          var extra = 0
+          while (reps.max / reps.min > 3 && extra < 2) {
+            System.gc(); reps :+= rep(); extra += 1
+          }
+          if (rowsSeen.distinct.size != 1)
+            throw new InvariantViolation(
+              s"sf1:$name row count drifted across reps: ${rowsSeen.toList}")
+          (name, reps, rowsSeen.head)
         }
       // untimed warm pass of the stored 10× warehouse before the probe
       // block (VERDICT r10 #1): after the reorder that moved the timed
@@ -409,6 +490,9 @@ object Bench {
       // additionally runs 5 reps so a stray GC landing stays visible in
       // sf1_reps without owning the min.
       graft.operators.Aggregates.nsSummarySorted(sorted10).count()
+      // window-noise indicator for the 10× probe block, timed right
+      // before the first probe (codegen was warmed at scaleProbe entry)
+      val sf1Calib = calibration(spark)
       val nsTimes = timeAll(probes,
         n => if (n == "q_ns_summary") 5 else 3)
       // 10× near-dup document corpus (T.docsScaled) for the dedup
@@ -462,6 +546,32 @@ object Bench {
           java.nio.file.Paths.get(work))
         t
       }
+      // ---- steady-state micro-batch at 10× (VERDICT r12 #4): one
+      // 1000-event delta batch through applyDeltaBatch — the same merges
+      // the stream's foreachBatch runs — against the bootstrapped 10×
+      // state. Only touched (volume,bucket) partitions rewrite, so this
+      // bounds the incremental-view plane's per-batch cost a decade up
+      // (the 1× dual is stream_steady_batch_sec). 5 reps, second-smallest
+      // (the 1× metric's exact statistic, so the ratio is honest).
+      val steady10Work = graft.core.TempDirs.create("graft_sd10_")
+      graft.streaming.ChangeStream.bootstrapViews(spark,
+        wh10 + "/cdclog10", steady10Work)
+      val delta10 = sorted10
+        .orderBy("volume", "bucket", "key", "version", "data_size")
+        .limit(1000)
+      val sd10Reps = (0 until 5).map { i =>
+        val batch = graft.streaming.ChangeLog.events(delta10)
+          .withColumn("seq", F.col("seq") + 10000000L * (i + 1)).persist()
+        batch.count()
+        val tS = System.nanoTime()
+        graft.streaming.ChangeStream.applyDeltaBatch(spark, steady10Work, batch)
+        val t = secs(tS)
+        batch.unpersist()
+        t
+      }
+      val sd10Sec = sd10Reps.sorted.apply(1)
+      graft.streaming.ChangeStream.deleteRecursively(
+        java.nio.file.Paths.get(steady10Work))
       // timed ingest LAST: by now every probe has its number, so the
       // write passes' heap churn can no longer contaminate anything.
       // 5 reps (consecutive same-code runs drew 18.6 vs 31.4 s 3-rep
@@ -469,6 +579,40 @@ object Bench {
       // the JSON.
       val ingestReps = (1 to 5).map { _ => System.gc(); ingestOnce() }
       val ingestSec = ingestReps.sorted.apply(2)
+      // ---- ANSWER invariants at 10× (VERDICT r12 #1): the timed probes
+      // verify COST; these verify the RESULT by canon-comparing each
+      // flagship fold against an independent dual plan (disjoint
+      // execution path — sorted fold vs groupBy, window vs max_by
+      // aggregate, full-outer vs anti/inner joins). Untimed, run after
+      // every sf1 number is in. A mismatch throws and fails the bench.
+      // Warehouse AND snapshot frames re-read FRESH — the ingest reps
+      // above just overwrote those dirs, so the earlier sorted10/snap
+      // frames hold stale file listings.
+      def canonPair(name: String, probePlan: => org.apache.spark.sql.DataFrame,
+                    dualPlan: => org.apache.spark.sql.DataFrame,
+                    scale: String): (String, String) = {
+        val sa = canonSig(probePlan)
+        val sb = canonSig(dualPlan)
+        if (sa != sb) throw new InvariantViolation(
+          s"$scale canon mismatch $name: probe plan $sa vs dual plan $sb")
+        name -> sa
+      }
+      val sorted10f = spark.read.parquet(wh10 + "/objects")
+      val snap1f = spark.read.parquet(wh10 + "/snap1")
+      val snap2f = spark.read.parquet(wh10 + "/snap2")
+      val canon10 = Seq(
+        canonPair("q_ns_summary",
+          graft.operators.Aggregates.nsSummarySorted(sorted10f),
+          graft.operators.Aggregates.nsSummary(sorted10f), "sf1"),
+        canonPair("q_latest_version",
+          graft.operators.Lifecycle.latestVersionWinsSorted(sorted10f),
+          graft.operators.Lifecycle.latestVersionWins(sorted10f), "sf1"),
+        canonPair("q_snapshot_diff",
+          graft.operators.Joins.snapshotDiff(snap1f, snap2f),
+          graft.operators.Joins.snapshotDiffDual(snap1f, snap2f), "sf1"),
+        canonPair("q_write_apply",
+          graft.operators.CommitLog.appliedState(sorted10f),
+          graft.operators.CommitLog.appliedStateAggDual(sorted10f), "sf1"))
       // ---- 100× (sf10) block: one more measured decade, now spanning
       // READ (ns-summary fold, winner-per-key fold), WRITE (commit-log
       // apply, snapshot full-outer diff, merkle tree build) and DEDUP
@@ -554,6 +698,16 @@ object Bench {
           .write.mode("overwrite").parquet(wh10 + "/clusters100")
         val dedupBuildSec = secs(tD)
         val clusters100 = spark.read.parquet(wh10 + "/clusters100")
+        // simhash signatures at 100× are an ingest artifact exactly like
+        // the band index (one pass of the native expression over the
+        // stored corpus); the 100× simhash probe moves IN-BAND over this
+        // stored table (VERDICT r12 #3) — the one probe that once hit a
+        // genuine scale cliff belongs in the published artifact
+        val tSh = System.nanoTime()
+        graft.operators.Dedup.simhash(docs100)
+          .write.mode("overwrite").parquet(wh10 + "/sigs100")
+        val simhashBuildSec = secs(tSh)
+        val sigs100 = spark.read.parquet(wh10 + "/sigs100")
         // 100× embedding corpus + IVF index (ingest artifacts, mirroring
         // the sf1 block) — one more decade for the ANN pair: brute top-k
         // is the honest linear baseline, IVF shows the indexed path's
@@ -566,6 +720,11 @@ object Bench {
             graft.operators.Similarity.quantized(emb100))
           .write.mode("overwrite").parquet(wh10 + "/cents100")
         val cents100 = spark.read.parquet(wh10 + "/cents100")
+        // the 100× CDC log is the streaming plane's durable INPUT (same
+        // fixture rule as the 1×/10× logs) — stored here so the timed
+        // bootstrap reps below measure state REBUILD, not log synthesis
+        graft.streaming.ChangeLog.events(sorted100)
+          .write.mode("overwrite").parquet(wh10 + "/cdclog100")
         auxBuildSec += secs(tAux2)
         val probes100: Seq[(String, () => Long)] = Seq(
           // the two scan shapes whose 100 TB claim is O(page) / O(one
@@ -596,12 +755,16 @@ object Bench {
             graft.operators.Dedup.exactDedup(docs100).count()),
           "q_paragraph_dedup" -> (() =>
             graft.operators.Dedup.paragraphDedup(docs100).count()),
-          // (q_dedup_simhash at 100× is measured out-of-band — 49 s
-          // tight reps via tools/ShProbe: the clique corpus leaves 174k
+          // simhash at 100×, in-band over the STORED signature table
+          // (the ingest topology; signature synthesis is
+          // sf10_simhash_build_sec): the clique corpus leaves 174k
           // DISTINCT perturbed signatures whose corpus-correlated bits
-          // degenerate one pigeonhole chunk bucket; the sig-space join
-          // holds, but 3.5 min/round of bench wall buys no new signal —
-          // SURVEY records the number and the analysis)
+          // share degenerate chunk buckets — the distinct-SIGNATURE join
+          // is output-bound there (~49 s quiet for 22.6M pairs), the
+          // corpus's worst case, and exactly the probe that once hit a
+          // real cliff, so it stays in the published artifact
+          "q_dedup_simhash" -> (() =>
+            graft.operators.Dedup.simhashPairsFromSigs(sigs100).count()),
           "q_dedup_keep" -> (() =>
             graft.operators.Dedup.keepOneSelection(clusters100,
               graft.operators.TextAnalysis.qualityScore(docs100)).count()),
@@ -628,34 +791,149 @@ object Bench {
         // collector a chance to actually reclaim the build debris.
         System.gc(); System.gc()
         probes100.foreach { case (_, run) => run() }
-        // local rep loop (not timeAll): an sf10 failure must degrade,
-        // not sys.exit the bench
+        // window-noise indicator for the 100× probe block, timed after
+        // the warm pass so it reads the same window the reps do
+        val sf10Calib = calibration(spark)
+        // local rep loop (not timeAll): an sf10 ENVIRONMENT failure must
+        // degrade, not sys.exit the bench — but rows drift across reps
+        // of one plan is an ANSWER failure and throws InvariantViolation
+        // (rethrown past the NonFatal catch below). Same 3×-spread
+        // auto-extension as the sf1 block.
         val t100 = probes100.map { case (name, run) =>
           System.gc()
-          name -> (1 to 3).map { _ =>
-            val t0 = System.nanoTime(); run(); secs(t0)
+          val rowsSeen = scala.collection.mutable.ListBuffer.empty[Long]
+          def rep(): Double = {
+            val t0 = System.nanoTime(); rowsSeen += run(); secs(t0)
           }
+          var reps = (1 to 3).map(_ => rep()).toVector
+          var extra = 0
+          while (reps.max / reps.min > 3 && extra < 2) {
+            System.gc(); reps :+= rep(); extra += 1
+          }
+          if (rowsSeen.distinct.size != 1)
+            throw new InvariantViolation(
+              s"sf10:$name row count drifted across reps: ${rowsSeen.toList}")
+          (name, reps, rowsSeen.head)
         }
-        val m10 = t100.map { case (k, v) => s"\"" + k + "\":" + v.min }
+        // ---- streaming bootstrap at 100× (VERDICT r12 #4): full-state
+        // rebuild from the stored 100× CDC log — the checkpoint-loss
+        // availability gap's second measured decade. Timed AFTER the
+        // probe reps so its write churn can't contaminate them.
+        graft.streaming.ChangeStream.bootstrapViews(spark,
+          wh10 + "/cdclog100", graft.core.TempDirs.create("graft_bs100w_"))
+        val bs100Reps = (1 to 3).map { _ =>
+          System.gc()
+          val work = graft.core.TempDirs.create("graft_bs100_")
+          val t0 = System.nanoTime()
+          graft.streaming.ChangeStream.bootstrapViews(spark,
+            wh10 + "/cdclog100", work)
+          val t = secs(t0)
+          graft.streaming.ChangeStream.deleteRecursively(
+            java.nio.file.Paths.get(work))
+          t
+        }
+        // ---- ANSWER invariants at 100× (VERDICT r12 #1), untimed, last:
+        // the same four canon duals as the sf1 block, plus conservation
+        // identities over the dedup family — arithmetic the folds must
+        // satisfy, derived through independent SQL expressions
+        val canon100 = Seq(
+          canonPair("q_ns_summary",
+            graft.operators.Aggregates.nsSummarySorted(sorted100),
+            graft.operators.Aggregates.nsSummary(sorted100), "sf10"),
+          canonPair("q_latest_version",
+            graft.operators.Lifecycle.latestVersionWinsSorted(sorted100),
+            graft.operators.Lifecycle.latestVersionWins(sorted100), "sf10"),
+          canonPair("q_snapshot_diff",
+            graft.operators.Joins.snapshotDiff(snap1c, snap2c),
+            graft.operators.Joins.snapshotDiffDual(snap1c, snap2c), "sf10"),
+          canonPair("q_write_apply",
+            graft.operators.CommitLog.appliedState(sorted100),
+            graft.operators.CommitLog.appliedStateAggDual(sorted100),
+            "sf10"))
+        val rows100 = t100.map { case (n, _, r) => n -> r }.toMap
+        def conserve(name: String, got: Long, want: Long,
+                     what: String): Unit =
+          if (got != want) throw new InvariantViolation(
+            s"sf10 conservation $name: $what — got $got, want $want")
+        // every doc carries exactly one cluster label and one keep/drop
+        // decision; exactly one KEEP per cluster; every doc gets one
+        // funnel verdict
+        val docCount100 = docs100.count()
+        conserve("q_dedup_keep", rows100("q_dedup_keep"), docCount100,
+          "one decision per corpus doc")
+        conserve("q_dedup_funnel", rows100("q_dedup_funnel"), docCount100,
+          "one verdict per corpus doc")
+        val clusterCount100 =
+          clusters100.select("cluster_id").distinct().count()
+        conserve("q_dedup_keep",
+          graft.operators.Dedup.keepOneSelection(clusters100,
+              graft.operators.TextAnalysis.qualityScore(docs100))
+            .filter(F.col("decision") === "KEEP").count(),
+          clusterCount100, "exactly one KEEP per cluster")
+        // diff classification arithmetic: CREATE − DELETE must equal the
+        // snapshots' cardinality delta (object_id unique per snapshot)
+        val byType = graft.operators.Joins.snapshotDiff(snap1c, snap2c)
+          .groupBy("diff_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        conserve("q_snapshot_diff",
+          byType.getOrElse("CREATE", 0L) - byType.getOrElse("DELETE", 0L),
+          snap2c.count() - snap1c.count(),
+          "CREATE - DELETE == |snap2| - |snap1|")
+        // ns-summary top-level rollup: every key with >=1 ancestor dir
+        // lands in exactly one top-level dir's recursive num_files
+        conserve("q_ns_summary",
+          graft.operators.Aggregates.nsSummarySorted(sorted100)
+            .filter(!F.col("dir").contains("/"))
+            .agg(F.sum("num_files")).head().getLong(0),
+          sorted100.filter(F.size(F.split(F.col("key"), "/")) >= 2).count(),
+          "top-level num_files == multi-segment key count")
+        // winner fold: one row per distinct (volume, bucket, 3-segment
+        // logical key) — the fold's grouping key, re-derived via SQL
+        conserve("q_latest_version", rows100("q_latest_version"),
+          sorted100.select(F.col("volume"), F.col("bucket"),
+              F.expr("concat_ws('/', slice(split(key, '/'), 1, 3))"))
+            .distinct().count(),
+          "one winner per distinct logical key")
+        val m10 = t100.map { case (k, v, _) => s"\"" + k + "\":" + v.min }
           .mkString("{", ",", "}")
-        val m10r = t100.map { case (k, v) =>
+        val m10r = t100.map { case (k, v, _) =>
           s"\"" + k + "\":" + v.mkString("[", ",", "]")
         }.mkString("{", ",", "}")
-        s""","sf10":$m10,"sf10_reps":$m10r,"sf10_build_sec":$buildSec,""" +
+        val m10rows = t100.map { case (k, _, r) => s"\"" + k + "\":" + r }
+          .mkString("{", ",", "}")
+        val m10canon = canon100.map { case (k, v) =>
+          s"\"" + k + "\":\"" + v + "\""
+        }.mkString("{", ",", "}")
+        s""","sf10":$m10,"sf10_reps":$m10r,"sf10_rows":$m10rows,""" +
+          s""""sf10_canon":$m10canon,""" +
+          s""""sf10_calibration_sec":$sf10Calib,""" +
+          s""""sf10_stream_bootstrap_sec":${bs100Reps.min},""" +
+          s""""sf10_stream_bootstrap_reps":${
+            bs100Reps.mkString("[", ",", "]")},""" +
+          s""""sf10_build_sec":$buildSec,""" +
           s""""sf10_dedup_build_sec":$dedupBuildSec,""" +
+          s""""sf10_simhash_build_sec":$simhashBuildSec,""" +
           s""""sf10_nested_build_sec":$nested100BuildSec,""" +
           s""""sf10_aux_build_sec":$auxBuildSec"""
       } catch {
+        // an ANSWER invariant failure must fail the bench (non-zero rc),
+        // never degrade to a JSON note like environment errors
+        case iv: InvariantViolation => throw iv
         // NonFatal only: an OOM/VM error must crash the bench honestly,
         // not emit JSON from a corrupted JVM
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] sf10 block failed: ${e.getMessage}")
           s""","sf10_error":"${e.getClass.getSimpleName}""""
       }
-      val m = times.map { case (k, v) => s"\"" + k + "\":" + v.min }
+      val m = times.map { case (k, v, _) => s"\"" + k + "\":" + v.min }
         .mkString("{", ",", "}")
-      val mReps = times.map { case (k, v) =>
+      val mReps = times.map { case (k, v, _) =>
         s"\"" + k + "\":" + v.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val mRows = times.map { case (k, _, r) => s"\"" + k + "\":" + r }
+        .mkString("{", ",", "}")
+      val mCanon = canon10.map { case (k, v) =>
+        s"\"" + k + "\":\"" + v + "\""
       }.mkString("{", ",", "}")
       // the 10x warehouse is probe-only — reclaim it before reporting
       graft.streaming.ChangeStream.deleteRecursively(
@@ -664,13 +942,18 @@ object Bench {
       // raw doubles like every other number here — an f"%.2f" interpolator
       // renders a decimal COMMA under comma-locales and corrupts the JSON
       val repsJson = ingestReps.mkString("[", ",", "]")
-      val frag = s""","sf1":$m,"sf1_reps":$mReps,""" +
+      val frag = s""","sf1":$m,"sf1_reps":$mReps,"sf1_rows":$mRows,""" +
+        s""""sf1_canon":$mCanon,""" +
+        s""""sf1_calibration_sec":$sf1Calib,""" +
         s""""sf1_ingest_sec":$ingestSec,"sf1_ingest_reps":$repsJson,""" +
         s""""sf1_nested_build_sec":$nestedBuildSec,""" +
         s""""sf1_stream_bootstrap_sec":${bs10Reps.min},""" +
         s""""sf1_stream_bootstrap_reps":${
-          bs10Reps.mkString("[", ",", "]")}""" +
+          bs10Reps.mkString("[", ",", "]")},""" +
+        s""""sf1_stream_steady_batch_sec":$sd10Sec,""" +
+        s""""sf1_stream_steady_reps":${
+          sd10Reps.mkString("[", ",", "]")}""" +
         sf10Json
-      (frag, times.map { case (k, v) => k -> v.min }.toMap)
+      (frag, times.map { case (k, v, _) => k -> v.min }.toMap)
   }
 }

@@ -418,6 +418,13 @@ object SparkEntry {
         bands.filter(col("doc_id") % 7 =!= 0))
     }),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(T.documents(s, d))),
+    // the pigeonhole degeneracy probe an ingest runs BEFORE the simhash
+    // pair join (SURVEY §scale-matrix fallback trigger): distinct-sig
+    // bucket sizes per (chunk idx, value) — Σ C(n_sigs,2) bounds the
+    // join's raw candidate pairs
+    "q_simhash_chunk_stats" -> ((s, d) =>
+      Dedup.simhashChunkStats(Dedup.simhash(T.documents(s, d)))
+        .withColumn("idx", col("idx").cast("long"))),
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T.documents(s, d),
         candidates = Some(Dedup.lshPairsFromBands(minhashBandsCached(s, d))))),
@@ -2576,6 +2583,16 @@ object SparkEntry {
          |    (simhash >> (${Dedup.ChunkBits} * t.c)) & ${(1 << Dedup.ChunkBits) - 1} AS chunk_val
          |  FROM simhash CROSS JOIN range(4) t(c)
          |)""".stripMargin),
+
+    "q_simhash_chunk_stats" -> O.withCtes(
+      s"""SELECT idx, chunk_val, CAST(count(*) AS BIGINT) AS n_sigs
+         |FROM (
+         |  SELECT t.c AS idx,
+         |    (simhash >> (${Dedup.ChunkBits} * t.c)) & ${(1 << Dedup.ChunkBits) - 1} AS chunk_val
+         |  FROM (SELECT DISTINCT simhash FROM simhash) CROSS JOIN range(4) t(c)
+         |)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      O.docWords, O.simhashCte),
 
     "q_dedup_ngram_jaccard" -> O.withCtes(
       """SELECT doc_a, doc_b, inter_count,
