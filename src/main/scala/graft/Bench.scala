@@ -320,7 +320,18 @@ object Bench {
       // calibration() call then measures the host window, not codegen
       calibrationWarm(spark)
       // 10 replicas; the orderkey path segment gains a replica digit so the
-      // DIRECTORY population scales 10× too, not just files-per-dir
+      // DIRECTORY population scales 10× too, not just files-per-dir.
+      // object_id: the replica digit goes ABOVE the two low digits —
+      // (id DIV 100)·1000 + rep·100 + id%100 (injective; id%100 and rep
+      // recover id DIV 100) — so the commit log's churn predicate
+      // ((object_id DIV 10) % 10 == 0, the TENS digit) sees the same
+      // per-replica distribution as the 1× id population. The previous
+      // id·10+rep shifted the linenumber (1..7, never 0) into the tens
+      // digit and silently EMPTIED the log's churn branches at 10×/100×:
+      // zero DELETE/overwrite/rename ops, so the deletion-plane probes
+      // timed EMPTY planes and write-apply folded a create-only log —
+      // caught by the r13 sf1_rows instrumentation (both deletion probes
+      // published rows=0).
       def scale10(df: org.apache.spark.sql.DataFrame) = df
         .crossJoin(spark.range(10).toDF("rep"))
         .withColumn("key", F.expr(
@@ -328,7 +339,8 @@ object Bench {
                     element_at(split(key, '/'), 2), '/',
                     element_at(split(key, '/'), 3) || rep, '/',
                     element_at(split(key, '/'), 4))"""))
-        .withColumn("object_id", F.col("object_id") * 10 + F.col("rep"))
+        .withColumn("object_id", F.expr(
+          "(object_id DIV 100) * 1000 + rep * 100 + object_id % 100"))
         .drop("rep")
       val obj10 = scale10(T.objectsView(spark, sfDir))
       val wh10 = graft.core.TempDirs.create("graft_sf1_")
@@ -636,7 +648,10 @@ object Bench {
         // 3 is not order-preserving across splits — and Spark's file
         // packing can concatenate two same-dir files out of order in
         // one partition, tripping the folds' sorted-input check.)
-        // object_id algebra: (id·10+r1)·10+r2 ≡ id·100 + (r1r2 ∈ 0..99).
+        // object_id algebra: applying the replica-above-low-digits map
+        // twice stays injective (id%100 is preserved both times; r1 then
+        // r2 stack above it), and the tens digit — the commit log's
+        // churn key — survives to 100×, so every log branch scales.
         val tB = System.nanoTime()
         scale10(spark.read.parquet(wh10 + "/objects"))
           .repartition(F.col("volume"), F.col("bucket"))

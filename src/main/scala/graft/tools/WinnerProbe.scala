@@ -22,7 +22,8 @@ object WinnerProbe {
                   element_at(split(key, '/'), 2), '/',
                   element_at(split(key, '/'), 3) || rep, '/',
                   element_at(split(key, '/'), 4))"""))
-      .withColumn("object_id", F.col("object_id") * 10 + F.col("rep"))
+      .withColumn("object_id", F.expr(
+        "(object_id DIV 100) * 1000 + rep * 100 + object_id % 100"))
       .drop("rep")
 
     def windowForm(objects: org.apache.spark.sql.DataFrame) = {
