@@ -319,29 +319,11 @@ object Bench {
       // compile the calibration plans once per JVM — every later
       // calibration() call then measures the host window, not codegen
       calibrationWarm(spark)
-      // 10 replicas; the orderkey path segment gains a replica digit so the
-      // DIRECTORY population scales 10× too, not just files-per-dir.
-      // object_id: the replica digit goes ABOVE the two low digits —
-      // (id DIV 100)·1000 + rep·100 + id%100 (injective; id%100 and rep
-      // recover id DIV 100) — so the commit log's churn predicate
-      // ((object_id DIV 10) % 10 == 0, the TENS digit) sees the same
-      // per-replica distribution as the 1× id population. The previous
-      // id·10+rep shifted the linenumber (1..7, never 0) into the tens
-      // digit and silently EMPTIED the log's churn branches at 10×/100×:
-      // zero DELETE/overwrite/rename ops, so the deletion-plane probes
-      // timed EMPTY planes and write-apply folded a create-only log —
-      // caught by the r13 sf1_rows instrumentation (both deletion probes
-      // published rows=0).
-      def scale10(df: org.apache.spark.sql.DataFrame) = df
-        .crossJoin(spark.range(10).toDF("rep"))
-        .withColumn("key", F.expr(
-          """concat(element_at(split(key, '/'), 1), '/',
-                    element_at(split(key, '/'), 2), '/',
-                    element_at(split(key, '/'), 3) || rep, '/',
-                    element_at(split(key, '/'), 4))"""))
-        .withColumn("object_id", F.expr(
-          "(object_id DIV 100) * 1000 + rep * 100 + object_id % 100"))
-        .drop("rep")
+      // ONE shared scale-up definition (Tables.namespaceScaled10) for the
+      // bench and every A/B tool — the r13 churn-digit bug lived in six
+      // copy-pasted copies at once (see the helper's scaladoc)
+      def scale10(df: org.apache.spark.sql.DataFrame) =
+        T.namespaceScaled10(df)
       val obj10 = scale10(T.objectsView(spark, sfDir))
       val wh10 = graft.core.TempDirs.create("graft_sf1_")
       // warm the synthesis + parquet-write JIT on the 1× table first
@@ -519,6 +501,13 @@ object Bench {
       graft.operators.Dedup.minhashBands(docs10)
         .write.mode("overwrite").parquet(wh10 + "/bands")
       val bands10 = spark.read.parquet(wh10 + "/bands")
+      // simhash signatures are an ingest artifact exactly like the bands
+      // (stored here so the 10× and 100× probes measure the SAME shape —
+      // the pair join over a stored signature table — and the decade
+      // ratio is like-for-like)
+      graft.operators.Dedup.simhash(docs10)
+        .write.mode("overwrite").parquet(wh10 + "/sigs")
+      val sigs10 = spark.read.parquet(wh10 + "/sigs")
       // dedup at 10× documents: the banded-LSH candidate join over the
       // prebuilt bands (Σ bucket², never n²), exact dedup's one hash
       // shuffle, and paragraph dedup's id-only global shuffle — the
@@ -530,10 +519,10 @@ object Bench {
           graft.operators.Dedup.exactDedup(docs10).count()),
         "q_paragraph_dedup" -> (() =>
           graft.operators.Dedup.paragraphDedup(docs10).count()),
-        // simhash: one-pass native signature + pigeonhole chunk
-        // self-join — the fourth dedup shuffle shape's first decade
+        // simhash: the pigeonhole pair join over the stored signature
+        // table — the fourth dedup shuffle shape, ingest topology
         "q_dedup_simhash" -> (() =>
-          graft.operators.Dedup.simhashPairs(docs10).count())))
+          graft.operators.Dedup.simhashPairsFromSigs(sigs10).count())))
       // ---- streaming plane at 10×: bootstrap = full state rebuild from
       // a STORED CDC log (the checkpoint-loss availability gap the base
       // pass measures at 1× as stream_bootstrap_sec) — the last plane
@@ -571,6 +560,14 @@ object Bench {
       val delta10 = sorted10
         .orderBy("volume", "bucket", "key", "version", "data_size")
         .limit(1000)
+      // the per-rep 10M seq offset must clear the bootstrapped state's
+      // max seq, or the timed merges would sort BELOW existing state and
+      // silently measure no-op batches
+      val maxSeq10 = spark.read.parquet(wh10 + "/cdclog10")
+        .agg(F.coalesce(F.max("seq"), F.lit(0L))).head().getLong(0)
+      require(maxSeq10 < 10000000L,
+        s"steady-batch seq offset (10M) does not clear the 10x log's " +
+          s"max seq $maxSeq10")
       val sd10Reps = (0 until 5).map { i =>
         val batch = graft.streaming.ChangeLog.events(delta10)
           .withColumn("seq", F.col("seq") + 10000000L * (i + 1)).persist()
@@ -834,8 +831,13 @@ object Bench {
         // rebuild from the stored 100× CDC log — the checkpoint-loss
         // availability gap's second measured decade. Timed AFTER the
         // probe reps so its write churn can't contaminate them.
+        val bs100Warm = graft.core.TempDirs.create("graft_bs100w_")
         graft.streaming.ChangeStream.bootstrapViews(spark,
-          wh10 + "/cdclog100", graft.core.TempDirs.create("graft_bs100w_"))
+          wh10 + "/cdclog100", bs100Warm)
+        // reclaim the warm state immediately — a full 100× state left on
+        // disk for the rest of the run competes with the timed passes
+        graft.streaming.ChangeStream.deleteRecursively(
+          java.nio.file.Paths.get(bs100Warm))
         val bs100Reps = (1 to 3).map { _ =>
           System.gc()
           val work = graft.core.TempDirs.create("graft_bs100_")
@@ -896,10 +898,13 @@ object Bench {
           "CREATE - DELETE == |snap2| - |snap1|")
         // ns-summary top-level rollup: every key with >=1 ancestor dir
         // lands in exactly one top-level dir's recursive num_files
+        // coalesce: an EMPTY fold result must fail as a conservation
+        // mismatch (0 != want), not as an NPE that NonFatal would
+        // misclassify as an environment error
         conserve("q_ns_summary",
           graft.operators.Aggregates.nsSummarySorted(sorted100)
             .filter(!F.col("dir").contains("/"))
-            .agg(F.sum("num_files")).head().getLong(0),
+            .agg(F.coalesce(F.sum("num_files"), F.lit(0L))).head().getLong(0),
           sorted100.filter(F.size(F.split(F.col("key"), "/")) >= 2).count(),
           "top-level num_files == multi-segment key count")
         // winner fold: one row per distinct (volume, bucket, 3-segment

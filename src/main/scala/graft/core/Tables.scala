@@ -280,6 +280,30 @@ object Tables {
         col("rep").cast("string")))
       .drop("rep")
 
+  /** 10× namespace scale-up (one definition for the bench probes and
+    * every A/B diagnostic tool, so a tool can never silently scale a
+    * DIFFERENT population than the bench it attributes). The orderkey
+    * path segment gains the replica digit, so the DIRECTORY population
+    * scales 10× too, not just files-per-dir. object_id maps the replica
+    * digit ABOVE the two low digits — (id DIV 100)·1000 + rep·100 +
+    * id%100, injective (id%100 and rep recover id DIV 100) — so the
+    * commit log's churn predicate ((object_id DIV 10) % 10 == 0, the
+    * TENS digit) sees the same per-replica distribution as the 1× id
+    * population, and applying the map twice (100×) still preserves it.
+    * A naive id·10+rep shifted the linenumber (1..7, never 0) into the
+    * tens digit and silently EMPTIED the log's churn branches at scale
+    * (caught by the r13 bench rows gate). */
+  def namespaceScaled10(df: DataFrame): DataFrame =
+    df.crossJoin(df.sparkSession.range(10).toDF("rep"))
+      .withColumn("key", expr(
+        """concat(element_at(split(key, '/'), 1), '/',
+                  element_at(split(key, '/'), 2), '/',
+                  element_at(split(key, '/'), 3) || rep, '/',
+                  element_at(split(key, '/'), 4))"""))
+      .withColumn("object_id", expr(
+        "(object_id DIV 100) * 1000 + rep * 100 + object_id % 100"))
+      .drop("rep")
+
   /** Scaled embedding corpus (vec_id re-minted, vectors unchanged). */
   def embScaled(emb: DataFrame, mult: Int): DataFrame =
     emb.crossJoin(emb.sparkSession.range(mult).toDF("rep"))

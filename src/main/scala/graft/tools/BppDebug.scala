@@ -10,16 +10,8 @@ object BppDebug {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local(32)
     val T = graft.core.Tables
-    def scale10(df: org.apache.spark.sql.DataFrame) = df
-      .crossJoin(spark.range(10).toDF("rep"))
-      .withColumn("key", F.expr(
-        """concat(element_at(split(key, '/'), 1), '/',
-                  element_at(split(key, '/'), 2), '/',
-                  element_at(split(key, '/'), 3) || rep, '/',
-                  element_at(split(key, '/'), 4))"""))
-      .withColumn("object_id", F.expr(
-        "(object_id DIV 100) * 1000 + rep * 100 + object_id % 100"))
-      .drop("rep")
+    def scale10(df: org.apache.spark.sql.DataFrame) =
+      graft.core.Tables.namespaceScaled10(df)
     val s1 = T.objectsSorted(spark, sfDir)
     val wh = graft.core.TempDirs.create("graft_bpp_")
     scale10(T.objectsView(spark, sfDir))

@@ -12,16 +12,8 @@ object LogSynthProbe {
     val spark = graft.core.GraftSession.local(cpus)
     val T = graft.core.Tables
     def secs(t0: Long) = (System.nanoTime() - t0) / 1e9
-    def scale10(df: org.apache.spark.sql.DataFrame) = df
-      .crossJoin(spark.range(10).toDF("rep"))
-      .withColumn("key", F.expr(
-        """concat(element_at(split(key, '/'), 1), '/',
-                  element_at(split(key, '/'), 2), '/',
-                  element_at(split(key, '/'), 3) || rep, '/',
-                  element_at(split(key, '/'), 4))"""))
-      .withColumn("object_id", F.expr(
-        "(object_id DIV 100) * 1000 + rep * 100 + object_id % 100"))
-      .drop("rep")
+    def scale10(df: org.apache.spark.sql.DataFrame) =
+      graft.core.Tables.namespaceScaled10(df)
 
     // the pre-change 4-union synthesis, kept verbatim for the A/B
     def synthesizeLogUnion(objects: org.apache.spark.sql.DataFrame) = {

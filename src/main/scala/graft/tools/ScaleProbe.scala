@@ -14,16 +14,8 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $name%-30s ${secs(t0)}%.2f s  (rows=$n)")
     }
-    def scale10(df: org.apache.spark.sql.DataFrame) = df
-      .crossJoin(spark.range(10).toDF("rep"))
-      .withColumn("key", F.expr(
-        """concat(element_at(split(key, '/'), 1), '/',
-                  element_at(split(key, '/'), 2), '/',
-                  element_at(split(key, '/'), 3) || rep, '/',
-                  element_at(split(key, '/'), 4))"""))
-      .withColumn("object_id", F.expr(
-        "(object_id DIV 100) * 1000 + rep * 100 + object_id % 100"))
-      .drop("rep")
+    def scale10(df: org.apache.spark.sql.DataFrame) =
+      graft.core.Tables.namespaceScaled10(df)
 
     spark.range(10).count()
     val obj10 = scale10(T.objects(spark, sfDir))
