@@ -118,6 +118,21 @@ object SparkEntry {
       Dedup.dupClusters(T.documents(s, d).select("doc_id"),
         verifiedPairsCached(s, d)))
 
+  // Stored-dictionary verification index for the INCREMENTAL ingest path
+  // (VERDICT r12 #6 / r13 next-round #3): the corpus's term-id dictionary
+  // and per-doc encoded sets are persisted ingest artifacts exactly like
+  // the band index — an arriving batch verifies its candidates against
+  // them without re-encoding the corpus. The "corpus" here is the same
+  // doc_id % 7 != 0 slice q_dedup_incremental screens against, so the
+  // two queries model the same steady-state split.
+  private def corpusDocs(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).filter(col("doc_id") % 7 =!= 0)
+  private def ngramDictCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "ngdict", d)(Dedup.ngramDictionary(corpusDocs(s, d)))
+  private def ngramSetsCached(s: SparkSession, d: String): DataFrame =
+    cachedParquet(s, "ngsets", d)(
+      Dedup.ngramSets(corpusDocs(s, d), ngramDictCached(s, d)))
+
   /** Build every once-per-source index/verification artifact — the
     * engine's "index ingest", run at the same point the key-sorted
     * warehouse is built (Bench warmup / first deployment), so per-query
@@ -153,6 +168,9 @@ object SparkEntry {
     pendingRollupsCached(s, d).count()
     // the duplicate-cluster assignment over the persisted pairs
     docClustersCached(s, d).count()
+    // the stored-dictionary verification index (incremental ingest path)
+    ngramDictCached(s, d).count()
+    ngramSetsCached(s, d).count()
     // raw `orders` is the one base table no memoized artifact reads —
     // without a warmup scan its first-touch parquet footer + page-cache
     // cost lands on whichever audit/heatmap query runs first in a bench
@@ -198,26 +216,11 @@ object SparkEntry {
     Lifecycle.LcRule("r2", "warehouse/A/", None, 852076800000L))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- driver-gate rendering pins (VERDICT r8 #1, closed r9) ----
-    // The r7/r8 hash-only mismatches were oracles whose FINAL output was
-    // an uncast DuckDB sum() (HUGEINT/int128), rendered differently from
-    // the Spark parquet BIGINT by the driver's gate. The 2x2 bisect
-    // probes recorded their expected-FAIL evidence in CORRECTNESS_r09 and
-    // were retired (VERDICT r9 #1); tools/oracle_check.py's TYPELINT now
-    // guards the whole class. The two green pins below stay as standing
-    // regression guards: q_dbg_bigint_sum pins cast-sum portability,
-    // q_dbg_render_edges pins boolean/negative/empty-string/NULL canon.
-    "q_dbg_bigint_sum" -> ((s, _) =>
-      s.range(100).selectExpr("id % 5 AS grp", "id AS r")
-        .groupBy("grp").agg(org.apache.spark.sql.functions.sum("r").as("s"))
-        .orderBy("grp")),
-    "q_dbg_render_edges" -> ((s, _) =>
-      s.sql("""SELECT * FROM VALUES
-        (1L, true,  CAST(-5 AS BIGINT), ''),
-        (2L, false, CAST(0 AS BIGINT), 'a;b'),
-        (3L, CAST(NULL AS BOOLEAN), 9223372036854775807L,
-         CAST(NULL AS STRING))
-        AS t(id, flag, n, s) ORDER BY id""")),
+    // The q_dbg_bigint_sum / q_dbg_render_edges driver-gate rendering
+    // pins (VERDICT r8 #1) were retired into FunctionsSpec's
+    // parquet-rendering-edges pin in r14 (VERDICT r13 next-round #6):
+    // tools/oracle_check.py's TYPELINT guards the oracle-type class,
+    // the spec pins the Spark-side parquet round-trip edges.
     // ---- listing family (SURVEY §2.1/2.2/2.6) — reads the PERSISTED
     // key-sorted namespace so bucket partition pruning + key range
     // row-group skipping actually fire (see Tables.objectsSorted) ----
@@ -417,7 +420,24 @@ object SparkEntry {
       Dedup.incrementalDedup(bands.filter(col("doc_id") % 7 === 0),
         bands.filter(col("doc_id") % 7 =!= 0))
     }),
+    // incremental VERIFIED jaccard over the STORED corpus index: the
+    // batch's banded candidates against the corpus are verified using
+    // the persisted term-id dictionary + per-doc encoded sets — the
+    // corpus text is never re-scanned (the batch pays hash(batch) + a
+    // dictionary probe; new batch-only terms append ABOVE the stored
+    // max id, so corpus sets stay valid)
+    "q_dedup_incremental_verify" -> ((s, d) =>
+      Dedup.incrementalJaccardVerify(
+        T.documents(s, d).filter(col("doc_id") % 7 === 0),
+        minhashBandsCached(s, d).filter(col("doc_id") % 7 =!= 0),
+        ngramSetsCached(s, d), ngramDictCached(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(T.documents(s, d))),
+    // the one-row degeneracy VERDICT the ingest gates on (raw pigeonhole
+    // pairs vs surviving sig pairs, integer x1000 ratio — the fallback
+    // trigger for narrower chunk keys); bench re-publishes it for the
+    // 100x corpus as sf10_simhash_degeneracy_*
+    "q_simhash_degeneracy" -> ((s, d) =>
+      Dedup.simhashDegeneracy(Dedup.simhash(T.documents(s, d)))),
     // the pigeonhole degeneracy probe an ingest runs BEFORE the simhash
     // pair join (SURVEY §scale-matrix fallback trigger): distinct-sig
     // bucket sizes per (chunk idx, value) — Σ C(n_sigs,2) bounds the
@@ -1665,17 +1685,6 @@ object SparkEntry {
   }
 
   private def oracleBase: Map[String, String] = Map(
-    // driver-gate rendering pins — see the q_dbg_* comment in `queries`
-    "q_dbg_bigint_sum" ->
-      """SELECT r % 5 AS grp, CAST(sum(r) AS BIGINT) AS s
-        |FROM range(100) t(r) GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_dbg_render_edges" ->
-      """SELECT * FROM (VALUES
-        |  (1, true,  CAST(-5 AS BIGINT), ''),
-        |  (2, false, CAST(0 AS BIGINT), 'a;b'),
-        |  (3, CAST(NULL AS BOOLEAN), 9223372036854775807,
-        |   CAST(NULL AS VARCHAR))) t(id, flag, n, s)
-        |ORDER BY id""".stripMargin,
 
     "q_list_keys" -> O.withCtes(
       """SELECT key, data_size, replicated_size, replication_type,
@@ -2570,6 +2579,30 @@ object SparkEntry {
         |        AND a.doc_id <> b.doc_id)
         |  GROUP BY 1)""".stripMargin),
 
+    // incremental verified jaccard: the same candidate orientation as
+    // the engine (batch doc_a, corpus doc_b), verified over string
+    // bigram sets — injective term-id encoding makes the engine's
+    // stored-dict counts EXACTLY these string-set counts
+    "q_dedup_incremental_verify" -> O.withCtes(
+      """SELECT doc_a, doc_b, inter_count,
+        |  na + nb - inter_count AS union_count,
+        |  inter_count * 1000 // (na + nb - inter_count) AS jacc_x1000
+        |FROM inter
+        |JOIN (SELECT doc_id, n AS na FROM sz) sa ON doc_a = sa.doc_id
+        |JOIN (SELECT doc_id, n AS nb FROM sz) sb ON doc_b = sb.doc_id
+        |WHERE inter_count * 1000 // (na + nb - inter_count) >= 100
+        |ORDER BY doc_a, doc_b""".stripMargin,
+      O.docWords, O.shingle2, O.shingleHash, O.minhashSigs,
+      O.minhashBandsCte,
+      """newb AS (SELECT * FROM minhash_bands WHERE doc_id % 7 = 0)""",
+      """corp AS (SELECT * FROM minhash_bands WHERE doc_id % 7 <> 0)""",
+      """cand AS (
+        |  SELECT n.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM newb n JOIN corp c ON n.band = c.band AND n.sig = c.sig
+        |  GROUP BY 1, 2
+        |)""".stripMargin,
+      bgCte, szCte, interCte),
+
     "q_dedup_simhash" -> O.withCtes(
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(max(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) AS hamming
@@ -2593,6 +2626,34 @@ object SparkEntry {
          |)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       O.docWords, O.simhashCte),
+
+    // one-row degeneracy verdict: Σ C(n_sigs,2) raw pigeonhole pairs vs
+    // surviving distinct sig pairs (hamming ≤ 3), integer x1000 ratio
+    "q_simhash_degeneracy" -> O.withCtes(
+      s"""SELECT raw_pairs, yield_pairs,
+         |  CAST(raw_pairs * 1000 // greatest(yield_pairs, 1) AS BIGINT)
+         |    AS ratio_x1000
+         |FROM raw CROSS JOIN surv""".stripMargin,
+      O.docWords, O.simhashCte,
+      s"""chd AS (
+         |  SELECT simhash, t.c AS idx,
+         |    (simhash >> (${Dedup.ChunkBits} * t.c)) & ${(1 << Dedup.ChunkBits) - 1} AS chunk_val
+         |  FROM (SELECT DISTINCT simhash FROM simhash) CROSS JOIN range(4) t(c)
+         |)""".stripMargin,
+      """raw AS (
+        |  SELECT CAST(coalesce(sum(n_sigs * (n_sigs - 1) // 2), 0)
+        |    AS BIGINT) AS raw_pairs
+        |  FROM (SELECT idx, chunk_val, count(*) AS n_sigs
+        |        FROM chd GROUP BY 1, 2)
+        |)""".stripMargin,
+      """surv AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS yield_pairs FROM (
+        |    SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
+        |    FROM chd a JOIN chd b
+        |      ON a.idx = b.idx AND a.chunk_val = b.chunk_val
+        |        AND a.simhash < b.simhash
+        |    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+        |)""".stripMargin),
 
     "q_dedup_ngram_jaccard" -> O.withCtes(
       """SELECT doc_a, doc_b, inter_count,

@@ -255,6 +255,36 @@ object Dedup {
         col("cs.idx").as("idx"), col("cs.chunk_val").as("chunk_val"))
   }
 
+  /** One-row degeneracy VERDICT over a stored signature table — the
+    * [[simhashChunkStats]] trigger arithmetic folded to the number an
+    * ingest gates on: `raw_pairs` = Σ_buckets C(n_sigs, 2) (exactly the
+    * pigeonhole join's pre-hamming-filter row count, spec-pinned),
+    * `yield_pairs` = distinct signature pairs that survive hamming ≤
+    * `maxHamming`, and `ratio_x1000` = raw·1000 DIV max(yield, 1). A
+    * ratio ≳ 10 000 (raw ≳ 10× yield) is the documented fallback
+    * trigger: switch to narrower chunk-pair keys (6×10 bits, C(6,2)=15
+    * keys — hamming ≤ 3 still pigeonholes) before running the pair
+    * join. Published per-corpus by the bench as
+    * sf10_simhash_degeneracy_* so a corpus that crosses the threshold
+    * is visible in the artifact, not just derivable. */
+  def simhashDegeneracy(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val raw = simhashChunkStats(sh)
+      .agg(coalesce(sum(expr("n_sigs * (n_sigs - 1) DIV 2")), lit(0L))
+        .cast("long").as("raw_pairs"))
+    val ch = sigChunks(sh)
+    val surv = ch.as("a").join(ch.as("b"),
+        col("a.idx") === col("b.idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .filter(expr("bit_count(sa ^ sb)") <= maxHamming)
+      .distinct()
+      .agg(count(lit(1)).as("yield_pairs"))
+    raw.crossJoin(surv)
+      .withColumn("ratio_x1000",
+        expr("raw_pairs * 1000 DIV greatest(yield_pairs, 1)"))
+  }
+
   /** Pre-flight degeneracy probe for [[simhashPairsFromSigs]]: the
     * DISTINCT-signature bucket size per (chunk idx, chunk value). The
     * pigeonhole join generates exactly Σ_buckets C(n,2) raw signature
@@ -339,20 +369,105 @@ object Dedup {
     // repeated calls hold at most the not-yet-GC'd tail of small
     // per-corpus dictionaries — same lifecycle as dupClusters' iteration
     // checkpoints.
-    val shingles = withWords(docs)
+    val dict = ngramDictionary(docs).localCheckpoint()
+    val sets = ngramSets(docs, dict)
+    verifiedFromSets(cands, sets, sets, minJaccardX1000)
+  }
+
+  /** The per-doc distinct word-bigram frame — the shared scan under the
+    * dictionary build and the set encode (deliberately evaluated per
+    * consumer: shuffle-free scan-bound work, cheaper than pinning the
+    * exploded string frame — see [[ngramJaccardPairs]]). */
+  private def shingleFrame(docs: DataFrame): DataFrame =
+    withWords(docs)
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(shingleExpr("ws", 2)).as("s"))
-    val dict = shingles.select("s").distinct()
+
+  /** The term-id dictionary (distinct shingle string → unique BIGINT) as
+    * a frame — at steady state this is CORPUS STATE exactly like the band
+    * index: persist it at ingest and extend it monotonically per batch
+    * ([[ngramDictExtended]]) instead of re-deriving it per invocation.
+    * Ids are minted with monotonically_increasing_id, which is
+    * NONDETERMINISTIC across recomputes — a caller that consumes the
+    * frame more than once must pin it (localCheckpoint) or persist it;
+    * [[ngramJaccardPairs]] checkpoints, the stored-artifact path writes
+    * parquet. */
+  def ngramDictionary(docs: DataFrame): DataFrame =
+    shingleFrame(docs).select("s").distinct()
       .withColumn("sid", monotonically_increasing_id())
-      .localCheckpoint()
-    val sets = shingles.join(dict, "s")
+
+  /** Per-doc sorted term-id set (doc_id, ss ARRAY<BIGINT>, n) encoded
+    * against a GIVEN dictionary — the persisted verification-index row
+    * format. PRECONDITION: `dict` covers every shingle of `docs` (it
+    * derives from these docs, or from [[ngramDictExtended]] over them) —
+    * the encode is an inner join, so an uncovered shingle would silently
+    * shrink the set and undercount the union. */
+  def ngramSets(docs: DataFrame, dict: DataFrame): DataFrame =
+    shingleFrame(docs).join(dict, "s")
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("sid"))).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
+
+  /** Monotone dictionary append: terms of `newDocs` absent from the
+    * stored `dict` get fresh ids strictly ABOVE the stored maximum
+    * (stored rows pass through untouched, so corpus sets encoded against
+    * the old dictionary stay valid — the append-only contract a
+    * persisted index needs). The new-term frame is batch-sized (distinct
+    * unseen shingles), pinned with a localCheckpoint because
+    * monotonically_increasing_id is nondeterministic across recomputes.
+    * Offset arithmetic: new id = maxSid + 1 + m_i_id, where m_i_id <
+    * (numPartitions << 33) + rowsPerPartition — both operands are far
+    * below 2^62 at any real partition count, so the sum cannot
+    * overflow; injectivity follows from m_i_id's own injectivity. */
+  def ngramDictExtended(dict: DataFrame, newDocs: DataFrame): DataFrame = {
+    val maxSid = dict.agg(coalesce(max("sid"), lit(-1L)))
+      .head().getLong(0)
+    val newTerms = shingleFrame(newDocs).select("s").distinct()
+      .join(dict.select("s"), Seq("s"), "left_anti")
+      .withColumn("sid", monotonically_increasing_id() + lit(maxSid + 1L))
+      .localCheckpoint()
+    dict.unionByName(newTerms)
+  }
+
+  /**
+   * Incremental VERIFIED jaccard — the stage [[incrementalDedup]] stops
+   * short of: an incoming batch's LSH candidates against the corpus are
+   * verified with exact n-gram jaccard WITHOUT re-encoding the corpus.
+   * Corpus state consumed as stored artifacts: the band index
+   * (`corpusBands`), the per-doc term-id sets (`corpusSets`,
+   * [[ngramSets]] rows) and the term dictionary (`dict`); the batch pays
+   * hash(batch) + a dictionary probe (anti-join on the term STRINGS,
+   * corpus-term-count-sized, never a corpus doc scan) + the banded
+   * candidate join. Output rows are (batch doc_a, corpus doc_b)
+   * oriented — id order between the sides is not imposed.
+   *
+   * Counts are EXACTLY the string-set counts (both encodings are
+   * injective on shingle strings; new batch-only terms get fresh ids
+   * above the stored max and can never collide with a corpus id), so
+   * the result equals a full-rebuild [[ngramJaccardPairs]] restricted
+   * to the same candidate pairs — DedupSimilaritySpec pins that parity.
+   */
+  def incrementalJaccardVerify(newDocs: DataFrame, corpusBands: DataFrame,
+                               corpusSets: DataFrame, dict: DataFrame,
+                               minJaccardX1000: Long = 100): DataFrame = {
+    val newBands = minhashBands(newDocs)
+    val cands = newBands.as("n").join(corpusBands.as("c"),
+        col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
+      .select(col("n.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    val batchSets = ngramSets(newDocs, ngramDictExtended(dict, newDocs))
+    verifiedFromSets(cands, batchSets, corpusSets, minJaccardX1000)
+  }
+
+  /** Shared verify tail: candidate pairs × (side-a sets, side-b sets) →
+    * native sorted-merge intersect → integer jaccard. */
+  private def verifiedFromSets(cands: DataFrame, setsA: DataFrame,
+                               setsB: DataFrame,
+                               minJaccardX1000: Long): DataFrame =
     cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+      .join(setsA.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
         col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+      .join(setsB.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
         col("n").as("nb")), "doc_b")
       .withColumn("inter_count",
         call_function("graft_isect_sorted", col("sa"), col("sb")))
@@ -365,7 +480,6 @@ object Dedup {
       .filter(col("jacc_x1000") >= minJaccardX1000)
       .select("doc_a", "doc_b", "inter_count", "union_count", "jacc_x1000")
       .orderBy("doc_a", "doc_b")
-  }
 
   /**
    * Duplicate-CLUSTER assignment: connected components over verified

@@ -167,9 +167,18 @@ object Joins {
         lit(null).cast("string").as("new_key"),
         lit(null).cast("long").as("new_size"),
         lit("DELETE").as("diff_type"))
+    // the matched-row chain mirrors snapshotDiff's FULL when-chain
+    // including the isNull rungs: a matched object_id carrying a NULL
+    // old_key/new_key classifies CREATE/DELETE there (the full-outer
+    // plan cannot tell a null-valued column from an unmatched side), so
+    // the dual must too — otherwise null-bearing snapshots would surface
+    // as a confusing canon InvariantViolation instead of agreeing
+    // (ADVICE r13; inputs are null-free today, this pins the semantics)
     val both = a.join(b, Seq("object_id"))
       .withColumn("diff_type",
-        when(col("old_key") =!= col("new_key"), lit("RENAME"))
+        when(col("old_key").isNull, lit("CREATE"))
+          .when(col("new_key").isNull, lit("DELETE"))
+          .when(col("old_key") =!= col("new_key"), lit("RENAME"))
           .when(col("old_size") =!= col("new_size"), lit("MODIFY"))
           .otherwise(lit("UNCHANGED")))
       .filter(col("diff_type") =!= "UNCHANGED")

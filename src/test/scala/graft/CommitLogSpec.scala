@@ -56,6 +56,31 @@ class CommitLogSpec extends SparkSpecBase {
     assert(dual === full) // object_id is unique per diff row → total order
   }
 
+  test("snapshotDiff dual agrees on null-bearing matched rows (ADVICE r13)") {
+    import spark.implicits._
+    // matched ids carrying NULL key / NULL size: the full-outer plan's
+    // when-chain classifies a null old_key CREATE (it cannot tell a
+    // null-valued column from an unmatched side) and null-skips =!= to
+    // UNCHANGED — the dual's matched-row chain must mirror both rungs
+    val v1 = Seq(
+      (1L, Some("k1"), Some(10L)),  // matched, unchanged → filtered
+      (2L, None: Option[String], Some(10L)),  // matched, null old key
+      (3L, Some("k3"), None: Option[Long]),   // null size → =!= null-skips
+                                              // → UNCHANGED → filtered
+      (4L, Some("k4"), Some(4L)))             // v1-only → DELETE
+      .toDF("object_id", "key", "data_size")
+    val v2 = Seq(
+      (1L, Some("k1"), Some(10L)),
+      (2L, Some("k2"), Some(10L)),
+      (3L, Some("k3"), Some(30L)),
+      (5L, Some("k5"), Some(5L)))             // v2-only → CREATE
+      .toDF("object_id", "key", "data_size")
+    val full = rows(graft.operators.Joins.snapshotDiff(v1, v2))
+    val dual = rows(graft.operators.Joins.snapshotDiffDual(v1, v2))
+    assert(full.map(_(0)).toSet === Set(2L, 4L, 5L))
+    assert(dual === full)
+  }
+
   test("snapshot-diff report pages chain by token to the full report") {
     val (v1, v2) = (Tables.snapshotV1(spark, sf), Tables.snapshotV2(spark, sf))
     val full = rows(graft.operators.Joins.snapshotDiff(v1, v2))

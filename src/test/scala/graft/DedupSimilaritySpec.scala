@@ -116,6 +116,90 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(predicted > 0 && predicted === raw)
   }
 
+  test("simhashDegeneracy folds the trigger arithmetic to one gated row") {
+    val d = docs((1L to 12L).map { i =>
+      i -> (if (i % 3 == 0) "aa bb cc dd ee ff gg hh"
+            else if (i % 3 == 1) "aa bb cc dd ee ff gg zz"
+            else s"unrelated words $i appear here now then")
+    }: _*)
+    val sh = Dedup.simhash(d).persist()
+    val deg = Dedup.simhashDegeneracy(sh).head()
+    val (raw, yld, ratio) = (deg.getLong(0), deg.getLong(1), deg.getLong(2))
+    // raw_pairs == Σ_buckets C(n_sigs, 2) from the published chunk stats
+    val predicted = Dedup.simhashChunkStats(sh)
+      .as[(Int, Long, Long)].collect()
+      .map { case (_, _, n) => n * (n - 1) / 2 }.sum
+    assert(raw === predicted && raw > 0)
+    // yield_pairs == independently-walked distinct surviving sig pairs
+    val sigs = sh.select("simhash").as[Long].collect().distinct
+    val want = (for {
+      a <- sigs; b <- sigs
+      if a < b
+      if java.lang.Long.bitCount(a ^ b) <= 3
+      if (0 until 4).exists(c =>
+        ((a >> (Dedup.ChunkBits * c)) & ((1 << Dedup.ChunkBits) - 1)) ==
+          ((b >> (Dedup.ChunkBits * c)) & ((1 << Dedup.ChunkBits) - 1)))
+    } yield (a, b)).distinct.size.toLong
+    sh.unpersist()
+    assert(yld === want)
+    assert(ratio === raw * 1000 / math.max(yld, 1L))
+  }
+
+  test("stored-dict append: old ids preserved, new ids strictly above, injective") {
+    val corpus = docs(10L -> "a b c d", 11L -> "x y z w")
+    val batch = docs(1L -> "a b c d", 2L -> "a b q r",
+      3L -> "new terms only here")
+    val dict = Dedup.ngramDictionary(corpus).localCheckpoint()
+    val ext = Dedup.ngramDictExtended(dict, batch)
+    val old = dict.as[(String, Long)].collect().toMap
+    val all = ext.as[(String, Long)].collect()
+    val allMap = all.toMap
+    assert(all.length === allMap.size, "duplicate term in extended dict")
+    assert(all.map(_._2).distinct.length === all.length,
+      "extended dict ids not injective")
+    old.foreach { case (s, sid) =>
+      assert(allMap(s) === sid, s"stored id for '$s' rewritten")
+    }
+    val maxOld = old.values.max
+    (allMap -- old.keys).foreach { case (s, sid) =>
+      assert(sid > maxOld, s"appended id for '$s' not above stored max")
+    }
+    // batch-only terms are covered: doc 3's bigrams ("new terms",
+    // "terms only", "only here") all encode → n = 3
+    val n3 = Dedup.ngramSets(batch, ext)
+      .filter(col("doc_id") === 3L).head().getLong(2)
+    assert(n3 === 3L)
+  }
+
+  test("incremental verified jaccard equals full rebuild on the same candidates") {
+    val corpus = docs(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "totally distinct corpus content sits right here")
+    val batch = docs(
+      1L -> "the quick brown fox jumps over the lazy dog", // = corpus 10
+      2L -> "the quick brown fox naps under the lazy dog", // near corpus 10
+      3L -> "brand new vocabulary nothing shared anywhere at all")
+    val dict = Dedup.ngramDictionary(corpus).localCheckpoint()
+    val corpusSets = Dedup.ngramSets(corpus, dict)
+    val corpusBands = Dedup.minhashBands(corpus).localCheckpoint()
+    val inc = rows(Dedup.incrementalJaccardVerify(batch, corpusBands,
+      corpusSets, dict))
+    // full rebuild: one dictionary over corpus+batch, the SAME oriented
+    // (batch, corpus) banded candidates — counts must match exactly
+    // (injective encodings measure the same string sets)
+    val cands = Dedup.minhashBands(batch).as("n")
+      .join(corpusBands.as("c"),
+        col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
+      .select(col("n.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    val full = rows(Dedup.ngramJaccardPairs(
+      batch.unionByName(corpus), candidates = Some(cands)))
+    assert(inc.nonEmpty, "expected at least the exact-dup pair to verify")
+    assert(inc.exists(r => r.head == 1L && r(1) == 10L && r(4) == 1000L),
+      s"exact-dup pair (1,10) missing or not jacc 1000 in $inc")
+    assert(inc === full)
+  }
+
   test("ngram Jaccard verifies MinHash candidates with exact x1000 ratios") {
     val d = docs(
       1L -> "a b c d e f g h",

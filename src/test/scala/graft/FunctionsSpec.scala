@@ -33,6 +33,39 @@ class FunctionsSpec extends SparkSpecBase {
     cases.foreach { case (in, want) => assert(got(in) === want, s"bin($in)") }
   }
 
+  test("parquet round-trip preserves the driver-gate rendering edges") {
+    // Retired q_dbg_bigint_sum / q_dbg_render_edges (r9 driver-gate
+    // rendering pins) live on here: the oracle-TYPE class is guarded by
+    // tools/oracle_check.py's TYPELINT; this spec pins the Spark side —
+    // the exact value classes the gate canonicalizes (booleans incl.
+    // NULL, negative/zero/Long.MaxValue bigints, empty-vs-NULL string)
+    // must survive a parquet round-trip bit-for-bit and type-for-type.
+    val df = spark.sql("""SELECT * FROM VALUES
+      (1L, true,  CAST(-5 AS BIGINT), ''),
+      (2L, false, CAST(0 AS BIGINT), 'a;b'),
+      (3L, CAST(NULL AS BOOLEAN), 9223372036854775807L,
+       CAST(NULL AS STRING))
+      AS t(id, flag, n, s) ORDER BY id""")
+    val out = graft.core.TempDirs.create("graft_renderpin_")
+    df.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).orderBy("id")
+    assert(back.schema.map(f => (f.name, f.dataType.sql)) ===
+      Seq("id" -> "BIGINT", "flag" -> "BOOLEAN", "n" -> "BIGINT",
+        "s" -> "STRING"))
+    val r = rows(back)
+    assert(r === Seq(
+      Seq(1L, true, -5L, ""),
+      Seq(2L, false, 0L, "a;b"),
+      Seq(3L, null, Long.MaxValue, null)))
+    // empty string and NULL remain DISTINCT values after the round-trip
+    assert(r(0)(3) != r(2)(3))
+    // the cast-sum pin: a grouped long sum stays BIGINT-exact
+    val sums = spark.range(100).selectExpr("id % 5 AS grp", "id AS r")
+      .groupBy("grp").agg(sum(col("r")).as("s")).orderBy("grp")
+    assert(rows(sums) === (0L to 4L).map(g =>
+      Seq(g, (0L until 100L).filter(_ % 5 == g).sum)))
+  }
+
   test("multipart ETag-of-ETags is md5(concat(part etags)) || '-' || n") {
     val parts = Seq(
       ("u1", 1L, 1, "aaa", 5L), ("u1", 1L, 2, "bbb", 6L),
