@@ -2628,12 +2628,15 @@ object SparkEntry {
       O.docWords, O.simhashCte),
 
     // one-row degeneracy verdict: Σ C(n_sigs,2) raw pigeonhole pairs vs
-    // surviving distinct sig pairs (hamming ≤ 3), integer x1000 ratio
+    // the surviving sig pairs AND the doc pairs they expand to (the
+    // join's output floor — the ratio's denominator), integer x1000
     "q_simhash_degeneracy" -> O.withCtes(
-      s"""SELECT raw_pairs, yield_pairs,
-         |  CAST(raw_pairs * 1000 // greatest(yield_pairs, 1) AS BIGINT)
+      s"""SELECT raw_pairs, yield_sig_pairs,
+         |  intra_doc_pairs + cross_doc_pairs AS yield_doc_pairs,
+         |  CAST(raw_pairs * 1000
+         |    // greatest(intra_doc_pairs + cross_doc_pairs, 1) AS BIGINT)
          |    AS ratio_x1000
-         |FROM raw CROSS JOIN surv""".stripMargin,
+         |FROM raw CROSS JOIN ps CROSS JOIN intra""".stripMargin,
       O.docWords, O.simhashCte,
       s"""chd AS (
          |  SELECT simhash, t.c AS idx,
@@ -2646,13 +2649,26 @@ object SparkEntry {
         |  FROM (SELECT idx, chunk_val, count(*) AS n_sigs
         |        FROM chd GROUP BY 1, 2)
         |)""".stripMargin,
-      """surv AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS yield_pairs FROM (
-        |    SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
-        |    FROM chd a JOIN chd b
-        |      ON a.idx = b.idx AND a.chunk_val = b.chunk_val
-        |        AND a.simhash < b.simhash
-        |    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+      """counts AS (
+        |  SELECT simhash, count(*) AS g FROM simhash GROUP BY 1
+        |)""".stripMargin,
+      """intra AS (
+        |  SELECT CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT)
+        |    AS intra_doc_pairs FROM counts
+        |)""".stripMargin,
+      """sp AS (
+        |  SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
+        |  FROM chd a JOIN chd b
+        |    ON a.idx = b.idx AND a.chunk_val = b.chunk_val
+        |      AND a.simhash < b.simhash
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |)""".stripMargin,
+      """ps AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS yield_sig_pairs,
+        |    CAST(coalesce(sum(ca.g * cb.g), 0) AS BIGINT)
+        |      AS cross_doc_pairs
+        |  FROM sp JOIN counts ca ON sp.sa = ca.simhash
+        |  JOIN counts cb ON sp.sb = cb.simhash
         |)""".stripMargin),
 
     "q_dedup_ngram_jaccard" -> O.withCtes(

@@ -259,30 +259,51 @@ object Dedup {
     * [[simhashChunkStats]] trigger arithmetic folded to the number an
     * ingest gates on: `raw_pairs` = Σ_buckets C(n_sigs, 2) (exactly the
     * pigeonhole join's pre-hamming-filter row count, spec-pinned),
-    * `yield_pairs` = distinct signature pairs that survive hamming ≤
-    * `maxHamming`, and `ratio_x1000` = raw·1000 DIV max(yield, 1). A
-    * ratio ≳ 10 000 (raw ≳ 10× yield) is the documented fallback
-    * trigger: switch to narrower chunk-pair keys (6×10 bits, C(6,2)=15
-    * keys — hamming ≤ 3 still pigeonholes) before running the pair
-    * join. Published per-corpus by the bench as
-    * sf10_simhash_degeneracy_* so a corpus that crosses the threshold
-    * is visible in the artifact, not just derivable. */
+    * `yield_sig_pairs` = distinct signature pairs surviving hamming ≤
+    * `maxHamming`, `yield_doc_pairs` = the DOC pairs those expand to
+    * (intra-signature C(g,2) + Σ |docs(sa)|·|docs(sb)| — exactly
+    * [[simhashPairsFromSigs]]' output row count, the join's inherent
+    * output floor), and `ratio_x1000` = raw·1000 DIV max(doc yield, 1)
+    * — wasted candidate work per emitted pair. A ratio ≳ 10 000
+    * (raw ≳ 10× the output) is the documented fallback trigger: switch
+    * to narrower chunk-PAIR keys (6×10 bits, C(6,2)=15 keys — hamming
+    * ≤ 3 still pigeonholes) before running the pair join. The ratio is
+    * deliberately NOT sig-space (raw/yield_sig reads 79× on the 100×
+    * clique corpus because whole perturbed-clone families collapse to
+    * single signatures — yet each surviving sig pair carries ~12 doc
+    * pairs, so candidate work per OUTPUT pair is 6.7×, under trigger);
+    * both yields publish so either view is checkable. Published
+    * per-corpus by the bench as sf10_simhash_degeneracy_*. */
   def simhashDegeneracy(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
     val raw = simhashChunkStats(sh)
       .agg(coalesce(sum(expr("n_sigs * (n_sigs - 1) DIV 2")), lit(0L))
         .cast("long").as("raw_pairs"))
+    val counts = sh.groupBy("simhash").agg(count(lit(1)).as("g"))
+    val intra = counts
+      .agg(coalesce(sum(expr("g * (g - 1) DIV 2")), lit(0L))
+        .cast("long").as("intra_doc_pairs"))
     val ch = sigChunks(sh)
-    val surv = ch.as("a").join(ch.as("b"),
+    // ONE evaluation of the pigeonhole join yields both the surviving
+    // sig-pair count and the cross-signature doc-pair expansion size
+    val pairStats = ch.as("a").join(ch.as("b"),
         col("a.idx") === col("b.idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.simhash") < col("b.simhash"))
       .select(col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .filter(expr("bit_count(sa ^ sb)") <= maxHamming)
       .distinct()
-      .agg(count(lit(1)).as("yield_pairs"))
-    raw.crossJoin(surv)
+      .join(counts.select(col("simhash").as("sa"), col("g").as("ga")), "sa")
+      .join(counts.select(col("simhash").as("sb"), col("g").as("gb")), "sb")
+      .agg(count(lit(1)).as("yield_sig_pairs"),
+        coalesce(sum(expr("ga * gb")), lit(0L))
+          .cast("long").as("cross_doc_pairs"))
+    raw.crossJoin(pairStats).crossJoin(intra)
+      .withColumn("yield_doc_pairs",
+        expr("intra_doc_pairs + cross_doc_pairs"))
       .withColumn("ratio_x1000",
-        expr("raw_pairs * 1000 DIV greatest(yield_pairs, 1)"))
+        expr("raw_pairs * 1000 DIV greatest(yield_doc_pairs, 1)"))
+      .select("raw_pairs", "yield_sig_pairs", "yield_doc_pairs",
+        "ratio_x1000")
   }
 
   /** Pre-flight degeneracy probe for [[simhashPairsFromSigs]]: the

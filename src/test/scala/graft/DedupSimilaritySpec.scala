@@ -124,25 +124,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }: _*)
     val sh = Dedup.simhash(d).persist()
     val deg = Dedup.simhashDegeneracy(sh).head()
-    val (raw, yld, ratio) = (deg.getLong(0), deg.getLong(1), deg.getLong(2))
+    val (raw, sigYld, docYld, ratio) =
+      (deg.getLong(0), deg.getLong(1), deg.getLong(2), deg.getLong(3))
     // raw_pairs == Σ_buckets C(n_sigs, 2) from the published chunk stats
     val predicted = Dedup.simhashChunkStats(sh)
       .as[(Int, Long, Long)].collect()
       .map { case (_, _, n) => n * (n - 1) / 2 }.sum
     assert(raw === predicted && raw > 0)
-    // yield_pairs == independently-walked distinct surviving sig pairs
-    val sigs = sh.select("simhash").as[Long].collect().distinct
-    val want = (for {
+    // yields independently walked from the collected signature table
+    val docSigs = sh.as[(Long, Long)].collect().map(_._2)
+    val groupSizes = docSigs.groupBy(identity).map { case (s, a) =>
+      s -> a.length.toLong }
+    val sigs = docSigs.distinct
+    val survPairs = (for {
       a <- sigs; b <- sigs
       if a < b
       if java.lang.Long.bitCount(a ^ b) <= 3
       if (0 until 4).exists(c =>
         ((a >> (Dedup.ChunkBits * c)) & ((1 << Dedup.ChunkBits) - 1)) ==
           ((b >> (Dedup.ChunkBits * c)) & ((1 << Dedup.ChunkBits) - 1)))
-    } yield (a, b)).distinct.size.toLong
+    } yield (a, b)).distinct
     sh.unpersist()
-    assert(yld === want)
-    assert(ratio === raw * 1000 / math.max(yld, 1L))
+    assert(sigYld === survPairs.size.toLong)
+    // doc yield = intra C(g,2) + cross Σ |g(sa)|·|g(sb)| — exactly the
+    // pair join's output row count
+    val wantDoc = groupSizes.values.map(g => g * (g - 1) / 2).sum +
+      survPairs.map { case (a, b) => groupSizes(a) * groupSizes(b) }.sum
+    assert(docYld === wantDoc)
+    assert(docYld === Dedup.simhashPairsFromSigs(Dedup.simhash(d)).count())
+    assert(ratio === raw * 1000 / math.max(docYld, 1L))
   }
 
   test("stored-dict append: old ids preserved, new ids strictly above, injective") {
