@@ -269,14 +269,21 @@ object Bench {
     // Warm-numbers rule: one throwaway bootstrap compiles the fold
     // plans' codegen, then 3 gc'd timed reps, min + rep array (a single
     // shot drew 2.3↔3.6 s between identical-code runs).
-    graft.streaming.ChangeStream.bootstrapViews(spark, cdcLog,
-      graft.core.TempDirs.create("graft_bswarm_"))
+    val bsWarm = graft.core.TempDirs.create("graft_bswarm_")
+    graft.streaming.ChangeStream.bootstrapViews(spark, cdcLog, bsWarm)
+    graft.streaming.ChangeStream.deleteRecursively(
+      java.nio.file.Paths.get(bsWarm))
     val bootstrapReps = (1 to 3).map { _ =>
       System.gc()
+      val w = graft.core.TempDirs.create("graft_bsrep_")
       val t0 = System.nanoTime()
-      graft.streaming.ChangeStream.bootstrapViews(spark, cdcLog,
-        graft.core.TempDirs.create("graft_bsrep_"))
-      secs(t0)
+      graft.streaming.ChangeStream.bootstrapViews(spark, cdcLog, w)
+      val t = secs(t0)
+      // timed state reclaimed outside the timed window (same leak class
+      // as the probe blocks' warm dirs — review r14)
+      graft.streaming.ChangeStream.deleteRecursively(
+        java.nio.file.Paths.get(w))
+      t
     }
     val bootstrapSec = bootstrapReps.min
     // Steady-state incremental cost: post-bootstrap delta batches driven
@@ -454,8 +461,16 @@ object Bench {
       // rep spread exceeds 3×, up to 2 extra gc'd reps run — those
       // probes are MARKED in sf*_extended (ADVICE r13: the extended min
       // is a different statistic; the raw arrays publish every landing).
+      // exitOnFail: the sf1 block hard-exits on a probe failure (no
+      // record is better than a wrong one, and the base pass would be
+      // meaningless); the sf10 block passes FALSE so an ENVIRONMENT
+      // failure rethrows into its NonFatal catch and degrades to a JSON
+      // note — the 1×/10× record still publishes (review r14 finding:
+      // the r14 draft routed sf10 through the exit path and would have
+      // killed the whole run on a transient 100× error)
       def timeAll(ps: Seq[(String, () => Long)],
-                  scale: String, repsOf: String => Int = _ => 3)
+                  scale: String, repsOf: String => Int = _ => 3,
+                  exitOnFail: Boolean = true)
           : Seq[(String, Seq[Double], Long, Boolean)] =
         ps.map { case (name, run) =>
           System.gc()
@@ -463,10 +478,15 @@ object Bench {
           def rep(): Double = {
             val t0 = System.nanoTime()
             try rowsSeen += run()
-            catch { case e: Throwable =>
-              System.err.println(
-                s"[bench] $scale:$name FAILED: ${e.getMessage}")
-              spark.stop(); sys.exit(1)
+            catch {
+              case e: Throwable if exitOnFail =>
+                System.err.println(
+                  s"[bench] $scale:$name FAILED: ${e.getMessage}")
+                spark.stop(); sys.exit(1)
+              case e: Throwable =>
+                System.err.println(
+                  s"[bench] $scale:$name FAILED: ${e.getMessage}")
+                throw e
             }
             secs(t0)
           }
@@ -498,8 +518,16 @@ object Bench {
       // the STORED CDC log (the checkpoint-loss availability gap the
       // base pass measures at 1×). One throwaway warm rebuild, then 3
       // gc'd reps into fresh work dirs, each reclaimed after timing.
+      val bs10Warm = graft.core.TempDirs.create("graft_bs10w_")
+      liveWork += bs10Warm
       graft.streaming.ChangeStream.bootstrapViews(spark,
-        cache.path("cdclog10"), graft.core.TempDirs.create("graft_bs10w_"))
+        cache.path("cdclog10"), bs10Warm)
+      // reclaim the warm state immediately (review r14: it was stranded
+      // per run — the finally block and shutdown hook both miss it
+      // under an sbt-resident JVM once the run succeeds)
+      graft.streaming.ChangeStream.deleteRecursively(
+        java.nio.file.Paths.get(bs10Warm))
+      liveWork -= bs10Warm
       val bs10Reps = (1 to 3).map { _ =>
         System.gc()
         val w = graft.core.TempDirs.create("graft_bs10_")
@@ -685,7 +713,7 @@ object Bench {
         // window-noise indicator for the 100× probe block, timed after
         // the warm pass so it reads the same window the reps do
         val sf10Calib = calibration(spark)
-        val t100 = timeAll(probes100, "sf10")
+        val t100 = timeAll(probes100, "sf10", exitOnFail = false)
         // ---- streaming bootstrap at 100× (VERDICT r12 #4): full-state
         // rebuild from the stored 100× CDC log. Timed AFTER the probe
         // reps so its write churn can't contaminate them; the LAST

@@ -14,8 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * actually changed.
  *
  * Keying: SHA-256 over every .class file on the engine's own code-source
- * location (name + bytes, sorted) — any recompile that changes ANY engine
- * class rotates the key and forces a rebuild. That over-invalidates
+ * location (name + bytes, sorted) PLUS a fingerprint of the source dir's
+ * file listing (name/size/mtime) — any recompile that changes ANY engine
+ * class, and any testdata regeneration, rotates the key and forces a
+ * rebuild. That over-invalidates
  * (a bench-only edit also rotates it), which is the safe direction; a
  * stale cache producing wrong answers is additionally policed by the
  * bench's row-count and canon-signature invariants (sealed expectations,
@@ -52,10 +54,16 @@ object BenchCache {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = sys.env.getOrElse("SPARK_GRAFT_CACHE_DIR",
       sys.props("user.dir") + "/target/bench_cache")
+    val sfName = new java.io.File(sfDir).getName
+    // the key carries BOTH halves of "pure function of (sfDir, code)":
+    // the engine class hash AND a fingerprint of the source data's file
+    // listing (name/size/mtime) — regenerated testdata (same path, new
+    // content) rotates the key instead of serving stale artifacts whose
+    // seal would vacuously agree with itself (review r14 finding)
     val key = sys.env.getOrElse("SPARK_GRAFT_CACHE_KEY",
-      s"$FormatVersion-${codeHash()}-${new java.io.File(sfDir).getName}")
+      s"$FormatVersion-${codeHash()}-${dataHash(sfDir)}-$sfName")
     Files.createDirectories(Paths.get(root))
-    prune(root, key)
+    prune(root, key, sfName)
     val dir = Paths.get(root, key)
     if (Files.exists(dir.resolve("MANIFEST"))) {
       Cache(dir.toString, key, rebuilt = false,
@@ -80,9 +88,18 @@ object BenchCache {
   }
 
   /** Store the verified expectations (probe rows, canon signatures,
-    * degeneracy verdict) next to the artifacts they describe. */
-  def seal(dir: String, entries: Seq[(String, String)]): Unit =
-    writeKv(java.nio.file.Paths.get(dir, "SEAL"), entries)
+    * degeneracy verdict) next to the artifacts they describe.
+    * Written via temp-file + atomic rename (review r14): a kill
+    * mid-write must leave NO SEAL (→ next run re-verifies and
+    * re-seals), never a truncated one (→ every later run would die on
+    * a spurious sealed-expectation mismatch with no self-heal). */
+  def seal(dir: String, entries: Seq[(String, String)]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(dir, "SEAL.tmp")
+    writeKv(tmp, entries)
+    Files.move(tmp, Paths.get(dir, "SEAL"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 
   // ---- internals ----
 
@@ -116,13 +133,39 @@ object BenchCache {
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
-  private def prune(root: String, keep: String): Unit = {
+  /** Delete stale generations of THIS scale factor only (the key embeds
+    * the sfDir name as its suffix) — caches for other scale factors
+    * survive, so alternating sf runs don't rebuild every time
+    * (review r14: the draft pruned every sibling). */
+  private def prune(root: String, keep: String, sfName: String): Unit = {
     val r = new java.io.File(root)
     Option(r.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
-      if (f.isDirectory && f.getName != keep && f.getName != keep + ".build")
+      val sameSf = f.getName.endsWith(s"-$sfName") ||
+        f.getName.endsWith(s"-$sfName.build")
+      if (f.isDirectory && sameSf &&
+          f.getName != keep && f.getName != keep + ".build")
         try graft.streaming.ChangeStream.deleteRecursively(f.toPath)
         catch { case _: Throwable => () } // best-effort
     }
+  }
+
+  /** Fingerprint of the source dir's file listing (relative path, size,
+    * mtime) — cheap, no content read; any regeneration rotates it. */
+  private def dataHash(sfDir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val p = java.nio.file.Paths.get(sfDir)
+    val s = java.nio.file.Files.walk(p)
+    val files =
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .toVector
+      finally s.close()
+    files.sortBy(f => p.relativize(f).toString).foreach { f =>
+      val line = s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+      md.update(line.getBytes("UTF-8"))
+    }
+    md.digest().take(4).map(b => f"$b%02x").mkString
   }
 
   private def readKv(p: java.nio.file.Path): Map[String, String] =

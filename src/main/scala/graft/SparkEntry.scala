@@ -436,8 +436,13 @@ object SparkEntry {
     // pairs vs surviving sig pairs, integer x1000 ratio — the fallback
     // trigger for narrower chunk keys); bench re-publishes it for the
     // 100x corpus as sf10_simhash_degeneracy_*
+    // localCheckpoint: the degeneracy plan references the signature
+    // frame ~5 times (chunk stats, counts, intra, pigeonhole join) —
+    // same pinning rule as simhashPairs; scale callers pass a stored
+    // signature table
     "q_simhash_degeneracy" -> ((s, d) =>
-      Dedup.simhashDegeneracy(Dedup.simhash(T.documents(s, d)))),
+      Dedup.simhashDegeneracy(
+        Dedup.simhash(T.documents(s, d)).localCheckpoint())),
     // the pigeonhole degeneracy probe an ingest runs BEFORE the simhash
     // pair join (SURVEY §scale-matrix fallback trigger): distinct-sig
     // bucket sizes per (chunk idx, value) — Σ C(n_sigs,2) bounds the
