@@ -102,8 +102,135 @@ object Bench {
     calibration(spark); ()
   }
 
+  /** Cross-ROUND determinism gate (VERDICT r14 #7): compare this run's
+    * flagship canon signatures against the committed CANON_PINS.txt.
+    * Pins are keyed on the DATA fingerprint only (a canon signature is
+    * a function of data + answer semantics, never of code shape), so a
+    * perf-only edit that rotates the cache key and re-seals still gets
+    * checked against the previous round's verified values — an
+    * accidental answer regression in any flagship plan becomes an rc
+    * failure instead of a judge observation. A data rotation skips
+    * with a note; a DELIBERATE semantics change re-mints the file
+    * (graft.tools.CanonPins regenerates it from a sealed cache). */
+  private def canonPinsCheck(sigs: Seq[(String, String)], scale: String,
+                             sfDir: String): Unit = {
+    val f = java.nio.file.Paths.get("CANON_PINS.txt")
+    if (!java.nio.file.Files.exists(f)) return
+    val kv = java.nio.file.Files.readAllLines(f)
+      .toArray(Array.empty[String]).filter(_.contains("="))
+      .map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    val data = BenchCache.dataFingerprint(sfDir)
+    if (!kv.get("data").contains(data)) {
+      System.err.println(s"[bench] canon pins skipped at $scale: pinned" +
+        s" data=${kv.getOrElse("data", "?")} vs current $data (testdata" +
+        " rotated — re-mint CANON_PINS.txt from the next sealed run)")
+      return
+    }
+    sigs.foreach { case (n, s) =>
+      kv.get(s"canon.$scale.$n").foreach { want =>
+        if (want != s) throw new InvariantViolation(
+          s"cross-round canon pin $scale.$n: committed $want, this run" +
+            s" got $s — a flagship plan's ANSWER changed on unchanged" +
+            " data (regression, or a deliberate semantics change that" +
+            " must re-mint CANON_PINS.txt)")
+      }
+    }
+  }
+
   private def writeJson(path: String, json: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+
+  /** The steady-state micro-batch measurement body shared by the
+    * 1×/10×/100× planes (VERDICT r14 #6 — it was pasted three times
+    * with drift-prone offsets): five delta batches driven through
+    * applyDeltaBatch against a bootstrapped state dir, batch i's seq
+    * offset at seqBase + 10M·(i+1) so the merges always sort ABOVE
+    * existing state (a colliding offset would silently measure no-op
+    * batches — callers assert seqBase clears the log's max seq).
+    * Returns the raw rep seconds; every decade publishes the
+    * second-smallest (the first batch's one-off codegen warmup AND the
+    * occasional GC-landing batch both fall out of a 5-rep near-min
+    * where a 3-rep one could report the spike). */
+  private def steadyBatchReps(spark: org.apache.spark.sql.SparkSession,
+                              work: String,
+                              delta: org.apache.spark.sql.DataFrame,
+                              seqBase: Long): Seq[Double] =
+    (0 until 5).map { i =>
+      val batch = graft.streaming.ChangeLog.events(delta)
+        .withColumn("seq", col("seq") +
+          org.apache.spark.sql.functions.lit(
+            seqBase + 10000000L * (i + 1)))
+        .persist()
+      batch.count()
+      val tS = System.nanoTime()
+      graft.streaming.ChangeStream.applyDeltaBatch(spark, work, batch)
+      val t = (System.nanoTime() - tS) / 1e9
+      batch.unpersist()
+      t
+    }
+
+  /** The r1 baseline's per-query sweep seconds, parsed from the
+    * committed BENCH_r01.json artifact's stdout tail (the judge's
+    * aggregate-vs-baseline statistic recomputes from the same source).
+    * Empty when the file is absent/unparseable — the summary line then
+    * prints -1 ratios rather than failing a bench over a missing
+    * comparison artifact. */
+  private def baselineQueries(): Map[String, Double] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_r01.json"))
+      (JsonMethods.parse(txt) \ "tail") match {
+        case JString(tail) =>
+          val i = tail.indexOf("{\"metric\":\"total\"")
+          if (i < 0) Map.empty
+          else (JsonMethods.parse(tail.substring(i).trim) \ "queries") match {
+            case JObject(fs) => fs.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) =>
+      Map.empty[String, Double] }
+
+  /** Compact headline JSON (VERDICT r14 #1) — printed as the very LAST
+    * stdout line so a short tail capture always carries the sweep total,
+    * the 2×-gate verdict and the cache/calibration context even though
+    * the full ~10 KB record precedes it. Keeps the driver's expected
+    * metric/value/unit/queries/sf keys (queries intentionally empty —
+    * the full map lives in the stamped file this line points to). */
+  private def summaryLine(sfDir: String, stamp: String, total: Double,
+                          nQueries: Int, results: Map[String, Double],
+                          nFlags: Int, sweepCalib: Double,
+                          cacheState: String): String = {
+    val base = baselineQueries()
+    val common = results.keySet.intersect(base.keySet).toSeq
+    val (agg, worstQ, worst) =
+      if (common.isEmpty) (-1.0, "", -1.0)
+      else {
+        val a = common.map(results).sum / common.map(base).sum
+        val (wq, wr) = common.map(n => n -> results(n) / base(n))
+          .maxBy(_._2)
+        (a, wq, wr)
+      }
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":{},"summary":true,"n_queries":$nQueries,""" +
+      s""""agg_vs_r1":${r3(agg)},"worst_vs_r1":${r3(worst)},""" +
+      s""""worst_query":"$worstQ","n_over_2x_gate":${
+        common.count(n => results(n) / base(n) > 2.0)},""" +
+      s""""sweep_flags_n":$nFlags,"scale_cache":"$cacheState",""" +
+      s""""sweep_calibration_sec":${r3(sweepCalib)},""" +
+      s""""invariants":"verified",""" +
+      s""""full_record":"bench_out.run-$stamp.json","sf":"$sfDir"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,8 +259,8 @@ object Bench {
     // the yet-unwritten sweep) is retired by the per-phase snapshots and
     // the ~13 min the artifact cache takes off the wall.
     val probeRan = !sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")
-    val (sf1Json, sf1Min) =
-      if (!probeRan) ("", Map.empty[String, Double])
+    val (sf1Json, sf1Min, cacheState) =
+      if (!probeRan) ("", Map.empty[String, Double], "off")
       else {
         val probeSession = graft.core.GraftSession.local(cpus)
         val frag = scaleProbe(probeSession, sfDir)
@@ -302,22 +429,10 @@ object Bench {
         java.nio.file.Paths.get(steadyWork, "ckpt"))
       val delta = objects
         .orderBy("volume", "bucket", "key", "version", "data_size").limit(1000)
-      // steady state means REPEATED batches: apply five and report the
-      // median — the first batch's one-off codegen/plan warmup AND the
-      // occasional GC-landing batch (a 3× spike in isolated SteadyProbe
-      // runs) both fall out of a 5-rep median where a 3-rep one could
-      // report the spike
-      val steadyTimes = (0 until 5).map { i =>
-        val deltaBatch = graft.streaming.ChangeLog.events(delta)
-          .withColumn("seq", col("seq") + 10000000L * (i + 1))
-          .persist()
-        deltaBatch.count()
-        val tS = System.nanoTime()
-        graft.streaming.ChangeStream.applyDeltaBatch(spark, steadyWork, deltaBatch)
-        val t = secs(tS)
-        deltaBatch.unpersist()
-        t
-      }
+      // steady state means REPEATED batches — the shared 5-rep protocol
+      // ([[steadyBatchReps]]); base 0: the 1× log's seq space is under
+      // the 10M offset stride by construction
+      val steadyTimes = steadyBatchReps(spark, steadyWork, delta, 0L)
       val steadySec = steadyTimes.sorted.apply(1)
       // stream_bootstrap_min_sec: renamed from stream_bootstrap_sec in
       // r14 (VERDICT r13 #6 — the value has been a min-of-3 since r11;
@@ -333,6 +448,17 @@ object Bench {
       writeJson(s"bench_out.run-$stamp.json", json)
       if (probeRan) writeJson("bench_out.json", json)
       println(json)
+      // compact headline as the very LAST stdout line (VERDICT r14 #1):
+      // the full record above is ~10 KB and the driver's stdout capture
+      // keeps only a short tail, so three rounds of artifacts carried
+      // rc 0 but parsed:null. This line is ≤ ~400 chars, keeps the
+      // driver's expected metric/value/unit/queries/sf shape, and folds
+      // in the sweep headline + the 2×-gate-relevant verdicts; the full
+      // per-query map lives in the stamped file it points to. Reaching
+      // this line at all certifies the answer invariants: any
+      // InvariantViolation above aborts the run before it prints.
+      println(summaryLine(sfDir, stamp, total, results.size,
+        results.toMap, flags.size, sweepCalib, cacheState))
     } finally {
       // the steady-state clone served its batches — reclaim it
       graft.streaming.ChangeStream.deleteRecursively(
@@ -350,10 +476,12 @@ object Bench {
     * into the cache; every later hit run re-times the probes and
     * compares rows + probe-plan canon signatures against the seal —
     * cheap, and any drift is fatal. Returns the `,"sf1":{...},...` JSON
-    * fragment AND the per-query sf1 minima the base sweep's consistency
-    * guard compares against (VERDICT r11 #6). */
+    * fragment, the per-query sf1 minima the base sweep's consistency
+    * guard compares against (VERDICT r11 #6), and the cache state for
+    * the summary line. */
   private def scaleProbe(spark: org.apache.spark.sql.SparkSession,
-                         sfDir: String): (String, Map[String, Double]) = {
+                         sfDir: String)
+      : (String, Map[String, Double], String) = {
     import org.apache.spark.sql.{functions => F}
     val T = graft.core.Tables
     def secs(t0: Long) = (System.nanoTime() - t0) / 1e9
@@ -561,17 +689,7 @@ object Bench {
       require(maxSeq10 < 10000000L,
         s"steady-batch seq offset (10M) does not clear the 10x log's " +
           s"max seq $maxSeq10")
-      val sd10Reps = (0 until 5).map { i =>
-        val batch = graft.streaming.ChangeLog.events(delta10)
-          .withColumn("seq", F.col("seq") + 10000000L * (i + 1)).persist()
-        batch.count()
-        val tS = System.nanoTime()
-        graft.streaming.ChangeStream.applyDeltaBatch(spark, steady10Work,
-          batch)
-        val t = secs(tS)
-        batch.unpersist()
-        t
-      }
+      val sd10Reps = steadyBatchReps(spark, steady10Work, delta10, 0L)
       val sd10Sec = sd10Reps.sorted.apply(1)
       graft.streaming.ChangeStream.deleteRecursively(
         java.nio.file.Paths.get(steady10Work))
@@ -635,6 +753,7 @@ object Bench {
         canonPair("q_write_apply",
           graft.operators.CommitLog.appliedState(sorted10),
           graft.operators.CommitLog.appliedStateAggDual(sorted10), "sf1"))
+      canonPinsCheck(canon10, "sf1", sfDir)
       // ---- 100× (sf10) block: one more measured decade spanning READ,
       // WRITE, DEDUP, ANN and STREAMING shapes, over the same cached
       // artifacts. Environment failures degrade to a JSON note — never
@@ -650,6 +769,8 @@ object Bench {
         val clusters100 = spark.read.parquet(cache.path("clusters100"))
         val emb100 = spark.read.parquet(cache.path("emb100"))
         val cents100 = spark.read.parquet(cache.path("cents100"))
+        val dict100 = spark.read.parquet(cache.path("dict100"))
+        val sets100 = spark.read.parquet(cache.path("sets100"))
         val probes100: Seq[(String, () => Long)] = Seq(
           // the two scan shapes whose 100 TB claim is O(page) / O(one
           // pruned column)
@@ -699,6 +820,18 @@ object Bench {
             graft.operators.Dedup.incrementalDedup(
               bands100.filter(F.col("doc_id") % 7 === 0),
               bands100.filter(F.col("doc_id") % 7 =!= 0)).count()),
+          // …and the VERIFIED stage of the same topology (VERDICT r14
+          // #3): the batch's banded candidates exact-jaccard-verified
+          // against the STORED 100× term dictionary + encoded sets —
+          // the batch pays hash(batch) + a dictionary anti-join probe +
+          // the candidate-pair verify joins; the corpus text is never
+          // re-scanned (its encode cost lives in sf10_incdict_build_sec
+          // at ingest)
+          "q_dedup_incremental_verify" -> (() =>
+            graft.operators.Dedup.incrementalJaccardVerify(
+              docs100.filter(F.col("doc_id") % 7 === 0),
+              bands100.filter(F.col("doc_id") % 7 =!= 0),
+              sets100, dict100).count()),
           "q_ann_topk" -> (() =>
             graft.operators.Similarity.annTopK(emb100).count()),
           "q_ann_ivf" -> (() =>
@@ -753,19 +886,8 @@ object Bench {
         val delta100 = sorted100
           .orderBy("volume", "bucket", "key", "version", "data_size")
           .limit(1000)
-        val sd100Reps = (0 until 5).map { i =>
-          val batch = graft.streaming.ChangeLog.events(delta100)
-            .withColumn("seq",
-              F.col("seq") + F.lit(base100 + 10000000L * (i + 1)))
-            .persist()
-          batch.count()
-          val tS = System.nanoTime()
-          graft.streaming.ChangeStream.applyDeltaBatch(spark,
-            steady100Work, batch)
-          val t = secs(tS)
-          batch.unpersist()
-          t
-        }
+        val sd100Reps = steadyBatchReps(spark, steady100Work, delta100,
+          base100)
         val sd100Sec = sd100Reps.sorted.apply(1)
         graft.streaming.ChangeStream.deleteRecursively(
           java.nio.file.Paths.get(steady100Work))
@@ -783,18 +905,29 @@ object Bench {
           if (cache.needFullVerify)
             graft.operators.Dedup.simhashDegeneracy(sigs100).head()
           else null
+        // a SEAL lacking the deg.* entries (pinned SPARK_GRAFT_CACHE_KEY
+        // across a format change, or a hand-edited seal) must die with
+        // the same diagnostic InvariantViolation every other seal
+        // mismatch gets, not a bare NoSuchElementException (ADVICE r14)
+        def sealedLong(k: String): Long = sealKv.get(k) match {
+          case Some(v) => v.toLong
+          case None => throw new InvariantViolation(
+            s"seal missing $k — stale or hand-edited SEAL (or a pinned" +
+              " cache key across a seal-format change); delete the SEAL" +
+              " file to force full re-verification")
+        }
         val degRaw =
           if (degRow != null) degRow.getLong(0)
-          else sealKv("deg.raw_pairs").toLong
+          else sealedLong("deg.raw_pairs")
         val degSigYield =
           if (degRow != null) degRow.getLong(1)
-          else sealKv("deg.yield_sig_pairs").toLong
+          else sealedLong("deg.yield_sig_pairs")
         val degDocYield =
           if (degRow != null) degRow.getLong(2)
-          else sealKv("deg.yield_doc_pairs").toLong
+          else sealedLong("deg.yield_doc_pairs")
         val degRatio =
           if (degRow != null) degRow.getLong(3)
-          else sealKv("deg.ratio_x1000").toLong
+          else sealedLong("deg.ratio_x1000")
         val canon100: Seq[(String, String)] =
           if (cache.needFullVerify) {
             val c = Seq(
@@ -890,6 +1023,7 @@ object Bench {
                 graft.operators.CommitLog.appliedState(sorted100))
             ).map { case (n, s) => sealCheck(s"canon.sf10.$n", s); n -> s }
           }
+        canonPinsCheck(canon100, "sf10", sfDir)
         val m10 = t100.map { case (k, v, _, _) => s"\"" + k + "\":" + v.min }
           .mkString("{", ",", "}")
         val m10r = t100.map { case (k, v, _, _) =>
@@ -914,6 +1048,7 @@ object Bench {
             sd100Reps.mkString("[", ",", "]")},""" +
           s""""sf10_build_sec":${bs("sf10_build_sec")},""" +
           s""""sf10_dedup_build_sec":${bs("sf10_dedup_build_sec")},""" +
+          s""""sf10_incdict_build_sec":${bs("sf10_incdict_build_sec")},""" +
           s""""sf10_simhash_build_sec":${bs("sf10_simhash_build_sec")},""" +
           s""""sf10_nested_build_sec":${bs("sf10_nested_build_sec")},""" +
           s""""sf10_aux_build_sec":${bs("sf10_aux_build_sec")},""" +
@@ -964,7 +1099,8 @@ object Bench {
         s""""scale_cache":"$cacheState",""" +
         s""""scale_cache_key":"${cache.key}"""" +
         sf10Json
-      (frag, times.map { case (k, v, _, _) => k -> v.min }.toMap)
+      (frag, times.map { case (k, v, _, _) => k -> v.min }.toMap,
+        cacheState)
     } finally {
       // scratch + any still-live bootstrap/steady state (ADVICE r13:
       // an abort must not strand multi-GB work dirs; the CACHE dir

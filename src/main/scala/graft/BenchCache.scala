@@ -13,13 +13,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * a bench run pays the build only when the code (or the cache format)
  * actually changed.
  *
- * Keying: SHA-256 over every .class file on the engine's own code-source
- * location (name + bytes, sorted) PLUS a fingerprint of the source dir's
- * file listing (name/size/mtime) — any recompile that changes ANY engine
- * class, and any testdata regeneration, rotates the key and forces a
- * rebuild. That over-invalidates
- * (a bench-only edit also rotates it), which is the safe direction; a
- * stale cache producing wrong answers is additionally policed by the
+ * Keying: SHA-256 over the ARTIFACT-RELEVANT .class files on the engine's
+ * code-source location (name + bytes, sorted; packages graft.core /
+ * operators / functions / streaming / plans — the code every artifact
+ * here is a function of) PLUS a content fingerprint of the source data
+ * (relative path, size, first+last 4 KiB of each file — parquet footers
+ * live in the tail, so any regeneration rotates it even if sizes and
+ * mtimes are restored). A bench- or harness-only edit (graft.Bench*,
+ * SparkEntry, Verify, tools) deliberately does NOT rotate the key
+ * (VERDICT r14 #4: with a 60-min driver budget, a tools edit silently
+ * converting a ~34-min hit run into a ~51-min rebuild is an operational
+ * risk); any false hit the scoping could ever cause is policed by the
  * bench's row-count and canon-signature invariants (sealed expectations,
  * see [[seal]]). `SPARK_GRAFT_CACHE_KEY` pins the key for dev iteration;
  * `SPARK_GRAFT_CACHE_DIR` moves the root (default `target/bench_cache`).
@@ -32,8 +36,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *     verdict) is appended by the bench after a fully-verified probe pass
  *     over freshly-built artifacts; a hit without SEAL re-runs the full
  *     verification (duals + conservation identities) and then seals.
- * Sibling keys under the root are pruned on open, so disk holds at most
- * one cache generation per scale factor.
+ * Stale same-sf sibling generations are pruned AFTER a successful open
+ * (hit) or build+rename (miss) — never before the replacement exists, so
+ * a kill mid-rebuild leaves the previous generation on disk as a fallback
+ * (ADVICE r14); disk steady-state holds one generation per scale factor.
  */
 object BenchCache {
 
@@ -48,7 +54,7 @@ object BenchCache {
     def needFullVerify: Boolean = rebuilt || sealKv.isEmpty
   }
 
-  private val FormatVersion = "v1"
+  private val FormatVersion = "v2" // v2: scoped code hash + content-sampled data fingerprint
 
   def openOrBuild(spark: SparkSession, sfDir: String): Cache = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -56,16 +62,15 @@ object BenchCache {
       sys.props("user.dir") + "/target/bench_cache")
     val sfName = new java.io.File(sfDir).getName
     // the key carries BOTH halves of "pure function of (sfDir, code)":
-    // the engine class hash AND a fingerprint of the source data's file
-    // listing (name/size/mtime) — regenerated testdata (same path, new
-    // content) rotates the key instead of serving stale artifacts whose
-    // seal would vacuously agree with itself (review r14 finding)
+    // the artifact-relevant engine class hash AND a content fingerprint
+    // of the source data — regenerated testdata (same path, new content)
+    // rotates the key instead of serving stale artifacts whose seal
+    // would vacuously agree with itself (review r14 finding)
     val key = sys.env.getOrElse("SPARK_GRAFT_CACHE_KEY",
-      s"$FormatVersion-${codeHash()}-${dataHash(sfDir)}-$sfName")
+      s"$FormatVersion-${codeHash()}-${dataFingerprint(sfDir)}-$sfName")
     Files.createDirectories(Paths.get(root))
-    prune(root, key, sfName)
     val dir = Paths.get(root, key)
-    if (Files.exists(dir.resolve("MANIFEST"))) {
+    val opened = if (Files.exists(dir.resolve("MANIFEST"))) {
       Cache(dir.toString, key, rebuilt = false,
         readKv(dir.resolve("MANIFEST")).map { case (k, v) =>
           k -> v.toDouble },
@@ -85,6 +90,12 @@ object BenchCache {
       Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       Cache(dir.toString, key, rebuilt = true, secs, None)
     }
+    // prune stale same-sf generations only now that THIS generation is
+    // complete on disk — pruning before the replacement build (the r14
+    // shape) left no cache at all if the ~13-min rebuild was killed,
+    // exactly the rc-124 budget scenario the cache exists for (ADVICE r14)
+    prune(root, key, sfName)
+    opened
   }
 
   /** Store the verified expectations (probe rows, canon signatures,
@@ -103,8 +114,21 @@ object BenchCache {
 
   // ---- internals ----
 
-  /** Hash of every engine class on this JVM's code source — rotates on
-    * any recompile whose output bytes differ. */
+  /** The packages the cached artifacts are a pure function of: the data
+    * model + table synthesis (core), every operator/function kernel the
+    * builds call (operators, functions), the CDC log + stream folds
+    * (streaming), and the Catalyst rules a GraftSession installs (plans).
+    * Deliberately NOT graft.Bench* / SparkEntry / Verify / tools — those
+    * consume artifacts, they don't define them (VERDICT r14 #4). */
+  private val ArtifactPackages = Seq("graft/core/", "graft/operators/",
+    "graft/functions/", "graft/streaming/", "graft/plans/")
+
+  private def artifactRelevant(relPath: String): Boolean =
+    ArtifactPackages.exists(relPath.startsWith)
+
+  /** Hash of the artifact-relevant engine classes on this JVM's code
+    * source — rotates on any recompile whose output bytes differ in a
+    * class the artifact builds (transitively) depend on. */
   private def codeHash(): String = {
     import scala.jdk.CollectionConverters._
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -113,7 +137,10 @@ object BenchCache {
     if (java.nio.file.Files.isDirectory(p)) {
       val s = java.nio.file.Files.walk(p)
       val files =
-        try s.iterator().asScala.filter(_.toString.endsWith(".class")).toVector
+        try s.iterator().asScala.filter(_.toString.endsWith(".class"))
+          .filter(f => artifactRelevant(
+            p.relativize(f).toString.replace('\\', '/')))
+          .toVector
         finally s.close()
       files.sortBy(f => p.relativize(f).toString).foreach { f =>
         md.update(p.relativize(f).toString.getBytes("UTF-8"))
@@ -122,7 +149,9 @@ object BenchCache {
     } else {
       val zf = new java.util.zip.ZipFile(p.toFile)
       try zf.entries().asScala.toSeq
-        .filter(_.getName.endsWith(".class")).sortBy(_.getName)
+        .filter(e => e.getName.endsWith(".class") &&
+          artifactRelevant(e.getName))
+        .sortBy(_.getName)
         .foreach { e =>
           md.update(e.getName.getBytes("UTF-8"))
           val in = zf.getInputStream(e)
@@ -149,9 +178,16 @@ object BenchCache {
     }
   }
 
-  /** Fingerprint of the source dir's file listing (relative path, size,
-    * mtime) — cheap, no content read; any regeneration rotates it. */
-  private def dataHash(sfDir: String): String = {
+  /** CONTENT fingerprint of the source data: relative path, size, and the
+    * first + last 4 KiB of each file (~8 KiB read per file — parquet
+    * footers live in the tail, so a regeneration that preserves sizes
+    * and restores mtimes still rotates it; ADVICE r14 closed the
+    * mtime-restoration hole). Deliberately mtime-FREE: a pure touch must
+    * not rotate the key and convert the driver's next run into a ~17-min
+    * rebuild. Public — the bench's cross-round canon pins key on it
+    * (canon signatures are a function of data + answer semantics, not of
+    * code shape, so pins stay comparable across perf-only code edits). */
+  def dataFingerprint(sfDir: String): String = {
     import scala.jdk.CollectionConverters._
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val p = java.nio.file.Paths.get(sfDir)
@@ -160,10 +196,22 @@ object BenchCache {
       try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
         .toVector
       finally s.close()
+    val buf = new Array[Byte](4096)
     files.sortBy(f => p.relativize(f).toString).foreach { f =>
-      val line = s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
-      md.update(line.getBytes("UTF-8"))
+      val size = java.nio.file.Files.size(f)
+      md.update(s"${p.relativize(f)}:$size:".getBytes("UTF-8"))
+      val ch = java.nio.file.Files.newByteChannel(f)
+      try {
+        def readAt(pos: Long): Unit = {
+          ch.position(pos)
+          val bb = java.nio.ByteBuffer.wrap(buf)
+          var n = 0
+          while (n >= 0 && bb.hasRemaining) n = ch.read(bb)
+          md.update(buf, 0, bb.position())
+        }
+        readAt(0L)
+        if (size > 4096) readAt(math.max(4096L, size - 4096))
+      } finally ch.close()
     }
     md.digest().take(4).map(b => f"$b%02x").mkString
   }
@@ -266,6 +314,22 @@ object BenchCache {
         spark.read.parquet(s"$dir/pairs100"))
       .write.mode("overwrite").parquet(s"$dir/clusters100")
     b("sf10_dedup_build_sec") = secs(tD)
+    // incremental-verify corpus state (VERDICT r14 #3): the term-id
+    // dictionary + per-doc encoded sets for the 100× CORPUS slice
+    // (doc_id % 7 != 0 — the same steady-state split q_dedup_incremental
+    // probes), persisted so the bench can measure the verified ingest
+    // path against STORED 100× state. One parquet write per frame = one
+    // evaluation, so monotonically_increasing_id's recompute
+    // nondeterminism cannot split the dictionary (the sets read the
+    // STORED dict back).
+    val tInc = System.nanoTime()
+    val corpus100 = docs100.filter(F.col("doc_id") % 7 =!= 0)
+    graft.operators.Dedup.ngramDictionary(corpus100)
+      .write.mode("overwrite").parquet(s"$dir/dict100")
+    graft.operators.Dedup.ngramSets(corpus100,
+        spark.read.parquet(s"$dir/dict100"))
+      .write.mode("overwrite").parquet(s"$dir/sets100")
+    b("sf10_incdict_build_sec") = secs(tInc)
     val tSh = System.nanoTime()
     graft.operators.Dedup.simhash(docs100)
       .write.mode("overwrite").parquet(s"$dir/sigs100")

@@ -432,6 +432,14 @@ object SparkEntry {
         minhashBandsCached(s, d).filter(col("doc_id") % 7 =!= 0),
         ngramSetsCached(s, d), ngramDictCached(s, d))),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(T.documents(s, d))),
+    // the degeneracy FALLBACK plan (chunk-PAIR pigeonhole keys, 6×10
+    // bits, C(6,2)=15 composite keys — exact for hamming ≤ 4): same
+    // output contract as q_dedup_simhash, independently derived by the
+    // oracle from the pair-key form — the executable path a corpus
+    // crossing the ~10× degeneracy trigger switches to (simhashPairsAuto)
+    "q_dedup_simhash_paired" -> ((s, d) =>
+      Dedup.simhashPairsFromSigsPaired(
+        Dedup.simhash(T.documents(s, d)).localCheckpoint())),
     // the one-row degeneracy VERDICT the ingest gates on (raw pigeonhole
     // pairs vs surviving sig pairs, integer x1000 ratio — the fallback
     // trigger for narrower chunk keys); bench re-publishes it for the
@@ -2620,6 +2628,27 @@ object SparkEntry {
          |  SELECT doc_id, simhash, t.c AS idx,
          |    (simhash >> (${Dedup.ChunkBits} * t.c)) & ${(1 << Dedup.ChunkBits) - 1} AS chunk_val
          |  FROM simhash CROSS JOIN range(4) t(c)
+         |)""".stripMargin),
+
+    // fallback plan, oracled from the chunk-PAIR key form itself (15
+    // composite 20-bit keys in DuckDB — an independent derivation of
+    // the same pair set, validating the pair-key pigeonhole directly)
+    "q_dedup_simhash_paired" -> O.withCtes(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(max(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) AS hamming
+        |FROM chp a JOIN chp b
+        |  ON a.idx = b.idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      O.docWords, O.simhashCte,
+      s"""chp AS (
+         |  SELECT doc_id, simhash, t.i * 6 + t.j AS idx,
+         |    ((simhash >> (${Dedup.PairChunkBits} * t.i)) & ${(1 << Dedup.PairChunkBits) - 1})
+         |      * ${1 << Dedup.PairChunkBits}
+         |      + ((simhash >> (${Dedup.PairChunkBits} * t.j)) & ${(1 << Dedup.PairChunkBits) - 1}) AS chunk_val
+         |  FROM simhash CROSS JOIN
+         |    (SELECT a.c AS i, b.c AS j FROM range(6) a(c), range(6) b(c)
+         |     WHERE a.c < b.c) t
          |)""".stripMargin),
 
     "q_simhash_chunk_stats" -> O.withCtes(

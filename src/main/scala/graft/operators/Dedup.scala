@@ -207,7 +207,66 @@ object Dedup {
     * signature; intra-signature pairs (hamming 0 by definition) and
     * the cross-signature expansion are both linear in the OUTPUT pair
     * count, which is the inherent floor. */
-  def simhashPairsFromSigs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairsFromSigs(sh: DataFrame, maxHamming: Int = 3): DataFrame =
+    pigeonholePairs(sh, sigChunks(sh), maxHamming)
+
+  /** Degeneracy FALLBACK pair join (VERDICT r14 #2) — same output
+    * contract as [[simhashPairsFromSigs]], but the pigeonhole runs on
+    * chunk-PAIR keys: 60 bits split into 6 chunks of 10, each of the
+    * C(6,2) = 15 unordered chunk pairs contributing one composite
+    * 20-bit key. Exactness: hamming ≤ h touches at most h of the 6
+    * chunks, so 6−h survive untouched; for h ≤ 4 at least TWO untouched
+    * chunks remain and their composite key agrees (the require below).
+    *
+    * Why it breaks degeneracy: a corpus-correlated ("templated") chunk
+    * — boilerplate tokens voting the same bits across the whole corpus
+    * — collapses a single-chunk bucket toward n_corpus, and Σ C(n,2)
+    * explodes quadratically. Every composite key pairs the templated
+    * chunk with a second, independently-varying chunk, so the bucket
+    * splits by the co-chunk's entropy (~2^10 ways); the price is 15 key
+    * rows per distinct signature instead of 4 — linear, and only paid
+    * when the measured trigger says the quadratic term is the bigger
+    * enemy ([[simhashPairsAuto]]). The shipped corpora sit UNDER the
+    * trigger (ratio 6.66× at the 100× clique corpus), so they keep the
+    * single-chunk plan; DedupSimilaritySpec's templated fixture trips
+    * the trigger and pins this path's recall == single-chunk == brute
+    * force. */
+  def simhashPairsFromSigsPaired(sh: DataFrame,
+                                 maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 4,
+      s"chunk-pair pigeonhole is exact only for hamming <= 4 (6 chunks," +
+        s" two must survive untouched); got $maxHamming")
+    pigeonholePairs(sh, sigChunkPairs(sh), maxHamming)
+  }
+
+  /** Plan selection at band-index build time (VERDICT r14 #5): run the
+    * degeneracy verdict over the stored signature table and pick the
+    * pigeonhole key shape from the measured ratio — single-chunk (4×15)
+    * under the trigger, chunk-pair (6×10, 15 composite keys) at or
+    * above it. The one-row head() is a scalar ingest-time decision (the
+    * same shape as ngramDictExtended's max-id read), logged to stderr
+    * so the chosen plan is attributable in ingest logs; both branches
+    * share one output contract, so consumers cannot tell which ran.
+    * PRECONDITION: `sh` must be pinned (a stored signature table, or
+    * localCheckpoint'd) — the verdict and the chosen join each evaluate
+    * it several times. */
+  def simhashPairsAuto(sh: DataFrame, maxHamming: Int = 3,
+                       triggerRatioX1000: Long = 10000L): DataFrame = {
+    val ratio = simhashDegeneracy(sh, maxHamming).head().getLong(3)
+    val paired = ratio >= triggerRatioX1000
+    System.err.println("[dedup] simhash pigeonhole plan: " +
+      (if (paired) "chunk-pair 6x10 (degenerate single-chunk buckets)"
+       else "single-chunk 4x15") +
+      s" — degeneracy ratio_x1000=$ratio, trigger=$triggerRatioX1000")
+    if (paired) simhashPairsFromSigsPaired(sh, maxHamming)
+    else simhashPairsFromSigs(sh, maxHamming)
+  }
+
+  /** The shared pair-join body: intra-signature pairs + distinct-
+    * signature pigeonhole over the GIVEN chunk-key frame + the doc
+    * expansion. Both key shapes ride the same three-stage plan. */
+  private def pigeonholePairs(sh: DataFrame, ch: DataFrame,
+                              maxHamming: Int): DataFrame = {
     // identical signatures: every intra-group pair, hamming 0 — a plain
     // narrow equi-join on the signature (per-group cost C(g,2) IS the
     // output; no arrays, stays in whole-stage codegen)
@@ -217,8 +276,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         lit(0).as("hamming"))
     // distinct-signature pigeonhole: any sig pair within hamming H
-    // agrees on one of the 4 chunks of 15 bits
-    val ch = sigChunks(sh)
+    // agrees on at least one chunk key
     val sigPairs = ch.as("a").join(ch.as("b"),
         col("a.idx") === col("b.idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
@@ -254,6 +312,37 @@ object Dedup {
       .select(col("simhash"),
         col("cs.idx").as("idx"), col("cs.chunk_val").as("chunk_val"))
   }
+
+  val PairChunkBits = 10 // 6 chunks of 10 bits; C(6,2) = 15 composite keys
+
+  /** One row per (DISTINCT signature, chunk-pair idx): the 15 composite
+    * 20-bit keys of each distinct signature — chunk i's 10 bits shifted
+    * over chunk j's (i < j), idx enumerating the unordered pairs. */
+  private def sigChunkPairs(sh: DataFrame): DataFrame = {
+    val mask = (1 << PairChunkBits) - 1
+    val combos = for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
+    val pairStructs = combos.zipWithIndex.map { case ((i, j), k) =>
+      struct(lit(k).as("idx"),
+        expr(s"(shiftright(simhash, ${PairChunkBits * i}) & $mask) * " +
+          s"${1 << PairChunkBits} + " +
+          s"(shiftright(simhash, ${PairChunkBits * j}) & $mask)")
+          .as("chunk_val"))
+    }
+    sh.select("simhash").distinct()
+      .withColumn("cs", explode(array(pairStructs: _*)))
+      .select(col("simhash"),
+        col("cs.idx").as("idx"), col("cs.chunk_val").as("chunk_val"))
+  }
+
+  /** [[simhashChunkStats]] for the chunk-pair key shape: distinct-sig
+    * bucket sizes per composite (pair idx, 20-bit value) — Σ C(n_sigs,2)
+    * bounds the PAIRED join's raw candidate pairs, the A/B number
+    * against the single-chunk bound when the trigger fires. */
+  def simhashPairedChunkStats(sh: DataFrame): DataFrame =
+    sigChunkPairs(sh)
+      .groupBy("idx", "chunk_val")
+      .agg(count(lit(1)).as("n_sigs"))
+      .orderBy("idx", "chunk_val")
 
   /** One-row degeneracy VERDICT over a stored signature table — the
     * [[simhashChunkStats]] trigger arithmetic folded to the number an

@@ -162,18 +162,26 @@ object Joins {
       .select(col("object_id"), lit(null).cast("string").as("old_key"),
         lit(null).cast("long").as("old_size"),
         col("new_key"), col("new_size"), lit("CREATE").as("diff_type"))
+    // UNMATCHED rows mirror the when-chain too (ADVICE r14): a v1-only
+    // row whose key is NULL classifies CREATE in the full-outer plan —
+    // the old_key.isNull rung fires on the DATA null before the plan
+    // can express "unmatched" — so the anti-join DELETE branch must
+    // apply the same rung. The CREATE branch is chain-consistent by
+    // construction (its old_key is null either way → CREATE).
     val deletes = a.join(b, Seq("object_id"), "left_anti")
       .select(col("object_id"), col("old_key"), col("old_size"),
         lit(null).cast("string").as("new_key"),
         lit(null).cast("long").as("new_size"),
-        lit("DELETE").as("diff_type"))
+        when(col("old_key").isNull, lit("CREATE"))
+          .otherwise(lit("DELETE")).as("diff_type"))
     // the matched-row chain mirrors snapshotDiff's FULL when-chain
     // including the isNull rungs: a matched object_id carrying a NULL
     // old_key/new_key classifies CREATE/DELETE there (the full-outer
     // plan cannot tell a null-valued column from an unmatched side), so
     // the dual must too — otherwise null-bearing snapshots would surface
     // as a confusing canon InvariantViolation instead of agreeing
-    // (ADVICE r13; inputs are null-free today, this pins the semantics)
+    // (ADVICE r13 matched rows + ADVICE r14 unmatched rows; inputs are
+    // null-free today, this pins the semantics)
     val both = a.join(b, Seq("object_id"))
       .withColumn("diff_type",
         when(col("old_key").isNull, lit("CREATE"))

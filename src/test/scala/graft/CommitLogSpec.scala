@@ -67,17 +67,30 @@ class CommitLogSpec extends SparkSpecBase {
       (2L, None: Option[String], Some(10L)),  // matched, null old key
       (3L, Some("k3"), None: Option[Long]),   // null size → =!= null-skips
                                               // → UNCHANGED → filtered
-      (4L, Some("k4"), Some(4L)))             // v1-only → DELETE
+      (4L, Some("k4"), Some(4L)),             // v1-only → DELETE
+      (6L, None: Option[String], Some(6L)))   // v1-only, NULL key: the
+                                              // full-outer's old_key.isNull
+                                              // rung fires on the DATA null
+                                              // → CREATE, so the dual's
+                                              // anti-join branch must too
+                                              // (ADVICE r14)
       .toDF("object_id", "key", "data_size")
     val v2 = Seq(
       (1L, Some("k1"), Some(10L)),
       (2L, Some("k2"), Some(10L)),
       (3L, Some("k3"), Some(30L)),
-      (5L, Some("k5"), Some(5L)))             // v2-only → CREATE
+      (5L, Some("k5"), Some(5L)),             // v2-only → CREATE
+      (7L, None: Option[String], Some(7L)))   // v2-only, NULL key → CREATE
+                                              // on both plans by the same
+                                              // rung
       .toDF("object_id", "key", "data_size")
     val full = rows(graft.operators.Joins.snapshotDiff(v1, v2))
     val dual = rows(graft.operators.Joins.snapshotDiffDual(v1, v2))
-    assert(full.map(_(0)).toSet === Set(2L, 4L, 5L))
+    assert(full.map(_(0)).toSet === Set(2L, 4L, 5L, 6L, 7L))
+    // the v1-only null-key row is CREATE on BOTH plans (the residual
+    // divergence ADVICE r14 flagged — now aligned)
+    val byId = full.map(r => r(0) -> r.last).toMap
+    assert(byId(6L) === "CREATE" && byId(7L) === "CREATE")
     assert(dual === full)
   }
 

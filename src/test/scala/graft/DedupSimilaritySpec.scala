@@ -155,6 +155,86 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(ratio === raw * 1000 / math.max(docYld, 1L))
   }
 
+  test("chunk-pair pigeonhole recall equals single-chunk and brute force") {
+    // random 60-bit signatures + planted near-dups (1-3 bit flips):
+    // the fallback key shape must find EXACTLY the same pair set as the
+    // single-chunk plan and a driver-side all-pairs walk
+    val rnd = new scala.util.Random(42)
+    val mask60 = (1L << 60) - 1
+    val base = (1L to 300L).map(i => i -> (rnd.nextLong() & mask60))
+    val planted = base.take(30).map { case (id, s) =>
+      val flips = (1 to (id % 3 + 1).toInt)
+        .map(_ => 1L << rnd.nextInt(60)).reduce(_ | _)
+      (id + 1000L) -> (s ^ flips)
+    }
+    val all = base ++ planted
+    val sh = all.toDF("doc_id", "simhash").localCheckpoint()
+    val single = rows(Dedup.simhashPairsFromSigs(sh))
+    val paired = rows(Dedup.simhashPairsFromSigsPaired(sh))
+    assert(single === paired)
+    val brute = (for {
+      (a, sa) <- all; (b, sb) <- all
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).sorted
+    assert(brute.nonEmpty, "fixture must plant at least one near pair")
+    assert(single.map(r => (r(0), r(1), r(2))) === brute)
+    // 6 chunks pigeonhole hamming ≤ 4 only (2 chunks must survive)
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsFromSigsPaired(sh, maxHamming = 5))
+  }
+
+  test("templated chunk trips the trigger; auto-switch takes the paired plan") {
+    // the degeneracy failure mode as a fixture: every signature shares
+    // one boilerplate-forced low 15-bit chunk (corpus-correlated bits),
+    // high 45 bits spread — the single-chunk plan's chunk-0 bucket
+    // collapses to the whole corpus while yield stays tiny
+    val rnd = new scala.util.Random(7)
+    val template = 0x1ACEL // 15 boilerplate bits
+    val tsigs = (1L to 400L).map { i =>
+      i -> (((rnd.nextLong() & ((1L << 45) - 1)) << 15) | template)
+    }
+    val clones = tsigs.take(8).map { case (id, s) =>
+      (id + 10000L) -> (s ^ (1L << 37)) // hamming 1, high region
+    }
+    val allT = tsigs ++ clones
+    val sh = allT.toDF("doc_id", "simhash").localCheckpoint()
+    val deg = Dedup.simhashDegeneracy(sh).head()
+    assert(deg.getLong(3) >= 10000L,
+      s"templated fixture must trip the ~10x trigger, got ratio_x1000=" +
+        deg.getLong(3))
+    // the paired keys split the degenerate bucket by co-chunk entropy:
+    // raw candidate work drops decisively (Σ C(n,2) over buckets)
+    val rawSingle = deg.getLong(0)
+    val rawPaired = Dedup.simhashPairedChunkStats(sh)
+      .as[(Int, Long, Long)].collect()
+      .map { case (_, _, n) => n * (n - 1) / 2 }.sum
+    assert(rawPaired * 5 < rawSingle,
+      s"paired raw $rawPaired not decisively under single raw $rawSingle")
+    // the switch fires on the measured ratio and the answer is intact
+    val auto = rows(Dedup.simhashPairsAuto(sh))
+    val brute = (for {
+      (a, sa) <- allT; (b, sb) <- allT
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).sorted
+    assert(auto.map(r => (r(0), r(1), r(2))) === brute)
+    // recall parity holds even in the degenerate regime (the single
+    // plan is SLOW there, never wrong)
+    assert(auto === rows(Dedup.simhashPairsFromSigs(sh)))
+    // …and on a real corpus the switch's answer is plan-independent
+    // whichever branch the measured ratio picks. (The ratio is SCALE-
+    // dependent: the sf0.001 fixture reads ~110x — tiny corpora have a
+    // raw-pair floor over near-zero yield, where either plan is cheap
+    // in absolute terms — while the shipped 100× corpus reads 6.66x,
+    // under trigger, sealed per-run as sf10_simhash_degeneracy_*; the
+    // bench key, not this fixture, is the authoritative per-corpus
+    // verdict.)
+    val corpus = Dedup.simhash(
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .localCheckpoint()
+    assert(rows(Dedup.simhashPairsAuto(corpus)) ===
+      rows(Dedup.simhashPairsFromSigs(corpus)))
+  }
+
   test("stored-dict append: old ids preserved, new ids strictly above, injective") {
     val corpus = docs(10L -> "a b c d", 11L -> "x y z w")
     val batch = docs(1L -> "a b c d", 2L -> "a b q r",
