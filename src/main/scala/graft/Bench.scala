@@ -244,7 +244,8 @@ object Bench {
       "(10x/100x over cached ingest artifacts, target/bench_cache) -> " +
       "sweep -> streaming; per-phase snapshots: bench_out.partial.json; " +
       "a COMPLETE run finishes with bench_out.json + " +
-      s"bench_out.run-$stamp.json; final JSON is the last stdout line")
+      s"bench_out.run-$stamp.json, then a compact summary JSON as the " +
+      "LAST stdout line (full record precedes it)")
     def secs(t0: Long) = (System.nanoTime() - t0) / 1e9
     def snapshot(phase: String, frag: String): Unit =
       writeJson("bench_out.partial.json",
