@@ -114,6 +114,18 @@ object Bench {
     * (graft.tools.CanonPins regenerates it from a sealed cache). */
   private def canonPinsCheck(sigs: Seq[(String, String)], scale: String,
                              sfDir: String): Unit = {
+    // deliberate-semantics-change escape (review r15): the sf1 pins
+    // check runs BEFORE the sf10 block seals a fresh rebuild, so a
+    // deliberate flagship-answer change would otherwise deadlock the
+    // re-mint workflow (every rebuild aborts unsealed → CanonPins has
+    // no sealed generation to mint from). Set SPARK_GRAFT_CANON_PINS=0
+    // for exactly that one sealing run, then re-mint and unset.
+    if (sys.env.get("SPARK_GRAFT_CANON_PINS").contains("0")) {
+      System.err.println(s"[bench] canon pins check DISABLED by env at " +
+        s"$scale — deliberate-change mode; re-mint CANON_PINS.txt " +
+        "(graft.tools.CanonPins) from this run's seal and unset")
+      return
+    }
     val f = java.nio.file.Paths.get("CANON_PINS.txt")
     if (!java.nio.file.Files.exists(f)) return
     val kv = java.nio.file.Files.readAllLines(f)
@@ -133,8 +145,9 @@ object Bench {
         if (want != s) throw new InvariantViolation(
           s"cross-round canon pin $scale.$n: committed $want, this run" +
             s" got $s — a flagship plan's ANSWER changed on unchanged" +
-            " data (regression, or a deliberate semantics change that" +
-            " must re-mint CANON_PINS.txt)")
+            " data (regression; for a DELIBERATE semantics change," +
+            " re-run once with SPARK_GRAFT_CANON_PINS=0 to seal, then" +
+            " re-mint CANON_PINS.txt via graft.tools.CanonPins)")
       }
     }
   }
@@ -209,7 +222,8 @@ object Bench {
   private def summaryLine(sfDir: String, stamp: String, total: Double,
                           nQueries: Int, results: Map[String, Double],
                           nFlags: Int, sweepCalib: Double,
-                          cacheState: String): String = {
+                          cacheState: String,
+                          invariantsRan: Boolean): String = {
     val base = baselineQueries()
     val common = results.keySet.intersect(base.keySet).toSeq
     val (agg, worstQ, worst) =
@@ -228,7 +242,11 @@ object Bench {
         common.count(n => results(n) / base(n) > 2.0)},""" +
       s""""sweep_flags_n":$nFlags,"scale_cache":"$cacheState",""" +
       s""""sweep_calibration_sec":${r3(sweepCalib)},""" +
-      s""""invariants":"verified",""" +
+      // honest only when the scale-probe battery actually ran (review
+      // r15): a SPARK_GRAFT_SCALE_PROBE=0 run times queries but runs
+      // no canon/seal/pins/conservation checks at all
+      s""""invariants":"${
+        if (invariantsRan) "verified" else "not-run"}",""" +
       s""""full_record":"bench_out.run-$stamp.json","sf":"$sfDir"}"""
   }
 
@@ -431,8 +449,17 @@ object Bench {
       val delta = objects
         .orderBy("volume", "bucket", "key", "version", "data_size").limit(1000)
       // steady state means REPEATED batches — the shared 5-rep protocol
-      // ([[steadyBatchReps]]); base 0: the 1× log's seq space is under
-      // the 10M offset stride by construction
+      // ([[steadyBatchReps]]). The helper's precondition holds for
+      // every caller, asserted not assumed (review r15): a larger
+      // SPARK_GRAFT_SF_DIR whose 1× log exceeded 10M events would
+      // otherwise silently measure no-op merges
+      val maxSeq1 = spark.read.parquet(cdcLog)
+        .agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max("seq"),
+          org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
+      require(maxSeq1 < 10000000L,
+        s"steady-batch seq offset (10M) does not clear the 1x log's " +
+          s"max seq $maxSeq1")
       val steadyTimes = steadyBatchReps(spark, steadyWork, delta, 0L)
       val steadySec = steadyTimes.sorted.apply(1)
       // stream_bootstrap_min_sec: renamed from stream_bootstrap_sec in
@@ -459,7 +486,8 @@ object Bench {
       // this line at all certifies the answer invariants: any
       // InvariantViolation above aborts the run before it prints.
       println(summaryLine(sfDir, stamp, total, results.size,
-        results.toMap, flags.size, sweepCalib, cacheState))
+        results.toMap, flags.size, sweepCalib, cacheState,
+        invariantsRan = probeRan))
     } finally {
       // the steady-state clone served its batches — reclaim it
       graft.streaming.ChangeStream.deleteRecursively(
@@ -804,7 +832,10 @@ object Bench {
           // perturbed signatures share degenerate chunk buckets — the
           // distinct-SIGNATURE join is output-bound there (~22.6M
           // pairs), the corpus's worst case, and exactly the probe that
-          // once hit a real cliff, so it stays in the published artifact
+          // once hit a real cliff, so it stays in the published
+          // artifact. Deliberately the EXPLICIT single-chunk plan (the
+          // declared operator self-selects via simhashPairsAuto; this
+          // probe must keep timing the same shape round over round)
           "q_dedup_simhash" -> (() =>
             graft.operators.Dedup.simhashPairsFromSigs(sigs100).count()),
           "q_dedup_keep" -> (() =>

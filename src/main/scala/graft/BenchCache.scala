@@ -114,14 +114,20 @@ object BenchCache {
 
   // ---- internals ----
 
-  /** The packages the cached artifacts are a pure function of: the data
+  /** The classes the cached artifacts are a pure function of: the data
     * model + table synthesis (core), every operator/function kernel the
     * builds call (operators, functions), the CDC log + stream folds
-    * (streaming), and the Catalyst rules a GraftSession installs (plans).
-    * Deliberately NOT graft.Bench* / SparkEntry / Verify / tools — those
-    * consume artifacts, they don't define them (VERDICT r14 #4). */
+    * (streaming), the Catalyst rules a GraftSession installs (plans) —
+    * and BenchCache ITSELF, whose build() defines every artifact recipe
+    * (review r15: excluding it would let a recipe edit — a changed
+    * corpus split, a different write partitioning — serve stale
+    * artifacts under an unchanged key, with the seal vacuously agreeing
+    * because it was minted from the same stale artifacts). Deliberately
+    * NOT graft.Bench* / SparkEntry / Verify / tools — those consume
+    * artifacts, they don't define them (VERDICT r14 #4). */
   private val ArtifactPackages = Seq("graft/core/", "graft/operators/",
-    "graft/functions/", "graft/streaming/", "graft/plans/")
+    "graft/functions/", "graft/streaming/", "graft/plans/",
+    "graft/BenchCache")
 
   private def artifactRelevant(relPath: String): Boolean =
     ArtifactPackages.exists(relPath.startsWith)

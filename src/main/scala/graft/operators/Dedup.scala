@@ -189,8 +189,13 @@ object Dedup {
     // localCheckpoint materializes the signatures ONCE instead of
     // re-running the doc scan + native signature pass per reference —
     // scale callers with a PERSISTED signature table (ingest artifact)
-    // call simhashPairsFromSigs directly
-    simhashPairsFromSigs(simhash(docs).localCheckpoint(), maxHamming)
+    // call simhashPairsFromSigs/-Paired directly. The PRODUCTION
+    // docs-in/pairs-out operator routes through the auto switch
+    // (review r15: the switch must live on a real path, not only in
+    // its spec) — the degeneracy verdict is the build-time toll that
+    // buys the quadratic-blowup guard; both branches share one output
+    // contract
+    simhashPairsAuto(simhash(docs).localCheckpoint(), maxHamming)
 
   /** The pair join over a (possibly persisted) signature table — split
     * out like [[lshPairsFromBands]]: signatures are an ingest-time
@@ -253,7 +258,10 @@ object Dedup {
   def simhashPairsAuto(sh: DataFrame, maxHamming: Int = 3,
                        triggerRatioX1000: Long = 10000L): DataFrame = {
     val ratio = simhashDegeneracy(sh, maxHamming).head().getLong(3)
-    val paired = ratio >= triggerRatioX1000
+    // the paired keys pigeonhole only up to hamming 4 (two of six
+    // chunks must survive); a wider-radius caller keeps the
+    // single-chunk plan whatever the ratio says
+    val paired = ratio >= triggerRatioX1000 && maxHamming <= 4
     System.err.println("[dedup] simhash pigeonhole plan: " +
       (if (paired) "chunk-pair 6x10 (degenerate single-chunk buckets)"
        else "single-chunk 4x15") +

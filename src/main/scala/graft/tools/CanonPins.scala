@@ -14,19 +14,26 @@ object CanonPins {
     val sfName = new java.io.File(sfDir).getName
     val root = sys.env.getOrElse("SPARK_GRAFT_CACHE_DIR",
       sys.props("user.dir") + "/target/bench_cache")
+    val data = graft.BenchCache.dataFingerprint(sfDir)
+    // only generations whose KEY embeds the CURRENT data fingerprint
+    // qualify (review r15): after a testdata regeneration a stale
+    // pre-rotation generation can still be on disk, and minting ITS
+    // signatures under the new fingerprint would bake a false
+    // InvariantViolation into the committed pins
     val sealedGens = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.endsWith(s"-$sfName") &&
+        f.getName.contains(s"-$data-") &&
         new java.io.File(f, "SEAL").exists())
     require(sealedGens.nonEmpty,
-      s"no sealed cache generation for $sfName under $root — run a " +
-        "full bench (rebuild/reverify) first")
+      s"no sealed cache generation for $sfName matching the CURRENT " +
+        s"testdata fingerprint $data under $root — run a full bench " +
+        "(rebuild/reverify) on the current data first")
     val gen = sealedGens.maxBy(f => new java.io.File(f, "SEAL").lastModified())
     val canon = java.nio.file.Files
       .readAllLines(new java.io.File(gen, "SEAL").toPath)
       .toArray(Array.empty[String]).filter(_.startsWith("canon."))
     require(canon.nonEmpty, s"SEAL in $gen carries no canon.* entries")
-    val data = graft.BenchCache.dataFingerprint(sfDir)
     val out = (Seq(s"data=$data", s"sf=$sfName") ++ canon.sorted)
       .mkString("", "\n", "\n")
     java.nio.file.Files.writeString(
