@@ -72,11 +72,16 @@ object Hierarchy {
     while (unresolved && hops < MaxResolveDepth) {
       for (_ <- 1 to batch) hop()
       hops += batch
+      // Pin THIS evaluation before the completeness check: the check is an
+      // action over the whole join ladder, and without the pin the caller's
+      // own evaluation re-ran the ladder a SECOND time (r15 measured the
+      // fso listing family at ~2× its join cost for exactly this reason).
+      // The pinned blocks are dir-table-sized (orders of magnitude below
+      // the file table) and freed by the ContextCleaner once unreachable —
+      // the same lifecycle the deeper-than-hint extension path already had.
+      cur = cur.localCheckpoint()
       unresolved = !cur.filter(col("parent_id") =!= 0).isEmpty
-      if (unresolved) {
-        cur = cur.localCheckpoint() // cut the join lineage before extending
-        batch = 8
-      }
+      batch = 8
     }
     cur.select("volume", "bucket", "dir_id", "path")
   }
