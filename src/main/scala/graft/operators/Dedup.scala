@@ -521,7 +521,13 @@ object Dedup {
     * the encode is an inner join, so an uncovered shingle would silently
     * shrink the set and undercount the union. */
   def ngramSets(docs: DataFrame, dict: DataFrame): DataFrame =
-    shingleFrame(docs).join(dict, "s")
+    ngramSetsFromShingles(shingleFrame(docs), dict)
+
+  /** [[ngramSets]] over an already-exploded shingle frame (same sharing
+    * rationale as [[ngramDictExtendedFromShingles]]). */
+  private def ngramSetsFromShingles(shingles: DataFrame,
+                                    dict: DataFrame): DataFrame =
+    shingles.join(dict, "s")
       .groupBy("doc_id")
       .agg(array_sort(collect_set(col("sid"))).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).cast("long").as("n"))
@@ -537,10 +543,18 @@ object Dedup {
     * (numPartitions << 33) + rowsPerPartition — both operands are far
     * below 2^62 at any real partition count, so the sum cannot
     * overflow; injectivity follows from m_i_id's own injectivity. */
-  def ngramDictExtended(dict: DataFrame, newDocs: DataFrame): DataFrame = {
+  def ngramDictExtended(dict: DataFrame, newDocs: DataFrame): DataFrame =
+    ngramDictExtendedFromShingles(dict, shingleFrame(newDocs))
+
+  /** [[ngramDictExtended]] over an already-exploded (and, when shared
+    * with other consumers, pinned) shingle frame — the batch ingest path
+    * normalizes+shingles the batch text ONCE and feeds both the
+    * dictionary probe and the set encode from the same frame. */
+  private def ngramDictExtendedFromShingles(dict: DataFrame,
+                                            shingles: DataFrame): DataFrame = {
     val maxSid = dict.agg(coalesce(max("sid"), lit(-1L)))
       .head().getLong(0)
-    val newTerms = shingleFrame(newDocs).select("s").distinct()
+    val newTerms = shingles.select("s").distinct()
       .join(dict.select("s"), Seq("s"), "left_anti")
       .withColumn("sid", monotonically_increasing_id() + lit(maxSid + 1L))
       .localCheckpoint()
@@ -573,7 +587,14 @@ object Dedup {
         col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
       .select(col("n.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
       .distinct()
-    val batchSets = ngramSets(newDocs, ngramDictExtended(dict, newDocs))
+    // ONE normalize+shingle pass over the batch text: the dictionary
+    // probe and the set encode both consume the pinned frame (each ran
+    // its own explode before — r15 measured the two passes as a
+    // material share of the 100× probe); blocks are batch-shingle-sized
+    // and freed by the ContextCleaner like every other pin here
+    val batchShingles = shingleFrame(newDocs).localCheckpoint()
+    val batchSets = ngramSetsFromShingles(batchShingles,
+      ngramDictExtendedFromShingles(dict, batchShingles))
     verifiedFromSets(cands, batchSets, corpusSets, minJaccardX1000)
   }
 
