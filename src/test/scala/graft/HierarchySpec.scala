@@ -30,6 +30,24 @@ class HierarchySpec extends SparkSpecBase {
     assert(r === Map(id("a") -> "a", id("a/b") -> "a/b", id("c") -> "c"))
   }
 
+  test("resolveDirs deeper than the maxDepth hint: extension rounds still " +
+    "root every path (single-evaluation pin, r15)") {
+    // chain d1/d2/.../d6 with maxDepth = 2 forces the completeness check
+    // to fire unresolved and the climb to extend in further batches —
+    // the path the r15 pin-before-check reorder must keep correct
+    val chain = (1 to 6).map { i =>
+      val p = (1 to i).map(n => s"d$n").mkString("/")
+      val parent = if (i == 1) 0L else id((1 to i - 1).map(n => s"d$n").mkString("/"))
+      ("v", "b", id(p), parent, s"d$i")
+    }.toDF("volume", "bucket", "dir_id", "parent_id", "name")
+    val r = Hierarchy.resolveDirs(chain, maxDepth = 2)
+      .select("dir_id", "path").as[(Long, String)].collect().toMap
+    val want = (1 to 6).map { i =>
+      val p = (1 to i).map(n => s"d$n").mkString("/"); id(p) -> p
+    }.toMap
+    assert(r === want)
+  }
+
   test("resolveFiles round-trips to full file paths") {
     val paths = Hierarchy.resolveFiles(dirs, files)
       .select("path").as[String].collect().toSeq
