@@ -216,13 +216,18 @@ object Bench {
   /** Compact headline JSON (VERDICT r14 #1) — printed as the very LAST
     * stdout line so a short tail capture always carries the sweep total,
     * the 2×-gate verdict and the cache/calibration context even though
-    * the full ~10 KB record precedes it. Keeps the driver's expected
-    * metric/value/unit/queries/sf keys (queries intentionally empty —
-    * the full map lives in the stamped file this line points to). */
+    * the full ~10 KB record precedes it. `queries` carries the TOP-K
+    * most expensive sweep entries (VERDICT r15 #1: a 301-query map can
+    * never fit the driver's 2000-char stdout tail, but the top ~40 at 3
+    * decimals — ~1.2 KB — can, and those are the entries any per-query
+    * comparison is about; the FULL map lives in the stamped file this
+    * line points to). K adapts to a ~1100-char budget so the whole line
+    * stays tail-safe even if query names grow. */
   private def summaryLine(sfDir: String, stamp: String, total: Double,
                           nQueries: Int, results: Map[String, Double],
                           nFlags: Int, sweepCalib: Double,
-                          cacheState: String,
+                          sweepFloor: Double, cacheState: String,
+                          cacheSealCurrent: Boolean, simhashPlan: String,
                           invariantsRan: Boolean): String = {
     val base = baselineQueries()
     val common = results.keySet.intersect(base.keySet).toSeq
@@ -235,13 +240,28 @@ object Bench {
         (a, wq, wr)
       }
     def r3(x: Double) = math.rint(x * 1000) / 1000
+    // top-K-by-cost compact map under a fixed character budget
+    val topEntries = scala.collection.mutable.ListBuffer.empty[String]
+    var budget = 1100
+    for ((k, v) <- results.toSeq.sortBy(-_._2).take(40)) {
+      val e = s"\"$k\":${r3(v)}"
+      if (budget - (e.length + 1) >= 0) {
+        topEntries += e; budget -= e.length + 1
+      }
+    }
     s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":{},"summary":true,"n_queries":$nQueries,""" +
+      s""""queries":${topEntries.mkString("{", ",", "}")},""" +
+      s""""queries_top_k":${topEntries.size},""" +
+      s""""summary":true,"n_queries":$nQueries,""" +
       s""""agg_vs_r1":${r3(agg)},"worst_vs_r1":${r3(worst)},""" +
       s""""worst_query":"$worstQ","n_over_2x_gate":${
         common.count(n => results(n) / base(n) > 2.0)},""" +
       s""""sweep_flags_n":$nFlags,"scale_cache":"$cacheState",""" +
       s""""sweep_calibration_sec":${r3(sweepCalib)},""" +
+      s""""sweep_floor_sec":${r3(sweepFloor)},""" +
+      s""""cache_seal":"${
+        if (cacheSealCurrent) "current" else "stale"}",""" +
+      s""""simhash_plan":"$simhashPlan",""" +
       // honest only when the scale-probe battery actually ran (review
       // r15): a SPARK_GRAFT_SCALE_PROBE=0 run times queries but runs
       // no canon/seal/pins/conservation checks at all
@@ -278,8 +298,8 @@ object Bench {
     // the yet-unwritten sweep) is retired by the per-phase snapshots and
     // the ~13 min the artifact cache takes off the wall.
     val probeRan = !sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("0")
-    val (sf1Json, sf1Min, cacheState) =
-      if (!probeRan) ("", Map.empty[String, Double], "off")
+    val (sf1Json, sf1Min, cacheState, simhashPlan) =
+      if (!probeRan) ("", Map.empty[String, Double], "off", "not-run")
       else {
         val probeSession = graft.core.GraftSession.local(cpus)
         val frag = scaleProbe(probeSession, sfDir)
@@ -337,6 +357,19 @@ object Bench {
     // classify the sweep window as quiet/loaded without SURVEY prose
     calibrationWarm(spark)
     val sweepCalib = calibration(spark)
+    // fixed per-query harness floor (VERDICT r15 #6): the cheapest
+    // possible plan — one in-memory row, no scan — timed under the SAME
+    // min-of-2 rule the sweep applies to every query. ~60-120 s of the
+    // sweep total is this fixed cost × 602 runs; publishing the floor
+    // lets a reader separate engine cost from harness cost without
+    // touching the declared sweep methodology.
+    def floorOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L).toDF("x").count()
+      secs(t0)
+    }
+    floorOnce() // codegen/plan warmup, same warm-numbers rule as queries
+    val sweepFloor = math.min(floorOnce(), floorOnce())
     def timeQuery(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -407,7 +440,8 @@ object Bench {
     val sweepJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sweep_flags":$flagsJson,""" +
-        s""""sweep_calibration_sec":$sweepCalib"""
+        s""""sweep_calibration_sec":$sweepCalib,""" +
+        s""""sweep_floor_sec":$sweepFloor"""
     writeJson("bench_out.partial.json", sweepJson + s"""$sf1Json,"sf":"$sfDir"}""")
     // ---- streaming plane at 1×, AFTER the sweep (r14 reorder — the
     // sweep is what the driver's 2× gate needs; these metrics are
@@ -485,9 +519,27 @@ object Bench {
       // per-query map lives in the stamped file it points to. Reaching
       // this line at all certifies the answer invariants: any
       // InvariantViolation above aborts the run before it prints.
+      // seal-staleness flag (VERDICT r15 #8): is the on-disk cache
+      // generation for the CURRENT artifact-relevant code + data sealed?
+      // After a rebuilt-and-sealed (or hit) probe phase this reads
+      // "current"; a sweep-only run over operator code edited since the
+      // last seal reads "stale" — the re-seal discipline made mechanical
+      // instead of manual. Never throws: the flag must not take down a
+      // completed run (summary prints "stale" and the stderr warning
+      // says why).
+      val sealCurrent =
+        try BenchCache.sealedAtCurrentKey(sfDir)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] cache seal check failed: " +
+            s"${e.getMessage}"); false }
+      if (!sealCurrent)
+        System.err.println("[bench] WARNING: no SEALED cache generation" +
+          " matches the current artifact-relevant code + data — the" +
+          " next probe run will rebuild (~13 min); re-run a full bench" +
+          " at this code state to re-seal before shipping")
       println(summaryLine(sfDir, stamp, total, results.size,
-        results.toMap, flags.size, sweepCalib, cacheState,
-        invariantsRan = probeRan))
+        results.toMap, flags.size, sweepCalib, sweepFloor, cacheState,
+        sealCurrent, simhashPlan, invariantsRan = probeRan))
     } finally {
       // the steady-state clone served its batches — reclaim it
       graft.streaming.ChangeStream.deleteRecursively(
@@ -506,11 +558,13 @@ object Bench {
     * compares rows + probe-plan canon signatures against the seal —
     * cheap, and any drift is fatal. Returns the `,"sf1":{...},...` JSON
     * fragment, the per-query sf1 minima the base sweep's consistency
-    * guard compares against (VERDICT r11 #6), and the cache state for
-    * the summary line. */
+    * guard compares against (VERDICT r11 #6), the cache state for
+    * the summary line, and the simhash pigeonhole plan the production
+    * auto-switch selects for the shipped corpus (VERDICT r15 #7 — a
+    * silent plan flip must be driver-visible). */
   private def scaleProbe(spark: org.apache.spark.sql.SparkSession,
                          sfDir: String)
-      : (String, Map[String, Double], String) = {
+      : (String, Map[String, Double], String, String) = {
     import org.apache.spark.sql.{functions => F}
     val T = graft.core.Tables
     def secs(t0: Long) = (System.nanoTime() - t0) / 1e9
@@ -787,6 +841,10 @@ object Bench {
       // WRITE, DEDUP, ANN and STREAMING shapes, over the same cached
       // artifacts. Environment failures degrade to a JSON note — never
       // the bench rc; ANSWER failures (InvariantViolation) rethrow.
+      // the pigeonhole plan simhashPairsAuto would select for THIS
+      // corpus's measured degeneracy (VERDICT r15 #7) — set inside the
+      // sf10 block once the (sealed or recomputed) ratio is known
+      var simhashPlanChoice = "unknown"
       val sf10Json: String = try {
         val sorted100 = spark.read.parquet(cache.path("objects100"))
         val snap1c = spark.read.parquet(cache.path("snap1_100"))
@@ -960,6 +1018,12 @@ object Bench {
         val degRatio =
           if (degRow != null) degRow.getLong(3)
           else sealedLong("deg.ratio_x1000")
+        // same predicate the production simhashPairs path applies — the
+        // shared helper keeps bench reporting and operator behavior from
+        // drifting apart (VERDICT r15 #7)
+        simhashPlanChoice =
+          if (graft.operators.Dedup.simhashPairedPlanSelected(degRatio))
+            "chunk-pair" else "single-chunk"
         val canon100: Seq[(String, String)] =
           if (cache.needFullVerify) {
             val c = Seq(
@@ -1087,7 +1151,8 @@ object Bench {
           s""""sf10_simhash_degeneracy_raw_pairs":$degRaw,""" +
           s""""sf10_simhash_degeneracy_yield_sig_pairs":$degSigYield,""" +
           s""""sf10_simhash_degeneracy_yield_doc_pairs":$degDocYield,""" +
-          s""""sf10_simhash_degeneracy_ratio_x1000":$degRatio"""
+          s""""sf10_simhash_degeneracy_ratio_x1000":$degRatio,""" +
+          s""""sf10_simhash_plan":"$simhashPlanChoice""""
       } catch {
         // an ANSWER invariant failure must fail the bench (non-zero rc),
         // never degrade to a JSON note like environment errors
@@ -1132,7 +1197,7 @@ object Bench {
         s""""scale_cache_key":"${cache.key}"""" +
         sf10Json
       (frag, times.map { case (k, v, _, _) => k -> v.min }.toMap,
-        cacheState)
+        cacheState, simhashPlanChoice)
     } finally {
       // scratch + any still-live bootstrap/steady state (ADVICE r13:
       // an abort must not strand multi-GB work dirs; the CACHE dir

@@ -98,6 +98,23 @@ object BenchCache {
     opened
   }
 
+  /** True when the on-disk cache generation keyed to the CURRENT
+    * artifact-relevant code + data fingerprint exists, completed
+    * (MANIFEST) and carries a SEAL (VERDICT r15 #8: the "re-seal at the
+    * final operator-code commit" discipline, made checkable by the
+    * bench instead of manual). Respects the same env overrides as
+    * [[openOrBuild]] so a pinned dev key reads its own state. */
+  def sealedAtCurrentKey(sfDir: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val root = sys.env.getOrElse("SPARK_GRAFT_CACHE_DIR",
+      sys.props("user.dir") + "/target/bench_cache")
+    val sfName = new java.io.File(sfDir).getName
+    val key = sys.env.getOrElse("SPARK_GRAFT_CACHE_KEY",
+      s"$FormatVersion-${codeHash()}-${dataFingerprint(sfDir)}-$sfName")
+    val dir = Paths.get(root, key)
+    Files.exists(dir.resolve("MANIFEST")) && Files.exists(dir.resolve("SEAL"))
+  }
+
   /** Store the verified expectations (probe rows, canon signatures,
     * degeneracy verdict) next to the artifacts they describe.
     * Written via temp-file + atomic rename (review r14): a kill

@@ -4421,64 +4421,80 @@ object ClusterHealth {
       .withColumn("ignored_exclusions", col("n_kept") === 0)
       .withColumn("rnk", row_number().over(Window.partitionBy("req_id")
         .orderBy(col("healthy").desc, col("pipeline_id"))))
-    val ownedCnt = containers.groupBy("pipeline_id", "owner")
-      .agg(count(lit(1)).as("owned_count"))
+    // r16 restructure (guide §2.4 "remove shuffles outright" / §3
+    // "consolidate broadcast ladders"): the former elig/cur/hits/outcome
+    // frame chain re-joined the tiny container catalog and re-aggregated
+    // per (req, pipeline) four times — ~75 Exchange / ~49 broadcast-build
+    // operators of pure PLAN complexity over control-plane dims. The
+    // catalog now folds ONCE to a per-(pipeline, owner) array column and
+    // the whole NavigableSet tail/head cursor walk runs as array
+    // expressions inside a single projection — rung for rung the same
+    // decisions (exclusion filter on STORED containers only, mint row
+    // never excluded, space gate, tail-first/whole-set/head fallbacks),
+    // pinned by the PropertySpec literal-walk dual and the oracle.
+    val ownedEls = containers.groupBy("pipeline_id", "owner")
+      .agg(count(lit(1)).as("owned_count"),
+        collect_list(struct(col("container_id"), col("used"))).as("els"))
     val cs = cand
       .join(broadcast(pipeStats), Seq("pipeline_id"), "left")
-      .join(broadcast(ownedCnt), Seq("pipeline_id", "owner"), "left")
+      .join(broadcast(ownedEls), Seq("pipeline_id", "owner"), "left")
+      .join(broadcast(cursors), Seq("owner", "pipeline_id"), "left")
       .withColumn("owned_count", coalesce(col("owned_count"), lit(0L)))
       .withColumn("open_limit", coalesce(col("open_limit"), lit(0L)))
       .withColumn("mint_ok", coalesce(col("mint_ok"), lit(0L)))
       .withColumn("pre_mint",
         col("owned_count") < col("open_limit") && col("mint_ok") === 1)
       .withColumn("mint_id", lit(9000L) + col("req_id"))
-    val elig = cs
-      .join(containers, Seq("pipeline_id", "owner"))
-      .filter(col("container_id") =!= col("excl_container"))
-      .select("req_id", "pipeline_id", "container_id", "used")
-      .unionByName(cs.filter(col("pre_mint"))
-        .select(col("req_id"), col("pipeline_id"),
-          col("mint_id").as("container_id"), lit(0L).as("used")))
-    val cur = cs.select("req_id", "pipeline_id", "owner", "size")
-      .join(broadcast(elig.groupBy("req_id", "pipeline_id")
-        .agg(min("container_id").as("min_el"))),
-        Seq("req_id", "pipeline_id"), "left")
-      .join(broadcast(cursors), Seq("owner", "pipeline_id"), "left")
+    val walked = cs
+      // eligible set = stored containers minus the excluded id (the
+      // pre-mint is NOT subject to the exclusion, as before), plus the
+      // limit+space-gated fresh mint (ids above every live id)
+      .withColumn("elig", expr(
+        """concat(
+          |  filter(coalesce(els, array()),
+          |    e -> e.container_id != excl_container),
+          |  CASE WHEN pre_mint THEN
+          |    array(named_struct('container_id', mint_id,
+          |                       'used', CAST(0 AS BIGINT)))
+          |  ELSE array() END)""".stripMargin))
+      .withColumn("min_el",
+        expr("array_min(transform(elig, e -> e.container_id))"))
       .withColumn("cursor", coalesce(col("last_used"), col("min_el")))
-    val hits = elig
-      .join(broadcast(cur.select("req_id", "pipeline_id", "cursor",
-        "size")), Seq("req_id", "pipeline_id"))
-      .groupBy("req_id", "pipeline_id")
-      .agg(
-        max(when(col("container_id") > col("cursor"), 1L).otherwise(0L))
-          .as("tail_any"),
-        min(when(col("container_id") > col("cursor") &&
-          col("used") + col("size") <= containerSize,
-          col("container_id"))).as("hit_tail"),
-        min(when(col("used") + col("size") <= containerSize,
-          col("container_id"))).as("hit_full"),
-        min(when(col("container_id") <= col("cursor") &&
-          col("used") + col("size") <= containerSize,
-          col("container_id"))).as("hit_head"))
-    val outcome = cs
-      .join(broadcast(cur.select("req_id", "pipeline_id", "min_el")),
-        Seq("req_id", "pipeline_id"), "left")
-      .join(broadcast(hits), Seq("req_id", "pipeline_id"), "left")
+      .withColumn("tail_any",
+        expr("exists(elig, e -> e.container_id > cursor)"))
+      .withColumn("hit_tail", expr(
+        s"""array_min(transform(filter(elig,
+           |  e -> e.container_id > cursor AND
+           |    e.used + size <= $containerSize),
+           |  e -> e.container_id))""".stripMargin))
+      .withColumn("hit_full", expr(
+        s"""array_min(transform(filter(elig,
+           |  e -> e.used + size <= $containerSize),
+           |  e -> e.container_id))""".stripMargin))
+      .withColumn("hit_head", expr(
+        s"""array_min(transform(filter(elig,
+           |  e -> e.container_id <= cursor AND
+           |    e.used + size <= $containerSize),
+           |  e -> e.container_id))""".stripMargin))
       .withColumn("hit",
         when(col("min_el").isNull, lit(null).cast("long"))
-          .when(col("tail_any") === 0, col("hit_full"))
+          .when(!col("tail_any"), col("hit_full"))
           .when(col("hit_tail").isNotNull, col("hit_tail"))
           .otherwise(col("hit_head")))
       .withColumn("picked", coalesce(col("hit"),
         when(col("mint_ok") === 1, col("mint_id"))))
       .filter(col("picked").isNotNull)
       .withColumn("minted", col("picked") === col("mint_id"))
-    val winner = outcome
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("req_id").orderBy("rnk")))
-      .filter(col("rn") === 1)
-      .select(col("req_id"), col("pipeline_id").as("win_pipeline"),
-        col("picked"), col("minted"), col("ignored_exclusions"))
+    // first surviving pipeline in healthy-first order: rnk is a
+    // row_number (unique per req), so min_by is the old
+    // row_number-over-rnk = 1 winner without a second window pass
+    val winner = walked
+      .groupBy("req_id")
+      .agg(min_by(struct(col("pipeline_id"), col("picked"), col("minted"),
+        col("ignored_exclusions")), col("rnk")).as("w"))
+      .select(col("req_id"), col("w.pipeline_id").as("win_pipeline"),
+        col("w.picked").as("picked"), col("w.minted").as("minted"),
+        col("w.ignored_exclusions").as("ignored_exclusions"))
     requests.join(broadcast(winner), Seq("req_id"), "left")
       .select(col("req_id"),
         when(col("picked").isNotNull, lit("ALLOCATED"))

@@ -255,13 +255,21 @@ object Dedup {
     * PRECONDITION: `sh` must be pinned (a stored signature table, or
     * localCheckpoint'd) — the verdict and the chosen join each evaluate
     * it several times. */
+  /** The auto-switch predicate alone — shared with the bench's
+    * `sf10_simhash_plan` reporting key (VERDICT r15 #7) so a silent
+    * trigger change cannot leave the published plan label stale: the
+    * paired keys pigeonhole only up to hamming 4 (two of six chunks
+    * must survive), so a wider-radius caller keeps the single-chunk
+    * plan whatever the ratio says. */
+  def simhashPairedPlanSelected(ratioX1000: Long, maxHamming: Int = 3,
+                                triggerRatioX1000: Long = 10000L): Boolean =
+    ratioX1000 >= triggerRatioX1000 && maxHamming <= 4
+
   def simhashPairsAuto(sh: DataFrame, maxHamming: Int = 3,
                        triggerRatioX1000: Long = 10000L): DataFrame = {
     val ratio = simhashDegeneracy(sh, maxHamming).head().getLong(3)
-    // the paired keys pigeonhole only up to hamming 4 (two of six
-    // chunks must survive); a wider-radius caller keeps the
-    // single-chunk plan whatever the ratio says
-    val paired = ratio >= triggerRatioX1000 && maxHamming <= 4
+    val paired = simhashPairedPlanSelected(ratio, maxHamming,
+      triggerRatioX1000)
     System.err.println("[dedup] simhash pigeonhole plan: " +
       (if (paired) "chunk-pair 6x10 (degenerate single-chunk buckets)"
        else "single-chunk 4x15") +
@@ -493,9 +501,11 @@ object Dedup {
   }
 
   /** The per-doc distinct word-bigram frame — the shared scan under the
-    * dictionary build and the set encode (deliberately evaluated per
-    * consumer: shuffle-free scan-bound work, cheaper than pinning the
-    * exploded string frame — see [[ngramJaccardPairs]]). */
+    * dictionary build and the set encode. Evaluated per consumer only on
+    * the corpus-scale REBUILD path (see [[ngramJaccardPairs]] — the
+    * re-scan is cheaper than pinning the exploded string frame at corpus
+    * scale); the batch ingest path pins ONE evaluation and feeds both
+    * consumers from it (see [[incrementalJaccardVerify]], ADVICE r15). */
   private def shingleFrame(docs: DataFrame): DataFrame =
     withWords(docs)
       .filter(size(col("ws")) >= 2)
@@ -775,10 +785,7 @@ object Dedup {
    * Output: one row per maximal duplicated span.
    */
   def duplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val occ = withWords(docs)
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"),
-        posexplode(shingleExpr("ws", k)).as(Seq("pos", "gram")))
+    val occ = wordGramOccurrences(docs, k)
     // count per gram as a map-side-combined AGGREGATE, then semi-join the
     // duplicated grams back — a count window over (gram) would pile every
     // occurrence of a hot boilerplate gram onto one task with no
@@ -791,8 +798,44 @@ object Dedup {
       .join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         (col("pos") + k - 1).cast("long").as("e"))
-    // gaps-and-islands: a new island starts where this span begins past
-    // every previous end + 1 (adjacent spans merge — contiguous tokens)
+    mergeSpans(dupOcc)
+  }
+
+  /** [[duplicateSpans]] in ONE pass over the token stream: the per-gram
+    * count and the occurrence carry ride the same aggregation
+    * (collect_list per gram, groups of size 1 — the vast majority —
+    * dropped before the explode back to flat rows). Same output, one
+    * corpus normalize+posexplode scan and one shuffle where the shipped
+    * form pays two of each; the trade is that a hot boilerplate gram's
+    * occurrences materialize as ONE in-memory array on a single task
+    * (the shipped form keeps them as flat skew-splittable rows) — see
+    * SubstrProbe for the measured comparison. */
+  def duplicateSpansOnePass(docs: DataFrame, k: Int = 8): DataFrame = {
+    val dupOcc = wordGramOccurrences(docs, k)
+      .groupBy("gram")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("os"))
+      .filter(size(col("os")) > 1)
+      .select(explode(col("os")).as("o"))
+      .select(col("o.doc_id").as("doc_id"),
+        col("o.pos").cast("long").as("s"),
+        (col("o.pos") + k - 1).cast("long").as("e"))
+    mergeSpans(dupOcc)
+  }
+
+  /** The posexplode'd (doc_id, pos, gram) occurrence frame both span
+    * forms read — the corpus-token-count-sized scan. */
+  private[graft] def wordGramOccurrences(docs: DataFrame,
+                                         k: Int): DataFrame =
+    withWords(docs)
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(shingleExpr("ws", k)).as(Seq("pos", "gram")))
+
+  /** Shared island-merge tail: duplicated k-token ranges → maximal
+    * per-doc spans (gaps-and-islands: a new island starts where this
+    * span begins past every previous end + 1 — adjacent spans merge,
+    * contiguous tokens). */
+  private def mergeSpans(dupOcc: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
     val prevMax = max("e").over(
       byDoc.rowsBetween(Window.unboundedPreceding, -1))

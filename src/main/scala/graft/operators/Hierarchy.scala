@@ -49,6 +49,11 @@ object Hierarchy {
    * the climb in further batches until every row is rooted — a namespace
    * deeper than the hint degrades to one extra round-trip, never to
    * silently truncated paths.
+   *
+   * Construction is EAGER (ADVICE r15): the completeness check is an
+   * action, and the ladder is pinned before it so the check and every
+   * caller share ONE evaluation — building this frame launches Spark
+   * jobs at construction time, so don't build it speculatively.
    */
   def resolveDirs(dirs: DataFrame, maxDepth: Int = 8): DataFrame = {
     val parents = dirs.select(

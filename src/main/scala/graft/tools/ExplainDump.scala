@@ -14,6 +14,11 @@ object ExplainDump {
     val outDir = args(1)
     val suffix = args(2) // "before" | "after"
     val names = args(3).split(",").toSeq
+    // fail loudly on a typo (ADVICE r15): a silently-skipped unknown
+    // name produces no evidence file — easy to miss when these files
+    // are the committed plan proof of an optimization round
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val spark = graft.core.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
