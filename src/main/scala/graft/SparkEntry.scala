@@ -404,8 +404,11 @@ object SparkEntry {
       Lifecycle.compositeFileChecksum(T.mediaAssets(s, d))),
     // ---- LLM-pipeline: dedup / similarity / text / multimodal / events ----
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
+    // r16: the ONE-PASS form (count + occurrence carry in a single
+    // per-gram aggregation — one corpus scan, one shuffle; the two-pass
+    // count+semi-join form stays as the spec's parity dual)
     "q_substr_spans" -> ((s, d) =>
-      Dedup.duplicateSpans(T.documents(s, d), k = 8)),
+      Dedup.duplicateSpansOnePass(T.documents(s, d), k = 8)),
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.lshPairsFromBands(minhashBandsCached(s, d))),
     "q_source_overlap" -> ((s, d) =>

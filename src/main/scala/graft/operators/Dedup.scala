@@ -602,7 +602,8 @@ object Dedup {
     // its own explode before — r15 measured the two passes as a
     // material share of the 100× probe); blocks are batch-shingle-sized
     // and freed by the ContextCleaner like every other pin here
-    val batchShingles = shingleFrame(newDocs).localCheckpoint()
+    val batchShingles = shingleFrame(newDocs).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchSets = ngramSetsFromShingles(batchShingles,
       ngramDictExtendedFromShingles(dict, batchShingles))
     verifiedFromSets(cands, batchSets, corpusSets, minJaccardX1000)

@@ -84,7 +84,9 @@ object Hierarchy {
       // The pinned blocks are dir-table-sized (orders of magnitude below
       // the file table) and freed by the ContextCleaner once unreachable —
       // the same lifecycle the deeper-than-hint extension path already had.
-      cur = cur.localCheckpoint()
+      cur = cur.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cur.count() // full fill: isEmpty alone short-circuits the cache
       unresolved = !cur.filter(col("parent_id") =!= 0).isEmpty
       batch = 8
     }

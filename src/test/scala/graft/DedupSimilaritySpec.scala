@@ -459,6 +459,27 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(spans(4L) === Seq((0L, 7L), (9L, 16L)))
   }
 
+  test("duplicateSpansOnePass == the two-pass count+semi-join dual" +
+    " (incl. a hot boilerplate gram)") {
+    import spark.implicits._
+    // planted shapes plus a hot gram shared by MANY docs — the skew
+    // case the one-pass collect_list form trades flat rows for; the
+    // declared q_substr_spans runs the one-pass plan (r16), this pin
+    // keeps it output-identical to the original two-pass form
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val boiler = words(9, "hot")
+    val docs = ((1L to 12L).map(i =>
+      (i, s"$boiler ${words(10, s"u$i-")}")) ++ Seq(
+      (20L, words(30, "z")),
+      (21L, s"${words(8, "r")} sep ${words(8, "r")}")))
+      .toDF("doc_id", "text")
+    val a = Dedup.duplicateSpans(docs, k = 8).collect().toSeq
+    val b = Dedup.duplicateSpansOnePass(docs, k = 8).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty) // the boiler span must actually appear
+  }
+
   test("brute-force top-k ranks the matching basis vector first") {
     val e = embs(
       0L -> basisVec(1), 5L -> basisVec(1), 6L -> basisVec(2), 7L -> basisVec(3))
